@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loader (driver-provided parquet, see TESTDATA.md).
+  *
+  * Mirrors the reference's catalog listing (`GetListTables`,
+  * /root/reference/src/paradump/paradump.go:1309-1368) over a directory of
+  * parquet files instead of information_schema. Schema discovery is free:
+  * parquet footers carry the StructType (reference re-derives it per dialect,
+  * paradump.go:757-1116).
+  */
+object Tables {
+  /** All driver-provided tables, in rough size order (largest first mirrors
+    * the reference's largest-table-first scheduling, paradump.go:1414). */
+  val all: Seq[String] = Seq(
+    "lineitem", "orders", "events", "documents", "embeddings",
+    "part", "customer", "supplier", "nation", "region")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Substring-exclusion table filter — reference paradump.go:1356-1366
+    * (`strings.Index(db+"."+tb, pat) > 0`). */
+  def listTables(exclude: Seq[String] = Nil): Seq[String] =
+    all.filterNot(t => exclude.exists(p => t.contains(p)))
+}
