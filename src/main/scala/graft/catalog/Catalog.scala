@@ -1,0 +1,77 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.sources.Tables
+
+/** Table descriptor — re-expression of the reference's `MetadataTable`
+  * (/root/reference/src/paradump/paradump.go:721-754) minus the pre-rendered
+  * SQL templates (Catalyst owns the physical plan here). */
+case class TableMeta(
+    name: String,
+    schema: StructType,
+    pkCols: Seq[String],
+    fakePrimaryKey: Boolean, // PK was guessed and is not unique (paradump.go:746)
+    rowCount: Long,
+    sizeBytes: Long)
+
+object Catalog {
+
+  /** Declared primary keys for the driver-provided fixtures (parquet carries
+    * no key metadata — the analogue of information_schema PK discovery,
+    * paradump.go:821). `events`/`documents`/`embeddings` keys exercise the
+    * simple-numeric path; `lineitem` the composite path. */
+  val declaredPks: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "orders" -> Seq("o_orderkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "nation" -> Seq("n_nationkey"),
+    "region" -> Seq("r_regionkey"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** PK guesser — port of the reference's max-cardinality non-nullable index
+    * choice (paradump.go:1161-1230, incl. implicit composite-index prefixes,
+    * comment :1198-1201). Candidates stand in for secondary indexes; all
+    * prefixes of each candidate are considered. Returns (cols, isUnique):
+    * picks the highest-cardinality candidate, flagging it "fake" when not
+    * unique (→ duplicate-tolerant chunking, paradump.go:1742-1744). */
+  def guessPrimaryKey(df: DataFrame, candidates: Seq[Seq[String]]): Option[(Seq[String], Boolean)] = {
+    val withPrefixes = candidates
+      .flatMap(c => (1 to c.length).map(c.take))
+      .distinct
+      .filter(_.forall(c => df.schema.exists(f => f.name == c && !f.nullable) ||
+        df.schema.exists(_.name == c))) // parquet nullability is unreliable; keep all existing
+    if (withPrefixes.isEmpty) return None
+    val aggs = count(lit(1)).as("__n") +:
+      withPrefixes.zipWithIndex.map { case (cols, i) =>
+        count_distinct(struct(cols.map(col): _*)).as(s"__c$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val scored = withPrefixes.zipWithIndex.map { case (cols, i) => (cols, row.getLong(i + 1)) }
+    val (best, card) = scored.maxBy { case (cols, c) => (c, -cols.length) }
+    Some((best, card == n))
+  }
+
+  def meta(spark: SparkSession, sfDir: String, name: String): TableMeta = {
+    val df = Tables.load(spark, sfDir, name)
+    val pk = declaredPks.getOrElse(name, Seq.empty)
+    val (pkCols, fake) =
+      if (pk.nonEmpty) (pk, false)
+      else guessPrimaryKey(df, df.columns.take(2).map(Seq(_)).toSeq)
+        .map { case (c, uniq) => (c, !uniq) }
+        .getOrElse((Seq.empty, true))
+    val size = new java.io.File(s"$sfDir/$name.parquet").length()
+    TableMeta(name, df.schema, pkCols, fake, df.count(), size)
+  }
+
+  /** All tables, largest first — the reference's scheduling order
+    * (paradump.go:1414). */
+  def listMeta(spark: SparkSession, sfDir: String): Seq[TableMeta] =
+    Tables.all.map(meta(spark, sfDir, _)).sortBy(-_.sizeBytes)
+}

@@ -1,0 +1,85 @@
+package graft.chunk
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Equal-cardinality range chunking over a (composite) primary key.
+  *
+  * Re-expression of the reference's boundary walk
+  * (`tableChunkBrowser`, /root/reference/src/paradump/paradump.go:1624-1776):
+  * instead of iteratively probing `ORDER BY pk LIMIT chunksize` per chunk
+  * (O(n_chunks) round trips), boundaries come from ONE pass:
+  *
+  *  - [[boundaries]] — exact: `ntile(n) OVER (ORDER BY pk)` + last row per
+  *    tile. The global window sort is the cost of exactness; fine up to ~1e8
+  *    boundary rows because only PK columns flow through the sort.
+  *  - [[sampledBoundaries]] — scale path for 100 TB: sort a Bernoulli sample
+  *    of the PK columns and pick every (sample/n)-th value. One narrow scan,
+  *    no global sort of the full table; boundaries are approximate but chunk
+  *    sizes concentrate tightly for any realistic sample size.
+  *
+  * The resulting boundary tuples feed [[Predicates.sqlText]] (JDBC
+  * `predicates` array — the reference's physical plan) or
+  * [[Predicates.column]] (DataFrame filters).
+  */
+object Chunker {
+
+  /** Boundary rows (last PK tuple of each of `n` tiles) plus tile row count.
+    * Output columns: chunk_id, <pkCols...>, chunk_rows. Deterministic given
+    * a unique PK. */
+  def boundaryFrame(df: DataFrame, pkCols: Seq[String], n: Int): DataFrame = {
+    val pk = pkCols.map(col)
+    val tiled = df.select(pk: _*)
+      .withColumn("chunk_id", ntile(n).over(Window.orderBy(pk: _*)))
+    val w = Window.partitionBy(col("chunk_id"))
+    tiled
+      .withColumn("rn", row_number().over(w.orderBy(pkCols.map(c => col(c).desc): _*)))
+      .withColumn("chunk_rows", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .select(col("chunk_id") +: pk :+ col("chunk_rows"): _*)
+      .orderBy("chunk_id")
+  }
+
+  /** Exact boundaries collected to the driver: n tuples of PK values, the
+    * last of each tile. */
+  def boundaries(df: DataFrame, pkCols: Seq[String], n: Int): Seq[Seq[Any]] =
+    boundaryFrame(df, pkCols, n).collect()
+      .map(r => pkCols.map(c => r.get(r.fieldIndex(c)))).toSeq
+
+  /** Approximate boundaries from a sample — the 100 TB path. Reads only the
+    * PK columns (column pruning reaches the parquet scan), samples, sorts the
+    * sample (small), picks n-1 internal cut points. */
+  def sampledBoundaries(df: DataFrame, pkCols: Seq[String], n: Int,
+                        fraction: Double = 0.01, seed: Long = 42L): Seq[Seq[Any]] = {
+    val sample = df.select(pkCols.map(col): _*)
+      .sample(withReplacement = false, fraction, seed)
+      .orderBy(pkCols.map(col): _*)
+      .collect()
+    if (sample.isEmpty) return Seq.empty
+    (1 until n).map { i =>
+      val idx = math.min(sample.length - 1, (i.toLong * sample.length / n).toInt)
+      sample(idx).toSeq
+    }.distinct
+  }
+
+  /** Half-open ranges covering (-inf, +inf) from internal cut points —
+    * parasync's chunk-set shape (first chunk upper-bound-only, last chunk
+    * lower-bound-only; parasync.go:1880-1881). */
+  def ranges(cuts: Seq[Seq[Any]]): Seq[Predicates.Range] = {
+    val lits = cuts.map(_.map(Predicates.sqlLiteral))
+    val bounds = (None +: lits.map(Some(_))) :+ None
+    bounds.sliding(2).map { case Seq(lo, hi) => Predicates.Range(lo, hi) }.toSeq
+  }
+
+  /** JDBC-style predicate strings for n chunks of df — the reference's
+    * whole chunking pipeline in one call. */
+  def predicates(df: DataFrame, pkCols: Seq[String], n: Int,
+                 exact: Boolean = true): Seq[String] = {
+    val cuts =
+      if (exact) boundaries(df, pkCols, n).dropRight(1) // last boundary = max pk
+      else sampledBoundaries(df, pkCols, n)
+    ranges(cuts).map(Predicates.sqlText(pkCols, _))
+  }
+}

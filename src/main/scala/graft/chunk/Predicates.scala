@@ -1,0 +1,108 @@
+package graft.chunk
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Row-value range predicates over a (possibly composite) primary key.
+  *
+  * Port of the reference's predicate generators
+  * (`generatePredicat`, /root/reference/src/paradump/paradump.go:1539-1594 and
+  * `generateEqualityPredicat`, paradump.go:1597-1621): a half-open tuple range
+  * `lower <= (pk...) < upper` expanded into the OR-of-ANDs form
+  * `(a>L1) or (a=L1 and b>L2) or (a=L1 and b=L2 and c>=L3)` because most SQL
+  * dialects can't index-optimize row-value comparisons.
+  *
+  * Two renderings:
+  *  - [[sqlText]]: SQL text for `spark.read.jdbc(..., predicates, ...)` —
+  *    one string per chunk, exactly the reference's physical plan;
+  *  - [[column]]: a Catalyst [[Column]] for DataFrame filtering — here Spark
+  *    compares structs natively, so the expansion is only used where text is
+  *    required (property-tested equivalent, see PredicatesSpec).
+  */
+object Predicates {
+
+  /** A chunk boundary: literal values for each PK column, already rendered
+    * for SQL (strings quoted, numerics bare). `None` = unbounded (parasync's
+    * first/last chunk covers (-inf, +inf), parasync.go:1880-1881). */
+  case class Range(lower: Option[Seq[String]], upper: Option[Seq[String]])
+
+  /** SQL literal for a value of the given column, quoting strings/timestamps. */
+  def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString.stripSuffix(".0")}'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case other => other.toString
+  }
+
+  /** One bound of the tuple comparison as OR-of-ANDs SQL text.
+    * `strictLast=false` makes the final column comparison inclusive
+    * (>= / <=); reference semantics: lower inclusive, upper exclusive
+    * (comment at paradump.go:1537-1538). */
+  private def boundSql(cols: Seq[String], vals: Seq[String], op: String,
+                       inclusive: Boolean): String = {
+    require(cols.length == vals.length, s"${cols.length} cols vs ${vals.length} vals")
+    val terms = cols.indices.map { i =>
+      val eqs = (0 until i).map(j => s"${cols(j)} = ${vals(j)}")
+      val last =
+        if (i == cols.length - 1 && inclusive) s"${cols(i)} $op= ${vals(i)}"
+        else s"${cols(i)} $op ${vals(i)}"
+      (eqs :+ last).mkString("(", " AND ", ")")
+    }
+    terms.mkString("(", " OR ", ")")
+  }
+
+  /** Half-open range `[lower, upper)` as SQL text (reference P3). */
+  def sqlText(pkCols: Seq[String], r: Range): String = {
+    val parts = Seq(
+      r.lower.map(v => boundSql(pkCols, v, ">", inclusive = true)),
+      r.upper.map(v => boundSql(pkCols, v, "<", inclusive = false))
+    ).flatten
+    if (parts.isEmpty) "(1 = 1)" else parts.mkString("(", " AND ", ")")
+  }
+
+  /** Equality predicate for the final singleton chunk (reference P4). */
+  def equalitySql(pkCols: Seq[String], vals: Seq[String]): String =
+    pkCols.zip(vals).map { case (c, v) => s"$c = $v" }
+      .mkString("(", " AND ", ")")
+
+  /** Same half-open range as a Catalyst Column — Spark compares structs
+    * lexicographically, so no expansion is needed. */
+  def column(pkCols: Seq[String], lower: Option[Seq[Column]],
+             upper: Option[Seq[Column]]): Column = {
+    val pk = struct(pkCols.map(col): _*)
+    val lo = lower.map(v => pk >= struct(v: _*))
+    val hi = upper.map(v => pk < struct(v: _*))
+    (lo, hi) match {
+      case (Some(a), Some(b)) => a && b
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => lit(true)
+    }
+  }
+
+  /** OR-of-ANDs as a Column — used only to property-test equivalence with
+    * the native struct comparison. */
+  def expandedColumn(pkCols: Seq[String], lower: Option[Seq[Column]],
+                     upper: Option[Seq[Column]]): Column = {
+    def bound(vals: Seq[Column], gt: Boolean, inclusive: Boolean): Column =
+      pkCols.indices.map { i =>
+        val eqs = (0 until i).map(j => col(pkCols(j)) === vals(j))
+        val cmp =
+          if (i == pkCols.length - 1 && inclusive) {
+            if (gt) col(pkCols(i)) >= vals(i) else col(pkCols(i)) <= vals(i)
+          } else {
+            if (gt) col(pkCols(i)) > vals(i) else col(pkCols(i)) < vals(i)
+          }
+        (eqs :+ cmp).reduce(_ && _)
+      }.reduce(_ || _)
+    val lo = lower.map(v => bound(v, gt = true, inclusive = true))
+    val hi = upper.map(v => bound(v, gt = false, inclusive = false))
+    (lo, hi) match {
+      case (Some(a), Some(b)) => a && b
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => lit(true)
+    }
+  }
+}
