@@ -1,0 +1,84 @@
+package graft.chunk
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Property tests for the row-value range predicates (reference P3/P4,
+  * /root/reference/src/paradump/paradump.go:1539-1621): the OR-of-ANDs
+  * expansion, the native struct comparison, and the rendered SQL text must
+  * select identical row sets for arbitrary bounds. */
+class PredicatesSpec extends AnyFunSuite with SparkSuite {
+
+  private val pkCols = Seq("a", "b", "c")
+
+  private lazy val df = {
+    val s = spark
+    import s.implicits._
+    // Small domain (0..3)^3 guarantees bounds collide with data points,
+    // exercising inclusive-lower / exclusive-upper edges.
+    val rows = for (a <- 0 to 3; b <- 0 to 3; c <- 0 to 3) yield (a, b, c)
+    rows.toDF("a", "b", "c").cache()
+  }
+
+  private def collectSet(cond: org.apache.spark.sql.Column): Set[(Int, Int, Int)] =
+    df.filter(cond).collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+
+  test("expandedColumn ≡ native struct comparison for random bounds") {
+    val rnd = new scala.util.Random(7)
+    (1 to 60).foreach { _ =>
+      val lo = Seq.fill(3)(rnd.nextInt(5) - 1) // -1..3, can miss data
+      val hi = Seq.fill(3)(rnd.nextInt(5) - 1)
+      val loC = Some(lo.map(lit(_)))
+      val hiC = Some(hi.map(lit(_)))
+      val nat = collectSet(Predicates.column(pkCols, loC, hiC))
+      val exp = collectSet(Predicates.expandedColumn(pkCols, loC, hiC))
+      assert(nat == exp, s"lo=$lo hi=$hi")
+    }
+  }
+
+  test("sqlText parses in Spark SQL and selects the same rows") {
+    val rnd = new scala.util.Random(11)
+    (1 to 40).foreach { _ =>
+      val lo = Seq.fill(3)(rnd.nextInt(5) - 1)
+      val hi = Seq.fill(3)(rnd.nextInt(5) - 1)
+      val r = Predicates.Range(
+        Some(lo.map(v => Predicates.sqlLiteral(v))),
+        Some(hi.map(v => Predicates.sqlLiteral(v))))
+      val viaText = collectSet(expr(Predicates.sqlText(pkCols, r)))
+      val viaStruct = collectSet(
+        Predicates.column(pkCols, Some(lo.map(lit(_))), Some(hi.map(lit(_)))))
+      assert(viaText == viaStruct, s"lo=$lo hi=$hi sql=${Predicates.sqlText(pkCols, r)}")
+    }
+  }
+
+  test("unbounded sides cover everything / half-ranges") {
+    val all = collectSet(Predicates.column(pkCols, None, None))
+    assert(all.size == 64)
+    val loOnly = Predicates.Range(Some(Seq("2", "0", "0")), None)
+    val viaText = collectSet(expr(Predicates.sqlText(pkCols, loOnly)))
+    import scala.math.Ordering.Implicits._
+    assert(viaText == all.filter(t => t >= ((2, 0, 0))))
+  }
+
+  test("half-open ranges from consecutive cuts partition the table exactly") {
+    val cuts = Seq(Seq(0, 3, 2), Seq(1, 1, 1), Seq(2, 0, 3)).map(_.map(x => x: Any))
+    val ranges = Chunker.ranges(cuts)
+    assert(ranges.length == cuts.length + 1)
+    val sets = ranges.map(r => collectSet(expr(Predicates.sqlText(pkCols, r))))
+    assert(sets.map(_.size).sum == 64, "chunks must cover every row exactly once")
+    assert(sets.reduce(_ ++ _).size == 64)
+  }
+
+  test("equalitySql matches exactly one tuple") {
+    val sel = collectSet(expr(Predicates.equalitySql(pkCols, Seq("1", "2", "3"))))
+    assert(sel == Set((1, 2, 3)))
+  }
+
+  test("sqlLiteral quoting") {
+    assert(Predicates.sqlLiteral(null) == "NULL")
+    assert(Predicates.sqlLiteral("o'neil") == "'o''neil'")
+    assert(Predicates.sqlLiteral(42L) == "42")
+    assert(Predicates.sqlLiteral(java.sql.Date.valueOf("2024-01-31")) == "DATE '2024-01-31'")
+  }
+}

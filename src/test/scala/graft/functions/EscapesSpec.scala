@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level contract tests for the dialect escape library (SURVEY.md §2.5).
+  * Escape semantics per /root/reference/src/paradump/paradump.go:2055-2445.
+  * Control characters appear as N.toChar — never raw bytes in source. */
+class EscapesSpec extends AnyFunSuite {
+
+  private val NUL = 0.toChar
+  private val SUB = 26.toChar // 0x1A, MySQL \Z
+
+  // --- F1 mysqlEscape -------------------------------------------------
+
+  test("mysqlEscape: the seven escaped characters") {
+    assert(Escapes.mysqlEscape(s"a${NUL}b") == "a\\0b")
+    assert(Escapes.mysqlEscape("a\nb") == "a\\nb")
+    assert(Escapes.mysqlEscape("a\rb") == "a\\rb")
+    assert(Escapes.mysqlEscape(s"a${SUB}b") == "a\\Zb")
+    assert(Escapes.mysqlEscape("a\"b") == "a\\\"b")
+    assert(Escapes.mysqlEscape("a'b") == "a\\'b")
+    assert(Escapes.mysqlEscape("a\\b") == "a\\\\b")
+  }
+
+  test("mysqlEscape: all other chars 0..255 pass through unchanged") {
+    val escaped = Set(0, 10, 13, 26, 34, 39, 92)
+    (0 until 256).filterNot(escaped).foreach { i =>
+      val s = i.toChar.toString
+      assert(Escapes.mysqlEscape(s) == s, s"char $i")
+    }
+  }
+
+  test("mysqlEscape: no-escape fast path returns the same instance") {
+    val s = "hello world"
+    assert(Escapes.mysqlEscape(s) eq s)
+  }
+
+  /** Inverse of the MySQL escape (backslash + substitute char → original). */
+  private def mysqlUnescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        b.append(s.charAt(i + 1) match {
+          case '0' => NUL
+          case 'n' => '\n'
+          case 'r' => '\r'
+          case 'Z' => SUB
+          case c   => c
+        })
+        i += 2
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  test("mysqlEscape: round-trips through unescape for random strings") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val s = (1 to rnd.nextInt(40)).map(_ => rnd.nextInt(256).toChar).mkString
+      assert(mysqlUnescape(Escapes.mysqlEscape(s)) == s)
+    }
+  }
+
+  test("mysqlQuote wraps in single quotes") {
+    assert(Escapes.mysqlQuote("a'b") == "'a\\'b'")
+  }
+
+  // --- F2 mysqlEscapeBinary -------------------------------------------
+
+  private def bytes(is: Int*): Array[Byte] = is.map(_.toByte).toArray
+
+  test("mysqlEscapeBinary: escape set on raw bytes") {
+    assert(Escapes.mysqlEscapeBinary(bytes(0x00)).sameElements(bytes('\\', '0')))
+    assert(Escapes.mysqlEscapeBinary(bytes(0x1a)).sameElements(bytes('\\', 'Z')))
+    assert(Escapes.mysqlEscapeBinary(bytes(0x27)).sameElements(bytes('\\', '\'')))
+  }
+
+  test("mysqlEscapeBinary: valid multi-byte UTF-8 passes through") {
+    val eAcute = bytes(0xc3, 0xa9) // é
+    assert(Escapes.mysqlEscapeBinary(eAcute).sameElements(eAcute))
+    val snowman = bytes(0xe2, 0x98, 0x83) // ☃
+    assert(Escapes.mysqlEscapeBinary(snowman).sameElements(snowman))
+    val emoji = bytes(0xf0, 0x9f, 0x98, 0x80)
+    assert(Escapes.mysqlEscapeBinary(emoji).sameElements(emoji))
+  }
+
+  test("mysqlEscapeBinary: CESU-8 surrogate triplet tolerated verbatim") {
+    val cesu = bytes(0xed, 0xa0, 0xbd) // high surrogate D83D as CESU-8
+    assert(Escapes.mysqlEscapeBinary(cesu).sameElements(cesu))
+  }
+
+  test("mysqlEscapeBinary: invalid lead byte gets a backslash prefix") {
+    // 0xc3 with no continuation byte → escaped
+    assert(Escapes.mysqlEscapeBinary(bytes(0xc3, 0x41))
+      .sameElements(bytes('\\', 0xc3, 0x41)))
+    // truncated 3-byte sequence at end of input
+    assert(Escapes.mysqlEscapeBinary(bytes(0xe2, 0x98))
+      .sameElements(bytes('\\', 0xe2, 0x98)))
+  }
+
+  test("mysqlEscapeBinary: escape-relevant bytes inside invalid sequences are escaped") {
+    // 0xe2 followed by 0x27 (quote): starter escaped, quote then escaped too
+    val out = Escapes.mysqlEscapeBinary(bytes(0xe2, 0x27))
+    assert(out.sameElements(bytes('\\', 0xe2, '\\', '\'')))
+  }
+
+  // --- F3 pgEscape ----------------------------------------------------
+
+  test("pgEscape: hex escapes and NUL drop") {
+    assert(Escapes.pgEscape(s"a${NUL}b") == "ab")
+    assert(Escapes.pgEscape("a\nb") == "a\\x0ab")
+    assert(Escapes.pgEscape("a\rb") == "a\\x0db")
+    assert(Escapes.pgEscape(s"a${SUB}b") == "a\\x1ab")
+    assert(Escapes.pgEscape("a'b") == "a\\x27b")
+    assert(Escapes.pgEscape("a\\b") == "a\\x5cb")
+    assert(Escapes.pgQuote("x") == "E'x'")
+  }
+
+  // --- F4 msSqlQuote --------------------------------------------------
+
+  test("msSqlQuote: plain ASCII stays a simple literal") {
+    assert(Escapes.msSqlQuote("hello") == "'hello'")
+    assert(Escapes.msSqlQuote("") == "''")
+  }
+
+  test("msSqlQuote: quote spliced as CHAR(39)") {
+    assert(Escapes.msSqlQuote("a'b") == "'a'+CHAR(39)+'b'")
+  }
+
+  test("msSqlQuote: newline spliced, non-ASCII becomes N'...' segment") {
+    assert(Escapes.msSqlQuote("a\nb") == "'a'+CHAR(10)+'b'")
+    assert(Escapes.msSqlQuote("héllo") == "N'héllo'")
+    assert(Escapes.msSqlQuote("abé") == "'ab'+N'é'")
+  }
+
+  test("msSqlQuote: leading splice has no leading +") {
+    assert(Escapes.msSqlQuote("'x") == "CHAR(39)+'x'")
+  }
+
+  // --- F5 hex ---------------------------------------------------------
+
+  test("hex literals") {
+    assert(Escapes.hexLower(bytes(0x00, 0xff, 0x1a)) == "00ff1a")
+    assert(Escapes.pgBinaryLiteral(bytes(0xab)) == "decode('ab','hex')")
+    assert(Escapes.msSqlBinaryLiteral(bytes(0xab)) == "convert(varbinary(max),'ab',2)")
+  }
+
+  // --- F6 csvField ----------------------------------------------------
+
+  test("csvField: quotes only when needed, doubles quotes") {
+    assert(Escapes.csvField("plain") == "plain")
+    assert(Escapes.csvField("a,b") == "\"a,b\"")
+    assert(Escapes.csvField("a\nb") == "\"a\nb\"")
+    assert(Escapes.csvField("a\"b") == "\"a\"\"b\"")
+    assert(Escapes.csvField("tab\there") == "tab\there") // tab does NOT trigger quoting
+  }
+
+  // --- F7 float canonicalization --------------------------------------
+
+  test("floatCanonical / doubleCanonical plain rendering") {
+    assert(Escapes.floatCanonical(1.5f) == "1.5")
+    assert(Escapes.doubleCanonical(0.1) == "0.1")
+    assert(Escapes.doubleCanonical(1e20) == "100000000000000000000")
+    assert(Escapes.doubleCanonical(1.5e-7) == "0.00000015")
+  }
+
+  // --- F8 fractTrim ----------------------------------------------------
+
+  test("fractTrim: trailing zeros stripped, single digit re-padded") {
+    assert(Escapes.fractTrim("12:00:00") == "12:00:00")
+    assert(Escapes.fractTrim("12:00:00.500") == "12:00:00.50")
+    assert(Escapes.fractTrim("12:00:00.120") == "12:00:00.12")
+    assert(Escapes.fractTrim("12:00:00.123") == "12:00:00.123")
+    // all-zero fraction keeps the bare dot — faithful to the reference
+    assert(Escapes.fractTrim("12:00:00.000") == "12:00:00.")
+  }
+
+  // --- F9 pgNulStrip ---------------------------------------------------
+
+  test("pgNulStrip removes NUL characters") {
+    assert(Escapes.pgNulStrip(s"a${NUL}b${NUL}") == "ab")
+  }
+}
