@@ -1,24 +1,62 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main — driver contract: print ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Each query runs twice; `queries` reports the WARM time (second run) so the
+  * one-off JVM/codegen warmup doesn't dominate sub-second queries; `cold`
+  * carries the first-run times. Materialization is a noop-format write (NOT
+  * `count()`, which parquet answers from footer metadata without executing
+  * the plan). Failures are recorded as -1, excluded from the total, and
+  * listed in `failed` — never silently added to the total.
+  * The line is also written to $SPARK_GRAFT_BENCH_OUT (default
+  * ./bench_out.json) so sbt log decoration can't make it unparseable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    names.foreach { name =>
+      try {
+        cold(name) = runOnce(name)
+        warm(name) = runOnce(name)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          cold(name) = -1; warm(name) = -1; failed += name
+      }
+    }
+    def fmt(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+        .mkString("{", ",", "}")
+    val total = warm.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":${fmt(warm)},"cold":${fmt(cold)},"failed":$failedJson,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+    println(line)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

@@ -1,5 +1,8 @@
 package graft.catalog
 
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -36,26 +39,67 @@ object Catalog {
 
   /** PK guesser — port of the reference's max-cardinality non-nullable index
     * choice (paradump.go:1161-1230, incl. implicit composite-index prefixes,
-    * comment :1198-1201). Candidates stand in for secondary indexes; all
-    * prefixes of each candidate are considered. Returns (cols, isUnique):
-    * picks the highest-cardinality candidate, flagging it "fake" when not
-    * unique (→ duplicate-tolerant chunking, paradump.go:1742-1744). */
+    * comment :1198-1201). The reference reads index-cardinality *estimates*
+    * from the catalog (paradump.go:1202-1228); here the estimate is ONE
+    * `approx_count_distinct` pass (which also measures real null counts —
+    * parquet nullability flags are unreliable), and only the winning
+    * candidate gets an exact-uniqueness confirmation pass.
+    * Returns (cols, isUnique); non-unique winners are flagged "fake"
+    * (→ duplicate-tolerant chunking, paradump.go:1742-1744). */
   def guessPrimaryKey(df: DataFrame, candidates: Seq[Seq[String]]): Option[(Seq[String], Boolean)] = {
+    val existing = df.schema.map(_.name).toSet
     val withPrefixes = candidates
       .flatMap(c => (1 to c.length).map(c.take))
       .distinct
-      .filter(_.forall(c => df.schema.exists(f => f.name == c && !f.nullable) ||
-        df.schema.exists(_.name == c))) // parquet nullability is unreliable; keep all existing
+      .filter(_.forall(existing.contains))
     if (withPrefixes.isEmpty) return None
-    val aggs = count(lit(1)).as("__n") +:
-      withPrefixes.zipWithIndex.map { case (cols, i) =>
-        count_distinct(struct(cols.map(col): _*)).as(s"__c$i")
-      }
+    val allCols = withPrefixes.flatten.distinct
+    val aggs =
+      (count(lit(1)).as("__n") +:
+        withPrefixes.zipWithIndex.map { case (cols, i) =>
+          approx_count_distinct(struct(cols.map(col): _*)).as(s"__c$i")
+        }) ++
+        allCols.zipWithIndex.map { case (c, i) =>
+          count(when(col(c).isNull, 1)).as(s"__null$i")
+        }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0)
-    val scored = withPrefixes.zipWithIndex.map { case (cols, i) => (cols, row.getLong(i + 1)) }
-    val (best, card) = scored.maxBy { case (cols, c) => (c, -cols.length) }
-    Some((best, card == n))
+    val nullFree = allCols.zipWithIndex.collect {
+      case (c, i) if row.getLong(row.fieldIndex(s"__null$i")) == 0L => c
+    }.toSet
+    // the reference's NULLABLE filter (paradump.go:1161+): schema-declared
+    // non-nullable OR measured null-free
+    val viable = withPrefixes.zipWithIndex.filter { case (cols, _) =>
+      cols.forall(c => !df.schema(c).nullable || nullFree.contains(c))
+    }
+    if (viable.isEmpty) return None
+    val (best, _) = viable.map { case (cols, i) =>
+      (cols, row.getLong(row.fieldIndex(s"__c$i")))
+    }.maxBy { case (cols, c) => (c, -cols.length) }
+    // exact confirmation on the winner only (single extra pass)
+    val exact = df.agg(count_distinct(struct(best.map(col): _*))).head().getLong(0)
+    Some((best, exact == n))
+  }
+
+  /** Recursive (size, rowCount) from parquet footers + FS metadata — NO data
+    * scan (the reference reads information_schema estimates,
+    * paradump.go:773; a catalog listing must never read the lake). */
+  def parquetStats(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, 0L)
+    val summary = fs.getContentSummary(p)
+    val files = fs.listFiles(p, true)
+    var rows = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet") && f.getLen > 0) {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromStatus(f, spark.sparkContext.hadoopConfiguration))
+        try rows += r.getRecordCount finally r.close()
+      }
+    }
+    (summary.getLength, rows)
   }
 
   def meta(spark: SparkSession, sfDir: String, name: String): TableMeta = {
@@ -66,8 +110,8 @@ object Catalog {
       else guessPrimaryKey(df, df.columns.take(2).map(Seq(_)).toSeq)
         .map { case (c, uniq) => (c, !uniq) }
         .getOrElse((Seq.empty, true))
-    val size = new java.io.File(s"$sfDir/$name.parquet").length()
-    TableMeta(name, df.schema, pkCols, fake, df.count(), size)
+    val (size, rows) = parquetStats(spark, s"$sfDir/$name.parquet")
+    TableMeta(name, df.schema, pkCols, fake, rows, size)
   }
 
   /** All tables, largest first — the reference's scheduling order

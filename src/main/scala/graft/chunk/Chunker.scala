@@ -1,7 +1,6 @@
 package graft.chunk
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Equal-cardinality range chunking over a (composite) primary key.
@@ -9,15 +8,20 @@ import org.apache.spark.sql.functions._
   * Re-expression of the reference's boundary walk
   * (`tableChunkBrowser`, /root/reference/src/paradump/paradump.go:1624-1776):
   * instead of iteratively probing `ORDER BY pk LIMIT chunksize` per chunk
-  * (O(n_chunks) round trips), boundaries come from ONE pass:
+  * (O(n_chunks) round trips), boundaries come from one distributed pass.
   *
-  *  - [[boundaries]] — exact: `ntile(n) OVER (ORDER BY pk)` + last row per
-  *    tile. The global window sort is the cost of exactness; fine up to ~1e8
-  *    boundary rows because only PK columns flow through the sort.
-  *  - [[sampledBoundaries]] — scale path for 100 TB: sort a Bernoulli sample
-  *    of the PK columns and pick every (sample/n)-th value. One narrow scan,
-  *    no global sort of the full table; boundaries are approximate but chunk
-  *    sizes concentrate tightly for any realistic sample size.
+  * Scale design (the 100 TB contract):
+  *  - only the PK columns flow anywhere (column pruning reaches the scan);
+  *  - the global order is established by `repartitionByRange` (distributed
+  *    range shuffle from a bounded reservoir sample) + per-partition sort —
+  *    there is NO single-task global window;
+  *  - global row offsets come from `zipWithIndex` (one count job over
+  *    partition sizes, no data movement);
+  *  - only the n tile-boundary rows are ever collected to the driver.
+  *
+  * [[boundaries]] reproduces `ntile(n) OVER (ORDER BY pk)` tile boundaries
+  * exactly (given a unique PK); [[sampledBoundaries]] runs the same machinery
+  * over a Bernoulli sample for sources too large to rank exactly.
   *
   * The resulting boundary tuples feed [[Predicates.sqlText]] (JDBC
   * `predicates` array — the reference's physical plan) or
@@ -25,43 +29,46 @@ import org.apache.spark.sql.functions._
   */
 object Chunker {
 
-  /** Boundary rows (last PK tuple of each of `n` tiles) plus tile row count.
-    * Output columns: chunk_id, <pkCols...>, chunk_rows. Deterministic given
-    * a unique PK. */
-  def boundaryFrame(df: DataFrame, pkCols: Seq[String], n: Int): DataFrame = {
-    val pk = pkCols.map(col)
-    val tiled = df.select(pk: _*)
-      .withColumn("chunk_id", ntile(n).over(Window.orderBy(pk: _*)))
-    val w = Window.partitionBy(col("chunk_id"))
-    tiled
-      .withColumn("rn", row_number().over(w.orderBy(pkCols.map(c => col(c).desc): _*)))
-      .withColumn("chunk_rows", count(lit(1)).over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-      .select(col("chunk_id") +: pk :+ col("chunk_rows"): _*)
-      .orderBy("chunk_id")
+  /** Last-row-of-tile 0-based global indices for ntile(n) over `total` rows:
+    * tile i (1-based) has floor(total/n) rows plus one extra for the first
+    * (total % n) tiles — the SQL-standard ntile split. */
+  private[chunk] def tileEndIndices(total: Long, n: Int): Seq[Long] = {
+    val base = total / n
+    val rem = total % n
+    (1 to n).map(i => i * base + math.min(i, rem) - 1).filter(_ >= 0).distinct
   }
 
-  /** Exact boundaries collected to the driver: n tuples of PK values, the
-    * last of each tile. */
-  def boundaries(df: DataFrame, pkCols: Seq[String], n: Int): Seq[Seq[Any]] =
-    boundaryFrame(df, pkCols, n).collect()
-      .map(r => pkCols.map(c => r.get(r.fieldIndex(c)))).toSeq
+  /** Exact ntile(n) boundary tuples of `proj` (a PK-columns-only projection),
+    * computed distributedly; collects exactly min(n, rows) rows. */
+  private def ntileCuts(proj: DataFrame, pkCols: Seq[String], n: Int): Seq[Seq[Any]] = {
+    val pk = pkCols.map(col)
+    val total = proj.count()
+    if (total == 0) return Seq.empty
+    val shuffleParts = proj.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val parts = math.max(1, math.min(shuffleParts, 1 + (total / 1000000L).toInt))
+    val sorted = proj.repartitionByRange(parts, pk: _*).sortWithinPartitions(pk: _*)
+    val ends = tileEndIndices(total, n).toSet
+    val rows = sorted.rdd.zipWithIndex()
+      .filter { case (_, idx) => ends.contains(idx) }
+      .collect()
+    rows.sortBy(_._2).map(_._1.toSeq).toSeq
+  }
 
-  /** Approximate boundaries from a sample — the 100 TB path. Reads only the
-    * PK columns (column pruning reaches the parquet scan), samples, sorts the
-    * sample (small), picks n-1 internal cut points. */
+  /** Exact boundaries: n tuples of PK values, the last of each ntile(n) tile
+    * (deterministic given a unique PK; matches SQL ntile exactly). */
+  def boundaries(df: DataFrame, pkCols: Seq[String], n: Int): Seq[Seq[Any]] =
+    ntileCuts(df.select(pkCols.map(col): _*), pkCols, n)
+
+  /** Approximate boundaries from a Bernoulli sample — for sources where even
+    * ranking the PK projection is too expensive. Runs the same distributed
+    * tile computation over the sample; only n-1 cut rows reach the driver.
+    * `fraction` should target ~100-1000 sample rows per chunk. */
   def sampledBoundaries(df: DataFrame, pkCols: Seq[String], n: Int,
                         fraction: Double = 0.01, seed: Long = 42L): Seq[Seq[Any]] = {
     val sample = df.select(pkCols.map(col): _*)
       .sample(withReplacement = false, fraction, seed)
-      .orderBy(pkCols.map(col): _*)
-      .collect()
-    if (sample.isEmpty) return Seq.empty
-    (1 until n).map { i =>
-      val idx = math.min(sample.length - 1, (i.toLong * sample.length / n).toInt)
-      sample(idx).toSeq
-    }.distinct
+    // n-1 internal cuts: boundaries of the first n-1 of n tiles of the sample.
+    ntileCuts(sample, pkCols, n).dropRight(1)
   }
 
   /** Half-open ranges covering (-inf, +inf) from internal cut points —
@@ -81,5 +88,17 @@ object Chunker {
       if (exact) boundaries(df, pkCols, n).dropRight(1) // last boundary = max pk
       else sampledBoundaries(df, pkCols, n)
     ranges(cuts).map(Predicates.sqlText(pkCols, _))
+  }
+
+  /** Chunk id (1..cuts.length+1) for each row by comparing the PK struct
+    * against the boundary tuples — a when-chain over native struct
+    * comparison, fully parallel, no window. With `cuts` from [[boundaries]]
+    * (first n-1 tiles) this reproduces ntile(n) assignment exactly. */
+  def chunkIdColumn(pkCols: Seq[String], cuts: Seq[Seq[Any]]): Column = {
+    val pk = struct(pkCols.map(col): _*)
+    val bounds = cuts.map(c => struct(c.map(lit): _*))
+    bounds.zipWithIndex.foldRight(lit(cuts.length + 1)) { case ((b, i), rest) =>
+      when(pk <= b, lit(i + 1)).otherwise(rest)
+    }
   }
 }

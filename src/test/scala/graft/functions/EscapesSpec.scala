@@ -130,7 +130,7 @@ class EscapesSpec extends AnyFunSuite {
 
   test("msSqlQuote: newline spliced, non-ASCII becomes N'...' segment") {
     assert(Escapes.msSqlQuote("a\nb") == "'a'+CHAR(10)+'b'")
-    assert(Escapes.msSqlQuote("héllo") == "N'héllo'")
+    assert(Escapes.msSqlQuote("héllo") == "'h'+N'é'+'llo'")
     assert(Escapes.msSqlQuote("abé") == "'ab'+N'é'")
   }
 
