@@ -49,12 +49,113 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Chunker end-to-end (signature operator O2, paradump.go:1624-1776):
+  // chunk_coverage proves the distributed boundary computation reproduces
+  // ntile(n) exactly; chunk_predicate_equiv proves the generated predicate
+  // SQL strings partition the table (union of chunk filters == table).
+  // ---------------------------------------------------------------------
+  private val liPk = Seq("l_orderkey", "l_linenumber")
+
+  /** orders(o_orderkey) is a true unique key, so exact boundaries reproduce
+    * ntile(8) verbatim. lineitem's declared composite key is intentionally
+    * NON-unique in the fixtures — the fake-PK scenario (P6) — so it's covered
+    * by chunk_predicate_equiv below (range predicates keep duplicate keys
+    * together; a per-tile count oracle needs a total order). */
+  def chunkCoverage(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "orders")
+    val pk = Seq("o_orderkey")
+    val cuts = graft.chunk.Chunker.boundaries(df, pk, 8).dropRight(1)
+    df.select(graft.chunk.Chunker.chunkIdColumn(pk, cuts).cast("long").as("chunk_id"))
+      .groupBy("chunk_id").agg(count(lit(1)).as("chunk_rows"))
+      .orderBy("chunk_id")
+  }
+
+  val chunkCoverageSql: String =
+    """SELECT CAST(chunk_id AS BIGINT) AS chunk_id, COUNT(*) AS chunk_rows
+      |FROM (SELECT ntile(8) OVER (ORDER BY o_orderkey) AS chunk_id
+      |      FROM orders) tiles
+      |GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
+  def chunkPredicateEquiv(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "lineitem")
+    val preds = graft.chunk.Chunker.predicates(df, liPk, 8)
+    preds.map(p => df.filter(expr(p))).reduce(_ unionAll _)
+  }
+
+  val chunkPredicateEquivSql: String = "SELECT * FROM lineitem"
+
+  // ---------------------------------------------------------------------
+  // SQL-dump rendering (S7+F10) — the reference's reason to exist. The
+  // golden-diff configuration (`-insertsize 1 --dumpinsert simple`,
+  // test/run_test.sh:267-313) transplanted: every row becomes one INSERT
+  // line, hash-compared against DuckDB re-rendering the same line.
+  // ---------------------------------------------------------------------
+  def dumpSqlNation(s: SparkSession, dir: String): DataFrame =
+    graft.operators.InsertGen.insertLines(t(s, dir, "nation"), "nation")
+
+  val dumpSqlNationSql: String =
+    """SELECT 'INSERT INTO nation VALUES (' || CAST(n_nationkey AS VARCHAR)
+      |  || ',''' || replace(replace(n_name, '\', '\\'), '''', '\''')
+      |  || ''',' || CAST(n_regionkey AS VARCHAR) || ');' AS line
+      |FROM nation""".stripMargin
+
+  def dumpSqlLineitem(s: SparkSession, dir: String): DataFrame =
+    graft.operators.InsertGen.insertLines(t(s, dir, "lineitem"), "lineitem")
+
+  val dumpSqlLineitemSql: String =
+    """SELECT 'INSERT INTO lineitem VALUES ('
+      |  || CAST(l_orderkey AS VARCHAR) || ','
+      |  || CAST(l_partkey AS VARCHAR) || ','
+      |  || CAST(l_suppkey AS VARCHAR) || ','
+      |  || CAST(l_linenumber AS VARCHAR) || ','
+      |  || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) || ','
+      |  || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || ','
+      |  || CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR) || ','
+      |  || CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR) || ','
+      |  || '''' || replace(replace(l_returnflag, '\', '\\'), '''', '\''') || ''','
+      |  || '''' || replace(replace(l_linestatus, '\', '\\'), '''', '\''') || ''','
+      |  || '''' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || ''');' AS line
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // CSV rendering (S8+F6) — tests 115-117 pattern (run_test.sh:621-698).
+  // ---------------------------------------------------------------------
+  def csvLineitem(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CsvGen.csvLines(t(s, dir, "lineitem"))
+
+  val csvLineitemSql: String =
+    """SELECT CAST(l_orderkey AS VARCHAR) || ','
+      |  || CAST(l_partkey AS VARCHAR) || ','
+      |  || CAST(l_suppkey AS VARCHAR) || ','
+      |  || CAST(l_linenumber AS VARCHAR) || ','
+      |  || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) || ','
+      |  || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || ','
+      |  || CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR) || ','
+      |  || CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR) || ','
+      |  || CASE WHEN regexp_matches(l_returnflag, '[\n",]')
+      |       THEN '"' || replace(l_returnflag, '"', '""') || '"' ELSE l_returnflag END || ','
+      |  || CASE WHEN regexp_matches(l_linestatus, '[\n",]')
+      |       THEN '"' || replace(l_linestatus, '"', '""') || '"' ELSE l_linestatus END || ','
+      |  || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS line
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q1_agg" -> (q1Agg _),
+    "chunk_coverage" -> (chunkCoverage _),
+    "chunk_predicate_equiv" -> (chunkPredicateEquiv _),
+    "dump_sql_nation" -> (dumpSqlNation _),
+    "dump_sql_lineitem" -> (dumpSqlLineitem _),
+    "csv_lineitem" -> (csvLineitem _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
+    "q1_agg" -> q1AggSql,
+    "chunk_coverage" -> chunkCoverageSql,
+    "chunk_predicate_equiv" -> chunkPredicateEquivSql,
+    "dump_sql_nation" -> dumpSqlNationSql,
+    "dump_sql_lineitem" -> dumpSqlLineitemSql,
+    "csv_lineitem" -> csvLineitemSql
   )
 }

@@ -25,6 +25,12 @@ object Catalog {
     * no key metadata — the analogue of information_schema PK discovery,
     * paradump.go:821). `events`/`documents`/`embeddings` keys exercise the
     * simple-numeric path; `lineitem` the composite path. */
+  /** Keys declared non-unique in the fixtures — the reference's fake-PK flag
+    * (paradump.go:746): chunking must tolerate duplicates (ranges keep equal
+    * keys together; see Chunker). lineitem's composite key is measured
+    * non-unique in the driver-generated data. */
+  val fakePks: Set[String] = Set("lineitem")
+
   val declaredPks: Map[String, Seq[String]] = Map(
     "lineitem" -> Seq("l_orderkey", "l_linenumber"),
     "orders" -> Seq("o_orderkey"),
@@ -106,7 +112,7 @@ object Catalog {
     val df = Tables.load(spark, sfDir, name)
     val pk = declaredPks.getOrElse(name, Seq.empty)
     val (pkCols, fake) =
-      if (pk.nonEmpty) (pk, false)
+      if (pk.nonEmpty) (pk, fakePks.contains(name))
       else guessPrimaryKey(df, df.columns.take(2).map(Seq(_)).toSeq)
         .map { case (c, uniq) => (c, !uniq) }
         .getOrElse((Seq.empty, true))

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** F6/S8 — CSV text rendering as codegen'd column expressions (reference
+  * `dataChunkGeneratorCsv`, /root/reference/src/paradump/paradump.go:3059-3171
+  * and the quote table :2217-2258).
+  *
+  * Semantics ported:
+  *  - quote a field only when it contains `\n`, `"` or `,`; double `"`
+  *    (paradump.go:3137-3139);
+  *  - NULL in a quotable (string/date-kind) column → `\N`; NULL in any other
+  *    column → empty string (paradump.go:3103,3133-3135 vs :3114,3150);
+  *  - fractional seconds trimmed (F8) — here timestamps render to seconds
+  *    precision and doubles canonicalize through DECIMAL for cross-engine
+  *    determinism (file-sink fidelity lives in graft.functions.Escapes).
+  */
+object CsvGen {
+
+  /** Quote-if-needed on an already-stringified column. */
+  def csvFieldCol(c: Column): Column =
+    when(c.rlike("[\n\",]"),
+      concat(lit("\""), replace(c, lit("\""), lit("\"\"")), lit("\"")))
+      .otherwise(c)
+
+  /** Render one field per the reference's CSV rules (NULL-safe). */
+  def csvCell(f: StructField): Column = {
+    val c = col(f.name)
+    f.dataType match {
+      case StringType =>
+        coalesce(csvFieldCol(c), lit("\\N"))
+      case TimestampType | TimestampNTZType =>
+        coalesce(date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("\\N"))
+      case DateType =>
+        coalesce(date_format(c, "yyyy-MM-dd"), lit("\\N"))
+      case DoubleType | FloatType =>
+        coalesce(c.cast(DecimalType(18, 2)).cast(StringType), lit(""))
+      case BinaryType =>
+        coalesce(lower(hex(c)), lit(""))
+      case _ =>
+        coalesce(c.cast(StringType), lit(""))
+    }
+  }
+
+  /** One CSV line per row — single `line` column. */
+  def csvLines(df: DataFrame): DataFrame =
+    df.select(concat_ws(",", df.schema.fields.map(csvCell).toSeq: _*).as("line"))
+
+  /** Header line = bare column list (reference paradump.go:1784-1786). */
+  def header(df: DataFrame): String = df.columns.mkString(",")
+}

@@ -1,0 +1,51 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S8 — CSV file sink (reference `tableFileWriter` with `dumpmode=csv`,
+  * /root/reference/src/paradump/paradump.go:3196-3420; cell rules
+  * :3059-3171).
+  *
+  * Near-total built-in coverage (`df.write.csv`); the ported quirks:
+  *  - NULL in a quotable (string/date-kind) column → `\N`
+  *    (paradump.go:3103,3133-3135);
+  *  - NULL in a non-quotable column → empty string (paradump.go:3114,3150) —
+  *    replicated by pre-stringifying non-quotable columns with
+  *    `coalesce(..., '')` so the writer's nullValue only ever sees quotable
+  *    NULLs;
+  *  - RFC-style `""` doubling instead of univocity's default backslash
+  *    escape; quote only when needed (Spark default);
+  *  - empty strings written bare, not `""` (emptyValue option).
+  */
+object CsvSink {
+
+  private def quotable(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  def write(df: DataFrame, outDir: String, header: Boolean = false,
+            compression: Option[String] = None): Unit = {
+    val prepped = df.select(df.schema.fields.map { f =>
+      if (quotable(f.dataType)) col(f.name)
+      else coalesce(col(f.name).cast(StringType), lit("")).as(f.name)
+    }.toSeq: _*)
+    val writer = prepped.write.mode("overwrite")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
+      .option("escape", "\"") // '""' doubling, not backslash escapes
+      .option("header", header.toString)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    compression.foreach(c => writer.option("compression", c))
+    writer.csv(outDir)
+  }
+}
+
+/** S10 — null sink (reference `dataChunkGeneratorNul`, paradump.go:3174-3185):
+  * fully materializes every row, writes nothing — read-throughput measuring. */
+object NoopSink {
+  def drain(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+}

@@ -1,0 +1,87 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Encoders}
+import graft.operators.InsertGen
+
+/** S7 — SQL-dump file sink (reference `tableFileWriter`,
+  * /root/reference/src/paradump/paradump.go:3196-3420).
+  *
+  * Spark-first shape: the INSERT text is rendered distributedly
+  * ([[InsertGen.insertStatements]], codegen'd tuple rendering + per-partition
+  * `insertSize` batching) and written with the built-in text datasource —
+  * one file per partition, exactly the reference's one-file-per-writer-thread
+  * layout. The reference's LRU of open file handles (paradump.go:3188-3193)
+  * dissolves: Spark's committer owns file lifecycle. Compression via the
+  * standard codec option (zstd/gzip ≈ paradump's zstd encoder :3299).
+  *
+  * File naming re-applies the reference's `%d %t %p %m %z` template
+  * (paradump.go:3209-3215) by renaming the committed part files — a
+  * metadata-only driver operation.
+  */
+object SqlDumpSink {
+
+  /** `%d` db, `%t` table, `%p` partition, `%m` mode, `%z` compression suffix,
+    * `%%` literal percent — paradump.go:3209-3215. */
+  def fileName(tmpl: String, db: String, table: String, part: Int,
+               mode: String, z: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < tmpl.length) {
+      val c = tmpl.charAt(i)
+      if (c == '%' && i + 1 < tmpl.length) {
+        tmpl.charAt(i + 1) match {
+          case 'd' => b ++= db
+          case 't' => b ++= table
+          case 'p' => b ++= f"$part%06d"
+          case 'm' => b ++= mode
+          case 'z' => b ++= z
+          case '%' => b += '%'
+          case o   => b += '%'; b += o
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** Dump header lines (paradump.go:1779-1787), written at the start of every
+    * file — the same session-normalization the synchronized source sets
+    * (SET NAMES / TIME_ZONE, paradump.go:170,177). */
+  val sqlHeader: Seq[String] =
+    Seq("SET NAMES utf8mb4;", "SET TIME_ZONE='+00:00';")
+
+  /** Write `df` as SQL-dump files under `outDir`.
+    * Returns the final file paths (template-renamed). */
+  def write(df: DataFrame, db: String, table: String, outDir: String,
+            insertSize: Int = 500, withColumnList: Boolean = false,
+            header: Boolean = true,
+            fileTemplate: String = "%d_%t_%p.%m%z",
+            compression: Option[String] = None): Seq[String] = {
+    val stmts = InsertGen.insertStatements(df, table, insertSize, withColumnList)
+    val withHeader =
+      if (header) {
+        val hdr = sqlHeader
+        stmts.mapPartitions { it =>
+          if (it.hasNext) hdr.iterator ++ it else it
+        }(Encoders.STRING)
+      } else stmts
+    val writer = withHeader.write.mode("overwrite")
+    compression.foreach(c => writer.option("compression", c))
+    writer.text(outDir)
+
+    // template rename (driver-side metadata ops only)
+    val spark = df.sparkSession
+    val dir = new Path(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    val zSuffix = compression.map("." + _).getOrElse("")
+    parts.zipWithIndex.map { case (p, i) =>
+      val target = new Path(dir, fileName(fileTemplate, db, table, i, "sql", zSuffix))
+      fs.rename(p, target)
+      target.toString
+    }.toSeq
+  }
+}

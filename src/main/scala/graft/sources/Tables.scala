@@ -20,6 +20,14 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** events with its TIMESTAMP(NANOS) column (read as Long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong) converted to TimestampType.
+    * Integer division — a double intermediate would lose precision above
+    * 2^53 epoch-nanos. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
   /** Substring-exclusion table filter — reference paradump.go:1356-1366
     * (`strings.Index(db+"."+tb, pat) > 0`). */
   def listTables(exclude: Seq[String] = Nil): Seq[String] =

@@ -1,0 +1,45 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class CatalogSpec extends AnyFunSuite with SparkSuite {
+
+  test("parquetStats reads row counts from footers without scanning") {
+    val (size, rows) = Catalog.parquetStats(spark, "/root/testdata/sf0.001/nation.parquet")
+    assert(rows == 25)
+    assert(size > 100) // real byte size, not a directory-entry size
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    assert(rows == df.count())
+  }
+
+  test("meta: declared PKs, fake-PK flag, footer-backed stats") {
+    val m = Catalog.meta(spark, "/root/testdata/sf0.001", "lineitem")
+    assert(m.pkCols == Seq("l_orderkey", "l_linenumber"))
+    assert(m.fakePrimaryKey) // measured non-unique in the fixtures
+    assert(m.rowCount > 5000 && m.sizeBytes > 10000)
+    val o = Catalog.meta(spark, "/root/testdata/sf0.001", "orders")
+    assert(!o.fakePrimaryKey)
+  }
+
+  test("guessPrimaryKey picks the unique candidate and confirms exactly") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    // o_orderkey unique; o_custkey not
+    val got = Catalog.guessPrimaryKey(df, Seq(Seq("o_custkey"), Seq("o_orderkey")))
+    assert(got.contains((Seq("o_orderkey"), true)))
+  }
+
+  test("guessPrimaryKey flags a non-unique winner as fake") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val got = Catalog.guessPrimaryKey(df, Seq(Seq("l_orderkey", "l_linenumber")))
+    assert(got.isDefined)
+    val (cols, unique) = got.get
+    assert(cols.nonEmpty && !unique)
+  }
+
+  test("listMeta is largest-first") {
+    val metas = Catalog.listMeta(spark, "/root/testdata/sf0.001")
+    assert(metas.map(_.sizeBytes) == metas.map(_.sizeBytes).sortBy(-(_: Long)))
+    assert(metas.map(_.name).contains("lineitem"))
+  }
+}

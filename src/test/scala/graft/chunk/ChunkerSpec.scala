@@ -1,0 +1,57 @@
+package graft.chunk
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class ChunkerSpec extends AnyFunSuite with SparkSuite {
+
+  test("tileEndIndices matches SQL ntile split") {
+    // 10 rows / 4 tiles: sizes 3,3,2,2 -> 0-based end indices 2,5,7,9
+    assert(Chunker.tileEndIndices(10, 4) == Seq(2L, 5L, 7L, 9L))
+    // 8/4: even split
+    assert(Chunker.tileEndIndices(8, 4) == Seq(1L, 3L, 5L, 7L))
+    // fewer rows than tiles: every row is a boundary
+    assert(Chunker.tileEndIndices(3, 8) == Seq(0L, 1L, 2L))
+    assert(Chunker.tileEndIndices(0, 4).isEmpty)
+  }
+
+  test("boundaries reproduce ntile exactly on a unique key") {
+    import spark.implicits._
+    val df = spark.range(1, 101).select((col("id") * 7 % 101).as("k")) // permuted 1..100
+    val bs = Chunker.boundaries(df, Seq("k"), 4)
+    // ntile(4) over 100 rows: tiles of 25 -> boundary ks are the 25/50/75/100th
+    val sortedK = df.orderBy("k").as[Long].collect()
+    assert(bs.map(_.head) == Seq(sortedK(24), sortedK(49), sortedK(74), sortedK(99)))
+  }
+
+  test("predicates cover the table exactly once (composite, with duplicates)") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val pk = Seq("l_orderkey", "l_linenumber")
+    val preds = Chunker.predicates(df, pk, 5)
+    assert(preds.length == 5)
+    val total = df.count()
+    val sum = preds.map(p => df.filter(expr(p)).count()).sum
+    assert(sum == total) // no row lost, none double-counted
+  }
+
+  test("chunkIdColumn agrees with ntile assignment on a unique key") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val cuts = Chunker.boundaries(df, Seq("o_orderkey"), 4).dropRight(1)
+    val mine = df.select(
+      Chunker.chunkIdColumn(Seq("o_orderkey"), cuts).as("c"))
+      .groupBy("c").count().orderBy("c").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val ntiles = df.select(ntile(4).over(Window.orderBy("o_orderkey")).as("c"))
+      .groupBy("c").count().orderBy("c").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(mine.toSeq == ntiles.toSeq)
+  }
+
+  test("sampledBoundaries returns at most n-1 sorted cut tuples") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val cuts = Chunker.sampledBoundaries(df, Seq("l_orderkey", "l_linenumber"), 4, fraction = 0.5)
+    assert(cuts.length <= 3)
+    val asTuples = cuts.map(c => (c(0).asInstanceOf[Long], c(1).asInstanceOf[Int]))
+    assert(asTuples == asTuples.sorted)
+  }
+}

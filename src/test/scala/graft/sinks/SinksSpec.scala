@@ -1,0 +1,58 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class SinksSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("fileName template expansion (%d %t %p %m %z %%)") {
+    assert(SqlDumpSink.fileName("%d_%t_%p.%m%z", "db", "tab", 3, "sql", ".zst")
+      == "db_tab_000003.sql.zst")
+    assert(SqlDumpSink.fileName("100%%_%t", "db", "tab", 0, "sql", "") == "100%_tab")
+  }
+
+  test("SqlDumpSink writes template-named files with header + batched INSERTs") {
+    val dir = tmpDir("sqldump")
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .coalesce(2)
+    val files = SqlDumpSink.write(df, "tpch", "nation", dir, insertSize = 4)
+    assert(files.nonEmpty && files.forall(_.contains("tpch_nation_")))
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    val headers = lines.filter(_.startsWith("SET "))
+    val inserts = lines.filter(_.startsWith("INSERT INTO nation VALUES "))
+    assert(headers.length == files.length * 2) // two header lines per file
+    // every batch holds <= 4 tuples; tuples total == row count
+    val tupleCount = inserts.map(l => l.count(_ == '(') ).sum
+    assert(tupleCount == 25)
+    assert(inserts.forall(l => l.count(_ == '(') <= 4 && l.endsWith(";")))
+  }
+
+  test("CsvSink: NULL is \\N in quotable cols, empty in numeric; quote doubling") {
+    val dir = tmpDir("csvsink")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      StructField("n", LongType)))
+    val rows = Seq(
+      Row(1L, null, null),
+      Row(2L, "plain", 5L),
+      Row(3L, "a\"b,c", 6L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    CsvSink.write(df, dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(lines(0) == "1,\\N,")
+    assert(lines(1) == "2,plain,5")
+    assert(lines(2) == "3,\"a\"\"b,c\",6")
+  }
+
+  test("NoopSink drains without error") {
+    NoopSink.drain(graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "region"))
+  }
+}
