@@ -140,6 +140,91 @@ object Queries {
       |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------------
+  // LLM-data-pipeline: text analysis + dedup over `documents`.
+  // ---------------------------------------------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.dedupExact(t(s, dir, "documents"))
+
+  val dedupExactSql: String =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_cnt
+      |FROM documents GROUP BY text""".stripMargin
+
+  private val stopList = graft.operators.TextOps.stopwords.map("'" + _ + "'").mkString(", ")
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.textStats(t(s, dir, "documents"))
+
+  val textStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+       |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stop_cnt,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |    / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS stop_ratio,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct_cnt
+       |FROM documents""".stripMargin
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.langId(t(s, dir, "documents"))
+
+  val langIdSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |         >= CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) * 0.05
+       |       THEN 'en' ELSE 'unk' END AS lang_pred
+       |FROM documents""".stripMargin
+
+  /** xxhash64 fingerprint — Spark-specific hash, no SQL oracle (rows-only). */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.fingerprint(t(s, dir, "documents"))
+
+  // ---------------------------------------------------------------------
+  // LLM-data-pipeline: near-dup + similarity search.
+  // ---------------------------------------------------------------------
+
+  /** documents plus a deterministic near-duplicate of each (first ~80% of
+    * words, doc_id + 1_000_000) — guarantees planted near-dup pairs so the
+    * LSH/SimHash operators demonstrably fire on the synthetic corpus. */
+  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) * lit(8) / lit(10)).cast("int"), lit(3))
+    val mutated = docs.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), keep)).as("text"))
+    docs.unionAll(mutated)
+  }
+
+  /** MinHash-LSH candidates -> exact-Jaccard verify (rows-only: the hash
+    * family is engine-specific; recall is asserted in NearDupSpec). */
+  def nearDupMinhash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.nearDupPairs(docsWithPlantedDups(s, dir), threshold = 0.5)
+
+  /** SimHash pairs within Hamming distance 8 (rows-only). */
+  def nearDupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.simhashPairs(docsWithPlantedDups(s, dir), maxDist = 8)
+
+  def annTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.bruteForceTopK(
+      t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
+
+  val annTopkSql: String =
+    """SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) AS rank
+      |  FROM embeddings q, embeddings n
+      |  WHERE q.vec_id < 5 AND n.vec_id != q.vec_id) ranked
+      |WHERE rank <= 5""".stripMargin
+
+  /** Multi-table hyperplane-LSH approximate ANN (rows-only; recall vs brute
+    * force is asserted in SimilaritySpec). */
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.lshTopK(
+      t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -147,7 +232,15 @@ object Queries {
     "chunk_predicate_equiv" -> (chunkPredicateEquiv _),
     "dump_sql_nation" -> (dumpSqlNation _),
     "dump_sql_lineitem" -> (dumpSqlLineitem _),
-    "csv_lineitem" -> (csvLineitem _)
+    "csv_lineitem" -> (csvLineitem _),
+    "dedup_exact" -> (dedupExact _),
+    "text_stats" -> (textStats _),
+    "lang_id" -> (langId _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "near_dup_minhash" -> (nearDupMinhash _),
+    "near_dup_simhash" -> (nearDupSimhash _),
+    "ann_topk" -> (annTopk _),
+    "ann_lsh" -> (annLsh _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -156,6 +249,10 @@ object Queries {
     "chunk_predicate_equiv" -> chunkPredicateEquivSql,
     "dump_sql_nation" -> dumpSqlNationSql,
     "dump_sql_lineitem" -> dumpSqlLineitemSql,
-    "csv_lineitem" -> csvLineitemSql
+    "csv_lineitem" -> csvLineitemSql,
+    "dedup_exact" -> dedupExactSql,
+    "text_stats" -> textStatsSql,
+    "lang_id" -> langIdSql,
+    "ann_topk" -> annTopkSql
   )
 }

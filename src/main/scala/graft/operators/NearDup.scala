@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: MinHash + banded
+  * LSH, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale contract (100 TB): candidate generation is ALWAYS a bucket
+  * equi-join on band hashes — never an all-pairs product. Documents shuffle
+  * as (doc_id, fixed-width hash) pairs; bodies are joined back only for the
+  * candidate set. Everything below is Catalyst expressions (codegen); the
+  * hash family is xxhash64 seeded by position, so results are deterministic
+  * across runs and partitionings.
+  */
+object NearDup {
+
+  /** Word k-shingles of `text` (empty array when the doc is shorter than k). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - lit(k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array())
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64 over the shingle set. NULL-free: empty shingle sets
+    * hash the empty string. */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = shingles(text, k)
+    val safe = when(size(sh) > 0, sh).otherwise(array(lit("")))
+    array((0 until numHashes).map { h =>
+      array_min(transform(safe, s => xxhash64(lit(h), s)))
+    }: _*)
+  }
+
+  /** (band_id, band_hash) pairs: `bands` groups of `rowsPerBand` signature
+    * slots hashed together — the LSH bucketing keys. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+          sig.getItem(b * rowsPerBand + r))): _*).as("band_hash"))
+    }: _*)
+
+  /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands.
+    * `maxBucketSize` guards against degenerate buckets (e.g. boilerplate
+    * shingles): buckets larger than it are dropped — a documented cap, the
+    * standard skew guard for LSH joins. */
+  def candidatePairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+                     bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sig = minhashSignature(col("text"), k, numHashes)
+    val banded = docs
+      .select(col("doc_id"), explode(bandHashes(sig, bands, numHashes / bands)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+    val bucketSizes = banded.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+    val bounded = banded.join(
+      bucketSizes.filter(col("bucket_n") <= maxBucketSize),
+      Seq("band_id", "band_hash"))
+    val l = bounded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = bounded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact shingle-Jaccard for given (doc_a, doc_b) pairs — the verification
+    * stage, run only on the candidate set. */
+  def withJaccard(pairs: DataFrame, docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), k)).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double"))
+          .otherwise(lit(0d)))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold. */
+  def nearDupPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+                   bands: Int = 8, threshold: Double = 0.6): DataFrame =
+    withJaccard(candidatePairs(docs, k, numHashes, bands), docs, k)
+      .filter(col("jaccard") >= threshold)
+
+  // --- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over the word set: per bit, sum +/-1 weighted by each
+    * token hash's bit, take the sign. Pure expressions (codegen). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    val bitsAtPos = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(call_function("shiftrightunsigned", h, b).bitwiseAND(lit(1L)) =!= 0L, 1L)
+          .otherwise(-1L)) > 0L,
+        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+    // assemble bitwise (acc*2 would signed-overflow on bit 63)
+    aggregate(bitsAtPos, lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, using the
+    * pigeonhole banding trick: split the 64-bit hash into (maxDist+1)
+    * chunks — any pair within maxDist must agree on at least one chunk, so
+    * candidate generation is an equi-join on (chunk_id, chunk_value). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val h = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val banded = h.select(col("doc_id"), col("sh"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk_id"),
+          shiftrightunsigned(col("sh"), c * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.chunk_id"), col("c.chunk_val"))
+    val l = banded.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk_id", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming").distinct()
+  }
+}

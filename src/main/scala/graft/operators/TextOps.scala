@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the `documents`
+  * table: exact deduplication, quality/statistics scoring, tokenization
+  * counts, and a language-ID heuristic.
+  *
+  * All of these are pure Catalyst column expressions (whole-stage codegen,
+  * no UDFs); the groupBy paths shuffle fixed-width digests, never document
+  * bodies — the property that keeps them viable at 100 TB.
+  */
+object TextOps {
+
+  /** Deterministic English stopword probe set (language-ID heuristic +
+    * quality scoring). Kept tiny and fixed so the SQL oracle can replicate
+    * the list verbatim. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  private def stopwordsSqlList: String = stopwords.map("'" + _ + "'").mkString(", ")
+
+  /** Exact dedup (hash-groupBy): one canonical doc_id per identical text.
+    * Groups on the sha2 digest so only 32-byte keys shuffle, not megabyte
+    * documents — at 100 TB the exchange carries ~0.03% of the input. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_sha"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select("doc_id", "dup_cnt")
+
+  /** BPE-ish tokenizer regex: letter runs / digit runs / punctuation runs,
+    * each optionally preceded by one space (GPT-2-style pre-tokenization,
+    * simplified to avoid lookahead so RE2-based engines count identically). */
+  val bpeTokenRegex: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Per-document statistics: lengths, word/token counts, stopword and
+    * punctuation ratios — the quality-scoring signals. */
+  def textStats(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val stopCnt = size(filter(words,
+      w => stopwords.map(s => w === lit(s)).reduce(_ || _))).cast("long")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nWords.as("n_words"),
+      regexp_count(col("text"), lit(bpeTokenRegex)).cast("long").as("n_bpe_tokens"),
+      stopCnt.as("stop_cnt"),
+      (stopCnt.cast("double") / nWords.cast("double")).as("stop_ratio"),
+      regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long").as("punct_cnt"))
+  }
+
+  /** Language-ID heuristic: stopword-ratio thresholding. Deterministic from
+    * integer counts, so exactly reproducible by the SQL oracle. */
+  def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val stopCnt = size(filter(words,
+      w => stopwords.map(s => w === lit(s)).reduce(_ || _))).cast("long")
+    docs.select(
+      col("doc_id"),
+      when(stopCnt.cast("double") >= nWords.cast("double") * threshold, lit("en"))
+        .otherwise(lit("unk")).as("lang_pred"))
+  }
+
+  /** Document fingerprint: 64-bit content hash of the token sequence
+    * (whitespace-normalized), for cheap downstream equality joins. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      xxhash64(concat_ws(" ", split(col("text"), "\\s+"))).as("fp64"))
+}

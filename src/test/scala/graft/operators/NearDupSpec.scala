@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class NearDupSpec extends AnyFunSuite with SparkSuite {
+
+  /** sf0.001 documents plus a planted near-duplicate of each (first 80% of
+    * words), mirroring the registered near_dup queries. */
+  private lazy val corpus: DataFrame = {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) * lit(8) / lit(10)).cast("int"), lit(3))
+    docs.unionAll(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), keep)).as("text")))
+  }
+
+  test("minhash signature is deterministic and has the requested width") {
+    val sigs = corpus.limit(3)
+      .select(NearDup.minhashSignature(col("text"), 3, 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == 16))
+    val again = corpus.limit(3)
+      .select(NearDup.minhashSignature(col("text"), 3, 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.toSeq == again.toSeq)
+  }
+
+  test("LSH near-dup recall on planted pairs; precision by construction") {
+    val found = NearDup.nearDupPairs(corpus, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = corpus.count() / 2
+    val planted = (0L until nDocs).map(i => (i, i + 1000000L)).toSet
+    // exact ground truth: planted pairs with true shingle-jaccard >= 0.5
+    val truth = NearDup.withJaccard(
+      corpus.sparkSession.createDataFrame(planted.toSeq.map(p => (p._1, p._2)))
+        .toDF("doc_a", "doc_b"), corpus)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must plant verifiable near-dups")
+    val recall = (found intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8 (found ${found.size}, truth ${truth.size})")
+    // verification stage guarantees precision: every returned pair passes exact jaccard
+    val verified = NearDup.withJaccard(
+      corpus.sparkSession.createDataFrame(found.toSeq).toDF("doc_a", "doc_b"), corpus)
+      .filter(col("jaccard") >= 0.5).count()
+    assert(verified == found.size)
+  }
+
+  test("simhash: identical texts collide, planted near-dups within distance") {
+    val pairs = NearDup.simhashPairs(corpus, maxDist = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = corpus.count() / 2
+    val planted = (0L until nDocs).map(i => (i, i + 1000000L)).toSet
+    val hit = (pairs intersect planted).size.toDouble / planted.size
+    assert(hit >= 0.3, s"simhash hit rate $hit on planted near-dups")
+    // exact duplicate must always collide at distance 0
+    val dupCorpus = corpus.limit(5).unionAll(
+      corpus.limit(5).withColumn("doc_id", col("doc_id") + lit(5000000L)))
+    val exact = NearDup.simhashPairs(dupCorpus, maxDist = 0)
+    assert(exact.count() >= 5)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val emb =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("cosine of a vector with itself is 1") {
+    val self = emb.limit(5)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("brute-force top-k: k rows per query, ranks 1..k, no self-matches") {
+    val qs = Seq(0L, 1L, 2L)
+    val top = Similarity.bruteForceTopK(emb, qs, 4).collect()
+    assert(top.length == qs.length * 4)
+    qs.foreach { q =>
+      val ranks = top.filter(_.getLong(0) == q).map(_.getLong(1)).sorted
+      assert(ranks.toSeq == Seq(1L, 2L, 3L, 4L))
+    }
+    assert(top.forall(r => r.getLong(2) != r.getLong(0)))
+  }
+
+  test("hyperplane LSH prunes the search space and keeps useful recall") {
+    val n = emb.count()
+    val bucketSizes = emb
+      .select(Similarity.bucketId(col("embedding"), 4).as("b"))
+      .groupBy("b").count().collect().map(_.getLong(1))
+    assert(bucketSizes.length > 1, "bucketing must actually partition")
+    assert(bucketSizes.max < n, "no bucket may hold the whole corpus")
+
+    val qs = (0L until 10L).toSeq
+    val exact = Similarity.bruteForceTopK(emb, qs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val approx = Similarity.lshTopK(emb, qs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val recall = qs.count(q => approx.get(q) == exact.get(q)).toDouble / qs.size
+    assert(recall >= 0.5, s"LSH top-1 recall $recall")
+  }
+
+  test("cosineNearDupPairs: planted duplicate vectors are found at sim ~1") {
+    val planted = emb.limit(10).unionAll(
+      emb.limit(10).withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val pairs = Similarity.cosineNearDupPairs(planted, threshold = 0.999)
+    val hits = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 10L).forall(i => hits.contains((i, i + 1000000L))))
+  }
+}
