@@ -225,6 +225,90 @@ object Queries {
       t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
 
   // ---------------------------------------------------------------------
+  // DiffSync (parasync D1-D4): src = orders, dst = deterministically
+  // mutated copy (pattern of test/run_test_sync.sh:607-631): updates on
+  // keys %97, deletes %101, inserts %499 with a key offset.
+  // ---------------------------------------------------------------------
+  private def mutatedOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderkey") % 101 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + lit(1.0d))
+          .otherwise(col("o_totalprice")))
+      .unionAll(o.filter(col("o_orderkey") % 499 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+  }
+
+  def diffSyncOps(s: SparkSession, dir: String): DataFrame =
+    graft.sync.DiffSync.diff(t(s, dir, "orders"), mutatedOrders(s, dir), Seq("o_orderkey"))
+      .select(col("op"), col("o_orderkey"))
+
+  private val ordColKinds = Seq(
+    "o_orderkey" -> "long", "o_custkey" -> "long", "o_orderstatus" -> "str",
+    "o_totalprice" -> "dec", "o_orderdate" -> "ts", "o_orderpriority" -> "str")
+
+  /** DuckDB rendering of one column as a MySQL literal (mirrors
+    * InsertGen.renderLiteral; orders has no NULLs so no CASE wrapper). */
+  private def dkLit(c: String, kind: String): String = kind match {
+    case "long" => s"CAST($c AS VARCHAR)"
+    case "dec"  => s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+    case "ts"   => "'''' || strftime(" + c + ", '%Y-%m-%d %H:%M:%S') || ''''"
+    case "str"  => """'''' || replace(replace(""" + c + """, '\', '\\'), '''', '\''') || ''''"""
+  }
+
+  private val diffJoinSql: String =
+    """WITH dst AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 101 != 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 499 = 0
+      |),
+      |j AS (
+      |  SELECT
+      |    CASE WHEN d.o_orderkey IS NULL THEN 'I' WHEN s.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS op,
+      |    s.o_orderkey AS s_o_orderkey, s.o_custkey AS s_o_custkey,
+      |    s.o_orderstatus AS s_o_orderstatus, s.o_totalprice AS s_o_totalprice,
+      |    s.o_orderdate AS s_o_orderdate, s.o_orderpriority AS s_o_orderpriority,
+      |    d.o_orderkey AS d_o_orderkey, d.o_custkey AS d_o_custkey,
+      |    d.o_orderstatus AS d_o_orderstatus, d.o_totalprice AS d_o_totalprice,
+      |    d.o_orderdate AS d_o_orderdate, d.o_orderpriority AS d_o_orderpriority
+      |  FROM orders s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
+      |  WHERE d.o_orderkey IS NULL OR s.o_orderkey IS NULL
+      |    OR NOT (s.o_custkey IS NOT DISTINCT FROM d.o_custkey
+      |        AND s.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
+      |        AND s.o_totalprice IS NOT DISTINCT FROM d.o_totalprice
+      |        AND s.o_orderdate IS NOT DISTINCT FROM d.o_orderdate
+      |        AND s.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority)
+      |)""".stripMargin
+
+  val diffSyncOpsSql: String =
+    diffJoinSql +
+      "\nSELECT op, COALESCE(s_o_orderkey, d_o_orderkey) AS o_orderkey FROM j"
+
+  def diffSyncDml(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val d = graft.sync.DiffSync.diff(orders, mutatedOrders(s, dir), Seq("o_orderkey"))
+    graft.sync.DiffSync.dmlStatements(d, "orders", orders.schema.fields.toSeq, Seq("o_orderkey"))
+  }
+
+  val diffSyncDmlSql: String = {
+    val vals = ordColKinds.map { case (c, k) => dkLit(s"s_$c", k) }.mkString(" || ',' || ")
+    val sets = ordColKinds.filterNot(_._1 == "o_orderkey")
+      .map { case (c, k) => s"'$c = ' || ${dkLit(s"s_$c", k)}" }.mkString(" || ', ' || ")
+    val wheres = ordColKinds
+      .map { case (c, k) => s"'$c = ' || ${dkLit(s"d_$c", k)}" }.mkString(" || ' AND ' || ")
+    diffJoinSql + s"""
+      |SELECT CASE op
+      |  WHEN 'I' THEN 'INSERT INTO orders VALUES (' || $vals || ');'
+      |  WHEN 'U' THEN 'UPDATE orders SET ' || $sets || ' WHERE ' || $wheres || ';'
+      |  ELSE 'DELETE FROM orders WHERE ' || $wheres || ';' END AS stmt
+      |FROM j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -240,7 +324,9 @@ object Queries {
     "near_dup_minhash" -> (nearDupMinhash _),
     "near_dup_simhash" -> (nearDupSimhash _),
     "ann_topk" -> (annTopk _),
-    "ann_lsh" -> (annLsh _)
+    "ann_lsh" -> (annLsh _),
+    "diff_sync_ops" -> (diffSyncOps _),
+    "diff_sync_dml" -> (diffSyncDml _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -253,6 +339,8 @@ object Queries {
     "dedup_exact" -> dedupExactSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
-    "ann_topk" -> annTopkSql
+    "ann_topk" -> annTopkSql,
+    "diff_sync_ops" -> diffSyncOpsSql,
+    "diff_sync_dml" -> diffSyncDmlSql
   )
 }

@@ -29,14 +29,14 @@ object InsertGen {
         "\u001a" -> "\\Z", "\"" -> "\\\"", "'" -> "\\'")
       .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
 
-  /** Render one field as a MySQL-dialect SQL literal column (NULL-safe).
+  /** Render an arbitrary column of the given type as a MySQL-dialect SQL
+    * literal (NULL-safe).
     *
     * Doubles/floats are canonicalized through DECIMAL(18,2) — deterministic
     * across engines (the file-sink path uses the shortest-round-trip F7 form
     * instead; see graft.functions.Escapes.doubleCanonical). */
-  def sqlLiteral(f: StructField): Column = {
-    val c = col(f.name)
-    val rendered = f.dataType match {
+  def renderLiteral(dt: DataType, c: Column): Column = {
+    val rendered = dt match {
       case StringType =>
         concat(lit("'"), mysqlEscapeCol(c), lit("'"))
       case TimestampType | TimestampNTZType =>
@@ -52,6 +52,9 @@ object InsertGen {
     }
     coalesce(rendered, lit("NULL"))
   }
+
+  /** [[renderLiteral]] over the schema field's own column. */
+  def sqlLiteral(f: StructField): Column = renderLiteral(f.dataType, col(f.name))
 
   /** `(v1,v2,...)` VALUES tuple for every column of `df`'s schema. */
   def valuesTuple(df: DataFrame): Column =

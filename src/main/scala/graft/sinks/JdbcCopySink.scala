@@ -1,0 +1,35 @@
+package graft.sinks
+
+import java.util.Properties
+import org.apache.spark.sql.DataFrame
+
+/** S9 — DB copy sink ("cpy" mode): `df.write.jdbc` append with the
+  * reference's micro-batching (O5: `insert_size` rows per statement,
+  * paradump.go:1816-1821 → the JDBC `batchsize` option) and destination
+  * validation (`CheckTablesOnDestination`, paradump.go:1471-1490):
+  * column-name/type agreement and destination emptiness.
+  */
+object JdbcCopySink {
+
+  /** Pre-flight: dst schema must agree column-for-column (case-insensitive
+    * names — JDBC catalogs often upper-case) and dst must be empty
+    * (paradump.go:1449-1452). Throws IllegalStateException on mismatch. */
+  def validate(df: DataFrame, url: String, table: String, props: Properties): Unit = {
+    val dst = df.sparkSession.read.jdbc(url, table, props)
+    val src = df.schema.fields.map(f => (f.name.toLowerCase, f.dataType))
+    val dstF = dst.schema.fields.map(f => (f.name.toLowerCase, f.dataType))
+    if (!src.sameElements(dstF))
+      throw new IllegalStateException(
+        s"destination schema mismatch for $table: src=${src.mkString(",")} dst=${dstF.mkString(",")}")
+    if (!dst.isEmpty)
+      throw new IllegalStateException(s"destination table $table is not empty")
+  }
+
+  def write(df: DataFrame, url: String, table: String, props: Properties,
+            batchSize: Int = 500, validateFirst: Boolean = true): Unit = {
+    if (validateFirst) validate(df, url, table, props)
+    df.write.mode("append")
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.chunk.Chunker
+
+/** S6 — chunked JDBC table scan: the reference's only read path
+  * (`tableChunkReader`, /root/reference/src/paradump/paradump.go:1844-1979),
+  * re-expressed as `spark.read.jdbc(url, table, predicates, ...)`: one JDBC
+  * partition per PK-range predicate string, each executing
+  * `SELECT * FROM t WHERE <range>` on its own connection — exactly the
+  * reference's physical plan, scheduled by Spark instead of goroutines.
+  *
+  * Session normalization (SET NAMES / TIME_ZONE / isolation,
+  * paradump.go:159-240) maps onto the standard `sessionInitStatement` and
+  * `isolationLevel` JDBC options in `props`. The FTWRL snapshot barrier has
+  * no Spark equivalent (each partition opens its own connection) — callers
+  * get per-connection REPEATABLE_READ, the documented weaker guarantee
+  * (SURVEY.md §1.5).
+  */
+object JdbcChunkedSource {
+
+  /** Read with an explicit predicate set (one partition per chunk). */
+  def read(spark: SparkSession, url: String, table: String,
+           predicates: Seq[String], props: Properties): DataFrame =
+    spark.read.jdbc(url, table, predicates.toArray, props)
+
+  /** Full pipeline: probe the PK columns, compute equal-cardinality chunk
+    * boundaries (exact for modest tables, sampled for `sampleFraction` <1),
+    * then re-read chunked. The probe projects ONLY the PK columns. */
+  def readChunked(spark: SparkSession, url: String, table: String,
+                  pkCols: Seq[String], numChunks: Int, props: Properties,
+                  sampleFraction: Double = 1.0): DataFrame = {
+    val probe = spark.read.jdbc(url, table, props).select(pkCols.map(col): _*)
+    val preds = if (sampleFraction >= 1.0)
+      Chunker.predicates(probe, pkCols, numChunks)
+    else
+      Chunker.ranges(Chunker.sampledBoundaries(probe, pkCols, numChunks, sampleFraction))
+        .map(graft.chunk.Predicates.sqlText(pkCols, _))
+    read(spark, url, table, preds, props)
+  }
+}

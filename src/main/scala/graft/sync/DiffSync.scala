@@ -1,0 +1,91 @@
+package graft.sync
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+import graft.operators.InsertGen
+
+/** The parasync half of the reference: table diff + sync.
+  *
+  * D1-D3 (reference `tableDstChunkReader`/`compareRow`/`dataChunkComparator`,
+  * /root/reference/src/parasync/parasync.go:2182-2351, 2819-2910, 2913-3034):
+  * the hand-rolled sort + two-pointer merge over (src chunk, dst chunk) pairs
+  * collapses into ONE full-outer shuffle join on the PK with null-safe
+  * payload comparison — Spark co-partitions both sides by the join key, so
+  * the per-chunk pairing happens implicitly and scales with the shuffle.
+  * The reference's date-string re-parsing (parasync.go:2827-2846) dissolves:
+  * timestamps are already typed.
+  *
+  * Output frame: `op` ('I' = missing on dst, 'D' = extra on dst, 'U' = same
+  * PK different payload), the PK columns, the src row values (new image,
+  * null for D), and the dst row values as `old_<col>` (pre-change image,
+  * null for I) — exactly what the DML generator (D4) needs.
+  */
+object DiffSync {
+
+  def diff(src: DataFrame, dst: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val payload = src.columns.filterNot(pkCols.contains).toSeq
+    val s = src.withColumn("__s", lit(1)).as("s")
+    val d = dst.withColumn("__d", lit(1)).as("d")
+    // null-safe PK equality (<=>) — guessed PKs may contain NULLs
+    val joinCond = pkCols.map(c => col(s"s.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val payloadEq =
+      if (payload.isEmpty) lit(true)
+      else payload.map(c => col(s"s.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val op = when(col("d.__d").isNull, lit("I"))
+      .when(col("s.__s").isNull, lit("D"))
+      .when(!payloadEq, lit("U"))
+    val outCols =
+      col("op") +:
+        (pkCols.map(c => coalesce(col(s"s.$c"), col(s"d.$c")).as(c)) ++
+          payload.map(c => col(s"s.$c").as(c)) ++
+          src.columns.toSeq.map(c => col(s"d.$c").as(s"old_$c")))
+    s.join(d, joinCond, "full_outer")
+      .withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(outCols: _*)
+  }
+
+  /** D4 — row-DML SQL text generator (reference `dataSqlGenerator`,
+    * parasync.go:3037-3198), as codegen'd column expressions:
+    *  - INSERT from the new (src) image;
+    *  - UPDATE sets every non-PK column to the new image, WHERE matches the
+    *    FULL pre-change (dst) image — the reference's optimistic full-row
+    *    match, NULLs rendered as `IS NULL` (parasync.go:3113,3135);
+    *  - DELETE WHERE matches the full pre-change image.
+    * `srcSchema` is the original table schema (diff frame column types). */
+  def dmlStatements(diffFrame: DataFrame, table: String,
+                    srcSchema: Seq[StructField], pkCols: Seq[String]): DataFrame = {
+    val payload = srcSchema.filterNot(f => pkCols.contains(f.name))
+
+    def whereTerm(f: StructField): Column = {
+      val old = col(s"old_${f.name}")
+      when(old.isNull, lit(s"${f.name} IS NULL"))
+        .otherwise(concat(lit(s"${f.name} = "), InsertGen.renderLiteral(f.dataType, old)))
+    }
+    val fullRowWhere = concat_ws(" AND ", srcSchema.map(whereTerm): _*)
+
+    val insertSql = concat(
+      lit(s"INSERT INTO $table VALUES ("),
+      concat_ws(",", srcSchema.map(f => InsertGen.renderLiteral(f.dataType, col(f.name))): _*),
+      lit(");"))
+    val setList = concat_ws(", ", payload.map(f =>
+      concat(lit(s"${f.name} = "), InsertGen.renderLiteral(f.dataType, col(f.name)))): _*)
+    val updateSql = concat(lit(s"UPDATE $table SET "), setList,
+      lit(" WHERE "), fullRowWhere, lit(";"))
+    val deleteSql = concat(lit(s"DELETE FROM $table WHERE "), fullRowWhere, lit(";"))
+
+    diffFrame.select(
+      when(col("op") === "I", insertSql)
+        .when(col("op") === "U", updateSql)
+        .otherwise(deleteSql).as("stmt"))
+  }
+
+  /** D5 — stats: per-op counts observed on the diff frame via `observe()`
+    * (the reference's stats actor, parasync.go:3250-3343, as metrics). */
+  def observed(diffFrame: DataFrame, name: String = "diff_stats"): DataFrame =
+    diffFrame.observe(name,
+      count(when(col("op") === "I", 1)).as("inserts"),
+      count(when(col("op") === "U", 1)).as("updates"),
+      count(when(col("op") === "D", 1)).as("deletes"))
+}

@@ -1,0 +1,74 @@
+package graft.sync
+
+import java.sql.DriverManager
+import org.apache.spark.sql.DataFrame
+
+/** S11 — row-DML sink (reference `tableDstDbWriter`,
+  * /root/reference/src/parasync/parasync.go:3201-3247): executes the diff
+  * frame's INSERT/UPDATE/DELETE on a JDBC destination via foreachPartition
+  * PreparedStatements, honoring the `--writer-no-{insert,update,delete}`
+  * flags (parasync.go:3221-3222).
+  *
+  * Prepared statements use PK-equality WHERE for statement reuse; the
+  * reference's optimistic full-row WHERE is available in text mode
+  * ([[DiffSync.dmlStatements]]). Each partition gets its own connection and
+  * commits once — the partition is the reference's writer-thread unit.
+  */
+object DmlSink {
+
+  case class Stats(inserts: Long, updates: Long, deletes: Long)
+
+  /** `diffFrame` must be [[DiffSync.diff]] output; `srcCols` is the original
+    * column order of the table. Returns per-op applied counts. */
+  def apply(diffFrame: DataFrame, url: String, table: String,
+            srcCols: Seq[String], pkCols: Seq[String],
+            connProps: Map[String, String] = Map.empty,
+            noInsert: Boolean = false, noUpdate: Boolean = false,
+            noDelete: Boolean = false): Stats = {
+    val payload = srcCols.filterNot(pkCols.contains)
+    val spark = diffFrame.sparkSession
+    val ins = spark.sparkContext.longAccumulator("dml_inserts")
+    val upd = spark.sparkContext.longAccumulator("dml_updates")
+    val del = spark.sparkContext.longAccumulator("dml_deletes")
+
+    diffFrame.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.hasNext) {
+        val props = new java.util.Properties()
+        connProps.foreach { case (k, v) => props.setProperty(k, v) }
+        val conn = DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val insSql = s"INSERT INTO $table (${srcCols.mkString(",")}) VALUES (${srcCols.map(_ => "?").mkString(",")})"
+          val updSql = s"UPDATE $table SET ${payload.map(c => s"$c = ?").mkString(", ")} " +
+            s"WHERE ${pkCols.map(c => s"$c = ?").mkString(" AND ")}"
+          val delSql = s"DELETE FROM $table WHERE ${pkCols.map(c => s"$c = ?").mkString(" AND ")}"
+          val insSt = conn.prepareStatement(insSql)
+          val updSt = conn.prepareStatement(updSql)
+          val delSt = conn.prepareStatement(delSql)
+          rows.foreach { r =>
+            r.getString(r.fieldIndex("op")) match {
+              case "I" if !noInsert =>
+                srcCols.zipWithIndex.foreach { case (c, i) =>
+                  insSt.setObject(i + 1, r.get(r.fieldIndex(c))) }
+                insSt.executeUpdate(); ins.add(1)
+              case "U" if !noUpdate =>
+                payload.zipWithIndex.foreach { case (c, i) =>
+                  updSt.setObject(i + 1, r.get(r.fieldIndex(c))) }
+                pkCols.zipWithIndex.foreach { case (c, i) =>
+                  updSt.setObject(payload.length + i + 1, r.get(r.fieldIndex(c))) }
+                updSt.executeUpdate(); upd.add(1)
+              case "D" if !noDelete =>
+                // delete targets the destination row: pre-change (old_) image
+                pkCols.zipWithIndex.foreach { case (c, i) =>
+                  delSt.setObject(i + 1, r.get(r.fieldIndex(s"old_$c"))) }
+                delSt.executeUpdate(); del.add(1)
+              case _ => // suppressed by a no-op flag
+            }
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+    Stats(ins.value, upd.value, del.value)
+  }
+}

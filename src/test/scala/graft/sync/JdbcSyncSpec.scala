@@ -1,0 +1,101 @@
+package graft.sync
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import java.util.Properties
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+import graft.sinks.JdbcCopySink
+import graft.sources.JdbcChunkedSource
+
+/** End-to-end S6/S9/S11 against embedded Derby (the only JDBC engine in the
+  * container): copy -> corrupt -> chunked read -> diff -> DML sync ->
+  * equality restored — the run_test_sync.sh pattern
+  * (/root/reference/test/run_test_sync.sh:607-631) on a real database. */
+class JdbcSyncSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val dbDir = Files.createTempDirectory("derby").toFile.getAbsolutePath
+  private lazy val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+  private lazy val props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+  private val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+  private lazy val src: DataFrame =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(cols.map(col): _*)
+
+  private def ddl(table: String): String =
+    s"""CREATE TABLE $table (
+       |  o_orderkey BIGINT NOT NULL PRIMARY KEY,
+       |  o_custkey BIGINT,
+       |  o_orderstatus VARCHAR(10),
+       |  o_totalprice DOUBLE,
+       |  o_orderpriority VARCHAR(20))""".stripMargin
+
+  private def normalized(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*).select(cols.map(col): _*)
+
+  test("copy (S9) -> chunked read (S6) -> corrupt -> diff -> DML sync (S11) -> equal") {
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(ddl("ORDERS_DST"))
+    conn.close()
+
+    // S9: copy with validation (schema match + emptiness)
+    JdbcCopySink.write(src, url, "ORDERS_DST", props, batchSize = 200)
+    val thrown = intercept[IllegalStateException] {
+      JdbcCopySink.validate(src, url, "ORDERS_DST", props) // now non-empty
+    }
+    assert(thrown.getMessage.contains("not empty"))
+
+    // S6: chunked read covers the table exactly
+    val chunked = JdbcChunkedSource.readChunked(
+      spark, url, "ORDERS_DST", Seq("o_orderkey"), numChunks = 4, props)
+    assert(chunked.rdd.getNumPartitions == 4)
+    assert(chunked.count() == src.count())
+
+    // corrupt dst: update some prices, delete some rows, insert strays
+    val c2 = DriverManager.getConnection(url)
+    val st = c2.createStatement()
+    st.executeUpdate("UPDATE ORDERS_DST SET O_TOTALPRICE = O_TOTALPRICE + 5 WHERE MOD(O_ORDERKEY, 97) = 0")
+    st.executeUpdate("DELETE FROM ORDERS_DST WHERE MOD(O_ORDERKEY, 101) = 0")
+    st.executeUpdate("INSERT INTO ORDERS_DST VALUES (99999991, 1, 'X', 1.0, 'STRAY')")
+    st.executeUpdate("INSERT INTO ORDERS_DST VALUES (99999992, 2, 'X', 2.0, 'STRAY')")
+    c2.close()
+
+    // diff src (parquet) vs dst (jdbc)
+    val dst = normalized(spark.read.jdbc(url, "ORDERS_DST", props))
+    val d = DiffSync.diff(src, dst, Seq("o_orderkey"))
+    val byOp = d.groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp.getOrElse("D", 0L) == 2) // the strays
+    assert(byOp.getOrElse("I", 0L) > 0)  // the deleted rows
+    assert(byOp.getOrElse("U", 0L) > 0)  // the price corruptions
+
+    // S11: apply and re-check — dst must equal src exactly
+    val stats = DmlSink(d, url, "ORDERS_DST", cols, Seq("o_orderkey"))
+    assert(stats.inserts == byOp("I") && stats.updates == byOp("U") && stats.deletes == byOp("D"))
+    val after = normalized(spark.read.jdbc(url, "ORDERS_DST", props))
+    assert(DiffSync.diff(src, after, Seq("o_orderkey")).isEmpty)
+  }
+
+  test("no-op flags suppress their DML class (parasync --writer-no-*)") {
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(ddl("ORDERS_DST2"))
+    conn.close()
+    JdbcCopySink.write(src, url, "ORDERS_DST2", props)
+    val c2 = DriverManager.getConnection(url)
+    c2.createStatement().executeUpdate("DELETE FROM ORDERS_DST2 WHERE MOD(O_ORDERKEY, 101) = 0")
+    c2.close()
+    val dst = normalized(spark.read.jdbc(url, "ORDERS_DST2", props))
+    val d = DiffSync.diff(src, dst, Seq("o_orderkey"))
+    val stats = DmlSink(d, url, "ORDERS_DST2", cols, Seq("o_orderkey"), noInsert = true)
+    assert(stats.inserts == 0)
+    // still missing rows afterwards
+    assert(DiffSync.diff(src, normalized(spark.read.jdbc(url, "ORDERS_DST2", props)),
+      Seq("o_orderkey")).count() > 0)
+  }
+}
