@@ -309,6 +309,91 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // Relational coverage the reference only has implicitly (its test schema
+  // ships a join view, test/mysql/create_viw_client_report.sql): joins,
+  // windows, set ops, JSON extraction over events.
+  // ---------------------------------------------------------------------
+
+  /** customer ⋈ orders ⋈ lineitem, revenue per market segment. The dim side
+    * is explicitly broadcast at this scale; at 100 TB AQE's size-based
+    * planning takes over (the hint degrades gracefully to a shuffle join). */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(c("c_mktsegment").as("c_mktsegment"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q3JoinSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Top-3 orders by price per priority — partitioned window (never a
+    * global single-task sort), ties broken by key. */
+  def windowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk").cast("long").as("rnk"), col("o_orderkey"))
+  }
+
+  val windowTopkSql: String =
+    """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) x
+      |WHERE rnk <= 3""".stripMargin
+
+  /** EXCEPT-distinct: custkeys having 'F' orders but no 'O' orders. */
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")).distinct()
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+  }
+
+  val setExceptSql: String =
+    """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
+  /** Hourly windowed aggregation over events with JSON extraction from the
+    * props column (ns timestamps normalized via Tables.events). */
+  def eventsWindow(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy("event_type", "hr")
+
+  val eventsWindowSql: String =
+    """SELECT event_type, date_trunc('hour', ts) AS hr,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events
+      |GROUP BY event_type, date_trunc('hour', ts)
+      |ORDER BY event_type, hr""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -326,7 +411,11 @@ object Queries {
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "diff_sync_ops" -> (diffSyncOps _),
-    "diff_sync_dml" -> (diffSyncDml _)
+    "diff_sync_dml" -> (diffSyncDml _),
+    "q3_join" -> (q3Join _),
+    "window_topk" -> (windowTopk _),
+    "set_except" -> (setExcept _),
+    "events_window" -> (eventsWindow _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -341,6 +430,10 @@ object Queries {
     "lang_id" -> langIdSql,
     "ann_topk" -> annTopkSql,
     "diff_sync_ops" -> diffSyncOpsSql,
-    "diff_sync_dml" -> diffSyncDmlSql
+    "diff_sync_dml" -> diffSyncDmlSql,
+    "q3_join" -> q3JoinSql,
+    "window_topk" -> windowTopkSql,
+    "set_except" -> setExceptSql,
+    "events_window" -> eventsWindowSql
   )
 }
