@@ -394,6 +394,25 @@ object Queries {
       |ORDER BY event_type, hr""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Multimodal: binary payload round-trip (synthetic header + decode stub).
+  // The oracle re-derives the decoded metadata independently — proving the
+  // encode -> binary column -> mapPartitions decode path end to end.
+  // ---------------------------------------------------------------------
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Media.extractFeatures(
+      graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_bytes"))
+
+  val mediaFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
+      |  CAST(16 + doc_id % 48 AS INTEGER) AS height,
+      |  CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -415,7 +434,8 @@ object Queries {
     "q3_join" -> (q3Join _),
     "window_topk" -> (windowTopk _),
     "set_except" -> (setExcept _),
-    "events_window" -> (eventsWindow _)
+    "events_window" -> (eventsWindow _),
+    "media_features" -> (mediaFeatures _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -434,6 +454,7 @@ object Queries {
     "q3_join" -> q3JoinSql,
     "window_topk" -> windowTopkSql,
     "set_except" -> setExceptSql,
-    "events_window" -> eventsWindowSql
+    "events_window" -> eventsWindowSql,
+    "media_features" -> mediaFeaturesSql
   )
 }

@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, plus decode / feature-extract / frame-sample operators.
+  *
+  * The container has no media codecs, so the DECODE step is a clearly-marked
+  * deterministic fake (`decodeHeader` parses the synthetic 12-byte header
+  * below); everything around it — the schema, the binary column plumbing,
+  * the per-partition batch shape, the feature output layout — is the real
+  * Spark-side pipeline a production decoder would drop into (swap
+  * [[decodeHeader]]/[[byteHistogram]] for an actual codec in
+  * `mapPartitions`, which processes a partition per task exactly like an
+  * inference batch).
+  */
+object Media {
+
+  /** Synthetic payload header: magic "GFT0" + kind byte + width/height
+    * (16-bit LE each) + payload length (24-bit LE). DETERMINISTIC FAKE. */
+  val MagicLen = 12
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, width: Int, height: Int,
+                           n_bytes: Long, histogram: Array[Double])
+
+  /** Build a media table from documents: payload = fake header + text bytes.
+    * kind/width/height derive deterministically from doc_id. */
+  def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val kinds = Seq("image", "audio", "video")
+      val kind = kinds((id % 3).toInt)
+      val w = 16 + (id % 64).toInt
+      val h = 16 + (id % 48).toInt
+      val body = text.getBytes("UTF-8")
+      val header = new Array[Byte](MagicLen)
+      header(0) = 'G'; header(1) = 'F'; header(2) = 'T'; header(3) = '0'
+      header(4) = (id % 3).toByte
+      header(5) = (w & 0xff).toByte; header(6) = ((w >> 8) & 0xff).toByte
+      header(7) = (h & 0xff).toByte; header(8) = ((h >> 8) & 0xff).toByte
+      header(9) = (body.length & 0xff).toByte
+      header(10) = ((body.length >> 8) & 0xff).toByte
+      header(11) = ((body.length >> 16) & 0xff).toByte
+      MediaRow(id, kind, header ++ body)
+    }
+  }
+
+  /** DECODE STUB — parses the synthetic header. A real implementation would
+    * call an image/audio codec here; the signature (bytes -> typed metadata)
+    * is what production code keeps. */
+  def decodeHeader(payload: Array[Byte]): (Int, Int) = {
+    require(payload.length >= MagicLen &&
+      payload(0) == 'G' && payload(1) == 'F' && payload(2) == 'T' && payload(3) == '0',
+      "bad media magic")
+    val w = (payload(5) & 0xff) | ((payload(6) & 0xff) << 8)
+    val h = (payload(7) & 0xff) | ((payload(8) & 0xff) << 8)
+    (w, h)
+  }
+
+  /** FEATURE STUB — 16-bin normalized byte histogram of the body (stands in
+    * for an embedding/feature extractor; deterministic). */
+  def byteHistogram(payload: Array[Byte]): Array[Double] = {
+    val counts = new Array[Double](16)
+    var i = MagicLen
+    while (i < payload.length) { counts((payload(i) & 0xff) >> 4) += 1; i += 1 }
+    val n = math.max(1, payload.length - MagicLen).toDouble
+    counts.map(_ / n)
+  }
+
+  /** Decode + feature-extract, batched per partition (the inference-batch
+    * execution shape: one task = one batch of payloads). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val (w, h) = decodeHeader(m.payload)
+        MediaFeatures(m.media_id, m.kind, w, h, m.payload.length.toLong,
+          byteHistogram(m.payload))
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th `frameSize`-byte
+    * block of the body becomes a frame row (media_id, frame_no, frame). */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 64,
+                   stride: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val body = m.payload.drop(MagicLen)
+      body.grouped(frameSize).zipWithIndex.collect {
+        case (frame, i) if i % stride == 0 => (m.media_id, i.toLong, frame)
+      }
+    }.toDF("media_id", "frame_no", "frame")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` stream table — the streaming
+  * surface the reference lacks entirely (SURVEY.md §2.6: bounded pipelines
+  * with sentinels; Spark generalizes both with watermarks + state).
+  *
+  * The transforms are source-agnostic: feed them a `readStream` frame in
+  * production or a MemoryStream frame in tests (EventsStreamSpec).
+  */
+object EventsStream {
+
+  /** File-source stream over an events parquet directory (the micro-batch
+    * analogue of tailing the table). */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.sources.Tables.events(spark, dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Hourly windowed counts per event type with a 1-hour watermark —
+    * late events beyond the watermark are dropped, state is bounded. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hr"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(ts: Timestamp, user_id: Long, event_type: String)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)
+
+  /** Per-user sessionization with a custom state machine
+    * (flatMapGroupsWithState): a session closes when a subsequent event
+    * arrives more than `gapMinutes` after the last one. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val closed = Seq.newBuilder[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last > gapMs =>
+                closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,33 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class MediaSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val docs =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("synthetic media round-trips header metadata through binary payloads") {
+    val media = Media.syntheticMedia(docs)
+    val feats = Media.extractFeatures(media).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      assert(f.width == 16 + (f.media_id % 64).toInt)
+      assert(f.height == 16 + (f.media_id % 48).toInt)
+      assert(f.n_bytes > Media.MagicLen)
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9) // normalized
+    }
+    val kinds = feats.map(_.kind).toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("frame sampling emits every stride-th block of video payloads only") {
+    val media = Media.syntheticMedia(docs)
+    val frames = Media.sampleFrames(media, frameSize = 32, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getLong(1) % 2 == 0)) // only even frame numbers
+    val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
+    assert(frames.map(_.getLong(0)).toSet.subsetOf(videoIds))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class EventsStreamSpec extends AnyFunSuite with SparkSuite {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourlyCounts: windowed streaming agg matches the batch equivalent") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventsStream.hourlyCounts(df).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(0), "click", 1.0), (ts(10), "click", 2.0),
+        (ts(20), "view", 3.0), (ts(70), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(
+        ("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2026-01-01 10:00:00.0", "view", 1L, 3.0),
+        ("2026-01-01 11:00:00.0", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: sessions close across batches when the gap is exceeded") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionize(input.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      input.addData(
+        EventsStream.Event(ts(0), 1L, "click"),
+        EventsStream.Event(ts(10), 1L, "view"),
+        EventsStream.Event(ts(5), 2L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("sessions").isEmpty) // nothing closed yet
+      input.addData(EventsStream.Event(ts(120), 1L, "click")) // >30m after u1's last
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getInt(3)))
+      assert(sessions.toSeq == Seq((1L, 2))) // u1's first session: 2 events
+    } finally q.stop()
+  }
+}
