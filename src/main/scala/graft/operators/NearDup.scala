@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for training-data pipelines: MinHash + banded
@@ -9,52 +9,94 @@ import org.apache.spark.sql.functions._
   * Scale contract (100 TB): candidate generation is ALWAYS a bucket
   * equi-join on band hashes — never an all-pairs product. Documents shuffle
   * as (doc_id, fixed-width hash) pairs; bodies are joined back only for the
-  * candidate set. Everything below is Catalyst expressions (codegen); the
-  * hash family is xxhash64 seeded by position, so results are deterministic
-  * across runs and partitionings.
+  * candidate set.
+  *
+  * Signature computation runs as typed `mapPartitions` JVM code, not
+  * higher-order column functions: `transform`/`aggregate` are
+  * CodegenFallback (interpreted per element), which benchmarked ~40x slower
+  * for per-token work. Token hashes are combined into shingle hashes
+  * arithmetically — no shingle strings are ever materialized. The hash
+  * family is splitmix64 finalizers (public-domain mixing constants), so
+  * results are deterministic across runs and partitionings.
   */
 object NearDup {
 
-  /** Word k-shingles of `text` (empty array when the doc is shorter than k). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - lit(k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array())
+  /** splitmix64 finalizer (Sebastiano Vigna, public domain) — the stateless
+    * 64-bit mixer used for token/shingle/band hashing. */
+  object Hash64 {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def ofString(s: String): Long = {
+      var h = 0x2545f4914f6cdd1dL
+      var i = 0
+      while (i < s.length) { h = mix(h ^ s.charAt(i).toLong); i += 1 }
+      h
+    }
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the shingle set. NULL-free: empty shingle sets
-    * hash the empty string. */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = shingles(text, k)
-    val safe = when(size(sh) > 0, sh).otherwise(array(lit("")))
-    array((0 until numHashes).map { h =>
-      array_min(transform(safe, s => xxhash64(lit(h), s)))
-    }: _*)
+  /** Per-doc MinHash signature from word k-shingles: token hashes -> rolling
+    * k-window combine -> per-seed min. One JVM pass, no string shingles. */
+  private def signatureOf(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val toks = text.split(' ')
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = Hash64.ofString(toks(i)); i += 1 }
+    val nSh = math.max(1, th.length - k + 1)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < nSh) {
+      var sh = 0x51afd6ed558ccd6dL
+      var j = 0
+      while (j < k && s + j < th.length) { sh = Hash64.mix(sh ^ th(s + j)); j += 1 }
+      var h = 0
+      while (h < numHashes) {
+        val v = Hash64.mix(sh ^ (h * 0xff51afd7ed558ccdL))
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      s += 1
+    }
+    sig
   }
 
-  /** (band_id, band_hash) pairs: `bands` groups of `rowsPerBand` signature
-    * slots hashed together — the LSH bucketing keys. */
-  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
-          sig.getItem(b * rowsPerBand + r))): _*).as("band_hash"))
-    }: _*)
+  /** (doc_id, sig) signature frame — exposed for tests/reuse. */
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, signatureOf(text, k, numHashes)) })
+      .toDF("doc_id", "sig")
+  }
+
+  /** (doc_id, band_id, band_hash) LSH bucket keys: `bands` groups of
+    * signature slots hashed together. */
+  def bandFrame(docs: DataFrame, k: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rpb = numHashes / bands
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val sig = signatureOf(text, k, numHashes)
+        (0 until bands).map { b =>
+          var h = 0x63652362bd56f51fL ^ b.toLong
+          var r = 0
+          while (r < rpb) { h = Hash64.mix(h ^ sig(b * rpb + r)); r += 1 }
+          (id, b, h)
+        }
+      })
+      .toDF("doc_id", "band_id", "band_hash")
+  }
 
   /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands.
     * `maxBucketSize` guards against degenerate buckets (e.g. boilerplate
-    * shingles): buckets larger than it are dropped — a documented cap, the
-    * standard skew guard for LSH joins. */
+    * shingles): larger buckets are dropped — a documented cap, the standard
+    * skew guard for LSH joins. */
   def candidatePairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
                      bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val sig = minhashSignature(col("text"), k, numHashes)
-    val banded = docs
-      .select(col("doc_id"), explode(bandHashes(sig, bands, numHashes / bands)).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+    val banded = bandFrame(docs, k, numHashes, bands)
     val bucketSizes = banded.groupBy("band_id", "band_hash")
       .agg(count(lit(1)).as("bucket_n"))
     val bounded = banded.join(
@@ -65,6 +107,16 @@ object NearDup {
     l.join(r, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Word k-shingles of `text` as a Column (used only for the exact-Jaccard
+    * verify stage, which runs on the small candidate set). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - lit(k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array())
   }
 
   /** Exact shingle-Jaccard for given (doc_a, doc_b) pairs — the verification
@@ -91,17 +143,30 @@ object NearDup {
 
   // --- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over the word set: per bit, sum +/-1 weighted by each
-    * token hash's bit, take the sign. Pure expressions (codegen). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => xxhash64(t))
-    val bitsAtPos = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(call_function("shiftrightunsigned", h, b).bitwiseAND(lit(1L)) =!= 0L, 1L)
-          .otherwise(-1L)) > 0L,
-        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
-    // assemble bitwise (acc*2 would signed-overflow on bit 63)
-    aggregate(bitsAtPos, lit(0L), (acc, v) => acc.bitwiseOR(v))
+  /** 64-bit SimHash over the token multiset: per bit, sum +/-1 weighted by
+    * each token hash's bit, take the sign. One JVM pass per doc. */
+  private def simhashOf(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split(' ').foreach { t =>
+      val h = Hash64.ofString(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
+    sh
+  }
+
+  /** (doc_id, sh) SimHash frame. */
+  def simhashFrame(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, simhashOf(text)) })
+      .toDF("doc_id", "sh")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, using the
@@ -111,7 +176,7 @@ object NearDup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val h = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val h = simhashFrame(docs)
     val banded = h.select(col("doc_id"), col("sh"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk_id"),

@@ -23,11 +23,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns, accumulated in double in
-    * element order (bit-compatible with single-pass C implementations). */
+    * element order (bit-compatible with single-pass C implementations).
+    * Uses the native codegen'd [[graft.functions.VectorExprs.dot]] — the
+    * zip_with/aggregate equivalent is interpreted (CodegenFallback). */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0d), (acc, v) => acc + v)
+    val dot = graft.functions.VectorExprs.dot _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
@@ -61,9 +61,7 @@ object Similarity {
     val planes = hyperplanes(dim, tables, bits, seed)
     array(planes.zipWithIndex.map { case (tablePlanes, t) =>
       val bucket = tablePlanes.zipWithIndex.map { case (p, j) =>
-        val proj = aggregate(
-          zip_with(emb, typedLit(p), (x, h) => x.cast("double") * h),
-          lit(0d), (acc, v) => acc + v)
+        val proj = graft.functions.VectorExprs.dot(emb, typedLit(p.map(_.toFloat)))
         when(proj > 0d, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("table_id"), bucket.as("bucket"))
@@ -99,9 +97,7 @@ object Similarity {
   def bucketId(emb: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column = {
     val planes = hyperplanes(dim, 1, bits, seed).head
     planes.zipWithIndex.map { case (p, j) =>
-      val proj = aggregate(
-        zip_with(emb, typedLit(p), (x, h) => x.cast("double") * h),
-        lit(0d), (acc, v) => acc + v)
+      val proj = graft.functions.VectorExprs.dot(emb, typedLit(p.map(_.toFloat)))
       when(proj > 0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the classic Column <-> Expression converters, which are
+  * `private[sql]` in Spark 4 (the Column DSL is ColumnNode-based there).
+  * This is the standard extension-point shim for libraries that ship custom
+  * Catalyst expressions without a SparkSessionExtensions registration. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -19,13 +19,11 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("minhash signature is deterministic and has the requested width") {
-    val sigs = corpus.limit(3)
-      .select(NearDup.minhashSignature(col("text"), 3, 16).as("sig"))
-      .collect().map(_.getSeq[Long](0))
+    val sigs = NearDup.minhashSignatures(corpus.limit(3), 3, 16)
+      .collect().map(_.getSeq[Long](1))
     assert(sigs.forall(_.length == 16))
-    val again = corpus.limit(3)
-      .select(NearDup.minhashSignature(col("text"), 3, 16).as("sig"))
-      .collect().map(_.getSeq[Long](0))
+    val again = NearDup.minhashSignatures(corpus.limit(3), 3, 16)
+      .collect().map(_.getSeq[Long](1))
     assert(sigs.toSeq == again.toSeq)
   }
 
