@@ -75,7 +75,7 @@ object Chunker {
     * parasync's chunk-set shape (first chunk upper-bound-only, last chunk
     * lower-bound-only; parasync.go:1880-1881). */
   def ranges(cuts: Seq[Seq[Any]]): Seq[Predicates.Range] = {
-    val lits = cuts.map(_.map(Predicates.sqlLiteral))
+    val lits = cuts.map(_.map(v => Predicates.sqlLiteral(v)))
     val bounds = (None +: lits.map(Some(_))) :+ None
     bounds.sliding(2).map { case Seq(lo, hi) => Predicates.Range(lo, hi) }.toSeq
   }

@@ -1,0 +1,34 @@
+package graft.chunk
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** P7 — enum-in-PK dual representation (reference: enum PK columns compared
+  * as their numeric index via `cast(? as unsigned integer)`,
+  * /root/reference/src/paradump/paradump.go:1560, and carried in both
+  * label and numeric form per chunk, parasync.go:1627-1634, 1787-1811).
+  *
+  * MySQL enums order by declaration index, not lexicographically — chunk
+  * boundaries over an enum PK must therefore rank by index. The dual
+  * representation keeps both: chunk on `<col>__idx`, render predicates with
+  * the label (MySQL understands labels) or the index (engines that stored
+  * the enum as an integer). */
+object EnumPk {
+
+  /** 1-based declaration index of an enum label column (0 = unknown label,
+    * matching MySQL's empty-value pseudo-index for bad data). */
+  def indexColumn(c: Column, labels: Seq[String]): Column =
+    labels.zipWithIndex.foldRight(lit(0)) { case ((l, i), rest) =>
+      when(c === lit(l), lit(i + 1)).otherwise(rest)
+    }
+
+  /** df with `<col>__idx` appended — the chunking key for an enum PK column. */
+  def withEnumIndex(df: DataFrame, colName: String, labels: Seq[String]): DataFrame =
+    df.withColumn(s"${colName}__idx", indexColumn(col(colName), labels))
+
+  /** Predicate literal for a boundary value of the enum column, per target
+    * dialect (parasync.go:1787-1811: label for MySQL, index otherwise). */
+  def literal(label: String, labels: Seq[String], mysqlTarget: Boolean): String =
+    if (mysqlTarget) "'" + graft.functions.Escapes.mysqlEscape(label) + "'"
+    else (labels.indexOf(label) + 1).toString
+}

@@ -26,10 +26,15 @@ object Predicates {
     * first/last chunk covers (-inf, +inf), parasync.go:1880-1881). */
   case class Range(lower: Option[Seq[String]], upper: Option[Seq[String]])
 
-  /** SQL literal for a value of the given column, quoting strings/timestamps. */
-  def sqlLiteral(v: Any): String = v match {
+  /** SQL literal for a value of the given column, quoting strings/timestamps.
+    * Default rendering is ANSI (quote doubling only); pass `mysql = true`
+    * when the predicate text targets a MySQL connection, where backslashes
+    * are escape characters and must go through the F1 escaper. */
+  def sqlLiteral(v: Any, mysql: Boolean = false): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
+    case s: String =>
+      if (mysql) "'" + graft.functions.Escapes.mysqlEscape(s) + "'"
+      else "'" + s.replace("'", "''") + "'"
     case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString.stripSuffix(".0")}'"
     case d: java.sql.Date => s"DATE '$d'"
     case other => other.toString

@@ -53,12 +53,21 @@ object SqlDumpSink {
 
   /** Write `df` as SQL-dump files under `outDir`.
     * Returns the final file paths (template-renamed). */
+  /** `dialect = Some(...)` switches to the byte-fidelity renderer
+    * (FidelityGen: Escapes F1-F9, shortest-round-trip floats); the default
+    * expression path (InsertGen) is the oracle-checked codegen renderer. */
   def write(df: DataFrame, db: String, table: String, outDir: String,
             insertSize: Int = 500, withColumnList: Boolean = false,
             header: Boolean = true,
             fileTemplate: String = "%d_%t_%p.%m%z",
-            compression: Option[String] = None): Seq[String] = {
-    val stmts = InsertGen.insertStatements(df, table, insertSize, withColumnList)
+            compression: Option[String] = None,
+            dialect: Option[graft.operators.FidelityGen.Dialect] = None): Seq[String] = {
+    val stmts = dialect match {
+      case Some(d) =>
+        graft.operators.FidelityGen.insertStatements(df, table, d, insertSize, withColumnList)
+      case None =>
+        InsertGen.insertStatements(df, table, insertSize, withColumnList)
+    }
     val withHeader =
       if (header) {
         val hdr = sqlHeader
@@ -77,7 +86,12 @@ object SqlDumpSink {
     val parts = fs.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.startsWith("part-"))
       .sortBy(_.getName)
-    val zSuffix = compression.map("." + _).getOrElse("")
+    // suffix must match the codec's real extension or re-reads won't decode
+    val zSuffix = compression.map {
+      case "zstd" => ".zst"
+      case "gzip" => ".gz"
+      case other  => "." + other
+    }.getOrElse("")
     parts.zipWithIndex.map { case (p, i) =>
       val target = new Path(dir, fileName(fileTemplate, db, table, i, "sql", zSuffix))
       fs.rename(p, target)

@@ -1,0 +1,38 @@
+package graft.chunk
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class EnumPkSpec extends AnyFunSuite with SparkSuite {
+
+  // orders.o_orderstatus plays the enum: declaration order P < O < F
+  // (deliberately NOT lexicographic, the case the dual representation exists for)
+  private val labels = Seq("P", "O", "F")
+
+  test("enum index follows declaration order, unknown labels get 0") {
+    import spark.implicits._
+    val df = Seq("P", "O", "F", "X").toDF("st")
+    val got = EnumPk.withEnumIndex(df, "st", labels)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(got == Map("P" -> 1, "O" -> 2, "F" -> 3, "X" -> 0))
+  }
+
+  test("chunking an enum PK by index differs from lexicographic chunking") {
+    val orders = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val withIdx = EnumPk.withEnumIndex(orders, "o_orderstatus", labels)
+    val byIdx = Chunker.boundaries(withIdx, Seq("o_orderstatus__idx", "o_orderkey"), 3)
+    val byLex = Chunker.boundaries(withIdx, Seq("o_orderstatus", "o_orderkey"), 3)
+    // boundary tuples rank P<O<F by index but F<O<P lexicographically
+    assert(byIdx.map(_.head) != byLex.map(_.head))
+    // index boundaries are ascending in declaration order
+    val idxBounds = byIdx.map(_.head.asInstanceOf[Int])
+    assert(idxBounds == idxBounds.sorted)
+  }
+
+  test("predicate literal renders label for MySQL, index for others") {
+    assert(EnumPk.literal("ssh-key", Seq("password", "ssh-key"), mysqlTarget = true) == "'ssh-key'")
+    assert(EnumPk.literal("ssh-key", Seq("password", "ssh-key"), mysqlTarget = false) == "2")
+    assert(EnumPk.literal("it's", Seq("it's"), mysqlTarget = true) == "'it\\'s'")
+  }
+}

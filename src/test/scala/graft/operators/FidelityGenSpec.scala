@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class FidelityGenSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val weird = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      StructField("b", BinaryType),
+      StructField("d", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "it's\na\\test", Array[Byte](0, 0x41, -1), 1.5d),
+        Row(2L, null, null, null),
+        Row(3L, "héllo", Array[Byte](0x27), 12345678.0d)), 1),
+      schema)
+  }
+
+  test("MySQL dialect: F1 escapes, F2 _binary, F7 shortest round-trip") {
+    val lines = FidelityGen.insertStatements(weird, "t", FidelityGen.MySql, insertSize = 1)
+      .collect().sorted
+    // 0xff is outside the UTF-8 lead range entirely and passes through bare
+    // (Escapes.mysqlEscapeBinary; only 0xc2-0xf7 leads get validated)
+    assert(lines(0) == "INSERT INTO t VALUES (1,'it\\'s\\na\\\\test',_binary '\\0Aÿ',1.5);")
+    assert(lines(1) == "INSERT INTO t VALUES (2,NULL,NULL,NULL);")
+    assert(lines(2) == "INSERT INTO t VALUES (3,'héllo',_binary '\\'',12345678);")
+  }
+
+  test("Postgres dialect: E'' with hex escapes, decode() binary, NUL strip") {
+    val lines = FidelityGen.insertStatements(weird, "t", FidelityGen.Postgres, insertSize = 1)
+      .collect().sorted
+    assert(lines(0) == "INSERT INTO t VALUES (1,E'it\\x27s\\x0aa\\x5ctest',decode('0041ff','hex'),1.5);")
+    assert(lines(2) == "INSERT INTO t VALUES (3,E'héllo',decode('27','hex'),12345678);")
+  }
+
+  test("MSSQL dialect: CHAR splice + N'' segments, convert() binary") {
+    val lines = FidelityGen.insertStatements(weird, "t", FidelityGen.MsSql, insertSize = 1)
+      .collect().sorted
+    assert(lines(0) == "INSERT INTO t VALUES (1,'it'+CHAR(39)+'s'+CHAR(10)+'a\\test',convert(varbinary(max),'0041ff',2),1.5);")
+    assert(lines(2) == "INSERT INTO t VALUES (3,'h'+N'é'+'llo',convert(varbinary(max),'27',2),12345678);")
+  }
+
+  test("multi-row batching groups insertSize tuples per statement") {
+    val lines = FidelityGen.insertStatements(weird, "t", FidelityGen.MySql, insertSize = 2)
+      .collect()
+    assert(lines.length == 2)
+    assert(lines(0).count(_ == '(') == 2 && lines(1).count(_ == '(') == 1)
+  }
+
+  test("fidelity output matches the expression renderer on escape-free data") {
+    val nation = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val fid = FidelityGen.insertStatements(nation, "nation", FidelityGen.MySql, 1)
+      .collect().sorted.toSeq
+    val expr = InsertGen.insertLines(nation, "nation")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(fid == expr)
+  }
+}

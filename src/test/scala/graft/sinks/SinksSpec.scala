@@ -52,6 +52,18 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
     assert(lines(2) == "3,\"a\"\"b,c\",6")
   }
 
+  test("SqlDumpSink compression round-trips with the real codec extension") {
+    // gzip: the Hadoop text codec available without native libs (zstd text
+    // output needs libhadoop-zstd; parquet zstd is unaffected)
+    val dir = tmpDir("sqldumpz")
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "region")
+    val files = SqlDumpSink.write(df, "tpch", "region", dir,
+      insertSize = 2, compression = Some("gzip"))
+    assert(files.forall(_.endsWith(".sql.gz")))
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.count(_.startsWith("INSERT INTO region")) > 0)
+  }
+
   test("NoopSink drains without error") {
     NoopSink.drain(graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "region"))
   }
