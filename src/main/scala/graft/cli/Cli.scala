@@ -1,0 +1,112 @@
+package graft.cli
+
+/** CLI contract — the reference's flag surface and validation matrix
+  * (/root/reference/src/paradump/paradump.go:3477-3524 flags, :3527-3637
+  * validation exits, :3656-3671 filename-template grammar). The reference's
+  * CLI tests 1-34 (test/run_test.sh:132-265) assert every invalid
+  * combination fails; CliSpec ports that matrix. */
+case class DumpConfig(
+    mode: String = "sql", // sql | csv | cpy | null
+    schemas: Seq[String] = Nil,
+    tables: Seq[String] = Nil,
+    exclude: Seq[String] = Nil,
+    chunkSize: Int = 10000,
+    insertSize: Int = 500,
+    parallel: Int = 10,
+    browsers: Int = 4,
+    dumpParallel: Int = 5,
+    dumpFile: String = "%d_%t_%p.%m%z",
+    dumpHeader: Boolean = true,
+    dumpInsert: String = "full", // full | simple
+    compress: Option[String] = None,
+    guessPrimaryKey: Boolean = false,
+    dstUrl: Option[String] = None)
+
+object Cli {
+
+  private val modes = Set("sql", "csv", "cpy", "null")
+  private val insertModes = Set("full", "simple")
+  private val templateVerbs = Set('d', 't', 'p', 'm', 'z', '%')
+
+  /** Filename-template check: every % must introduce a known verb
+    * (paradump.go:3656-3671). */
+  def templateValid(tmpl: String): Boolean = {
+    var i = 0
+    while (i < tmpl.length) {
+      if (tmpl.charAt(i) == '%') {
+        if (i + 1 >= tmpl.length || !templateVerbs(tmpl.charAt(i + 1))) return false
+        i += 2
+      } else i += 1
+    }
+    true
+  }
+
+  /** Parse + validate. Left(message) mirrors the reference's fatal exits. */
+  def parseDump(args: Seq[String]): Either[String, DumpConfig] = {
+    var c = DumpConfig()
+    var rest = args.toList
+    def intArg(v: String, flag: String): Either[String, Int] =
+      v.toIntOption.toRight(s"$flag: not an integer: $v")
+    while (rest.nonEmpty) {
+      rest match {
+        case "-dumpmode" :: v :: t => c = c.copy(mode = v); rest = t
+        case "-db" :: v :: t => c = c.copy(schemas = c.schemas ++ v.split(',')); rest = t
+        case "-table" :: v :: t => c = c.copy(tables = c.tables :+ v); rest = t
+        case "-exclude" :: v :: t => c = c.copy(exclude = c.exclude :+ v); rest = t
+        case "-chunksize" :: v :: t =>
+          intArg(v, "-chunksize") match {
+            case Right(i) => c = c.copy(chunkSize = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "-insertsize" :: v :: t =>
+          intArg(v, "-insertsize") match {
+            case Right(i) => c = c.copy(insertSize = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "-parallel" :: v :: t =>
+          intArg(v, "-parallel") match {
+            case Right(i) => c = c.copy(parallel = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "-browser" :: v :: t =>
+          intArg(v, "-browser") match {
+            case Right(i) => c = c.copy(browsers = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "-dumpparallel" :: v :: t =>
+          intArg(v, "-dumpparallel") match {
+            case Right(i) => c = c.copy(dumpParallel = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "-dumpfile" :: v :: t => c = c.copy(dumpFile = v); rest = t
+        case "-dumpheader" :: v :: t => c = c.copy(dumpHeader = v == "true"); rest = t
+        case "--dumpheader=false" :: t => c = c.copy(dumpHeader = false); rest = t
+        case "--dumpinsert" :: v :: t => c = c.copy(dumpInsert = v); rest = t
+        case "-dumpcompress" :: v :: t => c = c.copy(compress = Some(v)); rest = t
+        case "-guessprimarykey" :: t => c = c.copy(guessPrimaryKey = true); rest = t
+        case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
+        case flag :: _ => return Left(s"unknown flag: $flag")
+      }
+    }
+    validate(c)
+  }
+
+  def validate(c: DumpConfig): Either[String, DumpConfig] = {
+    if (!modes(c.mode)) return Left(s"invalid -dumpmode ${c.mode}")
+    if (c.schemas.isEmpty && c.tables.isEmpty)
+      return Left("need -db or -table") // paradump.go: no schema/table exit
+    if (c.chunkSize < 100) return Left("-chunksize must be >= 100")
+    if (c.insertSize < 1) return Left("-insertsize must be >= 1")
+    if (c.insertSize > c.chunkSize)
+      return Left("-insertsize must be <= -chunksize") // paradump.go:3583-3587
+    if (!insertModes(c.dumpInsert)) return Left(s"invalid --dumpinsert ${c.dumpInsert}")
+    if (c.compress.isDefined && c.mode == "cpy")
+      return Left("-dumpcompress incompatible with cpy") // paradump.go:3592-3595
+    if (c.mode == "cpy" && c.dstUrl.isEmpty) return Left("cpy requires -dst")
+    if ((c.mode == "sql" || c.mode == "csv") && !templateValid(c.dumpFile))
+      return Left(s"invalid -dumpfile template ${c.dumpFile}") // :3656-3671
+    if (c.parallel < 1 || c.browsers < 1 || c.dumpParallel < 1)
+      return Left("parallelism flags must be >= 1")
+    Right(c)
+  }
+}

@@ -172,8 +172,15 @@ object NearDup {
   /** SimHash near-dup pairs with Hamming distance <= maxDist, using the
     * pigeonhole banding trick: split the 64-bit hash into (maxDist+1)
     * chunks — any pair within maxDist must agree on at least one chunk, so
-    * candidate generation is an equi-join on (chunk_id, chunk_value). */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * candidate generation is an equi-join on (chunk_id, chunk_value).
+    *
+    * Scale note: chunk width is 64/(maxDist+1) bits, so large maxDist means
+    * coarse buckets and a quadratic within-bucket term — at corpus scale
+    * keep maxDist <= 3 (16-bit chunks) or raise `maxBucketSize` consciously;
+    * buckets above the cap are dropped (documented skew guard, as in
+    * [[candidatePairs]]). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   maxBucketSize: Int = 100000): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
     val h = simhashFrame(docs)
@@ -184,9 +191,14 @@ object NearDup {
             .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
       }: _*)).as("c"))
       .select(col("doc_id"), col("sh"), col("c.chunk_id"), col("c.chunk_val"))
-    val l = banded.select(col("chunk_id"), col("chunk_val"),
+    val bucketSizes = banded.groupBy("chunk_id", "chunk_val")
+      .agg(count(lit(1)).as("bucket_n"))
+    val bounded = banded.join(
+      bucketSizes.filter(col("bucket_n") <= maxBucketSize),
+      Seq("chunk_id", "chunk_val"))
+    val l = bounded.select(col("chunk_id"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("chunk_id"), col("chunk_val"),
+    val r = bounded.select(col("chunk_id"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk_id", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))

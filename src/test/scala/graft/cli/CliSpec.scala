@@ -1,0 +1,46 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's CLI contract tests (run_test.sh tests 1-34):
+  * every invalid flag combination must be rejected. */
+class CliSpec extends AnyFunSuite {
+
+  private def parse(args: String*): Either[String, DumpConfig] = Cli.parseDump(args)
+
+  test("valid minimal invocations parse") {
+    assert(parse("-db", "foobar").isRight)
+    assert(parse("-table", "t1", "-dumpmode", "csv").isRight)
+    val c = parse("-db", "a,b", "-chunksize", "5000", "-insertsize", "100",
+      "--dumpinsert", "simple", "--dumpheader=false").toOption.get
+    assert(c.schemas == Seq("a", "b") && c.insertSize == 100 &&
+      c.dumpInsert == "simple" && !c.dumpHeader)
+  }
+
+  test("invalid combinations are rejected (reference validation matrix)") {
+    assert(parse().isLeft)                                             // no schema/table
+    assert(parse("-db", "x", "-dumpmode", "bogus").isLeft)             // bad mode
+    assert(parse("-db", "x", "-insertsize", "20000").isLeft)           // insertsize > chunksize
+    assert(parse("-db", "x", "-chunksize", "10").isLeft)               // chunksize too small
+    assert(parse("-db", "x", "-insertsize", "0").isLeft)               // insertsize < 1
+    assert(parse("-db", "x", "--dumpinsert", "partial").isLeft)        // bad insert mode
+    assert(parse("-db", "x", "-dumpmode", "cpy", "-dumpcompress", "zstd").isLeft) // zstd ∉ cpy
+    assert(parse("-db", "x", "-dumpmode", "cpy").isLeft)               // cpy without dst
+    assert(parse("-db", "x", "-dumpfile", "%q_bad").isLeft)            // bad template verb
+    assert(parse("-db", "x", "-dumpfile", "trailing%").isLeft)         // dangling %
+    assert(parse("-db", "x", "-parallel", "0").isLeft)                 // parallelism < 1
+    assert(parse("-db", "x", "-chunksize", "abc").isLeft)              // non-integer
+    assert(parse("-frobnicate").isLeft)                                // unknown flag
+  }
+
+  test("template grammar accepts all verbs and literal percents") {
+    assert(Cli.templateValid("%d_%t_%p.%m%z"))
+    assert(Cli.templateValid("100%%"))
+    assert(!Cli.templateValid("%x"))
+    assert(!Cli.templateValid("oops%"))
+  }
+
+  test("cpy with dst validates") {
+    assert(parse("-db", "x", "-dumpmode", "cpy", "-dst", "jdbc:derby:memory:d").isRight)
+  }
+}
