@@ -1,0 +1,51 @@
+package graft
+
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import org.apache.spark.sql.SparkSession
+import graft.catalog.Catalog
+import graft.sinks.{CsvSink, SqlDumpSink}
+import graft.sources.Tables
+
+/** Whole-catalog dump — the reference's main pipeline end-to-end
+  * (§3.1: catalog -> largest-first schedule -> per-table dump;
+  * /root/reference/src/paradump/paradump.go:3707-3877).
+  *
+  * Tables are submitted LARGEST-FIRST (O3, paradump.go:1414) into a fair
+  * scheduler pool, several tables in flight at once — the Spark analogue of
+  * the reference's 4-browser/10-reader fan-out: inter-table parallelism from
+  * concurrent jobs, intra-table parallelism from partitions. */
+object DumpAll {
+
+  case class Result(table: String, rows: Long, files: Seq[String])
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          mode: String = "sql", insertSize: Int = 500,
+          exclude: Seq[String] = Nil, maxConcurrentTables: Int = 4,
+          compression: Option[String] = None): Seq[Result] = {
+    val metas = Catalog.listMeta(spark, sfDir) // already largest-first
+      .filterNot(m => exclude.exists(m.name.contains))
+    val pool = Executors.newFixedThreadPool(maxConcurrentTables)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = metas.map { m =>
+        Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft_dump")
+          val df = Tables.load(spark, sfDir, m.name)
+          val files = mode match {
+            case "sql" =>
+              SqlDumpSink.write(df, "graft", m.name, s"$outDir/${m.name}",
+                insertSize = insertSize, compression = compression)
+            case "csv" =>
+              CsvSink.write(df, s"$outDir/${m.name}", compression = compression)
+              Seq(s"$outDir/${m.name}")
+            case other => throw new IllegalArgumentException(s"mode $other")
+          }
+          Result(m.name, m.rowCount, files)
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+}

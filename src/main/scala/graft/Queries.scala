@@ -224,6 +224,17 @@ object Queries {
     graft.operators.Similarity.lshTopK(
       t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
 
+  /** Embedding-cosine near-dup over a corpus with planted duplicate vectors
+    * (every 10th, vec_id + 1_000_000) — bucketed join, rows-only. */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.unionAll(
+      emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    graft.operators.Similarity.cosineNearDupPairs(planted, threshold = 0.999)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   // ---------------------------------------------------------------------
   // DiffSync (parasync D1-D4): src = orders, dst = deterministically
   // mutated copy (pattern of test/run_test_sync.sh:607-631): updates on
@@ -429,6 +440,7 @@ object Queries {
     "near_dup_simhash" -> (nearDupSimhash _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
+    "embed_near_dup" -> (embedNearDup _),
     "diff_sync_ops" -> (diffSyncOps _),
     "diff_sync_dml" -> (diffSyncDml _),
     "q3_join" -> (q3Join _),

@@ -1,0 +1,49 @@
+package graft.sources
+
+import java.util.Properties
+
+/** S1/S3 — source-session normalization (reference
+  * `GetaSynchronizedMysqlConnections` session setup,
+  * /root/reference/src/paradump/paradump.go:159-240: SET NAMES utf8mb4
+  * :170, SET TIME_ZONE='+00:00' :177, REPEATABLE READ :184, long
+  * wait_timeout :191), mapped onto Spark's standard JDBC options so every
+  * partition connection starts identically.
+  *
+  * The FTWRL + binlog-position snapshot barrier (paradump.go:97-145,
+  * 243-355) has no Spark equivalent — each partition opens its own
+  * connection, so the guarantee is per-connection REPEATABLE_READ, the
+  * documented weaker mode (SURVEY.md §1.5). For immutable inputs (parquet
+  * lake) the barrier is moot. */
+object JdbcSession {
+
+  val MySqlInit: String =
+    "SET NAMES utf8mb4; SET TIME_ZONE='+00:00'; SET SESSION wait_timeout=86400"
+
+  /** Postgres dst pools suppress triggers (paradump.go:543). */
+  val PostgresDstInit: String = "SET session_replication_role = replica"
+
+  /** Reader properties: session init + snapshot-isolation level + fetchsize
+    * (the reference's streaming row scan, paradump.go:1790-1827). */
+  def readerProps(user: String, password: String,
+                  sessionInit: Option[String] = Some(MySqlInit),
+                  fetchSize: Int = 10000): Properties = {
+    val p = new Properties()
+    p.setProperty("user", user)
+    p.setProperty("password", password)
+    sessionInit.foreach(p.setProperty("sessionInitStatement", _))
+    p.setProperty("isolationLevel", "REPEATABLE_READ")
+    p.setProperty("fetchsize", fetchSize.toString)
+    p
+  }
+
+  /** Writer properties: batched inserts (O5), optional trigger suppression. */
+  def writerProps(user: String, password: String, batchSize: Int = 500,
+                  sessionInit: Option[String] = None): Properties = {
+    val p = new Properties()
+    p.setProperty("user", user)
+    p.setProperty("password", password)
+    sessionInit.foreach(p.setProperty("sessionInitStatement", _))
+    p.setProperty("batchsize", batchSize.toString)
+    p
+  }
+}

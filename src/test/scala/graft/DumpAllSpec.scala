@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class DumpAllSpec extends AnyFunSuite with SparkSuite {
+
+  test("whole-catalog SQL dump: every table dumped, all rows present, largest first") {
+    val out = Files.createTempDirectory("dumpall").toFile.getAbsolutePath
+    val results = DumpAll.run(spark, "/root/testdata/sf0.001", out,
+      insertSize = 100, maxConcurrentTables = 3)
+    assert(results.map(_.table).toSet == graft.sources.Tables.all.toSet)
+    // results come back in submission (size) order
+    val metas = graft.catalog.Catalog.listMeta(spark, "/root/testdata/sf0.001")
+    assert(results.map(_.table) == metas.map(_.name))
+    // spot-check: each dump holds exactly rowCount tuples
+    results.filter(r => Set("nation", "region", "supplier").contains(r.table)).foreach { r =>
+      val lines = spark.read.text(s"$out/${r.table}").collect().map(_.getString(0))
+      val tuples = lines.filter(_.startsWith("INSERT")).map(_.count(_ == '(')).sum
+      assert(tuples == r.rows, s"${r.table}: $tuples != ${r.rows}")
+    }
+  }
+
+  test("JdbcSession props carry session init, isolation and fetch size") {
+    val p = graft.sources.JdbcSession.readerProps("u", "pw")
+    assert(p.getProperty("sessionInitStatement").contains("SET NAMES utf8mb4"))
+    assert(p.getProperty("isolationLevel") == "REPEATABLE_READ")
+    assert(p.getProperty("fetchsize") == "10000")
+    val w = graft.sources.JdbcSession.writerProps("u", "pw", batchSize = 42,
+      sessionInit = Some(graft.sources.JdbcSession.PostgresDstInit))
+    assert(w.getProperty("batchsize") == "42")
+    assert(w.getProperty("sessionInitStatement").contains("session_replication_role"))
+  }
+}
