@@ -384,6 +384,46 @@ object Queries {
       |EXCEPT
       |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
 
+  /** Global top-N — compiles to TakeOrderedAndProject (per-partition top-N
+    * + driver merge of N rows), never a global sort. */
+  def topnOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)
+
+  val topnOrdersSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** ROLLUP aggregation — grouping-set coverage (subtotal + grand-total
+    * rows with NULL group markers on both engines). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** DISTINCT aggregation — the two-phase distinct-agg path. */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count_distinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val distinctAggSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Hourly windowed aggregation over events with JSON extraction from the
     * props column (ns timestamps normalized via Tables.events). */
   def eventsWindow(s: SparkSession, dir: String): DataFrame =
@@ -447,7 +487,10 @@ object Queries {
     "window_topk" -> (windowTopk _),
     "set_except" -> (setExcept _),
     "events_window" -> (eventsWindow _),
-    "media_features" -> (mediaFeatures _)
+    "media_features" -> (mediaFeatures _),
+    "topn_orders" -> (topnOrders _),
+    "rollup_agg" -> (rollupAgg _),
+    "distinct_agg" -> (distinctAgg _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -467,6 +510,9 @@ object Queries {
     "window_topk" -> windowTopkSql,
     "set_except" -> setExceptSql,
     "events_window" -> eventsWindowSql,
-    "media_features" -> mediaFeaturesSql
+    "media_features" -> mediaFeaturesSql,
+    "topn_orders" -> topnOrdersSql,
+    "rollup_agg" -> rollupAggSql,
+    "distinct_agg" -> distinctAggSql
   )
 }

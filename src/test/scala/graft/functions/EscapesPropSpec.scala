@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized property tests over the escape library (SURVEY §5's
+  * recommendation: escape round-trips under arbitrary input, including
+  * control chars). Seeded generation, no fixed fixtures. */
+class EscapesPropSpec extends AnyFunSuite {
+
+  private val specials = "\u0000\n\r\u001a\"'\\".toCharArray
+
+  /** Strings biased toward escape-relevant characters. */
+  private def nastyString(rnd: scala.util.Random): String = {
+    val n = rnd.nextInt(40)
+    val b = new StringBuilder
+    (0 until n).foreach { _ =>
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => b += specials(rnd.nextInt(specials.length))
+        case 4 | 5 | 6     => b += ('a' + rnd.nextInt(26)).toChar
+        case 7             => b += (0x80 + rnd.nextInt(0x80)).toChar
+        case 8             => b += (0x100 + rnd.nextInt(0xf000)).toChar
+        case 9             => b += ('0' + rnd.nextInt(10)).toChar
+      }
+    }
+    b.toString
+  }
+
+  /** Inverse of mysqlEscape (what a SQL parser implements). */
+  private def mysqlUnescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        b += (s.charAt(i + 1) match {
+          case '0' => '\u0000'
+          case 'n' => '\n'
+          case 'r' => '\r'
+          case 'Z' => '\u001a'
+          case c   => c
+        })
+        i += 2
+      } else { b += s.charAt(i); i += 1 }
+    }
+    b.toString
+  }
+
+  test("mysqlEscape round-trips and leaves no bare specials (500 random strings)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val s = nastyString(rnd)
+      val body = Escapes.mysqlEscape(s)
+      assert(mysqlUnescape(body) == s)
+      var i = 0
+      while (i < body.length) {
+        if (body.charAt(i) == '\\') i += 2
+        else {
+          assert(!"'\"\n\r\u0000\u001a".contains(body.charAt(i)),
+            s"bare special in ${body.getBytes("UTF-8").mkString(",")}")
+          i += 1
+        }
+      }
+    }
+  }
+
+  test("pgEscape: decoded output equals NUL-stripped input") {
+    def pgUnescape(s: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length && s.charAt(i + 1) == 'x') {
+          b += Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar
+          i += 4
+        } else { b += s.charAt(i); i += 1 }
+      }
+      b.toString
+    }
+    val rnd = new scala.util.Random(43)
+    (1 to 500).foreach { _ =>
+      val s = nastyString(rnd)
+      assert(pgUnescape(Escapes.pgEscape(s)) == s.replace("\u0000", ""))
+    }
+  }
+
+  test("csvField parses back under RFC quoting") {
+    def csvParse(f: String): String =
+      if (f.startsWith("\"") && f.endsWith("\"") && f.length >= 2)
+        f.substring(1, f.length - 1).replace("\"\"", "\"")
+      else f
+    val rnd = new scala.util.Random(44)
+    (1 to 500).foreach { _ =>
+      val s = nastyString(rnd)
+      assert(csvParse(Escapes.csvField(s)) == s)
+    }
+  }
+
+  test("mysqlEscapeBinary: no bare escape-relevant bytes in output") {
+    val rnd = new scala.util.Random(45)
+    (1 to 500).foreach { _ =>
+      val bs = Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)
+      val out = Escapes.mysqlEscapeBinary(bs)
+      var i = 0
+      while (i < out.length) {
+        val c = out(i) & 0xff
+        if (c == '\\') i += 2
+        else {
+          assert(c != '\'' && c != 0x00 && c != 0x0a && c != 0x0d && c != 0x1a,
+            s"bare byte $c in ${out.mkString(",")}")
+          i += 1
+        }
+      }
+    }
+  }
+}
