@@ -117,6 +117,24 @@ object Queries {
       |  || '''' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || ''');' AS line
       |FROM lineitem""".stripMargin
 
+  /** Byte-fidelity dump path (FidelityGen/Escapes): shortest-round-trip
+    * doubles (F7) — DuckDB's VARCHAR cast is also shortest-round-trip, so
+    * the two engines must agree digit for digit. */
+  def dumpSqlOrdersFidelity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FidelityGen.insertStatements(
+      t(s, dir, "orders"), "orders", graft.operators.FidelityGen.MySql, insertSize = 1)
+      .toDF("line")
+
+  val dumpSqlOrdersFidelitySql: String =
+    """SELECT 'INSERT INTO orders VALUES ('
+      |  || CAST(o_orderkey AS VARCHAR) || ','
+      |  || CAST(o_custkey AS VARCHAR) || ','
+      |  || '''' || replace(replace(o_orderstatus, '\', '\\'), '''', '\''') || ''','
+      |  || CAST(o_totalprice AS VARCHAR) || ','
+      |  || '''' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || ''','
+      |  || '''' || replace(replace(o_orderpriority, '\', '\\'), '''', '\''') || ''');' AS line
+      |FROM orders""".stripMargin
+
   // ---------------------------------------------------------------------
   // CSV rendering (S8+F6) — tests 115-117 pattern (run_test.sh:621-698).
   // ---------------------------------------------------------------------
@@ -471,6 +489,7 @@ object Queries {
     "chunk_predicate_equiv" -> (chunkPredicateEquiv _),
     "dump_sql_nation" -> (dumpSqlNation _),
     "dump_sql_lineitem" -> (dumpSqlLineitem _),
+    "dump_sql_orders_fidelity" -> (dumpSqlOrdersFidelity _),
     "csv_lineitem" -> (csvLineitem _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),
@@ -499,6 +518,7 @@ object Queries {
     "chunk_predicate_equiv" -> chunkPredicateEquivSql,
     "dump_sql_nation" -> dumpSqlNationSql,
     "dump_sql_lineitem" -> dumpSqlLineitemSql,
+    "dump_sql_orders_fidelity" -> dumpSqlOrdersFidelitySql,
     "csv_lineitem" -> csvLineitemSql,
     "dedup_exact" -> dedupExactSql,
     "text_stats" -> textStatsSql,

@@ -56,12 +56,12 @@ object FidelityGen {
             Timestamp.valueOf(l).toString
           case i: java.time.Instant => Timestamp.from(i).toString
         }
-        d.string(Escapes.fractTrim(t) match {
-          // Timestamp.toString always carries ".0" for whole seconds; the
-          // reference emits bare seconds for dtPrec=0 (paradump.go:3111-3130)
-          case s if s.endsWith(".0") => s.dropRight(2)
-          case s => s
-        })
+        // Timestamp.toString always carries ".0" for whole seconds; the
+        // reference emits bare seconds for dtPrec=0, and fract-trims real
+        // fractions (paradump.go:3111-3130)
+        d.string(
+          if (t.endsWith(".0")) t.dropRight(2)
+          else Escapes.fractTrim(t))
       case DateType => d.string(v.toString)
       case _ => v.toString
     }
