@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation helpers — the manual counterpart of AQE's skew-join
+  * splitting, for the cases AQE can't see (aggregations over power-law keys,
+  * joins against a non-broadcastable-but-replicable side).
+  *
+  * Salting is deterministic here (hash of a tie-break column, not rand()):
+  * results stay reproducible across retries — rand() in a salt breaks task
+  * retry idempotence. */
+object Skew {
+
+  /** Two-phase salted aggregation: count/sum-like merges survive the split.
+    * Phase 1 aggregates on (key, salt) — spreading a hot key over `salts`
+    * reducers; phase 2 merges the partials per key. */
+  def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int,
+                saltBy: Column): DataFrame = {
+    val salt = pmod(xxhash64(saltBy), lit(salts))
+    df.select(key.as("k"), value.as("v"), salt.as("s"))
+      .groupBy("k", "s").agg(sum("v").as("partial"), count(lit(1)).as("pn"))
+      .groupBy("k").agg(sum("partial").as("sum_v"), sum("pn").as("n"))
+  }
+
+  /** Replicated ("salted broadcast-free") join for a skewed big side: the
+    * big side gets a deterministic salt in [0, salts); the small side is
+    * exploded once per salt value, so the equi-join key becomes
+    * (key, salt) and a hot key fans across `salts` tasks. Inner joins only
+    * (replication would duplicate outer-null rows). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+                 saltBy: Column): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

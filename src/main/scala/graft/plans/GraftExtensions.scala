@@ -1,0 +1,27 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: makes the library's native
+  * expressions available as SQL functions. Activate with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (cluster-wide) or
+  * [[GraftExtensions.register]] on a live session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration for an already-built session (builder-time
+    * extensions can't apply to it). */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(
+      spark, "graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
+}

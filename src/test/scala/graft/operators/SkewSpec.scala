@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class SkewSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val li =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+
+  test("saltedSum equals the unsalted aggregation") {
+    val plain = li.groupBy(col("l_returnflag").as("k"))
+      .agg(sum("l_quantity").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSum(li, col("l_returnflag"), col("l_quantity"),
+      salts = 8, saltBy = col("l_orderkey"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(plain.keySet == salted.keySet)
+    plain.foreach { case (k, (s, n)) =>
+      assert(math.abs(salted(k)._1 - s) < 1e-6 && salted(k)._2 == n)
+    }
+  }
+
+  test("saltedJoin equals the plain inner join") {
+    val orders = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(orders, "l_orderkey")
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = Skew.saltedJoin(li, orders, "l_orderkey",
+      salts = 4, saltBy = col("l_linenumber"))
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(plain == salted)
+  }
+
+  test("graft_dot is callable from SQL after extension registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(got == 11.0)
+  }
+}
