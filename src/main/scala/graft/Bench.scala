@@ -23,8 +23,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE's re-planning stages cost more than they save at local bench
-      // scale; overridable for cluster runs where skew handling matters.
+      // AQE ON measured faster even at local bench scale (21.1s vs 23.8s
+      // total; csv_lineitem 1.2s vs 3.8s — see BENCH_NOTES.md); the env
+      // knob exists for re-measuring, not because off is recommended.
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -79,7 +79,10 @@ object Cli {
             case Left(e) => return Left(e)
           }
         case "-dumpfile" :: v :: t => c = c.copy(dumpFile = v); rest = t
-        case "-dumpheader" :: v :: t => c = c.copy(dumpHeader = v == "true"); rest = t
+        case "-dumpheader" :: v :: t if v == "true" || v == "false" =>
+          c = c.copy(dumpHeader = v == "true"); rest = t
+        case "-dumpheader" :: v :: _ =>
+          return Left(s"-dumpheader: expected true|false, got $v")
         case "--dumpheader=false" :: t => c = c.copy(dumpHeader = false); rest = t
         case "--dumpinsert" :: v :: t => c = c.copy(dumpInsert = v); rest = t
         case "-dumpcompress" :: v :: t => c = c.copy(compress = Some(v)); rest = t

@@ -63,8 +63,21 @@ object FidelityGen {
           if (t.endsWith(".0")) t.dropRight(2)
           else Escapes.fractTrim(t))
       case DateType => d.string(v.toString)
+      case ArrayType(et, _) =>
+        // nested types have no SQL literal form — quoted JSON-style array
+        d.string(v.asInstanceOf[Seq[Any]]
+          .map(e => if (e == null) "null" else renderBare(e, et))
+          .mkString("[", ",", "]"))
       case _ => v.toString
     }
+  }
+
+  /** Unquoted element rendering inside a JSON-style array literal. */
+  private def renderBare(v: Any, dt: DataType): String = dt match {
+    case FloatType => Escapes.floatCanonical(v.asInstanceOf[Float])
+    case DoubleType => Escapes.doubleCanonical(v.asInstanceOf[Double])
+    case StringType => "\"" + v.asInstanceOf[String].replace("\"", "\\\"") + "\""
+    case _ => v.toString
   }
 
   /** `insertSize`-batched INSERT statements with dialect-faithful literals. */

@@ -47,6 +47,9 @@ object InsertGen {
         c.cast(DecimalType(18, 2)).cast(StringType)
       case BinaryType =>
         concat(lit("0x"), lower(hex(c))) // hex literal (F5, paradump.go:2865-2899)
+      case _: ArrayType | _: StructType | _: MapType =>
+        // nested types have no SQL literal form — dump as a quoted JSON string
+        concat(lit("'"), mysqlEscapeCol(to_json(c)), lit("'"))
       case _ =>
         c.cast(StringType)
     }

@@ -183,12 +183,14 @@ object NearDup {
                    maxBucketSize: Int = 100000): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
+    // (1L << 64) == 1 in JVM shift semantics — full-width chunk needs -1L
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val h = simhashFrame(docs)
     val banded = h.select(col("doc_id"), col("sh"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk_id"),
           shiftrightunsigned(col("sh"), c * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
+            .bitwiseAND(lit(mask)).as("chunk_val"))
       }: _*)).as("c"))
       .select(col("doc_id"), col("sh"), col("c.chunk_id"), col("c.chunk_val"))
     val bucketSizes = banded.groupBy("chunk_id", "chunk_val")

@@ -29,8 +29,13 @@ object CsvSink {
   def write(df: DataFrame, outDir: String, header: Boolean = false,
             compression: Option[String] = None): Unit = {
     val prepped = df.select(df.schema.fields.map { f =>
-      if (quotable(f.dataType)) col(f.name)
-      else coalesce(col(f.name).cast(StringType), lit("")).as(f.name)
+      f.dataType match {
+        // Spark's CSV source rejects binary columns — hex-encode, matching
+        // CsvGen's cell rules (F5)
+        case BinaryType => lower(hex(col(f.name))).as(f.name)
+        case dt if quotable(dt) => col(f.name)
+        case _ => coalesce(col(f.name).cast(StringType), lit("")).as(f.name)
+      }
     }.toSeq: _*)
     val writer = prepped.write.mode("overwrite")
       .option("nullValue", "\\N")

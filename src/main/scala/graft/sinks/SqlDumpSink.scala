@@ -94,7 +94,9 @@ object SqlDumpSink {
     }.getOrElse("")
     parts.zipWithIndex.map { case (p, i) =>
       val target = new Path(dir, fileName(fileTemplate, db, table, i, "sql", zSuffix))
-      fs.rename(p, target)
+      if (!fs.rename(p, target))
+        throw new java.io.IOException(
+          s"rename $p -> $target failed (template without %p on a multi-partition write?)")
       target.toString
     }.toSeq
   }

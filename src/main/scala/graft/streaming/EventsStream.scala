@@ -14,11 +14,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStream {
 
-  /** File-source stream over an events parquet directory (the micro-batch
-    * analogue of tailing the table). */
-  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.sources.Tables.events(spark, dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+  /** File-source stream over the events parquet data (the micro-batch
+    * analogue of tailing the table). `sfDir` is the fixture directory; the
+    * stream schema must match the ON-DISK layout (ts = int64 nanos under
+    * nanosAsLong), with the same micros conversion Tables.events applies. */
+  def fromParquetDir(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = graft.sources.Tables.load(spark, sfDir, "events")
+    // the file stream source needs a directory; select only the events
+    // table's file(s) within it
+    spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Hourly windowed counts per event type with a 1-hour watermark —

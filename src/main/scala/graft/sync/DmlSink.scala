@@ -13,6 +13,13 @@ import org.apache.spark.sql.DataFrame
   * reference's optimistic full-row WHERE is available in text mode
   * ([[DiffSync.dmlStatements]]). Each partition gets its own connection and
   * commits once — the partition is the reference's writer-thread unit.
+  *
+  * Delivery semantics: AT-LEAST-ONCE, like the reference's writer — a task
+  * retried after its commit re-applies the partition (UPDATE/DELETE are
+  * idempotent; INSERT then fails on the PK and aborts the run rather than
+  * duplicating rows), and the Stats accumulators count retried partitions
+  * twice. Exactly-once would need a transactional sink keyed by partition
+  * epoch, which no JDBC target here provides.
   */
 object DmlSink {
 

@@ -30,6 +30,7 @@ class CliSpec extends AnyFunSuite {
     assert(parse("-db", "x", "-dumpfile", "trailing%").isLeft)         // dangling %
     assert(parse("-db", "x", "-parallel", "0").isLeft)                 // parallelism < 1
     assert(parse("-db", "x", "-chunksize", "abc").isLeft)              // non-integer
+    assert(parse("-db", "x", "-dumpheader", "TRUE").isLeft)            // strict boolean
     assert(parse("-frobnicate").isLeft)                                // unknown flag
   }
 

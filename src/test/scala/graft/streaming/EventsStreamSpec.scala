@@ -32,6 +32,21 @@ class EventsStreamSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("fromParquetDir streams the real events fixture and matches batch results") {
+    val sfDir = "/root/testdata/sf0.001"
+    val stream = EventsStream.fromParquetDir(spark, sfDir)
+    assert(stream.isStreaming)
+    val q = EventsStream.hourlyCounts(stream).writeStream
+      .format("memory").queryName("file_hourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_hourly")
+        .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+      val batch = graft.sources.Tables.events(spark, sfDir).count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionize: sessions close across batches when the gap is exceeded") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
