@@ -79,6 +79,10 @@ object Queries {
   def chunkPredicateEquiv(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "lineitem")
     val preds = graft.chunk.Chunker.predicates(df, liPk, 8)
+    // verification harness: one scan per predicate string ON PURPOSE — it
+    // proves each rendered SQL text independently (the JDBC-partition
+    // execution shape). Production chunk assignment in one scan is
+    // Chunker.chunkIdColumn (proven by chunk_coverage).
     preds.map(p => df.filter(expr(p))).reduce(_ unionAll _)
   }
 

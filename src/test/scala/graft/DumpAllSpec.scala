@@ -19,6 +19,12 @@ class DumpAllSpec extends AnyFunSuite with SparkSuite {
       val tuples = lines.filter(_.startsWith("INSERT")).map(_.count(_ == '(')).sum
       assert(tuples == r.rows, s"${r.table}: $tuples != ${r.rows}")
     }
+    // nested types (embeddings.embedding: array<float>) must render as
+    // quoted JSON strings, not bare casts
+    val embLines = spark.read.text(s"$out/embeddings").collect().map(_.getString(0))
+    val insert = embLines.find(_.startsWith("INSERT")).get
+    assert(insert.contains(",'[") && !insert.contains(",["),
+      s"unquoted array literal in: ${insert.take(120)}")
   }
 
   test("JdbcSession props carry session init, isolation and fetch size") {
