@@ -171,6 +171,20 @@ object Queries {
     """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_cnt
       |FROM documents GROUP BY text""".stripMargin
 
+  /** Dedup APPLIED: the surviving corpus (canonical doc per text) via a
+    * left-semi join against the canonical-id frame — the shape a pipeline
+    * actually materializes downstream of dedup. */
+  def dedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val canonical = graft.operators.TextOps.dedupExact(docs).select("doc_id")
+    docs.join(canonical, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  val dedupKeepSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin
+
   private val stopList = graft.operators.TextOps.stopwords.map("'" + _ + "'").mkString(", ")
 
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -496,6 +510,7 @@ object Queries {
     "dump_sql_orders_fidelity" -> (dumpSqlOrdersFidelity _),
     "csv_lineitem" -> (csvLineitem _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_keep" -> (dedupKeep _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -525,6 +540,7 @@ object Queries {
     "dump_sql_orders_fidelity" -> dumpSqlOrdersFidelitySql,
     "csv_lineitem" -> csvLineitemSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_keep" -> dedupKeepSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "ann_topk" -> annTopkSql,
