@@ -475,7 +475,7 @@ object Queries {
     """SELECT event_type, date_trunc('hour', ts) AS hr,
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events
       |GROUP BY event_type, date_trunc('hour', ts)
       |ORDER BY event_type, hr""".stripMargin
