@@ -211,9 +211,21 @@ object Queries {
        |       THEN 'en' ELSE 'unk' END AS lang_pred
        |FROM documents""".stripMargin
 
-  /** xxhash64 fingerprint — Spark-specific hash, no SQL oracle (rows-only). */
+  /** Rolling-hash (Rabin–Karp) document fingerprint, 62-bit dual-base —
+    * portable by construction, so the oracle replays it in SQL. */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextOps.fingerprint(t(s, dir, "documents"))
+    graft.operators.TextOps.fingerprint62(t(s, dir, "documents"))
+
+  /** DuckDB replay of TokenHash.poly over `expr`'s codepoints. */
+  private def dkPoly(expr: String, base: Int): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(a, x) -> (a * $base + x) % 2147483647)"
+
+  val docFingerprintSql: String =
+    s"""SELECT doc_id, ${dkPoly("norm", 31)} + (${dkPoly("norm", 37)} << 31) AS fp62
+       |FROM (SELECT doc_id, array_to_string(regexp_split_to_array(text, '\\s+'), ' ') AS norm
+       |      FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------------
   // LLM-data-pipeline: near-dup + similarity search.
@@ -232,14 +244,82 @@ object Queries {
     docs.unionAll(mutated)
   }
 
-  /** MinHash-LSH candidates -> exact-Jaccard verify (rows-only: the hash
-    * family is engine-specific; recall is asserted in NearDupSpec). */
+  /** The planted-dup corpus as DuckDB CTEs: `d0` (word lists) and `docs2`
+    * (originals + first-80%-of-words mutations, doc_id + 1e6) — must mirror
+    * docsWithPlantedDups exactly. Spark's `size*8/10` is an IEEE double
+    * division truncated by the int cast; floor() of the same division
+    * reproduces it for the non-negative sizes here. */
+  private val plantedDocsSql: String =
+    """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |docs2 AS (
+      |  SELECT doc_id, w FROM d0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, w[1:greatest(CAST(floor(len(w)*8/10) AS INT), 3)] AS w
+      |  FROM d0
+      |)""".stripMargin
+
+  /** All-pairs exact 3-shingle Jaccard >= 0.5 over the planted corpus — the
+    * ground truth both near_dup_minhash and ngram_jaccard must reproduce. */
+  private val exactJaccardSql: String =
+    plantedDocsSql + """,
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM docs2
+      |),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.s, b.s)) AS inter,
+      |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+      |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin
+
+  /** MinHash-LSH candidates -> exact-Jaccard verify. The oracle is the
+    * all-pairs ground truth: at the verification scale the banded-LSH
+    * candidate stage has (deterministically — fixed hash family, no RNG)
+    * 100% recall at threshold 0.5, so the verified output equals the exact
+    * answer; precision is always exact because of the verify stage. */
   def nearDupMinhash(s: SparkSession, dir: String): DataFrame =
     graft.operators.NearDup.nearDupPairs(docsWithPlantedDups(s, dir), threshold = 0.5)
 
-  /** SimHash pairs within Hamming distance 8 (rows-only). */
+  val nearDupMinhashSql: String = exactJaccardSql
+
+  /** Exact n-gram Jaccard via inverted-index candidates — same ground truth
+    * as the oracle by construction (recall exact for threshold > 0). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.jaccardPairs(docsWithPlantedDups(s, dir), threshold = 0.5)
+
+  val ngramJaccardSql: String = exactJaccardSql
+
+  /** SimHash pairs within Hamming distance 4 (of 62 bits). Banding is
+    * pigeonhole-exact and the dual-base token hash is portable, so the
+    * oracle replays the whole operator in SQL. */
   def nearDupSimhash(s: SparkSession, dir: String): DataFrame =
-    graft.operators.NearDup.simhashPairs(docsWithPlantedDups(s, dir), maxDist = 8)
+    graft.operators.NearDup.simhashPairs(docsWithPlantedDups(s, dir), maxDist = 4)
+
+  val nearDupSimhashSql: String =
+    plantedDocsSql + s""",
+      |toks AS (SELECT doc_id, unnest(w) AS tok FROM docs2),
+      |th AS (
+      |  SELECT doc_id, ${dkPoly("tok", 31)} + (${dkPoly("tok", 37)} << 31) AS h
+      |  FROM toks
+      |),
+      |bits AS (
+      |  SELECT doc_id, CAST(b AS INT) AS b,
+      |    SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+      |  FROM th, range(62) t(b) GROUP BY doc_id, CAST(b AS INT)
+      |),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY doc_id
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 4""".stripMargin
 
   def annTopk(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.bruteForceTopK(
@@ -254,14 +334,24 @@ object Queries {
       |  WHERE q.vec_id < 5 AND n.vec_id != q.vec_id) ranked
       |WHERE rank <= 5""".stripMargin
 
-  /** Multi-table hyperplane-LSH approximate ANN (rows-only; recall vs brute
-    * force is asserted in SimilaritySpec). */
+  /** Multi-table hyperplane-LSH approximate ANN. The oracle replays the
+    * identical deterministic algorithm (fixed-seed hyperplanes as SQL
+    * literals, bitwise-matching double dot products) — see
+    * Similarity.lshOracleSql. Recall vs brute force is separately asserted
+    * in SimilaritySpec. */
   def annLsh(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshTopK(
       t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
 
+  val annLshSql: String =
+    graft.operators.Similarity.lshOracleSql(queryIds = 0L until 5L, k = 5)
+
   /** Embedding-cosine near-dup over a corpus with planted duplicate vectors
-    * (every 10th, vec_id + 1_000_000) — bucketed join, rows-only. */
+    * (every 10th, vec_id + 1_000_000) — bucketed join. The oracle is the
+    * all-pairs ground truth: planted pairs are bitwise-identical vectors
+    * (cosine 1.0, same bucket in every table — recall is deterministic),
+    * and the fixtures' max organic cosine is ~0.51, far under the 0.999
+    * threshold, so bucketing loses nothing. */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val planted = emb.unionAll(
@@ -270,6 +360,18 @@ object Queries {
     graft.operators.Similarity.cosineNearDupPairs(planted, threshold = 0.999)
       .select(col("vec_a"), col("vec_b"))
   }
+
+  val embedNearDupSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+      |  WHERE vec_id % 10 = 0
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE list_inner_product(a.e, b.e)
+      |    / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.999""".stripMargin
 
   // ---------------------------------------------------------------------
   // DiffSync (parasync D1-D4): src = orders, dst = deterministically
@@ -480,6 +582,29 @@ object Queries {
       |GROUP BY event_type, date_trunc('hour', ts)
       |ORDER BY event_type, hr""".stripMargin
 
+  /** Structured Streaming end-to-end: the hourly windowed aggregation run
+    * as a micro-batch stream over the events parquet (Trigger.AvailableNow,
+    * memory sink, complete mode) — the streaming result must equal the
+    * batch oracle exactly. Proves the readStream -> watermark+window ->
+    * writeStream surface with a real CORRECTNESS row. */
+  def eventsStreamHourly(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.EventsStream.hourlyCounts(
+      graft.streaming.EventsStream.fromParquetDir(s, dir))
+    val qname = "events_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
+  val eventsStreamHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hr, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // Multimodal: binary payload round-trip (synthetic header + decode stub).
   // The oracle re-derives the decoded metadata independently — proving the
@@ -516,6 +641,8 @@ object Queries {
     "doc_fingerprint" -> (docFingerprint _),
     "near_dup_minhash" -> (nearDupMinhash _),
     "near_dup_simhash" -> (nearDupSimhash _),
+    "ngram_jaccard" -> (ngramJaccard _),
+    "events_stream" -> (eventsStreamHourly _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "embed_near_dup" -> (embedNearDup _),
@@ -543,7 +670,14 @@ object Queries {
     "dedup_keep" -> dedupKeepSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "near_dup_minhash" -> nearDupMinhashSql,
+    "near_dup_simhash" -> nearDupSimhashSql,
+    "ngram_jaccard" -> ngramJaccardSql,
+    "events_stream" -> eventsStreamHourlySql,
     "ann_topk" -> annTopkSql,
+    "ann_lsh" -> annLshSql,
+    "embed_near_dup" -> embedNearDupSql,
     "diff_sync_ops" -> diffSyncOpsSql,
     "diff_sync_dml" -> diffSyncDmlSql,
     "q3_join" -> q3JoinSql,

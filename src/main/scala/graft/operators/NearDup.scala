@@ -38,6 +38,26 @@ object NearDup {
     }
   }
 
+  /** Portable polynomial (Rabin–Karp rolling) hash family mod 2^31-1 —
+    * chosen so an independent engine can replay it exactly in plain SQL
+    * (products stay under 2^36, no 64-bit overflow semantics needed).
+    * Two bases give a 62-bit combined value. */
+  object TokenHash {
+    val M = 2147483647L // 2^31 - 1 (Mersenne prime)
+    def poly(s: String, base: Long): Long = {
+      var h = 7L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * base + cp) % M
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    /** 62-bit hash: base-31 poly in the low 31 bits, base-37 in the high. */
+    def hash62(s: String): Long = poly(s, 31) | (poly(s, 37) << 31)
+  }
+
   /** Per-doc MinHash signature from word k-shingles: token hashes -> rolling
     * k-window combine -> per-seed min. One JVM pass, no string shingles. */
   private def signatureOf(text: String, k: Int, numHashes: Int): Array[Long] = {
@@ -143,21 +163,26 @@ object NearDup {
 
   // --- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over the token multiset: per bit, sum +/-1 weighted by
+  /** SimHash signature width. 62 bits (not 64) because the portable token
+    * hash [[TokenHash.hash62]] yields 62 usable bits — the price of being
+    * exactly replayable by the SQL oracle. */
+  val simhashBits: Int = 62
+
+  /** 62-bit SimHash over the token multiset: per bit, sum +/-1 weighted by
     * each token hash's bit, take the sign. One JVM pass per doc. */
   private def simhashOf(text: String): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](simhashBits)
     text.split(' ').foreach { t =>
-      val h = Hash64.ofString(t)
+      val h = TokenHash.hash62(t)
       var b = 0
-      while (b < 64) {
+      while (b < simhashBits) {
         if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
     }
     var sh = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
+    while (b < simhashBits) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
     sh
   }
 
@@ -182,14 +207,21 @@ object NearDup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    maxBucketSize: Int = 100000): DataFrame = {
     val chunks = maxDist + 1
-    val width = 64 / chunks
-    // (1L << 64) == 1 in JVM shift semantics — full-width chunk needs -1L
-    val mask = if (width >= 64) -1L else (1L << width) - 1
+    // Cover all simhashBits with `chunks` contiguous chunks; the first
+    // (bits % chunks) chunks are one bit wider. Pigeonhole still holds: a
+    // pair within maxDist differs in <= maxDist chunks, so it agrees on at
+    // least one — candidate generation stays EXACT (no recall loss).
+    val baseW = simhashBits / chunks
+    val offsets = (0 until chunks).map { c =>
+      val extra = math.min(c, simhashBits % chunks)
+      (c * baseW + extra, baseW + (if (c < simhashBits % chunks) 1 else 0))
+    }
     val h = simhashFrame(docs)
     val banded = h.select(col("doc_id"), col("sh"),
-      explode(array((0 until chunks).map { c =>
+      explode(array(offsets.zipWithIndex.map { case ((off, width), c) =>
+        val mask = if (width >= 64) -1L else (1L << width) - 1
         struct(lit(c).as("chunk_id"),
-          shiftrightunsigned(col("sh"), c * width)
+          shiftrightunsigned(col("sh"), off)
             .bitwiseAND(lit(mask)).as("chunk_val"))
       }: _*)).as("c"))
       .select(col("doc_id"), col("sh"), col("c.chunk_id"), col("c.chunk_val"))
@@ -204,8 +236,48 @@ object NearDup {
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk_id", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming").distinct()
+  }
+
+  // --- Exact n-gram Jaccard ------------------------------------------------
+
+  /** Exact n-gram Jaccard near-dup — the non-approximate member of the dedup
+    * family. Candidates come from an inverted index on shingle hashes (a
+    * pair with Jaccard >= t > 0 shares at least one shingle, so recall is
+    * exact); `maxPostingLen` caps degenerate posting lists (boilerplate
+    * shingles), the same documented skew guard as [[candidatePairs]].
+    * Only (doc_id, 8-byte shingle hash) rows shuffle for candidate
+    * generation; bodies join back only for the verify stage. */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                   maxPostingLen: Int = 1000): DataFrame = {
+    import docs.sparkSession.implicits._
+    val posts = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(' ')
+        val th = toks.map(Hash64.ofString)
+        val n = th.length - k + 1
+        if (n <= 0) Iterator.empty
+        else {
+          val set = new scala.collection.mutable.HashSet[Long]
+          var s = 0
+          while (s < n) {
+            var sh = 0x51afd6ed558ccd6dL
+            var j = 0
+            while (j < k) { sh = Hash64.mix(sh ^ th(s + j)); j += 1 }
+            set += sh
+            s += 1
+          }
+          set.iterator.map(h => (id, h))
+        }
+      }).toDF("doc_id", "sh_hash")
+    val postLen = posts.groupBy("sh_hash").agg(count(lit(1)).as("post_n"))
+    val bounded = posts.join(postLen.filter(col("post_n") <= maxPostingLen), Seq("sh_hash"))
+    val cands = bounded.select(col("sh_hash"), col("doc_id").as("doc_a"))
+      .join(bounded.select(col("sh_hash"), col("doc_id").as("doc_b")), Seq("sh_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    withJaccard(cands, docs, k).filter(col("jaccard") >= threshold)
   }
 }

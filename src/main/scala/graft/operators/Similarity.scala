@@ -92,6 +92,46 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** DuckDB SQL that replays [[lshTopK]] exactly: the fixed-seed hyperplanes
+    * are rendered as DOUBLE[] literals (each value is the Float the Spark
+    * side projects with, widened to double — exact), and
+    * `list_inner_product` over DOUBLE[] accumulates sequentially in double,
+    * bit-identical to [[graft.functions.VectorExprs.DotProduct]]. So bucket
+    * signs, the candidate set, cosine re-ranking, and id tie-breaks all
+    * reproduce — a genuinely independent re-implementation of the same
+    * deterministic algorithm, not a copy of its output. */
+  def lshOracleSql(queryIds: Seq[Long], k: Int, dim: Int = 64, tables: Int = 8,
+                   bits: Int = 4, seed: Long = 42L): String = {
+    val planes = hyperplanes(dim, tables, bits, seed)
+    def arr(p: Seq[Double]): String =
+      // Float -> Double is exact; Double.toString round-trips
+      p.map(d => d.toFloat.toDouble.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+    val tableSelects = planes.zipWithIndex.map { case (tp, t) =>
+      val bucket = tp.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_inner_product(e, ${arr(p)}) > 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS table_id, $bucket AS bucket FROM corpus"
+    }.mkString("\nUNION ALL\n")
+    val cos = "list_inner_product(qe.e, ne.e) / (sqrt(list_inner_product(qe.e, qe.e)) * sqrt(list_inner_product(ne.e, ne.e)))"
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (
+       |$tableSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM b q JOIN b c ON q.table_id = c.table_id AND q.bucket = c.bucket
+       |  WHERE q.vec_id IN (${queryIds.mkString(", ")}) AND c.vec_id != q.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY $cos DESC, neighbor_id) AS rank
+       |  FROM cand
+       |  JOIN corpus qe ON qe.vec_id = cand.query_id
+       |  JOIN corpus ne ON ne.vec_id = cand.neighbor_id
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Single-table bucket id (hyperplane signs) — the bucketing key for
     * embedding near-dup joins. */
   def bucketId(emb: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column = {

@@ -65,9 +65,23 @@ object TextOps {
   }
 
   /** Document fingerprint: 64-bit content hash of the token sequence
-    * (whitespace-normalized), for cheap downstream equality joins. */
+    * (whitespace-normalized), for cheap downstream equality joins.
+    * xxhash64 is Spark-codegen'd — the fast path when cross-engine
+    * reproducibility is not required. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       xxhash64(concat_ws(" ", split(col("text"), "\\s+"))).as("fp64"))
+
+  /** Portable document fingerprint: 62-bit dual-base Rabin–Karp rolling hash
+    * over the whitespace-normalized text ([[NearDup.TokenHash.hash62]]) —
+    * exactly replayable by any engine with 64-bit integer SQL, which is what
+    * the correctness oracle does. Runs as one JVM pass per document. */
+  def fingerprint62(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, NearDup.TokenHash.hash62(text.split("\\s+").mkString(" ")))
+      }).toDF("doc_id", "fp62")
+  }
 }
