@@ -12,10 +12,14 @@ import graft.sources.Tables
   * (§3.1: catalog -> largest-first schedule -> per-table dump;
   * /root/reference/src/paradump/paradump.go:3707-3877).
   *
-  * Tables are submitted LARGEST-FIRST (O3, paradump.go:1414) into a fair
-  * scheduler pool, several tables in flight at once — the Spark analogue of
-  * the reference's 4-browser/10-reader fan-out: inter-table parallelism from
-  * concurrent jobs, intra-table parallelism from partitions. */
+  * Tables are submitted LARGEST-FIRST (O3, paradump.go:1414), several in
+  * flight at once — the Spark analogue of the reference's
+  * 4-browser/10-reader fan-out: inter-table parallelism from concurrent
+  * jobs, intra-table parallelism from partitions. When the session runs
+  * with `spark.scheduler.mode=FAIR` each table gets its own on-demand pool,
+  * so a huge table cannot starve the small ones; under the default FIFO
+  * scheduler the concurrency still holds but jobs queue in submit order
+  * (largest-first), which is the documented fallback. */
 object DumpAll {
 
   case class Result(table: String, rows: Long, files: Seq[String])
@@ -29,9 +33,14 @@ object DumpAll {
     val pool = Executors.newFixedThreadPool(maxConcurrentTables)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
+      val fair = spark.sparkContext.getConf
+        .get("spark.scheduler.mode", "FIFO").equalsIgnoreCase("FAIR")
       val futures = metas.map { m =>
         Future {
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft_dump")
+          // one pool per table: FAIR shares cluster slots across tables
+          // (pools are created on demand with default weight 1)
+          if (fair)
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft_dump_${m.name}")
           val df = Tables.load(spark, sfDir, m.name)
           val files = mode match {
             case "sql" =>

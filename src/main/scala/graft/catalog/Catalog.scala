@@ -79,12 +79,22 @@ object Catalog {
       cols.forall(c => !df.schema(c).nullable || nullFree.contains(c))
     }
     if (viable.isEmpty) return None
-    val (best, _) = viable.map { case (cols, i) =>
+    val scored = viable.map { case (cols, i) =>
       (cols, row.getLong(row.fieldIndex(s"__c$i")))
-    }.maxBy { case (cols, c) => (c, -cols.length) }
-    // exact confirmation on the winner only (single extra pass)
-    val exact = df.agg(count_distinct(struct(best.map(col): _*))).head().getLong(0)
-    Some((best, exact == n))
+    }.sortBy { case (cols, c) => (-c, cols.length) }
+    def exactDistinct(cols: Seq[String]): Long =
+      df.agg(count_distinct(struct(cols.map(col): _*))).head().getLong(0)
+    // Exact-confirm the approximate winner; if it fails, also try runner-ups
+    // whose estimate is within the approx_count_distinct error band (~5% rsd
+    // -> 2 sigma) — a truly unique key must not lose to a non-unique one on
+    // estimation noise (a fake-PK verdict is safe but pessimal downstream).
+    val (bestCols, bestEst) = scored.head
+    val band = (bestEst * (1.0 - 2 * 0.05)).toLong
+    val contenders = scored.head +: scored.tail.takeWhile(_._2 >= band)
+    contenders.iterator
+      .map { case (cols, _) => (cols, exactDistinct(cols) == n) }
+      .collectFirst { case (cols, true) => (cols, true) }
+      .orElse(Some((bestCols, false)))
   }
 
   /** Recursive (size, rowCount) from parquet footers + FS metadata — NO data

@@ -73,9 +73,11 @@ object Chunker {
 
   /** Half-open ranges covering (-inf, +inf) from internal cut points —
     * parasync's chunk-set shape (first chunk upper-bound-only, last chunk
-    * lower-bound-only; parasync.go:1880-1881). */
-  def ranges(cuts: Seq[Seq[Any]]): Seq[Predicates.Range] = {
-    val lits = cuts.map(_.map(v => Predicates.sqlLiteral(v)))
+    * lower-bound-only; parasync.go:1880-1881). `mysql` selects the literal
+    * dialect: MySQL treats backslash as an escape in string literals, so
+    * string boundary values must go through the F1 escaper there. */
+  def ranges(cuts: Seq[Seq[Any]], mysql: Boolean = false): Seq[Predicates.Range] = {
+    val lits = cuts.map(_.map(v => Predicates.sqlLiteral(v, mysql)))
     val bounds = (None +: lits.map(Some(_))) :+ None
     bounds.sliding(2).map { case Seq(lo, hi) => Predicates.Range(lo, hi) }.toSeq
   }
@@ -83,11 +85,11 @@ object Chunker {
   /** JDBC-style predicate strings for n chunks of df — the reference's
     * whole chunking pipeline in one call. */
   def predicates(df: DataFrame, pkCols: Seq[String], n: Int,
-                 exact: Boolean = true): Seq[String] = {
+                 exact: Boolean = true, mysql: Boolean = false): Seq[String] = {
     val cuts =
       if (exact) boundaries(df, pkCols, n).dropRight(1) // last boundary = max pk
       else sampledBoundaries(df, pkCols, n)
-    ranges(cuts).map(Predicates.sqlText(pkCols, _))
+    ranges(cuts, mysql).map(Predicates.sqlText(pkCols, _))
   }
 
   /** Chunk id (1..cuts.length+1) for each row by comparing the PK struct

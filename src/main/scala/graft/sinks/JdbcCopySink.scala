@@ -2,6 +2,7 @@ package graft.sinks
 
 import java.util.Properties
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
 
 /** S9 — DB copy sink ("cpy" mode): `df.write.jdbc` append with the
   * reference's micro-batching (O5: `insert_size` rows per statement,
@@ -11,16 +12,44 @@ import org.apache.spark.sql.DataFrame
   */
 object JdbcCopySink {
 
-  /** Pre-flight: dst schema must agree column-for-column (case-insensitive
-    * names — JDBC catalogs often upper-case) and dst must be empty
-    * (paradump.go:1449-1452). Throws IllegalStateException on mismatch. */
+  /** Broad type family for cross-driver compatibility: dialect mappings
+    * rarely round-trip Catalyst types exactly (DECIMAL precision/scale, INT
+    * widths, MySQL UNSIGNED), and the reference warns-and-continues on such
+    * differences (CheckTablesOnDestination, paradump.go:1483-1484). */
+  private def family(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType | _: DecimalType => "numeric"
+    case FloatType | DoubleType => "fractional"
+    case StringType | _: VarcharType | _: CharType => "string"
+    case BinaryType => "binary"
+    case DateType | TimestampType | TimestampNTZType => "datetime"
+    case BooleanType => "boolean"
+    case other => other.typeName
+  }
+
+  /** Pre-flight: column names/count must agree exactly (case-insensitive —
+    * JDBC catalogs often upper-case) and dst must be empty
+    * (paradump.go:1449-1452); both throw IllegalStateException. Type
+    * differences within the same family only WARN (the reference's
+    * behavior); a cross-family difference (e.g. string vs binary) throws. */
   def validate(df: DataFrame, url: String, table: String, props: Properties): Unit = {
     val dst = df.sparkSession.read.jdbc(url, table, props)
-    val src = df.schema.fields.map(f => (f.name.toLowerCase, f.dataType))
-    val dstF = dst.schema.fields.map(f => (f.name.toLowerCase, f.dataType))
-    if (!src.sameElements(dstF))
+    val src = df.schema.fields
+    val dstF = dst.schema.fields
+    if (src.map(_.name.toLowerCase).toSeq != dstF.map(_.name.toLowerCase).toSeq)
       throw new IllegalStateException(
-        s"destination schema mismatch for $table: src=${src.mkString(",")} dst=${dstF.mkString(",")}")
+        s"destination column mismatch for $table: " +
+          s"src=${src.map(_.name).mkString(",")} dst=${dstF.map(_.name).mkString(",")}")
+    src.zip(dstF).foreach { case (s, d) =>
+      if (s.dataType != d.dataType) {
+        if (family(s.dataType) != family(d.dataType))
+          throw new IllegalStateException(
+            s"incompatible type for $table.${s.name}: src=${s.dataType} dst=${d.dataType}")
+        else
+          System.err.println(
+            s"[graft] WARN: $table.${s.name} type differs (src=${s.dataType} " +
+              s"dst=${d.dataType}) — compatible family, continuing (cf. paradump.go:1483-1484)")
+      }
+    }
     if (!dst.isEmpty)
       throw new IllegalStateException(s"destination table $table is not empty")
   }

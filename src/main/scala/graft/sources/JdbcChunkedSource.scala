@@ -32,11 +32,14 @@ object JdbcChunkedSource {
   def readChunked(spark: SparkSession, url: String, table: String,
                   pkCols: Seq[String], numChunks: Int, props: Properties,
                   sampleFraction: Double = 1.0): DataFrame = {
+    // predicate text executes on the target connection, so the literal
+    // dialect must follow the driver (MySQL: backslash is an escape char)
+    val mysql = url.toLowerCase.startsWith("jdbc:mysql")
     val probe = spark.read.jdbc(url, table, props).select(pkCols.map(col): _*)
     val preds = if (sampleFraction >= 1.0)
-      Chunker.predicates(probe, pkCols, numChunks)
+      Chunker.predicates(probe, pkCols, numChunks, mysql = mysql)
     else
-      Chunker.ranges(Chunker.sampledBoundaries(probe, pkCols, numChunks, sampleFraction))
+      Chunker.ranges(Chunker.sampledBoundaries(probe, pkCols, numChunks, sampleFraction), mysql)
         .map(graft.chunk.Predicates.sqlText(pkCols, _))
     read(spark, url, table, preds, props)
   }

@@ -16,6 +16,8 @@ object SparkFixture {
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
       // read as Long nanos (converted in the events queries)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // exercise DumpAll's fair-scheduler path (per-table pools)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
