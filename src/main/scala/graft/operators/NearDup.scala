@@ -155,10 +155,52 @@ object NearDup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** (doc_id, n_sh, sorted distinct shingle-hash array) — the compact
+    * verify-side representation: 8 bytes per shingle instead of a string,
+    * built in the same JVM pass as the postings. */
+  def shingleHashSets(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val th = text.split(' ').map(Hash64.ofString)
+        val n = th.length - k + 1
+        val set = new scala.collection.mutable.HashSet[Long]
+        var s = 0
+        while (s < n) {
+          var sh = 0x51afd6ed558ccd6dL
+          var j = 0
+          while (j < k) { sh = Hash64.mix(sh ^ th(s + j)); j += 1 }
+          set += sh
+          s += 1
+        }
+        val arr = set.toArray
+        java.util.Arrays.sort(arr)
+        (id, arr.length, arr)
+      }).toDF("doc_id", "n_sh", "sh_set")
+  }
+
+  /** Exact Jaccard for candidate pairs over hash sets (collision probability
+    * ~|shingles|^2 / 2^64 — negligible and deterministic). Intersection via
+    * the codegen'd two-pointer merge over the sorted arrays
+    * ([[graft.functions.ArrayExprs.sortedIntersectSize]]) — no per-row hash
+    * set, unlike built-in array_intersect. */
+  def withJaccardHashed(pairs: DataFrame, hashSets: DataFrame): DataFrame = {
+    val a = hashSets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a"))
+    val b = hashSets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayExprs.sortedIntersectSize(col("set_a"), col("set_b")))
+      .withColumn("uni", size(col("set_a")) + size(col("set_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double"))
+          .otherwise(lit(0d)))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold. */
   def nearDupPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
                    bands: Int = 8, threshold: Double = 0.6): DataFrame =
-    withJaccard(candidatePairs(docs, k, numHashes, bands), docs, k)
+    withJaccardHashed(candidatePairs(docs, k, numHashes, bands), shingleHashSets(docs, k))
       .filter(col("jaccard") >= threshold)
 
   // --- SimHash -----------------------------------------------------------
@@ -244,40 +286,41 @@ object NearDup {
   // --- Exact n-gram Jaccard ------------------------------------------------
 
   /** Exact n-gram Jaccard near-dup — the non-approximate member of the dedup
-    * family. Candidates come from an inverted index on shingle hashes (a
-    * pair with Jaccard >= t > 0 shares at least one shingle, so recall is
-    * exact); `maxPostingLen` caps degenerate posting lists (boilerplate
-    * shingles), the same documented skew guard as [[candidatePairs]].
-    * Only (doc_id, 8-byte shingle hash) rows shuffle for candidate
-    * generation; bodies join back only for the verify stage. */
-  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-                   maxPostingLen: Int = 1000): DataFrame = {
-    import docs.sparkSession.implicits._
-    val posts = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val toks = text.split(' ')
-        val th = toks.map(Hash64.ofString)
-        val n = th.length - k + 1
-        if (n <= 0) Iterator.empty
-        else {
-          val set = new scala.collection.mutable.HashSet[Long]
-          var s = 0
-          while (s < n) {
-            var sh = 0x51afd6ed558ccd6dL
-            var j = 0
-            while (j < k) { sh = Hash64.mix(sh ^ th(s + j)); j += 1 }
-            set += sh
-            s += 1
-          }
-          set.iterator.map(h => (id, h))
-        }
-      }).toDF("doc_id", "sh_hash")
-    val postLen = posts.groupBy("sh_hash").agg(count(lit(1)).as("post_n"))
-    val bounded = posts.join(postLen.filter(col("post_n") <= maxPostingLen), Seq("sh_hash"))
-    val cands = bounded.select(col("sh_hash"), col("doc_id").as("doc_a"))
-      .join(bounded.select(col("sh_hash"), col("doc_id").as("doc_b")), Seq("sh_hash"))
+    * family, via PREFIX FILTERING (the AllPairs/PPJoin candidate rule,
+    * Bayardo et al. WWW'07): order every document's shingles globally by
+    * (document frequency asc, hash) and index only the first
+    * n - ceil(t*n) + 1 of its n shingles. Two documents with
+    * Jaccard >= t must share a shingle inside BOTH prefixes, so joining
+    * prefix postings is exact — recall 1.0 with no posting-list cap — while
+    * common boilerplate shingles (high document frequency) sort to the
+    * suffix and never generate candidates. Only (doc_id, 8-byte hash) rows
+    * shuffle; bodies join back for the verify stage alone. */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = shingleHashSets(docs, k)
+    val posts = sets.select(col("doc_id"), col("n_sh"), explode(col("sh_set")).as("sh_hash"))
+    val freq = posts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("doc_freq"), col("sh_hash"))
+    val prefix = posts.join(freq, "sh_hash")
+      .select(col("doc_id"), col("n_sh"), col("sh_hash"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
+      .select("doc_id", "n_sh", "sh_hash", "rnk")
+    // length filter (PPJoin): J >= t forces t*max(|A|,|B|) <= min(|A|,|B|);
+    // positional filter: a match at ranks (ra, rb) of the shared global
+    // order bounds the overlap by 1 + min(n_a-ra, n_b-rb), which must reach
+    // minoverlap = ceil(t/(1+t)*(n_a+n_b)) for at least one shared prefix
+    // shingle (in particular the smallest one) if J >= t.
+    val cands = prefix.select(col("sh_hash"), col("doc_id").as("doc_a"),
+        col("n_sh").as("n_a"), col("rnk").as("r_a"))
+      .join(prefix.select(col("sh_hash"), col("doc_id").as("doc_b"),
+        col("n_sh").as("n_b"), col("rnk").as("r_b")), Seq("sh_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(col("n_a") >= ceil(col("n_b") * lit(threshold)) &&
+        col("n_b") >= ceil(col("n_a") * lit(threshold)))
+      .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >=
+        ceil((col("n_a") + col("n_b")) * lit(threshold / (1 + threshold))))
       .select("doc_a", "doc_b").distinct()
-    withJaccard(cands, docs, k).filter(col("jaccard") >= threshold)
+    withJaccardHashed(cands, sets).filter(col("jaccard") >= threshold)
   }
 }
