@@ -61,10 +61,85 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane-LSH bucket ids of an embedding in ONE kernel: projects the
+  * float vector onto tables*bits hyperplanes and packs the sign bits per
+  * table. Replaces tables*bits separate DotProduct+CASE expressions — one
+  * pass over the vector, one compact codegen function (32 independent
+  * expressions took multi-second janino compiles).
+  *
+  * Each projection accumulates sequentially in double over ascending index —
+  * bit-identical to [[DotProduct]] and to the SQL oracle's
+  * list_inner_product, so bucket signs reproduce exactly.
+  *
+  * `planes` is indexed [table*bits + bit][dim].
+  */
+case class HyperplaneBuckets(child: Expression, planes: Array[Array[Float]],
+                             tables: Int, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_buckets"
+
+  private def bucketsOf(e: ArrayData): Array[Long] = {
+    val out = new Array[Long](tables)
+    var p = 0
+    while (p < tables * bits) {
+      val pl = planes(p)
+      val n = math.min(e.numElements(), pl.length)
+      var acc = 0d
+      var i = 0
+      while (i < n) { acc += e.getFloat(i).toDouble * pl(i).toDouble; i += 1 }
+      if (acc > 0d) out(p / bits) |= (1L << (p % bits))
+      p += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bucketsOf(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val pl = ctx.freshName("pl")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $out = new long[$tables];
+         |for (int $p = 0; $p < ${tables * bits}; $p++) {
+         |  float[] $pl = $planesRef[$p];
+         |  int $n = java.lang.Math.min($e.numElements(), $pl.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $e.getFloat($i) * (double) $pl[$i];
+         |  }
+         |  if ($acc > 0.0) { $out[$p / $bits] |= (1L << ($p % $bits)); }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
 object ArrayExprs {
   /** Intersection size of two sorted, duplicate-free ArrayType(LongType)
     * columns. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Per-table LSH bucket array (length `tables`) for a float-array
+    * embedding column; planes indexed [table*bits + bit][dim]. */
+  def hyperplaneBuckets(emb: Column, planes: Array[Array[Float]],
+                        tables: Int, bits: Int): Column =
+    GraftColumnBridge.column(HyperplaneBuckets(
+      GraftColumnBridge.expression(emb), planes, tables, bits))
 }

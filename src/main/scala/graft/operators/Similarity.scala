@@ -54,18 +54,15 @@ object Similarity {
     Seq.fill(tables, bits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Array of (table_id, bucket) structs: per table, the bucket is the sign
-    * pattern of the H hyperplane projections (random-hyperplane LSH). */
+  /** Per-table bucket array (index = table_id): the bucket is the sign
+    * pattern of the H hyperplane projections (random-hyperplane LSH).
+    * One fused codegen kernel for all tables*bits projections
+    * ([[graft.functions.ArrayExprs.hyperplaneBuckets]]). */
   def lshBuckets(emb: Column, dim: Int, tables: Int, bits: Int,
                  seed: Long = 42L): Column = {
-    val planes = hyperplanes(dim, tables, bits, seed)
-    array(planes.zipWithIndex.map { case (tablePlanes, t) =>
-      val bucket = tablePlanes.zipWithIndex.map { case (p, j) =>
-        val proj = graft.functions.VectorExprs.dot(emb, typedLit(p.map(_.toFloat)))
-        when(proj > 0d, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("table_id"), bucket.as("bucket"))
-    }: _*)
+    val flat = hyperplanes(dim, tables, bits, seed)
+      .flatten.map(_.map(_.toFloat).toArray).toArray
+    graft.functions.ArrayExprs.hyperplaneBuckets(emb, flat, tables, bits)
   }
 
   /** Approximate top-k via multi-table hyperplane LSH: a query probes its
@@ -74,9 +71,9 @@ object Similarity {
     * bucket) — selectivity ~L/2^bits of the corpus, never a full scan. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, dim: Int = 64,
               tables: Int = 8, bits: Int = 4, seed: Long = 42L): DataFrame = {
-    val buckets = explode(lshBuckets(col("embedding"), dim, tables, bits, seed)).as("tb")
-    val corpusB = emb.select(col("vec_id"), col("embedding"), buckets)
-      .select(col("vec_id"), col("embedding"), col("tb.table_id"), col("tb.bucket"))
+    val corpusB = emb.select(col("vec_id"), col("embedding"),
+      posexplode(lshBuckets(col("embedding"), dim, tables, bits, seed))
+        .as(Seq("table_id", "bucket")))
     val queryB = corpusB.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("table_id"), col("bucket"))
@@ -134,13 +131,8 @@ object Similarity {
 
   /** Single-table bucket id (hyperplane signs) — the bucketing key for
     * embedding near-dup joins. */
-  def bucketId(emb: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column = {
-    val planes = hyperplanes(dim, 1, bits, seed).head
-    planes.zipWithIndex.map { case (p, j) =>
-      val proj = graft.functions.VectorExprs.dot(emb, typedLit(p.map(_.toFloat)))
-      when(proj > 0d, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def bucketId(emb: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column =
+    element_at(lshBuckets(emb, dim, tables = 1, bits = bits, seed = seed), 1)
 
   /** Embedding-cosine near-duplicate pairs within a bucket (the embedding
     * analogue of NearDup: equi-join on bucket, never all-pairs). */
