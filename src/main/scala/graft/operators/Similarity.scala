@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   *    set against the full corpus, partitioned window per query. The
   *    correctness baseline; scales linearly in corpus size with no shuffle
   *    of the corpus (queries broadcast, window partitions by query_id).
-  *  - [[ivfTopK]] — bucketed scale path: coarse-quantize vectors by the sign
-  *    bits of their leading dimensions (a deterministic IVF-style inverted
-  *    file); queries probe only their own bucket, turning the scan into an
-  *    equi-join with ~1/2^bits selectivity. Approximate — recall measured in
-  *    SimilaritySpec.
+  *  - [[lshTopK]] — bucketed scale path: multi-table random-hyperplane LSH
+  *    (an IVF-style inverted file per table); queries probe only their own
+  *    bucket per table, turning the scan into an equi-join with ~L/2^bits
+  *    selectivity. Approximate — recall measured in SimilaritySpec, and the
+  *    full algorithm is replayed exactly by the SQL oracle (lshOracleSql).
   *
   * Dot products are computed in double via codegen'd higher-order functions
   * (`zip_with` + `aggregate`) — no UDFs.
