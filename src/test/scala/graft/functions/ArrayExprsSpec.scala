@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class ArrayExprsSpec extends AnyFunSuite with SparkSuite {
+
+  test("sortedIntersectSize matches array_intersect on random sorted sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("fast", ArrayExprs.sortedIntersectSize(col("a"), col("b")))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+    // empty sides
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(ArrayExprs.sortedIntersectSize(col("a"), col("b")))
+    assert(e.head().getInt(0) == 0)
+  }
+
+  test("HyperplaneBuckets packs the same signs as per-plane dot products") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val tables = 3
+    val bits = 4
+    val planes = Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = Seq.fill(50)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    val df = vecs.toDF("v")
+      .withColumn("buckets", ArrayExprs.hyperplaneBuckets(col("v"), planes, tables, bits))
+    val got = df.select("v", "buckets").collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val buckets = r.getSeq[Long](1)
+      assert(buckets.length == tables)
+      for (t <- 0 until tables) {
+        var expect = 0L
+        for (j <- 0 until bits) {
+          // same accumulation order as the kernel: sequential double sum
+          var acc = 0d
+          val pl = planes(t * bits + j)
+          for (i <- 0 until dim) acc += v(i).toDouble * pl(i).toDouble
+          if (acc > 0d) expect |= (1L << j)
+        }
+        assert(buckets(t) == expect, s"table $t bucket mismatch")
+      }
+    }
+  }
+}

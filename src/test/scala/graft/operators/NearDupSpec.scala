@@ -48,6 +48,34 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
     assert(verified == found.size)
   }
 
+  test("jaccardPairs (prefix filter) equals brute-force all-pairs ground truth") {
+    val found = NearDup.jaccardPairs(corpus, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: every (a, b) pair, string-shingle verify — independent
+    // of the hashed path (different shingle representation)
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).sorted
+    val allPairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+    } yield (ids(i), ids(j))
+    val truth = NearDup.withJaccard(
+      spark.createDataFrame(allPairs).toDF("doc_a", "doc_b"), corpus)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truth.nonEmpty)
+    assert(found == truth,
+      s"prefix-filtered result (${found.size}) != ground truth (${truth.size})")
+  }
+
+  test("TokenHash: portable polynomial hash matches its spec") {
+    // ((7*31+'t')*31+'h')*31+'e' mod 2^31-1 — the value the DuckDB oracle
+    // derives independently via list_reduce
+    assert(NearDup.TokenHash.poly("the", 31) == 323338L)
+    val h = NearDup.TokenHash.hash62("the")
+    assert((h & 0x7fffffffL) == NearDup.TokenHash.poly("the", 31))
+    assert((h >>> 31) == NearDup.TokenHash.poly("the", 37))
+    assert(h >= 0, "62-bit hash must leave the sign bit clear")
+  }
+
   test("simhash: identical texts collide, planted near-dups within distance") {
     val pairs = NearDup.simhashPairs(corpus, maxDist = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
