@@ -54,11 +54,19 @@ object JdbcCopySink {
       throw new IllegalStateException(s"destination table $table is not empty")
   }
 
+  /** MSSQL caps a statement at 2100 bind parameters: clamp the per-statement
+    * row batch so cols x rows stays under it (reference O5,
+    * paradump.go:3727-3735). Other dialects keep the requested size. */
+  def clampBatchSize(batchSize: Int, nCols: Int, url: String): Int =
+    if (url.toLowerCase.startsWith("jdbc:sqlserver") && nCols > 0)
+      math.max(1, math.min(batchSize, (2100 - 1) / nCols))
+    else batchSize
+
   def write(df: DataFrame, url: String, table: String, props: Properties,
             batchSize: Int = 500, validateFirst: Boolean = true): Unit = {
     if (validateFirst) validate(df, url, table, props)
     df.write.mode("append")
-      .option("batchsize", batchSize)
+      .option("batchsize", clampBatchSize(batchSize, df.schema.length, url))
       .jdbc(url, table, props)
   }
 }

@@ -17,6 +17,15 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
     assert(SqlDumpSink.fileName("100%%_%t", "db", "tab", 0, "sql", "") == "100%_tab")
   }
 
+  test("MSSQL batch clamp keeps cols x rows under 2100 bind params") {
+    val ms = "jdbc:sqlserver://host;database=x"
+    assert(JdbcCopySink.clampBatchSize(500, 7, ms) == 299) // 299*7=2093 < 2100
+    assert(JdbcCopySink.clampBatchSize(500, 7, ms) * 7 < 2100)
+    assert(JdbcCopySink.clampBatchSize(100, 7, ms) == 100) // already under
+    assert(JdbcCopySink.clampBatchSize(500, 3000, ms) == 1) // huge row still writes
+    assert(JdbcCopySink.clampBatchSize(500, 7, "jdbc:mysql://h/db") == 500)
+  }
+
   test("SqlDumpSink writes template-named files with header + batched INSERTs") {
     val dir = tmpDir("sqldump")
     val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "nation")
