@@ -605,6 +605,38 @@ object Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Stateful sessionization (flatMapGroupsWithState) run in batch mode over
+    * events: 30-min-gap sessions per user. Batch semantics emit only CLOSED
+    * sessions (each user's final session stays in state), which the oracle
+    * mirrors by dropping each user's last island. Session arithmetic is in
+    * epoch millis on both sides (java.sql.Timestamp.getTime truncates micros
+    * to ms; DuckDB epoch_ms does the same). */
+  def eventsSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .as[graft.streaming.EventsStream.Event]
+    graft.streaming.EventsStream.sessionize(ev, gapMinutes = 30).toDF()
+      .select(col("user_id"), col("start").as("session_start"),
+        col("end").as("session_end"), col("n_events").cast("long").as("n_events"))
+  }
+
+  val eventsSessionsSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+      |o AS (SELECT user_id, t,
+      |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |sess AS (SELECT user_id, t,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |agg AS (SELECT user_id, sid, min(t) AS t0, max(t) AS t1, COUNT(*) AS n_events
+      |        FROM sess GROUP BY user_id, sid),
+      |agg2 AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg)
+      |SELECT user_id, make_timestamp(t0*1000) AS session_start,
+      |  make_timestamp(t1*1000) AS session_end, n_events
+      |FROM agg2 WHERE sid < max_sid""".stripMargin
+
   // ---------------------------------------------------------------------
   // Multimodal: binary payload round-trip (synthetic header + decode stub).
   // The oracle re-derives the decoded metadata independently — proving the
@@ -643,6 +675,7 @@ object Queries {
     "near_dup_simhash" -> (nearDupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "events_stream" -> (eventsStreamHourly _),
+    "events_sessions" -> (eventsSessions _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "embed_near_dup" -> (embedNearDup _),
@@ -675,6 +708,7 @@ object Queries {
     "near_dup_simhash" -> nearDupSimhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "events_stream" -> eventsStreamHourlySql,
+    "events_sessions" -> eventsSessionsSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "embed_near_dup" -> embedNearDupSql,
