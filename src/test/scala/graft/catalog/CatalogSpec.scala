@@ -37,6 +37,18 @@ class CatalogSpec extends AnyFunSuite with SparkSuite {
     assert(cols.nonEmpty && !unique)
   }
 
+  test("guessPrimaryKey: unique runner-up within the estimate band wins over a near-unique impostor") {
+    import spark.implicits._
+    // c_dup: 96% distinct (never confirms); c_uniq: truly unique. Their
+    // approx_count_distinct estimates (~5% rsd) can order either way — the
+    // runner-up exact confirmation must settle on the unique key regardless.
+    val n = 5000
+    val df = (0 until n).map(i => (if (i < (n * 0.96).toInt) i else 0, i))
+      .toDF("c_dup", "c_uniq")
+    val got = Catalog.guessPrimaryKey(df, Seq(Seq("c_dup"), Seq("c_uniq")))
+    assert(got.contains((Seq("c_uniq"), true)))
+  }
+
   test("listMeta is largest-first") {
     val metas = Catalog.listMeta(spark, "/root/testdata/sf0.001")
     assert(metas.map(_.sizeBytes) == metas.map(_.sizeBytes).sortBy(-(_: Long)))
