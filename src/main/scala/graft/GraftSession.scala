@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build a correctly-configured engine session — the settings
+  * every graft entry point (Verify/Bench/Explain, user code) needs:
+  *
+  *  - shuffle partitions sized to the core count (not the 200 default; at
+  *    cluster scale callers pass the real parallelism);
+  *  - AQE on (runtime coalescing/skew-join; measured faster even at bench
+  *    scale, see BENCH_NOTES.md);
+  *  - UTC session timezone (reference forces +00:00 sessions,
+  *    /root/reference/src/paradump/paradump.go:177);
+  *  - TIMESTAMP(NANOS) parquet read as long (the events fixture;
+  *    Tables.events does the micros conversion);
+  *  - FAIR scheduling so DumpAll's per-table pools actually share
+  *    (paradump's multi-table fan-out, paradump.go:3781-3839).
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.scheduler.mode", "FAIR")
+
+  /** Build (or reuse) the session. */
+  def get(master: String = "local[*]"): SparkSession = {
+    val s = builder(master).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

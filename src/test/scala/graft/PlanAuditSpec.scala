@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts — the `.explain` review loop frozen into regression tests.
+  * These assert the physical properties the 100 TB design depends on; if a
+  * refactor reintroduces a full-scan, drops a pushdown, or turns the top-N
+  * into a global sort, this fails before any bench does.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter pushed to the parquet scan, partial aggregation, column pruning") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters:") && p.contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"no partial aggregation:\n$p")
+    // projection pruning reaches the scan: unused wide column stays out
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"),
+      s"column pruning failed (l_partkey read):\n$p")
+  }
+
+  test("q3_join: dimension joins broadcast at this size") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("topn_orders: global top-N compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("topn_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N is not TakeOrderedAndProject:\n$p")
+  }
+
+  test("window_topk: window is partitioned (no single-task global window)") {
+    val p = plan("window_topk")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Window [") || p.contains("o_orderpriority"),
+      s"window not partitioned by o_orderpriority:\n$p")
+  }
+
+  test("dedup_exact: shuffle carries the digest, not document bodies") {
+    val p = plan("dedup_exact")
+    assert(p.contains("sha2"), p)
+    // the exchange happens on the hash aggregate of text_sha; text itself
+    // must not appear in the exchange output attributes
+    // partial aggregation runs below the exchange, so only (digest, partial
+    // min/count) shuffle — the text column must not cross the exchange
+    val lines = p.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx > 0, s"no hash exchange:\n$p")
+    assert(lines(exIdx + 1).contains("partial_"),
+      s"no map-side partial aggregation below the exchange:\n$p")
+    assert(!lines(exIdx).contains("text#"),
+      s"document text crosses the shuffle:\n$p")
+  }
+}
