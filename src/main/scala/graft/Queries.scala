@@ -65,7 +65,8 @@ object Queries {
     val df = t(s, dir, "orders")
     val pk = Seq("o_orderkey")
     val cuts = graft.chunk.Chunker.boundaries(df, pk, 8).dropRight(1)
-    df.select(graft.chunk.Chunker.chunkIdColumn(pk, cuts).cast("long").as("chunk_id"))
+    df.select(graft.chunk.Chunker.chunkIdColumn(pk, cuts, Some(df.schema))
+      .cast("long").as("chunk_id"))
       .groupBy("chunk_id").agg(count(lit(1)).as("chunk_rows"))
       .orderBy("chunk_id")
   }

@@ -1,0 +1,62 @@
+package graft.chunk
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+
+/** Chunk id (1..bounds.length+1) of a PK tuple by BINARY SEARCH over the
+  * sorted boundary tuples: the scalable counterpart of Chunker.chunkIdColumn's
+  * when-chain. A when-chain is whole-stage-codegen'd but O(n_chunks) per row
+  * and collapses (method-size limits, compile time) at the reference's real
+  * chunk counts (10k-row chunks over a big table = thousands of boundaries);
+  * this expression is interpreted (CodegenFallback) but O(log n_chunks) with
+  * a precomputed interpreted ordering — the right trade from ~64 chunks up.
+  *
+  * `bounds` must be sorted ascending by the same ordering as the child
+  * struct's field types; id = 1 + (first index with pk <= bounds(i)), or
+  * bounds.length + 1 when pk exceeds every boundary — exactly the
+  * when-chain's semantics.
+  */
+case class SortedBoundsBucket(child: Expression, bounds: Array[InternalRow])
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_bounds_bucket"
+
+  @transient private lazy val ordering: Ordering[InternalRow] =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+      .asInstanceOf[Ordering[InternalRow]]
+
+  override def nullSafeEval(v: Any): Any = {
+    val pk = v.asInstanceOf[InternalRow]
+    var lo = 0
+    var hi = bounds.length // first index with bounds(i) >= pk, or length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ordering.compare(bounds(mid), pk) < 0) lo = mid + 1 else hi = mid
+    }
+    lo + 1
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedBoundsBucket =
+    copy(child = newChild)
+}
+
+object ChunkExprs {
+  /** Wrap a struct-of-PK column and external-typed boundary tuples (as
+    * returned by Chunker.boundaries — driver-side Row values). */
+  def sortedBoundsBucket(pkStruct: Column, structType: StructType,
+                         cuts: Seq[Seq[Any]]): Column = {
+    val conv = CatalystTypeConverters.createToCatalystConverter(structType)
+    val internal = cuts
+      .map(c => conv(org.apache.spark.sql.Row.fromSeq(c)).asInstanceOf[InternalRow].copy())
+      .toArray
+    GraftColumnBridge.column(
+      SortedBoundsBucket(GraftColumnBridge.expression(pkStruct), internal))
+  }
+}

@@ -93,14 +93,30 @@ object Chunker {
   }
 
   /** Chunk id (1..cuts.length+1) for each row by comparing the PK struct
-    * against the boundary tuples — a when-chain over native struct
-    * comparison, fully parallel, no window. With `cuts` from [[boundaries]]
-    * (first n-1 tiles) this reproduces ntile(n) assignment exactly. */
-  def chunkIdColumn(pkCols: Seq[String], cuts: Seq[Seq[Any]]): Column = {
+    * against the boundary tuples — fully parallel, no window. With `cuts`
+    * from [[boundaries]] (first n-1 tiles) this reproduces ntile(n)
+    * assignment exactly.
+    *
+    * Two physical shapes by boundary count: a codegen'd when-chain (O(n)
+    * per row, fastest for small n) up to `codegenMaxCuts`, and a
+    * binary-search expression ([[SortedBoundsBucket]], O(log n) interpreted)
+    * beyond — thousands of 10k-row chunks (the reference's default geometry
+    * on a big table) would blow up generated-method size in a when-chain.
+    * `schema` is required for the binary path's type-correct boundary
+    * conversion; callers with a DataFrame pass `df.schema`. */
+  def chunkIdColumn(pkCols: Seq[String], cuts: Seq[Seq[Any]],
+                    schema: Option[org.apache.spark.sql.types.StructType] = None,
+                    codegenMaxCuts: Int = 64): Column = {
     val pk = struct(pkCols.map(col): _*)
-    val bounds = cuts.map(c => struct(c.map(lit): _*))
-    bounds.zipWithIndex.foldRight(lit(cuts.length + 1)) { case ((b, i), rest) =>
-      when(pk <= b, lit(i + 1)).otherwise(rest)
+    if (cuts.length <= codegenMaxCuts || schema.isEmpty) {
+      val bounds = cuts.map(c => struct(c.map(lit): _*))
+      bounds.zipWithIndex.foldRight(lit(cuts.length + 1)) { case ((b, i), rest) =>
+        when(pk <= b, lit(i + 1)).otherwise(rest)
+      }
+    } else {
+      val st = org.apache.spark.sql.types.StructType(
+        pkCols.map(c => schema.get(schema.get.fieldIndex(c))))
+      ChunkExprs.sortedBoundsBucket(pk, st, cuts)
     }
   }
 }

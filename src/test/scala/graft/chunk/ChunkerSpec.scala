@@ -47,6 +47,33 @@ class ChunkerSpec extends AnyFunSuite with SparkSuite {
     assert(mine.toSeq == ntiles.toSeq)
   }
 
+  test("binary-search chunk path == when-chain path == ntile, at when-chain-hostile n") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val n = 100 // > codegenMaxCuts -> SortedBoundsBucket path
+    val cuts = Chunker.boundaries(df, Seq("o_orderkey"), n).dropRight(1)
+    val binary = df.select(
+      Chunker.chunkIdColumn(Seq("o_orderkey"), cuts, Some(df.schema)).as("c"))
+      .groupBy("c").count().orderBy("c").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val chain = df.select(
+      Chunker.chunkIdColumn(Seq("o_orderkey"), cuts, None, codegenMaxCuts = n).as("c"))
+      .groupBy("c").count().orderBy("c").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val ntiles = df.select(ntile(n).over(Window.orderBy("o_orderkey")).as("c"))
+      .groupBy("c").count().orderBy("c").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(binary.toSeq == chain.toSeq)
+    assert(binary.toSeq == ntiles.toSeq)
+  }
+
+  test("binary-search chunk path handles composite string/timestamp-free keys") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val pk = Seq("l_orderkey", "l_linenumber")
+    val cuts = Chunker.boundaries(df, pk, 80).dropRight(1)
+    val a = df.select(Chunker.chunkIdColumn(pk, cuts, Some(df.schema)).as("c"))
+      .groupBy("c").count().orderBy("c").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val b = df.select(Chunker.chunkIdColumn(pk, cuts, None, codegenMaxCuts = 100).as("c"))
+      .groupBy("c").count().orderBy("c").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("sampledBoundaries returns at most n-1 sorted cut tuples") {
     val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val cuts = Chunker.sampledBoundaries(df, Seq("l_orderkey", "l_linenumber"), 4, fraction = 0.5)
