@@ -27,8 +27,12 @@ object DumpAll {
   def run(spark: SparkSession, sfDir: String, outDir: String,
           mode: String = "sql", insertSize: Int = 500,
           exclude: Seq[String] = Nil, maxConcurrentTables: Int = 4,
-          compression: Option[String] = None): Seq[Result] = {
+          compression: Option[String] = None,
+          tables: Seq[String] = Nil, db: String = "graft",
+          header: Boolean = true, fileTemplate: String = "%d_%t_%p.%m%z",
+          withColumnList: Boolean = false): Seq[Result] = {
     val metas = Catalog.listMeta(spark, sfDir) // already largest-first
+      .filter(m => tables.isEmpty || tables.contains(m.name))
       .filterNot(m => exclude.exists(m.name.contains))
     val pool = Executors.newFixedThreadPool(maxConcurrentTables)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -44,11 +48,16 @@ object DumpAll {
           val df = Tables.load(spark, sfDir, m.name)
           val files = mode match {
             case "sql" =>
-              SqlDumpSink.write(df, "graft", m.name, s"$outDir/${m.name}",
-                insertSize = insertSize, compression = compression)
+              SqlDumpSink.write(df, db, m.name, s"$outDir/${m.name}",
+                insertSize = insertSize, withColumnList = withColumnList,
+                header = header, fileTemplate = fileTemplate,
+                compression = compression)
             case "csv" =>
               CsvSink.write(df, s"$outDir/${m.name}", compression = compression)
               Seq(s"$outDir/${m.name}")
+            case "null" =>
+              graft.sinks.NoopSink.drain(df)
+              Seq.empty
             case other => throw new IllegalArgumentException(s"mode $other")
           }
           Result(m.name, m.rowCount, files)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.cli.{Cli, DumpConfig}
+
+/** The engine's paradump-equivalent entry point: the reference flag surface
+  * (parsed/validated by [[graft.cli.Cli]], matching
+  * /root/reference/src/paradump/paradump.go:3477-3677) over the parquet-lake
+  * source. Usage:
+  *
+  * {{{
+  *   runMain graft.Main -src /root/testdata/sf0.001 -o /tmp/dump \
+  *     -dumpmode sql -db tpch -table nation -insertsize 500
+  * }}}
+  *
+  * `-src`/`-o` replace the reference's DB connection flags (host/port/user);
+  * everything else keeps paradump's spelling. Invalid combinations exit
+  * non-zero with the reference's messages (tests 1-34 analogue, CliSpec).
+  */
+object Main {
+
+  /** Dump per the parsed config — the testable core of main(). */
+  def run(spark: SparkSession, srcDir: String, outDir: String,
+          cfg: DumpConfig): Seq[DumpAll.Result] =
+    cfg.mode match {
+      case "sql" | "csv" | "null" =>
+        DumpAll.run(spark, srcDir, outDir,
+          mode = cfg.mode, insertSize = cfg.insertSize, exclude = cfg.exclude,
+          maxConcurrentTables = cfg.dumpParallel, compression = cfg.compress,
+          tables = cfg.tables, db = cfg.schemas.headOption.getOrElse("graft"),
+          header = cfg.dumpHeader, fileTemplate = cfg.dumpFile,
+          withColumnList = cfg.dumpInsert == "full")
+      case "cpy" =>
+        val url = cfg.dstUrl.get // validated by Cli
+        val props = new java.util.Properties()
+        graft.catalog.Catalog.listMeta(spark, srcDir)
+          .filter(m => cfg.tables.isEmpty || cfg.tables.contains(m.name))
+          .filterNot(m => cfg.exclude.exists(m.name.contains))
+          .map { m =>
+            val df = graft.sources.Tables.load(spark, srcDir, m.name)
+            graft.sinks.JdbcCopySink.write(df, url, m.name, props,
+              batchSize = cfg.insertSize)
+            DumpAll.Result(m.name, m.rowCount, Seq(url))
+          }
+    }
+
+  def main(args: Array[String]): Unit = {
+    // -src/-o are ours; the rest is the reference flag surface
+    var src = Option.empty[String]
+    var out = Option.empty[String]
+    val rest = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-src" if i + 1 < args.length => src = Some(args(i + 1)); i += 2
+        case "-o" if i + 1 < args.length => out = Some(args(i + 1)); i += 2
+        case a => rest += a; i += 1
+      }
+    }
+    (src, out) match {
+      case (Some(s), Some(o)) =>
+        Cli.parseDump(rest.result()) match {
+          case Left(err) =>
+            System.err.println(s"graft: $err")
+            sys.exit(1)
+          case Right(cfg) =>
+            val spark = GraftSession.get()
+            val results = run(spark, s, o, cfg)
+            results.foreach(r => println(s"${r.table}: ${r.rows} rows -> ${r.files.mkString(", ")}"))
+            spark.stop()
+        }
+      case _ =>
+        System.err.println("graft: need -src <dataDir> and -o <outDir>")
+        sys.exit(1)
+    }
+  }
+}

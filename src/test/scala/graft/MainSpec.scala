@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.Cli
+
+/** The CLI-to-engine wiring: parsed reference flags drive a real dump. */
+class MainSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("sql mode: flags reach the sink (template, header off, simple inserts, subset)") {
+    val out = tmp("main_sql")
+    val cfg = Cli.parseDump(Seq(
+      "-dumpmode", "sql", "-db", "tpch", "-table", "nation", "-table", "region",
+      "-insertsize", "7", "--dumpheader=false", "--dumpinsert", "simple",
+      "-dumpfile", "%d.%t.%p.%m")).toOption.get
+    val results = Main.run(spark, "/root/testdata/sf0.001", out, cfg)
+    assert(results.map(_.table).toSet == Set("nation", "region"))
+    assert(results.map(_.rows).sum == 30) // 25 + 5
+    val files = results.flatMap(_.files)
+    assert(files.forall(f => f.contains("tpch.") && f.endsWith(".sql")))
+    val lines = spark.read.text(s"$out/nation").collect().map(_.getString(0))
+    assert(!lines.exists(_.startsWith("SET ")), "header must be off")
+    assert(lines.forall(_.startsWith("INSERT INTO nation VALUES ")), "simple = no column list")
+  }
+
+  test("null mode drains without producing files") {
+    val out = tmp("main_null")
+    val cfg = Cli.parseDump(Seq("-dumpmode", "null", "-table", "region")).toOption.get
+    val results = Main.run(spark, "/root/testdata/sf0.001", out, cfg)
+    assert(results.map(_.table) == Seq("region"))
+    assert(results.head.files.isEmpty)
+  }
+
+  test("invalid flag combinations are rejected before any work") {
+    assert(Cli.parseDump(Seq("-dumpmode", "sql")).isLeft) // no -db/-table
+    assert(Cli.parseDump(Seq("-dumpmode", "cpy", "-table", "t",
+      "-dumpcompress", "zstd", "-dst", "jdbc:x")).isLeft) // compress+cpy
+  }
+}
