@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.cli.{Cli, SyncConfig}
+
+/** The engine's parasync-equivalent entry point: diff each table of the
+  * parquet lake (source of truth) against a JDBC destination and apply
+  * row-DML to converge, honoring the writer no-op flags; per-table stats go
+  * to stdout and optionally `--statsfile` (reference parasync topology
+  * /root/reference/src/parasync/parasync.go:3550-3689, stats report :3328).
+  *
+  * {{{
+  *   runMain graft.SyncMain -src /root/testdata/sf0.001 \
+  *     -dst jdbc:derby:/tmp/db -table orders --statsfile /tmp/stats.json
+  * }}}
+  */
+object SyncMain {
+
+  case class TableStats(table: String, srcRows: Long, dstRows: Long,
+                        inserts: Long, updates: Long, deletes: Long)
+
+  /** Diff+sync per the parsed config — the testable core of main(). */
+  def run(spark: SparkSession, srcDir: String, cfg: SyncConfig,
+          connProps: Map[String, String] = Map.empty): Seq[TableStats] = {
+    val metas = graft.catalog.Catalog.listMeta(spark, srcDir)
+      .filter(m => cfg.tables.isEmpty || cfg.tables.contains(m.name))
+      .filterNot(m => cfg.exclude.exists(m.name.contains))
+    metas.map { m =>
+      require(m.pkCols.nonEmpty, s"table ${m.name}: no primary key, cannot sync")
+      val src = graft.sources.Tables.load(spark, srcDir, m.name)
+      val props = new java.util.Properties()
+      connProps.foreach { case (k, v) => props.setProperty(k, v) }
+      // chunked dst read: one JDBC partition per PK range (D1)
+      val nChunks = math.max(1, math.min(cfg.parallel,
+        (m.rowCount / math.max(1, cfg.chunkSize)).toInt + 1))
+      val dst = graft.sources.JdbcChunkedSource.readChunked(
+        spark, cfg.dstUrl.get, m.name, m.pkCols, nChunks, props)
+      // JDBC catalogs may upper-case names; align to source casing
+      val dstAligned = dst.toDF(dst.columns.map(_.toLowerCase).toIndexedSeq: _*)
+        .select(src.columns.map(col).toIndexedSeq: _*)
+      val diff = graft.sync.DiffSync.diff(src, dstAligned, m.pkCols)
+      val stats = graft.sync.DmlSink.apply(diff, cfg.dstUrl.get, m.name,
+        src.columns.toSeq, m.pkCols, connProps,
+        noInsert = cfg.noInsert, noUpdate = cfg.noUpdate, noDelete = cfg.noDelete)
+      TableStats(m.name, m.rowCount, dstAligned.count(),
+        stats.inserts, stats.updates, stats.deletes)
+    }
+  }
+
+  private def statsJson(stats: Seq[TableStats]): String =
+    stats.map(s =>
+      s"""{"table":"${s.table}","src_rows":${s.srcRows},"dst_rows":${s.dstRows},""" +
+        s""""inserts":${s.inserts},"updates":${s.updates},"deletes":${s.deletes}}""")
+      .mkString("[", ",", "]")
+
+  def main(args: Array[String]): Unit = {
+    var src = Option.empty[String]
+    val rest = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-src" if i + 1 < args.length => src = Some(args(i + 1)); i += 2
+        case a => rest += a; i += 1
+      }
+    }
+    src match {
+      case Some(s) =>
+        Cli.parseSync(rest.result()) match {
+          case Left(err) =>
+            System.err.println(s"graft-sync: $err")
+            sys.exit(1)
+          case Right(cfg) =>
+            val spark = GraftSession.get()
+            val stats = run(spark, s, cfg)
+            stats.foreach(t => println(
+              s"${t.table}: src ${t.srcRows} dst ${t.dstRows} -> " +
+                s"I ${t.inserts} U ${t.updates} D ${t.deletes}"))
+            cfg.statsFile.foreach(f => Files.writeString(Paths.get(f), statsJson(stats)))
+            spark.stop()
+        }
+      case None =>
+        System.err.println("graft-sync: need -src <dataDir>")
+        sys.exit(1)
+    }
+  }
+}

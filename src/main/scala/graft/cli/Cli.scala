@@ -5,6 +5,22 @@ package graft.cli
   * validation exits, :3656-3671 filename-template grammar). The reference's
   * CLI tests 1-34 (test/run_test.sh:132-265) assert every invalid
   * combination fails; CliSpec ports that matrix. */
+/** parasync's flag surface (reference parasync.go:3370-3406): what to sync,
+  * where, and which DML kinds the writer may apply
+  * (`--writer-no-{insert,update,delete}`, parasync.go:3221-3222), plus the
+  * optional `--statsfile` report (parasync.go:3328). */
+case class SyncConfig(
+    schemas: Seq[String] = Nil,
+    tables: Seq[String] = Nil,
+    exclude: Seq[String] = Nil,
+    chunkSize: Int = 10000,
+    parallel: Int = 10,
+    noInsert: Boolean = false,
+    noUpdate: Boolean = false,
+    noDelete: Boolean = false,
+    statsFile: Option[String] = None,
+    dstUrl: Option[String] = None)
+
 case class DumpConfig(
     mode: String = "sql", // sql | csv | cpy | null
     schemas: Seq[String] = Nil,
@@ -92,6 +108,42 @@ object Cli {
       }
     }
     validate(c)
+  }
+
+  /** Parse + validate the parasync flag surface. */
+  def parseSync(args: Seq[String]): Either[String, SyncConfig] = {
+    var c = SyncConfig()
+    var rest = args.toList
+    def intArg(v: String, flag: String): Either[String, Int] =
+      v.toIntOption.toRight(s"$flag: not an integer: $v")
+    while (rest.nonEmpty) {
+      rest match {
+        case "-db" :: v :: t => c = c.copy(schemas = c.schemas ++ v.split(',')); rest = t
+        case "-table" :: v :: t => c = c.copy(tables = c.tables :+ v); rest = t
+        case "-exclude" :: v :: t => c = c.copy(exclude = c.exclude :+ v); rest = t
+        case "-chunksize" :: v :: t =>
+          intArg(v, "-chunksize") match {
+            case Right(i) => c = c.copy(chunkSize = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "-parallel" :: v :: t =>
+          intArg(v, "-parallel") match {
+            case Right(i) => c = c.copy(parallel = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "--writer-no-insert" :: t => c = c.copy(noInsert = true); rest = t
+        case "--writer-no-update" :: t => c = c.copy(noUpdate = true); rest = t
+        case "--writer-no-delete" :: t => c = c.copy(noDelete = true); rest = t
+        case "--statsfile" :: v :: t => c = c.copy(statsFile = Some(v)); rest = t
+        case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
+        case flag :: _ => return Left(s"unknown flag: $flag")
+      }
+    }
+    if (c.schemas.isEmpty && c.tables.isEmpty) return Left("need -db or -table")
+    if (c.dstUrl.isEmpty) return Left("sync requires -dst")
+    if (c.chunkSize < 100) return Left("-chunksize must be >= 100")
+    if (c.parallel < 1) return Left("-parallel must be >= 1")
+    Right(c)
   }
 
   def validate(c: DumpConfig): Either[String, DumpConfig] = {

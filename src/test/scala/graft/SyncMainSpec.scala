@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.Cli
+
+/** parasync-equivalent end-to-end over embedded Derby: corrupt the dst,
+  * dry-run with writer no-op flags (nothing applied), then really sync and
+  * verify convergence — run_test_sync.sh's shape through the CLI surface. */
+class SyncMainSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val dbDir = Files.createTempDirectory("syncmain").toFile.getAbsolutePath
+  private lazy val url = s"jdbc:derby:$dbDir/syncdb;create=true"
+
+  test("corrupt -> dry-run (no-ops) -> sync -> converged, stats reported") {
+    val src = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "region")
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE region (r_regionkey BIGINT NOT NULL PRIMARY KEY, r_name VARCHAR(32))")
+    conn.close()
+    val props = new java.util.Properties()
+    // seed dst with a corrupted copy: drop key 0 (-> insert), mutate key 1
+    // (-> update), add key 99 (-> delete)
+    graft.sinks.JdbcCopySink.write(
+      src.filter(col("r_regionkey") =!= 0)
+        .withColumn("r_name",
+          when(col("r_regionkey") === 1, lit("WRONG")).otherwise(col("r_name"))),
+      url, "region", props, validateFirst = false)
+    val ins = DriverManager.getConnection(url)
+    ins.createStatement().execute("INSERT INTO region VALUES (99, 'GHOST')")
+    ins.close()
+
+    val cfg = Cli.parseSync(Seq("-table", "region", "-dst", url)).toOption.get
+
+    // dry run: all writers suppressed -> dst unchanged
+    val dry = SyncMain.run(spark, "/root/testdata/sf0.001",
+      cfg.copy(noInsert = true, noUpdate = true, noDelete = true))
+    assert(dry.head.inserts == 0 && dry.head.updates == 0 && dry.head.deletes == 0)
+    assert(spark.read.jdbc(url, "region", props).count() == src.count()) // 5-1+1
+
+    // real sync
+    val stats = SyncMain.run(spark, "/root/testdata/sf0.001", cfg)
+    assert(stats.head.inserts == 1 && stats.head.updates == 1 && stats.head.deletes == 1)
+
+    // converged: dst == src exactly
+    val dst = spark.read.jdbc(url, "region", props)
+      .toDF("r_regionkey", "r_name")
+    assert(dst.count() == src.count())
+    assert(src.select("r_regionkey", "r_name")
+      .except(dst.select("r_regionkey", "r_name")).isEmpty)
+
+    // idempotence: a second sync applies nothing
+    val again = SyncMain.run(spark, "/root/testdata/sf0.001", cfg)
+    assert(again.head.inserts == 0 && again.head.updates == 0 && again.head.deletes == 0)
+  }
+
+  test("parseSync validation matrix") {
+    assert(Cli.parseSync(Seq("-dst", "jdbc:x")).isLeft) // no tables
+    assert(Cli.parseSync(Seq("-table", "t")).isLeft) // no dst
+    assert(Cli.parseSync(Seq("-table", "t", "-dst", "jdbc:x", "-chunksize", "5")).isLeft)
+    val ok = Cli.parseSync(Seq("-table", "t", "-dst", "jdbc:x",
+      "--writer-no-delete", "--statsfile", "/tmp/s.json"))
+    assert(ok.exists(c => c.noDelete && c.statsFile.contains("/tmp/s.json") && !c.noInsert))
+  }
+}
