@@ -30,8 +30,14 @@ object DumpAll {
           compression: Option[String] = None,
           tables: Seq[String] = Nil, db: String = "graft",
           header: Boolean = true, fileTemplate: String = "%d_%t_%p.%m%z",
-          withColumnList: Boolean = false): Seq[Result] = {
-    val metas = Catalog.listMeta(spark, sfDir) // already largest-first
+          withColumnList: Boolean = false,
+          dstUrl: Option[String] = None): Seq[Result] = {
+    val all = Catalog.listMeta(spark, sfDir) // already largest-first
+    // an unknown -table must FAIL, not silently dump nothing (the
+    // reference exits on a table it cannot resolve)
+    val unknown = tables.filterNot(t => all.exists(_.name == t))
+    require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
+    val metas = all
       .filter(m => tables.isEmpty || tables.contains(m.name))
       .filterNot(m => exclude.exists(m.name.contains))
     val pool = Executors.newFixedThreadPool(maxConcurrentTables)
@@ -58,6 +64,12 @@ object DumpAll {
             case "null" =>
               graft.sinks.NoopSink.drain(df)
               Seq.empty
+            case "cpy" =>
+              val url = dstUrl.getOrElse(
+                throw new IllegalArgumentException("cpy mode requires dstUrl"))
+              graft.sinks.JdbcCopySink.write(df, url, m.name,
+                new java.util.Properties(), batchSize = insertSize)
+              Seq(url)
             case other => throw new IllegalArgumentException(s"mode $other")
           }
           Result(m.name, m.rowCount, files)

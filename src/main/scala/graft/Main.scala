@@ -19,30 +19,18 @@ import graft.cli.{Cli, DumpConfig}
   */
 object Main {
 
-  /** Dump per the parsed config — the testable core of main(). */
+  /** Dump per the parsed config — the testable core of main(). All four
+    * modes go through DumpAll (largest-first, concurrent per-table jobs);
+    * cpy just carries the destination URL through to the copy sink. */
   def run(spark: SparkSession, srcDir: String, outDir: String,
           cfg: DumpConfig): Seq[DumpAll.Result] =
-    cfg.mode match {
-      case "sql" | "csv" | "null" =>
-        DumpAll.run(spark, srcDir, outDir,
-          mode = cfg.mode, insertSize = cfg.insertSize, exclude = cfg.exclude,
-          maxConcurrentTables = cfg.dumpParallel, compression = cfg.compress,
-          tables = cfg.tables, db = cfg.schemas.headOption.getOrElse("graft"),
-          header = cfg.dumpHeader, fileTemplate = cfg.dumpFile,
-          withColumnList = cfg.dumpInsert == "full")
-      case "cpy" =>
-        val url = cfg.dstUrl.get // validated by Cli
-        val props = new java.util.Properties()
-        graft.catalog.Catalog.listMeta(spark, srcDir)
-          .filter(m => cfg.tables.isEmpty || cfg.tables.contains(m.name))
-          .filterNot(m => cfg.exclude.exists(m.name.contains))
-          .map { m =>
-            val df = graft.sources.Tables.load(spark, srcDir, m.name)
-            graft.sinks.JdbcCopySink.write(df, url, m.name, props,
-              batchSize = cfg.insertSize)
-            DumpAll.Result(m.name, m.rowCount, Seq(url))
-          }
-    }
+    DumpAll.run(spark, srcDir, outDir,
+      mode = cfg.mode, insertSize = cfg.insertSize, exclude = cfg.exclude,
+      maxConcurrentTables = cfg.dumpParallel, compression = cfg.compress,
+      tables = cfg.tables, db = cfg.schemas.headOption.getOrElse("graft"),
+      header = cfg.dumpHeader, fileTemplate = cfg.dumpFile,
+      withColumnList = cfg.dumpInsert == "full",
+      dstUrl = cfg.dstUrl)
 
   def main(args: Array[String]): Unit = {
     // -src/-o are ours; the rest is the reference flag surface

@@ -198,7 +198,7 @@ object Queries {
        |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stop_cnt,
        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
-       |    / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS stop_ratio,
+       |    / NULLIF(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 0.0) AS stop_ratio,
        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct_cnt
        |FROM documents""".stripMargin
 
@@ -207,7 +207,8 @@ object Queries {
 
   val langIdSql: String =
     s"""SELECT doc_id,
-       |  CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |  CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+       |        AND CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
        |         >= CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) * 0.05
        |       THEN 'en' ELSE 'unk' END AS lang_pred
        |FROM documents""".stripMargin
@@ -217,15 +218,21 @@ object Queries {
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextOps.fingerprint62(t(s, dir, "documents"))
 
-  /** DuckDB replay of TokenHash.poly over `expr`'s codepoints. */
+  /** DuckDB replay of TokenHash.poly over `expr`'s codepoints. The
+    * list_filter drops the -1 that unicode('') yields for the empty string
+    * (DuckDB splits '' into [''] where the JVM iterates zero codepoints) —
+    * real codepoints are always >= 0, so nonempty inputs are unaffected. */
   private def dkPoly(expr: String, base: Int): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
-      s"list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"list_filter(list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT)), x -> x >= 0)), " +
       s"(a, x) -> (a * $base + x) % 2147483647)"
 
+  /** The rtrim mirrors Java String.split's trailing-empty-token drop
+    * (DuckDB's regexp_split keeps a trailing '' that would join as a
+    * trailing space the JVM side never sees). */
   val docFingerprintSql: String =
     s"""SELECT doc_id, ${dkPoly("norm", 31)} + (${dkPoly("norm", 37)} << 31) AS fp62
-       |FROM (SELECT doc_id, array_to_string(regexp_split_to_array(text, '\\s+'), ' ') AS norm
+       |FROM (SELECT doc_id, rtrim(array_to_string(regexp_split_to_array(text, '\\s+'), ' '), ' ') AS norm
        |      FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -259,14 +266,24 @@ object Queries {
       |  FROM d0
       |)""".stripMargin
 
+  /** Java-split token list for operator-side replication: the JVM
+    * tokenizers use String.split(' '), which DROPS trailing empty tokens
+    * (Spark SQL split — used only for corpus construction — keeps them, as
+    * does DuckDB string_split; both construction sides agree raw). The
+    * rejoin+rtrim+resplit reproduces the Java behavior in SQL. Residual
+    * caveat, documented: an all-whitespace document yields [] in Java but
+    * [''] here — no such document exists in any fixture and the planted
+    * construction cannot produce one from clean inputs. */
+  private val javaTokens: String = "string_split(rtrim(array_to_string(w, ' '), ' '), ' ')"
+
   /** All-pairs exact 3-shingle Jaccard >= 0.5 over the planted corpus — the
     * ground truth both near_dup_minhash and ngram_jaccard must reproduce. */
   private val exactJaccardSql: String =
-    plantedDocsSql + """,
+    plantedDocsSql + s""",
       |sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-      |  FROM docs2
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wj)-1, 1)),
+      |    i -> wj[i] || ' ' || wj[i+1] || ' ' || wj[i+2])) AS s
+      |  FROM (SELECT doc_id, $javaTokens AS wj FROM docs2) t
       |),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -302,20 +319,24 @@ object Queries {
 
   val nearDupSimhashSql: String =
     plantedDocsSql + s""",
-      |toks AS (SELECT doc_id, unnest(w) AS tok FROM docs2),
+      |toks AS (SELECT doc_id, unnest($javaTokens) AS tok FROM docs2),
       |th AS (
       |  SELECT doc_id, ${dkPoly("tok", 31)} + (${dkPoly("tok", 37)} << 31) AS h
-      |  FROM toks
+      |  FROM toks WHERE tok != ''
       |),
       |bits AS (
       |  SELECT doc_id, CAST(b AS INT) AS b,
       |    SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
       |  FROM th, range(62) t(b) GROUP BY doc_id, CAST(b AS INT)
       |),
-      |sh AS (
+      |sh0 AS (
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
       |  FROM bits GROUP BY doc_id
+      |),
+      |sh AS (
+      |  SELECT d.doc_id, COALESCE(s0.sh, CAST(0 AS BIGINT)) AS sh
+      |  FROM docs2 d LEFT JOIN sh0 s0 ON d.doc_id = s0.doc_id
       |)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming

@@ -21,10 +21,17 @@ object SyncMain {
   case class TableStats(table: String, srcRows: Long, dstRows: Long,
                         inserts: Long, updates: Long, deletes: Long)
 
-  /** Diff+sync per the parsed config — the testable core of main(). */
+  /** Diff+sync per the parsed config — the testable core of main().
+    * `-db <name>` means "the whole (single-schema) lake" — the parquet
+    * source has no multi-schema dimension, so the name only satisfies the
+    * reference's need-a-scope validation; `-table` subsets (and an unknown
+    * name fails, like the reference). */
   def run(spark: SparkSession, srcDir: String, cfg: SyncConfig,
           connProps: Map[String, String] = Map.empty): Seq[TableStats] = {
-    val metas = graft.catalog.Catalog.listMeta(spark, srcDir)
+    val all = graft.catalog.Catalog.listMeta(spark, srcDir)
+    val unknown = cfg.tables.filterNot(t => all.exists(_.name == t))
+    require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
+    val metas = all
       .filter(m => cfg.tables.isEmpty || cfg.tables.contains(m.name))
       .filterNot(m => cfg.exclude.exists(m.name.contains))
     metas.map { m =>
@@ -40,11 +47,14 @@ object SyncMain {
       // JDBC catalogs may upper-case names; align to source casing
       val dstAligned = dst.toDF(dst.columns.map(_.toLowerCase).toIndexedSeq: _*)
         .select(src.columns.map(col).toIndexedSeq: _*)
+      // pre-sync destination count: the drift the run is about to fix (a
+      // post-DML count would trivially equal src and hide it)
+      val dstRowsBefore = dstAligned.count()
       val diff = graft.sync.DiffSync.diff(src, dstAligned, m.pkCols)
       val stats = graft.sync.DmlSink.apply(diff, cfg.dstUrl.get, m.name,
         src.columns.toSeq, m.pkCols, connProps,
         noInsert = cfg.noInsert, noUpdate = cfg.noUpdate, noDelete = cfg.noDelete)
-      TableStats(m.name, m.rowCount, dstAligned.count(),
+      TableStats(m.name, m.rowCount, dstRowsBefore,
         stats.inserts, stats.updates, stats.deletes)
     }
   }

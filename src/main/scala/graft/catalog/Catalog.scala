@@ -82,18 +82,20 @@ object Catalog {
     val scored = viable.map { case (cols, i) =>
       (cols, row.getLong(row.fieldIndex(s"__c$i")))
     }.sortBy { case (cols, c) => (-c, cols.length) }
-    def exactDistinct(cols: Seq[String]): Long =
-      df.agg(count_distinct(struct(cols.map(col): _*))).head().getLong(0)
-    // Exact-confirm the approximate winner; if it fails, also try runner-ups
-    // whose estimate is within the approx_count_distinct error band (~5% rsd
-    // -> 2 sigma) — a truly unique key must not lose to a non-unique one on
+    // Exact-confirm the approximate winner PLUS every runner-up whose
+    // estimate is within the approx_count_distinct error band (~5% rsd ->
+    // 2 sigma) — a truly unique key must not lose to a non-unique one on
     // estimation noise (a fake-PK verdict is safe but pessimal downstream).
+    // All contenders confirm in ONE aggregation pass (one table scan).
     val (bestCols, bestEst) = scored.head
     val band = (bestEst * (1.0 - 2 * 0.05)).toLong
     val contenders = scored.head +: scored.tail.takeWhile(_._2 >= band)
-    contenders.iterator
-      .map { case (cols, _) => (cols, exactDistinct(cols) == n) }
-      .collectFirst { case (cols, true) => (cols, true) }
+    val exactAggs = contenders.zipWithIndex.map { case ((cols, _), i) =>
+      count_distinct(struct(cols.map(col): _*)).as(s"__e$i")
+    }
+    val exactRow = df.agg(exactAggs.head, exactAggs.tail: _*).head()
+    contenders.zipWithIndex
+      .collectFirst { case ((cols, _), i) if exactRow.getLong(i) == n => (cols, true) }
       .orElse(Some((bestCols, false)))
   }
 

@@ -110,8 +110,14 @@ object Chunker {
     val pk = struct(pkCols.map(col): _*)
     if (cuts.length <= codegenMaxCuts || schema.isEmpty) {
       val bounds = cuts.map(c => struct(c.map(lit): _*))
+      // `pk <= b` is NULL when deciding hits a NULL PK field; NULLs sort
+      // FIRST in the boundary computation (Spark ASC default), so a
+      // null-undecided comparison must resolve to "belongs here" — this
+      // keeps the when-chain consistent with SortedBoundsBucket's
+      // nulls-first interpreted ordering (exact for null-free boundary
+      // tuples, which ntile cuts of a mostly-non-null key are).
       bounds.zipWithIndex.foldRight(lit(cuts.length + 1)) { case ((b, i), rest) =>
-        when(pk <= b, lit(i + 1)).otherwise(rest)
+        when(coalesce(pk <= b, lit(true)), lit(i + 1)).otherwise(rest)
       }
     } else {
       val st = org.apache.spark.sql.types.StructType(

@@ -214,7 +214,10 @@ object NearDup {
     * each token hash's bit, take the sign. One JVM pass per doc. */
   private def simhashOf(text: String): Long = {
     val counts = new Array[Int](simhashBits)
-    text.split(' ').foreach { t =>
+    // empty tokens (consecutive delimiters, empty text) carry no content and
+    // are skipped — this also keeps JVM and SQL-oracle tokenization aligned
+    // where the two engines' split() functions disagree about them
+    text.split(' ').withFilter(_.nonEmpty).foreach { t =>
       val h = TokenHash.hash62(t)
       var b = 0
       while (b < simhashBits) {

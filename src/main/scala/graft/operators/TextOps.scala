@@ -47,7 +47,9 @@ object TextOps {
       nWords.as("n_words"),
       regexp_count(col("text"), lit(bpeTokenRegex)).cast("long").as("n_bpe_tokens"),
       stopCnt.as("stop_cnt"),
-      (stopCnt.cast("double") / nWords.cast("double")).as("stop_ratio"),
+      // NULL (not an ANSI divide-by-zero) for word-less documents
+      when(nWords > 0, stopCnt.cast("double") / nWords.cast("double"))
+        .as("stop_ratio"),
       regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long").as("punct_cnt"))
   }
 
@@ -60,8 +62,9 @@ object TextOps {
       w => stopwords.map(s => w === lit(s)).reduce(_ || _))).cast("long")
     docs.select(
       col("doc_id"),
-      when(stopCnt.cast("double") >= nWords.cast("double") * threshold, lit("en"))
-        .otherwise(lit("unk")).as("lang_pred"))
+      when(nWords > 0 &&
+        stopCnt.cast("double") >= nWords.cast("double") * threshold, lit("en"))
+        .otherwise(lit("unk")).as("lang_pred")) // word-less docs are 'unk'
   }
 
   /** Document fingerprint: 64-bit content hash of the token sequence

@@ -33,8 +33,10 @@ object JdbcChunkedSource {
                   pkCols: Seq[String], numChunks: Int, props: Properties,
                   sampleFraction: Double = 1.0): DataFrame = {
     // predicate text executes on the target connection, so the literal
-    // dialect must follow the driver (MySQL: backslash is an escape char)
-    val mysql = url.toLowerCase.startsWith("jdbc:mysql")
+    // dialect must follow the driver (MySQL/MariaDB: backslash is an
+    // escape char in string literals under default sql_mode)
+    val lower = url.toLowerCase
+    val mysql = lower.startsWith("jdbc:mysql") || lower.startsWith("jdbc:mariadb")
     val probe = spark.read.jdbc(url, table, props).select(pkCols.map(col): _*)
     val preds = if (sampleFraction >= 1.0)
       Chunker.predicates(probe, pkCols, numChunks, mysql = mysql)

@@ -74,6 +74,23 @@ class ChunkerSpec extends AnyFunSuite with SparkSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("both chunk paths agree on NULL PK components (nulls-first)") {
+    import spark.implicits._
+    // guessed PKs may contain NULLs (DiffSync uses <=> for the same reason)
+    val df = (Seq.tabulate(200)(i => (Some(i.toLong), i % 7)) :+ ((None: Option[Long]), 3))
+      .toDF("k1", "k2")
+    val nonNullCuts = Chunker.boundaries(df.na.drop(), Seq("k1", "k2"), 10).dropRight(1)
+    def ids(c: org.apache.spark.sql.Column): Seq[(Option[Long], Int, Int)] =
+      df.select(col("k1"), col("k2"), c.as("c")).collect().toSeq
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getInt(1), r.getInt(2)))
+    val chain = ids(Chunker.chunkIdColumn(Seq("k1", "k2"), nonNullCuts))
+    val binary = ids(Chunker.chunkIdColumn(Seq("k1", "k2"), nonNullCuts,
+      Some(df.schema), codegenMaxCuts = 0))
+    assert(chain == binary)
+    // the null row sorts first -> chunk 1 on both paths
+    assert(chain.find(_._1.isEmpty).map(_._3).contains(1))
+  }
+
   test("sampledBoundaries returns at most n-1 sorted cut tuples") {
     val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val cuts = Chunker.sampledBoundaries(df, Seq("l_orderkey", "l_linenumber"), 4, fraction = 0.5)
