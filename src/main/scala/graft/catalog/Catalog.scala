@@ -125,7 +125,9 @@ object Catalog {
     val pk = declaredPks.getOrElse(name, Seq.empty)
     val (pkCols, fake) =
       if (pk.nonEmpty) (pk, fakePks.contains(name))
-      else guessPrimaryKey(df, df.columns.take(2).map(Seq(_)).toSeq)
+      // no declared key: consider every column as a candidate (the approx
+      // scoring stage costs ONE aggregation pass regardless of count)
+      else guessPrimaryKey(df, df.columns.map(Seq(_)).toSeq)
         .map { case (c, uniq) => (c, !uniq) }
         .getOrElse((Seq.empty, true))
     val (size, rows) = parquetStats(spark, s"$sfDir/$name.parquet")
