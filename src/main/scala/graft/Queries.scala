@@ -627,6 +627,31 @@ object Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Streaming exact dedup: the events stream unioned with itself (every
+    * record duplicated) must come out exactly once through
+    * withWatermark + dropDuplicates keyed on event_id — state is bounded by
+    * the watermark, the streaming analogue of TextOps.dedupExact. The
+    * oracle is the plain batch aggregate: dedup must make the duplicated
+    * stream indistinguishable from the original. */
+  def eventsStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventsStream.fromParquetDir(s, dir)
+    val agg = ev.unionAll(ev)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val qname = "events_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
+  val eventsStreamDedupSql: String =
+    "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type"
+
   /** Stateful sessionization (flatMapGroupsWithState) run in batch mode over
     * events: 30-min-gap sessions per user. Batch semantics emit only CLOSED
     * sessions (each user's final session stays in state), which the oracle
@@ -698,6 +723,7 @@ object Queries {
     "ngram_jaccard" -> (ngramJaccard _),
     "events_stream" -> (eventsStreamHourly _),
     "events_sessions" -> (eventsSessions _),
+    "events_stream_dedup" -> (eventsStreamDedup _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "embed_near_dup" -> (embedNearDup _),
@@ -731,6 +757,7 @@ object Queries {
     "ngram_jaccard" -> ngramJaccardSql,
     "events_stream" -> eventsStreamHourlySql,
     "events_sessions" -> eventsSessionsSql,
+    "events_stream_dedup" -> eventsStreamDedupSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "embed_near_dup" -> embedNearDupSql,
