@@ -32,14 +32,8 @@ object DumpAll {
           header: Boolean = true, fileTemplate: String = "%d_%t_%p.%m%z",
           withColumnList: Boolean = false,
           dstUrl: Option[String] = None): Seq[Result] = {
-    val all = Catalog.listMeta(spark, sfDir) // already largest-first
-    // an unknown -table must FAIL, not silently dump nothing (the
-    // reference exits on a table it cannot resolve)
-    val unknown = tables.filterNot(t => all.exists(_.name == t))
-    require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
-    val metas = all
-      .filter(m => tables.isEmpty || tables.contains(m.name))
-      .filterNot(m => exclude.exists(m.name.contains))
+    val metas = Catalog.select( // largest-first from listMeta
+      Catalog.listMeta(spark, sfDir), tables, exclude)
     val pool = Executors.newFixedThreadPool(maxConcurrentTables)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {

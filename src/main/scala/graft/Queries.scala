@@ -629,15 +629,17 @@ object Queries {
 
   /** Streaming exact dedup: the events stream unioned with itself (every
     * record duplicated) must come out exactly once through
-    * withWatermark + dropDuplicates keyed on event_id — state is bounded by
-    * the watermark, the streaming analogue of TextOps.dedupExact. The
-    * oracle is the plain batch aggregate: dedup must make the duplicated
-    * stream indistinguishable from the original. */
+    * withWatermark + dropDuplicatesWithinWatermark keyed on event_id — the
+    * WithinWatermark variant is what actually EVICTS dedup state once the
+    * watermark passes (plain dropDuplicates without the event-time column
+    * in its keys keeps state forever). Streaming analogue of
+    * TextOps.dedupExact. The oracle is the plain batch aggregate: dedup
+    * must make the duplicated stream indistinguishable from the original. */
   def eventsStreamDedup(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.streaming.EventsStream.fromParquetDir(s, dir)
     val agg = ev.unionAll(ev)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     val qname = "events_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")

@@ -28,14 +28,16 @@ object SyncMain {
     * name fails, like the reference). */
   def run(spark: SparkSession, srcDir: String, cfg: SyncConfig,
           connProps: Map[String, String] = Map.empty): Seq[TableStats] = {
-    val all = graft.catalog.Catalog.listMeta(spark, srcDir)
-    val unknown = cfg.tables.filterNot(t => all.exists(_.name == t))
-    require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
-    val metas = all
-      .filter(m => cfg.tables.isEmpty || cfg.tables.contains(m.name))
-      .filterNot(m => cfg.exclude.exists(m.name.contains))
+    val metas = graft.catalog.Catalog.select(
+      graft.catalog.Catalog.listMeta(spark, srcDir), cfg.tables, cfg.exclude)
     metas.map { m =>
       require(m.pkCols.nonEmpty, s"table ${m.name}: no primary key, cannot sync")
+      // A fake (non-unique) PK would make the full-outer diff cross-product
+      // per duplicate key and the PK-keyed DML rewrite every sharer —
+      // refuse, as the reference gates unsupported tables via onError
+      // (paradump.go:1384-1413) rather than corrupting the destination.
+      require(!m.fakePrimaryKey,
+        s"table ${m.name}: primary key is not unique (fake PK) — row-DML sync requires a unique key")
       val src = graft.sources.Tables.load(spark, srcDir, m.name)
       val props = new java.util.Properties()
       connProps.foreach { case (k, v) => props.setProperty(k, v) }
@@ -47,15 +49,22 @@ object SyncMain {
       // JDBC catalogs may upper-case names; align to source casing
       val dstAligned = dst.toDF(dst.columns.map(_.toLowerCase).toIndexedSeq: _*)
         .select(src.columns.map(col).toIndexedSeq: _*)
-      // pre-sync destination count: the drift the run is about to fix (a
-      // post-DML count would trivially equal src and hide it)
-      val dstRowsBefore = dstAligned.count()
-      val diff = graft.sync.DiffSync.diff(src, dstAligned, m.pkCols)
-      val stats = graft.sync.DmlSink.apply(diff, cfg.dstUrl.get, m.name,
-        src.columns.toSeq, m.pkCols, connProps,
-        noInsert = cfg.noInsert, noUpdate = cfg.noUpdate, noDelete = cfg.noDelete)
-      TableStats(m.name, m.rowCount, dstRowsBefore,
-        stats.inserts, stats.updates, stats.deletes)
+      // The diff frame holds only drifted rows — small; persist it so the
+      // op-count pass and the DML writes share ONE full-outer join, and
+      // derive the pre-sync destination count from the diff instead of an
+      // extra whole-table JDBC scan: dst = src - missing(I) + extra(D).
+      val diff = graft.sync.DiffSync.diff(src, dstAligned, m.pkCols).persist()
+      try {
+        val ops = diff.groupBy("op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val dstRowsBefore =
+          m.rowCount - ops.getOrElse("I", 0L) + ops.getOrElse("D", 0L)
+        val stats = graft.sync.DmlSink.apply(diff, cfg.dstUrl.get, m.name,
+          src.columns.toSeq, m.pkCols, connProps,
+          noInsert = cfg.noInsert, noUpdate = cfg.noUpdate, noDelete = cfg.noDelete)
+        TableStats(m.name, m.rowCount, dstRowsBefore,
+          stats.inserts, stats.updates, stats.deletes)
+      } finally diff.unpersist()
     }
   }
 

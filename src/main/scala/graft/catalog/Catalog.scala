@@ -94,8 +94,16 @@ object Catalog {
       count_distinct(struct(cols.map(col): _*)).as(s"__e$i")
     }
     val exactRow = df.agg(exactAggs.head, exactAggs.tail: _*).head()
-    contenders.zipWithIndex
-      .collectFirst { case ((cols, _), i) if exactRow.getLong(i) == n => (cols, true) }
+    val confirmed = contenders.zipWithIndex.collect {
+      case ((cols, _), i) if exactRow.getLong(i) == n => cols
+    }
+    // several candidates can be exactly unique (id column AND a unique text
+    // column): choose by a STABLE preference — fewest columns, then schema
+    // position — not by approx-estimate noise order
+    val schemaPos = df.columns.zipWithIndex.toMap
+    confirmed
+      .sortBy(cols => (cols.length, cols.map(schemaPos.getOrElse(_, Int.MaxValue)).min))
+      .headOption.map((_, true))
       .orElse(Some((bestCols, false)))
   }
 
@@ -138,4 +146,15 @@ object Catalog {
     * (paradump.go:1414). */
   def listMeta(spark: SparkSession, sfDir: String): Seq[TableMeta] =
     Tables.all.map(meta(spark, sfDir, _)).sortBy(-_.sizeBytes)
+
+  /** Shared CLI table selection: `-table` subset (an unknown name FAILS —
+    * the reference exits on a table it cannot resolve) minus `-exclude`
+    * substring matches. One policy for every entry point. */
+  def select(all: Seq[TableMeta], tables: Seq[String],
+             exclude: Seq[String]): Seq[TableMeta] = {
+    val unknown = tables.filterNot(t => all.exists(_.name == t))
+    require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
+    all.filter(m => tables.isEmpty || tables.contains(m.name))
+      .filterNot(m => exclude.exists(m.name.contains))
+  }
 }

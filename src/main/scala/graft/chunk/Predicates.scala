@@ -57,13 +57,27 @@ object Predicates {
     terms.mkString("(", " OR ", ")")
   }
 
-  /** Half-open range `[lower, upper)` as SQL text (reference P3). */
+  /** Half-open range `[lower, upper)` as SQL text (reference P3).
+    *
+    * NULL contract: SQL comparisons silently drop NULL key values from
+    * every range, so PK columns are required null-free — which both the
+    * reference's PK guesser (non-nullable index columns only,
+    * paradump.go:1161+) and ours (measured null-free) guarantee for
+    * guessed keys. As defense for declared keys on dirty data, the FIRST
+    * chunk (no lower bound — where NULLs belong under nulls-first
+    * ordering) additionally catches rows whose LEADING key column is
+    * NULL; a NULL in a later component of a composite key remains out of
+    * contract for the text path (the Column path handles it,
+    * [[Chunker.chunkIdColumn]]). */
   def sqlText(pkCols: Seq[String], r: Range): String = {
     val parts = Seq(
       r.lower.map(v => boundSql(pkCols, v, ">", inclusive = true)),
       r.upper.map(v => boundSql(pkCols, v, "<", inclusive = false))
     ).flatten
-    if (parts.isEmpty) "(1 = 1)" else parts.mkString("(", " AND ", ")")
+    if (parts.isEmpty) "(1 = 1)"
+    else if (r.lower.isEmpty)
+      s"(${pkCols.head} IS NULL OR ${parts.mkString("(", " AND ", ")")})"
+    else parts.mkString("(", " AND ", ")")
   }
 
   /** Equality predicate for the final singleton chunk (reference P4). */
