@@ -82,6 +82,40 @@ object Media {
     }
   }
 
+  /** RESIZE STUB — nearest-neighbor resample of the payload body viewed as
+    * a `width x height` byte grid (stands in for an image resize; the
+    * Spark-side shape — binary in, binary out with updated header — is what
+    * a codec-backed implementation keeps). Rows whose body is smaller than
+    * the declared grid resample the available prefix, padding reads with 0. */
+  def resize(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h) = decodeHeader(m.payload)
+      val body = java.util.Arrays.copyOfRange(m.payload, MagicLen, m.payload.length)
+      val out = new Array[Byte](newW * newH)
+      var y = 0
+      while (y < newH) {
+        val sy = y * h / newH
+        var x = 0
+        while (x < newW) {
+          val sx = x * w / newW
+          val idx = sy * w + sx
+          out(y * newW + x) = if (idx < body.length) body(idx) else 0
+          x += 1
+        }
+        y += 1
+      }
+      val header = new Array[Byte](MagicLen)
+      Array.copy(m.payload, 0, header, 0, MagicLen)
+      header(5) = (newW & 0xff).toByte; header(6) = ((newW >> 8) & 0xff).toByte
+      header(7) = (newH & 0xff).toByte; header(8) = ((newH >> 8) & 0xff).toByte
+      header(9) = (out.length & 0xff).toByte
+      header(10) = ((out.length >> 8) & 0xff).toByte
+      header(11) = ((out.length >> 16) & 0xff).toByte
+      MediaRow(m.media_id, m.kind, header ++ out)
+    })
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th `frameSize`-byte
     * block of the body becomes a frame row (media_id, frame_no, frame). */
   def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 64,

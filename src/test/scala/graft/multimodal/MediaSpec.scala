@@ -22,6 +22,33 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
     assert(kinds == Set("image", "audio", "video"))
   }
 
+  test("resize rewrites the header grid and resamples the body deterministically") {
+    val media = Media.syntheticMedia(docs)
+    val resized = Media.resize(media, 8, 8)
+    val feats = Media.extractFeatures(resized).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      assert(f.width == 8 && f.height == 8)
+      assert(f.n_bytes == Media.MagicLen + 64L)
+    }
+    // deterministic: same input -> byte-identical payloads
+    val a = resized.collect().map(_.payload.toSeq).toSeq
+    val b = Media.resize(Media.syntheticMedia(docs), 8, 8).collect().map(_.payload.toSeq).toSeq
+    assert(a == b)
+    // identity-scale resize of a payload whose body fills the grid keeps bytes
+    val grid = Media.MediaRow(0L, "image", {
+      val w = 4; val h = 3
+      val header = new Array[Byte](Media.MagicLen)
+      header(0) = 'G'; header(1) = 'F'; header(2) = 'T'; header(3) = '0'
+      header(5) = w.toByte; header(7) = h.toByte
+      header(9) = (w * h).toByte
+      header ++ Array.tabulate(w * h)(_.toByte)
+    })
+    import spark.implicits._
+    val same = Media.resize(Seq(grid).toDS(), 4, 3).head()
+    assert(same.payload.toSeq == grid.payload.toSeq)
+  }
+
   test("frame sampling emits every stride-th block of video payloads only") {
     val media = Media.syntheticMedia(docs)
     val frames = Media.sampleFrames(media, frameSize = 32, stride = 2).collect()
