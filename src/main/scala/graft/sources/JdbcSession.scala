@@ -36,6 +36,35 @@ object JdbcSession {
     p
   }
 
+  /** Postgres cross-partition CONSISTENT SNAPSHOT — the one dialect where
+    * the reference's FTWRL barrier has a first-class equivalent (exported
+    * snapshots, which paradump's own comments cite as the right mechanism,
+    * paradump.go:244-247, 397-400):
+    *
+    *  1. the caller opens ONE driver-side connection, runs
+    *     `BEGIN ISOLATION LEVEL REPEATABLE READ` then
+    *     `SELECT pg_export_snapshot()`, and KEEPS the transaction open for
+    *     the duration of the read job;
+    *  2. every Spark partition connection replays
+    *     [[pgSnapshotInit]] via `sessionInitStatement` and therefore sees
+    *     the exact same snapshot — a true cross-partition consistent read,
+    *     not just per-connection REPEATABLE READ.
+    *
+    * MySQL has no equivalent (snapshot clone requires the FTWRL dance the
+    * reference does with raw connection control Spark doesn't expose);
+    * MySQL callers keep the documented per-partition REPEATABLE_READ mode.
+    */
+  def pgSnapshotInit(snapshotId: String): String = {
+    require(snapshotId.matches("[0-9A-Fa-f-]+"),
+      s"implausible pg snapshot id: $snapshotId") // ids look like '00000004-00000002-1'
+    s"BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; SET TRANSACTION SNAPSHOT '$snapshotId'"
+  }
+
+  /** Reader properties pinned to an exported Postgres snapshot. */
+  def pgSnapshotReaderProps(user: String, password: String, snapshotId: String,
+                            fetchSize: Int = 10000): Properties =
+    readerProps(user, password, Some(pgSnapshotInit(snapshotId)), fetchSize)
+
   /** Writer properties: batched inserts (O5), optional trigger suppression. */
   def writerProps(user: String, password: String, batchSize: Int = 500,
                   sessionInit: Option[String] = None): Properties = {

@@ -37,4 +37,15 @@ class DumpAllSpec extends AnyFunSuite with SparkSuite {
     assert(w.getProperty("batchsize") == "42")
     assert(w.getProperty("sessionInitStatement").contains("session_replication_role"))
   }
+
+  test("pg exported-snapshot props pin every partition to one snapshot") {
+    val p = graft.sources.JdbcSession.pgSnapshotReaderProps("u", "pw", "00000004-00000002-1")
+    val init = p.getProperty("sessionInitStatement")
+    assert(init.contains("ISOLATION LEVEL REPEATABLE READ"))
+    assert(init.contains("SET TRANSACTION SNAPSHOT '00000004-00000002-1'"))
+    // a hostile/garbled snapshot id must not reach SQL text
+    intercept[IllegalArgumentException] {
+      graft.sources.JdbcSession.pgSnapshotInit("x'; DROP TABLE t;--")
+    }
+  }
 }
