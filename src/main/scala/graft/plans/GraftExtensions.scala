@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: makes the library's native
   * expressions available as SQL functions. Activate with
@@ -15,13 +15,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
   }
 }
 
 object GraftExtensions {
   /** Runtime registration for an already-built session (builder-time
     * extensions can't apply to it). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftColumnBridge.registerFunction(
       spark, "graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(
+      spark, "graft_sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)))
+  }
 }

@@ -43,4 +43,14 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
       .head().getDouble(0)
     assert(got == 11.0)
   }
+
+  test("graft_sorted_intersect_size is callable from SQL after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_sorted_intersect_size(
+        |  array(CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(9 AS BIGINT)),
+        |  array(CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(9 AS BIGINT))) AS n""".stripMargin)
+      .head().getInt(0)
+    assert(got == 2)
+  }
 }
