@@ -276,9 +276,9 @@ object Queries {
     * construction cannot produce one from clean inputs. */
   private val javaTokens: String = "string_split(rtrim(array_to_string(w, ' '), ' '), ' ')"
 
-  /** All-pairs exact 3-shingle Jaccard >= 0.5 over the planted corpus — the
-    * ground truth both near_dup_minhash and ngram_jaccard must reproduce. */
-  private val exactJaccardSql: String =
+  /** CTE prefix ending in `p` (pair intersection/union counts) — shared by
+    * the all-pairs Jaccard oracle and the clusters oracle. */
+  private val jaccardPairsCtePrefix: String =
     plantedDocsSql + s""",
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wj)-1, 1)),
@@ -290,7 +290,12 @@ object Queries {
       |    len(list_intersect(a.s, b.s)) AS inter,
       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |)
+      |)""".stripMargin
+
+  /** All-pairs exact 3-shingle Jaccard >= 0.5 over the planted corpus — the
+    * ground truth both near_dup_minhash and ngram_jaccard must reproduce. */
+  private val exactJaccardSql: String =
+    jaccardPairsCtePrefix + """
       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
       |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin
 
@@ -310,6 +315,44 @@ object Queries {
     graft.operators.NearDup.jaccardPairs(docsWithPlantedDups(s, dir), threshold = 0.5)
 
   val ngramJaccardSql: String = exactJaccardSql
+
+  /** Near-dup CLUSTERS: connected components over the exact-Jaccard pair
+    * graph — pairs become dedup groups (keep-one-per-component is then a
+    * comp == doc_id filter). Spark iterates min-label propagation to
+    * FIXPOINT; the oracle unrolls the same propagation a fixed 8 rounds
+    * over the same edges, which covers any component of diameter <= 8
+    * (near-dup components are planted pairs plus short organic chains —
+    * verified converged at the correctness scale). */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlantedDups(s, dir)
+    val pairs = graft.operators.NearDup.jaccardPairs(docs, threshold = 0.5)
+    graft.operators.NearDup.connectedComponents(docs.select("doc_id"), pairs)
+  }
+
+  val nearDupClustersSql: String = {
+    val rounds = 8
+    // AS MATERIALIZED: each l_k is referenced twice by l_{k+1}; default CTE
+    // inlining would re-evaluate the whole chain (and the expensive
+    // all-pairs prefix) exponentially often
+    val iters = (0 until rounds).map { k =>
+      s"""l${k + 1} AS MATERIALIZED (
+         |  SELECT l.doc_id, least(l.comp, COALESCE(min(ln.comp), l.comp)) AS comp
+         |  FROM l$k l
+         |  LEFT JOIN e ON e.u = l.doc_id
+         |  LEFT JOIN l$k ln ON ln.doc_id = e.v
+         |  GROUP BY l.doc_id, l.comp
+         |)""".stripMargin
+    }.mkString(",\n")
+    jaccardPairsCtePrefix + """,
+      |pairs AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM p
+      |  WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+      |),
+      |e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS comp FROM docs2),
+      |""".stripMargin + iters + s"\nSELECT doc_id, comp FROM l$rounds"
+  }
 
   /** SimHash pairs within Hamming distance 4 (of 62 bits). Banding is
     * pigeonhole-exact and the dual-base token hash is portable, so the
@@ -723,6 +766,7 @@ object Queries {
     "near_dup_minhash" -> (nearDupMinhash _),
     "near_dup_simhash" -> (nearDupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
+    "near_dup_clusters" -> (nearDupClusters _),
     "events_stream" -> (eventsStreamHourly _),
     "events_sessions" -> (eventsSessions _),
     "events_stream_dedup" -> (eventsStreamDedup _),
@@ -757,6 +801,7 @@ object Queries {
     "near_dup_minhash" -> nearDupMinhashSql,
     "near_dup_simhash" -> nearDupSimhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "near_dup_clusters" -> nearDupClustersSql,
     "events_stream" -> eventsStreamHourlySql,
     "events_sessions" -> eventsSessionsSql,
     "events_stream_dedup" -> eventsStreamDedupSql,

@@ -286,6 +286,44 @@ object NearDup {
       .select("doc_a", "doc_b", "hamming").distinct()
   }
 
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation: comp(v) starts as v and iterates to
+    * min(comp(v), min over neighbors comp(u)) until fixpoint — the step
+    * that turns PAIRS into dedup CLUSTERS (keep one doc per component).
+    *
+    * Convergence takes diameter(G) rounds; near-dup components are tiny
+    * cliques/chains, so a handful. Each round is one shuffle join on ids.
+    * (At adversarial graph scale the alternating-star variants
+    * [Kiveris et al., CC in MapReduce] bound rounds by log n — the
+    * documented upgrade path; dedup graphs don't need it.)
+    * Returns (doc_id, comp) for every id in `ids`. */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = ids.select(col("doc_id"), col("doc_id").as("comp")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("v"), col("comp").as("ncomp")), "v")
+        .groupBy(col("u").as("doc_id")).agg(min("ncomp").as("mincomp"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
+        .persist()
+      changed = next
+        .join(labels.select(col("doc_id"), col("comp").as("old")), "doc_id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // --- Exact n-gram Jaccard ------------------------------------------------
 
   /** Exact n-gram Jaccard near-dup — the non-approximate member of the dedup
