@@ -66,6 +66,19 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
       s"prefix-filtered result (${found.size}) != ground truth (${truth.size})")
   }
 
+  test("connectedComponents: transitive closure with min labels, singletons untouched") {
+    import spark.implicits._
+    val ids = (1L to 8L).toDF("doc_id")
+    // components: {1,2,3} via chain, {5,6} direct, {4},{7},{8} singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val comp = NearDup.connectedComponents(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+    // keep-one-per-component dedup = comp == doc_id
+    assert(comp.count { case (d, c) => d == c } == 5)
+  }
+
   test("TokenHash: portable polynomial hash matches its spec") {
     // ((7*31+'t')*31+'h')*31+'e' mod 2^31-1 — the value the DuckDB oracle
     // derives independently via list_reduce
