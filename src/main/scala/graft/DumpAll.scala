@@ -31,7 +31,8 @@ object DumpAll {
           tables: Seq[String] = Nil, db: String = "graft",
           header: Boolean = true, fileTemplate: String = "%d_%t_%p.%m%z",
           withColumnList: Boolean = false,
-          dstUrl: Option[String] = None): Seq[Result] = {
+          dstUrl: Option[String] = None,
+          dstProps: Map[String, String] = Map.empty): Seq[Result] = {
     val metas = Catalog.select( // largest-first from listMeta
       Catalog.listMeta(spark, sfDir), tables, exclude)
     val pool = Executors.newFixedThreadPool(maxConcurrentTables)
@@ -61,8 +62,10 @@ object DumpAll {
             case "cpy" =>
               val url = dstUrl.getOrElse(
                 throw new IllegalArgumentException("cpy mode requires dstUrl"))
-              graft.sinks.JdbcCopySink.write(df, url, m.name,
-                new java.util.Properties(), batchSize = insertSize)
+              val props = new java.util.Properties() // user/password etc.
+              dstProps.foreach { case (k, v) => props.setProperty(k, v) }
+              graft.sinks.JdbcCopySink.write(df, url, m.name, props,
+                batchSize = insertSize)
               Seq(url)
             case other => throw new IllegalArgumentException(s"mode $other")
           }

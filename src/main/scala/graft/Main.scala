@@ -33,33 +33,30 @@ object Main {
       dstUrl = cfg.dstUrl)
 
   def main(args: Array[String]): Unit = {
-    // -src/-o are ours; the rest is the reference flag surface
-    var src = Option.empty[String]
-    var out = Option.empty[String]
-    val rest = Seq.newBuilder[String]
-    var i = 0
-    while (i < args.length) {
-      args(i) match {
-        case "-src" if i + 1 < args.length => src = Some(args(i + 1)); i += 2
-        case "-o" if i + 1 < args.length => out = Some(args(i + 1)); i += 2
-        case a => rest += a; i += 1
-      }
-    }
-    (src, out) match {
-      case (Some(s), Some(o)) =>
-        Cli.parseDump(rest.result()) match {
-          case Left(err) =>
-            System.err.println(s"graft: $err")
-            sys.exit(1)
-          case Right(cfg) =>
-            val spark = GraftSession.get()
-            val results = run(spark, s, o, cfg)
-            results.foreach(r => println(s"${r.table}: ${r.rows} rows -> ${r.files.mkString(", ")}"))
-            spark.stop()
-        }
-      case _ =>
-        System.err.println("graft: need -src <dataDir> and -o <outDir>")
+    val parsed = for {
+      // -src/-o are ours; the rest is the reference flag surface
+      stripped <- Cli.stripLocal(args.toSeq, Set("-src", "-o"))
+      (local, rest) = stripped
+      src <- local.get("-src").toRight("need -src <dataDir>")
+      out <- local.get("-o").toRight("need -o <outDir>")
+      cfg <- Cli.parseDump(rest)
+    } yield (src, out, cfg)
+    parsed match {
+      case Left(err) =>
+        System.err.println(s"graft: $err")
         sys.exit(1)
+      case Right((src, out, cfg)) =>
+        val spark = GraftSession.get()
+        try {
+          val results = run(spark, src, out, cfg)
+          results.foreach(r => println(s"${r.table}: ${r.rows} rows -> ${r.files.mkString(", ")}"))
+        } catch {
+          // post-parse validation (unknown table, cpy without reachable
+          // dst, ...) gets the same clean contract as flag errors
+          case e: IllegalArgumentException =>
+            System.err.println(s"graft: ${e.getMessage}")
+            sys.exit(1)
+        } finally spark.stop()
     }
   }
 }

@@ -75,33 +75,29 @@ object SyncMain {
       .mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
-    var src = Option.empty[String]
-    val rest = Seq.newBuilder[String]
-    var i = 0
-    while (i < args.length) {
-      args(i) match {
-        case "-src" if i + 1 < args.length => src = Some(args(i + 1)); i += 2
-        case a => rest += a; i += 1
-      }
-    }
-    src match {
-      case Some(s) =>
-        Cli.parseSync(rest.result()) match {
-          case Left(err) =>
-            System.err.println(s"graft-sync: $err")
-            sys.exit(1)
-          case Right(cfg) =>
-            val spark = GraftSession.get()
-            val stats = run(spark, s, cfg)
-            stats.foreach(t => println(
-              s"${t.table}: src ${t.srcRows} dst ${t.dstRows} -> " +
-                s"I ${t.inserts} U ${t.updates} D ${t.deletes}"))
-            cfg.statsFile.foreach(f => Files.writeString(Paths.get(f), statsJson(stats)))
-            spark.stop()
-        }
-      case None =>
-        System.err.println("graft-sync: need -src <dataDir>")
+    val parsed = for {
+      stripped <- Cli.stripLocal(args.toSeq, Set("-src"))
+      (local, rest) = stripped
+      src <- local.get("-src").toRight("need -src <dataDir>")
+      cfg <- Cli.parseSync(rest)
+    } yield (src, cfg)
+    parsed match {
+      case Left(err) =>
+        System.err.println(s"graft-sync: $err")
         sys.exit(1)
+      case Right((src, cfg)) =>
+        val spark = GraftSession.get()
+        try {
+          val stats = run(spark, src, cfg)
+          stats.foreach(t => println(
+            s"${t.table}: src ${t.srcRows} dst ${t.dstRows} -> " +
+              s"I ${t.inserts} U ${t.updates} D ${t.deletes}"))
+          cfg.statsFile.foreach(f => Files.writeString(Paths.get(f), statsJson(stats)))
+        } catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"graft-sync: ${e.getMessage}")
+            sys.exit(1)
+        } finally spark.stop()
     }
   }
 }

@@ -82,14 +82,17 @@ object Catalog {
     val scored = viable.map { case (cols, i) =>
       (cols, row.getLong(row.fieldIndex(s"__c$i")))
     }.sortBy { case (cols, c) => (-c, cols.length) }
-    // Exact-confirm the approximate winner PLUS every runner-up whose
-    // estimate is within the approx_count_distinct error band (~5% rsd ->
-    // 2 sigma) — a truly unique key must not lose to a non-unique one on
-    // estimation noise (a fake-PK verdict is safe but pessimal downstream).
+    // Exact-confirm every candidate whose estimate is plausibly n: the
+    // band anchors on the EXACT row count (known), not on the noisy best
+    // estimate — two independent ~5%-rsd estimates can disagree by ~15%,
+    // so a best-estimate-anchored band could exclude a truly unique key.
     // All contenders confirm in ONE aggregation pass (one table scan).
-    val (bestCols, bestEst) = scored.head
-    val band = (bestEst * (1.0 - 2 * 0.05)).toLong
-    val contenders = scored.head +: scored.tail.takeWhile(_._2 >= band)
+    val bestCols = scored.head._1
+    val band = (n * (1.0 - 3 * 0.05)).toLong
+    val contenders = scored.takeWhile(_._2 >= band) match {
+      case Seq() => scored.take(1) // nothing plausible: confirm the best anyway
+      case plausible => plausible
+    }
     val exactAggs = contenders.zipWithIndex.map { case ((cols, _), i) =>
       count_distinct(struct(cols.map(col): _*)).as(s"__e$i")
     }

@@ -104,11 +104,39 @@ object Cli {
         case "-dumpcompress" :: v :: t => c = c.copy(compress = Some(v)); rest = t
         case "-guessprimarykey" :: t => c = c.copy(guessPrimaryKey = true); rest = t
         case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
+        case flag :: Nil if dumpValueFlags(flag) =>
+          return Left(s"$flag: missing value")
         case flag :: _ => return Left(s"unknown flag: $flag")
       }
     }
     validate(c)
   }
+
+  /** Peel engine-local value flags (e.g. -src/-o) off an arg list before
+    * handing the remainder to the reference-surface parsers — shared by
+    * both binaries so their edge-case behavior cannot diverge. A
+    * value-less occurrence is an error, not an unknown flag. */
+  def stripLocal(args: Seq[String],
+                 flags: Set[String]): Either[String, (Map[String, String], Seq[String])] = {
+    var vals = Map.empty[String, String]
+    val rest = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (flags(a)) {
+        if (i + 1 >= args.length) return Left(s"$a: missing value")
+        vals += (a -> args(i + 1))
+        i += 2
+      } else { rest += a; i += 1 }
+    }
+    Right((vals, rest.result()))
+  }
+
+  private val dumpValueFlags = Set("-dumpmode", "-db", "-table", "-exclude",
+    "-chunksize", "-insertsize", "-parallel", "-browser", "-dumpparallel",
+    "-dumpfile", "-dumpheader", "--dumpinsert", "-dumpcompress", "-dst")
+  private val syncValueFlags = Set("-db", "-table", "-exclude", "-chunksize",
+    "-parallel", "--statsfile", "-dst")
 
   /** Parse + validate the parasync flag surface. */
   def parseSync(args: Seq[String]): Either[String, SyncConfig] = {
@@ -136,6 +164,8 @@ object Cli {
         case "--writer-no-delete" :: t => c = c.copy(noDelete = true); rest = t
         case "--statsfile" :: v :: t => c = c.copy(statsFile = Some(v)); rest = t
         case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
+        case flag :: Nil if syncValueFlags(flag) =>
+          return Left(s"$flag: missing value")
         case flag :: _ => return Left(s"unknown flag: $flag")
       }
     }

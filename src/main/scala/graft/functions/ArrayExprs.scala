@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
 
 /** Intersection size of two SORTED long arrays — the near-dup verify hot
   * path. Built-in `array_intersect` allocates a hash set per row; with both
@@ -17,6 +18,16 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
 case class SortedIntersectSize(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  // exposed as a SQL function (GraftExtensions): without an input-type
+  // check, an array<int> argument would pass analysis and getLong() would
+  // read misaligned garbage — reject anything but array<bigint> at analysis
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got $l and $r")
+    }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_size"
 
@@ -77,6 +88,11 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Float]],
                              tables: Int, bits: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got $other")
+  }
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_buckets"

@@ -321,6 +321,12 @@ object NearDup {
       it += 1
     }
     edges.unpersist()
+    // a silent non-converged return would split one true cluster into
+    // several and let keep-one-per-component dedup keep duplicates
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters (component diameter exceeds it)")
     labels
   }
 

@@ -57,7 +57,13 @@ object JdbcSession {
   def pgSnapshotInit(snapshotId: String): String = {
     require(snapshotId.matches("[0-9A-Fa-f-]+"),
       s"implausible pg snapshot id: $snapshotId") // ids look like '00000004-00000002-1'
-    s"BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; SET TRANSACTION SNAPSHOT '$snapshotId'"
+    // SET TRANSACTION (not BEGIN): Spark's Postgres read path turns
+    // autocommit off BEFORE running sessionInitStatement (fetchsize > 0 ->
+    // PostgresDialect.beforeFetch), so the driver has already opened the
+    // transaction these statements must apply to — an explicit BEGIN would
+    // be a no-op warning and leave the isolation level unchanged, breaking
+    // SET TRANSACTION SNAPSHOT (requires REPEATABLE READ/SERIALIZABLE).
+    s"SET TRANSACTION ISOLATION LEVEL REPEATABLE READ; SET TRANSACTION SNAPSHOT '$snapshotId'"
   }
 
   /** Reader properties pinned to an exported Postgres snapshot. */

@@ -41,7 +41,10 @@ class DumpAllSpec extends AnyFunSuite with SparkSuite {
   test("pg exported-snapshot props pin every partition to one snapshot") {
     val p = graft.sources.JdbcSession.pgSnapshotReaderProps("u", "pw", "00000004-00000002-1")
     val init = p.getProperty("sessionInitStatement")
-    assert(init.contains("ISOLATION LEVEL REPEATABLE READ"))
+    // must be SET TRANSACTION (applies to the transaction Spark's
+    // beforeFetch already opened), never an explicit BEGIN
+    assert(init.startsWith("SET TRANSACTION ISOLATION LEVEL REPEATABLE READ"))
+    assert(!init.contains("BEGIN"))
     assert(init.contains("SET TRANSACTION SNAPSHOT '00000004-00000002-1'"))
     // a hostile/garbled snapshot id must not reach SQL text
     intercept[IllegalArgumentException] {

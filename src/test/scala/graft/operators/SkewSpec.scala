@@ -52,5 +52,9 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
         |  array(CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(9 AS BIGINT))) AS n""".stripMargin)
       .head().getInt(0)
     assert(got == 2)
+    // misuse (int arrays) must fail analysis, not return misread garbage
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_sorted_intersect_size(array(1, 3), array(3, 4))").collect()
+    }
   }
 }
