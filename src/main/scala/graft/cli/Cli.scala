@@ -1,10 +1,5 @@
 package graft.cli
 
-/** CLI contract — the reference's flag surface and validation matrix
-  * (/root/reference/src/paradump/paradump.go:3477-3524 flags, :3527-3637
-  * validation exits, :3656-3671 filename-template grammar). The reference's
-  * CLI tests 1-34 (test/run_test.sh:132-265) assert every invalid
-  * combination fails; CliSpec ports that matrix. */
 /** parasync's flag surface (reference parasync.go:3370-3406): what to sync,
   * where, and which DML kinds the writer may apply
   * (`--writer-no-{insert,update,delete}`, parasync.go:3221-3222), plus the
@@ -38,6 +33,12 @@ case class DumpConfig(
     guessPrimaryKey: Boolean = false,
     dstUrl: Option[String] = None)
 
+/** CLI contract — the reference's flag surfaces and validation matrices
+  * (/root/reference/src/paradump/paradump.go:3477-3524 flags, :3527-3637
+  * validation exits, :3656-3671 filename-template grammar;
+  * parasync.go:3370-3406). The reference's CLI tests 1-34
+  * (test/run_test.sh:132-265) assert every invalid combination fails;
+  * CliSpec ports that matrix. */
 object Cli {
 
   private val modes = Set("sql", "csv", "cpy", "null")
