@@ -80,6 +80,12 @@ object Predicates {
     else parts.mkString("(", " AND ", ")")
   }
 
+  /** Strict tuple lower bound `(pk...) > vals` as OR-of-ANDs text — the
+    * boundary walk's paging condition ([[graft.sources.JdbcBoundaryWalk]]):
+    * strict so a duplicated boundary value can never loop the walk. */
+  def strictLowerSql(pkCols: Seq[String], vals: Seq[String]): String =
+    boundSql(pkCols, vals, ">", inclusive = false)
+
   /** Equality predicate for the final singleton chunk (reference P4). */
   def equalitySql(pkCols: Seq[String], vals: Seq[String]): String =
     pkCols.zip(vals).map { case (c, v) => s"$c = $v" }

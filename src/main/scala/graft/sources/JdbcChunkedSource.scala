@@ -26,23 +26,63 @@ object JdbcChunkedSource {
            predicates: Seq[String], props: Properties): DataFrame =
     spark.read.jdbc(url, table, predicates.toArray, props)
 
-  /** Full pipeline: probe the PK columns, compute equal-cardinality chunk
-    * boundaries (exact for modest tables, sampled for `sampleFraction` <1),
-    * then re-read chunked. The probe projects ONLY the PK columns. */
+  /** Boundary-probe strategy for [[readChunked]]. The server-side modes
+    * move O(n_chunks) rows over the wire; the Spark-side modes stream the
+    * whole PK projection through ONE unpartitioned connection and exist
+    * only for sources without ordered paging (rare) or for testing. */
+  sealed trait BoundaryMode
+  /** Iterative LIMIT-walk, one row per chunk — works on every dialect. */
+  case object Walk extends BoundaryMode
+  /** One pushed-down ntile window query — MySQL 8+/PG/MSSQL/Oracle. */
+  case object NtilePushdown extends BoundaryMode
+  /** Legacy Spark-side probe (full PK projection through one connection). */
+  final case class SparkProbe(sampleFraction: Double = 1.0) extends BoundaryMode
+
+  /** Full pipeline: compute equal-cardinality chunk boundaries on the
+    * SOURCE (default: the [[JdbcBoundaryWalk]] LIMIT-walk — ~1 boundary row
+    * per chunk on the wire, the reference's probe cost), then read chunked:
+    * one JDBC partition per half-open PK-range predicate. */
   def readChunked(spark: SparkSession, url: String, table: String,
                   pkCols: Seq[String], numChunks: Int, props: Properties,
-                  sampleFraction: Double = 1.0): DataFrame = {
+                  mode: BoundaryMode = Walk, rowCountHint: Long = -1L): DataFrame = {
     // predicate text executes on the target connection, so the literal
     // dialect must follow the driver (MySQL/MariaDB: backslash is an
     // escape char in string literals under default sql_mode)
     val lower = url.toLowerCase
     val mysql = lower.startsWith("jdbc:mysql") || lower.startsWith("jdbc:mariadb")
-    val probe = spark.read.jdbc(url, table, props).select(pkCols.map(col): _*)
-    val preds = if (sampleFraction >= 1.0)
-      Chunker.predicates(probe, pkCols, numChunks, mysql = mysql)
-    else
-      Chunker.ranges(Chunker.sampledBoundaries(probe, pkCols, numChunks, sampleFraction), mysql)
-        .map(graft.chunk.Predicates.sqlText(pkCols, _))
+    val preds = mode match {
+      case Walk =>
+        // chunk row-target from the catalog row estimate when available
+        // (live-JDBC metadata, Catalog.jdbcMeta) — else probe it with ONE
+        // count query (cheap server-side; never a data pull)
+        val rows = if (rowCountHint > 0) rowCountHint else countRows(url, table, props)
+        val chunkSize = math.max(2L, (rows + numChunks - 1) / math.max(1, numChunks))
+        val (cuts, _) = JdbcBoundaryWalk.walkBoundaries(url, table, pkCols, chunkSize, props)
+        JdbcBoundaryWalk.boundaryPredicates(pkCols, cuts, url)
+      case NtilePushdown =>
+        val cuts = JdbcBoundaryWalk.ntileBoundaries(url, table, pkCols, numChunks, props)
+        JdbcBoundaryWalk.boundaryPredicates(pkCols, cuts.dropRight(1), url)
+      case SparkProbe(fraction) =>
+        val probe = spark.read.jdbc(url, table, props).select(pkCols.map(col): _*)
+        if (fraction >= 1.0)
+          Chunker.predicates(probe, pkCols, numChunks, mysql = mysql)
+        else
+          Chunker.ranges(Chunker.sampledBoundaries(probe, pkCols, numChunks, fraction), mysql)
+            .map(graft.chunk.Predicates.sqlText(pkCols, _))
+    }
     read(spark, url, table, preds, props)
+  }
+
+  /** One server-side `COUNT(*)` (index-answerable on most engines) — the
+    * walk's chunk-size denominator when no catalog estimate is supplied. */
+  private def countRows(url: String, table: String, props: Properties): Long = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next(); rs.getLong(1)
+      } finally st.close()
+    } finally conn.close()
   }
 }
