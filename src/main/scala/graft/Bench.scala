@@ -64,9 +64,14 @@ object Bench {
         .mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a subset run is tagged AND never writes the default output file: its
+    // smaller total must not masquerade as a full-suite standing
+    val subsetTag = if (only.isDefined) """"subset":true,""" else ""
     val line =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":${fmt(warm)},"cold":${fmt(cold)},"failed":$failedJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",$subsetTag"queries":${fmt(warm)},"cold":${fmt(cold)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    if (only.isEmpty || outFile.isDefined)
+      Files.writeString(Paths.get(outFile.getOrElse("bench_out.json")), line + "\n")
     println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)

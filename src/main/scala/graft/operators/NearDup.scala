@@ -299,25 +299,34 @@ object NearDup {
     * Returns (doc_id, comp) for every id in `ids`. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
                           maxIters: Int = 20): DataFrame = {
+    val spark = ids.sparkSession
+    // reliable checkpoints when the caller configured a checkpoint dir
+    // (cluster-grade fault tolerance); local (executor-storage) otherwise
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
-    var labels = ids.select(col("doc_id"), col("doc_id").as("comp")).persist()
+    var labels = materialize(ids.select(col("doc_id"), col("doc_id").as("comp")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val viaNeighbors = edges
         .join(labels.select(col("doc_id").as("v"), col("comp").as("ncomp")), "v")
         .groupBy(col("u").as("doc_id")).agg(min("ncomp").as("mincomp"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      // Convergence detection FUSED into the propagation pass: the left
+      // join already carries (old comp, neighborhood min) per row, so the
+      // changed flag is a free column — no second join. The checkpoint IS
+      // the materializing action (truncating lineage every round so plan
+      // depth and recompute cost stay O(1) per iteration); the flag count
+      // afterwards is a cheap scan of the materialized partitions.
+      val next = materialize(labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
-        .persist()
-      changed = next
-        .join(labels.select(col("doc_id"), col("comp").as("old")), "doc_id")
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+          least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"),
+          (col("mincomp").isNotNull && col("mincomp") < col("comp")).as("__changed")))
+      changed = next.filter(col("__changed")).count()
+      labels = next.select("doc_id", "comp")
       it += 1
     }
     edges.unpersist()
@@ -327,6 +336,9 @@ object NearDup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters (component diameter exceeds it)")
+    // nothing is left registered with the cache manager: per-round
+    // checkpoint RDDs are released by the context cleaner once the last
+    // frame referencing them (the returned result) goes out of scope
     labels
   }
 
