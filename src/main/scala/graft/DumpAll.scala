@@ -32,7 +32,10 @@ object DumpAll {
           header: Boolean = true, fileTemplate: String = "%d_%t_%p.%m%z",
           withColumnList: Boolean = false,
           dstUrl: Option[String] = None,
-          dstProps: Map[String, String] = Map.empty): Seq[Result] = {
+          dstProps: Map[String, String] = Map.empty,
+          // cpy: write into this destination schema instead of the source's
+          // (reference -dst-schema / PopulateDstSchema, paradump.go:1457-1466)
+          dstSchema: Option[String] = None): Seq[Result] = {
     val metas = Catalog.select( // largest-first from listMeta
       Catalog.listMeta(spark, sfDir), tables, exclude)
     val pool = Executors.newFixedThreadPool(maxConcurrentTables)
@@ -64,7 +67,8 @@ object DumpAll {
                 throw new IllegalArgumentException("cpy mode requires dstUrl"))
               val props = new java.util.Properties() // user/password etc.
               dstProps.foreach { case (k, v) => props.setProperty(k, v) }
-              graft.sinks.JdbcCopySink.write(df, url, m.name, props,
+              val target = dstSchema.map(s => s"$s.${m.name}").getOrElse(m.name)
+              graft.sinks.JdbcCopySink.write(df, url, target, props,
                 batchSize = insertSize)
               Seq(url)
             case other => throw new IllegalArgumentException(s"mode $other")

@@ -30,7 +30,8 @@ object Main {
       tables = cfg.tables, db = cfg.schemas.headOption.getOrElse("graft"),
       header = cfg.dumpHeader, fileTemplate = cfg.dumpFile,
       withColumnList = cfg.dumpInsert == "full",
-      dstUrl = cfg.dstUrl)
+      dstUrl = cfg.dstUrl,
+      dstSchema = cfg.dstSchemas.headOption)
 
   def main(args: Array[String]): Unit = {
     val parsed = for {

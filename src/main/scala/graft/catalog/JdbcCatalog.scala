@@ -1,0 +1,205 @@
+package graft.catalog
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+/** Live-database catalog metadata over JDBC — the analogue of the
+  * reference's `Get*BasicMetadataInfo` introspection
+  * (/root/reference/src/paradump/paradump.go:757-1116: information_schema
+  * for MySQL :773-858, pg_catalog :894-938, sys.* for MSSQL :1011-1099)
+  * expressed through the portable `DatabaseMetaData` API plus small
+  * dialect-specific probes where the standard API has no equivalent
+  * (trigger presence, MySQL storage engine).
+  *
+  * Scale contract: a catalog listing must NEVER scan data. Primary keys
+  * come from the declared constraint ([[primaryKey]]), PK *guessing* from
+  * unique-index metadata ([[guessKeyFromIndexes]] — the reference's
+  * max-cardinality index choice, paradump.go:1161-1230), and row counts
+  * from index statistics ([[rowEstimate]]) — all answered by the engine's
+  * catalog, zero table reads. The parquet path ([[Catalog]]) has the same
+  * guarantee via footers; the data-scanning `guessPrimaryKey` remains the
+  * last resort for sources with no index metadata at all. */
+object JdbcCatalog {
+
+  /** One secondary-index descriptor (reference `indexInfo`,
+    * paradump.go:709-713). `cardinality` is the engine's estimate; -1 when
+    * the driver reports none. */
+  case class IndexMeta(name: String, unique: Boolean, cardinality: Long,
+                       cols: Seq[String])
+
+  def withConnection[T](url: String, props: Properties)(f: Connection => T): T = {
+    val c = DriverManager.getConnection(url, props)
+    try f(c) finally c.close()
+  }
+
+  /** Unquoted identifiers are case-normalized per engine (Derby/Oracle
+    * upper-case, Postgres lower-case): try as-given, then the two foldings. */
+  private def candidates(name: String): Seq[String] =
+    Seq(name, name.toUpperCase, name.toLowerCase).distinct
+
+  /** TABLE_TYPE from `DatabaseMetaData.getTables`: "TABLE", "VIEW", ... —
+    * the reference's BASE TABLE check (paradump.go:787-789). */
+  def tableType(conn: Connection, table: String): Option[String] = {
+    val md = conn.getMetaData
+    candidates(table).iterator.map { t =>
+      val rs = md.getTables(null, null, t, null)
+      try if (rs.next()) Option(rs.getString("TABLE_TYPE")) else None
+      finally rs.close()
+    }.collectFirst { case Some(tt) => tt }
+  }
+
+  /** Declared primary-key columns in KEY_SEQ order, lower-cased (Spark
+    * column names downstream are lower-case in this engine). */
+  def primaryKey(conn: Connection, table: String): Seq[String] = {
+    val md = conn.getMetaData
+    candidates(table).iterator.map { t =>
+      val rs = md.getPrimaryKeys(null, null, t)
+      try {
+        val cols = Seq.newBuilder[(Short, String)]
+        while (rs.next()) cols += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+        cols.result()
+      } finally rs.close()
+    }.find(_.nonEmpty).getOrElse(Seq.empty)
+      .sortBy(_._1).map(_._2.toLowerCase)
+  }
+
+  /** Index metadata incl. the engine's cardinality estimates — the
+    * reference reads these from INFORMATION_SCHEMA.STATISTICS
+    * (paradump.go:1124-1159); `getIndexInfo(approximate = true)` is the
+    * portable equivalent and costs no scan. */
+  def indexes(conn: Connection, table: String): Seq[IndexMeta] = {
+    val md = conn.getMetaData
+    candidates(table).iterator.map { t =>
+      val rs = md.getIndexInfo(null, null, t, false, true)
+      try {
+        val rows = Seq.newBuilder[(String, Boolean, Long, Short, String)]
+        while (rs.next()) {
+          val name = rs.getString("INDEX_NAME")
+          val col = rs.getString("COLUMN_NAME")
+          if (name != null && col != null) // skip tableIndexStatistic rows
+            rows += ((name, !rs.getBoolean("NON_UNIQUE"), rs.getLong("CARDINALITY"),
+              rs.getShort("ORDINAL_POSITION"), col))
+        }
+        rows.result()
+      } finally rs.close()
+    }.find(_.nonEmpty).getOrElse(Seq.empty)
+      .groupBy(_._1).toSeq.map { case (name, rows) =>
+        val sorted = rows.sortBy(_._4)
+        IndexMeta(name, sorted.head._2,
+          sorted.map(_._3).max.max(-1L), sorted.map(_._5.toLowerCase))
+      }.sortBy(_.name)
+  }
+
+  /** Row-count estimate from index statistics (the `tableIndexStatistic`
+    * CARDINALITY row, or the largest index cardinality) — the reference's
+    * information_schema.tables rows estimate (paradump.go:773). -1 when the
+    * engine publishes none (e.g. Derby without run statistics). */
+  def rowEstimate(conn: Connection, table: String): Long = {
+    val md = conn.getMetaData
+    val statRows = candidates(table).iterator.map { t =>
+      val rs = md.getIndexInfo(null, null, t, false, true)
+      try {
+        val vals = Seq.newBuilder[(Short, Long)]
+        while (rs.next()) vals += ((rs.getShort("TYPE"), rs.getLong("CARDINALITY")))
+        vals.result()
+      } finally rs.close()
+    }.find(_.nonEmpty).getOrElse(Seq.empty)
+    val tableStat = statRows.collect {
+      case (t, c) if t == java.sql.DatabaseMetaData.tableIndexStatistic && c > 0 => c
+    }
+    val indexMax = statRows.collect { case (_, c) if c > 0 => c }
+    (tableStat ++ indexMax).maxOption.getOrElse(-1L)
+  }
+
+  /** Trigger presence — no DatabaseMetaData equivalent; small dialect
+    * probes against each engine's catalog (reference: MySQL
+    * INFORMATION_SCHEMA.TRIGGERS paradump.go:858, MSSQL sys.triggers
+    * :1099; Derby SYS.SYSTRIGGERS for the e2e tests). Unknown dialects
+    * return false (the reference only checks its three engines). */
+  def hasTriggers(conn: Connection, url: String, table: String): Boolean = {
+    val l = url.toLowerCase
+    val sqlFor: String => Option[String] = t =>
+      if (l.startsWith("jdbc:mysql") || l.startsWith("jdbc:mariadb"))
+        Some(s"SELECT COUNT(*) FROM information_schema.TRIGGERS WHERE EVENT_OBJECT_TABLE = '$t'")
+      else if (l.startsWith("jdbc:sqlserver"))
+        Some(s"SELECT COUNT(*) FROM sys.triggers tr JOIN sys.tables t ON tr.parent_id = t.object_id WHERE t.name = '$t'")
+      else if (l.startsWith("jdbc:postgresql"))
+        Some(s"SELECT COUNT(*) FROM information_schema.triggers WHERE event_object_table = '$t'")
+      else if (l.startsWith("jdbc:derby"))
+        Some(s"SELECT COUNT(*) FROM SYS.SYSTRIGGERS tr JOIN SYS.SYSTABLES t ON tr.TABLEID = t.TABLEID WHERE t.TABLENAME = '$t'")
+      else None
+    candidates(table).exists { t =>
+      sqlFor(t).exists { sql =>
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(sql)
+          rs.next() && rs.getLong(1) > 0
+        } finally st.close()
+      }
+    }
+  }
+
+  /** MySQL storage engine (information_schema.tables ENGINE,
+    * paradump.go:773-787) — None on every other dialect. */
+  def storageEngine(conn: Connection, url: String, table: String): Option[String] = {
+    val l = url.toLowerCase
+    if (!l.startsWith("jdbc:mysql") && !l.startsWith("jdbc:mariadb")) return None
+    candidates(table).iterator.map { t =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT ENGINE FROM information_schema.TABLES WHERE TABLE_NAME = '$t'")
+        if (rs.next()) Option(rs.getString(1)) else None
+      } finally st.close()
+    }.collectFirst { case Some(e) => e }
+  }
+
+  /** Metadata-only PK guess for tables without a declared key: prefer the
+    * unique index with the fewest columns; otherwise the highest-cardinality
+    * index, flagged fake (duplicate-tolerant chunking downstream) — the
+    * reference's index choice (paradump.go:1161-1230) with ZERO data reads.
+    * Returns (cols, isUnique). */
+  def guessKeyFromIndexes(idx: Seq[IndexMeta]): Option[(Seq[String], Boolean)] = {
+    val unique = idx.filter(_.unique)
+    if (unique.nonEmpty)
+      Some((unique.minBy(i => (i.cols.length, i.name)).cols, true))
+    else idx.sortBy(i => (-i.cardinality, i.cols.length, i.name)).headOption
+      .map(i => (i.cols, false))
+  }
+
+  /** Source admission gate — the reference refuses views and (on MySQL)
+    * non-InnoDB tables as dump sources (onError bits 4|8,
+    * paradump.go:787-789; asserted by tests 17-18,
+    * /root/reference/test/run_test.sh:195-201). Throws on violation. */
+  def validateSource(conn: Connection, url: String, table: String): Unit = {
+    tableType(conn, table).foreach { tt =>
+      if (tt.toUpperCase.contains("VIEW"))
+        throw new IllegalStateException(
+          s"source $table is a view — only base tables can be dumped (cf. paradump onError bit 8)")
+    }
+    storageEngine(conn, url, table).foreach { eng =>
+      if (!eng.equalsIgnoreCase("InnoDB"))
+        throw new IllegalStateException(
+          s"source $table uses storage engine $eng — only InnoDB sources are " +
+            "snapshot-consistent (cf. paradump onError bit 4)")
+    }
+  }
+
+  /** Full no-scan table descriptor over JDBC: declared PK (or index-guessed,
+    * fake-flagged), row estimate from statistics. `schema` (Spark StructType)
+    * still comes from the JDBC driver's prepared-statement metadata via a
+    * WHERE 1=0 probe — metadata-only, zero rows. */
+  def meta(spark: org.apache.spark.sql.SparkSession, url: String,
+           table: String, props: Properties): TableMeta = {
+    val schema = spark.read.jdbc(url, s"(SELECT * FROM $table WHERE 1=0) q", props).schema
+    withConnection(url, props) { conn =>
+      val declared = primaryKey(conn, table)
+      val (pk, fake) =
+        if (declared.nonEmpty) (declared, false)
+        else guessKeyFromIndexes(indexes(conn, table))
+          .map { case (c, uniq) => (c, !uniq) }
+          .getOrElse((Seq.empty[String], true))
+      TableMeta(table, schema, pk, fake, rowEstimate(conn, table), -1L)
+    }
+  }
+}

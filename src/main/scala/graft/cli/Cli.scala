@@ -31,7 +31,10 @@ case class DumpConfig(
     dumpInsert: String = "full", // full | simple
     compress: Option[String] = None,
     guessPrimaryKey: Boolean = false,
-    dstUrl: Option[String] = None)
+    dstUrl: Option[String] = None,
+    // -dst-schema: positional remap of -db entries on the destination
+    // (reference PopulateDstSchema, paradump.go:1457-1466, flags :3506-3507)
+    dstSchemas: Seq[String] = Nil)
 
 /** CLI contract — the reference's flag surfaces and validation matrices
   * (/root/reference/src/paradump/paradump.go:3477-3524 flags, :3527-3637
@@ -105,6 +108,7 @@ object Cli {
         case "-dumpcompress" :: v :: t => c = c.copy(compress = Some(v)); rest = t
         case "-guessprimarykey" :: t => c = c.copy(guessPrimaryKey = true); rest = t
         case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
+        case "-dst-schema" :: v :: t => c = c.copy(dstSchemas = c.dstSchemas :+ v); rest = t
         case flag :: Nil if dumpValueFlags(flag) =>
           return Left(s"$flag: missing value")
         case flag :: _ => return Left(s"unknown flag: $flag")
@@ -116,9 +120,14 @@ object Cli {
   /** Peel engine-local value flags (e.g. -src/-o) off an arg list before
     * handing the remainder to the reference-surface parsers — shared by
     * both binaries so their edge-case behavior cannot diverge. A
-    * value-less occurrence is an error, not an unknown flag. */
+    * value-less occurrence is an error, not an unknown flag.
+    *
+    * A local flag appearing as the VALUE of a reference value-flag (e.g.
+    * `-exclude -src`) is passed through verbatim, not stripped — the pair
+    * of reference flag + value is copied atomically. */
   def stripLocal(args: Seq[String],
                  flags: Set[String]): Either[String, (Map[String, String], Seq[String])] = {
+    val referenceValueFlags = dumpValueFlags ++ syncValueFlags
     var vals = Map.empty[String, String]
     val rest = Seq.newBuilder[String]
     var i = 0
@@ -128,6 +137,8 @@ object Cli {
         if (i + 1 >= args.length) return Left(s"$a: missing value")
         vals += (a -> args(i + 1))
         i += 2
+      } else if (referenceValueFlags(a) && i + 1 < args.length) {
+        rest += a; rest += args(i + 1); i += 2
       } else { rest += a; i += 1 }
     }
     Right((vals, rest.result()))
@@ -135,7 +146,8 @@ object Cli {
 
   private val dumpValueFlags = Set("-dumpmode", "-db", "-table", "-exclude",
     "-chunksize", "-insertsize", "-parallel", "-browser", "-dumpparallel",
-    "-dumpfile", "-dumpheader", "--dumpinsert", "-dumpcompress", "-dst")
+    "-dumpfile", "-dumpheader", "--dumpinsert", "-dumpcompress", "-dst",
+    "-dst-schema")
   private val syncValueFlags = Set("-db", "-table", "-exclude", "-chunksize",
     "-parallel", "--statsfile", "-dst")
 
@@ -189,6 +201,10 @@ object Cli {
     if (c.compress.isDefined && c.mode == "cpy")
       return Left("-dumpcompress incompatible with cpy") // paradump.go:3592-3595
     if (c.mode == "cpy" && c.dstUrl.isEmpty) return Left("cpy requires -dst")
+    if (c.dstSchemas.nonEmpty && c.dstSchemas.length != c.schemas.length)
+      return Left("-dst-schema count must match -db count") // paradump.go:3621-3624
+    if (c.dstSchemas.distinct.length != c.dstSchemas.length)
+      return Left("duplicate value in -dst-schema") // paradump.go:3626-3634
     if ((c.mode == "sql" || c.mode == "csv") && !templateValid(c.dumpFile))
       return Left(s"invalid -dumpfile template ${c.dumpFile}") // :3656-3671
     if (c.parallel < 1 || c.browsers < 1 || c.dumpParallel < 1)

@@ -26,12 +26,30 @@ object JdbcCopySink {
     case other => other.typeName
   }
 
+  /** Trigger gate (reference `CheckTablesOnDestination`,
+    * paradump.go:1440-1448): a non-Postgres destination with triggers is
+    * refused — batched inserts would fire them row-by-row with undumped
+    * side effects; Postgres destinations instead SUPPRESS triggers via
+    * `session_replication_role = replica` (JdbcSession.PostgresDstInit),
+    * so they pass. */
+  def validateTriggers(spark: org.apache.spark.sql.SparkSession, url: String,
+                       table: String, props: Properties): Unit = {
+    if (url.toLowerCase.startsWith("jdbc:postgresql")) return
+    val triggered = graft.catalog.JdbcCatalog.withConnection(url, props)(
+      graft.catalog.JdbcCatalog.hasTriggers(_, url, table))
+    if (triggered)
+      throw new IllegalStateException(
+        s"destination table $table has triggers — refuse to copy " +
+          "(non-Postgres destinations cannot suppress them; cf. paradump.go:1440-1443)")
+  }
+
   /** Pre-flight: column names/count must agree exactly (case-insensitive —
     * JDBC catalogs often upper-case) and dst must be empty
     * (paradump.go:1449-1452); both throw IllegalStateException. Type
     * differences within the same family only WARN (the reference's
     * behavior); a cross-family difference (e.g. string vs binary) throws. */
   def validate(df: DataFrame, url: String, table: String, props: Properties): Unit = {
+    validateTriggers(df.sparkSession, url, table, props)
     val dst = df.sparkSession.read.jdbc(url, table, props)
     val src = df.schema.fields
     val dstF = dst.schema.fields

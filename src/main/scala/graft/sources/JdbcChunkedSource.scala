@@ -45,6 +45,11 @@ object JdbcChunkedSource {
   def readChunked(spark: SparkSession, url: String, table: String,
                   pkCols: Seq[String], numChunks: Int, props: Properties,
                   mode: BoundaryMode = Walk, rowCountHint: Long = -1L): DataFrame = {
+    // source admission gate: views and (MySQL) non-InnoDB tables cannot be
+    // chunk-dumped consistently — refuse up front, as the reference does
+    // (paradump.go:787-789; metadata-only, no data read)
+    graft.catalog.JdbcCatalog.withConnection(url, props)(
+      graft.catalog.JdbcCatalog.validateSource(_, url, table))
     // predicate text executes on the target connection, so the literal
     // dialect must follow the driver (MySQL/MariaDB: backslash is an
     // escape char in string literals under default sql_mode)

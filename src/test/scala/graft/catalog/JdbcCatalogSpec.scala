@@ -1,0 +1,127 @@
+package graft.catalog
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import java.util.Properties
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Live-JDBC catalog metadata + cpy admission gates against embedded Derby:
+  * everything here must be answered by the engine's catalog, never a data
+  * scan (the reference reads information_schema, paradump.go:757-1116). */
+class JdbcCatalogSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val dbDir = Files.createTempDirectory("derby-cat").toFile.getAbsolutePath
+  private lazy val url = s"jdbc:derby:$dbDir/catdb;create=true"
+  private lazy val props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+
+  /** A table whose FIRST column is unique but whose DECLARED PK is the
+    * second — a data-scanning guesser (fewest cols, then schema position)
+    * would pick col A; only the constraint metadata gives B. */
+  private lazy val setup: Unit = {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE CAT_T (
+                 |  a INT NOT NULL UNIQUE,
+                 |  b INT NOT NULL PRIMARY KEY,
+                 |  payload VARCHAR(20))""".stripMargin)
+    val ps = conn.prepareStatement("INSERT INTO CAT_T VALUES (?, ?, ?)")
+    for (i <- 1 to 50) { ps.setInt(1, 1000 - i); ps.setInt(2, i); ps.setString(3, s"p$i"); ps.addBatch() }
+    ps.executeBatch(); ps.close()
+    st.execute("CREATE VIEW CAT_V AS SELECT a, b FROM CAT_T")
+    st.execute("CREATE TABLE TRIG_T (id INT NOT NULL PRIMARY KEY, n INT)")
+    st.execute("CREATE TABLE TRIG_LOG (id INT)")
+    st.execute("""CREATE TRIGGER TRIG_T_AI AFTER INSERT ON TRIG_T
+                 |REFERENCING NEW AS NEWROW FOR EACH ROW
+                 |INSERT INTO TRIG_LOG VALUES (NEWROW.id)""".stripMargin)
+    st.execute("CREATE SCHEMA REMAP")
+    st.execute("CREATE TABLE REMAP.CAT_T (a INT NOT NULL, b INT NOT NULL, payload VARCHAR(20))")
+    st.close(); conn.close()
+  }
+
+  test("primaryKey comes from the declared constraint, not data heuristics") {
+    setup
+    JdbcCatalog.withConnection(url, props) { conn =>
+      // a data-scan guesser would prefer column a (unique, first in schema);
+      // the metadata path must return the declared PK b
+      assert(JdbcCatalog.primaryKey(conn, "CAT_T") == Seq("b"))
+      assert(JdbcCatalog.tableType(conn, "CAT_T").exists(_.toUpperCase.contains("TABLE")))
+      assert(JdbcCatalog.tableType(conn, "CAT_V").exists(_.toUpperCase.contains("VIEW")))
+    }
+  }
+
+  test("indexes + metadata-only key guess (unique index wins, no scan)") {
+    setup
+    JdbcCatalog.withConnection(url, props) { conn =>
+      val idx = JdbcCatalog.indexes(conn, "CAT_T")
+      assert(idx.nonEmpty)
+      assert(idx.exists(_.unique))
+      val guessed = JdbcCatalog.guessKeyFromIndexes(idx)
+      assert(guessed.isDefined)
+      val (cols, unique) = guessed.get
+      assert(unique && cols.length == 1) // one of the two unique single-col indexes
+    }
+  }
+
+  test("meta: no-scan descriptor with declared PK over JDBC") {
+    setup
+    val m = JdbcCatalog.meta(spark, url, "CAT_T", props)
+    assert(m.pkCols == Seq("b"))
+    assert(!m.fakePrimaryKey)
+    assert(m.schema.fieldNames.map(_.toLowerCase).toSeq == Seq("a", "b", "payload"))
+  }
+
+  test("hasTriggers detects the Derby trigger; absent elsewhere") {
+    setup
+    JdbcCatalog.withConnection(url, props) { conn =>
+      assert(JdbcCatalog.hasTriggers(conn, url, "TRIG_T"))
+      assert(!JdbcCatalog.hasTriggers(conn, url, "CAT_T"))
+    }
+  }
+
+  test("cpy refuses a non-Postgres destination with triggers (paradump.go:1440-1443)") {
+    setup
+    val src = spark.range(3).select(col("id").cast("int").as("id"), lit(1).as("n"))
+    val thrown = intercept[IllegalStateException] {
+      graft.sinks.JdbcCopySink.write(src, url, "TRIG_T", props)
+    }
+    assert(thrown.getMessage.contains("triggers"))
+  }
+
+  test("chunked read refuses a view source (paradump onError bit 8)") {
+    setup
+    val thrown = intercept[IllegalStateException] {
+      graft.sources.JdbcChunkedSource.readChunked(
+        spark, url, "CAT_V", Seq("b"), numChunks = 2, props)
+    }
+    assert(thrown.getMessage.contains("view"))
+  }
+
+  test("dst-schema remap: copy lands in the remapped schema (PopulateDstSchema)") {
+    setup
+    val src = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .select(col("n_nationkey").cast("int").as("a"),
+        col("n_regionkey").cast("int").as("b"),
+        substring(col("n_name"), 1, 20).as("payload"))
+    graft.sinks.JdbcCopySink.write(src, url, "REMAP.CAT_T", props)
+    val back = spark.read.jdbc(url, "REMAP.CAT_T", props)
+    assert(back.count() == 25)
+    // the un-remapped table is untouched (still its 50 fixture rows)
+    assert(spark.read.jdbc(url, "CAT_T", props).count() == 50)
+  }
+
+  test("-dst-schema CLI pairing: count must match -db; duplicates refused") {
+    import graft.cli.Cli
+    assert(Cli.parseDump(Seq("-dumpmode", "cpy", "-db", "s1", "-dst", "jdbc:x",
+      "-dst-schema", "d1")).isRight)
+    assert(Cli.parseDump(Seq("-dumpmode", "cpy", "-db", "s1", "-dst", "jdbc:x",
+      "-dst-schema", "d1", "-dst-schema", "d2")).isLeft)
+    assert(Cli.parseDump(Seq("-dumpmode", "cpy", "-db", "s1,s2", "-dst", "jdbc:x",
+      "-dst-schema", "d1", "-dst-schema", "d1")).isLeft)
+  }
+}

@@ -44,4 +44,14 @@ class CliSpec extends AnyFunSuite {
   test("cpy with dst validates") {
     assert(parse("-db", "x", "-dumpmode", "cpy", "-dst", "jdbc:derby:memory:d").isRight)
   }
+
+  test("stripLocal leaves a local-flag lookalike alone when it is a reference flag's value") {
+    // `-exclude -src` means "exclude tables matching '-src'", not a -src flag
+    val got = Cli.stripLocal(
+      Seq("-src", "/data", "-exclude", "-src", "-table", "nation"), Set("-src", "-o"))
+    assert(got == Right((Map("-src" -> "/data"),
+      Seq("-exclude", "-src", "-table", "nation"))))
+    // still an error when the local flag genuinely dangles
+    assert(Cli.stripLocal(Seq("-table", "nation", "-o"), Set("-src", "-o")).isLeft)
+  }
 }
