@@ -303,9 +303,18 @@ object Queries {
     * all-pairs ground truth: at the verification scale the banded-LSH
     * candidate stage has (deterministically — fixed hash family, no RNG)
     * 100% recall at threshold 0.5, so the verified output equals the exact
-    * answer; precision is always exact because of the verify stage. */
+    * answer; precision is always exact because of the verify stage.
+    *
+    * GATE COUPLING (documented on purpose): the exact oracle is only valid
+    * because this FIXTURE's planted pairs sit far enough above t=0.5 that
+    * the pinned 16-hash/8-band geometry (theoretical per-pair recall ~90%
+    * at exactly t) deterministically catches all of them. The geometry is
+    * pinned HERE so a planner change cannot silently alter the gated
+    * query; recall-vs-threshold behavior of the PLANNED geometry is
+    * asserted separately in NearDupSpec against brute force. */
   def nearDupMinhash(s: SparkSession, dir: String): DataFrame =
-    graft.operators.NearDup.nearDupPairs(docsWithPlantedDups(s, dir), threshold = 0.5)
+    graft.operators.NearDup.nearDupPairs(docsWithPlantedDups(s, dir),
+      numHashes = 16, bands = 8, threshold = 0.5)
 
   val nearDupMinhashSql: String = exactJaccardSql
 

@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for the embedding hot path: float-array dot
   * product accumulated in double, with `doGenCode` so it stays inside
@@ -17,8 +18,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // children are always ArrayType(FloatType) — constructed only via
-  // VectorExprs.dot over embedding columns
+  // exposed as SQL function graft_dot (GraftExtensions): reject anything
+  // but array<float> at analysis time — without this a non-float array
+  // passes analysis and dies in eval with a cast error (same contract as
+  // its SQL-exposed sibling SortedIntersectSize)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got $l and $r")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 

@@ -197,11 +197,44 @@ object NearDup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold. */
-  def nearDupPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
-                   bands: Int = 8, threshold: Double = 0.6): DataFrame =
-    withJaccardHashed(candidatePairs(docs, k, numHashes, bands), shingleHashSets(docs, k))
+  /** (numHashes, bands) from the LSH S-curve for a target Jaccard
+    * threshold: with b bands of r rows each, a pair at similarity s becomes
+    * a candidate with probability 1-(1-s^r)^b. The plan is chosen so
+    * recall AT the threshold is >= `targetRecall` (pairs above it do even
+    * better), then minimizes the candidate probability at s = t/2 (the
+    * false-positive proxy — candidates only cost verify compute, the
+    * verify stage keeps precision exact), then hash budget. Deterministic
+    * given (threshold, maxHashes). */
+  def bandPlan(threshold: Double, maxHashes: Int = 64,
+               targetRecall: Double = 0.97): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    def prob(s: Double, r: Int, b: Int): Double =
+      1d - math.pow(1d - math.pow(s, r), b)
+    val plans = for {
+      r <- 1 to 10
+      b <- 2 to maxHashes
+      if b * r <= maxHashes
+    } yield (r, b, prob(threshold, r, b), prob(threshold / 2, r, b))
+    val viable = plans.filter(_._3 >= targetRecall)
+    val (r, b, _, _) =
+      if (viable.nonEmpty) viable.minBy { case (r, b, _, fp) => (fp, b * r) }
+      else plans.maxBy(_._3) // tiny budget: best recall achievable
+    (b * r, b)
+  }
+
+  /** Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold.
+    * With the default sentinel (-1) the band geometry comes from
+    * [[bandPlan]] for the given threshold (e.g. t=0.5 -> 16 bands of 2,
+    * recall >= 0.99 at the threshold; t=0.9 -> deeper rows, cheaper
+    * candidates); pass explicit numHashes/bands to pin a geometry. */
+  def nearDupPairs(docs: DataFrame, k: Int = 3, numHashes: Int = -1,
+                   bands: Int = -1, threshold: Double = 0.6): DataFrame = {
+    val (nh, b) =
+      if (numHashes > 0 && bands > 0) (numHashes, bands)
+      else bandPlan(threshold)
+    withJaccardHashed(candidatePairs(docs, k, nh, b), shingleHashSets(docs, k))
       .filter(col("jaccard") >= threshold)
+  }
 
   // --- SimHash -----------------------------------------------------------
 

@@ -39,6 +39,29 @@ object EventsStream {
       .select(col("window.start").as("hr"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Durable production exit path: append the watermarked, deduplicated
+    * event stream to a parquet FILE sink under `outDir` with a checkpoint —
+    * Spark's exactly-once file sink (offset log + output file manifest in
+    * the checkpoint). `Trigger.AvailableNow` drains everything present and
+    * stops; restarting with the SAME checkpoint resumes from the recorded
+    * offsets, so already-processed input is never re-read or re-emitted
+    * (asserted by EventsStreamSpec's restart case). The memory-sink
+    * variants elsewhere are test oracles; this is the sink a pipeline
+    * actually ships to. */
+  def dedupToParquet(events: DataFrame, outDir: String,
+                     checkpointDir: String): Unit = {
+    val q = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   case class Event(ts: Timestamp, user_id: Long, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)

@@ -48,6 +48,45 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
     assert(verified == found.size)
   }
 
+  test("bandPlan: S-curve geometry per threshold (recall at t, fewer candidates at t/2)") {
+    def prob(s: Double, r: Int, b: Int): Double = 1d - math.pow(1d - math.pow(s, r), b)
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val (nh, b) = NearDup.bandPlan(t)
+      val r = nh / b
+      assert(nh % b == 0 && nh <= 64)
+      assert(prob(t, r, b) >= 0.97, s"plan ($nh,$b) recall at t=$t")
+    }
+    // higher thresholds buy deeper rows-per-band (sharper S-curve)
+    val rLow = { val (nh, b) = NearDup.bandPlan(0.5); nh / b }
+    val rHigh = { val (nh, b) = NearDup.bandPlan(0.9); nh / b }
+    assert(rHigh > rLow)
+  }
+
+  test("planned geometry matches brute force at thresholds 0.7 and 0.9") {
+    // brute-force ground truth once (hashed-shingle representation, the
+    // same verify kernel the pipeline uses — the candidate stage is what's
+    // under test)
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).sorted
+    val allPairs = corpus.sparkSession.createDataFrame(
+      for { i <- ids.indices; j <- (i + 1) until ids.length } yield (ids(i), ids(j)))
+      .toDF("doc_a", "doc_b")
+    val sets = NearDup.shingleHashSets(corpus, 3)
+    val exact = NearDup.withJaccardHashed(allPairs, sets)
+      .filter(col("jaccard") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (t <- Seq(0.7, 0.9)) {
+      val truth = exact.filter(_._3 >= t).map(p => (p._1, p._2)).toSet
+      assert(truth.nonEmpty, s"fixture has pairs at J >= $t")
+      val found = NearDup.nearDupPairs(corpus, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // precision exact by construction (verify stage); recall must meet
+      // the planned S-curve floor (deterministic: fixed hash family, no RNG)
+      assert(found.subsetOf(truth))
+      val recall = (found intersect truth).size.toDouble / truth.size
+      assert(recall >= 0.97, s"planned recall $recall at t=$t")
+    }
+  }
+
   test("jaccardPairs (prefix filter) equals brute-force all-pairs ground truth") {
     val found = NearDup.jaccardPairs(corpus, threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

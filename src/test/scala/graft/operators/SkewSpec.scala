@@ -42,6 +42,10 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
         |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
       .head().getDouble(0)
     assert(got == 11.0)
+    // misuse (int arrays) must fail analysis, not crash in eval with a cast
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1, 2), array(3, 4))").collect()
+    }
   }
 
   test("graft_sorted_intersect_size is callable from SQL after registration") {

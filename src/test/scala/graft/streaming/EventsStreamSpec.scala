@@ -47,6 +47,22 @@ class EventsStreamSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("durable parquet sink with checkpoint: drains once, restart re-emits nothing") {
+    val sfDir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("stream-sink").toString
+    val out = s"$base/out"
+    val cp = s"$base/cp"
+    EventsStream.dedupToParquet(EventsStream.fromParquetDir(spark, sfDir), out, cp)
+    val n1 = spark.read.parquet(out).count()
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(n1 == expected)
+    // restart with the same checkpoint: offsets already committed, so the
+    // second run must process zero input and append zero rows
+    EventsStream.dedupToParquet(EventsStream.fromParquetDir(spark, sfDir), out, cp)
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
   test("sessionize: sessions close across batches when the gap is exceeded") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
