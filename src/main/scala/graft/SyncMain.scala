@@ -44,8 +44,12 @@ object SyncMain {
       // chunked dst read: one JDBC partition per PK range (D1)
       val nChunks = math.max(1, math.min(cfg.parallel,
         (m.rowCount / math.max(1, cfg.chunkSize)).toInt + 1))
+      // rowCountHint: the catalog's source row count sizes the walk's
+      // chunks without an extra COUNT(*) on the destination (src and dst
+      // row counts agree to within the drift being synced)
       val dst = graft.sources.JdbcChunkedSource.readChunked(
-        spark, cfg.dstUrl.get, m.name, m.pkCols, nChunks, props)
+        spark, cfg.dstUrl.get, m.name, m.pkCols, nChunks, props,
+        rowCountHint = m.rowCount)
       // JDBC catalogs may upper-case names; align to source casing
       val dstAligned = dst.toDF(dst.columns.map(_.toLowerCase).toIndexedSeq: _*)
         .select(src.columns.map(col).toIndexedSeq: _*)

@@ -107,6 +107,13 @@ object Chunker {
   def chunkIdColumn(pkCols: Seq[String], cuts: Seq[Seq[Any]],
                     schema: Option[org.apache.spark.sql.types.StructType] = None,
                     codegenMaxCuts: Int = 64): Column = {
+    // above codegenMaxCuts the when-chain blows up generated-method size
+    // (multi-second janino compiles or outright codegen failure) — the
+    // exact situation the binary-search path exists for, so a missing
+    // schema there is a caller bug, not a fallback
+    require(cuts.length <= codegenMaxCuts || schema.isDefined,
+      s"chunkIdColumn with ${cuts.length} cuts (> $codegenMaxCuts) requires the " +
+        "schema for the binary-search path — pass df.schema")
     val pk = struct(pkCols.map(col): _*)
     if (cuts.length <= codegenMaxCuts || schema.isEmpty) {
       val bounds = cuts.map(c => struct(c.map(lit): _*))

@@ -30,6 +30,8 @@ case class DumpConfig(
     dumpHeader: Boolean = true,
     dumpInsert: String = "full", // full | simple
     compress: Option[String] = None,
+    compressLevel: Int = 1,
+    allTables: Boolean = false,
     guessPrimaryKey: Boolean = false,
     dstUrl: Option[String] = None,
     // -dst-schema: positional remap of -db entries on the destination
@@ -106,6 +108,12 @@ object Cli {
         case "--dumpheader=false" :: t => c = c.copy(dumpHeader = false); rest = t
         case "--dumpinsert" :: v :: t => c = c.copy(dumpInsert = v); rest = t
         case "-dumpcompress" :: v :: t => c = c.copy(compress = Some(v)); rest = t
+        case "-dumpcompresslevel" :: v :: t =>
+          intArg(v, "-dumpcompresslevel") match {
+            case Right(i) => c = c.copy(compressLevel = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "-alltables" :: t => c = c.copy(allTables = true); rest = t
         case "-guessprimarykey" :: t => c = c.copy(guessPrimaryKey = true); rest = t
         case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
         case "-dst-schema" :: v :: t => c = c.copy(dstSchemas = c.dstSchemas :+ v); rest = t
@@ -146,8 +154,8 @@ object Cli {
 
   private val dumpValueFlags = Set("-dumpmode", "-db", "-table", "-exclude",
     "-chunksize", "-insertsize", "-parallel", "-browser", "-dumpparallel",
-    "-dumpfile", "-dumpheader", "--dumpinsert", "-dumpcompress", "-dst",
-    "-dst-schema")
+    "-dumpfile", "-dumpheader", "--dumpinsert", "-dumpcompress",
+    "-dumpcompresslevel", "-dst", "-dst-schema")
   private val syncValueFlags = Set("-db", "-table", "-exclude", "-chunksize",
     "-parallel", "--statsfile", "-dst")
 
@@ -198,6 +206,16 @@ object Cli {
     if (c.insertSize > c.chunkSize)
       return Left("-insertsize must be <= -chunksize") // paradump.go:3583-3587
     if (!insertModes(c.dumpInsert)) return Left(s"invalid --dumpinsert ${c.dumpInsert}")
+    if (c.tables.nonEmpty && c.allTables)
+      return Left("can not use -alltables with -table") // paradump.go:3541-3545 (exit 3)
+    if (c.tables.nonEmpty && c.exclude.nonEmpty)
+      return Left("can not specify table to exclude with a list of tables") // :3597-3601 (exit 12)
+    if (c.schemas.length > 1 && c.tables.nonEmpty)
+      return Left("can not specify multiple schemas with a list of tables") // :3551-3555 (exit 5)
+    if (c.schemas.distinct.length != c.schemas.length)
+      return Left("duplicate value in schema") // :3556-3566 (exit 4)
+    if (c.compressLevel < 1 || c.compressLevel > 22)
+      return Left("-dumpcompresslevel must be in 1..22") // :3588-3591 (exit 9)
     if (c.compress.isDefined && c.mode == "cpy")
       return Left("-dumpcompress incompatible with cpy") // paradump.go:3592-3595
     if (c.mode == "cpy" && c.dstUrl.isEmpty) return Left("cpy requires -dst")

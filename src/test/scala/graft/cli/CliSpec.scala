@@ -32,6 +32,12 @@ class CliSpec extends AnyFunSuite {
     assert(parse("-db", "x", "-chunksize", "abc").isLeft)              // non-integer
     assert(parse("-db", "x", "-dumpheader", "TRUE").isLeft)            // strict boolean
     assert(parse("-frobnicate").isLeft)                                // unknown flag
+    assert(parse("-db", "x", "-alltables", "-table", "t").isLeft)      // exit 3
+    assert(parse("-db", "x", "-table", "t", "-exclude", "e").isLeft)   // exit 12
+    assert(parse("-db", "a,b", "-table", "t").isLeft)                  // exit 5
+    assert(parse("-db", "a,a").isLeft)                                 // dup schema (exit 4)
+    assert(parse("-db", "x", "-dumpcompresslevel", "23").isLeft)       // exit 9
+    assert(parse("-db", "x", "-alltables", "-dumpcompresslevel", "6").isRight)
   }
 
   test("template grammar accepts all verbs and literal percents") {
