@@ -3,8 +3,8 @@ package graft
 import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
-import org.apache.spark.sql.SparkSession
-import graft.catalog.Catalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.{Catalog, JdbcCatalog}
 import graft.sinks.{CsvSink, SqlDumpSink}
 import graft.sources.Tables
 
@@ -19,10 +19,69 @@ import graft.sources.Tables
   * with `spark.scheduler.mode=FAIR` each table gets its own on-demand pool,
   * so a huge table cannot starve the small ones; under the default FIFO
   * scheduler the concurrency still holds but jobs queue in submit order
-  * (largest-first), which is the documented fallback. */
+  * (largest-first), which is the documented fallback.
+  *
+  * Two sources, one sink stage: [[run]] dumps the parquet lake, [[runJdbc]]
+  * dumps a live database (the reference's actual input) — catalog via
+  * [[JdbcCatalog]] (no data scans), reads via the chunked JDBC source with
+  * server-side boundary computation.
+  */
 object DumpAll {
 
   case class Result(table: String, rows: Long, files: Seq[String])
+
+  /** Everything the sink stage needs, shared by both source paths. */
+  private case class SinkSettings(mode: String, db: String, insertSize: Int,
+      header: Boolean, fileTemplate: String, withColumnList: Boolean,
+      compression: Option[String], dstUrl: Option[String],
+      dstProps: Map[String, String], dstSchema: Option[String])
+
+  /** Apply the configured sink to one table's frame. */
+  private def writeOne(df: DataFrame, name: String, outDir: String,
+                       s: SinkSettings): Seq[String] = s.mode match {
+    case "sql" =>
+      SqlDumpSink.write(df, s.db, name, s"$outDir/$name",
+        insertSize = s.insertSize, withColumnList = s.withColumnList,
+        header = s.header, fileTemplate = s.fileTemplate,
+        compression = s.compression)
+    case "csv" =>
+      CsvSink.write(df, s"$outDir/$name", compression = s.compression)
+      Seq(s"$outDir/$name")
+    case "null" =>
+      graft.sinks.NoopSink.drain(df)
+      Seq.empty
+    case "cpy" =>
+      val url = s.dstUrl.getOrElse(
+        throw new IllegalArgumentException("cpy mode requires dstUrl"))
+      val props = new java.util.Properties() // user/password etc.
+      s.dstProps.foreach { case (k, v) => props.setProperty(k, v) }
+      val target = s.dstSchema.map(sc => s"$sc.$name").getOrElse(name)
+      graft.sinks.JdbcCopySink.write(df, url, target, props,
+        batchSize = s.insertSize)
+      Seq(url)
+    case other => throw new IllegalArgumentException(s"mode $other")
+  }
+
+  /** Run `body` per table over a bounded pool; with the FAIR scheduler
+    * each table gets its own on-demand pool (weight 1). */
+  private def inPool(spark: SparkSession, maxConcurrent: Int,
+                     items: Seq[graft.catalog.TableMeta])(
+                     body: graft.catalog.TableMeta => Result): Seq[Result] = {
+    val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrent))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fair = spark.sparkContext.getConf
+      .get("spark.scheduler.mode", "FIFO").equalsIgnoreCase("FAIR")
+    try {
+      val futures = items.map { m =>
+        Future {
+          if (fair)
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft_dump_${m.name}")
+          body(m)
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
           mode: String = "sql", insertSize: Int = 500,
@@ -36,47 +95,68 @@ object DumpAll {
           // cpy: write into this destination schema instead of the source's
           // (reference -dst-schema / PopulateDstSchema, paradump.go:1457-1466)
           dstSchema: Option[String] = None): Seq[Result] = {
+    val settings = SinkSettings(mode, db, insertSize, header, fileTemplate,
+      withColumnList, compression, dstUrl, dstProps, dstSchema)
     val metas = Catalog.select( // largest-first from listMeta
       Catalog.listMeta(spark, sfDir), tables, exclude)
-    val pool = Executors.newFixedThreadPool(maxConcurrentTables)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val fair = spark.sparkContext.getConf
-        .get("spark.scheduler.mode", "FIFO").equalsIgnoreCase("FAIR")
-      val futures = metas.map { m =>
-        Future {
-          // one pool per table: FAIR shares cluster slots across tables
-          // (pools are created on demand with default weight 1)
-          if (fair)
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft_dump_${m.name}")
-          val df = Tables.load(spark, sfDir, m.name)
-          val files = mode match {
-            case "sql" =>
-              SqlDumpSink.write(df, db, m.name, s"$outDir/${m.name}",
-                insertSize = insertSize, withColumnList = withColumnList,
-                header = header, fileTemplate = fileTemplate,
-                compression = compression)
-            case "csv" =>
-              CsvSink.write(df, s"$outDir/${m.name}", compression = compression)
-              Seq(s"$outDir/${m.name}")
-            case "null" =>
-              graft.sinks.NoopSink.drain(df)
-              Seq.empty
-            case "cpy" =>
-              val url = dstUrl.getOrElse(
-                throw new IllegalArgumentException("cpy mode requires dstUrl"))
-              val props = new java.util.Properties() // user/password etc.
-              dstProps.foreach { case (k, v) => props.setProperty(k, v) }
-              val target = dstSchema.map(s => s"$s.${m.name}").getOrElse(m.name)
-              graft.sinks.JdbcCopySink.write(df, url, target, props,
-                batchSize = insertSize)
-              Seq(url)
-            case other => throw new IllegalArgumentException(s"mode $other")
-          }
-          Result(m.name, m.rowCount, files)
-        }
-      }
-      Await.result(Future.sequence(futures), Duration.Inf)
-    } finally pool.shutdown()
+    inPool(spark, maxConcurrentTables, metas) { m =>
+      val df = Tables.load(spark, sfDir, m.name)
+      Result(m.name, m.rowCount, writeOne(df, m.name, outDir, settings))
+    }
+  }
+
+  /** Dump a LIVE database — the reference's native input path: list base
+    * tables from the JDBC catalog, describe each without a data scan
+    * (declared PK / index-guessed key, statistics row estimate), read
+    * chunked with server-side boundary computation, and feed the same
+    * sinks. Tables without any usable key are refused unless
+    * `guessPrimaryKey` allows the data-scanning last resort (reference
+    * -guessprimarykey, paradump.go:3515). */
+  def runJdbc(spark: SparkSession, url: String, outDir: String,
+              mode: String = "sql", insertSize: Int = 500,
+              chunkSize: Int = 10000,
+              exclude: Seq[String] = Nil, maxConcurrentTables: Int = 4,
+              compression: Option[String] = None,
+              tables: Seq[String] = Nil, db: String = "graft",
+              header: Boolean = true, fileTemplate: String = "%d_%t_%p.%m%z",
+              withColumnList: Boolean = false,
+              guessPrimaryKey: Boolean = false,
+              srcProps: Map[String, String] = Map.empty,
+              dstUrl: Option[String] = None,
+              dstProps: Map[String, String] = Map.empty,
+              dstSchema: Option[String] = None): Seq[Result] = {
+    val settings = SinkSettings(mode, db, insertSize, header, fileTemplate,
+      withColumnList, compression, dstUrl, dstProps, dstSchema)
+    val props = new java.util.Properties()
+    srcProps.foreach { case (k, v) => props.setProperty(k, v) }
+    val names = JdbcCatalog.withConnection(url, props)(JdbcCatalog.listTables)
+    val unknown = tables.filterNot(names.contains)
+    require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
+    val metas = names
+      .filter(n => tables.isEmpty || tables.contains(n))
+      .filterNot(n => exclude.exists(n.contains))
+      .map(n => JdbcCatalog.meta(spark, url, n, props))
+      .sortBy(-_.rowCount) // largest-first on the statistics estimate
+    inPool(spark, maxConcurrentTables, metas) { m =>
+      val pk =
+        if (m.pkCols.nonEmpty) m.pkCols
+        else if (guessPrimaryKey) {
+          // last resort, DATA SCAN (documented): no declared key, no index
+          // to guess from — measure uniqueness like the parquet path does
+          val full = spark.read.jdbc(url, m.name, props)
+          Catalog.guessPrimaryKey(full, full.columns.map(Seq(_)).toSeq)
+            .map(_._1).getOrElse(throw new IllegalStateException(
+              s"table ${m.name}: no viable key even by data scan"))
+        } else throw new IllegalStateException(
+          s"table ${m.name} has no primary key or unique index — " +
+            "pass -guessprimarykey to allow the data-scanning fallback")
+      val rows =
+        if (m.rowCount > 0) m.rowCount
+        else graft.sources.JdbcChunkedSource.countRows(url, m.name, props)
+      val nChunks = math.max(1, ((rows + chunkSize - 1) / chunkSize).toInt)
+      val df = graft.sources.JdbcChunkedSource.readChunked(
+        spark, url, m.name, pk, nChunks, props, rowCountHint = rows)
+      Result(m.name, rows, writeOne(df, m.name, outDir, settings))
+    }
   }
 }

@@ -21,17 +21,32 @@ object Main {
 
   /** Dump per the parsed config — the testable core of main(). All four
     * modes go through DumpAll (largest-first, concurrent per-table jobs);
-    * cpy just carries the destination URL through to the copy sink. */
+    * cpy just carries the destination URL through to the copy sink.
+    * A `-src` beginning with `jdbc:` selects the live-database path (the
+    * reference's native input): JdbcCatalog metadata, chunked reads with
+    * server-side boundaries, same sinks. */
   def run(spark: SparkSession, srcDir: String, outDir: String,
           cfg: DumpConfig): Seq[DumpAll.Result] =
-    DumpAll.run(spark, srcDir, outDir,
-      mode = cfg.mode, insertSize = cfg.insertSize, exclude = cfg.exclude,
-      maxConcurrentTables = cfg.dumpParallel, compression = cfg.compress,
-      tables = cfg.tables, db = cfg.schemas.headOption.getOrElse("graft"),
-      header = cfg.dumpHeader, fileTemplate = cfg.dumpFile,
-      withColumnList = cfg.dumpInsert == "full",
-      dstUrl = cfg.dstUrl,
-      dstSchema = cfg.dstSchemas.headOption)
+    if (srcDir.startsWith("jdbc:"))
+      DumpAll.runJdbc(spark, srcDir, outDir,
+        mode = cfg.mode, insertSize = cfg.insertSize,
+        chunkSize = cfg.chunkSize, exclude = cfg.exclude,
+        maxConcurrentTables = cfg.dumpParallel, compression = cfg.compress,
+        tables = cfg.tables, db = cfg.schemas.headOption.getOrElse("graft"),
+        header = cfg.dumpHeader, fileTemplate = cfg.dumpFile,
+        withColumnList = cfg.dumpInsert == "full",
+        guessPrimaryKey = cfg.guessPrimaryKey,
+        dstUrl = cfg.dstUrl,
+        dstSchema = cfg.dstSchemas.headOption)
+    else
+      DumpAll.run(spark, srcDir, outDir,
+        mode = cfg.mode, insertSize = cfg.insertSize, exclude = cfg.exclude,
+        maxConcurrentTables = cfg.dumpParallel, compression = cfg.compress,
+        tables = cfg.tables, db = cfg.schemas.headOption.getOrElse("graft"),
+        header = cfg.dumpHeader, fileTemplate = cfg.dumpFile,
+        withColumnList = cfg.dumpInsert == "full",
+        dstUrl = cfg.dstUrl,
+        dstSchema = cfg.dstSchemas.headOption)
 
   def main(args: Array[String]): Unit = {
     val parsed = for {

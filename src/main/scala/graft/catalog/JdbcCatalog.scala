@@ -37,6 +37,23 @@ object JdbcCatalog {
   private def candidates(name: String): Seq[String] =
     Seq(name, name.toUpperCase, name.toLowerCase).distinct
 
+  /** All base-table names in the connection's default scope (the
+    * reference's table listing over information_schema, paradump.go:1228+;
+    * system schemas excluded), lower-cased for the engine's naming. */
+  def listTables(conn: Connection): Seq[String] = {
+    val md = conn.getMetaData
+    val rs = md.getTables(null, null, "%", Array("TABLE"))
+    try {
+      val out = Seq.newBuilder[String]
+      while (rs.next()) {
+        val schema = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+        if (!schema.toUpperCase.startsWith("SYS") && schema.toUpperCase != "INFORMATION_SCHEMA")
+          out += rs.getString("TABLE_NAME").toLowerCase
+      }
+      out.result().distinct.sorted
+    } finally rs.close()
+  }
+
   /** TABLE_TYPE from `DatabaseMetaData.getTables`: "TABLE", "VIEW", ... —
     * the reference's BASE TABLE check (paradump.go:787-789). */
   def tableType(conn: Connection, table: String): Option[String] = {

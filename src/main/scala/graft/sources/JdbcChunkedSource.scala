@@ -80,7 +80,7 @@ object JdbcChunkedSource {
 
   /** One server-side `COUNT(*)` (index-answerable on most engines) — the
     * walk's chunk-size denominator when no catalog estimate is supplied. */
-  private def countRows(url: String, table: String, props: Properties): Long = {
+  def countRows(url: String, table: String, props: Properties): Long = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
