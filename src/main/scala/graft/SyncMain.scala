@@ -25,11 +25,33 @@ object SyncMain {
     * `-db <name>` means "the whole (single-schema) lake" — the parquet
     * source has no multi-schema dimension, so the name only satisfies the
     * reference's need-a-scope validation; `-table` subsets (and an unknown
-    * name fails, like the reference). */
+    * name fails, like the reference).
+    *
+    * A `-src` beginning with `jdbc:` selects the live-database source —
+    * the reference's actual parasync shape (DB -> DB): catalog via
+    * JdbcCatalog (no data scan), both sides read chunked with server-side
+    * boundaries, then the same one-full-outer-join diff. */
   def run(spark: SparkSession, srcDir: String, cfg: SyncConfig,
-          connProps: Map[String, String] = Map.empty): Seq[TableStats] = {
-    val metas = graft.catalog.Catalog.select(
-      graft.catalog.Catalog.listMeta(spark, srcDir), cfg.tables, cfg.exclude)
+          connProps: Map[String, String] = Map.empty,
+          srcProps: Map[String, String] = Map.empty): Seq[TableStats] = {
+    val jdbcSrc = srcDir.startsWith("jdbc:")
+    def toProps(m: Map[String, String]): java.util.Properties = {
+      val p = new java.util.Properties()
+      m.foreach { case (k, v) => p.setProperty(k, v) }
+      p
+    }
+    val metas =
+      if (jdbcSrc) {
+        val p = toProps(srcProps)
+        val names = graft.catalog.JdbcCatalog.withConnection(srcDir, p)(
+          graft.catalog.JdbcCatalog.listTables)
+        val unknown = cfg.tables.filterNot(names.contains)
+        require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
+        names.filter(n => cfg.tables.isEmpty || cfg.tables.contains(n))
+          .filterNot(n => cfg.exclude.exists(n.contains))
+          .map(n => graft.catalog.JdbcCatalog.meta(spark, srcDir, n, p))
+      } else graft.catalog.Catalog.select(
+        graft.catalog.Catalog.listMeta(spark, srcDir), cfg.tables, cfg.exclude)
     metas.map { m =>
       require(m.pkCols.nonEmpty, s"table ${m.name}: no primary key, cannot sync")
       // A fake (non-unique) PK would make the full-outer diff cross-product
@@ -38,19 +60,28 @@ object SyncMain {
       // (paradump.go:1384-1413) rather than corrupting the destination.
       require(!m.fakePrimaryKey,
         s"table ${m.name}: primary key is not unique (fake PK) — row-DML sync requires a unique key")
-      val src = graft.sources.Tables.load(spark, srcDir, m.name)
-      val props = new java.util.Properties()
-      connProps.foreach { case (k, v) => props.setProperty(k, v) }
-      // chunked dst read: one JDBC partition per PK range (D1)
+      // exact source rows: parquet footers are exact; a JDBC estimate is
+      // replaced by one server-side COUNT (stats must not drift)
+      val srcRows =
+        if (jdbcSrc) graft.sources.JdbcChunkedSource.countRows(srcDir, m.name, toProps(srcProps))
+        else m.rowCount
       val nChunks = math.max(1, math.min(cfg.parallel,
-        (m.rowCount / math.max(1, cfg.chunkSize)).toInt + 1))
-      // rowCountHint: the catalog's source row count sizes the walk's
-      // chunks without an extra COUNT(*) on the destination (src and dst
-      // row counts agree to within the drift being synced)
+        (srcRows / math.max(1, cfg.chunkSize)).toInt + 1))
+      val srcRaw =
+        if (jdbcSrc) graft.sources.JdbcChunkedSource.readChunked(
+          spark, srcDir, m.name, m.pkCols, nChunks, toProps(srcProps),
+          rowCountHint = srcRows)
+        else graft.sources.Tables.load(spark, srcDir, m.name)
+      // JDBC catalogs may upper-case names; align to lower-case throughout
+      val src = srcRaw.toDF(srcRaw.columns.map(_.toLowerCase).toIndexedSeq: _*)
+      val props = toProps(connProps)
+      // chunked dst read: one JDBC partition per PK range (D1);
+      // rowCountHint: the source row count sizes the walk's chunks without
+      // an extra COUNT(*) on the destination (src and dst row counts agree
+      // to within the drift being synced)
       val dst = graft.sources.JdbcChunkedSource.readChunked(
         spark, cfg.dstUrl.get, m.name, m.pkCols, nChunks, props,
-        rowCountHint = m.rowCount)
-      // JDBC catalogs may upper-case names; align to source casing
+        rowCountHint = srcRows)
       val dstAligned = dst.toDF(dst.columns.map(_.toLowerCase).toIndexedSeq: _*)
         .select(src.columns.map(col).toIndexedSeq: _*)
       // The diff frame holds only drifted rows — small; persist it so the
@@ -62,11 +93,11 @@ object SyncMain {
         val ops = diff.groupBy("op").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val dstRowsBefore =
-          m.rowCount - ops.getOrElse("I", 0L) + ops.getOrElse("D", 0L)
+          srcRows - ops.getOrElse("I", 0L) + ops.getOrElse("D", 0L)
         val stats = graft.sync.DmlSink.apply(diff, cfg.dstUrl.get, m.name,
           src.columns.toSeq, m.pkCols, connProps,
           noInsert = cfg.noInsert, noUpdate = cfg.noUpdate, noDelete = cfg.noDelete)
-        TableStats(m.name, m.rowCount, dstRowsBefore,
+        TableStats(m.name, srcRows, dstRowsBefore,
           stats.inserts, stats.updates, stats.deletes)
       } finally diff.unpersist()
     }

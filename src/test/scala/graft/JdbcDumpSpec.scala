@@ -75,6 +75,38 @@ class JdbcDumpSpec extends AnyFunSuite with SparkSuite {
     assert(results.head.rows == 2)
   }
 
+  test("JDBC -> JDBC sync: live source diffed and converged onto a drifted destination") {
+    setup
+    val dstDir = Files.createTempDirectory("derby-sync-dst").toFile.getAbsolutePath
+    val dstUrl = s"jdbc:derby:$dstDir/syncdst;create=true"
+    val conn = DriverManager.getConnection(dstUrl)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE T_BIG (id INT NOT NULL PRIMARY KEY, grp INT, s VARCHAR(40))")
+    st.close(); conn.close()
+    // seed dst as a drifted copy: missing rows (>900), one mutated, two strays
+    val props = new java.util.Properties()
+    val src = spark.read.jdbc(url, "T_BIG", props)
+    graft.sinks.JdbcCopySink.write(src.filter(col("ID") <= 900), dstUrl, "T_BIG", props)
+    val c2 = DriverManager.getConnection(dstUrl)
+    val s2 = c2.createStatement()
+    s2.executeUpdate("UPDATE T_BIG SET GRP = 99 WHERE ID = 7")
+    s2.executeUpdate("INSERT INTO T_BIG VALUES (5001, 0, 'stray'), (5002, 0, 'stray')")
+    s2.close(); c2.close()
+
+    val cfg = cli.Cli.parseSync(Seq(
+      "-db", "app", "-table", "t_big", "-dst", dstUrl, "-chunksize", "300")).toOption.get
+    val stats = SyncMain.run(spark, url, cfg)
+    assert(stats.length == 1)
+    val t = stats.head
+    assert(t.srcRows == 950)
+    assert(t.inserts == 50 && t.updates == 1 && t.deletes == 2)
+    // converged: dst now equals src exactly
+    val back = spark.read.jdbc(dstUrl, "T_BIG", props).toDF("id", "grp", "s")
+    val srcN = src.toDF("id", "grp", "s")
+    assert(back.count() == 950)
+    assert(srcN.exceptAll(back).isEmpty && back.exceptAll(srcN).isEmpty)
+  }
+
   test("unknown table against the live catalog fails like the reference") {
     setup
     val cfg = cli.Cli.parseDump(Seq(
