@@ -34,7 +34,18 @@ object DumpAll {
   private case class SinkSettings(mode: String, db: String, insertSize: Int,
       header: Boolean, fileTemplate: String, withColumnList: Boolean,
       compression: Option[String], dstUrl: Option[String],
-      dstProps: Map[String, String], dstSchema: Option[String])
+      dstProps: Map[String, String], dstSchema: Option[String],
+      compressLevel: Int = 1)
+
+  /** -dumpcompresslevel plumb-through (reference zstd level,
+    * paradump.go:3498): the Hadoop zstd codec reads its level from the job
+    * configuration, so the level applies session-wide for the dump run —
+    * matching the CLI's one-dump-per-process shape. */
+  private[graft] def applyCompressionLevel(
+      conf: org.apache.hadoop.conf.Configuration,
+      compression: Option[String], level: Int): Unit =
+    if (compression.contains("zstd"))
+      conf.setInt("io.compression.codec.zstd.level", level)
 
   /** Apply the configured sink to one table's frame. */
   private def writeOne(df: DataFrame, name: String, outDir: String,
@@ -94,9 +105,11 @@ object DumpAll {
           dstProps: Map[String, String] = Map.empty,
           // cpy: write into this destination schema instead of the source's
           // (reference -dst-schema / PopulateDstSchema, paradump.go:1457-1466)
-          dstSchema: Option[String] = None): Seq[Result] = {
+          dstSchema: Option[String] = None,
+          compressLevel: Int = 1): Seq[Result] = {
     val settings = SinkSettings(mode, db, insertSize, header, fileTemplate,
-      withColumnList, compression, dstUrl, dstProps, dstSchema)
+      withColumnList, compression, dstUrl, dstProps, dstSchema, compressLevel)
+    applyCompressionLevel(spark.sparkContext.hadoopConfiguration, compression, compressLevel)
     val metas = Catalog.select( // largest-first from listMeta
       Catalog.listMeta(spark, sfDir), tables, exclude)
     inPool(spark, maxConcurrentTables, metas) { m =>
@@ -124,9 +137,11 @@ object DumpAll {
               srcProps: Map[String, String] = Map.empty,
               dstUrl: Option[String] = None,
               dstProps: Map[String, String] = Map.empty,
-              dstSchema: Option[String] = None): Seq[Result] = {
+              dstSchema: Option[String] = None,
+              compressLevel: Int = 1): Seq[Result] = {
     val settings = SinkSettings(mode, db, insertSize, header, fileTemplate,
-      withColumnList, compression, dstUrl, dstProps, dstSchema)
+      withColumnList, compression, dstUrl, dstProps, dstSchema, compressLevel)
+    applyCompressionLevel(spark.sparkContext.hadoopConfiguration, compression, compressLevel)
     val props = new java.util.Properties()
     srcProps.foreach { case (k, v) => props.setProperty(k, v) }
     val names = JdbcCatalog.withConnection(url, props)(JdbcCatalog.listTables)

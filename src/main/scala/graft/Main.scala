@@ -37,7 +37,8 @@ object Main {
         withColumnList = cfg.dumpInsert == "full",
         guessPrimaryKey = cfg.guessPrimaryKey,
         dstUrl = cfg.dstUrl,
-        dstSchema = cfg.dstSchemas.headOption)
+        dstSchema = cfg.dstSchemas.headOption,
+        compressLevel = cfg.compressLevel)
     else
       DumpAll.run(spark, srcDir, outDir,
         mode = cfg.mode, insertSize = cfg.insertSize, exclude = cfg.exclude,
@@ -46,7 +47,8 @@ object Main {
         header = cfg.dumpHeader, fileTemplate = cfg.dumpFile,
         withColumnList = cfg.dumpInsert == "full",
         dstUrl = cfg.dstUrl,
-        dstSchema = cfg.dstSchemas.headOption)
+        dstSchema = cfg.dstSchemas.headOption,
+        compressLevel = cfg.compressLevel)
 
   def main(args: Array[String]): Unit = {
     val parsed = for {

@@ -51,4 +51,13 @@ class DumpAllSpec extends AnyFunSuite with SparkSuite {
       graft.sources.JdbcSession.pgSnapshotInit("x'; DROP TABLE t;--")
     }
   }
+
+  test("zstd level reaches the Hadoop codec configuration; other codecs untouched") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    DumpAll.applyCompressionLevel(conf, Some("zstd"), 11)
+    assert(conf.getInt("io.compression.codec.zstd.level", -1) == 11)
+    val conf2 = new org.apache.hadoop.conf.Configuration(false)
+    DumpAll.applyCompressionLevel(conf2, Some("gzip"), 11)
+    assert(conf2.getInt("io.compression.codec.zstd.level", -1) == -1)
+  }
 }
