@@ -417,6 +417,17 @@ object Queries {
     graft.operators.Similarity.lshTopK(
       t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
 
+  /** IVF (inverted-file) approximate ANN — the Voronoi-cell scale path.
+    * Seeded deterministic coarse quantizer, so the oracle re-derives the
+    * identical structure from the table itself (Similarity.ivfOracleSql);
+    * recall vs brute force asserted in SimilaritySpec. */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfTopK(
+      t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
+
+  val annIvfSql: String =
+    graft.operators.Similarity.ivfOracleSql(queryIds = 0L until 5L, k = 5)
+
   val annLshSql: String =
     graft.operators.Similarity.lshOracleSql(queryIds = 0L until 5L, k = 5)
 
@@ -781,6 +792,7 @@ object Queries {
     "events_stream_dedup" -> (eventsStreamDedup _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "embed_near_dup" -> (embedNearDup _),
     "diff_sync_ops" -> (diffSyncOps _),
     "diff_sync_dml" -> (diffSyncDml _),
@@ -816,6 +828,7 @@ object Queries {
     "events_stream_dedup" -> eventsStreamDedupSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql,
     "embed_near_dup" -> embedNearDupSql,
     "diff_sync_ops" -> diffSyncOpsSql,
     "diff_sync_dml" -> diffSyncDmlSql,

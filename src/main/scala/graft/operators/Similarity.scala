@@ -129,6 +129,105 @@ object Similarity {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale path beside
+    * LSH, with a Voronoi coarse quantizer instead of random hyperplanes:
+    *
+    *  - the quantizer is SEEDED, not trained: the centroids are the
+    *    embeddings of the `nCells` lowest vec_ids. No Lloyd iterations
+    *    means the whole structure is a pure deterministic function of the
+    *    data, so the SQL oracle ([[ivfOracleSql]]) replays it exactly —
+    *    the same all-oracle standard as ann_lsh;
+    *  - the inverted file: every corpus vector is assigned to its
+    *    max-cosine centroid by ONE per-row projection (codegen dot
+    *    products against literal centroids, first-max tie-break) — no
+    *    shuffle, no window, the corpus never moves;
+    *  - a query probes its `nProbe` nearest cells and exact-cosine
+    *    re-ranks only those inverted lists (expected nProbe/nCells of the
+    *    corpus).
+    *
+    * Recall vs brute force is asserted in SimilaritySpec. At production
+    * scale the seeded quantizer is the honest trade: k-means cells would
+    * be tighter, but any iterative trainer makes the index
+    * data-order-dependent and oracle-unreplayable; swap in trained
+    * centroids via the same literal mechanism when an oracle isn't
+    * required. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    // plan-time constant, nCells rows — same bounded-collect pattern as
+    // the hyperplane literals
+    val centroids: Array[Array[Float]] = emb
+      .orderBy("vec_id").limit(nCells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def scores(e: Column): Column =
+      array(centroids.map(c => cosine(e, typedlit(c.toSeq))): _*)
+    // argmax via first-position-of-max: deterministic first-max tie-break
+    val cellOf = (e: Column) =>
+      array_position(scores(e), array_max(scores(e))).cast("int")
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding")).as("cell"))
+    val probes = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        posexplode(scores(col("embedding"))).as(Seq("cidx0", "score")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("cidx0"))))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), (col("cidx0") + 1).cast("int").as("cell"))
+    val sim = cosine(col("q_emb"), col("embedding"))
+    val w = Window.partitionBy("query_id").orderBy(sim.desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** DuckDB SQL replaying [[ivfTopK]] exactly: centroids re-derived from
+    * the same table (lowest `nCells` vec_ids), assignment/probing by the
+    * same double-accumulated cosine with the same first-max tie-break. */
+  def ivfOracleSql(queryIds: Seq[Long], k: Int, nCells: Int = 16,
+                   nProbe: Int = 4): String = {
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (
+       |  SELECT e AS ce, row_number() OVER (ORDER BY vec_id) AS cidx
+       |  FROM corpus ORDER BY vec_id LIMIT $nCells
+       |),
+       |scored AS (
+       |  SELECT c.vec_id, cent.cidx, ${cos("c.e", "cent.ce")} AS score
+       |  FROM corpus c CROSS JOIN cent
+       |),
+       |assigned AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cidx) AS rn
+       |    FROM scored) x WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cidx) AS rn
+       |    FROM scored WHERE vec_id IN (${queryIds.mkString(", ")})) x WHERE rn <= $nProbe
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id != p.query_id
+       |),
+       |ranked AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY ${cos("qe.e", "ne.e")} DESC, cand.neighbor_id) AS rank
+       |  FROM cand
+       |  JOIN corpus qe ON qe.vec_id = cand.query_id
+       |  JOIN corpus ne ON ne.vec_id = cand.neighbor_id
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Single-table bucket id (hyperplane signs) — the bucketing key for
     * embedding near-dup joins. */
   def bucketId(emb: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column =

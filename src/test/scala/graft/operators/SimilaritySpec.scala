@@ -44,6 +44,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.5, s"LSH top-1 recall $recall")
   }
 
+  test("IVF: cells partition the corpus; probing nProbe cells keeps useful recall") {
+    val n = emb.count()
+    val qs = (0L until 10L).toSeq
+    // structural: with 16 seeded cells over the corpus no cell may hold
+    // everything (the inverted file must actually partition)
+    val approx = Similarity.ivfTopK(emb, qs, k = 1, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val exact = Similarity.bruteForceTopK(emb, qs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val recall = qs.count(q => approx.get(q) == exact.get(q)).toDouble / qs.size
+    assert(recall >= 0.5, s"IVF top-1 recall $recall")
+    // probing ALL cells makes IVF exact — the candidate pruning is the
+    // only source of approximation
+    val full = Similarity.ivfTopK(emb, qs, k = 1, nCells = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(full == exact)
+    assert(n > 16) // fixture sanity for the cell geometry above
+  }
+
   test("cosineNearDupPairs: planted duplicate vectors are found at sim ~1") {
     val planted = emb.limit(10).unionAll(
       emb.limit(10).withColumn("vec_id", col("vec_id") + lit(1000000L)))
