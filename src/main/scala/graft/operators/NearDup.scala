@@ -375,6 +375,82 @@ object NearDup {
     labels
   }
 
+  /** Connected components by ALTERNATING large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-graph upgrade over [[connectedComponents]]:
+    * plain min-label propagation needs diameter(G) rounds (a 10^6-node
+    * path graph = 10^6 shuffles), while star contraction converges in
+    * O(log^2 n) rounds on ANY graph shape.
+    *
+    *  - large-star: every node u links each STRICTLY GREATER neighbor to
+    *    min(N(u) ∪ {u}) — one groupBy per round;
+    *  - small-star: every node links its smaller-or-equal neighbors
+    *    (and itself) to the minimum — contracting chains toward roots.
+    *
+    * Both steps are parent-pointer rewrites (u -> parent), each one
+    * aggregation + projection; the edge set shrinks as stars collapse.
+    * Convergence = a round that changes no parent pointer (checked with
+    * the same fused flag-count pattern as the plain propagation).
+    * Output matches [[connectedComponents]] (doc_id, comp=min id of the
+    * component) — asserted equal in NearDupSpec, including on a path
+    * graph whose diameter defeats plain propagation's round budget. */
+  def connectedComponentsStar(ids: DataFrame, pairs: DataFrame,
+                              maxIters: Int = 50): DataFrame = {
+    val spark = ids.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    // undirected edge set in canonical (hi, lo) form, self-loops dropped
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+    // large-star (paper Alg. 3): over the SYMMETRIC neighborhood of u,
+    // m = min(Γ(u) ∪ {u}); emit (v, m) for every strictly larger neighbor
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      canon(sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+    }
+
+    // small-star (paper Alg. 4): over the SMALLER neighbors N of u
+    // (canonical orientation), m = min(N ∪ {u}); emit (v, m) for
+    // v ∈ N \ {m} plus (u, m)
+    def smallStar(edges: DataFrame): DataFrame = {
+      // canonical (a=hi, b=lo): all of u's smaller neighbors are its b's
+      val mins = edges.groupBy("a").agg(min("b").as("m"))
+      canon(edges.join(mins, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionAll(mins.select(col("a"), col("m").as("b"))))
+    }
+
+    var edges = materialize(canon(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val next = materialize(smallStar(largeStar(edges)))
+      // fixpoint when the canonical edge set stops changing; both frames
+      // are materialized so the two anti-join counts are cached scans
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+      it += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    // at fixpoint the edge set is a union of stars rooted at component
+    // minima: (node, root). Singletons (no edges) keep themselves.
+    val comp = edges.select(col("a").as("doc_id"), col("b").as("comp"))
+      .groupBy("doc_id").agg(min("comp").as("comp"))
+    ids.select("doc_id").join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+  }
+
   // --- Exact n-gram Jaccard ------------------------------------------------
 
   /** Exact n-gram Jaccard near-dup — the non-approximate member of the dedup

@@ -118,6 +118,36 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
     assert(comp.count { case (d, c) => d == c } == 5)
   }
 
+  test("alternating-star CC == plain propagation on random graphs; handles path diameter") {
+    import org.apache.spark.sql.functions.col
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // random graphs: same components as plain min-label propagation
+    val rnd = new scala.util.Random(7L)
+    val n = 120
+    val ids = (0L until n.toLong).toDF("doc_id")
+    val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val plain = NearDup.connectedComponents(ids, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = NearDup.connectedComponentsStar(ids, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == plain)
+
+    // a 300-node path: diameter 299 defeats plain propagation's default
+    // round budget, while star contraction converges in O(log^2 n) rounds
+    val pn = 300L
+    val pids = (0L until pn).toDF("doc_id")
+    val pedges = (0L until pn - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      NearDup.connectedComponents(pids, pedges, maxIters = 20).collect()
+    }
+    val pstar = NearDup.connectedComponentsStar(pids, pedges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pstar.length == pn)
+    assert(pstar.forall(_._2 == 0L)) // one component rooted at the minimum
+  }
+
   test("TokenHash: portable polynomial hash matches its spec") {
     // ((7*31+'t')*31+'h')*31+'e' mod 2^31-1 — the value the DuckDB oracle
     // derives independently via list_reduce
