@@ -42,6 +42,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"window not partitioned by o_orderpriority:\n$p")
   }
 
+  test("ann_ivf: probes broadcast; the corpus-side cell assignment is projection-only") {
+    val p = plan("ann_ivf")
+    // the inverted-file join must broadcast the (tiny) probe set, never
+    // shuffle the corpus on cell
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    // cell assignment is per-row codegen (literal centroids): the only
+    // exchanges allowed are the probe broadcast and the final per-query
+    // window — no hashpartitioning of the corpus by cell
+    assert(!p.contains("Exchange hashpartitioning(cell"),
+      s"corpus shuffled by cell:\n$p")
+  }
+
   test("dedup_exact: shuffle carries the digest, not document bodies") {
     val p = plan("dedup_exact")
     assert(p.contains("sha2"), p)
