@@ -206,6 +206,10 @@ object Cli {
     if (c.insertSize > c.chunkSize)
       return Left("-insertsize must be <= -chunksize") // paradump.go:3583-3587
     if (!insertModes(c.dumpInsert)) return Left(s"invalid --dumpinsert ${c.dumpInsert}")
+    if (c.tables.distinct.length != c.tables.length)
+      return Left("table is specified twice") // test 25, run_test.sh:212-214
+    if ((c.mode == "sql" || c.mode == "csv") && c.dumpFile.contains('/'))
+      return Left("-dumpfile is a template, not a path (output dir is separate)") // test 21
     if (c.tables.nonEmpty && c.allTables)
       return Left("can not use -alltables with -table") // paradump.go:3541-3545 (exit 3)
     if (c.tables.nonEmpty && c.exclude.nonEmpty)

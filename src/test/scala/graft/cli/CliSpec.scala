@@ -37,6 +37,8 @@ class CliSpec extends AnyFunSuite {
     assert(parse("-db", "a,b", "-table", "t").isLeft)                  // exit 5
     assert(parse("-db", "a,a").isLeft)                                 // dup schema (exit 4)
     assert(parse("-db", "x", "-dumpcompresslevel", "23").isLeft)       // exit 9
+    assert(parse("-table", "t", "-table", "u", "-table", "t").isLeft)  // test 25: dup table
+    assert(parse("-db", "x", "-dumpfile", "/tmp/f_%p").isLeft)         // test 21: path in template
     assert(parse("-db", "x", "-alltables", "-dumpcompresslevel", "6").isRight)
   }
 
