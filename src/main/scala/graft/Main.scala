@@ -70,8 +70,9 @@ object Main {
           results.foreach(r => println(s"${r.table}: ${r.rows} rows -> ${r.files.mkString(", ")}"))
         } catch {
           // post-parse validation (unknown table, cpy without reachable
-          // dst, ...) gets the same clean contract as flag errors
-          case e: IllegalArgumentException =>
+          // dst, keyless/view/triggered refusals from the live-JDBC
+          // path, ...) gets the same clean contract as flag errors
+          case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
             System.err.println(s"graft: ${e.getMessage}")
             sys.exit(1)
         } finally spark.stop()

@@ -129,7 +129,7 @@ object SyncMain {
               s"I ${t.inserts} U ${t.updates} D ${t.deletes}"))
           cfg.statsFile.foreach(f => Files.writeString(Paths.get(f), statsJson(stats)))
         } catch {
-          case e: IllegalArgumentException =>
+          case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
             System.err.println(s"graft-sync: ${e.getMessage}")
             sys.exit(1)
         } finally spark.stop()

@@ -11,6 +11,14 @@ import java.util.Properties
   * dialect-specific probes where the standard API has no equivalent
   * (trigger presence, MySQL storage engine).
   *
+  * Identifier contract: table names are handled as UNQUOTED identifiers
+  * and matched case-insensitively (as-given, upper, lower — covering the
+  * default case-normalization of every supported engine). A name that was
+  * created with quoted mixed case or embedded specials is out of contract
+  * for the generated SQL paths (the same restriction the reference's
+  * template SQL has); catalog-name string literals ARE escaped, so such
+  * names fail cleanly as not-found rather than breaking statements.
+  *
   * Scale contract: a catalog listing must NEVER scan data. Primary keys
   * come from the declared constraint ([[primaryKey]]), PK *guessing* from
   * unique-index metadata ([[guessKeyFromIndexes]] — the reference's
@@ -128,25 +136,51 @@ object JdbcCatalog {
     (tableStat ++ indexMax).maxOption.getOrElse(-1L)
   }
 
+  /** Split an optionally schema-qualified name into (schema, table). */
+  private[catalog] def splitQualified(name: String): (Option[String], String) =
+    name.split('.') match {
+      case Array(s, t) => (Some(s), t)
+      case _ => (None, name)
+    }
+
+  /** SQL string literal (quote doubling) — catalog names reach these
+    * probes as literals, never as identifiers. */
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Trigger presence — no DatabaseMetaData equivalent; small dialect
     * probes against each engine's catalog (reference: MySQL
     * INFORMATION_SCHEMA.TRIGGERS paradump.go:858, MSSQL sys.triggers
     * :1099; Derby SYS.SYSTRIGGERS for the e2e tests). Unknown dialects
-    * return false (the reference only checks its three engines). */
+    * return false (the reference only checks its three engines).
+    *
+    * `table` may be schema-qualified ("schema.table" — the cpy
+    * `-dst-schema` target shape): the schema part becomes a predicate, so
+    * the gate neither misses a triggered remapped destination nor trips
+    * on a same-named table in another schema. */
   def hasTriggers(conn: Connection, url: String, table: String): Boolean = {
     val l = url.toLowerCase
-    val sqlFor: String => Option[String] = t =>
+    val (schema, bare) = splitQualified(table)
+    def sqlFor(t: String, s: Option[String]): Option[String] =
       if (l.startsWith("jdbc:mysql") || l.startsWith("jdbc:mariadb"))
-        Some(s"SELECT COUNT(*) FROM information_schema.TRIGGERS WHERE EVENT_OBJECT_TABLE = '$t'")
+        Some(s"SELECT COUNT(*) FROM information_schema.TRIGGERS WHERE EVENT_OBJECT_TABLE = ${lit(t)}" +
+          s.map(x => s" AND EVENT_OBJECT_SCHEMA = ${lit(x)}").getOrElse(""))
       else if (l.startsWith("jdbc:sqlserver"))
-        Some(s"SELECT COUNT(*) FROM sys.triggers tr JOIN sys.tables t ON tr.parent_id = t.object_id WHERE t.name = '$t'")
+        Some(s"SELECT COUNT(*) FROM sys.triggers tr JOIN sys.tables t ON tr.parent_id = t.object_id WHERE t.name = ${lit(t)}" +
+          s.map(x => s" AND SCHEMA_NAME(t.schema_id) = ${lit(x)}").getOrElse(""))
       else if (l.startsWith("jdbc:postgresql"))
-        Some(s"SELECT COUNT(*) FROM information_schema.triggers WHERE event_object_table = '$t'")
+        Some(s"SELECT COUNT(*) FROM information_schema.triggers WHERE event_object_table = ${lit(t)}" +
+          s.map(x => s" AND event_object_schema = ${lit(x)}").getOrElse(""))
       else if (l.startsWith("jdbc:derby"))
-        Some(s"SELECT COUNT(*) FROM SYS.SYSTRIGGERS tr JOIN SYS.SYSTABLES t ON tr.TABLEID = t.TABLEID WHERE t.TABLENAME = '$t'")
+        Some(s"SELECT COUNT(*) FROM SYS.SYSTRIGGERS tr JOIN SYS.SYSTABLES t ON tr.TABLEID = t.TABLEID" +
+          " JOIN SYS.SYSSCHEMAS sc ON t.SCHEMAID = sc.SCHEMAID" +
+          s" WHERE t.TABLENAME = ${lit(t)}" +
+          s.map(x => s" AND sc.SCHEMANAME = ${lit(x)}").getOrElse(""))
       else None
-    candidates(table).exists { t =>
-      sqlFor(t).exists { sql =>
+    (for {
+      t <- candidates(bare)
+      sc <- schema.map(x => candidates(x).map(Some(_))).getOrElse(Seq(None))
+    } yield (t, sc)).exists { case (t, sc) =>
+      sqlFor(t, sc).exists { sql =>
         val st = conn.createStatement()
         try {
           val rs = st.executeQuery(sql)
@@ -165,19 +199,40 @@ object JdbcCatalog {
       val st = conn.createStatement()
       try {
         val rs = st.executeQuery(
-          s"SELECT ENGINE FROM information_schema.TABLES WHERE TABLE_NAME = '$t'")
+          s"SELECT ENGINE FROM information_schema.TABLES WHERE TABLE_NAME = ${lit(t)}")
         if (rs.next()) Option(rs.getString(1)) else None
       } finally st.close()
     }.collectFirst { case Some(e) => e }
   }
 
+  /** Lower-cased names of columns the catalog declares NULLABLE. */
+  def nullableColumns(conn: Connection, table: String): Set[String] = {
+    val md = conn.getMetaData
+    candidates(table).iterator.map { t =>
+      val rs = md.getColumns(null, null, t, "%")
+      try {
+        val out = Seq.newBuilder[(String, Boolean)]
+        while (rs.next())
+          out += ((rs.getString("COLUMN_NAME").toLowerCase,
+            rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls))
+        out.result()
+      } finally rs.close()
+    }.find(_.nonEmpty).getOrElse(Seq.empty)
+      .collect { case (c, true) => c }.toSet
+  }
+
   /** Metadata-only PK guess for tables without a declared key: prefer the
-    * unique index with the fewest columns; otherwise the highest-cardinality
-    * index, flagged fake (duplicate-tolerant chunking downstream) — the
-    * reference's index choice (paradump.go:1161-1230) with ZERO data reads.
-    * Returns (cols, isUnique). */
-  def guessKeyFromIndexes(idx: Seq[IndexMeta]): Option[(Seq[String], Boolean)] = {
-    val unique = idx.filter(_.unique)
+    * unique index with the fewest columns whose columns are ALL declared
+    * non-nullable (SQL unique indexes admit multiple NULLs — a nullable
+    * unique column is NOT a key, and treating it as one makes the NULL-key
+    * rows invisible to range chunking and the diff join; the reference
+    * likewise only considers non-nullable index columns,
+    * paradump.go:1161-1230). Otherwise the highest-cardinality index,
+    * flagged fake (duplicate-tolerant chunking, sync refusal downstream).
+    * Returns (cols, isUnique). ZERO data reads. */
+  def guessKeyFromIndexes(idx: Seq[IndexMeta],
+                          nullableCols: Set[String] = Set.empty): Option[(Seq[String], Boolean)] = {
+    val unique = idx.filter(i => i.unique && !i.cols.exists(nullableCols.contains))
     if (unique.nonEmpty)
       Some((unique.minBy(i => (i.cols.length, i.name)).cols, true))
     else idx.sortBy(i => (-i.cardinality, i.cols.length, i.name)).headOption
@@ -213,7 +268,7 @@ object JdbcCatalog {
       val declared = primaryKey(conn, table)
       val (pk, fake) =
         if (declared.nonEmpty) (declared, false)
-        else guessKeyFromIndexes(indexes(conn, table))
+        else guessKeyFromIndexes(indexes(conn, table), nullableColumns(conn, table))
           .map { case (c, uniq) => (c, !uniq) }
           .getOrElse((Seq.empty[String], true))
       TableMeta(table, schema, pk, fake, rowEstimate(conn, table), -1L)

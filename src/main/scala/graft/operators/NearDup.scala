@@ -229,8 +229,12 @@ object NearDup {
     * candidates); pass explicit numHashes/bands to pin a geometry. */
   def nearDupPairs(docs: DataFrame, k: Int = 3, numHashes: Int = -1,
                    bands: Int = -1, threshold: Double = 0.6): DataFrame = {
+    // both-or-neither: silently planning over a half-pinned geometry would
+    // give the caller a different candidate cost/recall than requested
+    require((numHashes > 0) == (bands > 0),
+      s"pass both numHashes and bands to pin the geometry, or neither to plan from the threshold (got numHashes=$numHashes, bands=$bands)")
     val (nh, b) =
-      if (numHashes > 0 && bands > 0) (numHashes, bands)
+      if (numHashes > 0) (numHashes, bands)
       else bandPlan(threshold)
     withJaccardHashed(candidatePairs(docs, k, nh, b), shingleHashSets(docs, k))
       .filter(col("jaccard") >= threshold)
@@ -341,24 +345,31 @@ object NearDup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
-    var labels = materialize(ids.select(col("doc_id"), col("doc_id").as("comp")))
+    // Per-round storage discipline: persist() each round and unpersist the
+    // previous round EAGERLY (the context cleaner only frees checkpoint
+    // blocks after a driver GC — relying on it would stack one full copy
+    // of the labels per round); every 5th round checkpoints instead, so
+    // plan depth stays <= 5 and an evicted partition never recomputes more
+    // than 5 rounds back. Convergence detection is FUSED into the
+    // propagation pass: the left join already carries (old comp,
+    // neighborhood min) per row, so the changed flag is a free column and
+    // the count after materialization is a cached scan — no second join.
+    var cached = ids.select(col("doc_id"), col("doc_id").as("comp")).persist()
+    var labels = cached
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val viaNeighbors = edges
         .join(labels.select(col("doc_id").as("v"), col("comp").as("ncomp")), "v")
         .groupBy(col("u").as("doc_id")).agg(min("ncomp").as("mincomp"))
-      // Convergence detection FUSED into the propagation pass: the left
-      // join already carries (old comp, neighborhood min) per row, so the
-      // changed flag is a free column — no second join. The checkpoint IS
-      // the materializing action (truncating lineage every round so plan
-      // depth and recompute cost stay O(1) per iteration); the flag count
-      // afterwards is a cheap scan of the materialized partitions.
-      val next = materialize(labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"),
-          (col("mincomp").isNotNull && col("mincomp") < col("comp")).as("__changed")))
-      changed = next.filter(col("__changed")).count()
+          (col("mincomp").isNotNull && col("mincomp") < col("comp")).as("__changed"))
+      val next = if (it % 5 == 4) materialize(stepped) else stepped.persist()
+      changed = next.filter(col("__changed")).count() // materializes next
+      cached.unpersist()
+      cached = next
       labels = next.select("doc_id", "comp")
       it += 1
     }
@@ -369,10 +380,11 @@ object NearDup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters (component diameter exceeds it)")
-    // nothing is left registered with the cache manager: per-round
-    // checkpoint RDDs are released by the context cleaner once the last
-    // frame referencing them (the returned result) goes out of scope
-    labels
+    // hand the caller ONE materialized copy and release the loop's cache:
+    // nothing stays registered with the cache manager after the call
+    val result = materialize(labels)
+    cached.unpersist()
+    result
   }
 
   /** Connected components by ALTERNATING large-star / small-star rounds
@@ -428,15 +440,20 @@ object NearDup {
         .unionAll(mins.select(col("a"), col("m").as("b"))))
     }
 
-    var edges = materialize(canon(
-      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+    // same storage discipline as the plain propagation: persist + eager
+    // unpersist per round, checkpoint every 5th round to bound lineage
+    var edges = canon(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))).persist()
+    edges.count()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      val next = materialize(smallStar(largeStar(edges)))
-      // fixpoint when the canonical edge set stops changing; both frames
-      // are materialized so the two anti-join counts are cached scans
+      val stepped = smallStar(largeStar(edges))
+      val next = if (it % 5 == 4) materialize(stepped) else stepped.persist()
+      // fixpoint when the canonical edge set stops changing; the first
+      // anti-join materializes next, the rest are cached scans
       changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges.unpersist()
       edges = next
       it += 1
     }
@@ -447,8 +464,11 @@ object NearDup {
     // minima: (node, root). Singletons (no edges) keep themselves.
     val comp = edges.select(col("a").as("doc_id"), col("b").as("comp"))
       .groupBy("doc_id").agg(min("comp").as("comp"))
-    ids.select("doc_id").join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    val result = materialize(
+      ids.select("doc_id").join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp")))
+    edges.unpersist()
+    result
   }
 
   // --- Exact n-gram Jaccard ------------------------------------------------

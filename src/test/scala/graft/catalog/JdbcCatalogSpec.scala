@@ -84,6 +84,41 @@ class JdbcCatalogSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("hasTriggers respects schema qualification (remapped dst neither misses nor false-trips)") {
+    setup
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    // same-named table in the REMAP schema, WITH a trigger — the default
+    // schema's TRIG_T trigger must not leak across schemas and vice versa
+    st.execute("CREATE TABLE REMAP.TRIG_T (id INT NOT NULL PRIMARY KEY, n INT)")
+    st.close(); conn.close()
+    JdbcCatalog.withConnection(url, props) { c =>
+      // qualified name: only the named schema's triggers count
+      assert(!JdbcCatalog.hasTriggers(c, url, "REMAP.TRIG_T")) // no trigger there
+      assert(JdbcCatalog.hasTriggers(c, url, "APP.TRIG_T"))    // the triggered one
+      // and the cpy gate sees through the qualified target
+      val src = spark.range(2).select(col("id").cast("int").as("id"), lit(1).as("n"))
+      intercept[IllegalStateException] {
+        graft.sinks.JdbcCopySink.write(src, url, "APP.TRIG_T", props)
+      }
+      graft.sinks.JdbcCopySink.write(src, url, "REMAP.TRIG_T", props) // passes
+    }
+  }
+
+  test("guessKeyFromIndexes rejects unique indexes over nullable columns") {
+    val idx = Seq(
+      JdbcCatalog.IndexMeta("u_nullable", unique = true, cardinality = 100, cols = Seq("maybe")),
+      JdbcCatalog.IndexMeta("plain", unique = false, cardinality = 90, cols = Seq("grp")))
+    // the nullable unique index is NOT a key (SQL unique admits many
+    // NULLs): it may still win the cardinality fallback, but only ever
+    // FLAGGED FAKE — duplicate-tolerant chunking, sync refusal downstream
+    assert(JdbcCatalog.guessKeyFromIndexes(idx, nullableCols = Set("maybe"))
+      .contains((Seq("maybe"), false)))
+    // same index over a non-nullable column IS a key
+    assert(JdbcCatalog.guessKeyFromIndexes(idx, nullableCols = Set.empty)
+      .contains((Seq("maybe"), true)))
+  }
+
   test("cpy refuses a non-Postgres destination with triggers (paradump.go:1440-1443)") {
     setup
     val src = spark.range(3).select(col("id").cast("int").as("id"), lit(1).as("n"))
