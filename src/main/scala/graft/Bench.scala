@@ -11,7 +11,10 @@ import java.nio.file.{Files, Paths}
   * `cold` carries the first-run times (JVM/codegen warmup included). Materialization is a noop-format write (NOT
   * `count()`, which parquet answers from footer metadata without executing
   * the plan). Failures are recorded as -1, excluded from the total, and
-  * listed in `failed` — never silently added to the total.
+  * listed in `failed` — never silently added to the total. Queries whose
+  * warm time exceeds cold by >10% are listed in `inversions` (impossible on
+  * a quiet box — the run was contended and its numbers are suspect);
+  * setting SPARK_GRAFT_BENCH_STRICT makes such a run exit 3.
   * The line is also written to $SPARK_GRAFT_BENCH_OUT (default
   * ./bench_out.json) so sbt log decoration can't make it unparseable.
   */
@@ -64,16 +67,31 @@ object Bench {
         .mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Contention self-labeling: warm (min of two post-cold runs) exceeding
+    // cold is physically impossible on a quiet box — it means another
+    // process stole the CPU during the warm runs and EVERY number in this
+    // file is suspect. List the offenders so a contaminated artifact can
+    // never masquerade as a clean measurement (r5/r6 both shipped
+    // inversions that triggered false perf alarms). The 10% slack skips
+    // flagging sub-millisecond jitter on near-instant queries.
+    val inversions = names.filter(n =>
+      cold.get(n).exists(_ >= 0) && warm.get(n).exists(w => w > cold(n) * 1.1))
+    val inversionsJson = inversions.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a subset run is tagged AND never writes the default output file: its
     // smaller total must not masquerade as a full-suite standing
     val subsetTag = if (only.isDefined) """"subset":true,""" else ""
     val line =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",$subsetTag"queries":${fmt(warm)},"cold":${fmt(cold)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",$subsetTag"queries":${fmt(warm)},"cold":${fmt(cold)},"failed":$failedJson,"inversions":$inversionsJson,"sf":"$sfDir"}"""
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     if (only.isEmpty || outFile.isDefined)
       Files.writeString(Paths.get(outFile.getOrElse("bench_out.json")), line + "\n")
     println(line)
+    if (inversions.nonEmpty)
+      System.err.println(s"[bench] WARNING: warm > cold inversions (box was " +
+        s"contended; numbers unreliable): ${inversions.mkString(", ")}")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
+    // opt-in gate for CI: refuse to bless a contended run
+    if (inversions.nonEmpty && sys.env.contains("SPARK_GRAFT_BENCH_STRICT")) sys.exit(3)
   }
 }

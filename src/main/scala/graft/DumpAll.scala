@@ -47,17 +47,24 @@ object DumpAll {
     if (compression.contains("zstd"))
       conf.setInt("io.compression.codec.zstd.level", level)
 
-  /** Apply the configured sink to one table's frame. */
+  /** Apply the configured sink to one table's frame. `name` is the BARE
+    * table name (cpy target, %t filename token); `insertTable` overrides
+    * the table the SQL INSERT text targets (the reference qualifies with
+    * dstDbName, paradump.go:1291-1296); `dirName` disambiguates output
+    * paths when several schemas dump a same-named table. */
   private def writeOne(df: DataFrame, name: String, outDir: String,
-                       s: SinkSettings): Seq[String] = s.mode match {
+                       s: SinkSettings, insertTable: Option[String] = None,
+                       dirName: Option[String] = None): Seq[String] = s.mode match {
     case "sql" =>
-      SqlDumpSink.write(df, s.db, name, s"$outDir/$name",
+      SqlDumpSink.write(df, s.db, insertTable.getOrElse(name),
+        s"$outDir/${dirName.getOrElse(name)}",
         insertSize = s.insertSize, withColumnList = s.withColumnList,
         header = s.header, fileTemplate = s.fileTemplate,
-        compression = s.compression)
+        compression = s.compression, tableToken = Some(name))
     case "csv" =>
-      CsvSink.write(df, s"$outDir/$name", compression = s.compression)
-      Seq(s"$outDir/$name")
+      val dir = s"$outDir/${dirName.getOrElse(name)}"
+      CsvSink.write(df, dir, compression = s.compression)
+      Seq(dir)
     case "null" =>
       graft.sinks.NoopSink.drain(df)
       Seq.empty
@@ -75,9 +82,9 @@ object DumpAll {
 
   /** Run `body` per table over a bounded pool; with the FAIR scheduler
     * each table gets its own on-demand pool (weight 1). */
-  private def inPool(spark: SparkSession, maxConcurrent: Int,
-                     items: Seq[graft.catalog.TableMeta])(
-                     body: graft.catalog.TableMeta => Result): Seq[Result] = {
+  private def inPool[A](spark: SparkSession, maxConcurrent: Int,
+                        items: Seq[A], poolName: A => String)(
+                        body: A => Result): Seq[Result] = {
     val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrent))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val fair = spark.sparkContext.getConf
@@ -86,7 +93,7 @@ object DumpAll {
       val futures = items.map { m =>
         Future {
           if (fair)
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft_dump_${m.name}")
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft_dump_${poolName(m)}")
           body(m)
         }
       }
@@ -112,7 +119,7 @@ object DumpAll {
     applyCompressionLevel(spark.sparkContext.hadoopConfiguration, compression, compressLevel)
     val metas = Catalog.select( // largest-first from listMeta
       Catalog.listMeta(spark, sfDir), tables, exclude)
-    inPool(spark, maxConcurrentTables, metas) { m =>
+    inPool(spark, maxConcurrentTables, metas, (_: graft.catalog.TableMeta).name) { m =>
       val df = Tables.load(spark, sfDir, m.name)
       Result(m.name, m.rowCount, writeOne(df, m.name, outDir, settings))
     }
@@ -125,55 +132,100 @@ object DumpAll {
     * sinks. Tables without any usable key are refused unless
     * `guessPrimaryKey` allows the data-scanning last resort (reference
     * -guessprimarykey, paradump.go:3515). */
+  /** One schedulable unit of a (possibly multi-schema) JDBC dump: the
+    * table's metadata, the schema it came from, the schema-qualified name
+    * every generated SQL statement uses, and the PAIRED destination schema
+    * (reference `PopulateDstSchema`, paradump.go:1457-1466: the i-th
+    * `-dst-schema` remaps the i-th `-db`). */
+  private case class JdbcWork(schema: Option[String], dst: Option[String],
+                              meta: graft.catalog.TableMeta, bare: String,
+                              qualified: String, label: String)
+
   def runJdbc(spark: SparkSession, url: String, outDir: String,
               mode: String = "sql", insertSize: Int = 500,
               chunkSize: Int = 10000,
               exclude: Seq[String] = Nil, maxConcurrentTables: Int = 4,
               compression: Option[String] = None,
-              tables: Seq[String] = Nil, db: String = "graft",
+              tables: Seq[String] = Nil, dbs: Seq[String] = Nil,
               header: Boolean = true, fileTemplate: String = "%d_%t_%p.%m%z",
               withColumnList: Boolean = false,
               guessPrimaryKey: Boolean = false,
               srcProps: Map[String, String] = Map.empty,
               dstUrl: Option[String] = None,
               dstProps: Map[String, String] = Map.empty,
-              dstSchema: Option[String] = None,
+              dstSchemas: Seq[String] = Nil,
               compressLevel: Int = 1): Seq[Result] = {
-    val settings = SinkSettings(mode, db, insertSize, header, fileTemplate,
-      withColumnList, compression, dstUrl, dstProps, dstSchema, compressLevel)
     applyCompressionLevel(spark.sparkContext.hadoopConfiguration, compression, compressLevel)
     val props = new java.util.Properties()
     srcProps.foreach { case (k, v) => props.setProperty(k, v) }
-    val names = JdbcCatalog.withConnection(url, props)(JdbcCatalog.listTables)
-    val unknown = tables.filterNot(names.contains)
+    // Every `-db` entry is a real schema filter on the live catalog, each
+    // paired with its `-dst-schema` counterpart (CLI validates the counts
+    // match). No -db = the connection's whole default scope, the
+    // parquet-path behavior.
+    val slots: Seq[(Option[String], Option[String])] =
+      if (dbs.isEmpty) Seq((None, dstSchemas.headOption))
+      else dbs.zipWithIndex.map { case (s, i) => (Some(s), dstSchemas.lift(i)) }
+    val multi = dbs.length > 1
+    val works = slots.flatMap { case (schemaOpt, dstOpt) =>
+      val names = JdbcCatalog.withConnection(url, props)(
+        c => JdbcCatalog.listTables(c, schemaOpt))
+      names.filter(n => tables.isEmpty || tables.contains(n))
+        .filterNot(n => exclude.exists(n.contains))
+        .map { n =>
+          val q = schemaOpt.map(s => s"$s.$n").getOrElse(n)
+          // multi-schema: qualified label/paths so same-named tables from
+          // different schemas can't collide; single-schema keeps bare names
+          JdbcWork(schemaOpt, dstOpt, JdbcCatalog.meta(spark, url, q, props),
+            n, q, if (multi) q else n)
+        }
+    }
+    // a requested table is unknown only if NO selected schema has it
+    val found = works.map(_.bare).toSet
+    val unknown = tables.filterNot(found.contains)
     require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
-    val metas = names
-      .filter(n => tables.isEmpty || tables.contains(n))
-      .filterNot(n => exclude.exists(n.contains))
-      .map(n => JdbcCatalog.meta(spark, url, n, props))
-      .sortBy(-_.rowCount) // largest-first on the statistics estimate
-    inPool(spark, maxConcurrentTables, metas) { m =>
+    // largest-first on the statistics estimate, ACROSS schemas — one
+    // global schedule, same as the reference's combined table list
+    val ordered = works.sortBy(-_.meta.rowCount)
+    inPool(spark, maxConcurrentTables, ordered, (_: JdbcWork).label) { w =>
+      val m = w.meta
+      // cpy destination schema: the paired -dst-schema, else (multi-schema
+      // only) the source schema itself — the reference's default
+      // dstDbName = dbName (paradump.go:1376); single-schema keeps the
+      // destination connection's default scope (existing contract)
+      val cpyDst = w.dst.orElse(w.schema.filter(_ => multi))
+      val settings = SinkSettings(mode, w.schema.getOrElse("graft"), insertSize,
+        header, fileTemplate, withColumnList, compression, dstUrl, dstProps,
+        cpyDst, compressLevel)
+      // the SQL INSERT text targets the DESTINATION schema (reference
+      // qualifies with dstDbName, paradump.go:1291-1296) whenever the dump
+      // spans schemas or an explicit remap was requested; a plain
+      // single-schema dump keeps the reloadable unqualified form
+      val insertTable =
+        if (multi || (w.schema.isDefined && w.dst.isDefined))
+          Some(s"${w.dst.orElse(w.schema).get}.${w.bare}")
+        else None
       val pk =
         if (m.pkCols.nonEmpty) m.pkCols
         else if (guessPrimaryKey) {
           // last resort, DATA SCAN (documented): no declared key, no index
           // to guess from — measure uniqueness like the parquet path does
-          val full = spark.read.jdbc(url, m.name, props)
+          val full = spark.read.jdbc(url, w.qualified, props)
           Catalog.guessPrimaryKey(full, full.columns.map(Seq(_)).toSeq)
             .map(_._1).getOrElse(throw new IllegalStateException(
-              s"table ${m.name}: no viable key even by data scan"))
+              s"table ${w.qualified}: no viable key even by data scan"))
         } else throw new IllegalStateException(
-          s"table ${m.name} has no primary key or unique index — " +
+          s"table ${w.qualified} has no primary key or unique index — " +
             "pass -guessprimarykey to allow the data-scanning fallback")
       // the statistics estimate ordered the schedule; the REPORTED count
       // and the chunk geometry use one exact server-side COUNT (index
       // estimates drift 10-40% on InnoDB — the parquet path reports exact
       // footer counts, this path must not report less truthfully)
-      val rows = graft.sources.JdbcChunkedSource.countRows(url, m.name, props)
+      val rows = graft.sources.JdbcChunkedSource.countRows(url, w.qualified, props)
       val nChunks = math.max(1, ((rows + chunkSize - 1) / chunkSize).toInt)
       val df = graft.sources.JdbcChunkedSource.readChunked(
-        spark, url, m.name, pk, nChunks, props, rowCountHint = rows)
-      Result(m.name, rows, writeOne(df, m.name, outDir, settings))
+        spark, url, w.qualified, pk, nChunks, props, rowCountHint = rows)
+      Result(w.label, rows,
+        writeOne(df, w.bare, outDir, settings, insertTable, Some(w.label)))
     }
   }
 }

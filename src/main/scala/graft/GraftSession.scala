@@ -27,6 +27,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.scheduler.mode", "FAIR")
+      // defense in depth for iterative operators: plan-string rendering is
+      // O(plan size) driver memory on every action; cap it so a runaway
+      // plan degrades to a truncated explain, never an OOM (r6 verdict)
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
 
   /** Build (or reuse) the session. */
   def get(master: String = "local[*]"): SparkSession = {

@@ -32,12 +32,14 @@ object Main {
         mode = cfg.mode, insertSize = cfg.insertSize,
         chunkSize = cfg.chunkSize, exclude = cfg.exclude,
         maxConcurrentTables = cfg.dumpParallel, compression = cfg.compress,
-        tables = cfg.tables, db = cfg.schemas.headOption.getOrElse("graft"),
+        // every -db entry is a live schema filter, pairwise-remapped by
+        // -dst-schema (reference PopulateDstSchema, paradump.go:1457-1466)
+        tables = cfg.tables, dbs = cfg.schemas,
         header = cfg.dumpHeader, fileTemplate = cfg.dumpFile,
         withColumnList = cfg.dumpInsert == "full",
         guessPrimaryKey = cfg.guessPrimaryKey,
         dstUrl = cfg.dstUrl,
-        dstSchema = cfg.dstSchemas.headOption,
+        dstSchemas = cfg.dstSchemas,
         compressLevel = cfg.compressLevel)
     else
       DumpAll.run(spark, srcDir, outDir,

@@ -44,7 +44,7 @@ object SyncMain {
       if (jdbcSrc) {
         val p = toProps(srcProps)
         val names = graft.catalog.JdbcCatalog.withConnection(srcDir, p)(
-          graft.catalog.JdbcCatalog.listTables)
+          c => graft.catalog.JdbcCatalog.listTables(c))
         val unknown = cfg.tables.filterNot(names.contains)
         require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
         names.filter(n => cfg.tables.isEmpty || cfg.tables.contains(n))

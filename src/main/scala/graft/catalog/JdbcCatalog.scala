@@ -45,29 +45,47 @@ object JdbcCatalog {
   private def candidates(name: String): Seq[String] =
     Seq(name, name.toUpperCase, name.toLowerCase).distinct
 
+  /** (schemaPattern, tableName) candidate pairs for a possibly
+    * schema-qualified name — every `DatabaseMetaData` lookup below accepts
+    * "schema.table" (the multi-`-db` dump shape) as well as a bare name
+    * (null schema pattern = the connection's default scope). */
+  private def scTab(name: String): Seq[(String, String)] = {
+    val (schema, bare) = splitQualified(name)
+    for {
+      s <- schema.map(candidates(_)).getOrElse(Seq(null))
+      t <- candidates(bare)
+    } yield (s, t)
+  }
+
   /** All base-table names in the connection's default scope (the
     * reference's table listing over information_schema, paradump.go:1228+;
-    * system schemas excluded), lower-cased for the engine's naming. */
-  def listTables(conn: Connection): Seq[String] = {
+    * system schemas excluded), lower-cased for the engine's naming.
+    * With `schema` given, only that schema's tables (the reference's
+    * per-`-db` listing; a missing schema yields an empty list). */
+  def listTables(conn: Connection, schema: Option[String] = None): Seq[String] = {
     val md = conn.getMetaData
-    val rs = md.getTables(null, null, "%", Array("TABLE"))
-    try {
-      val out = Seq.newBuilder[String]
-      while (rs.next()) {
-        val schema = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
-        if (!schema.toUpperCase.startsWith("SYS") && schema.toUpperCase != "INFORMATION_SCHEMA")
-          out += rs.getString("TABLE_NAME").toLowerCase
-      }
-      out.result().distinct.sorted
-    } finally rs.close()
+    val patterns = schema.map(candidates(_)).getOrElse(Seq(null))
+    val out = Seq.newBuilder[String]
+    patterns.foreach { pat =>
+      val rs = md.getTables(null, pat, "%", Array("TABLE"))
+      try {
+        while (rs.next()) {
+          val sc = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+          if (pat != null ||
+              (!sc.toUpperCase.startsWith("SYS") && sc.toUpperCase != "INFORMATION_SCHEMA"))
+            out += rs.getString("TABLE_NAME").toLowerCase
+        }
+      } finally rs.close()
+    }
+    out.result().distinct.sorted
   }
 
   /** TABLE_TYPE from `DatabaseMetaData.getTables`: "TABLE", "VIEW", ... —
     * the reference's BASE TABLE check (paradump.go:787-789). */
   def tableType(conn: Connection, table: String): Option[String] = {
     val md = conn.getMetaData
-    candidates(table).iterator.map { t =>
-      val rs = md.getTables(null, null, t, null)
+    scTab(table).iterator.map { case (s, t) =>
+      val rs = md.getTables(null, s, t, null)
       try if (rs.next()) Option(rs.getString("TABLE_TYPE")) else None
       finally rs.close()
     }.collectFirst { case Some(tt) => tt }
@@ -77,8 +95,8 @@ object JdbcCatalog {
     * column names downstream are lower-case in this engine). */
   def primaryKey(conn: Connection, table: String): Seq[String] = {
     val md = conn.getMetaData
-    candidates(table).iterator.map { t =>
-      val rs = md.getPrimaryKeys(null, null, t)
+    scTab(table).iterator.map { case (s, t) =>
+      val rs = md.getPrimaryKeys(null, s, t)
       try {
         val cols = Seq.newBuilder[(Short, String)]
         while (rs.next()) cols += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
@@ -94,8 +112,8 @@ object JdbcCatalog {
     * portable equivalent and costs no scan. */
   def indexes(conn: Connection, table: String): Seq[IndexMeta] = {
     val md = conn.getMetaData
-    candidates(table).iterator.map { t =>
-      val rs = md.getIndexInfo(null, null, t, false, true)
+    scTab(table).iterator.map { case (s, t) =>
+      val rs = md.getIndexInfo(null, s, t, false, true)
       try {
         val rows = Seq.newBuilder[(String, Boolean, Long, Short, String)]
         while (rs.next()) {
@@ -121,8 +139,8 @@ object JdbcCatalog {
     * engine publishes none (e.g. Derby without run statistics). */
   def rowEstimate(conn: Connection, table: String): Long = {
     val md = conn.getMetaData
-    val statRows = candidates(table).iterator.map { t =>
-      val rs = md.getIndexInfo(null, null, t, false, true)
+    val statRows = scTab(table).iterator.map { case (s, t) =>
+      val rs = md.getIndexInfo(null, s, t, false, true)
       try {
         val vals = Seq.newBuilder[(Short, Long)]
         while (rs.next()) vals += ((rs.getShort("TYPE"), rs.getLong("CARDINALITY")))
@@ -208,8 +226,8 @@ object JdbcCatalog {
   /** Lower-cased names of columns the catalog declares NULLABLE. */
   def nullableColumns(conn: Connection, table: String): Set[String] = {
     val md = conn.getMetaData
-    candidates(table).iterator.map { t =>
-      val rs = md.getColumns(null, null, t, "%")
+    scTab(table).iterator.map { case (s, t) =>
+      val rs = md.getColumns(null, s, t, "%")
       try {
         val out = Seq.newBuilder[(String, Boolean)]
         while (rs.next())

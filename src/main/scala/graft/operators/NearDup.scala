@@ -334,28 +334,63 @@ object NearDup {
     * [Kiveris et al., CC in MapReduce] bound rounds by log n — the
     * documented upgrade path; dedup graphs don't need it.)
     * Returns (doc_id, comp) for every id in `ids`. */
+  /** Materialize one round of an iterative fixpoint: run ONE job over
+    * `rows`, store the result, and return (a DataFrame whose logical plan
+    * is a flat scan of the stored blocks, the row count, an eager release).
+    *
+    * Why not `persist()`: caching stores DATA but keeps the full logical
+    * plan, and a self-referential round (star contraction references its
+    * input several times: symmetrized union + min-join + convergence
+    * anti-joins) makes the plan TREE grow geometrically — at ~20 rounds the
+    * driver dies rendering plan strings / serializing 5 MB task binaries
+    * long before any executor touches data. RDD-level checkpointing
+    * truncates lineage every round (rounds are O(log^2 n) for star /
+    * O(diameter) for propagation, so the per-round cost is bounded) and —
+    * unlike `Dataset.localCheckpoint`, whose blocks only the context
+    * cleaner frees after a driver GC — hands back an explicit release so
+    * the previous round's blocks die the moment its successor lands.
+    *
+    * With a checkpoint dir configured the blocks also go to reliable
+    * storage (cluster-grade fault tolerance: a lost executor replays from
+    * files); otherwise `localCheckpoint` semantics apply — a released or
+    * evicted round cannot be recomputed, which is safe here because a
+    * round is only released after every consumer of it has run. */
+  private def materializeRound(df: DataFrame): (DataFrame, Long, () => Unit) =
+    materializeRows(df.sparkSession, df.rdd, df.schema)
+
+  private def materializeRows(spark: org.apache.spark.sql.SparkSession,
+                              rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+                              schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, Long, () => Unit) = {
+    if (spark.sparkContext.getCheckpointDir.isDefined) {
+      rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rows.checkpoint()
+      val n = rows.count() // fills the cache; checkpoint files write from it
+      (spark.createDataFrame(rows, schema), n,
+        () => { rows.unpersist(blocking = false); () })
+    } else {
+      rows.localCheckpoint()
+      val n = rows.count()
+      (spark.createDataFrame(rows, schema), n,
+        () => { rows.unpersist(blocking = false); () })
+    }
+  }
+
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
                           maxIters: Int = 20): DataFrame = {
     val spark = ids.sparkSession
-    // reliable checkpoints when the caller configured a checkpoint dir
-    // (cluster-grade fault tolerance); local (executor-storage) otherwise
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
-    // Per-round storage discipline: persist() each round and unpersist the
-    // previous round EAGERLY (the context cleaner only frees checkpoint
-    // blocks after a driver GC — relying on it would stack one full copy
-    // of the labels per round); every 5th round checkpoints instead, so
-    // plan depth stays <= 5 and an evicted partition never recomputes more
-    // than 5 rounds back. Convergence detection is FUSED into the
-    // propagation pass: the left join already carries (old comp,
-    // neighborhood min) per row, so the changed flag is a free column and
-    // the count after materialization is a cached scan — no second join.
-    var cached = ids.select(col("doc_id"), col("doc_id").as("comp")).persist()
-    var labels = cached
+    // Convergence detection is FUSED into the materializing pass: the left
+    // join already carries (old comp, neighborhood min) per row, so the
+    // changed flag is a free column, counted by an accumulator inside the
+    // SAME job that stores the round — exactly one action per round, no
+    // second scan. Accumulator over-count on a retried task only costs one
+    // extra (no-op) round; it can never under-count, so convergence is
+    // never declared early.
+    var (labels, _, freeLabels) =
+      materializeRound(ids.select(col("doc_id"), col("doc_id").as("comp")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -366,11 +401,17 @@ object NearDup {
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"),
           (col("mincomp").isNotNull && col("mincomp") < col("comp")).as("__changed"))
-      val next = if (it % 5 == 4) materialize(stepped) else stepped.persist()
-      changed = next.filter(col("__changed")).count() // materializes next
-      cached.unpersist()
-      cached = next
-      labels = next.select("doc_id", "comp")
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$it")
+      val flagged = stepped.rdd.map { r =>
+        if (r.getBoolean(2)) acc.add(1L)
+        org.apache.spark.sql.Row(r.get(0), r.get(1))
+      }
+      val (next, _, freeNext) = materializeRows(spark, flagged,
+        org.apache.spark.sql.types.StructType(stepped.schema.dropRight(1)))
+      changed = acc.value
+      freeLabels()
+      labels = next
+      freeLabels = freeNext
       it += 1
     }
     edges.unpersist()
@@ -380,11 +421,11 @@ object NearDup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters (component diameter exceeds it)")
-    // hand the caller ONE materialized copy and release the loop's cache:
-    // nothing stays registered with the cache manager after the call
-    val result = materialize(labels)
-    cached.unpersist()
-    result
+    // the final round is already materialized with a flat plan; its blocks
+    // are not registered with the cache manager, so nothing leaks a cache
+    // entry — the context cleaner reclaims them once the caller drops the
+    // DataFrame
+    labels
   }
 
   /** Connected components by ALTERNATING large-star / small-star rounds
@@ -409,9 +450,6 @@ object NearDup {
   def connectedComponentsStar(ids: DataFrame, pairs: DataFrame,
                               maxIters: Int = 50): DataFrame = {
     val spark = ids.sparkSession
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     // undirected edge set in canonical (hi, lo) form, self-loops dropped
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
@@ -440,34 +478,44 @@ object NearDup {
         .unionAll(mins.select(col("a"), col("m").as("b"))))
     }
 
-    // same storage discipline as the plain propagation: persist + eager
-    // unpersist per round, checkpoint every 5th round to bound lineage
-    var edges = canon(
-      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))).persist()
-    edges.count()
-    var changed = 1L
+    // Storage discipline (the round-6 OOM fix): each round references its
+    // input SEVERAL times (symmetrized union, min-join, and the two
+    // convergence anti-joins), so persisting with the plan attached grows
+    // the logical tree geometrically — ~20 rounds on a path graph killed
+    // the driver rendering plan strings at 8 GiB, zero data pressure.
+    // materializeRound truncates the plan to a flat scan EVERY round
+    // (rounds are O(log^2 n), so the extra materializations are bounded)
+    // and the previous round's blocks are released explicitly the moment
+    // the convergence check over them has run.
+    var (edges, edgeCount, freeEdges) = materializeRound(
+      canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIters) {
-      val stepped = smallStar(largeStar(edges))
-      val next = if (it % 5 == 4) materialize(stepped) else stepped.persist()
-      // fixpoint when the canonical edge set stops changing; the first
-      // anti-join materializes next, the rest are cached scans
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
-      edges.unpersist()
+    while (changed && it < maxIters) {
+      val (next, nextCount, freeNext) =
+        materializeRound(smallStar(largeStar(edges)))
+      // fixpoint when the canonical edge set stops changing; canon ends in
+      // distinct(), so both sides are true sets: equal iff same cardinality
+      // (already in hand from the materializing count) and no new element —
+      // ONE anti-join probe over two flat scans instead of two full counts
+      changed = nextCount != edgeCount || !next.exceptAll(edges).isEmpty
+      freeEdges() // every consumer of the old round has now run
       edges = next
+      edgeCount = nextCount
+      freeEdges = freeNext
       it += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIters rounds")
     // at fixpoint the edge set is a union of stars rooted at component
     // minima: (node, root). Singletons (no edges) keep themselves.
     val comp = edges.select(col("a").as("doc_id"), col("b").as("comp"))
       .groupBy("doc_id").agg(min("comp").as("comp"))
-    val result = materialize(
+    val (result, _, _) = materializeRound(
       ids.select("doc_id").join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp")))
-    edges.unpersist()
+    freeEdges()
     result
   }
 

@@ -107,6 +107,52 @@ class JdbcDumpSpec extends AnyFunSuite with SparkSuite {
     assert(srcN.exceptAll(back).isEmpty && back.exceptAll(srcN).isEmpty)
   }
 
+  test("multi-schema dump: every -db entry is dumped, pairwise -dst-schema remap applied") {
+    // two Derby schemas carrying a SAME-NAMED table each (plus one distinct
+    // table) — the shape the reference's PopulateDstSchema pairing exists
+    // for (paradump.go:1457-1466)
+    val msDir = Files.createTempDirectory("derby-multischema").toFile.getAbsolutePath
+    val msUrl = s"jdbc:derby:$msDir/msdb;create=true"
+    val conn = DriverManager.getConnection(msUrl)
+    val st = conn.createStatement()
+    st.execute("CREATE SCHEMA S1")
+    st.execute("CREATE SCHEMA S2")
+    st.execute("CREATE TABLE S1.T_DUP (id INT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+    st.execute("INSERT INTO S1.T_DUP VALUES (1, 'one-s1'), (2, 'two-s1')")
+    st.execute("CREATE TABLE S2.T_DUP (id INT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+    st.execute("INSERT INTO S2.T_DUP VALUES (7, 'seven-s2')")
+    st.execute("CREATE TABLE S2.T_ONLY (k INT NOT NULL PRIMARY KEY)")
+    st.execute("INSERT INTO S2.T_ONLY VALUES (42)")
+    st.close(); conn.close()
+
+    val out = Files.createTempDirectory("jdbc-multischema-out").toString
+    val cfg = cli.Cli.parseDump(Seq(
+      "-dumpmode", "sql", "-db", "s1", "-db", "s2",
+      "-dst-schema", "d1", "-dst-schema", "d2", "--dumpinsert", "full")).toOption.get
+    val results = Main.run(spark, msUrl, out, cfg)
+    // all three tables from BOTH schemas, schema-qualified labels so the
+    // same-named pair can't collide on disk
+    assert(results.map(r => r.table -> r.rows).toMap ==
+      Map("s1.t_dup" -> 2L, "s2.t_dup" -> 1L, "s2.t_only" -> 1L))
+    // INSERT text targets the PAIRED destination schema, not the source's
+    val s1Text = spark.read.textFile(s"$out/s1.t_dup").collect().mkString("\n")
+    val s2Text = spark.read.textFile(s"$out/s2.t_dup").collect().mkString("\n")
+    assert(s1Text.contains("INSERT INTO d1.t_dup"), s1Text.take(200))
+    assert(!s1Text.contains("INSERT INTO s1."), "source schema must be remapped")
+    assert(s2Text.contains("INSERT INTO d2.t_dup"), s2Text.take(200))
+    assert(s1Text.contains("'one-s1'") && s2Text.contains("'seven-s2'"),
+      "each schema's dump must carry that schema's rows")
+
+    // without -dst-schema the qualification defaults to the SOURCE schema
+    // (reference dstDbName = dbName default)
+    val out2 = Files.createTempDirectory("jdbc-multischema-out2").toString
+    val cfgNoDst = cli.Cli.parseDump(Seq(
+      "-dumpmode", "sql", "-db", "s1", "-db", "s2")).toOption.get
+    Main.run(spark, msUrl, out2, cfgNoDst)
+    val plain = spark.read.textFile(s"$out2/s1.t_dup").collect().mkString("\n")
+    assert(plain.contains("INSERT INTO s1.t_dup"), plain.take(200))
+  }
+
   test("unknown table against the live catalog fails like the reference") {
     setup
     val cfg = cli.Cli.parseDump(Seq(

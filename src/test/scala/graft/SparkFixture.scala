@@ -18,6 +18,9 @@ object SparkFixture {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // exercise DumpAll's fair-scheduler path (per-table pools)
       .config("spark.scheduler.mode", "FAIR")
+      // cap plan-string rendering cost (the round-6 suite OOM was the
+      // driver rendering a geometric plan tree, not data)
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
