@@ -768,6 +768,25 @@ object Queries {
       |  CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
 
+  /** F2/F5 binary-dump wiring under the oracle gate: deterministic binary
+    * payloads (sha256 digests of document text — every byte value occurs
+    * across 500 digests) rendered as the Postgres hex literal by the same
+    * FidelityGen dispatch that renders `_binary` for MySQL. DuckDB rebuilds
+    * the exact line from its own sha256. (The MySQL `_binary` byte-escape
+    * path is oracle-checked by BinaryDumpSpec's independent decoder — its
+    * escape rules are not expressible in one SQL expression.) */
+  def dumpBinary(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FidelityGen.insertStatements(
+      t(s, dir, "documents").select(col("doc_id"),
+        unhex(sha2(col("text"), 256)).as("payload")),
+      "doc_digest", graft.operators.FidelityGen.Postgres, insertSize = 1)
+      .toDF("line")
+
+  val dumpBinarySql: String =
+    """SELECT 'INSERT INTO doc_digest VALUES (' || CAST(doc_id AS VARCHAR)
+      |  || ',decode(''' || lower(sha256(text)) || ''',''hex''));' AS line
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -777,6 +796,7 @@ object Queries {
     "dump_sql_nation" -> (dumpSqlNation _),
     "dump_sql_lineitem" -> (dumpSqlLineitem _),
     "dump_sql_orders_fidelity" -> (dumpSqlOrdersFidelity _),
+    "dump_binary" -> (dumpBinary _),
     "csv_lineitem" -> (csvLineitem _),
     "dedup_exact" -> (dedupExact _),
     "dedup_keep" -> (dedupKeep _),
@@ -813,6 +833,7 @@ object Queries {
     "dump_sql_nation" -> dumpSqlNationSql,
     "dump_sql_lineitem" -> dumpSqlLineitemSql,
     "dump_sql_orders_fidelity" -> dumpSqlOrdersFidelitySql,
+    "dump_binary" -> dumpBinarySql,
     "csv_lineitem" -> csvLineitemSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_keep" -> dedupKeepSql,

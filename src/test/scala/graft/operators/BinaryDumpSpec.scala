@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** F2 end-to-end oracle: binary payloads through the byte-fidelity MySQL
+  * dump (`_binary '...'`, CESU-8-tolerant escaping — Escapes F2, reference
+  * quoteBinary paradump.go:2124-2215) must round-trip BYTE-FOR-BYTE when
+  * decoded by an INDEPENDENT implementation of MySQL's documented
+  * string-literal rules (the role the real server plays in the reference's
+  * blob tests, test/run_test.sh test-100 family). The hex dialects (F5:
+  * Postgres decode(...,'hex'), MSSQL convert(varbinary,...)) round-trip
+  * through plain hex decoding. */
+class BinaryDumpSpec extends AnyFunSuite with SparkSuite {
+
+  /** Independent decoder for the CONTENT of a MySQL single-quoted string
+    * literal, written against the MySQL reference manual ("String
+    * Literals", Table 9.1 Special Character Escape Sequences), NOT against
+    * the encoder: backslash introduces \0 \' \" \b \n \r \t \Z \\ ;
+    * \% and \_ stay as two characters (LIKE-context escapes); any other
+    * backslashed byte is that byte literally. Operates on raw bytes. */
+  private def mysqlDecode(lit: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(lit.length)
+    var i = 0
+    while (i < lit.length) {
+      val c = lit(i) & 0xff
+      if (c == '\\' && i + 1 < lit.length) {
+        val e = lit(i + 1) & 0xff
+        e match {
+          case '0' => out.write(0x00)
+          case 'b' => out.write(0x08)
+          case 'n' => out.write(0x0a)
+          case 'r' => out.write(0x0d)
+          case 't' => out.write(0x09)
+          case 'Z' => out.write(0x1a)
+          case '%' => out.write('\\'); out.write('%')
+          case '_' => out.write('\\'); out.write('_')
+          case o   => out.write(o) // incl. \' \" \\ and "ignored" escapes
+        }
+        i += 2
+      } else { out.write(c); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  private def hexDecode(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Adversarial payloads: every escape-table byte, valid multi-byte UTF-8,
+    * a CESU-8 surrogate pair, invalid/overlong/out-of-range sequences, the
+    * 0xf8-0xff pass range, empty, and the full 0-255 sweep. */
+  private val payloads: Seq[Array[Byte]] = Seq(
+    Array[Byte](0, 1, 2, 3),
+    Seq(0x27, 0x5c, 0x22, 0x0a, 0x0d, 0x1a, 0x00).map(_.toByte).toArray,
+    "héllo ✓ wörld".getBytes("UTF-8"),
+    Seq(0xed, 0xa0, 0xbd, 0xed, 0xb2, 0xa9).map(_.toByte).toArray, // CESU-8 pair
+    Seq(0xc3, 0x28).map(_.toByte).toArray,       // truncated 2-byte seq
+    Seq(0xe0, 0x80, 0x80).map(_.toByte).toArray, // overlong
+    Seq(0xed, 0xa0).map(_.toByte).toArray,       // surrogate lead, no 3rd byte
+    Seq(0xf4, 0x90, 0x80, 0x80).map(_.toByte).toArray, // above U+10FFFF
+    Seq(0xfe, 0xff, 0xf8).map(_.toByte).toArray, // 0xf8-0xff pass range
+    Array.empty[Byte],
+    (0 to 255).map(_.toByte).toArray)
+
+  private def sourceDf = {
+    import spark.implicits._
+    payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "payload")
+      .unionAll(Seq((999L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload"))
+  }
+
+  test("MySQL _binary dump round-trips adversarial bytes through an independent decoder") {
+    val stmts = FidelityGen.insertStatements(
+      sourceDf, "bin_rt", FidelityGen.MySql, insertSize = 1).collect()
+    assert(stmts.length == payloads.length + 1)
+    // DOTALL: pass-through bytes include 0x85 (U+0085 NEL), a Java regex
+    // line terminator that plain `.` refuses to match
+    val prefixRe = """(?s)INSERT INTO bin_rt VALUES \((\d+),(.*)\);""".r
+    val decoded = stmts.map {
+      case prefixRe(id, value) => (id.toLong, value)
+      case other => fail(s"unexpected statement shape: $other")
+    }.toMap
+    assert(decoded(999L) == "NULL")
+    payloads.zipWithIndex.foreach { case (expect, i) =>
+      val v = decoded(i.toLong)
+      assert(v.startsWith("_binary '") && v.endsWith("'"), s"row $i: $v")
+      val content = v.stripPrefix("_binary '").stripSuffix("'")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val got = mysqlDecode(content)
+      assert(java.util.Arrays.equals(got, expect),
+        s"row $i: ${got.map(b => f"${b & 0xff}%02x").mkString} != " +
+          expect.map(b => f"${b & 0xff}%02x").mkString)
+    }
+  }
+
+  test("Postgres and MSSQL hex binary literals round-trip through hex decoding") {
+    val pgRe = """INSERT INTO bin_rt VALUES \((\d+),decode\('([0-9a-f]*)','hex'\)\);""".r
+    val msRe = """INSERT INTO bin_rt VALUES \((\d+),convert\(varbinary\(max\),'([0-9a-f]*)',2\)\);""".r
+    for ((dialect, re) <- Seq(FidelityGen.Postgres -> pgRe, FidelityGen.MsSql -> msRe)) {
+      val stmts = FidelityGen.insertStatements(
+        sourceDf.filter(col("id") =!= 999L), "bin_rt", dialect, insertSize = 1).collect()
+      val decoded = stmts.map {
+        case re(id, hex) => (id.toLong, hexDecode(hex))
+        case other => fail(s"[$dialect] unexpected statement shape: $other")
+      }.toMap
+      payloads.zipWithIndex.foreach { case (expect, i) =>
+        assert(java.util.Arrays.equals(decoded(i.toLong), expect), s"[$dialect] row $i")
+      }
+    }
+  }
+}
