@@ -31,6 +31,13 @@ case class DumpConfig(
     dumpInsert: String = "full", // full | simple
     compress: Option[String] = None,
     compressLevel: Int = 1,
+    // -dumpcompressconcur (reference zstd encoder threads, paradump.go:3499):
+    // accepted for flag parity and validated, but intra-file encoder
+    // concurrency is SUBSUMED by Spark's execution model — every output
+    // partition compresses its own stream on its own task, so a dump
+    // already runs (#partitions) zstd encoders in parallel; Hadoop's
+    // ZStandardCodec exposes no per-stream worker knob to plumb further
+    compressConcurrency: Int = 4,
     allTables: Boolean = false,
     guessPrimaryKey: Boolean = false,
     dstUrl: Option[String] = None,
@@ -113,6 +120,11 @@ object Cli {
             case Right(i) => c = c.copy(compressLevel = i); rest = t
             case Left(e) => return Left(e)
           }
+        case "-dumpcompressconcur" :: v :: t =>
+          intArg(v, "-dumpcompressconcur") match {
+            case Right(i) => c = c.copy(compressConcurrency = i); rest = t
+            case Left(e) => return Left(e)
+          }
         case "-alltables" :: t => c = c.copy(allTables = true); rest = t
         case "-guessprimarykey" :: t => c = c.copy(guessPrimaryKey = true); rest = t
         case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
@@ -155,7 +167,7 @@ object Cli {
   private val dumpValueFlags = Set("-dumpmode", "-db", "-table", "-exclude",
     "-chunksize", "-insertsize", "-parallel", "-browser", "-dumpparallel",
     "-dumpfile", "-dumpheader", "--dumpinsert", "-dumpcompress",
-    "-dumpcompresslevel", "-dst", "-dst-schema")
+    "-dumpcompresslevel", "-dumpcompressconcur", "-dst", "-dst-schema")
   private val syncValueFlags = Set("-db", "-table", "-exclude", "-chunksize",
     "-parallel", "--statsfile", "-dst")
 
@@ -220,6 +232,8 @@ object Cli {
       return Left("duplicate value in schema") // :3556-3566 (exit 4)
     if (c.compressLevel < 1 || c.compressLevel > 22)
       return Left("-dumpcompresslevel must be in 1..22") // :3588-3591 (exit 9)
+    if (c.compressConcurrency < 1)
+      return Left("-dumpcompressconcur must be >= 1")
     if (c.compress.isDefined && c.mode == "cpy")
       return Left("-dumpcompress incompatible with cpy") // paradump.go:3592-3595
     if (c.mode == "cpy" && c.dstUrl.isEmpty) return Left("cpy requires -dst")

@@ -40,6 +40,12 @@ class CliSpec extends AnyFunSuite {
     assert(parse("-table", "t", "-table", "u", "-table", "t").isLeft)  // test 25: dup table
     assert(parse("-db", "x", "-dumpfile", "/tmp/f_%p").isLeft)         // test 21: path in template
     assert(parse("-db", "x", "-alltables", "-dumpcompresslevel", "6").isRight)
+    // -dumpcompressconcur (paradump.go:3499): accepted + validated; encoder
+    // concurrency itself is subsumed by per-partition writers (see DumpConfig)
+    assert(parse("-db", "x", "-dumpcompressconcur", "0").isLeft)
+    assert(parse("-db", "x", "-dumpcompressconcur", "oops").isLeft)
+    assert(parse("-db", "x", "-alltables", "-dumpcompressconcur", "8").toOption
+      .exists(_.compressConcurrency == 8))
   }
 
   test("template grammar accepts all verbs and literal percents") {

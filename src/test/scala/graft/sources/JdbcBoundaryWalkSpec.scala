@@ -92,6 +92,53 @@ class JdbcBoundaryWalkSpec extends AnyFunSuite with SparkSuite {
     assert(sizes.max <= 2 * (1002 / 8 + 1))
   }
 
+  test("walk and ntile pushdown agree: the two server-side strategies yield identical cuts") {
+    setup
+    // dedicated evenly-divisible table: ntile distributes any remainder to
+    // the FIRST tiles while the walk pages at fixed ceil(rows/n) offsets,
+    // so the two strategies are tuple-identical exactly when n | rows —
+    // the geometry readChunked targets (chunkSize = ceil(rows/numChunks))
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE WALK_NTILE (id INT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+    val ps = conn.prepareStatement("INSERT INTO WALK_NTILE VALUES (?, ?)")
+    // shuffled insert order: boundaries must come from ORDER BY, not heap order
+    for (i <- scala.util.Random.shuffle((1 to 600).toList)) {
+      ps.setInt(1, i); ps.setString(2, s"v$i"); ps.addBatch()
+    }
+    ps.executeBatch(); ps.close(); st.close(); conn.close()
+
+    // strategy 1: LIMIT-walk against the live Derby (works on any dialect)
+    val (walkCuts, _) = JdbcBoundaryWalk.walkBoundaries(
+      url, "WALK_NTILE", Seq("id"), chunkSize = 100, props)
+    // strategy 2: the pushed ntile window query — Derby lacks NTILE, so
+    // replay the EXACT SQL text on Spark over the same live rows (the
+    // H2-or-Spark-SQL replay; readChunked(NtilePushdown) sends this same
+    // text to MySQL 8+/PG/MSSQL/Oracle)
+    spark.read.jdbc(url, "WALK_NTILE", props).toDF("id", "v")
+      .createOrReplaceTempView("walk_ntile_v")
+    val sql = JdbcBoundaryWalk.ntileBoundarySql("walk_ntile_v", Seq("id"), 6)
+    val ntileCuts = spark.sql(sql).collect().map(_.toSeq).toSeq
+      .dropRight(1) // readChunked(NtilePushdown) drops the table-max row
+    assert(walkCuts.map(_.map(_.asInstanceOf[Number].intValue)) ==
+      ntileCuts.map(_.map(_.asInstanceOf[Number].intValue)))
+    // identical cuts => identical chunk predicates => identical partitions
+    val pw = JdbcBoundaryWalk.boundaryPredicates(Seq("id"), walkCuts, url)
+    val pn = JdbcBoundaryWalk.boundaryPredicates(Seq("id"), ntileCuts, url)
+    assert(pw == pn && pw.length == 6)
+
+    // composite key: 1002 rows, n=3 divides exactly (3 x 334), dup key
+    // (5,50) not on a boundary — tuple boundaries must also agree
+    val (walkComposite, _) = JdbcBoundaryWalk.walkBoundaries(
+      url, "WALK_T", Seq("g", "k"), chunkSize = 334, props)
+    spark.read.jdbc(url, "WALK_T", props).toDF("g", "k", "payload")
+      .createOrReplaceTempView("walk_t_v")
+    val compositeSql = JdbcBoundaryWalk.ntileBoundarySql("walk_t_v", Seq("g", "k"), 3)
+    val ntileComposite = spark.sql(compositeSql).collect().map(_.toSeq).toSeq.dropRight(1)
+    assert(walkComposite.map(_.map(_.asInstanceOf[Number].intValue)) ==
+      ntileComposite.map(_.map(_.asInstanceOf[Number].intValue)))
+  }
+
   test("ntile pushdown SQL reproduces the distributed boundary computation (Spark replay)") {
     // Derby has no NTILE; validate the generated SQL's semantics by running
     // it on Spark over the same rows and comparing with Chunker.boundaries
