@@ -43,16 +43,23 @@ object SyncMain {
     val metas =
       if (jdbcSrc) {
         val p = toProps(srcProps)
+        // -schema scopes the live catalog (parasync.go:3388); table names
+        // stay schema-qualified through reads so the filter is real
         val names = graft.catalog.JdbcCatalog.withConnection(srcDir, p)(
-          c => graft.catalog.JdbcCatalog.listTables(c))
+          c => graft.catalog.JdbcCatalog.listTables(c, cfg.schema))
         val unknown = cfg.tables.filterNot(names.contains)
         require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
         names.filter(n => cfg.tables.isEmpty || cfg.tables.contains(n))
           .filterNot(n => cfg.exclude.exists(n.contains))
-          .map(n => graft.catalog.JdbcCatalog.meta(spark, srcDir, n, p))
+          .map(n => graft.catalog.JdbcCatalog.meta(spark, srcDir,
+            cfg.schema.map(s => s"$s.$n").getOrElse(n), p))
       } else graft.catalog.Catalog.select(
         graft.catalog.Catalog.listMeta(spark, srcDir), cfg.tables, cfg.exclude)
     metas.map { m =>
+      // destination table: bare name under -dst-schema when remapped
+      // (parasync.go:3389), else the (possibly source-qualified) name as-is
+      val bare = m.name.split('.').last
+      val dstTable = cfg.dstSchema.map(s => s"$s.$bare").getOrElse(bare)
       require(m.pkCols.nonEmpty, s"table ${m.name}: no primary key, cannot sync")
       // A fake (non-unique) PK would make the full-outer diff cross-product
       // per duplicate key and the PK-keyed DML rewrite every sharer —
@@ -80,7 +87,7 @@ object SyncMain {
       // an extra COUNT(*) on the destination (src and dst row counts agree
       // to within the drift being synced)
       val dst = graft.sources.JdbcChunkedSource.readChunked(
-        spark, cfg.dstUrl.get, m.name, m.pkCols, nChunks, props,
+        spark, cfg.dstUrl.get, dstTable, m.pkCols, nChunks, props,
         rowCountHint = srcRows)
       val dstAligned = dst.toDF(dst.columns.map(_.toLowerCase).toIndexedSeq: _*)
         .select(src.columns.map(col).toIndexedSeq: _*)
@@ -94,7 +101,7 @@ object SyncMain {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val dstRowsBefore =
           srcRows - ops.getOrElse("I", 0L) + ops.getOrElse("D", 0L)
-        val stats = graft.sync.DmlSink.apply(diff, cfg.dstUrl.get, m.name,
+        val stats = graft.sync.DmlSink.apply(diff, cfg.dstUrl.get, dstTable,
           src.columns.toSeq, m.pkCols, connProps,
           noInsert = cfg.noInsert, noUpdate = cfg.noUpdate, noDelete = cfg.noDelete)
         TableStats(m.name, srcRows, dstRowsBefore,

@@ -14,7 +14,12 @@ case class SyncConfig(
     noUpdate: Boolean = false,
     noDelete: Boolean = false,
     statsFile: Option[String] = None,
-    dstUrl: Option[String] = None)
+    dstUrl: Option[String] = None,
+    // -schema / -dst-schema (parasync.go:3388-3389): source schema filter
+    // for a live-JDBC source, and the schema the destination reads + DML
+    // target under — both single-valued, matching the reference
+    schema: Option[String] = None,
+    dstSchema: Option[String] = None)
 
 case class DumpConfig(
     mode: String = "sql", // sql | csv | cpy | null
@@ -169,7 +174,7 @@ object Cli {
     "-dumpfile", "-dumpheader", "--dumpinsert", "-dumpcompress",
     "-dumpcompresslevel", "-dumpcompressconcur", "-dst", "-dst-schema")
   private val syncValueFlags = Set("-db", "-table", "-exclude", "-chunksize",
-    "-parallel", "--statsfile", "-dst")
+    "-parallel", "--statsfile", "-dst", "-schema", "-dst-schema")
 
   /** Parse + validate the parasync flag surface. */
   def parseSync(args: Seq[String]): Either[String, SyncConfig] = {
@@ -197,12 +202,15 @@ object Cli {
         case "--writer-no-delete" :: t => c = c.copy(noDelete = true); rest = t
         case "--statsfile" :: v :: t => c = c.copy(statsFile = Some(v)); rest = t
         case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
+        case "-schema" :: v :: t => c = c.copy(schema = Some(v)); rest = t
+        case "-dst-schema" :: v :: t => c = c.copy(dstSchema = Some(v)); rest = t
         case flag :: Nil if syncValueFlags(flag) =>
           return Left(s"$flag: missing value")
         case flag :: _ => return Left(s"unknown flag: $flag")
       }
     }
-    if (c.schemas.isEmpty && c.tables.isEmpty) return Left("need -db or -table")
+    if (c.schemas.isEmpty && c.tables.isEmpty && c.schema.isEmpty)
+      return Left("need -db, -schema or -table")
     if (c.dstUrl.isEmpty) return Left("sync requires -dst")
     if (c.chunkSize < 100) return Left("-chunksize must be >= 100")
     if (c.parallel < 1) return Left("-parallel must be >= 1")

@@ -153,6 +153,40 @@ class JdbcDumpSpec extends AnyFunSuite with SparkSuite {
     assert(plain.contains("INSERT INTO s1.t_dup"), plain.take(200))
   }
 
+  test("sync honors -schema (source scope) and -dst-schema (DML target) like parasync") {
+    // source rows live in schema S5; destination carries the same table
+    // under schema D5 — the parasync -schema/-dst-schema shape
+    // (parasync.go:3388-3389)
+    val sDir = Files.createTempDirectory("derby-sync-schema").toFile.getAbsolutePath
+    val sUrl = s"jdbc:derby:$sDir/srcdb;create=true"
+    val c1 = DriverManager.getConnection(sUrl)
+    val s1 = c1.createStatement()
+    s1.execute("CREATE SCHEMA S5")
+    s1.execute("CREATE TABLE S5.T_S (id INT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+    s1.execute("INSERT INTO S5.T_S VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    s1.close(); c1.close()
+    val dDir = Files.createTempDirectory("derby-sync-schema-dst").toFile.getAbsolutePath
+    val dUrl = s"jdbc:derby:$dDir/dstdb;create=true"
+    val c2 = DriverManager.getConnection(dUrl)
+    val s2 = c2.createStatement()
+    s2.execute("CREATE SCHEMA D5")
+    s2.execute("CREATE TABLE D5.T_S (id INT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+    s2.execute("INSERT INTO D5.T_S VALUES (2, 'WRONG'), (9, 'stray')")
+    s2.close(); c2.close()
+
+    val cfg = cli.Cli.parseSync(Seq(
+      "-schema", "s5", "-dst-schema", "d5", "-table", "t_s",
+      "-dst", dUrl, "-chunksize", "100")).toOption.get
+    val stats = SyncMain.run(spark, sUrl, cfg)
+    assert(stats.length == 1)
+    val t = stats.head
+    assert(t.srcRows == 3 && t.inserts == 2 && t.updates == 1 && t.deletes == 1)
+    val back = spark.read.jdbc(dUrl, "D5.T_S", new java.util.Properties())
+      .toDF("id", "v").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(back == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("unknown table against the live catalog fails like the reference") {
     setup
     val cfg = cli.Cli.parseDump(Seq(
