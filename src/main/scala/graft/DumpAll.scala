@@ -169,6 +169,11 @@ object DumpAll {
     val works = slots.flatMap { case (schemaOpt, dstOpt) =>
       val names = JdbcCatalog.withConnection(url, props)(
         c => JdbcCatalog.listTables(c, schemaOpt))
+      // a typo'd -db must fail loudly, not dump an empty schema silently
+      schemaOpt.filter(_ => names.isEmpty).foreach { s =>
+        require(JdbcCatalog.withConnection(url, props)(
+          c => JdbcCatalog.schemaExists(c, s)), s"unknown schema: $s")
+      }
       names.filter(n => tables.isEmpty || tables.contains(n))
         .filterNot(n => exclude.exists(n.contains))
         .map { n =>

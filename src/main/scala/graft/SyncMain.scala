@@ -47,6 +47,11 @@ object SyncMain {
         // stay schema-qualified through reads so the filter is real
         val names = graft.catalog.JdbcCatalog.withConnection(srcDir, p)(
           c => graft.catalog.JdbcCatalog.listTables(c, cfg.schema))
+        // a typo'd -schema must fail loudly, not sync zero tables silently
+        cfg.schema.filter(_ => names.isEmpty).foreach { s =>
+          require(graft.catalog.JdbcCatalog.withConnection(srcDir, p)(
+            c => graft.catalog.JdbcCatalog.schemaExists(c, s)), s"unknown schema: $s")
+        }
         val unknown = cfg.tables.filterNot(names.contains)
         require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
         names.filter(n => cfg.tables.isEmpty || cfg.tables.contains(n))

@@ -80,6 +80,21 @@ object JdbcCatalog {
     out.result().distinct.sorted
   }
 
+  /** Whether `schema` exists in the connection's catalog (any case
+    * folding) — guards multi-schema dumps against a typo'd `-db` silently
+    * producing an empty dump. */
+  def schemaExists(conn: Connection, schema: String): Boolean = {
+    val md = conn.getMetaData
+    val wanted = candidates(schema).toSet
+    val rs = md.getSchemas
+    try {
+      var found = false
+      while (!found && rs.next())
+        found = wanted.contains(rs.getString("TABLE_SCHEM"))
+      found
+    } finally rs.close()
+  }
+
   /** TABLE_TYPE from `DatabaseMetaData.getTables`: "TABLE", "VIEW", ... —
     * the reference's BASE TABLE check (paradump.go:787-789). */
   def tableType(conn: Connection, table: String): Option[String] = {

@@ -151,6 +151,15 @@ class JdbcDumpSpec extends AnyFunSuite with SparkSuite {
     Main.run(spark, msUrl, out2, cfgNoDst)
     val plain = spark.read.textFile(s"$out2/s1.t_dup").collect().mkString("\n")
     assert(plain.contains("INSERT INTO s1.t_dup"), plain.take(200))
+
+    // a typo'd -db fails loudly instead of silently dumping nothing
+    val bad = cli.Cli.parseDump(Seq(
+      "-dumpmode", "null", "-db", "s1", "-db", "nope",
+      "-dst-schema", "d1", "-dst-schema", "d2")).toOption.get
+    val err = intercept[IllegalArgumentException] {
+      Main.run(spark, msUrl, Files.createTempDirectory("x2").toString, bad)
+    }
+    assert(err.getMessage.contains("unknown schema: nope"))
   }
 
   test("sync honors -schema (source scope) and -dst-schema (DML target) like parasync") {
