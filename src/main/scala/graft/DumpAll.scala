@@ -48,19 +48,19 @@ object DumpAll {
       conf.setInt("io.compression.codec.zstd.level", level)
 
   /** Apply the configured sink to one table's frame. `name` is the BARE
-    * table name (cpy target, %t filename token); `insertTable` overrides
-    * the table the SQL INSERT text targets (the reference qualifies with
-    * dstDbName, paradump.go:1291-1296); `dirName` disambiguates output
-    * paths when several schemas dump a same-named table. */
+    * table name — sql-mode INSERT text is always unqualified, matching the
+    * reference (paradump.go:1301-1303; only cpy qualifies, via
+    * `s.dstSchema`). `dirName` disambiguates output paths when several
+    * schemas dump a same-named table. */
   private def writeOne(df: DataFrame, name: String, outDir: String,
-                       s: SinkSettings, insertTable: Option[String] = None,
+                       s: SinkSettings,
                        dirName: Option[String] = None): Seq[String] = s.mode match {
     case "sql" =>
-      SqlDumpSink.write(df, s.db, insertTable.getOrElse(name),
+      SqlDumpSink.write(df, s.db, name,
         s"$outDir/${dirName.getOrElse(name)}",
         insertSize = s.insertSize, withColumnList = s.withColumnList,
         header = s.header, fileTemplate = s.fileTemplate,
-        compression = s.compression, tableToken = Some(name))
+        compression = s.compression)
     case "csv" =>
       val dir = s"$outDir/${dirName.getOrElse(name)}"
       CsvSink.write(df, dir, compression = s.compression)
@@ -193,22 +193,18 @@ object DumpAll {
     val ordered = works.sortBy(-_.meta.rowCount)
     inPool(spark, maxConcurrentTables, ordered, (_: JdbcWork).label) { w =>
       val m = w.meta
-      // cpy destination schema: the paired -dst-schema, else (multi-schema
-      // only) the source schema itself — the reference's default
-      // dstDbName = dbName (paradump.go:1376); single-schema keeps the
-      // destination connection's default scope (existing contract)
-      val cpyDst = w.dst.orElse(w.schema.filter(_ => multi))
+      // cpy is the ONLY mode the reference schema-qualifies: INSERT INTO
+      // dstDbName.tbName (paradump.go:1291-1297), with dst-schema
+      // defaulting to the SOURCE schema list (paradump.go:3676-3677) — so
+      // any explicit -db carries its schema to the destination unless
+      // remapped. sql-mode INSERT text is always the bare table
+      // (paradump.go:1301-1303); without -db (no reference equivalent:
+      // the whole default scope) cpy writes the destination's default
+      // scope, the pre-multi-schema contract.
+      val cpyDst = w.dst.orElse(w.schema)
       val settings = SinkSettings(mode, w.schema.getOrElse("graft"), insertSize,
         header, fileTemplate, withColumnList, compression, dstUrl, dstProps,
         cpyDst, compressLevel)
-      // the SQL INSERT text targets the DESTINATION schema (reference
-      // qualifies with dstDbName, paradump.go:1291-1296) whenever the dump
-      // spans schemas or an explicit remap was requested; a plain
-      // single-schema dump keeps the reloadable unqualified form
-      val insertTable =
-        if (multi || (w.schema.isDefined && w.dst.isDefined))
-          Some(s"${w.dst.orElse(w.schema).get}.${w.bare}")
-        else None
       val pk =
         if (m.pkCols.nonEmpty) m.pkCols
         else if (guessPrimaryKey) {
@@ -230,7 +226,7 @@ object DumpAll {
       val df = graft.sources.JdbcChunkedSource.readChunked(
         spark, url, w.qualified, pk, nChunks, props, rowCountHint = rows)
       Result(w.label, rows,
-        writeOne(df, w.bare, outDir, settings, insertTable, Some(w.label)))
+        writeOne(df, w.bare, outDir, settings, dirName = Some(w.label)))
     }
   }
 }

@@ -40,15 +40,21 @@ object SyncMain {
       m.foreach { case (k, v) => p.setProperty(k, v) }
       p
     }
+    // -schema scopes a live catalog (parasync.go:3388); on a live source a
+    // single -db means the same thing (our dump's -db semantics). More than
+    // one -db would silently drop schemas 2..n — refuse.
+    val schemaFilter =
+      cfg.schema.orElse(if (jdbcSrc) cfg.schemas.headOption else None)
+    if (jdbcSrc)
+      require(cfg.schemas.length <= 1,
+        "sync takes a single -db/-schema on a live source")
     val metas =
       if (jdbcSrc) {
         val p = toProps(srcProps)
-        // -schema scopes the live catalog (parasync.go:3388); table names
-        // stay schema-qualified through reads so the filter is real
         val names = graft.catalog.JdbcCatalog.withConnection(srcDir, p)(
-          c => graft.catalog.JdbcCatalog.listTables(c, cfg.schema))
+          c => graft.catalog.JdbcCatalog.listTables(c, schemaFilter))
         // a typo'd -schema must fail loudly, not sync zero tables silently
-        cfg.schema.filter(_ => names.isEmpty).foreach { s =>
+        schemaFilter.filter(_ => names.isEmpty).foreach { s =>
           require(graft.catalog.JdbcCatalog.withConnection(srcDir, p)(
             c => graft.catalog.JdbcCatalog.schemaExists(c, s)), s"unknown schema: $s")
         }
@@ -57,14 +63,16 @@ object SyncMain {
         names.filter(n => cfg.tables.isEmpty || cfg.tables.contains(n))
           .filterNot(n => cfg.exclude.exists(n.contains))
           .map(n => graft.catalog.JdbcCatalog.meta(spark, srcDir,
-            cfg.schema.map(s => s"$s.$n").getOrElse(n), p))
+            schemaFilter.map(s => s"$s.$n").getOrElse(n), p))
       } else graft.catalog.Catalog.select(
         graft.catalog.Catalog.listMeta(spark, srcDir), cfg.tables, cfg.exclude)
     metas.map { m =>
-      // destination table: bare name under -dst-schema when remapped
-      // (parasync.go:3389), else the (possibly source-qualified) name as-is
+      // destination table: -dst-schema, DEFAULTING to the source schema
+      // (parasync.go:3457-3459: empty dst_schema copies schema) — a scoped
+      // source must never silently write the destination's default scope
       val bare = m.name.split('.').last
-      val dstTable = cfg.dstSchema.map(s => s"$s.$bare").getOrElse(bare)
+      val dstTable = cfg.dstSchema.orElse(schemaFilter)
+        .map(s => s"$s.$bare").getOrElse(bare)
       require(m.pkCols.nonEmpty, s"table ${m.name}: no primary key, cannot sync")
       // A fake (non-unique) PK would make the full-outer diff cross-product
       // per duplicate key and the PK-keyed DML rewrite every sharer —

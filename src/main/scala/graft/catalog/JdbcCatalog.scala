@@ -45,6 +45,20 @@ object JdbcCatalog {
   private def candidates(name: String): Seq[String] =
     Seq(name, name.toUpperCase, name.toLowerCase).distinct
 
+  /** `getTables`/`getColumns` treat their schema/table arguments as LIKE
+    * patterns (`_`/`%` are wildcards — `MY_APP` would match `MYXAPP`):
+    * escape them with the driver's search-string escape before pattern
+    * calls. `getPrimaryKeys`/`getIndexInfo` take literal names — no
+    * escaping there (JDBC spec). */
+  private def escPattern(md: java.sql.DatabaseMetaData, s: String): String = {
+    // a driver reporting an EMPTY escape string (Derby) supports no
+    // escaping at all — pass the name raw (its metadata LIKE keeps the
+    // wildcard semantics; candidates() still pins the case foldings)
+    val e = if (s == null) null else Option(md.getSearchStringEscape).filter(_.nonEmpty).orNull
+    if (s == null || e == null) s
+    else s.replace(e, e + e).replace("_", e + "_").replace("%", e + "%")
+  }
+
   /** (schemaPattern, tableName) candidate pairs for a possibly
     * schema-qualified name — every `DatabaseMetaData` lookup below accepts
     * "schema.table" (the multi-`-db` dump shape) as well as a bare name
@@ -67,7 +81,7 @@ object JdbcCatalog {
     val patterns = schema.map(candidates(_)).getOrElse(Seq(null))
     val out = Seq.newBuilder[String]
     patterns.foreach { pat =>
-      val rs = md.getTables(null, pat, "%", Array("TABLE"))
+      val rs = md.getTables(null, escPattern(md, pat), "%", Array("TABLE"))
       try {
         while (rs.next()) {
           val sc = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
@@ -100,7 +114,7 @@ object JdbcCatalog {
   def tableType(conn: Connection, table: String): Option[String] = {
     val md = conn.getMetaData
     scTab(table).iterator.map { case (s, t) =>
-      val rs = md.getTables(null, s, t, null)
+      val rs = md.getTables(null, escPattern(md, s), escPattern(md, t), null)
       try if (rs.next()) Option(rs.getString("TABLE_TYPE")) else None
       finally rs.close()
     }.collectFirst { case Some(tt) => tt }
@@ -242,7 +256,7 @@ object JdbcCatalog {
   def nullableColumns(conn: Connection, table: String): Set[String] = {
     val md = conn.getMetaData
     scTab(table).iterator.map { case (s, t) =>
-      val rs = md.getColumns(null, s, t, "%")
+      val rs = md.getColumns(null, escPattern(md, s), escPattern(md, t), "%")
       try {
         val out = Seq.newBuilder[(String, Boolean)]
         while (rs.next())

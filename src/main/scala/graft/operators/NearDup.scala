@@ -421,10 +421,11 @@ object NearDup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters (component diameter exceeds it)")
-    // the final round is already materialized with a flat plan; its blocks
-    // are not registered with the cache manager, so nothing leaks a cache
-    // entry — the context cleaner reclaims them once the caller drops the
-    // DataFrame
+    // The final round stays materialized (flat plan over persisted blocks)
+    // because the CALLER owns the data now. Its blocks are released by the
+    // context cleaner once the caller drops the frame and a driver GC runs
+    // — the unavoidable cost of returning materialized results; every
+    // intermediate round was freed eagerly above.
     labels
   }
 
@@ -512,6 +513,9 @@ object NearDup {
     // minima: (node, root). Singletons (no edges) keep themselves.
     val comp = edges.select(col("a").as("doc_id"), col("b").as("comp"))
       .groupBy("doc_id").agg(min("comp").as("comp"))
+    // the result's own blocks stay persisted for the caller (context
+    // cleaner frees them after the caller drops the frame + a driver GC);
+    // the fixpoint edge set is released eagerly once the result exists
     val (result, _, _) = materializeRound(
       ids.select("doc_id").join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp")))

@@ -61,11 +61,7 @@ object SqlDumpSink {
             header: Boolean = true,
             fileTemplate: String = "%d_%t_%p.%m%z",
             compression: Option[String] = None,
-            dialect: Option[graft.operators.FidelityGen.Dialect] = None,
-            // %t filename token when it differs from the INSERT target
-            // (multi-schema dumps qualify the INSERT with the destination
-            // schema but keep the bare table name in file names)
-            tableToken: Option[String] = None): Seq[String] = {
+            dialect: Option[graft.operators.FidelityGen.Dialect] = None): Seq[String] = {
     val stmts = dialect match {
       case Some(d) =>
         graft.operators.FidelityGen.insertStatements(df, table, d, insertSize, withColumnList)
@@ -97,8 +93,7 @@ object SqlDumpSink {
       case other  => "." + other
     }.getOrElse("")
     parts.zipWithIndex.map { case (p, i) =>
-      val target = new Path(dir,
-        fileName(fileTemplate, db, tableToken.getOrElse(table), i, "sql", zSuffix))
+      val target = new Path(dir, fileName(fileTemplate, db, table, i, "sql", zSuffix))
       if (!fs.rename(p, target))
         throw new java.io.IOException(
           s"rename $p -> $target failed (template without %p on a multi-partition write?)")

@@ -127,30 +127,44 @@ class JdbcDumpSpec extends AnyFunSuite with SparkSuite {
 
     val out = Files.createTempDirectory("jdbc-multischema-out").toString
     val cfg = cli.Cli.parseDump(Seq(
-      "-dumpmode", "sql", "-db", "s1", "-db", "s2",
-      "-dst-schema", "d1", "-dst-schema", "d2", "--dumpinsert", "full")).toOption.get
+      "-dumpmode", "sql", "-db", "s1", "-db", "s2", "--dumpinsert", "full")).toOption.get
     val results = Main.run(spark, msUrl, out, cfg)
     // all three tables from BOTH schemas, schema-qualified labels so the
     // same-named pair can't collide on disk
     assert(results.map(r => r.table -> r.rows).toMap ==
       Map("s1.t_dup" -> 2L, "s2.t_dup" -> 1L, "s2.t_only" -> 1L))
-    // INSERT text targets the PAIRED destination schema, not the source's
+    // sql-mode INSERT text is always the BARE table, like the reference
+    // (paradump.go:1301-1303 — only cpy qualifies); each schema's dump
+    // carries that schema's rows in its own directory
     val s1Text = spark.read.textFile(s"$out/s1.t_dup").collect().mkString("\n")
     val s2Text = spark.read.textFile(s"$out/s2.t_dup").collect().mkString("\n")
-    assert(s1Text.contains("INSERT INTO d1.t_dup"), s1Text.take(200))
-    assert(!s1Text.contains("INSERT INTO s1."), "source schema must be remapped")
-    assert(s2Text.contains("INSERT INTO d2.t_dup"), s2Text.take(200))
-    assert(s1Text.contains("'one-s1'") && s2Text.contains("'seven-s2'"),
-      "each schema's dump must carry that schema's rows")
+    assert(s1Text.contains("INSERT INTO t_dup"), s1Text.take(200))
+    assert(!s1Text.contains("INSERT INTO s1."), "sql INSERT text stays unqualified")
+    assert(s1Text.contains("'one-s1'") && !s1Text.contains("'seven-s2'"))
+    assert(s2Text.contains("'seven-s2'") && !s2Text.contains("'one-s1'"))
 
-    // without -dst-schema the qualification defaults to the SOURCE schema
-    // (reference dstDbName = dbName default)
-    val out2 = Files.createTempDirectory("jdbc-multischema-out2").toString
-    val cfgNoDst = cli.Cli.parseDump(Seq(
-      "-dumpmode", "sql", "-db", "s1", "-db", "s2")).toOption.get
-    Main.run(spark, msUrl, out2, cfgNoDst)
-    val plain = spark.read.textFile(s"$out2/s1.t_dup").collect().mkString("\n")
-    assert(plain.contains("INSERT INTO s1.t_dup"), plain.take(200))
+    // cpy mode IS schema-qualified: the i-th -dst-schema remaps the i-th
+    // -db on the destination (PopulateDstSchema, paradump.go:1457-1466)
+    val cpyDir = Files.createTempDirectory("derby-multischema-cpy").toFile.getAbsolutePath
+    val cpyUrl = s"jdbc:derby:$cpyDir/cpydb;create=true"
+    val c3 = DriverManager.getConnection(cpyUrl)
+    val s3 = c3.createStatement()
+    for (sc <- Seq("D1", "D2")) {
+      s3.execute(s"CREATE SCHEMA $sc")
+      s3.execute(s"CREATE TABLE $sc.T_DUP (id INT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+    }
+    s3.execute("CREATE TABLE D2.T_ONLY (k INT NOT NULL PRIMARY KEY)")
+    s3.close(); c3.close()
+    val cpyCfg = cli.Cli.parseDump(Seq(
+      "-dumpmode", "cpy", "-db", "s1", "-db", "s2",
+      "-dst-schema", "d1", "-dst-schema", "d2", "-dst", cpyUrl)).toOption.get
+    Main.run(spark, msUrl, Files.createTempDirectory("cpy-out").toString, cpyCfg)
+    val p = new java.util.Properties()
+    assert(spark.read.jdbc(cpyUrl, "D1.T_DUP", p).collect()
+      .map(_.getString(1)).toSet == Set("one-s1", "two-s1"))
+    assert(spark.read.jdbc(cpyUrl, "D2.T_DUP", p).collect()
+      .map(_.getString(1)).toSet == Set("seven-s2"))
+    assert(spark.read.jdbc(cpyUrl, "D2.T_ONLY", p).count() == 1)
 
     // a typo'd -db fails loudly instead of silently dumping nothing
     val bad = cli.Cli.parseDump(Seq(
