@@ -36,6 +36,17 @@ object GraftSession {
   def get(master: String = "local[*]"): SparkSession = {
     val s = builder(master).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    quietIterativeRelease()
     s
   }
+
+  /** The connected-components rounds unpersist locally-checkpointed RDDs BY
+    * DESIGN (each round is released once its successor is materialized and
+    * every consumer has run — NearDup.materializeRows); Spark warns on every
+    * such release from MapPartitionsRDD. Silence exactly that logger so an
+    * iterative job doesn't print one scare line per round; that class emits
+    * no other warnings we'd want. */
+  def quietIterativeRelease(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
 }

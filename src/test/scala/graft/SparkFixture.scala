@@ -24,6 +24,7 @@ object SparkFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftSession.quietIterativeRelease()
     s
   }
 }
