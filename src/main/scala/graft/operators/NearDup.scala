@@ -389,8 +389,11 @@ object NearDup {
     // second scan. Accumulator over-count on a retried task only costs one
     // extra (no-op) round; it can never under-count, so convergence is
     // never declared early.
-    var (labels, _, freeLabels) =
-      materializeRound(ids.select(col("doc_id"), col("doc_id").as("comp")))
+    // round 0 (identity labels) is a flat projection over the ids scan —
+    // no lineage to truncate, so materializing it would only buy an extra
+    // job; rounds 1+ reference their predecessor twice and must truncate
+    var labels: DataFrame = ids.select(col("doc_id"), col("doc_id").as("comp"))
+    var freeLabels: () => Unit = () => ()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
