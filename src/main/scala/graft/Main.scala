@@ -41,7 +41,11 @@ object Main {
         dstUrl = cfg.dstUrl,
         dstSchemas = cfg.dstSchemas,
         compressLevel = cfg.compressLevel)
-    else
+    else {
+      // the parquet lake has no schema dimension: a second -db would be
+      // silently ignored — refuse instead (the JDBC path iterates them)
+      require(cfg.schemas.length <= 1,
+        "parquet lake source is single-schema: at most one -db")
       DumpAll.run(spark, srcDir, outDir,
         mode = cfg.mode, insertSize = cfg.insertSize, exclude = cfg.exclude,
         maxConcurrentTables = cfg.dumpParallel, compression = cfg.compress,
@@ -51,6 +55,7 @@ object Main {
         dstUrl = cfg.dstUrl,
         dstSchema = cfg.dstSchemas.headOption,
         compressLevel = cfg.compressLevel)
+    }
 
   def main(args: Array[String]): Unit = {
     val parsed = for {

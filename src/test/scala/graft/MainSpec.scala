@@ -26,6 +26,14 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     assert(lines.forall(_.startsWith("INSERT INTO nation VALUES ")), "simple = no column list")
   }
 
+  test("multiple -db against the parquet lake is refused, not silently truncated") {
+    val cfg = Cli.parseDump(Seq("-dumpmode", "null", "-db", "a", "-db", "b")).toOption.get
+    val err = intercept[IllegalArgumentException] {
+      Main.run(spark, "/root/testdata/sf0.001", tmp("main_multidb"), cfg)
+    }
+    assert(err.getMessage.contains("single-schema"))
+  }
+
   test("null mode drains without producing files") {
     val out = tmp("main_null")
     val cfg = Cli.parseDump(Seq("-dumpmode", "null", "-table", "region")).toOption.get
