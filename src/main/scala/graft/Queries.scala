@@ -788,6 +788,94 @@ object Queries {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // F3/F4 end-to-end: the Postgres E''/NUL-drop writer and the MSSQL
+  // CHAR-splice/N'' segment writer rendered over an escape-hostile corpus,
+  // with DuckDB independently re-deriving the exact literal (replace-chain
+  // for PG; per-char explode + window-function run grouping for MSSQL —
+  // a from-scratch SQL re-implementation of the segmentation, not a port
+  // of the Scala loop). Reference writers: paradump.go:2262-2328 (PG),
+  // :2332-2445 (MSSQL).
+  // ---------------------------------------------------------------------
+
+  /** Escape-hostile corpus: deterministic per-doc strings hitting every
+    * escaper branch — quotes, backslashes, \n \r 0x1A, embedded NUL,
+    * non-ASCII (N'' segments), the all-ASCII-safe fast path, and the empty
+    * string. Built from column functions only so DuckDB reconstructs the
+    * identical bytes from the same parquet. */
+  private def hostileCorpus(s: SparkSession, dir: String): DataFrame = {
+    val atom = element_at(
+      array(lit("\u0000"), lit("\\"), lit("\n"), lit("é€中"), lit("\r\u001a")),
+      (col("doc_id") % 5).cast("int") + lit(1))
+    val hostile = when(col("doc_id") % 17 === 0, lit(""))
+      .when(col("doc_id") % 7 === 0, lit("plain safe"))
+      .otherwise(concat(lit("p'q\\"),
+        repeat(lit("'"), (col("doc_id") % 4).cast("int")),
+        atom, col("text"), atom, lit("\u0000tail\n")))
+    t(s, dir, "documents").select(col("doc_id"), hostile.as("v"))
+  }
+
+  /** Shared DuckDB-side reconstruction of [[hostileCorpus]]. */
+  private val hostileCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 0 THEN ''
+      |         WHEN doc_id % 7 = 0 THEN 'plain safe'
+      |         ELSE 'p''q\' ||
+      |           repeat('''', CAST(doc_id % 4 AS INTEGER)) ||
+      |           CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN chr(0) WHEN 1 THEN '\' WHEN 2 THEN chr(10) WHEN 3 THEN 'é€中' ELSE chr(13) || chr(26) END ||
+      |           text ||
+      |           CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN chr(0) WHEN 1 THEN '\' WHEN 2 THEN chr(10) WHEN 3 THEN 'é€中' ELSE chr(13) || chr(26) END ||
+      |           chr(0) || 'tail' || chr(10)
+      |    END AS s
+      |  FROM documents)""".stripMargin
+
+  def dumpPgEscape(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FidelityGen.insertStatements(
+      hostileCorpus(s, dir), "esc_pg", graft.operators.FidelityGen.Postgres,
+      insertSize = 1).toDF("line")
+
+  /** PG escape is a char→char substitution, so the oracle is a replace
+    * chain: backslash FIRST (introduced backslashes are never re-escaped),
+    * then \n \r 0x1A ' as \xNN, NUL dropped (paradump.go:2308,2319). */
+  val dumpPgEscapeSql: String =
+    s"""WITH $hostileCorpusSql
+       |SELECT 'INSERT INTO esc_pg VALUES (' || CAST(doc_id AS VARCHAR) || ',E''' ||
+       |  replace(replace(replace(replace(replace(replace(s,
+       |    chr(92), '\\x5c'), chr(10), '\\x0a'), chr(13), '\\x0d'),
+       |    chr(26), '\\x1a'), chr(39), '\\x27'), chr(0), '') || ''');' AS line
+       |FROM corpus""".stripMargin
+
+  def dumpMsSqlEscape(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FidelityGen.insertStatements(
+      hostileCorpus(s, dir), "esc_ms", graft.operators.FidelityGen.MsSql,
+      insertSize = 1).toDF("line")
+
+  /** MSSQL literals are runs: control/quote chars become standalone CHAR(n)
+    * splices, ASCII-safe runs '...'-quoted, non-ASCII runs N'...'-quoted,
+    * all joined with '+'. The oracle re-derives the segmentation with
+    * per-character UNNEST + a lag/sum run-id window, then string_aggs runs
+    * back in order — the BinaryDumpSpec pattern expressed in SQL. */
+  val dumpMsSqlEscapeSql: String =
+    s"""WITH $hostileCorpusSql,
+       |chars AS (SELECT doc_id, UNNEST(generate_series(1, length(s))) AS i, s FROM corpus),
+       |classed AS (SELECT doc_id, i, substr(s, i, 1) AS ch,
+       |  CASE WHEN unicode(substr(s, i, 1)) IN (0,10,13,26,39) THEN 1
+       |       WHEN unicode(substr(s, i, 1)) < 128 THEN 0 ELSE 2 END AS cls FROM chars),
+       |brks AS (SELECT *, CASE WHEN cls = 1
+       |    OR lag(cls) OVER (PARTITION BY doc_id ORDER BY i) IS DISTINCT FROM cls
+       |  THEN 1 ELSE 0 END AS brk FROM classed),
+       |runs AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS rid FROM brks),
+       |segs AS (SELECT doc_id, rid, cls,
+       |  CASE cls WHEN 1 THEN 'CHAR(' || CAST(unicode(any_value(ch)) AS VARCHAR) || ')'
+       |           WHEN 0 THEN '''' || string_agg(ch, '' ORDER BY i) || ''''
+       |           ELSE 'N''' || string_agg(ch, '' ORDER BY i) || '''' END AS seg
+       |  FROM runs GROUP BY doc_id, rid, cls),
+       |lits AS (SELECT doc_id, string_agg(seg, '+' ORDER BY rid) AS body FROM segs GROUP BY doc_id)
+       |SELECT 'INSERT INTO esc_ms VALUES (' || CAST(corpus.doc_id AS VARCHAR) || ',' ||
+       |  COALESCE(lits.body, '''''') || ');' AS line
+       |FROM corpus LEFT JOIN lits USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -797,6 +885,8 @@ object Queries {
     "dump_sql_lineitem" -> (dumpSqlLineitem _),
     "dump_sql_orders_fidelity" -> (dumpSqlOrdersFidelity _),
     "dump_binary" -> (dumpBinary _),
+    "dump_pg_escape" -> (dumpPgEscape _),
+    "dump_mssql_escape" -> (dumpMsSqlEscape _),
     "csv_lineitem" -> (csvLineitem _),
     "dedup_exact" -> (dedupExact _),
     "dedup_keep" -> (dedupKeep _),
@@ -834,6 +924,8 @@ object Queries {
     "dump_sql_lineitem" -> dumpSqlLineitemSql,
     "dump_sql_orders_fidelity" -> dumpSqlOrdersFidelitySql,
     "dump_binary" -> dumpBinarySql,
+    "dump_pg_escape" -> dumpPgEscapeSql,
+    "dump_mssql_escape" -> dumpMsSqlEscapeSql,
     "csv_lineitem" -> csvLineitemSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_keep" -> dedupKeepSql,
