@@ -62,9 +62,176 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All centroid cosines of an embedding in ONE kernel: the row self-dot is
+  * computed once and reused across every centroid (as separate expressions
+  * the optimizer re-inlines the hoisted norm into all nCells divisions —
+  * CollapseProject + constraint-inference duplicate non-cheap aliases).
+  * Same one-pass pattern as [[HyperplaneBuckets]].
+  *
+  * score(j) = dot(e, c_j) / (sqrt(dot(e, e)) * norms(j)) with every dot
+  * accumulated sequentially in double — bit-identical to [[DotProduct]]
+  * composition and the DuckDB list_inner_product oracle. `norms(j)` is the
+  * caller-precomputed sqrt(dot(c_j, c_j)). */
+case class CentroidScores(child: Expression, centroids: Array[Array[Float]],
+                          norms: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_scores"
+
+  private[functions] def scoresOf(e: ArrayData): Array[Double] = {
+    var self = 0d
+    var i = 0
+    val n = e.numElements()
+    while (i < n) { self += e.getFloat(i).toDouble * e.getFloat(i).toDouble; i += 1 }
+    val qn = math.sqrt(self)
+    val out = new Array[Double](centroids.length)
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      val m = math.min(n, c.length)
+      var acc = 0d
+      i = 0
+      while (i < m) { acc += e.getFloat(i).toDouble * c(i).toDouble; i += 1 }
+      out(j) = acc / (qn * norms(j))
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      scoresOf(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val self = ctx.freshName("self")
+      val qn = ctx.freshName("qn")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      s"""
+         |double $self = 0.0;
+         |for (int $i = 0; $i < $e.numElements(); $i++) {
+         |  $self += (double) $e.getFloat($i) * (double) $e.getFloat($i);
+         |}
+         |double $qn = java.lang.Math.sqrt($self);
+         |double[] $out = new double[${centroids.length}];
+         |for (int $j = 0; $j < ${centroids.length}; $j++) {
+         |  float[] $c = $cRef[$j];
+         |  int $m = java.lang.Math.min($e.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += (double) $e.getFloat($i) * (double) $c[$i];
+         |  }
+         |  $out[$j] = $acc / ($qn * $nRef[$j]);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidScores =
+    copy(child = newChild)
+}
+
+/** 1-based index of the max centroid score — the IVF cell assignment as a
+  * single scalar kernel, semantically `array_position(scores, array_max(
+  * scores))`: comparisons through java.lang.Double.compare, which is
+  * exactly Spark's DoubleType ordering (NaN greatest, first-max
+  * tie-break), so the fused form is bit-equivalent to the composed one. */
+case class CentroidArgMax(child: Expression, centroids: Array[Array[Float]],
+                          norms: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_centroid_argmax"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = CentroidScores(child, centroids, norms)
+      .scoresOf(a.asInstanceOf[ArrayData])
+    var best = 0
+    var j = 1
+    while (j < s.length) {
+      if (java.lang.Double.compare(s(j), s(best)) > 0) best = j
+      j += 1
+    }
+    best + 1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val self = ctx.freshName("self")
+      val qn = ctx.freshName("qn")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val sc = ctx.freshName("sc")
+      val best = ctx.freshName("best")
+      val bv = ctx.freshName("bv")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      s"""
+         |double $self = 0.0;
+         |for (int $i = 0; $i < $e.numElements(); $i++) {
+         |  $self += (double) $e.getFloat($i) * (double) $e.getFloat($i);
+         |}
+         |double $qn = java.lang.Math.sqrt($self);
+         |int $best = 0;
+         |double $bv = 0.0;
+         |for (int $j = 0; $j < ${centroids.length}; $j++) {
+         |  float[] $c = $cRef[$j];
+         |  int $m = java.lang.Math.min($e.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += (double) $e.getFloat($i) * (double) $c[$i];
+         |  }
+         |  double $sc = $acc / ($qn * $nRef[$j]);
+         |  if ($j == 0 || java.lang.Double.compare($sc, $bv) > 0) {
+         |    $best = $j; $bv = $sc;
+         |  }
+         |}
+         |${ev.value} = $best + 1;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgMax =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column wrapper: dot product of two ArrayType(FloatType) columns. */
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** All-centroid cosine array (one pass, self-norm hoisted). */
+  def centroidScores(emb: Column, centroids: Array[Array[Float]],
+                     norms: Array[Double]): Column =
+    GraftColumnBridge.column(CentroidScores(
+      GraftColumnBridge.expression(emb), centroids, norms))
+
+  /** 1-based argmax-cosine centroid index (IVF cell assignment). */
+  def centroidArgMax(emb: Column, centroids: Array[Array[Float]],
+                     norms: Array[Double]): Column =
+    GraftColumnBridge.column(CentroidArgMax(
+      GraftColumnBridge.expression(emb), centroids, norms))
 }

@@ -159,16 +159,28 @@ object Similarity {
       .orderBy("vec_id").limit(nCells)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    def scores(e: Column): Column =
-      array(centroids.map(c => cosine(e, typedlit(c.toSeq))): _*)
-    // argmax via first-position-of-max: deterministic first-max tie-break
-    val cellOf = (e: Column) =>
-      array_position(scores(e), array_max(scores(e))).cast("int")
+    // Centroid norms are plan-time constants: fold them driver-side with
+    // the same sequential double accumulation as DotProduct (bit-identical
+    // to what sqrt(dot(c,c)) would compute per row).
+    val cNorms: Array[Double] = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    // Cell assignment and probe scoring are fused one-pass kernels
+    // (CentroidArgMax / CentroidScores): the row's self-norm is computed
+    // once per evaluation instead of once per centroid, and the whole
+    // nCells-cosine array is a single expression — as composed
+    // expressions, CollapseProject + constraint inference re-inline the
+    // hoisted norm and double-evaluate the array (plan measured 2× wider).
     val assigned = emb.select(col("vec_id"), col("embedding"),
-      cellOf(col("embedding")).as("cell"))
+      graft.functions.VectorExprs
+        .centroidArgMax(col("embedding"), centroids, cNorms).as("cell"))
     val probes = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        posexplode(scores(col("embedding"))).as(Seq("cidx0", "score")))
+        posexplode(graft.functions.VectorExprs
+          .centroidScores(col("embedding"), centroids, cNorms))
+          .as(Seq("cidx0", "score")))
       .withColumn("prank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("cidx0"))))
       .filter(col("prank") <= nProbe)
