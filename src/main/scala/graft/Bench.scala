@@ -72,10 +72,13 @@ object Bench {
     // process stole the CPU during the warm runs and EVERY number in this
     // file is suspect. List the offenders so a contaminated artifact can
     // never masquerade as a clean measurement (r5/r6 both shipped
-    // inversions that triggered false perf alarms). The 10% slack skips
-    // flagging sub-millisecond jitter on near-instant queries.
+    // inversions that triggered false perf alarms). Slack is 10% relative
+    // AND 50ms absolute: a purely relative bound still flags a near-instant
+    // query whose warm run landed a millisecond of scheduler jitter above
+    // its cold run, failing an opt-in STRICT gate for nothing.
     val inversions = names.filter(n =>
-      cold.get(n).exists(_ >= 0) && warm.get(n).exists(w => w > cold(n) * 1.1))
+      cold.get(n).exists(_ >= 0) &&
+        warm.get(n).exists(w => w > cold(n) * 1.1 && w - cold(n) > 0.05))
     val inversionsJson = inversions.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a subset run is tagged AND never writes the default output file: its
     // smaller total must not masquerade as a full-suite standing

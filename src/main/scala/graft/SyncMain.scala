@@ -45,9 +45,16 @@ object SyncMain {
     // one -db would silently drop schemas 2..n — refuse.
     val schemaFilter =
       cfg.schema.orElse(if (jdbcSrc) cfg.schemas.headOption else None)
-    if (jdbcSrc)
+    if (jdbcSrc) {
       require(cfg.schemas.length <= 1,
         "sync takes a single -db/-schema on a live source")
+      // -db and -schema naming DIFFERENT scopes would silently drop -db
+      // (schemaFilter prefers -schema) — refuse instead
+      require(cfg.schema.isEmpty || cfg.schemas.isEmpty ||
+        cfg.schema == cfg.schemas.headOption,
+        s"conflicting -db (${cfg.schemas.mkString(",")}) and -schema " +
+          s"(${cfg.schema.get}): they scope the same live catalog, pass one")
+    }
     val metas =
       if (jdbcSrc) {
         val p = toProps(srcProps)

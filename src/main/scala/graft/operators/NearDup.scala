@@ -366,8 +366,21 @@ object NearDup {
       rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rows.checkpoint()
       val n = rows.count() // fills the cache; checkpoint files write from it
+      // Release deletes the checkpoint files too: the cleaner only frees
+      // them with cleanCheckpoints=true AND after the RDD is GC'd, so an
+      // iterative operator would otherwise accumulate one full copy of the
+      // round data per round on disk until context stop. Safe for the same
+      // reason unpersist is: a round is only released once every consumer
+      // of it has run.
       (spark.createDataFrame(rows, schema), n,
-        () => { rows.unpersist(blocking = false); () })
+        () => {
+          rows.unpersist(blocking = false)
+          rows.getCheckpointFile.foreach { p =>
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(path, true)
+          }
+        })
     } else {
       rows.localCheckpoint()
       val n = rows.count()

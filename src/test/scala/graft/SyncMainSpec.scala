@@ -64,4 +64,15 @@ class SyncMainSpec extends AnyFunSuite with SparkSuite {
       "--writer-no-delete", "--statsfile", "/tmp/s.json"))
     assert(ok.exists(c => c.noDelete && c.statsFile.contains("/tmp/s.json") && !c.noInsert))
   }
+
+  test("-db and -schema naming different scopes is refused on a live source") {
+    // both scope the same live catalog; preferring -schema would silently
+    // drop -db — the require fires before any connection is attempted
+    val cfg = Cli.parseSync(Seq("-table", "t", "-dst", "jdbc:x",
+      "-db", "a", "-schema", "b")).toOption.get
+    val e = intercept[IllegalArgumentException] {
+      SyncMain.run(spark, "jdbc:derby:memory:conflictcheck", cfg)
+    }
+    assert(e.getMessage.contains("conflicting -db"))
+  }
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** With a checkpoint dir configured, every iterative round writes reliable
+  * checkpoint files; the context cleaner only removes them with
+  * cleanCheckpoints=true AND after a driver GC notices the RDD is
+  * unreachable — i.e. effectively never during a long job. The round
+  * release closure must therefore delete the files itself, or disk grows
+  * by one full copy of the label set per round. */
+class CheckpointReleaseSpec extends AnyFunSuite with SparkSuite {
+
+  private def rddDirs(base: java.io.File): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        if (f.getName.startsWith("rdd-")) out += f.getName
+        else Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      }
+    }
+    walk(base)
+    out.toSeq
+  }
+
+  test("iterative CC deletes intermediate reliable-checkpoint files on release") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    org.apache.spark.CheckpointTestHook.withCheckpointDir(
+      spark.sparkContext, dir.getAbsolutePath) {
+      import spark.implicits._
+      // a 12-node path graph forces ~diameter propagation rounds — one
+      // reliable checkpoint per round
+      val ids = (0L until 12L).toDF("doc_id")
+      val edges = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val cc = NearDup.connectedComponents(ids, edges)
+      assert(cc.collect().forall(_.getLong(1) == 0L))
+      // every intermediate round's files are gone; only the final round
+      // (owned by the caller, still live) may keep its checkpoint
+      val remaining = rddDirs(dir)
+      assert(remaining.size <= 1,
+        s"intermediate checkpoint files leaked: $remaining")
+
+      // star contraction goes through the same release path
+      val star = NearDup.connectedComponentsStar(ids, edges)
+      assert(star.collect().forall(_.getLong(1) == 0L))
+      assert(rddDirs(dir).size <= 2, // one live final round per operator
+        s"star-CC leaked checkpoint files: ${rddDirs(dir)}")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+}

@@ -1,0 +1,14 @@
+package org.apache.spark
+
+/** Test-only access to the otherwise write-once checkpoint dir: the suites
+  * share one SparkSession (SparkFixture), so a test exercising the
+  * reliable-checkpoint path must restore `checkpointDir = None` afterwards
+  * or every later suite silently switches from localCheckpoint semantics.
+  * `checkpointDir` is `private[spark]`, hence this package-located hook. */
+object CheckpointTestHook {
+  def withCheckpointDir[T](sc: SparkContext, dir: String)(f: => T): T = {
+    val prev = sc.checkpointDir
+    sc.setCheckpointDir(dir)
+    try f finally sc.checkpointDir = prev
+  }
+}
