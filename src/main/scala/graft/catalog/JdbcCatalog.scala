@@ -59,16 +59,62 @@ object JdbcCatalog {
     else s.replace(e, e + e).replace("_", e + "_").replace("%", e + "%")
   }
 
-  /** (schemaPattern, tableName) candidate pairs for a possibly
+  /** Engines scope their databases through DIFFERENT DatabaseMetaData
+    * positions: Derby/Postgres/MSSQL schemas answer the schema-pattern
+    * argument, but MySQL/MariaDB Connector/J default to
+    * `databaseTerm=CATALOG`, where databases are CATALOGs — `getTables`
+    * ignores the schema pattern entirely (every scoped listing would
+    * silently return the CURRENT database's tables) and `getSchemas`
+    * returns nothing (valid databases would be rejected as unknown).
+    * Resolve a name against the engine's own inventories instead of
+    * guessing by dialect: a candidate listed by `getSchemas` scopes via
+    * the schema argument, one listed by `getCatalogs` via the catalog
+    * argument. Names in neither inventory fall back to the schema
+    * position (pattern arguments tolerate absent schemas; lookups just
+    * come back empty). */
+  private[catalog] def resolveScopes(cands: Seq[String], schemas: Set[String],
+                                     catalogs: Set[String]): Seq[(String, String)] = {
+    val viaSchema = cands.filter(schemas.contains).map(s => (null: String, s))
+    val viaCatalog = cands.filter(catalogs.contains).map(c => (c, null: String))
+    val hits = viaSchema ++ viaCatalog
+    if (hits.nonEmpty) hits else cands.map(s => (null: String, s))
+  }
+
+  private def schemaInventory(md: java.sql.DatabaseMetaData): Set[String] = {
+    val rs = md.getSchemas
+    try {
+      val out = Set.newBuilder[String]
+      while (rs.next()) Option(rs.getString("TABLE_SCHEM")).foreach(out += _)
+      out.result()
+    } finally rs.close()
+  }
+
+  private def catalogInventory(md: java.sql.DatabaseMetaData): Set[String] = {
+    val rs = md.getCatalogs
+    try {
+      val out = Set.newBuilder[String]
+      while (rs.next()) Option(rs.getString("TABLE_CAT")).foreach(out += _)
+      out.result()
+    } finally rs.close()
+  }
+
+  /** (catalogArg, schemaArg) pairs for scoping lookups to `name`. */
+  private def scopesOf(md: java.sql.DatabaseMetaData,
+                       name: String): Seq[(String, String)] =
+    resolveScopes(candidates(name), schemaInventory(md), catalogInventory(md))
+
+  /** (catalog, schemaPattern, tableName) candidate triples for a possibly
     * schema-qualified name — every `DatabaseMetaData` lookup below accepts
     * "schema.table" (the multi-`-db` dump shape) as well as a bare name
-    * (null schema pattern = the connection's default scope). */
-  private def scTab(name: String): Seq[(String, String)] = {
+    * (null catalog + null schema = the connection's default scope). */
+  private def scTab(md: java.sql.DatabaseMetaData,
+                    name: String): Seq[(String, String, String)] = {
     val (schema, bare) = splitQualified(name)
     for {
-      s <- schema.map(candidates(_)).getOrElse(Seq(null))
+      (c, s) <- schema.map(scopesOf(md, _))
+        .getOrElse(Seq((null: String, null: String)))
       t <- candidates(bare)
-    } yield (s, t)
+    } yield (c, s, t)
   }
 
   /** All base-table names in the connection's default scope (the
@@ -78,15 +124,21 @@ object JdbcCatalog {
     * per-`-db` listing; a missing schema yields an empty list). */
   def listTables(conn: Connection, schema: Option[String] = None): Seq[String] = {
     val md = conn.getMetaData
-    val patterns = schema.map(candidates(_)).getOrElse(Seq(null))
+    val scopes = schema.map(scopesOf(md, _))
+      .getOrElse(Seq((null: String, null: String)))
+    // system containers, by either term: Derby/MSSQL SYS* schemas, plus
+    // the MySQL system CATALOGs a null-catalog listing may include
+    val system = Set("INFORMATION_SCHEMA", "MYSQL", "PERFORMANCE_SCHEMA", "SYS")
     val out = Seq.newBuilder[String]
-    patterns.foreach { pat =>
-      val rs = md.getTables(null, escPattern(md, pat), "%", Array("TABLE"))
+    scopes.foreach { case (cat, pat) =>
+      val rs = md.getTables(cat, escPattern(md, pat), "%", Array("TABLE"))
       try {
         while (rs.next()) {
-          val sc = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
-          if (pat != null ||
-              (!sc.toUpperCase.startsWith("SYS") && sc.toUpperCase != "INFORMATION_SCHEMA"))
+          // MySQL reports the database in TABLE_CAT with a null TABLE_SCHEM
+          val sc = Option(rs.getString("TABLE_SCHEM"))
+            .orElse(Option(rs.getString("TABLE_CAT"))).getOrElse("")
+          if (cat != null || pat != null ||
+              (!sc.toUpperCase.startsWith("SYS") && !system.contains(sc.toUpperCase)))
             out += rs.getString("TABLE_NAME").toLowerCase
         }
       } finally rs.close()
@@ -95,26 +147,22 @@ object JdbcCatalog {
   }
 
   /** Whether `schema` exists in the connection's catalog (any case
-    * folding) — guards multi-schema dumps against a typo'd `-db` silently
-    * producing an empty dump. */
+    * folding, either database term — getSchemas OR getCatalogs) — guards
+    * multi-schema dumps against a typo'd `-db` silently producing an
+    * empty dump. */
   def schemaExists(conn: Connection, schema: String): Boolean = {
     val md = conn.getMetaData
     val wanted = candidates(schema).toSet
-    val rs = md.getSchemas
-    try {
-      var found = false
-      while (!found && rs.next())
-        found = wanted.contains(rs.getString("TABLE_SCHEM"))
-      found
-    } finally rs.close()
+    wanted.exists(schemaInventory(md).contains) ||
+      wanted.exists(catalogInventory(md).contains)
   }
 
   /** TABLE_TYPE from `DatabaseMetaData.getTables`: "TABLE", "VIEW", ... —
     * the reference's BASE TABLE check (paradump.go:787-789). */
   def tableType(conn: Connection, table: String): Option[String] = {
     val md = conn.getMetaData
-    scTab(table).iterator.map { case (s, t) =>
-      val rs = md.getTables(null, escPattern(md, s), escPattern(md, t), null)
+    scTab(md, table).iterator.map { case (c, s, t) =>
+      val rs = md.getTables(c, escPattern(md, s), escPattern(md, t), null)
       try if (rs.next()) Option(rs.getString("TABLE_TYPE")) else None
       finally rs.close()
     }.collectFirst { case Some(tt) => tt }
@@ -124,8 +172,8 @@ object JdbcCatalog {
     * column names downstream are lower-case in this engine). */
   def primaryKey(conn: Connection, table: String): Seq[String] = {
     val md = conn.getMetaData
-    scTab(table).iterator.map { case (s, t) =>
-      val rs = md.getPrimaryKeys(null, s, t)
+    scTab(md, table).iterator.map { case (c, s, t) =>
+      val rs = md.getPrimaryKeys(c, s, t)
       try {
         val cols = Seq.newBuilder[(Short, String)]
         while (rs.next()) cols += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
@@ -141,8 +189,8 @@ object JdbcCatalog {
     * portable equivalent and costs no scan. */
   def indexes(conn: Connection, table: String): Seq[IndexMeta] = {
     val md = conn.getMetaData
-    scTab(table).iterator.map { case (s, t) =>
-      val rs = md.getIndexInfo(null, s, t, false, true)
+    scTab(md, table).iterator.map { case (c, s, t) =>
+      val rs = md.getIndexInfo(c, s, t, false, true)
       try {
         val rows = Seq.newBuilder[(String, Boolean, Long, Short, String)]
         while (rs.next()) {
@@ -168,8 +216,8 @@ object JdbcCatalog {
     * engine publishes none (e.g. Derby without run statistics). */
   def rowEstimate(conn: Connection, table: String): Long = {
     val md = conn.getMetaData
-    val statRows = scTab(table).iterator.map { case (s, t) =>
-      val rs = md.getIndexInfo(null, s, t, false, true)
+    val statRows = scTab(md, table).iterator.map { case (c, s, t) =>
+      val rs = md.getIndexInfo(c, s, t, false, true)
       try {
         val vals = Seq.newBuilder[(Short, Long)]
         while (rs.next()) vals += ((rs.getShort("TYPE"), rs.getLong("CARDINALITY")))
@@ -255,8 +303,8 @@ object JdbcCatalog {
   /** Lower-cased names of columns the catalog declares NULLABLE. */
   def nullableColumns(conn: Connection, table: String): Set[String] = {
     val md = conn.getMetaData
-    scTab(table).iterator.map { case (s, t) =>
-      val rs = md.getColumns(null, escPattern(md, s), escPattern(md, t), "%")
+    scTab(md, table).iterator.map { case (c, s, t) =>
+      val rs = md.getColumns(c, escPattern(md, s), escPattern(md, t), "%")
       try {
         val out = Seq.newBuilder[(String, Boolean)]
         while (rs.next())

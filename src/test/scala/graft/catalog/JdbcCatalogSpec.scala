@@ -159,4 +159,22 @@ class JdbcCatalogSpec extends AnyFunSuite with SparkSuite {
     assert(Cli.parseDump(Seq("-dumpmode", "cpy", "-db", "s1,s2", "-dst", "jdbc:x",
       "-dst-schema", "d1", "-dst-schema", "d1")).isLeft)
   }
+
+  test("resolveScopes picks the engine's database term from its inventories") {
+    import graft.catalog.JdbcCatalog.resolveScopes
+    val cands = Seq("MyDb", "MYDB", "mydb")
+    // schema-term engine (Derby/PG/MSSQL): name listed by getSchemas
+    assert(resolveScopes(cands, Set("MYDB"), Set.empty) == Seq((null, "MYDB")))
+    // catalog-term engine (MySQL Connector/J databaseTerm=CATALOG):
+    // getSchemas empty, getCatalogs lists the database — the lookup must
+    // move to the catalog argument (the schema pattern is IGNORED there)
+    assert(resolveScopes(cands, Set.empty, Set("mydb")) == Seq(("mydb", null)))
+    // listed under both terms: both positions probed (first hit wins)
+    assert(resolveScopes(cands, Set("mydb"), Set("mydb")).toSet ==
+      Set((null, "mydb"), ("mydb", null)))
+    // unknown to both inventories: schema-pattern fallback (empty lookups,
+    // never a wrong-scope match)
+    assert(resolveScopes(cands, Set("OTHER"), Set("other")) ==
+      cands.map(s => (null, s)))
+  }
 }
