@@ -208,15 +208,17 @@ object DumpAll {
       val pk =
         if (m.pkCols.nonEmpty) m.pkCols
         else if (guessPrimaryKey) {
-          // last resort, DATA SCAN (documented): no declared key, no index
-          // to guess from — measure uniqueness like the parquet path does
-          val full = spark.read.jdbc(url, w.qualified, props)
-          Catalog.guessPrimaryKey(full, full.columns.map(Seq(_)).toSeq)
-            .map(_._1).getOrElse(throw new IllegalStateException(
-              s"table ${w.qualified}: no viable key even by data scan"))
+          // last resort (documented): no declared key, no index to guess
+          // from — uniqueness measured by a SERVER-side aggregate probe
+          // (one statement, one result row over the wire), never by
+          // pulling the table through an unpartitioned JDBC read
+          JdbcCatalog.withConnection(url, props)(
+            c => JdbcCatalog.guessKeyByServerProbe(c, w.qualified))
+            .getOrElse(throw new IllegalStateException(
+              s"table ${w.qualified}: no viable key even by server probe"))
         } else throw new IllegalStateException(
           s"table ${w.qualified} has no primary key or unique index — " +
-            "pass -guessprimarykey to allow the data-scanning fallback")
+            "pass -guessprimarykey to allow the server-probe fallback")
       // the statistics estimate ordered the schedule; the REPORTED count
       // and the chunk geometry use one exact server-side COUNT (index
       // estimates drift 10-40% on InnoDB — the parquet path reports exact

@@ -334,6 +334,60 @@ object JdbcCatalog {
       .map(i => (i.cols, false))
   }
 
+  /** Last-resort PK guess for tables with NO declared key and NO usable
+    * index — the uniqueness probe pushed to the SERVER: single-row
+    * aggregate statements (`COUNT(*)`, then `COUNT(DISTINCT col)` per
+    * comparable column with early exit on the first hit), replacing the
+    * previous behavior of pulling the whole table through one
+    * unpartitioned JDBC read and measuring uniqueness driver-side. A column is a viable key
+    * iff `COUNT(DISTINCT c) = COUNT(*)` — DISTINCT ignores NULLs, so
+    * equality also implies the column is null-free (a nullable unique
+    * column is NOT a key, same rule as [[guessKeyFromIndexes]]). Ties
+    * resolve to table column order, matching the parquet path's
+    * [[Catalog.guessPrimaryKey]] candidate order (every viable column
+    * scores the same distinct count = COUNT(*)).
+    *
+    * LOB/binary columns are excluded up front: they are never keys, and
+    * COUNT(DISTINCT) rejects them on several engines. This probe is
+    * opt-in (`-guessprimarykey`) and beyond the reference's own surface
+    * (O4 stops at index statistics, paradump.go:1161-1230). */
+  def guessKeyByServerProbe(conn: Connection, table: String): Option[Seq[String]] = {
+    import java.sql.Types
+    val md = conn.getMetaData
+    val skip = Set(Types.BLOB, Types.CLOB, Types.NCLOB, Types.BINARY,
+      Types.VARBINARY, Types.LONGVARBINARY, Types.LONGVARCHAR,
+      Types.LONGNVARCHAR, Types.SQLXML, Types.OTHER, Types.ARRAY,
+      Types.STRUCT, Types.JAVA_OBJECT)
+    val cols = scTab(md, table).iterator.map { case (c, s, t) =>
+      val rs = md.getColumns(c, escPattern(md, s), escPattern(md, t), "%")
+      try {
+        val out = Seq.newBuilder[(Int, String, Int)]
+        while (rs.next())
+          out += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME"),
+            rs.getInt("DATA_TYPE")))
+        out.result()
+      } finally rs.close()
+    }.find(_.nonEmpty).getOrElse(Seq.empty)
+      .filterNot(c => skip.contains(c._3)).sortBy(_._1).map(_._2)
+    if (cols.isEmpty) return None
+    // one single-row aggregate per statement (several engines — Derby
+    // included — reject multiple DISTINCT aggregates in one query), early
+    // exit on the first viable column: worst case nCols statements, each
+    // returning exactly one row over the wire
+    def one(sql: String): Long = {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(sql)
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally st.close()
+    }
+    val n = one(s"SELECT COUNT(*) FROM $table")
+    cols.collectFirst {
+      case c if one(s"SELECT COUNT(DISTINCT $c) FROM $table") == n =>
+        Seq(c.toLowerCase)
+    }
+  }
+
   /** Source admission gate — the reference refuses views and (on MySQL)
     * non-InnoDB tables as dump sources (onError bits 4|8,
     * paradump.go:787-789; asserted by tests 17-18,

@@ -160,6 +160,34 @@ class JdbcCatalogSpec extends AnyFunSuite with SparkSuite {
       "-dst-schema", "d1", "-dst-schema", "d1")).isLeft)
   }
 
+  test("server-probe key guess: one aggregate row, nullable-unique rejected, column-order ties") {
+    setup
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    // dup: non-unique; u_null: unique values but nullable WITH a null (not
+    // a key — COUNT(DISTINCT) < COUNT(*) catches it); u1/u2: both viable
+    st.execute("CREATE TABLE PROBE_T (dup INT, u_null INT, u1 INT, u2 INT, lob BLOB)")
+    val ps = conn.prepareStatement("INSERT INTO PROBE_T VALUES (?, ?, ?, ?, NULL)")
+    for (i <- 1 to 20) {
+      ps.setInt(1, i % 3)
+      if (i == 7) ps.setNull(2, java.sql.Types.INTEGER) else ps.setInt(2, i)
+      ps.setInt(3, 100 + i); ps.setInt(4, 200 + i)
+      ps.addBatch()
+    }
+    ps.executeBatch(); ps.close()
+    st.execute("CREATE TABLE PROBE_NONE (x INT, y INT)")
+    st.execute("INSERT INTO PROBE_NONE VALUES (1, 1), (1, 1)")
+    st.close(); conn.close()
+
+    JdbcCatalog.withConnection(url, props) { c =>
+      // first viable column in table order wins (u1 before u2); the
+      // nullable-unique impostor and the BLOB are rejected up front
+      assert(JdbcCatalog.guessKeyByServerProbe(c, "PROBE_T") == Some(Seq("u1")))
+      // no viable key -> None (caller refuses loudly)
+      assert(JdbcCatalog.guessKeyByServerProbe(c, "PROBE_NONE").isEmpty)
+    }
+  }
+
   test("resolveScopes picks the engine's database term from its inventories") {
     import graft.catalog.JdbcCatalog.resolveScopes
     val cands = Seq("MyDb", "MYDB", "mydb")
