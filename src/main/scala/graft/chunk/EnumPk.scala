@@ -31,4 +31,21 @@ object EnumPk {
   def literal(label: String, labels: Seq[String], mysqlTarget: Boolean): String =
     if (mysqlTarget) "'" + graft.functions.Escapes.mysqlEscape(label) + "'"
     else (labels.indexOf(label) + 1).toString
+
+  /** Server-side index expression for the enum column — the dual
+    * representation rendered IN SQL, so the boundary walk and the range
+    * predicates rank by DECLARATION index on any engine: MySQL casts the
+    * enum to its index (the reference's `cast(? as unsigned integer)`
+    * comparison, paradump.go:1560); engines without a native enum type get
+    * the portable CASE ladder over the label set (0 = unknown label, the
+    * MySQL bad-data pseudo-index). The returned text is usable anywhere a
+    * PK column name is accepted — SELECT list, ORDER BY, WHERE — which is
+    * exactly how [[graft.sources.JdbcBoundaryWalk]] and
+    * [[graft.chunk.Predicates.sqlText]] consume key columns. */
+  def sqlIndexExpr(colName: String, labels: Seq[String],
+                   mysqlTarget: Boolean): String =
+    if (mysqlTarget) s"cast($colName as unsigned)"
+    else labels.zipWithIndex.map { case (l, i) =>
+      s"WHEN '${l.replace("'", "''")}' THEN ${i + 1}"
+    }.mkString(s"CASE $colName ", " ", " ELSE 0 END")
 }

@@ -1,0 +1,122 @@
+package graft.chunk
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import java.util.Properties
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+import graft.sources.{JdbcBoundaryWalk, JdbcChunkedSource}
+import graft.sync.{DiffSync, DmlSink}
+
+/** P7 end-to-end on a real JDBC path: a composite PK whose leading column
+  * is an enum-like label set whose DECLARATION order differs from its
+  * lexicographic order ("low" < "mid" < "high" by index; "high" < "low" <
+  * "mid" as strings). The dual representation — chunk ranking and range
+  * predicates over the server-side index expression, row values carrying
+  * the label — must (a) walk boundaries in declaration order with the
+  * reference's ~1-row-per-chunk wire cost, (b) partition the table exactly
+  * through `spark.read.jdbc` predicates, and (c) drive a corrupt -> diff ->
+  * DML sync cycle back to equality (parasync enum chunk bounds,
+  * parasync.go:1787-1811). Derby stands in for an enum-less engine; the
+  * MySQL form of the same expression is pinned in the golden-dialect
+  * spec. */
+class EnumPkE2eSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val dbDir = Files.createTempDirectory("derby-enum").toFile.getAbsolutePath
+  private lazy val url = s"jdbc:derby:$dbDir/enumdb;create=true"
+  private lazy val props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+
+  private val labels = Seq("low", "mid", "high")
+  private lazy val idxExpr = EnumPk.sqlIndexExpr("STATUS", labels, mysqlTarget = false)
+  private val cols = Seq("status", "k", "payload")
+
+  /** 3 labels x 60 keys = 180 rows. */
+  private lazy val setup: Unit = {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE ENUM_T (
+                 |  status VARCHAR(10) NOT NULL,
+                 |  k INT NOT NULL,
+                 |  payload VARCHAR(20),
+                 |  PRIMARY KEY (status, k))""".stripMargin)
+    val ps = conn.prepareStatement("INSERT INTO ENUM_T VALUES (?, ?, ?)")
+    for (l <- labels; k <- 0 until 60) {
+      ps.setString(1, l); ps.setInt(2, k); ps.setString(3, s"$l-$k")
+      ps.addBatch()
+    }
+    ps.executeBatch(); ps.close(); st.close(); conn.close()
+  }
+
+  private def normalized(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*).select(cols.map(col): _*)
+
+  test("boundary walk ranks by declaration index, ~1 row per chunk") {
+    setup
+    val (cuts, stats) = JdbcBoundaryWalk.walkBoundaries(
+      url, "ENUM_T", Seq(idxExpr, "K"), chunkSize = 40, props)
+    // global (index, k) order: low 0..59, mid 0..59, high 0..59 — cut rows
+    // 40/80/120/160 (1-based). Lexicographic label order would start the
+    // walk inside "high" and produce entirely different tuples.
+    assert(cuts.map(c => (c(0).asInstanceOf[Number].intValue,
+      c(1).asInstanceOf[Number].intValue)) ==
+      Seq((1, 39), (2, 19), (2, 59), (3, 39)))
+    assert(stats.rowsFetched <= cuts.length + 1) // the reference's probe cost
+  }
+
+  test("dual-representation predicates partition the table exactly") {
+    setup
+    val df = JdbcChunkedSource.readChunked(
+      spark, url, "ENUM_T", Seq(idxExpr, "K"), numChunks = 5, props)
+    assert(df.rdd.getNumPartitions == 5)
+    assert(df.count() == 180)
+    // exact partition: no row lost, none duplicated across chunk predicates
+    assert(df.select("STATUS", "K").distinct().count() == 180)
+    // every chunk is non-trivial (the ranges actually split the enum)
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.forall(_ > 0) && sizes.sum == 180)
+  }
+
+  test("corrupt -> chunked diff -> DML sync converges on the enum-keyed table") {
+    setup
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE ENUM_DST (
+                 |  status VARCHAR(10) NOT NULL,
+                 |  k INT NOT NULL,
+                 |  payload VARCHAR(20),
+                 |  PRIMARY KEY (status, k))""".stripMargin)
+    st.close(); conn.close()
+    val src = normalized(spark.read.jdbc(url, "ENUM_T", props))
+    graft.sinks.JdbcCopySink.write(src, url, "ENUM_DST", props)
+    // corrupt: mutate mid-range payloads, delete highs, insert a stray
+    val c2 = DriverManager.getConnection(url)
+    val s2 = c2.createStatement()
+    s2.executeUpdate("UPDATE ENUM_DST SET payload = 'X' WHERE status = 'mid' AND MOD(k, 7) = 0")
+    s2.executeUpdate("DELETE FROM ENUM_DST WHERE status = 'high' AND k >= 55")
+    s2.executeUpdate("INSERT INTO ENUM_DST VALUES ('low', 999, 'stray')")
+    s2.close(); c2.close()
+
+    // BOTH sides read through the dual-representation chunk predicates —
+    // the parasync shape (src chunk, dst chunk) with enum-indexed bounds
+    val srcChunked = normalized(JdbcChunkedSource.readChunked(
+      spark, url, "ENUM_T", Seq(idxExpr, "K"), numChunks = 4, props))
+    val dstChunked = normalized(JdbcChunkedSource.readChunked(
+      spark, url, "ENUM_DST", Seq(idxExpr, "K"), numChunks = 4, props))
+    val d = DiffSync.diff(srcChunked, dstChunked, Seq("status", "k"))
+    val byOp = d.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp.getOrElse("D", 0L) == 1)  // the stray
+    assert(byOp.getOrElse("I", 0L) == 5)  // the deleted highs
+    assert(byOp.getOrElse("U", 0L) == 9)  // mid k=0,7,...,56
+    DmlSink(d, url, "ENUM_DST", cols, Seq("status", "k"))
+    val back = normalized(spark.read.jdbc(url, "ENUM_DST", props))
+    assert(back.count() == 180)
+    assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
+  }
+}
