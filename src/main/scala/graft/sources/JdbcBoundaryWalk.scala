@@ -51,9 +51,9 @@ object JdbcBoundaryWalk {
     * MySQL/MariaDB and Postgres use their native LIMIT forms; everything
     * else gets the SQL:2008 OFFSET/FETCH clause (Derby, MSSQL 2012+,
     * Oracle 12+, DB2). */
-  private[sources] def pageSql(table: String, pkCols: Seq[String],
-                               where: Option[String], offset: Long,
-                               url: String): String = {
+  private[graft] def pageSql(table: String, pkCols: Seq[String],
+                             where: Option[String], offset: Long,
+                             url: String): String = {
     val cols = pkCols.mkString(", ")
     val w = where.map(c => s" WHERE $c").getOrElse("")
     val base = s"SELECT $cols FROM $table$w ORDER BY $cols"

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-text pin of the COMPLETE generated-SQL surface per dialect —
+  * the analogue of the reference's per-engine template matrix
+  * (PopulateDataGetQuery/PopulateDmlTemplateQuery, paradump.go:1260-1306,
+  * parasync.go:1313-1327, exercised against live engines by
+  * test/run_db_4_test.sh). MySQL/Postgres/MSSQL have no live server in
+  * this container, so every statement FORM those engines would receive —
+  * boundary-walk pages, ntile pushdown, chunk range/equality predicates,
+  * enum dual representation, INSERT headers, dialect literals, row DML —
+  * is rendered for one fixed table and diffed against a checked-in
+  * expectation. A change to any generator shows up as a reviewable golden
+  * diff, never a silent drift.
+  *
+  * Regenerate after an INTENTIONAL change: run with
+  * GRAFT_REGEN_GOLDEN=1, inspect the diff, commit the new file. */
+class DialectGoldenSpec extends AnyFunSuite with SparkSuite {
+
+  private val goldenPath =
+    java.nio.file.Paths.get("src/test/resources/golden/dialect_surface.txt")
+
+  private val urls = Seq(
+    "mysql" -> "jdbc:mysql://host/db",
+    "postgres" -> "jdbc:postgresql://host/db",
+    "mssql" -> "jdbc:sqlserver://host;databaseName=db",
+    "derby" -> "jdbc:derby:memory:db")
+
+  private def isMysql(url: String) = url.startsWith("jdbc:mysql")
+
+  private def render: String = {
+    val sb = new StringBuilder
+    def section(title: String)(body: => Unit): Unit = {
+      sb.append(s"== $title ==\n"); body; sb.append("\n")
+    }
+    val table = "app.orders_x"
+    val pk = Seq("status", "k")
+    val enumLabels = Seq("low", "mid", "high")
+
+    section("boundary walk: first page / paged with strict lower bound") {
+      for ((name, url) <- urls) {
+        val first = graft.sources.JdbcBoundaryWalk.pageSql(
+          table, pk, None, 4999, url)
+        // a boundary tuple with a hostile string component shows the
+        // literal dialect (F1 backslash escapes vs ANSI quote doubling)
+        val lower = graft.chunk.Predicates.strictLowerSql(pk,
+          Seq(graft.chunk.Predicates.sqlLiteral("O'x\\y", isMysql(url)), "40"))
+        val paged = graft.sources.JdbcBoundaryWalk.pageSql(
+          table, pk, Some(lower), 4999, url)
+        sb.append(s"[$name] $first\n")
+        sb.append(s"[$name] $paged\n")
+      }
+    }
+
+    section("ntile pushdown boundary query (window dialects)") {
+      sb.append(graft.sources.JdbcBoundaryWalk.ntileBoundarySql(table, pk, 8))
+      sb.append("\n")
+    }
+
+    section("chunk range predicates: first / middle / last / singleton") {
+      for ((name, url) <- urls) {
+        val my = isMysql(url)
+        def v(s: Any) = graft.chunk.Predicates.sqlLiteral(s, my)
+        import graft.chunk.Predicates.{Range, sqlText, equalitySql}
+        sb.append(s"[$name] ${sqlText(pk, Range(None, Some(Seq(v("a'b\\c"), "10"))))}\n")
+        sb.append(s"[$name] ${sqlText(pk,
+          Range(Some(Seq(v("a'b\\c"), "10")), Some(Seq(v("m"), "20"))))}\n")
+        sb.append(s"[$name] ${sqlText(pk, Range(Some(Seq(v("m"), "20")), None))}\n")
+        sb.append(s"[$name] ${equalitySql(pk, Seq(v("m"), "20"))}\n")
+      }
+    }
+
+    section("enum dual representation: index expression / boundary literal") {
+      for ((name, url) <- urls) {
+        val my = isMysql(url)
+        sb.append(s"[$name] ${graft.chunk.EnumPk.sqlIndexExpr("status", enumLabels, my)}\n")
+        sb.append(s"[$name] ${graft.chunk.EnumPk.literal("mid", enumLabels, my)}\n")
+      }
+    }
+
+    section("INSERT headers: simple / full column list") {
+      sb.append(graft.operators.InsertGen.insertHeader(
+        "orders_x", Seq("status", "k", "payload"), withColumnList = false) + "\n")
+      sb.append(graft.operators.InsertGen.insertHeader(
+        "orders_x", Seq("status", "k", "payload"), withColumnList = true) + "\n")
+    }
+
+    section("fidelity literals: hostile string / binary / float / timestamp") {
+      import graft.operators.FidelityGen
+      val dialects = Seq("mysql" -> FidelityGen.MySql,
+        "postgres" -> FidelityGen.Postgres, "mssql" -> FidelityGen.MsSql)
+      val s = "a'b\\c\nd\u0000e\u001af é€"
+      val bytes = Array[Byte](0x00, 0x0a, 0x27, 0x5c, 0x41, 0xc3.toByte,
+        0xa9.toByte, 0xed.toByte, 0xa0.toByte, 0x80.toByte, 0xff.toByte)
+      for ((name, d) <- dialects) {
+        sb.append(s"[$name] ${FidelityGen.renderValue(s, StringType, d)}\n")
+        sb.append(s"[$name] ${FidelityGen.renderValue(bytes, BinaryType, d)}\n")
+        sb.append(s"[$name] ${FidelityGen.renderValue(0.1f, FloatType, d)}\n")
+        sb.append(s"[$name] ${FidelityGen.renderValue(
+          java.sql.Timestamp.valueOf("2024-03-05 12:34:56.12"), TimestampType, d)}\n")
+        sb.append(s"[$name] ${FidelityGen.renderValue(
+          java.sql.Timestamp.valueOf("2024-03-05 12:34:56"), TimestampType, d)}\n")
+      }
+    }
+
+    section("row DML: insert / update (full-row optimistic WHERE) / delete") {
+      val srcSchema = Seq(
+        StructField("status", StringType), StructField("k", IntegerType),
+        StructField("payload", StringType))
+      val diffSchema = StructType(srcSchema ++ Seq(
+        StructField("old_status", StringType), StructField("old_k", IntegerType),
+        StructField("old_payload", StringType), StructField("op", StringType)))
+      val rows = Seq(
+        Row("lo'w", 1, "new a'b", null, null, null, "I"),
+        Row("mid", 2, "new pay", "mid", 2, null, "U"), // NULL old -> IS NULL
+        Row("hi\\gh", 3, null, "hi\\gh", 3, "old pay", "D"))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), diffSchema)
+      graft.sync.DiffSync.dmlStatements(df, "orders_x", srcSchema, Seq("status", "k"))
+        .collect().map(_.getString(0)).sorted.foreach(s => sb.append(s + "\n"))
+    }
+
+    section("session normalization statements") {
+      sb.append(s"[mysql-reader] ${graft.sources.JdbcSession.MySqlInit}\n")
+      sb.append(s"[pg-writer] ${graft.sources.JdbcSession.PostgresDstInit}\n")
+      sb.append(s"[pg-snapshot-reader] ${graft.sources.JdbcSession.pgSnapshotInit("00000003-1")}\n")
+    }
+
+    sb.toString
+  }
+
+  test("generated SQL surface matches the checked-in golden text") {
+    val actual = render
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+      java.nio.file.Files.createDirectories(goldenPath.getParent)
+      java.nio.file.Files.writeString(goldenPath, actual)
+      info(s"regenerated $goldenPath")
+    } else {
+      assert(java.nio.file.Files.exists(goldenPath),
+        s"golden file missing — run once with GRAFT_REGEN_GOLDEN=1")
+      val expected = java.nio.file.Files.readString(goldenPath)
+      if (expected != actual) {
+        val a = java.nio.file.Files.createTempFile("dialect_surface_actual", ".txt")
+        java.nio.file.Files.writeString(a, actual)
+        val firstDiff = expected.linesIterator.zipAll(actual.linesIterator, "<EOF>", "<EOF>")
+          .zipWithIndex.find { case ((e, g), _) => e != g }
+        fail(s"dialect surface drifted (actual written to $a); first diff at " +
+          s"line ${firstDiff.map(_._2 + 1).getOrElse(-1)}: " +
+          s"expected=${firstDiff.map(_._1._1)} actual=${firstDiff.map(_._1._2)}")
+      }
+    }
+  }
+}
