@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Marks multi-minute scale probes; exclude with `testOnly -- -l graft.Slow`. */
+object Slow extends Tag("graft.Slow")
+
+/** The round-6 failure mode was star-CC dying on a 300-NODE path graph
+  * (plan-tree OOM, zero data pressure); the fix's whole point is surviving
+  * scale. This probe runs the alternating-star operator on a ~10^5-edge
+  * adversarial graph — one 50k-node path (worst case for propagation
+  * depth) plus 100 dense stars (worst case for neighborhood fan-in) —
+  * under the DEFAULT test heap, and asserts the returned plan is FLAT
+  * (materialized scan, not a geometric tree): the plan string of 20+
+  * rounds of self-referencing joins would be megabytes; a truncated one
+  * is a few hundred characters. */
+class CcScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  test("star-CC converges on a 10^5-edge path+stars graph with a flat plan", Slow) {
+    import spark.implicits._
+    val pathN = 50000L
+    val stars = 100
+    val spokes = 500
+    def center(s: Long): Long = 100000L + s * 1000L
+
+    val pathEdges = spark.range(0L, pathN - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val starEdges = spark.range(0L, stars.toLong * spokes)
+      .select(expr(s"100000L + (id DIV $spokes) * 1000").as("doc_a"),
+        expr(s"100000L + (id DIV $spokes) * 1000 + (id % $spokes) + 1").as("doc_b"))
+    val edges = pathEdges.unionAll(starEdges) // 49,999 + 50,000 edges
+    val ids = spark.range(0L, pathN).select(col("id").as("doc_id"))
+      .unionAll(starEdges.select(col("doc_a").as("doc_id")))
+      .unionAll(starEdges.select(col("doc_b").as("doc_id")))
+      .distinct()
+
+    val t0 = System.nanoTime()
+    val cc = NearDup.connectedComponentsStar(ids, edges)
+    val wrong = cc.withColumn("expected",
+      when(col("doc_id") < pathN, lit(0L))
+        .otherwise(expr("(doc_id DIV 1000) * 1000")))
+      .filter(col("comp") =!= col("expected")).count()
+    val n = cc.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"star-CC over ${pathN - 1 + stars * spokes} edges: $secs%.1f s")
+    assert(wrong == 0L)
+    assert(n == pathN + stars * (spokes + 1))
+    // flat materialized plan, not a per-round self-referencing tree
+    val plan = cc.queryExecution.optimizedPlan.toString
+    assert(plan.length < 10000, s"plan not truncated: ${plan.length} chars")
+  }
+}
