@@ -225,8 +225,11 @@ object DumpAll {
       // footer counts, this path must not report less truthfully)
       val rows = graft.sources.JdbcChunkedSource.countRows(url, w.qualified, props)
       val nChunks = math.max(1, ((rows + chunkSize - 1) / chunkSize).toInt)
+      // enum PK components chunk through their declaration-index cast
+      // (consistent walk/predicate ranking — EnumPk.chunkKey scaladoc)
+      val chunkKey = graft.chunk.EnumPk.chunkKey(pk, m.enumCols)
       val df = graft.sources.JdbcChunkedSource.readChunked(
-        spark, url, w.qualified, pk, nChunks, props, rowCountHint = rows)
+        spark, url, w.qualified, chunkKey, nChunks, props, rowCountHint = rows)
       Result(w.label, rows,
         writeOne(df, w.bare, outDir, settings, dirName = Some(w.label)))
     }

@@ -94,9 +94,12 @@ object SyncMain {
         else m.rowCount
       val nChunks = math.max(1, math.min(cfg.parallel,
         (srcRows / math.max(1, cfg.chunkSize)).toInt + 1))
+      // enum PK components chunk through their declaration-index cast on
+      // BOTH sides (consistent walk/predicate ranking — EnumPk.chunkKey)
+      val srcKey = graft.chunk.EnumPk.chunkKey(m.pkCols, m.enumCols)
       val srcRaw =
         if (jdbcSrc) graft.sources.JdbcChunkedSource.readChunked(
-          spark, srcDir, m.name, m.pkCols, nChunks, toProps(srcProps),
+          spark, srcDir, m.name, srcKey, nChunks, toProps(srcProps),
           rowCountHint = srcRows)
         else graft.sources.Tables.load(spark, srcDir, m.name)
       // JDBC catalogs may upper-case names; align to lower-case throughout
@@ -106,8 +109,13 @@ object SyncMain {
       // rowCountHint: the source row count sizes the walk's chunks without
       // an extra COUNT(*) on the destination (src and dst row counts agree
       // to within the drift being synced)
+      // the destination's enum columns come from ITS catalog (src may be
+      // parquet or a different engine than dst)
+      val dstEnums = graft.catalog.JdbcCatalog.withConnection(cfg.dstUrl.get, props)(
+        c => graft.catalog.JdbcCatalog.enumColumns(c, dstTable))
       val dst = graft.sources.JdbcChunkedSource.readChunked(
-        spark, cfg.dstUrl.get, dstTable, m.pkCols, nChunks, props,
+        spark, cfg.dstUrl.get, dstTable,
+        graft.chunk.EnumPk.chunkKey(m.pkCols, dstEnums), nChunks, props,
         rowCountHint = srcRows)
       val dstAligned = dst.toDF(dst.columns.map(_.toLowerCase).toIndexedSeq: _*)
         .select(src.columns.map(col).toIndexedSeq: _*)

@@ -17,7 +17,10 @@ case class TableMeta(
     pkCols: Seq[String],
     fakePrimaryKey: Boolean, // PK was guessed and is not unique (paradump.go:746)
     rowCount: Long,
-    sizeBytes: Long)
+    sizeBytes: Long,
+    // catalog-declared enum columns (MySQL/MariaDB TYPE_NAME=ENUM): PK
+    // components listed here chunk through EnumPk.chunkKey's index cast
+    enumCols: Set[String] = Set.empty)
 
 object Catalog {
 

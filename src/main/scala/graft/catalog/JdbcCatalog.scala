@@ -300,6 +300,26 @@ object JdbcCatalog {
     }.collectFirst { case Some(e) => e }
   }
 
+  /** Lower-cased names of ENUM-typed columns (MySQL/MariaDB report
+    * TYPE_NAME=ENUM in getColumns; no other supported engine has the
+    * type). Enum PK components must chunk through their declaration index
+    * ([[graft.chunk.EnumPk.chunkKey]]) — see the ORDER BY vs WHERE
+    * ranking mismatch documented there. */
+  def enumColumns(conn: Connection, table: String): Set[String] = {
+    val md = conn.getMetaData
+    scTab(md, table).iterator.map { case (c, s, t) =>
+      val rs = md.getColumns(c, escPattern(md, s), escPattern(md, t), "%")
+      try {
+        val out = Seq.newBuilder[(String, String)]
+        while (rs.next())
+          out += ((rs.getString("COLUMN_NAME").toLowerCase,
+            Option(rs.getString("TYPE_NAME")).getOrElse("")))
+        out.result()
+      } finally rs.close()
+    }.find(_.nonEmpty).getOrElse(Seq.empty)
+      .collect { case (c, tn) if tn.equalsIgnoreCase("enum") => c }.toSet
+  }
+
   /** Lower-cased names of columns the catalog declares NULLABLE. */
   def nullableColumns(conn: Connection, table: String): Set[String] = {
     val md = conn.getMetaData
@@ -420,7 +440,8 @@ object JdbcCatalog {
         else guessKeyFromIndexes(indexes(conn, table), nullableColumns(conn, table))
           .map { case (c, uniq) => (c, !uniq) }
           .getOrElse((Seq.empty[String], true))
-      TableMeta(table, schema, pk, fake, rowEstimate(conn, table), -1L)
+      TableMeta(table, schema, pk, fake, rowEstimate(conn, table), -1L,
+        enumCols = enumColumns(conn, table))
     }
   }
 }

@@ -48,4 +48,19 @@ object EnumPk {
     else labels.zipWithIndex.map { case (l, i) =>
       s"WHEN '${l.replace("'", "''")}' THEN ${i + 1}"
     }.mkString(s"CASE $colName ", " ", " ELSE 0 END")
+
+  /** Chunk-key column list with enum PK components replaced by the index
+    * expression — applied AUTOMATICALLY when the catalog reports enum
+    * columns (MySQL/MariaDB are the only engines with the type, so the
+    * cast form needs no label set). This is a correctness requirement,
+    * not a preference: MySQL's ORDER BY ranks an enum by declaration
+    * index while string comparisons in WHERE rank it lexicographically,
+    * so a boundary walk over the raw column and the range predicates it
+    * feeds would DISAGREE on row order — chunks would overlap or leak.
+    * Casting both sides to the index (paradump.go:1560) makes the walk's
+    * ORDER BY, the fetched boundary values, and the predicates one
+    * consistent numeric ranking. */
+  def chunkKey(pkCols: Seq[String], enumCols: Set[String]): Seq[String] =
+    pkCols.map(c =>
+      if (enumCols.contains(c)) sqlIndexExpr(c, Nil, mysqlTarget = true) else c)
 }

@@ -35,4 +35,13 @@ class EnumPkSpec extends AnyFunSuite with SparkSuite {
     assert(EnumPk.literal("ssh-key", Seq("password", "ssh-key"), mysqlTarget = false) == "2")
     assert(EnumPk.literal("it's", Seq("it's"), mysqlTarget = true) == "'it\\'s'")
   }
+
+  test("chunkKey substitutes the index cast for catalog-declared enum components only") {
+    // catalog-driven automatic substitution (dump/sync wire this from
+    // TableMeta.enumCols): enum components become the MySQL index cast —
+    // the only engine that reports TYPE_NAME=ENUM — others pass through
+    assert(EnumPk.chunkKey(Seq("status", "k"), Set("status")) ==
+      Seq("cast(status as unsigned)", "k"))
+    assert(EnumPk.chunkKey(Seq("status", "k"), Set.empty) == Seq("status", "k"))
+  }
 }
