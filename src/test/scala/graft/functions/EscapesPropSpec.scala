@@ -93,6 +93,29 @@ class EscapesPropSpec extends AnyFunSuite {
     }
   }
 
+  test("PG E'' writer round-trips under random hostile strings (F3)") {
+    val rnd = new scala.util.Random(46)
+    (1 to 500).foreach { _ =>
+      val s = nastyString(rnd)
+      val lit = graft.operators.FidelityGen.Postgres.string(s)
+      assert(lit.startsWith("E'") && lit.endsWith("'"), lit)
+      // PG text values cannot hold NUL — the writer drops it
+      assert(graft.operators.DialectDecoders.pgDecode(
+        lit.substring(2, lit.length - 1)) == s.replace("\u0000", ""),
+        s"for input ${s.toList}")
+    }
+  }
+
+  test("MSSQL CHAR-splice writer round-trips under random hostile strings (F4)") {
+    val rnd = new scala.util.Random(47)
+    (1 to 500).foreach { _ =>
+      val s = nastyString(rnd)
+      val lit = graft.operators.FidelityGen.MsSql.string(s)
+      assert(graft.operators.DialectDecoders.msSqlEval(lit) == s,
+        s"for input ${s.toList} got $lit")
+    }
+  }
+
   test("mysqlEscapeBinary: no bare escape-relevant bytes in output") {
     val rnd = new scala.util.Random(45)
     (1 to 500).foreach { _ =>

@@ -1,0 +1,91 @@
+package graft.operators
+
+/** Independent decoders for the PG and MSSQL literal forms, written against
+  * each engine's DOCUMENTATION (PostgreSQL "String Constants With C-Style
+  * Escapes"; T-SQL string concatenation + CHAR()), not against the
+  * encoders — the BinaryDumpSpec oracle pattern. Shared by the
+  * adversarial-case spec (DialectDumpSpec) and the randomized round-trip
+  * properties (EscapesPropSpec). */
+object DialectDecoders {
+
+  /** Decode the BODY of a PostgreSQL escape string (E'...'): \b \f \n \r
+    * \t; \o \oo \ooo octal; \xh[h] hex; \uXXXX unicode; doubled '' is a
+    * quote; any other backslashed char is that char. */
+  def pgDecode(body: String): String = {
+    val out = new java.lang.StringBuilder(body.length)
+    var i = 0
+    def hexAt(j: Int, max: Int): (Int, Int) = {
+      var v = 0; var k = 0
+      while (k < max && j + k < body.length &&
+        Character.digit(body.charAt(j + k), 16) >= 0) {
+        v = v * 16 + Character.digit(body.charAt(j + k), 16); k += 1
+      }
+      (v, k)
+    }
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\'' && i + 1 < body.length && body.charAt(i + 1) == '\'') {
+        out.append('\''); i += 2
+      } else if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'b' => out.append('\b'); i += 2
+          case 'f' => out.append('\f'); i += 2
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case 'x' =>
+            val (v, k) = hexAt(i + 2, 2)
+            if (k == 0) { out.append('x'); i += 2 }
+            else { out.append(v.toChar); i += 2 + k }
+          case 'u' =>
+            val (v, k) = hexAt(i + 2, 4)
+            require(k == 4, s"bad \\u escape at $i"); out.append(v.toChar); i += 6
+          case o if o >= '0' && o <= '7' =>
+            var v = 0; var k = 0
+            while (k < 3 && i + 1 + k < body.length &&
+              { val d = body.charAt(i + 1 + k); d >= '0' && d <= '7' }) {
+              v = v * 8 + (body.charAt(i + 1 + k) - '0'); k += 1
+            }
+            out.append(v.toChar); i += 1 + k
+          case o => out.append(o); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Evaluate a T-SQL string expression of the form the MSSQL writer
+    * emits: '...' / N'...' segments and CHAR(n) calls joined by `+`, with
+    * '' inside quotes denoting a literal quote. A real parser, not a
+    * split: quoted content may itself contain `+`. */
+  def msSqlEval(exprStr: String): String = {
+    val out = new java.lang.StringBuilder(exprStr.length)
+    var i = 0
+    def quoted(start: Int): Int = {
+      var j = start + 1
+      while (j < exprStr.length) {
+        if (exprStr.charAt(j) == '\'') {
+          if (j + 1 < exprStr.length && exprStr.charAt(j + 1) == '\'') {
+            out.append('\''); j += 2
+          } else return j + 1
+        } else { out.append(exprStr.charAt(j)); j += 1 }
+      }
+      sys.error(s"unterminated quote at $start in: $exprStr")
+    }
+    while (i < exprStr.length) {
+      exprStr.charAt(i) match {
+        case '\'' => i = quoted(i)
+        case 'N' if i + 1 < exprStr.length && exprStr.charAt(i + 1) == '\'' =>
+          i = quoted(i + 1)
+        case 'C' =>
+          require(exprStr.startsWith("CHAR(", i), s"bad token at $i: $exprStr")
+          val close = exprStr.indexOf(')', i)
+          out.append(exprStr.substring(i + 5, close).toInt.toChar)
+          i = close + 1
+        case '+' => i += 1
+        case c => sys.error(s"unexpected char '$c' at $i in: $exprStr")
+      }
+    }
+    out.toString
+  }
+}
