@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass byte kernel behind [[MySqlEscapeString]] — kept in a plain
+  * object so generated code calls it as a static method. Every escaped
+  * character is ASCII (< 0x80) and UTF-8 continuation/lead bytes are all
+  * >= 0x80, so byte-level processing is exactly char-level processing for
+  * any valid string — same argument as Escapes.mysqlEscape's scaladoc. */
+object MySqlEscapeKernel {
+  private def sub(b: Byte): Byte = (b: @annotation.switch) match {
+    case 0x00 => '0'
+    case 0x0a => 'n'
+    case 0x0d => 'r'
+    case 0x1a => 'Z'
+    case 0x22 => '"'
+    case 0x27 => '\''
+    case 0x5c => '\\'
+    case _    => 0
+  }
+
+  def escape(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    var extra = 0
+    var i = 0
+    while (i < in.length) { if (sub(in(i)) != 0) extra += 1; i += 1 }
+    if (extra == 0) return s
+    val out = new Array[Byte](in.length + extra)
+    var j = 0
+    i = 0
+    while (i < in.length) {
+      val e = sub(in(i))
+      if (e != 0) { out(j) = '\\'; j += 1; out(j) = e }
+      else out(j) = in(i)
+      j += 1; i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** F1 (MySQL string escape) as ONE pass over the string's bytes instead of
+  * the seven chained `replace` built-ins it replaces: each `replace` is a
+  * full scan PLUS an allocation, so a 7-special escape set costs 7x the
+  * string in both passes and garbage — on the dump hot path (several
+  * string columns per lineitem row) that is most of the rendering time.
+  * Output is byte-identical to the replace chain (same escape set, same
+  * backslash-first ordering semantics: introduced backslashes are never
+  * re-examined). */
+case class MySqlEscapeString(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_mysql_escape"
+
+  override def nullSafeEval(v: Any): Any =
+    MySqlEscapeKernel.escape(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.MySqlEscapeKernel.escape($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): MySqlEscapeString =
+    copy(child = newChild)
+}
+
+object StringKernels {
+  /** Single-pass F1 escape of a string column (see [[MySqlEscapeString]]). */
+  def mysqlEscape(c: Column): Column =
+    GraftColumnBridge.column(MySqlEscapeString(GraftColumnBridge.expression(c)))
+}

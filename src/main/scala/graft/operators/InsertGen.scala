@@ -22,12 +22,13 @@ import org.apache.spark.sql.types._
   */
 object InsertGen {
 
-  /** MySQL string-body escape (F1 semantics, paradump.go:2062-2122) as a
-    * chain of codegen'd `replace` calls. Order matters: backslash first. */
+  /** MySQL string-body escape (F1 semantics, paradump.go:2062-2122) as ONE
+    * single-pass codegen kernel ([[graft.functions.MySqlEscapeString]]) —
+    * byte-identical to the seven chained `replace` built-ins it replaces
+    * (each of those is a full scan + allocation; on a several-string-column
+    * dump row the chain was most of the rendering cost). */
   def mysqlEscapeCol(c: Column): Column =
-    Seq("\\" -> "\\\\", "\u0000" -> "\\0", "\n" -> "\\n", "\r" -> "\\r",
-        "\u001a" -> "\\Z", "\"" -> "\\\"", "'" -> "\\'")
-      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    graft.functions.StringKernels.mysqlEscape(c)
 
   /** Render an arbitrary column of the given type as a MySQL-dialect SQL
     * literal (NULL-safe).
