@@ -72,8 +72,66 @@ case class MySqlEscapeString(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass kernel behind [[CsvQuoteString]]. */
+object CsvQuoteKernel {
+  def quote(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    var quotes = 0
+    var needs = false
+    var i = 0
+    while (i < in.length) {
+      val c = in(i)
+      if (c == '\n' || c == ',') needs = true
+      else if (c == '"') { needs = true; quotes += 1 }
+      i += 1
+    }
+    if (!needs) return s
+    val out = new Array[Byte](in.length + quotes + 2)
+    out(0) = '"'
+    var j = 1
+    i = 0
+    while (i < in.length) {
+      out(j) = in(i)
+      if (in(i) == '"') { j += 1; out(j) = '"' }
+      j += 1; i += 1
+    }
+    out(j) = '"'
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** F6 (CSV quote-if-needed: quote only when the field contains `\n`, `"`
+  * or `,`; double `"`) as ONE byte scan. Replaces a per-row REGEX match
+  * (`rlike("[\n\",]")` compiles to java.util.regex machinery) plus a
+  * replace + concat chain — the quotable-column hot path of the CSV
+  * renderer. Unquoted fields return the input buffer untouched. */
+case class CsvQuoteString(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_csv_quote"
+
+  override def nullSafeEval(v: Any): Any =
+    CsvQuoteKernel.quote(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.CsvQuoteKernel.quote($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): CsvQuoteString =
+    copy(child = newChild)
+}
+
 object StringKernels {
   /** Single-pass F1 escape of a string column (see [[MySqlEscapeString]]). */
   def mysqlEscape(c: Column): Column =
     GraftColumnBridge.column(MySqlEscapeString(GraftColumnBridge.expression(c)))
+
+  /** Single-pass F6 CSV quote of a string column (see [[CsvQuoteString]]). */
+  def csvQuote(c: Column): Column =
+    GraftColumnBridge.column(CsvQuoteString(GraftColumnBridge.expression(c)))
 }

@@ -19,11 +19,11 @@ import org.apache.spark.sql.types._
   */
 object CsvGen {
 
-  /** Quote-if-needed on an already-stringified column. */
+  /** Quote-if-needed on an already-stringified column — one byte scan
+    * ([[graft.functions.CsvQuoteString]]) instead of a per-row regex
+    * (`rlike`) plus replace/concat. */
   def csvFieldCol(c: Column): Column =
-    when(c.rlike("[\n\",]"),
-      concat(lit("\""), replace(c, lit("\""), lit("\"\"")), lit("\"")))
-      .otherwise(c)
+    graft.functions.StringKernels.csvQuote(c)
 
   /** Render one field per the reference's CSV rules (NULL-safe). */
   def csvCell(f: StructField): Column = {
