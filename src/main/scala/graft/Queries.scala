@@ -338,11 +338,12 @@ object Queries {
     graft.operators.NearDup.connectedComponents(docs.select("doc_id"), pairs)
   }
 
-  val nearDupClustersSql: String = {
-    val rounds = 8
-    // AS MATERIALIZED: each l_k is referenced twice by l_{k+1}; default CTE
-    // inlining would re-evaluate the whole chain (and the expensive
-    // all-pairs prefix) exponentially often
+  /** Min-label propagation unrolled `rounds` times as CTEs l0..l`rounds`
+    * over edge CTE `e` and id source `idsCte`. AS MATERIALIZED: each l_k is
+    * referenced twice by l_{k+1}; default CTE inlining would re-evaluate
+    * the whole chain (and the expensive all-pairs prefix) exponentially
+    * often. */
+  private def ccUnrollSql(rounds: Int, idsCte: String): String = {
     val iters = (0 until rounds).map { k =>
       s"""l${k + 1} AS MATERIALIZED (
          |  SELECT l.doc_id, least(l.comp, COALESCE(min(ln.comp), l.comp)) AS comp
@@ -352,16 +353,66 @@ object Queries {
          |  GROUP BY l.doc_id, l.comp
          |)""".stripMargin
     }.mkString(",\n")
-    jaccardPairsCtePrefix + """,
-      |pairs AS MATERIALIZED (
-      |  SELECT doc_a, doc_b FROM p
-      |  WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
-      |),
-      |e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
-      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-      |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS comp FROM docs2),
-      |""".stripMargin + iters + s"\nSELECT doc_id, comp FROM l$rounds"
+    s"""pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM p
+       |  WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+       |),
+       |e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS comp FROM $idsCte),
+       |""".stripMargin + iters
   }
+
+  val nearDupClustersSql: String = {
+    val rounds = 8
+    jaccardPairsCtePrefix + ",\n" + ccUnrollSql(rounds, "docs2") +
+      s"\nSELECT doc_id, comp FROM l$rounds"
+  }
+
+  /** The composed corpus-cleaning pipeline a training-data user actually
+    * runs — language gate → quality gate → exact dedup → near-dup
+    * keep-one-per-cluster — proving the operator family COMPOSES (each
+    * stage's output satisfies the next stage's (doc_id, text) contract)
+    * and stays oracle-checkable end to end. Filter-FIRST is the scale
+    * order: the cheap codegen gates shrink the corpus before the
+    * quadratic-candidate stage ever sees it. */
+  def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val en = graft.operators.TextOps.langId(docs)
+      .filter(col("lang_pred") === "en").select("doc_id")
+    val good = graft.operators.TextOps.textStats(docs)
+      .filter(col("n_words") >= 10).select("doc_id")
+    val filtered = docs.join(en, Seq("doc_id"), "left_semi")
+      .join(good, Seq("doc_id"), "left_semi")
+    val canonical = graft.operators.TextOps.dedupExact(filtered).select("doc_id")
+    val kept = filtered.join(canonical, Seq("doc_id"), "left_semi")
+    val pairs = graft.operators.NearDup.jaccardPairs(kept, threshold = 0.5)
+    graft.operators.NearDup.connectedComponents(kept.select("doc_id"), pairs)
+      .filter(col("comp") === col("doc_id"))
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** The Jaccard candidate/verify CTE tail (sh + p) without the planted
+    * corpus — rebased onto whatever `docs2` the caller defines. */
+  private val jaccardTailSql: String =
+    jaccardPairsCtePrefix.stripPrefix(plantedDocsSql)
+
+  val pipelineCleanCorpusSql: String =
+    s"""WITH filtered AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 10
+       |    AND CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |      >= CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) * 0.05
+       |),
+       |kept AS MATERIALIZED (
+       |  SELECT doc_id, text FROM filtered
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY text)
+       |),
+       |docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept)""".stripMargin +
+      jaccardTailSql + ",\n" + ccUnrollSql(8, "docs2") + """
+       |SELECT l8.doc_id, CAST(length(k.text) AS BIGINT) AS n_chars
+       |FROM l8 JOIN kept k ON k.doc_id = l8.doc_id WHERE l8.comp = l8.doc_id""".stripMargin
 
   /** SimHash pairs within Hamming distance 4 (of 62 bits). Banding is
     * pigeonhole-exact and the dual-base token hash is portable, so the
@@ -897,6 +948,7 @@ object Queries {
     "near_dup_simhash" -> (nearDupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "near_dup_clusters" -> (nearDupClusters _),
+    "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "events_stream" -> (eventsStreamHourly _),
     "events_sessions" -> (eventsSessions _),
     "events_stream_dedup" -> (eventsStreamDedup _),
@@ -936,6 +988,7 @@ object Queries {
     "near_dup_simhash" -> nearDupSimhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "near_dup_clusters" -> nearDupClustersSql,
+    "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "events_stream" -> eventsStreamHourlySql,
     "events_sessions" -> eventsSessionsSql,
     "events_stream_dedup" -> eventsStreamDedupSql,
