@@ -52,6 +52,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // window — no hashpartitioning of the corpus by cell
     assert(!p.contains("Exchange hashpartitioning(cell"),
       s"corpus shuffled by cell:\n$p")
+    // scoring stays in the fused one-pass kernels — a regression to the
+    // composed array(graft_dot.../array_position(array_max...)) shape
+    // re-evaluates the score array per consumer and the row norm per
+    // centroid (the shape CollapseProject/constraint inference produce)
+    assert(p.contains("graft_centroid_argmax"), s"argmax kernel missing:\n$p")
+    assert(p.contains("graft_centroid_scores"), s"scores kernel missing:\n$p")
+    assert(!p.contains("array_max"), s"composed argmax shape back:\n$p")
   }
 
   test("dedup_exact: shuffle carries the digest, not document bodies") {
