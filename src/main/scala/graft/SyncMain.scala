@@ -92,7 +92,9 @@ object SyncMain {
       val srcRows =
         if (jdbcSrc) graft.sources.JdbcChunkedSource.countRows(srcDir, m.name, toProps(srcProps))
         else m.rowCount
-      val nChunks = math.max(1, math.min(cfg.parallel,
+      // both sides read the same chunk set, so the weaker reader budget
+      // (-readers vs -dst-readers) binds the chunk parallelism
+      val nChunks = math.max(1, math.min(math.min(cfg.parallel, cfg.dstReaders),
         (srcRows / math.max(1, cfg.chunkSize)).toInt + 1))
       // enum PK components chunk through their declaration-index cast on
       // BOTH sides (consistent walk/predicate ranking — EnumPk.chunkKey)
@@ -129,7 +131,13 @@ object SyncMain {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val dstRowsBefore =
           srcRows - ops.getOrElse("I", 0L) + ops.getOrElse("D", 0L)
-        val stats = graft.sync.DmlSink.apply(diff, cfg.dstUrl.get, dstTable,
+        // -dst-writers caps the DML connection fan-out: one JDBC
+        // connection per partition (DmlSink's writer-thread unit)
+        val dmlIn =
+          if (diff.rdd.getNumPartitions > cfg.dstWriters)
+            diff.coalesce(cfg.dstWriters)
+          else diff
+        val stats = graft.sync.DmlSink.apply(dmlIn, cfg.dstUrl.get, dstTable,
           src.columns.toSeq, m.pkCols, connProps,
           noInsert = cfg.noInsert, noUpdate = cfg.noUpdate, noDelete = cfg.noDelete)
         TableStats(m.name, srcRows, dstRowsBefore,

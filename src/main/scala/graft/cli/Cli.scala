@@ -19,7 +19,12 @@ case class SyncConfig(
     // for a live-JDBC source, and the schema the destination reads + DML
     // target under — both single-valued, matching the reference
     schema: Option[String] = None,
-    dstSchema: Option[String] = None)
+    dstSchema: Option[String] = None,
+    // -dst-readers / -dst-writers (parasync.go:3401-3402): destination
+    // read budget (binds chunk parallelism, both sides read the same
+    // chunks) and DML connection fan-out
+    dstReaders: Int = 10,
+    dstWriters: Int = 20)
 
 case class DumpConfig(
     mode: String = "sql", // sql | csv | cpy | null
@@ -84,9 +89,15 @@ object Cli {
     while (rest.nonEmpty) {
       rest match {
         case "-dumpmode" :: v :: t => c = c.copy(mode = v); rest = t
-        case "-db" :: v :: t => c = c.copy(schemas = c.schemas ++ v.split(',')); rest = t
+        // -schema is paradump's repeatable schema list (paradump.go:3505);
+        // -db is its connect-database — under the URL connection model
+        // both scope the dump, so they feed the same list
+        case ("-db" | "-schema") :: v :: t =>
+          c = c.copy(schemas = c.schemas ++ v.split(',')); rest = t
         case "-table" :: v :: t => c = c.copy(tables = c.tables :+ v); rest = t
-        case "-exclude" :: v :: t => c = c.copy(exclude = c.exclude :+ v); rest = t
+        // reference spells it -exclude-table (paradump.go:3513)
+        case ("-exclude" | "-exclude-table") :: v :: t =>
+          c = c.copy(exclude = c.exclude :+ v); rest = t
         case "-chunksize" :: v :: t =>
           intArg(v, "-chunksize") match {
             case Right(i) => c = c.copy(chunkSize = i); rest = t
@@ -118,7 +129,8 @@ object Cli {
         case "-dumpheader" :: v :: _ =>
           return Left(s"-dumpheader: expected true|false, got $v")
         case "--dumpheader=false" :: t => c = c.copy(dumpHeader = false); rest = t
-        case "--dumpinsert" :: v :: t => c = c.copy(dumpInsert = v); rest = t
+        case ("-dumpinsert" | "--dumpinsert") :: v :: t =>
+          c = c.copy(dumpInsert = v); rest = t
         case "-dumpcompress" :: v :: t => c = c.copy(compress = Some(v)); rest = t
         case "-dumpcompresslevel" :: v :: t =>
           intArg(v, "-dumpcompresslevel") match {
@@ -169,12 +181,15 @@ object Cli {
     Right((vals, rest.result()))
   }
 
-  private val dumpValueFlags = Set("-dumpmode", "-db", "-table", "-exclude",
-    "-chunksize", "-insertsize", "-parallel", "-browser", "-dumpparallel",
-    "-dumpfile", "-dumpheader", "--dumpinsert", "-dumpcompress",
-    "-dumpcompresslevel", "-dumpcompressconcur", "-dst", "-dst-schema")
-  private val syncValueFlags = Set("-db", "-table", "-exclude", "-chunksize",
-    "-parallel", "--statsfile", "-dst", "-schema", "-dst-schema")
+  private val dumpValueFlags = Set("-dumpmode", "-db", "-schema", "-table",
+    "-exclude", "-exclude-table", "-chunksize", "-insertsize", "-parallel",
+    "-browser", "-dumpparallel", "-dumpfile", "-dumpheader", "-dumpinsert",
+    "--dumpinsert", "-dumpcompress", "-dumpcompresslevel",
+    "-dumpcompressconcur", "-dst", "-dst-schema")
+  private val syncValueFlags = Set("-db", "-table", "-exclude",
+    "-exclude-table", "-chunksize", "-parallel", "-readers", "-dst-readers",
+    "-dst-writers", "-browser", "-statsfile", "--statsfile", "-dst",
+    "-schema", "-dst-schema")
 
   /** Parse + validate the parasync flag surface. */
   def parseSync(args: Seq[String]): Either[String, SyncConfig] = {
@@ -186,21 +201,49 @@ object Cli {
       rest match {
         case "-db" :: v :: t => c = c.copy(schemas = c.schemas ++ v.split(',')); rest = t
         case "-table" :: v :: t => c = c.copy(tables = c.tables :+ v); rest = t
-        case "-exclude" :: v :: t => c = c.copy(exclude = c.exclude :+ v); rest = t
+        case ("-exclude" | "-exclude-table") :: v :: t =>
+          c = c.copy(exclude = c.exclude :+ v); rest = t
         case "-chunksize" :: v :: t =>
           intArg(v, "-chunksize") match {
             case Right(i) => c = c.copy(chunkSize = i); rest = t
             case Left(e) => return Left(e)
           }
-        case "-parallel" :: v :: t =>
+        // parasync names the source read pool -readers (parasync.go:3380)
+        case ("-parallel" | "-readers") :: v :: t =>
           intArg(v, "-parallel") match {
             case Right(i) => c = c.copy(parallel = i); rest = t
             case Left(e) => return Left(e)
           }
-        case "--writer-no-insert" :: t => c = c.copy(noInsert = true); rest = t
-        case "--writer-no-update" :: t => c = c.copy(noUpdate = true); rest = t
-        case "--writer-no-delete" :: t => c = c.copy(noDelete = true); rest = t
-        case "--statsfile" :: v :: t => c = c.copy(statsFile = Some(v)); rest = t
+        // both sides read the SAME chunk set here, so the weaker side's
+        // reader budget binds the chunk parallelism (parasync.go:3401)
+        case "-dst-readers" :: v :: t =>
+          intArg(v, "-dst-readers") match {
+            case Right(i) => c = c.copy(dstReaders = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        // DML connection fan-out on the destination (parasync.go:3402)
+        case "-dst-writers" :: v :: t =>
+          intArg(v, "-dst-writers") match {
+            case Right(i) => c = c.copy(dstWriters = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        // accepted for flag parity (parasync.go:3379): the boundary probe
+        // is a single ~1-row-per-chunk server-side pager here, so a
+        // browser pool has nothing to parallelize
+        case "-browser" :: v :: t =>
+          intArg(v, "-browser") match {
+            case Right(i) if i >= 1 => rest = t
+            case Right(_) => return Left("-browser must be >= 1")
+            case Left(e) => return Left(e)
+          }
+        case ("--writer-no-insert" | "-writer-no-insert") :: t =>
+          c = c.copy(noInsert = true); rest = t
+        case ("--writer-no-update" | "-writer-no-update") :: t =>
+          c = c.copy(noUpdate = true); rest = t
+        case ("--writer-no-delete" | "-writer-no-delete") :: t =>
+          c = c.copy(noDelete = true); rest = t
+        case ("-statsfile" | "--statsfile") :: v :: t =>
+          c = c.copy(statsFile = Some(v)); rest = t
         case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
         case "-schema" :: v :: t => c = c.copy(schema = Some(v)); rest = t
         case "-dst-schema" :: v :: t => c = c.copy(dstSchema = Some(v)); rest = t
@@ -214,6 +257,8 @@ object Cli {
     if (c.dstUrl.isEmpty) return Left("sync requires -dst")
     if (c.chunkSize < 100) return Left("-chunksize must be >= 100")
     if (c.parallel < 1) return Left("-parallel must be >= 1")
+    if (c.dstReaders < 1) return Left("-dst-readers must be >= 1")
+    if (c.dstWriters < 1) return Left("-dst-writers must be >= 1")
     Right(c)
   }
 

@@ -59,6 +59,23 @@ class CliSpec extends AnyFunSuite {
     assert(parse("-db", "x", "-dumpmode", "cpy", "-dst", "jdbc:derby:memory:d").isRight)
   }
 
+  test("reference flag aliases: exclude-table / schema / readers / writer pools") {
+    // paradump spellings
+    val d = parse("-schema", "app", "-exclude-table", "tmp_", "-dumpinsert", "simple")
+    assert(d.exists(c => c.schemas == Seq("app") && c.exclude == Seq("tmp_")
+      && c.dumpInsert == "simple"))
+    // parasync spellings
+    val s = Cli.parseSync(Seq("-table", "t", "-dst", "jdbc:x",
+      "-readers", "6", "-dst-readers", "4", "-dst-writers", "8",
+      "-browser", "2", "-writer-no-delete", "-statsfile", "/tmp/st.json"))
+    assert(s.exists(c => c.parallel == 6 && c.dstReaders == 4 &&
+      c.dstWriters == 8 && c.noDelete && c.statsFile.contains("/tmp/st.json")))
+    assert(Cli.parseSync(Seq("-table", "t", "-dst", "jdbc:x",
+      "-dst-writers", "0")).isLeft)
+    assert(Cli.parseSync(Seq("-table", "t", "-dst", "jdbc:x",
+      "-browser", "0")).isLeft)
+  }
+
   test("stripLocal leaves a local-flag lookalike alone when it is a reference flag's value") {
     // `-exclude -src` means "exclude tables matching '-src'", not a -src flag
     val got = Cli.stripLocal(
