@@ -59,11 +59,13 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val parsed = for {
-      // -src/-o are ours; the rest is the reference flag surface
-      stripped <- Cli.stripLocal(args.toSeq, Set("-src", "-o"))
+      // -src/-o are ours; -dumpdir is the reference's spelling of -o
+      // (paradump.go:3492); the rest is the reference flag surface
+      stripped <- Cli.stripLocal(args.toSeq, Set("-src", "-o", "-dumpdir"))
       (local, rest) = stripped
       src <- local.get("-src").toRight("need -src <dataDir>")
-      out <- local.get("-o").toRight("need -o <outDir>")
+      out <- local.get("-o").orElse(local.get("-dumpdir"))
+        .toRight("need -o <outDir> (alias -dumpdir)")
       cfg <- Cli.parseDump(rest)
     } yield (src, out, cfg)
     parsed match {

@@ -76,6 +76,12 @@ class CliSpec extends AnyFunSuite {
       "-browser", "0")).isLeft)
   }
 
+  test("-dumpdir is stripped as a local output flag (reference spelling of -o)") {
+    val got = Cli.stripLocal(
+      Seq("-src", "/d", "-dumpdir", "/out", "-db", "x"), Set("-src", "-o", "-dumpdir"))
+    assert(got == Right((Map("-src" -> "/d", "-dumpdir" -> "/out"), Seq("-db", "x"))))
+  }
+
   test("stripLocal leaves a local-flag lookalike alone when it is a reference flag's value") {
     // `-exclude -src` means "exclude tables matching '-src'", not a -src flag
     val got = Cli.stripLocal(
