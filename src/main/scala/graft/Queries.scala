@@ -768,6 +768,32 @@ object Queries {
   val eventsStreamDedupSql: String =
     "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type"
 
+  /** Stream-stream interval join (click→purchase attribution, 30 min):
+    * TWO independent file-stream sources joined with watermark-bounded
+    * state — append mode, the only mode stream-stream joins support. The
+    * oracle is the batch join: inner stream-stream joins emit exactly the
+    * batch join set once the AvailableNow run drains. */
+  def eventsStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val joined = graft.streaming.EventsStream.attributionJoin(
+      graft.streaming.EventsStream.fromParquetDir(s, dir),
+      graft.streaming.EventsStream.fromParquetDir(s, dir),
+      windowMinutes = 30)
+    val qname = "events_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
+  val eventsStreamJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
+
   /** Stateful sessionization (flatMapGroupsWithState) run in batch mode over
     * events: 30-min-gap sessions per user. Batch semantics emit only CLOSED
     * sessions (each user's final session stays in state), which the oracle
@@ -952,6 +978,7 @@ object Queries {
     "events_stream" -> (eventsStreamHourly _),
     "events_sessions" -> (eventsSessions _),
     "events_stream_dedup" -> (eventsStreamDedup _),
+    "events_stream_join" -> (eventsStreamJoin _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -992,6 +1019,7 @@ object Queries {
     "events_stream" -> eventsStreamHourlySql,
     "events_sessions" -> eventsSessionsSql,
     "events_stream_dedup" -> eventsStreamDedupSql,
+    "events_stream_join" -> eventsStreamJoinSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -28,6 +28,31 @@ object EventsStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Stream-stream interval join — click→purchase attribution within
+    * `windowMinutes`, the remaining headline Structured Streaming surface
+    * beside windowed aggregation / dedup / arbitrary state. Both inputs
+    * are independently watermarked streams; the time-range join condition
+    * is what BOUNDS the join state (a click is droppable once the
+    * purchase-side watermark passes click_ts + window; a purchase once
+    * the click-side watermark passes purchase_ts) — state stays bounded
+    * regardless of stream length. Inner stream-stream joins emit exactly
+    * the batch join set, so a plain batch join is a true oracle. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      windowMinutes: Int): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p, expr(
+      s"""user_id = p_user AND purchase_ts >= click_ts
+         |AND purchase_ts <= click_ts + interval $windowMinutes minutes""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Hourly windowed counts per event type with a 1-hour watermark —
     * late events beyond the watermark are dropped, state is bounded. */
   def hourlyCounts(events: DataFrame): DataFrame =
