@@ -953,6 +953,74 @@ object Queries {
        |FROM corpus LEFT JOIN lits USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // As-of join (backward, inclusive): each purchase is attributed to the
+  // latest at-or-before click by the same user. Spark has no native as-of
+  // operator — AsOfJoin.backward is the union+window formulation (one
+  // shuffle, no range blow-up); the oracle is DuckDB's native ASOF JOIN,
+  // a fully independent implementation of the same semantics. Timestamps
+  // compare in epoch millis on both sides (events carry nanos; unix_millis
+  // and epoch_ms truncate identically).
+  // ---------------------------------------------------------------------
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.backward(purchases, clicks,
+      key = "user_id", ts = "ts",
+      rightCols = Seq("click_id", "ts"), tieBreak = "click_id")
+      .select(col("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("p_ms"),
+        col("asof_match.click_id").as("click_id"),
+        unix_millis(col("asof_match.ts")).as("click_ms"),
+        (unix_millis(col("ts")) - unix_millis(col("asof_match.ts"))).as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, epoch_ms(p.ts) AS p_ms,
+      |  c.event_id AS click_id, epoch_ms(c.ts) AS click_ms,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Deterministic stratified sampling: the 50 smallest-md5(text) documents
+  // per language — a reproducible, content-addressed training-mix draw.
+  // The Spark side is the two-phase salted top-n (no whole-stratum-on-one-
+  // task shuffle); the oracle is the textbook single-window form.
+  // ---------------------------------------------------------------------
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedTopN(
+      t(s, dir, "documents"), stratum = "lang", textCol = "text", n = 50)
+      .orderBy("lang", "rk")
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Corpus token frequency top-k: the vocabulary-head profile every
+  // training-data audit starts with. Map-side partial counts absorb the
+  // stopword skew; only (token, partial_count) rows shuffle.
+  // ---------------------------------------------------------------------
+  def tokenTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.tokenTopK(t(s, dir, "documents"), k = 50)
+
+  val tokenTopkSql: String =
+    """SELECT lower(tok) AS token, COUNT(*) AS cnt
+      |FROM (SELECT UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+      |      FROM documents) t
+      |WHERE tok <> ''
+      |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -979,6 +1047,9 @@ object Queries {
     "events_sessions" -> (eventsSessions _),
     "events_stream_dedup" -> (eventsStreamDedup _),
     "events_stream_join" -> (eventsStreamJoin _),
+    "asof_join" -> (asofJoin _),
+    "sample_stratified" -> (sampleStratified _),
+    "token_topk" -> (tokenTopk _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1020,6 +1091,9 @@ object Queries {
     "events_sessions" -> eventsSessionsSql,
     "events_stream_dedup" -> eventsStreamDedupSql,
     "events_stream_join" -> eventsStreamJoinSql,
+    "asof_join" -> asofJoinSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "token_topk" -> tokenTopkSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

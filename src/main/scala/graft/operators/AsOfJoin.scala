@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, attach the single right row with
+  * the greatest `ts` <= the left row's `ts` within the same key group
+  * (inclusive — a right row at exactly the left timestamp matches).
+  *
+  * Spark has no native as-of operator; the naive encodings are a non-equi
+  * range join (BroadcastNestedLoop / cartesian per key — O(n·m), dead at
+  * scale) or a per-key collect loop. This implementation is the union+window
+  * formulation: tag both inputs, union them, and take the running
+  * `last(right, ignoreNulls)` over a (key)-partitioned (ts, side)-ordered
+  * ROWS UNBOUNDED PRECEDING window. Cost at 100 TB: exactly ONE hash
+  * shuffle of (|L|+|R|) rows on the key plus a partition-local sort — the
+  * same exchange a plain equi-join would pay, with no candidate blow-up.
+  * Hot keys land in one partition like any keyed window; for pathological
+  * key skew, pre-bucket the right side by coarse time range and salt.
+  *
+  * Determinism: right rows sort before left rows at an equal timestamp
+  * (side 0 < 1, making the match inclusive), and equal-timestamp right rows
+  * within a key are ordered by `tieBreak` ascending so the LARGEST tie-break
+  * value wins (the window's running `last`). Left rows never carry a match
+  * payload, so ordering among equal-timestamp left rows cannot change any
+  * result.
+  */
+object AsOfJoin {
+
+  /** @param left      rows to enrich (all its columns pass through)
+    * @param right     rows to match from
+    * @param key       equi-join key column present on both sides
+    * @param ts        event-time column present on both sides
+    * @param rightCols right columns to carry into the match payload
+    * @param tieBreak  right column ordering equal-timestamp rows (max wins)
+    * @return left columns + `asof_match` struct of `rightCols` (null when no
+    *         right row at-or-before the left row's timestamp exists)
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], tieBreak: String): DataFrame = {
+    val payload = struct(rightCols.map(col): _*)
+    val rTagged = right.select(
+      Seq(col(key), col(ts), lit(0).as("_asof_side"),
+        col(tieBreak).as("_asof_tie"), payload.as("_asof_r")): _*)
+    val tieType = rTagged.schema("_asof_tie").dataType
+    val rType = rTagged.schema("_asof_r").dataType
+    // project the right side INTO the left schema (non-key columns null) so
+    // the union is by name; left rows carry a null payload by construction
+    val lTagged = left
+      .withColumn("_asof_side", lit(1))
+      .withColumn("_asof_tie", lit(null).cast(tieType))
+      .withColumn("_asof_r", lit(null).cast(rType))
+    val rAligned = lTagged.columns.foldLeft(rTagged) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(lTagged.columns.map(col): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_asof_side").asc, col("_asof_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rAligned)
+      .withColumn("asof_match", last("_asof_r", ignoreNulls = true).over(w))
+      .filter(col("_asof_side") === 1)
+      .drop("_asof_side", "_asof_tie", "_asof_r")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * Stratified top-n-per-stratum keyed on a CONTENT hash (md5 of the text):
+  * the sample is a pure function of the corpus — re-running on the same data,
+  * on different cluster sizes, or in a different engine selects the same
+  * documents, which is what makes training mixes reproducible and
+  * cross-engine auditable (the oracle replays it in SQL verbatim).
+  *
+  * Scale shape: the textbook row_number()-over-stratum encoding shuffles the
+  * WHOLE corpus into one partition per stratum — a 60 TB 'en' stratum lands
+  * on one task. This implementation is two-phase: phase 1 computes the local
+  * top-n inside (stratum × salt-bucket) sub-partitions — the global top-n of
+  * a stratum is necessarily a subset of the union of its per-bucket top-n —
+  * so phase 2's exact window runs over at most n·saltBuckets CANDIDATE rows
+  * per stratum regardless of corpus size, and only (doc_id, stratum, 32-byte
+  * digest) triples ever shuffle, never document bodies.
+  */
+object Sampling {
+
+  /** The n documents with the lexicographically smallest md5(text) digests
+    * per stratum, ranked. Ties (identical texts) broken by doc_id.
+    *
+    * @return (doc_id, stratum column, rk) — rk in [1, n] within each stratum
+    */
+  def stratifiedTopN(docs: DataFrame, stratum: String, textCol: String,
+      n: Int, saltBuckets: Int = 16): DataFrame = {
+    val projected = docs.select(
+      col("doc_id"), col(stratum), md5(col(textCol)).as("_skey"))
+    val local = Window
+      .partitionBy(col(stratum), pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
+      .orderBy(col("_skey"), col("doc_id"))
+    val global = Window.partitionBy(col(stratum))
+      .orderBy(col("_skey"), col("doc_id"))
+    projected
+      .withColumn("_rk_local", row_number().over(local))
+      .filter(col("_rk_local") <= n)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("rk") <= n)
+      .select(col("doc_id"), col(stratum), col("rk"))
+  }
+}

@@ -67,6 +67,24 @@ object TextOps {
         .otherwise(lit("unk")).as("lang_pred")) // word-less docs are 'unk'
   }
 
+  /** Corpus-level token frequency, top k by (count desc, token asc).
+    * Tokens are maximal ASCII-letter runs, lowercased AFTER extraction so
+    * only ASCII case-folding is involved (unicode lowercasing rules differ
+    * across engines; [A-Za-z] runs make the fold engine-independent).
+    *
+    * Scale shape: explode → partial count (map-side combine collapses each
+    * task's token multiset before the exchange) → one shuffle keyed on the
+    * token → TakeOrdered top-k. Stopword skew is absorbed by the partial
+    * aggregation — the hot 'the' key arrives at the reducer as one
+    * pre-summed row per map task, not one row per occurrence. */
+  def tokenTopK(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(split(col("text"), "[^A-Za-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(lower(col("tok")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
   /** Document fingerprint: 64-bit content hash of the token sequence
     * (whitespace-normalized), for cheap downstream equality joins.
     * xxhash64 is Spark-codegen'd — the fast path when cross-engine

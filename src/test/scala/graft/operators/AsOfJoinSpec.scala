@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
+
+  // left: (pid, key, ts); right: (rid, key, ts)
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    val l = left.toDF("pid", "k", "ts")
+    val r = right.toDF("rid", "k", "ts")
+    AsOfJoin.backward(l, r, key = "k", ts = "ts",
+        rightCols = Seq("rid", "ts"), tieBreak = "rid")
+      .select(col("pid"), col("asof_match.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+  }
+
+  test("backward as-of: latest at-or-before right row per key, inclusive") {
+    val out = run(
+      left = Seq((1L, 1L, 5L), (2L, 1L, 20L), (3L, 1L, 25L), (4L, 1L, 100L),
+        (5L, 2L, 50L)),
+      right = Seq((10L, 1L, 10L), (20L, 1L, 20L), (30L, 1L, 30L)))
+    assert(out === Map(
+      1L -> None,        // before any right row
+      2L -> Some(20L),   // equal timestamp matches (inclusive)
+      3L -> Some(20L),   // latest at-or-before, not the later row
+      4L -> Some(30L),
+      5L -> None))       // key with no right rows at all
+  }
+
+  test("equal-timestamp right rows: largest tie-break wins, deterministically") {
+    val out = run(
+      left = Seq((1L, 7L, 15L)),
+      right = Seq((101L, 7L, 10L), (103L, 7L, 10L), (102L, 7L, 10L)))
+    assert(out === Map(1L -> Some(103L)))
+  }
+
+  test("left columns pass through; match is a null struct when unmatched") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 5L, "keepme")).toDF("pid", "k", "ts", "extra")
+    val r = Seq((10L, 1L, 10L)).toDF("rid", "k", "ts")
+    val row = AsOfJoin.backward(l, r, "k", "ts", Seq("rid"), "rid")
+      .select("pid", "extra", "asof_match").collect().head
+    assert(row.getLong(0) === 1L && row.getString(1) === "keepme")
+    assert(row.isNullAt(2))
+  }
+
+  test("result is invariant to input partitioning") {
+    import spark.implicits._
+    val left = (1L to 200L).map(i => (i, i % 7, i * 3))
+    val right = (1L to 300L).map(i => (1000L + i, i % 7, i * 2))
+    val a = run(left, right)
+    val l8 = left.toDF("pid", "k", "ts").repartition(8)
+    val r3 = right.toDF("rid", "k", "ts").repartition(3)
+    val b = AsOfJoin.backward(l8, r3, "k", "ts", Seq("rid", "ts"), "rid")
+      .select(col("pid"), col("asof_match.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(a === b)
+    // spot-check every value against the obvious per-row definition
+    left.foreach { case (pid, key, ts) =>
+      val expect = right.filter(r => r._2 == key && r._3 <= ts)
+        .sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+      assert(a(pid) === expect, s"pid=$pid")
+    }
+  }
+}

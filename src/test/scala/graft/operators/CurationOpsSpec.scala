@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sampling.stratifiedTopN and TextOps.tokenTopK — the curation operators
+  * behind the sample_stratified / token_topk CORRECTNESS rows. */
+class CurationOpsSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val docs =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("stratifiedTopN equals the textbook single-window form") {
+    val n = 7
+    val twoPhase = Sampling.stratifiedTopN(docs, "lang", "text", n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val textbook = docs
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("k"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("lang").orderBy(col("k"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= n).select("doc_id", "lang", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(twoPhase === textbook)
+    assert(twoPhase.nonEmpty)
+  }
+
+  test("stratifiedTopN respects the quota and is partitioning-invariant") {
+    val n = 5
+    val a = Sampling.stratifiedTopN(docs, "lang", "text", n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = Sampling.stratifiedTopN(docs.repartition(13), "lang", "text", n,
+        saltBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a === b) // salt-bucket count and input layout never change the draw
+    a.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.size <= n, s"stratum $lang over quota")
+      assert(rows.map(_._3).toSeq.sorted === (1L to rows.size), s"ranks in $lang")
+    }
+  }
+
+  test("tokenTopK counts ASCII-letter runs, case-folded, ties by token") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "The cat, the dog; THE bird!"),
+      (2L, "cat dog2dog naïve"),   // digit and non-ASCII both split runs
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.tokenTopK(corpus, k = 4)
+      .as[(String, Long)].collect().toSeq
+    // the=3, cat=2, dog=3 (dog2dog contributes two), then alphabetical ties
+    assert(out === Seq(("dog", 3L), ("the", 3L), ("cat", 2L), ("bird", 1L)))
+  }
+
+  test("tokenTopK on the fixture corpus is deterministic across runs") {
+    val a = TextOps.tokenTopK(docs, k = 20).collect().toSeq
+    val b = TextOps.tokenTopK(docs.repartition(9), k = 20).collect().toSeq
+    assert(a === b)
+    assert(a.size === 20)
+  }
+}
