@@ -1021,6 +1021,53 @@ object Queries {
       |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Deterministic distributed k-means (semantic clustering): 2 Lloyd
+  // rounds, seeded from the 10 lowest vec_ids, fixed-point (2^-40)
+  // centroid updates so training is bitwise-reproducible — the oracle
+  // replays BOTH training rounds and the final assignment in SQL. See
+  // operators/KMeans.scala for why the quantization makes an iterative
+  // trainer oracle-replayable at all.
+  // ---------------------------------------------------------------------
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.KMeans.assign(emb,
+      graft.operators.KMeans.train(emb, k = 10, iters = 2))
+      .orderBy("vec_id")
+  }
+
+  val kmeansAssignSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    // one Lloyd round: assign under cent$i, quantized per-dim mean, empty
+    // cells keep their previous centroid
+    def lloyd(i: Int): String =
+      s"""s$i AS (SELECT v.vec_id, c.cell, ${cos("v.e", "c.c")} AS score
+         |  FROM corpus v CROSS JOIN cent$i c),
+         |a$i AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+         |  FROM s$i) x WHERE rn = 1),
+         |x$i AS (SELECT a$i.cell, generate_subscripts(corpus.e, 1) AS pos, unnest(corpus.e) AS v
+         |  FROM a$i JOIN corpus USING (vec_id)),
+         |u$i AS (SELECT cell, pos,
+         |  CAST(CAST(SUM(CAST(floor(v * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1099511627776.0) AS cv
+         |  FROM x$i GROUP BY cell, pos),
+         |m$i AS (SELECT cell, list(cv ORDER BY pos) AS c FROM u$i GROUP BY cell),
+         |cent${i + 1} AS (SELECT p.cell, COALESCE(m$i.c, p.c) AS c
+         |  FROM cent$i p LEFT JOIN m$i USING (cell))""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, e AS c
+       |  FROM corpus ORDER BY vec_id LIMIT 10),
+       |${lloyd(0)},
+       |${lloyd(1)},
+       |sf AS (SELECT v.vec_id, c.cell, ${cos("v.e", "c.c")} AS score
+       |  FROM corpus v CROSS JOIN cent2 c)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |  FROM sf) x WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1050,6 +1097,7 @@ object Queries {
     "asof_join" -> (asofJoin _),
     "sample_stratified" -> (sampleStratified _),
     "token_topk" -> (tokenTopk _),
+    "kmeans_assign" -> (kmeansAssign _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1094,6 +1142,7 @@ object Queries {
     "asof_join" -> asofJoinSql,
     "sample_stratified" -> sampleStratifiedSql,
     "token_topk" -> tokenTopkSql,
+    "kmeans_assign" -> kmeansAssignSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -71,8 +71,12 @@ case class DotProduct(left: Expression, right: Expression)
   * score(j) = dot(e, c_j) / (sqrt(dot(e, e)) * norms(j)) with every dot
   * accumulated sequentially in double — bit-identical to [[DotProduct]]
   * composition and the DuckDB list_inner_product oracle. `norms(j)` is the
-  * caller-precomputed sqrt(dot(c_j, c_j)). */
-case class CentroidScores(child: Expression, centroids: Array[Array[Float]],
+  * caller-precomputed sqrt(dot(c_j, c_j)).
+  *
+  * Centroids are double[][]: float-seeded callers widen losslessly
+  * (float→double is exact, and the kernel always multiplied in double), and
+  * trained callers ([[graft.operators.KMeans]]) produce genuine doubles. */
+case class CentroidScores(child: Expression, centroids: Array[Array[Double]],
                           norms: Array[Double])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -109,7 +113,7 @@ case class CentroidScores(child: Expression, centroids: Array[Array[Float]],
       scoresOf(a.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
     val nRef = ctx.addReferenceObj("norms", norms, "double[]")
     nullSafeCodeGen(ctx, ev, e => {
       val self = ctx.freshName("self")
@@ -128,11 +132,11 @@ case class CentroidScores(child: Expression, centroids: Array[Array[Float]],
          |double $qn = java.lang.Math.sqrt($self);
          |double[] $out = new double[${centroids.length}];
          |for (int $j = 0; $j < ${centroids.length}; $j++) {
-         |  float[] $c = $cRef[$j];
+         |  double[] $c = $cRef[$j];
          |  int $m = java.lang.Math.min($e.numElements(), $c.length);
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $m; $i++) {
-         |    $acc += (double) $e.getFloat($i) * (double) $c[$i];
+         |    $acc += (double) $e.getFloat($i) * $c[$i];
          |  }
          |  $out[$j] = $acc / ($qn * $nRef[$j]);
          |}
@@ -150,7 +154,7 @@ case class CentroidScores(child: Expression, centroids: Array[Array[Float]],
   * scores))`: comparisons through java.lang.Double.compare, which is
   * exactly Spark's DoubleType ordering (NaN greatest, first-max
   * tie-break), so the fused form is bit-equivalent to the composed one. */
-case class CentroidArgMax(child: Expression, centroids: Array[Array[Float]],
+case class CentroidArgMax(child: Expression, centroids: Array[Array[Double]],
                           norms: Array[Double])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -175,7 +179,7 @@ case class CentroidArgMax(child: Expression, centroids: Array[Array[Float]],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
     val nRef = ctx.addReferenceObj("norms", norms, "double[]")
     nullSafeCodeGen(ctx, ev, e => {
       val self = ctx.freshName("self")
@@ -197,11 +201,11 @@ case class CentroidArgMax(child: Expression, centroids: Array[Array[Float]],
          |int $best = 0;
          |double $bv = 0.0;
          |for (int $j = 0; $j < ${centroids.length}; $j++) {
-         |  float[] $c = $cRef[$j];
+         |  double[] $c = $cRef[$j];
          |  int $m = java.lang.Math.min($e.numElements(), $c.length);
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $m; $i++) {
-         |    $acc += (double) $e.getFloat($i) * (double) $c[$i];
+         |    $acc += (double) $e.getFloat($i) * $c[$i];
          |  }
          |  double $sc = $acc / ($qn * $nRef[$j]);
          |  if ($j == 0 || java.lang.Double.compare($sc, $bv) > 0) {
@@ -224,13 +228,13 @@ object VectorExprs {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** All-centroid cosine array (one pass, self-norm hoisted). */
-  def centroidScores(emb: Column, centroids: Array[Array[Float]],
+  def centroidScores(emb: Column, centroids: Array[Array[Double]],
                      norms: Array[Double]): Column =
     GraftColumnBridge.column(CentroidScores(
       GraftColumnBridge.expression(emb), centroids, norms))
 
   /** 1-based argmax-cosine centroid index (IVF cell assignment). */
-  def centroidArgMax(emb: Column, centroids: Array[Array[Float]],
+  def centroidArgMax(emb: Column, centroids: Array[Array[Double]],
                      norms: Array[Double]): Column =
     GraftColumnBridge.column(CentroidArgMax(
       GraftColumnBridge.expression(emb), centroids, norms))

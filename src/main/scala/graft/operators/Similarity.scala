@@ -155,10 +155,10 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     // plan-time constant, nCells rows — same bounded-collect pattern as
     // the hyperplane literals
-    val centroids: Array[Array[Float]] = emb
+    val centroids: Array[Array[Double]] = emb
       .orderBy("vec_id").limit(nCells)
       .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble)) // lossless widening
     // Centroid norms are plan-time constants: fold them driver-side with
     // the same sequential double accumulation as DotProduct (bit-identical
     // to what sqrt(dot(c,c)) would compute per row).

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KMeansSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val emb =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("training is bitwise partitioning-invariant (the design property)") {
+    val a = KMeans.train(emb, k = 10, iters = 2)
+    val b = KMeans.train(emb.repartition(13), k = 10, iters = 2)
+    // exact double equality, not approximate: fixed-point sums make the
+    // update independent of aggregation order by construction
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (ca, cb) => assert(ca.toSeq === cb.toSeq) }
+  }
+
+  test("each Lloyd round does not decrease the spherical objective") {
+    def objective(cent: Array[Array[Double]]): Double = {
+      val norms = cent.map(c => math.sqrt(c.map(x => x * x).sum))
+      emb.select(graft.functions.VectorExprs
+          .centroidScores(col("embedding"), cent, norms).as("s"))
+        .select(array_max(col("s")).as("best"))
+        .agg(avg("best")).head.getDouble(0)
+    }
+    val seeded = KMeans.train(emb, k = 10, iters = 0)
+    val one = KMeans.train(emb, k = 10, iters = 1)
+    val two = KMeans.train(emb, k = 10, iters = 2)
+    val (o0, o1, o2) = (objective(seeded), objective(one), objective(two))
+    val eps = 1e-9 // quantized means can be off the true mean by < 2^-40
+    assert(o1 >= o0 - eps, s"round 1 regressed: $o0 -> $o1")
+    assert(o2 >= o1 - eps, s"round 2 regressed: $o1 -> $o2")
+    assert(o2 > o0, "training never improved on the fixture corpus")
+  }
+
+  test("a cell that loses all members keeps its previous centroid") {
+    import spark.implicits._
+    // seeds are the 3 lowest vec_ids; vec 2 and 3 are identical, so every
+    // row scores cell 2 == cell 3 and first-max assigns cell 2 — cell 3
+    // goes empty and must survive the update unchanged
+    val data = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(0f, 1f)),
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cent = KMeans.train(data, k = 3, iters = 1)
+    assert(cent(2).toSeq === Seq(0.0, 1.0)) // untouched seed of vec 3
+    // cell 2 moved off its seed (it absorbed (0.1, 0.9)); the empty cell
+    // kept the EXACT seed — so the stale centroid now wins the pure (0,1)
+    // vectors in a fresh assignment, which is the documented Lloyd
+    // convention, not an error
+    assert(cent(1).toSeq !== Seq(0.0, 1.0))
+    val assigned = KMeans.assign(data, cent)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(2L) === 3L && assigned(3L) === 3L)
+    assert(assigned(1L) === 1L && assigned(10L) === 1L)
+  }
+
+  test("recovers well-separated synthetic clusters exactly") {
+    import spark.implicits._
+    // 3 orthogonal cones, 40 points each; seeds (lowest 3 vec_ids) are
+    // one point from each cone by construction
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      val axis = i % 3
+      val base = Array.fill(6)(0f)
+      base(axis) = 1f
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v, axis)
+    }
+    val df = rows.map(r => (r._1, r._2)).toDF("vec_id", "embedding")
+    val cent = KMeans.train(df, k = 3, iters = 2)
+    val out = KMeans.assign(df, cent)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = rows.map(r => r._1 -> r._3).toMap
+    // every cone maps to exactly one cluster id (purity 1.0)
+    val byCone = truth.groupBy(_._2).view.mapValues(_.keys.map(out).toSet)
+    byCone.foreach { case (cone, clusters) =>
+      assert(clusters.size === 1, s"cone $cone split across $clusters")
+    }
+    assert(byCone.values.flatten.toSet.size === 3)
+  }
+}
