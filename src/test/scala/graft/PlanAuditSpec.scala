@@ -61,6 +61,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("array_max"), s"composed argmax shape back:\n$p")
   }
 
+  test("asof_join: one keyed exchange + window, never a range-join blow-up") {
+    val p = plan("asof_join")
+    // the union+window formulation must not degrade into the quadratic
+    // encodings Spark picks for non-equi time joins
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join fell back to a quadratic join:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"no keyed exchange:\n$p")
+    assert(p.contains("last(_asof_r"), s"running-last window missing:\n$p")
+    // both sides' event_type filters reach the parquet scan
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,click)"), s"filters not pushed:\n$p")
+  }
+
+  test("sample_stratified: salted two-phase with map-side rank pruning") {
+    val p = plan("sample_stratified")
+    // phase-1 partitions by (stratum, salt) — a whole stratum never lands
+    // on one task — and WindowGroupLimit prunes to top-n BEFORE the
+    // exchange (rows beyond the quota don't even shuffle)
+    assert(p.contains("pmod"), s"salt missing from phase-1 partitioning:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no map-side rank pruning:\n$p")
+    val lines = p.linesIterator.toSeq
+    val firstEx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(firstEx > 0 && lines.take(firstEx).exists(_.contains("WindowGroupLimit")),
+      s"no pre-shuffle group limit:\n$p")
+  }
+
+  test("token_topk: partial counts below the exchange, top-k is TakeOrdered") {
+    val p = plan("token_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$p")
+    val lines = p.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx > 0 && lines.drop(exIdx).exists(_.contains("partial_count")),
+      s"no map-side partial count (stopword skew unguarded):\n$p")
+  }
+
+  test("kmeans_assign: assignment is projection-only (corpus never shuffles)") {
+    val p = plan("kmeans_assign")
+    assert(p.contains("graft_centroid_argmax"), s"fused kernel missing:\n$p")
+    // the only exchange allowed is the presentation orderBy's range
+    // partitioning — assignment itself must be a per-row projection
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled during assignment:\n$p")
+  }
+
   test("dedup_exact: shuffle carries the digest, not document bodies") {
     val p = plan("dedup_exact")
     assert(p.contains("sha2"), p)
