@@ -87,6 +87,71 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** Continuous-sync exit path: stream → foreachBatch → idempotent JDBC
+    * upserts keyed on `pkCols` — the streaming analogue of the parasync
+    * DML writer ([[graft.sync.DmlSink]]), turning one-shot diff/sync into
+    * a standing pipeline against the same destination.
+    *
+    * Delivery: foreachBatch is AT-LEAST-ONCE (a micro-batch whose commit
+    * didn't reach the offset log replays on restart), so the writer is
+    * UPDATE-then-INSERT per key — replaying a batch rewrites identical
+    * values and the destination converges (effectively-once), the same
+    * trade DmlSink documents. The checkpoint pins source offsets, so a
+    * restart over a drained source re-reads nothing (asserted in
+    * StreamingUpsertSpec). Rows are deduplicated per key within each
+    * batch to keep one statement per key per transaction; each partition
+    * is one connection + one commit, the reference's writer-thread unit.
+    *
+    * @return rows applied (accumulator across all micro-batches; retried
+    *         partitions count twice, like the reference's stats actor) */
+  def upsertToJdbc(stream: DataFrame, url: String, table: String,
+      cols: Seq[String], pkCols: Seq[String], checkpointDir: String,
+      connProps: Map[String, String] = Map.empty): Long = {
+    val session = stream.sparkSession
+    val applied = session.sparkContext.longAccumulator("stream_upserts")
+    val payload = cols.filterNot(pkCols.contains)
+    val q = stream.select(cols.map(col): _*).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.dropDuplicates(pkCols)
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          if (rows.hasNext) {
+            val props = new java.util.Properties()
+            connProps.foreach { case (k, v) => props.setProperty(k, v) }
+            val conn = java.sql.DriverManager.getConnection(url, props)
+            try {
+              conn.setAutoCommit(false)
+              val updSt = conn.prepareStatement(
+                s"UPDATE $table SET ${payload.map(c => s"$c = ?").mkString(", ")} " +
+                  s"WHERE ${pkCols.map(c => s"$c = ?").mkString(" AND ")}")
+              val insSt = conn.prepareStatement(
+                s"INSERT INTO $table (${cols.mkString(",")}) " +
+                  s"VALUES (${cols.map(_ => "?").mkString(",")})")
+              rows.foreach { r =>
+                payload.zipWithIndex.foreach { case (c, i) =>
+                  updSt.setObject(i + 1, r.get(r.fieldIndex(c))) }
+                pkCols.zipWithIndex.foreach { case (c, i) =>
+                  updSt.setObject(payload.length + i + 1, r.get(r.fieldIndex(c))) }
+                if (updSt.executeUpdate() == 0) {
+                  cols.zipWithIndex.foreach { case (c, i) =>
+                    insSt.setObject(i + 1, r.get(r.fieldIndex(c))) }
+                  insSt.executeUpdate()
+                }
+                applied.add(1)
+              }
+              conn.commit()
+            } finally conn.close()
+          }
+        }
+        () // foreachBatch wants Unit, foreachPartition already is
+      }
+      .start()
+    q.awaitTermination()
+    applied.value
+  }
+
   case class Event(ts: Timestamp, user_id: Long, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)
