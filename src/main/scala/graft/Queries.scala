@@ -1035,7 +1035,11 @@ object Queries {
       .orderBy("vec_id")
   }
 
-  val kmeansAssignSql: String = {
+  /** Shared DuckDB CTE chain replaying KMeans.train(k=10, iters=2) + final
+    * assignment as a relation `km(vec_id, cluster)` — used by the
+    * kmeans_assign oracle directly and composed under the diverse-sample
+    * oracle. */
+  private val kmeansCtes: String = {
     val cos = (a: String, b: String) =>
       s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
     // one Lloyd round: assign under cent$i, quantized per-dim mean, empty
@@ -1055,17 +1059,47 @@ object Queries {
          |m$i AS (SELECT cell, list(cv ORDER BY pos) AS c FROM u$i GROUP BY cell),
          |cent${i + 1} AS (SELECT p.cell, COALESCE(m$i.c, p.c) AS c
          |  FROM cent$i p LEFT JOIN m$i USING (cell))""".stripMargin
-    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, e AS c
        |  FROM corpus ORDER BY vec_id LIMIT 10),
        |${lloyd(0)},
        |${lloyd(1)},
        |sf AS (SELECT v.vec_id, c.cell, ${cos("v.e", "c.c")} AS score
-       |  FROM corpus v CROSS JOIN cent2 c)
-       |SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM (
+       |  FROM corpus v CROSS JOIN cent2 c),
+       |km AS (SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM (
        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
-       |  FROM sf) x WHERE rn = 1 ORDER BY vec_id""".stripMargin
+       |  FROM sf) x WHERE rn = 1)""".stripMargin
   }
+
+  val kmeansAssignSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cluster FROM km ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Cluster-balanced ("diverse") sampling: the k-means clusters become the
+  // sampling strata — 10 deterministic draws per semantic cluster, the
+  // balanced-training-mix primitive. Composes the two oracle-replayable
+  // stages verbatim: the k-means CTE chain feeds the textbook stratified
+  // window (keyed on md5 of the vec_id — there is no text to
+  // content-address).
+  // ---------------------------------------------------------------------
+  def pipelineDiverseSample(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val assigned = graft.operators.KMeans.assign(emb,
+      graft.operators.KMeans.train(emb, k = 10, iters = 2))
+    graft.operators.Sampling.stratifiedTopNBy(
+      assigned, idCol = "vec_id", stratum = "cluster",
+      key = md5(col("vec_id").cast("string")), n = 10)
+      .orderBy("cluster", "rk")
+  }
+
+  val pipelineDiverseSampleSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cluster, rk FROM (
+       |  SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM km) t
+       |WHERE rk <= 10 ORDER BY cluster, rk""".stripMargin
 
   // ---------------------------------------------------------------------
 
@@ -1098,6 +1132,7 @@ object Queries {
     "sample_stratified" -> (sampleStratified _),
     "token_topk" -> (tokenTopk _),
     "kmeans_assign" -> (kmeansAssign _),
+    "pipeline_diverse_sample" -> (pipelineDiverseSample _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1143,6 +1178,7 @@ object Queries {
     "sample_stratified" -> sampleStratifiedSql,
     "token_topk" -> tokenTopkSql,
     "kmeans_assign" -> kmeansAssignSql,
+    "pipeline_diverse_sample" -> pipelineDiverseSampleSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -29,19 +29,25 @@ object Sampling {
     * @return (doc_id, stratum column, rk) — rk in [1, n] within each stratum
     */
   def stratifiedTopN(docs: DataFrame, stratum: String, textCol: String,
-      n: Int, saltBuckets: Int = 16): DataFrame = {
-    val projected = docs.select(
-      col("doc_id"), col(stratum), md5(col(textCol)).as("_skey"))
+      n: Int, saltBuckets: Int = 16): DataFrame =
+    stratifiedTopNBy(docs, "doc_id", stratum, md5(col(textCol)), n, saltBuckets)
+
+  /** General form: smallest-`key` top-n per stratum over any id column —
+    * e.g. embeddings drawn per k-means cluster keyed on md5 of the vec_id
+    * (no text to content-address). Same two-phase salted shape. */
+  def stratifiedTopNBy(df: DataFrame, idCol: String, stratum: String,
+      key: org.apache.spark.sql.Column, n: Int, saltBuckets: Int = 16): DataFrame = {
+    val projected = df.select(col(idCol), col(stratum), key.as("_skey"))
     val local = Window
-      .partitionBy(col(stratum), pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
-      .orderBy(col("_skey"), col("doc_id"))
+      .partitionBy(col(stratum), pmod(xxhash64(col(idCol)), lit(saltBuckets)))
+      .orderBy(col("_skey"), col(idCol))
     val global = Window.partitionBy(col(stratum))
-      .orderBy(col("_skey"), col("doc_id"))
+      .orderBy(col("_skey"), col(idCol))
     projected
       .withColumn("_rk_local", row_number().over(local))
       .filter(col("_rk_local") <= n)
       .withColumn("rk", row_number().over(global).cast("long"))
       .filter(col("rk") <= n)
-      .select(col("doc_id"), col(stratum), col("rk"))
+      .select(col(idCol), col(stratum), col("rk"))
   }
 }
