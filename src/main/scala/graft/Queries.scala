@@ -686,6 +686,23 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** CUBE (all 2^n grouping sets — rollup's sibling Expand path; one scan,
+    * the Expand operator multiplies rows by the grouping-set count before
+    * the partial aggregate, so the shuffle still carries aggregates). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val cubeAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** DISTINCT aggregation — the two-phase distinct-agg path. */
   def distinctAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -1146,6 +1163,7 @@ object Queries {
     "media_features" -> (mediaFeatures _),
     "topn_orders" -> (topnOrders _),
     "rollup_agg" -> (rollupAgg _),
+    "cube_agg" -> (cubeAgg _),
     "distinct_agg" -> (distinctAgg _)
   )
 
@@ -1192,6 +1210,7 @@ object Queries {
     "media_features" -> mediaFeaturesSql,
     "topn_orders" -> topnOrdersSql,
     "rollup_agg" -> rollupAggSql,
+    "cube_agg" -> cubeAggSql,
     "distinct_agg" -> distinctAggSql
   )
 }
