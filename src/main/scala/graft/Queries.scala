@@ -740,15 +740,34 @@ object Queries {
     * memory sink, complete mode) — the streaming result must equal the
     * batch oracle exactly. Proves the readStream -> watermark+window ->
     * writeStream surface with a real CORRECTNESS row. */
+  /** Drain-and-stop streaming runs skip no-data micro-batches: those
+    * rounds only advance the watermark to EVICT state (nothing is emitted
+    * by inner joins, and complete-mode tables are unchanged), but each one
+    * commits every state-store instance across all shuffle partitions. A
+    * standing production query keeps the default — eviction is what
+    * bounds state over days. Restores the previous setting after. */
+  private def drainWithoutNoDataBatches[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   def eventsStreamHourly(s: SparkSession, dir: String): DataFrame = {
     val agg = graft.streaming.EventsStream.hourlyCounts(
       graft.streaming.EventsStream.fromParquetDir(s, dir))
     val qname = "events_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    drainWithoutNoDataBatches(s) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname)
   }
 
@@ -774,11 +793,13 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     val qname = "events_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    drainWithoutNoDataBatches(s) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname)
   }
 
@@ -796,11 +817,16 @@ object Queries {
       graft.streaming.EventsStream.fromParquetDir(s, dir),
       windowMinutes = 30)
     val qname = "events_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // biggest beneficiary: a stream-stream join commits 4 state-store
+    // instances per shuffle partition per micro-batch (measured 5.53 s ->
+    // 3.41 s warm at sf0.1 from skipping the eviction-only rounds)
+    drainWithoutNoDataBatches(s) {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname)
   }
 
