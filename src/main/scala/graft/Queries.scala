@@ -907,6 +907,27 @@ object Queries {
       |  || ',decode(''' || lower(sha256(text)) || ''',''hex''));' AS line
       |FROM documents""".stripMargin
 
+  /** Frame sampling over the synthetic video payloads: every 4th 64-byte
+    * block of each video body becomes a frame row — the inference-input
+    * shape (media_id, frame_no, bytes). The oracle re-derives the blocks by
+    * slicing the hex rendering of the same body (DuckDB 1.0 has no blob
+    * substring; 2 hex chars per byte, both engines render uppercase). */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Media.sampleFrames(
+      graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")),
+      frameSize = 64, stride = 4)
+      .select(col("media_id"), col("frame_no"), hex(col("frame")).as("frame_hex"))
+      .orderBy("media_id", "frame_no")
+
+  val mediaFramesSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
+      |    (octet_length(encode(text)) + 63) // 64 AS nblocks
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT media_id, bh, UNNEST(generate_series(0, CAST(nblocks AS INT) - 1)) AS frame_no FROM m)
+      |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+      |  substring(bh, frame_no * 128 + 1, 128) AS frame_hex
+      |FROM f WHERE frame_no % 4 = 0 ORDER BY media_id, frame_no""".stripMargin
+
   // ---------------------------------------------------------------------
   // F3/F4 end-to-end: the Postgres E''/NUL-drop writer and the MSSQL
   // CHAR-splice/N'' segment writer rendered over an escape-hostile corpus,
@@ -1187,6 +1208,7 @@ object Queries {
     "set_except" -> (setExcept _),
     "events_window" -> (eventsWindow _),
     "media_features" -> (mediaFeatures _),
+    "media_frames" -> (mediaFrames _),
     "topn_orders" -> (topnOrders _),
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
@@ -1234,6 +1256,7 @@ object Queries {
     "set_except" -> setExceptSql,
     "events_window" -> eventsWindowSql,
     "media_features" -> mediaFeaturesSql,
+    "media_frames" -> mediaFramesSql,
     "topn_orders" -> topnOrdersSql,
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,
