@@ -928,6 +928,44 @@ object Queries {
       |  substring(bh, frame_no * 128 + 1, 128) AS frame_hex
       |FROM f WHERE frame_no % 4 = 0 ORDER BY media_id, frame_no""".stripMargin
 
+  /** Nearest-neighbor resize of every payload to a 16×16 grid, rendered as
+    * hex. The oracle replays the exact resample arithmetic (sy = y·h/16,
+    * sx = x·w/16, integer division; reads beyond the body pad with 0x00)
+    * over a generated (y,x) grid, reassembles the body with an ordered
+    * string_agg of hex pairs, and rebuilds the patched 12-byte header from
+    * the same doc_id-derived fields via printf. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Media.resize(
+      graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")),
+      newW = 16, newH = 16)
+      .toDF()
+      .select(col("media_id"), hex(col("payload")).as("payload_hex"))
+      .orderBy("media_id")
+
+  val mediaResizeSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    CAST(16 + doc_id % 64 AS INT) AS w, CAST(16 + doc_id % 48 AS INT) AS h,
+      |    CAST(doc_id % 3 AS INT) AS kindb,
+      |    hex(encode(text)) AS bh, octet_length(encode(text)) AS blen
+      |  FROM documents),
+      |grid AS (SELECT media_id, w, h, bh, blen,
+      |    UNNEST(generate_series(0, 255)) AS p
+      |  FROM m),
+      |px AS (SELECT media_id,
+      |    ((p // 16) * h // 16) * w + ((p % 16) * w // 16) AS idx,
+      |    p, bh, blen
+      |  FROM grid),
+      |body AS (SELECT media_id,
+      |    string_agg(CASE WHEN idx < blen THEN substring(bh, idx * 2 + 1, 2)
+      |                    ELSE '00' END, '' ORDER BY p) AS body_hex
+      |  FROM px GROUP BY media_id),
+      |hdr AS (SELECT media_id,
+      |    -- 'GFT0' + kind byte + new w=16 LE + new h=16 LE + len=256 LE24
+      |    '47465430' || printf('%02X', kindb) || '10001000' || '000100' AS header_hex
+      |  FROM m)
+      |SELECT hdr.media_id, hdr.header_hex || body.body_hex AS payload_hex
+      |FROM hdr JOIN body USING (media_id) ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // F3/F4 end-to-end: the Postgres E''/NUL-drop writer and the MSSQL
   // CHAR-splice/N'' segment writer rendered over an escape-hostile corpus,
@@ -1209,6 +1247,7 @@ object Queries {
     "events_window" -> (eventsWindow _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
+    "media_resize" -> (mediaResize _),
     "topn_orders" -> (topnOrders _),
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
@@ -1257,6 +1296,7 @@ object Queries {
     "events_window" -> eventsWindowSql,
     "media_features" -> mediaFeaturesSql,
     "media_frames" -> mediaFramesSql,
+    "media_resize" -> mediaResizeSql,
     "topn_orders" -> topnOrdersSql,
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,
