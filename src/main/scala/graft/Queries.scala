@@ -1090,6 +1090,27 @@ object Queries {
       |ORDER BY purchase_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Bucketed range join: all event pairs within 1 hour of each other,
+  // with NO equi key — the bucket derivation is what keeps this off
+  // Spark's quadratic BroadcastNestedLoopJoin (plan pinned). The oracle is
+  // DuckDB's native inequality join (IEJoin), an independent range-join
+  // implementation.
+  // ---------------------------------------------------------------------
+  def rangeJoinPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RangeJoin.timePairs(
+      Tables.events(s, dir), idCol = "event_id", ts = "ts",
+      windowMs = 3600L * 1000L)
+      .orderBy("first_id", "second_id")
+
+  val rangeJoinPairsSql: String =
+    """SELECT a.event_id AS first_id, b.event_id AS second_id,
+      |  epoch_ms(b.ts) - epoch_ms(a.ts) AS dt_ms
+      |FROM events a JOIN events b
+      |  ON (b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+      |  OR (b.ts = a.ts AND a.event_id < b.event_id)
+      |ORDER BY first_id, second_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Deterministic stratified sampling: the 50 smallest-md5(text) documents
   // per language — a reproducible, content-addressed training-mix draw.
   // The Spark side is the two-phase salted top-n (no whole-stratum-on-one-
@@ -1231,6 +1252,7 @@ object Queries {
     "events_stream_dedup" -> (eventsStreamDedup _),
     "events_stream_join" -> (eventsStreamJoin _),
     "asof_join" -> (asofJoin _),
+    "range_join_pairs" -> (rangeJoinPairs _),
     "sample_stratified" -> (sampleStratified _),
     "token_topk" -> (tokenTopk _),
     "kmeans_assign" -> (kmeansAssign _),
@@ -1280,6 +1302,7 @@ object Queries {
     "events_stream_dedup" -> eventsStreamDedupSql,
     "events_stream_join" -> eventsStreamJoinSql,
     "asof_join" -> asofJoinSql,
+    "range_join_pairs" -> rangeJoinPairsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "token_topk" -> tokenTopkSql,
     "kmeans_assign" -> kmeansAssignSql,

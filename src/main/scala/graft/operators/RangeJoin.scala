@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed time-range self-join: all pairs of rows within `windowMs` of
+  * each other, WITHOUT any equi key to join on.
+  *
+  * Spark compiles a bare `a.ts BETWEEN b.ts AND b.ts + w` join to a
+  * BroadcastNestedLoopJoin (quadratic — dead at scale). This operator makes
+  * the join an equi-join on a derived key: bucket = floor(ts / window).
+  * A time-ordered pair (first, second) with 0 <= second.ts - first.ts <= w
+  * has second's bucket ∈ {first.bucket, first.bucket + 1}, so the FIRST
+  * side emits both keys (a 2× row expansion, not n²) and the join on
+  * (key == second.bucket) finds every qualifying pair EXACTLY once — no
+  * distinct pass needed. Equal-timestamp pairs share a bucket and are kept
+  * in one orientation by the id tie-break.
+  *
+  * Cost at 100 TB: one hash shuffle of 2·|L| + |R| rows on the bucket key
+  * plus the per-bucket join work that the time window actually implies —
+  * the selectivity a nested loop would only discover after scanning
+  * everything. Bucket population is bounded by window density; extreme
+  * hot windows (event storms) can be salted like any skewed equi-join.
+  */
+object RangeJoin {
+
+  /** Time-ordered pairs (first_id, second_id, dt_ms) with
+    * 0 <= dt <= windowMs; equal timestamps ordered by id. `idCol` must be
+    * unique; `ts` must be a TimestampType column. */
+  def timePairs(events: DataFrame, idCol: String, ts: String,
+      windowMs: Long): DataFrame = {
+    val ms = unix_millis(col(ts))
+    val bucket = floor(ms / lit(windowMs))
+    val left = events.select(col(idCol).as("_l_id"), ms.as("_l_ms"),
+        explode(array(bucket, bucket + 1)).as("_k"))
+    val right = events.select(col(idCol).as("_r_id"), ms.as("_r_ms"),
+        bucket.as("_k"))
+    left.join(right, "_k")
+      .filter((col("_r_ms") > col("_l_ms") &&
+          col("_r_ms") - col("_l_ms") <= windowMs) ||
+        (col("_r_ms") === col("_l_ms") && col("_l_id") < col("_r_id")))
+      .select(col("_l_id").as("first_id"), col("_r_id").as("second_id"),
+        (col("_r_ms") - col("_l_ms")).as("dt_ms"))
+  }
+}

@@ -105,6 +105,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"corpus shuffled during assignment:\n$p")
   }
 
+  test("range_join_pairs: bucketed equi-join, never a nested-loop range join") {
+    val p = plan("range_join_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a quadratic join:\n$p")
+    // the join key is the derived bucket, shuffled or broadcast as an
+    // ordinary equi-join
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no equi-join in plan:\n$p")
+  }
+
   test("dedup_exact: shuffle carries the digest, not document bodies") {
     val p = plan("dedup_exact")
     assert(p.contains("sha2"), p)

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite with SparkSuite {
+
+  private def run(rows: Seq[(Long, Long)], windowMs: Long) = {
+    import spark.implicits._
+    val df = rows.toDF("event_id", "ms")
+      .select(col("event_id"), timestamp_millis(col("ms")).as("ts"))
+    RangeJoin.timePairs(df, "event_id", "ts", windowMs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def brute(rows: Seq[(Long, Long)], windowMs: Long) =
+    (for {
+      a <- rows; b <- rows
+      if (b._2 > a._2 && b._2 - a._2 <= windowMs) ||
+        (b._2 == a._2 && a._1 < b._1)
+    } yield (a._1, b._1, b._2 - a._2)).toSet
+
+  test("pairs equal brute force, including cross-bucket and equal-ts pairs") {
+    // ids at: bucket boundaries, same instant, just inside / outside window
+    val rows = Seq((1L, 0L), (2L, 999L), (3L, 1000L), (4L, 1001L),
+      (5L, 1999L), (6L, 2000L), (7L, 2000L), (8L, 5000L))
+    val got = run(rows, windowMs = 1000L)
+    assert(got === brute(rows, 1000L))
+    // spot-check the semantics the construction must deliver
+    assert(got.contains((2L, 3L, 1L)))   // crosses a bucket boundary
+    assert(got.contains((6L, 7L, 0L)))   // equal ts kept once, id-ordered
+    assert(!got.contains((7L, 6L, 0L)))
+    assert(got.contains((1L, 3L, 1000L))) // dt == window inclusive
+    assert(!got.contains((1L, 4L, 1001L))) // dt > window excluded
+  }
+
+  test("each qualifying pair appears exactly once (no double count in-bucket)") {
+    val rows = (0L until 50L).map(i => (i, i * 37L)) // dense, many in-bucket
+    val got = run(rows, windowMs = 500L).toSeq
+      .map { case (a, b, _) => (a, b) }
+    assert(got.distinct.size === got.size)
+    assert(got.toSet === brute(rows, 500L).map { case (a, b, _) => (a, b) })
+  }
+
+  test("result is invariant to input partitioning") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, i * 1103L % 60000L))
+    val df = rows.toDF("event_id", "ms")
+      .select(col("event_id"), timestamp_millis(col("ms")).as("ts"))
+    val a = RangeJoin.timePairs(df, "event_id", "ts", 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = RangeJoin.timePairs(df.repartition(11), "event_id", "ts", 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(a === brute(rows, 5000L).map { case (x, y, _) => (x, y) })
+  }
+}
