@@ -40,7 +40,11 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String], tieBreak: String): DataFrame = {
     val payload = struct(rightCols.map(col): _*)
-    val rTagged = right.select(
+    // a null-timestamp right row can never be "at or before" anything (SQL
+    // comparison semantics, and what DuckDB's ASOF does); under the window
+    // ordering it would instead sort nulls-first and match EVERY left row
+    // earlier than the first real right row — so it is dropped here
+    val rTagged = right.filter(col(ts).isNotNull).select(
       Seq(col(key), col(ts), lit(0).as("_asof_side"),
         col(tieBreak).as("_asof_tie"), payload.as("_asof_r")): _*)
     val tieType = rTagged.schema("_asof_tie").dataType

@@ -37,12 +37,15 @@ object Sampling {
     * (no text to content-address). Same two-phase salted shape. */
   def stratifiedTopNBy(df: DataFrame, idCol: String, stratum: String,
       key: org.apache.spark.sql.Column, n: Int, saltBuckets: Int = 16): DataFrame = {
+    // nulls LAST explicitly: Spark's default ASC ordering is nulls-first,
+    // ANSI/DuckDB's is nulls-last — a null key must not win every draw on
+    // one engine and lose it on the other
     val projected = df.select(col(idCol), col(stratum), key.as("_skey"))
     val local = Window
       .partitionBy(col(stratum), pmod(xxhash64(col(idCol)), lit(saltBuckets)))
-      .orderBy(col("_skey"), col(idCol))
+      .orderBy(col("_skey").asc_nulls_last, col(idCol))
     val global = Window.partitionBy(col(stratum))
-      .orderBy(col("_skey"), col(idCol))
+      .orderBy(col("_skey").asc_nulls_last, col(idCol))
     projected
       .withColumn("_rk_local", row_number().over(local))
       .filter(col("_rk_local") <= n)

@@ -47,6 +47,19 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     assert(row.isNullAt(2))
   }
 
+  test("null-timestamp right rows never match (SQL comparison semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, Some(50L))).toDF("pid", "k", "ts")
+    val r = Seq((10L, 1L, None: Option[Long]), (20L, 1L, Some(40L)))
+      .toDF("rid", "k", "ts")
+    val out = AsOfJoin.backward(l, r, "k", "ts", Seq("rid"), "rid")
+      .select(col("pid"), col("asof_match.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // without the null filter the nulls-first window order would hand the
+    // null-ts row to every left row before ts=40
+    assert(out === Map(1L -> Some(20L)))
+  }
+
   test("result is invariant to input partitioning") {
     import spark.implicits._
     val left = (1L to 200L).map(i => (i, i % 7, i * 3))

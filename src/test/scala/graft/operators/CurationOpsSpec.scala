@@ -41,6 +41,23 @@ class CurationOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("stratifiedTopN: null keys lose every draw (ANSI nulls-last ordering)") {
+    import spark.implicits._
+    val df = Seq((1L, "a", Some("zz")), (2L, "a", None), (3L, "a", Some("aa")))
+      .toDF("doc_id", "lang", "text")
+    val out = Sampling.stratifiedTopN(df, "lang", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // the null-text doc must NOT occupy a quota slot ahead of real keys —
+    // Spark's default nulls-first window order would rank it 1
+    assert(out.keySet === Set(1L, 3L) && out.values.toSet === Set(1L, 2L))
+    // and the rank order among real keys is md5 order, as documented
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String) = md5.digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectFirst = if (h("zz") < h("aa")) 1L else 3L
+    assert(out(expectFirst) === 1L)
+  }
+
   test("tokenTopK counts ASCII-letter runs, case-folded, ties by token") {
     import spark.implicits._
     val corpus = Seq(
