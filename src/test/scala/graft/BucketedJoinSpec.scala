@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketing co-location contract: pre-bucketing both join sides on the
+  * join key removes the exchanges entirely — the physical property that
+  * turns a repeated 100 TB fact-to-fact join from two full shuffles into a
+  * local zip of bucket files. (Dimension joins broadcast instead — q3_join's
+  * pinned plan; bucketing is the strategy for the big-big case.) */
+class BucketedJoinSpec extends AnyFunSuite with SparkSuite {
+
+  test("bucketed fact-fact join runs with zero shuffle exchanges") {
+    val base = Files.createTempDirectory("buckets").toFile.getAbsolutePath
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = graft.sources.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    li.write.format("parquet").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$base/li").saveAsTable("li_bkt")
+    ord.write.format("parquet").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$base/ord").saveAsTable("ord_bkt")
+
+    // forbid broadcast so the test proves bucket co-location, not size
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val joined = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$plan")
+      // and it computes the same thing as the plain join
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
+}
