@@ -1144,6 +1144,36 @@ object Queries {
       |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TF-IDF retrieval scoring: top-20 documents per query term. Linear
+  // (rational) IDF — tf·(N/df), two IEEE ops in fixed order — so the
+  // scores are bit-identical across engines (log is 1-2 ulp
+  // platform-dependent and would break the hash oracle; ranking is
+  // unchanged since log is monotone).
+  // ---------------------------------------------------------------------
+  def tfidfTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.tfidfTopK(
+      t(s, dir, "documents"), terms = Seq("spark", "table", "join"), k = 20)
+      .orderBy("term", "rk")
+
+  val tfidfTopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(tok) AS term
+      |  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+      |        FROM documents) t
+      |  WHERE lower(tok) IN ('spark', 'table', 'join')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT term, doc_id, rk, score FROM (
+      |  SELECT tf.term, tf.doc_id,
+      |    CAST(tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score,
+      |    row_number() OVER (PARTITION BY tf.term
+      |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+      |               tf.doc_id) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n) x
+      |WHERE rk <= 20 ORDER BY term, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Deterministic distributed k-means (semantic clustering): 2 Lloyd
   // rounds, seeded from the 10 lowest vec_ids, fixed-point (2^-40)
   // centroid updates so training is bitwise-reproducible — the oracle
@@ -1255,6 +1285,7 @@ object Queries {
     "range_join_pairs" -> (rangeJoinPairs _),
     "sample_stratified" -> (sampleStratified _),
     "token_topk" -> (tokenTopk _),
+    "tfidf_topk" -> (tfidfTopk _),
     "kmeans_assign" -> (kmeansAssign _),
     "pipeline_diverse_sample" -> (pipelineDiverseSample _),
     "ann_topk" -> (annTopk _),
@@ -1305,6 +1336,7 @@ object Queries {
     "range_join_pairs" -> rangeJoinPairsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "token_topk" -> tokenTopkSql,
+    "tfidf_topk" -> tfidfTopkSql,
     "kmeans_assign" -> kmeansAssignSql,
     "pipeline_diverse_sample" -> pipelineDiverseSampleSql,
     "ann_topk" -> annTopkSql,

@@ -85,6 +85,40 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** Per-term top-k documents by TF-IDF over the [[tokenTopK]] tokenizer.
+    *
+    * IDF is the LINEAR rational N/df, not log(N/df): the score is then
+    * exactly `tf · (N/df)` — two IEEE operations in a fixed order, which
+    * every engine computes bit-identically. (`log` is 1-2 ulp
+    * platform-dependent in libm vs the JVM, which would break hash
+    * oracles; the linear form preserves the per-term document RANKING
+    * that matters for retrieval, since log is monotone.)
+    *
+    * Scale shape: tokenize → filter to the query terms FIRST (the corpus
+    * never materializes a full postings table for unqueried tokens), then
+    * tf per (doc, term), df per term, one broadcast-sized join of the
+    * per-term stats, and a per-term top-k window. */
+  def tfidfTopK(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.count() // one scalar action; the corpus is the input
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), "[^A-Za-z]+")).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = toks.groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val score = col("tf").cast("double") *
+      (lit(nDocs).cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("term")
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(df_), "term")
+      .select(col("term"), col("doc_id"), score.as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("term", "doc_id", "rk", "score")
+  }
+
   /** Document fingerprint: 64-bit content hash of the token sequence
     * (whitespace-normalized), for cheap downstream equality joins.
     * xxhash64 is Spark-codegen'd — the fast path when cross-engine

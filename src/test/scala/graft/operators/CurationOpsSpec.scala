@@ -58,6 +58,21 @@ class CurationOpsSpec extends AnyFunSuite with SparkSuite {
     assert(out(expectFirst) === 1L)
   }
 
+  test("tfidfTopK: tf orders within a term; rarer terms score higher at equal tf") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark spark join"),
+      (2L, "spark table"),
+      (3L, "table table")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopK(corpus, Seq("spark", "join"), k = 10)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("spark", 1L))._1 === 1L && out(("spark", 2L))._1 === 2L)
+    // join: df=1 so idf=3; spark: df=2 so idf=1.5 — at tf=1, join > spark
+    assert(out(("join", 1L))._2 === 3.0)
+    assert(out(("spark", 2L))._2 === 1.5)
+    assert(out(("spark", 1L))._2 === 4.5) // tf=3 · idf=1.5
+  }
+
   test("tokenTopK counts ASCII-letter runs, case-folded, ties by token") {
     import spark.implicits._
     val corpus = Seq(
