@@ -686,6 +686,77 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Left-anti join — the NOT EXISTS shape (customers with no URGENT
+    * order; every customer HAS orders in the fixture, so the unfiltered
+    * variant would be a weak 0-row check). Catalyst compiles this to a
+    * broadcast/shuffled anti join; the oracle is the ANSI NOT EXISTS
+    * form. The probe filter is pushed to the orders scan before the
+    * anti join ships only o_custkey. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** One-pass column profiling over lineitem — the data-audit primitive
+    * (null counts, distinct cardinalities, exact extrema) computed as ONE
+    * aggregate scan, unpivoted to a row per metric. */
+  def profileLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("l_orderkey")).as("d_orderkey"),
+      count_distinct(col("l_returnflag")).as("d_returnflag"),
+      sum(col("l_quantity").isNull.cast("long")).as("null_quantity"),
+      min(col("l_quantity").cast("decimal(18,2)")).cast("double").as("min_quantity"),
+      max(col("l_quantity").cast("decimal(18,2)")).cast("double").as("max_quantity"),
+      min(col("l_shipdate")).cast("date").cast("string").as("min_shipdate"),
+      max(col("l_shipdate")).cast("date").cast("string").as("max_shipdate"))
+    agg.selectExpr(
+      """stack(8,
+        | 'n_rows', cast(n_rows as string),
+        | 'd_orderkey', cast(d_orderkey as string),
+        | 'd_returnflag', cast(d_returnflag as string),
+        | 'null_quantity', cast(null_quantity as string),
+        | 'min_quantity', cast(min_quantity as string),
+        | 'max_quantity', cast(max_quantity as string),
+        | 'min_shipdate', min_shipdate,
+        | 'max_shipdate', max_shipdate) AS (metric, value)""".stripMargin)
+      .orderBy("metric")
+  }
+
+  val profileLineitemSql: String =
+    """WITH a AS (SELECT
+      |  COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_orderkey) AS d_orderkey,
+      |  COUNT(DISTINCT l_returnflag) AS d_returnflag,
+      |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity,
+      |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_quantity,
+      |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_quantity,
+      |  CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS min_shipdate,
+      |  CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS max_shipdate
+      |FROM lineitem)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_rows' AS metric, CAST(n_rows AS VARCHAR) AS value FROM a
+      |  UNION ALL SELECT 'd_orderkey', CAST(d_orderkey AS VARCHAR) FROM a
+      |  UNION ALL SELECT 'd_returnflag', CAST(d_returnflag AS VARCHAR) FROM a
+      |  UNION ALL SELECT 'null_quantity', CAST(null_quantity AS VARCHAR) FROM a
+      |  UNION ALL SELECT 'min_quantity', CAST(min_quantity AS VARCHAR) FROM a
+      |  UNION ALL SELECT 'max_quantity', CAST(max_quantity AS VARCHAR) FROM a
+      |  UNION ALL SELECT 'min_shipdate', min_shipdate FROM a
+      |  UNION ALL SELECT 'max_shipdate', max_shipdate FROM a) u
+      |ORDER BY metric""".stripMargin
+
   /** CUBE (all 2^n grouping sets — rollup's sibling Expand path; one scan,
     * the Expand operator multiplies rows by the grouping-set count before
     * the partial aggregate, so the shuffle still carries aggregates). */
@@ -1304,6 +1375,8 @@ object Queries {
     "topn_orders" -> (topnOrders _),
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
+    "anti_join" -> (antiJoin _),
+    "profile_lineitem" -> (profileLineitem _),
     "distinct_agg" -> (distinctAgg _)
   )
 
@@ -1355,6 +1428,8 @@ object Queries {
     "topn_orders" -> topnOrdersSql,
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,
+    "anti_join" -> antiJoinSql,
+    "profile_lineitem" -> profileLineitemSql,
     "distinct_agg" -> distinctAggSql
   )
 }
