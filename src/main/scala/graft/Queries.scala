@@ -1161,7 +1161,7 @@ object Queries {
       |ORDER BY purchase_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Bucketed range join: all event pairs within 1 hour of each other,
+  // Bucketed range join: all event pairs within 10 minutes of each other,
   // with NO equi key — the bucket derivation is what keeps this off
   // Spark's quadratic BroadcastNestedLoopJoin (plan pinned). The oracle is
   // DuckDB's native inequality join (IEJoin), an independent range-join
@@ -1170,14 +1170,18 @@ object Queries {
   def rangeJoinPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.RangeJoin.timePairs(
       Tables.events(s, dir), idCol = "event_id", ts = "ts",
-      windowMs = 3600L * 1000L)
+      // pair density grows quadratically with event rate: 10 min keeps
+      // the OUTPUT a sane size at every SF (the join itself is linear in
+      // candidates either way; 1 h at sf0.1 materializes ~14M pairs and
+      // the bench measures parquet-noop throughput, not the operator)
+      windowMs = 600L * 1000L)
       .orderBy("first_id", "second_id")
 
   val rangeJoinPairsSql: String =
     """SELECT a.event_id AS first_id, b.event_id AS second_id,
       |  epoch_ms(b.ts) - epoch_ms(a.ts) AS dt_ms
       |FROM events a JOIN events b
-      |  ON (b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+      |  ON (b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE)
       |  OR (b.ts = a.ts AND a.event_id < b.event_id)
       |ORDER BY first_id, second_id""".stripMargin
 
