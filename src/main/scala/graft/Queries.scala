@@ -1160,6 +1160,35 @@ object Queries {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Forward as-of: each click matched to the NEXT purchase by the same
+    * user (time-to-conversion). Oracle: DuckDB ASOF with the inequality
+    * flipped (`p.ts >= c.ts`). */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.forward(clicks, purchases,
+      key = "user_id", ts = "ts",
+      rightCols = Seq("purchase_id", "ts"), tieBreak = "purchase_id")
+      .select(col("click_id"), col("user_id"),
+        unix_millis(col("ts")).as("c_ms"),
+        col("asof_match.purchase_id").as("purchase_id"),
+        unix_millis(col("asof_match.ts")).as("p_ms"),
+        (unix_millis(col("asof_match.ts")) - unix_millis(col("ts"))).as("lag_ms"))
+      .orderBy("click_id")
+  }
+
+  val asofJoinForwardSql: String =
+    """SELECT c.event_id AS click_id, c.user_id, epoch_ms(c.ts) AS c_ms,
+      |  p.event_id AS purchase_id, epoch_ms(p.ts) AS p_ms,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts
+      |ORDER BY click_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Bucketed range join: all event pairs within 10 minutes of each other,
   // with NO equi key — the bucket derivation is what keeps this off
@@ -1357,6 +1386,7 @@ object Queries {
     "events_stream_dedup" -> (eventsStreamDedup _),
     "events_stream_join" -> (eventsStreamJoin _),
     "asof_join" -> (asofJoin _),
+    "asof_join_forward" -> (asofJoinForward _),
     "range_join_pairs" -> (rangeJoinPairs _),
     "sample_stratified" -> (sampleStratified _),
     "token_topk" -> (tokenTopk _),
@@ -1410,6 +1440,7 @@ object Queries {
     "events_stream_dedup" -> eventsStreamDedupSql,
     "events_stream_join" -> eventsStreamJoinSql,
     "asof_join" -> asofJoinSql,
+    "asof_join_forward" -> asofJoinForwardSql,
     "range_join_pairs" -> rangeJoinPairsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "token_topk" -> tokenTopkSql,

@@ -38,7 +38,20 @@ object AsOfJoin {
     *         right row at-or-before the left row's timestamp exists)
     */
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightCols: Seq[String], tieBreak: String): DataFrame = {
+      rightCols: Seq[String], tieBreak: String): DataFrame =
+    joined(left, right, key, ts, rightCols, tieBreak, forwardDir = false)
+
+  /** Forward as-of: the single right row with the SMALLEST `ts` >= the left
+    * row's `ts` (inclusive) — e.g. each click matched to the next purchase.
+    * Same union+window machinery run in reverse time order; at an equal
+    * timestamp the SMALLEST tie-break wins (the time-nearest convention
+    * mirrored from backward's largest-wins). */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], tieBreak: String): DataFrame =
+    joined(left, right, key, ts, rightCols, tieBreak, forwardDir = true)
+
+  private def joined(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], tieBreak: String, forwardDir: Boolean): DataFrame = {
     val payload = struct(rightCols.map(col): _*)
     // a null-timestamp right row can never be "at or before" anything (SQL
     // comparison semantics, and what DuckDB's ASOF does); under the window
@@ -59,8 +72,19 @@ object AsOfJoin {
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(lTagged.columns.map(col): _*)
+    // backward scans time ascending (running last right = latest at-or-
+    // before); forward scans descending (running last right = earliest
+    // at-or-after). Right rows sort before left at an equal timestamp in
+    // both directions (side 0 first) — that is what makes the match
+    // inclusive. The tie direction flips so the winner is the
+    // time-nearest representative under each scan order.
+    // nulls first in BOTH scan directions: a null-ts left row must see no
+    // right rows (null compares to nothing), so it sorts ahead of them
+    val (tsOrd, tieOrd) =
+      if (forwardDir) (col(ts).desc_nulls_first, col("_asof_tie").desc)
+      else (col(ts).asc_nulls_first, col("_asof_tie").asc)
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("_asof_side").asc, col("_asof_tie").asc)
+      .orderBy(tsOrd, col("_asof_side").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rAligned)
       .withColumn("asof_match", last("_asof_r", ignoreNulls = true).over(w))

@@ -47,6 +47,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     assert(row.isNullAt(2))
   }
 
+  test("forward as-of: earliest at-or-after right row; smallest tie wins") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, Some(5L)), (2L, 1L, Some(20L)), (3L, 1L, Some(35L)),
+      (4L, 1L, None: Option[Long]))
+      .toDF("pid", "k", "ts")
+    val r = Seq((10L, 1L, 10L), (20L, 1L, 20L), (21L, 1L, 20L), (30L, 1L, 30L))
+      .toDF("rid", "k", "ts")
+    val out = AsOfJoin.forward(l, r, "k", "ts", Seq("rid"), "rid")
+      .select(col("pid"), col("asof_match.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(
+      1L -> Some(10L),  // earliest at-or-after, not any later one
+      2L -> Some(20L),  // equal ts matches (inclusive), smallest tie wins
+      3L -> None,       // after the last right row
+      4L -> None))      // null left ts never matches
+  }
+
   test("null-timestamp right rows never match (SQL comparison semantics)") {
     import spark.implicits._
     val l = Seq((1L, 1L, Some(50L))).toDF("pid", "k", "ts")
