@@ -940,6 +940,45 @@ object Queries {
       |  make_timestamp(t1*1000) AS session_end, n_events
       |FROM agg2 WHERE sid < max_sid""".stripMargin
 
+  /** STREAMING sessionization — the EventTimeTimeout state machine over
+    * the real file stream. Unlike the batch run (events_sessions, which
+    * can never close a user's final session), the watermark advancing past
+    * `last + gap` closes and EMITS trailing sessions with no further
+    * events — the oracle adds exactly that clause: the last island also
+    * closes iff max(event time) > session_end + gap. Must keep the
+    * default no-data micro-batch (it fires the trailing timeouts). */
+  def eventsSessionsStream(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.streaming.EventsStream.sessionizeStreaming(
+      graft.streaming.EventsStream.fromParquetDir(s, dir), gapMinutes = 30)
+    val qname = "sess_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sess.toDF().writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+      .select(col("user_id"), col("start").as("session_start"),
+        col("end").as("session_end"), col("n_events").cast("long").as("n_events"))
+  }
+
+  val eventsSessionsStreamSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+      |o AS (SELECT user_id, t,
+      |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |sess AS (SELECT user_id, t,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |agg AS (SELECT user_id, sid, min(t) AS t0, max(t) AS t1, COUNT(*) AS n_events
+      |        FROM sess GROUP BY user_id, sid),
+      |agg2 AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg),
+      |mx AS (SELECT max(epoch_ms(ts)) AS mts FROM events)
+      |SELECT user_id, make_timestamp(t0*1000) AS session_start,
+      |  make_timestamp(t1*1000) AS session_end, n_events
+      |FROM agg2, mx
+      |WHERE sid < max_sid OR mx.mts > t1 + 1800000""".stripMargin
+
   // ---------------------------------------------------------------------
   // Multimodal: binary payload round-trip (synthetic header + decode stub).
   // The oracle re-derives the decoded metadata independently — proving the
@@ -1383,6 +1422,7 @@ object Queries {
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "events_stream" -> (eventsStreamHourly _),
     "events_sessions" -> (eventsSessions _),
+    "events_sessions_stream" -> (eventsSessionsStream _),
     "events_stream_dedup" -> (eventsStreamDedup _),
     "events_stream_join" -> (eventsStreamJoin _),
     "asof_join" -> (asofJoin _),
@@ -1437,6 +1477,7 @@ object Queries {
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "events_stream" -> eventsStreamHourlySql,
     "events_sessions" -> eventsSessionsSql,
+    "events_sessions_stream" -> eventsSessionsStreamSql,
     "events_stream_dedup" -> eventsStreamDedupSql,
     "events_stream_join" -> eventsStreamJoinSql,
     "asof_join" -> asofJoinSql,

@@ -156,6 +156,58 @@ object EventsStream {
   case class SessionState(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)
 
+  /** STREAMING per-user sessionization: the same gap state machine as
+    * [[sessionize]], but run on an unbounded stream with
+    * `GroupStateTimeout.EventTimeTimeout` — a user's open session is held
+    * in state with a timeout at `last + gap`, and when the WATERMARK
+    * passes that point the session closes and emits without any further
+    * event from that user arriving. This is the piece batch mode cannot
+    * express (batch holds every final session forever); the end-of-stream
+    * no-data micro-batch is what fires the trailing timeouts, which is
+    * why this query must NOT skip it (the drain-fast helper in Queries is
+    * for pipelines whose results don't depend on eviction).
+    *
+    * Watermark delay 0 keeps the close condition exact: a session closes
+    * iff max(event time) > session_end + gap, which is what the SQL
+    * oracle replays. */
+  def sessionizeStreaming(events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.selectExpr("ts", "user_id", "event_type").as[Event]
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Per-user sessionization with a custom state machine
     * (flatMapGroupsWithState): a session closes when a subsequent event
     * arrives more than `gapMinutes` after the last one. */

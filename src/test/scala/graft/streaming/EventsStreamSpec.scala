@@ -63,6 +63,30 @@ class EventsStreamSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("sessionizeStreaming: the WATERMARK closes idle sessions, no event needed") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionizeStreaming(input.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_wm")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventsStream.Event(ts(0), 1L, "click"),
+        EventsStream.Event(ts(10), 1L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("sessions_wm").isEmpty) // open, within gap
+      // a DIFFERENT user's event advances the watermark past u1's
+      // last + gap (10 + 30 < 120): u1's session must close by TIMEOUT —
+      // the thing the batch state machine can never do
+      input.addData(EventsStream.Event(ts(120), 2L, "click"))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_wm").collect()
+        .map(r => (r.getLong(0), r.getInt(3)))
+      assert(sessions.toSeq == Seq((1L, 2)))
+    } finally q.stop()
+  }
+
   test("sessionize: sessions close across batches when the gap is exceeded") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
