@@ -757,6 +757,26 @@ object Queries {
       |  UNION ALL SELECT 'max_shipdate', max_shipdate FROM a) u
       |ORDER BY metric""".stripMargin
 
+  /** Salted two-phase aggregation under the oracle gate: the hot-key
+    * mitigation (Skew.saltedSum — phase 1 on (key, salt), phase 2 merges
+    * partials) run on a DECIMAL value, where both phases are exact and
+    * associative, so the salted result is BIT-equal to the plain GROUP BY
+    * the oracle runs. Proves the mitigation is a pure physical rewrite. */
+  def skewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSum(t(s, dir, "lineitem"),
+        key = col("l_returnflag"),
+        value = col("l_quantity").cast("decimal(18,2)"),
+        salts = 8, saltBy = col("l_orderkey"))
+      .select(col("k").as("l_returnflag"),
+        col("sum_v").cast("double").as("sum_qty"), col("n"))
+      .orderBy("l_returnflag")
+
+  val skewSaltedAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** CUBE (all 2^n grouping sets — rollup's sibling Expand path; one scan,
     * the Expand operator multiplies rows by the grouping-set count before
     * the partial aggregate, so the shuffle still carries aggregates). */
@@ -1449,6 +1469,7 @@ object Queries {
     "topn_orders" -> (topnOrders _),
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
+    "skew_salted_agg" -> (skewSaltedAgg _),
     "anti_join" -> (antiJoin _),
     "profile_lineitem" -> (profileLineitem _),
     "distinct_agg" -> (distinctAgg _)
@@ -1504,6 +1525,7 @@ object Queries {
     "topn_orders" -> topnOrdersSql,
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,
+    "skew_salted_agg" -> skewSaltedAggSql,
     "anti_join" -> antiJoinSql,
     "profile_lineitem" -> profileLineitemSql,
     "distinct_agg" -> distinctAggSql
