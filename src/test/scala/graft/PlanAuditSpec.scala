@@ -74,6 +74,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       p.contains("EqualTo(event_type,click)"), s"filters not pushed:\n$p")
   }
 
+  test("asof_join_forward: same single-exchange shape as backward") {
+    val p = plan("asof_join_forward")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"forward as-of fell back to a quadratic join:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"no keyed exchange:\n$p")
+    assert(p.contains("last(_asof_r"), s"running-last window missing:\n$p")
+  }
+
   test("sample_stratified: salted two-phase with map-side rank pruning") {
     val p = plan("sample_stratified")
     // phase-1 partitions by (stratum, salt) — a whole stratum never lands
