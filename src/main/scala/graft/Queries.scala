@@ -708,6 +708,23 @@ object Queries {
       |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Left-semi join — the EXISTS complement of [[antiJoin]]. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
   /** One-pass column profiling over lineitem — the data-audit primitive
     * (null counts, distinct cardinalities, exact extrema) computed as ONE
     * aggregate scan, unpivoted to a row per metric. */
@@ -1471,6 +1488,7 @@ object Queries {
     "cube_agg" -> (cubeAgg _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "anti_join" -> (antiJoin _),
+    "semi_join" -> (semiJoin _),
     "profile_lineitem" -> (profileLineitem _),
     "distinct_agg" -> (distinctAgg _)
   )
@@ -1527,6 +1545,7 @@ object Queries {
     "cube_agg" -> cubeAggSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "anti_join" -> antiJoinSql,
+    "semi_join" -> semiJoinSql,
     "profile_lineitem" -> profileLineitemSql,
     "distinct_agg" -> distinctAggSql
   )
