@@ -1309,6 +1309,25 @@ object Queries {
       |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Deterministic budget packing: fill a 20000-char budget per language in
+  // content-hash order — the assemble-a-training-mix-to-a-budget
+  // primitive. Exact prefix-sum cut, reproducible by construction.
+  // ---------------------------------------------------------------------
+  def sampleBudget(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.budgetPack(
+      t(s, dir, "documents"), stratum = "lang", textCol = "text",
+      sizeCol = "n_chars", budget = 20000L)
+      .orderBy("lang", "cum_size")
+
+  val sampleBudgetSql: String =
+    """SELECT doc_id, lang, cum_size FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY md5(text), doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_size
+      |  FROM documents) t
+      |WHERE cum_size <= 20000 ORDER BY lang, cum_size""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Corpus token frequency top-k: the vocabulary-head profile every
   // training-data audit starts with. Map-side partial counts absorb the
   // stopword skew; only (token, partial_count) rows shuffle.
@@ -1466,6 +1485,7 @@ object Queries {
     "asof_join_forward" -> (asofJoinForward _),
     "range_join_pairs" -> (rangeJoinPairs _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_budget" -> (sampleBudget _),
     "token_topk" -> (tokenTopk _),
     "tfidf_topk" -> (tfidfTopk _),
     "kmeans_assign" -> (kmeansAssign _),
@@ -1523,6 +1543,7 @@ object Queries {
     "asof_join_forward" -> asofJoinForwardSql,
     "range_join_pairs" -> rangeJoinPairsSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_budget" -> sampleBudgetSql,
     "token_topk" -> tokenTopkSql,
     "tfidf_topk" -> tfidfTopkSql,
     "kmeans_assign" -> kmeansAssignSql,

@@ -32,6 +32,31 @@ object Sampling {
       n: Int, saltBuckets: Int = 16): DataFrame =
     stratifiedTopNBy(docs, "doc_id", stratum, md5(col(textCol)), n, saltBuckets)
 
+  /** Deterministic budget packing: walk each stratum in content-hash order
+    * and keep documents while the running total of `sizeCol` stays within
+    * `budget` — the "assemble a training mix to a byte/token budget"
+    * primitive, reproducible because the walk order is md5-determined.
+    *
+    * Scale note: a prefix sum is inherently sequential PER STRATUM (the
+    * cut depends on every earlier row), so the stratum is the parallelism
+    * unit — unlike [[stratifiedTopN]] there is no exact salted two-phase
+    * for it. Only (id, stratum, size, 32-byte digest) tuples shuffle; with
+    * B strata the job runs on B-way parallelism, which is the honest
+    * ceiling for exact budget cuts. For approximate cuts at higher
+    * parallelism, pre-filter with a hash-rate sample sized near the
+    * budget, then pack exactly. */
+  def budgetPack(docs: DataFrame, stratum: String, textCol: String,
+      sizeCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(col("_skey").asc_nulls_last, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col(stratum), col(sizeCol),
+        md5(col(textCol)).as("_skey"))
+      .withColumn("cum_size", sum(col(sizeCol)).over(w))
+      .filter(col("cum_size") <= budget)
+      .select(col("doc_id"), col(stratum), col("cum_size"))
+  }
+
   /** General form: smallest-`key` top-n per stratum over any id column —
     * e.g. embeddings drawn per k-means cluster keyed on md5 of the vec_id
     * (no text to content-address). Same two-phase salted shape. */

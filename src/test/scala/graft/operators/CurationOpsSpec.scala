@@ -58,6 +58,24 @@ class CurationOpsSpec extends AnyFunSuite with SparkSuite {
     assert(out(expectFirst) === 1L)
   }
 
+  test("budgetPack: exact prefix cut per stratum, partitioning-invariant") {
+    val budget = 5000L
+    val out = Sampling.budgetPack(docs, "lang", "text", "n_chars", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val cums = rows.map(_._3).sorted
+      assert(cums.last <= budget, s"$lang over budget")
+      // cum sums are strictly increasing positive partial sums — a prefix,
+      // not an arbitrary subset
+      assert(cums.distinct.size === cums.size)
+    }
+    val b = Sampling.budgetPack(docs.repartition(13), "lang", "text",
+        "n_chars", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet === b.toSet)
+  }
+
   test("tfidfTopK: tf orders within a term; rarer terms score higher at equal tf") {
     import spark.implicits._
     val corpus = Seq(
