@@ -1309,6 +1309,26 @@ object Queries {
       |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Deterministic Bernoulli downsampling: rebalance the overrepresented
+  // language by keeping only docs whose content hash falls under a hex
+  // threshold — en at ~25%, es at ~50%, everything else kept. A pure
+  // per-row filter: no shuffle, no state, reproducible keep-set.
+  // ---------------------------------------------------------------------
+  def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.bernoulliByHash(
+      t(s, dir, "documents"), stratum = "lang", textCol = "text",
+      thresholds = Map("en" -> "4", "es" -> "8"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val sampleBernoulliSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CASE lang WHEN 'en' THEN md5(text) < '4'
+      |                WHEN 'es' THEN md5(text) < '8'
+      |                ELSE TRUE END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Deterministic budget packing: fill a 20000-char budget per language in
   // content-hash order — the assemble-a-training-mix-to-a-budget
   // primitive. Exact prefix-sum cut, reproducible by construction.
@@ -1486,6 +1506,7 @@ object Queries {
     "range_join_pairs" -> (rangeJoinPairs _),
     "sample_stratified" -> (sampleStratified _),
     "sample_budget" -> (sampleBudget _),
+    "sample_bernoulli" -> (sampleBernoulli _),
     "token_topk" -> (tokenTopk _),
     "tfidf_topk" -> (tfidfTopk _),
     "kmeans_assign" -> (kmeansAssign _),
@@ -1544,6 +1565,7 @@ object Queries {
     "range_join_pairs" -> rangeJoinPairsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_budget" -> sampleBudgetSql,
+    "sample_bernoulli" -> sampleBernoulliSql,
     "token_topk" -> tokenTopkSql,
     "tfidf_topk" -> tfidfTopkSql,
     "kmeans_assign" -> kmeansAssignSql,

@@ -57,6 +57,23 @@ object Sampling {
       .select(col("doc_id"), col(stratum), col("cum_size"))
   }
 
+  /** Deterministic Bernoulli downsampling at per-stratum rates: keep a
+    * document iff md5(text) is lexicographically below the stratum's hex
+    * threshold — a pure per-row filter (no shuffle, no state, full scan
+    * parallelism) whose keep-set is a reproducible function of content.
+    * Rates map to thresholds as rate = int(prefix,16)/16^len; e.g. "4" =
+    * 4/16 = 25%, "8" = 50%. The standard lever for rebalancing an
+    * overrepresented stratum, and the pre-filter [[budgetPack]] names for
+    * approximate budget cuts at full parallelism. */
+  def bernoulliByHash(docs: DataFrame, stratum: String, textCol: String,
+      thresholds: Map[String, String], defaultKeep: Boolean = true): DataFrame = {
+    val digest = md5(col(textCol))
+    val keep = thresholds.foldLeft(lit(defaultKeep)) { case (acc, (st, thr)) =>
+      when(col(stratum) === st, digest < lit(thr)).otherwise(acc)
+    }
+    docs.filter(keep)
+  }
+
   /** General form: smallest-`key` top-n per stratum over any id column —
     * e.g. embeddings drawn per k-means cluster keyed on md5 of the vec_id
     * (no text to content-address). Same two-phase salted shape. */
