@@ -1474,6 +1474,117 @@ object Queries {
        |WHERE rk <= 10 ORDER BY cluster, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // repetition_stats — Gopher-style per-document repetition quality
+  // signals (dup-word fraction, top-bigram fraction, char collision
+  // probability). See TextOps.repetitionStats for the scale shape.
+  // ---------------------------------------------------------------------
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.repetitionStats(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  val repetitionStatsSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS dup_word_frac
+      |  FROM w),
+      |bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS bg
+      |       FROM w WHERE len(ws) >= 2),
+      |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |topbg AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+      |          FROM bgc GROUP BY 1),
+      |ch AS (SELECT doc_id, unnest([text[i] for i in generate_series(1, len(text))]) AS ch FROM w),
+      |chc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      |coll AS (SELECT doc_id, CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE) AS char_coll_prob
+      |         FROM chc GROUP BY 1)
+      |SELECT b.doc_id, b.n_words, b.dup_word_frac, t.top_bigram_frac, c.char_coll_prob
+      |FROM base b LEFT JOIN topbg t USING(doc_id) LEFT JOIN coll c USING(doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // pii_mask — PII redaction. The fixture corpus contains no PII, so a
+  // deterministic synthetic email + IPv4 derived from doc_id is grafted
+  // onto each document IN BOTH ENGINES; the masking regexes then have
+  // real work to do and the oracle checks the masked text byte-for-byte.
+  // ---------------------------------------------------------------------
+  def piiMask(s: SparkSession, dir: String): DataFrame = {
+    val pii = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example.com from 10."),
+      (col("doc_id") % 200).cast("string"), lit(".0."),
+      (col("doc_id") % 250).cast("string"))
+    val (masked, nEmails, nIps) = graft.operators.TextOps.piiMask(pii)
+    t(s, dir, "documents")
+      .select(col("doc_id"), masked.as("masked"),
+        nEmails.as("n_emails"), nIps.as("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  val piiMaskSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
+      |      || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS pii
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, pii,
+      |    regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS em
+      |  FROM p)
+      |SELECT doc_id,
+      |  regexp_replace(em, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS masked,
+      |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(em, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // contamination_ngrams — benchmark decontamination: corpus docs sharing
+  // any word 3-gram with the doc_id % 97 == 0 eval split. md5-hashed gram
+  // keys, broadcast eval side (TextOps.contamination).
+  // ---------------------------------------------------------------------
+  def contaminationNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.contamination(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  val contaminationNgramsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, gh FROM (
+      |  SELECT doc_id, unnest([md5(array_to_string(ws[i:i+2], ' ')) for i in generate_series(1, len(ws)-2)]) AS gh
+      |  FROM w WHERE len(ws) >= 3)),
+      |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
+      |SELECT g.doc_id, count(*) AS n_hits
+      |FROM g JOIN ev USING (gh)
+      |WHERE g.doc_id % 97 <> 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // pack_sequences — greedy next-fit token-budget packing per hash bucket
+  // (Packing.packSequences). The oracle replays the sequential recurrence
+  // as a recursive CTE stepping one row per bucket per iteration.
+  // ---------------------------------------------------------------------
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  val packSequencesSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, doc_id % 16 AS bucket,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT bucket, rn, doc_id, n_toks,
+      |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS tok_offset
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.bucket, d.rn, d.doc_id, d.n_toks,
+      |    CASE WHEN p.tok_offset + p.n_toks + d.n_toks <= 128
+      |         THEN p.seq_id ELSE p.seq_id + 1 END,
+      |    CASE WHEN p.tok_offset + p.n_toks + d.n_toks <= 128
+      |         THEN p.tok_offset + p.n_toks ELSE CAST(0 AS BIGINT) END
+      |  FROM pack p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+      |SELECT doc_id, bucket, n_toks, seq_id, tok_offset
+      |FROM pack ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1531,6 +1642,10 @@ object Queries {
     "anti_join" -> (antiJoin _),
     "semi_join" -> (semiJoin _),
     "profile_lineitem" -> (profileLineitem _),
+    "repetition_stats" -> (repetitionStats _),
+    "pii_mask" -> (piiMask _),
+    "contamination_ngrams" -> (contaminationNgrams _),
+    "pack_sequences" -> (packSequences _),
     "distinct_agg" -> (distinctAgg _)
   )
 
@@ -1590,6 +1705,10 @@ object Queries {
     "anti_join" -> antiJoinSql,
     "semi_join" -> semiJoinSql,
     "profile_lineitem" -> profileLineitemSql,
+    "repetition_stats" -> repetitionStatsSql,
+    "pii_mask" -> piiMaskSql,
+    "contamination_ngrams" -> contaminationNgramsSql,
+    "pack_sequences" -> packSequencesSql,
     "distinct_agg" -> distinctAggSql
   )
 }

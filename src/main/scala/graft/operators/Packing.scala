@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: greedy next-fit of documents into fixed
+  * token-budget sequences — the step that turns a cleaned corpus into
+  * dense fixed-length training windows.
+  *
+  * Packing is inherently sequential, so it is made distributed by
+  * sharding: documents are hash-bucketed (`doc_id % nBuckets`), each
+  * bucket is packed independently in doc_id order, and a (bucket, seq_id)
+  * pair globally names a training sequence. Determinism does not depend
+  * on Spark's partition placement: `repartition(bucket)` guarantees each
+  * bucket lands wholly inside one partition, `sortWithinPartitions`
+  * makes it contiguous and ordered, and the packer resets its state on
+  * every bucket change — so any partition→bucket assignment yields the
+  * same output. At 100 TB, `nBuckets` scales with the cluster and the
+  * single shuffle carries only (doc_id, bucket, n_toks) triples, never
+  * document bodies.
+  *
+  * Next-fit semantics (matches the SQL oracle's recursive CTE): a
+  * document starts a new sequence iff the current sequence is non-empty
+  * and adding it would exceed `budget`; an oversized document therefore
+  * always occupies a sequence of its own, at offset 0.
+  */
+object Packing {
+
+  def packSequences(docs: DataFrame, budget: Long = 128L,
+                    nBuckets: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(
+      col("doc_id").cast("long"),
+      pmod(col("doc_id"), lit(nBuckets.toLong)).cast("long").as("bucket"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .as[(Long, Long, Long)]
+    sized
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .mapPartitions { it =>
+        var curBucket = Long.MinValue
+        var seq = 0L
+        var used = 0L   // tokens already in the current sequence
+        var empty = true // current sequence has no documents yet
+        it.map { case (id, b, n) =>
+          if (b != curBucket) { curBucket = b; seq = 0L; used = 0L; empty = true }
+          if (!empty && used + n > budget) { seq += 1L; used = 0L }
+          val off = used
+          used += n
+          empty = false
+          (id, b, n, seq, off)
+        }
+      }
+      .toDF("doc_id", "bucket", "n_toks", "seq_id", "tok_offset")
+      .orderBy("doc_id")
+  }
+}

@@ -119,6 +119,96 @@ object TextOps {
       .select("term", "doc_id", "rk", "score")
   }
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1
+    * quality filters, adapted to the single-line fixture: word-level rather
+    * than line-level):
+    *   - `dup_word_frac`   — fraction of word occurrences that repeat an
+    *     earlier word (n_words − n_distinct)/n_words; pure codegen via
+    *     `array_distinct`, no shuffle;
+    *   - `top_bigram_frac` — fraction of word bigrams taken by the single
+    *     most frequent bigram; explode → two-level groupBy keyed on
+    *     (doc_id, bigram) with map-side combine, so the exchange carries
+    *     pre-summed counts, never text;
+    *   - `char_coll_prob`  — character collision probability Σp², a log-free
+    *     repetitiveness proxy for entropy (log is 1-2 ulp platform-dependent
+    *     and would break hash oracles; Σp² = Σc²/(Σc)² is integer arithmetic
+    *     plus ONE IEEE division, bit-exact on every engine).
+    * All ratios are a single division of exact integers. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+    val base = w.select(
+      col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      ((size(col("ws")) - size(array_distinct(col("ws")))).cast("double") /
+        size(col("ws")).cast("double")).as("dup_word_frac"))
+    val bg = w.filter(size(col("ws")) >= 2).select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1)))).as("bg"))
+    val topBg = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_bigram_frac"))
+    val ch = w.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(col("text"))),
+        i => col("text").substr(i, lit(1)))).as("ch"))
+    val coll = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((sum(col("c") * col("c")).cast("double") /
+        (sum(col("c")) * sum(col("c"))).cast("double")).as("char_coll_prob"))
+    base.join(topBg, Seq("doc_id"), "left")
+      .join(coll, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
+  /** Email regex shared by [[piiMask]] and its SQL oracle: plain character
+    * classes only — no lookaround, no backrefs — so Java regex and RE2
+    * (DuckDB) match identically. */
+  val emailRegex: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** IPv4 regex: \\b is an ASCII word boundary in both Java and RE2. */
+  val ipv4Regex: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction: mask emails then IPv4 addresses with typed placeholder
+    * tokens, counting each. Emails are masked FIRST so an address's digit
+    * runs cannot be double-counted as an IP. Pure codegen regexp kernels —
+    * at 100 TB this is a map-only pass, no shuffle, no UDF. */
+  def piiMask(pii: Column): (Column, Column, Column) = {
+    val nEmails = regexp_count(pii, lit(emailRegex)).cast("long")
+    val emailMasked = regexp_replace(pii, emailRegex, "<EMAIL>")
+    val nIps = regexp_count(emailMasked, lit(ipv4Regex)).cast("long")
+    val masked = regexp_replace(emailMasked, ipv4Regex, "<IP>")
+    (masked, nEmails, nIps)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with an eval split (doc_id ≡ 0 mod `evalMod`). Real pipelines
+    * use 8–13-grams; the fixture's small vocabulary makes n=3 the
+    * informative size (20⁸ makes 8-gram collisions vanish on synthetic
+    * text).
+    *
+    * Scale shape: n-grams are md5-hashed BEFORE the join so the exchange
+    * carries 32-hex keys, never n-word strings; the eval side is distinct
+    * n-grams of the (by construction small) eval split and is broadcast —
+    * the corpus never shuffles for the join. Per-doc `distinct()` bounds
+    * the join fan-out by the document's distinct-gram count. */
+  def contamination(docs: DataFrame, n: Int = 3, evalMod: Long = 97): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("gh"))
+      .distinct()
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select("gh").distinct()
+    grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: 64-bit content hash of the token sequence
     * (whitespace-normalized), for cheap downstream equality joins.
     * xxhash64 is Spark-codegen'd — the fast path when cross-engine

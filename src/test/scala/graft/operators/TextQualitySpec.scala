@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repetition filters, PII masking, decontamination, and sequence packing —
+  * the operators behind the repetition_stats / pii_mask /
+  * contamination_ngrams / pack_sequences CORRECTNESS rows. */
+class TextQualitySpec extends AnyFunSuite with SparkSuite {
+
+  test("repetitionStats: hand-computed fractions on a known document") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(1) === 3L)               // n_words
+    assert(row.getDouble(2) === 1.0 / 3.0)      // one repeated word of three
+    assert(row.getDouble(3) === 0.5)            // bigrams "a a","a b" tie at 1/2
+    // chars: a:2, space:2, b:1 over 5 → (4+4+1)/25
+    assert(row.getDouble(4) === 9.0 / 25.0)
+  }
+
+  test("repetitionStats: an all-distinct doc scores 0 dup fraction") {
+    import spark.implicits._
+    val docs = Seq((1L, "u v w x")).toDF("doc_id", "text")
+    val row = TextOps.repetitionStats(docs).collect().head
+    assert(row.getDouble(2) === 0.0)
+    assert(row.getDouble(3) === 1.0 / 3.0) // three distinct bigrams
+  }
+
+  test("piiMask: masks emails then IPs, counts each, leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at bob.smith+x@corp.example.org or 192.168.0.1 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.net one ip 10.0.0.7")
+    ).toDF("doc_id", "text")
+    val (masked, nEmails, nIps) = TextOps.piiMask(col("text"))
+    val out = df.select(col("doc_id"), masked.as("m"), nEmails.as("ne"), nIps.as("ni"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("reach me at <EMAIL> or <IP> ok", 1L, 1L)))
+    assert(out(2L) === (("no pii here at all", 0L, 0L)))
+    assert(out(3L) === (("two mails <EMAIL> <EMAIL> one ip <IP>", 2L, 1L)))
+  }
+
+  test("piiMask: email digits are not double-counted as IPs") {
+    import spark.implicits._
+    val df = Seq((1L, "u1.2.3.4@ex.com")).toDF("doc_id", "text")
+    val (masked, nEmails, nIps) = TextOps.piiMask(col("text"))
+    val r = df.select(masked, nEmails, nIps).collect().head
+    assert(r.getString(0) === "<EMAIL>" && r.getLong(1) === 1L && r.getLong(2) === 0L)
+  }
+
+  test("contamination: only corpus docs sharing an eval 3-gram are flagged") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),     // eval (0 % 97 == 0)
+      (1L, "xx alpha beta gamma yy"),     // shares "alpha beta gamma" + "beta gamma delta"? no — shares 1
+      (2L, "beta gamma delta zz"),        // shares "beta gamma delta"
+      (3L, "nothing in common here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.contamination(docs, n = 3, evalMod = 97)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L)) // eval doc 0 and clean doc 3 absent
+  }
+
+  test("contamination: repeated grams within a doc count once") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "p q r"),
+      (5L, "p q r s p q r") // "p q r" occurs twice but is one distinct gram
+    ).toDF("doc_id", "text")
+    val out = TextOps.contamination(docs, n = 3, evalMod = 97)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(5L -> 1L))
+  }
+
+  test("packSequences: next-fit respects the budget; oversized doc gets its own bin") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "w w w"),     // 3 toks
+      (1L, "x x"),       // 2
+      (2L, "y y y y"),   // 4
+      (3L, "z")          // 1
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, budget = 5L, nBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    // seq0: doc0@0, doc1@3 (3+2==5 fits); seq1: doc2@0, doc3@4
+    assert(out === Set((0L, 0L, 0L), (1L, 0L, 3L), (2L, 1L, 0L), (3L, 1L, 4L)))
+    val tiny = Packing.packSequences(docs, budget = 2L, nBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    // every doc but doc3 exceeds the budget alone → one bin each, offset 0
+    assert(tiny === Set((0L, 0L, 0L), (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
+  }
+
+  test("packSequences: output is invariant to input partitioning") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a === b && a.nonEmpty)
+    // every sequence's content fits the budget (or is a lone oversized doc)
+    val byBin = Packing.packSequences(docs).collect()
+      .map(r => ((r.getLong(1), r.getLong(3)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+    byBin.foreach { case (bin, toks) =>
+      assert(toks.sum <= 128L || toks.length === 1, s"bin $bin overflows: $toks")
+    }
+  }
+}
