@@ -133,31 +133,50 @@ object TextOps {
     *     repetitiveness proxy for entropy (log is 1-2 ulp platform-dependent
     *     and would break hash oracles; Σp² = Σc²/(Σc)² is integer arithmetic
     *     plus ONE IEEE division, bit-exact on every engine).
-    * All ratios are a single division of exact integers. */
+    * All ratios are a single division of exact integers.
+    *
+    * Scale shape: every signal is a per-document reduction, so the whole
+    * operator is ONE typed mapPartitions pass with per-document hashmaps —
+    * no exchange, no interpreted higher-order expressions. (An
+    * explode→groupBy formulation would shuffle every bigram string of the
+    * corpus to compute numbers that never leave their document.) */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val w = docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-    val base = w.select(
-      col("doc_id"),
-      size(col("ws")).cast("long").as("n_words"),
-      ((size(col("ws")) - size(array_distinct(col("ws")))).cast("double") /
-        size(col("ws")).cast("double")).as("dup_word_frac"))
-    val bg = w.filter(size(col("ws")) >= 2).select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1)))).as("bg"))
-    val topBg = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
-        .as("top_bigram_frac"))
-    val ch = w.select(col("doc_id"),
-      explode(transform(sequence(lit(1), length(col("text"))),
-        i => col("text").substr(i, lit(1)))).as("ch"))
-    val coll = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((sum(col("c") * col("c")).cast("double") /
-        (sum(col("c")) * sum(col("c"))).cast("double")).as("char_coll_prob"))
-    base.join(topBg, Seq("doc_id"), "left")
-      .join(coll, Seq("doc_id"), "left")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        // words: same tokenization as Spark's split(text, ' ') (limit -1)
+        val ws = text.split(" ", -1)
+        val n = ws.length.toLong
+        val distinct = new java.util.HashSet[String]()
+        ws.foreach(distinct.add)
+        val dupFrac = (n - distinct.size).toDouble / n.toDouble
+        val topBigram: Option[Double] = if (n < 2) None else {
+          val cnt = new java.util.HashMap[String, Long]()
+          var i = 0
+          var top = 0L
+          while (i < ws.length - 1) {
+            val bg = ws(i) + " " + ws(i + 1)
+            val c = cnt.merge(bg, 1L, (a, b) => a + b)
+            if (c > top) top = c
+            i += 1
+          }
+          Some(top.toDouble / (n - 1).toDouble)
+        }
+        // chars are codepoints, matching Spark length()/DuckDB len()
+        val cp = text.codePoints().toArray
+        val coll: Option[Double] = if (cp.isEmpty) None else {
+          val cnt = new java.util.HashMap[Int, Long]()
+          cp.foreach(c => cnt.merge(c, 1L, (a, b) => a + b))
+          var sumSq = 0L
+          cnt.values().forEach(c => sumSq += c * c)
+          val total = cp.length.toLong
+          Some(sumSq.toDouble / (total * total).toDouble)
+        }
+        (id, n, dupFrac, topBigram, coll)
+      })
+      .toDF("doc_id", "n_words", "dup_word_frac", "top_bigram_frac",
+        "char_coll_prob")
       .orderBy("doc_id")
   }
 
@@ -191,16 +210,33 @@ object TextOps {
     * Scale shape: n-grams are md5-hashed BEFORE the join so the exchange
     * carries 32-hex keys, never n-word strings; the eval side is distinct
     * n-grams of the (by construction small) eval split and is broadcast —
-    * the corpus never shuffles for the join. Per-doc `distinct()` bounds
-    * the join fan-out by the document's distinct-gram count. */
+    * the corpus never shuffles for the join. Gram generation + hashing is
+    * a typed mapPartitions flatMap (one JVM pass, per-document dedup via a
+    * local set — the shuffle-free equivalent of explode→distinct). */
   def contamination(docs: DataFrame, n: Int = 3, evalMod: Long = 97): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-          i => md5(concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("gh"))
-      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ", -1)
+          if (ws.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            val out = Array.newBuilder[(Long, String)]
+            var i = 0
+            while (i <= ws.length - n) {
+              val hex = md.digest(ws.slice(i, i + n).mkString(" ")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString // lowercase, == Spark/DuckDB md5
+              if (seen.add(hex)) out += ((id, hex))
+              i += 1
+            }
+            out.result().iterator
+          }
+        }
+      }.toDF("doc_id", "gh")
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select("gh").distinct()
     grams.filter(col("doc_id") % evalMod =!= 0)
