@@ -1585,6 +1585,38 @@ object Queries {
       |FROM pack ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // global_index — contiguous row numbering without the single-partition
+  // row_number() collapse (Layout.globalIndex: range shuffle stays n-way,
+  // zipWithIndex ships one long per partition).
+  // ---------------------------------------------------------------------
+  def globalIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.globalIndex(t(s, dir, "documents"), "doc_id")
+
+  val globalIndexSql: String =
+    """SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // zorder_key — Morton interleave of two dimensions as pure codegen
+  // arithmetic (Layout.zValue); sorting by it clusters both dimensions
+  // for min/max file pruning. The oracle replays the identical bit
+  // formula.
+  // ---------------------------------------------------------------------
+  def zorderKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      graft.operators.Layout.zValue(
+        pmod(col("l_partkey"), lit(1024L)),
+        pmod(col("l_suppkey"), lit(1024L))).as("z"))
+
+  val zorderKeySql: String = {
+    val z = graft.operators.Layout.zValueSql(
+      "(l_partkey % 1024)", "(l_suppkey % 1024)")
+    s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS z
+       |FROM lineitem""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1646,6 +1678,8 @@ object Queries {
     "pii_mask" -> (piiMask _),
     "contamination_ngrams" -> (contaminationNgrams _),
     "pack_sequences" -> (packSequences _),
+    "global_index" -> (globalIndex _),
+    "zorder_key" -> (zorderKey _),
     "distinct_agg" -> (distinctAgg _)
   )
 
@@ -1709,6 +1743,8 @@ object Queries {
     "pii_mask" -> piiMaskSql,
     "contamination_ngrams" -> contaminationNgramsSql,
     "pack_sequences" -> packSequencesSql,
+    "global_index" -> globalIndexSql,
+    "zorder_key" -> zorderKeySql,
     "distinct_agg" -> distinctAggSql
   )
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: global row indexing and Z-order clustering keys.
+  *
+  * Both exist because the naive Spark spellings collapse at scale:
+  * `row_number() OVER ()` moves the whole table through ONE partition, and
+  * per-row UDF bit-twiddling falls out of whole-stage codegen. These
+  * versions keep the range shuffle n-way and the bit math inside codegen.
+  */
+object Layout {
+
+  /** Contiguous 1-based global index of `key` in ascending order, without
+    * a single-partition sort: range-repartition + per-partition sort give
+    * a globally sorted layout, then `zipWithIndex` assigns offsets with
+    * one lightweight count job (it collects ONE long per partition, never
+    * rows). Output is invariant to the sampled range boundaries because
+    * the index only depends on the total order, which requires `key` to
+    * be unique (the caller's contract, like row_number determinism). */
+  def globalIndex(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(key).cast("long").as(key))
+      .repartitionByRange(col(key))
+      .sortWithinPartitions(key)
+      .as[Long]
+      .rdd
+      .zipWithIndex()
+      .map { case (k, i) => (k, i + 1L) }
+      .toDF(key, "rnk")
+  }
+
+  /** 2-D Z-order (Morton) key: interleaves the low `bits` bits of x and y
+    * — rows close in (x, y) get close z values, so sorting by z clusters
+    * both dimensions into the same files and min/max footer pruning works
+    * for either predicate. Pure Column arithmetic (shifts, masks, adds):
+    * whole-stage codegen, no UDF, and replayable verbatim in any SQL
+    * engine with bit operators. */
+  def zValue(x: Column, y: Column, bits: Int = 10): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The same interleave as [[zValue]], rendered as portable SQL text for
+    * the oracle. */
+  def zValueSql(x: String, y: String, bits: Int = 10): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+}

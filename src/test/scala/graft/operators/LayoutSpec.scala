@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout.globalIndex / Layout.zValue — the global_index and zorder_key
+  * CORRECTNESS rows. */
+class LayoutSpec extends AnyFunSuite with SparkSuite {
+
+  test("zValue interleaves bits (reference implementation agreement)") {
+    import spark.implicits._
+    def morton(x: Long, y: Long): Long =
+      (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    val cases = Seq((1L, 0L), (0L, 1L), (3L, 3L), (5L, 9L), (1023L, 1023L),
+      (0L, 0L), (512L, 256L))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (x, y) =>
+      assert(got((x, y)) === morton(x, y), s"($x,$y)")
+    }
+    assert(got((1L, 0L)) === 1L && got((0L, 1L)) === 2L && got((3L, 3L)) === 15L)
+  }
+
+  test("zValue locality: adjacent cells differ less than distant cells") {
+    // not a formal property of Morton order pointwise, but the average
+    // must separate cleanly — a broken interleave loses this by orders
+    def z(x: Long, y: Long): Long =
+      (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    val near = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield math.abs(z(x + 1, y) - z(x, y))).sum / 256.0
+    val far = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield math.abs(z(x + 512, y) - z(x, y))).sum / 256.0
+    assert(near < far / 100)
+  }
+
+  test("globalIndex equals row_number and is partitioning-invariant") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Layout.globalIndex(df, "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(docs)
+    val b = run(docs.repartition(17))
+    assert(a === b && a.nonEmpty)
+    // contiguous 1..n, ascending with the key
+    val sortedKeys = a.keys.toSeq.sorted
+    assert(sortedKeys.map(a) === (1L to a.size.toLong))
+  }
+
+  test("globalIndex keeps the sort n-way (no single-partition collapse)") {
+    // AQE rightly coalesces a 50-row shuffle to one partition; turn it off
+    // to see the shape a large input would get — a row_number() OVER ()
+    // spelling would be SinglePartition here regardless of AQE
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val parts = docs.select(col("doc_id").cast("long").as("doc_id"))
+        .repartitionByRange(col("doc_id")).rdd.getNumPartitions
+      assert(parts > 1, s"range repartition collapsed to $parts partition(s)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", was)
+  }
+}
