@@ -139,4 +139,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!lines(exIdx).contains("text#"),
       s"document text crosses the shuffle:\n$p")
   }
+
+  test("zorder_key: pure codegen arithmetic, pruned scan, no exchange") {
+    val p = plan("zorder_key")
+    // '*(n)' is executedPlan.toString's whole-stage-codegen marker
+    assert(p.contains("*(1) Project"), s"z-value fell out of codegen:\n$p")
+    assert(!p.contains("Exchange"), s"per-row key derivation shuffled:\n$p")
+    // only the 4 referenced columns reach the scan, not the 16-col table
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("pii_mask: map-only regex kernels — no exchange, no UDF") {
+    val p = plan("pii_mask")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"masking pass shuffled for something other than the output sort:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"regex fell back to a UDF:\n$p")
+  }
+
+  test("contamination_ngrams: eval side broadcast, corpus side never exchanges for the join") {
+    val p = plan("contamination_ngrams")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-gram join is not broadcast:\n$p")
+  }
 }
