@@ -1617,6 +1617,23 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // doc_chunks — overlapping sliding-window chunking (TextOps.docChunks):
+  // 32-token windows advancing by 16, map-only.
+  // ---------------------------------------------------------------------
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.docChunks(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  val docChunksSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws)-1, 16)) AS start FROM w)
+      |SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id,
+      |  CAST(start AS BIGINT) AS start_tok,
+      |  CAST(least(32, len(ws) - start) AS BIGINT) AS n_toks,
+      |  array_to_string(ws[start+1:start+least(32, len(ws) - start)], ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1680,6 +1697,7 @@ object Queries {
     "pack_sequences" -> (packSequences _),
     "global_index" -> (globalIndex _),
     "zorder_key" -> (zorderKey _),
+    "doc_chunks" -> (docChunks _),
     "distinct_agg" -> (distinctAgg _)
   )
 
@@ -1745,6 +1763,7 @@ object Queries {
     "pack_sequences" -> packSequencesSql,
     "global_index" -> globalIndexSql,
     "zorder_key" -> zorderKeySql,
+    "doc_chunks" -> docChunksSql,
     "distinct_agg" -> distinctAggSql
   )
 }

@@ -245,6 +245,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window chunking: split each document into overlapping windows
+    * of `window` tokens advancing by `stride` — context-window preparation
+    * for embedding and training pipelines. One typed mapPartitions flatMap
+    * (map-only, no shuffle); every document emits at least one chunk, the
+    * final chunk is the natural short tail. `chunk_id = start/stride` is
+    * derivable, so downstream joins can reconstruct offsets without
+    * carrying them. */
+  def docChunks(docs: DataFrame, window: Int = 32, stride: Int = 16): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need stride>0 and window>=stride, got window=$window stride=$stride")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        val n = ws.length
+        Iterator.range(0, n, stride).map { start =>
+          val len = math.min(window, n - start)
+          (id, (start / stride).toLong, start.toLong, len.toLong,
+            ws.slice(start, start + len).mkString(" "))
+        }
+      })
+      .toDF("doc_id", "chunk_id", "start_tok", "n_toks", "chunk")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Document fingerprint: 64-bit content hash of the token sequence
     * (whitespace-normalized), for cheap downstream equality joins.
     * xxhash64 is Spark-codegen'd — the fast path when cross-engine

@@ -95,6 +95,20 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(tiny === Set((0L, 0L, 0L), (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
   }
 
+  test("docChunks: window/stride geometry, short tail, single-chunk doc") {
+    import spark.implicits._
+    // 5 tokens, window 4, stride 2 → starts 0,2,4 with lens 4,3,1
+    val docs = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextOps.docChunks(docs, window = 4, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 2L, 3L, "c d e"),
+      (1L, 2L, 4L, 1L, "e"),
+      (2L, 0L, 0L, 1L, "x")))
+  }
+
   test("packSequences: output is invariant to input partitioning") {
     val docs = graft.sources.Tables
       .load(spark, "/root/testdata/sf0.001", "documents")
