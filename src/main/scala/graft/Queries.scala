@@ -1634,6 +1634,214 @@ object Queries {
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // grouping_sets_agg — explicit GROUPING SETS (the general form rollup
+  // and cube specialize): per-flag totals, per-status totals, and the
+  // grand total in ONE shuffle (Catalyst expands to a single Expand +
+  // aggregate, not three scans).
+  // ---------------------------------------------------------------------
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val groupingSetsAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // pivot_agg — long-to-wide reshaping with an explicit value list (no
+  // discovery pass over the data; at 100 TB the two-pass .pivot(col)
+  // overload would scan once just to enumerate columns). One shuffle.
+  // ---------------------------------------------------------------------
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .withColumnRenamed("F", "total_f")
+      .withColumnRenamed("O", "total_o")
+      .withColumnRenamed("P", "total_p")
+      .orderBy("o_orderpriority")
+
+  val pivotAggSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // percentile_profile — exact interpolated percentiles per group.
+  // Uses the builtin exact `percentile` aggregate (same linear
+  // interpolation as DuckDB's quantile_cont: v_lo + (v_hi-v_lo)*frac at
+  // position p*(n-1)). Group count is tiny (5 langs) so the per-group
+  // value buffer is safe; for high-cardinality groups at 100 TB the
+  // approx_percentile sketch is the scale path (spec-checked against
+  // this exact result within its error bound).
+  // ---------------------------------------------------------------------
+  def percentileProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.9)).as("p90"),
+        percentile(col("n_chars"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  val percentileProfileSql: String =
+    """SELECT lang,
+      |  quantile_cont(n_chars, 0.5) AS p50,
+      |  quantile_cont(n_chars, 0.9) AS p90,
+      |  quantile_cont(n_chars, 0.99) AS p99,
+      |  COUNT(*) AS n
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // histogram_bins — fixed-width histogram of a measure: one map-side
+  // bin computation + one groupBy on the bin id (bins ≪ rows, so the
+  // shuffle carries only partial counts per bin). floor(value/width) is
+  // a single IEEE division — deterministic across engines.
+  // ---------------------------------------------------------------------
+  def histogramBins(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(floor(col("value") / lit(25.0)).as("bin"), col("value"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+      .orderBy("bin")
+
+  val histogramBinsSql: String =
+    """SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin, COUNT(*) AS n,
+      |  MIN(value) AS lo, MAX(value) AS hi
+      |FROM events GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // inverted_index — token → (document frequency, capped postings list)
+  // over the corpus: the retrieval-index build primitive. explode →
+  // distinct → groupBy(token); the shuffle key is the token, postings
+  // are capped at 20 doc ids so no reducer materializes an unbounded
+  // list, and the df floor prunes the hapax long tail before output.
+  // ---------------------------------------------------------------------
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 20), ",")
+          .as("postings"))
+      .filter(col("df") >= 10)
+      .orderBy("token")
+
+  val invertedIndexSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE t <> '')
+      |SELECT token, COUNT(*) AS df,
+      |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
+      |FROM tok GROUP BY token HAVING COUNT(*) >= 10 ORDER BY token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // token_cooccur — co-occurrence lift over the top-50 vocabulary:
+  // lift = P(a,b)/(P(a)P(b)) as one exact double expression (log-free so
+  // both engines agree bit-for-bit). The vocabulary is restricted BEFORE
+  // the per-document pairing, so the self-join blows up on ≤50 tokens per
+  // doc, not the full vocabulary; vocab and the corpus count broadcast.
+  // ---------------------------------------------------------------------
+  def tokenCooccur(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(50)
+    val tv = toks.join(broadcast(vocab), "token")
+    val a = tv.select(col("doc_id"), col("token").as("tok_a"), col("df").as("df_a"))
+    val b = tv.select(col("doc_id"), col("token").as("tok_b"), col("df").as("df_b"))
+    val pairs = a.join(b, "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b", "df_a", "df_b")
+      .agg(count(lit(1)).as("pair_n"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("pair_n"),
+        ((col("pair_n").cast("double") * col("n_docs")) /
+          (col("df_a") * col("df_b"))).as("lift"))
+      .orderBy(col("pair_n").desc, col("tok_a"), col("tok_b"))
+      .limit(100)
+  }
+
+  val tokenCooccurSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE t <> ''),
+      |freq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+      |vocab AS (SELECT token, df FROM freq ORDER BY df DESC, token LIMIT 50),
+      |tv AS (SELECT tok.doc_id, tok.token, vocab.df FROM tok JOIN vocab USING (token)),
+      |pairs AS (SELECT a.token AS tok_a, b.token AS tok_b, a.df AS df_a, b.df AS df_b,
+      |    COUNT(*) AS pair_n
+      |  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+      |  GROUP BY 1, 2, 3, 4),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT tok_a, tok_b, pair_n,
+      |  (CAST(pair_n AS DOUBLE) * n_docs) / (df_a * df_b) AS lift
+      |FROM pairs, n ORDER BY pair_n DESC, tok_a, tok_b LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // edit_distance_pairs — character-level near-duplicates by banded
+  // Levenshtein: candidates collide on (lang, length-band) with a
+  // two-band probe so boundary-straddling pairs aren't lost, then the
+  // thresholded levenshtein(…, 8) kernel early-exits as soon as the
+  // distance exceeds the cap (O(k·min(m,n)) not O(m·n)). Distance is on
+  // the 256-char ASCII projection — DuckDB's levenshtein counts BYTES
+  // (café→cafe = 2) while Spark counts CHARS, so parity requires the
+  // projection anyway, and it bounds the DP cost per pair.
+  // ---------------------------------------------------------------------
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("a"))
+      .withColumn("alen", length(col("a")))
+    val banded = docs.select(col("doc_id"), col("lang"), col("a"), col("alen"),
+      explode(array(floor(col("alen") / 16), floor(col("alen") / 16) - 1)).as("band"))
+    val l = banded.select(col("lang"), col("band"), col("doc_id").as("id_a"),
+      col("a").as("t_a"), col("alen").as("len_a"))
+    val r = banded.select(col("lang"), col("band"), col("doc_id").as("id_b"),
+      col("a").as("t_b"), col("alen").as("len_b"))
+    l.join(r, Seq("lang", "band"))
+      .filter(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= 8)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(substring(col("t_a"), 1, 256), substring(col("t_b"), 1, 256), 8)
+          .as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= 8)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  val editDistancePairsSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS a,
+      |    length(regexp_replace(text, '[^\x20-\x7e]', '', 'g')) AS alen
+      |  FROM documents),
+      |banded AS (SELECT doc_id, lang, a, alen,
+      |    CAST(floor(alen / 16) AS BIGINT) + u.off AS band
+      |  FROM d, (VALUES (0), (-1)) u(off)),
+      |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |    levenshtein(substring(x.a, 1, 256), substring(y.a, 1, 256)) AS dist
+      |  FROM banded x JOIN banded y ON x.lang = y.lang AND x.band = y.band
+      |  WHERE x.doc_id < y.doc_id AND abs(x.alen - y.alen) <= 8)
+      |SELECT DISTINCT id_a, id_b, dist FROM pairs WHERE dist <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1698,7 +1906,14 @@ object Queries {
     "global_index" -> (globalIndex _),
     "zorder_key" -> (zorderKey _),
     "doc_chunks" -> (docChunks _),
-    "distinct_agg" -> (distinctAgg _)
+    "distinct_agg" -> (distinctAgg _),
+    "grouping_sets_agg" -> (groupingSetsAgg _),
+    "pivot_agg" -> (pivotAgg _),
+    "percentile_profile" -> (percentileProfile _),
+    "histogram_bins" -> (histogramBins _),
+    "inverted_index" -> (invertedIndex _),
+    "token_cooccur" -> (tokenCooccur _),
+    "edit_distance_pairs" -> (editDistancePairs _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1764,6 +1979,13 @@ object Queries {
     "global_index" -> globalIndexSql,
     "zorder_key" -> zorderKeySql,
     "doc_chunks" -> docChunksSql,
-    "distinct_agg" -> distinctAggSql
+    "distinct_agg" -> distinctAggSql,
+    "grouping_sets_agg" -> groupingSetsAggSql,
+    "pivot_agg" -> pivotAggSql,
+    "percentile_profile" -> percentileProfileSql,
+    "histogram_bins" -> histogramBinsSql,
+    "inverted_index" -> invertedIndexSql,
+    "token_cooccur" -> tokenCooccurSql,
+    "edit_distance_pairs" -> editDistancePairsSql
   )
 }

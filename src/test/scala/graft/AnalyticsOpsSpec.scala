@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior contracts for the round-8 analytics additions
+  * (grouping_sets/pivot/percentile/histogram/inverted-index/co-occurrence/
+  * edit-distance). The DuckDB oracle pins exact values; these pin the
+  * invariants a refactor could silently break while staying oracle-green
+  * at one scale factor.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite with SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("percentile_profile: approx_percentile (the 100 TB path) lands within its accuracy bound of exact") {
+    val exact = Queries.percentileProfile(spark, sf)
+      .select("lang", "p50", "p90", "p99").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy("lang")
+      .agg(approx_percentile(col("n_chars"), array(lit(0.5), lit(0.9), lit(0.99)), lit(1000))
+        .as("q"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(approx.keySet === exact.keySet)
+    // accuracy 1000 → rank error <= n/1000 < 1 rank at n<=1000; the sketch
+    // returns an actual data value, so it must sit within one inter-value
+    // gap of the interpolated exact percentile. Bound: 5% of the value.
+    for ((lang, (p50, p90, p99)) <- exact) {
+      val Seq(a50, a90, a99) = approx(lang).map(_.toDouble)
+      assert(math.abs(a50 - p50) <= p50 * 0.05, s"$lang p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= p90 * 0.05, s"$lang p90: $a90 vs $p90")
+      assert(math.abs(a99 - p99) <= p99 * 0.05, s"$lang p99: $a99 vs $p99")
+    }
+  }
+
+  test("edit_distance_pairs: finds the planted clones; distances verified by an independent DP") {
+    val rows = Queries.editDistancePairs(spark, sf).collect()
+    assert(rows.nonEmpty, "no near-identical pairs found in the fixture")
+    val ascii = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("a"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(s: String, t: String): Int = {
+      val (a, b) = (s.take(256), t.take(256))
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val tmp = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = tmp
+        }
+      }
+      prev(b.length)
+    }
+    for (r <- rows) {
+      val (ia, ib, d) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(ia < ib, s"pair not canonically ordered: ($ia,$ib)")
+      assert(d >= 0 && d <= 8, s"distance out of range: $d")
+      assert(lev(ascii(ia), ascii(ib)) == d,
+        s"reference DP disagrees for ($ia,$ib)")
+    }
+  }
+
+  test("inverted_index: postings sorted ascending, capped at 20, consistent with df") {
+    val rows = Queries.invertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val df = r.getLong(1)
+      val postings = r.getString(2).split(",").map(_.toLong).toSeq
+      assert(postings == postings.sorted, s"postings unsorted for ${r.getString(0)}")
+      assert(postings.size == math.min(df, 20L),
+        s"cap/df mismatch for ${r.getString(0)}: df=$df n=${postings.size}")
+      assert(df >= 10, s"df floor leaked: $df")
+    }
+  }
+
+  test("token_cooccur: canonical pair order, lift consistent with counted frequencies") {
+    val rows = Queries.tokenCooccur(spark, sf).collect()
+    assert(rows.size == 100)
+    // recompute df and N independently with the same tokenizer
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val n = docs.count().toDouble
+    val dfMap = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val (a, b, pn, lift) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(a < b, s"pair not canonical: ($a,$b)")
+      assert(pn <= math.min(dfMap(a), dfMap(b)), s"pair count exceeds df: ($a,$b)")
+      val expect = pn.toDouble * n / (dfMap(a) * dfMap(b)).toDouble
+      assert(math.abs(lift - expect) < 1e-12, s"lift mismatch for ($a,$b)")
+    }
+  }
+
+  test("histogram_bins: bins partition the value range, counts sum to the table") {
+    val rows = Queries.histogramBins(spark, sf).collect()
+    val total = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getLong(1)).sum == total, "bin counts do not cover the table")
+    for (r <- rows) {
+      val (bin, lo, hi) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(lo >= bin * 25.0 && hi < (bin + 1) * 25.0,
+        s"extrema escape bin $bin: [$lo,$hi]")
+    }
+  }
+}

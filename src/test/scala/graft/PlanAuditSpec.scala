@@ -163,4 +163,66 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"eval-gram join is not broadcast:\n$p")
   }
+
+  test("grouping_sets_agg: one scan + Expand, not one scan per grouping set") {
+    val p = plan("grouping_sets_agg")
+    assert(p.contains("Expand"), s"no Expand (sets planned as a union?):\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"grouping sets re-scan the table:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("pivot_agg: static value list pivots in one scan with partial pivotfirst") {
+    val p = plan("pivot_agg")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"pivot re-scans or discovery-scans the table:\n$p")
+    assert(p.contains("partial_pivotfirst"),
+      s"pivot is not a two-phase aggregate:\n$p")
+  }
+
+  test("histogram_bins: bin derived map-side, only `value` read, partial counts below the exchange") {
+    val p = plan("histogram_bins")
+    assert(p.contains("ReadSchema: struct<value:double>"),
+      s"scan reads more than the measure column:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
+  test("inverted_index: scan pruned to (doc_id, text); postings aggregate shuffles on token") {
+    val p = plan("inverted_index")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned:\n$p")
+    assert(p.contains("partial_collect_list"),
+      s"postings not partially aggregated below the exchange:\n$p")
+    assert(p.contains("Exchange hashpartitioning(token"),
+      s"final aggregate not keyed on token:\n$p")
+  }
+
+  test("token_cooccur: vocab and corpus-count broadcast; no cartesian pair join") {
+    val p = plan("token_cooccur")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair join is cartesian:\n$p")
+    // the only nested-loop is the 1-row corpus-count scalar attach
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"unexpected nested-loop joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 is a global sort, not TakeOrdered:\n$p")
+  }
+
+  test("edit_distance_pairs: banded candidates equi-join; no quadratic fallback") {
+    val p = plan("edit_distance_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation fell back to all-pairs:\n$p")
+    assert(p.contains("band"), s"band key missing from the join:\n$p")
+    // thresholded kernel: the levenshtein call carries the early-exit cap
+    assert(p.contains("levenshtein") && p.contains("Some(8)"),
+      s"levenshtein not thresholded:\n$p")
+  }
+
+  test("percentile_profile: exact percentile is a two-phase object aggregate") {
+    val p = plan("percentile_profile")
+    assert(p.contains("partial_percentile"),
+      s"percentile not partially aggregated:\n$p")
+    assert(p.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
+      s"scan not pruned:\n$p")
+  }
 }
