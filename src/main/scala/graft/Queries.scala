@@ -1842,6 +1842,125 @@ object Queries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // funnel_conversion — strictly-ordered funnel (view → click → purchase)
+  // per user: stage k's timestamp is the MIN event AFTER stage k-1's.
+  // Three stacked window passes share ONE partitionBy(user_id) exchange
+  // (no orderBy → whole-partition frame, no sort); the per-user collapse
+  // and stage unpivot are a groupBy + stack, so the only shuffle keyed on
+  // users is the window exchange itself.
+  // ---------------------------------------------------------------------
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val staged = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+    staged.agg(
+      count(col("t1")).as("view_users"),
+      count(col("t2")).as("click_users"),
+      count(col("t3")).as("purchase_users"))
+      .selectExpr("stack(3, 1, 'view', view_users, 2, 'click', click_users, " +
+        "3, 'purchase', purchase_users) AS (stage_idx, stage, users)")
+      .orderBy("stage_idx")
+  }
+
+  val funnelConversionSql: String =
+    """WITH w1 AS (SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1 FROM events),
+      |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t3 FROM w2),
+      |u AS (SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+      |    any_value(t3) AS t3 FROM w3 GROUP BY user_id)
+      |SELECT stage_idx, stage, users FROM (
+      |  SELECT 1 AS stage_idx, 'view' AS stage, COUNT(t1) AS users FROM u
+      |  UNION ALL SELECT 2, 'click', COUNT(t2) FROM u
+      |  UNION ALL SELECT 3, 'purchase', COUNT(t3) FROM u)
+      |ORDER BY stage_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // corr_profile — Pearson correlation from EXACT decimal moments: the
+  // builtin corr() accumulates doubles in partition order (never
+  // reproducible across engines or even runs), so the moments
+  // (n, Σx, Σy, Σx², Σy², Σxy) aggregate as decimals — exact and
+  // associative, safe under any shuffle schedule — and the final
+  // correlation is one deterministic double expression on top.
+  // ---------------------------------------------------------------------
+  def corrProfile(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val m = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast("decimal(38,4)")).as("sxx"),
+        sum((y * y).cast("decimal(38,4)")).as("syy"),
+        sum((x * y).cast("decimal(38,4)")).as("sxy"))
+    val (n, sx, sy, sxx, syy, sxy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"),
+      col("sxy").cast("double"))
+    m.select(col("l_returnflag"), col("n"),
+      ((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val corrProfileSql: String =
+    """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // quantile_bins — discretize a measure into quartiles by BROADCAST
+  // cutoffs: the exact percentiles reduce to one 1-row frame, attach to
+  // every row for free (broadcast nested-loop over a single row), and
+  // binning is a map-side CASE — no ntile() global sort, which is the
+  // naive formulation that cannot scale past one task.
+  // ---------------------------------------------------------------------
+  def quantileBins(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cuts = docs.agg(
+      percentile(col("n_chars"), lit(0.25)).as("c1"),
+      percentile(col("n_chars"), lit(0.5)).as("c2"),
+      percentile(col("n_chars"), lit(0.75)).as("c3"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") <= col("c1"), lit(0))
+          .when(col("n_chars") <= col("c2"), lit(1))
+          .when(col("n_chars") <= col("c3"), lit(2))
+          .otherwise(lit(3)).as("bin"))
+      .orderBy("doc_id")
+  }
+
+  val quantileBinsSql: String =
+    """WITH c AS (SELECT quantile_cont(n_chars, 0.25) AS c1,
+      |    quantile_cont(n_chars, 0.5) AS c2,
+      |    quantile_cont(n_chars, 0.75) AS c3 FROM documents)
+      |SELECT doc_id, n_chars,
+      |  CASE WHEN n_chars <= c1 THEN 0 WHEN n_chars <= c2 THEN 1
+      |       WHEN n_chars <= c3 THEN 2 ELSE 3 END AS bin
+      |FROM documents, c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1913,7 +2032,10 @@ object Queries {
     "histogram_bins" -> (histogramBins _),
     "inverted_index" -> (invertedIndex _),
     "token_cooccur" -> (tokenCooccur _),
-    "edit_distance_pairs" -> (editDistancePairs _)
+    "edit_distance_pairs" -> (editDistancePairs _),
+    "funnel_conversion" -> (funnelConversion _),
+    "corr_profile" -> (corrProfile _),
+    "quantile_bins" -> (quantileBins _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1986,6 +2108,9 @@ object Queries {
     "histogram_bins" -> histogramBinsSql,
     "inverted_index" -> invertedIndexSql,
     "token_cooccur" -> tokenCooccurSql,
-    "edit_distance_pairs" -> editDistancePairsSql
+    "edit_distance_pairs" -> editDistancePairsSql,
+    "funnel_conversion" -> funnelConversionSql,
+    "corr_profile" -> corrProfileSql,
+    "quantile_bins" -> quantileBinsSql
   )
 }

@@ -98,6 +98,41 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("funnel_conversion: stage counts are monotone non-increasing down the funnel") {
+    val rows = Queries.funnelConversion(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val counts = rows.map(_.getLong(2)).toSeq
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel widened downstream: $counts")
+    assert(counts.head > 0, "nobody reached stage 1 — fixture assumption broken")
+  }
+
+  test("corr_profile: exact-moment correlation matches builtin corr to float tolerance and is bounded") {
+    val rows = Queries.corrProfile(spark, sf).collect()
+    val builtin = graft.sources.Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0, s"correlation out of range: $c")
+      assert(math.abs(c - builtin(r.getString(0))) < 1e-9,
+        s"exact-moment corr diverges from builtin for ${r.getString(0)}")
+    }
+  }
+
+  test("quantile_bins: quartiles are balanced within one rank of n/4") {
+    val rows = Queries.quantileBins(spark, sf).collect()
+    val byBin = rows.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(byBin.keySet === Set(0, 1, 2, 3))
+    val n = rows.length
+    // ties on n_chars can push a handful of rows across a cutoff
+    for ((bin, cnt) <- byBin)
+      assert(math.abs(cnt - n / 4.0) <= n * 0.05 + 1,
+        s"bin $bin holds $cnt of $n rows — not a quartile")
+  }
+
   test("histogram_bins: bins partition the value range, counts sum to the table") {
     val rows = Queries.histogramBins(spark, sf).collect()
     val total = graft.sources.Tables.load(spark, sf, "events").count()

@@ -218,6 +218,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"levenshtein not thresholded:\n$p")
   }
 
+  test("funnel_conversion: three stacked windows share one user_id exchange") {
+    val p = plan("funnel_conversion")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"funnel windows re-shuffle:\n$p")
+    assert(p.linesIterator.count(_.contains("Window [min(")) == 3,
+      s"expected 3 window passes:\n$p")
+    // whole-partition frame → a single hash-bucket sort, no per-window re-sort
+    assert(p.linesIterator.count(_.contains("Sort [user_id")) <= 1,
+      s"windows re-sort between passes:\n$p")
+  }
+
+  test("corr_profile: moments aggregate as decimals in one scan; no builtin corr") {
+    val p = plan("corr_profile")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(p.contains("partial_sum(cast"), s"no map-side decimal partials:\n$p")
+    assert(!p.contains("corr("), s"non-deterministic builtin corr leaked in:\n$p")
+  }
+
+  test("quantile_bins: cutoffs broadcast to a map-side CASE; no ntile global sort") {
+    val p = plan("quantile_bins")
+    assert(p.contains("BroadcastExchange"), s"cutoffs not broadcast:\n$p")
+    assert(!"""\bntile\(""".r.findFirstIn(p).isDefined,
+      s"binning uses a global ntile sort:\n$p")
+    // the corpus side reaches the join as a bare scan — no shuffle before binning
+    val corpus = p.linesIterator.dropWhile(!_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(corpus.exists(_.contains("FileScan parquet [doc_id")),
+      s"corpus side not a direct scan:\n$p")
+  }
+
   test("percentile_profile: exact percentile is a two-phase object aggregate") {
     val p = plan("percentile_profile")
     assert(p.contains("partial_percentile"),
