@@ -1961,6 +1961,108 @@ object Queries {
       |FROM documents, c ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // window_ranks — the full rank family (rank / dense_rank / percent_rank
+  // / ntile) in ONE window pass: all four share a partition+order spec,
+  // so Catalyst plans a single exchange + sort. percent_rank's
+  // (rank-1)/(n-1) is a single IEEE division — engine-exact. ntile here
+  // is PARTITIONED (safe); the global-ntile anti-pattern is what
+  // quantile_bins exists to avoid.
+  // ---------------------------------------------------------------------
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("prk", percent_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  val windowRanksSql: String =
+    """WITH w AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+      |  dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS drk,
+      |  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS prk,
+      |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey, o_totalprice, rk, drk, prk, quartile
+      |FROM w WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // text_normalize — the canonicalization pass that precedes dedup in a
+  // training pipeline: trim → casefold → strip non-alphanumerics →
+  // collapse runs of spaces. Pure map-side regex kernels (same codegen
+  // family as pii_mask); the only exchange is the output sort.
+  // ---------------------------------------------------------------------
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""),
+          " +", " ").as("norm"))
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sample_proportional — integer proportional allocation (largest-
+  // remainder method) of a global budget across strata, then a
+  // deterministic per-stratum draw by md5 order. Complements
+  // sample_stratified (fixed N per stratum) and sample_budget (byte
+  // budget): here the BUDGET is global and strata get integer quotas
+  // summing to it exactly. The allocation table is |sources| rows — the
+  // global remainder-rank window runs on that tiny frame, never on data.
+  // Budget 103 is deliberately not a multiple of the stratum count so
+  // the remainder branch is exercised (and oracle-checked) every run.
+  // ---------------------------------------------------------------------
+  def sampleProportional(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 103
+    val docs = t(s, dir, "documents")
+    val strata = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+    val tot = strata.agg(sum(col("ns")).cast("long").as("n"))
+    val q = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"CAST(($budget * ns) DIV n AS BIGINT)"))
+      .withColumn("rem", expr(s"($budget * ns) % n"))
+    val deficit = q.agg((lit(budget) - sum(col("base"))).cast("long").as("deficit"))
+    val alloc = q.crossJoin(broadcast(deficit))
+      .withColumn("quota", col("base") +
+        when(rank().over(Window.orderBy(col("rem").desc, col("source")))
+          .cast("long") <= col("deficit"), 1L).otherwise(0L))
+      .select("source", "quota")
+    val ranked = docs
+      .select(col("doc_id"), col("source"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("text")), col("doc_id"))).cast("long").as("rk"))
+    ranked.join(broadcast(alloc), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  val sampleProportionalSql: String =
+    """WITH s AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM s),
+      |q AS (SELECT source, ns, CAST((103 * ns) // n AS BIGINT) AS base,
+      |      (103 * ns) % n AS rem FROM s, tot),
+      |alloc AS (SELECT source, base + CASE WHEN
+      |      rank() OVER (ORDER BY rem DESC, source) <= 103 - (SELECT SUM(base) FROM q)
+      |      THEN 1 ELSE 0 END AS quota FROM q),
+      |ranked AS (SELECT doc_id, source,
+      |      row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+      |FROM ranked r JOIN alloc a USING (source)
+      |WHERE r.rk <= a.quota ORDER BY r.source, r.rk""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -2035,7 +2137,10 @@ object Queries {
     "edit_distance_pairs" -> (editDistancePairs _),
     "funnel_conversion" -> (funnelConversion _),
     "corr_profile" -> (corrProfile _),
-    "quantile_bins" -> (quantileBins _)
+    "quantile_bins" -> (quantileBins _),
+    "window_ranks" -> (windowRanks _),
+    "text_normalize" -> (textNormalize _),
+    "sample_proportional" -> (sampleProportional _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -2111,6 +2216,9 @@ object Queries {
     "edit_distance_pairs" -> editDistancePairsSql,
     "funnel_conversion" -> funnelConversionSql,
     "corr_profile" -> corrProfileSql,
-    "quantile_bins" -> quantileBinsSql
+    "quantile_bins" -> quantileBinsSql,
+    "window_ranks" -> windowRanksSql,
+    "text_normalize" -> textNormalizeSql,
+    "sample_proportional" -> sampleProportionalSql
   )
 }

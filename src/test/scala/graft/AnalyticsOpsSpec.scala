@@ -133,6 +133,38 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSuite {
         s"bin $bin holds $cnt of $n rows — not a quartile")
   }
 
+  test("sample_proportional: quotas sum exactly to the budget; draw honors per-stratum quota") {
+    val rows = Queries.sampleProportional(spark, sf).collect()
+    assert(rows.length == 103, s"budget not hit exactly: ${rows.length}")
+    val bySource = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // every stratum's draw is a 1..quota prefix of its md5 order
+    for ((src, cnt) <- bySource) {
+      val rks = rows.filter(_.getString(1) == src).map(_.getLong(2)).sorted.toSeq
+      assert(rks == (1L to cnt.toLong), s"$src draw is not a rank prefix: $rks")
+    }
+  }
+
+  test("window_ranks: rank semantics agree (rank>=dense_rank, percent_rank formula, 5 rows per group)") {
+    val rows = Queries.windowRanks(spark, sf).collect()
+    val byGroup = rows.groupBy(_.getString(0))
+    for ((_, rs) <- byGroup) assert(rs.length == 5)
+    for (r <- rows) {
+      assert(r.getInt(3) >= r.getInt(4), "rank < dense_rank")
+      assert(r.getInt(6) >= 1 && r.getInt(6) <= 4, "ntile out of range")
+    }
+  }
+
+  test("text_normalize: output is lowercase alphanumeric with single spaces") {
+    val rows = Queries.textNormalize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getString(1)
+      assert(!n.exists(c => c.isUpper), "uppercase survived")
+      assert(n.matches("[a-z0-9 ]*"), s"non-alphanumeric survived: $n")
+      assert(!n.contains("  "), "space run survived")
+    }
+  }
+
   test("histogram_bins: bins partition the value range, counts sum to the table") {
     val rows = Queries.histogramBins(spark, sf).collect()
     val total = graft.sources.Tables.load(spark, sf, "events").count()

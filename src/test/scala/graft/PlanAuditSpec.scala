@@ -247,6 +247,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"corpus side not a direct scan:\n$p")
   }
 
+  test("window_ranks: the four rank functions share one exchange and one sort") {
+    val p = plan("window_ranks")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(o_orderpriority")) == 1,
+      s"rank family re-shuffles:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) +
+      p.linesIterator.count(_.trim.startsWith(":- Window")) <= 1,
+      s"rank family planned as multiple window passes:\n$p")
+  }
+
+  test("text_normalize: map-only regex chain, no UDF, no data shuffle") {
+    val p = plan("text_normalize")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"normalization fell back to a UDF:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"map-only pass shuffled:\n$p")
+  }
+
+  test("sample_proportional: the global remainder window runs on aggregated strata, not data") {
+    val p = plan("sample_proportional")
+    // the only partition-less window must sit above a HashAggregate
+    // (strata frame), and the per-row ranking window is keyed on source
+    assert(p.contains("windowspecdefinition(source"),
+      s"per-stratum draw window missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"quota attach not broadcast:\n$p")
+  }
+
   test("percentile_profile: exact percentile is a two-phase object aggregate") {
     val p = plan("percentile_profile")
     assert(p.contains("partial_percentile"),
