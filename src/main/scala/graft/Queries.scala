@@ -2063,6 +2063,75 @@ object Queries {
       |WHERE r.rk <= a.quota ORDER BY r.source, r.rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // scd2_intervals — slowly-changing-dimension type-2 history from an
+  // event feed: each record becomes a version row valid [ts, next ts),
+  // open-ended for the latest. One lead() window per user — a single
+  // exchange + sort; the history build is a window, never a self-join.
+  // ---------------------------------------------------------------------
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)))
+      .select("user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH v AS (SELECT user_id, event_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM events)
+      |SELECT user_id, event_id, event_type, valid_from, valid_to,
+      |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // events_stream_enrich — stream-STATIC join: the live stream enriches
+  // against a broadcast batch profile (per-user value tier) with NO join
+  // state (re-evaluated per micro-batch, unlike the state-bounded
+  // stream-stream attributionJoin), then a watermarked aggregation per
+  // (tier, event_type). The batch equivalent is an exact oracle because
+  // the static side is fixed for the whole run.
+  // ---------------------------------------------------------------------
+  def eventsStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val profile = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        floor((col("sv").cast("double") / col("cnt").cast("double")) / lit(25.0))
+          .as("tier"))
+    val stream = graft.streaming.EventsStream.fromParquetDir(s, dir)
+    val agg = stream.join(broadcast(profile), "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    val qname = "events_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainWithoutNoDataBatches(s) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname)
+  }
+
+  val eventsStreamEnrichSql: String =
+    """WITH prof AS (SELECT user_id,
+      |    CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE)) / 25.0) AS BIGINT) AS tier
+      |  FROM events GROUP BY user_id)
+      |SELECT tier, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN prof USING (user_id)
+      |GROUP BY tier, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -2140,7 +2209,9 @@ object Queries {
     "quantile_bins" -> (quantileBins _),
     "window_ranks" -> (windowRanks _),
     "text_normalize" -> (textNormalize _),
-    "sample_proportional" -> (sampleProportional _)
+    "sample_proportional" -> (sampleProportional _),
+    "scd2_intervals" -> (scd2Intervals _),
+    "events_stream_enrich" -> (eventsStreamEnrich _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -2219,6 +2290,8 @@ object Queries {
     "quantile_bins" -> quantileBinsSql,
     "window_ranks" -> windowRanksSql,
     "text_normalize" -> textNormalizeSql,
-    "sample_proportional" -> sampleProportionalSql
+    "sample_proportional" -> sampleProportionalSql,
+    "scd2_intervals" -> scd2IntervalsSql,
+    "events_stream_enrich" -> eventsStreamEnrichSql
   )
 }

@@ -165,6 +165,19 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("scd2_intervals: per user, intervals chain without gaps and exactly one open row") {
+    val rows = Queries.scd2Intervals(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    for ((u, rs) <- byUser) {
+      assert(rs.count(_.getInt(5) == 1) == 1, s"user $u: open-row count != 1")
+      val sorted = rs.sortBy(r => (r.getTimestamp(3).getTime, r.getLong(1)))
+      for (w <- sorted.sliding(2) if w.length == 2 && w(0).getTimestamp(4) != null)
+        assert(w(0).getTimestamp(4) == w(1).getTimestamp(3),
+          s"user $u: valid_to of one version != valid_from of the next")
+      assert(sorted.last.getTimestamp(4) == null, s"user $u: last row not open")
+    }
+  }
+
   test("histogram_bins: bins partition the value range, counts sum to the table") {
     val rows = Queries.histogramBins(spark, sf).collect()
     val total = graft.sources.Tables.load(spark, sf, "events").count()

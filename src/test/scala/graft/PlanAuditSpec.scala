@@ -274,6 +274,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"quota attach not broadcast:\n$p")
   }
 
+  test("scd2_intervals: history build is one lead() window, never a self-join") {
+    val p = plan("scd2_intervals")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"history build re-shuffles:\n$p")
+    assert(!p.contains("Join"), s"SCD2 planned as a self-join:\n$p")
+    assert(p.contains("lead(ts"), s"no lead window:\n$p")
+  }
+
   test("percentile_profile: exact percentile is a two-phase object aggregate") {
     val p = plan("percentile_profile")
     assert(p.contains("partial_percentile"),
