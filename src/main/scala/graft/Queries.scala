@@ -2132,6 +2132,38 @@ object Queries {
       |GROUP BY tier, event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // rolling_window — time-RANGE frame aggregation: per user, the count
+  // and exact-decimal sum over the trailing 7 days at every event. A
+  // range frame over epoch-micros is one window pass (single exchange +
+  // sort per user); the naive equivalent is a self-join on a time
+  // inequality, which is quadratic per user. Micros keep the frame
+  // boundary integer-exact on both engines.
+  // ---------------------------------------------------------------------
+  def rollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-sevenDaysUs, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d",
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+      .select("event_id", "user_id", "ts", "n_7d", "sum_7d")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val rollingWindowSql: String =
+    """SELECT event_id, user_id, ts,
+      |  COUNT(*) OVER w AS n_7d,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -2211,7 +2243,8 @@ object Queries {
     "text_normalize" -> (textNormalize _),
     "sample_proportional" -> (sampleProportional _),
     "scd2_intervals" -> (scd2Intervals _),
-    "events_stream_enrich" -> (eventsStreamEnrich _)
+    "events_stream_enrich" -> (eventsStreamEnrich _),
+    "rolling_window" -> (rollingWindow _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -2292,6 +2325,7 @@ object Queries {
     "text_normalize" -> textNormalizeSql,
     "sample_proportional" -> sampleProportionalSql,
     "scd2_intervals" -> scd2IntervalsSql,
-    "events_stream_enrich" -> eventsStreamEnrichSql
+    "events_stream_enrich" -> eventsStreamEnrichSql,
+    "rolling_window" -> rollingWindowSql
   )
 }

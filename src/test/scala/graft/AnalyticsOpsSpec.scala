@@ -178,6 +178,30 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("rolling_window: trailing-7d aggregates match a brute-force recomputation per user") {
+    val rows = Queries.rollingWindow(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4)))
+    val byUser = rows.groupBy(_._1)
+    assert(byUser.nonEmpty)
+    val values = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    val sevenDaysMs = 7L * 24 * 3600 * 1000
+    for (u <- byUser.keys.take(3); (_, t, n, _) <- byUser(u)) {
+      val brute = values.count { case (vu, vt, _) =>
+        vu == u && vt <= t && vt >= t - sevenDaysMs }
+      assert(n == brute, s"user $u at $t: window count $n != brute $brute")
+    }
+  }
+
+  test("approx_count_distinct (the 100 TB distinct path) lands within its rsd of exact") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val exact = docs.select(countDistinct(col("text"))).collect()(0).getLong(0)
+    val approx = docs.select(approx_count_distinct(col("text"), 0.02)).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.06,
+      s"HLL estimate $approx vs exact $exact exceeds 3x rsd")
+  }
+
   test("histogram_bins: bins partition the value range, counts sum to the table") {
     val rows = Queries.histogramBins(spark, sf).collect()
     val total = graft.sources.Tables.load(spark, sf, "events").count()

@@ -282,6 +282,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("lead(ts"), s"no lead window:\n$p")
   }
 
+  test("rolling_window: time-range frame in one window pass, never a time-inequality self-join") {
+    val p = plan("rolling_window")
+    assert(p.contains("RangeFrame"), s"no range frame:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"rolling aggregation re-shuffles:\n$p")
+    assert(!p.contains("Join"), s"rolling window planned as a self-join:\n$p")
+  }
+
   test("percentile_profile: exact percentile is a two-phase object aggregate") {
     val p = plan("percentile_profile")
     assert(p.contains("partial_percentile"),
