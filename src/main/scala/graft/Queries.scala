@@ -794,6 +794,79 @@ object Queries {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // skew_split_join — the OTHER standard skew treatment (Skew.splitJoin):
+  // rows carrying the 10 hottest custkeys take a broadcast join (the
+  // skewed traffic never shuffles), the rest take the normal shuffle join.
+  // A physical rewrite, not a semantic one — the oracle is the plain join.
+  // Decimal-exact revenue so the union's aggregation order can't perturb
+  // the double.
+  // ---------------------------------------------------------------------
+  def skewSplitJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val hot = graft.operators.Skew.hotKeys(orders, "o_custkey", 10)
+    graft.operators.Skew.splitJoin(orders, customer, "o_custkey", hot)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val skewSplitJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // distinct_kmv — KMV distinct-count sketch per event_type
+  // (Sketches.kmvDistinct): the oracle-checkable cardinality sketch —
+  // DuckDB replays hash → kth-min → one IEEE division and must reproduce
+  // the estimate bit-for-bit, next to the exact count for comparison.
+  // ---------------------------------------------------------------------
+  def distinctKmv(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvDistinct(
+      t(s, dir, "events"), group = "event_type", value = col("user_id"), k = 64)
+      .orderBy("event_type")
+
+  val distinctKmvSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH m AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT event_type, CAST($hv AS BIGINT) AS hv, hx FROM m),
+       |r AS (SELECT event_type, hv,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY hv, hx) AS rk FROM h),
+       |kth AS (SELECT event_type, hv AS kth_hash FROM r WHERE rk = 64),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |SELECT ex.event_type, n_exact, kth_hash,
+       |  COALESCE((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)) / CAST(kth_hash AS DOUBLE),
+       |           CAST(n_exact AS DOUBLE)) AS est
+       |FROM ex LEFT JOIN kth USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // dup_ngram_spans — exact-substring dedup signal (TextOps.dupNgramStats):
+  // per document, how many word-5-gram positions carry a gram occurring
+  // ≥ 2 times corpus-wide — the fraction an exact-substring pass would
+  // mask (Lee et al. ACL'22).
+  // ---------------------------------------------------------------------
+  def dupNgramSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.dupNgramStats(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5)
+
+  val dupNgramSpansSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest([md5(array_to_string(ws[i:i+4], ' ')) for i in generate_series(1, len(ws)-4)]) AS gh
+      |      FROM w WHERE len(ws) >= 5),
+      |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+      |d AS (SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN c USING (gh) GROUP BY doc_id),
+      |n AS (SELECT doc_id, CAST(greatest(len(ws) - 4, 0) AS BIGINT) AS n_grams FROM w)
+      |SELECT n.doc_id, n.n_grams, CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup
+      |FROM n LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** CUBE (all 2^n grouping sets — rollup's sibling Expand path; one scan,
     * the Expand operator multiplies rows by the grouping-set count before
     * the partial aggregate, so the shuffle still carries aggregates). */
@@ -2218,6 +2291,9 @@ object Queries {
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
     "skew_salted_agg" -> (skewSaltedAgg _),
+    "skew_split_join" -> (skewSplitJoin _),
+    "distinct_kmv" -> (distinctKmv _),
+    "dup_ngram_spans" -> (dupNgramSpans _),
     "anti_join" -> (antiJoin _),
     "semi_join" -> (semiJoin _),
     "profile_lineitem" -> (profileLineitem _),
@@ -2300,6 +2376,9 @@ object Queries {
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,
     "skew_salted_agg" -> skewSaltedAggSql,
+    "skew_split_join" -> skewSplitJoinSql,
+    "distinct_kmv" -> distinctKmvSql,
+    "dup_ngram_spans" -> dupNgramSpansSql,
     "anti_join" -> antiJoinSql,
     "semi_join" -> semiJoinSql,
     "profile_lineitem" -> profileLineitemSql,

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketching.
+  *
+  * KMV (k-minimum-values) distinct-count estimation: hash every value
+  * uniformly, keep the k smallest DISTINCT hashes per group, and estimate
+  * |distinct| = (k-1) / U_(k) where U_(k) is the kth minimum as a fraction of
+  * the hash space. Standard error ~ 1/sqrt(k-2) (Beyer et al., "On Synopses
+  * for Distinct-Value Estimation Under Multiset Operations", SIGMOD'07).
+  *
+  * Why this instead of HyperLogLog (`approx_count_distinct`) when both are
+  * sketches: KMV is a pure function of the value set — no stochastic
+  * averaging, no bias-correction branches — so the estimate is bit-for-bit
+  * reproducible across engines, which makes it ORACLE-CHECKABLE (DuckDB
+  * replays hash → kth-min → one IEEE division and must produce the identical
+  * double). HLL remains the lower-memory production alternative and is
+  * spec-pinned separately against its rsd bound (AnalyticsOpsSpec).
+  *
+  * Scale shape: the value column never reaches the aggregation — rows
+  * project to (group, 32-hex digest) and dedupe with map-side partial
+  * DISTINCT; the k-smallest selection is the same two-phase salted top-n as
+  * [[Sampling.stratifiedTopNBy]] (per-(group × salt-bucket) local top-k,
+  * then an exact window over ≤ k·saltBuckets candidates per group), so no
+  * whole-group-on-one-task sort ever happens. A custom bounded-heap
+  * aggregate could drop the intermediate DISTINCT, but the window form stays
+  * entirely inside whole-stage codegen and the shuffled payload is already
+  * minimal (hashes, never values).
+  */
+object Sketches {
+
+  /** 2^52 — the hash-space size. 52 bits so the kth hash converts to double
+    * EXACTLY (52-bit mantissa): the estimate's only inexact step is one IEEE
+    * division, identical on any engine. */
+  val HashSpace: Double = 4503599627370496.0
+
+  /** Per-group KMV distinct estimate next to the exact count (the exact
+    * count is the verification column; at 100 TB you'd keep only the
+    * sketch side).
+    *
+    * Output: (group, n_exact, kth_hash, est) — `kth_hash` null and
+    * `est = n_exact` for groups with fewer than k distinct values (the
+    * sketch is exact below its capacity by definition).
+    */
+  def kmvDistinct(df: DataFrame, group: String, value: Column, k: Int,
+      saltBuckets: Int = 16): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    // Full-width digest for dedup (collision-free for all practical
+    // cardinalities); 13-hex = 52-bit prefix as the numeric draw. The
+    // digest column also tie-breaks ranking so 52-bit prefix collisions
+    // order identically on every engine.
+    val pairs = df.filter(value.isNotNull)
+      .select(col(group).as("g"), md5(value.cast("string")).as("hx"))
+      .distinct()
+      .withColumn("hv", conv(substring(col("hx"), 1, 13), 16, 10).cast("long"))
+    val local = Window
+      .partitionBy(col("g"), pmod(xxhash64(col("hx")), lit(saltBuckets)))
+      .orderBy(col("hv"), col("hx"))
+    val global = Window.partitionBy(col("g")).orderBy(col("hv"), col("hx"))
+    val kth = pairs
+      .withColumn("_rkl", row_number().over(local)).filter(col("_rkl") <= k)
+      .withColumn("_rk", row_number().over(global)).filter(col("_rk") === k)
+      .select(col("g"), col("hv").as("kth_hash"))
+    val exact = df.filter(value.isNotNull)
+      .groupBy(col(group).as("g")).agg(countDistinct(value).as("n_exact"))
+    // (k-1)·2^52 is exact in double (6-bit mantissa × power of two), so
+    // both engines fold the numerator identically before the one division.
+    exact.join(kth, Seq("g"), "left")
+      .select(col("g").as(group), col("n_exact"), col("kth_hash"),
+        coalesce(lit((k - 1).toDouble * HashSpace) / col("kth_hash").cast("double"),
+          col("n_exact").cast("double")).as("est"))
+  }
+
+  /** The DuckDB-side integer value of the first `chars` hex digits of `h` —
+    * the oracle's replay of Spark's `conv(substring(h,1,chars),16,10)`
+    * (DuckDB has no base-conversion function; the positional sum over
+    * BIGINT shifts is exact). */
+  def hexPrefixValSql(h: String, chars: Int = 13): String =
+    (1 to chars).map { i =>
+      s"(CAST(strpos('0123456789abcdef', substr($h, $i, 1)) AS BIGINT) - 1)" +
+        s" * (CAST(1 AS BIGINT) << ${4 * (chars - i)})"
+    }.mkString("(", " + ", ")")
+}

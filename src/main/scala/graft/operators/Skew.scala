@@ -35,4 +35,33 @@ object Skew {
       explode(sequence(lit(0L), lit(salts - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The h most frequent join keys of the big side — the bounded (h-row)
+    * collect that parameterizes [[splitJoin]]. Deterministic: frequency
+    * ties break on the key itself. */
+  def hotKeys(big: DataFrame, key: String, h: Int): Seq[Long] =
+    big.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col(key).asc).limit(h)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** Hot-key split join — the other standard skew treatment, for when the
+    * dimension is too big to broadcast WHOLE but the hot-key slice of it is
+    * tiny: route rows carrying the h hottest keys through a broadcast hash
+    * join (no shuffle at all for the skewed traffic — the hot rows never
+    * leave their scan partitions), and everything else through the normal
+    * shuffle join, whose partitions are now skew-free. Versus
+    * [[saltedJoin]]: no `salts`-way replication of the dimension, at the
+    * cost of one bounded frequency probe to find the hot set. Inner joins
+    * only (the split must not manufacture or drop outer nulls; null keys
+    * fail both `isin` branches exactly as they fail an inner equi-join). */
+  def splitJoin(big: DataFrame, dim: DataFrame, key: String,
+                hot: Seq[Long]): DataFrame = {
+    require(hot.nonEmpty, "splitJoin needs a non-empty hot-key set")
+    val hotPath = big.filter(col(key).isin(hot: _*))
+      .join(broadcast(dim.filter(col(key).isin(hot: _*))), Seq(key))
+    val coldPath = big.filter(!col(key).isin(hot: _*))
+      .join(dim, Seq(key))
+    hotPath.unionByName(coldPath)
+  }
 }

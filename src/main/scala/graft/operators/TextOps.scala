@@ -245,6 +245,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide duplicated-substring statistics at n-gram granularity —
+    * the positional signal behind exact substring deduplication (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22: drop any span occurring verbatim elsewhere in the corpus).
+    * For every document: how many of its word n-gram START POSITIONS carry
+    * a gram that occurs ≥ 2 times corpus-wide (in another document or
+    * repeated within this one). n_dup/n_grams is the fraction of the
+    * document that an exact-substring pass would mask.
+    *
+    * Versus [[contamination]] (per-doc DISTINCT grams vs a broadcast eval
+    * split): here positions are kept — the mask is positional — and the
+    * frequency table is corpus-global, so the counts side is a full
+    * aggregate, not a broadcast.
+    *
+    * Scale shape: grams are md5-hashed in the same one-JVM-pass flatMap as
+    * [[contamination]], so the two shuffles (gram frequency, postings
+    * re-join) carry (32-hex, position) pairs — document bodies never leave
+    * the scan. The ≥2 filter happens before the join, so the frequency
+    * side the postings join against is only the duplicated tail of the
+    * gram distribution. */
+  def dupNgramStats(docs: DataFrame, n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ", -1)
+          Iterator.range(0, math.max(ws.length - n + 1, 0)).map { i =>
+            val hex = md.digest(ws.slice(i, i + n).mkString(" ")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            (id, i.toLong, hex)
+          }
+        }
+      }.toDF("doc_id", "pos", "gh")
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2).select("gh")
+    val perDoc = grams.join(dupGrams, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    // token split mirrors the flatMap's split(" ", -1) (trailing empties
+    // kept) so n_grams counts the same windows the postings enumerate
+    docs.select(col("doc_id"),
+        greatest(size(split(col("text"), " ", -1)) - (n - 1), lit(0))
+          .cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Sliding-window chunking: split each document into overlapping windows
     * of `window` tokens advancing by `stride` — context-window preparation
     * for embedding and training pipelines. One typed mapPartitions flatMap

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketches.kmvDistinct — the distinct_kmv CORRECTNESS row. */
+class SketchesSpec extends AnyFunSuite with SparkSuite {
+
+  test("kmvDistinct's two-phase kth hash equals the textbook single window") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (s"g${i % 3}", i * 7919L)).toDF("g", "v")
+    val k = 32
+    val got = Sketches.kmvDistinct(df, "g", col("v"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val textbook = df
+      .select(col("g"), md5(col("v").cast("string")).as("hx")).distinct()
+      .withColumn("hv", conv(substring(col("hx"), 1, 13), 16, 10).cast("long"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("g").orderBy(col("hv"), col("hx"))))
+      .filter(col("rk") === k)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("hv")).toMap
+    assert(got === textbook)
+    assert(got.size === 3)
+  }
+
+  test("estimate lands within 4 standard errors of the exact count") {
+    import spark.implicits._
+    // 2000 distinct values, each duplicated 3x — duplicates must not
+    // inflate the estimate (KMV dedupes hashes before ranking)
+    val df = (1L to 6000L).map(i => ("g", (i % 2000L) * 104729L)).toDF("g", "v")
+    val k = 64
+    val row = Sketches.kmvDistinct(df, "g", col("v"), k).head()
+    val (exact, est) = (row.getLong(1), row.getDouble(3))
+    assert(exact === 2000L)
+    val se = exact.toDouble / math.sqrt(k - 2.0)
+    assert(math.abs(est - exact) < 4 * se,
+      s"est $est vs exact $exact (4se = ${4 * se})")
+  }
+
+  test("below-capacity groups report the exact count and a null kth hash") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => ("tiny", i)).toDF("g", "v")
+    val row = Sketches.kmvDistinct(df, "g", col("v"), k = 64).head()
+    assert(row.getLong(1) === 10L)
+    assert(row.isNullAt(2))
+    assert(row.getDouble(3) === 10.0)
+  }
+
+  test("null values are ignored, matching COUNT(DISTINCT)") {
+    import spark.implicits._
+    val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)), ("g", None))
+      .toDF("g", "v")
+    val row = Sketches.kmvDistinct(df, "g", col("v"), k = 64).head()
+    assert(row.getLong(1) === 2L && row.getDouble(3) === 2.0)
+  }
+
+  test("hexPrefixValSql replays Spark's conv() on the digest prefix") {
+    // the oracle's positional-sum form must equal conv(hex,16,10) for the
+    // digests Spark produces — sweep digits via md5 of 0..99
+    import spark.implicits._
+    val hexes = (0 until 100).map(i => md5Hex(i.toString))
+    val sparkVals = hexes.toDF("hx")
+      .select(conv(substring(col("hx"), 1, 13), 16, 10).cast("long"))
+      .collect().map(_.getLong(0))
+    val manual = hexes.map { h =>
+      h.take(13).foldLeft(0L)((acc, c) =>
+        acc * 16 + "0123456789abcdef".indexOf(c))
+    }
+    assert(sparkVals.toSeq === manual)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}

@@ -35,6 +35,40 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
     assert(plain == salted)
   }
 
+  test("splitJoin equals the plain inner join on a hot-key-skewed table") {
+    import spark.implicits._
+    // one pathologically hot key (5000 rows), a long cold tail, plus keys
+    // with no dim match and dim rows with no big match (inner-join edges)
+    val big = ((1 to 5000).map(_ => 1L) ++ (2L to 500L) ++ Seq(9999L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("key", "payload")
+    val dim = (1L to 600L).map(k => (k, s"d$k")).toDF("key", "attr")
+    val hot = Skew.hotKeys(big, "key", 3)
+    assert(hot.head === 1L, s"hottest key must lead: $hot")
+    val plain = big.join(dim, "key").groupBy("key").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val split = Skew.splitJoin(big, dim, "key", hot).groupBy("key").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split === plain)
+    assert(plain(1L) === 5000L && !plain.contains(9999L))
+  }
+
+  test("splitJoin routes hot keys through broadcast, cold through shuffle") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable auto-broadcast so the cold path shows its true shuffle
+      // shape and the ONLY broadcast is splitJoin's explicit hot-path hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = (1L to 1000L).map(k => (k % 50L, k)).toDF("key", "payload")
+      val dim = (0L to 49L).map(k => (k, s"d$k")).toDF("key", "attr")
+      val plan = Skew.splitJoin(big, dim, "key", Seq(0L, 1L))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("graft_dot is callable from SQL after extension registration") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(

@@ -77,6 +77,33 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(out === Map(5L -> 1L))
   }
 
+  test("dupNgramStats: positional counts, internal repeats, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),        // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),        // shares "a b c d e" with doc 1
+      (3L, "z z z z z z z"),      // 3 positions, all the same gram (internal repeat)
+      (4L, "too short")           // < 5 tokens: zero windows
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupNgramStats(docs, n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((2L, 1L)),  // only the shared gram's position is masked
+      2L -> ((2L, 1L)),
+      3L -> ((3L, 3L)),  // every position of the self-repeating gram counts
+      4L -> ((0L, 0L))))
+  }
+
+  test("dupNgramStats: a corpus with no repeats reports all-zero masks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "seven eight nine ten eleven")).toDF("doc_id", "text")
+    val out = TextOps.dupNgramStats(docs, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("packSequences: next-fit respects the budget; oversized doc gets its own bin") {
     import spark.implicits._
     val docs = Seq(
