@@ -848,6 +848,74 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // distinct_kmv_merge — KMV sketch ALGEBRA (Sketches.kmvMergeDistinct):
+  // the union-cardinality estimate computed purely from two precomputed
+  // per-segment sketches (the k smallest hashes of A ∪ B are a subset of
+  // K(A) ∪ K(B)) — no rescan of the base data. Segments user_id%2 are
+  // disjoint so the union genuinely exceeds either input sketch.
+  // ---------------------------------------------------------------------
+  def distinctKmvMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(concat(lit("seg"), (col("user_id") % 2).cast("string")).as("seg"),
+        col("user_id"))
+    val sketch = graft.operators.Sketches.kmvMinHashes(
+      ev, group = "seg", value = col("user_id"), k = 64)
+    val merged = graft.operators.Sketches.kmvMergeDistinct(
+      sketch, Seq("seg0", "seg1"), k = 64)
+    val exact = ev.agg(count_distinct(col("user_id")).as("n_exact"))
+    exact.join(merged, lit(true), "left")
+      .select("n_exact", "n_hashes", "kth_hash", "est")
+  }
+
+  val distinctKmvMergeSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH m AS (SELECT DISTINCT 'seg' || CAST(user_id % 2 AS VARCHAR) AS seg,
+       |    md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT seg, CAST($hv AS BIGINT) AS hv, hx FROM m),
+       |r AS (SELECT seg, hv, hx,
+       |    row_number() OVER (PARTITION BY seg ORDER BY hv, hx) AS rk FROM h),
+       |sk AS (SELECT DISTINCT hv, hx FROM r WHERE rk <= 64),
+       |g AS (SELECT hv, row_number() OVER (ORDER BY hv, hx) AS rk FROM sk),
+       |kth AS (SELECT hv AS kth_hash FROM g WHERE rk = 64),
+       |tot AS (SELECT COUNT(*) AS n_hashes FROM sk),
+       |ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events WHERE user_id IS NOT NULL)
+       |SELECT n_exact, n_hashes, kth_hash,
+       |  COALESCE((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+       |             / CAST(kth_hash AS DOUBLE),
+       |           CAST(n_hashes AS DOUBLE)) AS est
+       |FROM ex CROSS JOIN tot LEFT JOIN kth ON TRUE""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // sample_weighted — deterministic weighted sampling (priority sampling,
+  // Sampling.weightedTopN): priority = weight/u with u from the content
+  // hash; the 20 highest-priority docs per language win. Heavier docs win
+  // proportionally more often; the draw replays bit-exactly (exact
+  // product, one IEEE division).
+  // ---------------------------------------------------------------------
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedTopN(
+      t(s, dir, "documents"), stratum = "lang", textCol = "text",
+      weightCol = "n_chars", n = 20)
+      .orderBy("lang", "rk")
+
+  val sampleWeightedSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH h AS (SELECT doc_id, lang, n_chars, md5(text) AS hx FROM documents),
+       |p AS (SELECT doc_id, lang, hx,
+       |  (CAST(n_chars AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+       |    / CAST($hv + 1 AS DOUBLE) AS pri
+       |  FROM h),
+       |r AS (SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY pri DESC, hx, doc_id) AS rk
+       |  FROM p)
+       |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r
+       |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // dup_ngram_spans — exact-substring dedup signal (TextOps.dupNgramStats):
   // per document, how many word-5-gram positions carry a gram occurring
   // ≥ 2 times corpus-wide — the fraction an exact-substring pass would
@@ -2293,6 +2361,8 @@ object Queries {
     "skew_salted_agg" -> (skewSaltedAgg _),
     "skew_split_join" -> (skewSplitJoin _),
     "distinct_kmv" -> (distinctKmv _),
+    "distinct_kmv_merge" -> (distinctKmvMerge _),
+    "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_spans" -> (dupNgramSpans _),
     "anti_join" -> (antiJoin _),
     "semi_join" -> (semiJoin _),
@@ -2378,6 +2448,8 @@ object Queries {
     "skew_salted_agg" -> skewSaltedAggSql,
     "skew_split_join" -> skewSplitJoinSql,
     "distinct_kmv" -> distinctKmvSql,
+    "distinct_kmv_merge" -> distinctKmvMergeSql,
+    "sample_weighted" -> sampleWeightedSql,
     "dup_ngram_spans" -> dupNgramSpansSql,
     "anti_join" -> antiJoinSql,
     "semi_join" -> semiJoinSql,

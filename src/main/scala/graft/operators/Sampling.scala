@@ -74,6 +74,34 @@ object Sampling {
     docs.filter(keep)
   }
 
+  /** Deterministic weighted sampling (priority sampling, Duffield et al.,
+    * "Priority sampling for estimation of arbitrary subset sums", JACM'07):
+    * each row draws priority = weight / u with u uniform in (0,1] derived
+    * from the content hash, and the n highest-priority rows per stratum
+    * win — heavier rows win proportionally more often, yet the draw is a
+    * pure function of (content, weight), reproducible anywhere.
+    *
+    * Cross-engine exactness: u = (hv+1)/2^52 with hv the 52-bit md5
+    * prefix, so priority = (w · 2^52)/(hv+1) — the product is exact in a
+    * double for any weight below 2^53/2^52 · … (weight mantissa + 52 bits
+    * ≤ 53, i.e. integer weights < 2^? in practice ≤ ~2000 chars), and the
+    * division is one IEEE op both engines perform identically; ordering
+    * ties break on the full digest then the id.
+    *
+    * Same two-phase salted top-n scale shape as [[stratifiedTopNBy]]. */
+  def weightedTopN(docs: DataFrame, stratum: String, textCol: String,
+      weightCol: String, n: Int, saltBuckets: Int = 16): DataFrame = {
+    val hx = md5(col(textCol))
+    val hv = conv(substring(hx, 1, 13), 16, 10).cast("long")
+    // negate so the shared smallest-key machinery picks HIGHEST priority;
+    // struct orders lexicographically: (-pri, digest) == DESC pri + digest
+    val key = struct(
+      (col(weightCol).cast("double") * lit(Sketches.HashSpace) * lit(-1.0)) /
+        (hv + lit(1L)).cast("double"),
+      hx)
+    stratifiedTopNBy(docs, "doc_id", stratum, key, n, saltBuckets)
+  }
+
   /** General form: smallest-`key` top-n per stratum over any id column —
     * e.g. embeddings drawn per k-means cluster keyed on md5 of the vec_id
     * (no text to content-address). Same two-phase salted shape. */

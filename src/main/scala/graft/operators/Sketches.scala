@@ -47,23 +47,8 @@ object Sketches {
     */
   def kmvDistinct(df: DataFrame, group: String, value: Column, k: Int,
       saltBuckets: Int = 16): DataFrame = {
-    require(k >= 2, s"KMV needs k >= 2, got $k")
-    // Full-width digest for dedup (collision-free for all practical
-    // cardinalities); 13-hex = 52-bit prefix as the numeric draw. The
-    // digest column also tie-breaks ranking so 52-bit prefix collisions
-    // order identically on every engine.
-    val pairs = df.filter(value.isNotNull)
-      .select(col(group).as("g"), md5(value.cast("string")).as("hx"))
-      .distinct()
-      .withColumn("hv", conv(substring(col("hx"), 1, 13), 16, 10).cast("long"))
-    val local = Window
-      .partitionBy(col("g"), pmod(xxhash64(col("hx")), lit(saltBuckets)))
-      .orderBy(col("hv"), col("hx"))
-    val global = Window.partitionBy(col("g")).orderBy(col("hv"), col("hx"))
-    val kth = pairs
-      .withColumn("_rkl", row_number().over(local)).filter(col("_rkl") <= k)
-      .withColumn("_rk", row_number().over(global)).filter(col("_rk") === k)
-      .select(col("g"), col("hv").as("kth_hash"))
+    val kth = kmvMinHashes(df, group, value, k, saltBuckets)
+      .filter(col("rk") === k).select(col("g"), col("hv").as("kth_hash"))
     val exact = df.filter(value.isNotNull)
       .groupBy(col(group).as("g")).agg(countDistinct(value).as("n_exact"))
     // (k-1)·2^52 is exact in double (6-bit mantissa × power of two), so
@@ -72,6 +57,55 @@ object Sketches {
       .select(col("g").as(group), col("n_exact"), col("kth_hash"),
         coalesce(lit((k - 1).toDouble * HashSpace) / col("kth_hash").cast("double"),
           col("n_exact").cast("double")).as("est"))
+  }
+
+  /** The raw per-group sketch: the k smallest distinct (hv, hx) hash pairs
+    * per group, ranked — the state [[kmvMergeDistinct]] composes and
+    * [[kmvDistinct]] reads its kth minimum from. At 100 TB this is what
+    * you'd persist per partition/day/source: k·32 bytes per group,
+    * mergeable without rescanning the data.
+    *
+    * Full-width digest for dedup (collision-free for all practical
+    * cardinalities); 13-hex = 52-bit prefix as the numeric draw. The digest
+    * column also tie-breaks ranking so 52-bit prefix collisions order
+    * identically on every engine. */
+  def kmvMinHashes(df: DataFrame, group: String, value: Column, k: Int,
+      saltBuckets: Int = 16): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val pairs = df.filter(value.isNotNull)
+      .select(col(group).as("g"), md5(value.cast("string")).as("hx"))
+      .distinct()
+      .withColumn("hv", conv(substring(col("hx"), 1, 13), 16, 10).cast("long"))
+    val local = Window
+      .partitionBy(col("g"), pmod(xxhash64(col("hx")), lit(saltBuckets)))
+      .orderBy(col("hv"), col("hx"))
+    val global = Window.partitionBy(col("g")).orderBy(col("hv"), col("hx"))
+    pairs
+      .withColumn("_rkl", row_number().over(local)).filter(col("_rkl") <= k)
+      .withColumn("rk", row_number().over(global)).filter(col("rk") <= k)
+      .select(col("g"), col("hv"), col("hx"), col("rk"))
+  }
+
+  /** Distinct-count estimate for the UNION of a set of groups computed
+    * purely from their precomputed sketches — the KMV closure property
+    * (the k smallest hashes of A ∪ B are a subset of K(A) ∪ K(B)): union
+    * the per-group hash sets, dedupe, take the kth minimum, estimate as in
+    * [[kmvDistinct]]. No rescan of the base data; the input is ≤ |groups|·k
+    * sketch rows. Returns one row: (kth_hash, est) — kth_hash null and
+    * est = the exact union size of the merged hash sets when the union
+    * still fits under k (exact below capacity). */
+  def kmvMergeDistinct(sketch: DataFrame, groups: Seq[String], k: Int): DataFrame = {
+    val merged = sketch.filter(col("g").isin(groups: _*))
+      .select("hv", "hx").distinct()
+    val ranked = merged
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("hv"), col("hx"))))
+    val kth = ranked.filter(col("_rk") === k).select(col("hv").as("kth_hash"))
+    val total = merged.agg(count(lit(1)).as("n_hashes"))
+    total.join(kth, lit(true), "left")
+      .select(col("n_hashes"), col("kth_hash"),
+        coalesce(lit((k - 1).toDouble * HashSpace) / col("kth_hash").cast("double"),
+          col("n_hashes").cast("double")).as("est"))
   }
 
   /** The DuckDB-side integer value of the first `chars` hex digits of `h` —

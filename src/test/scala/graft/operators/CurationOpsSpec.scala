@@ -58,6 +58,35 @@ class CurationOpsSpec extends AnyFunSuite with SparkSuite {
     assert(out(expectFirst) === 1L)
   }
 
+  test("weightedTopN equals the textbook priority window") {
+    val n = 9
+    val twoPhase = Sampling.weightedTopN(docs, "lang", "text", "n_chars", n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val hx = md5(col("text"))
+    val hv = conv(substring(hx, 1, 13), 16, 10).cast("long")
+    val pri = (col("n_chars").cast("double") * lit(Sketches.HashSpace)) /
+      (hv + lit(1L)).cast("double")
+    val textbook = docs
+      .select(col("doc_id"), col("lang"), pri.as("pri"), hx.as("hx"))
+      .withColumn("rk", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("pri").desc, col("hx"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= n).select("doc_id", "lang", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(twoPhase === textbook)
+    assert(twoPhase.nonEmpty)
+  }
+
+  test("weightedTopN: an overwhelming weight always wins its stratum") {
+    val sp = spark
+    import sp.implicits._
+    val synth = (1L to 200L).map(i =>
+        (i, "x", s"doc number $i body", if (i == 77L) 1000000L else 10L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val top = Sampling.weightedTopN(synth, "lang", "text", "n_chars", n = 1)
+      .head()
+    assert(top.getLong(0) === 77L && top.getLong(2) === 1L)
+  }
+
   test("budgetPack: exact prefix cut per stratum, partitioning-invariant") {
     val budget = 5000L
     val out = Sampling.budgetPack(docs, "lang", "text", "n_chars", budget)

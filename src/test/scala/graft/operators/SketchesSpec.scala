@@ -56,6 +56,33 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(row.getLong(1) === 2L && row.getDouble(3) === 2.0)
   }
 
+  test("kmvMergeDistinct equals the sketch built from the unioned data (closure)") {
+    import spark.implicits._
+    // two disjoint segments; the union's kth-min must be recoverable from
+    // the per-segment sketches alone
+    val df = (1L to 400L).map(i => (if (i % 2 == 0) "a" else "b", i * 7919L))
+      .toDF("g", "v")
+    val k = 32
+    val sketch = Sketches.kmvMinHashes(df, "g", col("v"), k)
+    val merged = Sketches.kmvMergeDistinct(sketch, Seq("a", "b"), k).head()
+    val scratch = Sketches.kmvDistinct(
+      df.withColumn("g", lit("all")), "g", col("v"), k).head()
+    assert(merged.getAs[Long]("kth_hash") === scratch.getAs[Long]("kth_hash"))
+    assert(merged.getAs[Double]("est") === scratch.getAs[Double]("est"))
+  }
+
+  test("kmvMergeDistinct below capacity reports the exact union size") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val row = Sketches.kmvMergeDistinct(
+      Sketches.kmvMinHashes(df, "g", col("v"), k = 64), Seq("a", "b"), k = 64)
+      .head()
+    // value 2 hashes identically in both sketches — the union dedupes it
+    assert(row.getAs[Long]("n_hashes") === 3L)
+    assert(row.isNullAt(row.fieldIndex("kth_hash")))
+    assert(row.getAs[Double]("est") === 3.0)
+  }
+
   test("hexPrefixValSql replays Spark's conv() on the digest prefix") {
     // the oracle's positional-sum form must equal conv(hex,16,10) for the
     // digests Spark produces — sweep digits via md5 of 0..99
