@@ -964,6 +964,84 @@ object Queries {
     """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // time_decay_score — recency-weighted per-user value: half-life decay
+  // weight 2^-days_ago. Transcendental decay (exp) is not cross-engine
+  // reproducible; a base-2 integer-day decay IS: every weight 2^(cap-d) is
+  // an exact long, the weighted sum runs in DECIMAL (associative), and the
+  // final normalization by 2^cap is the single IEEE division. The
+  // reference day is the corpus max — computed once and broadcast (one-row
+  // cross join), never a global window.
+  // ---------------------------------------------------------------------
+  def timeDecayScore(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+    val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"),
+      min(to_date(col("ts"))).as("min_day"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("d", datediff(col("ref_day"), to_date(col("ts"))))
+      .withColumn("cap", datediff(col("ref_day"), col("min_day")))
+      .groupBy("user_id")
+      .agg(
+        sum(col("value").cast("decimal(18,4)") *
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(cap - d AS INT))")
+              .cast("decimal(20,0)")).as("num"),
+        max(col("cap")).as("capx"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        (col("num").cast("double") /
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(capx AS INT))").cast("double"))
+          .as("decayed_value"),
+        col("n_events"))
+      .orderBy("user_id")
+  }
+
+  val timeDecayScoreSql: String =
+    """WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref_day,
+      |                  min(CAST(ts AS DATE)) AS min_day FROM events),
+      |e AS (SELECT user_id, value,
+      |    date_diff('day', CAST(ts AS DATE), ref_day) AS d,
+      |    date_diff('day', min_day, ref_day) AS cap
+      |  FROM events CROSS JOIN r)
+      |SELECT user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))
+      |           * CAST((CAST(1 AS BIGINT) << (cap - d)) AS DECIMAL(20,0))) AS DOUBLE)
+      |    / CAST((CAST(1 AS BIGINT) << max(cap)) AS DOUBLE) AS decayed_value,
+      |  COUNT(*) AS n_events
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cohort_retention — the classic cohort matrix: users grouped by first-
+  // active day, counted on each later activity day offset. Two shuffles:
+  // first-day per user (agg), then distinct (cohort, offset, user) counts.
+  // ---------------------------------------------------------------------
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      // DATE round-trips differently through the two engines' parquet/
+      // pandas paths — compare as ISO text
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY f.cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** Hourly windowed aggregation over events with JSON extraction from the
     * props column (ns timestamps normalized via Tables.events). */
   def eventsWindow(s: SparkSession, dir: String): DataFrame =
@@ -2352,6 +2430,8 @@ object Queries {
     "window_topk" -> (windowTopk _),
     "set_except" -> (setExcept _),
     "events_window" -> (eventsWindow _),
+    "time_decay_score" -> (timeDecayScore _),
+    "cohort_retention" -> (cohortRetention _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_resize" -> (mediaResize _),
@@ -2439,6 +2519,8 @@ object Queries {
     "window_topk" -> windowTopkSql,
     "set_except" -> setExceptSql,
     "events_window" -> eventsWindowSql,
+    "time_decay_score" -> timeDecayScoreSql,
+    "cohort_retention" -> cohortRetentionSql,
     "media_features" -> mediaFeaturesSql,
     "media_frames" -> mediaFramesSql,
     "media_resize" -> mediaResizeSql,

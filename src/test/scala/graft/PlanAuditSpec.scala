@@ -297,4 +297,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
       s"scan not pruned:\n$p")
   }
+
+  test("time_decay_score: one-row reference broadcast; no global window, no date self-join") {
+    val p = plan("time_decay_score")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"reference day not broadcast:\n$p")
+    assert(!p.contains("Window"), s"decay uses a window (global sort risk):\n$p")
+    assert(p.contains("partial_sum"), s"decayed sum not partially aggregated:\n$p")
+  }
+
+  test("skew_split_join: hot path broadcasts, union of two join branches") {
+    val p = plan("skew_split_join")
+    assert(p.contains("BroadcastHashJoin"), s"hot path not broadcast:\n$p")
+    assert(p.contains("Union"), s"no hot/cold union:\n$p")
+  }
+
+  test("kmv sketch: values never shuffle — exchanges carry only group + digest") {
+    // the registered distinct_kmv query also carries the exact
+    // COUNT(DISTINCT) verification column, whose two-phase distinct
+    // legitimately shuffles values; the SKETCH side must not
+    import org.apache.spark.sql.functions.col
+    val ev = graft.sources.Tables.events(spark, sf)
+    val p = graft.operators.Sketches
+      .kmvMinHashes(ev, "event_type", col("user_id"), k = 16)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty, s"no shuffle found:\n$p")
+    assert(!exchanges.exists(_.contains("user_id")),
+      s"raw values cross a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
