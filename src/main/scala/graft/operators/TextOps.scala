@@ -214,9 +214,27 @@ object TextOps {
     * a typed mapPartitions flatMap (one JVM pass, per-document dedup via a
     * local set — the shuffle-free equivalent of explode→distinct). */
   def contamination(docs: DataFrame, n: Int = 3, evalMod: Long = 97): DataFrame = {
+    // Filter BEFORE gram generation on both sides: the doc_id predicate
+    // cannot push through a typed mapPartitions, so hashing first and
+    // filtering after would run the full-corpus gram pass twice (once per
+    // consumer). Filtered-first, the two passes together hash each
+    // document exactly once.
+    val evalGrams = distinctGramsOf(
+        docs.filter(col("doc_id") % evalMod === 0), n)
+      .select("gh").distinct()
+    distinctGramsOf(docs.filter(col("doc_id") % evalMod =!= 0), n)
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, gh) pairs: the per-document DISTINCT md5-hashed word
+    * n-grams, generated in one JVM pass (local HashSet dedup — the
+    * shuffle-free equivalent of explode→distinct). */
+  private def distinctGramsOf(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
@@ -237,12 +255,6 @@ object TextOps {
           }
         }
       }.toDF("doc_id", "gh")
-    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
-      .select("gh").distinct()
-    grams.filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(evalGrams), "gh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      .orderBy("doc_id")
   }
 
   /** Corpus-wide duplicated-substring statistics at n-gram granularity —
@@ -260,11 +272,13 @@ object TextOps {
     * aggregate, not a broadcast.
     *
     * Scale shape: grams are md5-hashed in the same one-JVM-pass flatMap as
-    * [[contamination]], so the two shuffles (gram frequency, postings
-    * re-join) carry (32-hex, position) pairs — document bodies never leave
-    * the scan. The ≥2 filter happens before the join, so the frequency
-    * side the postings join against is only the duplicated tail of the
-    * gram distribution. */
+    * [[contamination]], so the only wide exchange carries (32-hex, doc_id)
+    * pairs — document bodies never leave the scan. The frequency test is a
+    * COUNT window over the gh partition, NOT a separate aggregate joined
+    * back: the self-join form evaluates the gram flatMap twice (Spark does
+    * not cache common subplans), the window form once, with the identical
+    * key distribution (per-partition row count = gram frequency — the same
+    * bound the groupBy would have). */
   def dupNgramStats(docs: DataFrame, n: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -277,13 +291,14 @@ object TextOps {
             val hex = md.digest(ws.slice(i, i + n).mkString(" ")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
               .map("%02x".format(_)).mkString
-            (id, i.toLong, hex)
+            (id, hex)
           }
         }
-      }.toDF("doc_id", "pos", "gh")
-    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= 2).select("gh")
-    val perDoc = grams.join(dupGrams, "gh")
+      }.toDF("doc_id", "gh")
+    val perDoc = grams
+      .withColumn("__cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+      .filter(col("__cnt") >= 2)
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     // token split mirrors the flatMap's split(" ", -1) (trailing empties
     // kept) so n_grams counts the same windows the postings enumerate
