@@ -1010,6 +1010,39 @@ object Queries {
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // partial_merge_agg — incremental aggregation as data: build per-
+  // (user, day) partial states (decimal sum + count — the persistable
+  // artifact an incremental pipeline checkpoints per day/partition), then
+  // MERGE the states into per-user totals without touching the base rows
+  // again. Decimal partials are associative, so the merged result is
+  // bit-equal to the direct aggregate the oracle computes. The same
+  // algebra as distinct_kmv_merge, for plain statistics.
+  // ---------------------------------------------------------------------
+  def partialMergeAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("p_sum"),
+        count(col("value")).as("p_cnt"))
+    daily.groupBy("user_id")
+      .agg(sum(col("p_sum")).cast("double").as("sum_value"),
+        sum(col("p_cnt")).cast("long").as("n_values"),
+        count(lit(1)).as("n_days"))
+      .orderBy("user_id")
+  }
+
+  val partialMergeAggSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS p_sum,
+      |    COUNT(value) AS p_cnt
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT user_id,
+      |  CAST(SUM(p_sum) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(p_cnt) AS BIGINT) AS n_values,
+      |  COUNT(*) AS n_days
+      |FROM daily GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cohort_retention — the classic cohort matrix: users grouped by first-
   // active day, counted on each later activity day offset. Two shuffles:
   // first-day per user (agg), then distinct (cohort, offset, user) counts.
@@ -2432,6 +2465,7 @@ object Queries {
     "events_window" -> (eventsWindow _),
     "time_decay_score" -> (timeDecayScore _),
     "cohort_retention" -> (cohortRetention _),
+    "partial_merge_agg" -> (partialMergeAgg _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_resize" -> (mediaResize _),
@@ -2521,6 +2555,7 @@ object Queries {
     "events_window" -> eventsWindowSql,
     "time_decay_score" -> timeDecayScoreSql,
     "cohort_retention" -> cohortRetentionSql,
+    "partial_merge_agg" -> partialMergeAggSql,
     "media_features" -> mediaFeaturesSql,
     "media_frames" -> mediaFramesSql,
     "media_resize" -> mediaResizeSql,
