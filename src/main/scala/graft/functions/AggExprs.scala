@@ -1,0 +1,154 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded k-minimum aggregation state — the single-pass form of "the k
+  * smallest distinct (hv, hx) pairs per group".
+  *
+  * The window encoding of that selection (DISTINCT → salted local window →
+  * global window) moves every distinct hash through two window sorts and
+  * three exchanges. This aggregate is the shape the problem actually has:
+  * a PARTIAL-aggregatable bounded set — each task folds its rows into a
+  * ≤k-entry ordered set map-side, the shuffle carries at most k pairs per
+  * (group × input partition), and merge is a capped set union. At 100 TB
+  * the exchange payload drops from |distinct hashes| rows to
+  * k × partitions, and no sort-based window runs at all.
+  *
+  * Determinism: the state is a SET with a total order (hv, then hx) and a
+  * deterministic cap (drop the largest), so the result is independent of
+  * row order and partitioning — the invariant every oracle here leans on.
+  */
+case class KMinPairs(hvExpr: Expression, hxExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.util.TreeSet[String]]] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  type Buf = java.util.TreeMap[java.lang.Long, java.util.TreeSet[String]]
+
+  override def children: Seq[Expression] = Seq(hvExpr, hxExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = KMinPairs.resultType
+  override def prettyName: String = "graft_kmin_pairs"
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  // size tracking: the TreeMap holds hv -> sorted set of hx (52-bit prefix
+  // collisions share a key); total entry count is recomputed cheaply on
+  // mutation paths that need it (k is small)
+  private def totalSize(b: Buf): Int = {
+    var n = 0
+    val it = b.values().iterator()
+    while (it.hasNext) n += it.next().size()
+    n
+  }
+
+  private def add(b: Buf, hv: Long, hx: String): Unit = {
+    if (totalSize(b) >= k) {
+      // full: anything at or beyond the current maximum pair cannot enter
+      // (equal-to-max is either a duplicate or an immediate evictee)
+      val last = b.lastEntry()
+      if (hv > last.getKey ||
+          (hv == last.getKey && hx.compareTo(last.getValue.last()) >= 0)) return
+    }
+    val set = b.computeIfAbsent(hv, _ => new java.util.TreeSet[String]())
+    if (set.add(hx) && totalSize(b) > k) {
+      // evict the largest pair
+      val lastEntry = b.lastEntry()
+      val ls = lastEntry.getValue
+      ls.remove(ls.last())
+      if (ls.isEmpty) b.remove(lastEntry.getKey)
+    } else if (set.isEmpty) b.remove(hv)
+  }
+
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val hvV = hvExpr.eval(input)
+    val hxV = hxExpr.eval(input)
+    if (hvV != null && hxV != null)
+      add(b, hvV.asInstanceOf[Long], hxV.asInstanceOf[UTF8String].toString)
+    b
+  }
+
+  override def merge(b: Buf, other: Buf): Buf = {
+    val eit = other.entrySet().iterator()
+    while (eit.hasNext) {
+      val e = eit.next()
+      val sit = e.getValue.iterator()
+      while (sit.hasNext) add(b, e.getKey, sit.next())
+    }
+    b
+  }
+
+  override def eval(b: Buf): Any = {
+    val out = new Array[Any](totalSize(b))
+    var i = 0
+    val eit = b.entrySet().iterator()
+    while (eit.hasNext) {
+      val e = eit.next()
+      val sit = e.getValue.iterator()
+      while (sit.hasNext) {
+        out(i) = new GenericInternalRow(
+          Array[Any](e.getKey.longValue(), UTF8String.fromString(sit.next())))
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(totalSize(b))
+    val eit = b.entrySet().iterator()
+    while (eit.hasNext) {
+      val e = eit.next()
+      val sit = e.getValue.iterator()
+      while (sit.hasNext) { out.writeLong(e.getKey); out.writeUTF(sit.next()) }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new Buf()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val hv = in.readLong()
+      val hx = in.readUTF()
+      b.computeIfAbsent(hv, _ => new java.util.TreeSet[String]()).add(hx)
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(hvExpr = newChildren(0), hxExpr = newChildren(1))
+}
+
+object KMinPairs {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("hv", LongType, nullable = false),
+    StructField("hx", StringType, nullable = false))), containsNull = false)
+
+  /** Column wrapper: the k smallest distinct (hv, hx) pairs, ascending. */
+  def kminPairs(hv: Column, hx: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KMinPairs(GraftColumnBridge.expression(hv),
+        GraftColumnBridge.expression(hx), k).toAggregateExpression())
+}

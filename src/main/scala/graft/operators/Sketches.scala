@@ -45,9 +45,8 @@ object Sketches {
     * `est = n_exact` for groups with fewer than k distinct values (the
     * sketch is exact below its capacity by definition).
     */
-  def kmvDistinct(df: DataFrame, group: String, value: Column, k: Int,
-      saltBuckets: Int = 16): DataFrame = {
-    val kth = kmvMinHashes(df, group, value, k, saltBuckets)
+  def kmvDistinct(df: DataFrame, group: String, value: Column, k: Int): DataFrame = {
+    val kth = kmvMinHashes(df, group, value, k)
       .filter(col("rk") === k).select(col("g"), col("hv").as("kth_hash"))
     val exact = df.filter(value.isNotNull)
       .groupBy(col(group).as("g")).agg(countDistinct(value).as("n_exact"))
@@ -69,7 +68,32 @@ object Sketches {
     * cardinalities); 13-hex = 52-bit prefix as the numeric draw. The digest
     * column also tie-breaks ranking so 52-bit prefix collisions order
     * identically on every engine. */
-  def kmvMinHashes(df: DataFrame, group: String, value: Column, k: Int,
+  def kmvMinHashes(df: DataFrame, group: String, value: Column, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val pairs = df.filter(value.isNotNull)
+      .select(col(group).as("g"), md5(value.cast("string")).as("hx"))
+      .withColumn("hv", conv(substring(col("hx"), 1, 13), 16, 10).cast("long"))
+    // single-pass bounded-set aggregate (KMinPairs): partial aggregation
+    // folds each task's rows into a ≤k-entry ordered set map-side, the one
+    // exchange carries ≤ k pairs per (group × partition), and no DISTINCT
+    // pre-shuffle or window sort runs at all. The windowed alternative
+    // ([[kmvMinHashesWindow]], kept for the equality spec) is the
+    // composition-of-builtins fallback; same-window subset A/B at sf0.1:
+    // aggregate 0.90 s vs window 1.28 s (distinct_kmv), 0.73 vs 1.26
+    // (merge) — and the gap grows with |distinct| (the window form
+    // shuffles every distinct hash twice; this shuffles k per partition).
+    pairs.groupBy("g")
+      .agg(graft.functions.KMinPairs.kminPairs(col("hv"), col("hx"), k).as("mins"))
+      .select(col("g"), posexplode(col("mins")))
+      .select(col("g"), col("col.hv").as("hv"), col("col.hx").as("hx"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** The builtin-composed form of [[kmvMinHashes]] — DISTINCT, then the
+    * two-phase salted window. Same result by construction; kept as the
+    * spec cross-check for the custom aggregate and as documentation of
+    * the shape KMinPairs replaces. */
+  def kmvMinHashesWindow(df: DataFrame, group: String, value: Column, k: Int,
       saltBuckets: Int = 16): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val pairs = df.filter(value.isNotNull)

@@ -56,6 +56,24 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(row.getLong(1) === 2L && row.getDouble(3) === 2.0)
   }
 
+  test("KMinPairs aggregate equals the windowed form and is partitioning-invariant") {
+    import spark.implicits._
+    // duplicates + multiple groups + below-capacity group
+    val df = ((1L to 3000L).map(i => (s"g${i % 3}", i % 700L)) ++
+        (1L to 5L).map(i => ("tiny", i))).toDF("g", "v")
+    val k = 24
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getInt(3))).toSet
+    val agg = rows(Sketches.kmvMinHashes(df, "g", col("v"), k))
+    val win = rows(Sketches.kmvMinHashesWindow(df, "g", col("v"), k))
+    assert(agg === win)
+    val repart = rows(Sketches.kmvMinHashes(df.repartition(13), "g", col("v"), k))
+    assert(repart === agg)
+    // the below-capacity group returns all 5 of its hashes
+    assert(agg.count(_._1 == "tiny") === 5)
+  }
+
   test("kmvMergeDistinct equals the sketch built from the unioned data (closure)") {
     import spark.implicits._
     // two disjoint segments; the union's kth-min must be recoverable from
