@@ -1010,6 +1010,49 @@ object Queries {
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // anomaly_zscore — per-user outlier events by z-score. The moments
+  // (n, Σx, Σx²) aggregate EXACTLY in DECIMAL (like corr_profile — the
+  // builtin stddev is partition-order-dependent); mean/variance/sd then
+  // derive through a fixed sequence of IEEE ops (division, multiply,
+  // sqrt — all correctly-rounded per IEEE 754), so the flagged set and
+  // the z values replay bit-identically. Per-user stats are a tiny
+  // aggregate broadcast back onto the events — no window over raw rows.
+  // ---------------------------------------------------------------------
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("value").isNotNull)
+    val stats = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
+      sum((col("value").cast("decimal(18,4)") * col("value").cast("decimal(18,4)"))
+        .cast("decimal(38,8)")).cast("double").as("s2"))
+    val mean = col("s1") / col("n").cast("double")
+    val sd = sqrt(col("s2") / col("n").cast("double") - mean * mean)
+    ev.join(broadcast(stats), "user_id")
+      .withColumn("z", (col("value") - mean) / sd)
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("user_id"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH e AS (SELECT event_id, user_id, value FROM events
+      |           WHERE value IS NOT NULL),
+      |st AS (SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,4))
+      |                  * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s2
+      |  FROM e GROUP BY user_id),
+      |z AS (SELECT event_id, e.user_id, value,
+      |    (value - s1 / CAST(n AS DOUBLE))
+      |      / sqrt(s2 / CAST(n AS DOUBLE)
+      |             - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS z
+      |  FROM e JOIN st ON e.user_id = st.user_id)
+      |SELECT event_id, user_id, value, z FROM z
+      |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // partial_merge_agg — incremental aggregation as data: build per-
   // (user, day) partial states (decimal sum + count — the persistable
   // artifact an incremental pipeline checkpoints per day/partition), then
@@ -2466,6 +2509,7 @@ object Queries {
     "time_decay_score" -> (timeDecayScore _),
     "cohort_retention" -> (cohortRetention _),
     "partial_merge_agg" -> (partialMergeAgg _),
+    "anomaly_zscore" -> (anomalyZscore _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_resize" -> (mediaResize _),
@@ -2556,6 +2600,7 @@ object Queries {
     "time_decay_score" -> timeDecayScoreSql,
     "cohort_retention" -> cohortRetentionSql,
     "partial_merge_agg" -> partialMergeAggSql,
+    "anomaly_zscore" -> anomalyZscoreSql,
     "media_features" -> mediaFeaturesSql,
     "media_frames" -> mediaFramesSql,
     "media_resize" -> mediaResizeSql,

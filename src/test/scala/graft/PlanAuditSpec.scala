@@ -312,6 +312,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("Union"), s"no hot/cold union:\n$p")
   }
 
+  test("anomaly_zscore: per-user stats broadcast back; no window over raw rows") {
+    val p = plan("anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(!p.contains("Window"), s"z-score planned as a window:\n$p")
+  }
+
   test("kmv sketch: values never shuffle — exchanges carry only group + digest") {
     // the registered distinct_kmv query also carries the exact
     // COUNT(DISTINCT) verification column, whose two-phase distinct
