@@ -208,6 +208,50 @@ object EventsStream {
       }
   }
 
+  case class KmvState(pairs: Seq[(Long, String)])
+  case class KmvEstimate(g: String, n_hashes: Int, est: Double)
+
+  /** STREAMING distinct-count sketch: the KMV k-minimum state maintained
+    * per group with mapGroupsWithState — each micro-batch folds its rows
+    * into the bounded ordered set (the same algebra as the batch
+    * KMinPairs aggregate; the state IS the mergeable sketch, ≤ k
+    * (hv, hx) pairs per group, so state stays bounded regardless of
+    * stream length or cardinality). Update mode re-emits the refreshed
+    * estimate per group per micro-batch; because the sketch is a pure
+    * function of the SET of values seen, the final estimates equal the
+    * batch [[graft.operators.Sketches.kmvDistinct]] exactly — pinned in
+    * EventsStreamSpec.
+    *
+    * `group`/`valueCol` columns of the input stream; hash derivation is
+    * identical to the batch sketch (md5, 52-bit prefix). */
+  def kmvDistinctStreaming(events: DataFrame, group: String, valueCol: String,
+      k: Int): Dataset[KmvEstimate] = {
+    import events.sparkSession.implicits._
+    val pairs = events
+      .filter(col(valueCol).isNotNull)
+      .select(col(group).cast("string").as("g"),
+        conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
+          .cast("long").as("hv"),
+        md5(col(valueCol).cast("string")).as("hx"))
+      .as[(String, Long, String)]
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, Long, String)],
+         state: GroupState[KmvState]) =>
+          val set = scala.collection.mutable.TreeSet.empty[(Long, String)]
+          state.getOption.foreach(s => set ++= s.pairs)
+          it.foreach { case (_, hv, hx) =>
+            if (set.add((hv, hx)) && set.size > k) set.remove(set.last)
+          }
+          state.update(KmvState(set.toSeq))
+          val est =
+            if (set.size < k) set.size.toDouble
+            else (k - 1).toDouble * graft.operators.Sketches.HashSpace /
+              set.last._1.toDouble
+          KmvEstimate(g, set.size, est)
+      }
+  }
+
   /** Per-user sessionization with a custom state machine
     * (flatMapGroupsWithState): a session closes when a subsequent event
     * arrives more than `gapMinutes` after the last one. */

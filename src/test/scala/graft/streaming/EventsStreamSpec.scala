@@ -63,6 +63,38 @@ class EventsStreamSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("kmvDistinctStreaming: final streamed estimates equal the batch sketch") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("grp", "v")
+    val k = 16
+    val q = EventsStream.kmvDistinctStreaming(df, "grp", "v", k).writeStream
+      .format("memory").queryName("kmv_stream").outputMode("update").start()
+    try {
+      // three micro-batches with cross-batch duplicates and a below-
+      // capacity group; the state must dedupe across batches
+      input.addData((1L to 40L).map(i => ("a", i * 31L)): _*)
+      q.processAllAvailable()
+      input.addData((20L to 80L).map(i => ("a", i * 31L)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(("b", 7L), ("b", 9L), ("b", 7L)): _*)
+      q.processAllAvailable()
+      // update mode re-emits per batch: keep each group's LAST estimate
+      val streamed = spark.table("kmv_stream").collect()
+        .map(r => (r.getString(0), (r.getInt(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (g, rows) => g -> rows.last._2 }
+      val batchData = ((1L to 80L).map(i => ("a", i * 31L)) ++
+        Seq(("b", 7L), ("b", 9L))).toDF("grp", "v")
+      val batch = graft.operators.Sketches
+        .kmvDistinct(batchData, "grp", org.apache.spark.sql.functions.col("v"), k)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(streamed("a")._2 === batch("a"))
+      assert(streamed("b") === ((2, 2.0)))
+      assert(streamed("a")._1 === k) // at capacity
+    } finally q.stop()
+  }
+
   test("sessionizeStreaming: the WATERMARK closes idle sessions, no event needed") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
