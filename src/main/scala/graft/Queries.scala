@@ -889,6 +889,59 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // distinct_kmv_intersect — join-cardinality estimation from sketches
+  // (Sketches.kmvIntersect): overlapping user segments A (user_id%3<2)
+  // and B (user_id%3>0) — |A∩B| estimated purely from the two 64-pair
+  // sketches via the Jaccard ratio on the merged sketch, next to the
+  // exact intersection for comparison.
+  // ---------------------------------------------------------------------
+  def distinctKmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+    val tall = ev.filter(col("user_id") % 3 < 2)
+      .select(lit("a").as("seg"), col("user_id"))
+      .unionByName(ev.filter(col("user_id") % 3 > 0)
+        .select(lit("b").as("seg"), col("user_id")))
+    val sketch = graft.operators.Sketches.kmvMinHashes(
+      tall, group = "seg", value = col("user_id"), k = 64)
+    val inter = graft.operators.Sketches.kmvIntersect(sketch, "a", "b", k = 64)
+    val exact = ev.filter(col("user_id") % 3 === 1)
+      .agg(count_distinct(col("user_id")).as("n_exact_int"))
+    exact.join(inter, lit(true), "left")
+      .select("n_exact_int", "n_common", "est_int")
+  }
+
+  val distinctKmvIntersectSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH mem AS (
+       |  SELECT 'a' AS g, user_id FROM events
+       |    WHERE user_id IS NOT NULL AND user_id % 3 < 2
+       |  UNION ALL
+       |  SELECT 'b', user_id FROM events
+       |    WHERE user_id IS NOT NULL AND user_id % 3 > 0),
+       |m AS (SELECT DISTINCT g, md5(CAST(user_id AS VARCHAR)) AS hx FROM mem),
+       |h AS (SELECT g, CAST($hv AS BIGINT) AS hv, hx FROM m),
+       |r AS (SELECT g, hv, hx,
+       |    row_number() OVER (PARTITION BY g ORDER BY hv, hx) AS rk FROM h),
+       |sk AS (SELECT g, hv, hx FROM r WHERE rk <= 64),
+       |u AS (SELECT DISTINCT hv, hx FROM sk),
+       |ur AS (SELECT hv, hx, row_number() OVER (ORDER BY hv, hx) AS rk FROM u),
+       |mu AS (SELECT hv, hx, rk FROM ur WHERE rk <= 64),
+       |cm AS (SELECT COUNT(*) AS n_common FROM mu
+       |       JOIN (SELECT hx FROM sk WHERE g = 'a') sa USING (hx)
+       |       JOIN (SELECT hx FROM sk WHERE g = 'b') sb USING (hx)),
+       |kth AS (SELECT hv AS kth_hash FROM mu WHERE rk = 64),
+       |ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact_int FROM events
+       |       WHERE user_id IS NOT NULL AND user_id % 3 = 1)
+       |SELECT n_exact_int, n_common,
+       |  CASE WHEN kth_hash IS NULL THEN CAST(n_common AS DOUBLE)
+       |       ELSE (CAST(n_common AS DOUBLE) *
+       |             ((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+       |               / CAST(kth_hash AS DOUBLE)))
+       |            / CAST(64 AS DOUBLE) END AS est_int
+       |FROM ex CROSS JOIN cm LEFT JOIN kth ON TRUE""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // sample_weighted — deterministic weighted sampling (priority sampling,
   // Sampling.weightedTopN): priority = weight/u with u from the content
   // hash; the 20 highest-priority docs per language win. Heavier docs win
@@ -2520,6 +2573,7 @@ object Queries {
     "skew_split_join" -> (skewSplitJoin _),
     "distinct_kmv" -> (distinctKmv _),
     "distinct_kmv_merge" -> (distinctKmvMerge _),
+    "distinct_kmv_intersect" -> (distinctKmvIntersect _),
     "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_spans" -> (dupNgramSpans _),
     "anti_join" -> (antiJoin _),
@@ -2611,6 +2665,7 @@ object Queries {
     "skew_split_join" -> skewSplitJoinSql,
     "distinct_kmv" -> distinctKmvSql,
     "distinct_kmv_merge" -> distinctKmvMergeSql,
+    "distinct_kmv_intersect" -> distinctKmvIntersectSql,
     "sample_weighted" -> sampleWeightedSql,
     "dup_ngram_spans" -> dupNgramSpansSql,
     "anti_join" -> antiJoinSql,

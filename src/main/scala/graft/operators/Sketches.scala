@@ -132,6 +132,34 @@ object Sketches {
           col("n_hashes").cast("double")).as("est"))
   }
 
+  /** Intersection-cardinality estimate for two groups from their sketches
+    * alone (Beyer et al. SIGMOD'07): with K(∪) the k smallest hashes of
+    * the merged sketch, ρ = |K(∪) ∩ K(A) ∩ K(B)| / k estimates the
+    * Jaccard similarity, and est_∩ = ρ · est_∪. This is the synopsis a
+    * planner uses for join-cardinality estimation without touching base
+    * data — the input is ≤ 2k sketch rows. Below union capacity the
+    * sketches hold everything, so the count is exact and returned as-is.
+    *
+    * Returns one row: (n_common, est_int). */
+  def kmvIntersect(sketch: DataFrame, gA: String, gB: String, k: Int): DataFrame = {
+    val a = sketch.filter(col("g") === gA).select(col("hv"), col("hx"))
+    val b = sketch.filter(col("g") === gB).select(col("hv"), col("hx"))
+    val merged = a.unionByName(b).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("hv"), col("hx"))))
+      .filter(col("rk") <= k)
+    val common = merged.join(a.select("hx"), "hx").join(b.select("hx"), "hx")
+      .agg(count(lit(1)).as("n_common"))
+    val kth = merged.filter(col("rk") === k).select(col("hv").as("kth_hash"))
+    common.join(kth, lit(true), "left")
+      .select(col("n_common"),
+        when(col("kth_hash").isNull, col("n_common").cast("double"))
+          .otherwise((col("n_common").cast("double") *
+            (lit((k - 1).toDouble * HashSpace) / col("kth_hash").cast("double")))
+            / lit(k.toDouble))
+          .as("est_int"))
+  }
+
   /** The DuckDB-side integer value of the first `chars` hex digits of `h` —
     * the oracle's replay of Spark's `conv(substring(h,1,chars),16,10)`
     * (DuckDB has no base-conversion function; the positional sum over

@@ -101,6 +101,34 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(row.getAs[Double]("est") === 3.0)
   }
 
+  test("kmvIntersect: disjoint segments estimate 0; identical segments estimate the union") {
+    import spark.implicits._
+    val k = 16
+    val disjoint = ((1L to 300L).map(i => ("a", i)) ++
+      (1001L to 1300L).map(i => ("b", i))).toDF("g", "v")
+    val dRow = Sketches.kmvIntersect(
+      Sketches.kmvMinHashes(disjoint, "g", col("v"), k), "a", "b", k).head()
+    assert(dRow.getLong(0) === 0L && dRow.getDouble(1) === 0.0)
+
+    val same = ((1L to 300L).map(i => ("a", i)) ++
+      (1L to 300L).map(i => ("b", i))).toDF("g", "v")
+    val sSketch = Sketches.kmvMinHashes(same, "g", col("v"), k)
+    val sRow = Sketches.kmvIntersect(sSketch, "a", "b", k).head()
+    assert(sRow.getLong(0) === k.toLong) // every merged pair is in both
+    val unionEst = Sketches.kmvDistinct(
+      same.withColumn("g", lit("all")), "g", col("v"), k).head().getDouble(3)
+    assert(sRow.getDouble(1) === unionEst) // rho = 1 => est_int == est_union
+  }
+
+  test("kmvIntersect below union capacity returns the exact common count") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val row = Sketches.kmvIntersect(
+      Sketches.kmvMinHashes(df, "g", col("v"), k = 64), "a", "b", k = 64).head()
+    assert(row.getLong(0) === 2L && row.getDouble(1) === 2.0)
+  }
+
   test("hexPrefixValSql replays Spark's conv() on the digest prefix") {
     // the oracle's positional-sum form must equal conv(hex,16,10) for the
     // digests Spark produces — sweep digits via md5 of 0..99
