@@ -318,6 +318,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"z-score planned as a window:\n$p")
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // the AQE-era runtime filter: a selective dim-side predicate builds a
+    // bloom filter that is pushed into the fact scan — at 100 TB this is
+    // what keeps a 1%-selective join from scanning the full fact table
+    // through the shuffle. Thresholds lowered to fixture scale; the
+    // contract pinned is that our plain equi-join shape is ELIGIBLE for
+    // injection (no manual hint needed).
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      val ord = graft.sources.Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom"),
+        s"no runtime bloom filter injected:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("kmv sketch: values never shuffle — exchanges carry only group + digest") {
     // the registered distinct_kmv query also carries the exact
     // COUNT(DISTINCT) verification column, whose two-phase distinct
