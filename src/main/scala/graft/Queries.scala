@@ -1063,6 +1063,40 @@ object Queries {
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // event_transitions — the user-journey Markov matrix: P(next event type
+  // | current) from per-user event sequences. One lead() window on the
+  // user_id exchange (same shape as scd2_intervals — never a self-join),
+  // then the transition counts aggregate; the probability normalization
+  // runs on the 25-row aggregate, and its single division is the only
+  // IEEE op.
+  // ---------------------------------------------------------------------
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH t AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM t
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // anomaly_zscore — per-user outlier events by z-score. The moments
   // (n, Σx, Σx²) aggregate EXACTLY in DECIMAL (like corr_profile — the
   // builtin stddev is partition-order-dependent); mean/variance/sd then
@@ -2563,6 +2597,7 @@ object Queries {
     "cohort_retention" -> (cohortRetention _),
     "partial_merge_agg" -> (partialMergeAgg _),
     "anomaly_zscore" -> (anomalyZscore _),
+    "event_transitions" -> (eventTransitions _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_resize" -> (mediaResize _),
@@ -2655,6 +2690,7 @@ object Queries {
     "cohort_retention" -> cohortRetentionSql,
     "partial_merge_agg" -> partialMergeAggSql,
     "anomaly_zscore" -> anomalyZscoreSql,
+    "event_transitions" -> eventTransitionsSql,
     "media_features" -> mediaFeaturesSql,
     "media_frames" -> mediaFramesSql,
     "media_resize" -> mediaResizeSql,
