@@ -1063,6 +1063,80 @@ object Queries {
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // rolling_distinct — trailing-7-day distinct users per day, computed
+  // from PER-DAY SKETCHES (the canonical production KMV shape: sketch
+  // each day once, answer any trailing window by merging ≤7 sketches —
+  // ≤ 7k pairs per anchor day — instead of re-scanning a week of raw
+  // events per day). The exact COUNT(DISTINCT) over the same windows
+  // rides along as the verification column; at 100 TB you'd keep only
+  // the sketch side. Bounded day×day range join (calendar × calendar),
+  // never day×events.
+  // ---------------------------------------------------------------------
+  def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .filter(col("user_id").isNotNull)
+    val sketch = graft.operators.Sketches.kmvMinHashes(
+      ev, group = "day", value = col("user_id"), k = k)
+    val days = sketch.select(col("g").as("anchor")).distinct()
+    val win = to_date(col("g")).between(
+      date_sub(to_date(col("anchor")), 6), to_date(col("anchor")))
+    val merged = days.join(sketch, win)
+      .select(col("anchor"), col("hv"), col("hx")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("anchor").orderBy(col("hv"), col("hx"))))
+      .filter(col("rk") <= k)
+    val kth = merged.filter(col("rk") === k)
+      .select(col("anchor"), col("hv").as("kth_hash"))
+    val nh = merged.groupBy("anchor").agg(count(lit(1)).as("n_hashes"))
+    val exact = days.join(ev,
+        to_date(col("day")).between(
+          date_sub(to_date(col("anchor")), 6), to_date(col("anchor"))))
+      .groupBy("anchor").agg(count_distinct(col("user_id")).as("n_exact"))
+    exact.join(nh, "anchor").join(kth, Seq("anchor"), "left")
+      .select(col("anchor"), col("n_exact"),
+        coalesce(lit((k - 1).toDouble * graft.operators.Sketches.HashSpace) /
+            col("kth_hash").cast("double"),
+          col("n_hashes").cast("double")).as("est"))
+      .orderBy("anchor")
+  }
+
+  val rollingDistinctSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH ev AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |m AS (SELECT DISTINCT day, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+       |h AS (SELECT day, CAST($hv AS BIGINT) AS hv, hx FROM m),
+       |r AS (SELECT day, hv, hx,
+       |    row_number() OVER (PARTITION BY day ORDER BY hv, hx) AS rk FROM h),
+       |sk AS (SELECT day, hv, hx FROM r WHERE rk <= 64),
+       |days AS (SELECT DISTINCT day AS anchor FROM sk),
+       |mg AS (SELECT DISTINCT anchor, hv, hx FROM days JOIN sk
+       |       ON CAST(sk.day AS DATE) BETWEEN CAST(anchor AS DATE) - 6
+       |                                   AND CAST(anchor AS DATE)),
+       |mr AS (SELECT anchor, hv,
+       |    row_number() OVER (PARTITION BY anchor ORDER BY hv, hx) AS rk FROM mg),
+       |mu AS (SELECT anchor, hv, rk FROM mr WHERE rk <= 64),
+       |kth AS (SELECT anchor, hv AS kth_hash FROM mu WHERE rk = 64),
+       |nh AS (SELECT anchor, COUNT(*) AS n_hashes FROM mu GROUP BY anchor),
+       |ex AS (SELECT anchor, COUNT(DISTINCT user_id) AS n_exact
+       |       FROM days JOIN ev
+       |       ON CAST(ev.day AS DATE) BETWEEN CAST(anchor AS DATE) - 6
+       |                                   AND CAST(anchor AS DATE)
+       |       GROUP BY anchor)
+       |SELECT ex.anchor AS anchor, n_exact,
+       |  COALESCE((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+       |             / CAST(kth_hash AS DOUBLE),
+       |           CAST(n_hashes AS DOUBLE)) AS est
+       |FROM ex JOIN nh ON ex.anchor = nh.anchor
+       |LEFT JOIN kth ON ex.anchor = kth.anchor
+       |ORDER BY ex.anchor""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // event_transitions — the user-journey Markov matrix: P(next event type
   // | current) from per-user event sequences. One lead() window on the
   // user_id exchange (same shape as scd2_intervals — never a self-join),
@@ -2598,6 +2672,7 @@ object Queries {
     "partial_merge_agg" -> (partialMergeAgg _),
     "anomaly_zscore" -> (anomalyZscore _),
     "event_transitions" -> (eventTransitions _),
+    "rolling_distinct" -> (rollingDistinct _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_resize" -> (mediaResize _),
@@ -2691,6 +2766,7 @@ object Queries {
     "partial_merge_agg" -> partialMergeAggSql,
     "anomaly_zscore" -> anomalyZscoreSql,
     "event_transitions" -> eventTransitionsSql,
+    "rolling_distinct" -> rollingDistinctSql,
     "media_features" -> mediaFeaturesSql,
     "media_frames" -> mediaFramesSql,
     "media_resize" -> mediaResizeSql,
