@@ -37,6 +37,41 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(near < far / 100)
   }
 
+  test("z-ordered files prune row groups a shuffled layout cannot") {
+    import spark.implicits._
+    // the END of the zorder_key story: files clustered by the Morton key
+    // carry narrow min/max ranges in BOTH dimensions, so a selective 2-D
+    // predicate pushed to parquet skips most row groups; the same data
+    // laid out randomly has full-range stats in every file and prunes
+    // nothing. Asserted via the scan node's output-row metric (rows
+    // surviving pushed filters + row-group stats).
+    val n = 40000
+    val df = (0 until n).map { i =>
+      val x = (i * 2654435761L) % 1024L // pseudo-random but deterministic
+      val y = (i * 40503L) % 1024L
+      (x, y, i.toLong)
+    }.toDF("x", "y", "payload")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val zDir = s"$base/z"
+    val rDir = s"$base/r"
+    df.withColumn("z", Layout.zValue(col("x"), col("y")))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .drop("z").write.parquet(zDir)
+    df.repartition(16, col("payload")).write.parquet(rDir)
+
+    def scannedRows(dir: String): Long = {
+      val q = spark.read.parquet(dir)
+        .filter(col("x") < 32 && col("y") < 32)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val zRows = scannedRows(zDir)
+    val rRows = scannedRows(rDir)
+    assert(zRows < rRows / 4,
+      s"z-order layout did not prune: z-sorted scan=$zRows shuffled scan=$rRows")
+  }
+
   test("globalIndex equals row_number and is partitioning-invariant") {
     val docs = graft.sources.Tables
       .load(spark, "/root/testdata/sf0.001", "documents")
