@@ -1063,6 +1063,51 @@ object Queries {
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // rfm_segments — recency/frequency/monetary segmentation: per-user RFM
+  // metrics (one aggregate; decimal-exact monetary), median cutoffs via
+  // the broadcast-exact-percentile pattern (quantile_bins), 3-bit segment
+  // code from the three high/low splits. Everything is one scan + one
+  // tiny aggregate broadcast back — no global sort, no window over raw
+  // rows.
+  // ---------------------------------------------------------------------
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+    val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+    val per = ev.crossJoin(broadcast(ref))
+      .groupBy("user_id")
+      .agg(min(datediff(col("ref_day"), to_date(col("ts")))).cast("long").as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary"))
+    val cuts = per.agg(
+      percentile(col("recency"), lit(0.5)).as("rc"),
+      percentile(col("frequency"), lit(0.5)).as("fc"),
+      percentile(col("monetary"), lit(0.5)).as("mc"))
+    per.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("recency"), col("frequency"), col("monetary"),
+        (when(col("recency") <= col("rc"), lit(1)).otherwise(lit(0)) * 4 +
+          when(col("frequency") > col("fc"), lit(1)).otherwise(lit(0)) * 2 +
+          when(col("monetary") > col("mc"), lit(1)).otherwise(lit(0)))
+          .cast("long").as("segment"))
+      .orderBy("user_id")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+      |per AS (SELECT user_id,
+      |    CAST(min(date_diff('day', CAST(ts AS DATE), ref_day)) AS BIGINT) AS recency,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      |  FROM events CROSS JOIN r GROUP BY user_id),
+      |c AS (SELECT quantile_cont(recency, 0.5) AS rc,
+      |             quantile_cont(frequency, 0.5) AS fc,
+      |             quantile_cont(monetary, 0.5) AS mc FROM per)
+      |SELECT user_id, recency, frequency, monetary,
+      |  CAST(CASE WHEN recency <= rc THEN 1 ELSE 0 END * 4 +
+      |       CASE WHEN frequency > fc THEN 1 ELSE 0 END * 2 +
+      |       CASE WHEN monetary > mc THEN 1 ELSE 0 END AS BIGINT) AS segment
+      |FROM per, c ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // rolling_distinct — trailing-7-day distinct users per day, computed
   // from PER-DAY SKETCHES (the canonical production KMV shape: sketch
   // each day once, answer any trailing window by merging ≤7 sketches —
@@ -2673,6 +2718,7 @@ object Queries {
     "anomaly_zscore" -> (anomalyZscore _),
     "event_transitions" -> (eventTransitions _),
     "rolling_distinct" -> (rollingDistinct _),
+    "rfm_segments" -> (rfmSegments _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_resize" -> (mediaResize _),
@@ -2767,6 +2813,7 @@ object Queries {
     "anomaly_zscore" -> anomalyZscoreSql,
     "event_transitions" -> eventTransitionsSql,
     "rolling_distinct" -> rollingDistinctSql,
+    "rfm_segments" -> rfmSegmentsSql,
     "media_features" -> mediaFeaturesSql,
     "media_frames" -> mediaFramesSql,
     "media_resize" -> mediaResizeSql,
