@@ -1126,22 +1126,27 @@ object Queries {
       .filter(col("user_id").isNotNull)
     val sketch = graft.operators.Sketches.kmvMinHashes(
       ev, group = "day", value = col("user_id"), k = k)
-    val days = sketch.select(col("g").as("anchor")).distinct()
+    // anchors derived from the cheap base scan, NOT from the sketch, and
+    // kth + n_hashes folded into ONE aggregate over the ranked merge:
+    // Spark re-evaluates common subplans per consumer, so the naive
+    // days-from-sketch + separate kth/count queries ran the whole
+    // sketch+merge subtree three times (three BNLJs in the plan)
+    val days = ev.select(col("day").as("anchor")).distinct()
     val win = to_date(col("g")).between(
       date_sub(to_date(col("anchor")), 6), to_date(col("anchor")))
-    val merged = days.join(sketch, win)
+    val agg = days.join(sketch, win)
       .select(col("anchor"), col("hv"), col("hx")).distinct()
       .withColumn("rk", row_number().over(
         Window.partitionBy("anchor").orderBy(col("hv"), col("hx"))))
       .filter(col("rk") <= k)
-    val kth = merged.filter(col("rk") === k)
-      .select(col("anchor"), col("hv").as("kth_hash"))
-    val nh = merged.groupBy("anchor").agg(count(lit(1)).as("n_hashes"))
+      .groupBy("anchor")
+      .agg(count(lit(1)).as("n_hashes"),
+        max(when(col("rk") === k, col("hv"))).as("kth_hash"))
     val exact = days.join(ev,
         to_date(col("day")).between(
           date_sub(to_date(col("anchor")), 6), to_date(col("anchor"))))
       .groupBy("anchor").agg(count_distinct(col("user_id")).as("n_exact"))
-    exact.join(nh, "anchor").join(kth, Seq("anchor"), "left")
+    exact.join(agg, "anchor")
       .select(col("anchor"), col("n_exact"),
         coalesce(lit((k - 1).toDouble * graft.operators.Sketches.HashSpace) /
             col("kth_hash").cast("double"),
@@ -1164,9 +1169,9 @@ object Queries {
        |                                   AND CAST(anchor AS DATE)),
        |mr AS (SELECT anchor, hv,
        |    row_number() OVER (PARTITION BY anchor ORDER BY hv, hx) AS rk FROM mg),
-       |mu AS (SELECT anchor, hv, rk FROM mr WHERE rk <= 64),
-       |kth AS (SELECT anchor, hv AS kth_hash FROM mu WHERE rk = 64),
-       |nh AS (SELECT anchor, COUNT(*) AS n_hashes FROM mu GROUP BY anchor),
+       |ag AS (SELECT anchor, COUNT(*) AS n_hashes,
+       |       max(CASE WHEN rk = 64 THEN hv END) AS kth_hash
+       |       FROM mr WHERE rk <= 64 GROUP BY anchor),
        |ex AS (SELECT anchor, COUNT(DISTINCT user_id) AS n_exact
        |       FROM days JOIN ev
        |       ON CAST(ev.day AS DATE) BETWEEN CAST(anchor AS DATE) - 6
@@ -1176,8 +1181,7 @@ object Queries {
        |  COALESCE((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
        |             / CAST(kth_hash AS DOUBLE),
        |           CAST(n_hashes AS DOUBLE)) AS est
-       |FROM ex JOIN nh ON ex.anchor = nh.anchor
-       |LEFT JOIN kth ON ex.anchor = kth.anchor
+       |FROM ex JOIN ag ON ex.anchor = ag.anchor
        |ORDER BY ex.anchor""".stripMargin
   }
 
