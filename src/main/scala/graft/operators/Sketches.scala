@@ -118,19 +118,20 @@ object Sketches {
     * sketch rows. Returns one row: (kth_hash, est) — kth_hash null and
     * est = the exact union size of the merged hash sets when the union
     * still fits under k (exact below capacity). */
-  def kmvMergeDistinct(sketch: DataFrame, groups: Seq[String], k: Int): DataFrame = {
-    val merged = sketch.filter(col("g").isin(groups: _*))
+  def kmvMergeDistinct(sketch: DataFrame, groups: Seq[String], k: Int): DataFrame =
+    // n_hashes and the kth minimum fold into ONE aggregate over the
+    // ranked merge: separate kth/count consumers would re-evaluate the
+    // whole sketch subtree per consumer (Spark does not cache common
+    // subplans)
+    sketch.filter(col("g").isin(groups: _*))
       .select("hv", "hx").distinct()
-    val ranked = merged
       .withColumn("_rk", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("hv"), col("hx"))))
-    val kth = ranked.filter(col("_rk") === k).select(col("hv").as("kth_hash"))
-    val total = merged.agg(count(lit(1)).as("n_hashes"))
-    total.join(kth, lit(true), "left")
+      .agg(count(lit(1)).as("n_hashes"),
+        max(when(col("_rk") === k, col("hv"))).as("kth_hash"))
       .select(col("n_hashes"), col("kth_hash"),
         coalesce(lit((k - 1).toDouble * HashSpace) / col("kth_hash").cast("double"),
           col("n_hashes").cast("double")).as("est"))
-  }
 
   /** Intersection-cardinality estimate for two groups from their sketches
     * alone (Beyer et al. SIGMOD'07): with K(∪) the k smallest hashes of
@@ -141,24 +142,25 @@ object Sketches {
     * sketches hold everything, so the count is exact and returned as-is.
     *
     * Returns one row: (n_common, est_int). */
-  def kmvIntersect(sketch: DataFrame, gA: String, gB: String, k: Int): DataFrame = {
-    val a = sketch.filter(col("g") === gA).select(col("hv"), col("hx"))
-    val b = sketch.filter(col("g") === gB).select(col("hv"), col("hx"))
-    val merged = a.unionByName(b).distinct()
+  def kmvIntersect(sketch: DataFrame, gA: String, gB: String, k: Int): DataFrame =
+    // membership flags folded into the merge aggregate and (n_common,
+    // kth) into one final pass — the join-per-side form evaluated the
+    // sketch subtree four times (a, b, and twice more through the joins)
+    sketch.filter(col("g").isin(gA, gB))
+      .groupBy("hv", "hx")
+      .agg(max(when(col("g") === gA, 1).otherwise(0)).as("inA"),
+        max(when(col("g") === gB, 1).otherwise(0)).as("inB"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("hv"), col("hx"))))
       .filter(col("rk") <= k)
-    val common = merged.join(a.select("hx"), "hx").join(b.select("hx"), "hx")
-      .agg(count(lit(1)).as("n_common"))
-    val kth = merged.filter(col("rk") === k).select(col("hv").as("kth_hash"))
-    common.join(kth, lit(true), "left")
+      .agg(count(when(col("inA") === 1 && col("inB") === 1, 1)).as("n_common"),
+        max(when(col("rk") === k, col("hv"))).as("kth_hash"))
       .select(col("n_common"),
         when(col("kth_hash").isNull, col("n_common").cast("double"))
           .otherwise((col("n_common").cast("double") *
             (lit((k - 1).toDouble * HashSpace) / col("kth_hash").cast("double")))
             / lit(k.toDouble))
           .as("est_int"))
-  }
 
   /** The DuckDB-side integer value of the first `chars` hex digits of `h` —
     * the oracle's replay of Spark's `conv(substring(h,1,chars),16,10)`
