@@ -1071,6 +1071,7 @@ object Queries {
   // rows.
   // ---------------------------------------------------------------------
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ev = graft.sources.Tables.events(s, dir)
     val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
     val per = ev.crossJoin(broadcast(ref))
@@ -1078,11 +1079,14 @@ object Queries {
       .agg(min(datediff(col("ref_day"), to_date(col("ts")))).cast("long").as("recency"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary"))
-    val cuts = per.agg(
-      percentile(col("recency"), lit(0.5)).as("rc"),
-      percentile(col("frequency"), lit(0.5)).as("fc"),
-      percentile(col("monetary"), lit(0.5)).as("mc"))
-    per.crossJoin(broadcast(cuts))
+    // median cutoffs as a global window over the AGGREGATE (one row per
+    // user — the sample_proportional pattern): a separate cuts-aggregate
+    // consumer would re-run the whole per-user aggregation subtree
+    val w = Window.partitionBy(lit(1))
+    per
+      .withColumn("rc", percentile(col("recency"), lit(0.5)).over(w))
+      .withColumn("fc", percentile(col("frequency"), lit(0.5)).over(w))
+      .withColumn("mc", percentile(col("monetary"), lit(0.5)).over(w))
       .select(col("user_id"), col("recency"), col("frequency"), col("monetary"),
         (when(col("recency") <= col("rc"), lit(1)).otherwise(lit(0)) * 4 +
           when(col("frequency") > col("fc"), lit(1)).otherwise(lit(0)) * 2 +
