@@ -1032,7 +1032,17 @@ object Queries {
       min(to_date(col("ts"))).as("min_day"))
     ev.crossJoin(broadcast(ref))
       .withColumn("d", datediff(col("ref_day"), to_date(col("ts"))))
-      .withColumn("cap", datediff(col("ref_day"), col("min_day")))
+      // 2^(cap-d) is only an exact BIGINT while cap < 63 — the JVM masks
+      // the shift count to 6 bits, so a ≥63-day span would silently WRAP
+      // (DuckDB's << does not: cross-engine divergence). Fail loudly; a
+      // wider history needs a different decay kernel (e.g. bucket the
+      // history into <63-day epochs and decay the epoch sums).
+      .withColumn("cap",
+        when(datediff(col("ref_day"), col("min_day")) < lit(63),
+            datediff(col("ref_day"), col("min_day")))
+          .otherwise(raise_error(concat(
+            lit("timeDecayScore: day span must be < 63 (2^x weight wraps), got "),
+            datediff(col("ref_day"), col("min_day")).cast("string")))))
       .groupBy("user_id")
       .agg(
         sum(col("value").cast("decimal(18,4)") *
@@ -1071,22 +1081,26 @@ object Queries {
   // rows.
   // ---------------------------------------------------------------------
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = graft.sources.Tables.events(s, dir)
     val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+    // the per-user aggregate feeds TWO consumers (the cutoff aggregate and
+    // the final segment projection); Spark re-evaluates common subplans per
+    // consumer, so it is persisted once — narrow rows (id + 3 measures),
+    // MEMORY_AND_DISK spills rather than fails on a huge user base
     val per = ev.crossJoin(broadcast(ref))
       .groupBy("user_id")
       .agg(min(datediff(col("ref_day"), to_date(col("ts")))).cast("long").as("recency"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary"))
-    // median cutoffs as a global window over the AGGREGATE (one row per
-    // user — the sample_proportional pattern): a separate cuts-aggregate
-    // consumer would re-run the whole per-user aggregation subtree
-    val w = Window.partitionBy(lit(1))
-    per
-      .withColumn("rc", percentile(col("recency"), lit(0.5)).over(w))
-      .withColumn("fc", percentile(col("frequency"), lit(0.5)).over(w))
-      .withColumn("mc", percentile(col("monetary"), lit(0.5)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // median cutoffs as a 1-row aggregate broadcast back (the quantile_bins
+    // pattern) — never a partitionBy(lit(1)) window, which would sort every
+    // user's row through ONE task at scale
+    val cuts = per.agg(
+      percentile(col("recency"), lit(0.5)).as("rc"),
+      percentile(col("frequency"), lit(0.5)).as("fc"),
+      percentile(col("monetary"), lit(0.5)).as("mc"))
+    per.crossJoin(broadcast(cuts))
       .select(col("user_id"), col("recency"), col("frequency"), col("monetary"),
         (when(col("recency") <= col("rc"), lit(1)).otherwise(lit(0)) * 4 +
           when(col("frequency") > col("fc"), lit(1)).otherwise(lit(0)) * 2 +
@@ -2235,9 +2249,13 @@ object Queries {
   // ---------------------------------------------------------------------
   // inverted_index — token → (document frequency, capped postings list)
   // over the corpus: the retrieval-index build primitive. explode →
-  // distinct → groupBy(token); the shuffle key is the token, postings
-  // are capped at 20 doc ids so no reducer materializes an unbounded
-  // list, and the df floor prunes the hapax long tail before output.
+  // distinct → groupBy(token); the shuffle key is the token. Postings are
+  // the 20 SMALLEST doc ids per token, selected with the bounded KMinPairs
+  // aggregate (partial-aggregatable ≤20-entry ordered set): each map task
+  // folds to at most 20 ids per token BEFORE the exchange, so a hot
+  // stopword token shuffles ≤ 20×partitions ids and no reducer ever
+  // materializes the full postings list (collect_list would). The df floor
+  // prunes the hapax long tail before output.
   // ---------------------------------------------------------------------
   def invertedIndex(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2246,8 +2264,11 @@ object Queries {
       .distinct()
       .groupBy("token")
       .agg(count(lit(1)).as("df"),
-        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 20), ",")
-          .as("postings"))
+        array_join(
+          transform(
+            graft.functions.KMinPairs.kminPairs(col("doc_id"), lit(""), 20),
+            p => p.getField("hv").cast("string")),
+          ",").as("postings"))
       .filter(col("df") >= 10)
       .orderBy("token")
 
@@ -2546,10 +2567,12 @@ object Queries {
         when(rank().over(Window.orderBy(col("rem").desc, col("source")))
           .cast("long") <= col("deficit"), 1L).otherwise(0L))
       .select("source", "quota")
-    val ranked = docs
-      .select(col("doc_id"), col("source"),
-        row_number().over(Window.partitionBy("source")
-          .orderBy(md5(col("text")), col("doc_id"))).cast("long").as("rk"))
+    // per-stratum ranking via the two-phase salted top-n (never a single-
+    // phase window, which lands a whole stratum on one task): quotas sum
+    // to the budget, so ranking the budget-smallest digests per stratum
+    // is enough for every possible quota
+    val ranked = graft.operators.Sampling.stratifiedTopNBy(
+      docs, "doc_id", "source", md5(col("text")), n = budget)
     ranked.join(broadcast(alloc), "source")
       .filter(col("rk") <= col("quota"))
       .select(col("doc_id"), col("source"), col("rk"))

@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   *  - update: component sums are computed on FIXED-POINT values,
   *    `floor(v · 2^40)` — the multiply is an exponent shift (exact for every
   *    float input), floor is exact, and integer sums are associative, so
-  *    any aggregation order and any partitioning yields the same total;
+  *    any aggregation order and any partitioning yields the same total.
+  *    PRECONDITION: |v| < 2^13 per component — beyond that |v·2^40| ≥ 2^53
+  *    and the double floor result stops being an exact integer, losing
+  *    order-independence. Normalized embeddings (|v| ≤ 1) satisfy it with
+  *    12 bits to spare; [[train]] asserts it on the seed collect;
   *  - the new component is `sum / (n · 2^40)`, one int→double conversion
   *    and one IEEE division — both single correctly-rounded ops in any
   *    engine. Quantization error vs the true mean is < 2^-40 per component,
@@ -54,6 +58,11 @@ object KMeans {
     var cent: Array[Array[Double]] = emb
       .orderBy("vec_id").limit(k).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // fixed-point exactness bound (scaladoc): components must stay below
+    // 2^13 or floor(v·2^40) exceeds 2^53 and is no longer an exact integer
+    require(cent.forall(_.forall(v => math.abs(v) < 8192.0)),
+      "KMeans.train: embedding components must satisfy |v| < 2^13 for the " +
+        "fixed-point centroid update to be exact (normalize the vectors)")
     var round = 0
     while (round < iters) {
       val sums = emb.select(

@@ -38,12 +38,14 @@ object Skew {
 
   /** The h most frequent join keys of the big side — the bounded (h-row)
     * collect that parameterizes [[splitJoin]]. Deterministic: frequency
-    * ties break on the key itself. */
-  def hotKeys(big: DataFrame, key: String, h: Int): Seq[Long] =
+    * ties break on the key itself. Key-type-generic (int/long/string/…):
+    * values come back as whatever the column's JVM type is, matching
+    * [[splitJoin]]'s untyped `isin` routing. */
+  def hotKeys(big: DataFrame, key: String, h: Int): Seq[Any] =
     big.filter(col(key).isNotNull)
       .groupBy(col(key)).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col(key).asc).limit(h)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.get(0)).toSeq
 
   /** Hot-key split join — the other standard skew treatment, for when the
     * dimension is too big to broadcast WHOLE but the hot-key slice of it is
@@ -56,7 +58,7 @@ object Skew {
     * only (the split must not manufacture or drop outer nulls; null keys
     * fail both `isin` branches exactly as they fail an inner equi-join). */
   def splitJoin(big: DataFrame, dim: DataFrame, key: String,
-                hot: Seq[Long]): DataFrame = {
+                hot: Seq[Any]): DataFrame = {
     require(hot.nonEmpty, "splitJoin needs a non-empty hot-key set")
     val hotPath = big.filter(col(key).isin(hot: _*))
       .join(broadcast(dim.filter(col(key).isin(hot: _*))), Seq(key))

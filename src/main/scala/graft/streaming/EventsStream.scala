@@ -110,6 +110,12 @@ object EventsStream {
     val session = stream.sparkSession
     val applied = session.sparkContext.longAccumulator("stream_upserts")
     val payload = cols.filterNot(pkCols.contains)
+    // an all-key table would render "UPDATE … SET" with zero assignments —
+    // invalid SQL discovered only inside a running micro-batch; fail at
+    // plan time instead (such a table is append-only: use the insert path)
+    require(payload.nonEmpty,
+      s"upsertToJdbc: cols ($cols) must include at least one non-key column" +
+        s" — with pkCols ($pkCols) the UPDATE branch would have no SET clause")
     val q = stream.select(cols.map(col): _*).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
