@@ -370,12 +370,14 @@ object Queries {
   }
 
   /** The composed corpus-cleaning pipeline a training-data user actually
-    * runs — language gate → quality gate → exact dedup → near-dup
-    * keep-one-per-cluster — proving the operator family COMPOSES (each
-    * stage's output satisfies the next stage's (doc_id, text) contract)
-    * and stays oracle-checkable end to end. Filter-FIRST is the scale
-    * order: the cheap codegen gates shrink the corpus before the
-    * quadratic-candidate stage ever sees it. */
+    * runs — language gate → quality gate → exact dedup → exact-substring
+    * span removal (Lee et al. ACL'22: duplicated 5-gram spans are CUT from
+    * the surviving texts) → near-dup keep-one-per-cluster over the CLEANED
+    * corpus — proving the operator family COMPOSES (each stage's output
+    * satisfies the next stage's (doc_id, text) contract) and stays
+    * oracle-checkable end to end. Filter-FIRST is the scale order: the
+    * cheap codegen gates shrink the corpus before the gram-frequency and
+    * quadratic-candidate stages ever see it. */
   def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val en = graft.operators.TextOps.langId(docs)
@@ -386,10 +388,12 @@ object Queries {
       .join(good, Seq("doc_id"), "left_semi")
     val canonical = graft.operators.TextOps.dedupExact(filtered).select("doc_id")
     val kept = filtered.join(canonical, Seq("doc_id"), "left_semi")
-    val pairs = graft.operators.NearDup.jaccardPairs(kept, threshold = 0.5)
-    graft.operators.NearDup.connectedComponents(kept.select("doc_id"), pairs)
+    val cleaned = graft.operators.TextOps.dedupSubstring(kept, n = 5)
+      .select(col("doc_id"), col("cleaned").as("text"))
+    val pairs = graft.operators.NearDup.jaccardPairs(cleaned, threshold = 0.5)
+    graft.operators.NearDup.connectedComponents(cleaned.select("doc_id"), pairs)
       .filter(col("comp") === col("doc_id"))
-      .join(kept, Seq("doc_id"))
+      .join(cleaned, Seq("doc_id"))
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
   }
 
@@ -409,10 +413,26 @@ object Queries {
        |  SELECT doc_id, text FROM filtered
        |  WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY text)
        |),
-       |docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept)""".stripMargin +
+       |w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+       |g2 AS (SELECT doc_id,
+       |        unnest(CAST(generate_series(1, len(ws)-4) AS BIGINT[])) AS pos,
+       |        unnest([md5(array_to_string(ws[i:i+4], ' ')) for i in generate_series(1, len(ws)-4)]) AS gh
+       |      FROM w2 WHERE len(ws) >= 5),
+       |c2 AS (SELECT gh FROM g2 GROUP BY gh HAVING COUNT(*) >= 2),
+       |d2 AS (SELECT doc_id, list(pos) AS ps FROM g2 JOIN c2 USING (gh) GROUP BY doc_id),
+       |k2 AS (SELECT w2.doc_id, w2.ws, COALESCE(d2.ps, []) AS ps
+       |      FROM w2 LEFT JOIN d2 USING (doc_id)),
+       |cleaned AS MATERIALIZED (SELECT doc_id,
+       |    COALESCE(array_to_string(
+       |      list_transform(
+       |        list_filter(CAST(generate_series(1, len(ws)) AS BIGINT[]),
+       |          j -> len(list_filter(ps, p -> p <= j AND j <= p + 4)) = 0),
+       |        j -> ws[j]), ' '), '') AS text
+       |  FROM k2),
+       |docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM cleaned)""".stripMargin +
       jaccardTailSql + ",\n" + ccUnrollSql(8, "docs2") + """
        |SELECT l8.doc_id, CAST(length(k.text) AS BIGINT) AS n_chars
-       |FROM l8 JOIN kept k ON k.doc_id = l8.doc_id WHERE l8.comp = l8.doc_id""".stripMargin
+       |FROM l8 JOIN cleaned k ON k.doc_id = l8.doc_id WHERE l8.comp = l8.doc_id""".stripMargin
 
   /** SimHash pairs within Hamming distance 4 (of 62 bits). Banding is
     * pigeonhole-exact and the dual-base token hash is portable, so the
@@ -987,6 +1007,41 @@ object Queries {
       |n AS (SELECT doc_id, CAST(greatest(len(ws) - 4, 0) AS BIGINT) AS n_grams FROM w)
       |SELECT n.doc_id, n.n_grams, CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup
       |FROM n LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_substring — exact-substring span REMOVAL (Lee et al. ACL'22 §4,
+  // TextOps.dedupSubstring): the positional dup mask of dup_ngram_spans
+  // turned into the cleaned corpus itself — every 5-gram occurring ≥ 2
+  // times corpus-wide cuts its covered tokens. Output is content-hashed
+  // so the artifact stays small; n_chars_removed is the cut volume.
+  // ---------------------------------------------------------------------
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.dedupSubstring(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5)
+      .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
+        col("n_chars_removed"))
+      .orderBy("doc_id")
+
+  val dedupSubstringSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(CAST(generate_series(1, len(ws)-4) AS BIGINT[])) AS pos,
+      |        unnest([md5(array_to_string(ws[i:i+4], ' ')) for i in generate_series(1, len(ws)-4)]) AS gh
+      |      FROM w WHERE len(ws) >= 5),
+      |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+      |d AS (SELECT doc_id, list(pos) AS ps FROM g JOIN c USING (gh) GROUP BY doc_id),
+      |k AS (SELECT w.doc_id, w.text, w.ws, COALESCE(d.ps, []) AS ps
+      |      FROM w LEFT JOIN d USING (doc_id)),
+      |cl AS (SELECT doc_id, text,
+      |    COALESCE(array_to_string(
+      |      list_transform(
+      |        list_filter(CAST(generate_series(1, len(ws)) AS BIGINT[]),
+      |          j -> len(list_filter(ps, p -> p <= j AND j <= p + 4)) = 0),
+      |        j -> ws[j]), ' '), '') AS cleaned
+      |  FROM k)
+      |SELECT doc_id, md5(cleaned) AS clean_hash,
+      |  CAST(length(text) - length(cleaned) AS BIGINT) AS n_chars_removed
+      |FROM cl ORDER BY doc_id""".stripMargin
 
   /** CUBE (all 2^n grouping sets — rollup's sibling Expand path; one scan,
     * the Expand operator multiplies rows by the grouping-set count before
@@ -2763,6 +2818,7 @@ object Queries {
     "distinct_kmv_intersect" -> (distinctKmvIntersect _),
     "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_spans" -> (dupNgramSpans _),
+    "dedup_substring" -> (dedupSubstring _),
     "anti_join" -> (antiJoin _),
     "semi_join" -> (semiJoin _),
     "profile_lineitem" -> (profileLineitem _),
@@ -2858,6 +2914,7 @@ object Queries {
     "distinct_kmv_intersect" -> distinctKmvIntersectSql,
     "sample_weighted" -> sampleWeightedSql,
     "dup_ngram_spans" -> dupNgramSpansSql,
+    "dedup_substring" -> dedupSubstringSql,
     "anti_join" -> antiJoinSql,
     "semi_join" -> semiJoinSql,
     "profile_lineitem" -> profileLineitemSql,

@@ -279,10 +279,14 @@ object TextOps {
     * not cache common subplans), the window form once, with the identical
     * key distribution (per-partition row count = gram frequency — the same
     * bound the groupBy would have). */
-  def dupNgramStats(docs: DataFrame, n: Int = 5): DataFrame = {
+  /** (doc_id, pos, gh): every word-n-gram start position with the md5 of
+    * its gram — the shared positional enumeration behind [[dupNgramStats]]
+    * (which counts positions) and [[dedupSubstring]] (which cuts them).
+    * One JVM pass; only (id, int, 32-hex) triples leave the scan. */
+  private def gramPositions(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
@@ -291,10 +295,14 @@ object TextOps {
             val hex = md.digest(ws.slice(i, i + n).mkString(" ")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
               .map("%02x".format(_)).mkString
-            (id, hex)
+            (id, i.toLong, hex)
           }
         }
-      }.toDF("doc_id", "gh")
+      }.toDF("doc_id", "pos", "gh")
+  }
+
+  def dupNgramStats(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = gramPositions(docs, n).select("doc_id", "gh")
     val perDoc = grams
       .withColumn("__cnt", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("gh")))
@@ -309,6 +317,57 @@ object TextOps {
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
       .orderBy("doc_id")
+  }
+
+  /** Exact-substring span REMOVAL — the transform [[dupNgramStats]] only
+    * measures (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22 §4): every word-n-gram occurring ≥ 2 times
+    * corpus-wide marks its n covered tokens for removal; the cleaned
+    * document is the surviving tokens re-joined. A fully-duplicated
+    * document cleans to the empty string (the paper's behavior — whole
+    * verbatim copies vanish; exact dedup upstream keeps one canonical copy
+    * if that is not wanted).
+    *
+    * Output: (doc_id, cleaned, n_chars_removed) — n_chars_removed counts
+    * CODEPOINTS of original minus cleaned (engine-portable, unlike UTF-16
+    * units).
+    *
+    * Scale shape: the gram exchange carries (32-hex, id, int) triples —
+    * bodies never enter the frequency pass; duplicated positions fold to
+    * ONE bounded row per document (a position array ≤ the doc's own token
+    * count — strictly smaller than the body it annotates); the single
+    * body-side equi-join on doc_id is inherent, because the operator's
+    * OUTPUT is the rewritten corpus, and the per-document mask-to-text
+    * fold runs as typed JVM code (higher-order column functions are
+    * CodegenFallback — interpreted per element). */
+  def dedupSubstring(docs: DataFrame, n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dupPos = gramPositions(docs, n)
+      .withColumn("__cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+      .filter(col("__cnt") >= 2)
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+    docs.select(col("doc_id"), col("text"))
+      .join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("ps"), typedLit(Seq.empty[Long])).as("ps"))
+      .as[(Long, String, Seq[Long])]
+      .mapPartitions(_.map { case (id, text, ps) =>
+        val ws = text.split(" ", -1)
+        val drop = new Array[Boolean](ws.length)
+        ps.foreach { p =>
+          var j = p.toInt
+          val end = math.min(p.toInt + n - 1, ws.length - 1)
+          while (j <= end) { drop(j) = true; j += 1 }
+        }
+        val cleaned = ws.indices.collect { case j if !drop(j) => ws(j) }
+          .mkString(" ")
+        (id, cleaned,
+          (text.codePointCount(0, text.length) -
+            cleaned.codePointCount(0, cleaned.length)).toLong)
+      })
+      .toDF("doc_id", "cleaned", "n_chars_removed")
   }
 
   /** Sliding-window chunking: split each document into overlapping windows

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TextOps.dedupSubstring — exact-substring span removal (Lee et al.
+  * ACL'22 §4), the transform behind the dedup_substring CORRECTNESS row. */
+class DedupSubstringSpec extends AnyFunSuite with SparkSuite {
+
+  private def clean(rows: Seq[(Long, String)], n: Int = 5): Map[Long, (String, Long)] = {
+    import spark.implicits._
+    TextOps.dedupSubstring(rows.toDF("doc_id", "text"), n)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+  }
+
+  test("a shared 5-gram span is cut from every occurrence; unique text survives") {
+    val span = "one two three four five"
+    val out = clean(Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"delta $span epsilon zeta"),
+      (3L, "totally unrelated words here now okay")))
+    assert(out(1L)._1 === "alpha beta gamma")
+    assert(out(2L)._1 === "delta epsilon zeta")
+    assert(out(3L) === (("totally unrelated words here now okay", 0L)))
+    // chars removed = span plus the join-space collapse
+    assert(out(1L)._2 === (s"alpha beta $span gamma".length
+      - "alpha beta gamma".length).toLong)
+  }
+
+  test("verbatim duplicate documents clean to the empty string") {
+    val text = "a b c d e f g h"   // 8 tokens: every 5-gram position dup
+    val out = clean(Seq((1L, text), (2L, text)))
+    assert(out(1L) === (("", text.length.toLong)))
+    assert(out(2L) === (("", text.length.toLong)))
+  }
+
+  test("a repeated gram WITHIN one document is cut (self-duplication counts)") {
+    val out = clean(Seq((1L, "x1 x2 x3 x4 x5 noise x1 x2 x3 x4 x5 tail")))
+    assert(out(1L)._1 === "noise tail")
+  }
+
+  test("documents shorter than n tokens pass through untouched") {
+    val out = clean(Seq((1L, "just four words here"), (2L, "just four words here")))
+    assert(out(1L) === (("just four words here", 0L)))
+    assert(out(2L) === (("just four words here", 0L)))
+  }
+
+  test("overlapping dup spans merge: covered-token union, not per-gram cuts") {
+    // doc 1 and doc 2 share "t1..t5"; doc 1 and doc 3 share "t4..t8" —
+    // doc 1 loses the union t1..t8, not two disjoint 5-token cuts
+    val out = clean(Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 solo"),
+      (2L, "pre t1 t2 t3 t4 t5 x y z w"),
+      (3L, "q r s v t4 t5 t6 t7 t8")))
+    assert(out(1L)._1 === "solo")
+  }
+
+  test("partitioning-invariant: repartitioned input yields identical output") {
+    val rows = (0L until 50L).map { i =>
+      (i, if (i % 7 == 0) "c0 c1 c2 c3 c4 c5 filler" + i
+          else s"u$i v$i w$i x$i y$i z$i")
+    }
+    import spark.implicits._
+    val a = TextOps.dedupSubstring(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = TextOps.dedupSubstring(rows.toDF("doc_id", "text").repartition(11))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a === b)
+    assert(a.count(_._3 > 0) === 8) // the 8 docs sharing the c0..c5 prefix
+  }
+}
