@@ -645,6 +645,68 @@ object Queries {
       |JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** TPC-H Q5 shape: customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈
+    * region — local-supplier revenue per nation for one region and one
+    * order year. The 6-table join exercises join ORDERING, broadcast
+    * chains, and exchange reuse:
+    *
+    *  - region→nation→supplier is a broadcast CHAIN (guaranteed-tiny at
+    *    every SF: 5 / 25 / 10k·SF rows) attached to lineitem without any
+    *    exchange, carrying the s_nationkey the customer side must match;
+    *  - orders (year-filtered, pushed to the scan) ⋈ customer are the
+    *    data-sized sides: both UNHINTED, so Catalyst's size estimates (and
+    *    AQE at runtime) pick broadcast at fixture scale and flip to
+    *    shuffle joins at 100 TB — the hint-free degradation q3_join's
+    *    scaladoc promises, exercised across two join levels;
+    *  - the c_nationkey = s_nationkey predicate ties the two dimension
+    *    arms into one equi-join (never a post-join filter: it is part of
+    *    the customer join's key, so mismatched rows drop at the join).
+    *
+    * Revenue runs in DECIMAL (exact, associative) and casts to double
+    * once at the end — the q1/q3 reproducibility discipline. */
+  def q5Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val dims = broadcast(
+      t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(dims, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5JoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Top-3 orders by price per priority — partitioned window (never a
     * global single-task sort), ties broken by key. */
   def windowTopk(s: SparkSession, dir: String): DataFrame = {
@@ -2819,6 +2881,7 @@ object Queries {
     "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_spans" -> (dupNgramSpans _),
     "dedup_substring" -> (dedupSubstring _),
+    "q5_join" -> (q5Join _),
     "anti_join" -> (antiJoin _),
     "semi_join" -> (semiJoin _),
     "profile_lineitem" -> (profileLineitem _),
@@ -2915,6 +2978,7 @@ object Queries {
     "sample_weighted" -> sampleWeightedSql,
     "dup_ngram_spans" -> dupNgramSpansSql,
     "dedup_substring" -> dedupSubstringSql,
+    "q5_join" -> q5JoinSql,
     "anti_join" -> antiJoinSql,
     "semi_join" -> semiJoinSql,
     "profile_lineitem" -> profileLineitemSql,

@@ -191,10 +191,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     val p = plan("inverted_index")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"scan not pruned:\n$p")
-    assert(p.contains("partial_collect_list"),
-      s"postings not partially aggregated below the exchange:\n$p")
+    // bounded postings: the KMinPairs set aggregate folds to <=20 ids per
+    // token BEFORE the exchange — an unbounded collect_list must not return
+    assert(p.contains("partial_graft_kmin_pairs"),
+      s"postings not a bounded partial aggregate below the exchange:\n$p")
+    assert(!p.contains("collect_list"),
+      s"unbounded collect_list back in the postings path:\n$p")
     assert(p.contains("Exchange hashpartitioning(token"),
       s"final aggregate not keyed on token:\n$p")
+  }
+
+  test("q5_join: 6-table join — broadcast chain, one agg exchange, year filter pushed") {
+    val p = plan("q5_join")
+    // region→nation→supplier chain + size-picked customer/orders: at this
+    // scale every join is broadcast; the only hash exchange is the final
+    // per-nation aggregate (at 100 TB AQE flips orders/customer to shuffle
+    // joins — the dims stay broadcast at any SF)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4,
+      s"expected >=4 broadcast joins:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"more than the aggregate exchange:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-year filter not pushed to the scan:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 6,
+      s"expected exactly one scan per table:\n$p")
   }
 
   test("token_cooccur: vocab and corpus-count broadcast; no cartesian pair join") {
