@@ -1488,20 +1488,35 @@ object Queries {
     * memory sink, complete mode) — the streaming result must equal the
     * batch oracle exactly. Proves the readStream -> watermark+window ->
     * writeStream surface with a real CORRECTNESS row. */
-  /** Drain-and-stop streaming runs skip no-data micro-batches: those
-    * rounds only advance the watermark to EVICT state (nothing is emitted
-    * by inner joins, and complete-mode tables are unchanged), but each one
-    * commits every state-store instance across all shuffle partitions. A
-    * standing production query keeps the default — eviction is what
-    * bounds state over days. Restores the previous setting after. */
-  private def drainWithoutNoDataBatches[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "false")
+  /** Drain-and-stop streaming runs get two tunings a standing production
+    * query would size differently:
+    *
+    *  - skip no-data micro-batches (unless `skipNoData=false`): those
+    *    rounds only advance the watermark to EVICT state (nothing is
+    *    emitted by inner joins, and complete-mode tables are unchanged),
+    *    but each one commits every state-store instance. Production keeps
+    *    the default — eviction is what bounds state over days.
+    *  - pin shuffle partitions to 8 for the run: every shuffle partition
+    *    is a state-store INSTANCE each stateful operator opens, commits,
+    *    and snapshots per micro-batch, so a drain over a bounded fixture
+    *    pays partitions × operators × batches in pure state-store
+    *    overhead while each partition holds only a sliver of data. A
+    *    standing query sizes this to its stateful load (the count is
+    *    frozen into the checkpoint on first start).
+    *
+    * Restores the previous settings after. */
+  private def drainStreamingRun[T](s: SparkSession, skipNoData: Boolean = true)
+      (body: => T): T = {
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = Seq(noDataKey, partsKey).map(k => k -> s.conf.getOption(k))
+    if (skipNoData) s.conf.set(noDataKey, "false")
+    s.conf.set(partsKey,
+      math.max(1, math.min(8, s.conf.get(partsKey, "200").toInt)).toString)
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 
@@ -1509,7 +1524,7 @@ object Queries {
     val agg = graft.streaming.EventsStream.hourlyCounts(
       graft.streaming.EventsStream.fromParquetDir(s, dir))
     val qname = "events_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    drainWithoutNoDataBatches(s) {
+    drainStreamingRun(s) {
       val q = agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1541,7 +1556,7 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     val qname = "events_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    drainWithoutNoDataBatches(s) {
+    drainStreamingRun(s) {
       val q = agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1568,7 +1583,7 @@ object Queries {
     // biggest beneficiary: a stream-stream join commits 4 state-store
     // instances per shuffle partition per micro-batch (measured 5.53 s ->
     // 3.41 s warm at sf0.1 from skipping the eviction-only rounds)
-    drainWithoutNoDataBatches(s) {
+    drainStreamingRun(s) {
       val q = joined.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1628,11 +1643,14 @@ object Queries {
     val sess = graft.streaming.EventsStream.sessionizeStreaming(
       graft.streaming.EventsStream.fromParquetDir(s, dir), gapMinutes = 30)
     val qname = "sess_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sess.toDF().writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // skipNoData=false: the trailing-timeout micro-batch IS the semantics
+    drainStreamingRun(s, skipNoData = false) {
+      val q = sess.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname)
       .select(col("user_id"), col("start").as("session_start"),
         col("end").as("session_end"), col("n_events").cast("long").as("n_events"))
@@ -2760,7 +2778,7 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     val qname = "events_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    drainWithoutNoDataBatches(s) {
+    drainStreamingRun(s) {
       val q = agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
