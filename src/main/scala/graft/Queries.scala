@@ -1321,6 +1321,72 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // rolling_distinct_persisted — the PRODUCTION form of rolling_distinct:
+  // the per-day KMV sketch table is WRITTEN to parquet once (the nightly
+  // sketch-build job), and the trailing-7-day distinct estimate is
+  // answered from the sketch FILES alone — the returned plan contains no
+  // events scan at all (pinned in PlanAuditSpec). This is the entire
+  // point of a mergeable sketch at 100 TB: the raw-event scan happens
+  // once per day, every window query afterwards reads ≤ k rows per day.
+  // Estimates are md5-deterministic, so the file round-trip is
+  // oracle-exact, not approximate-vs-approximate.
+  // ---------------------------------------------------------------------
+  def rollingDistinctPersisted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .filter(col("user_id").isNotNull)
+    // the sketch-build job: one scan of the raw events, ≤ k rows per day out
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmv_days_").toString
+    graft.operators.Sketches.kmvMinHashes(ev, "day", col("user_id"), k)
+      .write.mode("overwrite").parquet(tmp)
+    // the window query: sketch files only (calendar × calendar range join,
+    // merge ≤ 7·k pairs per anchor, one ranked aggregate)
+    val sk = s.read.parquet(tmp)
+    val days = sk.select(col("g").as("anchor")).distinct()
+    val win = to_date(col("g")).between(
+      date_sub(to_date(col("anchor")), 6), to_date(col("anchor")))
+    days.join(sk, win)
+      .select(col("anchor"), col("hv"), col("hx")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("anchor").orderBy(col("hv"), col("hx"))))
+      .filter(col("rk") <= k)
+      .groupBy("anchor")
+      .agg(count(lit(1)).as("n_hashes"),
+        max(when(col("rk") === k, col("hv"))).as("kth_hash"))
+      .select(col("anchor"), col("n_hashes"),
+        coalesce(lit((k - 1).toDouble * graft.operators.Sketches.HashSpace) /
+            col("kth_hash").cast("double"),
+          col("n_hashes").cast("double")).as("est"))
+      .orderBy("anchor")
+  }
+
+  val rollingDistinctPersistedSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH ev AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |m AS (SELECT DISTINCT day, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+       |h AS (SELECT day, CAST($hv AS BIGINT) AS hv, hx FROM m),
+       |r AS (SELECT day, hv, hx,
+       |    row_number() OVER (PARTITION BY day ORDER BY hv, hx) AS rk FROM h),
+       |sk AS (SELECT day, hv, hx FROM r WHERE rk <= 64),
+       |days AS (SELECT DISTINCT day AS anchor FROM sk),
+       |mg AS (SELECT DISTINCT anchor, hv, hx FROM days JOIN sk
+       |       ON CAST(sk.day AS DATE) BETWEEN CAST(anchor AS DATE) - 6
+       |                                   AND CAST(anchor AS DATE)),
+       |mr AS (SELECT anchor, hv,
+       |    row_number() OVER (PARTITION BY anchor ORDER BY hv, hx) AS rk FROM mg)
+       |SELECT anchor, COUNT(*) AS n_hashes,
+       |  COALESCE((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+       |             / CAST(max(CASE WHEN rk = 64 THEN hv END) AS DOUBLE),
+       |           CAST(COUNT(*) AS DOUBLE)) AS est
+       |FROM mr WHERE rk <= 64 GROUP BY anchor
+       |ORDER BY anchor""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // event_transitions — the user-journey Markov matrix: P(next event type
   // | current) from per-user event sequences. One lead() window on the
   // user_id exchange (same shape as scd2_intervals — never a self-join),
@@ -2884,6 +2950,7 @@ object Queries {
     "anomaly_zscore" -> (anomalyZscore _),
     "event_transitions" -> (eventTransitions _),
     "rolling_distinct" -> (rollingDistinct _),
+    "rolling_distinct_persisted" -> (rollingDistinctPersisted _),
     "rfm_segments" -> (rfmSegments _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
@@ -2981,6 +3048,7 @@ object Queries {
     "anomaly_zscore" -> anomalyZscoreSql,
     "event_transitions" -> eventTransitionsSql,
     "rolling_distinct" -> rollingDistinctSql,
+    "rolling_distinct_persisted" -> rollingDistinctPersistedSql,
     "rfm_segments" -> rfmSegmentsSql,
     "media_features" -> mediaFeaturesSql,
     "media_frames" -> mediaFramesSql,

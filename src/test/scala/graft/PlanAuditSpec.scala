@@ -367,6 +367,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("rolling_distinct_persisted: answered from sketch files alone — no events scan") {
+    val df = SparkEntry.queries("rolling_distinct_persisted")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the builder already ran the sketch-build job; the RETURNED plan must
+    // read only the persisted sketch parquet — the raw events subtree gone
+    assert(!p.contains("events.parquet"),
+      s"window query still scans raw events:\n$p")
+    assert(p.contains("graft_kmv_days_"),
+      s"window query does not read the persisted sketch files:\n$p")
+  }
+
   test("kmv sketch: values never shuffle — exchanges carry only group + digest") {
     // the registered distinct_kmv query also carries the exact
     // COUNT(DISTINCT) verification column, whose two-phase distinct
