@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** The sampling family's scale claim, probed the CcScaleProbeSpec way: a
+  * 10^6-row corpus that is ONE stratum — the adversarial shape for any
+  * per-stratum ranking, because the textbook single-phase window funnels
+  * the whole stratum through one task. The salted two-phase
+  * (stratifiedTopNBy, also the sample_proportional ranking path) must keep
+  * every task's shuffle-read record count far below the corpus size, and
+  * still produce exactly the textbook answer. Per-task numbers come from
+  * the task-end listener metrics, not plan inspection.
+  */
+class SamplingScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val rows = 1000000L
+
+  private def corpus = spark.range(0L, rows)
+    .select(col("id").as("doc_id"), lit("en").as("src"),
+      concat(lit("t"), col("id")).as("text"),
+      (pmod(col("id"), lit(997)) + 1).as("w"))
+
+  /** Runs `body` with a task-end listener attached; returns (result, max
+    * shuffle-read records observed in any single task). Listener delivery
+    * is asynchronous — poll until the max is stable. */
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          maxRead.getAndUpdate(p => math.max(p, r))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) { // stable for 300 ms, cap 10 s
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  // one task may host several of the 16 (stratum × salt) keys after hashing
+  // into the shuffle partitions, but never a meaningful fraction of the
+  // corpus; the single-phase window would put all 10^6 rows in one task
+  private val perTaskBound = rows / 4
+
+  test("stratifiedTopN: single 10^6-row stratum never lands on one task; textbook-equal", Slow) {
+    val n = 50
+    val ((got, maxRead), textbook) = (
+      withMaxTaskShuffleRead {
+        Sampling.stratifiedTopN(corpus, "src", "text", n)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      },
+      corpus.select(col("doc_id"), md5(col("text")).as("k"))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+        .filter(col("rk") <= n).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet)
+    info(s"stratifiedTopN max per-task shuffle read: $maxRead records")
+    assert(got === textbook)
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records — stratum funneled through one task?")
+  }
+
+  test("weightedTopN: priority draw over one hot stratum stays salted and bounded", Slow) {
+    val n = 50
+    val (got, maxRead) = withMaxTaskShuffleRead {
+      Sampling.weightedTopN(corpus, "src", "text", "w", n)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    info(s"weightedTopN max per-task shuffle read: $maxRead records")
+    assert(got.size === n)
+    assert(got.map(_._2) === (1L to n).toSet)
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records — stratum funneled through one task?")
+  }
+
+  test("sample_proportional ranking path (stratifiedTopNBy, n=budget) is bounded", Slow) {
+    // the exact shape the fixed sample_proportional uses per stratum:
+    // md5-keyed two-phase top-`budget`, quota filter applied afterwards
+    val budget = 103
+    val (got, maxRead) = withMaxTaskShuffleRead {
+      Sampling.stratifiedTopNBy(corpus, "doc_id", "src", md5(col("text")), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    info(s"proportional-rank max per-task shuffle read: $maxRead records")
+    assert(got.size === budget)
+    assert(got.map(_._2) === (1L to budget.toLong).toSet)
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records — stratum funneled through one task?")
+  }
+}
