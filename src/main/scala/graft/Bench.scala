@@ -19,7 +19,23 @@ import java.nio.file.{Files, Paths}
   * ./bench_out.json) so sbt log decoration can't make it unparseable.
   */
 object Bench {
+
+  /** (1-min, 5-min) load averages, or (-1,-1) where /proc is unavailable.
+    * Recorded at start AND end of the run: the inversion check only
+    * catches load that ARRIVES mid-run; uniform external load inflates
+    * every number silently, and the loadavg pair is what lets a reader
+    * adjudicate that without archaeology (a 1-min ≈ 0 at start with a
+    * high 5-min means a load burst just ended and will likely return
+    * during a multi-minute run). */
+  private def loadAvg(): (Double, Double) =
+    try {
+      val parts = new String(Files.readAllBytes(Paths.get("/proc/loadavg")))
+        .split("\\s+")
+      (parts(0).toDouble, parts(1).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
@@ -83,8 +99,11 @@ object Bench {
     // a subset run is tagged AND never writes the default output file: its
     // smaller total must not masquerade as a full-suite standing
     val subsetTag = if (only.isDefined) """"subset":true,""" else ""
+    val loadEnd = loadAvg()
+    val loadJson =
+      s""""load_start":[${loadStart._1},${loadStart._2}],"load_end":[${loadEnd._1},${loadEnd._2}]"""
     val line =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",$subsetTag"queries":${fmt(warm)},"cold":${fmt(cold)},"failed":$failedJson,"inversions":$inversionsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",$subsetTag"queries":${fmt(warm)},"cold":${fmt(cold)},"failed":$failedJson,"inversions":$inversionsJson,$loadJson,"sf":"$sfDir"}"""
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     if (only.isEmpty || outFile.isDefined)
       Files.writeString(Paths.get(outFile.getOrElse("bench_out.json")), line + "\n")
