@@ -20,13 +20,29 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events with its TIMESTAMP(NANOS) column (read as Long nanos under
-    * spark.sql.legacy.parquet.nanosAsLong) converted to TimestampType.
-    * Integer division — a double intermediate would lose precision above
-    * 2^53 epoch-nanos. */
+  /** events with its `ts` column normalized to TimestampType (UTC session),
+    * whatever the fixture generation wrote on disk:
+    *  - TIMESTAMP(NANOS) reads as Long under
+    *    spark.sql.legacy.parquet.nanosAsLong → integer-divide to micros (a
+    *    double intermediate would lose precision above 2^53 epoch-nanos);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TimestampNTZ →
+    *    cast (wall-clock == instant under the UTC session);
+    *  - already TimestampType → pass through. */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(load(spark, sfDir, "events"))
+
+  /** Schema-adaptive `ts` normalization (see [[events]]); shared with the
+    * streaming file source, which must declare the ON-DISK schema and apply
+    * the same conversion per micro-batch. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
 
   /** Substring-exclusion table filter — reference paradump.go:1356-1366
     * (`strings.Index(db+"."+tb, pat) > 0`). */

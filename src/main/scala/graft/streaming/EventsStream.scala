@@ -16,16 +16,16 @@ object EventsStream {
 
   /** File-source stream over the events parquet data (the micro-batch
     * analogue of tailing the table). `sfDir` is the fixture directory; the
-    * stream schema must match the ON-DISK layout (ts = int64 nanos under
-    * nanosAsLong), with the same micros conversion Tables.events applies. */
+    * stream schema must match the ON-DISK layout, with the same
+    * schema-adaptive ts normalization Tables.events applies. */
   def fromParquetDir(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = graft.sources.Tables.load(spark, sfDir, "events")
     // the file stream source needs a directory; select only the events
     // table's file(s) within it
-    spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Stream-stream interval join — click→purchase attribution within
