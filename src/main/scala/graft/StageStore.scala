@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped materializer for multi-consumer pipeline stages.
+  *
+  * Spark re-evaluates a common subplan once PER CONSUMER — a composed
+  * pipeline whose expensive middle stage feeds several downstream joins
+  * pays that stage's full cost each time unless it is materialized once.
+  * At 100 TB the production answer is not `.persist()` (caching a
+  * corpus-sized intermediate in executor memory is the wrong trade, and
+  * un-released blocks leak into every later job sharing the cluster): a
+  * real multi-stage training-data pipeline WRITES each stage's output to
+  * distributed storage once and lets every consumer read the files. This
+  * object is that pattern scaled down to the test harness: parquet under
+  * one JVM-scoped temp root, deterministic per-label subdirectories
+  * (re-evaluation overwrites instead of accumulating), the whole root
+  * deleted on JVM exit.
+  *
+  * Labels must be deterministic per (stage, input) — callers embed a hash
+  * of the input directory — so a warm re-run overwrites its own files and
+  * two inputs never collide.
+  *
+  * [[materializations]] exposes how many write jobs ran per label, letting
+  * specs assert "the expensive stage executed exactly once" as a hard
+  * fact rather than a plan-shape guess.
+  */
+object StageStore {
+
+  private lazy val root: Path = {
+    val p = Files.createTempDirectory("graft_stage_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    p
+  }
+
+  private val counts = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Deterministic on-disk location for a stage label (created lazily by
+    * the parquet writer). */
+  def path(label: String): String = root.resolve(label).toString
+
+  /** Times [[materialize]] ran a write job for `label` in this JVM. */
+  def materializations(label: String): Long =
+    Option(counts.get(label)).map(_.longValue).getOrElse(0L)
+
+  /** Write `df` to parquet once (mode=overwrite) and hand back a frame
+    * whose plan is a flat file scan — every consumer reads the files; the
+    * producing subtree never re-evaluates. */
+  def materialize(df: DataFrame, label: String): DataFrame = {
+    val p = path(label)
+    df.write.mode("overwrite").parquet(p)
+    counts.merge(label, 1L, (a, b) => a + b)
+    df.sparkSession.read.parquet(p)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRecursively(c))
+    Files.deleteIfExists(p)
+    ()
+  }
+}

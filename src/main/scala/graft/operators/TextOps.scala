@@ -301,12 +301,60 @@ object TextOps {
       }.toDF("doc_id", "pos", "gh")
   }
 
+  /** Positions whose n-gram occurs ≥ 2 times corpus-wide: (doc_id, pos).
+    *
+    * Two-phase, replacing r9's `count().over(Window.partitionBy("gh"))` —
+    * a window has NO map-side partial fold, so every position of one hot
+    * gram landed on a single task (a real web corpus's hottest 5-gram is
+    * ~10⁻³ of all positions; at 100 TB that is a single-task shuffle read
+    * in the billions). The scale-safe shape:
+    *
+    *  1. `groupBy(gh).count` — partial aggregation bounds reducer input at
+    *     one row per (gram, map task), never one row per position;
+    *  2. the dup-gram set folds into a BLOOM FILTER collected as a bounded
+    *     plan-time constant (1 MiB at the default sizing — the same
+    *     driver-bounded pattern as k-means centroids / skew hot keys) and
+    *     applied MAP-SIDE, so positions of non-duplicated grams — the vast
+    *     majority of a real corpus — never enter any exchange;
+    *  3. bloom false positives are removed exactly by a left-semi join
+    *     whose gram key is SALTED on `hash(doc_id, pos) mod salt`, so even
+    *     a gram covering the entire corpus spreads over `salt` tasks
+    *     (dup-gram rows replicate ×salt — bounded, they are distinct grams,
+    *     not positions).
+    *
+    * DupNgramScaleProbeSpec drives a 10⁶-position corpus dominated by ONE
+    * gram through this path and asserts from task-end listener metrics
+    * that no task's shuffle read approaches the corpus size. */
+  private[graft] def dupPositions(docs: DataFrame, n: Int, salt: Int = 16,
+                                  expectedDupGrams: Long = 1L << 17): DataFrame = {
+    // bloom sizing note: 2^17 items × 8 bits = a 128 KiB literal (kept small
+    // because the serialized bloom is embedded in the plan / task binary).
+    // A saturated bloom is a PERFORMANCE fallback, not a correctness risk —
+    // false positives shuffle through the salted exact semi-join and are
+    // dropped there; size `expectedDupGrams` up for a production corpus.
+    import org.apache.spark.sql.GraftColumnBridge.{column => ec, expression => ce}
+    val grams = gramPositions(docs, n)
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2).select("gh")
+    val bloomBytes = dupGrams.select(ec(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          ce(xxhash64(col("gh"))), expectedDupGrams).toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) // empty-input eval: no gram repeats anywhere
+      return grams.select("doc_id", "pos").limit(0)
+    val mightDup = grams.where(ec(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ce(lit(bloomBytes)), ce(xxhash64(col("gh"))))))
+    val salted = mightDup.withColumn("__s",
+      pmod(xxhash64(col("doc_id"), col("pos")), lit(salt)).cast("int"))
+    val dupSalted = dupGrams.withColumn("__s",
+      explode(lit((0 until salt).toArray)))
+    salted.join(dupSalted, Seq("gh", "__s"), "left_semi")
+      .select("doc_id", "pos")
+  }
+
   def dupNgramStats(docs: DataFrame, n: Int = 5): DataFrame = {
-    val grams = gramPositions(docs, n).select("doc_id", "gh")
-    val perDoc = grams
-      .withColumn("__cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("gh")))
-      .filter(col("__cnt") >= 2)
+    val perDoc = dupPositions(docs, n)
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     // token split mirrors the flatMap's split(" ", -1) (trailing empties
     // kept) so n_grams counts the same windows the postings enumerate
@@ -321,32 +369,40 @@ object TextOps {
 
   /** Exact-substring span REMOVAL — the transform [[dupNgramStats]] only
     * measures (Lee et al., "Deduplicating Training Data Makes Language
-    * Models Better", ACL'22 §4): every word-n-gram occurring ≥ 2 times
-    * corpus-wide marks its n covered tokens for removal; the cleaned
-    * document is the surviving tokens re-joined. A fully-duplicated
-    * document cleans to the empty string (the paper's behavior — whole
-    * verbatim copies vanish; exact dedup upstream keeps one canonical copy
-    * if that is not wanted).
+    * Models Better", ACL'22 §4): word-n-grams occurring ≥ 2 times
+    * corpus-wide mark their covered tokens; adjacent marked positions merge
+    * into maximal runs, and every run of at least `minSpanTokens` tokens is
+    * CUT; the cleaned document is the surviving tokens re-joined.
+    *
+    * `minSpanTokens` is the paper's span threshold: Lee et al. remove only
+    * duplicated substrings of ≥ 50 tokens, so common idioms and short
+    * boilerplate phrases SURVIVE while verbatim blocks vanish — pass 50 for
+    * the paper's transform. The default `minSpanTokens = n` cuts every
+    * duplicated n-gram's coverage (the maximally aggressive variant, and
+    * exactly the pre-r10 behavior, since any covered run is ≥ n tokens). A
+    * fully-duplicated document cleans to the empty string either way —
+    * whole verbatim copies vanish; exact dedup upstream keeps one canonical
+    * copy if that is not wanted.
     *
     * Output: (doc_id, cleaned, n_chars_removed) — n_chars_removed counts
     * CODEPOINTS of original minus cleaned (engine-portable, unlike UTF-16
     * units).
     *
-    * Scale shape: the gram exchange carries (32-hex, id, int) triples —
-    * bodies never enter the frequency pass; duplicated positions fold to
+    * Scale shape: the dup-position pass is the two-phase [[dupPositions]]
+    * (map-side partial gram counts, bloom routed back map-side, salted
+    * exact semi-join — no hot-gram funnel); duplicated positions fold to
     * ONE bounded row per document (a position array ≤ the doc's own token
     * count — strictly smaller than the body it annotates); the single
     * body-side equi-join on doc_id is inherent, because the operator's
     * OUTPUT is the rewritten corpus, and the per-document mask-to-text
-    * fold runs as typed JVM code (higher-order column functions are
-    * CodegenFallback — interpreted per element). */
-  def dedupSubstring(docs: DataFrame, n: Int = 5): DataFrame = {
+    * fold (coverage, run-merge, cut) runs as typed JVM code (higher-order
+    * column functions are CodegenFallback — interpreted per element). */
+  def dedupSubstring(docs: DataFrame, n: Int = 5,
+                     minSpanTokens: Int = -1): DataFrame = {
+    val minSpan = if (minSpanTokens < 0) n else minSpanTokens
     val spark = docs.sparkSession
     import spark.implicits._
-    val dupPos = gramPositions(docs, n)
-      .withColumn("__cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("gh")))
-      .filter(col("__cnt") >= 2)
+    val dupPos = dupPositions(docs, n)
       .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
     docs.select(col("doc_id"), col("text"))
       .join(dupPos, Seq("doc_id"), "left")
@@ -355,13 +411,24 @@ object TextOps {
       .as[(Long, String, Seq[Long])]
       .mapPartitions(_.map { case (id, text, ps) =>
         val ws = text.split(" ", -1)
-        val drop = new Array[Boolean](ws.length)
+        val covered = new Array[Boolean](ws.length)
         ps.foreach { p =>
           var j = p.toInt
           val end = math.min(p.toInt + n - 1, ws.length - 1)
-          while (j <= end) { drop(j) = true; j += 1 }
+          while (j <= end) { covered(j) = true; j += 1 }
         }
-        val cleaned = ws.indices.collect { case j if !drop(j) => ws(j) }
+        // merge covered positions into maximal runs; cut runs >= minSpan
+        val cut = new Array[Boolean](ws.length)
+        var i = 0
+        while (i < ws.length) {
+          if (covered(i)) {
+            var j = i
+            while (j < ws.length && covered(j)) j += 1
+            if (j - i >= minSpan) { var t = i; while (t < j) { cut(t) = true; t += 1 } }
+            i = j
+          } else i += 1
+        }
+        val cleaned = ws.indices.collect { case j if !cut(j) => ws(j) }
           .mkString(" ")
         (id, cleaned,
           (text.codePointCount(0, text.length) -

@@ -374,8 +374,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // read only the persisted sketch parquet — the raw events subtree gone
     assert(!p.contains("events.parquet"),
       s"window query still scans raw events:\n$p")
-    assert(p.contains("graft_kmv_days_"),
+    assert(p.contains("graft_stage_") && p.contains("kmv_days_"),
       s"window query does not read the persisted sketch files:\n$p")
+  }
+
+  test("pipeline_clean_corpus: the dedupSubstring stage materializes ONCE; consumers read stage files") {
+    val label = s"pipeline_cleaned_${java.lang.Integer.toHexString(sf.hashCode)}"
+    val before = StageStore.materializations(label)
+    val df = SparkEntry.queries("pipeline_clean_corpus")(spark, sf)
+    assert(StageStore.materializations(label) === before + 1,
+      "building the pipeline must run exactly one stage-write job")
+    val p = df.queryExecution.executedPlan.toString
+    // the returned plan re-reads the materialized stage — the expensive
+    // gram-mask subtree (and everything upstream of it, including the raw
+    // documents scan) must be GONE from every consumer
+    assert(p.contains("graft_stage_") && p.contains(label),
+      s"consumers do not read the materialized stage:\n${p.take(3000)}")
+    assert(!p.contains("documents.parquet"),
+      s"a consumer still re-derives the cleaned corpus from raw documents:\n${p.take(3000)}")
+    // evaluating the full pipeline runs NO additional stage-write
+    assert(df.count() > 0)
+    assert(StageStore.materializations(label) === before + 1,
+      "evaluating the pipeline re-ran the stage-write job")
+  }
+
+  test("cache hygiene: rfm_segments and rolling_distinct_persisted leave no persisted blocks behind") {
+    // r9 leaked rfm's MEMORY_AND_DISK per-user aggregate into the next 90+
+    // bench queries; both now materialize through StageStore files instead
+    val leaked = Seq("rfm_segments", "rolling_distinct_persisted").flatMap { name =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      assert(SparkEntry.queries(name)(spark, sf).count() > 0)
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).map(name -> _)
+    }
+    assert(leaked.isEmpty, s"queries left persisted RDD blocks behind: $leaked")
   }
 
   test("kmv sketch: values never shuffle — exchanges carry only group + digest") {

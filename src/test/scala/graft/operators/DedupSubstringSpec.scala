@@ -55,6 +55,39 @@ class DedupSubstringSpec extends AnyFunSuite with SparkSuite {
     assert(out(1L)._1 === "solo")
   }
 
+  test("minSpanTokens=50 (the paper's threshold): a shared idiom survives, a 50-token boilerplate block is cut") {
+    val idiom = "as a matter of fact"                       // 5 shared tokens
+    val boiler = (1 to 50).map("b" + _).mkString(" ")       // 50 shared tokens
+    import spark.implicits._
+    val rows = Seq(
+      (1L, s"intro $idiom middle $boiler outro"),
+      (2L, s"$idiom other words entirely $boiler"),
+      (3L, "nothing shared with anything else at all")).toDF("doc_id", "text")
+    val out = TextOps.dedupSubstring(rows, n = 5, minSpanTokens = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // the 5-token idiom run (< 50) survives; the 50-token run is cut
+    assert(out(1L)._1 === s"intro $idiom middle outro")
+    assert(out(2L)._1 === s"$idiom other words entirely")
+    assert(out(3L)._2 === 0L)
+    // same corpus, default threshold: BOTH dup runs are cut
+    val aggressive = TextOps.dedupSubstring(rows, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(aggressive(1L) === "intro middle outro")
+  }
+
+  test("minSpanTokens counts the MERGED run, not any single gram: two overlapping 5-grams forming a 6-token run are cut at threshold 6") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "r1 r2 r3 r4 r5 r6 unique1 end1"),
+      (2L, "r1 r2 r3 r4 r5 r6 unique2 end2")).toDF("doc_id", "text")
+    val out = TextOps.dedupSubstring(rows, n = 5, minSpanTokens = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "unique1 end1")
+    val kept = TextOps.dedupSubstring(rows, n = 5, minSpanTokens = 7)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) === "r1 r2 r3 r4 r5 r6 unique1 end1")
+  }
+
   test("partitioning-invariant: repartitioned input yields identical output") {
     val rows = (0L until 50L).map { i =>
       (i, if (i % 7 == 0) "c0 c1 c2 c3 c4 c5 filler" + i

@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** The dup-gram mask's scale claim, probed the SamplingScaleProbeSpec way:
+  * a corpus where ~94% of all gram positions are ONE gram — the
+  * adversarial shape for the r9 `count().over(Window.partitionBy("gh"))`
+  * mask, which had no map-side fold and shipped every position of the hot
+  * gram (1.6·10⁶ rows here; billions at 100 TB) to a single task. The
+  * two-phase [[TextOps.dupPositions]] (partial-aggregated gram counts →
+  * bloom routed back map-side → salted exact semi-join) must keep every
+  * task's shuffle-read record count far below the hot gram's position
+  * count, and still produce exactly the textbook answer. Per-task numbers
+  * come from task-end listener metrics, not plan inspection.
+  *
+  * AQE partition COALESCING is disabled for the probe: at fixture row
+  * widths the coalescer legitimately packs many tiny hash partitions into
+  * one task (record counts are not bytes), which would mask the
+  * distribution being asserted. Salt-key spread, not coalescing policy, is
+  * what must carry to 100 TB.
+  */
+class DupNgramScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nDocs = 100000L
+
+  /** Every doc: the token `h` × 20 then one unique tail token — 17 gram
+    * positions per doc, 16 of them the SAME gram `h h h h h` everywhere
+    * (1.6·10⁶ positions of one gram hash), the straddling one unique. */
+  private def corpus = spark.range(0L, nDocs)
+    .select(col("id").as("doc_id"),
+      concat(lit(Seq.fill(20)("h").mkString(" ") + " u-"), col("id")).as("text"))
+
+  private val positions = nDocs * 17
+  private val hotPositions = nDocs * 16
+  // expected per-task with salt=16: hot/salt ≈ 10⁵ per (gh, salt) key, a
+  // couple of keys per task; the r9 window shape reads all 1.6·10⁶ in one
+  private val perTaskBound = positions / 8
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) { // stable for 300 ms, cap 10 s
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def withoutCoalescing[T](body: => T): T = {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("dupNgramStats: one dominant gram never funnels through one task; counts textbook-equal", Slow) {
+    val (got, maxRead) = withoutCoalescing(withMaxTaskShuffleRead {
+      TextOps.dupNgramStats(corpus, n = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    })
+    info(s"dupNgramStats max per-task shuffle read: $maxRead records (hot gram: $hotPositions positions)")
+    // textbook: 21 tokens → 17 grams; the 16 grams fully inside h×20 are
+    // shared by every doc; the gram straddling into the unique tail is not
+    assert(got === (0L until nDocs).map(id => (id, 17L, 16L)).toSet)
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records (hot gram has $hotPositions positions) — funneled through one task?")
+  }
+
+  test("dedupSubstring: same corpus, hot run cut everywhere, still bounded", Slow) {
+    val (got, maxRead) = withoutCoalescing(withMaxTaskShuffleRead {
+      TextOps.dedupSubstring(corpus, n = 5)
+        .select(col("doc_id"), col("cleaned"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    })
+    info(s"dedupSubstring max per-task shuffle read: $maxRead records (hot gram: $hotPositions positions)")
+    val expect = (0L until nDocs).map(id => (id, s"u-$id")).toSet
+    assert(got === expect)
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records (hot gram has $hotPositions positions) — funneled through one task?")
+  }
+}
