@@ -442,6 +442,125 @@ object Queries {
        |SELECT l8.doc_id, CAST(length(k.text) AS BIGINT) AS n_chars
        |FROM l8 JOIN cleaned k ON k.doc_id = l8.doc_id WHERE l8.comp = l8.doc_id""".stripMargin
 
+  /** The FULL training-data pipeline a production corpus actually ships
+    * through — [[pipelineCleanCorpus]]'s gates plus the two stages a real
+    * pretraining run cannot skip: benchmark DECONTAMINATION (drop any
+    * surviving doc sharing a word 3-gram with the raw eval split, eval
+    * side broadcast) and PII REDACTION (map-only regex kernels over the
+    * final texts). Stage order is the production order: the eval split is
+    * excluded up front, cheap codegen gates shrink the corpus first, the
+    * expensive span-removal stage (paper threshold: dup runs ≥ 50 tokens)
+    * materializes ONCE through [[StageStore]], near-dup keeps one doc per
+    * cluster, and only the deduplicated survivors pay the decontamination
+    * gram pass and redaction. Output is content-hashed masked text plus
+    * redaction counts — every stage's effect is oracle-visible. */
+  def pipelineFullCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val en = graft.operators.TextOps.langId(train)
+      .filter(col("lang_pred") === "en").select("doc_id")
+    val good = graft.operators.TextOps.textStats(train)
+      .filter(col("n_words") >= 10).select("doc_id")
+    val filtered = train.join(en, Seq("doc_id"), "left_semi")
+      .join(good, Seq("doc_id"), "left_semi")
+    val canonical = graft.operators.TextOps.dedupExact(filtered).select("doc_id")
+    val kept = filtered.join(canonical, Seq("doc_id"), "left_semi")
+    val cleaned = StageStore.materialize(
+      graft.operators.TextOps.dedupSubstring(kept, n = 5, minSpanTokens = 50)
+        .select(col("doc_id"), col("cleaned").as("text")),
+      s"pipeline_full_cleaned_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val pairs = graft.operators.NearDup.jaccardPairs(cleaned, threshold = 0.5)
+    val survivors = graft.operators.NearDup
+      .connectedComponents(cleaned.select("doc_id"), pairs)
+      .filter(col("comp") === col("doc_id"))
+      .join(cleaned, Seq("doc_id")).select("doc_id", "text")
+    // decontaminate against the RAW eval split (the benchmark as
+    // published), not its cleaned form; contamination() broadcasts the
+    // eval grams, so the surviving corpus never shuffles for this join
+    val contaminated = graft.operators.TextOps.contamination(
+        survivors.unionByName(docs.filter(col("doc_id") % 97 === 0)))
+      .filter(col("n_hits") >= 1).select("doc_id")
+    val decon = survivors.join(contaminated, Seq("doc_id"), "left_anti")
+    // redaction: the fixture corpus carries no PII, so the same synthetic
+    // email + IPv4 as the pii_mask query is grafted in both engines
+    val pii = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example.com from 10."),
+      (col("doc_id") % 200).cast("string"), lit(".0."),
+      (col("doc_id") % 250).cast("string"))
+    val (masked, nEmails, nIps) = graft.operators.TextOps.piiMask(pii)
+    decon.select(col("doc_id"), md5(masked).as("masked_hash"),
+        nEmails.as("n_emails"), nIps.as("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineFullCorpusSql: String =
+    s"""WITH filtered AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 97 <> 0
+       |    AND len(regexp_extract_all(text, '\\S+')) >= 10
+       |    AND CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |      >= CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) * 0.05
+       |),
+       |kept AS MATERIALIZED (
+       |  SELECT doc_id, text FROM filtered
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY text)
+       |),
+       |w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+       |g2 AS (SELECT doc_id,
+       |        unnest(CAST(generate_series(1, len(ws)-4) AS BIGINT[])) AS pos,
+       |        unnest([md5(array_to_string(ws[i:i+4], ' ')) for i in generate_series(1, len(ws)-4)]) AS gh
+       |      FROM w2 WHERE len(ws) >= 5),
+       |c2 AS (SELECT gh FROM g2 GROUP BY gh HAVING COUNT(*) >= 2),
+       |gg2 AS (SELECT doc_id, pos FROM g2 JOIN c2 USING (gh)),
+       |i2 AS (SELECT doc_id, pos,
+       |        SUM(CASE WHEN lp IS NULL OR pos - lp > 5 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |      FROM (SELECT doc_id, pos,
+       |              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp FROM gg2)),
+       |r2 AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+       |      FROM i2 GROUP BY doc_id, isl
+       |      HAVING max(pos) + 4 - min(pos) + 1 >= 50),
+       |rl2 AS (SELECT doc_id, list([s, e]) AS runs FROM r2 GROUP BY doc_id),
+       |k2 AS (SELECT w2.doc_id, w2.ws, COALESCE(rl2.runs, []) AS runs
+       |      FROM w2 LEFT JOIN rl2 USING (doc_id)),
+       |cleaned AS MATERIALIZED (SELECT doc_id,
+       |    COALESCE(array_to_string(
+       |      list_transform(
+       |        list_filter(CAST(generate_series(1, len(ws)) AS BIGINT[]),
+       |          j -> len(list_filter(runs, rr -> rr[1] <= j AND j <= rr[2])) = 0),
+       |        j -> ws[j]), ' '), '') AS text
+       |  FROM k2),
+       |docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM cleaned)""".stripMargin +
+      jaccardTailSql + ",\n" + ccUnrollSql(8, "docs2") + s""",
+       |surv AS MATERIALIZED (
+       |  SELECT k.doc_id, k.text FROM l8 JOIN cleaned k ON k.doc_id = l8.doc_id
+       |  WHERE l8.comp = l8.doc_id),
+       |wsu AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+       |gs AS (SELECT DISTINCT doc_id, gh FROM (
+       |  SELECT doc_id, unnest([md5(array_to_string(ws[i:i+2], ' ')) for i in generate_series(1, len(ws)-2)]) AS gh
+       |  FROM wsu WHERE len(ws) >= 3)),
+       |we AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 97 = 0),
+       |ge AS (SELECT DISTINCT gh FROM (
+       |  SELECT unnest([md5(array_to_string(ws[i:i+2], ' ')) for i in generate_series(1, len(ws)-2)]) AS gh
+       |  FROM we WHERE len(ws) >= 3)),
+       |cont AS (SELECT DISTINCT gs.doc_id FROM gs JOIN ge USING (gh)),
+       |decon AS (SELECT surv.doc_id, surv.text FROM surv
+       |  WHERE surv.doc_id NOT IN (SELECT doc_id FROM cont)),
+       |pp AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
+       |      || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS pii
+       |  FROM decon),
+       |mm AS (
+       |  SELECT doc_id, pii,
+       |    regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS em
+       |  FROM pp)
+       |SELECT doc_id,
+       |  md5(regexp_replace(em, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')) AS masked_hash,
+       |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(em, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips
+       |FROM mm ORDER BY doc_id""".stripMargin
+
   /** SimHash pairs within Hamming distance 4 (of 62 bits). Banding is
     * pigeonhole-exact and the dual-base token hash is portable, so the
     * oracle replays the whole operator in SQL. */
@@ -1107,6 +1226,53 @@ object Queries {
       |      list_transform(
       |        list_filter(CAST(generate_series(1, len(ws)) AS BIGINT[]),
       |          j -> len(list_filter(ps, p -> p <= j AND j <= p + 4)) = 0),
+      |        j -> ws[j]), ' '), '') AS cleaned
+      |  FROM k)
+      |SELECT doc_id, md5(cleaned) AS clean_hash,
+      |  CAST(length(text) - length(cleaned) AS BIGINT) AS n_chars_removed
+      |FROM cl ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_substring_spans — the PAPER'S transform (Lee et al. ACL'22
+  // remove duplicated substrings of ≥ 50 tokens): dup-gram coverage merges
+  // into maximal runs and only runs ≥ 50 tokens are cut, so idioms and
+  // short boilerplate survive while verbatim blocks vanish. At sf0.01 the
+  // fixture has both populations (runs of 5..43 tokens survive, 58..93
+  // cut), so the oracle exercises the run-merge, the threshold, and the
+  // untouched-doc path at once.
+  // ---------------------------------------------------------------------
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.dedupSubstring(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        n = 5, minSpanTokens = 50)
+      .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
+        col("n_chars_removed"))
+      .orderBy("doc_id")
+
+  val dedupSubstringSpansSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(CAST(generate_series(1, len(ws)-4) AS BIGINT[])) AS pos,
+      |        unnest([md5(array_to_string(ws[i:i+4], ' ')) for i in generate_series(1, len(ws)-4)]) AS gh
+      |      FROM w WHERE len(ws) >= 5),
+      |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+      |g2 AS (SELECT doc_id, pos FROM g JOIN c USING (gh)),
+      |i AS (SELECT doc_id, pos,
+      |        SUM(CASE WHEN lp IS NULL OR pos - lp > 5 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      |      FROM (SELECT doc_id, pos,
+      |              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp FROM g2)),
+      |r AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+      |      FROM i GROUP BY doc_id, isl
+      |      HAVING max(pos) + 4 - min(pos) + 1 >= 50),
+      |rl AS (SELECT doc_id, list([s, e]) AS runs FROM r GROUP BY doc_id),
+      |k AS (SELECT w.doc_id, w.text, w.ws, COALESCE(rl.runs, []) AS runs
+      |      FROM w LEFT JOIN rl USING (doc_id)),
+      |cl AS (SELECT doc_id, text,
+      |    COALESCE(array_to_string(
+      |      list_transform(
+      |        list_filter(CAST(generate_series(1, len(ws)) AS BIGINT[]),
+      |          j -> len(list_filter(runs, r -> r[1] <= j AND j <= r[2])) = 0),
       |        j -> ws[j]), ' '), '') AS cleaned
       |  FROM k)
       |SELECT doc_id, md5(cleaned) AS clean_hash,
@@ -2979,6 +3145,8 @@ object Queries {
     "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_spans" -> (dupNgramSpans _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
+    "pipeline_full_corpus" -> (pipelineFullCorpus _),
     "q5_join" -> (q5Join _),
     "anti_join" -> (antiJoin _),
     "semi_join" -> (semiJoin _),
@@ -3077,6 +3245,8 @@ object Queries {
     "sample_weighted" -> sampleWeightedSql,
     "dup_ngram_spans" -> dupNgramSpansSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_substring_spans" -> dedupSubstringSpansSql,
+    "pipeline_full_corpus" -> pipelineFullCorpusSql,
     "q5_join" -> q5JoinSql,
     "anti_join" -> antiJoinSql,
     "semi_join" -> semiJoinSql,

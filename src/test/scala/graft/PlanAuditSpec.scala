@@ -398,6 +398,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "evaluating the pipeline re-ran the stage-write job")
   }
 
+  test("pipeline_full_corpus: stage materializes once; eval grams broadcast; decon is a broadcast anti-join") {
+    val label = s"pipeline_full_cleaned_${java.lang.Integer.toHexString(sf.hashCode)}"
+    val before = StageStore.materializations(label)
+    val df = SparkEntry.queries("pipeline_full_corpus")(spark, sf)
+    assert(StageStore.materializations(label) === before + 1)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains(label),
+      s"consumers do not read the materialized stage:\n${p.take(3000)}")
+    // decontamination: the eval-gram side broadcasts (corpus never
+    // shuffles for the join) and the drop is an anti-join, so redaction
+    // stays map-only above it — no exchange between decon and the output
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"decontamination is not a broadcast anti-join:\n${p.take(3000)}")
+    assert(df.count() > 0)
+    assert(StageStore.materializations(label) === before + 1,
+      "evaluating the pipeline re-ran the stage-write job")
+  }
+
   test("cache hygiene: rfm_segments and rolling_distinct_persisted leave no persisted blocks behind") {
     // r9 leaked rfm's MEMORY_AND_DISK per-user aggregate into the next 90+
     // bench queries; both now materialize through StageStore files instead
