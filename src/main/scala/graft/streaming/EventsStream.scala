@@ -64,6 +64,35 @@ object EventsStream {
       .select(col("window.start").as("hr"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sizes the state-store operator of a checkpointed stateful stream.
+    *
+    * For a stateful streaming query the shuffle-partition count IS the
+    * state-store instance count, and Spark freezes it into the checkpoint
+    * on FIRST start (`spark.sql.shuffle.partitions` is recorded in the
+    * offset-log metadata and restored on every restart, overriding the
+    * session value) — the one sizing decision a standing query can never
+    * revisit without rebuilding state. The test harness drains with 8
+    * partitions (Queries.drainStreamingRun); a 100-TB deployment sizes for
+    * peak keyed-state volume instead. This helper makes that choice an
+    * EXPLICIT parameter of the production exit paths rather than whatever
+    * the session happened to be configured with: the conf is pinned around
+    * the start-and-drain and restored afterwards. `None` inherits the
+    * session setting. StreamStatePartitionsSpec proves the freeze: a
+    * checkpoint started at k keeps k state partitions across a restart
+    * under a different session setting. */
+  private def withStatePartitions[T](spark: SparkSession,
+      stateStorePartitions: Option[Int])(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    stateStorePartitions match {
+      case None => body
+      case Some(n) =>
+        require(n > 0, s"stateStorePartitions must be positive, got $n")
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, n.toString)
+        try body finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Durable production exit path: append the watermarked, deduplicated
     * event stream to a parquet FILE sink under `outDir` with a checkpoint —
     * Spark's exactly-once file sink (offset log + output file manifest in
@@ -72,20 +101,26 @@ object EventsStream {
     * offsets, so already-processed input is never re-read or re-emitted
     * (asserted by EventsStreamSpec's restart case). The memory-sink
     * variants elsewhere are test oracles; this is the sink a pipeline
-    * actually ships to. */
+    * actually ships to.
+    *
+    * `stateStorePartitions` sizes the dedup operator's state stores on
+    * FIRST start (frozen into the checkpoint thereafter — see
+    * [[withStatePartitions]]); `None` inherits the session setting. */
   def dedupToParquet(events: DataFrame, outDir: String,
-                     checkpointDir: String): Unit = {
-    val q = events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+                     checkpointDir: String,
+                     stateStorePartitions: Option[Int] = None): Unit =
+    withStatePartitions(events.sparkSession, stateStorePartitions) {
+      val q = events
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
   /** Continuous-sync exit path: stream → foreachBatch → idempotent JDBC
     * upserts keyed on `pkCols` — the streaming analogue of the parasync
@@ -106,7 +141,15 @@ object EventsStream {
     *         partitions count twice, like the reference's stats actor) */
   def upsertToJdbc(stream: DataFrame, url: String, table: String,
       cols: Seq[String], pkCols: Seq[String], checkpointDir: String,
-      connProps: Map[String, String] = Map.empty): Long = {
+      connProps: Map[String, String] = Map.empty,
+      stateStorePartitions: Option[Int] = None): Long =
+    withStatePartitions(stream.sparkSession, stateStorePartitions) {
+      upsertToJdbcInner(stream, url, table, cols, pkCols, checkpointDir, connProps)
+    }
+
+  private def upsertToJdbcInner(stream: DataFrame, url: String, table: String,
+      cols: Seq[String], pkCols: Seq[String], checkpointDir: String,
+      connProps: Map[String, String]): Long = {
     val session = stream.sparkSession
     val applied = session.sparkContext.longAccumulator("stream_upserts")
     val payload = cols.filterNot(pkCols.contains)

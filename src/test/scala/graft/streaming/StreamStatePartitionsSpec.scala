@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** The state-store sizing contract of the production exit paths: for a
+  * stateful streaming query, shuffle-partition count = state-store
+  * instance count, and Spark freezes it into the checkpoint on FIRST
+  * start. `stateStorePartitions` makes the choice explicit per deployment;
+  * this spec proves (a) the parameter takes effect on a fresh checkpoint,
+  * (b) a RESTART under a different setting keeps the original count — the
+  * checkpoint, not the session, owns the number — and (c) the session
+  * conf is restored afterwards either way.
+  */
+class StreamStatePartitionsSpec extends AnyFunSuite with SparkSuite {
+
+  private def statePartitionDirs(cp: String): Seq[String] = {
+    val d = new java.io.File(s"$cp/state/0")
+    assert(d.isDirectory, s"no state dir under checkpoint: $cp")
+    d.listFiles.filter(_.isDirectory).map(_.getName)
+      .filter(_.forall(_.isDigit)).toSeq.sorted
+  }
+
+  private def writeBatch(dir: String, ids: Range): Unit = {
+    import spark.implicits._
+    ids.map(i => (new Timestamp(1700000000000L + i * 1000L), i.toLong))
+      .toDF("ts", "event_id")
+      .write.mode("append").parquet(dir)
+  }
+
+  private def streamFrom(dir: String): DataFrame = {
+    val batch = spark.read.parquet(dir)
+    spark.readStream.schema(batch.schema).parquet(dir)
+  }
+
+  test("stateStorePartitions is frozen into the checkpoint on first start; restarts keep it") {
+    val base = java.nio.file.Files.createTempDirectory("state-parts").toString
+    val (in, out, cp) = (s"$base/in", s"$base/out", s"$base/cp")
+    val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
+
+    writeBatch(in, 0 until 50)
+    EventsStream.dedupToParquet(streamFrom(in), out, cp, stateStorePartitions = Some(3))
+    assert(statePartitionDirs(cp) === Seq("0", "1", "2"),
+      "first start must create exactly the requested state partitions")
+    assert(spark.read.parquet(out).count() === 50)
+
+    // restart over the SAME checkpoint with a different requested size and
+    // fresh input: the new batch must process, but the state layout is the
+    // checkpoint's — 3 partitions, not 7
+    writeBatch(in, 50 until 80)
+    EventsStream.dedupToParquet(streamFrom(in), out, cp, stateStorePartitions = Some(7))
+    assert(spark.read.parquet(out).count() === 80,
+      "restart did not process the new input")
+    assert(statePartitionDirs(cp) === Seq("0", "1", "2"),
+      "restart must keep the checkpoint's state partition count")
+
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === confBefore,
+      "session conf must be restored after the drain")
+  }
+}
