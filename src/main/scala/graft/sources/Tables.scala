@@ -27,21 +27,77 @@ object Tables {
     *    double intermediate would lose precision above 2^53 epoch-nanos);
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TimestampNTZ →
     *    cast (wall-clock == instant under the UTC session);
-    *  - already TimestampType → pass through. */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    normalizeTs(load(spark, sfDir, "events"))
+    *  - already TimestampType → pass through.
+    *
+    * The int64 branch does NOT trust the Spark-type inference alone: an
+    * int64 `ts` column could legitimately hold epoch-millis or -micros,
+    * which `div 1000` would silently corrupt. Having a real path in hand,
+    * this loader reads the parquet FOOTER's logical-type annotation once
+    * (cached per path) and refuses anything but TIMESTAMP(NANOS). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    if (raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      requireNanosAnnotation(spark, s"$sfDir/events.parquet")
+    normalizeTs(raw)
+  }
 
   /** Schema-adaptive `ts` normalization (see [[events]]); shared with the
     * streaming file source, which must declare the ON-DISK schema and apply
-    * the same conversion per micro-batch. */
+    * the same conversion per micro-batch. Callers with a path use [[events]]
+    * so the int64→nanos assumption is checked against the parquet footer;
+    * the NTZ cast is instant-preserving ONLY under a UTC session, which is
+    * required loudly rather than silently shifting every timestamp. */
   def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeTs: TimestampNTZ→Timestamp cast preserves the instant " +
+            s"only under a UTC session; this session is '$tz' — every ts " +
+            s"would silently shift by the zone offset")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }
+  }
+
+  private val nanosChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** One driver-side footer read (per path, cached): `ts` must be annotated
+    * TIMESTAMP(NANOS) for the nanos→micros division to be meaningful. */
+  private def requireNanosAnnotation(spark: SparkSession, path: String): Unit = {
+    if (nanosChecked.contains(path)) return
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .getOrElse(throw new IllegalStateException(s"no parquet file under $path"))
+      else p
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      require(schema.containsField("ts"), s"$file has no `ts` column")
+      schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+          .getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => ()
+        case other => throw new IllegalStateException(
+          s"events.ts reads as int64 but its parquet logical type is " +
+            s"${Option(other).getOrElse("<none>")} (not TIMESTAMP(NANOS)) — " +
+            s"the nanos→micros division would corrupt it")
+      }
+    } finally reader.close()
+    nanosChecked.add(path)
+    ()
   }
 
   /** Substring-exclusion table filter — reference paradump.go:1356-1366

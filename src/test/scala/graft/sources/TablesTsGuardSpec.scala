@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** The ts-normalization guards: an int64 `ts` is only nanos-divided when
+  * the parquet footer SAYS it is TIMESTAMP(NANOS), and the NTZ cast
+  * refuses a non-UTC session instead of silently shifting instants. */
+class TablesTsGuardSpec extends AnyFunSuite with SparkSuite {
+
+  test("events() on the real fixture passes the footer check and yields TimestampType") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.selectExpr("min(ts)").collect()(0).getTimestamp(0) != null)
+  }
+
+  test("an int64 ts WITHOUT a TIMESTAMP(NANOS) annotation is refused, not misconverted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts-guard").toString
+    // epoch-millis stored as plain int64 — the shape the guard exists for
+    Seq((1700000000000L, 1L)).toDF("ts", "user_id")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] { Tables.events(spark, dir) }
+    assert(e.getMessage.contains("TIMESTAMP(NANOS)"))
+  }
+
+  test("NTZ→Timestamp cast requires a UTC session") {
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    val ntz = spark.sql("SELECT CAST('2024-01-01 00:00:00' AS TIMESTAMP_NTZ) AS ts")
+    assert(Tables.normalizeTs(ntz).schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType) // UTC session: allowed
+    spark.conf.set(key, "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] { Tables.normalizeTs(ntz) }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set(key, prev)
+  }
+}
