@@ -279,23 +279,46 @@ object TextOps {
     * not cache common subplans), the window form once, with the identical
     * key distribution (per-partition row count = gram frequency — the same
     * bound the groupBy would have). */
-  /** (doc_id, pos, gh): every word-n-gram start position with the md5 of
-    * its gram — the shared positional enumeration behind [[dupNgramStats]]
-    * (which counts positions) and [[dedupSubstring]] (which cuts them).
-    * One JVM pass; only (id, int, 32-hex) triples leave the scan. */
+  /** (doc_id, pos, gh): every word-n-gram start position with a 64-bit
+    * digest of its gram (the first 8 bytes of its md5) — the shared
+    * positional enumeration behind [[dupNgramStats]] (which counts
+    * positions) and [[dedupSubstring]] (which cuts them). One JVM pass;
+    * only (id, int, long) triples leave the scan.
+    *
+    * The gram key is INTERNAL — it appears in no operator output, so the
+    * correctness oracles replay the semantics with their own hashes and
+    * the engine is free to pick the cheapest sound key. A LONG key keeps
+    * the exchanges at 8 bytes/key (the r9 shape shipped 32-char hex
+    * strings, and spent most of the scan formatting them), sorts and
+    * hash-joins as primitives, and feeds the bloom filter directly. At a
+    * 64-bit birthday bound, ~10⁹ distinct grams give ~3% chance of ONE
+    * colliding pair corpus-wide (which would cut one extra n-gram span) —
+    * the right trade for a dedup transform; a catalog key would not make
+    * it. */
   private def gramPositions(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder(256)
         it.flatMap { case (id, text) =>
           val ws = text.split(" ", -1)
           Iterator.range(0, math.max(ws.length - n + 1, 0)).map { i =>
-            val hex = md.digest(ws.slice(i, i + n).mkString(" ")
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              .map("%02x".format(_)).mkString
-            (id, i.toLong, hex)
+            sb.setLength(0)
+            var j = i
+            while (j < i + n) {
+              if (j > i) sb.append(' ')
+              sb.append(ws(j)); j += 1
+            }
+            val d = md.digest(sb.toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val ghl =
+              ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+            (id, i.toLong, ghl)
           }
         }
       }.toDF("doc_id", "pos", "gh")
@@ -338,13 +361,13 @@ object TextOps {
       .filter(col("__cnt") >= 2).select("gh")
     val bloomBytes = dupGrams.select(ec(
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          ce(xxhash64(col("gh"))), expectedDupGrams).toAggregateExpression()))
+          ce(col("gh")), expectedDupGrams).toAggregateExpression()))
       .head().getAs[Array[Byte]](0)
     if (bloomBytes == null) // empty-input eval: no gram repeats anywhere
       return grams.select("doc_id", "pos").limit(0)
     val mightDup = grams.where(ec(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        ce(lit(bloomBytes)), ce(xxhash64(col("gh"))))))
+        ce(lit(bloomBytes)), ce(col("gh")))))
     val salted = mightDup.withColumn("__s",
       pmod(xxhash64(col("doc_id"), col("pos")), lit(salt)).cast("int"))
     val dupSalted = dupGrams.withColumn("__s",
