@@ -228,27 +228,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** (doc_id, gh) pairs: the per-document DISTINCT md5-hashed word
-    * n-grams, generated in one JVM pass (local HashSet dedup — the
-    * shuffle-free equivalent of explode→distinct). */
+  /** (doc_id, gh) pairs: the per-document DISTINCT word n-grams keyed by
+    * the first 8 bytes of their md5 as a long, generated in one JVM pass
+    * (local HashSet dedup — the shuffle-free equivalent of
+    * explode→distinct). Like [[gramPositions]], the key is internal (the
+    * contamination output carries doc_id + hit counts only), so an 8-byte
+    * primitive key beats a 32-char hex string on every exchange and join;
+    * see the collision math there. */
   private def distinctGramsOf(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder(256)
         it.flatMap { case (id, text) =>
           val ws = text.split(" ", -1)
           if (ws.length < n) Iterator.empty
           else {
-            val seen = new java.util.HashSet[String]()
-            val out = Array.newBuilder[(Long, String)]
+            val seen = new java.util.HashSet[Long]()
+            val out = Array.newBuilder[(Long, Long)]
             var i = 0
             while (i <= ws.length - n) {
-              val hex = md.digest(ws.slice(i, i + n).mkString(" ")
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                .map("%02x".format(_)).mkString // lowercase, == Spark/DuckDB md5
-              if (seen.add(hex)) out += ((id, hex))
+              sb.setLength(0)
+              var j = i
+              while (j < i + n) {
+                if (j > i) sb.append(' ')
+                sb.append(ws(j)); j += 1
+              }
+              val ghl = md5Prefix64(md, sb.toString)
+              if (seen.add(ghl)) out += ((id, ghl))
               i += 1
             }
             out.result().iterator
@@ -295,6 +304,15 @@ object TextOps {
     * colliding pair corpus-wide (which would cut one extra n-gram span) —
     * the right trade for a dedup transform; a catalog key would not make
     * it. */
+  /** First 8 bytes of md5(s) as a big-endian long — the internal gram key. */
+  private def md5Prefix64(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
   private def gramPositions(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -311,14 +329,7 @@ object TextOps {
               if (j > i) sb.append(' ')
               sb.append(ws(j)); j += 1
             }
-            val d = md.digest(sb.toString
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val ghl =
-              ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-            (id, i.toLong, ghl)
+            (id, i.toLong, md5Prefix64(md, sb.toString))
           }
         }
       }.toDF("doc_id", "pos", "gh")

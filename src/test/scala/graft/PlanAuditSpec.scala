@@ -14,6 +14,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Render a plan with file-scan locations UNtruncated — the default
+    * spark.sql.maxMetadataStringLength (100) abbreviates long temp paths,
+    * which made label-containment pins depend on the tmp-dir name length. */
+  private def planFullPaths(df: org.apache.spark.sql.DataFrame): String = {
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4000")
+    try df.queryExecution.executedPlan.toString
+    finally spark.conf.set(key, prev)
+  }
+
   test("q1_agg: filter pushed to the parquet scan, partial aggregation, column pruning") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters:") && p.contains("LessThanOrEqual(l_shipdate"),
@@ -384,7 +395,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     val df = SparkEntry.queries("pipeline_clean_corpus")(spark, sf)
     assert(StageStore.materializations(label) === before + 1,
       "building the pipeline must run exactly one stage-write job")
-    val p = df.queryExecution.executedPlan.toString
+    val p = planFullPaths(df)
     // the returned plan re-reads the materialized stage — the expensive
     // gram-mask subtree (and everything upstream of it, including the raw
     // documents scan) must be GONE from every consumer
@@ -403,7 +414,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     val before = StageStore.materializations(label)
     val df = SparkEntry.queries("pipeline_full_corpus")(spark, sf)
     assert(StageStore.materializations(label) === before + 1)
-    val p = df.queryExecution.executedPlan.toString
+    val p = planFullPaths(df)
     assert(p.contains(label),
       s"consumers do not read the materialized stage:\n${p.take(3000)}")
     // decontamination: the eval-gram side broadcasts (corpus never
