@@ -17,6 +17,23 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Table scan for CPU-BOUND per-row render pipelines: the fixture
+    * parquet is written as ONE row group per table, so a plain scan is a
+    * single task and heavy per-row work serializes on one core of 32. A
+    * production corpus carries thousands of row groups per file and
+    * parallelizes at the scan — and the reference's own dump path reads
+    * chunk predicates concurrently (paradump.go:1414+), so spreading
+    * render work across cores IS the modeled behavior, not a bench trick.
+    * The explicit round-robin repartition costs one shuffle of the table,
+    * so it pays ONLY where per-row CPU exceeds per-row shuffle cost —
+    * measured true for the INSERT escape/render chain (dump_sql_lineitem
+    * 1.43 → 1.07 s warm) and measured FALSE for the cheap CSV byte-scan
+    * kernel and the multi-consumer gram pipelines (both regressed; they
+    * re-execute the exchange per consumer). Apply per measured query, not
+    * blanket. */
+  private def tPar(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   // ---------------------------------------------------------------------
   // q1_agg — TPC-H Q1 shape: scan + filter + groupBy aggregate.
   // Exercises the reference's only aggregation surface (stats actor §2.5)
@@ -105,7 +122,7 @@ object Queries {
       |FROM nation""".stripMargin
 
   def dumpSqlLineitem(s: SparkSession, dir: String): DataFrame =
-    graft.operators.InsertGen.insertLines(t(s, dir, "lineitem"), "lineitem")
+    graft.operators.InsertGen.insertLines(tPar(s, dir, "lineitem"), "lineitem")
 
   val dumpSqlLineitemSql: String =
     """SELECT 'INSERT INTO lineitem VALUES ('
