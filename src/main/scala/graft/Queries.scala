@@ -487,10 +487,15 @@ object Queries {
         .select(col("doc_id"), col("cleaned").as("text")),
       s"pipeline_full_cleaned_${java.lang.Integer.toHexString(dir.hashCode)}")
     val pairs = graft.operators.NearDup.jaccardPairs(cleaned, threshold = 0.5)
-    val survivors = graft.operators.NearDup
-      .connectedComponents(cleaned.select("doc_id"), pairs)
-      .filter(col("comp") === col("doc_id"))
-      .join(cleaned, Seq("doc_id")).select("doc_id", "text")
+    // survivors feed two consumers (the contamination gram pass and the
+    // final anti-join) — same multi-consumer rule as `cleaned`: one write,
+    // both read files
+    val survivors = StageStore.materialize(
+      graft.operators.NearDup
+        .connectedComponents(cleaned.select("doc_id"), pairs)
+        .filter(col("comp") === col("doc_id"))
+        .join(cleaned, Seq("doc_id")).select("doc_id", "text"),
+      s"pipeline_full_survivors_${java.lang.Integer.toHexString(dir.hashCode)}")
     // decontaminate against the RAW eval split (the benchmark as
     // published), not its cleaned form; contamination() broadcasts the
     // eval grams, so the surviving corpus never shuffles for this join

@@ -48,9 +48,17 @@ object StageStore {
 
   /** Write `df` to parquet once (mode=overwrite) and hand back a frame
     * whose plan is a flat file scan — every consumer reads the files; the
-    * producing subtree never re-evaluates. */
+    * producing subtree never re-evaluates.
+    *
+    * On a cluster, set `spark.graft.stageDir` to a DISTRIBUTED location
+    * (HDFS/S3) — the local JVM temp root only exists on the driver's
+    * machine, which is correct for local[] and wrong the moment executors
+    * are remote. A configured dir is the caller's to manage (no shutdown
+    * deletion; stage subdirs still overwrite per label). */
   def materialize(df: DataFrame, label: String): DataFrame = {
-    val p = path(label)
+    val p = df.sparkSession.conf.getOption("spark.graft.stageDir")
+      .map(d => s"${d.stripSuffix("/")}/$label")
+      .getOrElse(path(label))
     df.write.mode("overwrite").parquet(p)
     counts.merge(label, 1L, (a, b) => a + b)
     df.sparkSession.read.parquet(p)

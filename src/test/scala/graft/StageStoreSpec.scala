@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StageStore contracts: one write job per materialize, flat-scan result,
+  * deterministic overwrite per label, and the `spark.graft.stageDir`
+  * override that points stage files at cluster storage. */
+class StageStoreSpec extends AnyFunSuite with SparkSuite {
+
+  test("materialize writes once, returns a flat scan, overwrites per label") {
+    import spark.implicits._
+    val label = "stagestore_spec_roundtrip"
+    val before = StageStore.materializations(label)
+    val a = StageStore.materialize(Seq((1L, "x"), (2L, "y")).toDF("k", "v"), label)
+    assert(StageStore.materializations(label) === before + 1)
+    assert(a.count() === 2)
+    // the returned plan is a file scan of the store, not the original rows
+    assert(a.queryExecution.executedPlan.toString.contains("graft_stage_"))
+    // same label overwrites: re-materialized content fully replaces
+    val b = StageStore.materialize(Seq((9L, "z")).toDF("k", "v"), label)
+    assert(b.collect().map(_.getLong(0)).toSeq === Seq(9L))
+    assert(StageStore.materializations(label) === before + 2)
+  }
+
+  test("spark.graft.stageDir points stage files at caller-managed storage") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stage-override").toString
+    spark.conf.set("spark.graft.stageDir", dir)
+    try {
+      val out = StageStore.materialize(Seq(1L, 2L, 3L).toDF("k"), "override_label")
+      assert(out.count() === 3)
+      assert(new java.io.File(s"$dir/override_label").isDirectory,
+        "stage files must land under the configured dir")
+    } finally spark.conf.unset("spark.graft.stageDir")
+  }
+}
