@@ -2336,11 +2336,18 @@ object Queries {
     * assignment as a relation `km(vec_id, cluster)` — used by the
     * kmeans_assign oracle directly and composed under the diverse-sample
     * oracle. */
-  private val kmeansCtes: String = {
+  private lazy val kmeansCtes: String =
+    s"""corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$kmeansChainCtes"""
+
+  /** The Lloyd chain + final assignment, rebased onto whatever `corpus`
+    * CTE the caller defines (vec_id, e DOUBLE[]) — shared by the plain
+    * kmeans oracle and the planted-corpus semantic-dedup oracle. One Lloyd
+    * round per lloyd(i): assign under cent$i, quantized per-dim mean,
+    * empty cells keep their previous centroid. */
+  private lazy val kmeansChainCtes: String = {
     val cos = (a: String, b: String) =>
       s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
-    // one Lloyd round: assign under cent$i, quantized per-dim mean, empty
-    // cells keep their previous centroid
     def lloyd(i: Int): String =
       s"""s$i AS (SELECT v.vec_id, c.cell, ${cos("v.e", "c.c")} AS score
          |  FROM corpus v CROSS JOIN cent$i c),
@@ -2356,8 +2363,7 @@ object Queries {
          |m$i AS (SELECT cell, list(cv ORDER BY pos) AS c FROM u$i GROUP BY cell),
          |cent${i + 1} AS (SELECT p.cell, COALESCE(m$i.c, p.c) AS c
          |  FROM cent$i p LEFT JOIN m$i USING (cell))""".stripMargin
-    s"""corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, e AS c
+    s"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, e AS c
        |  FROM corpus ORDER BY vec_id LIMIT 10),
        |${lloyd(0)},
        |${lloyd(1)},
@@ -2397,6 +2403,76 @@ object Queries {
        |    row_number() OVER (PARTITION BY cluster ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
        |  FROM km) t
        |WHERE rk <= 10 ORDER BY cluster, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  // k-means-cluster the embedding space, then prune near-identical pairs
+  // WITHIN clusters only — the all-pairs cosine join never happens; the
+  // quadratic term is bounded by cluster size (the paper's premise: k
+  // grows with the corpus so clusters stay ~constant; a skewed giant
+  // cluster is SemDeDup's own caveat, mitigated by raising k). Composes
+  // three already-oracle-exact stages verbatim: deterministic k-means
+  // (fixed-point Lloyd), the bit-portable cosine kernel, and min-label
+  // connected components (keep-one-per-duplicate-group). Same planted
+  // duplicates as embed_near_dup (bitwise-identical copies, cosine exactly
+  // 1.0 ≥ 0.999; organic fixture max ~0.51 — equality is reproducible).
+  // Plan shape: cluster-keyed equi-join (shuffle by cluster, never a
+  // global cross join), projection-only assignment, CC over the tiny pair
+  // graph.
+  // ---------------------------------------------------------------------
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.unionAll(
+      emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val assigned = graft.operators.KMeans.assign(planted,
+      graft.operators.KMeans.train(planted, k = 10, iters = 2))
+    val withC = planted.join(assigned, Seq("vec_id"))
+    val a = withC.select(col("vec_id").as("vec_a"), col("cluster"),
+      col("embedding").as("ea"))
+    val b = withC.select(col("vec_id").as("vec_b"), col("cluster"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b") &&
+        graft.operators.Similarity.cosine(col("ea"), col("eb")) >= 0.999)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    graft.operators.NearDup.connectedComponents(
+        assigned.select(col("vec_id").as("doc_id")), pairs)
+      .filter(col("comp") === col("doc_id"))
+      .join(assigned.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String = {
+    val iters = (0 until 3).map { k =>
+      s"""l${k + 1} AS MATERIALIZED (
+         |  SELECT l.doc_id, least(l.comp, COALESCE(min(ln.comp), l.comp)) AS comp
+         |  FROM l$k l
+         |  LEFT JOIN ed ON ed.u = l.doc_id
+         |  LEFT JOIN l$k ln ON ln.doc_id = ed.v
+         |  GROUP BY l.doc_id, l.comp
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+       |  WHERE vec_id % 10 = 0
+       |),
+       |$kmeansChainCtes,
+       |wc AS (SELECT km.vec_id, km.cluster, corpus.e FROM km JOIN corpus USING (vec_id)),
+       |sp AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM wc a JOIN wc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_inner_product(a.e, b.e)
+       |      / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.999),
+       |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM sp
+       |  UNION ALL SELECT doc_b, doc_a FROM sp),
+       |l0 AS MATERIALIZED (SELECT vec_id AS doc_id, vec_id AS comp FROM km),
+       |$iters
+       |SELECT l3.doc_id AS vec_id, km.cluster FROM l3 JOIN km ON km.vec_id = l3.doc_id
+       |WHERE l3.comp = l3.doc_id ORDER BY vec_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // repetition_stats — Gopher-style per-document repetition quality
@@ -3169,6 +3245,7 @@ object Queries {
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipeline_full_corpus" -> (pipelineFullCorpus _),
+    "semantic_dedup" -> (semanticDedup _),
     "q5_join" -> (q5Join _),
     "anti_join" -> (antiJoin _),
     "semi_join" -> (semiJoin _),
@@ -3269,6 +3346,7 @@ object Queries {
     "dedup_substring" -> dedupSubstringSql,
     "dedup_substring_spans" -> dedupSubstringSpansSql,
     "pipeline_full_corpus" -> pipelineFullCorpusSql,
+    "semantic_dedup" -> semanticDedupSql,
     "q5_join" -> q5JoinSql,
     "anti_join" -> antiJoinSql,
     "semi_join" -> semiJoinSql,

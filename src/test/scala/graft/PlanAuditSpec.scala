@@ -409,22 +409,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "evaluating the pipeline re-ran the stage-write job")
   }
 
-  test("pipeline_full_corpus: stage materializes once; eval grams broadcast; decon is a broadcast anti-join") {
-    val label = s"pipeline_full_cleaned_${java.lang.Integer.toHexString(sf.hashCode)}"
-    val before = StageStore.materializations(label)
+  test("pipeline_full_corpus: both stages materialize once; decon is a broadcast anti-join over survivor files") {
+    val hex = java.lang.Integer.toHexString(sf.hashCode)
+    val labelC = s"pipeline_full_cleaned_$hex"
+    val labelS = s"pipeline_full_survivors_$hex"
+    val beforeC = StageStore.materializations(labelC)
+    val beforeS = StageStore.materializations(labelS)
     val df = SparkEntry.queries("pipeline_full_corpus")(spark, sf)
-    assert(StageStore.materializations(label) === before + 1)
+    assert(StageStore.materializations(labelC) === beforeC + 1,
+      "the span-removal stage must write exactly once")
+    assert(StageStore.materializations(labelS) === beforeS + 1,
+      "the survivor stage must write exactly once")
     val p = planFullPaths(df)
-    assert(p.contains(label),
-      s"consumers do not read the materialized stage:\n${p.take(3000)}")
+    // the final plan reads the SURVIVOR stage files (the cleaned stage is
+    // consumed only inside the survivor-build job); the one raw documents
+    // scan allowed here is the eval split feeding the contamination grams
+    assert(p.contains(labelS),
+      s"consumers do not read the materialized survivor stage:\n${p.take(3000)}")
+    assert(!p.contains(labelC),
+      s"a consumer still re-derives the survivor set from the cleaned stage:\n${p.take(3000)}")
     // decontamination: the eval-gram side broadcasts (corpus never
     // shuffles for the join) and the drop is an anti-join, so redaction
     // stays map-only above it — no exchange between decon and the output
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"decontamination is not a broadcast anti-join:\n${p.take(3000)}")
     assert(df.count() > 0)
-    assert(StageStore.materializations(label) === before + 1,
-      "evaluating the pipeline re-ran the stage-write job")
+    assert(StageStore.materializations(labelC) === beforeC + 1 &&
+      StageStore.materializations(labelS) === beforeS + 1,
+      "evaluating the pipeline re-ran a stage-write job")
   }
 
   test("cache hygiene: rfm_segments and rolling_distinct_persisted leave no persisted blocks behind") {
