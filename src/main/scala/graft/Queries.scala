@@ -3073,6 +3073,73 @@ object Queries {
       |WHERE r.rk <= a.quota ORDER BY r.source, r.rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // sample_mixture — temperature-weighted corpus mixing (the multilingual
+  // pretraining rule, XLM-R/mBERT style): stratum s draws a share of the
+  // global budget ∝ n_s^α with α = 0.5, so low-resource sources are
+  // UPSAMPLED relative to proportional allocation and dominant sources
+  // damped. Same largest-remainder integer allocation + salted two-phase
+  // per-stratum draw as sample_proportional — only the weight changes.
+  // Cross-engine exactness: n_s^0.5 is computed as
+  // floor(sqrt(ns·10⁶)) in BIGINT (IEEE sqrt is correctly rounded, so
+  // both engines floor the same double; all later arithmetic is integer)
+  // — never a double ratio whose summation order could flip a floor. A
+  // quota may exceed a tiny stratum's row count; the draw is without
+  // replacement, so such strata emit every row (real mixtures then repeat
+  // epochs — a loader concern, not a sampler one).
+  //
+  // The fixture's sources are UNIFORM (temperature would be invisible —
+  // α=0.5 on equal strata equals proportional), so the stratum key tiers
+  // them: src0 and src1 stand alone, everything else pools into 'rest' —
+  // a {25, 25, 450}-shaped skew at sf0.01 where proportional allocates
+  // {5, 5, 93} and the α=0.5 mixture {16, 16, 71}: the low-resource
+  // upsampling IS the oracle-checked behavior.
+  // ---------------------------------------------------------------------
+  def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 103
+    val docs = t(s, dir, "documents")
+      .withColumn("mix_src", when(col("source").isin("src0", "src1"),
+        col("source")).otherwise(lit("rest")))
+    val strata = docs.groupBy("mix_src").agg(count(lit(1)).as("ns"))
+      .withColumn("w", floor(sqrt(col("ns").cast("double") * lit(1000000.0d))).cast("long"))
+    val tot = strata.agg(sum(col("w")).cast("long").as("wsum"))
+    val q = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"CAST(($budget * w) DIV wsum AS BIGINT)"))
+      .withColumn("rem", expr(s"($budget * w) % wsum"))
+    val deficit = q.agg((lit(budget) - sum(col("base"))).cast("long").as("deficit"))
+    val alloc = q.crossJoin(broadcast(deficit))
+      .withColumn("quota", col("base") +
+        when(rank().over(Window.orderBy(col("rem").desc, col("mix_src")))
+          .cast("long") <= col("deficit"), 1L).otherwise(0L))
+      .select("mix_src", "quota")
+    val ranked = graft.operators.Sampling.stratifiedTopNBy(
+      docs, "doc_id", "mix_src", md5(col("text")), n = budget)
+    ranked.join(broadcast(alloc), "mix_src")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("mix_src"), col("rk"))
+      .orderBy("mix_src", "rk")
+  }
+
+  val sampleMixtureSql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |      CASE WHEN source IN ('src0','src1') THEN source ELSE 'rest' END AS mix_src
+      |  FROM documents),
+      |s AS (SELECT mix_src, COUNT(*) AS ns FROM d GROUP BY mix_src),
+      |sw AS (SELECT mix_src, CAST(floor(sqrt(CAST(ns AS DOUBLE) * 1000000.0)) AS BIGINT) AS w FROM s),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM sw),
+      |q AS (SELECT mix_src, w, CAST((103 * w) // wsum AS BIGINT) AS base,
+      |      (103 * w) % wsum AS rem FROM sw, tot),
+      |alloc AS (SELECT mix_src, base + CASE WHEN
+      |      rank() OVER (ORDER BY rem DESC, mix_src) <= 103 - (SELECT SUM(base) FROM q)
+      |      THEN 1 ELSE 0 END AS quota FROM q),
+      |ranked AS (SELECT doc_id, mix_src,
+      |      row_number() OVER (PARTITION BY mix_src ORDER BY md5(text), doc_id) AS rk
+      |  FROM d)
+      |SELECT r.doc_id, r.mix_src, CAST(r.rk AS BIGINT) AS rk
+      |FROM ranked r JOIN alloc a USING (mix_src)
+      |WHERE r.rk <= a.quota ORDER BY r.mix_src, r.rk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // scd2_intervals — slowly-changing-dimension type-2 history from an
   // event feed: each record becomes a version row valid [ts, next ts),
   // open-ended for the latest. One lead() window per user — a single
@@ -3271,6 +3338,7 @@ object Queries {
     "window_ranks" -> (windowRanks _),
     "text_normalize" -> (textNormalize _),
     "sample_proportional" -> (sampleProportional _),
+    "sample_mixture" -> (sampleMixture _),
     "scd2_intervals" -> (scd2Intervals _),
     "events_stream_enrich" -> (eventsStreamEnrich _),
     "rolling_window" -> (rollingWindow _)
@@ -3372,6 +3440,7 @@ object Queries {
     "window_ranks" -> windowRanksSql,
     "text_normalize" -> textNormalizeSql,
     "sample_proportional" -> sampleProportionalSql,
+    "sample_mixture" -> sampleMixtureSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "events_stream_enrich" -> eventsStreamEnrichSql,
     "rolling_window" -> rollingWindowSql
