@@ -412,7 +412,8 @@ object Queries {
     // the 100 TB inter-stage pattern); r9 re-evaluated it per consumer,
     // tripling the pipeline
     val cleaned = StageStore.materialize(
-      graft.operators.TextOps.dedupSubstring(kept, n = 5)
+      graft.operators.TextOps.dedupSubstring(kept, n = 5,
+          stageLabel = Some(s"pipeline_dupgrams_${java.lang.Integer.toHexString(dir.hashCode)}"))
         .select(col("doc_id"), col("cleaned").as("text")),
       s"pipeline_cleaned_${java.lang.Integer.toHexString(dir.hashCode)}")
     val pairs = graft.operators.NearDup.jaccardPairs(cleaned, threshold = 0.5)
@@ -483,7 +484,8 @@ object Queries {
     val canonical = graft.operators.TextOps.dedupExact(filtered).select("doc_id")
     val kept = filtered.join(canonical, Seq("doc_id"), "left_semi")
     val cleaned = StageStore.materialize(
-      graft.operators.TextOps.dedupSubstring(kept, n = 5, minSpanTokens = 50)
+      graft.operators.TextOps.dedupSubstring(kept, n = 5, minSpanTokens = 50,
+          stageLabel = Some(s"pipeline_full_dupgrams_${java.lang.Integer.toHexString(dir.hashCode)}"))
         .select(col("doc_id"), col("cleaned").as("text")),
       s"pipeline_full_cleaned_${java.lang.Integer.toHexString(dir.hashCode)}")
     val pairs = graft.operators.NearDup.jaccardPairs(cleaned, threshold = 0.5)
@@ -1207,7 +1209,8 @@ object Queries {
   // ---------------------------------------------------------------------
   def dupNgramSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextOps.dupNgramStats(
-      t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5)
+      t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5,
+      stageLabel = Some(s"dupgrams_stats_${java.lang.Integer.toHexString(dir.hashCode)}"))
 
   val dupNgramSpansSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1228,7 +1231,8 @@ object Queries {
   // ---------------------------------------------------------------------
   def dedupSubstring(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextOps.dedupSubstring(
-        t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5)
+        t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5,
+        stageLabel = Some(s"dupgrams_cut_${java.lang.Integer.toHexString(dir.hashCode)}"))
       .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
         col("n_chars_removed"))
       .orderBy("doc_id")
@@ -1266,7 +1270,8 @@ object Queries {
   def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextOps.dedupSubstring(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
-        n = 5, minSpanTokens = 50)
+        n = 5, minSpanTokens = 50,
+        stageLabel = Some(s"dupgrams_spans_${java.lang.Integer.toHexString(dir.hashCode)}"))
       .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
         col("n_chars_removed"))
       .orderBy("doc_id")

@@ -360,7 +360,8 @@ object TextOps {
     * gram through this path and asserts from task-end listener metrics
     * that no task's shuffle read approaches the corpus size. */
   private[graft] def dupPositions(docs: DataFrame, n: Int, salt: Int = 16,
-                                  expectedDupGrams: Long = 1L << 17): DataFrame = {
+                                  expectedDupGrams: Long = 1L << 17,
+                                  stageLabel: Option[String] = None): DataFrame = {
     // bloom sizing note: 2^17 items × 8 bits = a 128 KiB literal (kept small
     // because the serialized bloom is embedded in the plan / task binary).
     // A saturated bloom is a PERFORMANCE fallback, not a correctness risk —
@@ -368,8 +369,18 @@ object TextOps {
     // dropped there; size `expectedDupGrams` up for a production corpus.
     import org.apache.spark.sql.GraftColumnBridge.{column => ec, expression => ce}
     val grams = gramPositions(docs, n)
-    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("__cnt"))
+    // the dup-gram set feeds TWO consumers (the bloom build below and the
+    // exact semi-join in the main query); unmaterialized, the main query
+    // re-runs the whole gram scan + aggregation just to rebuild it — at
+    // 100 TB that is a second full corpus pass. With a stageLabel the
+    // (small — distinct duplicated grams only) set is written once and
+    // both consumers read the files; None keeps the storage-free shape.
+    val dupGrams0 = grams.groupBy("gh").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2).select("gh")
+    val dupGrams = stageLabel match {
+      case Some(l) => graft.StageStore.materialize(dupGrams0, l)
+      case None => dupGrams0
+    }
     val bloomBytes = dupGrams.select(ec(
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           ce(col("gh")), expectedDupGrams).toAggregateExpression()))
@@ -387,8 +398,9 @@ object TextOps {
       .select("doc_id", "pos")
   }
 
-  def dupNgramStats(docs: DataFrame, n: Int = 5): DataFrame = {
-    val perDoc = dupPositions(docs, n)
+  def dupNgramStats(docs: DataFrame, n: Int = 5,
+                    stageLabel: Option[String] = None): DataFrame = {
+    val perDoc = dupPositions(docs, n, stageLabel = stageLabel)
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     // token split mirrors the flatMap's split(" ", -1) (trailing empties
     // kept) so n_grams counts the same windows the postings enumerate
@@ -432,11 +444,12 @@ object TextOps {
     * fold (coverage, run-merge, cut) runs as typed JVM code (higher-order
     * column functions are CodegenFallback — interpreted per element). */
   def dedupSubstring(docs: DataFrame, n: Int = 5,
-                     minSpanTokens: Int = -1): DataFrame = {
+                     minSpanTokens: Int = -1,
+                     stageLabel: Option[String] = None): DataFrame = {
     val minSpan = if (minSpanTokens < 0) n else minSpanTokens
     val spark = docs.sparkSession
     import spark.implicits._
-    val dupPos = dupPositions(docs, n)
+    val dupPos = dupPositions(docs, n, stageLabel = stageLabel)
       .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
     docs.select(col("doc_id"), col("text"))
       .join(dupPos, Seq("doc_id"), "left")
