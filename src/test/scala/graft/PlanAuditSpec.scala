@@ -450,6 +450,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(leaked.isEmpty, s"queries left persisted RDD blocks behind: $leaked")
   }
 
+  test("semantic_dedup: the pair stage is a cluster-keyed equi-join — no cartesian, no nested-loop") {
+    val p = plan("semantic_dedup")
+    // SemDeDup's whole point: the quadratic term is bounded by cluster
+    // size, which requires the pair join to key on the cluster id; a
+    // CartesianProduct or BNLJ here means the global all-pairs join came
+    // back at corpus scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic_dedup pair stage fell back to an all-pairs join:\n${p.take(3000)}")
+    assert(p.contains("cluster"), s"pair join does not key on the cluster id:\n${p.take(3000)}")
+  }
+
+  test("sample_mixture: allocation windows run on the stratum table, never over raw documents") {
+    val p = plan("sample_mixture")
+    // the per-stratum draw is the salted two-phase ranking; the only
+    // global (unpartitioned) window allowed is the largest-remainder rank
+    // over the |strata|-row allocation frame, which sits above an
+    // aggregate, never above the documents scan
+    val windows = p.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.nonEmpty, s"no window in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"allocation table is not broadcast back:\n${p.take(3000)}")
+    // the raw-data windows must be stratum-partitioned (salted local +
+    // per-stratum global) — a Window with an empty partition spec over
+    // documents would funnel the corpus through one task
+    assert(p.contains("_rk_local"),
+      s"the salted two-phase ranking is missing:\n${p.take(3000)}")
+  }
+
   test("kmv sketch: values never shuffle — exchanges carry only group + digest") {
     // the registered distinct_kmv query also carries the exact
     // COUNT(DISTINCT) verification column, whose two-phase distinct
