@@ -2430,8 +2430,14 @@ object Queries {
     val planted = emb.unionAll(
       emb.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + lit(1000000L)))
-    val assigned = graft.operators.KMeans.assign(planted,
-      graft.operators.KMeans.train(planted, k = 10, iters = 2))
+    // the assignment projection (k×dim argmax per row) feeds FOUR
+    // consumers (both sides of the self-join, the CC vertex set, the
+    // final join) — write the narrow (vec_id, cluster) table once; this
+    // is also what a production SemDeDup does between its two phases
+    val assigned = StageStore.materialize(
+      graft.operators.KMeans.assign(planted,
+        graft.operators.KMeans.train(planted, k = 10, iters = 2)),
+      s"semdedup_assign_${java.lang.Integer.toHexString(dir.hashCode)}")
     val withC = planted.join(assigned, Seq("vec_id"))
     val a = withC.select(col("vec_id").as("vec_a"), col("cluster"),
       col("embedding").as("ea"))
