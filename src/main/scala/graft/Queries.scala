@@ -413,9 +413,9 @@ object Queries {
     // tripling the pipeline
     val cleaned = StageStore.materialize(
       graft.operators.TextOps.dedupSubstring(kept, n = 5,
-          stageLabel = Some(s"pipeline_dupgrams_${java.lang.Integer.toHexString(dir.hashCode)}"))
+          stageLabel = Some(s"pipeline_dupgrams_${StageStore.dirTag(dir)}"))
         .select(col("doc_id"), col("cleaned").as("text")),
-      s"pipeline_cleaned_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"pipeline_cleaned_${StageStore.dirTag(dir)}")
     val pairs = graft.operators.NearDup.jaccardPairs(cleaned, threshold = 0.5)
     graft.operators.NearDup.connectedComponents(cleaned.select("doc_id"), pairs)
       .filter(col("comp") === col("doc_id"))
@@ -485,9 +485,9 @@ object Queries {
     val kept = filtered.join(canonical, Seq("doc_id"), "left_semi")
     val cleaned = StageStore.materialize(
       graft.operators.TextOps.dedupSubstring(kept, n = 5, minSpanTokens = 50,
-          stageLabel = Some(s"pipeline_full_dupgrams_${java.lang.Integer.toHexString(dir.hashCode)}"))
+          stageLabel = Some(s"pipeline_full_dupgrams_${StageStore.dirTag(dir)}"))
         .select(col("doc_id"), col("cleaned").as("text")),
-      s"pipeline_full_cleaned_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"pipeline_full_cleaned_${StageStore.dirTag(dir)}")
     val pairs = graft.operators.NearDup.jaccardPairs(cleaned, threshold = 0.5)
     // survivors feed two consumers (the contamination gram pass and the
     // final anti-join) — same multi-consumer rule as `cleaned`: one write,
@@ -497,7 +497,7 @@ object Queries {
         .connectedComponents(cleaned.select("doc_id"), pairs)
         .filter(col("comp") === col("doc_id"))
         .join(cleaned, Seq("doc_id")).select("doc_id", "text"),
-      s"pipeline_full_survivors_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"pipeline_full_survivors_${StageStore.dirTag(dir)}")
     // decontaminate against the RAW eval split (the benchmark as
     // published), not its cleaned form; contamination() broadcasts the
     // eval grams, so the surviving corpus never shuffles for this join
@@ -1210,7 +1210,7 @@ object Queries {
   def dupNgramSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextOps.dupNgramStats(
       t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5,
-      stageLabel = Some(s"dupgrams_stats_${java.lang.Integer.toHexString(dir.hashCode)}"))
+      stageLabel = Some(s"dupgrams_stats_${StageStore.dirTag(dir)}"))
 
   val dupNgramSpansSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1232,7 +1232,7 @@ object Queries {
   def dedupSubstring(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextOps.dedupSubstring(
         t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5,
-        stageLabel = Some(s"dupgrams_cut_${java.lang.Integer.toHexString(dir.hashCode)}"))
+        stageLabel = Some(s"dupgrams_cut_${StageStore.dirTag(dir)}"))
       .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
         col("n_chars_removed"))
       .orderBy("doc_id")
@@ -1271,7 +1271,7 @@ object Queries {
     graft.operators.TextOps.dedupSubstring(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         n = 5, minSpanTokens = 50,
-        stageLabel = Some(s"dupgrams_spans_${java.lang.Integer.toHexString(dir.hashCode)}"))
+        stageLabel = Some(s"dupgrams_spans_${StageStore.dirTag(dir)}"))
       .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
         col("n_chars_removed"))
       .orderBy("doc_id")
@@ -1413,7 +1413,7 @@ object Queries {
         .agg(min(datediff(col("ref_day"), to_date(col("ts")))).cast("long").as("recency"),
           count(lit(1)).as("frequency"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary")),
-      s"rfm_per_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"rfm_per_${StageStore.dirTag(dir)}")
     // median cutoffs as a 1-row aggregate broadcast back (the quantile_bins
     // pattern) — never a partitionBy(lit(1)) window, which would sort every
     // user's row through ONE task at scale
@@ -1548,7 +1548,7 @@ object Queries {
     // re-evaluation overwrites, JVM exit deletes
     val sk = StageStore.materialize(
       graft.operators.Sketches.kmvMinHashes(ev, "day", col("user_id"), k),
-      s"kmv_days_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"kmv_days_${StageStore.dirTag(dir)}")
     // the window query: sketch files only (calendar × calendar range join,
     // merge ≤ 7·k pairs per anchor, one ranked aggregate)
     val days = sk.select(col("g").as("anchor")).distinct()
@@ -2437,7 +2437,7 @@ object Queries {
     val assigned = StageStore.materialize(
       graft.operators.KMeans.assign(planted,
         graft.operators.KMeans.train(planted, k = 10, iters = 2)),
-      s"semdedup_assign_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"semdedup_assign_${StageStore.dirTag(dir)}")
     val withC = planted.join(assigned, Seq("vec_id"))
     val a = withC.select(col("vec_id").as("vec_a"), col("cluster"),
       col("embedding").as("ea"))

@@ -20,9 +20,18 @@ import org.apache.spark.sql.DataFrame
   * (re-evaluation overwrites instead of accumulating), the whole root
   * deleted on JVM exit.
   *
-  * Labels must be deterministic per (stage, input) — callers embed a hash
-  * of the input directory — so a warm re-run overwrites its own files and
-  * two inputs never collide.
+  * Labels must be deterministic per (stage, input) — callers embed
+  * [[dirTag]] of the input directory — so a warm re-run overwrites its own
+  * files and two inputs never collide ([[dirTag]] is a 128-bit md5 of the
+  * path; the r10 labels used 32-bit `String.hashCode`, where a collision
+  * between two input dirs would silently alias their stages).
+  *
+  * materialize() is write-then-read with NO locking: the store assumes
+  * queries are CONSTRUCTED serially within a JVM (the Verify/Bench/test
+  * harnesses all do). Two concurrent queries sharing a label would race on
+  * the overwrite and could read each other's partially-replaced files — a
+  * concurrent driver must give each run a distinct label or serialize
+  * construction.
   *
   * [[materializations]] exposes how many write jobs ran per label, letting
   * specs assert "the expensive stage executed exactly once" as a hard
@@ -41,6 +50,16 @@ object StageStore {
   /** Deterministic on-disk location for a stage label (created lazily by
     * the parquet writer). */
   def path(label: String): String = root.resolve(label).toString
+
+  /** Collision-resistant label component for an input directory: the first
+    * 16 hex chars (64 bits) of md5 of the path string — enough that two
+    * fixture dirs can never alias a stage, unlike `String.hashCode`'s 32
+    * bits. */
+  def dirTag(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
 
   /** Times [[materialize]] ran a write job for `label` in this JVM. */
   def materializations(label: String): Long =
@@ -65,8 +84,11 @@ object StageStore {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRecursively(c))
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p) // close the stream: each open Files.list holds
+      try s.forEach(c => deleteRecursively(c)) // a directory handle, and a
+      finally s.close() // deep tree inside the shutdown hook would leak one
+    } // per level (can fail deletion on some platforms)
     Files.deleteIfExists(p)
     ()
   }

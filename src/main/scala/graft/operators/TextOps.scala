@@ -303,7 +303,11 @@ object TextOps {
     * 64-bit birthday bound, ~10⁹ distinct grams give ~3% chance of ONE
     * colliding pair corpus-wide (which would cut one extra n-gram span) —
     * the right trade for a dedup transform; a catalog key would not make
-    * it. */
+    * it. Triage note: the DuckDB oracles key on the FULL 32-hex md5, so an
+    * (astronomically rare) 64-bit collision surfaces as a verify hash
+    * mismatch, not a silent agreement — if one ever appears, diff the
+    * engine's cut spans against the oracle's `c2` CTE for the colliding
+    * gram before suspecting the operators. */
   /** First 8 bytes of md5(s) as a big-endian long — the internal gram key. */
   private def md5Prefix64(md: java.security.MessageDigest, s: String): Long = {
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -67,35 +67,42 @@ object Tables {
   private val nanosChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** One driver-side footer read (per path, cached): `ts` must be annotated
-    * TIMESTAMP(NANOS) for the nanos→micros division to be meaningful. */
+  /** Driver-side footer reads (per path, cached): `ts` must be annotated
+    * TIMESTAMP(NANOS) in EVERY file for the nanos→micros division to be
+    * meaningful — checking only the first file would pass a mixed-unit
+    * multi-file dataset and silently nanos-divide the others. Footer reads
+    * are metadata-only (no row groups), so all-files stays cheap. */
   private def requireNanosAnnotation(spark: SparkSession, path: String): Unit = {
     if (nanosChecked.contains(path)) return
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          .getOrElse(throw new IllegalStateException(s"no parquet file under $path"))
-      else p
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      require(schema.containsField("ts"), s"$file has no `ts` column")
-      schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
-          .getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => ()
-        case other => throw new IllegalStateException(
-          s"events.ts reads as int64 but its parquet logical type is " +
-            s"${Option(other).getOrElse("<none>")} (not TIMESTAMP(NANOS)) — " +
-            s"the nanos→micros division would corrupt it")
-      }
-    } finally reader.close()
+    val files =
+      if (fs.getFileStatus(p).isDirectory) {
+        val fl = fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        if (fl.isEmpty)
+          throw new IllegalStateException(s"no parquet file under $path")
+        fl.toSeq
+      } else Seq(p)
+    files.foreach { file =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        require(schema.containsField("ts"), s"$file has no `ts` column")
+        schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+            .getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => ()
+          case other => throw new IllegalStateException(
+            s"events.ts reads as int64 but its parquet logical type is " +
+              s"${Option(other).getOrElse("<none>")} (not TIMESTAMP(NANOS)) — " +
+              s"the nanos→micros division would corrupt it")
+        }
+      } finally reader.close()
+    }
     nanosChecked.add(path)
     ()
   }

@@ -79,7 +79,15 @@ object EventsStream {
     * the start-and-drain and restored afterwards. `None` inherits the
     * session setting. StreamStatePartitionsSpec proves the freeze: a
     * checkpoint started at k keeps k state partitions across a restart
-    * under a different session setting. */
+    * under a different session setting.
+    *
+    * SERIAL-USE assumption: the pin mutates the session-global conf for the
+    * start-and-drain window, so a concurrent batch query on the SAME
+    * session would silently inherit the streaming state sizing during that
+    * window. The harnesses here run streams serially; a deployment sharing
+    * one session across concurrent workloads should start the stream from
+    * `spark.newSession()` (shared context, isolated conf) carrying the
+    * pinned value instead. */
   private def withStatePartitions[T](spark: SparkSession,
       stateStorePartitions: Option[Int])(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"

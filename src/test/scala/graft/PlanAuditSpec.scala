@@ -390,7 +390,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("pipeline_clean_corpus: the dedupSubstring stage materializes ONCE; consumers read stage files") {
-    val label = s"pipeline_cleaned_${java.lang.Integer.toHexString(sf.hashCode)}"
+    val label = s"pipeline_cleaned_${StageStore.dirTag(sf)}"
     val before = StageStore.materializations(label)
     val df = SparkEntry.queries("pipeline_clean_corpus")(spark, sf)
     assert(StageStore.materializations(label) === before + 1,
@@ -410,7 +410,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("pipeline_full_corpus: both stages materialize once; decon is a broadcast anti-join over survivor files") {
-    val hex = java.lang.Integer.toHexString(sf.hashCode)
+    val hex = StageStore.dirTag(sf)
     val labelC = s"pipeline_full_cleaned_$hex"
     val labelS = s"pipeline_full_survivors_$hex"
     val beforeC = StageStore.materializations(labelC)
