@@ -213,20 +213,33 @@ object TextOps {
     * the corpus never shuffles for the join. Gram generation + hashing is
     * a typed mapPartitions flatMap (one JVM pass, per-document dedup via a
     * local set — the shuffle-free equivalent of explode→distinct). */
-  def contamination(docs: DataFrame, n: Int = 3, evalMod: Long = 97): DataFrame = {
+  def contamination(docs: DataFrame, n: Int = 3, evalMod: Long = 97): DataFrame =
     // Filter BEFORE gram generation on both sides: the doc_id predicate
     // cannot push through a typed mapPartitions, so hashing first and
     // filtering after would run the full-corpus gram pass twice (once per
     // consumer). Filtered-first, the two passes together hash each
     // document exactly once.
-    val evalGrams = distinctGramsOf(
-        docs.filter(col("doc_id") % evalMod === 0), n)
-      .select("gh").distinct()
-    distinctGramsOf(docs.filter(col("doc_id") % evalMod =!= 0), n)
+    contaminationAgainst(
+      docs.filter(col("doc_id") % evalMod =!= 0),
+      evalGrams(docs.filter(col("doc_id") % evalMod === 0), n), n)
+
+  /** The DISTINCT gram-key set of an eval split — the (tiny, broadcast)
+    * build side of [[contaminationAgainst]], exposed separately so a
+    * pipeline can persist it once (StageStore / a real grams table) instead
+    * of re-deriving it from the raw eval docs on every run: the eval split
+    * changes once per benchmark release, the corpus every day. */
+  def evalGrams(evalDocs: DataFrame, n: Int = 3): DataFrame =
+    distinctGramsOf(evalDocs, n).select("gh").distinct()
+
+  /** [[contamination]] against an already-built eval gram set (any frame
+    * with a `gh` LONG column — typically [[evalGrams]] output read back
+    * from files). The eval side broadcasts; the corpus never shuffles. */
+  def contaminationAgainst(corpus: DataFrame, evalGrams: DataFrame,
+                           n: Int = 3): DataFrame =
+    distinctGramsOf(corpus, n)
       .join(broadcast(evalGrams), "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
-  }
 
   /** (doc_id, gh) pairs: the per-document DISTINCT word n-grams keyed by
     * the first 8 bytes of their md5 as a long, generated in one JVM pass

@@ -409,25 +409,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "evaluating the pipeline re-ran the stage-write job")
   }
 
-  test("pipeline_full_corpus: both stages materialize once; decon is a broadcast anti-join over survivor files") {
+  test("pipeline_full_corpus: all three stages materialize once; decon is a broadcast anti-join over stage files only") {
     val hex = StageStore.dirTag(sf)
     val labelC = s"pipeline_full_cleaned_$hex"
     val labelS = s"pipeline_full_survivors_$hex"
+    val labelE = s"pipeline_full_evalgrams_$hex"
     val beforeC = StageStore.materializations(labelC)
     val beforeS = StageStore.materializations(labelS)
+    val beforeE = StageStore.materializations(labelE)
     val df = SparkEntry.queries("pipeline_full_corpus")(spark, sf)
     assert(StageStore.materializations(labelC) === beforeC + 1,
       "the span-removal stage must write exactly once")
     assert(StageStore.materializations(labelS) === beforeS + 1,
       "the survivor stage must write exactly once")
+    assert(StageStore.materializations(labelE) === beforeE + 1,
+      "the eval gram set must write exactly once")
     val p = planFullPaths(df)
     // the final plan reads the SURVIVOR stage files (the cleaned stage is
-    // consumed only inside the survivor-build job); the one raw documents
-    // scan allowed here is the eval split feeding the contamination grams
+    // consumed only inside the survivor-build job) and the PERSISTED eval
+    // gram files — with the eval grams materialized, NO consumer touches
+    // the raw documents scan at all (r10 allowed one for the eval split)
     assert(p.contains(labelS),
       s"consumers do not read the materialized survivor stage:\n${p.take(3000)}")
+    assert(p.contains(labelE),
+      s"decon does not read the persisted eval gram files:\n${p.take(3000)}")
     assert(!p.contains(labelC),
       s"a consumer still re-derives the survivor set from the cleaned stage:\n${p.take(3000)}")
+    assert(!p.contains("documents.parquet"),
+      s"a consumer still scans raw documents (eval grams are persisted):\n${p.take(3000)}")
     // decontamination: the eval-gram side broadcasts (corpus never
     // shuffles for the join) and the drop is an anti-join, so redaction
     // stays map-only above it — no exchange between decon and the output
@@ -435,7 +444,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"decontamination is not a broadcast anti-join:\n${p.take(3000)}")
     assert(df.count() > 0)
     assert(StageStore.materializations(labelC) === beforeC + 1 &&
-      StageStore.materializations(labelS) === beforeS + 1,
+      StageStore.materializations(labelS) === beforeS + 1 &&
+      StageStore.materializations(labelE) === beforeE + 1,
       "evaluating the pipeline re-ran a stage-write job")
   }
 
