@@ -2417,48 +2417,29 @@ object Queries {
        |WHERE rk <= 10 ORDER BY cluster, rk""".stripMargin
 
   // ---------------------------------------------------------------------
-  // semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
-  // k-means-cluster the embedding space, then prune near-identical pairs
-  // WITHIN clusters only — the all-pairs cosine join never happens; the
-  // quadratic term is bounded by cluster size (the paper's premise: k
-  // grows with the corpus so clusters stay ~constant; a skewed giant
-  // cluster is SemDeDup's own caveat, mitigated by raising k). Composes
-  // three already-oracle-exact stages verbatim: deterministic k-means
-  // (fixed-point Lloyd), the bit-portable cosine kernel, and min-label
-  // connected components (keep-one-per-duplicate-group). Same planted
-  // duplicates as embed_near_dup (bitwise-identical copies, cosine exactly
-  // 1.0 ≥ 0.999; organic fixture max ~0.51 — equality is reproducible).
-  // Plan shape: cluster-keyed equi-join (shuffle by cluster, never a
-  // global cross join), projection-only assignment, CC over the tiny pair
-  // graph.
+  // semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540),
+  // delegated to the bounded graft.operators.SemDeDup operator: k derived
+  // from corpus size (k ∝ n; the fixture sizes resolve to the paper's
+  // small-corpus floor of 10, which the oracle's training replay uses),
+  // identical embeddings collapsed to representatives before the pair
+  // stage, and the residual pair join banded on (cluster, normalized-
+  // leading-coordinate cell) — provably the same pair set as the oracle's
+  // plain within-cluster all-pairs form (see the operator scaladoc). Same
+  // planted duplicates as embed_near_dup (bitwise-identical copies, cosine
+  // exactly 1.0 ≥ 0.999; organic fixture max ~0.51 — equality is
+  // reproducible).
   // ---------------------------------------------------------------------
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val planted = emb.unionAll(
       emb.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + lit(1000000L)))
-    // the assignment projection (k×dim argmax per row) feeds FOUR
-    // consumers (both sides of the self-join, the CC vertex set, the
-    // final join) — write the narrow (vec_id, cluster) table once; this
-    // is also what a production SemDeDup does between its two phases
-    val assigned = StageStore.materialize(
-      graft.operators.KMeans.assign(planted,
-        graft.operators.KMeans.train(planted, k = 10, iters = 2)),
-      s"semdedup_assign_${StageStore.dirTag(dir)}")
-    val withC = planted.join(assigned, Seq("vec_id"))
-    val a = withC.select(col("vec_id").as("vec_a"), col("cluster"),
-      col("embedding").as("ea"))
-    val b = withC.select(col("vec_id").as("vec_b"), col("cluster"),
-      col("embedding").as("eb"))
-    val pairs = a.join(b, Seq("cluster"))
-      .filter(col("vec_a") < col("vec_b") &&
-        graft.operators.Similarity.cosine(col("ea"), col("eb")) >= 0.999)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    graft.operators.NearDup.connectedComponents(
-        assigned.select(col("vec_id").as("doc_id")), pairs)
-      .filter(col("comp") === col("doc_id"))
-      .join(assigned.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
-      .select(col("doc_id").as("vec_id"), col("cluster"))
+    // corpus-size probe: a bare parquet count (footer metadata, no scan);
+    // the planted side adds 1/10th
+    val n = emb.count()
+    val k = graft.operators.SemDeDup.deriveK(n + n / 10)
+    graft.operators.SemDeDup.dedup(planted, k = k, iters = 2,
+        threshold = 0.999, stageTag = Some(StageStore.dirTag(dir)))
       .orderBy("vec_id")
   }
 

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication — SemDeDup (Abbas et al. 2023,
+  * arXiv:2303.09540): k-means-cluster the embedding space, prune
+  * near-identical pairs WITHIN clusters only, keep one document per
+  * duplicate group. The all-pairs cosine join never happens; the quadratic
+  * term is bounded by cluster size (the paper's premise: k grows with the
+  * corpus so clusters stay ~constant).
+  *
+  * The r10 shape keyed the pair join on the cluster id and stopped there —
+  * correct, but with two 100-TB holes the paper itself names: k was a
+  * literal (clusters grow linearly with the corpus), and a skewed giant
+  * cluster (boilerplate embeddings collapsing to one point — SemDeDup's own
+  * caveat) put an O(|cluster|²) cosine block on one reducer. This version
+  * closes both:
+  *
+  *  1. '''k derives from corpus size''' ([[deriveK]]): k = n / target
+  *     cluster size, floored at the paper's small-corpus setting — the
+  *     EXPECTED cluster stays constant as the corpus grows.
+  *  2. '''Identical embeddings collapse before the pair stage.''' The
+  *     realistic giant cluster is a point mass — the same boilerplate
+  *     embedding repeated millions of times. Those rows are cosine-1.0
+  *     duplicates BY IDENTITY, so the pair join never needs to see them:
+  *     a partial-aggregated groupBy on (cluster, embedding) folds each
+  *     point mass to one representative (min vec_id) ON THE MAP SIDE, and
+  *     the quadratic stage runs over DISTINCT embeddings only. Members
+  *     inherit their representative's component afterwards through salted
+  *     8-byte-key joins (the [[TextOps.dupPositions]] routing pattern), so
+  *     no task ever sees a hot key's full membership.
+  *  3. '''Within-cluster banding bounds the residual pair join.''' Distinct
+  *     embeddings pair-join on (cluster, cell), where cell is the leading
+  *     coordinate of the L2-NORMALIZED embedding on a grid of width
+  *     δ ≥ √(2(1−τ)) — EXACT, not approximate: cos(a,b) ≥ τ implies the
+  *     normalized difference vector has length ≤ √(2(1−τ)), so every
+  *     qualifying pair differs by < δ in EVERY normalized coordinate and
+  *     lands in the same or an adjacent cell (the b-side explodes to
+  *     cell±1; floor is monotone, so |Δcoord| < δ ⟹ |Δcell| ≤ 1). No
+  *     qualifying pair is lost; non-adjacent candidates are never
+  *     generated. A cluster that k-means failed to separate therefore
+  *     pays cost per (cluster, cell) bucket, not per cluster — and after
+  *     the identity collapse, same-bucket candidates are distinct
+  *     embeddings within δ of each other in the leading coordinate, i.e.
+  *     dominated by TRUE near-duplicates, which the output must carry
+  *     anyway. (The cell is internal candidate routing; the oracle replays
+  *     plain within-cluster all-pairs and gets the identical pair set.)
+  *
+  * SemDedupScaleProbeSpec drives the adversarial point-mass corpus (tens of
+  * thousands of copies of ONE embedding — the r10 shape's quadratic
+  * blow-up) through this path and asserts from task-end listener metrics
+  * that no task's shuffle read approaches the membership size, let alone
+  * its square.
+  */
+object SemDeDup {
+
+  /** k ∝ n (SemDeDup §3: cluster count grows with the corpus so the
+    * within-cluster quadratic term stays constant): one cluster per
+    * `targetClusterSize` embeddings, floored at `kMin` (the small-corpus
+    * regime where fewer clusters would under-partition the space). */
+  def deriveK(n: Long, targetClusterSize: Long = 4096, kMin: Int = 10): Int = {
+    require(targetClusterSize > 0 && kMin > 0)
+    math.min(math.max(kMin.toLong, (n + targetClusterSize - 1) / targetClusterSize),
+      Int.MaxValue.toLong).toInt
+  }
+
+  /** Grid width for the within-cluster banding: the diameter bound
+    * √(2(1−τ)) with 40% slack (the slack only adds candidates, never loses
+    * a qualifying pair — exactness needs δ ≥ the bound, tightness is a
+    * performance knob). */
+  private[operators] def cellWidth(threshold: Double): Double =
+    math.sqrt(2.0 * (1.0 - threshold)) * 1.4
+
+  /** Keep-one-per-duplicate-group over `emb` (vec_id LONG, embedding
+    * ARRAY<FLOAT>): rows whose vec_id is the minimum of their semantic
+    * duplicate group, with their k-means cluster — bitwise-deterministic
+    * end to end (deterministic Lloyd, sequential-double cosine, min-label
+    * components).
+    *
+    * Zero/NaN embeddings are never duplicates of anything (their cosine is
+    * undefined and compares false, matching the all-pairs form) — each is
+    * its own group and survives.
+    *
+    * `stageTag` materializes the two multi-consumer stages through
+    * [[graft.StageStore]] (labels `semdedup_assign_<tag>`,
+    * `semdedup_reps_<tag>`): the assignment projection feeds the collapse
+    * AND the member routing; the representative table feeds both pair-join
+    * sides AND the component vertex set. None keeps the storage-free plan
+    * (tests/probes). */
+  def dedup(emb: DataFrame, k: Int, iters: Int = 2, threshold: Double = 0.999,
+            salt: Int = 16, stageTag: Option[String] = None): DataFrame = {
+    require(salt > 0)
+    def stage(df: DataFrame, name: String): DataFrame = stageTag match {
+      case Some(t) => graft.StageStore.materialize(df, s"semdedup_${name}_$t")
+      case None => df
+    }
+    val dot = graft.functions.VectorExprs.dot _
+    val assigned = stage(KMeans.assign(emb, KMeans.train(emb, k, iters)), "assign")
+    // identity-collapse key: xxhash64 routes (8-byte exchanges); the
+    // embedding itself rides along as the exact group key, so a 64-bit
+    // collision costs nothing. Zero/NaN-norm rows get a per-row key
+    // (`__k2` = own vec_id) — never grouped, never paired.
+    val finite = sqrt(dot(col("embedding"), col("embedding"))) > 0.0
+    val withC = emb.join(assigned, Seq("vec_id"))
+      .withColumn("dg", xxhash64(col("embedding")))
+      .withColumn("__k2", when(finite, lit(-1L)).otherwise(col("vec_id")))
+    val reps = stage(
+      withC.groupBy(col("cluster"), col("dg"), col("__k2"), col("embedding"))
+        .agg(min(col("vec_id")).as("rep_id")),
+      "reps")
+    // member → representative: salted equi-join on the 8-byte digest (a
+    // point mass spreads over `salt` tasks; rep rows replicate ×salt —
+    // they are DISTINCT embeddings, not members); the embedding equality
+    // is the exact residual behind the digest routing.
+    val saltOf = (c: org.apache.spark.sql.Column) =>
+      pmod(xxhash64(c), lit(salt)).cast("int")
+    val repS = reps
+      .select(col("dg"), col("__k2").as("__rk"), col("embedding").as("__re"),
+        col("rep_id"))
+      .withColumn("__s", explode(lit((0 until salt).toArray)))
+    val memRep = withC.withColumn("__s", saltOf(col("vec_id")))
+      .join(repS, Seq("dg", "__s"))
+      .filter(col("__k2") === col("__rk") &&
+        (col("__k2") =!= lit(-1L) || col("embedding") === col("__re")))
+      .select(col("vec_id"), col("cluster"), col("rep_id"))
+    val pairs = bandedPairs(reps, threshold)
+    // components over representatives only (the member tier is connected
+    // to its rep by construction and never enters the fixpoint); members
+    // inherit comp through the same salted 8-byte routing
+    val comp = NearDup
+      .connectedComponents(reps.select(col("rep_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("rep_id"), col("comp"))
+      .withColumn("__s", explode(lit((0 until salt).toArray)))
+    memRep.withColumn("__s", saltOf(col("vec_id")))
+      .join(comp, Seq("rep_id", "__s"))
+      .filter(col("comp") === col("vec_id"))
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** The banded within-cluster candidate frame over a representative table
+    * (cluster, dg, __k2, embedding, rep_id) — package-visible so plan
+    * audits can pin the (cluster, cell) join shape on the SAME materialized
+    * rep files the query writes (the pair join runs inside the component
+    * fixpoint's jobs, so the query's final plan cannot show it). */
+  private[graft] def bandedPairs(reps: DataFrame, threshold: Double): DataFrame = {
+    val dot = graft.functions.VectorExprs.dot _
+    val w = cellWidth(threshold)
+    val cell = floor(element_at(col("embedding"), 1) /
+      (sqrt(dot(col("embedding"), col("embedding"))) * lit(w))).cast("long")
+    val repC = reps.filter(col("__k2") === lit(-1L)).withColumn("cell", cell)
+    val a = repC.select(col("cluster"), col("cell"),
+      col("rep_id").as("vec_a"), col("embedding").as("__ea"))
+    val b = repC.select(col("cluster"),
+      explode(array(col("cell") - 1, col("cell"), col("cell") + 1)).as("cell"),
+      col("rep_id").as("vec_b"), col("embedding").as("__eb"))
+    a.join(b, Seq("cluster", "cell"))
+      .filter(col("vec_a") < col("vec_b") &&
+        Similarity.cosine(col("__ea"), col("__eb")) >= threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+  }
+}

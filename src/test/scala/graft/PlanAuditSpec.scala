@@ -460,15 +460,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(leaked.isEmpty, s"queries left persisted RDD blocks behind: $leaked")
   }
 
-  test("semantic_dedup: the pair stage is a cluster-keyed equi-join — no cartesian, no nested-loop") {
-    val p = plan("semantic_dedup")
-    // SemDeDup's whole point: the quadratic term is bounded by cluster
-    // size, which requires the pair join to key on the cluster id; a
-    // CartesianProduct or BNLJ here means the global all-pairs join came
-    // back at corpus scale
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"semantic_dedup pair stage fell back to an all-pairs join:\n${p.take(3000)}")
-    assert(p.contains("cluster"), s"pair join does not key on the cluster id:\n${p.take(3000)}")
+  test("semantic_dedup: the pair stage is a (cluster, cell)-banded equi-join over materialized reps — no cartesian") {
+    val hex = StageStore.dirTag(sf)
+    val labelA = s"semdedup_assign_$hex"
+    val labelR = s"semdedup_reps_$hex"
+    val beforeA = StageStore.materializations(labelA)
+    val beforeR = StageStore.materializations(labelR)
+    val df = SparkEntry.queries("semantic_dedup")(spark, sf)
+    // both multi-consumer stages write exactly once (assignment feeds the
+    // collapse + member routing; reps feed both pair sides + CC vertices)
+    assert(StageStore.materializations(labelA) === beforeA + 1,
+      "the assignment stage must write exactly once")
+    assert(StageStore.materializations(labelR) === beforeR + 1,
+      "the representative stage must write exactly once")
+    assert(df.count() > 0)
+    // SemDeDup's whole point: the quadratic term is bounded. r10 keyed
+    // the pair join on the cluster id alone (one giant cluster = one
+    // reducer); r11 requires the band too. The pair join runs inside the
+    // component fixpoint (invisible in the final plan), so pin its shape
+    // directly on the SAME rep files the query just materialized:
+    // candidate generation must equi-join on (cluster, cell), never a
+    // cartesian/BNLJ
+    val reps = spark.read.parquet(StageStore.path(labelR))
+    val pp = graft.operators.SemDeDup.bandedPairs(reps, 0.999)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      s"semantic_dedup pair stage fell back to an all-pairs join:\n${pp.take(3000)}")
+    assert(pp.contains("cluster"), s"pair join does not key on the cluster id:\n${pp.take(3000)}")
+    assert(pp.contains("cell"),
+      s"pair join is not banded on the normalized-coordinate cell:\n${pp.take(3000)}")
   }
 
   test("sample_mixture: allocation windows run on the stratum table, never over raw documents") {

@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** SemDeDup's giant-cluster claim, probed the DupNgramScaleProbeSpec way:
+  * the adversarial corpus is a POINT MASS — tens of thousands of copies of
+  * one embedding, the "boilerplate embeddings collapsing to one point"
+  * case the paper itself names. Under the r10 shape (cluster-keyed
+  * all-pairs), every copy lands in one cluster and one reducer evaluates
+  * an O(n²) cosine block (3.6·10⁹ candidate pairs here). The bounded
+  * [[SemDeDup]] collapses identical embeddings to one representative
+  * map-side BEFORE the pair join, so the quadratic stage sees ONE row and
+  * every member-tier join is salted — no task's shuffle read may approach
+  * the membership size, let alone its square. Per-task numbers come from
+  * task-end listener metrics, not plan inspection.
+  *
+  * AQE partition coalescing is disabled for the probes, same as the other
+  * scale probes: record-count distribution, not coalescing policy, is what
+  * must carry to 100 TB.
+  */
+class SemDedupScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  private val nRows = 60000L
+  // members/salt ≈ 3.8k per task under 16 partitions; a funnel reads ~60k
+  private val perTaskBound = nRows / 4
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) { // stable for 300 ms, cap 10 s
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** The suite session runs 4 shuffle partitions — under which even a
+    * perfectly-uniform point-mass spread puts n/4 records on each of the 4
+    * tasks, indistinguishable from a funnel. The probes pin 16 partitions
+    * (= the salt fan-out) so uniform ≈ n/16 while a funnel stays ≈ n, and
+    * the n/4 bound separates them. */
+  private def probeConfs[T](body: => T): T = {
+    val pairs = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16")
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("deriveK grows linearly with the corpus and floors at the paper's small-corpus k") {
+    assert(SemDeDup.deriveK(550) === 10) // the fixture regime (oracle trains k=10)
+    assert(SemDeDup.deriveK(2200) === 10)
+    assert(SemDeDup.deriveK(4096L * 100) === 100)
+    assert(SemDeDup.deriveK(4096L * 1000 + 1) === 1001)
+  }
+
+  test("point mass: 60k copies of ONE embedding never reach the pair join; no task funnels", Slow) {
+    val base = Array(0.6f, 0.8f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val emb = spark.range(0L, nRows).as[Long]
+      .map(i => (i, base)).toDF("vec_id", "embedding")
+    val k = SemDeDup.deriveK(nRows) // 15 — derived, not the literal 10
+    val (got, maxRead) = probeConfs(withMaxTaskShuffleRead {
+      SemDeDup.dedup(emb, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    })
+    info(s"point-mass max per-task shuffle read: $maxRead records " +
+      s"($nRows members; all-pairs would be ${nRows * (nRows - 1) / 2} candidates)")
+    // one duplicate group; keep-one = the global min vec_id
+    assert(got.map(_._1) === Set(0L))
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records (membership $nRows) — the point mass funneled")
+  }
+
+  test("many point masses: 200 distinct embeddings x 300 copies collapse to 200 survivors, bounded", Slow) {
+    val rnd = new scala.util.Random(42)
+    val bases = Array.fill(200)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val emb = spark.range(0L, nRows).as[Long]
+      .map(i => (i, bases((i % 200).toInt))).toDF("vec_id", "embedding")
+    val (got, maxRead) = probeConfs(withMaxTaskShuffleRead {
+      SemDeDup.dedup(emb, k = SemDeDup.deriveK(nRows))
+        .collect().map(r => r.getLong(0)).toSet
+    })
+    info(s"multi-mass max per-task shuffle read: $maxRead records")
+    // 200 groups; keep-one per group = vec_ids 0..199 (copies are i+200j).
+    // Random gaussian dim-8 bases are nowhere near cosine 0.999 of each
+    // other (seeded — reproducible), so no cross-group merges.
+    assert(got === (0L until 200L).toSet)
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records — a member tier funneled")
+  }
+}
