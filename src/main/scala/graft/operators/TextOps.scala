@@ -384,6 +384,11 @@ object TextOps {
     // A saturated bloom is a PERFORMANCE fallback, not a correctness risk —
     // false positives shuffle through the salted exact semi-join and are
     // dropped there; size `expectedDupGrams` up for a production corpus.
+    // Measured (BloomSaturationProbeSpec, 20k true dup grams vs a bloom
+    // sized for 64): results identical, and the worst task still reads
+    // ~14k records on a 240k-position corpus — the false-positive mass
+    // spreads under the hash(doc_id, pos) salt and stays below the gram-
+    // count aggregation's own per-task ceiling.
     import org.apache.spark.sql.GraftColumnBridge.{column => ec, expression => ce}
     val grams = gramPositions(docs, n)
     // the dup-gram set feeds TWO consumers (the bloom build below and the

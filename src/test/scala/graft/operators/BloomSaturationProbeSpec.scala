@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** The dup-gram bloom's saturated regime, measured: [[TextOps.dupPositions]]
+  * sizes its bloom for `expectedDupGrams` and documents saturation as a
+  * PERFORMANCE fallback, not a correctness risk — false positives shuffle
+  * through the salted exact semi-join and are dropped there. r10 shipped
+  * that claim untested; this probe runs a 20k-distinct-dup-gram corpus
+  * once with an honest bloom and once with a bloom sized for 64 items
+  * (fpp ≈ 1 at 300× overload) and asserts:
+  *
+  *  (a) the two runs return IDENTICAL position sets (the semi-join is the
+  *      exact gate; the bloom only routes);
+  *  (b) the degraded run's worst task stays bounded by the SALT spread,
+  *      not the corpus — with the bloom passing ~everything, all gram
+  *      positions enter the semi-join exchange, but hash(doc_id, pos)
+  *      salting still caps any one task at ~positions/salt.
+  *
+  * Measured here (16 shuffle partitions, salt 16, 240k positions): the
+  * worst task reads ~14k records under BOTH blooms — the per-(gram, map
+  * task) count aggregation dominates either way, and the saturated
+  * bloom's extra semi-join traffic (every position instead of dup
+  * positions) spreads under the salt to below that ceiling. Size
+  * `expectedDupGrams` for the real corpus; an undersized bloom costs one
+  * extra well-spread exchange of the non-dup majority, never a funnel and
+  * never a wrong span.
+  */
+class BloomSaturationProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nDocs = 40000L // docs 2j/2j+1 share gram j: 20k distinct dup grams
+  private val positions = nDocs * 6
+
+  /** doc i: 5 tokens shared with its pair partner + 5 unique tokens — 6
+    * gram positions, position 0 duplicated (pair-wide), 1..5 unique. */
+  private def corpus = spark.range(0L, nDocs)
+    .select(col("id").as("doc_id"),
+      concat(
+        lit("a"), (col("id") / 2).cast("long").cast("string"),
+        lit(" b"), (col("id") / 2).cast("long").cast("string"),
+        lit(" c"), (col("id") / 2).cast("long").cast("string"),
+        lit(" d"), (col("id") / 2).cast("long").cast("string"),
+        lit(" e"), (col("id") / 2).cast("long").cast("string"),
+        lit(" u"), col("id").cast("string"),
+        lit(" v"), col("id").cast("string"),
+        lit(" w"), col("id").cast("string"),
+        lit(" x"), col("id").cast("string"),
+        lit(" y"), col("id").cast("string")).as("text"))
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) { // stable for 300 ms, cap 10 s
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def probeConfs[T](body: => T): T = {
+    val pairs = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16")
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("a 300x-overloaded bloom changes nothing but one bounded exchange", Slow) {
+    val expect = (0L until nDocs).map(i => (i, 0L)).toSet
+    val (gotHonest, readHonest) = probeConfs(withMaxTaskShuffleRead {
+      TextOps.dupPositions(corpus, n = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    })
+    val (gotSaturated, readSaturated) = probeConfs(withMaxTaskShuffleRead {
+      TextOps.dupPositions(corpus, n = 5, expectedDupGrams = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    })
+    info(s"honest bloom (2^17 sizing): max per-task shuffle read $readHonest records")
+    info(s"saturated bloom (sized 64, true dup grams 20000): " +
+      s"max per-task shuffle read $readSaturated records ($positions positions total)")
+    // (a) exactness: the salted semi-join drops every false positive
+    assert(gotSaturated === expect)
+    assert(gotHonest === expect)
+    assert(gotSaturated === gotHonest)
+    // (b) boundedness: even with the bloom passing ~everything, the
+    // hash(doc_id, pos) salt spreads the exchange — no task approaches
+    // the corpus position count
+    assert(readSaturated > 0 && readSaturated < positions / 4,
+      s"a task read $readSaturated of $positions positions — the saturated bloom funneled")
+  }
+}
