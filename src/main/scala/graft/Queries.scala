@@ -1313,6 +1313,53 @@ object Queries {
       |  CAST(length(text) - length(cleaned) AS BIGINT) AS n_chars_removed
       |FROM cl ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_substring_incremental — the PRODUCTION cadence of substring
+  // dedup: a real pipeline dedups each NEW shard against yesterday's
+  // corpus, not against itself. Yesterday (doc_id % 3 ≠ 0) persists its
+  // saturating gram-count state via StageStore; today's shard
+  // (doc_id % 3 = 0) runs TextOps.dedupSubstring in incremental mode,
+  // unioning the persisted counts READ FROM FILES — history documents are
+  // never rescanned (plan-pinned). Oracle: replaying the two-batch
+  // sequence must equal the one-shot transform over the whole corpus
+  // restricted to the shard's rows — a gram seen once in history and once
+  // in the shard cuts the shard occurrence either way.
+  // ---------------------------------------------------------------------
+  def dedupSubstringIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val prior = StageStore.materialize(
+      graft.operators.TextOps.gramCounts(docs.filter(col("doc_id") % 3 =!= 0), 5),
+      s"incr_gramstate_${StageStore.dirTag(dir)}")
+    graft.operators.TextOps.dedupSubstring(
+        docs.filter(col("doc_id") % 3 === 0), n = 5,
+        priorGramCounts = Some(prior))
+      .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
+        col("n_chars_removed"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringIncrementalSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(CAST(generate_series(1, len(ws)-4) AS BIGINT[])) AS pos,
+      |        unnest([md5(array_to_string(ws[i:i+4], ' ')) for i in generate_series(1, len(ws)-4)]) AS gh
+      |      FROM w WHERE len(ws) >= 5),
+      |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+      |d AS (SELECT doc_id, list(pos) AS ps FROM g JOIN c USING (gh)
+      |      WHERE doc_id % 3 = 0 GROUP BY doc_id),
+      |k AS (SELECT w.doc_id, w.text, w.ws, COALESCE(d.ps, []) AS ps
+      |      FROM w LEFT JOIN d USING (doc_id) WHERE w.doc_id % 3 = 0),
+      |cl AS (SELECT doc_id, text,
+      |    COALESCE(array_to_string(
+      |      list_transform(
+      |        list_filter(CAST(generate_series(1, len(ws)) AS BIGINT[]),
+      |          j -> len(list_filter(ps, p -> p <= j AND j <= p + 4)) = 0),
+      |        j -> ws[j]), ' '), '') AS cleaned
+      |  FROM k)
+      |SELECT doc_id, md5(cleaned) AS clean_hash,
+      |  CAST(length(text) - length(cleaned) AS BIGINT) AS n_chars_removed
+      |FROM cl ORDER BY doc_id""".stripMargin
+
   /** CUBE (all 2^n grouping sets — rollup's sibling Expand path; one scan,
     * the Expand operator multiplies rows by the grouping-set count before
     * the partial aggregate, so the shuffle still carries aggregates). */
@@ -3309,6 +3356,7 @@ object Queries {
     "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_spans" -> (dupNgramSpans _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_incremental" -> (dedupSubstringIncremental _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipeline_full_corpus" -> (pipelineFullCorpus _),
     "semantic_dedup" -> (semanticDedup _),
@@ -3411,6 +3459,7 @@ object Queries {
     "sample_weighted" -> sampleWeightedSql,
     "dup_ngram_spans" -> dupNgramSpansSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_substring_incremental" -> dedupSubstringIncrementalSql,
     "dedup_substring_spans" -> dedupSubstringSpansSql,
     "pipeline_full_corpus" -> pipelineFullCorpusSql,
     "semantic_dedup" -> semanticDedupSql,

@@ -352,6 +352,18 @@ object TextOps {
       }.toDF("doc_id", "pos", "gh")
   }
 
+  /** Persisted dedup STATE for incremental substring dedup: per-gram
+    * occurrence counts, saturating at 2 — all the dup test ever needs is
+    * whether (history + batch) reaches 2, so higher counts carry no
+    * information and the cap keeps state rows at (8-byte gh, small int).
+    * A real pipeline writes this table once per corpus snapshot (parquet
+    * via StageStore or any warehouse dir) and every subsequent shard
+    * dedups against the FILES — history is never rescanned. Feed it to
+    * [[dedupSubstring]]'s `priorGramCounts`. */
+  def gramCounts(docs: DataFrame, n: Int = 5): DataFrame =
+    gramPositions(docs, n).groupBy("gh")
+      .agg(least(count(lit(1)), lit(2L)).as("cnt"))
+
   /** Positions whose n-gram occurs ≥ 2 times corpus-wide: (doc_id, pos).
     *
     * Two-phase, replacing r9's `count().over(Window.partitionBy("gh"))` —
@@ -378,7 +390,8 @@ object TextOps {
     * that no task's shuffle read approaches the corpus size. */
   private[graft] def dupPositions(docs: DataFrame, n: Int, salt: Int = 16,
                                   expectedDupGrams: Long = 1L << 17,
-                                  stageLabel: Option[String] = None): DataFrame = {
+                                  stageLabel: Option[String] = None,
+                                  priorCounts: Option[DataFrame] = None): DataFrame = {
     // bloom sizing note: 2^17 items × 8 bits = a 128 KiB literal (kept small
     // because the serialized bloom is embedded in the plan / task binary).
     // A saturated bloom is a PERFORMANCE fallback, not a correctness risk —
@@ -397,8 +410,17 @@ object TextOps {
     // 100 TB that is a second full corpus pass. With a stageLabel the
     // (small — distinct duplicated grams only) set is written once and
     // both consumers read the files; None keeps the storage-free shape.
-    val dupGrams0 = grams.groupBy("gh").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= 2).select("gh")
+    val newCounts = grams.groupBy("gh").agg(count(lit(1)).as("__cnt"))
+    // incremental mode: a gram is duplicated if its occurrences across
+    // (persisted history + this batch) reach 2 — history contributes its
+    // saturating [[gramCounts]] rows READ FROM FILES, never a rescan
+    val totalCounts = priorCounts match {
+      case Some(pc) => newCounts
+        .unionByName(pc.select(col("gh"), col("cnt").cast("long").as("__cnt")))
+        .groupBy("gh").agg(sum(col("__cnt")).as("__cnt"))
+      case None => newCounts
+    }
+    val dupGrams0 = totalCounts.filter(col("__cnt") >= 2).select("gh")
     val dupGrams = stageLabel match {
       case Some(l) => graft.StageStore.materialize(dupGrams0, l)
       case None => dupGrams0
@@ -456,6 +478,15 @@ object TextOps {
     * CODEPOINTS of original minus cleaned (engine-portable, unlike UTF-16
     * units).
     *
+    * `priorGramCounts` switches to INCREMENTAL mode — the production shape,
+    * where each NEW shard dedups against yesterday's corpus without
+    * rescanning it: pass a persisted [[gramCounts]] table (read from
+    * files) and a gram in `docs` is duplicated when history + batch
+    * occurrences reach 2. Equivalent, for the new shard's rows, to the
+    * one-shot transform over (history ∪ shard) — a gram seen once in each
+    * cuts the shard occurrence either way; history documents themselves
+    * are immutable (yesterday's output already shipped).
+    *
     * Scale shape: the dup-position pass is the two-phase [[dupPositions]]
     * (map-side partial gram counts, bloom routed back map-side, salted
     * exact semi-join — no hot-gram funnel); duplicated positions fold to
@@ -467,11 +498,13 @@ object TextOps {
     * column functions are CodegenFallback — interpreted per element). */
   def dedupSubstring(docs: DataFrame, n: Int = 5,
                      minSpanTokens: Int = -1,
-                     stageLabel: Option[String] = None): DataFrame = {
+                     stageLabel: Option[String] = None,
+                     priorGramCounts: Option[DataFrame] = None): DataFrame = {
     val minSpan = if (minSpanTokens < 0) n else minSpanTokens
     val spark = docs.sparkSession
     import spark.implicits._
-    val dupPos = dupPositions(docs, n, stageLabel = stageLabel)
+    val dupPos = dupPositions(docs, n, stageLabel = stageLabel,
+        priorCounts = priorGramCounts)
       .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
     docs.select(col("doc_id"), col("text"))
       .join(dupPos, Seq("doc_id"), "left")

@@ -378,6 +378,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("dedup_substring_incremental: history enters as persisted gram-count files, never a rescan") {
+    val label = s"incr_gramstate_${StageStore.dirTag(sf)}"
+    val before = StageStore.materializations(label)
+    val df = SparkEntry.queries("dedup_substring_incremental")(spark, sf)
+    assert(StageStore.materializations(label) === before + 1,
+      "the gram-count state must write exactly once")
+    val p = planFullPaths(df)
+    assert(p.contains(label),
+      s"the dup test does not read the persisted gram-count files:\n${p.take(3000)}")
+    // every documents scan in the final plan is the SHARD (doc_id % 3 = 0
+    // filter present above it); the history partition appears only as the
+    // stage files. A rescan regression shows up as a scan without the
+    // shard filter — count the modulo filters against the scans.
+    val scans = p.linesIterator.count(l =>
+      l.contains("documents.parquet") && l.contains("FileScan"))
+    val shardFilters = "% 3\\) = 0".r.findAllIn(p).length
+    assert(scans > 0 && shardFilters >= scans,
+      s"$scans documents scans but only $shardFilters shard filters — " +
+        s"history is being rescanned:\n${p.take(3000)}")
+  }
+
   test("rolling_distinct_persisted: answered from sketch files alone — no events scan") {
     val df = SparkEntry.queries("rolling_distinct_persisted")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

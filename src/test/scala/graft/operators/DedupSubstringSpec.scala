@@ -101,4 +101,33 @@ class DedupSubstringSpec extends AnyFunSuite with SparkSuite {
     assert(a === b)
     assert(a.count(_._3 > 0) === 8) // the 8 docs sharing the c0..c5 prefix
   }
+
+  test("incremental two-batch sequence equals the one-shot transform on the new shard") {
+    import spark.implicits._
+    val span = "one two three four five"
+    // cross-batch dup: the span appears ONCE in history and ONCE in the
+    // shard - only the union sees it twice. Shard-internal dup and a
+    // history-only dup round out the cases.
+    val history = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, "h1 h2 h3 h4 h5 filler h1 h2 h3 h4 h5"),
+      (3L, "unique history words nothing shared here")).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, s"delta $span epsilon"),          // cut via history
+      (11L, "s1 s2 s3 s4 s5 mid s1 s2 s3 s4 s5"), // cut via itself
+      (12L, "h1 h2 h3 h4 h5 tail x"),         // cut via history-internal dup
+      (13L, "fully unique shard document words")).toDF("doc_id", "text")
+    val state = TextOps.gramCounts(history, 5)
+    val incremental = TextOps.dedupSubstring(shard, 5, priorGramCounts = Some(state))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reference: one-shot over the union, restricted to shard ids
+    val oneShot = TextOps.dedupSubstring(history.unionByName(shard), 5)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(incremental === oneShot)
+    assert(incremental(10L) === "delta epsilon")
+    assert(incremental(11L) === "mid")
+    assert(incremental(12L) === "tail x")
+    assert(incremental(13L) === "fully unique shard document words")
+  }
 }
