@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
+
+/** The corpus-cleaning pipeline as a user-facing tool — `graft
+  * corpus-clean <in> <out>` (also `runMain graft.CorpusCleanMain`). The
+  * reference shipped its operators behind a CLI
+  * (/root/reference/src/paradump/paradump.go:3474+); this is the same
+  * contract for the training-data surface: every stage is one of the
+  * oracle-gated operators, composed in the production order
+  * ([[Queries.pipelineFullCorpus]]'s shape, parameterized), with
+  * inter-stage results materialized through [[StageStore]]
+  * (`--stage-dir` / `spark.graft.stageDir` points the handoff at
+  * HDFS/S3 on a cluster).
+  *
+  * Stage order (each optional stage toggled by its flag):
+  *  1. language gate (`--lang` / `--no-lang-gate`) + quality gate
+  *     (`--min-words`) — cheap codegen filters shrink the corpus FIRST;
+  *  2. exact dedup (keep min doc_id per identical text);
+  *  3. exact-substring span removal (Lee et al. ACL'22; `--ngram`,
+  *     `--min-span`; `--gram-state` switches to incremental mode against
+  *     a persisted [[graft.operators.TextOps.gramCounts]] table);
+  *  4. near-dup keep-one (MinHash-banded Jaccard, `--near-dup` /
+  *     `--no-near-dup`);
+  *  5. semantic dedup (`--semantic <embeddings>`, SemDeDup keep-one over
+  *     the survivors' embeddings);
+  *  6. decontamination (`--eval <split>`, broadcast gram anti-join);
+  *  7. PII redaction (`--redact`, map-only email/IPv4 masking).
+  */
+object CorpusClean {
+
+  /** Build the cleaned corpus frame (doc_id, text) per config — the
+    * testable core; [[run]] writes it. */
+  def clean(spark: SparkSession, cfg: CorpusCleanConfig): DataFrame = {
+    cfg.stageDir.foreach(d => spark.conf.set("spark.graft.stageDir", d))
+    val tag = StageStore.dirTag(s"${cfg.in}->${cfg.out}")
+    val docs = spark.read.parquet(cfg.in).select(col("doc_id"), col("text"))
+
+    // 1. gates — filter-first so the gram/candidate stages see less
+    val langed = cfg.lang match {
+      case Some(l) => docs.join(
+        graft.operators.TextOps.langId(docs)
+          .filter(col("lang_pred") === l).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      case None => docs
+    }
+    val filtered =
+      if (cfg.minWords <= 0) langed
+      else langed.join(
+        graft.operators.TextOps.textStats(docs)
+          .filter(col("n_words") >= cfg.minWords).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+
+    // 2. exact dedup
+    val kept = filtered.join(
+      graft.operators.TextOps.dedupExact(filtered).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // 3. substring span removal (optionally incremental vs persisted state)
+    val prior = cfg.gramState.map(spark.read.parquet(_))
+    val cleaned = StageStore.materialize(
+      graft.operators.TextOps.dedupSubstring(kept, n = cfg.ngram,
+          minSpanTokens = if (cfg.minSpan == 0) -1 else cfg.minSpan,
+          stageLabel = Some(s"cc_dupgrams_$tag"),
+          priorGramCounts = prior)
+        .select(col("doc_id"), col("cleaned").as("text")),
+      s"cc_cleaned_$tag")
+
+    // 4. near-dup keep-one
+    val afterNear = cfg.nearDup match {
+      case Some(thr) =>
+        val pairs = graft.operators.NearDup.jaccardPairs(cleaned, threshold = thr)
+        StageStore.materialize(
+          graft.operators.NearDup
+            .connectedComponents(cleaned.select("doc_id"), pairs)
+            .filter(col("comp") === col("doc_id"))
+            .join(cleaned, Seq("doc_id")).select("doc_id", "text"),
+          s"cc_survivors_$tag")
+      case None => cleaned
+    }
+
+    // 5. semantic dedup over the survivors' embeddings
+    val afterSem = cfg.semanticEmb match {
+      case Some(dir) =>
+        val emb = spark.read.parquet(dir).select(col("vec_id"), col("embedding"))
+          .join(afterNear.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val n = emb.count()
+        val keep = graft.operators.SemDeDup.dedup(emb,
+          k = graft.operators.SemDeDup.deriveK(n), stageTag = Some(s"cc_$tag"))
+        afterNear.join(keep.select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case None => afterNear
+    }
+
+    // 6. decontamination against the raw eval split (persisted gram set,
+    // broadcast side — the corpus never shuffles for this join)
+    val afterDecon = cfg.evalDir match {
+      case Some(ed) =>
+        val evalDocs = spark.read.parquet(ed).select(col("doc_id"), col("text"))
+        val evalG = StageStore.materialize(
+          graft.operators.TextOps.evalGrams(evalDocs), s"cc_evalgrams_$tag")
+        val contaminated = graft.operators.TextOps
+          .contaminationAgainst(afterSem, evalG)
+          .filter(col("n_hits") >= 1).select("doc_id")
+        afterSem.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => afterSem
+    }
+
+    // 7. PII redaction — map-only, so it rides above the anti-join with
+    // no exchange of its own
+    if (cfg.redact) {
+      val (masked, _, _) = graft.operators.TextOps.piiMask(col("text"))
+      afterDecon.select(col("doc_id"), masked.as("text"))
+    } else afterDecon
+  }
+
+  /** Run per config: write the cleaned corpus as parquet under `cfg.out`
+    * and return the surviving document count (from the written files —
+    * metadata-only). */
+  def run(spark: SparkSession, cfg: CorpusCleanConfig): Long = {
+    clean(spark, cfg).write.mode("overwrite").parquet(cfg.out)
+    spark.read.parquet(cfg.out).count()
+  }
+}
+
+/** `runMain graft.CorpusCleanMain <in> <out> [flags]` — see
+  * [[graft.cli.CorpusCleanCli]] for the flag surface. Also reachable as
+  * the `corpus-clean` subcommand of [[Main]]. */
+object CorpusCleanMain {
+  def main(args: Array[String]): Unit = {
+    CorpusCleanCli.parse(args.toSeq) match {
+      case Left(err) =>
+        System.err.println(s"graft corpus-clean: $err")
+        sys.exit(1)
+      case Right(cfg) =>
+        val spark = GraftSession.get()
+        try {
+          val n = CorpusClean.run(spark, cfg)
+          println(s"corpus-clean: $n documents -> ${cfg.out}")
+        } catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                    _: org.apache.spark.sql.AnalysisException) =>
+            System.err.println(s"graft corpus-clean: ${e.getMessage}")
+            sys.exit(1)
+        } finally spark.stop()
+    }
+  }
+}

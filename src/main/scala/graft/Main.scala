@@ -58,6 +58,13 @@ object Main {
     }
 
   def main(args: Array[String]): Unit = {
+    // subcommand dispatch: `graft corpus-clean <in> <out> [flags]` runs
+    // the training-data pipeline tool (CorpusCleanMain); everything else
+    // is the paradump-parity dump surface below
+    if (args.headOption.contains("corpus-clean")) {
+      CorpusCleanMain.main(args.tail)
+      return
+    }
     val parsed = for {
       // -src/-o are ours; -dumpdir is the reference's spelling of -o
       // (paradump.go:3492); the rest is the reference flag surface

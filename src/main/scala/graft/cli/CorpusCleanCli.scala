@@ -1,0 +1,118 @@
+package graft.cli
+
+/** `graft corpus-clean` — the training-data pipeline as a TOOL.
+  *
+  * The reference's value was being a tool (`paradump -dumpmode sql …`,
+  * /root/reference/src/paradump/paradump.go:3474+), not a library; this
+  * config is the same idea for the repo's richest surface, the corpus
+  * operators: gates → exact dedup → substring span removal → near-dup →
+  * optional semantic dedup → optional decontamination → optional PII
+  * redaction, reading and writing parquet.
+  *
+  * Flags are this engine's own (no reference analogue exists), so they use
+  * GNU-style `--` spellings rather than paradump's single-dash surface.
+  */
+case class CorpusCleanConfig(
+    in: String = "",
+    out: String = "",
+    // language gate: keep docs whose predicted language equals this;
+    // None (--no-lang-gate) admits every language
+    lang: Option[String] = Some("en"),
+    // quality gate: minimum whitespace-token count (0 disables)
+    minWords: Int = 10,
+    // substring dedup: gram size and the Lee et al. span threshold
+    // (--min-span 0 cuts every duplicated gram's coverage)
+    ngram: Int = 5,
+    minSpan: Int = 50,
+    // near-dup stage: Jaccard keep-one threshold; None (--no-near-dup)
+    // skips the stage
+    nearDup: Option[Double] = Some(0.5),
+    // semantic dedup: directory of (vec_id, embedding) parquet keyed by
+    // doc_id — SemDeDup keep-one over the surviving docs
+    semanticEmb: Option[String] = None,
+    // decontamination: directory of (doc_id, text) eval-split parquet
+    evalDir: Option[String] = None,
+    // incremental substring dedup: persisted TextOps.gramCounts parquet
+    gramState: Option[String] = None,
+    redact: Boolean = false,
+    // inter-stage materialization root (spark.graft.stageDir) — point at
+    // HDFS/S3 on a cluster; default is the JVM-scoped temp StageStore
+    stageDir: Option[String] = None)
+
+object CorpusCleanCli {
+
+  /** Parse `<in> <out> [flags]`. Left(message) mirrors the reference's
+    * fatal-exit validation style (CliSpec matrix pattern). */
+  def parse(args: Seq[String]): Either[String, CorpusCleanConfig] = {
+    var c = CorpusCleanConfig()
+    var positional = List.empty[String]
+    var noNearDup = false
+    var nearDupSet = false
+    var noLang = false
+    var langSet = false
+    var rest = args.toList
+    def intArg(v: String, flag: String): Either[String, Int] =
+      v.toIntOption.toRight(s"$flag: not an integer: $v")
+    while (rest.nonEmpty) {
+      rest match {
+        case "--lang" :: v :: t => c = c.copy(lang = Some(v)); langSet = true; rest = t
+        case "--no-lang-gate" :: t => noLang = true; rest = t
+        case "--min-words" :: v :: t =>
+          intArg(v, "--min-words") match {
+            case Right(i) => c = c.copy(minWords = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "--ngram" :: v :: t =>
+          intArg(v, "--ngram") match {
+            case Right(i) => c = c.copy(ngram = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "--min-span" :: v :: t =>
+          intArg(v, "--min-span") match {
+            case Right(i) => c = c.copy(minSpan = i); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "--near-dup" :: v :: t =>
+          v.toDoubleOption match {
+            case Some(d) => c = c.copy(nearDup = Some(d)); nearDupSet = true; rest = t
+            case None => return Left(s"--near-dup: not a number: $v")
+          }
+        case "--no-near-dup" :: t => noNearDup = true; rest = t
+        case "--semantic" :: v :: t => c = c.copy(semanticEmb = Some(v)); rest = t
+        case "--eval" :: v :: t => c = c.copy(evalDir = Some(v)); rest = t
+        case "--gram-state" :: v :: t => c = c.copy(gramState = Some(v)); rest = t
+        case "--redact" :: t => c = c.copy(redact = true); rest = t
+        case "--stage-dir" :: v :: t => c = c.copy(stageDir = Some(v)); rest = t
+        case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
+        case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
+        case p :: t => positional = positional :+ p; rest = t
+      }
+    }
+    if (noLang && langSet) return Left("--no-lang-gate conflicts with --lang")
+    if (noNearDup && nearDupSet) return Left("--no-near-dup conflicts with --near-dup")
+    if (noLang) c = c.copy(lang = None)
+    if (noNearDup) c = c.copy(nearDup = None)
+    positional match {
+      case in :: out :: Nil => c = c.copy(in = in, out = out)
+      case _ => return Left(
+        s"need exactly <inParquet> <outDir>, got ${positional.size} positional args")
+    }
+    validate(c)
+  }
+
+  private val valueFlags = Set("--lang", "--min-words", "--ngram",
+    "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
+    "--stage-dir")
+
+  private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
+    if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
+    else if (c.minWords < 0) Left(s"--min-words must be >= 0, got ${c.minWords}")
+    else if (c.minSpan != 0 && c.minSpan < c.ngram)
+      Left(s"--min-span must be 0 (cut every dup gram) or >= --ngram, " +
+        s"got ${c.minSpan} < ${c.ngram}")
+    else if (c.nearDup.exists(t => t <= 0.0 || t > 1.0))
+      Left(s"--near-dup must be in (0, 1], got ${c.nearDup.get}")
+    else if (c.lang.exists(_.isEmpty)) Left("--lang: empty language code")
+    else Right(c)
+  }
+}

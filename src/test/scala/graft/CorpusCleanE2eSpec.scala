@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.CorpusCleanCli
+import graft.operators.TextOps
+
+/** The corpus-clean TOOL drives the same oracle-gated operators as the
+  * registry queries — proven by running the CLI on the fixture corpus and
+  * matching pipeline_full_corpus's output row for row. */
+class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("corpus-clean on the fixture corpus matches pipeline_full_corpus row for row") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val inDir = tmp("cc_in")
+    val evalDir = tmp("cc_eval")
+    val outDir = tmp("cc_out")
+    // the query's split: train = %97 != 0 is the CLI input, eval = %97 == 0
+    // is the --eval decontamination split
+    docs.filter(col("doc_id") % 97 =!= 0).write.mode("overwrite").parquet(inDir)
+    docs.filter(col("doc_id") % 97 === 0).write.mode("overwrite").parquet(evalDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir, "--eval", evalDir))
+      .toOption.get // defaults = the pipeline's settings (en, 10, 5-gram, span 50, jaccard 0.5)
+    val n = CorpusClean.run(spark, cfg)
+    assert(n > 0)
+    // the query's tail grafts a synthetic PII demo before hashing (the
+    // fixture has no organic PII); apply the identical transform to the
+    // CLI survivors — equality then proves the whole stage chain matches
+    val cli = spark.read.parquet(outDir)
+    val pii = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example.com from 10."),
+      (col("doc_id") % 200).cast("string"), lit(".0."),
+      (col("doc_id") % 250).cast("string"))
+    val (masked, nEmails, nIps) = TextOps.piiMask(pii)
+    val got = cli.select(col("doc_id"), md5(masked).as("masked_hash"),
+        nEmails.as("n_emails"), nIps.as("n_ips"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("pipeline_full_corpus")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
+  test("--redact masks organic emails and IPv4s in the output text") {
+    val inDir = tmp("cc_redact_in")
+    val outDir = tmp("cc_redact_out")
+    import spark.implicits._
+    // long enough to pass the word gate; lang gate off to keep the doc
+    val text = "the quick brown fox jumps over the lazy dog again and " +
+      "again contact alice@example.com from 192.168.0.7 for more details"
+    Seq((1L, text)).toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "1", "--no-near-dup", "--redact")).toOption.get
+    assert(CorpusClean.run(spark, cfg) === 1L)
+    val out = spark.read.parquet(outDir).collect().head.getString(1)
+    assert(!out.contains("alice@example.com") && !out.contains("192.168.0.7"))
+    assert(out.contains("<EMAIL>") && out.contains("<IP>"))
+  }
+
+  test("--gram-state dedups the shard against persisted history without it present") {
+    import spark.implicits._
+    val span = "one two three four five"
+    val stateDir = tmp("cc_state")
+    val inDir = tmp("cc_incr_in")
+    val outDir = tmp("cc_incr_out")
+    // yesterday's corpus contributes the span once; persist its gram state
+    TextOps.gramCounts(Seq((1L, s"alpha beta $span gamma"))
+        .toDF("doc_id", "text"), 5)
+      .write.mode("overwrite").parquet(stateDir)
+    Seq((10L, s"delta $span epsilon zeta eta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir, "--no-lang-gate",
+      "--min-words", "1", "--min-span", "0", "--no-near-dup",
+      "--gram-state", stateDir)).toOption.get
+    assert(CorpusClean.run(spark, cfg) === 1L)
+    val out = spark.read.parquet(outDir).collect().head.getString(1)
+    // the cross-batch span is cut even though history is only files
+    assert(out === "delta epsilon zeta eta")
+  }
+
+  test("--semantic prunes embedding-duplicates of surviving docs") {
+    import spark.implicits._
+    val inDir = tmp("cc_sem_in")
+    val embDir = tmp("cc_sem_emb")
+    val outDir = tmp("cc_sem_out")
+    val mk = (i: Long, tail: String) =>
+      (i, s"document number $i talks about $tail topics at length")
+    Seq(mk(1L, "alpha"), mk(2L, "beta"), mk(3L, "gamma"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    // docs 1 and 3 share an identical embedding -> SemDeDup keeps doc 1
+    val e1 = Array(0.6f, 0.8f, 0f, 0f)
+    val e2 = Array(0f, 0f, 1f, 0f)
+    Seq((1L, e1), (2L, e2), (3L, e1)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(embDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir, "--no-lang-gate",
+      "--min-words", "1", "--no-near-dup", "--semantic", embDir)).toOption.get
+    assert(CorpusClean.run(spark, cfg) === 2L)
+    val ids = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Flag-surface validation matrix for `graft corpus-clean` — the CliSpec
+  * pattern (every invalid combination fails with a message, every valid
+  * one lands in the config). */
+class CorpusCleanCliSpec extends AnyFunSuite {
+
+  private def ok(args: String*): CorpusCleanConfig =
+    CorpusCleanCli.parse(args.toSeq).fold(
+      e => fail(s"expected parse, got error: $e"), identity)
+
+  private def err(args: String*): String =
+    CorpusCleanCli.parse(args.toSeq).fold(
+      identity, c => fail(s"expected error, parsed: $c"))
+
+  test("defaults: <in> <out> alone gives the production pipeline settings") {
+    val c = ok("/data/in", "/data/out")
+    assert(c.in === "/data/in" && c.out === "/data/out")
+    assert(c.lang === Some("en") && c.minWords === 10)
+    assert(c.ngram === 5 && c.minSpan === 50)
+    assert(c.nearDup === Some(0.5))
+    assert(c.semanticEmb.isEmpty && c.evalDir.isEmpty && c.gramState.isEmpty)
+    assert(!c.redact && c.stageDir.isEmpty)
+  }
+
+  test("every flag lands in the config") {
+    val c = ok("in", "out", "--lang", "fr", "--min-words", "3",
+      "--ngram", "4", "--min-span", "40", "--near-dup", "0.8",
+      "--semantic", "/emb", "--eval", "/ev", "--gram-state", "/gs",
+      "--redact", "--stage-dir", "/stages")
+    assert(c.lang === Some("fr") && c.minWords === 3)
+    assert(c.ngram === 4 && c.minSpan === 40 && c.nearDup === Some(0.8))
+    assert(c.semanticEmb === Some("/emb") && c.evalDir === Some("/ev"))
+    assert(c.gramState === Some("/gs") && c.redact && c.stageDir === Some("/stages"))
+  }
+
+  test("stage toggles: --no-lang-gate and --no-near-dup clear the stages") {
+    val c = ok("in", "out", "--no-lang-gate", "--no-near-dup")
+    assert(c.lang.isEmpty && c.nearDup.isEmpty)
+  }
+
+  test("positional arity is enforced") {
+    assert(err("onlyin").contains("positional"))
+    assert(err().contains("positional"))
+    assert(err("a", "b", "c").contains("positional"))
+  }
+
+  test("unknown flags and missing values fail") {
+    assert(err("in", "out", "--bogus").contains("unknown flag"))
+    assert(err("in", "out", "--ngram").contains("missing value"))
+    assert(err("in", "out", "--eval").contains("missing value"))
+    assert(err("in", "out", "--ngram", "five").contains("not an integer"))
+    assert(err("in", "out", "--near-dup", "high").contains("not a number"))
+  }
+
+  test("range validation: ngram, min-words, min-span, near-dup") {
+    assert(err("in", "out", "--ngram", "0").contains("--ngram"))
+    assert(err("in", "out", "--min-words", "-1").contains("--min-words"))
+    // min-span below the gram size is meaningless (any covered run is >= n)
+    assert(err("in", "out", "--min-span", "3").contains("--min-span"))
+    assert(ok("in", "out", "--min-span", "0").minSpan === 0)
+    assert(ok("in", "out", "--ngram", "3", "--min-span", "3").minSpan === 3)
+    assert(err("in", "out", "--near-dup", "0").contains("--near-dup"))
+    assert(err("in", "out", "--near-dup", "1.5").contains("--near-dup"))
+    assert(ok("in", "out", "--near-dup", "1").nearDup === Some(1.0))
+    assert(err("in", "out", "--lang", "").contains("--lang"))
+  }
+
+  test("contradictory toggles are refused, not last-wins") {
+    assert(err("in", "out", "--no-near-dup", "--near-dup", "0.5").contains("conflicts"))
+    assert(err("in", "out", "--near-dup", "0.5", "--no-near-dup").contains("conflicts"))
+    assert(err("in", "out", "--no-lang-gate", "--lang", "en").contains("conflicts"))
+  }
+}
