@@ -32,10 +32,12 @@ object CsvGen {
       case StringType =>
         coalesce(csvFieldCol(c), lit("\\N"))
       case TimestampType | TimestampNTZType =>
-        coalesce(date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("\\N"))
+        coalesce(graft.functions.RenderKernels.tsSeconds(c), lit("\\N"))
       case DateType =>
         coalesce(date_format(c, "yyyy-MM-dd"), lit("\\N"))
-      case DoubleType | FloatType =>
+      case DoubleType =>
+        coalesce(graft.functions.RenderKernels.fixed2(c), lit(""))
+      case FloatType =>
         coalesce(c.cast(DecimalType(18, 2)).cast(StringType), lit(""))
       case BinaryType =>
         coalesce(lower(hex(c)), lit(""))

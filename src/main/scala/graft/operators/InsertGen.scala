@@ -41,10 +41,12 @@ object InsertGen {
       case StringType =>
         concat(lit("'"), mysqlEscapeCol(c), lit("'"))
       case TimestampType | TimestampNTZType =>
-        concat(lit("'"), date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("'"))
+        concat(lit("'"), graft.functions.RenderKernels.tsSeconds(c), lit("'"))
       case DateType =>
         concat(lit("'"), date_format(c, "yyyy-MM-dd"), lit("'"))
-      case DoubleType | FloatType =>
+      case DoubleType =>
+        graft.functions.RenderKernels.fixed2(c)
+      case FloatType =>
         c.cast(DecimalType(18, 2)).cast(StringType)
       case BinaryType =>
         concat(lit("0x"), lower(hex(c))) // hex literal (F5, paradump.go:2865-2899)

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** Parity pins for the byte-assembling render kernels: each kernel must be
+  * cell-for-cell identical to the built-in chain it replaces
+  * (`CAST(CAST(x AS DECIMAL(18,2)) AS STRING)` /
+  * `date_format(ts, 'yyyy-MM-dd HH:mm:ss')`) — the oracle hash gate then
+  * re-proves the composed render against DuckDB end to end. */
+class RenderKernelsSpec extends AnyFunSuite with SparkSuite {
+
+  // --- Fixed2Kernel: adversarial digit cases (driver-side, kernel only) --
+
+  private def builtinFixed2(d: Double): String = {
+    // the exact Spark chain: Decimal(d) + changePrecision(18,2,HALF_UP)
+    try {
+      val dec = org.apache.spark.sql.types.Decimal(d)
+      if (dec.changePrecision(18, 2)) dec.toString else null
+    } catch { case _: NumberFormatException => null }
+  }
+
+  private def k(d: Double): String =
+    Option(Fixed2Kernel.format(d)).map(_.toString).orNull
+
+  test("fixed2: decimal-string rounding, not binary rounding") {
+    // 2.675 as a double is 2.67499999...; BigDecimal.valueOf rounds the
+    // SHORTEST-DECIMAL form "2.675" -> 2.68. A naive d*100 round gives 2.67.
+    assert(k(2.675) == "2.68")
+    assert(k(-2.675) == "-2.68")
+    assert(k(0.125) == "0.13") // exact binary .125 -> half-up
+    assert(k(-0.125) == "-0.13")
+  }
+
+  test("fixed2: carry propagation and sign-of-zero") {
+    assert(k(9.995) == builtinFixed2(9.995)) // carry across all digits
+    assert(k(99.999) == "100.00")
+    assert(k(-99.999) == "-100.00")
+    assert(k(0.0) == "0.00")
+    assert(k(-0.0) == "0.00") // BigDecimal drops the sign of zero
+    assert(k(-0.001) == "0.00") // negative rounding to zero drops the sign
+    assert(k(-0.005) == "-0.01") // ...but a surviving magnitude keeps it
+  }
+
+  test("fixed2: E-notation magnitudes and non-finite fall back faithfully") {
+    for (d <- Seq(1.0e7, 1.23e-5, 9.87654321e15, 1.0e16, 1.0e18, 4.9e-324,
+                  Double.MaxValue, Double.MinPositiveValue))
+      assert(k(d) == builtinFixed2(d), s"d=$d")
+    assert(k(Double.NaN) == null)
+    assert(k(Double.PositiveInfinity) == null)
+    assert(k(Double.NegativeInfinity) == null)
+  }
+
+  test("fixed2: property sweep vs the built-in chain") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(20000) {
+      rnd.nextInt(4) match {
+        case 0 => (rnd.nextInt(2000000) - 1000000) / 100.0 // 2-dp money
+        case 1 => rnd.nextDouble() * 2e5 - 1e5 // full-precision doubles
+        case 2 => rnd.nextInt(2001) / 1000.0 - 1.0 // 3-dp ties
+        case 3 => java.lang.Double.longBitsToDouble(rnd.nextLong()) // chaos
+      }
+    }
+    samples.foreach { d =>
+      if (!d.isNaN && !d.isInfinite)
+        assert(k(d) == builtinFixed2(d), s"d=$d bits=${java.lang.Double.doubleToLongBits(d)}")
+    }
+  }
+
+  // --- whole-column parity through the actual Spark expressions ---------
+
+  test("fixed2 + tsSeconds: column-level parity with the built-in chain") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(5000) { i =>
+      val d = rnd.nextInt(3) match {
+        case 0 => (rnd.nextInt(2000000) - 1000000) / 100.0
+        case 1 => rnd.nextDouble() * 1e6 - 5e5
+        case 2 => rnd.nextInt(2001) / 1000.0
+      }
+      // 1677..2262 (long-range micros): crosses leap years and centuries
+      val micros = rnd.nextLong() % (9.2e18.toLong) / 1000
+      (d, micros)
+    }
+    val df = rows.toDF("d", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val mismatches = df.select(
+      RenderKernels.fixed2($"d").as("kd"),
+      $"d".cast(DecimalType(18, 2)).cast(StringType).as("bd"),
+      RenderKernels.tsSeconds($"ts").as("kt"),
+      date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("bt"))
+      .filter(!($"kd" <=> $"bd") || !($"kt" <=> $"bt"))
+      .collect()
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("\n"))
+  }
+
+  test("tsSeconds: epoch edges, leap day, DST-irrelevance under UTC") {
+    val s = spark
+    import s.implicits._
+    val micros = Seq(
+      0L, -1L, 1L, -62135596800000000L, // 0001-01-01T00:00:00Z
+      253402300799000000L, // 9999-12-31T23:59:59Z
+      951782400000000L, // 2000-02-29
+      -2208988800000000L, // 1900-01-01 (not a leap year)
+      1583020799999999L // fractional truncation toward past
+    )
+    val df = micros.toDF("us").withColumn("ts", timestamp_micros($"us"))
+    val bad = df.select(
+      RenderKernels.tsSeconds($"ts").as("kt"),
+      date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("bt"))
+      .filter(!($"kt" <=> $"bt")).collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}
