@@ -252,6 +252,36 @@ object Queries {
        |FROM (SELECT doc_id, rtrim(array_to_string(regexp_split_to_array(text, '\\s+'), ' '), ' ') AS norm
        |      FROM documents)""".stripMargin
 
+  /** Feature-hashing embeddings (Weinberger et al. ICML'09) for the whole
+    * corpus — the in-engine, model-free vectorizer feeding the similarity
+    * family. Exploded (doc_id, dim_idx, value) so the oracle compares
+    * cells; the hash is the portable 62-bit dual-base poly, so DuckDB
+    * replays bucket, sign, count, and L2 normalization bit-exactly. */
+  def hashEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.hashEmbed(t(s, dir, "documents"), dim = 64)
+
+  val hashEmbedSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+       |                               t -> lower(t))) AS tok
+       |  FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, ${dkPoly("tok", 31)} + (${dkPoly("tok", 37)} << 31) AS h
+       |  FROM toks
+       |), comps AS (
+       |  SELECT doc_id, CAST(h % 64 AS INT) AS dim_idx,
+       |         CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS cnt
+       |  FROM hashed GROUP BY 1, 2
+       |), normed AS (
+       |  SELECT doc_id, dim_idx, cnt,
+       |         sqrt(CAST(SUM(cnt * cnt) OVER (PARTITION BY doc_id) AS DOUBLE)) AS nrm
+       |  FROM comps
+       |)
+       |SELECT doc_id, dim_idx,
+       |       CASE WHEN nrm > 0 THEN CAST(cnt AS DOUBLE) / nrm END AS value
+       |FROM normed""".stripMargin
+
   // ---------------------------------------------------------------------
   // LLM-data-pipeline: near-dup + similarity search.
   // ---------------------------------------------------------------------
@@ -334,6 +364,36 @@ object Queries {
       numHashes = 16, bands = 8, threshold = 0.5)
 
   val nearDupMinhashSql: String = exactJaccardSql
+
+  /** Incremental near-dup: the planted corpus split into HISTORY (the
+    * originals) and a NEW BATCH (the planted mutations, doc_id >= 1e6);
+    * history's band table and shingle-hash sets are persisted through
+    * StageStore and the batch is deduped against the FILES — the
+    * production cadence, where yesterday's corpus text is never rescanned.
+    * Same pinned 16/8 geometry as near_dup_minhash, so the deterministic
+    * 100%-recall argument carries over; the oracle is the all-pairs ground
+    * truth restricted to pairs touching the batch (doc_b >= 1e6 — the
+    * greater id of any such pair is always a planted id). */
+  def nearDupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = docsWithPlantedDups(s, dir)
+    val history = all.filter(col("doc_id") < 1000000L)
+    val batch = all.filter(col("doc_id") >= 1000000L)
+    val tag = graft.StageStore.dirTag(dir)
+    val bandsF = graft.StageStore.materialize(
+      graft.operators.NearDup.bandFrame(history, k = 3, numHashes = 16, bands = 8),
+      s"ndinc_bands_$tag")
+    val setsF = graft.StageStore.materialize(
+      graft.operators.NearDup.shingleHashSets(history, k = 3),
+      s"ndinc_sets_$tag")
+    graft.operators.NearDup.nearDupPairsIncremental(batch, bandsF, setsF,
+      k = 3, numHashes = 16, bands = 8, threshold = 0.5)
+  }
+
+  val nearDupIncrementalSql: String =
+    jaccardPairsCtePrefix + """
+      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+      |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+      |  AND doc_b >= 1000000""".stripMargin
 
   /** Exact n-gram Jaccard via inverted-index candidates — same ground truth
     * as the oracle by construction (recall exact for threshold > 0). */
@@ -3304,7 +3364,9 @@ object Queries {
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
+    "hash_embed" -> (hashEmbed _),
     "near_dup_minhash" -> (nearDupMinhash _),
+    "near_dup_incremental" -> (nearDupIncremental _),
     "near_dup_simhash" -> (nearDupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "near_dup_clusters" -> (nearDupClusters _),
@@ -3407,7 +3469,9 @@ object Queries {
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "hash_embed" -> hashEmbedSql,
     "near_dup_minhash" -> nearDupMinhashSql,
+    "near_dup_incremental" -> nearDupIncrementalSql,
     "near_dup_simhash" -> nearDupSimhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "near_dup_clusters" -> nearDupClustersSql,

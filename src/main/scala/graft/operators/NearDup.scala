@@ -240,6 +240,54 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup — the production cadence: each NEW shard is
+    * checked against yesterday's corpus WITHOUT rescanning history text.
+    * `priorBands` / `priorShSets` are the persisted state for the history
+    * corpus ([[bandFrame]] and [[shingleHashSets]] output, read from
+    * parquet — the [[graft.StageStore]] pattern); the new batch contributes
+    * its own bands/sets, candidates are (batch × history∪batch) bucket
+    * joins, and the exact-Jaccard verify runs over the union's hash sets.
+    *
+    * Returns exactly [[nearDupPairs]] over (history ∪ batch) RESTRICTED to
+    * pairs with >= 1 batch member: band signatures are per-doc
+    * deterministic, and the bucket-size cap counts over the same union a
+    * one-shot run would see. History-history pairs never form (the left
+    * side of the bucket join is batch-only) — yesterday's corpus already
+    * shipped, so re-deciding its internal pairs is not this job's business.
+    *
+    * Contract: history and batch doc_ids are disjoint (re-submitting a doc
+    * under its history id would pair it with itself via distinct ids only;
+    * enforce upstream).
+    *
+    * Scale shape: the exchanges carry band keys (24 bytes/row) and the
+    * candidate pairs; history contributes FILE reads of its band/set
+    * parquet — no text, no signatures recomputed. Geometry must match the
+    * state's (pass the values the state was built with). */
+  def nearDupPairsIncremental(newDocs: DataFrame,
+                              priorBands: DataFrame,
+                              priorShSets: DataFrame,
+                              k: Int = 3, numHashes: Int = 16, bands: Int = 8,
+                              threshold: Double = 0.6,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    val newBands = bandFrame(newDocs, k, numHashes, bands)
+    val allBands = priorBands.unionByName(newBands)
+    val okBuckets = allBands.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("band_id", "band_hash")
+    val l = newBands.join(okBuckets, Seq("band_id", "band_hash"))
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_l"))
+    val r = allBands.join(okBuckets, Seq("band_id", "band_hash"))
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_r"))
+    val pairs = l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("doc_l") =!= col("doc_r"))
+      .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_l"), col("doc_r")).as("doc_b"))
+      .distinct()
+    val allSets = priorShSets.unionByName(shingleHashSets(newDocs, k))
+    withJaccardHashed(pairs, allSets).filter(col("jaccard") >= threshold)
+  }
+
   // --- SimHash -----------------------------------------------------------
 
   /** SimHash signature width. 62 bits (not 64) because the portable token

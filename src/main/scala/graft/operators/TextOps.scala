@@ -585,4 +585,67 @@ object TextOps {
         (id, NearDup.TokenHash.hash62(text.split("\\s+").mkString(" ")))
       }).toDF("doc_id", "fp62")
   }
+
+  /** Feature-hashing document embeddings — the "hashing trick" (Weinberger
+    * et al., ICML'09; scikit-learn's HashingVectorizer): each token maps to
+    * bucket `hash % dim` with a sign drawn from the next hash bit, the
+    * signed counts are summed per bucket, and the vector is L2-normalized.
+    * The standard model-free vectorizer: it gives the similarity /
+    * semantic-dedup family (ANN, SemDeDup, k-means) an in-engine embedding
+    * column when no learned embeddings exist, with no vocabulary table to
+    * build, ship, or keep consistent across batches.
+    *
+    * Deterministic and portable by construction: the token hash is
+    * [[NearDup.TokenHash.hash62]] (exactly replayable in 64-bit integer
+    * SQL), tokens are ASCII-letter runs lowercased after extraction (the
+    * engine-independent fold, same as [[tokenTopK]]), and normalization is
+    * sqrt of an exact integer sum-of-squares followed by one IEEE division
+    * per component — every engine computes identical bits.
+    *
+    * Output is EXPLODED — (doc_id, dim_idx, value), zero components absent
+    * except where sign cancellation yields an exact 0 row — so the oracle
+    * compares cells, and downstream consumers `collect_list` into a dense
+    * array only where they need one.
+    *
+    * Scale shape: one JVM tokenize+hash pass (no per-token string rows
+    * shuffle — the exchange carries (doc_id, dim_idx, partial count) after
+    * map-side combine, ≤ dim rows per doc per task), one shuffle keyed on
+    * (doc_id, dim_idx), then a per-doc window over ≤ dim aggregated rows. */
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import docs.sparkSession.implicits._
+    require(dim >= 2, s"hashEmbed dim must be >= 2, got $dim")
+    val signed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        tokenIter(text).map { tok =>
+          val h = NearDup.TokenHash.hash62(tok)
+          (id, (h % dim).toInt, if (((h / dim) & 1L) == 0L) 1L else -1L)
+        }
+      }.toDF("doc_id", "dim_idx", "sign")
+    val comps = signed.groupBy("doc_id", "dim_idx")
+      .agg(sum("sign").as("cnt"))
+    val norm = sqrt(sum(col("cnt") * col("cnt"))
+      .over(Window.partitionBy("doc_id")).cast("double"))
+    comps.select(
+      col("doc_id"), col("dim_idx"),
+      when(norm > 0, col("cnt").cast("double") / norm).as("value"))
+  }
+
+  /** [[tokenTopK]]'s tokenization as a JVM iterator: maximal ASCII-letter
+    * runs, lowercased after extraction. */
+  private[operators] def tokenIter(text: String): Iterator[String] = new Iterator[String] {
+    private var i = 0
+    private def isLetter(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    private def skip(): Unit = { while (i < text.length && !isLetter(text.charAt(i))) i += 1 }
+    skip()
+    def hasNext: Boolean = i < text.length
+    def next(): String = {
+      val start = i
+      while (i < text.length && isLetter(text.charAt(i))) i += 1
+      val t = text.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+      skip()
+      t
+    }
+  }
 }

@@ -399,6 +399,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
         s"history is being rescanned:\n${p.take(3000)}")
   }
 
+  test("near_dup_incremental: history enters as persisted band/set files; batch is the only text scanned") {
+    val df = SparkEntry.queries("near_dup_incremental")(spark, sf)
+    val p = planFullPaths(df)
+    assert(p.contains(s"ndinc_bands_${StageStore.dirTag(sf)}") &&
+      p.contains(s"ndinc_sets_${StageStore.dirTag(sf)}"),
+      s"history state not read from stage files:\n${p.take(3000)}")
+    // every documents scan in the final plan belongs to the BATCH branch
+    // (the >= 1e6 planted-id filter sits above it after the id remap);
+    // history text re-entering would add a scan under a < 1e6 filter
+    assert(!p.contains("< 1000000"),
+      s"a history-side documents scan is back in the pair plan:\n${p.take(3000)}")
+  }
+
   test("rolling_distinct_persisted: answered from sketch files alone — no events scan") {
     val df = SparkEntry.queries("rolling_distinct_persisted")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

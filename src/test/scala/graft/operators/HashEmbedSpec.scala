@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** Properties of the feature-hashing embedder (TextOps.hashEmbed):
+  * unit-norm output, hash-determined placement, partitioning invariance,
+  * and usability as the embedding input of the similarity family. */
+class HashEmbedSpec extends AnyFunSuite with SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("every embedded document has an L2 norm of 1") {
+    val s = spark
+    import s.implicits._
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha alpha alpha",
+      3L -> "one two three four five six seven eight nine ten")
+    val norms = TextOps.hashEmbed(d, dim = 16)
+      .groupBy("doc_id").agg(sum(col("value") * col("value")).as("n2"))
+      .select("n2").as[Double].collect()
+    assert(norms.length == 3)
+    norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-9, s"n2=$n2"))
+  }
+
+  test("identical token multisets embed identically regardless of order") {
+    val a = TextOps.hashEmbed(docs(1L -> "x y z z"), dim = 8)
+      .select("dim_idx", "value").collect().toSet
+    val b = TextOps.hashEmbed(docs(9L -> "z x z y"), dim = 8)
+      .select("dim_idx", "value").collect().toSet
+    assert(a == b)
+  }
+
+  test("placement matches the hash arithmetic") {
+    val h = NearDup.TokenHash.hash62("alpha")
+    val rows = TextOps.hashEmbed(docs(1L -> "alpha"), dim = 64).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getInt(1) == (h % 64).toInt)
+    val expectedSign = if (((h / 64) & 1L) == 0L) 1.0 else -1.0
+    assert(rows(0).getDouble(2) == expectedSign)
+  }
+
+  test("tokenization: ASCII letter runs, lowercased; no letters -> no rows") {
+    assert(TextOps.tokenIter("Ab1cD  e-f").toList == List("ab", "cd", "e", "f"))
+    assert(TextOps.tokenIter("123 .,;").isEmpty)
+    assert(TextOps.hashEmbed(docs(1L -> "123 456"), dim = 8).count() == 0)
+  }
+
+  test("partitioning invariance") {
+    val d = docs((1L to 40L).map(i => i -> s"tok$i common alpha beta"): _*)
+    val one = TextOps.hashEmbed(d.repartition(1), dim = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val many = TextOps.hashEmbed(d.repartition(7), dim = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(one == many)
+  }
+
+  test("hash embeddings drive cosine similarity: shared-vocab pairs score higher") {
+    val s = spark
+    import s.implicits._
+    val d = docs(
+      1L -> "spark shuffle partition codegen catalyst",
+      2L -> "spark shuffle partition codegen tungsten",
+      3L -> "violets daisies tulips orchids roses")
+    val dense = TextOps.hashEmbed(d, dim = 64)
+      .groupBy("doc_id")
+      .agg(map_from_arrays(collect_list("dim_idx"), collect_list("value")).as("m"))
+      .as[(Long, Map[Int, Double])].collect().toMap
+    def cos(a: Map[Int, Double], b: Map[Int, Double]): Double =
+      a.map { case (k, v) => v * b.getOrElse(k, 0.0) }.sum // unit vectors
+    assert(cos(dense(1L), dense(2L)) > 0.6)
+    assert(cos(dense(1L), dense(2L)) > cos(dense(1L), dense(3L)) + 0.3)
+  }
+}

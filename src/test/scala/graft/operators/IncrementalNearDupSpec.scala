@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** The incremental near-dup contract: deduping a NEW batch against
+  * persisted history state returns exactly the one-shot result over
+  * (history ∪ batch) restricted to pairs touching the batch — and batches
+  * chain (state grows by union, so day-3 against day-1+2 state equals the
+  * one-shot over all three). */
+class IncrementalNearDupSpec extends AnyFunSuite with SparkSuite {
+
+  private val K = 3; private val NH = 16; private val B = 8
+
+  private def corpus(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // near-identical pairs across the batch boundary + an unrelated doc
+  private val base = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+    2L -> "an utterly unrelated document about distributed query engines and shuffles",
+    3L -> "sphinx of black quartz judge my vow in the ancient stone temple hall")
+  private val batch1 = Seq(
+    11L -> "the quick brown fox jumps over the lazy dog again and again today",
+    12L -> "completely novel content with no neighbours in this tiny corpus at all")
+  private val batch2 = Seq(
+    21L -> "sphinx of black quartz judge my vow in the ancient stone temple court",
+    22L -> "the quick brown fox jumps over the lazy dog again and again tomorrow")
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def state(docs: DataFrame): (DataFrame, DataFrame) =
+    (NearDup.bandFrame(docs, K, NH, B), NearDup.shingleHashSets(docs, K))
+
+  test("incremental == one-shot restricted to pairs touching the batch") {
+    val hist = corpus(base: _*)
+    val batch = corpus(batch1: _*)
+    val (pb, ps) = state(hist)
+    val inc = pairsOf(NearDup.nearDupPairsIncremental(
+      batch, pb, ps, K, NH, B, threshold = 0.5))
+    val oneShot = pairsOf(
+      NearDup.nearDupPairs(corpus((base ++ batch1): _*), K, NH, B, threshold = 0.5)
+        .filter(col("doc_b") >= 11L))
+    assert(inc == oneShot)
+    assert(inc.nonEmpty, "fixture must actually produce cross-boundary pairs")
+    // no history-history pairs leak into the incremental result
+    inc.foreach { case (_, b, _) => assert(b >= 11L) }
+  }
+
+  test("batches chain: day-3 against unioned day-1+2 state == one-shot") {
+    val hist = corpus(base: _*)
+    val b1 = corpus(batch1: _*)
+    val (pb1, ps1) = state(hist)
+    // state update is pure union of per-batch state frames
+    val (nb1, ns1) = state(b1)
+    val pb2 = pb1.unionByName(nb1)
+    val ps2 = ps1.unionByName(ns1)
+    val b2 = corpus(batch2: _*)
+    val inc = pairsOf(NearDup.nearDupPairsIncremental(
+      b2, pb2, ps2, K, NH, B, threshold = 0.5))
+    val oneShot = pairsOf(
+      NearDup.nearDupPairs(corpus((base ++ batch1 ++ batch2): _*),
+          K, NH, B, threshold = 0.5)
+        .filter(col("doc_b") >= 21L))
+    assert(inc == oneShot)
+    assert(inc.exists { case (a, _, _) => a < 11L },
+      "a day-3 doc must pair with day-1 history through the persisted state")
+  }
+
+  test("bucket cap counts over history ∪ batch, exactly like a one-shot run") {
+    val hist = corpus(base: _*)
+    val batch = corpus(batch1: _*)
+    val (pb, ps) = state(hist)
+    // cap=1 drops every shared bucket: candidates require a bucket of >= 2
+    val capped = NearDup.nearDupPairsIncremental(
+      batch, pb, ps, K, NH, B, threshold = 0.5, maxBucketSize = 1)
+    assert(capped.count() == 0)
+  }
+}
