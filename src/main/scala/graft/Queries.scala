@@ -3347,6 +3347,102 @@ object Queries {
       |ORDER BY user_id, ts, event_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // split_assign — leakage-safe train/val/test split (Splits.hashSplit):
+  // the split key is the SOURCE, not the row, so near-duplicates from one
+  // site can never straddle train and test. Map-only: no shuffle, no
+  // state, and a key's label never changes as the corpus grows (a rank-
+  // quantile split relabels on every ingest).
+  // ---------------------------------------------------------------------
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.hashSplit(
+        t(s, dir, "documents"), keyCol = "source", salt = "graft-split:")
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy("doc_id")
+
+  val splitAssignSql: String =
+    s"""SELECT doc_id, source,
+       |${graft.operators.Splits.splitLabelSql("source", "graft-split:")} AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // shard_balance — token-balanced shard assignment (Splits.shardBalance):
+  // global rank by token count without a single-partition window (range
+  // shuffle + zipWithIndex), snake assignment, per-shard audit row. The
+  // oracle is the textbook one-window form.
+  // ---------------------------------------------------------------------
+  def shardBalance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.shardBalance(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), nShards = 8)
+
+  val shardBalanceSql: String =
+    """WITH w AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |             md5(text) AS hx FROM documents),
+      |r AS (SELECT doc_id, tok,
+      |        row_number() OVER (ORDER BY tok DESC, hx, doc_id) - 1 AS rk FROM w),
+      |a AS (SELECT CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+      |                  ELSE 7 - (rk % 8) END AS shard, tok FROM r)
+      |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // lm_bigram_rarity — self-supervised LM quality signal
+  // (LmScore.bigramRarity): per-doc rare-bigram mass against the corpus
+  // bigram distribution, the no-external-model cousin of CCNet's KenLM
+  // perplexity filter. Exact counts + one IEEE division.
+  // ---------------------------------------------------------------------
+  def lmBigramRarity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.bigramRarity(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        rareMax = 2L,
+        stageLabel = Some(s"bigram_rarity_${StageStore.dirTag(dir)}"))
+      .orderBy("doc_id")
+
+  val lmBigramRaritySql: String = graft.operators.LmScore.bigramRaritySql(2L)
+
+  // ---------------------------------------------------------------------
+  // importance_resample — DSIR-style data selection (Xie et al.
+  // NeurIPS'23, LmScore.importanceWeights): hashed-unigram importance of
+  // every document toward the src0 target domain, then the top-100 draw
+  // via the salted two-phase top-n (no whole-corpus single-task window).
+  // ---------------------------------------------------------------------
+  def importanceResample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    val scored = graft.operators.LmScore.importanceWeights(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+      targetFilter = col("source") === lit("src0"),
+      stageLabel = Some(s"dsir_buckets_${StageStore.dirTag(dir)}"))
+    val local = Window
+      .partitionBy(pmod(xxhash64(col("doc_id")), lit(16)))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    val global = Window.orderBy(col("score_ppm").desc, col("doc_id"))
+    scored
+      .withColumn("_rl", row_number().over(local)).filter(col("_rl") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("n_tokens"), col("score_ppm"), col("rk"))
+      .orderBy("rk")
+  }
+
+  val importanceResampleSql: String =
+    """WITH toks AS (SELECT doc_id, (source = 'src0') AS is_target,
+      |         substr(md5(unnest(string_split(text, ' '))), 1, 2) AS b
+      |       FROM documents),
+      |db AS (SELECT doc_id, b, COUNT(*) AS n, MAX(is_target) AS is_target
+      |       FROM toks GROUP BY doc_id, b),
+      |r AS (SELECT b, SUM(n) AS raw_c,
+      |        SUM(CASE WHEN is_target THEN n ELSE 0 END) AS tgt_c
+      |      FROM db GROUP BY b),
+      |s AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |        CAST(SUM(n * ((tgt_c * 1000000) // raw_c)) AS BIGINT) AS score_ppm
+      |      FROM db JOIN r USING (b) GROUP BY doc_id),
+      |t AS (SELECT doc_id, n_tokens, score_ppm,
+      |        CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rk
+      |      FROM s)
+      |SELECT doc_id, n_tokens, score_ppm, rk FROM t WHERE rk <= 100 ORDER BY rk""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3450,7 +3546,11 @@ object Queries {
     "sample_mixture" -> (sampleMixture _),
     "scd2_intervals" -> (scd2Intervals _),
     "events_stream_enrich" -> (eventsStreamEnrich _),
-    "rolling_window" -> (rollingWindow _)
+    "rolling_window" -> (rollingWindow _),
+    "split_assign" -> (splitAssign _),
+    "shard_balance" -> (shardBalance _),
+    "lm_bigram_rarity" -> (lmBigramRarity _),
+    "importance_resample" -> (importanceResample _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3555,6 +3655,10 @@ object Queries {
     "sample_mixture" -> sampleMixtureSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "events_stream_enrich" -> eventsStreamEnrichSql,
-    "rolling_window" -> rollingWindowSql
+    "rolling_window" -> rollingWindowSql,
+    "split_assign" -> splitAssignSql,
+    "shard_balance" -> shardBalanceSql,
+    "lm_bigram_rarity" -> lmBigramRaritySql,
+    "importance_resample" -> importanceResampleSql
   )
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical-LM quality signals over the corpus's own n-gram statistics
+  * — the filtering family CCNet/RefinedWeb run with a KenLM model, here in
+  * the self-supervised form that needs no external model file:
+  *
+  *  - [[bigramRarity]]: per-document rare-bigram mass against the corpus
+  *    bigram distribution (a document whose transitions the corpus has
+  *    never seen twice is boilerplate-free but also likely garbled — both
+  *    tails of the rarity ratio are standard filter cuts);
+  *  - [[importanceWeights]]: DSIR-style (Xie et al., NeurIPS'23) hashed
+  *    n-gram importance of each document toward a TARGET domain, the
+  *    select-pretraining-data-like-my-target primitive.
+  *
+  * Every score is exact integer arithmetic plus at most one IEEE division,
+  * so the DuckDB oracle reproduces it bit-for-bit — deliberately NOT the
+  * paper's log-likelihood (libm `ln` is not guaranteed identical across
+  * engines): rarity thresholds and importance RANKINGS are order-isomorphic
+  * to their log forms for fixed-length docs, which is what the filter and
+  * the top-k select actually consume.
+  */
+object LmScore {
+
+  /** Internal 64-bit gram key — md5-prefix, same trade as
+    * TextOps.dedupSubstring's key: 8 bytes through every exchange, and the
+    * oracle keys on the full md5 so a (astronomically rare) collision
+    * surfaces as a verify mismatch, never a silent agreement. */
+  private def perDocGramCounts(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder(64)
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ", -1)
+          // local (gh -> count) fold: one output row per DISTINCT gram per
+          // doc, not per position — the map-side combine the groupBy below
+          // would otherwise do row-by-row
+          val m = new java.util.HashMap[Long, Long]()
+          var i = 0
+          while (i <= ws.length - n) {
+            sb.setLength(0)
+            var j = i
+            while (j < i + n) { if (j > i) sb.append(' '); sb.append(ws(j)); j += 1 }
+            val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val gh = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+            m.merge(gh, 1L, (a, b) => a + b)
+            i += 1
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](m.size)
+          m.forEach((gh, c) => out += ((id, gh, c)))
+          out.iterator
+        }
+      }.toDF("doc_id", "gh", "n")
+  }
+
+  /** Per-document rarity profile against the corpus bigram distribution:
+    * `(doc_id, n_bigrams, rare_cnt, rare_ratio)` where a bigram occurrence
+    * is RARE when its corpus-wide count is ≤ `rareMax`.
+    *
+    * Scale shape: the per-doc gram fold emits one row per distinct gram
+    * per doc (never per position); the corpus count table derives from
+    * that same reduced table with a second 8-byte-key shuffle; the
+    * enrichment is a plain shuffle hash join on `gh` (both sides already
+    * reduced — at 100 TB the gram table is vocab²-bounded, far below the
+    * corpus, and neither side carries text). The shared per-doc table is
+    * StageStore-materialized so its scan+fold runs ONCE, not once per
+    * consumer (the multi-consumer rule the pipeline queries follow).
+    * Docs with < 2 tokens have no bigrams and are reported with zeros via
+    * the left join from the docs spine. */
+  def bigramRarity(docs: DataFrame, rareMax: Long = 2L,
+      stageLabel: Option[String] = None): DataFrame = {
+    val perDocRaw = perDocGramCounts(docs, n = 2)
+    val perDoc = stageLabel match {
+      case Some(l) => graft.StageStore.materialize(perDocRaw, l)
+      case None    => perDocRaw
+    }
+    val corpus = perDoc.groupBy("gh").agg(sum("n").as("c"))
+    val scored = perDoc.join(corpus, "gh")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        sum(when(col("c") <= lit(rareMax), col("n")).otherwise(lit(0L)))
+          .as("rare_cnt"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("rare_cnt"), lit(0L)).cast("long").as("rare_cnt"))
+      .withColumn("rare_ratio",
+        when(col("n_bigrams") > 0,
+          col("rare_cnt").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** DuckDB oracle for [[bigramRarity]] (full-md5 gram keys). */
+  def bigramRaritySql(rareMax: Long = 2L): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g0 AS (SELECT doc_id,
+       |         unnest([md5(ws[i] || ' ' || ws[i+1]) for i in generate_series(1, len(ws)-1)]) AS gh
+       |       FROM w WHERE len(ws) >= 2),
+       |g AS (SELECT doc_id, gh, COUNT(*) AS n FROM g0 GROUP BY doc_id, gh),
+       |c AS (SELECT gh, SUM(n) AS c FROM g GROUP BY gh),
+       |s AS (SELECT doc_id, SUM(n) AS n_bigrams,
+       |        SUM(CASE WHEN c <= $rareMax THEN n ELSE 0 END) AS rare_cnt
+       |      FROM g JOIN c USING (gh) GROUP BY doc_id)
+       |SELECT w.doc_id,
+       |  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(s.rare_cnt, 0) AS BIGINT) AS rare_cnt,
+       |  CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+       |       THEN CAST(s.rare_cnt AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+       |       ELSE 0.0 END AS rare_ratio
+       |FROM w LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** DSIR-style hashed importance of each document toward the TARGET
+    * subset selected by `targetFilter` (SQL text `targetWhere` for the
+    * oracle): `(doc_id, n_tokens, score_ppm)`.
+    *
+    * Features are unigrams hashed into 256 buckets (first two md5 hex
+    * digits). Each token occurrence contributes the integer
+    * `(target_count(bucket) * 1_000_000) div raw_count(bucket)` — the
+    * bucket's target-vs-corpus rate in parts-per-million, exact BIGINT
+    * arithmetic (raw_count ≥ 1 for every bucket a document hits, since
+    * the document itself is in the corpus). The paper works with
+    * log-ratios of smoothed probabilities; the ppm-rate sum is the same
+    * enrichment signal in exact arithmetic — what the downstream top-k
+    * resample consumes is the ORDER, which both forms induce from the
+    * same per-bucket rates.
+    *
+    * Scale shape: ONE corpus pass builds the per-doc bucket histogram
+    * (map-side partial fold; ≤ 256 reduced rows per doc leave the map
+    * side), StageStore-materialized because it feeds two consumers; the
+    * 256-row rate table is a second-level aggregate OVER the histogram
+    * (histogram-sized input, never the corpus) and is broadcast; scoring
+    * is a map-side broadcast join + one groupBy(doc_id) with map-side
+    * partials. The rate is integral `div` — exact BIGINT on both engines
+    * regardless of magnitude (an IEEE-divide-then-floor drifts once the
+    * numerator passes 2^53). */
+  def importanceWeights(docs: DataFrame,
+      targetFilter: org.apache.spark.sql.Column,
+      stageLabel: Option[String] = None): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), targetFilter.as("is_target"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", substring(md5(col("tok")), 1, 2))
+    // per-doc bucket histogram: ≤ 256 rows per doc leave the map side
+    val docBucketsRaw = toks.groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("n"), max(col("is_target")).as("is_target"))
+    val docBuckets = stageLabel match {
+      case Some(l) => graft.StageStore.materialize(docBucketsRaw, l)
+      case None    => docBucketsRaw
+    }
+    // 256-row rate table, derived from the reduced histogram
+    val rates = docBuckets.groupBy("b")
+      .agg(sum("n").as("raw_c"),
+        sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("tgt_c"))
+    docBuckets
+      .join(broadcast(rates), "b")
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_tokens"),
+        sum(col("n") *
+          expr("(tgt_c * CAST(1000000 AS BIGINT)) div raw_c"))
+          .cast("long").as("score_ppm"))
+  }
+
+  /** DuckDB oracle for [[importanceWeights]]. */
+  def importanceWeightsSql(targetWhere: String): String =
+    s"""WITH toks AS (SELECT doc_id, ($targetWhere) AS is_target,
+       |         substr(md5(unnest(string_split(text, ' '))), 1, 2) AS b
+       |       FROM documents),
+       |db AS (SELECT doc_id, b, COUNT(*) AS n, MAX(is_target) AS is_target
+       |       FROM toks GROUP BY doc_id, b),
+       |r AS (SELECT b, SUM(n) AS raw_c,
+       |        SUM(CASE WHEN is_target THEN n ELSE 0 END) AS tgt_c
+       |      FROM db GROUP BY b)
+       |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n * ((tgt_c * 1000000) // raw_c)) AS BIGINT) AS score_ppm
+       |FROM db JOIN r USING (b) GROUP BY doc_id""".stripMargin
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/val/test splitting and token-balanced sharding — the two layout
+  * decisions every training run bakes in before the first batch.
+  *
+  * Both are deterministic and content/key-addressed, so re-running the
+  * pipeline on a grown corpus keeps yesterday's rows in yesterday's
+  * split/shard class wherever possible:
+  *
+  *  - [[hashSplit]] is a MAP-ONLY hash partition of a leakage domain
+  *    (e.g. source/site/url-host): no sort, no shuffle, no state — the
+  *    only split rule that survives 100 TB unchanged, and the only one
+  *    that is stable under corpus growth (a rank-quantile split reshuffles
+  *    labels every time a row is added).
+  *  - [[shardBalance]] equalizes per-shard token mass with ONE range
+  *    shuffle (the global sort) + snake assignment — the greedy
+  *    longest-processing-time heuristic's distributed-friendly cousin
+  *    (LPT needs a sequential priority queue; snake over a sorted order
+  *    is within one max-element of the same bound and is pure
+  *    arithmetic on a global rank).
+  */
+object Splits {
+
+  /** Deterministic 3-way split by hash of `keyCol` under `salt`.
+    *
+    * The split is keyed on a LEAKAGE DOMAIN, not the row: every row with
+    * the same key lands in the same split, so near-duplicate documents
+    * from one source can never straddle train/test (the contamination
+    * mode a row-hash split invites). Fractions are exact hex-threshold
+    * cuts on the first two md5 digits — train [00, t1), val [t1, t2),
+    * test [t2, ff] out of 256 — chosen over rank quantiles because the
+    * label of a key never depends on the rest of the corpus: map-only,
+    * no shuffle, stable under growth.
+    *
+    * `t1`/`t2` are two-lowercase-hex-digit thresholds (e.g. "cc"/"e6" ≈
+    * 204/230 out of 256 ≈ 80/10/10). Fixed-width lowercase hex compares
+    * lexicographically == numerically on every engine (the
+    * sample_bernoulli convention), so no hex→int cast is needed. */
+  def splitLabel(keyCol: Column, salt: String, t1: String = "cc",
+      t2: String = "e6"): Column = {
+    require(t1.matches("[0-9a-f]{2}") && t2.matches("[0-9a-f]{2}") && t1 <= t2,
+      s"thresholds must be two lowercase hex digits, t1 <= t2; got $t1/$t2")
+    val bucket = substring(md5(concat(lit(salt), keyCol)), 1, 2)
+    when(bucket < lit(t1), lit("train"))
+      .when(bucket < lit(t2), lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Rows of `df` labeled with their leakage-safe split. */
+  def hashSplit(df: DataFrame, keyCol: String, salt: String,
+      t1: String = "cc", t2: String = "e6"): DataFrame =
+    df.withColumn("split", splitLabel(col(keyCol), salt, t1, t2))
+
+  /** SQL text of [[splitLabel]] for the DuckDB oracle — byte-identical
+    * semantics (md5 hex is lowercase on both engines). */
+  def splitLabelSql(keyExpr: String, salt: String, t1: String = "cc",
+      t2: String = "e6"): String =
+    s"""CASE WHEN substr(md5('$salt' || $keyExpr), 1, 2) < '$t1' THEN 'train'
+       |     WHEN substr(md5('$salt' || $keyExpr), 1, 2) < '$t2' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  /** Assign every document to one of `nShards` shards, balancing total
+    * token mass, and return the per-shard audit row
+    * `(shard, n_docs, sum_tokens)`.
+    *
+    * Shape: global rank of docs by (tokens DESC, md5(text), doc_id) —
+    * computed WITHOUT a single-partition window via range repartition +
+    * per-partition sort + zipWithIndex (one count job; only one long per
+    * partition reaches the driver) — then the snake (boustrophedon)
+    * assignment `rank/n even → rank%n, odd → n-1-rank%n`: consecutive
+    * heavy docs spread across shards in alternating direction, so each
+    * shard's token sum is within one document of the mean for sorted
+    * input. The final audit aggregate shuffles `nShards` groups. */
+  def shardBalance(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // (tokens, tiebreak-digest, doc_id): unique total order
+    val keyed = docs.select(
+      size(split(col("text"), " ")).cast("long").as("tok"),
+      md5(col("text")).as("hx"),
+      col("doc_id").cast("long").as("doc_id"))
+    val ranked = keyed
+      .repartitionByRange(col("tok").desc, col("hx"), col("doc_id"))
+      .sortWithinPartitions(col("tok").desc, col("hx"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .rdd
+      .zipWithIndex() // 0-based global rank in the sorted order
+      .map { case ((tok, _, docId), rk) => (docId, tok, rk) }
+      .toDF("doc_id", "tok", "rk")
+    // Spark's `/` on longs is IEEE double division; ranks stay below 2^53
+    // so floor() is exact — but use explicit integral div to be airtight
+    val lap = floor(col("rk").cast("double") / lit(nShards.toDouble)).cast("long")
+    val pos = col("rk") % lit(nShards.toLong)
+    val shard = when((lap % 2) === 0, pos).otherwise(lit(nShards - 1L) - pos)
+    ranked
+      .withColumn("shard", shard.cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("sum_tokens"))
+      .orderBy("shard")
+  }
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Splits.hashSplit / Splits.shardBalance / LmScore.bigramRarity /
+  * LmScore.importanceWeights — behind the split_assign / shard_balance /
+  * lm_bigram_rarity / importance_resample CORRECTNESS rows. */
+class SplitsLmSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val docs =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+
+  // ------------------------------------------------------------------ split
+
+  test("hashSplit is group-coherent: one source, one split") {
+    val perSource = Splits.hashSplit(docs, "source", "s:")
+      .groupBy("source").agg(countDistinct("split").as("n")).collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach(r => assert(r.getLong(1) == 1L,
+      s"source ${r.getString(0)} straddles splits"))
+  }
+
+  test("hashSplit fractions approach the hex thresholds over many keys") {
+    import spark.implicits._
+    val keys = spark.range(5000).select(concat(lit("k"), col("id")).as("k"))
+    val n = keys
+      .withColumn("split", Splits.splitLabel(col("k"), "frac:"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = n.values.sum.toDouble
+    // cc/e6 = 204/26/26 out of 256 ≈ 79.7 / 10.2 / 10.2 %
+    assert(math.abs(n("train") / total - 204.0 / 256) < 0.02, n.toString)
+    assert(math.abs(n("val") / total - 26.0 / 256) < 0.015, n.toString)
+    assert(math.abs(n("test") / total - 26.0 / 256) < 0.015, n.toString)
+  }
+
+  test("hashSplit is map-only: no exchange in the plan") {
+    val p = Splits.hashSplit(docs, "source", "s:")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"split labeling shuffled:\n$p")
+  }
+
+  test("splitLabel rejects malformed thresholds") {
+    intercept[IllegalArgumentException] {
+      Splits.splitLabel(col("source"), "s:", t1 = "CC")
+    }
+    intercept[IllegalArgumentException] {
+      Splits.splitLabel(col("source"), "s:", t1 = "e6", t2 = "cc")
+    }
+  }
+
+  // ------------------------------------------------------------ shardBalance
+
+  test("shardBalance conserves docs/tokens and balances within one doc") {
+    val n = 8
+    val out = Splits.shardBalance(docs, n).collect()
+    assert(out.length == n)
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    val tokTotal = docs
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(out.map(_.getLong(2)).sum == tokTotal)
+    val maxDoc = docs
+      .select(max(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    val sums = out.map(_.getLong(2))
+    // snake over a descending order: spread bounded by one max document
+    assert(sums.max - sums.min <= maxDoc,
+      s"spread ${sums.max - sums.min} > max doc $maxDoc")
+    // doc counts differ by at most 1 (ranks round-robin through shards)
+    assert(out.map(_.getLong(1)).max - out.map(_.getLong(1)).min <= 1)
+  }
+
+  test("shardBalance is invariant to input partitioning") {
+    val a = Splits.shardBalance(docs, 5).collect().toSeq
+    val b = Splits.shardBalance(docs.repartition(13), 5).collect().toSeq
+    assert(a == b)
+  }
+
+  test("shardBalance matches the textbook single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 4
+    val w = Window.orderBy(col("tok").desc, col("hx"), col("doc_id"))
+    val textbook = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"),
+        md5(col("text")).as("hx"))
+      .withColumn("rk", row_number().over(w).cast("long") - 1)
+      .withColumn("shard",
+        when((floor(col("rk") / n) % 2) === 0, col("rk") % n)
+          .otherwise(lit(n - 1) - col("rk") % n).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").cast("long").as("sum_tokens"))
+      .orderBy("shard").collect().toSeq
+    assert(Splits.shardBalance(docs, n).collect().toSeq == textbook)
+  }
+
+  // ------------------------------------------------------------ bigramRarity
+
+  test("bigramRarity matches a driver-side brute force") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c a b"), // bigrams: ab bc ca ab
+      (2L, "a b x"),     // ab bx
+      (3L, "solo"),      // no bigram -> zeros
+      (4L, "")           // single empty token -> zeros
+    ).toDF("doc_id", "text")
+    val rows = LmScore.bigramRarity(tiny, rareMax = 2L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // corpus counts: "a b"=3, "b c"=1, "c a"=1, "b x"=1 -> rare = count<=2
+    // doc1: 4 bigrams, rare = bc + ca = 2 ("a b" has corpus count 3)
+    // doc2: 2 bigrams, rare = bx = 1
+    assert(rows.toSeq == Seq(
+      (1L, 4L, 2L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 0L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
+  test("bigramRarity is invariant to input partitioning") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val a = LmScore.bigramRarity(base, 2L).orderBy("doc_id").collect().toSeq
+    val b = LmScore.bigramRarity(base.repartition(7), 2L)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------- importanceWeights
+
+  test("importanceWeights matches a driver-side brute force") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "t", "a a b"),
+      (2L, "r", "a b b"),
+      (3L, "r", "c")
+    ).toDF("doc_id", "source", "text")
+    val rows = LmScore.importanceWeights(tiny, col("source") === "t")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def bucket(tok: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    // brute force on the driver
+    val toks = Seq(
+      (1L, true, "a"), (1L, true, "a"), (1L, true, "b"),
+      (2L, false, "a"), (2L, false, "b"), (2L, false, "b"),
+      (3L, false, "c"))
+    val byB = toks.groupBy { case (_, _, t) => bucket(t) }
+    val rate = byB.map { case (b, xs) =>
+      b -> (xs.count(_._2).toLong * 1000000L / xs.size) }
+    val want = toks.groupBy(_._1).map { case (id, xs) =>
+      (id, xs.size.toLong, xs.map(x => rate(bucket(x._3))).sum)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == want)
+  }
+
+  test("importance scoring broadcasts the rate table") {
+    val p = LmScore.importanceWeights(docs, col("source") === "src0")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"256-row rate table not broadcast:\n$p")
+  }
+}
