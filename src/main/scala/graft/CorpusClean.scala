@@ -28,7 +28,12 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *  5. semantic dedup (`--semantic <embeddings>`, SemDeDup keep-one over
   *     the survivors' embeddings);
   *  6. decontamination (`--eval <split>`, broadcast gram anti-join);
-  *  7. PII redaction (`--redact`, map-only email/IPv4 masking).
+  *  7. PII redaction (`--redact`, map-only email/IPv4 masking);
+  *  8. delivery layout ([[deliver]]): `--split-by <col>` labels each doc
+  *     with its leakage-safe train/val/test split (keyed on the input
+  *     column, [[graft.operators.Splits.hashSplit]]) and `--shards <n>`
+  *     adds the token-balanced shard assignment over the survivors —
+  *     both written as partition directories (`split=train/shard=3/…`).
   */
 object CorpusClean {
 
@@ -117,11 +122,47 @@ object CorpusClean {
     } else afterDecon
   }
 
+  /** [[clean]] plus the delivery-layout columns: `--split-by` adds the
+    * leakage-safe `split` label (joined back from the INPUT's key column
+    * by doc_id — the pipeline stages carry only (doc_id, text)), and
+    * `--shards` adds the token-balanced `shard` assignment over the
+    * SURVIVORS (balance is a property of what ships, not of what was
+    * read). Both columns become partition directories in [[run]]. */
+  def deliver(spark: SparkSession, cfg: CorpusCleanConfig): DataFrame = {
+    val cleaned = clean(spark, cfg)
+    val withSplit = cfg.splitBy match {
+      case Some(keyCol) =>
+        val keys = spark.read.parquet(cfg.in)
+          .select(col("doc_id"), col(keyCol))
+        cleaned.join(keys, Seq("doc_id"))
+          .withColumn("split",
+            graft.operators.Splits.splitLabel(col(keyCol), "graft-split:"))
+          .drop(keyCol)
+      case None => cleaned
+    }
+    cfg.shards match {
+      case Some(n) =>
+        withSplit.join(
+          graft.operators.Splits.shardAssign(
+            withSplit.select(col("doc_id"), col("text")), n)
+            .select(col("doc_id"), col("shard")),
+          Seq("doc_id"))
+      case None => withSplit
+    }
+  }
+
   /** Run per config: write the cleaned corpus as parquet under `cfg.out`
-    * and return the surviving document count (from the written files —
+    * — partitioned by split/shard directories when configured — and
+    * return the surviving document count (from the written files —
     * metadata-only). */
   def run(spark: SparkSession, cfg: CorpusCleanConfig): Long = {
-    clean(spark, cfg).write.mode("overwrite").parquet(cfg.out)
+    val out = deliver(spark, cfg)
+    val partCols =
+      (if (cfg.splitBy.isDefined) Seq("split") else Nil) ++
+        (if (cfg.shards.isDefined) Seq("shard") else Nil)
+    val w = out.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(cfg.out)
     spark.read.parquet(cfg.out).count()
   }
 }

@@ -35,6 +35,13 @@ case class CorpusCleanConfig(
     // incremental substring dedup: persisted TextOps.gramCounts parquet
     gramState: Option[String] = None,
     redact: Boolean = false,
+    // leakage-safe train/val/test split: name of the input column that is
+    // the leakage domain (e.g. source/site); output is partitioned by the
+    // resulting split= directory
+    splitBy: Option[String] = None,
+    // token-balanced sharding: output partitioned into shard= directories
+    // with near-equal token mass
+    shards: Option[Int] = None,
     // inter-stage materialization root (spark.graft.stageDir) — point at
     // HDFS/S3 on a cluster; default is the JVM-scoped temp StageStore
     stageDir: Option[String] = None)
@@ -82,6 +89,12 @@ object CorpusCleanCli {
         case "--eval" :: v :: t => c = c.copy(evalDir = Some(v)); rest = t
         case "--gram-state" :: v :: t => c = c.copy(gramState = Some(v)); rest = t
         case "--redact" :: t => c = c.copy(redact = true); rest = t
+        case "--split-by" :: v :: t => c = c.copy(splitBy = Some(v)); rest = t
+        case "--shards" :: v :: t =>
+          intArg(v, "--shards") match {
+            case Right(i) => c = c.copy(shards = Some(i)); rest = t
+            case Left(e) => return Left(e)
+          }
         case "--stage-dir" :: v :: t => c = c.copy(stageDir = Some(v)); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
@@ -102,7 +115,7 @@ object CorpusCleanCli {
 
   private val valueFlags = Set("--lang", "--min-words", "--ngram",
     "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
-    "--stage-dir")
+    "--split-by", "--shards", "--stage-dir")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -113,6 +126,9 @@ object CorpusCleanCli {
     else if (c.nearDup.exists(t => t <= 0.0 || t > 1.0))
       Left(s"--near-dup must be in (0, 1], got ${c.nearDup.get}")
     else if (c.lang.exists(_.isEmpty)) Left("--lang: empty language code")
+    else if (c.splitBy.exists(_.isEmpty)) Left("--split-by: empty column name")
+    else if (c.shards.exists(_ < 1))
+      Left(s"--shards must be >= 1, got ${c.shards.get}")
     else Right(c)
   }
 }

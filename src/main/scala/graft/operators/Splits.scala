@@ -62,9 +62,7 @@ object Splits {
        |     WHEN substr(md5('$salt' || $keyExpr), 1, 2) < '$t2' THEN 'val'
        |     ELSE 'test' END""".stripMargin
 
-  /** Assign every document to one of `nShards` shards, balancing total
-    * token mass, and return the per-shard audit row
-    * `(shard, n_docs, sum_tokens)`.
+  /** Per-document token-balanced shard assignment `(doc_id, tok, shard)`.
     *
     * Shape: global rank of docs by (tokens DESC, md5(text), doc_id) —
     * computed WITHOUT a single-partition window via range repartition +
@@ -73,8 +71,8 @@ object Splits {
     * assignment `rank/n even → rank%n, odd → n-1-rank%n`: consecutive
     * heavy docs spread across shards in alternating direction, so each
     * shard's token sum is within one document of the mean for sorted
-    * input. The final audit aggregate shuffles `nShards` groups. */
-  def shardBalance(docs: DataFrame, nShards: Int): DataFrame = {
+    * input. */
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -98,9 +96,15 @@ object Splits {
     val shard = when((lap % 2) === 0, pos).otherwise(lit(nShards - 1L) - pos)
     ranked
       .withColumn("shard", shard.cast("long"))
+      .select("doc_id", "tok", "shard")
+  }
+
+  /** Per-shard audit row `(shard, n_docs, sum_tokens)` over
+    * [[shardAssign]] — the balance evidence; shuffles `nShards` groups. */
+  def shardBalance(docs: DataFrame, nShards: Int): DataFrame =
+    shardAssign(docs, nShards)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok")).cast("long").as("sum_tokens"))
       .orderBy("shard")
-  }
 }

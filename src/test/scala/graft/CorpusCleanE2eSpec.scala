@@ -108,4 +108,44 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(1L, 2L))
   }
+
+  test("--split-by and --shards deliver partitioned train/val/test + balanced shards") {
+    val inDir = tmp("cc_del_in")
+    val outDir = tmp("cc_del_out")
+    val plainOut = tmp("cc_del_plain")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .write.mode("overwrite").parquet(inDir)
+    val base = Seq(inDir, plainOut)
+    assert(CorpusClean.run(spark,
+      CorpusCleanCli.parse(base).toOption.get) > 0)
+    val n = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--split-by", "source", "--shards", "2")).toOption.get)
+    val out = spark.read.parquet(outDir)
+    // 1. same survivors as the plain run — delivery never changes content
+    val plain = spark.read.parquet(plainOut)
+    assert(n === plain.count())
+    assert(out.select("doc_id", "text").except(plain).count() === 0)
+    assert(plain.except(out.select("doc_id", "text")).count() === 0)
+    // 2. split= and shard= are partition directories
+    val dirs = new java.io.File(outDir).listFiles().map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("split=")), dirs.toString)
+    // 3. split is group-coherent with the input's source column
+    val joined = out.join(
+      spark.read.parquet(inDir).select("doc_id", "source"), "doc_id")
+    val perSource = joined.groupBy("source")
+      .agg(countDistinct("split").as("k")).collect()
+    perSource.foreach(r => assert(r.getLong(1) === 1L,
+      s"source ${r.getString(0)} straddles splits"))
+    // 4. shard token mass balances within one max surviving document
+    val sums = out
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy("shard").agg(sum("tok").as("s"))
+      .collect().map(_.getLong(1))
+    assert(sums.length === 2)
+    val maxDoc = out.select(max(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    assert(math.abs(sums(0) - sums(1)) <= maxDoc,
+      s"shard spread ${math.abs(sums(0) - sums(1))} > $maxDoc")
+  }
 }

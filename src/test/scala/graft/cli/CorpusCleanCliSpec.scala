@@ -29,11 +29,13 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     val c = ok("in", "out", "--lang", "fr", "--min-words", "3",
       "--ngram", "4", "--min-span", "40", "--near-dup", "0.8",
       "--semantic", "/emb", "--eval", "/ev", "--gram-state", "/gs",
-      "--redact", "--stage-dir", "/stages")
+      "--redact", "--split-by", "source", "--shards", "16",
+      "--stage-dir", "/stages")
     assert(c.lang === Some("fr") && c.minWords === 3)
     assert(c.ngram === 4 && c.minSpan === 40 && c.nearDup === Some(0.8))
     assert(c.semanticEmb === Some("/emb") && c.evalDir === Some("/ev"))
     assert(c.gramState === Some("/gs") && c.redact && c.stageDir === Some("/stages"))
+    assert(c.splitBy === Some("source") && c.shards === Some(16))
   }
 
   test("stage toggles: --no-lang-gate and --no-near-dup clear the stages") {
@@ -66,6 +68,11 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(err("in", "out", "--near-dup", "1.5").contains("--near-dup"))
     assert(ok("in", "out", "--near-dup", "1").nearDup === Some(1.0))
     assert(err("in", "out", "--lang", "").contains("--lang"))
+    assert(err("in", "out", "--split-by", "").contains("--split-by"))
+    assert(err("in", "out", "--shards", "0").contains("--shards"))
+    assert(err("in", "out", "--shards", "many").contains("not an integer"))
+    assert(err("in", "out", "--shards").contains("missing value"))
+    assert(err("in", "out", "--split-by").contains("missing value"))
   }
 
   test("contradictory toggles are refused, not last-wins") {
