@@ -37,9 +37,12 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   */
 object CorpusClean {
 
-  /** Build the cleaned corpus frame (doc_id, text) per config — the
-    * testable core; [[run]] writes it. */
-  def clean(spark: SparkSession, cfg: CorpusCleanConfig): DataFrame = {
+  /** Named pipeline stages, cumulative: each entry is the surviving
+    * (doc_id, text) frame AFTER that stage. The last is the cleaned
+    * corpus ([[clean]]); [[run]] counts them into `--stats-file` when
+    * asked — the tool-run observability parasync ships as `--statsfile`
+    * (reference stats actor, paradump.go §2.5). */
+  def stages(spark: SparkSession, cfg: CorpusCleanConfig): Seq[(String, DataFrame)] = {
     cfg.stageDir.foreach(d => spark.conf.set("spark.graft.stageDir", d))
     val tag = StageStore.dirTag(s"${cfg.in}->${cfg.out}")
     val docs = spark.read.parquet(cfg.in).select(col("doc_id"), col("text"))
@@ -116,11 +119,26 @@ object CorpusClean {
 
     // 7. PII redaction — map-only, so it rides above the anti-join with
     // no exchange of its own
-    if (cfg.redact) {
+    val afterRedact = if (cfg.redact) {
       val (masked, _, _) = graft.operators.TextOps.piiMask(col("text"))
       afterDecon.select(col("doc_id"), masked.as("text"))
     } else afterDecon
+
+    Seq(
+      "input" -> docs,
+      "gates" -> filtered,
+      "exact_dedup" -> kept,
+      "span_removal" -> cleaned,
+      "near_dup" -> afterNear,
+      "semantic_dedup" -> afterSem,
+      "decontaminate" -> afterDecon,
+      "final" -> afterRedact)
   }
+
+  /** Build the cleaned corpus frame (doc_id, text) per config — the
+    * testable core; [[run]] writes it. */
+  def clean(spark: SparkSession, cfg: CorpusCleanConfig): DataFrame =
+    stages(spark, cfg).last._2
 
   /** [[clean]] plus the delivery-layout columns: `--split-by` adds the
     * leakage-safe `split` label (joined back from the INPUT's key column
@@ -163,7 +181,21 @@ object CorpusClean {
     val w = out.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(cfg.out)
-    spark.read.parquet(cfg.out).count()
+    val n = spark.read.parquet(cfg.out).count()
+    // per-stage survivor counts — parasync's --statsfile observability for
+    // the corpus tool. Counted only when asked: the heavy middle stages
+    // (span_removal, near_dup survivors) are StageStore-materialized, so
+    // their counts re-read parquet FILES, not the pipeline.
+    cfg.statsFile.foreach { path =>
+      val counts = stages(spark, cfg).map { case (name, df) =>
+        // redaction/delivery are row-preserving; reuse the written count
+        if (name == "final") name -> n else name -> df.count()
+      }
+      val json = counts.map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ", ", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    }
+    n
   }
 }
 

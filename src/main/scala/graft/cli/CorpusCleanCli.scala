@@ -44,7 +44,10 @@ case class CorpusCleanConfig(
     shards: Option[Int] = None,
     // inter-stage materialization root (spark.graft.stageDir) — point at
     // HDFS/S3 on a cluster; default is the JVM-scoped temp StageStore
-    stageDir: Option[String] = None)
+    stageDir: Option[String] = None,
+    // per-stage survivor counts as JSON — parasync's --statsfile
+    // observability for the corpus tool
+    statsFile: Option[String] = None)
 
 object CorpusCleanCli {
 
@@ -96,6 +99,7 @@ object CorpusCleanCli {
             case Left(e) => return Left(e)
           }
         case "--stage-dir" :: v :: t => c = c.copy(stageDir = Some(v)); rest = t
+        case "--stats-file" :: v :: t => c = c.copy(statsFile = Some(v)); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t
@@ -115,7 +119,7 @@ object CorpusCleanCli {
 
   private val valueFlags = Set("--lang", "--min-words", "--ngram",
     "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
-    "--split-by", "--shards", "--stage-dir")
+    "--split-by", "--shards", "--stage-dir", "--stats-file")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")

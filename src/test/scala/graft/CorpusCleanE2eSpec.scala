@@ -148,4 +148,27 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(sums(0) - sums(1)) <= maxDoc,
       s"shard spread ${math.abs(sums(0) - sums(1))} > $maxDoc")
   }
+
+  test("--stats-file records monotone per-stage survivor counts") {
+    val inDir = tmp("cc_stats_in")
+    val outDir = tmp("cc_stats_out")
+    val statsFile = new java.io.File(tmp("cc_stats"), "stats.json").getAbsolutePath
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(inDir)
+    val n = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--stats-file", statsFile))
+      .toOption.get)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(statsFile))
+    val counts = "\"([a-z_]+)\": (\\d+)".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toLong).toSeq
+    val names = counts.map(_._1)
+    assert(names === Seq("input", "gates", "exact_dedup", "span_removal",
+      "near_dup", "semantic_dedup", "decontaminate", "final"), txt)
+    // survivors never grow across stages, and final matches run()'s count
+    val vals = counts.map(_._2)
+    assert(vals.zip(vals.tail).forall { case (a, b) => b <= a }, txt)
+    assert(vals.head === spark.read.parquet(inDir).count())
+    assert(vals.last === n, txt)
+  }
 }
