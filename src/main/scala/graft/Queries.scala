@@ -3443,6 +3443,49 @@ object Queries {
       |SELECT doc_id, n_tokens, score_ppm, rk FROM t WHERE rk <= 100 ORDER BY rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // vocab_build / vocab_encode — the tokenizer-prep pair (Vocab.build /
+  // Vocab.encode): frequency-ranked (token → id) table with a min-count
+  // cutoff, then every doc rendered as its id sequence (OOV → 0),
+  // content-addressed by md5 so the artifact stays small. Vocab ranking
+  // sorts the VOCAB-bounded count table (range exchange + zipWithIndex,
+  // no single-partition window); encoding broadcasts the vocab.
+  // ---------------------------------------------------------------------
+  def vocabBuild(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.build(
+        t(s, dir, "documents").select(col("text")), minCount = 5L)
+      .orderBy("vid")
+
+  val vocabBuildSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token HAVING COUNT(*) >= 5)
+      |SELECT token, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vid
+      |FROM c ORDER BY vid""".stripMargin
+
+  def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Vocab.encode(
+        docs, graft.operators.Vocab.build(docs, minCount = 5L))
+      .orderBy("doc_id")
+  }
+
+  val vocabEncodeSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |allt AS (SELECT unnest(ws) AS token FROM w),
+      |v AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS vid
+      |      FROM (SELECT token, COUNT(*) AS cnt FROM allt GROUP BY token
+      |            HAVING COUNT(*) >= 5)),
+      |tok AS (SELECT doc_id,
+      |          unnest(CAST(generate_series(1, len(ws)) AS BIGINT[])) AS pos,
+      |          unnest(ws) AS token FROM w),
+      |e AS (SELECT doc_id, pos, COALESCE(v.vid, 0) AS vid
+      |      FROM tok LEFT JOIN v USING (token))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  md5(array_to_string(list(CAST(vid AS VARCHAR) ORDER BY pos), ',')) AS ids_hash
+      |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3550,7 +3593,9 @@ object Queries {
     "split_assign" -> (splitAssign _),
     "shard_balance" -> (shardBalance _),
     "lm_bigram_rarity" -> (lmBigramRarity _),
-    "importance_resample" -> (importanceResample _)
+    "importance_resample" -> (importanceResample _),
+    "vocab_build" -> (vocabBuild _),
+    "vocab_encode" -> (vocabEncode _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3659,6 +3704,8 @@ object Queries {
     "split_assign" -> splitAssignSql,
     "shard_balance" -> shardBalanceSql,
     "lm_bigram_rarity" -> lmBigramRaritySql,
-    "importance_resample" -> importanceResampleSql
+    "importance_resample" -> importanceResampleSql,
+    "vocab_build" -> vocabBuildSql,
+    "vocab_encode" -> vocabEncodeSql
   )
 }

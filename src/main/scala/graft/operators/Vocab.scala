@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Vocabulary construction and corpus encoding — the tokenizer-prep pair:
+  * build the (token → id) table from corpus frequencies, then render every
+  * document as its id sequence. The ids are frequency-ranked (id 1 = most
+  * frequent), the convention every count-based tokenizer shares; id 0 is
+  * reserved for OOV.
+  *
+  * Scale shape: the count table is ONE shuffle on the token (map-side
+  * partial counts absorb stopword skew); ranking sorts the VOCAB — which
+  * is vocabulary-bounded, orders of magnitude below the corpus — via a
+  * range exchange + zipWithIndex, never a single-partition window; the
+  * encode pass broadcasts the vocab (a 1M-token vocab is a few tens of MB
+  * — broadcast territory by design) and folds each doc's id list with one
+  * ordered aggregate whose state is bounded by the document length.
+  */
+object Vocab {
+
+  /** Frequency-ranked vocabulary: `(token, cnt, vid)` for every token with
+    * corpus count ≥ `minCount`; vid 1 = most frequent, ties broken by
+    * token text. The rank comes from the [[Layout.globalIndex]] shape
+    * (range repartition + per-partition sort + zipWithIndex) applied to
+    * the vocab-sized count table. */
+  def build(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    counts
+      .repartitionByRange(col("cnt").desc, col("token"))
+      .sortWithinPartitions(col("cnt").desc, col("token"))
+      .as[(String, Long)]
+      .rdd
+      .zipWithIndex()
+      .map { case ((token, cnt), i) => (token, cnt, i + 1L) }
+      .toDF("token", "cnt", "vid")
+  }
+
+  /** Every document as its vocab-id sequence:
+    * `(doc_id, n_tokens, n_oov, ids_hash)` where `ids_hash` is the md5 of
+    * the comma-joined id sequence in token order (OOV → 0) — the
+    * content-addressed form of the encoded corpus, which keeps the
+    * verification artifact small while pinning every position. */
+  def encode(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    toks
+      .join(broadcast(vocab.select(col("token"), col("vid"))), Seq("token"), "left")
+      .withColumn("vid", coalesce(col("vid"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("vid")))),
+          s => s.getField("vid").cast("string")), ",")).as("ids_hash"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_oov").cast("long").as("n_oov"), col("ids_hash"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vocab.build / Vocab.encode — behind the vocab_build / vocab_encode
+  * CORRECTNESS rows. */
+class VocabSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val docs =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+
+  test("build ranks by frequency then token, honoring the cutoff") {
+    import spark.implicits._
+    val tiny = Seq((1L, "b b b a a c"), (2L, "a b z")).toDF("doc_id", "text")
+    // counts: b=4, a=3, c=1, z=1; minCount 2 keeps b,a
+    val v = Vocab.build(tiny, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v === Set(("b", 4L, 1L), ("a", 3L, 2L)))
+  }
+
+  test("build matches the textbook window form on the fixture") {
+    import org.apache.spark.sql.expressions.Window
+    val textbook = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .withColumn("vid",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Vocab.build(docs, 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === textbook && got.nonEmpty)
+  }
+
+  test("build is invariant to input partitioning") {
+    val a = Vocab.build(docs, 5L).collect().toSeq.sortBy(_.getLong(2))
+    val b = Vocab.build(docs.repartition(11), 5L).collect().toSeq.sortBy(_.getLong(2))
+    assert(a == b)
+  }
+
+  test("encode renders the id sequence in token order with OOV=0") {
+    import spark.implicits._
+    val tiny = Seq((1L, "b a rare b"), (2L, "a")).toDF("doc_id", "text")
+    val vocab = Seq(("b", 2L, 1L), ("a", 2L, 2L)).toDF("token", "cnt", "vid")
+    val rows = Vocab.encode(tiny, vocab).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(rows.toSeq == Seq(
+      (1L, 4L, 1L, h("1,2,0,1")),
+      (2L, 1L, 0L, h("2"))))
+  }
+
+  test("encode is invariant to input partitioning") {
+    val v = Vocab.build(docs, 5L)
+    val a = Vocab.encode(docs, v).orderBy("doc_id").collect().toSeq
+    val b = Vocab.encode(docs.repartition(9), v).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("encode broadcasts the vocab side") {
+    val p = Vocab.encode(docs, Vocab.build(docs, 5L))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"vocab not broadcast:\n$p")
+  }
+}
