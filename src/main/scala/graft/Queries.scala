@@ -3486,6 +3486,83 @@ object Queries {
       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cms_topk — Count-Min sketch estimates vs truth for the head tokens
+  // (CountMin.table/estimate): est = min over 4 row-salted 256-bucket
+  // sums, always ≥ the true count. The sketch build reduces each
+  // partition to ≤ 1024 rows map-side; the estimate join broadcasts the
+  // sketch.
+  // ---------------------------------------------------------------------
+  def cmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("text"))
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(20)
+    graft.operators.CountMin.estimate(
+        top.select("token"), graft.operators.CountMin.table(docs))
+      .join(top, "token")
+      .select(col("token"), col("cnt").cast("long").as("cnt"), col("est"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val cmsTopkSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cms AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b,
+      |          SUM(cnt) AS s
+      |        FROM c CROSS JOIN rr GROUP BY r, b),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20),
+      |k AS (SELECT token, r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b
+      |      FROM top CROSS JOIN rr)
+      |SELECT token, cnt, est FROM (
+      |  SELECT top.token AS token, CAST(top.cnt AS BIGINT) AS cnt,
+      |    CAST(MIN(cms.s) AS BIGINT) AS est
+      |  FROM k JOIN cms USING (r, b) JOIN top USING (token)
+      |  GROUP BY top.token, top.cnt)
+      |ORDER BY cnt DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cms_merge — the sketch's shard-merge law, verified by hash: two
+  // sketches built over a disjoint source split of the corpus, merged by
+  // (r, b) summation, probed for the top-10 tokens — the oracle replays
+  // the ONE-SHOT sketch over the whole corpus, so the hash match IS the
+  // proof that per-shard builds compose exactly (the 1000-executor
+  // pattern: every shard sketches locally, 1024 rows each meet in one
+  // tiny shuffle).
+  // ---------------------------------------------------------------------
+  def cmsMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("source"), col("text"))
+    val half = substring(md5(col("source")), 1, 1) < lit("8")
+    val merged = graft.operators.CountMin.merge(Seq(
+      graft.operators.CountMin.table(docs.filter(half)),
+      graft.operators.CountMin.table(docs.filter(!half))))
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(10)
+    graft.operators.CountMin.estimate(top.select("token"), merged)
+      .join(top, "token")
+      .select(col("token"), col("cnt").cast("long").as("cnt"), col("est"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val cmsMergeSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cms AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b,
+      |          SUM(cnt) AS s
+      |        FROM c CROSS JOIN rr GROUP BY r, b),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 10),
+      |k AS (SELECT token, r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b
+      |      FROM top CROSS JOIN rr)
+      |SELECT token, cnt, est FROM (
+      |  SELECT top.token AS token, CAST(top.cnt AS BIGINT) AS cnt,
+      |    CAST(MIN(cms.s) AS BIGINT) AS est
+      |  FROM k JOIN cms USING (r, b) JOIN top USING (token)
+      |  GROUP BY top.token, top.cnt)
+      |ORDER BY cnt DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3595,7 +3672,9 @@ object Queries {
     "lm_bigram_rarity" -> (lmBigramRarity _),
     "importance_resample" -> (importanceResample _),
     "vocab_build" -> (vocabBuild _),
-    "vocab_encode" -> (vocabEncode _)
+    "vocab_encode" -> (vocabEncode _),
+    "cms_topk" -> (cmsTopk _),
+    "cms_merge" -> (cmsMerge _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3706,6 +3785,8 @@ object Queries {
     "lm_bigram_rarity" -> lmBigramRaritySql,
     "importance_resample" -> importanceResampleSql,
     "vocab_build" -> vocabBuildSql,
-    "vocab_encode" -> vocabEncodeSql
+    "vocab_encode" -> vocabEncodeSql,
+    "cms_topk" -> cmsTopkSql,
+    "cms_merge" -> cmsMergeSql
   )
 }

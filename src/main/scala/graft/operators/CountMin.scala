@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan '05) over token frequencies —
+  * the bounded-memory heavy-hitter estimator that complements the KMV
+  * family (Sketches.scala: distinct counts) with COUNT estimates: `d`
+  * independent hash rows × `w` buckets of saturating sums,
+  * `est(x) = min_r sum[r][h_r(x)]` ≥ true count, with overcount bounded by
+  * collisions.
+  *
+  * Deliberately expressed DECLARATIVELY — the sketch "build" is a groupBy
+  * over (row, bucket): map-side partial sums reduce every partition to ≤
+  * d·w rows before the exchange, which IS the sketch-merge (the table is a
+  * sum monoid), so per-shard tables from a 1000-executor scan combine in
+  * one tiny shuffle. A custom TypedImperativeAggregate would carry the
+  * same d·w longs as opaque state; the relational form gets codegen,
+  * AQE, and joinability for free. Hashes are md5-derived (row-salted two
+  * hex digits), replayable bit-for-bit in any SQL engine — the portable
+  * choice the KMV sketches established.
+  */
+object CountMin {
+
+  /** The (row, bucket) → sum table of a d×256 CMS over every token
+    * occurrence of `docs`. `d` rows use salts `0:`..`d-1:`. */
+  def table(docs: DataFrame, d: Int = 4): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1,16], got $d")
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // vocab-sized input: explode the d bucket keys per DISTINCT token,
+    // not per occurrence
+    val rows = toks.select(col("cnt"),
+      explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          substring(md5(concat(lit(s"$r:"), col("token"))), 1, 2).as("b"))): _*))
+        .as("rb"))
+    rows.select(col("rb.r").as("r"), col("rb.b").as("b"), col("cnt"))
+      .groupBy("r", "b").agg(sum("cnt").cast("long").as("s"))
+  }
+
+  /** CMS estimates for `probes` (a (token) frame): `(token, est)` where
+    * `est = min_r sum[r][h_r(token)]`. The sketch table (≤ d·256 rows) is
+    * broadcast; absent buckets estimate 0. */
+  def estimate(probes: DataFrame, cms: DataFrame, d: Int = 4): DataFrame = {
+    val keyed = probes.select(col("token"),
+      explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          substring(md5(concat(lit(s"$r:"), col("token"))), 1, 2).as("b"))): _*))
+        .as("rb"))
+      .select(col("token"), col("rb.r").as("r"), col("rb.b").as("b"))
+    keyed.join(broadcast(cms), Seq("r", "b"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("s"), lit(0L))).cast("long").as("est"))
+  }
+
+  /** Merge sketch tables built over disjoint shards: the CMS is a sum
+    * monoid over (r, b), so per-shard tables combine exactly — estimates
+    * from the merged table equal the one-shot table over the union. This
+    * is the 100 TB build: every shard sketches locally, d·256 rows each
+    * meet in one tiny shuffle. */
+  def merge(tables: Seq[DataFrame]): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy("r", "b").agg(sum("s").cast("long").as("s"))
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CountMin.table / estimate / merge — behind the cms_topk / cms_merge
+  * CORRECTNESS rows. */
+class CountMinSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val docs =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("text"))
+
+  private lazy val trueCounts = docs
+    .select(explode(split(col("text"), " ")).as("token"))
+    .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  test("estimates never undercount, for EVERY token") {
+    val cms = CountMin.table(docs)
+    val bad = CountMin.estimate(trueCounts.select("token"), cms)
+      .join(trueCounts, "token")
+      .filter(col("est") < col("cnt"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("deeper sketches estimate no worse (min over more rows)") {
+    val probes = trueCounts.select("token")
+    val e1 = CountMin.estimate(probes, CountMin.table(docs, d = 1), d = 1)
+      .withColumnRenamed("est", "e1")
+    val e4 = CountMin.estimate(probes, CountMin.table(docs, d = 4), d = 4)
+    val worse = e4.join(e1, "token").filter(col("est") > col("e1")).count()
+    assert(worse === 0L)
+  }
+
+  test("merge of disjoint shards equals the one-shot sketch") {
+    val half = substring(md5(col("source")), 1, 1) < lit("8")
+    val merged = CountMin.merge(Seq(
+      CountMin.table(docs.filter(half)),
+      CountMin.table(docs.filter(!half))))
+    val a = merged.orderBy("r", "b").collect().toSeq
+    val b = CountMin.table(docs).orderBy("r", "b").collect().toSeq
+    assert(a == b)
+  }
+
+  test("table is invariant to input partitioning and bounded at d*256 rows") {
+    val a = CountMin.table(docs).orderBy("r", "b").collect().toSeq
+    val b = CountMin.table(docs.repartition(13)).orderBy("r", "b").collect().toSeq
+    assert(a == b)
+    assert(a.size <= 4 * 256)
+    assert(a.map(_.getLong(2)).sum ===
+      4L * trueCounts.select(sum("cnt")).head.getLong(0))
+  }
+
+  test("estimate broadcasts the sketch table") {
+    val p = CountMin.estimate(trueCounts.select("token"), CountMin.table(docs))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"sketch not broadcast:\n$p")
+  }
+}
