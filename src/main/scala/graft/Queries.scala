@@ -3563,6 +3563,62 @@ object Queries {
       |ORDER BY cnt DESC, token""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cms_stream — the Count-Min sketch as a STREAMING aggregate: heavy-user
+  // detection over the events stream with state bounded at d·256 rows
+  // regardless of stream length (the sketch is the poster child for
+  // complete-mode aggregation — most streaming groupBys grow state with
+  // key cardinality; this one's key space is the fixed (r, b) grid).
+  // Probes the drained sketch for the top-10 users; the oracle replays
+  // the batch build, so the hash match proves stream == batch.
+  // ---------------------------------------------------------------------
+  def cmsStream(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val stream = graft.streaming.EventsStream.fromParquetDir(s, dir)
+    val rows = stream
+      .select(col("user_id").cast("string").as("token"))
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          substring(md5(concat(lit(s"$r:"), col("token"))), 1, 2).as("b"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("s"))
+    val qname = "cms_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = rows.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val cms = s.table(qname)
+    val counts = Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(10)
+    graft.operators.CountMin.estimate(top.select("token"), cms, d)
+      .join(top, "token")
+      .select(col("token"), col("cnt").cast("long").as("cnt"), col("est"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val cmsStreamSql: String =
+    """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS token, COUNT(*) AS cnt
+      |           FROM events GROUP BY token),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cms AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b,
+      |          SUM(cnt) AS s
+      |        FROM c CROSS JOIN rr GROUP BY r, b),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 10),
+      |k AS (SELECT token, r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b
+      |      FROM top CROSS JOIN rr)
+      |SELECT token, cnt, est FROM (
+      |  SELECT top.token AS token, CAST(top.cnt AS BIGINT) AS cnt,
+      |    CAST(MIN(cms.s) AS BIGINT) AS est
+      |  FROM k JOIN cms USING (r, b) JOIN top USING (token)
+      |  GROUP BY top.token, top.cnt)
+      |ORDER BY cnt DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3674,7 +3730,8 @@ object Queries {
     "vocab_build" -> (vocabBuild _),
     "vocab_encode" -> (vocabEncode _),
     "cms_topk" -> (cmsTopk _),
-    "cms_merge" -> (cmsMerge _)
+    "cms_merge" -> (cmsMerge _),
+    "cms_stream" -> (cmsStream _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3787,6 +3844,7 @@ object Queries {
     "vocab_build" -> vocabBuildSql,
     "vocab_encode" -> vocabEncodeSql,
     "cms_topk" -> cmsTopkSql,
-    "cms_merge" -> cmsMergeSql
+    "cms_merge" -> cmsMergeSql,
+    "cms_stream" -> cmsStreamSql
   )
 }
