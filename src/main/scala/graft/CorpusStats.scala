@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `graft corpus-stats <in> [--topk N] [--out FILE]` — the corpus audit a
+  * training-data user runs FIRST: sizes, vocabulary, duplication, source
+  * and language mix, head tokens, rendered as one JSON document.
+  *
+  * Every number is an aggregate the registry queries already gate
+  * (token counts, lang-ID, exact-dup ratio), composed into three jobs:
+  * one over the docs (sizes + per-source + lang), one over the exploded
+  * tokens (vocab + head), one distinct-hash pass (exact dups). At 100 TB
+  * all three are map-side-combined groupBys over digest-or-count rows —
+  * nothing driver-sized except the top-k itself. */
+object CorpusStats {
+
+  def profile(spark: SparkSession, in: String, topK: Int = 10): String = {
+    val docs = spark.read.parquet(in).select(col("doc_id"), col("text"))
+
+    val sizes = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).cast("long").as("n_chars"),
+      sum(size(split(col("text"), " "))).cast("long").as("n_tokens")).head()
+    val nDocs = sizes.getLong(0)
+    val nChars = if (sizes.isNullAt(1)) 0L else sizes.getLong(1)
+    val nTokens = if (sizes.isNullAt(2)) 0L else sizes.getLong(2)
+
+    val distinctTexts = docs.select(sha2(col("text"), 256).as("h"))
+      .distinct().count()
+    val dupDocs = nDocs - distinctTexts
+
+    val tokenCounts = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = tokenCounts.count()
+    val top = tokenCounts
+      .orderBy(col("cnt").desc, col("token")).limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val langs = graft.operators.TextOps.langId(docs)
+      .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang_pred"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    def jStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val topJson = top.map { case (t, c) =>
+      s"""{"token": ${jStr(t)}, "cnt": $c}""" }.mkString("[", ", ", "]")
+    val langJson = langs.map { case (l, n) =>
+      s"${jStr(l)}: $n" }.mkString("{", ", ", "}")
+    s"""{"n_docs": $nDocs, "n_chars": $nChars, "n_tokens": $nTokens, """ +
+      s""""vocab": $vocab, "exact_dup_docs": $dupDocs, """ +
+      s""""top_tokens": $topJson, "langs": $langJson}"""
+  }
+}
+
+/** `runMain graft.CorpusStatsMain <in> [--topk N] [--out FILE]` — also the
+  * `corpus-stats` subcommand of [[Main]]. */
+object CorpusStatsMain {
+  private[graft] def parse(args: Seq[String])
+      : Either[String, (String, Int, Option[String])] = {
+    var in: Option[String] = None
+    var topK = 10
+    var out: Option[String] = None
+    var rest = args.toList
+    while (rest.nonEmpty) {
+      rest match {
+        case "--topk" :: v :: t =>
+          v.toIntOption match {
+            case Some(i) if i >= 1 => topK = i; rest = t
+            case Some(i) => return Left(s"--topk must be >= 1, got $i")
+            case None => return Left(s"--topk: not an integer: $v")
+          }
+        case "--out" :: v :: t => out = Some(v); rest = t
+        case ("--topk" | "--out") :: Nil => return Left(s"${rest.head}: missing value")
+        case f :: _ if f.startsWith("--") => return Left(s"unknown flag: $f")
+        case p :: t =>
+          if (in.isDefined) return Left(s"unexpected extra argument: $p")
+          in = Some(p); rest = t
+      }
+    }
+    in.toRight("need <inParquet>").map((_, topK, out))
+  }
+
+  def main(args: Array[String]): Unit = {
+    parse(args.toSeq) match {
+      case Left(err) =>
+        System.err.println(s"graft corpus-stats: $err")
+        sys.exit(1)
+      case Right((in, topK, out)) =>
+        val spark = GraftSession.get()
+        try {
+          val json = CorpusStats.profile(spark, in, topK)
+          println(json)
+          out.foreach(p =>
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json))
+        } catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                    _: org.apache.spark.sql.AnalysisException) =>
+            System.err.println(s"graft corpus-stats: ${e.getMessage}")
+            sys.exit(1)
+        } finally spark.stop()
+    }
+  }
+}

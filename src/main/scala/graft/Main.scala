@@ -65,6 +65,10 @@ object Main {
       CorpusCleanMain.main(args.tail)
       return
     }
+    if (args.headOption.contains("corpus-stats")) {
+      CorpusStatsMain.main(args.tail)
+      return
+    }
     val parsed = for {
       // -src/-o are ours; -dumpdir is the reference's spelling of -o
       // (paradump.go:3492); the rest is the reference flag surface

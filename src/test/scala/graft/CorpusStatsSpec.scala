@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft corpus-stats — flag matrix + profile numbers vs direct
+  * DataFrame computation on the fixture corpus. */
+class CorpusStatsSpec extends AnyFunSuite with SparkSuite {
+
+  test("parse: defaults, flags, and the validation matrix") {
+    assert(CorpusStatsMain.parse(Seq("/in")) === Right(("/in", 10, None)))
+    assert(CorpusStatsMain.parse(Seq("/in", "--topk", "3", "--out", "/f")) ===
+      Right(("/in", 3, Some("/f"))))
+    assert(CorpusStatsMain.parse(Seq()).left.exists(_.contains("<inParquet>")))
+    assert(CorpusStatsMain.parse(Seq("/a", "/b")).left.exists(_.contains("extra")))
+    assert(CorpusStatsMain.parse(Seq("/in", "--topk")).left.exists(_.contains("missing")))
+    assert(CorpusStatsMain.parse(Seq("/in", "--topk", "x")).left.exists(_.contains("integer")))
+    assert(CorpusStatsMain.parse(Seq("/in", "--topk", "0")).left.exists(_.contains(">= 1")))
+    assert(CorpusStatsMain.parse(Seq("/in", "--bogus")).left.exists(_.contains("unknown")))
+  }
+
+  test("profile numbers match direct computation on the fixture corpus") {
+    val in = java.nio.file.Files.createTempDirectory("cstats").toString
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(in)
+
+    val json = CorpusStats.profile(spark, in, topK = 3)
+    def field(name: String): Long =
+      s""""$name": (\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+
+    assert(field("n_docs") === docs.count())
+    assert(field("n_tokens") ===
+      docs.select(sum(size(split(col("text"), " ")))).head.getLong(0))
+    assert(field("n_chars") ===
+      docs.select(sum(length(col("text")))).head.getLong(0))
+    assert(field("vocab") ===
+      docs.select(explode(split(col("text"), " ")).as("t"))
+        .select("t").distinct().count())
+    assert(field("exact_dup_docs") ===
+      docs.count() - docs.select("text").distinct().count())
+
+    val topTokens = """\{"token": "([^"]+)", "cnt": (\d+)\}""".r
+      .findAllMatchIn(json).map(m => (m.group(1), m.group(2).toLong)).toSeq
+    val want = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(topTokens === want)
+    // langs section covers every doc exactly once
+    val langTotal = """"[a-z?]+": (\d+)""".r.findAllMatchIn(
+      json.substring(json.indexOf("\"langs\""))).map(_.group(1).toLong).sum
+    assert(langTotal === docs.count())
+  }
+}
