@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Splits.shardAssign's scale claim under TOTAL TIE SKEW: a corpus where
+  * every document has the SAME token count — the adversarial shape for a
+  * range partitioner keyed on the count (all rows share one range key, so
+  * a (tok)-only partitioner would funnel the whole corpus through one
+  * task). shardAssign's sort key is (tok DESC, md5(text), doc_id): the
+  * digest tiebreak spreads the tie band uniformly across range
+  * boundaries, so per-task volume stays ~rows/partitions no matter how
+  * degenerate the count distribution. Verified from task-end listener
+  * metrics (the DupNgramScaleProbeSpec pattern), plus the assignment
+  * staying textbook-balanced. */
+class ShardAssignScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nDocs = 200000L
+  private val nShards = 7
+
+  /** Every doc: exactly 5 tokens, last one unique (distinct texts, one
+    * global token-count tie). */
+  private def corpus = spark.range(0L, nDocs)
+    .select(col("id").as("doc_id"),
+      concat(lit("a b c d t-"), col("id")).as("text"))
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) { // stable for 300 ms, cap 10 s
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("all-tied token counts never funnel the rank through one task", Slow) {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    val (audit, maxRead) = try {
+      withMaxTaskShuffleRead {
+        Splits.shardBalance(corpus, nShards)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+    info(s"shardAssign max per-task shuffle read: $maxRead of $nDocs rows")
+    // balanced despite the tie: docs within 1, tokens exactly equal across
+    // shards whenever doc counts match (every doc is 5 tokens)
+    assert(audit.map(_._2).sum === nDocs)
+    assert(audit.map(_._2).max - audit.map(_._2).min <= 1)
+    audit.foreach { case (_, d, t) => assert(t === d * 5) }
+    // the range exchange spread the single (tok) tie band across tasks:
+    // no task saw more than a quarter of the corpus (uniform would be
+    // rows/4 partitions on the local[4] test session = 50k)
+    assert(maxRead > 0 && maxRead < nDocs / 2,
+      s"a task read $maxRead of $nDocs rows — tie band funneled through one task?")
+  }
+}
