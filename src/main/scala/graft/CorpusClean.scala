@@ -158,7 +158,7 @@ object CorpusClean {
           .drop(keyCol)
       case None => cleaned
     }
-    cfg.shards match {
+    val withShard = cfg.shards match {
       case Some(n) =>
         withSplit.join(
           graft.operators.Splits.shardAssign(
@@ -166,6 +166,24 @@ object CorpusClean {
             .select(col("doc_id"), col("shard")),
           Seq("doc_id"))
       case None => withSplit
+    }
+    // tokenize the survivors: the vocab is built over the FINAL text
+    // (post-redaction), so ids never encode masked PII. The delivered
+    // frame feeds three consumers here (vocab build, the encode join's
+    // both sides) — materialize it once, per the multi-consumer rule
+    cfg.encodeMinCount match {
+      case Some(minCount) =>
+        val tag = StageStore.dirTag(s"${cfg.in}->${cfg.out}")
+        val surv = StageStore.materialize(withShard, s"cc_delivered_$tag")
+        val vocab = StageStore.materialize(
+          graft.operators.Vocab.build(
+            surv.select(col("doc_id"), col("text")), minCount),
+          s"cc_vocab_$tag")
+        surv.join(
+          graft.operators.Vocab.encodeIds(
+            surv.select(col("doc_id"), col("text")), vocab),
+          Seq("doc_id"))
+      case None => withShard
     }
   }
 
@@ -182,6 +200,14 @@ object CorpusClean {
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(cfg.out)
     val n = spark.read.parquet(cfg.out).count()
+    // the vocab table the ids were encoded with: deliver() already
+    // materialized it under the cc_vocab stage label, so this is a
+    // files-to-files copy — the pipeline never re-runs
+    cfg.vocabOut.foreach { vd =>
+      spark.read.parquet(StageStore.resolvedPath(spark,
+          s"cc_vocab_${StageStore.dirTag(s"${cfg.in}->${cfg.out}")}"))
+        .write.mode("overwrite").parquet(vd)
+    }
     // per-stage survivor counts — parasync's --statsfile observability for
     // the corpus tool. Counted only when asked: the heavy middle stages
     // (span_removal, near_dup survivors) are StageStore-materialized, so

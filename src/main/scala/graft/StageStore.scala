@@ -75,13 +75,19 @@ object StageStore {
     * are remote. A configured dir is the caller's to manage (no shutdown
     * deletion; stage subdirs still overwrite per label). */
   def materialize(df: DataFrame, label: String): DataFrame = {
-    val p = df.sparkSession.conf.getOption("spark.graft.stageDir")
-      .map(d => s"${d.stripSuffix("/")}/$label")
-      .getOrElse(path(label))
+    val p = resolvedPath(df.sparkSession, label)
     df.write.mode("overwrite").parquet(p)
     counts.merge(label, 1L, (a, b) => a + b)
     df.sparkSession.read.parquet(p)
   }
+
+  /** Where [[materialize]] puts (or put) `label`'s files under the
+    * session's configuration — for callers that re-read an
+    * already-written stage without re-running its producer. */
+  def resolvedPath(spark: org.apache.spark.sql.SparkSession, label: String): String =
+    spark.conf.getOption("spark.graft.stageDir")
+      .map(d => s"${d.stripSuffix("/")}/$label")
+      .getOrElse(path(label))
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {

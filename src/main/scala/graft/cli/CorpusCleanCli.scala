@@ -47,7 +47,12 @@ case class CorpusCleanConfig(
     stageDir: Option[String] = None,
     // per-stage survivor counts as JSON — parasync's --statsfile
     // observability for the corpus tool
-    statsFile: Option[String] = None)
+    statsFile: Option[String] = None,
+    // tokenize the SURVIVORS: build a frequency-ranked vocab (min-count
+    // cutoff) over the cleaned text and add the materialized id-sequence
+    // column; the vocab table itself is written to --vocab-out
+    encodeMinCount: Option[Long] = None,
+    vocabOut: Option[String] = None)
 
 object CorpusCleanCli {
 
@@ -100,6 +105,12 @@ object CorpusCleanCli {
           }
         case "--stage-dir" :: v :: t => c = c.copy(stageDir = Some(v)); rest = t
         case "--stats-file" :: v :: t => c = c.copy(statsFile = Some(v)); rest = t
+        case "--encode" :: v :: t =>
+          v.toLongOption match {
+            case Some(n) => c = c.copy(encodeMinCount = Some(n)); rest = t
+            case None => return Left(s"--encode: not an integer: $v")
+          }
+        case "--vocab-out" :: v :: t => c = c.copy(vocabOut = Some(v)); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t
@@ -119,7 +130,8 @@ object CorpusCleanCli {
 
   private val valueFlags = Set("--lang", "--min-words", "--ngram",
     "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
-    "--split-by", "--shards", "--stage-dir", "--stats-file")
+    "--split-by", "--shards", "--stage-dir", "--stats-file",
+    "--encode", "--vocab-out")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -133,6 +145,10 @@ object CorpusCleanCli {
     else if (c.splitBy.exists(_.isEmpty)) Left("--split-by: empty column name")
     else if (c.shards.exists(_ < 1))
       Left(s"--shards must be >= 1, got ${c.shards.get}")
+    else if (c.encodeMinCount.exists(_ < 1))
+      Left(s"--encode must be >= 1, got ${c.encodeMinCount.get}")
+    else if (c.encodeMinCount.isDefined != c.vocabOut.isDefined)
+      Left("--encode and --vocab-out must be given together")
     else Right(c)
   }
 }

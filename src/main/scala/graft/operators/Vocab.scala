@@ -41,6 +41,21 @@ object Vocab {
       .toDF("token", "cnt", "vid")
   }
 
+  /** Every document as its MATERIALIZED id sequence `(doc_id, ids)` —
+    * the training-ready artifact ([[encode]] is the content-addressed
+    * audit form of the same fold). OOV → 0. */
+  def encodeIds(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    toks
+      .join(broadcast(vocab.select(col("token"), col("vid"))), Seq("token"), "left")
+      .withColumn("vid", coalesce(col("vid"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("vid")))),
+        s => s.getField("vid")).as("ids"))
+  }
+
   /** Every document as its vocab-id sequence:
     * `(doc_id, n_tokens, n_oov, ids_hash)` where `ids_hash` is the md5 of
     * the comma-joined id sequence in token order (OOV → 0) — the

@@ -149,6 +149,42 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       s"shard spread ${math.abs(sums(0) - sums(1))} > $maxDoc")
   }
 
+  test("--encode emits id sequences that decode back to the in-vocab tokens") {
+    val inDir = tmp("cc_enc_in")
+    val outDir = tmp("cc_enc_out")
+    val vocabDir = tmp("cc_enc_vocab")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(inDir)
+    val n = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--encode", "5",
+        "--vocab-out", vocabDir)).toOption.get)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === n && n > 0)
+    val vocab = spark.read.parquet(vocabDir)
+    assert(vocab.columns.toSet === Set("token", "cnt", "vid"))
+    assert(vocab.filter(col("cnt") < 5).count() === 0)
+    // decode round trip: replacing each id with its token reproduces the
+    // original token wherever the token is in vocab; OOV positions are 0
+    import spark.implicits._
+    val vmap = vocab.select("vid", "token").as[(Long, String)]
+      .collect().toMap
+    val bad = out.select("doc_id", "text", "ids")
+      .as[(Long, String, Seq[Long])]
+      .collect()
+      .flatMap { case (id, text, ids) =>
+        val toks = text.split(" ", -1)
+        if (toks.length != ids.length) Some(s"doc $id: length mismatch")
+        else toks.zip(ids).collectFirst {
+          case (t, 0L) if vmap.valuesIterator.contains(t) =>
+            s"doc $id: in-vocab token '$t' encoded OOV"
+          case (t, v) if v != 0L && vmap(v) != t =>
+            s"doc $id: id $v decodes to '${vmap(v)}' not '$t'"
+        }
+      }
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
   test("--stats-file records monotone per-stage survivor counts") {
     val inDir = tmp("cc_stats_in")
     val outDir = tmp("cc_stats_out")

@@ -73,6 +73,11 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(err("in", "out", "--shards", "many").contains("not an integer"))
     assert(err("in", "out", "--shards").contains("missing value"))
     assert(err("in", "out", "--split-by").contains("missing value"))
+    assert(err("in", "out", "--encode", "0", "--vocab-out", "/v").contains("--encode"))
+    assert(err("in", "out", "--encode", "5").contains("together"))
+    assert(err("in", "out", "--vocab-out", "/v").contains("together"))
+    val enc = ok("in", "out", "--encode", "5", "--vocab-out", "/v")
+    assert(enc.encodeMinCount === Some(5L) && enc.vocabOut === Some("/v"))
   }
 
   test("contradictory toggles are refused, not last-wins") {
