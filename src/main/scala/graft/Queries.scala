@@ -3619,6 +3619,46 @@ object Queries {
       |ORDER BY cnt DESC, token""".stripMargin
 
   // ---------------------------------------------------------------------
+  // quantile_sketch — mergeable bin-histogram quantiles
+  // (HistQuantile): two histograms built over a disjoint user split of
+  // events, merged by (type, bin) summation, then p50/p90/p99 of value
+  // per event_type read off the merged histogram. The oracle replays the
+  // ONE-SHOT histogram, so the hash match proves shard mergeability (the
+  // same law cms_merge pins for counts, here for quantiles); the
+  // cumulative window runs over bin-bounded histogram rows, never raw
+  // events.
+  // ---------------------------------------------------------------------
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val w = 0.25
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value"))
+    val merged = graft.operators.HistQuantile.merge("event_type", Seq(
+      graft.operators.HistQuantile.histogram(
+        ev.filter(col("user_id") % 2 === 0), "event_type", "value", w),
+      graft.operators.HistQuantile.histogram(
+        ev.filter(col("user_id") % 2 =!= 0), "event_type", "value", w)))
+    graft.operators.HistQuantile.quantiles(
+        merged, "event_type", Seq(0.5, 0.9, 0.99), w)
+      .orderBy("event_type", "q")
+  }
+
+  val quantileSketchSql: String =
+    """WITH h AS (SELECT event_type, CAST(floor(value / 0.25) AS BIGINT) AS bin,
+      |             COUNT(*) AS cnt
+      |           FROM events GROUP BY event_type, bin),
+      |c AS (SELECT event_type, bin, cnt,
+      |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |        SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |      FROM h),
+      |q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+      |                     CAST(0.99 AS DOUBLE)]) AS q)
+      |SELECT event_type, q, CAST(MIN(bin) AS BIGINT) AS bin,
+      |  CAST(MIN(bin) AS DOUBLE) * 0.25 AS p_lo
+      |FROM c CROSS JOIN q
+      |WHERE cum >= ceil(q * n)
+      |GROUP BY event_type, q
+      |ORDER BY event_type, q""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3731,7 +3771,8 @@ object Queries {
     "vocab_encode" -> (vocabEncode _),
     "cms_topk" -> (cmsTopk _),
     "cms_merge" -> (cmsMerge _),
-    "cms_stream" -> (cmsStream _)
+    "cms_stream" -> (cmsStream _),
+    "quantile_sketch" -> (quantileSketch _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3845,6 +3886,7 @@ object Queries {
     "vocab_encode" -> vocabEncodeSql,
     "cms_topk" -> cmsTopkSql,
     "cms_merge" -> cmsMergeSql,
-    "cms_stream" -> cmsStreamSql
+    "cms_stream" -> cmsStreamSql,
+    "quantile_sketch" -> quantileSketchSql
   )
 }

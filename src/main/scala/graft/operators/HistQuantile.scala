@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable quantile estimation via fixed-width bin histograms — the
+  * quantile analogue of [[CountMin]]: per-shard histograms are a sum
+  * monoid over (group, bin), so a 1000-executor build is local histograms
+  * meeting in one tiny shuffle, and rolling windows are sums of daily
+  * histograms. Estimates are bin-resolution quantiles (the bin's lower
+  * edge where the cumulative count crosses ⌈q·n⌉) — deterministic integer
+  * arithmetic plus IEEE bin edges, replayable bit-for-bit in any SQL
+  * engine, unlike rank-interpolating sketches (t-digest/KLL) whose
+  * centroids depend on merge order.
+  */
+object HistQuantile {
+
+  /** (group, bin, cnt) histogram of `valueCol` with `binWidth`-wide bins:
+    * bin = ⌊value / binWidth⌋. One groupBy — map-side partials bound each
+    * partition's output at the bin count. */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.select(col(groupCol), col(valueCol))
+      .groupBy(col(groupCol),
+        floor(col(valueCol) / lit(binWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge per-shard histograms: sum by (group, bin) — exact, order-free. */
+  def merge(groupCol: String, tables: Seq[DataFrame]): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("bin"))
+      .agg(sum("cnt").cast("long").as("cnt"))
+
+  /** Bin-resolution quantiles per group: for each q in `qs`, the lower
+    * edge of the first bin whose cumulative count reaches ⌈q·n⌉.
+    * The cumulative window runs over the HISTOGRAM (bin-bounded rows per
+    * group), never raw data. */
+  def quantiles(hist: DataFrame, groupCol: String, qs: Seq[Double],
+      binWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.partitionBy(groupCol).orderBy("bin")))
+    val tot = hist.groupBy(groupCol).agg(sum("cnt").cast("long").as("n"))
+    val qdf = qs.toDF("q")
+    cum.join(tot, groupCol)
+      .crossJoin(broadcast(qdf))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col(groupCol), col("q"))
+      .agg(min("bin").as("bin"))
+      .withColumn("p_lo", col("bin").cast("double") * lit(binWidth))
+  }
+}

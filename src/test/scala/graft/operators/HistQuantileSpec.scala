@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HistQuantile — behind the quantile_sketch CORRECTNESS row. */
+class HistQuantileSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val events =
+    graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("user_id"), col("value"))
+
+  test("merge of disjoint shards equals the one-shot histogram") {
+    val a = HistQuantile.merge("event_type", Seq(
+      HistQuantile.histogram(events.filter(col("user_id") % 2 === 0),
+        "event_type", "value", 0.25),
+      HistQuantile.histogram(events.filter(col("user_id") % 2 =!= 0),
+        "event_type", "value", 0.25)))
+      .orderBy("event_type", "bin").collect().toSeq
+    val b = HistQuantile.histogram(events, "event_type", "value", 0.25)
+      .select(col("event_type"), col("bin"), col("cnt").cast("long").as("cnt"))
+      .orderBy("event_type", "bin").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bin-resolution quantiles bracket the exact quantile") {
+    val w = 0.25
+    val hist = HistQuantile.histogram(events, "event_type", "value", w)
+    val got = HistQuantile.quantiles(hist, "event_type", Seq(0.5, 0.9), w)
+      .collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3))).toMap
+    // exact per-type quantiles computed directly (type-ordered values)
+    val byType = events.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getDouble(1)).sorted }
+    for ((t, vals) <- byType; q <- Seq(0.5, 0.9)) {
+      val exact = vals(math.ceil(q * vals.length).toInt - 1)
+      val lo = got((t, q))
+      assert(lo <= exact && exact < lo + w,
+        s"$t q=$q: exact $exact outside [$lo, ${lo + w})")
+    }
+  }
+
+  test("histogram is invariant to input partitioning") {
+    val a = HistQuantile.histogram(events, "event_type", "value", 0.25)
+      .orderBy("event_type", "bin").collect().toSeq
+    val b = HistQuantile.histogram(events.repartition(13), "event_type", "value", 0.25)
+      .orderBy("event_type", "bin").collect().toSeq
+    assert(a == b)
+  }
+
+  test("quantile window runs over the histogram, not raw rows") {
+    val w = 0.25
+    val hist = HistQuantile.histogram(events, "event_type", "value", w)
+    val p = HistQuantile.quantiles(hist, "event_type", Seq(0.5), w)
+      .queryExecution.executedPlan.toString
+    // exactly one scan feeds the plan per histogram consumer; the raw
+    // events table never appears below the window (its columns would)
+    assert(!p.contains("user_id"), s"raw events under the quantile window:\n$p")
+  }
+}
