@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * and language mix, head tokens, rendered as one JSON document.
   *
   * Every number is an aggregate the registry queries already gate
-  * (token counts, lang-ID, exact-dup ratio), composed into three jobs:
-  * one over the docs (sizes + per-source + lang), one over the exploded
-  * tokens (vocab + head), one distinct-hash pass (exact dups). At 100 TB
-  * all three are map-side-combined groupBys over digest-or-count rows —
-  * nothing driver-sized except the top-k itself. */
+  * (token counts, lang-ID, exact-dup ratio). Corpus passes: one for the
+  * size row, one distinct-hash pass (exact dups), one lang-ID pass, and
+  * ONE token explode whose count table is StageStore-materialized before
+  * its two consumers (vocab size + head tokens) read it — the
+  * multi-consumer rule the pipeline queries follow. At 100 TB every pass
+  * is a map-side-combined groupBy over digest-or-count rows — nothing
+  * driver-sized except the top-k itself. */
 object CorpusStats {
 
   def profile(spark: SparkSession, in: String, topK: Int = 10): String = {
@@ -30,9 +32,10 @@ object CorpusStats {
       .distinct().count()
     val dupDocs = nDocs - distinctTexts
 
-    val tokenCounts = docs
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tokenCounts = StageStore.materialize(
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt")),
+      s"cstats_tokens_${StageStore.dirTag(in)}")
     val vocab = tokenCounts.count()
     val top = tokenCounts
       .orderBy(col("cnt").desc, col("token")).limit(topK)

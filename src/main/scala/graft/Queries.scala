@@ -3659,6 +3659,41 @@ object Queries {
       |ORDER BY event_type, q""".stripMargin
 
   // ---------------------------------------------------------------------
+  // vocab_encode_incremental — the production encode: a NEW shard is
+  // tokenized with YESTERDAY'S persisted vocab (frequency ids must stay
+  // stable across shards or the ids in already-written training data go
+  // stale). The vocab table is built once over the history split and
+  // StageStore-materialized; the encode plan reads the vocab from FILES
+  // (one documents scan: the new shard's — pinned in VocabSpec). Oracle
+  // recomputes the history vocab in SQL and encodes the new shard.
+  // ---------------------------------------------------------------------
+  def vocabEncodeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val vocab = StageStore.materialize(
+      graft.operators.Vocab.build(history, minCount = 5L),
+      s"vocab_hist_${StageStore.dirTag(dir)}")
+    graft.operators.Vocab.encode(batch, vocab).orderBy("doc_id")
+  }
+
+  val vocabEncodeIncrementalSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ht AS (SELECT unnest(ws) AS token FROM w WHERE doc_id % 3 <> 0),
+      |v AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS vid
+      |      FROM (SELECT token, COUNT(*) AS cnt FROM ht GROUP BY token
+      |            HAVING COUNT(*) >= 5)),
+      |tok AS (SELECT doc_id,
+      |          unnest(CAST(generate_series(1, len(ws)) AS BIGINT[])) AS pos,
+      |          unnest(ws) AS token FROM w WHERE doc_id % 3 = 0),
+      |e AS (SELECT doc_id, pos, COALESCE(v.vid, 0) AS vid
+      |      FROM tok LEFT JOIN v USING (token))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  md5(array_to_string(list(CAST(vid AS VARCHAR) ORDER BY pos), ',')) AS ids_hash
+      |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3772,7 +3807,8 @@ object Queries {
     "cms_topk" -> (cmsTopk _),
     "cms_merge" -> (cmsMerge _),
     "cms_stream" -> (cmsStream _),
-    "quantile_sketch" -> (quantileSketch _)
+    "quantile_sketch" -> (quantileSketch _),
+    "vocab_encode_incremental" -> (vocabEncodeIncremental _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3887,6 +3923,7 @@ object Queries {
     "cms_topk" -> cmsTopkSql,
     "cms_merge" -> cmsMergeSql,
     "cms_stream" -> cmsStreamSql,
-    "quantile_sketch" -> quantileSketchSql
+    "quantile_sketch" -> quantileSketchSql,
+    "vocab_encode_incremental" -> vocabEncodeIncrementalSql
   )
 }

@@ -60,6 +60,17 @@ class VocabSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("incremental encode reads the history vocab from files only") {
+    val p = graft.Queries.registry("vocab_encode_incremental")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // the history split's text is consumed ONLY by the materialized vocab
+    // build; the encode plan scans documents once (the new batch) plus
+    // the vocab stage files
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans == 1, s"history rescanned ($docScans documents scans):\n$p")
+  }
+
   test("encode broadcasts the vocab side") {
     val p = Vocab.encode(docs, Vocab.build(docs, 5L))
       .queryExecution.executedPlan.toString
