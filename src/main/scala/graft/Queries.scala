@@ -3694,6 +3694,51 @@ object Queries {
       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // rolling_quantile_persisted — trailing-7-day p90 of event value from
+  // PERSISTED daily histograms (the monitoring companion of
+  // rolling_distinct_persisted): one events scan builds ≤ bins rows per
+  // day into StageStore files; the window query is a calendar range join
+  // + (anchor, bin) summation over HISTOGRAM FILES — the raw events never
+  // rescan, and yesterday's files never recompute. Mergeability is
+  // HistQuantile's sum-monoid law (pinned by quantile_sketch).
+  // ---------------------------------------------------------------------
+  def rollingQuantilePersisted(s: SparkSession, dir: String): DataFrame = {
+    val w = 0.25
+    val ev = Tables.events(s, dir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("value"))
+    val hist = StageStore.materialize(
+      graft.operators.HistQuantile.histogram(ev, "day", "value", w),
+      s"hist_days_${StageStore.dirTag(dir)}")
+    val anchors = hist.select(col("day").as("anchor")).distinct()
+    val win = to_date(col("day")).between(
+      date_sub(to_date(col("anchor")), 6), to_date(col("anchor")))
+    val merged = anchors.join(hist, win)
+      .groupBy(col("anchor"), col("bin"))
+      .agg(sum("cnt").cast("long").as("cnt"))
+    graft.operators.HistQuantile.quantiles(merged, "anchor", Seq(0.9), w)
+      .orderBy("anchor")
+  }
+
+  val rollingQuantilePersistedSql: String =
+    """WITH h AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |             CAST(floor(value / 0.25) AS BIGINT) AS bin, COUNT(*) AS cnt
+      |           FROM events GROUP BY day, bin),
+      |d AS (SELECT DISTINCT day AS anchor FROM h),
+      |wj AS (SELECT anchor, bin, SUM(cnt) AS cnt
+      |       FROM d JOIN h ON CAST(h.day AS DATE)
+      |         BETWEEN CAST(anchor AS DATE) - INTERVAL 6 DAY AND CAST(anchor AS DATE)
+      |       GROUP BY anchor, bin),
+      |c AS (SELECT anchor, bin, cnt,
+      |        SUM(cnt) OVER (PARTITION BY anchor ORDER BY bin) AS cum,
+      |        SUM(cnt) OVER (PARTITION BY anchor) AS n
+      |      FROM wj)
+      |SELECT anchor, CAST(0.9 AS DOUBLE) AS q, CAST(MIN(bin) AS BIGINT) AS bin,
+      |  CAST(MIN(bin) AS DOUBLE) * 0.25 AS p_lo
+      |FROM c WHERE cum >= ceil(CAST(0.9 AS DOUBLE) * n)
+      |GROUP BY anchor ORDER BY anchor""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3808,7 +3853,8 @@ object Queries {
     "cms_merge" -> (cmsMerge _),
     "cms_stream" -> (cmsStream _),
     "quantile_sketch" -> (quantileSketch _),
-    "vocab_encode_incremental" -> (vocabEncodeIncremental _)
+    "vocab_encode_incremental" -> (vocabEncodeIncremental _),
+    "rolling_quantile_persisted" -> (rollingQuantilePersisted _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3924,6 +3970,7 @@ object Queries {
     "cms_merge" -> cmsMergeSql,
     "cms_stream" -> cmsStreamSql,
     "quantile_sketch" -> quantileSketchSql,
-    "vocab_encode_incremental" -> vocabEncodeIncrementalSql
+    "vocab_encode_incremental" -> vocabEncodeIncrementalSql,
+    "rolling_quantile_persisted" -> rollingQuantilePersistedSql
   )
 }

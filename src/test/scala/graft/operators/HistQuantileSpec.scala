@@ -50,6 +50,13 @@ class HistQuantileSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("rolling persisted window is answered from histogram files only") {
+    val p = graft.Queries.registry("rolling_quantile_persisted")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!p.contains("events"), s"raw events in the window plan:\n$p")
+    assert(p.contains("hist_days_"), s"no histogram file scan:\n$p")
+  }
+
   test("quantile window runs over the histogram, not raw rows") {
     val w = 0.25
     val hist = HistQuantile.histogram(events, "event_type", "value", w)
