@@ -3739,6 +3739,45 @@ object Queries {
       |GROUP BY anchor ORDER BY anchor""".stripMargin
 
   // ---------------------------------------------------------------------
+  // media_phash — perceptual image hashing (Media.dHash) + dup grouping:
+  // the multimodal arm of the dedup family. The oracle re-derives the
+  // 9×8 resample and the 64 brightness comparisons from the hex rendering
+  // of the same payload bytes, proving the binary → decode → hash chain
+  // end to end (the mediaFrames replay technique).
+  // ---------------------------------------------------------------------
+  def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.multimodal.Media.dHash(
+        graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy("phash")))
+      .orderBy("media_id")
+  }
+
+  val mediaPhashSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
+      |    octet_length(encode(text)) AS blen,
+      |    CAST(16 + doc_id % 64 AS INTEGER) AS w,
+      |    CAST(16 + doc_id % 48 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT media_id,
+      |    [CASE WHEN ((i // 9) * h // 8) * w + ((i % 9) * w // 9) < blen
+      |       THEN (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 1, 1)) - 1) * 16
+      |          + (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 2, 1)) - 1)
+      |       ELSE 0 END for i in generate_series(0, 71)] AS p
+      |  FROM m),
+      |hb AS (SELECT media_id,
+      |    array_to_string([CASE WHEN p[(i // 8) * 9 + (i % 8) + 2] >
+      |                               p[(i // 8) * 9 + (i % 8) + 1]
+      |                          THEN '1' ELSE '0' END
+      |                     for i in generate_series(0, 63)], '') AS phash
+      |  FROM px)
+      |SELECT media_id, phash,
+      |  COUNT(*) OVER (PARTITION BY phash) AS n_same
+      |FROM hb ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3854,7 +3893,8 @@ object Queries {
     "cms_stream" -> (cmsStream _),
     "quantile_sketch" -> (quantileSketch _),
     "vocab_encode_incremental" -> (vocabEncodeIncremental _),
-    "rolling_quantile_persisted" -> (rollingQuantilePersisted _)
+    "rolling_quantile_persisted" -> (rollingQuantilePersisted _),
+    "media_phash" -> (mediaPhash _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3971,6 +4011,7 @@ object Queries {
     "cms_stream" -> cmsStreamSql,
     "quantile_sketch" -> quantileSketchSql,
     "vocab_encode_incremental" -> vocabEncodeIncrementalSql,
-    "rolling_quantile_persisted" -> rollingQuantilePersistedSql
+    "rolling_quantile_persisted" -> rollingQuantilePersistedSql,
+    "media_phash" -> mediaPhashSql
   )
 }

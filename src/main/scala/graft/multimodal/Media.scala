@@ -128,4 +128,33 @@ object Media {
       }
     }.toDF("media_id", "frame_no", "frame")
   }
+
+  /** Perceptual difference hash (dHash) of the image payloads — the
+    * image-near-dup key: resample the body grid to 9×8 with the same
+    * nearest-neighbor rule as [[resize]], then each of the 64 bits records
+    * whether the right neighbor is brighter than the left. Rendered as a
+    * 64-char '0'/'1' string (a 64-bit unsigned value overflows BIGINT at
+    * bit 63; the string groups/joins identically and stays engine-
+    * portable). Identical images — and near-identical ones after any
+    * resize — collapse to one key, so exact groupBy on the hash IS the
+    * image dedup; Hamming-near pairs band on substrings like SimHash. */
+  def dHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").map { m =>
+      val (w, h) = decodeHeader(m.payload)
+      val body = java.util.Arrays.copyOfRange(m.payload, MagicLen, m.payload.length)
+      def px(x: Int, y: Int): Int = {
+        val idx = (y * h / 8) * w + (x * w / 9)
+        if (idx < body.length) body(idx) & 0xff else 0
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < 64) {
+        val x = i % 8; val y = i / 8
+        sb.append(if (px(x + 1, y) > px(x, y)) '1' else '0')
+        i += 1
+      }
+      (m.media_id, sb.toString)
+    }.toDF("media_id", "phash")
+  }
 }

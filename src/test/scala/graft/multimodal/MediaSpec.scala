@@ -57,4 +57,26 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
     val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
     assert(frames.map(_.getLong(0)).toSet.subsetOf(videoIds))
   }
+
+  test("dHash: 64 bits, identical payloads collapse, resize moves few bits") {
+    import spark.implicits._
+    val media = Media.syntheticMedia(docs)
+    val hashes = Media.dHash(media).as[(Long, String)].collect().toMap
+    assert(hashes.nonEmpty)
+    assert(hashes.values.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    // exact duplicate payloads get the same key (the dedup property):
+    // re-hash a copy of an image row under a new id
+    val img = media.filter(_.kind == "image").head()
+    val dup = spark.createDataset(Seq(
+      img, Media.MediaRow(-1L, img.kind, img.payload.clone())))
+    val hs = Media.dHash(dup).as[(Long, String)].collect().toMap
+    assert(hs(img.media_id) === hs(-1L))
+    // resize to half size: dHash is designed to survive rescaling — the
+    // 9x8 resample of the resized grid mostly agrees with the original's
+    val resized = Media.resize(dup.filter(_.media_id == -1L),
+      newW = 40, newH = 32)
+    val hr = Media.dHash(resized).as[(Long, String)].collect().head._2
+    val hamming = hs(-1L).zip(hr).count { case (a, b) => a != b }
+    assert(hamming <= 16, s"resize moved $hamming of 64 bits")
+  }
 }
