@@ -3778,6 +3778,23 @@ object Queries {
       |FROM hb ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // nb_lang_classify — hashed multinomial Naive Bayes (the fastText-style
+  // classifier slot of a curation pipeline: CCNet language filter / GPT-3
+  // quality classifier / domain router). Trains on the corpus's own lang
+  // labels in one counting pass, scores every document with exact-integer
+  // ppb likelihoods, outputs the argmax. The model is hashing-trick
+  // bounded (4096 buckets × classes) so the scoring join broadcasts at
+  // any corpus size; see operators/Classify.scala for the determinism
+  // contract that replaces log-likelihoods with BIGINT rate sums.
+  // ---------------------------------------------------------------------
+  def nbLangClassify(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classify.nbClassify(
+      t(s, dir, "documents"), labelCol = "lang",
+      stageLabel = Some(s"nb_buckets_${StageStore.dirTag(dir)}"))
+
+  val nbLangClassifySql: String = graft.operators.Classify.nbClassifySql("lang")
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3894,7 +3911,8 @@ object Queries {
     "quantile_sketch" -> (quantileSketch _),
     "vocab_encode_incremental" -> (vocabEncodeIncremental _),
     "rolling_quantile_persisted" -> (rollingQuantilePersisted _),
-    "media_phash" -> (mediaPhash _)
+    "media_phash" -> (mediaPhash _),
+    "nb_lang_classify" -> (nbLangClassify _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4012,6 +4030,7 @@ object Queries {
     "quantile_sketch" -> quantileSketchSql,
     "vocab_encode_incremental" -> vocabEncodeIncrementalSql,
     "rolling_quantile_persisted" -> rollingQuantilePersistedSql,
-    "media_phash" -> mediaPhashSql
+    "media_phash" -> mediaPhashSql,
+    "nb_lang_classify" -> nbLangClassifySql
   )
 }

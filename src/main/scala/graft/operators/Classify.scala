@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hashed multinomial Naive-Bayes document classifier — the
+  * fastText-style label scorer every production curation pipeline runs
+  * (CCNet's language filter, GPT-3/LLaMA's quality classifier, RedPajama's
+  * domain tagger all reduce to "score each document under per-class token
+  * statistics and keep/route by the argmax"). Training is a counting pass
+  * over an already-labeled corpus slice; inference is a linear scan —
+  * there is no gradient loop, which is what makes the trainer
+  * oracle-replayable.
+  *
+  * Determinism contract (the reason this is NOT the textbook log-space
+  * form): class scores are exact BIGINT sums of per-bucket parts-per-1e9
+  * rates, `(cnt + 1) · 10⁹ div (tot_class + B)` — Laplace-smoothed
+  * multinomial likelihoods with the libm `ln` replaced by integer
+  * arithmetic (the same trade [[LmScore.importanceWeights]] documents:
+  * `ln` is 1-2 ulp engine-dependent and would break the value-hash oracle;
+  * the argmax consumes only the ORDER of scores, and the ppb-rate sum is
+  * monotone in the same per-bucket evidence). Sums of BIGINTs are
+  * associative, so the result is independent of partitioning and
+  * aggregation order — bitwise-reproducible across engines.
+  *
+  * The feature space is the hashing trick (Weinberger et al., ICML'09):
+  * tokens hash into `B = 16^hexDigits` buckets (leading md5 hex digits),
+  * so the MODEL is bounded at B·|classes| rows no matter how large the
+  * corpus vocabulary grows — the property that keeps the scoring join
+  * broadcastable at 100 TB. Collisions merge token statistics (standard
+  * for hashed features); both engines hash identically so the merged
+  * model is still bit-identical.
+  *
+  * Scale shape: one corpus pass folds each document to ≤ B reduced
+  * `(doc_id, bucket, n)` rows (map-side combine absorbs token skew — the
+  * hot stopword bucket leaves each task pre-summed); the class-count
+  * model aggregates THAT reduced table, never the corpus; the completed
+  * rate table (every present bucket × every class, so Laplace smoothing
+  * covers class-absent buckets) is broadcast; scoring is a broadcast
+  * join + one partial-aggregated groupBy(doc_id, class); the argmax is a
+  * |classes|-row-per-doc window. Document bodies never shuffle.
+  */
+object Classify {
+
+  /** Per-document bucket histogram `(doc_id, b, n)` — tokens are
+    * space-split, bucketed on the first `hexDigits` md5 hex digits. */
+  private[operators] def docBuckets(docs: DataFrame, hexDigits: Int): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", substring(md5(col("tok")), 1, hexDigits))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+
+  /** Train on `docs`' own `labelCol` and score every document: output
+    * `(doc_id, <labelCol>, pred, score_ppb)` — the argmax class and its
+    * exact integer score. Ties break toward the lexicographically first
+    * class (pinned in the window order, mirrored by the oracle).
+    *
+    * `stageLabel` materializes the per-doc bucket histogram through
+    * [[graft.StageStore]] — it feeds BOTH the model aggregation and the
+    * scoring join, and unmaterialized the corpus tokenization runs twice
+    * (at 100 TB: a second full corpus pass to rebuild a table the first
+    * pass already reduced). None keeps the storage-free shape for tests.
+    */
+  def nbClassify(docs: DataFrame, labelCol: String = "lang",
+                 hexDigits: Int = 3, stageLabel: Option[String] = None): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 7, "bucket key must stay in 4-28 bits")
+    val buckets = 1L << (4 * hexDigits)
+    val dbRaw = docBuckets(docs, hexDigits)
+    val db = stageLabel match {
+      case Some(l) => graft.StageStore.materialize(dbRaw, l)
+      case None    => dbRaw
+    }
+    val labels = docs.select(col("doc_id"), col(labelCol).as("label"))
+    // model: per-(bucket, class) token mass — aggregates the REDUCED
+    // histogram joined to the per-doc label spine (broadcast: one row per
+    // document id+label, but only the label side of the join is what the
+    // model needs — at 100 TB labels ride the same scan as the histogram)
+    val classCounts = db.join(labels, "doc_id")
+      .groupBy("b", "label").agg(sum("n").as("cnt"))
+    val classTotals = classCounts.groupBy("label").agg(sum("cnt").as("tot"))
+    // complete the rate table over (present buckets × classes) so a class
+    // that never saw a bucket still contributes its Laplace floor
+    val rates = classCounts.select("b").distinct()
+      .crossJoin(classTotals)
+      .join(classCounts, Seq("b", "label"), "left")
+      .select(col("b"), col("label"),
+        expr(s"(coalesce(cnt, 0L) + 1L) * 1000000000L div (tot + ${buckets}L)")
+          .as("w"))
+    val scores = db.join(broadcast(rates), "b")
+      .groupBy("doc_id", "label")
+      .agg(sum(col("n") * col("w")).cast("long").as("score_ppb"))
+    val rk = row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("score_ppb").desc, col("label").asc))
+    val pred = scores.withColumn("rk", rk).filter(col("rk") === 1)
+      .select(col("doc_id"), col("label").as("pred"), col("score_ppb"))
+    docs.select(col("doc_id"), col(labelCol))
+      .join(pred, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle replaying [[nbClassify]] end to end — training counts,
+    * Laplace-completed ppb rates, integer scoring, argmax. */
+  def nbClassifySql(labelCol: String = "lang", hexDigits: Int = 3): String = {
+    val buckets = 1L << (4 * hexDigits)
+    s"""WITH toks AS (SELECT doc_id,
+       |         substr(md5(unnest(string_split(text, ' '))), 1, $hexDigits) AS b
+       |       FROM documents),
+       |db AS (SELECT doc_id, b, COUNT(*) AS n FROM toks GROUP BY doc_id, b),
+       |cc AS (SELECT b, $labelCol AS label, SUM(n) AS cnt
+       |       FROM db JOIN documents USING (doc_id) GROUP BY 1, 2),
+       |tot AS (SELECT label, SUM(cnt) AS tot FROM cc GROUP BY 1),
+       |r AS (SELECT bs.b, tot.label,
+       |        (COALESCE(cc.cnt, 0) + 1) * 1000000000 // (tot.tot + $buckets) AS w
+       |      FROM (SELECT DISTINCT b FROM cc) bs
+       |      CROSS JOIN tot
+       |      LEFT JOIN cc ON cc.b = bs.b AND cc.label = tot.label),
+       |s AS (SELECT doc_id, label, CAST(SUM(n * w) AS BIGINT) AS score_ppb
+       |      FROM db JOIN r USING (b) GROUP BY 1, 2),
+       |p AS (SELECT doc_id, label AS pred, score_ppb,
+       |        row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY score_ppb DESC, label ASC) AS rk
+       |      FROM s)
+       |SELECT d.doc_id, d.$labelCol, p.pred, p.score_ppb
+       |FROM documents d JOIN p USING (doc_id)
+       |WHERE p.rk = 1 ORDER BY d.doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** Properties of the hashed Naive-Bayes classifier (Classify.nbClassify):
+  * it learns a separable corpus exactly, its scores are exact integers
+  * (partitioning-invariant), the model is hashing-bounded, and ties break
+  * deterministically toward the first class.
+  */
+class ClassifySpec extends AnyFunSuite with SparkSuite {
+
+  private def docs(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  /** Two classes with disjoint vocabularies plus shared filler — NB must
+    * recover every label including on the docs where filler dominates. */
+  private def sepCorpus = docs(
+    (1L, "apfel birne apfel strasse the a", "de"),
+    (2L, "strasse apfel birne birne the of", "de"),
+    (3L, "apfel strasse the a of to", "de"),
+    (4L, "apple pear apple street the a", "en"),
+    (5L, "street apple pear pear the of", "en"),
+    (6L, "apple street the a of to", "en"))
+
+  test("recovers every label on a separable corpus") {
+    val out = Classify.nbClassify(sepCorpus).collect()
+    assert(out.length == 6)
+    out.foreach(r => assert(r.getAs[String]("pred") == r.getAs[String]("lang"),
+      s"doc ${r.getLong(0)}: pred=${r.getAs[String]("pred")}"))
+  }
+
+  test("scores are partitioning-invariant (exact integer arithmetic)") {
+    val base = Classify.nbClassify(sepCorpus)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val reparted = Classify.nbClassify(sepCorpus.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(base == reparted)
+  }
+
+  test("model is bounded by buckets x classes regardless of vocabulary") {
+    // hexDigits=1 -> 16 buckets; 40 distinct tokens must collapse into them
+    val many = docs((1L to 20L).map(i =>
+      (i, s"tok${i}a tok${i}b shared", if (i <= 10) "a" else "b")): _*)
+    val db = Classify.docBuckets(many, hexDigits = 1)
+    val nBuckets = db.select("b").distinct().count()
+    assert(nBuckets <= 16, s"buckets=$nBuckets")
+    // and the classifier still runs end to end over the collapsed space
+    assert(Classify.nbClassify(many, hexDigits = 1).count() == 20)
+  }
+
+  test("a label-uninformative corpus ties toward the prior-heavy class, " +
+    "breaking exact ties toward the first label") {
+    // identical text everywhere: per-class rates differ only via priors'
+    // token mass; with equal class sizes all scores tie exactly and the
+    // window order pins the lexicographically first class
+    val tied = docs(
+      (1L, "x y z", "aa"), (2L, "x y z", "bb"))
+    val out = Classify.nbClassify(tied).collect()
+    out.foreach(r => assert(r.getAs[String]("pred") == "aa"))
+  }
+
+  test("every document in the corpus is scored exactly once") {
+    val out = Classify.nbClassify(sepCorpus)
+    assert(out.select("doc_id").distinct().count() == 6)
+    assert(out.count() == 6)
+  }
+}
