@@ -720,6 +720,20 @@ object Queries {
   val annLshSql: String =
     graft.operators.Similarity.lshOracleSql(queryIds = 0L until 5L, k = 5)
 
+  /** PQ / ADC approximate ANN — the memory-bound scale path beside LSH and
+    * IVF: the corpus is encoded once into m small ints + a stored norm per
+    * vector, the quantized-cosine shortlist reads CODES (never vectors),
+    * and only the `refine`-deep shortlist joins back to full vectors for
+    * the exact re-rank (the FAISS refine pattern). Seeded codebooks (the
+    * IVF trade), so the oracle replays encode + shortlist + refine
+    * exactly; recall vs brute force in SimilaritySpec. */
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.pqTopK(
+      t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
+
+  val annPqSql: String =
+    graft.operators.Similarity.pqOracleSql(queryIds = 0L until 5L, k = 5)
+
   /** Embedding-cosine near-dup over a corpus with planted duplicate vectors
     * (every 10th, vec_id + 1_000_000) — bucketed join. The oracle is the
     * all-pairs ground truth: planted pairs are bitwise-identical vectors
@@ -3837,6 +3851,7 @@ object Queries {
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
     "embed_near_dup" -> (embedNearDup _),
     "diff_sync_ops" -> (diffSyncOps _),
     "diff_sync_dml" -> (diffSyncDml _),
@@ -3956,6 +3971,7 @@ object Queries {
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_pq" -> annPqSql,
     "embed_near_dup" -> embedNearDupSql,
     "diff_sync_ops" -> diffSyncOpsSql,
     "diff_sync_dml" -> diffSyncDmlSql,

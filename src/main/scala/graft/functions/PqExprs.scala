@@ -1,0 +1,232 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Product-quantization kernels (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): the embedding splits into `m`
+  * contiguous subvectors, each encoded as the index of its nearest
+  * codebook centroid; search scores the CODES against a query without ever
+  * touching the original vectors (asymmetric distance computation) — the
+  * memory-bound ANN path, m small ints per vector instead of dim floats.
+  *
+  * Both kernels are fused codegen expressions for the same reason as
+  * [[CentroidScores]]: per-subvector self-norms are computed once and the
+  * whole m×kSub distance evaluation is ONE expression, where the composed
+  * slice/aggregate form is CodegenFallback and re-evaluates hoisted
+  * subexpressions.
+  *
+  * Determinism contract (what makes the DuckDB replay-oracle exact): the
+  * encode's squared L2 distances are computed as the three-dot composition
+  * `dot(a,a) - 2·dot(a,b) + dot(b,b)` with each dot accumulated
+  * sequentially in double — bit-identical to `list_inner_product` over
+  * DOUBLE[] slices composed with the same literal arithmetic (NOT the
+  * algebraically-equal single-pass `Σ(aᵢ-bᵢ)²`, which rounds differently).
+  * Ties break toward the first (lowest) centroid index, and the ADC dot
+  * sum accumulates subvectors in ascending order — all mirrored verbatim
+  * by the oracle SQL.
+  */
+object PqExprs {
+
+  /** Per-centroid self-dots `dot(c,c)`, folded driver-side with the same
+    * sequential accumulation the kernels and the oracle use. */
+  def selfDots(codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    codebooks.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+
+  /** PQ codes of an embedding: array of `m` 1-based centroid indices. */
+  def codes(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqCodes(
+      GraftColumnBridge.expression(emb), codebooks, selfDots(codebooks)))
+
+  /** ADC dot of (query embedding, corpus codes): Σⱼ dot(qⱼ, C[j][codeⱼ])
+    * — the inner product decomposed over subvectors, which the caller
+    * divides by the corpus vector's STORED norm to rank by quantized
+    * cosine (PQ with stored norms, the MIPS/cosine variant: raw L2 ADC
+    * ranks by a metric the cosine ground truth doesn't induce when corpus
+    * norms vary). */
+  def adcDot(qEmb: Column, codes: Column,
+             codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqAdcDot(
+      GraftColumnBridge.expression(qEmb), GraftColumnBridge.expression(codes),
+      codebooks))
+}
+
+/** Encode: 1-based nearest-centroid index per subvector (array of m ints).
+  * `codebooks(j)(c)` is the c-th centroid of subvector j; all subvectors
+  * share one length (`subDim`). Embeddings shorter than (j+1)·subDim
+  * zero-pad implicitly (the loop clamps at the array end — dot terms past
+  * the end contribute nothing, matching a zero-padded oracle slice). */
+case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]],
+                   cDots: Array[Array[Double]])
+  extends UnaryExpression {
+
+  private val m = codebooks.length
+  private val kSub = codebooks(0).length
+  private val subDim = codebooks(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * subDim
+      val end = math.min(base + subDim, e.numElements())
+      var self = 0.0
+      var i = base
+      while (i < end) { self += e.getFloat(i).toDouble * e.getFloat(i).toDouble; i += 1 }
+      var best = 0
+      var bv = 0.0
+      var c = 0
+      while (c < kSub) {
+        val cb = codebooks(j)(c)
+        var acc = 0.0
+        i = base
+        while (i < end) { acc += e.getFloat(i).toDouble * cb(i - base); i += 1 }
+        val d = self - 2.0 * acc + cDots(j)(c)
+        if (c == 0 || java.lang.Double.compare(d, bv) < 0) { best = c; bv = d }
+        c += 1
+      }
+      out(j) = best + 1
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val cdRef = ctx.addReferenceObj("cDots", cDots, "double[][]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val out = ctx.freshName("out")
+      val base = ctx.freshName("base")
+      val end = ctx.freshName("end")
+      val self = ctx.freshName("self")
+      val best = ctx.freshName("best")
+      val bv = ctx.freshName("bv")
+      val cb = ctx.freshName("cb")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $base = $j * $subDim;
+         |  int $end = java.lang.Math.min($base + $subDim, $e.numElements());
+         |  double $self = 0.0;
+         |  for (int $i = $base; $i < $end; $i++) {
+         |    $self += (double) $e.getFloat($i) * (double) $e.getFloat($i);
+         |  }
+         |  int $best = 0;
+         |  double $bv = 0.0;
+         |  for (int $c = 0; $c < $kSub; $c++) {
+         |    double[] $cb = $cbRef[$j][$c];
+         |    double $acc = 0.0;
+         |    for (int $i = $base; $i < $end; $i++) {
+         |      $acc += (double) $e.getFloat($i) * $cb[$i - $base];
+         |    }
+         |    double $d = $self - 2.0 * $acc + $cdRef[$j][$c];
+         |    if ($c == 0 || java.lang.Double.compare($d, $bv) < 0) {
+         |      $best = $c; $bv = $d;
+         |    }
+         |  }
+         |  $out[$j] = $best + 1;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** ADC: decomposed inner product of a query embedding with a CODED corpus
+  * vector, Σⱼ dot(qⱼ, C[j][codeⱼ]), accumulated j-ascending with each dot
+  * sequential. The corpus side of the scan reads m ints per row — never
+  * the original vector. */
+case class PqAdcDot(left: Expression, right: Expression,
+                    codebooks: Array[Array[Array[Double]]])
+  extends BinaryExpression {
+
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<int>), got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var j = 0
+    val mm = math.min(m, codes.numElements())
+    while (j < mm) {
+      val cb = codebooks(j)(codes.getInt(j) - 1)
+      val base = j * subDim
+      val end = math.min(base + subDim, q.numElements())
+      var acc = 0.0
+      var i = base
+      while (i < end) { acc += q.getFloat(i).toDouble * cb(i - base); i += 1 }
+      s += acc
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (q, codes) => {
+      val s = ctx.freshName("s")
+      val mm = ctx.freshName("mm")
+      val cb = ctx.freshName("cb")
+      val base = ctx.freshName("base")
+      val end = ctx.freshName("end")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |double $s = 0.0;
+         |int $mm = java.lang.Math.min($m, $codes.numElements());
+         |for (int $j = 0; $j < $mm; $j++) {
+         |  double[] $cb = $cbRef[$j][$codes.getInt($j) - 1];
+         |  int $base = $j * $subDim;
+         |  int $end = java.lang.Math.min($base + $subDim, $q.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = $base; $i < $end; $i++) {
+         |    $acc += (double) $q.getFloat($i) * $cb[$i - $base];
+         |  }
+         |  $s += $acc;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqAdcDot =
+    copy(left = newLeft, right = newRight)
+}

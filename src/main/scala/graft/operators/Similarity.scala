@@ -240,6 +240,150 @@ object Similarity {
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Product-quantization codebooks, seeded like the IVF quantizer (the
+    * subvectors of the `kSub` lowest vec_ids — no Lloyd iterations, so the
+    * whole index is a pure deterministic function of the data and the SQL
+    * oracle replays it; same trade documented at [[ivfTopK]]). Bounded
+    * plan-time collect: kSub rows. */
+  private[operators] def pqCodebooks(emb: DataFrame, m: Int, kSub: Int,
+                                     dim: Int): Array[Array[Array[Double]]] = {
+    val subDim = dim / m
+    require(subDim * m == dim, s"dim $dim must split evenly into $m subvectors")
+    val seeds: Array[Array[Double]] = emb
+      .orderBy("vec_id").limit(kSub).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble)) // lossless widening
+    Array.tabulate(m) { j =>
+      seeds.map(e => java.util.Arrays.copyOfRange(e, j * subDim,
+        math.min((j + 1) * subDim, e.length)))
+    }
+  }
+
+  /** PQ / ADC approximate top-k (Jégou et al., TPAMI 2011) with a stored
+    * norm and an exact refine stage — the memory-bound ANN path beside LSH
+    * (hash-bucketed) and IVF (Voronoi cells):
+    *
+    *  - '''encode''' (map-only, once): every corpus vector → m small ints
+    *    ([[graft.functions.PqExprs.codes]]) + its norm. The encoded table
+    *    is what a production deployment persists: m·4 bytes + 8 per row
+    *    instead of dim·4 — the scan behind every later query reads ~8× less
+    *    at the default (m=8, dim=64);
+    *  - '''shortlist''': quantized cosine = ADC dot (inner product
+    *    decomposed over subvectors, [[graft.functions.PqExprs.adcDot]])
+    *    divided by the stored norm, top `refine` per query. Raw L2 ADC
+    *    would rank by a metric the cosine ground truth doesn't induce when
+    *    corpus norms vary — the stored-norm variant is the standard
+    *    cosine/MIPS form. Only (id, score) pairs pass this window;
+    *  - '''refine''': the shortlist joins BACK to the vector table by id
+    *    (refine·|queries| rows — the only rows whose full vectors search
+    *    ever reads, exactly FAISS's refine pattern) and exact cosine
+    *    re-ranks to the final top-k.
+    *
+    * Approximate by construction (the shortlist can miss); recall vs brute
+    * force is measured in SimilaritySpec, and encode + shortlist + refine
+    * are replayed exactly by [[pqOracleSql]]. Compose with [[ivfTopK]]'s
+    * cell routing for IVF-PQ when the corpus outgrows a scan-of-codes. */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, m: Int = 8,
+             kSub: Int = 16, dim: Int = 64, refine: Int = 64): DataFrame = {
+    val cbs = pqCodebooks(emb, m, kSub, dim)
+    val dot = graft.functions.VectorExprs.dot _
+    val encoded = emb.select(col("vec_id"),
+      graft.functions.PqExprs.codes(col("embedding"), cbs).as("codes"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("xnorm"))
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    // q_emb is dropped BEFORE the shortlist window: its shuffle carries
+    // (query_id, neighbor_id, adc) triples only — never a vector per
+    // candidate row (the refine join re-acquires both embeddings for the
+    // refine-bounded survivors)
+    val shortlist = encoded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (graft.functions.PqExprs.adcDot(col("q_emb"), col("codes"), cbs) /
+          col("xnorm")).as("adc"))
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= refine)
+    val sim = cosine(col("q_emb"), col("embedding"))
+    val wr = Window.partitionBy("query_id").orderBy(sim.desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(q), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(wr).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** DuckDB SQL replaying [[pqTopK]] exactly: codebooks re-derived from the
+    * kSub lowest vec_ids; the encode's squared L2 as the same three-dot
+    * composition over DOUBLE[] slices (`list_inner_product` accumulates
+    * sequentially — bit-identical to the kernels) with the first-min code
+    * tie-break; the ADC dot written as an explicit left-associative chain
+    * so the subvector addition order matches the kernel's ascending loop;
+    * then the identical shortlist → exact-cosine refine. */
+  def pqOracleSql(queryIds: Seq[Long], k: Int, m: Int = 8, kSub: Int = 16,
+                  dim: Int = 64, refine: Int = 64): String = {
+    val subDim = dim / m
+    def slice(x: String, j: Int): String =
+      s"$x[${j * subDim + 1}:${(j + 1) * subDim}]"
+    // encode: per (vector, subvector) nearest codebook entry by 3-dot L2
+    val encSel = s"""
+       |  SELECT c.vec_id, js.j, cb.cidx,
+       |    list_inner_product(c.e[js.j*$subDim+1 : js.j*$subDim+$subDim],
+       |                       c.e[js.j*$subDim+1 : js.j*$subDim+$subDim])
+       |    - 2*list_inner_product(c.e[js.j*$subDim+1 : js.j*$subDim+$subDim],
+       |                           cb.e[js.j*$subDim+1 : js.j*$subDim+$subDim])
+       |    + list_inner_product(cb.e[js.j*$subDim+1 : js.j*$subDim+$subDim],
+       |                         cb.e[js.j*$subDim+1 : js.j*$subDim+$subDim]) AS d
+       |  FROM corpus c
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS j) js
+       |  CROSS JOIN cb""".stripMargin
+    val codeCols = (0 until m)
+      .map(j => s"MAX(CASE WHEN j = $j THEN code END) AS c$j").mkString(", ")
+    val cbJoins = (0 until m)
+      .map(j => s"JOIN cb cb$j ON cb$j.cidx = cw.c$j").mkString("\n  ")
+    val adcTerms = (0 until m)
+      .map(j => s"list_inner_product(${slice("q.e", j)}, ${slice(s"cb$j.e", j)})")
+      .mkString("\n    + ")
+    val cos = "list_inner_product(qe.e, ne.e) / (sqrt(list_inner_product(qe.e, qe.e)) * sqrt(list_inner_product(ne.e, ne.e)))"
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, e
+       |       FROM corpus ORDER BY vec_id LIMIT $kSub),
+       |enc AS ($encSel),
+       |codes AS (
+       |  SELECT vec_id, j, cidx AS code FROM (
+       |    SELECT vec_id, j, cidx,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cidx) AS rn
+       |    FROM enc) x WHERE rn = 1),
+       |cw AS (SELECT vec_id, $codeCols FROM codes GROUP BY vec_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, cw.vec_id AS neighbor_id,
+       |      ($adcTerms)
+       |        / sqrt(list_inner_product(n.e, n.e)) AS adc,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ($adcTerms)
+       |          / sqrt(list_inner_product(n.e, n.e)) DESC, cw.vec_id) AS srank
+       |    FROM corpus q
+       |    JOIN cw ON cw.vec_id != q.vec_id
+       |    JOIN corpus n ON n.vec_id = cw.vec_id
+       |    $cbJoins
+       |    WHERE q.vec_id IN (${queryIds.mkString(", ")})) x
+       |  WHERE srank <= $refine),
+       |ranked AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY $cos DESC, s.neighbor_id) AS rank
+       |  FROM shortlist s
+       |  JOIN corpus qe ON qe.vec_id = s.query_id
+       |  JOIN corpus ne ON ne.vec_id = s.neighbor_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Single-table bucket id (hyperplane signs) — the bucketing key for
     * embedding near-dup joins. */
   def bucketId(emb: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column =

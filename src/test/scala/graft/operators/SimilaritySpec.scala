@@ -63,6 +63,53 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(n > 16) // fixture sanity for the cell geometry above
   }
 
+  test("PQ: codes are bounded 1..kSub, seeds encode to themselves, and the " +
+    "shortlist+refine keeps useful recall") {
+    val cbs = Similarity.pqCodebooks(emb, m = 8, kSub = 16, dim = 64)
+    assert(cbs.length == 8 && cbs(0).length == 16 && cbs(0)(0).length == 8)
+    val codes = emb.select(col("vec_id"),
+        graft.functions.PqExprs.codes(col("embedding"), cbs).as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(c => c >= 1 && c <= 16)))
+    // a codebook seed vector encodes to itself in every subvector
+    val seedIds = emb.orderBy("vec_id").limit(16)
+      .select("vec_id").collect().map(_.getLong(0))
+    val byId = codes.toMap
+    seedIds.zipWithIndex.foreach { case (id, idx) =>
+      assert(byId(id).forall(_ == idx + 1),
+        s"seed $id (codebook entry ${idx + 1}) -> ${byId(id)}")
+    }
+    val qs = (0L until 10L).toSeq
+    val exact = Similarity.bruteForceTopK(emb, qs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val approx = Similarity.pqTopK(emb, qs, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val recall = qs.count(q => approx.get(q) == exact.get(q)).toDouble / qs.size
+    assert(recall >= 0.5, s"PQ top-1 recall $recall")
+    // widening the shortlist to the whole corpus makes PQ exact — the
+    // shortlist is the only source of approximation (refine is exact)
+    val n = emb.count().toInt
+    val full = Similarity.pqTopK(emb, qs, k = 1, refine = n).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(full == exact)
+  }
+
+  test("PQ ADC dot of a seed vector against its own codes recovers its " +
+    "self-dot (the reconstruction is the vector itself)") {
+    val cbs = Similarity.pqCodebooks(emb, m = 8, kSub = 16, dim = 64)
+    val dot = graft.functions.VectorExprs.dot _
+    val firstId = emb.orderBy("vec_id").limit(1)
+      .select("vec_id").collect()(0).getLong(0)
+    val r = emb.filter(col("vec_id") === firstId)
+      .select(graft.functions.PqExprs.adcDot(col("embedding"),
+        graft.functions.PqExprs.codes(col("embedding"), cbs), cbs).as("adc"),
+        dot(col("embedding"), col("embedding")).as("self"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9 * r.getDouble(1),
+      s"adc=${r.getDouble(0)} self=${r.getDouble(1)}")
+  }
+
   test("cosineNearDupPairs: planted duplicate vectors are found at sim ~1") {
     val planted = emb.limit(10).unionAll(
       emb.limit(10).withColumn("vec_id", col("vec_id") + lit(1000000L)))
