@@ -2595,6 +2595,100 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // semantic_dedup_incremental — the production cadence of SemDeDup: a new
+  // shard of embeddings dedups against YESTERDAY'S kept corpus, read from
+  // persisted StageStore files, under FROZEN cluster geometry (re-training
+  // would re-assign history and invalidate shipped keep decisions). The
+  // planted batch exercises all three outcomes: every 10th history vector
+  // re-arrives verbatim (+1M — dropped against history), every 25th
+  // arrives NEGATED twice (+2M/+3M — novel vs history since cos(-x,x)=-1,
+  // duplicates of each other, keep-one keeps +2M). The oracle replays
+  // history training + history dedup + frozen-centroid batch assignment +
+  // the cross-boundary component rule end to end.
+  // ---------------------------------------------------------------------
+  def semanticDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val k = graft.operators.SemDeDup.deriveK(hist.count())
+    // frozen geometry: deterministic trainer → bit-identical to the
+    // centroids yesterday's dedup trained (production persists them; the
+    // fixed-point Lloyd makes recomputation equivalent)
+    val cent = graft.operators.KMeans.train(hist, k, iters = 2)
+    val tag = StageStore.dirTag(dir)
+    val keptHist = StageStore.materialize(
+      graft.operators.SemDeDup.dedup(hist, k = k, iters = 2,
+          threshold = 0.999, stageTag = Some(s"inchist_$tag"))
+        .join(hist, Seq("vec_id"))
+        .select("vec_id", "cluster", "embedding"),
+      s"semdedupinc_kept_$tag")
+    val neg = transform(col("embedding"), x => -x)
+    val batch = hist.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionAll(hist.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), neg.as("embedding")))
+      .unionAll(hist.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 3000000L).as("vec_id"), neg.as("embedding")))
+    graft.operators.SemDeDup.dedupIncremental(batch, cent, keptHist,
+        threshold = 0.999, stageTag = Some(tag))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupIncrementalSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    def unroll(n: Int, prefix: String, edges: String): String =
+      (0 until n).map { i =>
+        s"""$prefix${i + 1} AS MATERIALIZED (
+           |  SELECT l.doc_id, least(l.comp, COALESCE(min(ln.comp), l.comp)) AS comp
+           |  FROM $prefix$i l
+           |  LEFT JOIN $edges ON $edges.u = l.doc_id
+           |  LEFT JOIN $prefix$i ln ON ln.doc_id = $edges.v
+           |  GROUP BY l.doc_id, l.comp
+           |)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$kmeansChainCtes,
+       |wc AS (SELECT km.vec_id, km.cluster, corpus.e FROM km JOIN corpus USING (vec_id)),
+       |sph AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM wc a JOIN wc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.e", "b.e")} >= 0.999),
+       |edh AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM sph
+       |  UNION ALL SELECT doc_b, doc_a FROM sph),
+       |h0 AS MATERIALIZED (SELECT vec_id AS doc_id, vec_id AS comp FROM km),
+       |${unroll(3, "h", "edh")},
+       |hkept AS (SELECT wc.vec_id, wc.cluster, wc.e FROM h3 JOIN wc ON wc.vec_id = h3.doc_id
+       |  WHERE h3.comp = h3.doc_id),
+       |batchc AS (
+       |  SELECT vec_id + 1000000 AS vec_id, e FROM corpus WHERE vec_id % 10 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 2000000, list_transform(e, x -> -x) FROM corpus WHERE vec_id % 25 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 3000000, list_transform(e, x -> -x) FROM corpus WHERE vec_id % 25 = 0),
+       |sb AS (SELECT v.vec_id, c.cell, ${cos("v.e", "c.c")} AS score
+       |  FROM batchc v CROSS JOIN cent2 c),
+       |kmb AS (SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |  FROM sb) x WHERE rn = 1),
+       |bwc AS (SELECT kmb.vec_id, kmb.cluster, batchc.e FROM kmb JOIN batchc USING (vec_id)),
+       |spb AS MATERIALIZED (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM bwc a JOIN bwc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.e", "b.e")} >= 0.999
+       |  UNION ALL
+       |  SELECT b.vec_id, h.vec_id
+       |  FROM bwc b JOIN hkept h ON b.cluster = h.cluster
+       |  WHERE ${cos("b.e", "h.e")} >= 0.999),
+       |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM spb
+       |  UNION ALL SELECT doc_b, doc_a FROM spb),
+       |l0 AS MATERIALIZED (
+       |  SELECT vec_id AS doc_id, vec_id AS comp FROM kmb
+       |  UNION ALL SELECT vec_id, vec_id FROM hkept),
+       |${unroll(3, "l", "ed")}
+       |SELECT l3.doc_id AS vec_id, kmb.cluster
+       |FROM l3 JOIN kmb ON kmb.vec_id = l3.doc_id
+       |WHERE l3.comp = l3.doc_id ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // repetition_stats — Gopher-style per-document repetition quality
   // signals (dup-word fraction, top-bigram fraction, char collision
   // probability). See TextOps.repetitionStats for the scale shape.
@@ -3885,6 +3979,7 @@ object Queries {
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipeline_full_corpus" -> (pipelineFullCorpus _),
     "semantic_dedup" -> (semanticDedup _),
+    "semantic_dedup_incremental" -> (semanticDedupIncremental _),
     "q5_join" -> (q5Join _),
     "anti_join" -> (antiJoin _),
     "semi_join" -> (semiJoin _),
@@ -4005,6 +4100,7 @@ object Queries {
     "dedup_substring_spans" -> dedupSubstringSpansSql,
     "pipeline_full_corpus" -> pipelineFullCorpusSql,
     "semantic_dedup" -> semanticDedupSql,
+    "semantic_dedup_incremental" -> semanticDedupIncrementalSql,
     "q5_join" -> q5JoinSql,
     "anti_join" -> antiJoinSql,
     "semi_join" -> semiJoinSql,

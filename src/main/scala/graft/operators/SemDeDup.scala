@@ -138,6 +138,102 @@ object SemDeDup {
       .select(col("vec_id"), col("cluster"))
   }
 
+  /** Incremental semantic dedup — the production cadence, where each NEW
+    * shard of embeddings dedups against YESTERDAY'S kept corpus without
+    * recomputing it: cluster geometry is FROZEN (the `centroids` trained on
+    * the history corpus — re-training would re-assign history and
+    * invalidate already-shipped keep decisions), and the kept history
+    * arrives as `keptHistory` (vec_id, cluster, embedding) read from
+    * persisted FILES, never recomputed.
+    *
+    * A batch row is dropped when its semantic-duplicate component (within
+    * batch ∪ kept history, under the frozen clusters) contains a smaller
+    * id — history ids precede batch ids, so any batch row connected to
+    * history loses to it, and batch-only duplicate groups keep their min
+    * (exactly [[dedup]]'s keep-one rule extended across the corpus
+    * boundary). Kept history rows have no internal ≥-threshold edges by
+    * construction (history was already deduplicated), so the fixpoint only
+    * propagates across batch nodes.
+    *
+    * Scale shape mirrors [[dedup]]: batch point masses collapse to
+    * representatives map-side before any pair stage; batch-batch AND
+    * batch-history candidates band on (cluster, normalized-leading-
+    * coordinate cell) — the exact-cover grid argument in the class doc —
+    * so a boilerplate shard landing on one kept-history cluster pays per
+    * (cluster, cell) bucket; members inherit survival through the salted
+    * 8-byte-digest routing; and the history side is only ever READ (its
+    * vectors join the pair stage; nothing about history is rewritten). */
+  def dedupIncremental(batch: DataFrame, centroids: Array[Array[Double]],
+                       keptHistory: DataFrame, threshold: Double = 0.999,
+                       salt: Int = 16, stageTag: Option[String] = None): DataFrame = {
+    require(salt > 0)
+    def stage(df: DataFrame, name: String): DataFrame = stageTag match {
+      case Some(t) => graft.StageStore.materialize(df, s"semdedupinc_${name}_$t")
+      case None => df
+    }
+    val dot = graft.functions.VectorExprs.dot _
+    val assigned = KMeans.assign(batch, centroids)
+    val finite = sqrt(dot(col("embedding"), col("embedding"))) > 0.0
+    val withC = batch.join(assigned, Seq("vec_id"))
+      .withColumn("dg", xxhash64(col("embedding")))
+      .withColumn("__k2", when(finite, lit(-1L)).otherwise(col("vec_id")))
+    val reps = stage(
+      withC.groupBy(col("cluster"), col("dg"), col("__k2"), col("embedding"))
+        .agg(min(col("vec_id")).as("rep_id")),
+      "reps")
+    val saltOf = (c: org.apache.spark.sql.Column) =>
+      pmod(xxhash64(c), lit(salt)).cast("int")
+    val repS = reps
+      .select(col("dg"), col("__k2").as("__rk"), col("embedding").as("__re"),
+        col("rep_id"))
+      .withColumn("__s", explode(lit((0 until salt).toArray)))
+    val memRep = withC.withColumn("__s", saltOf(col("vec_id")))
+      .join(repS, Seq("dg", "__s"))
+      .filter(col("__k2") === col("__rk") &&
+        (col("__k2") =!= lit(-1L) || col("embedding") === col("__re")))
+      .select(col("vec_id"), col("cluster"), col("rep_id"))
+    val pairsBB = bandedPairs(reps, threshold)
+    val pairsBH = bandedPairsBetween(
+      reps.filter(col("__k2") === lit(-1L))
+        .select(col("cluster"), col("embedding"), col("rep_id")),
+      keptHistory
+        .filter(sqrt(dot(col("embedding"), col("embedding"))) > 0.0)
+        .select(col("cluster"), col("embedding"), col("vec_id").as("rep_id")),
+      threshold)
+    val vertices = reps.select(col("rep_id").as("doc_id"))
+      .unionByName(keptHistory.select(col("vec_id").as("doc_id")))
+    val comp = NearDup
+      .connectedComponents(vertices, pairsBB.unionByName(pairsBH))
+      .select(col("doc_id").as("rep_id"), col("comp"))
+      .withColumn("__s", explode(lit((0 until salt).toArray)))
+    memRep.withColumn("__s", saltOf(col("vec_id")))
+      .join(comp, Seq("rep_id", "__s"))
+      .filter(col("comp") === col("vec_id"))
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** Banded candidate pairs BETWEEN two frames (both `(cluster, embedding,
+    * rep_id)`): same (cluster, cell±1) routing as [[bandedPairs]] — the
+    * grid-cover argument is pairwise, so it holds across frames — emitting
+    * (doc_a = left rep, doc_b = right rep) for every qualifying pair. */
+  private[graft] def bandedPairsBetween(left: DataFrame, right: DataFrame,
+                                        threshold: Double): DataFrame = {
+    val dot = graft.functions.VectorExprs.dot _
+    val w = cellWidth(threshold)
+    val cell = floor(element_at(col("embedding"), 1) /
+      (sqrt(dot(col("embedding"), col("embedding"))) * lit(w))).cast("long")
+    val a = left.withColumn("cell", cell)
+      .select(col("cluster"), col("cell"),
+        col("rep_id").as("vec_a"), col("embedding").as("__ea"))
+    val b = right.withColumn("cell", cell)
+      .select(col("cluster"),
+        explode(array(col("cell") - 1, col("cell"), col("cell") + 1)).as("cell"),
+        col("rep_id").as("vec_b"), col("embedding").as("__eb"))
+    a.join(b, Seq("cluster", "cell"))
+      .filter(Similarity.cosine(col("__ea"), col("__eb")) >= threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+  }
+
   /** The banded within-cluster candidate frame over a representative table
     * (cluster, dg, __k2, embedding, rep_id) — package-visible so plan
     * audits can pin the (cluster, cell) join shape on the SAME materialized

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** Semantics of SemDeDup.dedupIncremental — the new-shard-vs-persisted-
+  * corpus cadence: batch rows duplicating kept history are dropped, novel
+  * batch duplicates keep their min id, transitive chains across the
+  * corpus boundary drop entirely, and the result is partitioning-
+  * invariant. */
+class SemDeDupIncrementalSpec extends AnyFunSuite with SparkSuite {
+
+  private def emb(rows: (Long, Seq[Float])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  // orthogonal history: both rows survive their own dedup
+  private def history = emb(
+    1L -> Seq(1f, 0f, 0f, 0f),
+    2L -> Seq(0f, 1f, 0f, 0f))
+
+  private def fixture() = {
+    val hist = history
+    val cent = KMeans.train(hist, k = 2, iters = 1)
+    val kept = SemDeDup.dedup(hist, k = 2, iters = 1)
+      .join(hist, Seq("vec_id")).select("vec_id", "cluster", "embedding")
+    (cent, kept)
+  }
+
+  test("batch rows verbatim-duplicating kept history are dropped; novel " +
+    "batch twins keep their min id; near-history rows chain-drop") {
+    val (cent, kept) = fixture()
+    val batch = emb(
+      11L -> Seq(1f, 0f, 0f, 0f),       // identical to history 1 -> dropped
+      12L -> Seq(0f, 0f, 1f, 0f),       // novel -> kept
+      13L -> Seq(0f, 0f, 1f, 0f),       // twin of 12 -> dropped (min wins)
+      14L -> Seq(0.001f, 1f, 0f, 0f))   // cos vs history 2 ~ 0.9999995 -> dropped
+    val out = SemDeDup.dedupIncremental(batch, cent, kept).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(12L))
+  }
+
+  test("a batch with no relation to history survives keep-one intact") {
+    val (cent, kept) = fixture()
+    val batch = emb(
+      21L -> Seq(0f, 0f, 0f, 1f),
+      22L -> Seq(0f, 0f, 1f, 1f))
+    val out = SemDeDup.dedupIncremental(batch, cent, kept).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(21L, 22L))
+  }
+
+  test("result is invariant under batch partitioning") {
+    val (cent, kept) = fixture()
+    val batch = emb(
+      11L -> Seq(1f, 0f, 0f, 0f),
+      12L -> Seq(0f, 0f, 1f, 0f),
+      13L -> Seq(0f, 0f, 1f, 0f),
+      14L -> Seq(0.001f, 1f, 0f, 0f))
+    val a = SemDeDup.dedupIncremental(batch, cent, kept)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = SemDeDup.dedupIncremental(batch.repartition(5), cent, kept)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("history is never rewritten: every surviving id is a batch id") {
+    val (cent, kept) = fixture()
+    val batch = emb(31L -> Seq(1f, 0f, 0f, 0f), 32L -> Seq(0f, 0f, 1f, 0f))
+    val out = SemDeDup.dedupIncremental(batch, cent, kept).collect()
+    assert(out.forall(_.getLong(0) >= 31L))
+  }
+}
