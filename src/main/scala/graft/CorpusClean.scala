@@ -47,13 +47,25 @@ object CorpusClean {
     val tag = StageStore.dirTag(s"${cfg.in}->${cfg.out}")
     val docs = spark.read.parquet(cfg.in).select(col("doc_id"), col("text"))
 
-    // 1. gates — filter-first so the gram/candidate stages see less
-    val langed = cfg.lang match {
-      case Some(l) => docs.join(
+    // 1. gates — filter-first so the gram/candidate stages see less.
+    // With --lang-model the gate is the hashed NB classifier trained on
+    // the labeled seed (the CCNet pattern: pre-trained classifier scores
+    // every ingest shard; the model is B×classes rows and broadcasts);
+    // without it, the stopword heuristic.
+    val langed = (cfg.lang, cfg.langModel) match {
+      case (Some(l), Some(seedDir)) =>
+        val seed = spark.read.parquet(seedDir)
+          .select(col("doc_id"), col("text"), col("lang"))
+        val rates = graft.operators.Classify.model(seed, labelCol = "lang")
+        docs.join(
+          graft.operators.Classify.scoreWith(docs, rates)
+            .filter(col("pred") === l).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case (Some(l), None) => docs.join(
         graft.operators.TextOps.langId(docs)
           .filter(col("lang_pred") === l).select("doc_id"),
         Seq("doc_id"), "left_semi")
-      case None => docs
+      case (None, _) => docs
     }
     val filtered =
       if (cfg.minWords <= 0) langed

@@ -18,6 +18,11 @@ case class CorpusCleanConfig(
     // language gate: keep docs whose predicted language equals this;
     // None (--no-lang-gate) admits every language
     lang: Option[String] = Some("en"),
+    // language gate model: directory of LABELED (doc_id, text, lang)
+    // parquet — trains the hashed Naive-Bayes classifier on this seed and
+    // gates on its prediction instead of the stopword heuristic (the
+    // CCNet pattern: a pre-trained classifier scores every ingest shard)
+    langModel: Option[String] = None,
     // quality gate: minimum whitespace-token count (0 disables)
     minWords: Int = 10,
     // substring dedup: gram size and the Lee et al. span threshold
@@ -71,6 +76,7 @@ object CorpusCleanCli {
     while (rest.nonEmpty) {
       rest match {
         case "--lang" :: v :: t => c = c.copy(lang = Some(v)); langSet = true; rest = t
+        case "--lang-model" :: v :: t => c = c.copy(langModel = Some(v)); rest = t
         case "--no-lang-gate" :: t => noLang = true; rest = t
         case "--min-words" :: v :: t =>
           intArg(v, "--min-words") match {
@@ -117,6 +123,8 @@ object CorpusCleanCli {
       }
     }
     if (noLang && langSet) return Left("--no-lang-gate conflicts with --lang")
+    if (noLang && c.langModel.nonEmpty)
+      return Left("--no-lang-gate conflicts with --lang-model")
     if (noNearDup && nearDupSet) return Left("--no-near-dup conflicts with --near-dup")
     if (noLang) c = c.copy(lang = None)
     if (noNearDup) c = c.copy(nearDup = None)
@@ -128,7 +136,7 @@ object CorpusCleanCli {
     validate(c)
   }
 
-  private val valueFlags = Set("--lang", "--min-words", "--ngram",
+  private val valueFlags = Set("--lang", "--lang-model", "--min-words", "--ngram",
     "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
     "--split-by", "--shards", "--stage-dir", "--stats-file",
     "--encode", "--vocab-out")

@@ -50,6 +50,54 @@ object Classify {
       .withColumn("b", substring(md5(col("tok")), 1, hexDigits))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
 
+  /** The completed ppb rate table from a bucket histogram + label spine:
+    * `(b, label, w)` over (present buckets × classes), Laplace floor for
+    * class-absent buckets. */
+  private def modelFromHistogram(db: DataFrame, labels: DataFrame,
+                                 buckets: Long): DataFrame = {
+    val classCounts = db.join(labels, "doc_id")
+      .groupBy("b", "label").agg(sum("n").as("cnt"))
+    val classTotals = classCounts.groupBy("label").agg(sum("cnt").as("tot"))
+    classCounts.select("b").distinct()
+      .crossJoin(classTotals)
+      .join(classCounts, Seq("b", "label"), "left")
+      .select(col("b"), col("label"),
+        expr(s"(coalesce(cnt, 0L) + 1L) * 1000000000L div (tot + ${buckets}L)")
+          .as("w"))
+  }
+
+  /** Argmax scoring of a bucket histogram under a rate table:
+    * `(doc_id, pred, score_ppb)`. */
+  private def scoreHistogram(db: DataFrame, rates: DataFrame): DataFrame = {
+    val scores = db.join(broadcast(rates), "b")
+      .groupBy("doc_id", "label")
+      .agg(sum(col("n") * col("w")).cast("long").as("score_ppb"))
+    val rk = row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("score_ppb").desc, col("label").asc))
+    scores.withColumn("rk", rk).filter(col("rk") === 1)
+      .select(col("doc_id"), col("label").as("pred"), col("score_ppb"))
+  }
+
+  /** Train a rate model on an already-labeled seed corpus — the
+    * pre-trained-classifier half of the CCNet pattern (train once on a
+    * labeled seed, score every ingest shard). Output `(b, label, w)`,
+    * bounded at B·|classes| rows — persist it like any model artifact and
+    * feed [[scoreWith]]. */
+  def model(labeled: DataFrame, labelCol: String = "lang",
+            hexDigits: Int = 3): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 7, "bucket key must stay in 4-28 bits")
+    modelFromHistogram(docBuckets(labeled, hexDigits),
+      labeled.select(col("doc_id"), col(labelCol).as("label")),
+      1L << (4 * hexDigits))
+  }
+
+  /** Score `docs` under a trained rate table: `(doc_id, pred, score_ppb)`.
+    * One corpus pass + a broadcast join — no training-side work repeats at
+    * ingest time. `hexDigits` must match the model's. */
+  def scoreWith(docs: DataFrame, rates: DataFrame,
+                hexDigits: Int = 3): DataFrame =
+    scoreHistogram(docBuckets(docs, hexDigits), rates)
+
   /** Train on `docs`' own `labelCol` and score every document: output
     * `(doc_id, <labelCol>, pred, score_ppb)` — the argmax class and its
     * exact integer score. Ties break toward the lexicographically first
@@ -70,31 +118,15 @@ object Classify {
       case Some(l) => graft.StageStore.materialize(dbRaw, l)
       case None    => dbRaw
     }
-    val labels = docs.select(col("doc_id"), col(labelCol).as("label"))
     // model: per-(bucket, class) token mass — aggregates the REDUCED
-    // histogram joined to the per-doc label spine (broadcast: one row per
-    // document id+label, but only the label side of the join is what the
-    // model needs — at 100 TB labels ride the same scan as the histogram)
-    val classCounts = db.join(labels, "doc_id")
-      .groupBy("b", "label").agg(sum("n").as("cnt"))
-    val classTotals = classCounts.groupBy("label").agg(sum("cnt").as("tot"))
-    // complete the rate table over (present buckets × classes) so a class
-    // that never saw a bucket still contributes its Laplace floor
-    val rates = classCounts.select("b").distinct()
-      .crossJoin(classTotals)
-      .join(classCounts, Seq("b", "label"), "left")
-      .select(col("b"), col("label"),
-        expr(s"(coalesce(cnt, 0L) + 1L) * 1000000000L div (tot + ${buckets}L)")
-          .as("w"))
-    val scores = db.join(broadcast(rates), "b")
-      .groupBy("doc_id", "label")
-      .agg(sum(col("n") * col("w")).cast("long").as("score_ppb"))
-    val rk = row_number().over(
-      Window.partitionBy("doc_id").orderBy(col("score_ppb").desc, col("label").asc))
-    val pred = scores.withColumn("rk", rk).filter(col("rk") === 1)
-      .select(col("doc_id"), col("label").as("pred"), col("score_ppb"))
+    // histogram joined to the per-doc label spine; the completed rate
+    // table gives every class a Laplace floor on class-absent buckets.
+    // The histogram feeds BOTH the model and the scoring (self-train
+    // form), which is why it materializes above.
+    val rates = modelFromHistogram(db,
+      docs.select(col("doc_id"), col(labelCol).as("label")), buckets)
     docs.select(col("doc_id"), col(labelCol))
-      .join(pred, "doc_id")
+      .join(scoreHistogram(db, rates), "doc_id")
       .orderBy("doc_id")
   }
 

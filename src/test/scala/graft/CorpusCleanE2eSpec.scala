@@ -50,6 +50,32 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(got === want)
   }
 
+  test("--lang-model gates on the NB classifier's prediction instead of " +
+    "the stopword heuristic") {
+    val labeled = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val inDir = tmp("cc_nb_in")
+    val seedDir = tmp("cc_nb_seed")
+    val outDir = tmp("cc_nb_out")
+    labeled.select("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    labeled.write.mode("overwrite").parquet(seedDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--lang", "en", "--lang-model", seedDir, "--min-words", "0",
+      "--min-span", "0", "--no-near-dup")).toOption.get
+    val gates = CorpusClean.stages(spark, cfg)
+      .find(_._1 == "gates").get._2
+    // the gate must keep exactly the docs the classifier predicts 'en'
+    val want = graft.operators.Classify.nbClassify(labeled)
+      .filter(col("pred") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = gates.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // the word-soup fixture is label-uninformative (NB falls back to the
+    // prior-heavy class), so the set equality above — not a size drop —
+    // is what proves the gate consumed the classifier
+    assert(got.nonEmpty)
+  }
+
   test("--redact masks organic emails and IPv4s in the output text") {
     val inDir = tmp("cc_redact_in")
     val outDir = tmp("cc_redact_out")

@@ -85,4 +85,15 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(err("in", "out", "--near-dup", "0.5", "--no-near-dup").contains("conflicts"))
     assert(err("in", "out", "--no-lang-gate", "--lang", "en").contains("conflicts"))
   }
+
+  test("--lang-model: lands in the config, needs a value, conflicts with " +
+    "--no-lang-gate") {
+    assert(ok("in", "out", "--lang-model", "/seed").langModel === Some("/seed"))
+    assert(ok("in", "out").langModel.isEmpty)
+    assert(err("in", "out", "--lang-model").contains("missing value"))
+    assert(err("in", "out", "--no-lang-gate", "--lang-model", "/seed")
+      .contains("conflicts"))
+    assert(err("in", "out", "--lang-model", "/seed", "--no-lang-gate")
+      .contains("conflicts"))
+  }
 }
