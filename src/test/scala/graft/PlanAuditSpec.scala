@@ -542,6 +542,66 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"the salted two-phase ranking is missing:\n${p.take(3000)}")
   }
 
+  test("nb_lang_classify: tokenization runs once (no text in the final " +
+    "plan), the rate model broadcasts") {
+    val hex = StageStore.dirTag(sf)
+    val label = s"nb_buckets_$hex"
+    val before = StageStore.materializations(label)
+    val df = SparkEntry.queries("nb_lang_classify")(spark, sf)
+    // the histogram feeds the model AND the scoring join; it must write
+    // exactly once, and the final plan must read only the stage files +
+    // the (doc_id, lang) label spine — a `text` column anywhere means the
+    // corpus tokenized twice
+    assert(StageStore.materializations(label) === before + 1,
+      "the bucket-histogram stage must write exactly once")
+    val p = planFullPaths(df)
+    assert(!p.contains("text"), s"corpus text re-read in the final plan:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), s"rate model not broadcast:\n${p.take(3000)}")
+  }
+
+  test("ann_pq: encode and ADC are fused kernels, the shortlist top-k is " +
+    "partial below the exchange, and no vector crosses a shuffle") {
+    val df = SparkEntry.queries("ann_pq")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_pq_codes"), s"encode kernel missing:\n${p.take(3000)}")
+    assert(p.contains("graft_pq_adc_dot"), s"ADC kernel missing:\n${p.take(3000)}")
+    // WindowGroupLimit Partial: each map task forwards at most `refine`
+    // candidates per query — the shuffle is bounded by refine·|queries|
+    // per task, not by the corpus
+    assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n${p.take(3000)}")
+    val shuffleCols = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }.flatten
+    assert(!shuffleCols.exists(c => c.contains("emb") || c.contains("codes")),
+      s"vector or code column crosses a shuffle: $shuffleCols")
+  }
+
+  test("semantic_dedup_incremental: kept history materializes once and the " +
+    "cross-boundary pair stage is (cluster, cell)-banded, never cartesian") {
+    val hex = StageStore.dirTag(sf)
+    val label = s"semdedupinc_kept_$hex"
+    val before = StageStore.materializations(label)
+    val df = SparkEntry.queries("semantic_dedup_incremental")(spark, sf)
+    assert(df.count() > 0)
+    assert(StageStore.materializations(label) === before + 1,
+      "the kept-history stage must write exactly once (history is read " +
+        "from files, never recomputed per consumer)")
+    // the batch-vs-history candidate stage runs inside the CC fixpoint
+    // (invisible in the final plan) — pin its shape directly on the SAME
+    // kept files the query persisted
+    import org.apache.spark.sql.functions.col
+    val kept = spark.read.parquet(StageStore.path(label))
+      .select(col("cluster"), col("embedding"), col("vec_id").as("rep_id"))
+    val pp = graft.operators.SemDeDup
+      .bandedPairsBetween(kept, kept, 0.999)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      s"cross-boundary pair stage fell back to all-pairs:\n${pp.take(3000)}")
+    assert(pp.contains("cluster") && pp.contains("cell"),
+      s"pair stage not (cluster, cell)-keyed:\n${pp.take(3000)}")
+  }
+
   test("kmv sketch: values never shuffle — exchanges carry only group + digest") {
     // the registered distinct_kmv query also carries the exact
     // COUNT(DISTINCT) verification column, whose two-phase distinct
