@@ -3886,6 +3886,48 @@ object Queries {
       |FROM hb ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // boilerplate_lines — CCNet-style line-level boilerplate removal (lines
+  // appearing in >= 5 DISTINCT documents drop corpus-wide). The fixture
+  // corpus is single-line word soup, so the template structure every real
+  // web corpus has is grafted deterministically IN BOTH ENGINES (the
+  // pii_mask precedent): a per-source copyright header and contact footer
+  // wrap each document — the operator must remove exactly those (every
+  // source has >= 5 docs at the verify scale) while the unique bodies
+  // survive. See TextOps.dedupLines for the two-phase scale shape.
+  // ---------------------------------------------------------------------
+  def boilerplateLines(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("(c) "), col("source"), lit(" all rights reserved\n"),
+          col("text"), lit("\ncontact "), col("source"), lit(" webmaster"))
+          .as("text"))
+    graft.operators.TextOps.dedupLines(docs, minDocFreq = 5,
+        stageLabel = Some(s"bl_duplines_${StageStore.dirTag(dir)}"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateLinesSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    '(c) ' || source || ' all rights reserved' || chr(10) || text ||
+      |    chr(10) || 'contact ' || source || ' webmaster' AS text
+      |  FROM documents),
+      |ln AS (SELECT doc_id,
+      |    generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+      |    unnest(string_split(text, chr(10))) AS line
+      |  FROM d),
+      |f AS (SELECT md5(line) AS lh, COUNT(DISTINCT doc_id) AS df
+      |      FROM ln GROUP BY 1),
+      |keep AS (SELECT ln.doc_id, ln.pos, ln.line
+      |         FROM ln JOIN f ON md5(ln.line) = f.lh WHERE f.df < 5),
+      |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+      |               COUNT(*) AS n_kept
+      |        FROM keep GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM d)
+      |SELECT t.doc_id, COALESCE(a.cleaned, '') AS cleaned,
+      |  CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_lines_removed
+      |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // nb_lang_classify — hashed multinomial Naive Bayes (the fastText-style
   // classifier slot of a curation pipeline: CCNet language filter / GPT-3
   // quality classifier / domain router). Trains on the corpus's own lang
@@ -4022,7 +4064,8 @@ object Queries {
     "vocab_encode_incremental" -> (vocabEncodeIncremental _),
     "rolling_quantile_persisted" -> (rollingQuantilePersisted _),
     "media_phash" -> (mediaPhash _),
-    "nb_lang_classify" -> (nbLangClassify _)
+    "nb_lang_classify" -> (nbLangClassify _),
+    "boilerplate_lines" -> (boilerplateLines _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4143,6 +4186,7 @@ object Queries {
     "vocab_encode_incremental" -> vocabEncodeIncrementalSql,
     "rolling_quantile_persisted" -> rollingQuantilePersistedSql,
     "media_phash" -> mediaPhashSql,
-    "nb_lang_classify" -> nbLangClassifySql
+    "nb_lang_classify" -> nbLangClassifySql,
+    "boilerplate_lines" -> boilerplateLinesSql
   )
 }

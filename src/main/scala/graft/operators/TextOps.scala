@@ -539,6 +539,89 @@ object TextOps {
       .toDF("doc_id", "cleaned", "n_chars_removed")
   }
 
+  /** Line-level boilerplate removal (CCNet, Wenzek et al. LREC'20 §3.1 —
+    * also the RefinedWeb/Dolma "paragraph dedup" stage): a LINE that
+    * appears in at least `minDocFreq` DISTINCT documents is template
+    * boilerplate (site headers, copyright footers, nav text) and is
+    * dropped from every document; the cleaned document is the surviving
+    * lines re-joined in order. Distinct-document frequency — not
+    * occurrence count — is the paper's test: a document repeating its own
+    * line is repetition ([[repetitionStats]]' business), not boilerplate.
+    *
+    * Output: (doc_id, cleaned, n_lines_removed); a fully-boilerplate
+    * document cleans to the empty string.
+    *
+    * Scale shape — the [[dupPositions]] two-phase pattern keyed on lines:
+    * the line enumeration ships (doc_id, pos, 8-byte md5-prefix key)
+    * triples, never line text; the doc-frequency aggregate reduces
+    * per-doc duplicates map-side (groupBy (lh, doc_id) partial fold)
+    * before counting documents; the duplicated-line set routes back
+    * map-side as a bounded bloom literal so positions of unique lines —
+    * the vast majority — never enter an exchange; bloom false positives
+    * drop in a salted exact semi-join (a corpus-wide boilerplate line
+    * spreads over `salt` tasks); and the per-document line mask folds in
+    * one typed pass, joined to bodies only once (inherent — the output IS
+    * the rewritten corpus). */
+  def dedupLines(docs: DataFrame, minDocFreq: Long = 2, salt: Int = 16,
+                 expectedDupLines: Long = 1L << 17,
+                 stageLabel: Option[String] = None): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column => ec, expression => ce}
+    val lines = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val ls = text.split("\n", -1)
+          Iterator.range(0, ls.length)
+            .map(i => (id, i.toLong, md5Prefix64(md, ls(i))))
+        }
+      }.toDF("doc_id", "pos", "lh")
+    // distinct-doc frequency: the (lh, doc_id) fold collapses a document's
+    // own repeats map-side; the second aggregate counts documents over the
+    // already-reduced table
+    val docFreq = lines.groupBy("lh", "doc_id").agg(count(lit(1)).as("__o"))
+      .groupBy("lh").agg(count(lit(1)).as("__df"))
+    val dupLines0 = docFreq.filter(col("__df") >= minDocFreq).select("lh")
+    val dupLines = stageLabel match {
+      case Some(l) => graft.StageStore.materialize(dupLines0, l)
+      case None => dupLines0
+    }
+    val bloomBytes = dupLines.select(ec(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          ce(col("lh")), expectedDupLines).toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    val dupPos =
+      if (bloomBytes == null) lines.select("doc_id", "pos").limit(0)
+      else {
+        val mightDup = lines.where(ec(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            ce(lit(bloomBytes)), ce(col("lh")))))
+        val salted = mightDup.withColumn("__s",
+          pmod(xxhash64(col("doc_id"), col("pos")), lit(salt)).cast("int"))
+        val dupSalted = dupLines.withColumn("__s",
+          explode(lit((0 until salt).toArray)))
+        salted.join(dupSalted, Seq("lh", "__s"), "left_semi")
+          .select("doc_id", "pos")
+      }
+    val perDoc = dupPos.groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+    docs.select(col("doc_id"), col("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("ps"), typedLit(Seq.empty[Long])).as("ps"))
+      .as[(Long, String, Seq[Long])]
+      .mapPartitions(_.map { case (id, text, ps) =>
+        val ls = text.split("\n", -1)
+        val drop = new Array[Boolean](ls.length)
+        ps.foreach(p => drop(p.toInt) = true)
+        val cleaned = ls.indices.collect { case i if !drop(i) => ls(i) }
+          .mkString("\n")
+        (id, cleaned, ps.length.toLong)
+      })
+      .toDF("doc_id", "cleaned", "n_lines_removed")
+  }
+
   /** Sliding-window chunking: split each document into overlapping windows
     * of `window` tokens advancing by `stride` — context-window preparation
     * for embedding and training pipelines. One typed mapPartitions flatMap

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** Semantics of TextOps.dedupLines (CCNet line-level boilerplate removal):
+  * distinct-document frequency drives the drop, self-repetition does not
+  * count, full-boilerplate docs clean to empty, and the result is
+  * partitioning-invariant even with a saturated bloom. */
+class DedupLinesSpec extends AnyFunSuite with SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def cleanedMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("a line in >= minDocFreq distinct docs drops everywhere; unique lines survive") {
+    val d = docs(
+      1L -> "HEADER\nbody one\nFOOTER",
+      2L -> "HEADER\nbody two\nFOOTER",
+      3L -> "HEADER\nbody three\nFOOTER")
+    val out = cleanedMap(TextOps.dedupLines(d, minDocFreq = 3))
+    assert(out(1L) == ("body one", 2L))
+    assert(out(2L) == ("body two", 2L))
+    assert(out(3L) == ("body three", 2L))
+  }
+
+  test("self-repetition inside one document does not count as boilerplate") {
+    val d = docs(
+      1L -> "echo\necho\necho\nunique",
+      2L -> "other\nlines\nhere")
+    // 'echo' appears in only ONE distinct document — kept despite 3 copies
+    val out = cleanedMap(TextOps.dedupLines(d, minDocFreq = 2))
+    assert(out(1L) == ("echo\necho\necho\nunique", 0L))
+  }
+
+  test("a line shared by two docs drops for BOTH at minDocFreq=2, and a " +
+    "fully-boilerplate document cleans to the empty string") {
+    val d = docs(
+      1L -> "shared",
+      2L -> "shared\nextra")
+    val out = cleanedMap(TextOps.dedupLines(d, minDocFreq = 2))
+    assert(out(1L) == ("", 1L))
+    assert(out(2L) == ("extra", 1L))
+  }
+
+  test("partitioning-invariant, and exact under a saturated bloom") {
+    val d = docs((1L to 40L).map(i =>
+      (i, s"COMMON\nbody $i\n${if (i % 2 == 0) "EVEN" else "ODD"}")): _*)
+    val base = cleanedMap(TextOps.dedupLines(d, minDocFreq = 2))
+    val reparted = cleanedMap(TextOps.dedupLines(d.repartition(7), minDocFreq = 2))
+    // bloom sized far below the true dup-line count: false-positive mass
+    // must drop in the salted exact semi-join, not change the result
+    val saturated = cleanedMap(
+      TextOps.dedupLines(d, minDocFreq = 2, expectedDupLines = 2))
+    assert(base == reparted)
+    assert(base == saturated)
+    assert(base(2L) == ("body 2", 2L)) // COMMON + EVEN dropped
+    assert(base(1L) == ("body 1", 2L)) // COMMON + ODD dropped
+  }
+}
