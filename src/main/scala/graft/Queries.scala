@@ -3886,6 +3886,37 @@ object Queries {
       |FROM hb ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // media_audio — PCM audio statistics over the audio-kind media payloads
+  // (energy / peak / zero-crossings, all exact integers): the audio arm
+  // of the multimodal family. The oracle re-derives every number from the
+  // hex payload rendering (the media_phash technique), proving the binary
+  // → decode → sample-loop chain end to end.
+  // ---------------------------------------------------------------------
+  def mediaAudio(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Media.audioStats(
+        graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
+      .orderBy("media_id")
+
+  val mediaAudioSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
+      |    octet_length(encode(text)) AS blen
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |sm AS (SELECT media_id, blen,
+      |    [(strpos('0123456789ABCDEF', substr(bh, i*2+1, 1)) - 1) * 16
+      |     + (strpos('0123456789ABCDEF', substr(bh, i*2+2, 1)) - 1) - 128
+      |     for i in generate_series(0, blen - 1)] AS s
+      |  FROM m)
+      |SELECT media_id,
+      |  CAST(blen AS BIGINT) AS n_samples,
+      |  CAST(list_sum([x * x for x in s]) AS BIGINT) AS energy,
+      |  CAST(list_max([abs(x) for x in s]) AS BIGINT) AS peak,
+      |  CAST(COALESCE(list_sum([CASE WHEN (s[i] < 0) != (s[i+1] < 0)
+      |                               THEN 1 ELSE 0 END
+      |                          for i in generate_series(1, len(s) - 1)]), 0)
+      |       AS BIGINT) AS zcr
+      |FROM sm ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // boilerplate_lines — CCNet-style line-level boilerplate removal (lines
   // appearing in >= 5 DISTINCT documents drop corpus-wide). The fixture
   // corpus is single-line word soup, so the template structure every real
@@ -4065,7 +4096,8 @@ object Queries {
     "rolling_quantile_persisted" -> (rollingQuantilePersisted _),
     "media_phash" -> (mediaPhash _),
     "nb_lang_classify" -> (nbLangClassify _),
-    "boilerplate_lines" -> (boilerplateLines _)
+    "boilerplate_lines" -> (boilerplateLines _),
+    "media_audio" -> (mediaAudio _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4187,6 +4219,7 @@ object Queries {
     "rolling_quantile_persisted" -> rollingQuantilePersistedSql,
     "media_phash" -> mediaPhashSql,
     "nb_lang_classify" -> nbLangClassifySql,
-    "boilerplate_lines" -> boilerplateLinesSql
+    "boilerplate_lines" -> boilerplateLinesSql,
+    "media_audio" -> mediaAudioSql
   )
 }

@@ -138,6 +138,43 @@ object Media {
     * portable). Identical images — and near-identical ones after any
     * resize — collapse to one key, so exact groupBy on the hash IS the
     * image dedup; Hamming-near pairs band on substrings like SimHash. */
+  /** Audio feature extraction over the `audio`-kind payloads, treating the
+    * body as centered unsigned-8-bit PCM (sample = byte − 128) — the
+    * audio arm of the multimodal family (silence/clipping gates, activity
+    * detection, energy-based segmentation all consume exactly these
+    * signals). One typed map-only pass; every statistic is exact integer
+    * arithmetic, so the DuckDB oracle re-derives them from the hex payload
+    * rendering (the dHash replay technique):
+    *
+    *  - `energy`  = Σ sample² (the RMS numerator — callers needing the
+    *    IEEE RMS divide+sqrt once; the integer form is what merges across
+    *    shards and hash-compares),
+    *  - `peak`    = max |sample| (clipping detection),
+    *  - `zcr`     = adjacent sign-change count (zero-crossing rate
+    *    numerator, the classic voiced/unvoiced + noisiness signal). */
+  def audioStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").map { m =>
+      val body = java.util.Arrays.copyOfRange(m.payload, MagicLen, m.payload.length)
+      var energy = 0L
+      var peak = 0L
+      var zcr = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < body.length) {
+        val s = (body(i) & 0xff) - 128
+        energy += s.toLong * s
+        val a = math.abs(s).toLong
+        if (a > peak) peak = a
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zcr += 1
+        prevNeg = neg
+        i += 1
+      }
+      (m.media_id, body.length.toLong, energy, peak, zcr)
+    }.toDF("media_id", "n_samples", "energy", "peak", "zcr")
+  }
+
   def dHash(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").map { m =>

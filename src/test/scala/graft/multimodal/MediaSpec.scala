@@ -79,4 +79,25 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
     val hamming = hs(-1L).zip(hr).count { case (a, b) => a != b }
     assert(hamming <= 16, s"resize moved $hamming of 64 bits")
   }
+
+  test("audioStats: exact PCM statistics matching a driver-side replay") {
+    import spark.implicits._
+    val media = Media.syntheticMedia(docs)
+    val got = Media.audioStats(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    // driver replay over the same payloads
+    media.filter(_.kind == "audio").collect().foreach { m =>
+      val body = java.util.Arrays.copyOfRange(m.payload, Media.MagicLen, m.payload.length)
+      val ss = body.map(b => (b & 0xff) - 128)
+      val want = (body.length.toLong,
+        ss.map(s => s.toLong * s).sum,
+        ss.map(s => math.abs(s).toLong).max,
+        ss.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+      assert(got(m.media_id) === want, s"media ${m.media_id}")
+    }
+    // only audio-kind rows are scored
+    assert(got.keySet.forall(_ % 3 == 1))
+  }
 }
