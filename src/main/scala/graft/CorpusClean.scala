@@ -17,8 +17,11 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   * HDFS/S3 on a cluster).
   *
   * Stage order (each optional stage toggled by its flag):
-  *  1. language gate (`--lang` / `--no-lang-gate`) + quality gate
-  *     (`--min-words`) — cheap codegen filters shrink the corpus FIRST;
+  *  1. language gate (`--lang` / `--lang-model` / `--no-lang-gate`) +
+  *     quality gate (`--min-words`) — cheap codegen filters shrink the
+  *     corpus FIRST; then line-level boilerplate removal
+  *     (`--boilerplate <minDocFreq>`, CCNet paragraph dedup) so documents
+  *     differing only by template collapse in the exact stage;
   *  2. exact dedup (keep min doc_id per identical text);
   *  3. exact-substring span removal (Lee et al. ACL'22; `--ngram`,
   *     `--min-span`; `--gram-state` switches to incremental mode against
@@ -74,9 +77,22 @@ object CorpusClean {
           .filter(col("n_words") >= cfg.minWords).select("doc_id"),
         Seq("doc_id"), "left_semi")
 
+    // 1b. line-level boilerplate removal (CCNet paragraph dedup) — runs
+    // BEFORE exact dedup, as CCNet does: stripping shared templates first
+    // lets documents that differed only by boilerplate collapse in the
+    // exact stage
+    val deBoiler = cfg.boilerplate match {
+      case Some(minDf) =>
+        graft.operators.TextOps
+          .dedupLines(filtered, minDocFreq = minDf,
+            stageLabel = Some(s"cc_duplines_$tag"))
+          .select(col("doc_id"), col("cleaned").as("text"))
+      case None => filtered
+    }
+
     // 2. exact dedup
-    val kept = filtered.join(
-      graft.operators.TextOps.dedupExact(filtered).select("doc_id"),
+    val kept = deBoiler.join(
+      graft.operators.TextOps.dedupExact(deBoiler).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
     // 3. substring span removal (optionally incremental vs persisted state)
@@ -139,6 +155,7 @@ object CorpusClean {
     Seq(
       "input" -> docs,
       "gates" -> filtered,
+      "boilerplate" -> deBoiler,
       "exact_dedup" -> kept,
       "span_removal" -> cleaned,
       "near_dup" -> afterNear,

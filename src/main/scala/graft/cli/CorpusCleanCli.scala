@@ -25,6 +25,9 @@ case class CorpusCleanConfig(
     langModel: Option[String] = None,
     // quality gate: minimum whitespace-token count (0 disables)
     minWords: Int = 10,
+    // line-level boilerplate removal (CCNet paragraph dedup): drop lines
+    // appearing in >= this many DISTINCT documents; None skips the stage
+    boilerplate: Option[Long] = None,
     // substring dedup: gram size and the Lee et al. span threshold
     // (--min-span 0 cuts every duplicated gram's coverage)
     ngram: Int = 5,
@@ -83,6 +86,11 @@ object CorpusCleanCli {
             case Right(i) => c = c.copy(minWords = i); rest = t
             case Left(e) => return Left(e)
           }
+        case "--boilerplate" :: v :: t =>
+          v.toLongOption match {
+            case Some(n) => c = c.copy(boilerplate = Some(n)); rest = t
+            case None => return Left(s"--boilerplate: not an integer: $v")
+          }
         case "--ngram" :: v :: t =>
           intArg(v, "--ngram") match {
             case Right(i) => c = c.copy(ngram = i); rest = t
@@ -136,7 +144,8 @@ object CorpusCleanCli {
     validate(c)
   }
 
-  private val valueFlags = Set("--lang", "--lang-model", "--min-words", "--ngram",
+  private val valueFlags = Set("--lang", "--lang-model", "--min-words",
+    "--boilerplate", "--ngram",
     "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
     "--split-by", "--shards", "--stage-dir", "--stats-file",
     "--encode", "--vocab-out")
@@ -147,6 +156,9 @@ object CorpusCleanCli {
     else if (c.minSpan != 0 && c.minSpan < c.ngram)
       Left(s"--min-span must be 0 (cut every dup gram) or >= --ngram, " +
         s"got ${c.minSpan} < ${c.ngram}")
+    else if (c.boilerplate.exists(_ < 2))
+      Left(s"--boilerplate must be >= 2 (a line in one document is not " +
+        s"boilerplate), got ${c.boilerplate.get}")
     else if (c.nearDup.exists(t => t <= 0.0 || t > 1.0))
       Left(s"--near-dup must be in (0, 1], got ${c.nearDup.get}")
     else if (c.lang.exists(_.isEmpty)) Left("--lang: empty language code")

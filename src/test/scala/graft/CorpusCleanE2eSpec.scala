@@ -76,6 +76,37 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("--boilerplate strips shared template lines so templated copies " +
+    "collapse in the exact-dedup stage") {
+    val s = spark
+    import s.implicits._
+    val inDir = tmp("cc_bp_in")
+    val outDir = tmp("cc_bp_out")
+    // docs 1 and 2 share a body (below the frequency cut) but differ in
+    // template lines (at/above the cut) — only boilerplate removal lets
+    // exact dedup see them as copies
+    Seq(
+      (1L, "SITE HEADER\nthe shared body text\nFOOTER"),
+      (2L, "SITE HEADER\nEXTRA NAV\nthe shared body text\nFOOTER"),
+      (3L, "SITE HEADER\nEXTRA NAV\npage three body\nFOOTER"),
+      (4L, "SITE HEADER\nEXTRA NAV\npage four body\nFOOTER"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "0", "--min-span", "0",
+      "--no-near-dup", "--boilerplate", "3")).toOption.get
+    val stages = CorpusClean.stages(spark, cfg).toMap
+    val deBoiler = stages("boilerplate").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // HEADER/FOOTER (4 docs) and EXTRA NAV (3 docs) strip; the shared
+    // body (2 docs) survives the frequency cut
+    assert(deBoiler(0) == (1L, "the shared body text"))
+    assert(deBoiler(1) == (2L, "the shared body text"))
+    // ...which lets exact dedup collapse docs 1 and 2 to the min id
+    val kept = stages("exact_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("--redact masks organic emails and IPv4s in the output text") {
     val inDir = tmp("cc_redact_in")
     val outDir = tmp("cc_redact_out")
@@ -225,8 +256,9 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     val counts = "\"([a-z_]+)\": (\\d+)".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toLong).toSeq
     val names = counts.map(_._1)
-    assert(names === Seq("input", "gates", "exact_dedup", "span_removal",
-      "near_dup", "semantic_dedup", "decontaminate", "final"), txt)
+    assert(names === Seq("input", "gates", "boilerplate", "exact_dedup",
+      "span_removal", "near_dup", "semantic_dedup", "decontaminate",
+      "final"), txt)
     // survivors never grow across stages, and final matches run()'s count
     val vals = counts.map(_._2)
     assert(vals.zip(vals.tail).forall { case (a, b) => b <= a }, txt)

@@ -86,6 +86,14 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(err("in", "out", "--no-lang-gate", "--lang", "en").contains("conflicts"))
   }
 
+  test("--boilerplate: lands in the config, validates range, defaults off") {
+    assert(ok("in", "out").boilerplate.isEmpty)
+    assert(ok("in", "out", "--boilerplate", "5").boilerplate === Some(5L))
+    assert(err("in", "out", "--boilerplate", "1").contains("--boilerplate"))
+    assert(err("in", "out", "--boilerplate", "many").contains("not an integer"))
+    assert(err("in", "out", "--boilerplate").contains("missing value"))
+  }
+
   test("--lang-model: lands in the config, needs a value, conflicts with " +
     "--no-lang-gate") {
     assert(ok("in", "out", "--lang-model", "/seed").langModel === Some("/seed"))
