@@ -189,6 +189,43 @@ object Queries {
     """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_cnt
       |FROM documents GROUP BY text""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_exact_incremental — the production cadence of exact dedup: the
+  // new shard anti-joins 32-byte digests against YESTERDAY'S persisted
+  // digest table (StageStore files — history never rescans), then keeps
+  // one canonical row per novel digest. Planted batch: every 7th doc
+  // re-arrives verbatim (+1M — dropped against history); every 13th
+  // arrives EDITED twice (+2M/+3M, same edit — novel, keep-one keeps +2M
+  // with dup_cnt 2).
+  // ---------------------------------------------------------------------
+  def dedupExactIncremental(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val digests = StageStore.materialize(
+      graft.operators.TextOps.textDigests(hist),
+      s"dedupexact_digests_${StageStore.dirTag(dir)}")
+    val edited = concat(col("text"), lit(" v2"))
+    val batch = hist.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionAll(hist.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), edited.as("text")))
+      .unionAll(hist.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), edited.as("text")))
+    graft.operators.TextOps.dedupExactIncremental(batch, digests)
+      .orderBy("doc_id")
+  }
+
+  val dedupExactIncrementalSql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' v2' FROM documents WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' v2' FROM documents WHERE doc_id % 13 = 0)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_cnt
+      |FROM batch
+      |WHERE text NOT IN (SELECT text FROM documents)
+      |GROUP BY text ORDER BY doc_id""".stripMargin
+
   /** Dedup APPLIED: the surviving corpus (canonical doc per text) via a
     * left-semi join against the canonical-id frame — the shape a pipeline
     * actually materializes downstream of dedup. */
@@ -3989,6 +4026,7 @@ object Queries {
     "dump_mssql_escape" -> (dumpMsSqlEscape _),
     "csv_lineitem" -> (csvLineitem _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_exact_incremental" -> (dedupExactIncremental _),
     "dedup_keep" -> (dedupKeep _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
@@ -4112,6 +4150,7 @@ object Queries {
     "dump_mssql_escape" -> dumpMsSqlEscapeSql,
     "csv_lineitem" -> csvLineitemSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_exact_incremental" -> dedupExactIncrementalSql,
     "dedup_keep" -> dedupKeepSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

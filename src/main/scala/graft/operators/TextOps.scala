@@ -29,6 +29,28 @@ object TextOps {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
       .select("doc_id", "dup_cnt")
 
+  /** Persisted exact-dedup STATE: the distinct text digests of a corpus
+    * snapshot — 32 bytes per unique document, the table a production
+    * pipeline writes once per snapshot (StageStore/warehouse files) so
+    * every subsequent shard dedups against FILES, never a history rescan.
+    * Feed to [[dedupExactIncremental]]. */
+  def textDigests(docs: DataFrame): DataFrame =
+    docs.select(sha2(col("text"), 256).as("text_sha")).distinct()
+
+  /** Incremental exact dedup — the production cadence of [[dedupExact]]:
+    * a NEW shard keeps one canonical row per digest (min doc_id) among
+    * texts history has never seen. Equivalent, for the shard's rows, to
+    * the one-shot dedup over (history ∪ shard), because history is
+    * immutable and already canonical. Scale shape: the anti-join and the
+    * keep-one groupBy both key on 32-byte digests — document bodies never
+    * shuffle, and history is only ever read. */
+  def dedupExactIncremental(batch: DataFrame, priorDigests: DataFrame): DataFrame =
+    batch.withColumn("text_sha", sha2(col("text"), 256))
+      .join(priorDigests.select("text_sha"), Seq("text_sha"), "left_anti")
+      .groupBy("text_sha")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select("doc_id", "dup_cnt")
+
   /** BPE-ish tokenizer regex: letter runs / digit runs / punctuation runs,
     * each optionally preceded by one space (GPT-2-style pre-tokenization,
     * simplified to avoid lookahead so RE2-based engines count identically). */

@@ -138,4 +138,30 @@ class CurationOpsSpec extends AnyFunSuite with SparkSuite {
     assert(a === b)
     assert(a.size === 20)
   }
+
+  test("dedupExactIncremental: history texts drop, novel texts keep-one, " +
+    "and two batches replayed equal one combined batch") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val digests = TextOps.textDigests(hist)
+    val batch = Seq(
+      (11L, "alpha"),          // history dup -> dropped
+      (12L, "gamma"),          // novel -> kept
+      (13L, "gamma"),          // batch twin -> folded into 12 (dup_cnt 2)
+      (14L, "delta")           // novel -> kept
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupExactIncremental(batch, digests)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(12L -> 2L, 14L -> 1L))
+    // replaying batch1 then (batch2 vs history+batch1 digests) covers the
+    // same survivors as one combined batch — the state-update law
+    val b1 = batch.filter(col("doc_id") <= 12L)
+    val b2 = batch.filter(col("doc_id") > 12L)
+    val d1 = digests.unionByName(TextOps.textDigests(b1)).distinct()
+    val seq = TextOps.dedupExactIncremental(b1, digests)
+      .unionByName(TextOps.dedupExactIncremental(b2, d1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(seq === Set(12L, 14L)) // 13 drops against batch1's digest state
+  }
 }
