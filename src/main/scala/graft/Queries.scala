@@ -771,6 +771,17 @@ object Queries {
   val annPqSql: String =
     graft.operators.Similarity.pqOracleSql(queryIds = 0L until 5L, k = 5)
 
+  /** IVF-PQ — the production FAISS composition: cells bound WHICH rows a
+    * query reads, codes bound the BYTES per read, exact refine restores
+    * precision. Both quantizers seeded, so the oracle replays the whole
+    * structure; recall vs brute force in SimilaritySpec. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfPqTopK(
+      t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
+
+  val annIvfPqSql: String =
+    graft.operators.Similarity.ivfPqOracleSql(queryIds = 0L until 5L, k = 5)
+
   /** Embedding-cosine near-dup over a corpus with planted duplicate vectors
     * (every 10th, vec_id + 1_000_000) — bucketed join. The oracle is the
     * all-pairs ground truth: planted pairs are bitwise-identical vectors
@@ -4057,6 +4068,7 @@ object Queries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_ivf_pq" -> (annIvfPq _),
     "embed_near_dup" -> (embedNearDup _),
     "diff_sync_ops" -> (diffSyncOps _),
     "diff_sync_dml" -> (diffSyncDml _),
@@ -4181,6 +4193,7 @@ object Queries {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
+    "ann_ivf_pq" -> annIvfPqSql,
     "embed_near_dup" -> embedNearDupSql,
     "diff_sync_ops" -> diffSyncOpsSql,
     "diff_sync_dml" -> diffSyncDmlSql,

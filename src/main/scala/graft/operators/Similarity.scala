@@ -384,6 +384,155 @@ object Similarity {
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** IVF-PQ (the production FAISS composition): Voronoi cells bound WHICH
+    * rows a query reads, PQ codes bound HOW MANY BYTES each read costs,
+    * and the exact refine restores precision over the shortlist — all
+    * three bounds in one index:
+    *
+    *  - encode (ONE map pass, the persisted index): every corpus vector →
+    *    its max-cosine cell + m PQ codes + stored norm. At 100 TB a query
+    *    touches nProbe/nCells of the rows and m·4+12 bytes per touched
+    *    row — both factors multiply;
+    *  - a query probes its nProbe nearest cells (the ivfTopK routing),
+    *    candidates arrive by broadcast equi-join on cell;
+    *  - quantized-cosine shortlist + exact refine exactly as [[pqTopK]]
+    *    (ids and scores through the window, vectors only for the
+    *    refine-bounded survivors).
+    *
+    * Seeded quantizers at both levels keep the whole structure a pure
+    * function of the data, so [[ivfPqOracleSql]] replays it end to end;
+    * recall vs brute force in SimilaritySpec. */
+  def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nCells: Int = 16,
+                nProbe: Int = 4, m: Int = 8, kSub: Int = 16, dim: Int = 64,
+                refine: Int = 64): DataFrame = {
+    val centroids: Array[Array[Double]] = emb
+      .orderBy("vec_id").limit(nCells).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cNorms: Array[Double] = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    val cbs = pqCodebooks(emb, m, kSub, dim)
+    val dot = graft.functions.VectorExprs.dot _
+    val encoded = emb.select(col("vec_id"),
+      graft.functions.VectorExprs
+        .centroidArgMax(col("embedding"), centroids, cNorms).as("cell"),
+      graft.functions.PqExprs.codes(col("embedding"), cbs).as("codes"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("xnorm"))
+    val probes = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        posexplode(graft.functions.VectorExprs
+          .centroidScores(col("embedding"), centroids, cNorms))
+          .as(Seq("cidx0", "score")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("cidx0"))))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), (col("cidx0") + 1).cast("int").as("cell"))
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (graft.functions.PqExprs.adcDot(col("q_emb"), col("codes"), cbs) /
+          col("xnorm")).as("adc"))
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= refine)
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val sim = cosine(col("q_emb"), col("embedding"))
+    val wr = Window.partitionBy("query_id").orderBy(sim.desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(q), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(wr).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** DuckDB SQL replaying [[ivfPqTopK]] exactly — the [[ivfOracleSql]]
+    * cell routing composed with the [[pqOracleSql]] encode + shortlist +
+    * refine (same cosine/L2 compositions, tie-breaks, and addition
+    * order). */
+  def ivfPqOracleSql(queryIds: Seq[Long], k: Int, nCells: Int = 16,
+                     nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
+                     dim: Int = 64, refine: Int = 64): String = {
+    val subDim = dim / m
+    def slice(x: String, j: Int): String =
+      s"$x[${j * subDim + 1}:${(j + 1) * subDim}]"
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    val encSel = s"""
+       |  SELECT c.vec_id, js.j, cb.cidx,
+       |    list_inner_product(c.e[js.j*$subDim+1 : js.j*$subDim+$subDim],
+       |                       c.e[js.j*$subDim+1 : js.j*$subDim+$subDim])
+       |    - 2*list_inner_product(c.e[js.j*$subDim+1 : js.j*$subDim+$subDim],
+       |                           cb.e[js.j*$subDim+1 : js.j*$subDim+$subDim])
+       |    + list_inner_product(cb.e[js.j*$subDim+1 : js.j*$subDim+$subDim],
+       |                         cb.e[js.j*$subDim+1 : js.j*$subDim+$subDim]) AS d
+       |  FROM corpus c
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS j) js
+       |  CROSS JOIN cb""".stripMargin
+    val codeCols = (0 until m)
+      .map(j => s"MAX(CASE WHEN j = $j THEN code END) AS c$j").mkString(", ")
+    val cbJoins = (0 until m)
+      .map(j => s"JOIN cb cb$j ON cb$j.cidx = cw.c$j").mkString("\n    ")
+    val adcTerms = (0 until m)
+      .map(j => s"list_inner_product(${slice("q.e", j)}, ${slice(s"cb$j.e", j)})")
+      .mkString("\n      + ")
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (
+       |  SELECT e AS ce, row_number() OVER (ORDER BY vec_id) AS cidx
+       |  FROM corpus ORDER BY vec_id LIMIT $nCells),
+       |scored AS (
+       |  SELECT c.vec_id, cent.cidx, ${cos("c.e", "cent.ce")} AS score
+       |  FROM corpus c CROSS JOIN cent),
+       |assigned AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cidx) AS rn
+       |    FROM scored) x WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cidx) AS rn
+       |    FROM scored WHERE vec_id IN (${queryIds.mkString(", ")})) x WHERE rn <= $nProbe),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, e
+       |       FROM corpus ORDER BY vec_id LIMIT $kSub),
+       |enc AS ($encSel),
+       |codes AS (
+       |  SELECT vec_id, j, cidx AS code FROM (
+       |    SELECT vec_id, j, cidx,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cidx) AS rn
+       |    FROM enc) x WHERE rn = 1),
+       |cw AS (SELECT vec_id, $codeCols FROM codes GROUP BY vec_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY ($adcTerms)
+       |          / sqrt(list_inner_product(n.e, n.e)) DESC, a.vec_id) AS srank
+       |    FROM probes p
+       |    JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.query_id
+       |    JOIN cw ON cw.vec_id = a.vec_id
+       |    JOIN corpus n ON n.vec_id = a.vec_id
+       |    JOIN corpus q ON q.vec_id = p.query_id
+       |    $cbJoins) x
+       |  WHERE srank <= $refine),
+       |ranked AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${cos("qe.e", "ne.e")} DESC, s.neighbor_id) AS rank
+       |  FROM shortlist s
+       |  JOIN corpus qe ON qe.vec_id = s.query_id
+       |  JOIN corpus ne ON ne.vec_id = s.neighbor_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Single-table bucket id (hyperplane signs) — the bucketing key for
     * embedding near-dup joins. */
   def bucketId(emb: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column =

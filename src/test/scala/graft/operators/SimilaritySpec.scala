@@ -110,6 +110,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       s"adc=${r.getDouble(0)} self=${r.getDouble(1)}")
   }
 
+  test("IVF-PQ: composed pruning keeps useful recall; widening both bounds " +
+    "makes it exact") {
+    val qs = (0L until 10L).toSeq
+    val exact = Similarity.bruteForceTopK(emb, qs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val approx = Similarity.ivfPqTopK(emb, qs, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val recall = qs.count(q => approx.get(q) == exact.get(q)).toDouble / qs.size
+    assert(recall >= 0.4, s"IVF-PQ top-1 recall $recall")
+    // probing every cell + refining the whole corpus removes BOTH
+    // approximations — cell pruning and quantized shortlisting
+    val n = emb.count().toInt
+    val full = Similarity
+      .ivfPqTopK(emb, qs, k = 1, nCells = 16, nProbe = 16, refine = n)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(full == exact)
+  }
+
   test("cosineNearDupPairs: planted duplicate vectors are found at sim ~1") {
     val planted = emb.limit(10).unionAll(
       emb.limit(10).withColumn("vec_id", col("vec_id") + lit(1000000L)))
