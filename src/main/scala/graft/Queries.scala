@@ -3557,6 +3557,38 @@ object Queries {
   val lmBigramRaritySql: String = graft.operators.LmScore.bigramRaritySql(2L)
 
   // ---------------------------------------------------------------------
+  // curriculum_order — the curriculum-learning training order: every doc
+  // gets a global contiguous 1-based position, easiest first, where
+  // difficulty is the corpus-self-supervised rare-bigram count (the
+  // lm_bigram_rarity signal — garbled/rare-transition docs sort last).
+  // The rank is the shardAssign pattern (range repartition + zipWithIndex
+  // over the REDUCED score table), never a single-partition window.
+  // ---------------------------------------------------------------------
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.curriculumOrder(
+      graft.operators.LmScore.bigramRarity(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        rareMax = 2L,
+        stageLabel = Some(s"curriculum_rarity_${StageStore.dirTag(dir)}")),
+      scoreCol = "rare_cnt")
+      .orderBy("ord")
+
+  val curriculumOrderSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g0 AS (SELECT doc_id,
+      |         unnest([md5(ws[i] || ' ' || ws[i+1]) for i in generate_series(1, len(ws)-1)]) AS gh
+      |       FROM w WHERE len(ws) >= 2),
+      |g AS (SELECT doc_id, gh, COUNT(*) AS n FROM g0 GROUP BY doc_id, gh),
+      |c AS (SELECT gh, SUM(n) AS c FROM g GROUP BY gh),
+      |s AS (SELECT doc_id, SUM(CASE WHEN c <= 2 THEN n ELSE 0 END) AS rare_cnt
+      |      FROM g JOIN c USING (gh) GROUP BY doc_id),
+      |d AS (SELECT w.doc_id, CAST(COALESCE(s.rare_cnt, 0) AS BIGINT) AS difficulty
+      |      FROM w LEFT JOIN s USING (doc_id))
+      |SELECT doc_id, difficulty,
+      |  CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS ord
+      |FROM d ORDER BY ord""".stripMargin
+
+  // ---------------------------------------------------------------------
   // importance_resample — DSIR-style data selection (Xie et al.
   // NeurIPS'23, LmScore.importanceWeights): hashed-unigram importance of
   // every document toward the src0 target domain, then the top-100 draw
@@ -3934,6 +3966,40 @@ object Queries {
       |FROM hb ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // token_drift — data drift monitoring between corpus snapshots: the
+  // planted "new shard" (every 3rd doc with an appended campaign phrase)
+  // must surface its injected tokens as the top positive movers while the
+  // diluted baseline tokens drift negative. Exact ppm rates (BIGINT div)
+  // so the ranking hash-compares; see TextOps.tokenDrift for the
+  // vocab-bounded scale shape.
+  // ---------------------------------------------------------------------
+  def tokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" drifted drifted tokens")).as("text"))
+    graft.operators.TextOps.tokenDrift(docs, batch, k = 20)
+  }
+
+  val tokenDriftSql: String =
+    """WITH histT AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |batT AS (SELECT unnest(string_split(text || ' drifted drifted tokens', ' ')) AS tok
+      |         FROM documents WHERE doc_id % 3 = 0),
+      |h AS (SELECT tok, COUNT(*) AS hc FROM histT GROUP BY 1),
+      |b AS (SELECT tok, COUNT(*) AS bc FROM batT GROUP BY 1),
+      |ht AS (SELECT SUM(hc) AS h_tot FROM h),
+      |bt AS (SELECT SUM(bc) AS b_tot FROM b),
+      |j AS (SELECT COALESCE(h.tok, b.tok) AS token,
+      |        COALESCE(h.hc, 0) * 1000000 // ht.h_tot AS hist_ppm,
+      |        COALESCE(b.bc, 0) * 1000000 // bt.b_tot AS batch_ppm
+      |      FROM h FULL OUTER JOIN b ON h.tok = b.tok
+      |      CROSS JOIN ht CROSS JOIN bt)
+      |SELECT token, CAST(hist_ppm AS BIGINT) AS hist_ppm,
+      |  CAST(batch_ppm AS BIGINT) AS batch_ppm,
+      |  CAST(batch_ppm - hist_ppm AS BIGINT) AS delta_ppm
+      |FROM j ORDER BY abs(batch_ppm - hist_ppm) DESC, token LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
   // media_audio — PCM audio statistics over the audio-kind media payloads
   // (energy / peak / zero-crossings, all exact integers): the audio arm
   // of the multimodal family. The oracle re-derives every number from the
@@ -4135,6 +4201,7 @@ object Queries {
     "split_assign" -> (splitAssign _),
     "shard_balance" -> (shardBalance _),
     "lm_bigram_rarity" -> (lmBigramRarity _),
+    "curriculum_order" -> (curriculumOrder _),
     "importance_resample" -> (importanceResample _),
     "vocab_build" -> (vocabBuild _),
     "vocab_encode" -> (vocabEncode _),
@@ -4147,7 +4214,8 @@ object Queries {
     "media_phash" -> (mediaPhash _),
     "nb_lang_classify" -> (nbLangClassify _),
     "boilerplate_lines" -> (boilerplateLines _),
-    "media_audio" -> (mediaAudio _)
+    "media_audio" -> (mediaAudio _),
+    "token_drift" -> (tokenDrift _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4260,6 +4328,7 @@ object Queries {
     "split_assign" -> splitAssignSql,
     "shard_balance" -> shardBalanceSql,
     "lm_bigram_rarity" -> lmBigramRaritySql,
+    "curriculum_order" -> curriculumOrderSql,
     "importance_resample" -> importanceResampleSql,
     "vocab_build" -> vocabBuildSql,
     "vocab_encode" -> vocabEncodeSql,
@@ -4272,6 +4341,7 @@ object Queries {
     "media_phash" -> mediaPhashSql,
     "nb_lang_classify" -> nbLangClassifySql,
     "boilerplate_lines" -> boilerplateLinesSql,
-    "media_audio" -> mediaAudioSql
+    "media_audio" -> mediaAudioSql,
+    "token_drift" -> tokenDriftSql
   )
 }

@@ -99,6 +99,32 @@ object Splits {
       .select("doc_id", "tok", "shard")
   }
 
+  /** Curriculum ordering: a global contiguous 1-based training order over
+    * `(doc_id, <scoreCol>)` rows, easiest (lowest difficulty) first with
+    * doc_id tie-break — the training-order artifact curriculum-learning
+    * pipelines ship (Bengio et al. ICML'09; data-centric variants order by
+    * rarity/perplexity exactly like this). The difficulty must be an
+    * integer signal (e.g. [[LmScore.bigramRarity]]'s `rare_cnt`) so the
+    * order is exact.
+    *
+    * Scale shape: the [[shardAssign]] ranking pattern — range repartition
+    * on the sort key + per-partition sort + `zipWithIndex`, never a
+    * single-partition `row_number()` window; the frame ranked is the
+    * already-reduced (doc_id, difficulty) table, not the corpus. */
+  def curriculumOrder(scored: DataFrame, scoreCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("doc_id").cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("difficulty"))
+      .repartitionByRange(col("difficulty"), col("doc_id"))
+      .sortWithinPartitions("difficulty", "doc_id")
+      .as[(Long, Long)]
+      .rdd
+      .zipWithIndex()
+      .map { case ((id, d), i) => (id, d, i + 1L) }
+      .toDF("doc_id", "difficulty", "ord")
+  }
+
   /** Per-shard audit row `(shard, n_docs, sum_tokens)` over
     * [[shardAssign]] — the balance evidence; shuffles `nShards` groups. */
   def shardBalance(docs: DataFrame, nShards: Int): DataFrame =

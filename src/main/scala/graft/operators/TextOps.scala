@@ -561,6 +561,37 @@ object TextOps {
       .toDF("doc_id", "cleaned", "n_chars_removed")
   }
 
+  /** Token-distribution drift between two corpus snapshots — the data
+    * drift monitor every continuously-ingesting pipeline runs (a shard
+    * whose token rates moved is a crawler change, a new spam campaign, or
+    * an upstream format break, and should quarantine before training):
+    * the top-k tokens by absolute rate change between `hist` and `batch`,
+    * rates in exact parts-per-million (`cnt · 10⁶ div total` — the
+    * [[LmScore]] integer-rate trade, so the ranking hash-compares).
+    *
+    * Scale shape: each side folds to vocab-bounded (token, count) rows
+    * with map-side combine absorbing stopword skew; the full-outer join
+    * runs over the two reduced tables (never the corpora); the two 1-row
+    * totals broadcast; the final top-k is a TakeOrdered over the joined
+    * vocab table. */
+  def tokenDrift(hist: DataFrame, batch: DataFrame, k: Int = 20): DataFrame = {
+    def counts(d: DataFrame, cn: String) =
+      d.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(cn))
+    val h = counts(hist, "hc")
+    val b = counts(batch, "bc")
+    val ht = h.agg(sum("hc").as("h_tot"))
+    val bt = b.agg(sum("bc").as("b_tot"))
+    h.join(b, Seq("tok"), "full_outer")
+      .crossJoin(broadcast(ht)).crossJoin(broadcast(bt))
+      .select(col("tok").as("token"),
+        expr("coalesce(hc, 0L) * 1000000L div h_tot").as("hist_ppm"),
+        expr("coalesce(bc, 0L) * 1000000L div b_tot").as("batch_ppm"))
+      .withColumn("delta_ppm", col("batch_ppm") - col("hist_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col("token"))
+      .limit(k)
+  }
+
   /** Line-level boilerplate removal (CCNet, Wenzek et al. LREC'20 §3.1 —
     * also the RefinedWeb/Dolma "paragraph dedup" stage): a LINE that
     * appears in at least `minDocFreq` DISTINCT documents is template

@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** dedupLines' scale claim under the adversarial boilerplate shape: ONE
+  * line present in EVERY document (the exact situation the operator
+  * exists for — a site-wide template on a 10⁵-document corpus; billions of
+  * copies at 100 TB). A naive `count().over(Window.partitionBy(line))`
+  * would ship every copy of the hot line to one task; the two-phase shape
+  * (partial-aggregated (line, doc) fold → doc-frequency over the reduced
+  * table → bloom routed map-side → salted exact semi-join) must keep every
+  * task's shuffle-read record count far below the hot line's copy count
+  * while producing exactly the textbook answer. Per-task numbers come from
+  * task-end listener metrics (the DupNgramScaleProbeSpec pattern), with
+  * AQE coalescing off for the same reason documented there.
+  */
+class DedupLinesScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nDocs = 100000L
+
+  /** Every doc: the site-wide template line, a unique body line, and a
+    * second template line — 2·10⁵ hot-line copies, 10⁵ unique lines. */
+  private def corpus = spark.range(0L, nDocs)
+    .select(col("id").as("doc_id"),
+      concat(lit("SITE TEMPLATE HEADER\nbody-"), col("id"),
+        lit("\nSITE TEMPLATE HEADER")).as("text"))
+
+  private val totalLines = nDocs * 3
+  private val hotCopies = nDocs * 2
+  // The funnel shape ships every hot-line copy to ONE task (maxRead ≥
+  // 2·10⁵); the two-phase shape's heaviest exchange is the doc_id-keyed
+  // position reassembly — an even ~totalLines/partitions split (≈5·10⁴ at
+  // the harness's 4 shuffle partitions, and shrinking as partitions grow).
+  // Half the hot-copy count separates the two cleanly at any partition
+  // count ≥ 2.
+  private val perTaskBound = hotCopies / 2
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def withoutCoalescing[T](body: => T): T = {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("dedupLines: a corpus-wide template line never funnels through one " +
+    "task; cleaned output textbook-equal", Slow) {
+    val (got, maxRead) = withoutCoalescing(withMaxTaskShuffleRead {
+      TextOps.dedupLines(corpus, minDocFreq = 2)
+        .select(col("doc_id"), col("cleaned"), col("n_lines_removed"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    })
+    info(s"dedupLines max per-task shuffle read: $maxRead records " +
+      s"(hot line: $hotCopies copies)")
+    val expect = (0L until nDocs).map(id => (id, s"body-$id", 2L)).toSet
+    assert(got === expect)
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records (hot line has $hotCopies copies) — " +
+        "funneled through one task?")
+  }
+}

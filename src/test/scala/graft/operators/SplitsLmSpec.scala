@@ -162,4 +162,43 @@ class SplitsLmSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"256-row rate table not broadcast:\n$p")
   }
+
+  test("curriculumOrder: contiguous 1-based order, easiest first, doc_id " +
+    "tie-break, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val scored = Seq((10L, 5L), (11L, 0L), (12L, 2L), (13L, 2L), (14L, 9L))
+      .toDF("doc_id", "rare_cnt")
+    val want = Seq((11L, 0L, 1L), (12L, 2L, 2L), (13L, 2L, 3L),
+      (10L, 5L, 4L), (14L, 9L, 5L))
+    val out = Splits.curriculumOrder(scored, "rare_cnt")
+      .orderBy("ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == want)
+    val reparted = Splits.curriculumOrder(scored.repartition(4), "rare_cnt")
+      .orderBy("ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(reparted.toSeq == want)
+  }
+
+  test("tokenDrift: injected shard tokens surface as top movers with " +
+    "exact ppm arithmetic") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((1L, "a a b"), (2L, "a b c"))
+      .toDF("doc_id", "text") // totals: a=3 b=2 c=1 of 6
+    val batch = Seq((3L, "a x x"))
+      .toDF("doc_id", "text") // totals: a=1 x=2 of 3
+    val out = TextOps.tokenDrift(hist, batch, k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // exact ppm: hist a=500000 b=333333 c=166666; batch a=333333 x=666666
+    assert(out("x") == (0L, 666666L, 666666L))
+    assert(out("b") == (333333L, 0L, -333333L))
+    assert(out("a") == (500000L, 333333L, -166667L))
+    assert(out("c") == (166666L, 0L, -166666L))
+    // ordering: |delta| desc — x first
+    val first = TextOps.tokenDrift(hist, batch, k = 1).collect()(0)
+    assert(first.getString(0) == "x")
+  }
 }
