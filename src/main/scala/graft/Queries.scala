@@ -3966,6 +3966,35 @@ object Queries {
       |FROM hb ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // bpe_train / bpe_encode — BPE tokenizer training (Sennrich et al.
+  // ACL'16) over the documents corpus: the top-8 learned merges with
+  // their selection-time weighted pair counts, and every document encoded
+  // under them (token count + md5 of the full symbol stream — the
+  // content-addressed proof the whole encoding matches). The corpus folds
+  // ONCE to the vocabulary-bounded distinct-word table; each round is one
+  // pair aggregate over that reduction plus a 1-row argmax collect; the
+  // encode pass broadcasts the 8-row merge table and memoizes per
+  // distinct word per partition. Oracles replay all 8 rounds as chained
+  // CTEs with a list_reduce greedy fold (Bpe.trainSql/encodeSql).
+  // ---------------------------------------------------------------------
+  private val bpeMerges = 8
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), bpeMerges)
+
+  val bpeTrainSql: String = graft.operators.Bpe.trainSql(8)
+
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Bpe.encode(docs,
+      graft.operators.Bpe.trainMerges(docs, bpeMerges))
+      .orderBy("doc_id")
+  }
+
+  val bpeEncodeSql: String = graft.operators.Bpe.encodeSql(8)
+
+  // ---------------------------------------------------------------------
   // token_drift — data drift monitoring between corpus snapshots: the
   // planted "new shard" (every 3rd doc with an appended campaign phrase)
   // must surface its injected tokens as the top positive movers while the
@@ -4215,7 +4244,9 @@ object Queries {
     "nb_lang_classify" -> (nbLangClassify _),
     "boilerplate_lines" -> (boilerplateLines _),
     "media_audio" -> (mediaAudio _),
-    "token_drift" -> (tokenDrift _)
+    "token_drift" -> (tokenDrift _),
+    "bpe_train" -> (bpeTrain _),
+    "bpe_encode" -> (bpeEncode _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4342,6 +4373,8 @@ object Queries {
     "nb_lang_classify" -> nbLangClassifySql,
     "boilerplate_lines" -> boilerplateLinesSql,
     "media_audio" -> mediaAudioSql,
-    "token_drift" -> tokenDriftSql
+    "token_drift" -> tokenDriftSql,
+    "bpe_train" -> bpeTrainSql,
+    "bpe_encode" -> bpeEncodeSql
   )
 }

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and encoding (Sennrich et al.
+  * ACL'16 — the subword algorithm behind GPT-2/RoBERTa-family vocabularies):
+  * learn the top-N symbol merges from corpus statistics, then encode every
+  * document under the learned merge table. This is the tokenizer-prep step
+  * [[Vocab]] cannot express — Vocab ranks WHOLE words; BPE discovers the
+  * subword units a fixed-size vocabulary should spend its slots on.
+  *
+  * Semantics (deterministic in both engines, pinned by the DuckDB replay
+  * oracles [[trainSql]]/[[encodeSql]]):
+  *   - words are whitespace tokens; each starts as its codepoint sequence
+  *     (no end-of-word marker — documented divergence from Sennrich's
+  *     `</w>`, chosen so the SQL replay needs no sentinel escaping);
+  *   - each round counts adjacent symbol pairs WEIGHTED BY WORD FREQUENCY
+  *     over the distinct-word table and merges the max-count pair
+  *     (ties: lexicographic on left then right symbol);
+  *   - a merge applies greedily left-to-right within each word — a fold
+  *     that joins `x` into the previous symbol when the pair matches, so
+  *     a run `l l l l` under merge (l,l) becomes `ll ll`, exactly the
+  *     reference algorithm's scan.
+  *
+  * Scale shape — the industrial trainer's reduction (HuggingFace
+  * tokenizers does the same): the CORPUS is touched once, folding to the
+  * distinct-word frequency table (vocabulary-bounded — orders of magnitude
+  * below corpus size; stopword skew collapses map-side). Every training
+  * round is one pair-count aggregate over that reduced table plus a 1-row
+  * argmax collect (bounded by construction — the same plan-time-constant
+  * pattern as KMeans' centroids), then a narrow map applies the merge;
+  * the word table re-materializes via localCheckpoint every few rounds so
+  * plans stay flat at large merge counts (the CC pattern). Encoding
+  * broadcasts the merge table (nMerges rows) and runs one map-only pass
+  * with a per-partition word→encoding memo — words repeat per Zipf, so
+  * the fold over merges runs once per DISTINCT word per partition, not
+  * once per token.
+  */
+object Bpe {
+
+  /** One learned merge: rank-ordered, with the pair's weighted count at
+    * selection time. */
+  final case class Merge(rank: Long, lhs: String, rhs: String, cnt: Long)
+
+  /** A word as its space-joined codepoint sequence — the initial BPE
+    * state. Codepoint (not char) iteration matches DuckDB's
+    * `string_split(w, '')` character semantics beyond the BMP. */
+  private[operators] def charSeq(w: String): String = {
+    val sb = new java.lang.StringBuilder(w.length * 2)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      if (sb.length > 0) sb.append(' ')
+      sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** Greedy left-to-right application of one merge to a space-joined
+    * symbol sequence: append each symbol, joining it into the previous one
+    * when (prev, cur) == (l, r). Runs of the merged pair collapse
+    * pairwise (`l l l l` → `ll ll`), matching the reference scan. */
+  private[operators] def greedyMerge(seq: String, l: String, r: String): String = {
+    val syms = seq.split(" ")
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out(out.length - 1) == l && x == r)
+        out(out.length - 1) = l + r
+      else out += x
+      i += 1
+    }
+    out.mkString(" ")
+  }
+
+  /** The distinct-word frequency table `(seq, f)` — the one corpus pass;
+    * everything after runs over this vocabulary-bounded reduction. */
+  private def wordTable(docs: DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) => (charSeq(w), f) }
+  }
+
+  /** Learn `nMerges` merges from the corpus. Stops early if no adjacent
+    * pair remains (all words fused to single symbols). The returned list
+    * is driver-side by construction: nMerges rows. */
+  def trainMerges(docs: DataFrame, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = wordTable(docs).persist()
+    var words = base
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    var i = 1
+    while (i <= nMerges && !done) {
+      val top = words.flatMap { case (seq, f) =>
+        val s = seq.split(" ")
+        Iterator.range(0, s.length - 1).map(j => (s(j), s(j + 1), f))
+      }.toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect() // bounded: exactly one row (the argmax), per round
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) = top(0)
+        out += Merge(i.toLong, l, r, cnt)
+        val merged = words.map { case (seq, f) => (greedyMerge(seq, l, r), f) }
+        // flatten the plan every few rounds; vocabulary-bounded table
+        words = if (i % 8 == 0) merged.localCheckpoint() else merged
+      }
+      i += 1
+    }
+    base.unpersist(blocking = false) // release the round-base cache
+    out.toSeq
+  }
+
+  /** The learned merge table as a DataFrame
+    * `(merge_rank, lhs, rhs, pair_cnt)`. */
+  def train(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, nMerges)
+      .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** Encode every document under the learned merges:
+    * `(doc_id, n_tokens, toks_hash)` where `toks_hash` is the md5 of the
+    * doc's full space-joined symbol stream — a content-addressed proof the
+    * whole encoding matches, not just its length. One map-only pass;
+    * merges broadcast; per-partition memo so each DISTINCT word folds over
+    * the merges once. */
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.sortBy(_.rank).map(m => (m.lhs, m.rhs)))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, String]
+        def enc(w: String): String = memo.getOrElseUpdate(w, {
+          var s = charSeq(w)
+          ms.foreach { case (l, r) => s = greedyMerge(s, l, r) }
+          s
+        })
+        it.map { case (id, text) =>
+          val stream = text.split(" ").iterator
+            .filter(_.nonEmpty).map(enc).mkString(" ")
+          val n = if (stream.isEmpty) 0L
+                  else { var c = 1L; var i = 0
+                         while (i < stream.length) { if (stream.charAt(i) == ' ') c += 1; i += 1 }
+                         c }
+          (id, n, stream)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "stream")
+      .select(col("doc_id"), col("n_tokens"), md5(col("stream")).as("toks_hash"))
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB replay oracles — the n-round merge chain generated as CTEs;
+  // the greedy fold replays via list_reduce with a string accumulator
+  // (the last symbol of `acc` is removed and re-appended fused when the
+  // pair matches — DuckDB's left-to-right scan equals greedyMerge).
+  // ------------------------------------------------------------------
+
+  private def trainCtes(n: Int): String = {
+    val base =
+      """WITH wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |w0 AS (SELECT w, array_to_string(string_split(w,''),' ') AS seq, f FROM wt)""".stripMargin
+    val rounds = (1 to n).map { i =>
+      s"""p$i AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest([{'l': s[i], 'r': s[i+1]} for i in generate_series(1, len(s)-1)]) AS pr, f
+         |        FROM (SELECT string_split(seq,' ') AS s, f FROM w${i - 1})) GROUP BY 1,2),
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS (SELECT w, list_reduce(string_split(seq,' '), (acc, x) ->
+         |  CASE WHEN (acc = m.l OR ends_with(acc, ' ' || m.l)) AND x = m.r
+         |       THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+         |       ELSE acc || ' ' || x END) AS seq, f
+         |  FROM w${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  /** Oracle for [[train]] at `n` merges over the `documents` table. */
+  def trainSql(n: Int): String = {
+    val sel = (1 to n).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_cnt FROM m$i")
+      .mkString("\nUNION ALL ")
+    trainCtes(n) + "\n" + sel + "\nORDER BY merge_rank"
+  }
+
+  /** Oracle for [[encode]] at `n` merges over the `documents` table. */
+  def encodeSql(n: Int): String =
+    trainCtes(n) +
+      s""",
+         |dp AS (SELECT doc_id, p.i AS pos, p.w AS w
+         |  FROM (SELECT doc_id, unnest([{'i': i, 'w': ws[i]} for i in generate_series(1, len(ws))]) AS p
+         |        FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents))
+         |  WHERE p.w <> ''),
+         |enc AS (SELECT dp.doc_id, string_agg(wn.seq, ' ' ORDER BY dp.pos) AS stream
+         |  FROM dp JOIN w$n wn ON wn.w = dp.w GROUP BY dp.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(len(string_split(e.stream,' ')), 0) AS BIGINT) AS n_tokens,
+         |  md5(COALESCE(e.stream,'')) AS toks_hash
+         |FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** BPE training and encoding ([[Bpe]]): the textbook corpus's merge
+  * sequence by hand, the greedy-scan edge cases (runs of the merged
+  * pair), encode-vs-brute-force equality, and partitioning invariance. */
+class BpeSpec extends AnyFunSuite with SparkSuite {
+
+  test("greedyMerge: pairwise collapse of runs, ends, singletons") {
+    assert(Bpe.greedyMerge("h e l l o", "l", "l") == "h e ll o")
+    // a run merges pairwise left-to-right, the reference scan
+    assert(Bpe.greedyMerge("l l l l", "l", "l") == "ll ll")
+    assert(Bpe.greedyMerge("l l l", "l", "l") == "ll l")
+    assert(Bpe.greedyMerge("x", "l", "l") == "x")
+    assert(Bpe.greedyMerge("a b", "a", "b") == "ab")
+    // merged symbol no longer matches the left side
+    assert(Bpe.greedyMerge("ab b", "a", "b") == "ab b")
+  }
+
+  test("charSeq: codepoint split (astral plane stays one symbol)") {
+    assert(Bpe.charSeq("abc") == "a b c")
+    val astral = new String(Character.toChars(0x1F600)) // one codepoint
+    assert(Bpe.charSeq("a" + astral) == "a " + astral)
+  }
+
+  test("trainMerges: the Sennrich-style corpus learns the hand-computed " +
+    "merge sequence with lexicographic tie-breaks") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "low low low lower lowest"), (2L, "new newer newest low"))
+      .toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, 5).map(m => (m.lhs, m.rhs, m.cnt))
+    // by hand: (l,o)=6 ties (o,w)=6 -> lex; then (lo,w)=6; (e,w)=3 ties
+    // (n,e)=3 -> lex; (n,ew)=3; (e,r)=2 ties (e,s)=2 -> lex
+    assert(got == Seq(("l", "o", 6L), ("lo", "w", 6L), ("e", "w", 3L),
+      ("n", "ew", 3L), ("e", "r", 2L)))
+  }
+
+  test("trainMerges: stops early when no pair remains") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // round 1 merges (a,b); round 2 merges (c,d); nothing remains
+    val got = Bpe.trainMerges(docs, 10).map(m => (m.lhs, m.rhs))
+    assert(got == Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("encode: stream equals the brute-force fold; token counts shrink; " +
+    "partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "low lower"), (2L, "newest"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(
+      Seq((1L, "low low low lower lowest"), (2L, "new newer newest low"))
+        .toDF("doc_id", "text"), 5)
+    def brute(text: String): String =
+      text.split(" ").iterator.filter(_.nonEmpty).map { w =>
+        merges.sortBy(_.rank).foldLeft(Bpe.charSeq(w)) {
+          case (acc, m) => Bpe.greedyMerge(acc, m.lhs, m.rhs)
+        }
+      }.mkString(" ")
+    val got = Bpe.encode(docs, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val wantStreams = Map(1L -> brute("low lower"), 2L -> brute("newest"), 3L -> "")
+    // low -> "low", lower -> "low er" (l,o then lo,w then e,r)
+    assert(wantStreams(1L) == "low low er")
+    got.foreach { case (id, n, h) =>
+      val st = wantStreams(id)
+      val wantN = if (st.isEmpty) 0L else st.split(" ").length.toLong
+      assert(n == wantN, s"doc $id token count")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val wantH = md.digest(st.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h == wantH, s"doc $id stream hash")
+    }
+    val reparted = Bpe.encode(docs.repartition(5), merges).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(reparted.toSeq == got.toSeq)
+  }
+}
