@@ -65,6 +65,10 @@ object DumpAll {
       val dir = s"$outDir/${dirName.getOrElse(name)}"
       CsvSink.write(df, dir, compression = s.compression)
       Seq(dir)
+    case "jsonl" =>
+      val dir = s"$outDir/${dirName.getOrElse(name)}"
+      graft.sinks.JsonlSink.write(df, dir, compression = s.compression)
+      Seq(dir)
     case "null" =>
       graft.sinks.NoopSink.drain(df)
       Seq.empty

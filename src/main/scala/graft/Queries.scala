@@ -2277,6 +2277,36 @@ object Queries {
        |    chr(26), '\\x1a'), chr(39), '\\x27'), chr(0), '') || ''');' AS line
        |FROM corpus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dump_jsonl / dump_jsonl_orders — the JSONL corpus-export arm of the
+  // dump family (JsonGen/JsonlSink, `-dumpmode jsonl`): the hostile
+  // corpus proves the string-escape convention byte for byte (quotes,
+  // backslashes, \n \r, 0x1a and NUL as \u00xx — NUL is KEPT, unlike the
+  // PG dump's mandated drop), and orders proves the typed arms
+  // (shortest-round-trip doubles, bare-second timestamps, bare integers,
+  // JSON null for SQL NULL) against DuckDB's own renderings.
+  // ---------------------------------------------------------------------
+  def dumpJsonl(s: SparkSession, dir: String): DataFrame =
+    graft.operators.JsonGen.jsonLines(hostileCorpus(s, dir)).toDF("line")
+
+  val dumpJsonlSql: String =
+    s"""WITH $hostileCorpusSql
+       |SELECT '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"v":"' ||
+       |  ${graft.operators.JsonGen.escapeSql("s")} || '"}' AS line
+       |FROM corpus""".stripMargin
+
+  def dumpJsonlOrders(s: SparkSession, dir: String): DataFrame =
+    graft.operators.JsonGen.jsonLines(t(s, dir, "orders")).toDF("line")
+
+  val dumpJsonlOrdersSql: String =
+    """SELECT '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR)
+      |  || ',"o_custkey":' || CAST(o_custkey AS VARCHAR)
+      |  || ',"o_orderstatus":"' || o_orderstatus
+      |  || '","o_totalprice":' || CAST(o_totalprice AS VARCHAR)
+      |  || ',"o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+      |  || '","o_orderpriority":"' || o_orderpriority || '"}' AS line
+      |FROM orders""".stripMargin
+
   def dumpMsSqlEscape(s: SparkSession, dir: String): DataFrame =
     graft.operators.FidelityGen.insertStatements(
       hostileCorpus(s, dir), "esc_ms", graft.operators.FidelityGen.MsSql,
@@ -4246,7 +4276,9 @@ object Queries {
     "media_audio" -> (mediaAudio _),
     "token_drift" -> (tokenDrift _),
     "bpe_train" -> (bpeTrain _),
-    "bpe_encode" -> (bpeEncode _)
+    "bpe_encode" -> (bpeEncode _),
+    "dump_jsonl" -> (dumpJsonl _),
+    "dump_jsonl_orders" -> (dumpJsonlOrders _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4375,6 +4407,8 @@ object Queries {
     "media_audio" -> mediaAudioSql,
     "token_drift" -> tokenDriftSql,
     "bpe_train" -> bpeTrainSql,
-    "bpe_encode" -> bpeEncodeSql
+    "bpe_encode" -> bpeEncodeSql,
+    "dump_jsonl" -> dumpJsonlSql,
+    "dump_jsonl_orders" -> dumpJsonlOrdersSql
   )
 }

@@ -63,7 +63,9 @@ case class DumpConfig(
   * CliSpec ports that matrix. */
 object Cli {
 
-  private val modes = Set("sql", "csv", "cpy", "null")
+  // jsonl extends the reference's mode set (paradump.go:3482): the
+  // corpus-export format the training-data world ingests
+  private val modes = Set("sql", "csv", "cpy", "null", "jsonl")
   private val insertModes = Set("full", "simple")
   private val templateVerbs = Set('d', 't', 'p', 'm', 'z', '%')
 

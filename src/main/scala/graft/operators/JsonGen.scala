@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.types._
+import graft.functions.Escapes
+
+/** JSONL (newline-delimited JSON) rendering — the corpus-export format
+  * LLM training stacks actually ingest (HF `datasets`, Dolma, RedPajama
+  * all exchange JSONL shards). The reference stops at SQL/CSV dumps
+  * (paradump.go:3196-3420); this is the same sink family pointed at the
+  * training-data world, with the same byte-fidelity discipline: a
+  * deterministic rendering convention, checked cell-for-cell by a DuckDB
+  * replay oracle and a decode round-trip spec.
+  *
+  * Rendering convention (RFC 8259-conformant, pinned by [[escapeSql]]):
+  *  - keys in schema order, no whitespace;
+  *  - strings: `"` and `\` escaped, control chars < 0x20 as `\n \r \t
+  *    \b \f` where the short form exists, else `\u00xx` (lowercase hex);
+  *    NUL is KEPT as `\\u0000` (JSON round-trips it; contrast the PG dump
+  *    path's mandated NUL drop, F9); non-ASCII stays raw UTF-8;
+  *  - integral types bare decimal; booleans bare; floats/doubles via the
+  *    shortest-round-trip canonicalizer (F7) so both engines agree digit
+  *    for digit; NaN/Inf have no JSON form → `null`;
+  *  - timestamps `"yyyy-MM-dd HH:mm:ss"` (fract-trimmed like the SQL
+  *    dump path), dates `"yyyy-MM-dd"`;
+  *  - binary as lowercase hex in a string (the CsvSink/F5 convention);
+  *  - SQL NULL → JSON `null`.
+  *
+  * One map-only pass (mapPartitions string assembly, zero shuffle, no
+  * driver involvement) — the render parallelizes with the scan exactly
+  * like the SQL/CSV dump paths. */
+object JsonGen {
+
+  /** One-pass JSON string-body escape (no surrounding quotes). */
+  def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case _ if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def renderValue(sb: java.lang.StringBuilder, v: Any, dt: DataType): Unit =
+    if (v == null) sb.append("null")
+    else dt match {
+      case StringType =>
+        sb.append('"').append(jsonEscape(v.asInstanceOf[String])).append('"')
+      case ByteType | ShortType | IntegerType | LongType =>
+        sb.append(v.toString)
+      case BooleanType => sb.append(v.toString)
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) sb.append("null")
+        else sb.append(Escapes.floatCanonical(f))
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) sb.append("null")
+        else sb.append(Escapes.doubleCanonical(d))
+      case _: DecimalType =>
+        sb.append(v.asInstanceOf[java.math.BigDecimal].toPlainString)
+      case TimestampType | TimestampNTZType =>
+        val t = v match {
+          case t: java.sql.Timestamp => t.toString
+          case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l).toString
+          case i: java.time.Instant => java.sql.Timestamp.from(i).toString
+        }
+        // bare seconds for whole-second values (the SQL-dump convention),
+        // fract-trim real fractions
+        val trimmed = if (t.endsWith(".0")) t.dropRight(2) else Escapes.fractTrim(t)
+        sb.append('"').append(trimmed).append('"')
+      case DateType =>
+        sb.append('"').append(v.toString).append('"')
+      case BinaryType =>
+        sb.append('"')
+        v.asInstanceOf[Array[Byte]].foreach(b => sb.append(f"$b%02x"))
+        sb.append('"')
+      case other =>
+        throw new IllegalArgumentException(s"jsonl: unsupported type $other")
+    }
+
+  /** Every row of `df` as one JSON object line, keys in schema order. */
+  def jsonLines(df: DataFrame): Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = df.schema
+    val names = schema.fields.map(f => "\"" + jsonEscape(f.name) + "\":")
+    val types = schema.fields.map(_.dataType)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val sb = new java.lang.StringBuilder(64)
+        sb.append('{')
+        var i = 0
+        while (i < types.length) {
+          if (i > 0) sb.append(',')
+          sb.append(names(i))
+          renderValue(sb, row.get(i), types(i))
+          i += 1
+        }
+        sb.append('}')
+        sb.toString
+      }
+    }
+  }
+
+  /** DuckDB replay of [[jsonEscape]] over a string expression: backslash
+    * first (introduced escapes are never re-escaped), then quote, the
+    * short-form controls, and the `\u00xx` forms the fixture corpus can
+    * contain. The chain covers 0x00-0x1f members used by the hostile
+    * corpus (NUL, \n, \r, 0x1a) plus every short-form escape. */
+  def escapeSql(col: String): String =
+    s"""replace(replace(replace(replace(replace(replace(replace(replace(replace($col,
+       |  chr(92), '\\\\'), chr(34), '\\"'), chr(10), '\\n'), chr(13), '\\r'),
+       |  chr(9), '\\t'), chr(8), '\\b'), chr(12), '\\f'),
+       |  chr(0), '\\u0000'), chr(26), '\\u001a')""".stripMargin
+}

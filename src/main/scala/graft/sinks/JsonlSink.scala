@@ -1,0 +1,20 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** JSONL file sink — the corpus-export arm of the dump family (S7 SQL /
+  * S8 CSV / this): every row rendered by
+  * [[graft.operators.JsonGen.jsonLines]]'s pinned convention, one object
+  * per line, written through Spark's text writer (so compression,
+  * partitioned output files, and overwrite semantics match the CSV sink).
+  * The render is map-only and parallelizes with the scan. */
+object JsonlSink {
+
+  def write(df: DataFrame, outDir: String,
+            compression: Option[String] = None): Unit = {
+    val writer = graft.operators.JsonGen.jsonLines(df)
+      .toDF("value").write.mode("overwrite")
+    compression.foreach(c => writer.option("compression", c))
+    writer.text(outDir)
+  }
+}

@@ -11,6 +11,7 @@ class CliSpec extends AnyFunSuite {
   test("valid minimal invocations parse") {
     assert(parse("-db", "foobar").isRight)
     assert(parse("-table", "t1", "-dumpmode", "csv").isRight)
+    assert(parse("-table", "t1", "-dumpmode", "jsonl").isRight)
     val c = parse("-db", "a,b", "-chunksize", "5000", "-insertsize", "100",
       "--dumpinsert", "simple", "--dumpheader=false").toOption.get
     assert(c.schemas == Seq("a", "b") && c.insertSize == 100 &&

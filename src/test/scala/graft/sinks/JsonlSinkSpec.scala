@@ -1,0 +1,82 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+import graft.operators.JsonGen
+
+/** JSONL export: the decode round-trip proof. The sink's bytes are parsed
+  * back by Jackson — an INDEPENDENT JSON implementation — and every
+  * decoded field must equal the original value, including embedded NUL
+  * (kept, unlike the PG dump), control chars, quotes/backslashes, and
+  * astral-plane codepoints. The oracle hash gate (`dump_jsonl`,
+  * `dump_jsonl_orders`) pins the exact bytes; this spec pins that those
+  * bytes MEAN the original data to any conforming reader. */
+class JsonlSinkSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("jsonEscape: mandatory escapes, short forms, \\u00xx controls") {
+    assert(JsonGen.jsonEscape("""a"b\c""") == """a\"b\\c""")
+    assert(JsonGen.jsonEscape("a\nb\rc\td\be\ff") == """a\nb\rc\td\be\ff""")
+    assert(JsonGen.jsonEscape("x\u0000y\u001az") == "x\\u0000y\\u001az")
+    assert(JsonGen.jsonEscape("é€中") == "é€中") // non-ASCII raw
+  }
+
+  test("sink round-trips hostile strings through an independent decoder") {
+    val s = spark
+    import s.implicits._
+    val astral = new String(Character.toChars(0x1F600))
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "q\"uote\\back\nnl\rcr\ttab"),
+      (3L, "nul\u0000kept\u001asub"),
+      (4L, "uni é€中 " + astral),
+      (5L, ""),
+      (6L, null))
+    val df = rows.toDF("id", "v")
+    val dir = tmpDir("jsonl")
+    JsonlSink.write(df, dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.length == rows.length)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val decoded = lines.map { l =>
+      val n = mapper.readTree(l)
+      val v = n.get("v")
+      (n.get("id").asLong(), if (v.isNull) null else v.asText())
+    }.toMap
+    rows.foreach { case (id, v) =>
+      assert(decoded(id) == v, s"row $id decode mismatch")
+    }
+  }
+
+  test("typed arms: numbers bare, NaN/Inf -> null, timestamp bare-second, " +
+    "date quoted, binary lowercase hex, null -> null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 2.5, java.sql.Timestamp.valueOf("2024-02-29 10:00:00"),
+        java.sql.Date.valueOf("2024-02-29"), Array[Byte](0, 127, -1), true)
+    ).toDF("id", "d", "ts", "dt", "bin", "b")
+    val line = JsonGen.jsonLines(df).collect()(0)
+    assert(line == """{"id":1,"d":2.5,"ts":"2024-02-29 10:00:00",""" +
+      """"dt":"2024-02-29","bin":"007fff","b":true}""")
+    val nan = Seq((1L, Double.NaN)).toDF("id", "d")
+    assert(JsonGen.jsonLines(nan).collect()(0) == """{"id":1,"d":null}""")
+  }
+
+  test("DumpAll jsonl mode writes per-table dirs that parse back") {
+    val dir = tmpDir("dumpjsonl")
+    val res = graft.DumpAll.run(spark, "/root/testdata/sf0.001", dir,
+      mode = "jsonl", tables = Seq("nation"))
+    assert(res.map(_.table) == Seq("nation"))
+    val lines = spark.read.text(s"$dir/nation").collect().map(_.getString(0))
+    val n = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "nation").count()
+    assert(lines.length == n)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(lines.forall(l => mapper.readTree(l).has("n_nationkey")))
+  }
+}
