@@ -222,13 +222,22 @@ object CorpusClean {
     * metadata-only). */
   def run(spark: SparkSession, cfg: CorpusCleanConfig): Long = {
     val out = deliver(spark, cfg)
-    val partCols =
-      (if (cfg.splitBy.isDefined) Seq("split") else Nil) ++
-        (if (cfg.shards.isDefined) Seq("shard") else Nil)
-    val w = out.write.mode("overwrite")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(cfg.out)
-    val n = spark.read.parquet(cfg.out).count()
+    val n = cfg.format match {
+      case "jsonl" =>
+        // the exchange format: one object per line, every delivered
+        // column (incl. split/shard/ids) a JSON field — line-oriented
+        // shards, no partition dirs
+        graft.sinks.JsonlSink.write(out, cfg.out)
+        spark.read.text(cfg.out).count()
+      case _ =>
+        val partCols =
+          (if (cfg.splitBy.isDefined) Seq("split") else Nil) ++
+            (if (cfg.shards.isDefined) Seq("shard") else Nil)
+        val w = out.write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .parquet(cfg.out)
+        spark.read.parquet(cfg.out).count()
+    }
     // the vocab table the ids were encoded with: deliver() already
     // materialized it under the cc_vocab stage label, so this is a
     // files-to-files copy — the pipeline never re-runs

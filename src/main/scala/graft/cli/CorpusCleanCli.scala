@@ -60,7 +60,11 @@ case class CorpusCleanConfig(
     // cutoff) over the cleaned text and add the materialized id-sequence
     // column; the vocab table itself is written to --vocab-out
     encodeMinCount: Option[Long] = None,
-    vocabOut: Option[String] = None)
+    vocabOut: Option[String] = None,
+    // output format: parquet (default, split/shard become partition
+    // dirs) or jsonl (the exchange format — one object per line, every
+    // delivered column a JSON field, split/shard included as fields)
+    format: String = "parquet")
 
 object CorpusCleanCli {
 
@@ -125,6 +129,7 @@ object CorpusCleanCli {
             case None => return Left(s"--encode: not an integer: $v")
           }
         case "--vocab-out" :: v :: t => c = c.copy(vocabOut = Some(v)); rest = t
+        case "--format" :: v :: t => c = c.copy(format = v); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t
@@ -148,7 +153,7 @@ object CorpusCleanCli {
     "--boilerplate", "--ngram",
     "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
     "--split-by", "--shards", "--stage-dir", "--stats-file",
-    "--encode", "--vocab-out")
+    "--encode", "--vocab-out", "--format")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -169,6 +174,8 @@ object CorpusCleanCli {
       Left(s"--encode must be >= 1, got ${c.encodeMinCount.get}")
     else if (c.encodeMinCount.isDefined != c.vocabOut.isDefined)
       Left("--encode and --vocab-out must be given together")
+    else if (!Set("parquet", "jsonl")(c.format))
+      Left(s"--format must be parquet or jsonl, got ${c.format}")
     else Right(c)
   }
 }

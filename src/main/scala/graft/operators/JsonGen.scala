@@ -87,6 +87,16 @@ object JsonGen {
         sb.append('"')
         v.asInstanceOf[Array[Byte]].foreach(b => sb.append(f"$b%02x"))
         sb.append('"')
+      case ArrayType(et, _) =>
+        sb.append('[')
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        var i = 0
+        while (i < seq.length) {
+          if (i > 0) sb.append(',')
+          renderValue(sb, seq(i), et)
+          i += 1
+        }
+        sb.append(']')
       case other =>
         throw new IllegalArgumentException(s"jsonl: unsupported type $other")
     }

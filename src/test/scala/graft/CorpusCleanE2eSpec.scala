@@ -265,4 +265,42 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(vals.head === spark.read.parquet(inDir).count())
     assert(vals.last === n, txt)
   }
+
+  test("--format jsonl delivers the same corpus as parquet, one decodable " +
+    "object per line with split/shard/ids as fields") {
+    val inDir = tmp("cc_jl_in")
+    val outP = tmp("cc_jl_p")
+    val outJ = tmp("cc_jl_j")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .write.mode("overwrite").parquet(inDir)
+    val base = Seq(inDir, "--no-lang-gate", "--split-by", "source",
+      "--shards", "4", "--encode", "2", "--vocab-out", tmp("cc_jl_v"))
+    val nP = CorpusClean.run(spark,
+      CorpusCleanCli.parse(inDir +: outP +: base.tail).toOption.get)
+    val nJ = CorpusClean.run(spark,
+      CorpusCleanCli.parse((inDir +: outJ +: base.tail) :+ "--format" :+ "jsonl")
+        .toOption.get)
+    assert(nJ === nP)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = spark.read.text(outJ).collect().map(_.getString(0))
+    assert(lines.length.toLong === nP)
+    val decoded = lines.map { l =>
+      val t = mapper.readTree(l)
+      (t.get("doc_id").asLong(),
+        (t.get("text").asText(), t.get("split").asText(), t.get("shard").asLong(),
+          (0 until t.get("ids").size()).map(i => t.get("ids").get(i).asLong())))
+    }.toMap
+    val want = spark.read.parquet(outP)
+      .select(col("doc_id"), col("text"), col("split"),
+        col("shard").cast("long"), col("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getSeq[Long](4))).toMap
+    assert(decoded.keySet === want.keySet)
+    decoded.foreach { case (id, (txt, split, shard, ids)) =>
+      val (wTxt, wSplit, wShard, wIds) = want(id)
+      assert(txt === wTxt && split === wSplit && shard === wShard, s"doc $id")
+      assert(ids === wIds, s"doc $id ids")
+    }
+  }
 }

@@ -38,6 +38,13 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(c.splitBy === Some("source") && c.shards === Some(16))
   }
 
+  test("--format: parquet default, jsonl accepted, anything else refused") {
+    assert(ok("in", "out").format === "parquet")
+    assert(ok("in", "out", "--format", "jsonl").format === "jsonl")
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--format", "csv")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--format")).isLeft)
+  }
+
   test("stage toggles: --no-lang-gate and --no-near-dup clear the stages") {
     val c = ok("in", "out", "--no-lang-gate", "--no-near-dup")
     assert(c.lang.isEmpty && c.nearDup.isEmpty)
