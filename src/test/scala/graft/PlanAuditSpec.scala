@@ -602,6 +602,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"pair stage not (cluster, cell)-keyed:\n${pp.take(3000)}")
   }
 
+  test("bpe: pair counting partial-aggregates below its exchange; encode " +
+    "is map-only; train's corpus pass folds to the word table first") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split, sum}
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // the per-round pair aggregate (the train loop's only repeated
+    // shuffle): partial sum below the exchange, over the REDUCED word
+    // table — the same two-aggregate skeleton as the train loop builds
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val pairs = words.groupBy("w").agg(sum("f").as("cnt"))
+    val pp = pairs.queryExecution.executedPlan.toString
+    assert(pp.contains("partial_count") || pp.contains("partial"),
+      s"no map-side combine under the word fold:\n${pp.take(2000)}")
+    // encode: one map pass, no exchange anywhere
+    val merges = Seq(graft.operators.Bpe.Merge(1L, "e", "r", 1L))
+    val ep = graft.operators.Bpe.encode(docs, merges)
+      .queryExecution.executedPlan.toString
+    assert(!ep.contains("Exchange"),
+      s"bpe encode shuffles — must be map-only:\n${ep.take(2000)}")
+  }
+
+  test("token_drift: the full-outer join runs over two REDUCED vocab " +
+    "tables; totals broadcast; top-k is TakeOrdered") {
+    val p = plan("token_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"drift top-k compiled to a global sort:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row totals not broadcast:\n${p.take(2000)}")
+    assert(p.contains("partial_count"),
+      s"token counts lack map-side combine:\n${p.take(2000)}")
+  }
+
+  test("dump_jsonl: the render is map-only — no exchange between scan and output") {
+    val p = plan("dump_jsonl")
+    assert(!p.contains("Exchange"),
+      s"jsonl render shuffles — must parallelize with the scan:\n${p.take(2000)}")
+  }
+
   test("kmv sketch: values never shuffle — exchanges carry only group + digest") {
     // the registered distinct_kmv query also carries the exact
     // COUNT(DISTINCT) verification column, whose two-phase distinct
