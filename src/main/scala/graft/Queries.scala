@@ -4009,17 +4009,30 @@ object Queries {
   // ---------------------------------------------------------------------
   private val bpeMerges = 8
 
+  private def bpeMergeLabel(dir: String): String =
+    s"bpe_merges_${bpeMerges}_${StageStore.dirTag(dir)}"
+
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Bpe.train(
-      t(s, dir, "documents").select(col("doc_id"), col("text")), bpeMerges)
+    StageStore.materialize(
+      graft.operators.Bpe.train(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), bpeMerges),
+      bpeMergeLabel(dir))
+      .orderBy("merge_rank")
 
   val bpeTrainSql: String = graft.operators.Bpe.trainSql(8)
 
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    graft.operators.Bpe.encode(docs,
-      graft.operators.Bpe.trainMerges(docs, bpeMerges))
-      .orderBy("doc_id")
+    // the train-once/encode-many cadence: the merge table is read from
+    // the persisted stage (bpe_train's artifact, or produced once here);
+    // the 8-row collect is bounded by construction
+    val merges = StageStore.materializeIfAbsent(s, bpeMergeLabel(dir)) {
+        graft.operators.Bpe.train(docs, bpeMerges)
+      }.orderBy("merge_rank").collect()
+      .map(r => graft.operators.Bpe.Merge(
+        r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    graft.operators.Bpe.encode(docs, merges).orderBy("doc_id")
   }
 
   val bpeEncodeSql: String = graft.operators.Bpe.encodeSql(8)

@@ -81,6 +81,22 @@ object StageStore {
     df.sparkSession.read.parquet(p)
   }
 
+  /** [[materialize]] only when `label`'s files are not already on disk
+    * (checked via the writer's `_SUCCESS` marker) — the
+    * train-once/consume-many cadence: a producer query persists an
+    * artifact (a merge table, a model), and consumer queries read the
+    * FILES, producing only if no producer ran first. Same serial-
+    * construction assumption as [[materialize]]; the label must
+    * deterministically identify the content. */
+  def materializeIfAbsent(spark: org.apache.spark.sql.SparkSession,
+                          label: String)(produce: => DataFrame): DataFrame = {
+    val p = resolvedPath(spark, label)
+    val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hp)) spark.read.parquet(p)
+    else materialize(produce, label)
+  }
+
   /** Where [[materialize]] puts (or put) `label`'s files under the
     * session's configuration — for callers that re-read an
     * already-written stage without re-running its producer. */

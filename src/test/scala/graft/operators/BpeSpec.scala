@@ -80,4 +80,17 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(reparted.toSeq == got.toSeq)
   }
+
+  test("queries share one persisted merge table: encode after train " +
+    "re-reads the stage files instead of re-training") {
+    val sf = "/root/testdata/sf0.001"
+    val label = "bpe_merges_8_" + graft.StageStore.dirTag(sf)
+    val trained = graft.Queries.bpeTrain(spark, sf).collect()
+    val after = graft.StageStore.materializations(label)
+    val enc = graft.Queries.bpeEncode(spark, sf)
+    assert(enc.count() > 0)
+    assert(graft.StageStore.materializations(label) == after,
+      "bpe_encode re-trained despite the persisted merge table")
+    assert(trained.length == 8)
+  }
 }
