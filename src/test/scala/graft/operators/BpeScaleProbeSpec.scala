@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** BPE training's scale claim under the Zipf-head shape: ONE stopword
+  * dominating the corpus (10⁶ copies here; hundreds of billions at
+  * 100 TB). The corpus pass must fold to the distinct-word table with
+  * map-side combine absorbing the hot word — without it, every copy of
+  * the stopword hash-routes to a single reducer. Per-task shuffle reads
+  * come from task-end listener metrics (the DupNgramScaleProbeSpec
+  * pattern), AQE coalescing off for the reason documented there. */
+class BpeScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nDocs = 100000L
+  private val hotPerDoc = 10
+
+  /** Every doc: the stopword × 10 then a unique tail token — 10⁶ copies
+    * of one word, 10⁵ distinct tails. */
+  private def corpus = spark.range(0L, nDocs)
+    .select(col("id").as("doc_id"),
+      concat(lit(Seq.fill(hotPerDoc)("the").mkString(" ") + " u"), col("id"))
+        .as("text"))
+
+  private val hotCopies = nDocs * hotPerDoc
+  // fair share of the ~10⁵-row word/pair folds is ~2.5·10⁴ at the
+  // harness's 4 shuffle partitions; a missing map-side combine ships all
+  // 10⁶ stopword copies to one reducer
+  private val perTaskBound = hotCopies / 8
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def withoutCoalescing[T](body: => T): T = {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("trainMerges: a 10^6-copy stopword never funnels through one task; " +
+    "merges are the stopword's chars", Slow) {
+    val (merges, maxRead) = withoutCoalescing(withMaxTaskShuffleRead {
+      Bpe.trainMerges(corpus, 2)
+    })
+    info(s"bpe train max per-task shuffle read: $maxRead records " +
+      s"(stopword: $hotCopies copies)")
+    // 'the' dominates every pair count: (t,h) ties (h,e) at 10^6 and the
+    // lexicographic tie-break picks (h,e); then (t,he)
+    assert(merges.map(m => (m.lhs, m.rhs)) == Seq(("h", "e"), ("t", "he")))
+    // the winning pair's count is weighted by the word's corpus frequency
+    assert(merges.head.cnt == hotCopies)
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records (stopword has $hotCopies copies) — " +
+        "map-side combine missing?")
+  }
+}
