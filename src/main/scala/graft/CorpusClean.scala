@@ -40,6 +40,26 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   */
 object CorpusClean {
 
+  /** Read the input corpus per `--in-format`. JSONL reads with a
+    * DECLARED schema — schema inference is an extra full scan of the
+    * corpus at 100 TB, so the reader states what it needs (`doc_id`,
+    * `text`, plus the `--split-by` key when configured) and Spark prunes
+    * the parse to those fields. */
+  private[graft] def readInput(spark: SparkSession, cfg: CorpusCleanConfig): DataFrame =
+    cfg.inFormat match {
+      case "jsonl" =>
+        val extra = cfg.splitBy.toSeq.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))
+        val schema = org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType)) ++ extra)
+        spark.read.schema(schema).json(cfg.in)
+      case _ => spark.read.parquet(cfg.in)
+    }
+
   /** Named pipeline stages, cumulative: each entry is the surviving
     * (doc_id, text) frame AFTER that stage. The last is the cleaned
     * corpus ([[clean]]); [[run]] counts them into `--stats-file` when
@@ -48,7 +68,7 @@ object CorpusClean {
   def stages(spark: SparkSession, cfg: CorpusCleanConfig): Seq[(String, DataFrame)] = {
     cfg.stageDir.foreach(d => spark.conf.set("spark.graft.stageDir", d))
     val tag = StageStore.dirTag(s"${cfg.in}->${cfg.out}")
-    val docs = spark.read.parquet(cfg.in).select(col("doc_id"), col("text"))
+    val docs = readInput(spark, cfg).select(col("doc_id"), col("text"))
 
     // 1. gates — filter-first so the gram/candidate stages see less.
     // With --lang-model the gate is the hashed NB classifier trained on
@@ -179,7 +199,7 @@ object CorpusClean {
     val cleaned = clean(spark, cfg)
     val withSplit = cfg.splitBy match {
       case Some(keyCol) =>
-        val keys = spark.read.parquet(cfg.in)
+        val keys = readInput(spark, cfg)
           .select(col("doc_id"), col(keyCol))
         cleaned.join(keys, Seq("doc_id"))
           .withColumn("split",

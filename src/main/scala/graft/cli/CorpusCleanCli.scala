@@ -64,7 +64,11 @@ case class CorpusCleanConfig(
     // output format: parquet (default, split/shard become partition
     // dirs) or jsonl (the exchange format — one object per line, every
     // delivered column a JSON field, split/shard included as fields)
-    format: String = "parquet")
+    format: String = "parquet",
+    // input format: parquet (default) or jsonl — JSONL reads with a
+    // DECLARED schema (doc_id, text, + the --split-by key); inference
+    // would be an extra full corpus scan
+    inFormat: String = "parquet")
 
 object CorpusCleanCli {
 
@@ -130,6 +134,7 @@ object CorpusCleanCli {
           }
         case "--vocab-out" :: v :: t => c = c.copy(vocabOut = Some(v)); rest = t
         case "--format" :: v :: t => c = c.copy(format = v); rest = t
+        case "--in-format" :: v :: t => c = c.copy(inFormat = v); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t
@@ -153,7 +158,7 @@ object CorpusCleanCli {
     "--boilerplate", "--ngram",
     "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
     "--split-by", "--shards", "--stage-dir", "--stats-file",
-    "--encode", "--vocab-out", "--format")
+    "--encode", "--vocab-out", "--format", "--in-format")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -176,6 +181,8 @@ object CorpusCleanCli {
       Left("--encode and --vocab-out must be given together")
     else if (!Set("parquet", "jsonl")(c.format))
       Left(s"--format must be parquet or jsonl, got ${c.format}")
+    else if (!Set("parquet", "jsonl")(c.inFormat))
+      Left(s"--in-format must be parquet or jsonl, got ${c.inFormat}")
     else Right(c)
   }
 }

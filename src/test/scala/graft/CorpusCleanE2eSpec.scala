@@ -303,4 +303,26 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       assert(ids === wIds, s"doc $id ids")
     }
   }
+
+  test("--in-format jsonl ingests a JSONL corpus to the same survivors as " +
+    "the parquet ingest, with the declared (not inferred) schema") {
+    val inP = tmp("cc_if_p")
+    val inJ = tmp("cc_if_j")
+    val outP = tmp("cc_if_op")
+    val outJ = tmp("cc_if_oj")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(inP)
+    graft.sinks.JsonlSink.write(docs, inJ)
+    val nP = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inP, outP, "--no-lang-gate")).toOption.get)
+    val nJ = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inJ, outJ, "--no-lang-gate", "--in-format", "jsonl")).toOption.get)
+    assert(nJ === nP)
+    val a = spark.read.parquet(outP).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = spark.read.parquet(outJ).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
 }

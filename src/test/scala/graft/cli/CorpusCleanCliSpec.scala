@@ -45,6 +45,12 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(CorpusCleanCli.parse(Seq("in", "out", "--format")).isLeft)
   }
 
+  test("--in-format: parquet default, jsonl accepted, anything else refused") {
+    assert(ok("in", "out").inFormat === "parquet")
+    assert(ok("in", "out", "--in-format", "jsonl").inFormat === "jsonl")
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--in-format", "avro")).isLeft)
+  }
+
   test("stage toggles: --no-lang-gate and --no-near-dup clear the stages") {
     val c = ok("in", "out", "--no-lang-gate", "--no-near-dup")
     assert(c.lang.isEmpty && c.nearDup.isEmpty)
