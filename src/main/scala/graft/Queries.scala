@@ -1988,6 +1988,32 @@ object Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // docs_stream_ingest — the corpus-side standing query (CorpusStream):
+  // quality gate stateless per micro-batch, exact dedup as a streaming
+  // digest aggregate keeping min doc_id per sha2 (deterministic under any
+  // arrival order, unlike keep-first-seen). Complete-mode drain over the
+  // fixture; the oracle is the batch gate + group-by-text keep-min.
+  // ---------------------------------------------------------------------
+  def docsStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.streaming.CorpusStream.ingestClean(
+      graft.streaming.CorpusStream.fromParquetDir(s, dir), minWords = 10)
+    val qname = "docs_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = cleaned.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("doc_id")
+  }
+
+  val docsStreamIngestSql: String =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_cnt
+      |FROM documents WHERE len(string_split(text, ' ')) >= 10
+      |GROUP BY text ORDER BY doc_id""".stripMargin
+
   /** Streaming exact dedup: the events stream unioned with itself (every
     * record duplicated) must come out exactly once through
     * withWatermark + dropDuplicatesWithinWatermark keyed on event_id — the
@@ -4291,7 +4317,8 @@ object Queries {
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
     "dump_jsonl" -> (dumpJsonl _),
-    "dump_jsonl_orders" -> (dumpJsonlOrders _)
+    "dump_jsonl_orders" -> (dumpJsonlOrders _),
+    "docs_stream_ingest" -> (docsStreamIngest _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4422,6 +4449,7 @@ object Queries {
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
     "dump_jsonl" -> dumpJsonlSql,
-    "dump_jsonl_orders" -> dumpJsonlOrdersSql
+    "dump_jsonl_orders" -> dumpJsonlOrdersSql,
+    "docs_stream_ingest" -> docsStreamIngestSql
   )
 }

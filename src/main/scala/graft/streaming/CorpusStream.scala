@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming over the `documents` corpus — the ingest cadence
+  * of a training-data pipeline: shards land continuously (a crawler, an
+  * upload bucket), and the gate + exact-dedup decision runs as a standing
+  * query instead of a nightly batch. Complements [[EventsStream]] (the
+  * analytics stream surface) with the corpus-side one.
+  *
+  * Transforms are source-agnostic (readStream in production, MemoryStream
+  * in tests — the EventsStream pattern). */
+object CorpusStream {
+
+  /** File-source stream over the documents parquet data — micro-batch
+    * tailing of the corpus drop directory. */
+  def fromParquetDir(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = graft.sources.Tables.load(spark, sfDir, "documents")
+    spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Streaming ingest gate + exact dedup: the quality gate runs
+    * stateless map-side on each micro-batch; the duplicate decision is a
+    * streaming aggregate over the 32-byte sha2 digest keeping the
+    * smallest doc_id per digest (deterministic under any arrival order —
+    * the reason this is min-per-group rather than dropDuplicates'
+    * keep-first-seen, whose winner depends on batch internals). Bodies
+    * never enter the aggregation state: the digest fold ships (digest,
+    * doc_id) only.
+    *
+    * State bound: one row per DISTINCT surviving digest — the standing
+    * query's state IS the dedup index. An infinite-horizon deployment
+    * bounds it the way the batch side already does: watermark-windowed
+    * dedup for recency-scoped exactness
+    * ([[EventsStream.dedupToParquet]]'s shape) or periodic compaction of
+    * the state into the persisted digest table that
+    * `dedup_exact_incremental` anti-joins against. */
+  def ingestClean(docs: DataFrame, minWords: Int): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= minWords)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("doc_id"), col("dup_cnt"))
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Corpus ingest as a standing query ([[CorpusStream.ingestClean]]): the
+  * dedup winner must be ARRIVAL-ORDER INVARIANT (min doc_id per digest),
+  * proven by feeding the same corpus in two adversarial batch orders and
+  * matching the batch groupBy both times. */
+class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
+
+  private val docs = Seq(
+    (10L, "a quality document with enough words to clear the gate easily ok"),
+    (3L, "a quality document with enough words to clear the gate easily ok"),
+    (7L, "another body with enough words to clear the quality gate fine too"),
+    (5L, "short"), // gated out
+    (9L, "a third unique body with plenty of words to pass the gate check"))
+
+  private def drain(batches: Seq[Seq[(Long, String)]]): Set[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = CorpusStream.ingestClean(
+      input.toDF().toDF("doc_id", "text"), minWords = 10)
+    val qname = "corpus_stream_spec_" + batches.hashCode.abs
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(qname).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("streamed ingest equals the batch gate+dedup under both arrival orders") {
+    val want = Set((3L, 2L), (7L, 1L), (9L, 1L))
+    // later-id duplicate arrives FIRST: keep-first-seen would keep 10
+    assert(drain(Seq(Seq(docs(0)), docs.drop(1))) == want)
+    // and in one batch, shuffled
+    assert(drain(Seq(docs.reverse)) == want)
+  }
+}
