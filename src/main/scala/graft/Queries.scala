@@ -4064,6 +4064,92 @@ object Queries {
   val bpeEncodeSql: String = graft.operators.Bpe.encodeSql(8)
 
   // ---------------------------------------------------------------------
+  // mlm_mask — deterministic masked-LM preprocessing (BERT, Devlin et al.
+  // NAACL'19 §3.1): select ~15% of token positions (md5(doc:pos) < '26' =
+  // 38/256 ≈ 14.84% — the sample_bernoulli hex-draw trade) and assign the
+  // 80/10/10 mask/random/keep action from the next two hex digits
+  // ('cd' = 205/256 ≈ 80.1%, 'e7' adds 26/256 ≈ 10.2%). Content-hash
+  // randomness instead of an RNG: the mask plan is REPRODUCIBLE across
+  // reruns, engines, and partitionings — the property a training-data
+  // pipeline needs for resumable preprocessing. Fully declarative
+  // (posexplode + builtin md5): codegen, map-only, zero shuffle.
+  // ---------------------------------------------------------------------
+  def mlmMask(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+      .withColumn("h", md5(concat_ws(":", col("doc_id"), col("pos"))))
+      .filter(col("h") < "26")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"),
+        when(substring(col("h"), 3, 2) < "cd", "M")
+          .when(substring(col("h"), 3, 2) < "e7", "R")
+          .otherwise("K").as("action"))
+      .orderBy("doc_id", "pos")
+
+  val mlmMaskSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id,
+      |        unnest([{'p': i - 1, 'tok': ws[i]} for i in generate_series(1, len(ws))]) AS u
+      |      FROM w),
+      |f AS (SELECT doc_id, u.p AS pos, u.tok AS token,
+      |        md5(doc_id || ':' || u.p) AS h
+      |      FROM t WHERE u.tok <> '')
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
+      |  CASE WHEN substr(h, 3, 2) < 'cd' THEN 'M'
+      |       WHEN substr(h, 3, 2) < 'e7' THEN 'R'
+      |       ELSE 'K' END AS action
+      |FROM f WHERE h < '26' ORDER BY doc_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // bpe_fertility — tokenizer-quality audit: tokens-per-word by corpus
+  // source under the learned BPE merges (fertility is THE comparative
+  // tokenizer metric — a source whose fertility spikes is being
+  // fragmented into char-soup and will waste context window). Integer
+  // sums + one IEEE division; the encode reads the persisted merge table
+  // (bpe_train's artifact), and the per-source fold runs over the
+  // already-reduced (doc_id, n_tokens) table.
+  // ---------------------------------------------------------------------
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = StageStore.materializeIfAbsent(s, bpeMergeLabel(dir)) {
+        graft.operators.Bpe.train(
+          docs.select(col("doc_id"), col("text")), bpeMerges)
+      }.orderBy("merge_rank").collect()
+      .map(r => graft.operators.Bpe.Merge(
+        r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val enc = graft.operators.Bpe.encode(
+      docs.select(col("doc_id"), col("text")), merges)
+    val words = docs.select(col("doc_id"), col("source"),
+      size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_words"))
+    words.join(enc.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_words"),
+        sum("n_tokens").as("sum_tokens"))
+      .select(col("source"), col("n_docs"), col("sum_words"), col("sum_tokens"),
+        (col("sum_tokens").cast("double") / col("sum_words").cast("double"))
+          .as("fertility"))
+      .orderBy("source")
+  }
+
+  val bpeFertilitySql: String = {
+    val encCtes = graft.operators.Bpe.encodeSql(8)
+    // reuse the encode chain's final word table via a with-wrapper: take
+    // everything up to the final SELECT (the dp/enc CTEs) and aggregate
+    // per source instead
+    encCtes.substring(0, encCtes.indexOf("SELECT d.doc_id,")) +
+      """SELECT d.source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(d.text, ' '), w -> w <> ''))) AS BIGINT) AS sum_words,
+        |  CAST(SUM(COALESCE(len(string_split(e.stream, ' ')), 0)) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(COALESCE(len(string_split(e.stream, ' ')), 0)) AS DOUBLE)
+        |    / CAST(SUM(len(list_filter(string_split(d.text, ' '), w -> w <> ''))) AS DOUBLE) AS fertility
+        |FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // token_drift — data drift monitoring between corpus snapshots: the
   // planted "new shard" (every 3rd doc with an appended campaign phrase)
   // must surface its injected tokens as the top positive movers while the
@@ -4318,7 +4404,9 @@ object Queries {
     "bpe_encode" -> (bpeEncode _),
     "dump_jsonl" -> (dumpJsonl _),
     "dump_jsonl_orders" -> (dumpJsonlOrders _),
-    "docs_stream_ingest" -> (docsStreamIngest _)
+    "docs_stream_ingest" -> (docsStreamIngest _),
+    "mlm_mask" -> (mlmMask _),
+    "bpe_fertility" -> (bpeFertility _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4450,6 +4538,8 @@ object Queries {
     "bpe_encode" -> bpeEncodeSql,
     "dump_jsonl" -> dumpJsonlSql,
     "dump_jsonl_orders" -> dumpJsonlOrdersSql,
-    "docs_stream_ingest" -> docsStreamIngestSql
+    "docs_stream_ingest" -> docsStreamIngestSql,
+    "mlm_mask" -> mlmMaskSql,
+    "bpe_fertility" -> bpeFertilitySql
   )
 }

@@ -635,6 +635,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"token counts lack map-side combine:\n${p.take(2000)}")
   }
 
+  test("mlm_mask: hash-draw masking is codegen map-work — the only " +
+    "exchange is the output ordering's range partition") {
+    val p = plan("mlm_mask")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"mask selection shuffles — must be map-only:\n${p.take(2000)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("udf"),
+      s"mask selection left codegen:\n${p.take(2000)}")
+  }
+
   test("dump_jsonl: the render is map-only — no exchange between scan and output") {
     val p = plan("dump_jsonl")
     assert(!p.contains("Exchange"),
