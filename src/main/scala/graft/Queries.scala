@@ -4064,6 +4064,54 @@ object Queries {
   val bpeEncodeSql: String = graft.operators.Bpe.encodeSql(8)
 
   // ---------------------------------------------------------------------
+  // hard_negatives — contrastive-training hard-negative mining (the
+  // embedding-side complement of MLM preprocessing: dense retrievers /
+  // contrastive encoders train on near-but-not-same examples, e.g. DPR,
+  // Karpukhin et al. EMNLP'20 §3): for each anchor, the top-5 most
+  // cosine-similar vectors OUTSIDE the anchor's k-means cluster — similar
+  // enough to be hard, cluster-separated enough to be negative. Clusters
+  // come from the deterministic fixed-point trainer (bit-identical to the
+  // kmeans_assign oracle chain); anchors broadcast; one corpus pass with
+  // a per-anchor bounded window.
+  // ---------------------------------------------------------------------
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cent = graft.operators.KMeans.train(emb, k = 10, iters = 2)
+    val corpus = emb.join(graft.operators.KMeans.assign(emb, cent), Seq("vec_id"))
+    val anchors = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cluster").as("q_cluster"))
+    val sim = graft.operators.Similarity.cosine(col("q_emb"), col("embedding"))
+    val w = Window.partitionBy("query_id").orderBy(sim.desc, col("vec_id"))
+    corpus.crossJoin(broadcast(anchors))
+      .filter(col("cluster") =!= col("q_cluster"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cluster").as("neighbor_cluster"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("neighbor_cluster"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$kmeansChainCtes,
+       |j AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |        nk.cluster AS neighbor_cluster,
+       |        list_cosine_similarity(q.e, n.e) AS s
+       |      FROM corpus q
+       |      JOIN km qk ON qk.vec_id = q.vec_id
+       |      CROSS JOIN corpus n
+       |      JOIN km nk ON nk.vec_id = n.vec_id
+       |      WHERE q.vec_id < 8 AND nk.cluster != qk.cluster)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, neighbor_cluster
+       |FROM (SELECT query_id, neighbor_id, neighbor_cluster,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+       |      FROM j) x
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // mlm_mask — deterministic masked-LM preprocessing (BERT, Devlin et al.
   // NAACL'19 §3.1): select ~15% of token positions (md5(doc:pos) < '26' =
   // 38/256 ≈ 14.84% — the sample_bernoulli hex-draw trade) and assign the
@@ -4406,7 +4454,8 @@ object Queries {
     "dump_jsonl_orders" -> (dumpJsonlOrders _),
     "docs_stream_ingest" -> (docsStreamIngest _),
     "mlm_mask" -> (mlmMask _),
-    "bpe_fertility" -> (bpeFertility _)
+    "bpe_fertility" -> (bpeFertility _),
+    "hard_negatives" -> (hardNegatives _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4540,6 +4589,7 @@ object Queries {
     "dump_jsonl_orders" -> dumpJsonlOrdersSql,
     "docs_stream_ingest" -> docsStreamIngestSql,
     "mlm_mask" -> mlmMaskSql,
-    "bpe_fertility" -> bpeFertilitySql
+    "bpe_fertility" -> bpeFertilitySql,
+    "hard_negatives" -> hardNegativesSql
   )
 }
