@@ -4064,6 +4064,83 @@ object Queries {
   val bpeEncodeSql: String = graft.operators.Bpe.encodeSql(8)
 
   // ---------------------------------------------------------------------
+  // packing_efficiency — the context-window fill audit over the sequence
+  // packer: per bucket, how many packed sequences, how many tokens, and
+  // the fill ratio against the 128-token window (wasted capacity is paid
+  // GPU time at training). Integer sums + one IEEE division; the
+  // aggregate runs over pack_sequences' per-doc output, nSeqs per bucket
+  // bounded by the bucket's token mass.
+  // ---------------------------------------------------------------------
+  def packingEfficiency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .groupBy("bucket")
+      .agg(countDistinct("seq_id").as("n_seqs"),
+        sum("n_toks").as("sum_toks"))
+      .select(col("bucket"), col("n_seqs"), col("sum_toks"),
+        (col("n_seqs") * 128L).as("capacity"),
+        (col("sum_toks").cast("double") / (col("n_seqs") * 128L).cast("double"))
+          .as("fill"))
+      .orderBy("bucket")
+
+  val packingEfficiencySql: String = {
+    val ctes = packSequencesSql.substring(0, packSequencesSql.indexOf("SELECT doc_id, bucket"))
+    ctes +
+      """SELECT bucket,
+        |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+        |  CAST(COUNT(DISTINCT seq_id) * 128 AS BIGINT) AS capacity,
+        |  CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(DISTINCT seq_id) * 128 AS DOUBLE) AS fill
+        |FROM pack GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // mixture_manifest — the data-mixing PLAN (the table LLaMA-style
+  // sampling proportions are read from, sample_mixture's planning
+  // complement): per mixture source, available tokens, its
+  // temperature-α=0.5 weight (floor(sqrt(tokens·10⁶)) — the
+  // sample_mixture integer-exact trade), the target token budget share in
+  // ppm, and the implied epochs over the source in ppm (10⁶ = one epoch;
+  // > 10⁶ means the source repeats). Pure integer arithmetic over the
+  // 3-row strata table; every number hash-compares.
+  // ---------------------------------------------------------------------
+  def mixtureManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("mix_src", when(col("source").isin("src0", "src1"),
+        col("source")).otherwise(lit("rest")))
+    val strata = docs.groupBy("mix_src")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double") * lit(1000000.0d))).cast("long"))
+    val tot = strata.agg(sum(col("w")).cast("long").as("wsum"),
+      sum(col("n_tokens")).cast("long").as("tok_total"))
+    strata.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm", expr("CAST((w * 1000000) DIV wsum AS BIGINT)"))
+      .withColumn("target_tokens", expr("CAST((weight_ppm * tok_total) DIV 1000000 AS BIGINT)"))
+      .withColumn("epochs_ppm", expr("CAST((target_tokens * 1000000) DIV n_tokens AS BIGINT)"))
+      .select("mix_src", "n_docs", "n_tokens", "weight_ppm", "target_tokens", "epochs_ppm")
+      .orderBy("mix_src")
+  }
+
+  val mixtureManifestSql: String =
+    """WITH d AS (SELECT doc_id,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |      CASE WHEN source IN ('src0','src1') THEN source ELSE 'rest' END AS mix_src
+      |  FROM documents),
+      |s AS (SELECT mix_src, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      |      FROM d GROUP BY mix_src),
+      |sw AS (SELECT mix_src, n_docs, n_tokens,
+      |      CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) * 1000000.0)) AS BIGINT) AS w FROM s),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum,
+      |      CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM sw)
+      |SELECT mix_src, n_docs, n_tokens,
+      |  CAST((w * 1000000) // wsum AS BIGINT) AS weight_ppm,
+      |  CAST(((w * 1000000) // wsum * tok_total) // 1000000 AS BIGINT) AS target_tokens,
+      |  CAST((((w * 1000000) // wsum * tok_total) // 1000000 * 1000000) // n_tokens AS BIGINT) AS epochs_ppm
+      |FROM sw, tot ORDER BY mix_src""".stripMargin
+
+  // ---------------------------------------------------------------------
   // hard_negatives — contrastive-training hard-negative mining (the
   // embedding-side complement of MLM preprocessing: dense retrievers /
   // contrastive encoders train on near-but-not-same examples, e.g. DPR,
@@ -4455,7 +4532,9 @@ object Queries {
     "docs_stream_ingest" -> (docsStreamIngest _),
     "mlm_mask" -> (mlmMask _),
     "bpe_fertility" -> (bpeFertility _),
-    "hard_negatives" -> (hardNegatives _)
+    "hard_negatives" -> (hardNegatives _),
+    "packing_efficiency" -> (packingEfficiency _),
+    "mixture_manifest" -> (mixtureManifest _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4590,6 +4669,8 @@ object Queries {
     "docs_stream_ingest" -> docsStreamIngestSql,
     "mlm_mask" -> mlmMaskSql,
     "bpe_fertility" -> bpeFertilitySql,
-    "hard_negatives" -> hardNegativesSql
+    "hard_negatives" -> hardNegativesSql,
+    "packing_efficiency" -> packingEfficiencySql,
+    "mixture_manifest" -> mixtureManifestSql
   )
 }
