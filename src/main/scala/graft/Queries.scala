@@ -4064,6 +4064,64 @@ object Queries {
   val bpeEncodeSql: String = graft.operators.Bpe.encodeSql(8)
 
   // ---------------------------------------------------------------------
+  // span_corrupt — T5-style span corruption planning (Raffel et al.
+  // JMLR'20 §3.1.4): deterministic span STARTS from the content-hash draw
+  // (md5 < '0d' = 13/256 ≈ 5.1% of positions), span length 2-4 (mean 3,
+  // T5's default) from the next hex digit, clipped at doc end; adjacent/
+  // overlapping spans merge into islands and each island gets its
+  // sentinel id. The same reproducibility argument as mlm_mask — the
+  // corruption plan survives reruns and engine changes. Expansion is
+  // map-side (sequence + explode); the only shuffles are the covered-set
+  // distinct and the per-doc island window.
+  // ---------------------------------------------------------------------
+  def spanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val starts = toks.filter(col("token") =!= "")
+      .withColumn("h", md5(concat_ws(":", col("doc_id"), col("pos"))))
+      .filter(col("h") < "0d")
+    val cov = starts.select(col("doc_id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + lit(1) + (ascii(substring(col("h"), 3, 1)) % 3),
+            col("n") - 1))).as("pos"))
+      .distinct()
+    val isl = cov.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    isl.groupBy("doc_id", "grp")
+      .agg(min("pos").as("s0"), max("pos").as("s1"))
+      .withColumn("sentinel_id", row_number().over(
+        Window.partitionBy("doc_id").orderBy("s0")).cast("long"))
+      .select(col("doc_id"), col("sentinel_id"),
+        col("s0").cast("long").as("span_start"),
+        col("s1").cast("long").as("span_end"),
+        (col("s1") - col("s0") + 1).cast("long").as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val spanCorruptSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, len(ws) AS n,
+      |        unnest([{'p': i - 1, 'tok': ws[i]} for i in generate_series(1, len(ws))]) AS u
+      |      FROM w),
+      |starts AS (SELECT doc_id, n, u.p AS p, md5(doc_id || ':' || u.p) AS h
+      |           FROM t WHERE u.tok <> '' AND md5(doc_id || ':' || u.p) < '0d'),
+      |spans AS (SELECT doc_id, unnest(generate_series(p,
+      |            least(p + 1 + (unicode(substr(h, 3, 1)) % 3), CAST(n - 1 AS BIGINT)))) AS pos
+      |          FROM starts),
+      |cov AS (SELECT DISTINCT doc_id, pos FROM spans),
+      |isl AS (SELECT doc_id, pos,
+      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |        FROM cov)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY MIN(pos)) AS BIGINT) AS sentinel_id,
+      |  CAST(MIN(pos) AS BIGINT) AS span_start, CAST(MAX(pos) AS BIGINT) AS span_end,
+      |  CAST(MAX(pos) - MIN(pos) + 1 AS BIGINT) AS span_len
+      |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // packing_efficiency — the context-window fill audit over the sequence
   // packer: per bucket, how many packed sequences, how many tokens, and
   // the fill ratio against the 128-token window (wasted capacity is paid
@@ -4534,7 +4592,8 @@ object Queries {
     "bpe_fertility" -> (bpeFertility _),
     "hard_negatives" -> (hardNegatives _),
     "packing_efficiency" -> (packingEfficiency _),
-    "mixture_manifest" -> (mixtureManifest _)
+    "mixture_manifest" -> (mixtureManifest _),
+    "span_corrupt" -> (spanCorrupt _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4671,6 +4730,7 @@ object Queries {
     "bpe_fertility" -> bpeFertilitySql,
     "hard_negatives" -> hardNegativesSql,
     "packing_efficiency" -> packingEfficiencySql,
-    "mixture_manifest" -> mixtureManifestSql
+    "mixture_manifest" -> mixtureManifestSql,
+    "span_corrupt" -> spanCorruptSql
   )
 }
