@@ -644,6 +644,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"mask selection left codegen:\n${p.take(2000)}")
   }
 
+  test("span_corrupt: expansion map-side; the island window, span " +
+    "aggregate, and sentinel window all share one doc_id exchange") {
+    val p = plan("span_corrupt")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // exactly two: the covered-set distinct and the doc_id partition the
+    // two windows + island aggregate all reuse
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n${p.take(3000)}")
+  }
+
   test("dump_jsonl: the render is map-only — no exchange between scan and output") {
     val p = plan("dump_jsonl")
     assert(!p.contains("Exchange"),
