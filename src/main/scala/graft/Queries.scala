@@ -4064,6 +4064,49 @@ object Queries {
   val bpeEncodeSql: String = graft.operators.Bpe.encodeSql(8)
 
   // ---------------------------------------------------------------------
+  // rp_reduce — Johnson-Lindenstrauss random projection (Achlioptas
+  // JCSS'03 / the Gaussian form): reduce the 64-dim embeddings to 16
+  // dims through a SEEDED Gaussian matrix embedded as literals (the LSH
+  // hyperplane discipline — no data-dependent state, bit-reproducible
+  // across engines). Each output dim is one codegen'd float-array dot
+  // accumulated in double, element order fixed, so DuckDB's sequential
+  // list_inner_product replays it bitwise. Map-only: the projection
+  // parallelizes with the scan, nothing shuffles.
+  // ---------------------------------------------------------------------
+  private val rpDims = 16
+  private lazy val rpMatrix: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7L)
+    Seq.fill(rpDims)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  def rpReduce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val outs = rpMatrix.zipWithIndex.map { case (row, j) =>
+      graft.functions.VectorExprs.dot(col("embedding"),
+        lit(row.map(_.toFloat).toArray)).as(f"r$j%02d")
+    }
+    emb.select(col("vec_id") +: outs: _*).orderBy("vec_id")
+  }
+
+  val rpReduceSql: String = {
+    // each element parses from a STRING: a bare numeric inside a DuckDB
+    // list literal goes through DECIMAL first, and DECIMAL→DOUBLE rounds
+    // differently than the correctly-rounded string→double path (a 1-ulp
+    // trap invisible to the rank-output LSH oracles, fatal to raw-score
+    // hash compare)
+    def arr(p: Seq[Double]): String =
+      p.map(d => s"CAST('${d.toFloat.toDouble}' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+    val cols = rpMatrix.zipWithIndex.map { case (row, j) =>
+      f"  list_inner_product(e, ${arr(row)}) AS r$j%02d"
+    }.mkString(",\n")
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |SELECT vec_id,
+       |$cols
+       |FROM corpus ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // span_corrupt — T5-style span corruption planning (Raffel et al.
   // JMLR'20 §3.1.4): deterministic span STARTS from the content-hash draw
   // (md5 < '0d' = 13/256 ≈ 5.1% of positions), span length 2-4 (mean 3,
@@ -4593,7 +4636,8 @@ object Queries {
     "hard_negatives" -> (hardNegatives _),
     "packing_efficiency" -> (packingEfficiency _),
     "mixture_manifest" -> (mixtureManifest _),
-    "span_corrupt" -> (spanCorrupt _)
+    "span_corrupt" -> (spanCorrupt _),
+    "rp_reduce" -> (rpReduce _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4731,6 +4775,7 @@ object Queries {
     "hard_negatives" -> hardNegativesSql,
     "packing_efficiency" -> packingEfficiencySql,
     "mixture_manifest" -> mixtureManifestSql,
-    "span_corrupt" -> spanCorruptSql
+    "span_corrupt" -> spanCorruptSql,
+    "rp_reduce" -> rpReduceSql
   )
 }
