@@ -653,6 +653,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n${p.take(3000)}")
   }
 
+  test("rp_reduce: 16 projection dots are map-work over the scan — the " +
+    "only exchange is the output ordering's range partition") {
+    val p = plan("rp_reduce")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"projection shuffles — must be map-only:\n${p.take(2000)}")
+    assert(p.contains("graft_dot"),
+      s"projection not using the codegen dot kernel:\n${p.take(2000)}")
+  }
+
   test("dump_jsonl: the render is map-only — no exchange between scan and output") {
     val p = plan("dump_jsonl")
     assert(!p.contains("Exchange"),
