@@ -4065,7 +4065,7 @@ object Queries {
 
   // ---------------------------------------------------------------------
   // rp_reduce — Johnson-Lindenstrauss random projection (Achlioptas
-  // JCSS'03 / the Gaussian form): reduce the 64-dim embeddings to 16
+  // JCSS'03 / the Gaussian form): reduce the 64-dim embeddings to 32
   // dims through a SEEDED Gaussian matrix embedded as literals (the LSH
   // hyperplane discipline — no data-dependent state, bit-reproducible
   // across engines). Each output dim is one codegen'd float-array dot
@@ -4073,7 +4073,7 @@ object Queries {
   // list_inner_product replays it bitwise. Map-only: the projection
   // parallelizes with the scan, nothing shuffles.
   // ---------------------------------------------------------------------
-  private val rpDims = 16
+  private val rpDims = 32
   private lazy val rpMatrix: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7L)
     Seq.fill(rpDims)(Seq.fill(64)(rnd.nextGaussian()))
@@ -4104,6 +4104,81 @@ object Queries {
        |SELECT vec_id,
        |$cols
        |FROM corpus ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // ann_rp — the JL projection USED: approximate nearest neighbors via a
+  // 32-dim shortlist + exact 64-dim refine (the classic two-stage ANN:
+  // score cheap on the reduced vectors — half the multiplies and half
+  // the vector I/O — keep top-`SHORTLIST` candidates, then re-rank the
+  // shortlist with the exact cosine and emit top-5; the shortlist size is
+  // the recall/cost dial — 100 of the 500-vector fixture is a large
+  // fraction only because the fixture is small). Projected cosine is an EXPLICIT
+  // 32-term left-to-right sum over the rp columns — identical expression
+  // text in both engines, so candidate ORDER is bit-deterministic (a
+  // 1-ulp flip in the shortlist boundary would diverge the refine).
+  // ---------------------------------------------------------------------
+  private val annRpShortlist = 100
+
+  def annRp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val proj = rpReduce(s, dir) // (vec_id, r00..r15)
+    def dot16(a: String, b: String) =
+      (0 until rpDims).map(j => col(f"$a%s.r$j%02d") * col(f"$b%s.r$j%02d"))
+        .reduceLeft(_ + _)
+    val n = proj.as("n")
+    val q = proj.filter(col("vec_id") < 5).as("q")
+    val cos16 = dot16("n", "q") /
+      (sqrt(dot16("q", "q")) * sqrt(dot16("n", "n")))
+    val w16 = Window.partitionBy(col("q.vec_id")).orderBy(cos16.desc, col("n.vec_id"))
+    val shortlist = n.crossJoin(broadcast(q))
+      .filter(col("n.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
+        row_number().over(w16).as("rk16"))
+      .filter(col("rk16") <= annRpShortlist)
+    val qe = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact = graft.operators.Similarity.cosine(col("q_emb"), col("embedding"))
+    val wx = Window.partitionBy("query_id").orderBy(exact.desc, col("neighbor_id"))
+    shortlist
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), row_number().over(wx).as("rank"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annRpSql: String = {
+    def arr(p: Seq[Double]): String =
+      p.map(d => s"CAST('${d.toFloat.toDouble}' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+    val projCols = rpMatrix.zipWithIndex.map { case (row, j) =>
+      f"  list_inner_product(e, ${arr(row)}) AS r$j%02d"
+    }.mkString(",\n")
+    def dot16(a: String, b: String) =
+      (0 until rpDims).map(j => f"$a%s.r$j%02d * $b%s.r$j%02d").mkString(" + ")
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |proj AS (SELECT vec_id,
+       |$projCols
+       |FROM corpus),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      (${dot16("n", "q")}) / (sqrt(${dot16("q", "q")}) * sqrt(${dot16("n", "n")})) DESC,
+       |      n.vec_id) AS rk16
+       |  FROM proj q CROSS JOIN proj n
+       |  WHERE q.vec_id < 5 AND n.vec_id != q.vec_id) x
+       |WHERE rk16 <= $annRpShortlist)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_cosine_similarity(q.e, n.e) DESC, s.neighbor_id) AS rank
+       |  FROM short s
+       |  JOIN corpus q ON q.vec_id = s.query_id
+       |  JOIN corpus n ON n.vec_id = s.neighbor_id) y
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -4637,7 +4712,8 @@ object Queries {
     "packing_efficiency" -> (packingEfficiency _),
     "mixture_manifest" -> (mixtureManifest _),
     "span_corrupt" -> (spanCorrupt _),
-    "rp_reduce" -> (rpReduce _)
+    "rp_reduce" -> (rpReduce _),
+    "ann_rp" -> (annRp _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4776,6 +4852,7 @@ object Queries {
     "packing_efficiency" -> packingEfficiencySql,
     "mixture_manifest" -> mixtureManifestSql,
     "span_corrupt" -> spanCorruptSql,
-    "rp_reduce" -> rpReduceSql
+    "rp_reduce" -> rpReduceSql,
+    "ann_rp" -> annRpSql
   )
 }

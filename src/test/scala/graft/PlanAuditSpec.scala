@@ -653,7 +653,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n${p.take(3000)}")
   }
 
-  test("rp_reduce: 16 projection dots are map-work over the scan — the " +
+  test("rp_reduce: the projection dots are map-work over the scan — the " +
     "only exchange is the output ordering's range partition") {
     val p = plan("rp_reduce")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -128,6 +128,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(full == exact)
   }
 
+  test("ann_rp: the JL-32 shortlist + exact refine keeps useful top-5 " +
+    "recall against the exact brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.Queries.annTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rp = graft.Queries.annRp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map(q => (rp(q) intersect exact(q)).size).sum
+    val recall = hits.toDouble / (exact.size * 5)
+    info(s"ann_rp top-5 recall vs exact: $recall")
+    assert(recall >= 0.6, s"JL shortlist recall too low: $recall")
+  }
+
   test("cosineNearDupPairs: planted duplicate vectors are found at sim ~1") {
     val planted = emb.limit(10).unionAll(
       emb.limit(10).withColumn("vec_id", col("vec_id") + lit(1000000L)))
