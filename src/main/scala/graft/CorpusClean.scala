@@ -266,6 +266,20 @@ object CorpusClean {
           s"cc_vocab_${StageStore.dirTag(s"${cfg.in}->${cfg.out}")}"))
         .write.mode("overwrite").parquet(vd)
     }
+    // tokenizer prep: BPE merges trained on the SURVIVING corpus (the
+    // tokenizer must never see gated-out text), written as the merge
+    // table artifact downstream encoders consume
+    (cfg.bpeMerges, cfg.mergesOut) match {
+      case (Some(nm), Some(md)) =>
+        // parquet delivery: train from the WRITTEN files (no pipeline
+        // re-run); jsonl delivery: from the delivered frame
+        val survivors =
+          if (cfg.format == "jsonl") out.select(col("doc_id"), col("text"))
+          else spark.read.parquet(cfg.out).select(col("doc_id"), col("text"))
+        graft.operators.Bpe.train(survivors, nm)
+          .write.mode("overwrite").parquet(md)
+      case _ => ()
+    }
     // per-stage survivor counts — parasync's --statsfile observability for
     // the corpus tool. Counted only when asked: the heavy middle stages
     // (span_removal, near_dup survivors) are StageStore-materialized, so

@@ -61,6 +61,11 @@ case class CorpusCleanConfig(
     // column; the vocab table itself is written to --vocab-out
     encodeMinCount: Option[Long] = None,
     vocabOut: Option[String] = None,
+    // BPE tokenizer prep: train this many merges on the SURVIVORS (the
+    // tokenizer must never see text the gates rejected) and write the
+    // merge table to --merges-out
+    bpeMerges: Option[Int] = None,
+    mergesOut: Option[String] = None,
     // output format: parquet (default, split/shard become partition
     // dirs) or jsonl (the exchange format — one object per line, every
     // delivered column a JSON field, split/shard included as fields)
@@ -135,6 +140,12 @@ object CorpusCleanCli {
         case "--vocab-out" :: v :: t => c = c.copy(vocabOut = Some(v)); rest = t
         case "--format" :: v :: t => c = c.copy(format = v); rest = t
         case "--in-format" :: v :: t => c = c.copy(inFormat = v); rest = t
+        case "--bpe" :: v :: t =>
+          intArg(v, "--bpe") match {
+            case Right(i) => c = c.copy(bpeMerges = Some(i)); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "--merges-out" :: v :: t => c = c.copy(mergesOut = Some(v)); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t
@@ -158,7 +169,8 @@ object CorpusCleanCli {
     "--boilerplate", "--ngram",
     "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
     "--split-by", "--shards", "--stage-dir", "--stats-file",
-    "--encode", "--vocab-out", "--format", "--in-format")
+    "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
+    "--merges-out")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -183,6 +195,10 @@ object CorpusCleanCli {
       Left(s"--format must be parquet or jsonl, got ${c.format}")
     else if (!Set("parquet", "jsonl")(c.inFormat))
       Left(s"--in-format must be parquet or jsonl, got ${c.inFormat}")
+    else if (c.bpeMerges.exists(_ < 1))
+      Left(s"--bpe must be >= 1, got ${c.bpeMerges.get}")
+    else if (c.bpeMerges.isDefined != c.mergesOut.isDefined)
+      Left("--bpe and --merges-out must be given together")
     else Right(c)
   }
 }

@@ -304,6 +304,26 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("--bpe trains the merge table on the SURVIVORS: re-training on the " +
+    "written output reproduces it") {
+    val inDir = tmp("cc_bpe_in")
+    val outDir = tmp("cc_bpe_out")
+    val mergesDir = tmp("cc_bpe_m")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(inDir)
+    CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--bpe", "6",
+        "--merges-out", mergesDir)).toOption.get)
+    val written = spark.read.parquet(mergesDir)
+      .orderBy("merge_rank").collect().map(_.toSeq)
+    assert(written.length === 6)
+    val again = graft.operators.Bpe.train(
+      spark.read.parquet(outDir).select(col("doc_id"), col("text")), 6)
+      .collect().map(_.toSeq)
+    assert(written.toSeq === again.toSeq)
+  }
+
   test("--in-format jsonl ingests a JSONL corpus to the same survivors as " +
     "the parquet ingest, with the declared (not inferred) schema") {
     val inP = tmp("cc_if_p")

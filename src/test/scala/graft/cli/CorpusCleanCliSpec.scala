@@ -51,6 +51,17 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(CorpusCleanCli.parse(Seq("in", "out", "--in-format", "avro")).isLeft)
   }
 
+  test("--bpe: pairs with --merges-out, validates range") {
+    val c = ok("in", "out", "--bpe", "12", "--merges-out", "/m")
+    assert(c.bpeMerges === Some(12) && c.mergesOut === Some("/m"))
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--bpe", "12")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--merges-out", "/m")).isLeft)
+    assert(CorpusCleanCli.parse(
+      Seq("in", "out", "--bpe", "0", "--merges-out", "/m")).isLeft)
+    assert(CorpusCleanCli.parse(
+      Seq("in", "out", "--bpe", "x", "--merges-out", "/m")).isLeft)
+  }
+
   test("stage toggles: --no-lang-gate and --no-near-dup clear the stages") {
     val c = ok("in", "out", "--no-lang-gate", "--no-near-dup")
     assert(c.lang.isEmpty && c.nearDup.isEmpty)
