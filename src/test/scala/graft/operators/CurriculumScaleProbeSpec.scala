@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** curriculumOrder's scale claim under total difficulty skew: on a clean
+  * corpus most documents score rare_cnt = 0, so the sort key is ONE
+  * giant tie band. A single-partition `row_number()` window — or a range
+  * exchange keyed on difficulty alone — would push the whole corpus
+  * through one task. The ranking keys the range exchange on
+  * (difficulty, doc_id), so the tie band spreads across partitions and
+  * the global order stays exact. Verified from task-end listener metrics
+  * (the ShardAssignScaleProbeSpec pattern), AQE coalescing off as
+  * documented there. */
+class CurriculumScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nDocs = 200000L
+
+  /** Every doc ties at difficulty 0 except one hard straggler. */
+  private def scored = spark.range(0L, nDocs)
+    .select(col("id").as("doc_id"),
+      when(col("id") === nDocs - 1, 9L).otherwise(0L).as("rare_cnt"))
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("an all-tied difficulty band never funnels the rank through one " +
+    "task; the order stays exact", Slow) {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    val (out, maxRead) = try {
+      withMaxTaskShuffleRead {
+        Splits.curriculumOrder(scored, "rare_cnt")
+          .select(col("doc_id"), col("ord"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+    info(s"curriculumOrder max per-task shuffle read: $maxRead of $nDocs rows")
+    // exact order: tie band by doc_id, straggler last
+    assert(out.length.toLong === nDocs)
+    val byId = out.toMap
+    assert(byId(0L) === 1L && byId(nDocs - 2) === nDocs - 1)
+    assert(byId(nDocs - 1) === nDocs, "the hard doc must sort last")
+    // the doc_id tiebreak in the range key spreads the band: no task
+    // read more than half the corpus (uniform = rows/4 at the harness's
+    // 4 partitions)
+    assert(maxRead > 0 && maxRead < nDocs / 2,
+      s"a task read $maxRead of $nDocs rows — tie band funneled?")
+  }
+}
