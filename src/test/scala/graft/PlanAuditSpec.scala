@@ -653,6 +653,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n${p.take(3000)}")
   }
 
+  test("hard_negatives: anchors broadcast — the corpus is never shuffled " +
+    "for the candidate join, and no quadratic fallback appears") {
+    val p = plan("hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"anchor set not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage fell back to a cartesian:\n${p.take(2000)}")
+    assert(p.contains("graft_centroid_argmax"),
+      s"cluster assignment not the fused kernel:\n${p.take(2000)}")
+  }
+
+  test("bpe_fertility: the per-source fold partial-aggregates below its " +
+    "exchange (stopword-scale doc counts combine map-side)") {
+    val p = plan("bpe_fertility")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side combine under the source fold:\n${p.take(2000)}")
+  }
+
   test("rp_reduce: the projection dots are map-work over the scan — the " +
     "only exchange is the output ordering's range partition") {
     val p = plan("rp_reduce")
