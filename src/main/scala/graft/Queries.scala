@@ -4365,6 +4365,51 @@ object Queries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // quality_gate_audit — the filter LOG every production pipeline keeps
+  // (Gopher's rule cascade, Rae et al. 2021 §A1.1, recorded per doc):
+  // each document gets its keep/drop decision plus the FIRST failing
+  // rule as the reject reason — the artifact that makes a 100 TB filter
+  // run auditable ("why did we lose 40% of source X?"). Rules in
+  // precedence order: too_short (< 10 words), repetitive
+  // (dup_word_frac > 0.4 — one exact-integer division on both engines,
+  // so the comparison is bit-deterministic), no_stopwords (Gopher's
+  // stop-word requirement, integer). Composition of the textStats and
+  // repetitionStats passes, one doc_id join between reduced per-doc
+  // rows.
+  // ---------------------------------------------------------------------
+  def qualityGateAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ts = graft.operators.TextOps.textStats(docs)
+      .select(col("doc_id"), col("n_words"), col("stop_cnt"))
+    val rep = graft.operators.TextOps.repetitionStats(docs)
+      .select(col("doc_id"), col("dup_word_frac"))
+    val reason = when(col("n_words") < 10, "too_short")
+      .when(col("dup_word_frac") > 0.4, "repetitive")
+      .when(col("stop_cnt") === 0, "no_stopwords")
+      .otherwise("ok")
+    ts.join(rep, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("stop_cnt"),
+        reason.as("reject_reason"))
+      .withColumn("keep", col("reject_reason") === "ok")
+      .orderBy("doc_id")
+  }
+
+  val qualityGateAuditSql: String =
+    s"""WITH ts AS ($textStatsSql),
+       |rep AS ($repetitionStatsSql)
+       |SELECT ts.doc_id, ts.n_words, ts.stop_cnt,
+       |  CASE WHEN ts.n_words < 10 THEN 'too_short'
+       |       WHEN rep.dup_word_frac > 0.4 THEN 'repetitive'
+       |       WHEN ts.stop_cnt = 0 THEN 'no_stopwords'
+       |       ELSE 'ok' END AS reject_reason,
+       |  (CASE WHEN ts.n_words < 10 THEN 'too_short'
+       |        WHEN rep.dup_word_frac > 0.4 THEN 'repetitive'
+       |        WHEN ts.stop_cnt = 0 THEN 'no_stopwords'
+       |        ELSE 'ok' END) = 'ok' AS keep
+       |FROM ts JOIN rep ON rep.doc_id = ts.doc_id
+       |ORDER BY ts.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // mlm_mask — deterministic masked-LM preprocessing (BERT, Devlin et al.
   // NAACL'19 §3.1): select ~15% of token positions (md5(doc:pos) < '26' =
   // 38/256 ≈ 14.84% — the sample_bernoulli hex-draw trade) and assign the
@@ -4713,7 +4758,8 @@ object Queries {
     "mixture_manifest" -> (mixtureManifest _),
     "span_corrupt" -> (spanCorrupt _),
     "rp_reduce" -> (rpReduce _),
-    "ann_rp" -> (annRp _)
+    "ann_rp" -> (annRp _),
+    "quality_gate_audit" -> (qualityGateAudit _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -4853,6 +4899,7 @@ object Queries {
     "mixture_manifest" -> mixtureManifestSql,
     "span_corrupt" -> spanCorruptSql,
     "rp_reduce" -> rpReduceSql,
-    "ann_rp" -> annRpSql
+    "ann_rp" -> annRpSql,
+    "quality_gate_audit" -> qualityGateAuditSql
   )
 }
