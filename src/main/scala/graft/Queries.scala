@@ -2718,12 +2718,16 @@ object Queries {
     // fixed-point Lloyd makes recomputation equivalent)
     val cent = graft.operators.KMeans.train(hist, k, iters = 2)
     val tag = StageStore.dirTag(dir)
-    val keptHist = StageStore.materialize(
+    // yesterday's kept corpus is persisted STATE, built once and read
+    // from files thereafter (the production cadence this query claims —
+    // a pipeline never re-derives shipped keep decisions per batch);
+    // deterministic per input dir, so compute-if-absent is sound
+    val keptHist = StageStore.materializeIfAbsent(s, s"semdedupinc_kept_$tag") {
       graft.operators.SemDeDup.dedup(hist, k = k, iters = 2,
           threshold = 0.999, stageTag = Some(s"inchist_$tag"))
         .join(hist, Seq("vec_id"))
-        .select("vec_id", "cluster", "embedding"),
-      s"semdedupinc_kept_$tag")
+        .select("vec_id", "cluster", "embedding")
+    }
     val neg = transform(col("embedding"), x => -x)
     val batch = hist.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
