@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** tokenDrift's scale claim under stopword skew: one token dominating
+  * BOTH snapshots (10⁶ copies here). The per-side folds must collapse
+  * the hot token map-side before any exchange — without the combine,
+  * every copy hash-routes to one reducer; with it, the vocab-bounded
+  * reduced tables are all that shuffle and the full-outer join runs over
+  * them. Task-end listener metrics, AQE coalescing off (the
+  * DupNgramScaleProbeSpec pattern). */
+class TokenDriftScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nDocs = 100000L
+  private val hotPerDoc = 10
+
+  private def corpus = spark.range(0L, nDocs)
+    .select(col("id").as("doc_id"),
+      concat(lit(Seq.fill(hotPerDoc)("the").mkString(" ") + " u"), col("id"))
+        .as("text"))
+
+  private val hotCopies = nDocs * hotPerDoc
+  private val perTaskBound = hotCopies / 8
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("a 10^6-copy stopword never funnels the drift fold through one " +
+    "task; its ppm rates stay exact", Slow) {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    // batch = half the corpus: the stopword's rate is identical on both
+    // sides (delta 0), unique tails shift slightly
+    val (top, maxRead) = try {
+      withMaxTaskShuffleRead {
+        TextOps.tokenDrift(corpus, corpus.filter(col("doc_id") % 2 === 0), k = 5)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+    info(s"tokenDrift max per-task shuffle read: $maxRead records " +
+      s"(stopword: $hotCopies copies)")
+    // the stopword's rate is 10/11 on BOTH sides — its ppm delta cancels
+    // EXACTLY (909090 - 909090), so despite 10^6 copies it never ranks as
+    // a mover; the top movers are tail tokens with |delta| = 1 ppm
+    assert(top.forall(_._1 != "the"),
+      s"the zero-delta stopword surfaced as a mover: $top")
+    assert(top.forall { case (_, h, b) => math.abs(b - h) == 1L }, top.toSeq)
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records (stopword has $hotCopies copies) — " +
+        "map-side combine missing?")
+  }
+}
