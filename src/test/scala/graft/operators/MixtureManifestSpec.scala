@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** mixture_manifest invariants (the oracle pins the exact numbers; this
+  * pins the PROPERTIES temperature mixing must have): floor-division
+  * weights never over-allocate, and α=0.5 temperature moves every
+  * source toward the mean — dominant sources downsample (epochs < 1),
+  * rare sources upsample (epochs > 1). */
+class MixtureManifestSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val rows = graft.Queries
+    .mixtureManifest(spark, "/root/testdata/sf0.001")
+    .collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)))
+
+  test("floor-division shares never over-allocate the token budget") {
+    assert(rows.map(_._4).sum <= 1000000L, "weight ppm overflow")
+    val tokTotal = rows.map(_._3).sum
+    assert(rows.map(_._5).sum <= tokTotal, "target tokens exceed the budget")
+    rows.foreach { case (src, _, nTok, _, target, _) =>
+      assert(target >= 0 && target <= tokTotal, s"$src target $target")
+      assert(nTok > 0, s"$src empty stratum")
+    }
+  }
+
+  test("temperature pulls toward the mean: the largest source " +
+    "downsamples, the smallest upsamples") {
+    val byTokens = rows.sortBy(_._3)
+    val (smallest, largest) = (byTokens.head, byTokens.last)
+    assert(largest._6 < 1000000L,
+      s"dominant source ${largest._1} not downsampled: epochs_ppm ${largest._6}")
+    assert(smallest._6 > 1000000L,
+      s"rare source ${smallest._1} not upsampled: epochs_ppm ${smallest._6}")
+    // sqrt weighting preserves the size ORDER, just compressed
+    assert(largest._5 > smallest._5,
+      "temperature must compress, not invert, the allocation order")
+  }
+}
