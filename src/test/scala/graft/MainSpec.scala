@@ -26,6 +26,23 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     assert(lines.forall(_.startsWith("INSERT INTO nation VALUES ")), "simple = no column list")
   }
 
+  test("jsonl mode: the paradump flag surface drives the corpus-export " +
+    "sink end to end") {
+    val out = tmp("main_jsonl")
+    val cfg = Cli.parseDump(Seq(
+      "-dumpmode", "jsonl", "-table", "nation", "-table", "region")).toOption.get
+    val results = Main.run(spark, "/root/testdata/sf0.001", out, cfg)
+    assert(results.map(_.table).toSet == Set("nation", "region"))
+    assert(results.map(_.rows).sum == 30)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = spark.read.text(s"$out/nation").collect().map(_.getString(0))
+    assert(lines.length == 25)
+    assert(lines.forall { l =>
+      val t = mapper.readTree(l)
+      t.has("n_nationkey") && t.has("n_name") && t.has("n_regionkey")
+    })
+  }
+
   test("multiple -db against the parquet lake is refused, not silently truncated") {
     val cfg = Cli.parseDump(Seq("-dumpmode", "null", "-db", "a", "-db", "b")).toOption.get
     val err = intercept[IllegalArgumentException] {
