@@ -26,18 +26,31 @@ import org.apache.spark.sql.functions._
   * Scale shape — the industrial trainer's reduction (HuggingFace
   * tokenizers does the same): the CORPUS is touched once, folding to the
   * distinct-word frequency table (vocabulary-bounded — orders of magnitude
-  * below corpus size; stopword skew collapses map-side). Every training
-  * round is one pair-count aggregate over that reduced table plus a 1-row
-  * argmax collect (bounded by construction — the same plan-time-constant
-  * pattern as KMeans' centroids), then a narrow map applies the merge;
-  * the word table re-materializes via localCheckpoint every few rounds so
-  * plans stay flat at large merge counts (the CC pattern). Encoding
+  * below corpus size; stopword skew collapses map-side). The table is then
+  * COLLECTED (a 100 TB web corpus has tens of millions of distinct
+  * whitespace tokens — driver-sized, unlike the corpus) and the merge loop
+  * runs driver-side with incremental pair-count maintenance and a
+  * lazy-invalidation max-heap: each merge touches only the words that
+  * contain the chosen pair (tracked in a pair→words index), so a
+  * production 32k–64k-merge vocabulary trains in seconds of driver CPU
+  * instead of 32k sequential Spark jobs. A corpus whose vocabulary
+  * exceeds [[MaxDriverWords]] falls back to the per-round distributed
+  * aggregate ([[trainMergesDistributed]]) — exact same argmax/tie-break
+  * semantics, but one job per merge round, so its practical merge-count
+  * ceiling is a few hundred (documented there). Encoding
   * broadcasts the merge table (nMerges rows) and runs one map-only pass
   * with a per-partition word→encoding memo — words repeat per Zipf, so
   * the fold over merges runs once per DISTINCT word per partition, not
   * once per token.
   */
 object Bpe {
+
+  /** Collect ceiling for the driver-side merge loop: distinct-word tables
+    * at or under this row count train locally (~60 B/word ⇒ low-GB driver
+    * heap at the ceiling); above it, training falls back to the per-round
+    * distributed path. Vocabulary grows ~ with the LOG of corpus size
+    * (Heaps' law), so real corpora sit far below this even at 100 TB. */
+  val MaxDriverWords: Long = 20000000L
 
   /** One learned merge: rank-ordered, with the pair's weighted count at
     * selection time. */
@@ -78,7 +91,7 @@ object Bpe {
 
   /** The distinct-word frequency table `(seq, f)` — the one corpus pass;
     * everything after runs over this vocabulary-bounded reduction. */
-  private def wordTable(docs: DataFrame) = {
+  private[operators] def wordTable(docs: DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(explode(split(col("text"), " ")).as("w"))
@@ -90,12 +103,134 @@ object Bpe {
 
   /** Learn `nMerges` merges from the corpus. Stops early if no adjacent
     * pair remains (all words fused to single symbols). The returned list
-    * is driver-side by construction: nMerges rows. */
-  def trainMerges(docs: DataFrame, nMerges: Int): Seq[Merge] = {
+    * is driver-side by construction: nMerges rows.
+    *
+    * One distributed corpus fold produces the distinct-word table; when
+    * its row count fits [[MaxDriverWords]] (always, for real corpora —
+    * Heaps' law) the Sennrich loop runs locally via [[trainDriver]];
+    * otherwise the per-round distributed fallback runs over the persisted
+    * table. Both paths compute the identical merge sequence
+    * (BpeScaleProbeSpec pins the A/B). */
+  def trainMerges(docs: DataFrame, nMerges: Int,
+                  maxDriverWords: Long = MaxDriverWords): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val base = wordTable(docs).persist()
+    try {
+      val nWords = base.count() // triggers the one corpus fold, caches it
+      if (nWords <= maxDriverWords) trainDriver(base.collect(), nMerges)
+      else trainMergesDistributed(base, nMerges)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Driver-side Sennrich merge loop over the collected word table — the
+    * HuggingFace-tokenizers shape. Pair counts maintain INCREMENTALLY: a
+    * pair→containing-words index limits each round's work to the words
+    * actually holding the chosen pair (their pair multiset is recounted
+    * before/after the greedy merge and the delta applied), and the argmax
+    * comes from a max-heap with lazy invalidation (entries are (cnt, l,
+    * r) snapshots; a popped entry whose count no longer matches the live
+    * map is discarded — changed pairs re-push their current count once
+    * per round). Tie-break identical to the distributed argmax: count
+    * desc, then lexicographic (l, r). */
+  private[operators] def trainDriver(words: Array[(String, Long)],
+                                     nMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val seqs: Array[Array[String]] = words.map(_._1.split(" "))
+    val freqs: Array[Long] = words.map(_._2)
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // heap order: highest count first; among ties the lexicographically
+    // SMALLEST (l, r) must surface first, so smaller strings rank higher
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val l = b._2.compareTo(a._2)
+            if (l != 0) l else b._3.compareTo(a._3)
+          }
+        }
+      })
+
+    /** Apply one word's adjacent-pair multiset (×freq×sign) to the live
+      * counts; on +1 also index the word under each pair and record the
+      * pair as touched this round. */
+    def delta(wi: Int, s: Array[String], sign: Long,
+              touched: mutable.HashSet[(String, String)]): Unit = {
+      val f = freqs(wi) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val nv = pairCnt.getOrElse(p, 0L) + f
+        if (nv <= 0L) pairCnt.remove(p) else pairCnt(p) = nv
+        if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        touched += p
+        j += 1
+      }
+    }
+
+    val seed = mutable.HashSet.empty[(String, String)]
+    var wi = 0
+    while (wi < seqs.length) { delta(wi, seqs(wi), 1L, seed); wi += 1 }
+    seed.foreach(p => pairCnt.get(p).foreach(c => heap.enqueue((c, p._1, p._2))))
+
+    val out = mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      // pop to the first LIVE entry (count still matches the map)
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (pairCnt.get((e._2, e._3)).contains(e._1)) top = e
+      }
+      if (top == null) done = true
+      else {
+        val (cnt, l, r) = top
+        out += Merge(rank.toLong, l, r, cnt)
+        val touched = mutable.HashSet.empty[(String, String)]
+        // the index may hold stale members (words that lost the pair to an
+        // earlier overlapping merge) — they fail the adjacency scan and
+        // are skipped; every word that HAS the pair is present (members
+        // are added the moment a pair forms)
+        pairWords.getOrElse((l, r), mutable.BitSet.empty).foreach { w =>
+          val s = seqs(w)
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == l && s(j + 1) == r; j += 1
+          }
+          if (has) {
+            delta(w, s, -1L, touched)
+            val merged = greedyMerge(s.mkString(" "), l, r).split(" ")
+            seqs(w) = merged
+            delta(w, merged, 1L, touched)
+          }
+        }
+        pairWords.remove((l, r))
+        // one heap entry per touched pair per round, at its settled count
+        touched.foreach(p =>
+          pairCnt.get(p).foreach(c => heap.enqueue((c, p._1, p._2))))
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The per-round distributed fallback: each merge round is one
+    * pair-count aggregate over the (persisted) word table plus a 1-row
+    * argmax collect, then a narrow map applies the merge; the table
+    * re-materializes via localCheckpoint every few rounds so plans stay
+    * flat. One SEQUENTIAL Spark job per merge round — job-scheduling
+    * latency, not data size, bounds it, so its practical ceiling is a
+    * few hundred merges. Only reachable when the distinct vocabulary
+    * exceeds [[MaxDriverWords]] (no natural-language corpus does). */
+  private[operators] def trainMergesDistributed(
+      base: org.apache.spark.sql.Dataset[(String, Long)],
+      nMerges: Int): Seq[Merge] = {
+    val spark = base.sparkSession
+    import spark.implicits._
     var words = base
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
@@ -120,7 +255,6 @@ object Bpe {
       }
       i += 1
     }
-    base.unpersist(blocking = false) // release the round-base cache
     out.toSeq
   }
 

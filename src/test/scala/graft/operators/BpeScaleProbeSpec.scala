@@ -83,4 +83,55 @@ class BpeScaleProbeSpec extends AnyFunSuite with SparkSuite {
       s"a task read $maxRead records (stopword has $hotCopies copies) — " +
         "map-side combine missing?")
   }
+
+  /** A vocabulary-rich corpus: 4000 distinct 8-letter words over a
+    * 16-letter alphabet with Zipf-ish repeat counts — enough adjacent
+    * pairs that 1000+ merges exist before exhaustion. */
+  private def richCorpus = {
+    val s = spark
+    import s.implicits._
+    val alpha = "abcdefghijklmnop"
+    (0 until 400).map { d =>
+      val text = (0 until 10).map { j =>
+        val w = d * 10 + j
+        val word = (0 until 8).map(k => alpha((w >> (2 * (k % 8)) ^ w * (k + 3)) & 15)).mkString
+        // Zipf head: every 7th word repeats 5×
+        if (w % 7 == 0) (word + " ") * 4 + word else word
+      }.mkString(" ")
+      (d.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("trainDriver == trainMergesDistributed: identical merge sequence " +
+    "(counts, tie-breaks) at 48 merges on the vocabulary-rich corpus", Slow) {
+    val docs = richCorpus
+    val base = Bpe.wordTable(docs).persist()
+    try {
+      val dist = Bpe.trainMergesDistributed(base, 48)
+      val drv = Bpe.trainDriver(base.collect(), 48)
+      assert(drv == dist,
+        "driver-side Sennrich loop diverged from the per-round distributed argmax")
+    } finally { base.unpersist(blocking = false); () }
+  }
+
+  test("trainDriver: a production-scale merge count (1000+) trains in " +
+    "driver-CPU seconds, not one Spark job per round", Slow) {
+    val docs = richCorpus
+    val words = Bpe.wordTable(docs).collect()
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainDriver(words, 2000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"trainDriver: ${merges.length} merges in $secs%.2f s " +
+      f"(${words.length} distinct words)")
+    assert(merges.length >= 1000,
+      s"corpus exhausted at ${merges.length} merges — fixture too small")
+    // ranks are contiguous and counts non-increasing only per-pair-life —
+    // sanity: every merge has a positive count and a real pair
+    assert(merges.forall(m => m.cnt > 0 && m.lhs.nonEmpty && m.rhs.nonEmpty))
+    assert(secs < 30.0,
+      f"driver-side training took $secs%.1f s for ${merges.length} merges")
+    // and the public entry point routes here (vocab is far under the
+    // ceiling), producing the same prefix
+    assert(Bpe.trainMerges(docs, 48) == merges.take(48))
+  }
 }
