@@ -44,11 +44,18 @@ object CorpusClean {
     * DECLARED schema — schema inference is an extra full scan of the
     * corpus at 100 TB, so the reader states what it needs (`doc_id`,
     * `text`, plus the `--split-by` key when configured) and Spark prunes
-    * the parse to those fields. */
+    * the parse to those fields. Parse mode is FAILFAST: a malformed line
+    * under PERMISSIVE becomes a null-doc_id row that silently vanishes
+    * through the gates — ingest corruption must ABORT, not shrink the
+    * corpus (the same discipline as the byte-pinned sinks). */
   private[graft] def readInput(spark: SparkSession, cfg: CorpusCleanConfig): DataFrame =
-    cfg.inFormat match {
+    jsonlRead(spark, cfg.inFormat, cfg.in, cfg.splitBy.toSeq)
+
+  private def jsonlRead(spark: SparkSession, format: String, dir: String,
+                        extraCols: Seq[String]): DataFrame =
+    format match {
       case "jsonl" =>
-        val extra = cfg.splitBy.toSeq.map(c =>
+        val extra = extraCols.map(c =>
           org.apache.spark.sql.types.StructField(c,
             org.apache.spark.sql.types.StringType))
         val schema = org.apache.spark.sql.types.StructType(
@@ -56,8 +63,8 @@ object CorpusClean {
                 org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("text",
                 org.apache.spark.sql.types.StringType)) ++ extra)
-        spark.read.schema(schema).json(cfg.in)
-      case _ => spark.read.parquet(cfg.in)
+        spark.read.schema(schema).option("mode", "FAILFAST").json(dir)
+      case _ => spark.read.parquet(dir)
     }
 
   /** Named pipeline stages, cumulative: each entry is the surviving
@@ -195,8 +202,15 @@ object CorpusClean {
     * `--shards` adds the token-balanced `shard` assignment over the
     * SURVIVORS (balance is a property of what ships, not of what was
     * read). Both columns become partition directories in [[run]]. */
-  def deliver(spark: SparkSession, cfg: CorpusCleanConfig): DataFrame = {
-    val cleaned = clean(spark, cfg)
+  def deliver(spark: SparkSession, cfg: CorpusCleanConfig): DataFrame =
+    deliverFrom(spark, cfg, clean(spark, cfg))
+
+  /** [[deliver]] over an already-built cleaned frame — [[run]] constructs
+    * the stage chain exactly once and threads its final frame through
+    * here, so delivery never re-invokes [[stages]] (whose middle stages
+    * WRITE on construction). */
+  private def deliverFrom(spark: SparkSession, cfg: CorpusCleanConfig,
+                          cleaned: DataFrame): DataFrame = {
     val withSplit = cfg.splitBy match {
       case Some(keyCol) =>
         val keys = readInput(spark, cfg)
@@ -241,7 +255,13 @@ object CorpusClean {
     * return the surviving document count (from the written files —
     * metadata-only). */
   def run(spark: SparkSession, cfg: CorpusCleanConfig): Long = {
-    val out = deliver(spark, cfg)
+    // the stage chain is built ONCE per run — stages() WRITES its
+    // materialized middle (span removal, near-dup survivors) during
+    // construction, so both delivery and the --stats-file counts must
+    // share this one sequence (a second stages() call would re-run the
+    // expensive middle end to end; StageStoreSpec pins the single write)
+    val st = stages(spark, cfg)
+    val out = deliverFrom(spark, cfg, st.last._2)
     val n = cfg.format match {
       case "jsonl" =>
         // the exchange format: one object per line, every delivered
@@ -271,21 +291,24 @@ object CorpusClean {
     // table artifact downstream encoders consume
     (cfg.bpeMerges, cfg.mergesOut) match {
       case (Some(nm), Some(md)) =>
-        // parquet delivery: train from the WRITTEN files (no pipeline
-        // re-run); jsonl delivery: from the delivered frame
-        val survivors =
-          if (cfg.format == "jsonl") out.select(col("doc_id"), col("text"))
-          else spark.read.parquet(cfg.out).select(col("doc_id"), col("text"))
+        // both formats train from the WRITTEN files, never the pipeline
+        // frame (whose evaluation would re-run the cleaning chain):
+        // parquet reads the output dir back; jsonl reads it back with the
+        // declared (doc_id, text) schema, pruning the parse
+        val survivors = jsonlRead(spark, cfg.format, cfg.out, Nil)
+          .select(col("doc_id"), col("text"))
         graft.operators.Bpe.train(survivors, nm)
           .write.mode("overwrite").parquet(md)
       case _ => ()
     }
-    // per-stage survivor counts — parasync's --statsfile observability for
-    // the corpus tool. Counted only when asked: the heavy middle stages
-    // (span_removal, near_dup survivors) are StageStore-materialized, so
-    // their counts re-read parquet FILES, not the pipeline.
+    // per-stage survivor counts — parasync's --statsfile observability
+    // for the corpus tool. Counted from the SAME stage sequence delivery
+    // used: the StageStore-materialized middle counts re-read its parquet
+    // files; the cheap gate/dedup frames above it re-evaluate their
+    // filters over the input scan once each — the gram/banding work never
+    // runs twice.
     cfg.statsFile.foreach { path =>
-      val counts = stages(spark, cfg).map { case (name, df) =>
+      val counts = st.map { case (name, df) =>
         // redaction/delivery are row-preserving; reuse the written count
         if (name == "final") name -> n else name -> df.count()
       }

@@ -345,4 +345,56 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a === b)
   }
+
+  test("one run with --stats-file + jsonl + --bpe builds the stage chain " +
+    "ONCE: the expensive middle materializes exactly one time") {
+    val inDir = tmp("cc_once_in")
+    val outDir = tmp("cc_once_out")
+    val mergesDir = tmp("cc_once_m")
+    val statsFile = new java.io.File(tmp("cc_once_s"), "stats.json").getAbsolutePath
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(inDir)
+    val tag = StageStore.dirTag(s"$inDir->$outDir")
+    val before = Seq(s"cc_cleaned_$tag", s"cc_survivors_$tag")
+      .map(l => l -> StageStore.materializations(l)).toMap
+    val n = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--stats-file", statsFile,
+        "--format", "jsonl", "--bpe", "4", "--merges-out", mergesDir))
+      .toOption.get)
+    assert(n > 0)
+    // span removal and the near-dup survivors (the pipeline's expensive
+    // middle) wrote exactly once despite stats counting AND jsonl+bpe
+    // delivery — the r11 path re-invoked stages() and paid them twice
+    before.foreach { case (label, b) =>
+      assert(StageStore.materializations(label) === b + 1,
+        s"$label materialized ${StageStore.materializations(label) - b} times")
+    }
+    // and both artifacts still landed: stats counts + the merge table
+    // trained from the WRITTEN jsonl files
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(statsFile))
+    assert(txt.contains(s""""final": $n"""), txt)
+    assert(spark.read.parquet(mergesDir).count() === 4L)
+  }
+
+  test("--in-format jsonl is FAILFAST: a malformed line aborts the run " +
+    "instead of vanishing through the gates as a null row") {
+    val inDir = tmp("cc_ff_in")
+    val outDir = tmp("cc_ff_out")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "part-00000.jsonl"),
+      """{"doc_id": 1, "text": "a good line"}
+        |{"doc_id": 2, "text": "truncated""".stripMargin)
+    val cfg = CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--min-words", "0",
+        "--min-span", "0", "--no-near-dup", "--in-format", "jsonl"))
+      .toOption.get
+    val e = intercept[org.apache.spark.SparkException] {
+      CorpusClean.run(spark, cfg)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("FAILFAST") ||
+      m.contains("MALFORMED_RECORD")), msgs(e).mkString(" | "))
+  }
 }
