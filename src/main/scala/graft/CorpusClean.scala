@@ -49,7 +49,8 @@ object CorpusClean {
     * through the gates — ingest corruption must ABORT, not shrink the
     * corpus (the same discipline as the byte-pinned sinks). */
   private[graft] def readInput(spark: SparkSession, cfg: CorpusCleanConfig): DataFrame =
-    jsonlRead(spark, cfg.inFormat, cfg.in, cfg.splitBy.toSeq)
+    jsonlRead(spark, cfg.inFormat, cfg.in,
+      (cfg.splitBy.toSeq ++ cfg.manifestBy.toSeq).distinct)
 
   private def jsonlRead(spark: SparkSession, format: String, dir: String,
                         extraCols: Seq[String]): DataFrame =
@@ -234,9 +235,9 @@ object CorpusClean {
     // (post-redaction), so ids never encode masked PII. The delivered
     // frame feeds three consumers here (vocab build, the encode join's
     // both sides) — materialize it once, per the multi-consumer rule
-    cfg.encodeMinCount match {
+    val tag = StageStore.dirTag(s"${cfg.in}->${cfg.out}")
+    val withIds = cfg.encodeMinCount match {
       case Some(minCount) =>
-        val tag = StageStore.dirTag(s"${cfg.in}->${cfg.out}")
         val surv = StageStore.materialize(withShard, s"cc_delivered_$tag")
         val vocab = StageStore.materialize(
           graft.operators.Vocab.build(
@@ -247,6 +248,26 @@ object CorpusClean {
             surv.select(col("doc_id"), col("text")), vocab),
           Seq("doc_id"))
       case None => withShard
+    }
+    // training-plan columns over the SURVIVORS (the plan is a property of
+    // what ships): --curriculum joins the global easiest-first order
+    // (rare-bigram difficulty, the curriculum_order query's signal);
+    // --pack joins the greedy next-fit window assignment (pack_sequences)
+    val withCur =
+      if (!cfg.curriculum) withIds
+      else withIds.join(
+        graft.operators.Splits.curriculumOrder(
+          graft.operators.LmScore.bigramRarity(
+            withIds.select(col("doc_id"), col("text")), rareMax = 2L,
+            stageLabel = Some(s"cc_currarity_$tag")),
+          scoreCol = "rare_cnt"),
+        Seq("doc_id"))
+    cfg.pack match {
+      case Some(w) => withCur.join(
+        graft.operators.Packing.packSequences(
+          withIds.select(col("doc_id"), col("text")), budget = w),
+        Seq("doc_id"))
+      case None => withCur
     }
   }
 
@@ -301,6 +322,29 @@ object CorpusClean {
           .write.mode("overwrite").parquet(md)
       case _ => ()
     }
+    // survivors read back from the WRITTEN files for the post-delivery
+    // plan artifacts — like BPE above, never the pipeline frame
+    def writtenSurvivors(): DataFrame =
+      jsonlRead(spark, cfg.format, cfg.out, Nil)
+        .select(col("doc_id"), col("text"))
+    // mixture manifest: the data-mixing plan over what SHIPPED,
+    // stratified by the --manifest-by input column
+    (cfg.manifestBy, cfg.manifestOut) match {
+      case (Some(mcol), Some(md)) =>
+        val keys = readInput(spark, cfg).select(col("doc_id"), col(mcol))
+        graft.operators.Mixture
+          .manifest(writtenSurvivors().join(keys, Seq("doc_id")), col(mcol))
+          .write.mode("overwrite").parquet(md)
+      case _ => ()
+    }
+    // token drift: the shipped corpus vs the persisted prior snapshot
+    (cfg.driftAgainst, cfg.driftOut) match {
+      case (Some(pd), Some(dd)) =>
+        val prior = spark.read.parquet(pd).select(col("doc_id"), col("text"))
+        graft.operators.TextOps.tokenDrift(prior, writtenSurvivors(), k = 20)
+          .write.mode("overwrite").parquet(dd)
+      case _ => ()
+    }
     // per-stage survivor counts — parasync's --statsfile observability
     // for the corpus tool. Counted from the SAME stage sequence delivery
     // used: the StageStore-materialized middle counts re-read its parquet
@@ -312,8 +356,23 @@ object CorpusClean {
         // redaction/delivery are row-preserving; reuse the written count
         if (name == "final") name -> n else name -> df.count()
       }
+      // --pack: the context-window fill audit (packing_efficiency's
+      // number — wasted capacity is paid GPU time at training). The
+      // assignment recomputes deterministically from the written files.
+      val packing = cfg.pack.map { w =>
+        val eff = graft.operators.Packing
+          .packSequences(writtenSurvivors(), budget = w)
+          .agg(countDistinct(struct(col("bucket"), col("seq_id"))).as("n_seqs"),
+            coalesce(sum("n_toks"), lit(0L)).as("sum_toks"))
+          .collect()(0) // bounded: one audit row
+        val nSeqs = eff.getLong(0)
+        val toks = eff.getLong(1)
+        val fill = if (nSeqs == 0L) 0.0 else toks.toDouble / (nSeqs * w).toDouble
+        s""", "packing": {"window": $w, "n_seqs": $nSeqs, """ +
+          s""""sum_toks": $toks, "capacity": ${nSeqs * w}, "fill": $fill}"""
+      }.getOrElse("")
       val json = counts.map { case (k, v) => s""""$k": $v""" }
-        .mkString("{", ", ", "}")
+        .mkString("{", ", ", "") + packing + "}"
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
     }
     n

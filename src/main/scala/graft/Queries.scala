@@ -4284,24 +4284,11 @@ object Queries {
   // > 10⁶ means the source repeats). Pure integer arithmetic over the
   // 3-row strata table; every number hash-compares.
   // ---------------------------------------------------------------------
-  def mixtureManifest(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .withColumn("mix_src", when(col("source").isin("src0", "src1"),
-        col("source")).otherwise(lit("rest")))
-    val strata = docs.groupBy("mix_src")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-      .withColumn("w",
-        floor(sqrt(col("n_tokens").cast("double") * lit(1000000.0d))).cast("long"))
-    val tot = strata.agg(sum(col("w")).cast("long").as("wsum"),
-      sum(col("n_tokens")).cast("long").as("tok_total"))
-    strata.crossJoin(broadcast(tot))
-      .withColumn("weight_ppm", expr("CAST((w * 1000000) DIV wsum AS BIGINT)"))
-      .withColumn("target_tokens", expr("CAST((weight_ppm * tok_total) DIV 1000000 AS BIGINT)"))
-      .withColumn("epochs_ppm", expr("CAST((target_tokens * 1000000) DIV n_tokens AS BIGINT)"))
-      .select("mix_src", "n_docs", "n_tokens", "weight_ppm", "target_tokens", "epochs_ppm")
-      .orderBy("mix_src")
-  }
+  def mixtureManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.manifest(
+      t(s, dir, "documents"),
+      when(col("source").isin("src0", "src1"), col("source"))
+        .otherwise(lit("rest")))
 
   val mixtureManifestSql: String =
     """WITH d AS (SELECT doc_id,

@@ -66,6 +66,26 @@ case class CorpusCleanConfig(
     // merge table to --merges-out
     bpeMerges: Option[Int] = None,
     mergesOut: Option[String] = None,
+    // curriculum ordering: add (difficulty, ord) to every delivered doc —
+    // the global easiest-first training order over the survivors, scored
+    // by the corpus-self-supervised rare-bigram signal (the
+    // curriculum_order query's shape)
+    curriculum: Boolean = false,
+    // sequence packing: add (bucket, seq_id, n_toks, tok_offset) to every
+    // delivered doc — greedy next-fit into windows of this token budget
+    // (pack_sequences); with --stats-file, the fill-ratio audit
+    // (packing_efficiency) lands in the stats JSON
+    pack: Option[Long] = None,
+    // mixture manifest: stratify the SURVIVORS by this input column and
+    // write the (tokens, weight_ppm, target_tokens, epochs_ppm) plan
+    // table to --manifest-out (mixture_manifest's shape)
+    manifestBy: Option[String] = None,
+    manifestOut: Option[String] = None,
+    // token drift: compare the survivors' token distribution against a
+    // persisted prior corpus (doc_id, text parquet) and write the top-20
+    // movers table to --drift-out (token_drift's shape)
+    driftAgainst: Option[String] = None,
+    driftOut: Option[String] = None,
     // output format: parquet (default, split/shard become partition
     // dirs) or jsonl (the exchange format — one object per line, every
     // delivered column a JSON field, split/shard included as fields)
@@ -146,6 +166,16 @@ object CorpusCleanCli {
             case Left(e) => return Left(e)
           }
         case "--merges-out" :: v :: t => c = c.copy(mergesOut = Some(v)); rest = t
+        case "--curriculum" :: t => c = c.copy(curriculum = true); rest = t
+        case "--pack" :: v :: t =>
+          v.toLongOption match {
+            case Some(n) => c = c.copy(pack = Some(n)); rest = t
+            case None => return Left(s"--pack: not an integer: $v")
+          }
+        case "--manifest-by" :: v :: t => c = c.copy(manifestBy = Some(v)); rest = t
+        case "--manifest-out" :: v :: t => c = c.copy(manifestOut = Some(v)); rest = t
+        case "--drift-against" :: v :: t => c = c.copy(driftAgainst = Some(v)); rest = t
+        case "--drift-out" :: v :: t => c = c.copy(driftOut = Some(v)); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t
@@ -170,7 +200,8 @@ object CorpusCleanCli {
     "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
     "--split-by", "--shards", "--stage-dir", "--stats-file",
     "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
-    "--merges-out")
+    "--merges-out", "--pack", "--manifest-by", "--manifest-out",
+    "--drift-against", "--drift-out")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -199,6 +230,13 @@ object CorpusCleanCli {
       Left(s"--bpe must be >= 1, got ${c.bpeMerges.get}")
     else if (c.bpeMerges.isDefined != c.mergesOut.isDefined)
       Left("--bpe and --merges-out must be given together")
+    else if (c.pack.exists(_ < 1))
+      Left(s"--pack must be >= 1, got ${c.pack.get}")
+    else if (c.manifestBy.exists(_.isEmpty)) Left("--manifest-by: empty column name")
+    else if (c.manifestBy.isDefined != c.manifestOut.isDefined)
+      Left("--manifest-by and --manifest-out must be given together")
+    else if (c.driftAgainst.isDefined != c.driftOut.isDefined)
+      Left("--drift-against and --drift-out must be given together")
     else Right(c)
   }
 }

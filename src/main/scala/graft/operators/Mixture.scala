@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The data-mixing PLAN — per mixture source, available tokens, its
+  * temperature-α=0.5 weight, the target token-budget share in ppm, and
+  * the implied epochs over the source (the table LLaMA-style sampling
+  * proportions are read from; `sample_mixture`'s planning complement).
+  * Pure integer arithmetic over the strata table so every number
+  * hash-compares across engines.
+  *
+  * Scale shape: one groupBy over the corpus folds to the strata table
+  * (rows = distinct sources — a handful), the grand totals broadcast
+  * back, and everything after is per-stratum integer math. The
+  * `mixture_manifest` registry query pins this against its DuckDB
+  * oracle; `corpus-clean --manifest-by/--manifest-out` ships the same
+  * computation over the pipeline's survivors.
+  */
+object Mixture {
+
+  /** Manifest over `docs` stratified by `srcCol` (any string column —
+    * callers with a source taxonomy collapse it into the column first).
+    * Output: (mix_src, n_docs, n_tokens, weight_ppm, target_tokens,
+    * epochs_ppm), one row per stratum, ordered by stratum. */
+  def manifest(docs: DataFrame, srcCol: Column): DataFrame = {
+    val strata = docs.groupBy(srcCol.as("mix_src"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double") * lit(1000000.0d))).cast("long"))
+    val tot = strata.agg(sum(col("w")).cast("long").as("wsum"),
+      sum(col("n_tokens")).cast("long").as("tok_total"))
+    strata.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm", expr("CAST((w * 1000000) DIV wsum AS BIGINT)"))
+      .withColumn("target_tokens",
+        expr("CAST((weight_ppm * tok_total) DIV 1000000 AS BIGINT)"))
+      .withColumn("epochs_ppm",
+        expr("CAST((target_tokens * 1000000) DIV n_tokens AS BIGINT)"))
+      .select("mix_src", "n_docs", "n_tokens", "weight_ppm", "target_tokens",
+        "epochs_ppm")
+      .orderBy("mix_src")
+  }
+}

@@ -377,6 +377,91 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(mergesDir).count() === 4L)
   }
 
+  test("--curriculum and --pack deliver the training-plan columns the " +
+    "registry operators compute, plus the fill audit in the stats file") {
+    val inDir = tmp("cc_plan_in")
+    val outDir = tmp("cc_plan_out")
+    val statsFile = new java.io.File(tmp("cc_plan_s"), "stats.json").getAbsolutePath
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(inDir)
+    val n = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--curriculum", "--pack", "64",
+        "--stats-file", statsFile)).toOption.get)
+    assert(n > 0)
+    val out = spark.read.parquet(outDir)
+    val surv = out.select(col("doc_id"), col("text"))
+    // curriculum columns == the curriculum_order operators over the
+    // SURVIVORS (the plan is a property of what ships)
+    val gotCur = out.select("doc_id", "difficulty", "ord")
+      .collect().map(_.toSeq).toSet
+    val wantCur = graft.operators.Splits.curriculumOrder(
+        graft.operators.LmScore.bigramRarity(surv, rareMax = 2L), "rare_cnt")
+      .collect().map(_.toSeq).toSet
+    assert(gotCur === wantCur)
+    // ord is a contiguous global 1..n order
+    assert(out.select("ord").collect().map(_.getLong(0)).sorted.toSeq
+      === (1L to n).toSeq)
+    // pack columns == pack_sequences at the 64-token window
+    val gotPack = out
+      .select("doc_id", "bucket", "n_toks", "seq_id", "tok_offset")
+      .collect().map(_.toSeq).toSet
+    val packed = graft.operators.Packing.packSequences(surv, budget = 64L)
+    assert(gotPack === packed.collect().map(_.toSeq).toSet)
+    // the stats file carries the packing_efficiency audit
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(statsFile))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      .get("packing")
+    val wantSeqs = packed.select("bucket", "seq_id").distinct().count()
+    val wantToks = packed.agg(sum("n_toks")).collect()(0).getLong(0)
+    assert(m.get("window").asLong === 64L)
+    assert(m.get("n_seqs").asLong === wantSeqs)
+    assert(m.get("sum_toks").asLong === wantToks)
+    assert(m.get("capacity").asLong === wantSeqs * 64L)
+    assert(math.abs(m.get("fill").asDouble -
+      wantToks.toDouble / (wantSeqs * 64L)) < 1e-12)
+  }
+
+  test("--manifest-by/--manifest-out write the survivors' mixture plan; " +
+    "--drift-against/--drift-out write the token-drift table") {
+    val inDir = tmp("cc_mx_in")
+    val outDir = tmp("cc_mx_out")
+    val manifestDir = tmp("cc_mx_m")
+    val priorDir = tmp("cc_mx_p")
+    val driftDir = tmp("cc_mx_d")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    docs.write.mode("overwrite").parquet(inDir)
+    // the prior snapshot: the corpus minus every 3rd doc — drift must
+    // surface the tokens the "new" docs add
+    docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+      .write.mode("overwrite").parquet(priorDir)
+    val n = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate",
+        "--manifest-by", "source", "--manifest-out", manifestDir,
+        "--drift-against", priorDir, "--drift-out", driftDir)).toOption.get)
+    assert(n > 0)
+    val surv = spark.read.parquet(outDir).select(col("doc_id"), col("text"))
+    val wantMan = graft.operators.Mixture.manifest(
+        surv.join(docs.select("doc_id", "source"), Seq("doc_id")), col("source"))
+      .collect().map(_.toSeq).toSeq
+    val gotMan = spark.read.parquet(manifestDir)
+      .orderBy("mix_src")
+      .select("mix_src", "n_docs", "n_tokens", "weight_ppm", "target_tokens",
+        "epochs_ppm")
+      .collect().map(_.toSeq).toSeq
+    assert(gotMan === wantMan)
+    assert(gotMan.nonEmpty)
+    val wantDrift = graft.operators.TextOps.tokenDrift(
+        spark.read.parquet(priorDir), surv, k = 20)
+      .collect().map(_.toSeq).toSeq
+    val gotDrift = spark.read.parquet(driftDir)
+      .select("token", "hist_ppm", "batch_ppm", "delta_ppm")
+      .collect().map(_.toSeq).toSeq
+    assert(gotDrift.toSet === wantDrift.toSet)
+    assert(gotDrift.size === 20)
+  }
+
   test("--in-format jsonl is FAILFAST: a malformed line aborts the run " +
     "instead of vanishing through the gates as a null row") {
     val inDir = tmp("cc_ff_in")

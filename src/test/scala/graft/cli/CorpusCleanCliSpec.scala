@@ -62,6 +62,26 @@ class CorpusCleanCliSpec extends AnyFunSuite {
       Seq("in", "out", "--bpe", "x", "--merges-out", "/m")).isLeft)
   }
 
+  test("planning flags: --curriculum toggles; --pack validates range; " +
+    "--manifest-by/--manifest-out and --drift-against/--drift-out pair") {
+    assert(!ok("in", "out").curriculum)
+    assert(ok("in", "out", "--curriculum").curriculum)
+    assert(ok("in", "out", "--pack", "128").pack === Some(128L))
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--pack", "0")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--pack", "x")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--pack")).isLeft)
+    val m = ok("in", "out", "--manifest-by", "source", "--manifest-out", "/m")
+    assert(m.manifestBy === Some("source") && m.manifestOut === Some("/m"))
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--manifest-by", "source")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--manifest-out", "/m")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--manifest-by", "",
+      "--manifest-out", "/m")).isLeft)
+    val d = ok("in", "out", "--drift-against", "/p", "--drift-out", "/d")
+    assert(d.driftAgainst === Some("/p") && d.driftOut === Some("/d"))
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--drift-against", "/p")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--drift-out", "/d")).isLeft)
+  }
+
   test("stage toggles: --no-lang-gate and --no-near-dup clear the stages") {
     val c = ok("in", "out", "--no-lang-gate", "--no-near-dup")
     assert(c.lang.isEmpty && c.nearDup.isEmpty)
