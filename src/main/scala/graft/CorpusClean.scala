@@ -49,8 +49,36 @@ object CorpusClean {
     * through the gates — ingest corruption must ABORT, not shrink the
     * corpus (the same discipline as the byte-pinned sinks). */
   private[graft] def readInput(spark: SparkSession, cfg: CorpusCleanConfig): DataFrame =
-    jsonlRead(spark, cfg.inFormat, cfg.in,
+    if (cfg.in.startsWith("jdbc:")) {
+      // live-database ingest — the reference's native input shape
+      // (paradump reads a DB; a corpus pipeline fed by a crawler DB is
+      // the same): catalog PK discovery, server-side boundary walk, one
+      // JDBC partition per equal-cardinality chunk. Column pruning pushes
+      // into the generated SELECT — only the pipeline's columns cross
+      // the wire.
+      val table = cfg.inTable.getOrElse(
+        throw new IllegalArgumentException("jdbc: input needs --in-table"))
+      val props = new java.util.Properties()
+      val pk = graft.catalog.JdbcCatalog.withConnection(cfg.in, props)(c =>
+        graft.catalog.JdbcCatalog.primaryKey(c, table))
+      require(pk.nonEmpty,
+        s"corpus table $table has no primary key — chunked ingest needs one")
+      val cols = (Seq("doc_id", "text") ++
+        (cfg.splitBy.toSeq ++ cfg.manifestBy.toSeq)).distinct
+      graft.sources.JdbcChunkedSource
+        .readChunked(spark, cfg.in, table, pk, cfg.inChunks, props)
+        // alias to the pipeline's lower-case names (Derby/Oracle catalogs
+        // upper-case identifiers; resolution is case-insensitive)
+        .select(cols.map(c => col(c).as(c)): _*)
+    } else jsonlRead(spark, cfg.inFormat, cfg.in,
       (cfg.splitBy.toSeq ++ cfg.manifestBy.toSeq).distinct)
+
+  /** Stage-label tag for one (input, output) run — includes the corpus
+    * table for jdbc: inputs so two tables of one database never alias
+    * their stage directories. */
+  private def runTag(cfg: CorpusCleanConfig): String =
+    StageStore.dirTag(
+      s"${cfg.in}${cfg.inTable.fold("")(t => s"#$t")}->${cfg.out}")
 
   private def jsonlRead(spark: SparkSession, format: String, dir: String,
                         extraCols: Seq[String]): DataFrame =
@@ -75,7 +103,7 @@ object CorpusClean {
     * (reference stats actor, paradump.go §2.5). */
   def stages(spark: SparkSession, cfg: CorpusCleanConfig): Seq[(String, DataFrame)] = {
     cfg.stageDir.foreach(d => spark.conf.set("spark.graft.stageDir", d))
-    val tag = StageStore.dirTag(s"${cfg.in}->${cfg.out}")
+    val tag = runTag(cfg)
     val docs = readInput(spark, cfg).select(col("doc_id"), col("text"))
 
     // 1. gates — filter-first so the gram/candidate stages see less.
@@ -235,7 +263,7 @@ object CorpusClean {
     // (post-redaction), so ids never encode masked PII. The delivered
     // frame feeds three consumers here (vocab build, the encode join's
     // both sides) — materialize it once, per the multi-consumer rule
-    val tag = StageStore.dirTag(s"${cfg.in}->${cfg.out}")
+    val tag = runTag(cfg)
     val withIds = cfg.encodeMinCount match {
       case Some(minCount) =>
         val surv = StageStore.materialize(withShard, s"cc_delivered_$tag")
@@ -304,7 +332,7 @@ object CorpusClean {
     // files-to-files copy — the pipeline never re-runs
     cfg.vocabOut.foreach { vd =>
       spark.read.parquet(StageStore.resolvedPath(spark,
-          s"cc_vocab_${StageStore.dirTag(s"${cfg.in}->${cfg.out}")}"))
+          s"cc_vocab_${runTag(cfg)}"))
         .write.mode("overwrite").parquet(vd)
     }
     // tokenizer prep: BPE merges trained on the SURVIVING corpus (the

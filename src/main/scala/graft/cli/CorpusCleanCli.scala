@@ -93,7 +93,13 @@ case class CorpusCleanConfig(
     // input format: parquet (default) or jsonl — JSONL reads with a
     // DECLARED schema (doc_id, text, + the --split-by key); inference
     // would be an extra full corpus scan
-    inFormat: String = "parquet")
+    inFormat: String = "parquet",
+    // live-database ingest: when <in> is a jdbc: URL (the reference's
+    // native input — a crawler DB is the same shape), --in-table names
+    // the corpus table and --in-chunks the equal-cardinality chunk count
+    // for the server-side boundary walk (one JDBC partition per chunk)
+    inTable: Option[String] = None,
+    inChunks: Int = 32)
 
 object CorpusCleanCli {
 
@@ -176,6 +182,12 @@ object CorpusCleanCli {
         case "--manifest-out" :: v :: t => c = c.copy(manifestOut = Some(v)); rest = t
         case "--drift-against" :: v :: t => c = c.copy(driftAgainst = Some(v)); rest = t
         case "--drift-out" :: v :: t => c = c.copy(driftOut = Some(v)); rest = t
+        case "--in-table" :: v :: t => c = c.copy(inTable = Some(v)); rest = t
+        case "--in-chunks" :: v :: t =>
+          intArg(v, "--in-chunks") match {
+            case Right(i) => c = c.copy(inChunks = i); rest = t
+            case Left(e) => return Left(e)
+          }
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t
@@ -201,7 +213,7 @@ object CorpusCleanCli {
     "--split-by", "--shards", "--stage-dir", "--stats-file",
     "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
-    "--drift-against", "--drift-out")
+    "--drift-against", "--drift-out", "--in-table", "--in-chunks")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -237,6 +249,14 @@ object CorpusCleanCli {
       Left("--manifest-by and --manifest-out must be given together")
     else if (c.driftAgainst.isDefined != c.driftOut.isDefined)
       Left("--drift-against and --drift-out must be given together")
+    else if (c.in.startsWith("jdbc:") && c.inTable.isEmpty)
+      Left("a jdbc: input needs --in-table <corpusTable>")
+    else if (c.inTable.isDefined && !c.in.startsWith("jdbc:"))
+      Left("--in-table requires a jdbc: <in> URL")
+    else if (c.in.startsWith("jdbc:") && c.inFormat != "parquet")
+      Left("--in-format does not apply to a jdbc: input")
+    else if (c.inChunks < 1)
+      Left(s"--in-chunks must be >= 1, got ${c.inChunks}")
     else Right(c)
   }
 }

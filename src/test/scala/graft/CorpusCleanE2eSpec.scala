@@ -462,6 +462,51 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(gotDrift.size === 20)
   }
 
+  test("a jdbc: input runs the gate+dedup chain off the live database " +
+    "(chunked PK reads) with output equal to the parquet-path run") {
+    val dbDir = Files.createTempDirectory("cc_jdbc_db").toFile.getAbsolutePath
+    val url = s"jdbc:derby:$dbDir/ccdb;create=true"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE CORPUS (doc_id BIGINT NOT NULL PRIMARY KEY, " +
+        "text VARCHAR(32000), source VARCHAR(32))")
+      st.close()
+      val ps = conn.prepareStatement("INSERT INTO CORPUS VALUES (?, ?, ?)")
+      docs.foreach { r =>
+        ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+        ps.setString(3, r.getString(2)); ps.addBatch()
+      }
+      ps.executeBatch(); ps.close()
+    } finally conn.close()
+    val inP = tmp("cc_jdbc_p")
+    val outP = tmp("cc_jdbc_op")
+    val outJ = tmp("cc_jdbc_oj")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .write.mode("overwrite").parquet(inP)
+    val flags = Seq("--no-lang-gate", "--split-by", "source")
+    val nP = CorpusClean.run(spark, CorpusCleanCli.parse(
+      (inP +: outP +: flags)).toOption.get)
+    val nJ = CorpusClean.run(spark, CorpusCleanCli.parse(
+      (url +: outJ +: flags) ++ Seq("--in-table", "CORPUS",
+        "--in-chunks", "7")).toOption.get)
+    assert(nJ === nP)
+    def rows(d: String) = spark.read.parquet(d)
+      .select("doc_id", "text", "split")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(outJ) === rows(outP))
+    // the ingest really was chunked: one JDBC partition per boundary chunk
+    val jdbcIn = CorpusClean.readInput(spark, CorpusCleanCli.parse(
+      (url +: outJ +: flags) ++ Seq("--in-table", "CORPUS",
+        "--in-chunks", "7")).toOption.get)
+    assert(jdbcIn.rdd.getNumPartitions >= 7)
+    assert(jdbcIn.columns.toSeq === Seq("doc_id", "text", "source"))
+  }
+
   test("--in-format jsonl is FAILFAST: a malformed line aborts the run " +
     "instead of vanishing through the gates as a null row") {
     val inDir = tmp("cc_ff_in")

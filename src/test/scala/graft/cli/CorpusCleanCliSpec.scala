@@ -82,6 +82,19 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(CorpusCleanCli.parse(Seq("in", "out", "--drift-out", "/d")).isLeft)
   }
 
+  test("jdbc ingest flags: --in-table pairs with a jdbc: input; " +
+    "--in-chunks validates range; --in-format is file-only") {
+    val c = ok("jdbc:derby:memory:x", "out", "--in-table", "CORPUS",
+      "--in-chunks", "7")
+    assert(c.inTable === Some("CORPUS") && c.inChunks === 7)
+    assert(CorpusCleanCli.parse(Seq("jdbc:derby:memory:x", "out")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--in-table", "T")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("jdbc:derby:memory:x", "out",
+      "--in-table", "T", "--in-format", "jsonl")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("jdbc:derby:memory:x", "out",
+      "--in-table", "T", "--in-chunks", "0")).isLeft)
+  }
+
   test("stage toggles: --no-lang-gate and --no-near-dup clear the stages") {
     val c = ok("in", "out", "--no-lang-gate", "--no-near-dup")
     assert(c.lang.isEmpty && c.nearDup.isEmpty)
