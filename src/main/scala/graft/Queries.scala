@@ -4487,6 +4487,48 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // tokenizer_drift — the tokenizer staleness gate (token_drift ×
+  // bpe_fertility composed): the persisted merge table is
+  // train-once/consume-many, but nothing else detects when it has gone
+  // stale against a drifted corpus. Fertility of the NEW shard (the
+  // token_drift planted batch) under the OLD merges vs merges re-trained
+  // on the shard itself — a widening gap is the retrain signal. The old
+  // merges read the persisted bpe_train artifact (8 bounded rows);
+  // retraining folds the shard once and runs the driver-side Sennrich
+  // loop; both encodes are one map-only pass over the shard.
+  // ---------------------------------------------------------------------
+  def tokenizerDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" drifted drifted tokens")).as("text"))
+    val oldMerges = StageStore.materializeIfAbsent(s, bpeMergeLabel(dir)) {
+        graft.operators.Bpe.train(docs, bpeMerges)
+      }.orderBy("merge_rank").collect()
+      .map(r => graft.operators.Bpe.Merge(
+        r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val newMerges = graft.operators.Bpe.trainMerges(batch, bpeMerges)
+    val sumWords = batch.agg(
+      sum(size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+        .cast("long").as("sum_words"))
+    def variantRow(name: String, merges: Seq[graft.operators.Bpe.Merge]) =
+      graft.operators.Bpe.encode(batch, merges)
+        .agg(sum("n_tokens").cast("long").as("sum_tokens"))
+        .crossJoin(broadcast(sumWords))
+        .select(lit(name).as("variant"), col("sum_words"), col("sum_tokens"),
+          (col("sum_tokens").cast("double") / col("sum_words").cast("double"))
+            .as("fertility"))
+    variantRow("old_merges", oldMerges)
+      .unionAll(variantRow("retrained", newMerges))
+      .orderBy("variant")
+  }
+
+  val tokenizerDriftSql: String = graft.operators.Bpe.tokenizerDriftSql(8,
+    "SELECT doc_id, text || ' drifted drifted tokens' AS text " +
+      "FROM documents WHERE doc_id % 3 = 0")
+
+  // ---------------------------------------------------------------------
   // token_drift — data drift monitoring between corpus snapshots: the
   // planted "new shard" (every 3rd doc with an appended campaign phrase)
   // must surface its injected tokens as the top positive movers while the
@@ -4737,6 +4779,7 @@ object Queries {
     "boilerplate_lines" -> (boilerplateLines _),
     "media_audio" -> (mediaAudio _),
     "token_drift" -> (tokenDrift _),
+    "tokenizer_drift" -> (tokenizerDrift _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
     "dump_jsonl" -> (dumpJsonl _),
@@ -4878,6 +4921,7 @@ object Queries {
     "boilerplate_lines" -> boilerplateLinesSql,
     "media_audio" -> mediaAudioSql,
     "token_drift" -> tokenDriftSql,
+    "tokenizer_drift" -> tokenizerDriftSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
     "dump_jsonl" -> dumpJsonlSql,

@@ -308,25 +308,69 @@ object Bpe {
   // pair matches — DuckDB's left-to-right scan equals greedyMerge).
   // ------------------------------------------------------------------
 
-  private def trainCtes(n: Int): String = {
+  /** The n-round training chain over an arbitrary `(doc_id, text)` source
+    * query, CTE names prefixed by `p` so two chains (e.g. the historical
+    * corpus and a drifted shard) compose in one statement. */
+  private def chainCtes(n: Int, docsSql: String, p: String): String = {
     val base =
-      """WITH wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-        |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY w),
-        |w0 AS (SELECT w, array_to_string(string_split(w,''),' ') AS seq, f FROM wt)""".stripMargin
+      s"""${p}wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM ($docsSql))
+         |  WHERE w <> '' GROUP BY w),
+         |${p}w0 AS (SELECT w, array_to_string(string_split(w,''),' ') AS seq, f FROM ${p}wt)""".stripMargin
     val rounds = (1 to n).map { i =>
-      s"""p$i AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(f) AS BIGINT) AS cnt
+      s"""${p}p$i AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(f) AS BIGINT) AS cnt
          |  FROM (SELECT unnest([{'l': s[i], 'r': s[i+1]} for i in generate_series(1, len(s)-1)]) AS pr, f
-         |        FROM (SELECT string_split(seq,' ') AS s, f FROM w${i - 1})) GROUP BY 1,2),
-         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$i AS (SELECT w, list_reduce(string_split(seq,' '), (acc, x) ->
+         |        FROM (SELECT string_split(seq,' ') AS s, f FROM ${p}w${i - 1})) GROUP BY 1,2),
+         |${p}m$i AS (SELECT l, r, cnt FROM ${p}p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |${p}w$i AS (SELECT w, list_reduce(string_split(seq,' '), (acc, x) ->
          |  CASE WHEN (acc = m.l OR ends_with(acc, ' ' || m.l)) AND x = m.r
          |       THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
          |       ELSE acc || ' ' || x END) AS seq, f
-         |  FROM w${i - 1} CROSS JOIN m$i m)""".stripMargin
+         |  FROM ${p}w${i - 1} CROSS JOIN ${p}m$i m)""".stripMargin
     }
     (base +: rounds).mkString(",\n")
   }
+
+  /** Apply an already-trained chain's merges `m1..mn` (CTE prefix
+    * `mergeP`) to the word table CTE `startCte` — the replay of
+    * [[encode]]'s fold for words the training corpus never saw. */
+  private def applyCtes(n: Int, startCte: String, mergeP: String,
+                        p: String): String = {
+    val base = s"${p}0 AS (SELECT w, seq, f FROM $startCte)"
+    val rounds = (1 to n).map { i =>
+      s"""${p}$i AS (SELECT w, list_reduce(string_split(seq,' '), (acc, x) ->
+         |  CASE WHEN (acc = m.l OR ends_with(acc, ' ' || m.l)) AND x = m.r
+         |       THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+         |       ELSE acc || ' ' || x END) AS seq, f
+         |  FROM ${p}${i - 1} CROSS JOIN ${mergeP}m$i m)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  private def trainCtes(n: Int): String =
+    "WITH " + chainCtes(n, "SELECT doc_id, text FROM documents", "")
+
+  /** Oracle for the tokenizer-drift gate: fertility of a drifted batch
+    * (`batchSql`, any `(doc_id, text)` query) under the OLD merges
+    * (trained over `documents` — the persisted artifact) vs merges
+    * RE-TRAINED on the batch itself. Two rows, integer sums + one IEEE
+    * division each. */
+  def tokenizerDriftSql(n: Int, batchSql: String): String =
+    "WITH " + chainCtes(n, "SELECT doc_id, text FROM documents", "") + ",\n" +
+      s"bt AS ($batchSql),\n" +
+      chainCtes(n, "SELECT doc_id, text FROM bt", "n") + ",\n" +
+      applyCtes(n, "nw0", "", "ob") +
+      s""",
+         |sw AS (SELECT CAST(SUM(f) AS BIGINT) AS sum_words FROM nwt),
+         |so AS (SELECT CAST(SUM(f * len(string_split(seq,' '))) AS BIGINT) AS sum_tokens FROM ob$n),
+         |sn AS (SELECT CAST(SUM(f * len(string_split(seq,' '))) AS BIGINT) AS sum_tokens FROM nw$n)
+         |SELECT variant, sum_words, sum_tokens,
+         |  CAST(sum_tokens AS DOUBLE) / CAST(sum_words AS DOUBLE) AS fertility
+         |FROM (
+         |  SELECT 'old_merges' AS variant, sw.sum_words, so.sum_tokens FROM sw, so
+         |  UNION ALL
+         |  SELECT 'retrained' AS variant, sw.sum_words, sn.sum_tokens FROM sw, sn)
+         |ORDER BY variant""".stripMargin
 
   /** Oracle for [[train]] at `n` merges over the `documents` table. */
   def trainSql(n: Int): String = {
