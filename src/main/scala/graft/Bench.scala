@@ -60,6 +60,33 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
 
+    // Isolated-loop mode (SPARK_GRAFT_BENCH_LOOP=<query>): one cold run
+    // then N warm repetitions (SPARK_GRAFT_BENCH_LOOP_N, default 9) of a
+    // SINGLE query, reporting the full distribution plus min/median —
+    // the adjudicator for queries whose full-suite number breathes with
+    // neighboring-query memory pressure (the CC family). A loop run
+    // never writes the default bench_out.json.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    sys.env.get("SPARK_GRAFT_BENCH_LOOP").foreach { q =>
+      require(SparkEntry.queries.contains(q), s"unknown query: $q")
+      val n = sys.env.get("SPARK_GRAFT_BENCH_LOOP_N").map(_.toInt).getOrElse(9)
+      val cold0 = runOnce(q)
+      val reps = (1 to n).map(_ => runOnce(q))
+      val sorted = reps.sorted
+      val loadEnd = loadAvg()
+      val line =
+        s"""{"metric":"loop","query":"$q","unit":"sec","cold":${r3(cold0)},""" +
+          s""""reps":[${reps.map(r3).mkString(",")}],""" +
+          s""""min":${r3(sorted.head)},"median":${r3(sorted(n / 2))},""" +
+          s""""load_start":[${loadStart._1},${loadStart._2}],""" +
+          s""""load_end":[${loadEnd._1},${loadEnd._2}],"sf":"$sfDir"}"""
+      sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .foreach(f => Files.writeString(Paths.get(f), line + "\n"))
+      println(line)
+      spark.stop()
+      return
+    }
+
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
