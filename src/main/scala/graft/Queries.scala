@@ -4124,35 +4124,15 @@ object Queries {
   // ---------------------------------------------------------------------
   private val annRpShortlist = 100
 
-  def annRp(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val proj = rpReduce(s, dir) // (vec_id, r00..r15)
-    def dot16(a: String, b: String) =
-      (0 until rpDims).map(j => col(f"$a%s.r$j%02d") * col(f"$b%s.r$j%02d"))
-        .reduceLeft(_ + _)
-    val n = proj.as("n")
-    val q = proj.filter(col("vec_id") < 5).as("q")
-    val cos16 = dot16("n", "q") /
-      (sqrt(dot16("q", "q")) * sqrt(dot16("n", "n")))
-    val w16 = Window.partitionBy(col("q.vec_id")).orderBy(cos16.desc, col("n.vec_id"))
-    val shortlist = n.crossJoin(broadcast(q))
-      .filter(col("n.vec_id") =!= col("q.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
-        row_number().over(w16).as("rk16"))
-      .filter(col("rk16") <= annRpShortlist)
-    val qe = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val exact = graft.operators.Similarity.cosine(col("q_emb"), col("embedding"))
-    val wx = Window.partitionBy("query_id").orderBy(exact.desc, col("neighbor_id"))
-    shortlist
-      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
-      .join(broadcast(qe), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), row_number().over(wx).as("rank"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  def annRp(s: SparkSession, dir: String): DataFrame =
+    // the operator API ([[graft.operators.Similarity.rpTopK]]) with the
+    // registry parameters: seed 7 reproduces rpMatrix exactly, so the
+    // 32-dim shortlist and the refine are bit-identical to the oracle
+    graft.operators.Similarity.rpTopK(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64,
+      projDims = rpDims, shortlist = annRpShortlist, seed = 7L)
       .orderBy("query_id", "rank")
-  }
 
   val annRpSql: String = {
     def arr(p: Seq[Double]): String =

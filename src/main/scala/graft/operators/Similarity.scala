@@ -384,6 +384,61 @@ object Similarity {
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+
+  /** Approximate top-k via JL random-projection reduce-then-refine
+    * (Johnson–Lindenstrauss): score every candidate cheaply in the
+    * `projDims`-dim projected space (half the multiplies and half the
+    * vector I/O at the default 32-of-64), keep the `shortlist` best per
+    * query, then re-rank the shortlist with the exact cosine.
+    *
+    * The shortlist size is the recall/cost dial. Rule of thumb: ~4×k
+    * buys ≥0.9 top-k recall at 32 projected dims on CLUSTERED corpora
+    * (real embedding spaces — neighbors separated by cluster-scale
+    * margins survive the JL distortion; SimilaritySpec measures 1.0 at
+    * shortlist=4k on a 20-cluster fixture). On an ADVERSARIAL isotropic
+    * corpus (no cluster structure, all cosines near-equidistant) the
+    * projected margin between rank-k and rank-n is below the JL
+    * distortion and recall degrades (~0.72 at shortlist=100, k=5 on the
+    * isotropic fixture — BENCH_NOTES); widen the shortlist there — the
+    * refine cost stays shortlist×dim multiplies per query, and
+    * shortlist=n recovers exact brute force. */
+  def rpTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, dim: Int = 64,
+             projDims: Int = 32, shortlist: Int = 100,
+             seed: Long = 7L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val mat = Seq.fill(projDims)(Seq.fill(dim)(rnd.nextGaussian()))
+    val dot = graft.functions.VectorExprs.dot _
+    val projCols = mat.zipWithIndex.map { case (row, j) =>
+      dot(col("embedding"), lit(row.map(_.toFloat).toArray)).as(f"r$j%02d")
+    }
+    val proj = emb.select(col("vec_id") +: projCols: _*)
+    def dotRp(a: String, b: String) =
+      (0 until projDims).map(j => col(f"$a%s.r$j%02d") * col(f"$b%s.r$j%02d"))
+        .reduceLeft(_ + _)
+    val n = proj.as("n")
+    val q = proj.filter(col("vec_id").isin(queryIds: _*)).as("q")
+    val cosRp = dotRp("n", "q") /
+      (sqrt(dotRp("q", "q")) * sqrt(dotRp("n", "n")))
+    val wRp = Window.partitionBy(col("q.vec_id"))
+      .orderBy(cosRp.desc, col("n.vec_id"))
+    val short = n.crossJoin(broadcast(q))
+      .filter(col("n.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
+        row_number().over(wRp).as("rk"))
+      .filter(col("rk") <= shortlist)
+    val qe = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val sim = cosine(col("q_emb"), col("embedding"))
+    val wx = Window.partitionBy("query_id").orderBy(sim.desc, col("neighbor_id"))
+    short
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), row_number().over(wx).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
   /** IVF-PQ (the production FAISS composition): Voronoi cells bound WHICH
     * rows a query reads, PQ codes bound HOW MANY BYTES each read costs,
     * and the exact refine restores precision over the shortlist — all

@@ -143,6 +143,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.6, s"JL shortlist recall too low: $recall")
   }
 
+  test("rpTopK on CLUSTERED embeddings: the production regime's recall — " +
+    ">=0.9 top-5 at the shortlist=4k rule of thumb; shortlist=n is exact") {
+    val s = spark
+    import s.implicits._
+    // 20 well-separated cluster centers in R^64, 25 points per center with
+    // small noise — the shape real embedding corpora have (vs the
+    // adversarial isotropic fixture where ann_rp measures ~0.72)
+    val rnd = new scala.util.Random(11L)
+    val centers = Array.fill(20)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val qs = Seq(0L, 7L, 42L, 133L, 260L)
+    val exact = Similarity.bruteForceTopK(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the scaladoc's rule of thumb: shortlist = 4×k
+    val rp = Similarity.rpTopK(emb, qs, k = 5, dim = 64, projDims = 32,
+        shortlist = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = qs.map(q => (rp(q) intersect exact(q)).size).sum
+    val recall = hits.toDouble / (qs.size * 5)
+    info(s"rpTopK clustered top-5 recall at shortlist=20: $recall")
+    assert(recall >= 0.9,
+      s"clustered-regime recall $recall below the documented >=0.9")
+    // the dial's far end: shortlist = corpus size recovers brute force
+    val full = Similarity.rpTopK(emb, qs, k = 5, dim = 64, projDims = 32,
+        shortlist = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === bf)
+  }
+
   test("cosineNearDupPairs: planted duplicate vectors are found at sim ~1") {
     val planted = emb.limit(10).unionAll(
       emb.limit(10).withColumn("vec_id", col("vec_id") + lit(1000000L)))
