@@ -33,11 +33,10 @@ object CorpusStream {
     *
     * State bound: one row per DISTINCT surviving digest — the standing
     * query's state IS the dedup index. An infinite-horizon deployment
-    * bounds it the way the batch side already does: watermark-windowed
-    * dedup for recency-scoped exactness
-    * ([[EventsStream.dedupToParquet]]'s shape) or periodic compaction of
-    * the state into the persisted digest table that
-    * `dedup_exact_incremental` anti-joins against. */
+    * uses [[ingestCleanBounded]] (watermark-windowed, state evicted past
+    * the horizon) with periodic compaction into the persisted digest
+    * table that `dedup_exact_incremental` anti-joins against as the
+    * long-horizon backstop. */
   def ingestClean(docs: DataFrame, minWords: Int): DataFrame =
     docs
       .filter(size(split(col("text"), " ")) >= minWords)
@@ -45,4 +44,31 @@ object CorpusStream {
       .groupBy("digest")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
       .select(col("doc_id"), col("dup_cnt"))
+
+  /** The BOUNDED standing-deployment variant of [[ingestClean]]:
+    * recency-scoped exact dedup via watermark +
+    * `dropDuplicatesWithinWatermark` on the digest (the
+    * [[EventsStream.dedupToParquet]] shape). `docs` must carry an
+    * `ingest_ts` timestamp; state holds one row per distinct digest seen
+    * within the `horizon` window and Spark EVICTS everything older, so an
+    * infinite-horizon deployment has a bounded state store — the property
+    * [[ingestClean]]'s scaladoc promises and this method delivers in code.
+    *
+    * The trade: a duplicate arriving more than `horizon` after its
+    * original is NOT caught here — the long-horizon backstop is periodic
+    * compaction into the persisted digest table that
+    * `dedup_exact_incremental` anti-joins against. And within the window
+    * the winner is FIRST-ARRIVAL (keep-first), not min doc_id:
+    * order-invariant min-per-digest requires holding every candidate
+    * until the horizon closes, which is exactly the unbounded variant.
+    * Emits the surviving (doc_id, ingest_ts) rows, append-mode safe. */
+  def ingestCleanBounded(docs: DataFrame, minWords: Int,
+                         horizon: String = "1 hour"): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= minWords)
+      .select(col("doc_id"), col("ingest_ts"),
+        sha2(col("text"), 256).as("digest"))
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("digest")
+      .select(col("doc_id"), col("ingest_ts"))
 }

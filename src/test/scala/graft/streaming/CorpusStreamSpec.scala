@@ -40,4 +40,43 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
     // and in one batch, shuffled
     assert(drain(Seq(docs.reverse)) == want)
   }
+
+  test("ingestCleanBounded: within-horizon duplicates drop, and the " +
+    "watermark EVICTS old digests so the state store stays bounded") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val body = "a quality document with enough words to clear the gate easily ok"
+    val other = "another body with enough words to clear the quality gate fine too"
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = CorpusStream.ingestCleanBounded(
+      input.toDF().toDF("doc_id", "ingest_ts", "text"),
+      minWords = 10, horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("corpus_bounded")
+      .outputMode("append").start()
+    try {
+      // batch 1: original + a within-horizon duplicate + a gated-out doc
+      input.addData(Seq((1L, ts(0), body), (2L, ts(3), body), (3L, ts(1), "short")))
+      q.processAllAvailable()
+      // batch 2: advance event time far past the horizon; a fresh body
+      // keeps the query producing and pushes the watermark forward
+      input.addData(Seq((4L, ts(60), other)))
+      q.processAllAvailable()
+      input.addData(Seq((5L, ts(120), other + " again and again and again")))
+      q.processAllAvailable()
+      val got = spark.table("corpus_bounded").collect()
+        .map(_.getLong(0)).toSet
+      // exactly ONE of the duplicate pair {1,2} survives (keep-first is
+      // first-PROCESSED — partition-order dependent within a batch, the
+      // documented difference from ingestClean's min-per-digest); the
+      // gated-out doc 3 never appears
+      assert((got intersect Set(1L, 2L)).size == 1, s"got $got")
+      assert((got -- Set(1L, 2L)) == Set(4L, 5L), s"got $got")
+      // the bound in evidence: after the watermark passed ts(0)+horizon,
+      // batch-1 digests are EVICTED — state rows < total distinct digests
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2,
+        s"state holds $stateRows rows — eviction not happening")
+    } finally q.stop()
+  }
 }
