@@ -432,6 +432,59 @@ object Queries {
       |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
       |  AND doc_b >= 1000000""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // split_leakage_audit — the pre-ship check a training pipeline runs on
+  // its train/val/test assignment: do any near-duplicate pairs straddle
+  // splits? Contrasts the NAIVE row-hash split (keyed on doc_id — the
+  // contamination mode) with the leakage-safe source-keyed split the
+  // delivery layer ships (Splits.splitLabel): over the planted near-dup
+  // corpus the naive split leaks (an original and its mutation hash
+  // independently) while the source-keyed split cannot leak pairs whose
+  // docs share a source — the audit MEASURES both, so the zero proves the
+  // mechanism instead of asserting it. One output row; the pair table is
+  // the exact-Jaccard operator's inverted-index output (never all-pairs)
+  // and the label joins ship only (doc_id, 5-char label).
+  // ---------------------------------------------------------------------
+  def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("root_id"), col("source"))
+    val labeled = docsWithPlantedDups(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 1000000L).as("root_id"))
+      .join(base, Seq("root_id"))
+      .select(col("doc_id"),
+        graft.operators.Splits.splitLabel(col("doc_id"), "graft-split:")
+          .as("naive_split"),
+        graft.operators.Splits.splitLabel(col("source"), "graft-split:")
+          .as("safe_split"))
+    val pairs = graft.operators.NearDup.jaccardPairs(
+      docsWithPlantedDups(s, dir), threshold = 0.5).select("doc_a", "doc_b")
+    pairs
+      .join(labeled.select(col("doc_id").as("doc_a"),
+        col("naive_split").as("na"), col("safe_split").as("sa")), Seq("doc_a"))
+      .join(labeled.select(col("doc_id").as("doc_b"),
+        col("naive_split").as("nb"), col("safe_split").as("sb")), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)).cast("long")
+          .as("naive_cross_pairs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).cast("long")
+          .as("safe_cross_pairs"))
+  }
+
+  val splitLeakageAuditSql: String = {
+    val naive = graft.operators.Splits.splitLabelSql("d2.doc_id", "graft-split:")
+    val safe = graft.operators.Splits.splitLabelSql("src.source", "graft-split:")
+    jaccardPairsCtePrefix + s""",
+      |dup AS (SELECT doc_a, doc_b FROM p
+      |  WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),
+      |lab AS (SELECT d2.doc_id AS doc_id, $naive AS naive_split, $safe AS safe_split
+      |  FROM (SELECT doc_id, doc_id % 1000000 AS root_id FROM docs2) d2
+      |  JOIN documents src ON src.doc_id = d2.root_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END) AS BIGINT) AS naive_cross_pairs,
+      |  CAST(SUM(CASE WHEN a.safe_split <> b.safe_split THEN 1 ELSE 0 END) AS BIGINT) AS safe_cross_pairs
+      |FROM dup JOIN lab a ON a.doc_id = dup.doc_a JOIN lab b ON b.doc_id = dup.doc_b""".stripMargin
+  }
+
   /** Exact n-gram Jaccard via inverted-index candidates — same ground truth
     * as the oracle by construction (recall exact for threshold > 0). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
@@ -4657,6 +4710,7 @@ object Queries {
     "near_dup_simhash" -> (nearDupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "near_dup_clusters" -> (nearDupClusters _),
+    "split_leakage_audit" -> (splitLeakageAudit _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "events_stream" -> (eventsStreamHourly _),
     "events_sessions" -> (eventsSessions _),
@@ -4796,6 +4850,7 @@ object Queries {
     "hash_embed" -> hashEmbedSql,
     "near_dup_minhash" -> nearDupMinhashSql,
     "near_dup_incremental" -> nearDupIncrementalSql,
+    "split_leakage_audit" -> splitLeakageAuditSql,
     "near_dup_simhash" -> nearDupSimhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "near_dup_clusters" -> nearDupClustersSql,
