@@ -250,6 +250,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"levenshtein not thresholded:\n$p")
   }
 
+  test("split_leakage_audit: pair generation stays inverted-index (no " +
+    "all-pairs fallback); labels join by doc_id equi-joins") {
+    val p = plan("split_leakage_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation fell back to all-pairs:\n$p")
+    // the split labels are computed map-side (md5 CASE), never a shuffle
+    // of their own
+    assert(p.contains("md5"), s"split label rule missing:\n$p")
+  }
+
   test("funnel_conversion: three stacked windows share one user_id exchange") {
     val p = plan("funnel_conversion")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) == 1,
