@@ -63,15 +63,16 @@ object CorpusClean {
         graft.catalog.JdbcCatalog.primaryKey(c, table))
       require(pk.nonEmpty,
         s"corpus table $table has no primary key — chunked ingest needs one")
-      val cols = (Seq("doc_id", "text") ++
-        (cfg.splitBy.toSeq ++ cfg.manifestBy.toSeq)).distinct
+      val cols = (Seq("doc_id", "text") ++ cfg.splitBy.toSeq ++
+        cfg.manifestBy.toSeq ++ cfg.curriculumBy.toSeq).distinct
       graft.sources.JdbcChunkedSource
         .readChunked(spark, cfg.in, table, pk, cfg.inChunks, props)
         // alias to the pipeline's lower-case names (Derby/Oracle catalogs
         // upper-case identifiers; resolution is case-insensitive)
         .select(cols.map(c => col(c).as(c)): _*)
     } else jsonlRead(spark, cfg.inFormat, cfg.in,
-      (cfg.splitBy.toSeq ++ cfg.manifestBy.toSeq).distinct)
+      (cfg.splitBy.toSeq ++ cfg.manifestBy.toSeq ++
+        cfg.curriculumBy.toSeq).distinct)
 
   /** Stage-label tag for one (input, output) run — includes the corpus
     * table for jdbc: inputs so two tables of one database never alias
@@ -281,15 +282,24 @@ object CorpusClean {
     // what ships): --curriculum joins the global easiest-first order
     // (rare-bigram difficulty, the curriculum_order query's signal);
     // --pack joins the greedy next-fit window assignment (pack_sequences)
-    val withCur =
-      if (!cfg.curriculum) withIds
-      else withIds.join(
+    val withCur = (cfg.curriculum, cfg.curriculumBy) match {
+      case (true, _) => withIds.join(
         graft.operators.Splits.curriculumOrder(
           graft.operators.LmScore.bigramRarity(
             withIds.select(col("doc_id"), col("text")), rareMax = 2L,
             stageLabel = Some(s"cc_currarity_$tag")),
           scoreCol = "rare_cnt"),
         Seq("doc_id"))
+      case (false, Some(scoreCol)) =>
+        // external difficulty: the score lives on the INPUT (an upstream
+        // quality pass) and joins back by doc_id, like --split-by's key
+        val keys = readInput(spark, cfg).select(col("doc_id"), col(scoreCol))
+        withIds.join(
+          graft.operators.Splits.curriculumOrder(
+            withIds.select("doc_id").join(keys, Seq("doc_id")), scoreCol),
+          Seq("doc_id"))
+      case (false, None) => withIds
+    }
     cfg.pack match {
       case Some(w) => withCur.join(
         graft.operators.Packing.packSequences(

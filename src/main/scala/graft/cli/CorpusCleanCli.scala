@@ -71,6 +71,10 @@ case class CorpusCleanConfig(
     // by the corpus-self-supervised rare-bigram signal (the
     // curriculum_order query's shape)
     curriculum: Boolean = false,
+    // curriculum with an EXTERNAL difficulty: order by this integer input
+    // column instead of the rare-bigram signal (an upstream quality score,
+    // a perplexity bucket); mutually exclusive with --curriculum
+    curriculumBy: Option[String] = None,
     // sequence packing: add (bucket, seq_id, n_toks, tok_offset) to every
     // delivered doc — greedy next-fit into windows of this token budget
     // (pack_sequences); with --stats-file, the fill-ratio audit
@@ -173,6 +177,7 @@ object CorpusCleanCli {
           }
         case "--merges-out" :: v :: t => c = c.copy(mergesOut = Some(v)); rest = t
         case "--curriculum" :: t => c = c.copy(curriculum = true); rest = t
+        case "--curriculum-by" :: v :: t => c = c.copy(curriculumBy = Some(v)); rest = t
         case "--pack" :: v :: t =>
           v.toLongOption match {
             case Some(n) => c = c.copy(pack = Some(n)); rest = t
@@ -213,7 +218,8 @@ object CorpusCleanCli {
     "--split-by", "--shards", "--stage-dir", "--stats-file",
     "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
-    "--drift-against", "--drift-out", "--in-table", "--in-chunks")
+    "--drift-against", "--drift-out", "--in-table", "--in-chunks",
+    "--curriculum-by")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -244,6 +250,10 @@ object CorpusCleanCli {
       Left("--bpe and --merges-out must be given together")
     else if (c.pack.exists(_ < 1))
       Left(s"--pack must be >= 1, got ${c.pack.get}")
+    else if (c.curriculum && c.curriculumBy.isDefined)
+      Left("--curriculum conflicts with --curriculum-by")
+    else if (c.curriculumBy.exists(_.isEmpty))
+      Left("--curriculum-by: empty column name")
     else if (c.manifestBy.exists(_.isEmpty)) Left("--manifest-by: empty column name")
     else if (c.manifestBy.isDefined != c.manifestOut.isDefined)
       Left("--manifest-by and --manifest-out must be given together")

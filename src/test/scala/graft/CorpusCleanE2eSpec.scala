@@ -422,6 +422,36 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       wantToks.toDouble / (wantSeqs * 64L)) < 1e-12)
   }
 
+  test("--curriculum-by orders by an EXTERNAL input score column instead " +
+    "of the rare-bigram signal") {
+    val inDir = tmp("cc_cby_in")
+    val outDir = tmp("cc_cby_out")
+    // difficulty = a planted upstream score: doc_id reversed mod 1000 —
+    // distinct from any text-derived signal
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        ((lit(999999L) - col("doc_id")) % 1000L).as("qscore"))
+      .write.mode("overwrite").parquet(inDir)
+    val n = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--curriculum-by", "qscore"))
+      .toOption.get)
+    assert(n > 0)
+    val out = spark.read.parquet(outDir)
+    val want = graft.operators.Splits.curriculumOrder(
+        out.select(col("doc_id"))
+          .join(spark.read.parquet(inDir).select("doc_id", "qscore"),
+            Seq("doc_id")), "qscore")
+      .collect().map(_.toSeq).toSet
+    assert(out.select("doc_id", "difficulty", "ord")
+      .collect().map(_.toSeq).toSet === want)
+    // the order really follows the external score, easiest first
+    val first = out.orderBy("ord").select("difficulty").limit(1)
+      .collect()(0).getLong(0)
+    val last = out.orderBy(col("ord").desc).select("difficulty").limit(1)
+      .collect()(0).getLong(0)
+    assert(first <= last)
+  }
+
   test("--manifest-by/--manifest-out write the survivors' mixture plan; " +
     "--drift-against/--drift-out write the token-drift table") {
     val inDir = tmp("cc_mx_in")

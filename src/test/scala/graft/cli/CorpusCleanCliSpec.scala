@@ -66,6 +66,11 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     "--manifest-by/--manifest-out and --drift-against/--drift-out pair") {
     assert(!ok("in", "out").curriculum)
     assert(ok("in", "out", "--curriculum").curriculum)
+    assert(ok("in", "out", "--curriculum-by", "qscore").curriculumBy
+      === Some("qscore"))
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--curriculum",
+      "--curriculum-by", "qscore")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--curriculum-by", "")).isLeft)
     assert(ok("in", "out", "--pack", "128").pack === Some(128L))
     assert(CorpusCleanCli.parse(Seq("in", "out", "--pack", "0")).isLeft)
     assert(CorpusCleanCli.parse(Seq("in", "out", "--pack", "x")).isLeft)
