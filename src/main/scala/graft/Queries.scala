@@ -2067,6 +2067,44 @@ object Queries {
       |FROM documents WHERE len(string_split(text, ' ')) >= 10
       |GROUP BY text ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // docs_stream_ingest_incremental — the streaming form of
+  // dedup_exact_incremental: the standing ingest query anti-joins every
+  // micro-batch against the PERSISTED digest table (stream-static join,
+  // history read from files — never rescanned, never in streaming
+  // state), so only texts history has never seen survive. History here is
+  // the doc_id % 3 != 0 subset's digests (StageStore-persisted once, the
+  // production compaction artifact); the stream is the whole corpus. The
+  // oracle is the equivalent batch anti-join.
+  // ---------------------------------------------------------------------
+  def docsStreamIngestIncremental(s: SparkSession, dir: String): DataFrame = {
+    val digests = StageStore.materializeIfAbsent(s,
+      s"stream_digests_${StageStore.dirTag(dir)}") {
+      graft.operators.TextOps.textDigests(
+        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("text")))
+    }
+    val cleaned = graft.streaming.CorpusStream.ingestCleanIncremental(
+      graft.streaming.CorpusStream.fromParquetDir(s, dir), minWords = 10,
+      historyDigests = digests)
+    val qname = "docs_stream_inc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = cleaned.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("doc_id")
+  }
+
+  val docsStreamIngestIncrementalSql: String =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_cnt
+      |FROM documents
+      |WHERE len(string_split(text, ' ')) >= 10
+      |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
+      |GROUP BY text ORDER BY doc_id""".stripMargin
+
   /** Streaming exact dedup: the events stream unioned with itself (every
     * record duplicated) must come out exactly once through
     * withWatermark + dropDuplicatesWithinWatermark keyed on event_id — the
@@ -4819,6 +4857,7 @@ object Queries {
     "dump_jsonl" -> (dumpJsonl _),
     "dump_jsonl_orders" -> (dumpJsonlOrders _),
     "docs_stream_ingest" -> (docsStreamIngest _),
+    "docs_stream_ingest_incremental" -> (docsStreamIngestIncremental _),
     "mlm_mask" -> (mlmMask _),
     "bpe_fertility" -> (bpeFertility _),
     "hard_negatives" -> (hardNegatives _),
@@ -4962,6 +5001,7 @@ object Queries {
     "dump_jsonl" -> dumpJsonlSql,
     "dump_jsonl_orders" -> dumpJsonlOrdersSql,
     "docs_stream_ingest" -> docsStreamIngestSql,
+    "docs_stream_ingest_incremental" -> docsStreamIngestIncrementalSql,
     "mlm_mask" -> mlmMaskSql,
     "bpe_fertility" -> bpeFertilitySql,
     "hard_negatives" -> hardNegativesSql,

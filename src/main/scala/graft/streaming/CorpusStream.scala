@@ -45,6 +45,28 @@ object CorpusStream {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
       .select(col("doc_id"), col("dup_cnt"))
 
+  /** The INCREMENTAL streaming ingest — [[ingestClean]] anti-joined
+    * against the persisted digest table
+    * ([[graft.operators.TextOps.textDigests]]'s `(text_sha)` artifact,
+    * the same one `dedup_exact_incremental` uses batch-side): a
+    * stream-static left-anti join, so a shard never survives if history
+    * already holds its text, and history files are read — never
+    * rescanned as a stream. Within-stream duplicates still collapse to
+    * min doc_id by the digest aggregate. The periodic compaction story:
+    * append the survivors' digests back to the static table between
+    * restarts, and the streaming state (one row per NEW digest since
+    * start) resets on every restart instead of growing forever. */
+  def ingestCleanIncremental(docs: DataFrame, minWords: Int,
+                             historyDigests: DataFrame): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= minWords)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .join(historyDigests.select(col("text_sha").as("digest")),
+        Seq("digest"), "left_anti")
+      .groupBy("digest")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("doc_id"), col("dup_cnt"))
+
   /** The BOUNDED standing-deployment variant of [[ingestClean]]:
     * recency-scoped exact dedup via watermark +
     * `dropDuplicatesWithinWatermark` on the digest (the

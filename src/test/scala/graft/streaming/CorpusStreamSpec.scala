@@ -41,6 +41,33 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
     assert(drain(Seq(docs.reverse)) == want)
   }
 
+  test("ingestCleanIncremental: history digests filter the stream via the " +
+    "static anti-join and never enter streaming state") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val histBody = "a historical document with enough words to clear the gate ok"
+    val newA = "a brand new body with enough words to clear the quality gate aa"
+    val newB = "another brand new body with enough words to pass the gate bb yes"
+    val history = graft.operators.TextOps.textDigests(
+      Seq((100L, histBody)).toDF("doc_id", "text"))
+    val input = MemoryStream[(Long, String)]
+    val out = CorpusStream.ingestCleanIncremental(
+      input.toDF().toDF("doc_id", "text"), minWords = 10, history)
+    val q = out.writeStream.format("memory").queryName("corpus_inc")
+      .outputMode("complete").start()
+    try {
+      // a history dup, a within-stream dup pair, one more new doc
+      input.addData(Seq((1L, histBody), (3L, newA), (2L, newA), (4L, newB)))
+      q.processAllAvailable()
+      val got = spark.table("corpus_inc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((2L, 2L), (4L, 1L)), s"got $got")
+      // state bound: only the NEW digests aggregate — history lives in
+      // files on the static side, never in the state store
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 2L)
+    } finally q.stop()
+  }
+
   test("ingestCleanBounded: within-horizon duplicates drop, and the " +
     "watermark EVICTS old digests so the state store stays bounded") {
     import spark.implicits._
