@@ -456,8 +456,14 @@ object Queries {
           .as("naive_split"),
         graft.operators.Splits.splitLabel(col("source"), "graft-split:")
           .as("safe_split"))
-    val pairs = graft.operators.NearDup.jaccardPairs(
-      docsWithPlantedDups(s, dir), threshold = 0.5).select("doc_a", "doc_b")
+    // the audit CONSUMES the dedup stage's pair table (train-once/
+    // consume-many — a pre-ship audit never recomputes candidate
+    // generation): persisted on first evaluation, file-read after
+    val pairs = StageStore.materializeIfAbsent(s,
+        s"planted_pairs_${StageStore.dirTag(dir)}") {
+      graft.operators.NearDup.jaccardPairs(
+        docsWithPlantedDups(s, dir), threshold = 0.5)
+    }.select("doc_a", "doc_b")
     pairs
       .join(labeled.select(col("doc_id").as("doc_a"),
         col("naive_split").as("na"), col("safe_split").as("sa")), Seq("doc_a"))

@@ -81,6 +81,55 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(reparted.toSeq == got.toSeq)
   }
 
+  test("trainDriver property: incremental pair maintenance equals a naive " +
+    "full-recount Sennrich loop on 60 random corpora") {
+    // the naive reference: recount every adjacent pair from scratch each
+    // round, argmax with the same (cnt desc, l, r) tie-break — the
+    // semantics trainDriver maintains incrementally via delta + heap
+    def naive(words: Seq[(String, Long)], nMerges: Int): Seq[Bpe.Merge] = {
+      var ws = words
+      val out = scala.collection.mutable.ArrayBuffer.empty[Bpe.Merge]
+      var i = 1
+      var done = false
+      while (i <= nMerges && !done) {
+        val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        ws.foreach { case (seq, f) =>
+          val s = seq.split(" ")
+          (0 until s.length - 1).foreach { j =>
+            cnt((s(j), s(j + 1))) = cnt.getOrElse((s(j), s(j + 1)), 0L) + f
+          }
+        }
+        if (cnt.isEmpty) done = true
+        else {
+          val ((l, r), c) = cnt.minBy { case ((l, r), c) => (-c, l, r) }
+          out += Bpe.Merge(i.toLong, l, r, c)
+          ws = ws.map { case (seq, f) => (Bpe.greedyMerge(seq, l, r), f) }
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(99L)
+    (1 to 60).foreach { trial =>
+      // random small vocab with runs and repeats — the adversarial shapes
+      // for incremental maintenance (overlapping pairs, re-formed pairs)
+      val alpha = "abcd"
+      val nWords = 1 + rnd.nextInt(12)
+      val words = (0 until nWords).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        val w = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        (Bpe.charSeq(w), 1L + rnd.nextInt(5))
+      }
+      // collapse duplicate words like wordTable does
+      val table = words.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.map { case (s, f) => (s, f) }
+      val n = 1 + rnd.nextInt(12)
+      val got = Bpe.trainDriver(table.toArray, n)
+      val want = naive(table, n)
+      assert(got == want, s"trial $trial diverged: table=$table n=$n")
+    }
+  }
+
   test("queries share one persisted merge table: encode after train " +
     "re-reads the stage files instead of re-training") {
     val sf = "/root/testdata/sf0.001"
