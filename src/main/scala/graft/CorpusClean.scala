@@ -127,12 +127,25 @@ object CorpusClean {
         Seq("doc_id"), "left_semi")
       case (None, _) => docs
     }
-    val filtered =
+    val worded =
       if (cfg.minWords <= 0) langed
       else langed.join(
         graft.operators.TextOps.textStats(docs)
           .filter(col("n_words") >= cfg.minWords).select("doc_id"),
         Seq("doc_id"), "left_semi")
+    // LM fluency gate (CCNet's central filter): score the ingest under a
+    // model trained on the EXTERNAL reference corpus, keep docs at or
+    // above the ppb threshold; the model is 4096 broadcast rows
+    val filtered = (cfg.fluencyRef, cfg.minFluency) match {
+      case (Some(rd), Some(minPpb)) =>
+        val ref = spark.read.parquet(rd).select(col("doc_id"), col("text"))
+        worded.join(
+          graft.operators.LmScore.fluencyScoreAgainst(docs, ref,
+            stageLabel = Some(s"cc_fluency_$tag"))
+            .filter(col("fluency_ppb") >= minPpb).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case _ => worded
+    }
 
     // 1b. line-level boilerplate removal (CCNet paragraph dedup) — runs
     // BEFORE exact dedup, as CCNet does: stripping shared templates first

@@ -3714,6 +3714,24 @@ object Queries {
   val lmBigramRaritySql: String = graft.operators.LmScore.bigramRaritySql(2L)
 
   // ---------------------------------------------------------------------
+  // lm_fluency — CCNet's LM-filter slot (KenLM-over-Wikipedia scoring, in
+  // the ln-free exact-integer form LmScore.fluencyScore documents): every
+  // document scored as its average per-bigram Laplace rate under a model
+  // trained on the src0 reference slice; the keep decision downstream is
+  // a rank/threshold cut, which consumes only the score ORDER. Model
+  // bounded at 4096 buckets (hashing trick) and broadcast.
+  // ---------------------------------------------------------------------
+  def lmFluency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.fluencyScore(
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("source")),
+      referenceFilter = col("source") === lit("src0"),
+      stageLabel = Some(s"lm_fluency_buckets_${StageStore.dirTag(dir)}"))
+      .orderBy("doc_id")
+
+  val lmFluencySql: String =
+    graft.operators.LmScore.fluencyScoreSql("d.source = 'src0'")
+
+  // ---------------------------------------------------------------------
   // curriculum_order — the curriculum-learning training order: every doc
   // gets a global contiguous 1-based position, easiest first, where
   // difficulty is the corpus-self-supervised rare-bigram count (the
@@ -4842,6 +4860,7 @@ object Queries {
     "split_assign" -> (splitAssign _),
     "shard_balance" -> (shardBalance _),
     "lm_bigram_rarity" -> (lmBigramRarity _),
+    "lm_fluency" -> (lmFluency _),
     "curriculum_order" -> (curriculumOrder _),
     "importance_resample" -> (importanceResample _),
     "vocab_build" -> (vocabBuild _),
@@ -4986,6 +5005,7 @@ object Queries {
     "split_assign" -> splitAssignSql,
     "shard_balance" -> shardBalanceSql,
     "lm_bigram_rarity" -> lmBigramRaritySql,
+    "lm_fluency" -> lmFluencySql,
     "curriculum_order" -> curriculumOrderSql,
     "importance_resample" -> importanceResampleSql,
     "vocab_build" -> vocabBuildSql,

@@ -25,6 +25,12 @@ case class CorpusCleanConfig(
     langModel: Option[String] = None,
     // quality gate: minimum whitespace-token count (0 disables)
     minWords: Int = 10,
+    // LM fluency gate (CCNet's KenLM-filter slot): score every doc's
+    // bigram stream under a model trained on this reference corpus
+    // ((doc_id, text) parquet) and keep docs with fluency_ppb >=
+    // --min-fluency; both flags go together
+    fluencyRef: Option[String] = None,
+    minFluency: Option[Long] = None,
     // line-level boilerplate removal (CCNet paragraph dedup): drop lines
     // appearing in >= this many DISTINCT documents; None skips the stage
     boilerplate: Option[Long] = None,
@@ -124,6 +130,12 @@ object CorpusCleanCli {
         case "--lang" :: v :: t => c = c.copy(lang = Some(v)); langSet = true; rest = t
         case "--lang-model" :: v :: t => c = c.copy(langModel = Some(v)); rest = t
         case "--no-lang-gate" :: t => noLang = true; rest = t
+        case "--fluency-ref" :: v :: t => c = c.copy(fluencyRef = Some(v)); rest = t
+        case "--min-fluency" :: v :: t =>
+          v.toLongOption match {
+            case Some(n) => c = c.copy(minFluency = Some(n)); rest = t
+            case None => return Left(s"--min-fluency: not an integer: $v")
+          }
         case "--min-words" :: v :: t =>
           intArg(v, "--min-words") match {
             case Right(i) => c = c.copy(minWords = i); rest = t
@@ -219,7 +231,7 @@ object CorpusCleanCli {
     "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
     "--drift-against", "--drift-out", "--in-table", "--in-chunks",
-    "--curriculum-by")
+    "--curriculum-by", "--fluency-ref", "--min-fluency")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -250,6 +262,10 @@ object CorpusCleanCli {
       Left("--bpe and --merges-out must be given together")
     else if (c.pack.exists(_ < 1))
       Left(s"--pack must be >= 1, got ${c.pack.get}")
+    else if (c.fluencyRef.isDefined != c.minFluency.isDefined)
+      Left("--fluency-ref and --min-fluency must be given together")
+    else if (c.minFluency.exists(_ < 0))
+      Left(s"--min-fluency must be >= 0, got ${c.minFluency.get}")
     else if (c.curriculum && c.curriculumBy.isDefined)
       Left("--curriculum conflicts with --curriculum-by")
     else if (c.curriculumBy.exists(_.isEmpty))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Statistical-LM quality signals over the corpus's own n-gram statistics
@@ -117,6 +117,135 @@ object LmScore {
        |       THEN CAST(s.rare_cnt AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
        |       ELSE 0.0 END AS rare_ratio
        |FROM w LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** [[perDocGramCounts]] with hashed-trick BUCKET keys instead of the
+    * 64-bit gram identity: the first `hexDigits` hex chars of the gram's
+    * md5, so the downstream model is bounded at 16^hexDigits rows no
+    * matter the corpus's bigram vocabulary — the property that keeps the
+    * rate table broadcastable at 100 TB (the [[Classify]] trade). */
+  private def perDocBucketCounts(docs: DataFrame, n: Int,
+                                 hexDigits: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder(64)
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ", -1)
+          val m = new java.util.HashMap[String, Long]()
+          var i = 0
+          while (i <= ws.length - n) {
+            sb.setLength(0)
+            var j = i
+            while (j < i + n) { if (j > i) sb.append(' '); sb.append(ws(j)); j += 1 }
+            val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hex = f"${d(0)}%02x${d(1)}%02x".substring(0, hexDigits)
+            m.merge(hex, 1L, (a, b) => a + b)
+            i += 1
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)](m.size)
+          m.forEach((b, c) => out += ((id, b, c)))
+          out.iterator
+        }
+      }.toDF("doc_id", "b", "n")
+  }
+
+  /** CCNet's LM-filter slot in the determinism-preserving form: score
+    * every document's bigram stream under a bigram model trained on a
+    * REFERENCE slice of the corpus (`referenceFilter` — CCNet trains
+    * KenLM on Wikipedia; the reference slice plays that role). A
+    * document's score is its average per-bigram Laplace-smoothed
+    * reference rate in exact parts-per-1e9 — high = the reference model
+    * "expects" its transitions (fluent/in-domain), low = garbled or
+    * out-of-domain; the keep decision is a threshold or rank cut, which
+    * consumes only the ORDER of scores (the [[Classify]] ln-free trade,
+    * documented there).
+    *
+    * Scale shape: one corpus pass folds each doc to ≤ 16^hexDigits
+    * `(doc_id, bucket, n)` rows map-side; the reference counts aggregate
+    * THAT table (left-semi against the reference ids, never re-reading
+    * text); the completed rate table (≤ 16^hexDigits rows) broadcasts;
+    * scoring is one broadcast join + partial-aggregated groupBy(doc_id).
+    * Output `(doc_id, n_bigrams, fluency_ppb)`, zeros for docs with < 2
+    * tokens. */
+  def fluencyScore(docs: DataFrame, referenceFilter: Column,
+                   hexDigits: Int = 3,
+                   stageLabel: Option[String] = None): DataFrame = {
+    val perDoc = bucketTable(docs, hexDigits, stageLabel)
+    val refCounts = perDoc
+      .join(docs.filter(referenceFilter).select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("b").agg(sum("n").as("cnt"))
+    scoreUnderRef(perDoc, refCounts, 1L << (4 * hexDigits), docs)
+  }
+
+  /** [[fluencyScore]] against an EXTERNAL reference corpus `(doc_id,
+    * text)` — the literal CCNet shape (the model trains on a separate
+    * curated corpus, not a slice of the ingest): one extra bounded fold
+    * over the reference, same rate/score tail, bit-identical semantics
+    * when the reference rows coincide. */
+  def fluencyScoreAgainst(docs: DataFrame, ref: DataFrame, hexDigits: Int = 3,
+                          stageLabel: Option[String] = None): DataFrame = {
+    val perDoc = bucketTable(docs, hexDigits, stageLabel)
+    val refCounts = perDocBucketCounts(ref, n = 2, hexDigits)
+      .groupBy("b").agg(sum("n").as("cnt"))
+    scoreUnderRef(perDoc, refCounts, 1L << (4 * hexDigits), docs)
+  }
+
+  private def bucketTable(docs: DataFrame, hexDigits: Int,
+                          stageLabel: Option[String]): DataFrame = {
+    val raw = perDocBucketCounts(docs, n = 2, hexDigits)
+    stageLabel match {
+      case Some(l) => graft.StageStore.materialize(raw, l)
+      case None    => raw
+    }
+  }
+
+  private def scoreUnderRef(perDoc: DataFrame, refCounts: DataFrame,
+                            buckets: Long, docsSpine: DataFrame): DataFrame = {
+    val refTot = refCounts.agg(coalesce(sum("cnt"), lit(0L)).cast("long").as("tot"))
+    val rates = perDoc.select("b").distinct()
+      .join(refCounts, Seq("b"), "left")
+      .crossJoin(broadcast(refTot))
+      .select(col("b"),
+        expr(s"(coalesce(cnt, 0L) + 1L) * 1000000000L div (tot + ${buckets}L)")
+          .as("w"))
+    val scored = perDoc.join(broadcast(rates), "b")
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_bigrams"),
+        expr("CAST(sum(n * w) div sum(n) AS BIGINT)").as("fluency_ppb"))
+    docsSpine.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("fluency_ppb"), lit(0L)).cast("long").as("fluency_ppb"))
+  }
+
+  /** DuckDB oracle for [[fluencyScore]] over `documents` with the
+    * reference slice selected by `refWhere`. */
+  def fluencyScoreSql(refWhere: String, hexDigits: Int = 3): String = {
+    val buckets = 1L << (4 * hexDigits)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g0 AS (SELECT doc_id,
+       |         unnest([substr(md5(ws[i] || ' ' || ws[i+1]), 1, $hexDigits)
+       |                 for i in generate_series(1, len(ws)-1)]) AS b
+       |       FROM w WHERE len(ws) >= 2),
+       |g AS (SELECT doc_id, b, COUNT(*) AS n FROM g0 GROUP BY doc_id, b),
+       |ref AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cnt
+       |        FROM g JOIN documents d USING (doc_id) WHERE $refWhere GROUP BY b),
+       |tot AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS tot FROM ref),
+       |rates AS (SELECT gb.b,
+       |    (COALESCE(ref.cnt, 0) + 1) * 1000000000 // (tot.tot + $buckets) AS w
+       |  FROM (SELECT DISTINCT b FROM g) gb
+       |  LEFT JOIN ref USING (b) CROSS JOIN tot),
+       |sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(n * w) // SUM(n) AS BIGINT) AS fluency_ppb
+       |  FROM g JOIN rates USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(sc.fluency_ppb, 0) AS BIGINT) AS fluency_ppb
+       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
 
   /** DSIR-style hashed importance of each document toward the TARGET
     * subset selected by `targetFilter` (SQL text `targetWhere` for the

@@ -422,6 +422,41 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       wantToks.toDouble / (wantSeqs * 64L)) < 1e-12)
   }
 
+  test("--fluency-ref/--min-fluency gate on the reference-model bigram " +
+    "score exactly like the operator") {
+    val inDir = tmp("cc_fl_in")
+    val refDir = tmp("cc_fl_ref")
+    val outDir = tmp("cc_fl_out")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(inDir)
+    // reference slice = src0 docs, as a separate corpus dir
+    docs.filter(col("source") === "src0").select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(refDir)
+    val scored = graft.operators.LmScore.fluencyScoreAgainst(
+      docs.select(col("doc_id"), col("text")),
+      spark.read.parquet(refDir))
+    // pick a threshold that actually splits the corpus
+    val med = scored.orderBy(col("fluency_ppb")).collect()
+      .map(_.getLong(2)).apply(scored.count().toInt / 2)
+    val n = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--min-words", "0",
+        "--min-span", "0", "--no-near-dup",
+        "--fluency-ref", refDir, "--min-fluency", med.toString))
+      .toOption.get)
+    assert(n > 0)
+    val out = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // survivors = exact-dedup winners among docs at/above the threshold
+    val pass = scored.filter(col("fluency_ppb") >= med)
+    val want = graft.operators.TextOps.dedupExact(
+        docs.select(col("doc_id"), col("text"))
+          .join(pass.select("doc_id"), Seq("doc_id"), "left_semi"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === want)
+    assert(out.size < docs.count(), "threshold did not gate anything")
+  }
+
   test("--curriculum-by orders by an EXTERNAL input score column instead " +
     "of the rare-bigram signal") {
     val inDir = tmp("cc_cby_in")
