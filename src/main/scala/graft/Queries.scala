@@ -3732,6 +3732,63 @@ object Queries {
     graft.operators.LmScore.fluencyScoreSql("d.source = 'src0'")
 
   // ---------------------------------------------------------------------
+  // preference_pairs — alignment-data prep (the RLHF/DPO chosen-rejected
+  // construction from a scored corpus): within each source, the top-3
+  // fluency docs pair with the bottom-3 by rank (1↔1, 2↔2, 3↔3), giving
+  // per-source (chosen, rejected) training pairs with the widest score
+  // margins. Both rankings are per-source windows over the REDUCED score
+  // table (|sources| partitions, never the corpus); ties break by doc_id
+  // so every pair hash-compares. A real prompt corpus pairs responses
+  // within a prompt group — source plays the group key here.
+  // ---------------------------------------------------------------------
+  def preferencePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val scored = graft.operators.LmScore.fluencyScore(
+        docs.select(col("doc_id"), col("text"), col("source")),
+        referenceFilter = col("source") === lit("src0"),
+        stageLabel = Some(s"lm_fluency_buckets_${StageStore.dirTag(dir)}"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val top = Window.partitionBy("source")
+      .orderBy(col("fluency_ppb").desc, col("doc_id"))
+    val bot = Window.partitionBy("source")
+      .orderBy(col("fluency_ppb").asc, col("doc_id").desc)
+    val ranked = scored.select(col("source"), col("doc_id"), col("fluency_ppb"),
+      row_number().over(top).as("rk_top"),
+      row_number().over(bot).as("rk_bot"))
+    ranked.filter(col("rk_top") <= 3)
+      .select(col("source"), col("rk_top").cast("long").as("pair_rank"),
+        col("doc_id").as("chosen_id"), col("fluency_ppb").as("chosen_ppb"))
+      .join(ranked.filter(col("rk_bot") <= 3)
+        .select(col("source"), col("rk_bot").cast("long").as("pair_rank"),
+          col("doc_id").as("rejected_id"), col("fluency_ppb").as("rejected_ppb")),
+        Seq("source", "pair_rank"))
+      // a chosen doc must strictly beat its rejected partner — degenerate
+      // groups (all-equal scores) emit no pair
+      .filter(col("chosen_ppb") > col("rejected_ppb"))
+      .orderBy("source", "pair_rank")
+  }
+
+  val preferencePairsSql: String = {
+    val flu = graft.operators.LmScore.fluencyScoreSql("d.source = 'src0'")
+    // reuse the fluency CTE chain up to its final SELECT, then rank
+    flu.substring(0, flu.indexOf("SELECT d.doc_id,")).stripTrailing + ",\n" +
+      """fl AS (SELECT d.doc_id, d.source,
+        |    CAST(COALESCE(sc.fluency_ppb, 0) AS BIGINT) AS fluency_ppb
+        |  FROM documents d LEFT JOIN sc USING (doc_id)),
+        |rk AS (SELECT source, doc_id, fluency_ppb,
+        |    row_number() OVER (PARTITION BY source ORDER BY fluency_ppb DESC, doc_id) AS rk_top,
+        |    row_number() OVER (PARTITION BY source ORDER BY fluency_ppb ASC, doc_id DESC) AS rk_bot
+        |  FROM fl)
+        |SELECT a.source, CAST(a.rk_top AS BIGINT) AS pair_rank,
+        |  a.doc_id AS chosen_id, a.fluency_ppb AS chosen_ppb,
+        |  b.doc_id AS rejected_id, b.fluency_ppb AS rejected_ppb
+        |FROM rk a JOIN rk b ON a.source = b.source AND a.rk_top = b.rk_bot
+        |WHERE a.rk_top <= 3 AND a.fluency_ppb > b.fluency_ppb
+        |ORDER BY a.source, pair_rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // curriculum_order — the curriculum-learning training order: every doc
   // gets a global contiguous 1-based position, easiest first, where
   // difficulty is the corpus-self-supervised rare-bigram count (the
@@ -4861,6 +4918,7 @@ object Queries {
     "shard_balance" -> (shardBalance _),
     "lm_bigram_rarity" -> (lmBigramRarity _),
     "lm_fluency" -> (lmFluency _),
+    "preference_pairs" -> (preferencePairs _),
     "curriculum_order" -> (curriculumOrder _),
     "importance_resample" -> (importanceResample _),
     "vocab_build" -> (vocabBuild _),
@@ -5006,6 +5064,7 @@ object Queries {
     "shard_balance" -> shardBalanceSql,
     "lm_bigram_rarity" -> lmBigramRaritySql,
     "lm_fluency" -> lmFluencySql,
+    "preference_pairs" -> preferencePairsSql,
     "curriculum_order" -> curriculumOrderSql,
     "importance_resample" -> importanceResampleSql,
     "vocab_build" -> vocabBuildSql,
