@@ -79,7 +79,8 @@ object CorpusClean {
     * their stage directories. */
   private def runTag(cfg: CorpusCleanConfig): String =
     StageStore.dirTag(
-      s"${cfg.in}${cfg.inTable.fold("")(t => s"#$t")}->${cfg.out}")
+      s"${cfg.in}${cfg.inTable.fold("")(t => s"#$t")}->" +
+        s"${cfg.out}${cfg.outTable.fold("")(t => s"#$t")}")
 
   private def jsonlRead(spark: SparkSession, format: String, dir: String,
                         extraCols: Seq[String]): DataFrame =
@@ -334,7 +335,16 @@ object CorpusClean {
     // expensive middle end to end; StageStoreSpec pins the single write)
     val st = stages(spark, cfg)
     val out = deliverFrom(spark, cfg, st.last._2)
-    val n = cfg.format match {
+    val n = if (cfg.out.startsWith("jdbc:")) {
+      // live-database delivery — the reference's cpy mode for the corpus
+      // surface: pre-flight column/emptiness/trigger validation, then the
+      // batched copy sink; the count reads back from the destination
+      val table = cfg.outTable.getOrElse(
+        throw new IllegalArgumentException("jdbc: output needs --out-table"))
+      val props = new java.util.Properties()
+      graft.sinks.JdbcCopySink.write(out, cfg.out, table, props)
+      spark.read.jdbc(cfg.out, table, props).count()
+    } else cfg.format match {
       case "jsonl" =>
         // the exchange format: one object per line, every delivered
         // column (incl. split/shard/ids) a JSON field — line-oriented
@@ -361,23 +371,22 @@ object CorpusClean {
     // tokenizer prep: BPE merges trained on the SURVIVING corpus (the
     // tokenizer must never see gated-out text), written as the merge
     // table artifact downstream encoders consume
+    // survivors read back from the WRITTEN destination for every
+    // post-delivery artifact (BPE, manifest, drift, pack audit) — never
+    // the pipeline frame, whose evaluation would re-run the cleaning
+    // chain: parquet/jsonl read the output dir (declared schema prunes
+    // the jsonl parse); a jdbc: destination reads the copied table back
+    def writtenSurvivors(): DataFrame =
+      (if (cfg.out.startsWith("jdbc:"))
+         spark.read.jdbc(cfg.out, cfg.outTable.get, new java.util.Properties())
+       else jsonlRead(spark, cfg.format, cfg.out, Nil))
+        .select(col("doc_id"), col("text"))
     (cfg.bpeMerges, cfg.mergesOut) match {
       case (Some(nm), Some(md)) =>
-        // both formats train from the WRITTEN files, never the pipeline
-        // frame (whose evaluation would re-run the cleaning chain):
-        // parquet reads the output dir back; jsonl reads it back with the
-        // declared (doc_id, text) schema, pruning the parse
-        val survivors = jsonlRead(spark, cfg.format, cfg.out, Nil)
-          .select(col("doc_id"), col("text"))
-        graft.operators.Bpe.train(survivors, nm)
+        graft.operators.Bpe.train(writtenSurvivors(), nm)
           .write.mode("overwrite").parquet(md)
       case _ => ()
     }
-    // survivors read back from the WRITTEN files for the post-delivery
-    // plan artifacts — like BPE above, never the pipeline frame
-    def writtenSurvivors(): DataFrame =
-      jsonlRead(spark, cfg.format, cfg.out, Nil)
-        .select(col("doc_id"), col("text"))
     // mixture manifest: the data-mixing plan over what SHIPPED,
     // stratified by the --manifest-by input column
     (cfg.manifestBy, cfg.manifestOut) match {

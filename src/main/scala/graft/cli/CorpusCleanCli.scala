@@ -109,7 +109,12 @@ case class CorpusCleanConfig(
     // the corpus table and --in-chunks the equal-cardinality chunk count
     // for the server-side boundary walk (one JDBC partition per chunk)
     inTable: Option[String] = None,
-    inChunks: Int = 32)
+    inChunks: Int = 32,
+    // live-database delivery: when <out> is a jdbc: URL, --out-table
+    // names the (pre-created, column-matching, empty) destination table;
+    // the cleaned corpus ships through the validated copy sink — the
+    // reference's cpy mode for the corpus surface
+    outTable: Option[String] = None)
 
 object CorpusCleanCli {
 
@@ -200,6 +205,7 @@ object CorpusCleanCli {
         case "--drift-against" :: v :: t => c = c.copy(driftAgainst = Some(v)); rest = t
         case "--drift-out" :: v :: t => c = c.copy(driftOut = Some(v)); rest = t
         case "--in-table" :: v :: t => c = c.copy(inTable = Some(v)); rest = t
+        case "--out-table" :: v :: t => c = c.copy(outTable = Some(v)); rest = t
         case "--in-chunks" :: v :: t =>
           intArg(v, "--in-chunks") match {
             case Right(i) => c = c.copy(inChunks = i); rest = t
@@ -231,7 +237,7 @@ object CorpusCleanCli {
     "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
     "--drift-against", "--drift-out", "--in-table", "--in-chunks",
-    "--curriculum-by", "--fluency-ref", "--min-fluency")
+    "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -283,6 +289,12 @@ object CorpusCleanCli {
       Left("--in-format does not apply to a jdbc: input")
     else if (c.inChunks < 1)
       Left(s"--in-chunks must be >= 1, got ${c.inChunks}")
+    else if (c.out.startsWith("jdbc:") && c.outTable.isEmpty)
+      Left("a jdbc: output needs --out-table <dstTable>")
+    else if (c.outTable.isDefined && !c.out.startsWith("jdbc:"))
+      Left("--out-table requires a jdbc: <out> URL")
+    else if (c.out.startsWith("jdbc:") && c.format != "parquet")
+      Left("--format does not apply to a jdbc: output")
     else Right(c)
   }
 }

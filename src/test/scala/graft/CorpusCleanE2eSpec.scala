@@ -572,6 +572,42 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(jdbcIn.columns.toSeq === Seq("doc_id", "text", "source"))
   }
 
+  test("a jdbc: output copies the cleaned corpus into the destination " +
+    "table (validated copy sink), equal to the parquet delivery") {
+    val dbDir = Files.createTempDirectory("cc_jout_db").toFile.getAbsolutePath
+    val url = s"jdbc:derby:$dbDir/ccout;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE CLEANED (doc_id BIGINT NOT NULL, text VARCHAR(32000))")
+      st.close()
+    } finally conn.close()
+    val inDir = tmp("cc_jout_in")
+    val outP = tmp("cc_jout_p")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(inDir)
+    val nP = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outP, "--no-lang-gate")).toOption.get)
+    val nJ = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, url, "--no-lang-gate", "--out-table", "CLEANED"))
+      .toOption.get)
+    assert(nJ === nP)
+    val fromDb = spark.read.jdbc(url, "CLEANED", new java.util.Properties())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromP = spark.read.parquet(outP)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fromDb === fromP)
+    // the copy sink's pre-flight holds: a second run into the now
+    // NON-EMPTY table must refuse, not duplicate
+    val e = intercept[IllegalStateException] {
+      CorpusClean.run(spark, CorpusCleanCli.parse(
+        Seq(inDir, url, "--no-lang-gate", "--out-table", "CLEANED"))
+        .toOption.get)
+    }
+    assert(e.getMessage.toLowerCase.contains("empty"), e.getMessage)
+  }
+
   test("--in-format jsonl is FAILFAST: a malformed line aborts the run " +
     "instead of vanishing through the gates as a null row") {
     val inDir = tmp("cc_ff_in")

@@ -98,6 +98,13 @@ class CorpusCleanCliSpec extends AnyFunSuite {
       "--in-table", "T", "--in-format", "jsonl")).isLeft)
     assert(CorpusCleanCli.parse(Seq("jdbc:derby:memory:x", "out",
       "--in-table", "T", "--in-chunks", "0")).isLeft)
+    // jdbc output mirrors: --out-table pairs with a jdbc: <out>
+    val o = ok("in", "jdbc:derby:memory:y", "--out-table", "CLEANED")
+    assert(o.outTable === Some("CLEANED"))
+    assert(CorpusCleanCli.parse(Seq("in", "jdbc:derby:memory:y")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--out-table", "T")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "jdbc:derby:memory:y",
+      "--out-table", "T", "--format", "jsonl")).isLeft)
   }
 
   test("stage toggles: --no-lang-gate and --no-near-dup clear the stages") {
