@@ -192,6 +192,49 @@ object LmScore {
     scoreUnderRef(perDoc, refCounts, 1L << (4 * hexDigits), docs)
   }
 
+  /** The fluency model COLLECTED for map-side scoring: `(bucket → ppb
+    * rate, Laplace floor)`. Bounded at 16^hexDigits entries by
+    * construction, so it broadcasts to executors at any corpus size —
+    * the form [[graft.streaming.CorpusStream.fluencyGate]] consumes,
+    * where scoring must be a stateless per-row map (a streaming gate
+    * cannot hold per-doc aggregation state). Looking a bucket up with
+    * the floor default is value-identical to [[scoreUnderRef]]'s
+    * completed rate table. */
+  def fluencyModel(ref: DataFrame, hexDigits: Int = 3): (Map[String, Long], Long) = {
+    val buckets = 1L << (4 * hexDigits)
+    val counts = perDocBucketCounts(ref, n = 2, hexDigits)
+      .groupBy("b").agg(sum("n").cast("long").as("cnt"))
+      .collect() // bounded: <= 16^hexDigits rows
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = counts.valuesIterator.sum
+    val rates = counts.map { case (b, c) =>
+      b -> (c + 1L) * 1000000000L / (tot + buckets)
+    }
+    (rates, 1000000000L / (tot + buckets))
+  }
+
+  /** The per-document score under a collected model — the JVM fold
+    * [[fluencyModel]] pairs with; MUST mirror [[perDocBucketCounts]]'s
+    * bigram/bucket construction exactly (spec-pinned against the
+    * relational path). */
+  def scoreTextUnderModel(text: String, model: Map[String, Long],
+                          floor: Long, hexDigits: Int): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ws = text.split(" ", -1)
+    var i = 0
+    var n = 0L
+    var acc = 0L
+    while (i <= ws.length - 2) {
+      val d = md.digest((ws(i) + " " + ws(i + 1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = f"${d(0)}%02x${d(1)}%02x".substring(0, hexDigits)
+      acc += model.getOrElse(hex, floor)
+      n += 1L
+      i += 1
+    }
+    if (n == 0L) (0L, 0L) else (n, acc / n)
+  }
+
   private def bucketTable(docs: DataFrame, hexDigits: Int,
                           stageLabel: Option[String]): DataFrame = {
     val raw = perDocBucketCounts(docs, n = 2, hexDigits)

@@ -67,6 +67,33 @@ object CorpusStream {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
       .select(col("doc_id"), col("dup_cnt"))
 
+  /** The LM fluency gate as a STREAMING stage: score each arriving doc
+    * under the collected reference model
+    * ([[graft.operators.LmScore.fluencyModel]] — ≤ 4096 entries,
+    * broadcast) and keep docs at or above `minPpb`. Entirely stateless —
+    * a per-row map + filter, no aggregation state, no watermark — so it
+    * composes in front of any of the ingest variants; scores are
+    * bit-identical to the batch [[graft.operators.LmScore.fluencyScore]]
+    * (spec-pinned). Emits the surviving rows plus their
+    * `(n_bigrams, fluency_ppb)` audit columns. */
+  def fluencyGate(docs: DataFrame, model: Map[String, Long], floor: Long,
+                  minPpb: Long, hexDigits: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((model, floor))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val (m, f) = bc.value
+        it.map { case (id, text) =>
+          val (n, ppb) = graft.operators.LmScore
+            .scoreTextUnderModel(text, m, f, hexDigits)
+          (id, text, n, ppb)
+        }
+      }
+      .toDF("doc_id", "text", "n_bigrams", "fluency_ppb")
+      .filter(col("fluency_ppb") >= minPpb)
+  }
+
   /** The BOUNDED standing-deployment variant of [[ingestClean]]:
     * recency-scoped exact dedup via watermark +
     * `dropDuplicatesWithinWatermark` on the digest (the

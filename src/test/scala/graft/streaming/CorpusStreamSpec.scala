@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSuite
 
@@ -39,6 +40,40 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
     assert(drain(Seq(Seq(docs(0)), docs.drop(1))) == want)
     // and in one batch, shuffled
     assert(drain(Seq(docs.reverse)) == want)
+  }
+
+  test("fluencyGate: stateless streaming scores are bit-identical to the " +
+    "batch fluency operator, and the gate filters by threshold") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    val (model, floor) = graft.operators.LmScore.fluencyModel(ref)
+    val batch = graft.operators.LmScore.fluencyScoreAgainst(docs, ref)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // streaming: same docs through the gate at threshold 0 — every doc
+    // passes, so the scores must match the batch table exactly
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val gated = CorpusStream.fluencyGate(
+      input.toDF().toDF("doc_id", "text"), model, floor, minPpb = 0L)
+    val q = gated.writeStream.format("memory").queryName("corpus_fluency")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      // no stateful operators at all — the gate is a pure map/filter
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+    val streamed = spark.table("corpus_fluency").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed.size == batch.size)
+    assert(streamed === batch)
+    // and a median threshold actually gates
+    val med = batch.values.map(_._2).toSeq.sorted.apply(batch.size / 2)
+    val kept = streamed.count { case (_, (_, ppb)) => ppb >= med }
+    assert(kept < batch.size && kept > 0)
   }
 
   test("ingestCleanIncremental: history digests filter the stream via the " +
