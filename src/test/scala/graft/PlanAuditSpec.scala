@@ -260,6 +260,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("md5"), s"split label rule missing:\n$p")
   }
 
+  test("lm_fluency: the rate model broadcasts; no corpus-side cartesian") {
+    val p = plan("lm_fluency")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"rate model not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the fluency plan:\n$p")
+  }
+
+  test("preference_pairs: both rankings are per-source windows, never a " +
+    "single-partition global window") {
+    val p = plan("preference_pairs")
+    // every window partition spec names source (the 1-row grand-total
+    // aggregates legitimately use SinglePartition exchanges — those are
+    // bounded; the windows must not)
+    assert(p.contains("windowspecdefinition(source"),
+      s"ranking window not partitioned by source:\n$p")
+    assert(!p.contains("windowspecdefinition(f"),
+      s"a window spec with no source partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("funnel_conversion: three stacked windows share one user_id exchange") {
     val p = plan("funnel_conversion")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) == 1,
