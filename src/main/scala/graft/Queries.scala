@@ -267,6 +267,49 @@ object Queries {
        |       THEN 'en' ELSE 'unk' END AS lang_pred
        |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dup_profile — the corpus duplication AUDIT (how much of each source
+  // is inside duplicated 5-gram spans, exact ppm): the number a curation
+  // team reads before deciding dedup aggressiveness, and the monitoring
+  // complement of dedup_substring. Reuses the scale-safe dupPositions
+  // path (bloom mask + salted exact semi-join — positions of
+  // non-duplicated grams never enter an exchange); per-doc totals come
+  // map-side from text length, so the only corpus-sized shuffle is the
+  // bounded gram-count aggregation dedup already pays.
+  // ---------------------------------------------------------------------
+  def dupProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dups = graft.operators.TextOps.dupPositions(
+      docs.select(col("doc_id"), col("text")), n = 5,
+      stageLabel = Some(s"dup_profile_${StageStore.dirTag(dir)}"))
+    val perDoc = dups.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+    docs.select(col("doc_id"), col("source"),
+        greatest(size(split(col("text"), " ")) - lit(4), lit(0))
+          .cast("long").as("ng"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(sum("ng").cast("long").as("total_grams"),
+        sum(coalesce(col("nd"), lit(0L))).cast("long").as("dup_grams"))
+      .withColumn("dup_ppm",
+        expr("CAST(dup_grams * 1000000 DIV total_grams AS BIGINT)"))
+      .orderBy("source")
+  }
+
+  val dupProfileSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest([md5(array_to_string(ws[i:i+4], ' '))
+      |                for i in generate_series(1, len(ws)-4)]) AS gh
+      |      FROM w WHERE len(ws) >= 5),
+      |c AS (SELECT gh, COUNT(*) AS cnt FROM g GROUP BY gh),
+      |d AS (SELECT doc_id, COUNT(*) AS nd FROM g JOIN c USING (gh)
+      |      WHERE cnt >= 2 GROUP BY doc_id),
+      |t AS (SELECT doc_id, source, greatest(len(ws)-4, 0) AS ng FROM w)
+      |SELECT source, CAST(SUM(ng) AS BIGINT) AS total_grams,
+      |  CAST(SUM(COALESCE(nd, 0)) AS BIGINT) AS dup_grams,
+      |  CAST(SUM(COALESCE(nd, 0)) * 1000000 // SUM(ng) AS BIGINT) AS dup_ppm
+      |FROM t LEFT JOIN d USING (doc_id) GROUP BY source ORDER BY source""".stripMargin
+
   /** Rolling-hash (Rabin–Karp) document fingerprint, 62-bit dual-base —
     * portable by construction, so the oracle replays it in SQL. */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -4823,6 +4866,7 @@ object Queries {
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
+    "dup_profile" -> (dupProfile _),
     "hash_embed" -> (hashEmbed _),
     "near_dup_minhash" -> (nearDupMinhash _),
     "near_dup_incremental" -> (nearDupIncremental _),
@@ -4969,6 +5013,7 @@ object Queries {
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "dup_profile" -> dupProfileSql,
     "hash_embed" -> hashEmbedSql,
     "near_dup_minhash" -> nearDupMinhashSql,
     "near_dup_incremental" -> nearDupIncrementalSql,
