@@ -41,6 +41,20 @@ object CorpusStats {
       .orderBy(col("cnt").desc, col("token")).limit(topK)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
+    // duplication audit: fraction of 5-gram positions inside duplicated
+    // spans (the dup_profile query's corpus-level number) — the
+    // bloom-masked dupPositions path, so the pass costs one gram-count
+    // aggregation, never an all-positions shuffle
+    val dupPos = graft.operators.TextOps.dupPositions(docs, n = 5,
+      stageLabel = Some(s"cstats_dupgrams_${StageStore.dirTag(in)}")).count()
+    val totalGrams = docs.agg(
+      sum(greatest(size(split(col("text"), " ")) - lit(4), lit(0)))
+        .cast("long")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val dupPpm = if (totalGrams == 0L) 0L else dupPos * 1000000L / totalGrams
+
     val langs = graft.operators.TextOps.langId(docs)
       .groupBy("lang_pred").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("lang_pred"))
@@ -59,6 +73,7 @@ object CorpusStats {
       s"${jStr(l)}: $n" }.mkString("{", ", ", "}")
     s"""{"n_docs": $nDocs, "n_chars": $nChars, "n_tokens": $nTokens, """ +
       s""""vocab": $vocab, "exact_dup_docs": $dupDocs, """ +
+      s""""dup_gram_ppm": $dupPpm, """ +
       s""""top_tokens": $topJson, "langs": $langJson}"""
   }
 }

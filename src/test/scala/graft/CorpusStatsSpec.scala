@@ -40,6 +40,11 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSuite {
         .select("t").distinct().count())
     assert(field("exact_dup_docs") ===
       docs.count() - docs.select("text").distinct().count())
+    // dup_gram_ppm cross-checks the dup_profile query's aggregate
+    val prof = graft.Queries.dupProfile(spark, "/root/testdata/sf0.001")
+      .agg(sum("total_grams").cast("long"), sum("dup_grams").cast("long")).head()
+    val wantPpm = prof.getLong(1) * 1000000L / prof.getLong(0)
+    assert(field("dup_gram_ppm") === wantPpm)
 
     val topTokens = """\{"token": "([^"]+)", "cnt": (\d+)\}""".r
       .findAllMatchIn(json).map(m => (m.group(1), m.group(2).toLong)).toSeq
