@@ -2154,6 +2154,40 @@ object Queries {
       |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
       |GROUP BY text ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // docs_stream_fluency — the STREAMING fluency gate against the DuckDB
+  // replay of the batch chain: the reference model (doc_id % 5 == 0
+  // slice) collects batch-side (≤ 4096 entries), every streamed doc
+  // scores through the stateless per-row map, and docs with zero bigrams
+  // fall to the >= 1 threshold. Proves the streaming scorer's JVM fold
+  // bit-equals the relational/oracle path end to end.
+  // ---------------------------------------------------------------------
+  def docsStreamFluency(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val (model, floor) = graft.operators.LmScore.fluencyModel(
+      docs.filter(col("doc_id") % 5 === 0))
+    val gated = graft.streaming.CorpusStream.fluencyGate(
+      graft.streaming.CorpusStream.fromParquetDir(s, dir), model, floor,
+      minPpb = 1L)
+    val qname = "docs_stream_flu_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = gated.select("doc_id", "n_bigrams", "fluency_ppb")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("doc_id")
+  }
+
+  val docsStreamFluencySql: String = {
+    val flu = graft.operators.LmScore.fluencyScoreSql("d.doc_id % 5 = 0")
+    s"""SELECT * FROM (
+       |${flu.stripSuffix(" ORDER BY d.doc_id")}
+       |) WHERE fluency_ppb >= 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Streaming exact dedup: the events stream unioned with itself (every
     * record duplicated) must come out exactly once through
     * withWatermark + dropDuplicatesWithinWatermark keyed on event_id — the
@@ -4985,6 +5019,7 @@ object Queries {
     "dump_jsonl_orders" -> (dumpJsonlOrders _),
     "docs_stream_ingest" -> (docsStreamIngest _),
     "docs_stream_ingest_incremental" -> (docsStreamIngestIncremental _),
+    "docs_stream_fluency" -> (docsStreamFluency _),
     "mlm_mask" -> (mlmMask _),
     "bpe_fertility" -> (bpeFertility _),
     "hard_negatives" -> (hardNegatives _),
@@ -5132,6 +5167,7 @@ object Queries {
     "dump_jsonl_orders" -> dumpJsonlOrdersSql,
     "docs_stream_ingest" -> docsStreamIngestSql,
     "docs_stream_ingest_incremental" -> docsStreamIngestIncrementalSql,
+    "docs_stream_fluency" -> docsStreamFluencySql,
     "mlm_mask" -> mlmMaskSql,
     "bpe_fertility" -> bpeFertilitySql,
     "hard_negatives" -> hardNegativesSql,
