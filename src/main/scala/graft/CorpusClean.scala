@@ -18,10 +18,11 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *
   * Stage order (each optional stage toggled by its flag):
   *  1. language gate (`--lang` / `--lang-model` / `--no-lang-gate`) +
-  *     quality gate (`--min-words`) — cheap codegen filters shrink the
-  *     corpus FIRST; then line-level boilerplate removal
-  *     (`--boilerplate <minDocFreq>`, CCNet paragraph dedup) so documents
-  *     differing only by template collapse in the exact stage;
+  *     quality gate (`--min-words`) + LM fluency gate (`--fluency-ref` /
+  *     `--min-fluency`, the CCNet KenLM-filter slot) — cheap codegen
+  *     filters shrink the corpus FIRST; then line-level boilerplate
+  *     removal (`--boilerplate <minDocFreq>`, CCNet paragraph dedup) so
+  *     documents differing only by template collapse in the exact stage;
   *  2. exact dedup (keep min doc_id per identical text);
   *  3. exact-substring span removal (Lee et al. ACL'22; `--ngram`,
   *     `--min-span`; `--gram-state` switches to incremental mode against
@@ -36,7 +37,21 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     with its leakage-safe train/val/test split (keyed on the input
   *     column, [[graft.operators.Splits.hashSplit]]) and `--shards <n>`
   *     adds the token-balanced shard assignment over the survivors —
-  *     both written as partition directories (`split=train/shard=3/…`).
+  *     both written as partition directories (`split=train/shard=3/…`);
+  *     `--encode`/`--vocab-out` add materialized id sequences, and the
+  *     training-PLAN columns join here too: `--curriculum` /
+  *     `--curriculum-by <col>` (easiest-first global order) and
+  *     `--pack <window>` (greedy next-fit sequence assignment, fill
+  *     audit into `--stats-file`);
+  *  9. post-delivery artifacts, each read back from the WRITTEN output:
+  *     `--bpe`/`--merges-out` (tokenizer merges), `--manifest-by`/
+  *     `--manifest-out` (mixture plan), `--drift-against`/`--drift-out`
+  *     (token drift vs a prior snapshot).
+  *
+  * Both endpoints speak live databases (the reference's native shape): a
+  * `jdbc:` input with `--in-table` reads through the chunked PK walker,
+  * and a `jdbc:` output with `--out-table` ships through the validated
+  * copy sink.
   */
 object CorpusClean {
 
