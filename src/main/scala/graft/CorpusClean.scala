@@ -446,8 +446,35 @@ object CorpusClean {
         s""", "packing": {"window": $w, "n_seqs": $nSeqs, """ +
           s""""sum_toks": $toks, "capacity": ${nSeqs * w}, "fill": $fill}"""
       }.getOrElse("")
+      // --check-merges: the tokenizer staleness record (tokenizer_drift's
+      // tool form) — fertility of the shipped survivors under the
+      // persisted OLD merge table vs merges re-trained on the survivors
+      val tokDrift = cfg.checkMerges.map { md =>
+        val surv = writtenSurvivors()
+        val old = spark.read.parquet(md).orderBy("merge_rank").collect()
+          .map(r => graft.operators.Bpe.Merge(
+            r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+        require(old.nonEmpty, s"--check-merges: empty merge table at $md")
+        val fresh = graft.operators.Bpe.trainMerges(surv, old.size)
+        val words = surv.agg(
+          coalesce(sum(size(org.apache.spark.sql.functions.filter(
+            split(col("text"), " "), w => w =!= "")).cast("long")), lit(0L))
+            .as("w")).collect()(0).getLong(0)
+        def toks(ms: Seq[graft.operators.Bpe.Merge]): Long =
+          graft.operators.Bpe.encode(surv, ms)
+            .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long"))
+            .collect()(0).getLong(0)
+        val oldT = toks(old)
+        val newT = toks(fresh)
+        def f(t: Long) = if (words == 0L) 0.0 else t.toDouble / words.toDouble
+        s""", "tokenizer_drift": {"n_merges": ${old.size}, """ +
+          s""""sum_words": $words, "old_tokens": $oldT, """ +
+          s""""retrained_tokens": $newT, "old_fertility": ${f(oldT)}, """ +
+          s""""retrained_fertility": ${f(newT)}}"""
+      }.getOrElse("")
       val json = counts.map { case (k, v) => s""""$k": $v""" }
-        .mkString("{", ", ", "") + packing + "}"
+        .mkString("{", ", ", "") + packing + tokDrift + "}"
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
     }
     n

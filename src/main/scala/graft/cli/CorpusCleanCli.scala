@@ -72,6 +72,11 @@ case class CorpusCleanConfig(
     // merge table to --merges-out
     bpeMerges: Option[Int] = None,
     mergesOut: Option[String] = None,
+    // tokenizer staleness check (tokenizer_drift's tool form): read a
+    // PERSISTED merge table and record, in --stats-file, the survivors'
+    // fertility under those OLD merges vs merges re-trained on the
+    // survivors — a widening gap is the retrain signal
+    checkMerges: Option[String] = None,
     // curriculum ordering: add (difficulty, ord) to every delivered doc —
     // the global easiest-first training order over the survivors, scored
     // by the corpus-self-supervised rare-bigram signal (the
@@ -193,6 +198,7 @@ object CorpusCleanCli {
             case Left(e) => return Left(e)
           }
         case "--merges-out" :: v :: t => c = c.copy(mergesOut = Some(v)); rest = t
+        case "--check-merges" :: v :: t => c = c.copy(checkMerges = Some(v)); rest = t
         case "--curriculum" :: t => c = c.copy(curriculum = true); rest = t
         case "--curriculum-by" :: v :: t => c = c.copy(curriculumBy = Some(v)); rest = t
         case "--pack" :: v :: t =>
@@ -237,7 +243,8 @@ object CorpusCleanCli {
     "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
     "--drift-against", "--drift-out", "--in-table", "--in-chunks",
-    "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table")
+    "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
+    "--check-merges")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -295,6 +302,8 @@ object CorpusCleanCli {
       Left("--out-table requires a jdbc: <out> URL")
     else if (c.out.startsWith("jdbc:") && c.format != "parquet")
       Left("--format does not apply to a jdbc: output")
+    else if (c.checkMerges.isDefined && c.statsFile.isEmpty)
+      Left("--check-merges reports into --stats-file; give both")
     else Right(c)
   }
 }

@@ -572,6 +572,47 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(jdbcIn.columns.toSeq === Seq("doc_id", "text", "source"))
   }
 
+  test("--check-merges records the tokenizer staleness signal in the " +
+    "stats file, matching the Bpe operators directly") {
+    val inDir = tmp("cc_cm_in")
+    val outDir = tmp("cc_cm_out")
+    val mergesDir = tmp("cc_cm_m")
+    val statsFile = new java.io.File(tmp("cc_cm_s"), "stats.json").getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(inDir)
+    // "old" merges trained on a DRIFTED snapshot (texts with an appended
+    // campaign phrase) — stale for the real corpus by construction
+    graft.operators.Bpe.train(
+      docs.select(col("doc_id"),
+        concat(col("text"), lit(" zz zz zz zz zz zz")).as("text")), 6)
+      .write.mode("overwrite").parquet(mergesDir)
+    val n = CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--stats-file", statsFile,
+        "--check-merges", mergesDir)).toOption.get)
+    assert(n > 0)
+    val t = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(statsFile)))
+      .get("tokenizer_drift")
+    assert(t != null, "tokenizer_drift block missing from stats")
+    assert(t.get("n_merges").asLong === 6L)
+    // re-derive both fertilities from the operators over the written
+    // survivors — the stats numbers must match exactly
+    val surv = spark.read.parquet(outDir).select(col("doc_id"), col("text"))
+    val old = spark.read.parquet(mergesDir).orderBy("merge_rank").collect()
+      .map(r => graft.operators.Bpe.Merge(
+        r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val fresh = graft.operators.Bpe.trainMerges(surv, 6)
+    def toks(ms: Seq[graft.operators.Bpe.Merge]): Long =
+      graft.operators.Bpe.encode(surv, ms)
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(t.get("old_tokens").asLong === toks(old))
+    assert(t.get("retrained_tokens").asLong === toks(fresh))
+    // the stale merges fragment the real corpus harder — the drift signal
+    assert(t.get("old_fertility").asDouble >
+      t.get("retrained_fertility").asDouble)
+  }
+
   test("a jdbc: output copies the cleaned corpus into the destination " +
     "table (validated copy sink), equal to the parquet delivery") {
     val dbDir = Files.createTempDirectory("cc_jout_db").toFile.getAbsolutePath
