@@ -3866,6 +3866,121 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // fluency_buckets — CCNet's head/middle/tail split (Wenzek LREC'20 §4.3:
+  // per-language perplexity terciles decide which slice trains): each doc
+  // gets its per-lang fluency tercile. The rank is Layout.groupRank
+  // (range-partitioned zipWithIndex minus broadcast group offsets — a
+  // per-lang window would route whole languages through single tasks),
+  // and the tercile is exact ntile(3) arithmetic from (rnk, grp_cnt), so
+  // the oracle's ntile window replays bit-for-bit.
+  // ---------------------------------------------------------------------
+  def fluencyBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = graft.operators.LmScore.fluencyScore(
+        docs.select(col("doc_id"), col("text"), col("source")),
+        referenceFilter = col("source") === lit("src0"),
+        stageLabel = Some(s"lm_fluency_buckets_${StageStore.dirTag(dir)}"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("fluency_ppb"))
+    graft.operators.Layout.groupRank(scored, "lang",
+        Seq(col("fluency_ppb").desc, col("doc_id")))
+      // exact SQL ntile(n): the first (cnt mod n) buckets hold one extra
+      // row — plain integer arithmetic on (rnk, grp_cnt), no window
+      .withColumn("q", expr("grp_cnt div 3"))
+      .withColumn("r", expr("grp_cnt % 3"))
+      .withColumn("tercile",
+        when(col("rnk") <= col("r") * (col("q") + lit(1)),
+          expr("(rnk - 1) div (q + 1) + 1"))
+          .otherwise(expr("r + (rnk - r * (q + 1) - 1) div greatest(q, 1) + 1")))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("fluency_ppb"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val fluencyBucketsSql: String = {
+    val flu = graft.operators.LmScore.fluencyScoreSql("d.source = 'src0'")
+    flu.substring(0, flu.indexOf("SELECT d.doc_id,")).stripTrailing + "\n" +
+      """SELECT doc_id, lang, fluency_ppb,
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY fluency_ppb DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM (SELECT d.doc_id, d.lang,
+        |        CAST(COALESCE(sc.fluency_ppb, 0) AS BIGINT) AS fluency_ppb
+        |      FROM documents d LEFT JOIN sc USING (doc_id)) fl
+        |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // host_cap — the C4/CCNet per-host document cap (at most 15 docs per
+  // host, drawn by content-independent hash order so the kept subset is
+  // unbiased and reproducible): `(doc_id, source, host_rank)`. source
+  // plays the host key in the fixture. Same groupRank machinery — a
+  // per-host window would put each whole host through one task, and web
+  // hosts are exactly the few-huge-groups regime the cap exists for.
+  // ---------------------------------------------------------------------
+  def hostCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("draw"))
+    graft.operators.Layout.groupRank(docs, "source",
+        Seq(col("draw"), col("doc_id")))
+      .filter(col("rnk") <= 15)
+      .select(col("doc_id"), col("source"), col("rnk").as("host_rank"))
+      .orderBy("source", "host_rank")
+  }
+
+  val hostCapSql: String =
+    """SELECT doc_id, source, CAST(rk AS BIGINT) AS host_rank FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) x
+      |WHERE rk <= 15 ORDER BY source, host_rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // bm25_topk — BM25 retrieval over the corpus for a fixed term set
+  // (TextOps.bm25TopK: k1=1.2, b=0.75, log-free raw idf — divergence
+  // documented there). The retrieval scorer behind RAG indexing and
+  // lexical hard-negative mining; length-normalized where tfidf_topk is
+  // not.
+  // ---------------------------------------------------------------------
+  def bm25Topk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.bm25TopK(
+      t(s, dir, "documents"), terms = Seq("spark", "table", "join"), k = 15)
+      .orderBy("term", "rk")
+
+  val bm25TopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(tok) AS term
+      |  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+      |        FROM documents) t
+      |  WHERE lower(tok) IN ('spark', 'table', 'join')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |dl AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl)
+      |SELECT term, doc_id, rk, score FROM (
+      |  SELECT tf.term, tf.doc_id,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      AS score,
+      |    row_number() OVER (PARTITION BY tf.term ORDER BY
+      |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      DESC, tf.doc_id) AS rk
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats) x
+      |WHERE rk <= 15 ORDER BY term, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // curriculum_order — the curriculum-learning training order: every doc
   // gets a global contiguous 1-based position, easiest first, where
   // difficulty is the corpus-self-supervised rare-bigram count (the
@@ -4996,6 +5111,9 @@ object Queries {
     "shard_balance" -> (shardBalance _),
     "lm_bigram_rarity" -> (lmBigramRarity _),
     "lm_fluency" -> (lmFluency _),
+    "fluency_buckets" -> (fluencyBuckets _),
+    "host_cap" -> (hostCap _),
+    "bm25_topk" -> (bm25Topk _),
     "preference_pairs" -> (preferencePairs _),
     "curriculum_order" -> (curriculumOrder _),
     "importance_resample" -> (importanceResample _),
@@ -5144,6 +5262,9 @@ object Queries {
     "shard_balance" -> shardBalanceSql,
     "lm_bigram_rarity" -> lmBigramRaritySql,
     "lm_fluency" -> lmFluencySql,
+    "fluency_buckets" -> fluencyBucketsSql,
+    "host_cap" -> hostCapSql,
+    "bm25_topk" -> bm25TopkSql,
     "preference_pairs" -> preferencePairsSql,
     "curriculum_order" -> curriculumOrderSql,
     "importance_resample" -> importanceResampleSql,

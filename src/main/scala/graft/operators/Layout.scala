@@ -32,6 +32,46 @@ object Layout {
       .toDF(key, "rnk")
   }
 
+  /** Per-group contiguous 1-based rank without a per-group single-task
+    * window: appends `(ord, rnk, grp_cnt)` to `df`, where `rnk` is the
+    * row's position within its `grp` under the total order
+    * (`grp` asc, `orderCols`…).
+    *
+    * `row_number() OVER (PARTITION BY grp)` routes each group through ONE
+    * task — hostile exactly when groups are few and huge (languages,
+    * hosts, sources). Here the WHOLE table range-partitions on
+    * (grp, orderCols…) — n-way regardless of group count — and
+    * `zipWithIndex` assigns the global ord with one lightweight
+    * per-partition count job (same machinery as [[globalIndex]]).
+    * The in-group rank is then ord minus the group's start offset,
+    * where offsets cumulate over the per-group count table — a
+    * group-cardinality-bounded aggregate (its single-task window is over
+    * |groups| rows, never the corpus) joined back via broadcast. The
+    * group-count table's sort order and the range partitioner use the
+    * same Spark ordering, so offsets and ords always agree. */
+  def groupRank(df: DataFrame, grp: String, orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val sortCols = col(grp) +: orderCols
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("ord", LongType, nullable = false))
+    val withOrd = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+    val counts = df.groupBy(grp).agg(count(lit(1)).as("grp_cnt"))
+    val offW = Window.orderBy(grp) // one row per group: tiny by contract
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.select(col(grp), col("grp_cnt"),
+      coalesce(sum("grp_cnt").over(offW), lit(0L)).as("off"))
+    withOrd.join(broadcast(offs), grp)
+      .withColumn("rnk", col("ord") - col("off"))
+      .drop("off")
+  }
+
   /** 2-D Z-order (Morton) key: interleaves the low `bits` bits of x and y
     * — rows close in (x, y) get close z values, so sorting by z clusters
     * both dimensions into the same files and min/max footer pruning works

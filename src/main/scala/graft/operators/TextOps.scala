@@ -141,6 +141,61 @@ object TextOps {
       .select("term", "doc_id", "rk", "score")
   }
 
+  /** BM25 top-k retrieval (Robertson-Spärck Jones, k1=1.2, b=0.75) for a
+    * fixed term set: `(term, doc_id, rk, score)` — the retrieval scorer a
+    * RAG / hard-negative-mining pipeline runs over the corpus, with real
+    * length normalization where [[tfidfTopK]] has none.
+    *
+    * Documented divergence from textbook BM25: the idf factor is the RAW
+    * ratio `(N - df + 0.5) / (df + 0.5)` without the `ln` — `log` is 1-2
+    * ulp platform-dependent and would break the exact hash oracle (same
+    * doctrine as [[repetitionStats]]'s Σp² entropy proxy), while
+    * `+ - * /` are IEEE-correctly-rounded on every engine. idf is
+    * constant within a term, so per-term ranking — the thing retrieval
+    * consumes — is identical to the `ln` form.
+    *
+    * Scale shape: tf is an explode→groupBy with map-side combine (only
+    * matching terms survive the filter, so the exchange carries
+    * (doc_id, term, count) rows, never text); df and the corpus length
+    * stats are group-bounded aggregates broadcast back; doc length joins
+    * from a separate map-only projection of the SAME scan. The top-k cut
+    * is the salted two-phase draw: a 16-bucket local row_number prunes to
+    * ≤ 16k rows per term before the per-term global window ranks —
+    * no whole-term single-task window over the corpus. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), "[^A-Za-z]+")).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = toks.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    // dl = non-empty [^A-Za-z]+ tokens per doc; the length stats (N, S)
+    // reduce to ONE row and broadcast via the cross join
+    val dl = docs.select(col("doc_id"),
+      size(filter(split(col("text"), "[^A-Za-z]+"), x => x =!= lit("")))
+        .cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // operation order mirrors bm25TopkSql token for token: IEEE-exact
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val score = idf * ((col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    val local = Window.partitionBy(col("term"), pmod(xxhash64(col("doc_id")), lit(16)))
+      .orderBy(col("score").desc, col("doc_id"))
+    val global = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(df_), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), score.as("score"))
+      .withColumn("_rl", row_number().over(local)).filter(col("_rl") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("rk") <= k)
+      .select("term", "doc_id", "rk", "score")
+  }
+
   /** Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1
     * quality filters, adapted to the single-line fixture: word-level rather
     * than line-level):

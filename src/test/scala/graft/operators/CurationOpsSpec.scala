@@ -120,6 +120,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkSuite {
     assert(out(("spark", 1L))._2 === 4.5) // tf=3 · idf=1.5
   }
 
+  test("bm25TopK: length normalization demotes long docs; raw idf favors rare terms") {
+    import spark.implicits._
+    val pad = Array.fill(20)("filler").mkString(" ")
+    val corpus = Seq(
+      (1L, "spark join"),                 // short doc, tf(spark)=1
+      (2L, s"spark $pad"),                // same tf(spark)=1, much longer
+      (3L, "table table")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(corpus, Seq("spark", "join"), k = 10)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // equal tf, shorter doc wins under b=0.75 length normalization —
+    // exactly what tfidfTopK cannot express
+    assert(out(("spark", 1L))._2 > out(("spark", 2L))._2)
+    assert(out(("spark", 1L))._1 === 1L && out(("spark", 2L))._1 === 2L)
+    // reference recomputation, same IEEE op order as the operator
+    val n = 3.0; val dl1 = 2.0; val avgdl = (2.0 + 21.0 + 2.0) / n
+    val idfJoin = (n - 1.0 + 0.5) / (1.0 + 0.5)
+    val expJoin = idfJoin * ((1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (dl1 / avgdl))))
+    assert(out(("join", 1L))._2 === expJoin)
+    // rarer term outranks at equal tf and equal dl (doc 1 holds both)
+    assert(out(("join", 1L))._2 > out(("spark", 1L))._2)
+  }
+
   test("tokenTopK counts ASCII-letter runs, case-folded, ties by token") {
     import spark.implicits._
     val corpus = Seq(

@@ -100,4 +100,47 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       assert(parts > 1, s"range repartition collapsed to $parts partition(s)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", was)
   }
+
+  test("groupRank equals the per-group row_number window on skewed random data") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // group sizes from 1 to ~2000 (the few-huge-groups regime the helper
+    // exists for), scores drawn from a small range so ties are common and
+    // the doc_id tiebreak is load-bearing
+    val rows = Seq("en" -> 2000, "zh" -> 700, "de" -> 40, "xx" -> 1).flatMap {
+      case (g, n) => (0 until n).map(i => (g, rnd.nextInt(17).toLong, rnd.nextLong()))
+    }
+    val df = rows.toDF("grp", "score", "doc_id").repartition(7)
+    val got = Layout.groupRank(df, "grp", Seq(col("score").desc, col("doc_id")))
+      .select("grp", "doc_id", "rnk", "grp_cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("doc_id"))
+    val want = df.withColumn("rnk", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got.size === rows.size)
+    val sizes = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (k, (rnk, cnt)) =>
+      assert(rnk === want(k), s"$k")
+      assert(cnt === sizes(k._1), s"cnt for $k")
+    }
+  }
+
+  test("fluency tercile arithmetic equals SQL ntile(3) for every size") {
+    // the exact ntile replay fluency_buckets relies on: first (cnt mod n)
+    // buckets carry one extra row
+    def ntileRef(rn: Long, cnt: Long, n: Long): Long = {
+      val q = cnt / n; val r = cnt % n
+      if (rn <= r * (q + 1)) (rn - 1) / (q + 1) + 1
+      else r + (rn - r * (q + 1) - 1) / math.max(q, 1L) + 1
+    }
+    for (cnt <- 1L to 40L; rn <- 1L to cnt) {
+      // reference: walk the standard assignment (sizes q+1 × r then q)
+      val q = cnt / 3; val r = cnt % 3
+      val sizes = Seq.tabulate(3)(i => if (i < r) q + 1 else q)
+      val bounds = sizes.scanLeft(0L)(_ + _).tail
+      val want = bounds.indexWhere(rn <= _) + 1
+      assert(ntileRef(rn, cnt, 3) === want.toLong, s"rn=$rn cnt=$cnt")
+    }
+  }
 }
