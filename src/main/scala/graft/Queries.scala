@@ -4831,6 +4831,34 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // unigram_seed / unigram_encode / unigram_fertility — the
+  // SentencePiece-slot unigram tokenizer (operators/Unigram.scala):
+  // substring vocabulary by corpus mass, then exact-integer Viterbi-style
+  // best segmentation per distinct word, then per-source fertility —
+  // alongside bpe_fertility this is the measured A/B that picks a
+  // tokenizer family for a corpus. The DuckDB oracle replays the
+  // vocabulary build AND the full DP (unrolled to 12 position CTEs,
+  // one best state per word per position).
+  // ---------------------------------------------------------------------
+  def unigramSeed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.seedVocab(t(s, dir, "documents"))
+      .orderBy(col("score").desc, col("piece"))
+
+  val unigramSeedSql: String = graft.operators.Unigram.seedSql()
+
+  def unigramEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.encodeWords(t(s, dir, "documents"))
+      .orderBy("word")
+
+  val unigramEncodeSql: String = graft.operators.Unigram.encodeSql()
+
+  def unigramFertility(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.fertility(t(s, dir, "documents"))
+      .orderBy("source")
+
+  val unigramFertilitySql: String = graft.operators.Unigram.fertilitySql()
+
+  // ---------------------------------------------------------------------
   // tokenizer_drift — the tokenizer staleness gate (token_drift ×
   // bpe_fertility composed): the persisted merge table is
   // train-once/consume-many, but nothing else detects when it has gone
@@ -5140,6 +5168,9 @@ object Queries {
     "docs_stream_fluency" -> (docsStreamFluency _),
     "mlm_mask" -> (mlmMask _),
     "bpe_fertility" -> (bpeFertility _),
+    "unigram_seed" -> (unigramSeed _),
+    "unigram_encode" -> (unigramEncode _),
+    "unigram_fertility" -> (unigramFertility _),
     "hard_negatives" -> (hardNegatives _),
     "packing_efficiency" -> (packingEfficiency _),
     "mixture_manifest" -> (mixtureManifest _),
@@ -5291,6 +5322,9 @@ object Queries {
     "docs_stream_fluency" -> docsStreamFluencySql,
     "mlm_mask" -> mlmMaskSql,
     "bpe_fertility" -> bpeFertilitySql,
+    "unigram_seed" -> unigramSeedSql,
+    "unigram_encode" -> unigramEncodeSql,
+    "unigram_fertility" -> unigramFertilitySql,
     "hard_negatives" -> hardNegativesSql,
     "packing_efficiency" -> packingEfficiencySql,
     "mixture_manifest" -> mixtureManifestSql,

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer (the SentencePiece slot — Kudo ACL'18): a
+  * substring VOCABULARY scored over the corpus, then the best
+  * segmentation of every word under that vocabulary by dynamic
+  * programming. The subword family BPE cannot express — [[Bpe]] grows
+  * symbols bottom-up through merges; unigram starts from a large
+  * candidate set and segments top-down, so a single vocabulary admits
+  * many segmentations and the encoder picks the optimum, which is what
+  * makes unigram the tokenizer of the T5/ALBERT line.
+  *
+  * Semantics (deterministic in both engines, pinned by the DuckDB replay
+  * oracles [[seedSql]]/[[encodeSql]]/[[fertilitySql]]):
+  *   - the seed vocabulary is every substring of length 1..`maxLen` of
+  *     the distinct-word table, scored by occurrence count (overlapping
+  *     occurrences count) weighted by word frequency; the vocabulary is
+  *     the top `topV` pieces by (score desc, piece asc) UNION all
+  *     single-character pieces (coverage: every word stays segmentable);
+  *   - the encoder minimizes, per word, the lexicographic objective
+  *     (piece count asc, total piece score desc, space-joined piece path
+  *     asc) — a log-free stand-in for SentencePiece's max-sum-of-log-
+  *     probs: with piece probabilities all ≪ 1 the -n·log(total) term
+  *     dominates, so fewer pieces wins first and the corpus-mass score
+  *     breaks ties. `log` is 1-2 ulp platform-dependent and would break
+  *     the exact hash oracle (the [[TextOps.repetitionStats]] doctrine);
+  *     every quantity here is an exact BIGINT.
+  *
+  * Character semantics: codepoint-based substrings in Scala, `substr` in
+  * DuckDB — identical through the BMP (the path tie-break compares
+  * UTF-16 in Scala vs UTF-8 binary in DuckDB; both equal codepoint order
+  * on the BMP, divergent only for supplementary-plane text).
+  *
+  * Scale shape: ONE corpus pass folds to the distinct-word frequency
+  * table (vocabulary-bounded — Heaps' law, same reduction as
+  * [[Bpe.wordTable]]); candidate pieces expand per DISTINCT word
+  * (≤ maxLen·|w| rows each, never the corpus); the top-V cut is a
+  * TakeOrdered (bounded), and the final vocabulary — topV + alphabet
+  * rows, a plan-time constant — collects and broadcasts. Encoding DP
+  * runs map-only over the distinct-word table (O(|w|·maxLen) per word);
+  * fertility joins corpus tokens against the word→segmentation table on
+  * the word key (vocabulary-bounded side) and reduces per source with
+  * map-side partials. No stage touches corpus text more than once.
+  */
+object Unigram {
+
+  val DefaultMaxLen = 4
+  val DefaultTopV = 40
+
+  /** The distinct-word frequency table `(w, f)` — the one corpus pass. */
+  private[operators] def wordTable(docs: DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+  }
+
+  /** All codepoint substrings of length 1..maxLen (overlapping), as
+    * (piece, weight) pairs. */
+  private[operators] def substrings(w: String, f: Long, maxLen: Int): Iterator[(String, Long)] = {
+    val cps = w.codePoints().toArray
+    for {
+      i <- Iterator.range(0, cps.length)
+      l <- Iterator.range(1, math.min(maxLen, cps.length - i) + 1)
+    } yield (new String(cps, i, l), f)
+  }
+
+  /** The learned vocabulary `(piece, score)`: top `topV` substrings by
+    * corpus mass plus every single-character piece. */
+  def seedVocab(docs: DataFrame, maxLen: Int = DefaultMaxLen,
+                topV: Int = DefaultTopV): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ps = wordTable(docs)
+      .flatMap { case (w, f) => substrings(w, f, maxLen) }
+      .toDF("piece", "f")
+      .groupBy("piece").agg(sum("f").as("score"))
+    val top = ps.orderBy(col("score").desc, col("piece")).limit(topV)
+    val singles = ps.filter(length(col("piece")) === 1)
+    top.union(singles).distinct()
+  }
+
+  /** One DP state: pieces used, total piece score, space-joined path. */
+  private[operators] final case class St(n: Long, s: Long, path: String)
+
+  private def better(a: St, b: St): Boolean =
+    a.n < b.n || (a.n == b.n && (a.s > b.s ||
+      (a.s == b.s && a.path.compareTo(b.path) < 0)))
+
+  /** Best segmentation of one word under the vocabulary (see the
+    * objective in the scaladoc). Always succeeds: singles are in-vocab. */
+  private[operators] def segment(w: String, vocab: Map[String, Long],
+                                 maxLen: Int): St = {
+    val cps = w.codePoints().toArray
+    val dp = new Array[St](cps.length + 1)
+    dp(0) = St(0L, 0L, "")
+    var j = 1
+    while (j <= cps.length) {
+      var best: St = null
+      var k = 1
+      while (k <= math.min(maxLen, j)) {
+        val prev = dp(j - k)
+        if (prev != null) {
+          val pc = new String(cps, j - k, k)
+          vocab.get(pc).foreach { sc =>
+            val cand = St(prev.n + 1, prev.s + sc,
+              if (prev.path.isEmpty) pc else prev.path + " " + pc)
+            if (best == null || better(cand, best)) best = cand
+          }
+        }
+        k += 1
+      }
+      dp(j) = best
+      j += 1
+    }
+    dp(cps.length)
+  }
+
+  /** Per-distinct-word segmentations
+    * `(word, n_pieces, score_sum, segmentation)` — map-only over the
+    * vocabulary-bounded word table; the vocabulary (topV + alphabet
+    * rows, plan-time constant) collects and broadcasts. */
+  def encodeWords(docs: DataFrame, maxLen: Int = DefaultMaxLen,
+                  topV: Int = DefaultTopV): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = seedVocab(docs, maxLen, topV)
+      .as[(String, Long)].collect().toMap // bounded: topV + alphabet
+    val bc = spark.sparkContext.broadcast(vocab)
+    wordTable(docs)
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (w, _) =>
+          val st = segment(w, v, maxLen)
+          (w, st.n, st.s, st.path)
+        }
+      }
+      .toDF("word", "n_pieces", "score_sum", "segmentation")
+  }
+
+  /** Per-source fertility `(source, n_tokens, n_pieces, fertility)` —
+    * pieces per token occurrence, the number that picks a tokenizer.
+    * Token occurrences join the word→segmentation table on the word key;
+    * one IEEE division at the end. */
+  def fertility(docs: DataFrame, maxLen: Int = DefaultMaxLen,
+                topV: Int = DefaultTopV): DataFrame = {
+    val enc = encodeWords(docs, maxLen, topV)
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(enc.select(col("word").as("w"), col("n_pieces")), Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum("n_pieces").as("n_pieces"))
+      .select(col("source"), col("n_tokens"),
+        col("n_pieces").cast("long").as("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_tokens").cast("double"))
+          .as("fertility"))
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB replay oracles. The DP unrolls to `unroll` position CTEs
+  // (d1..dU) — the replay covers words up to U characters (the operator
+  // itself handles any length); the fixture maxes at 8.
+  // ------------------------------------------------------------------
+
+  /** Shared CTE chain: word table → candidate pieces → vocabulary. */
+  private def vocabCtes(maxLen: Int, topV: Int): String =
+    s"""wt AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |pos AS (SELECT w, f, unnest(generate_series(1, len(w))) AS i FROM wt),
+       |sub AS (SELECT substr(w, i, l) AS piece, f
+       |  FROM pos, (SELECT unnest(generate_series(1, $maxLen)) AS l) ls
+       |  WHERE i + l - 1 <= len(w)),
+       |ps AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS score FROM sub GROUP BY piece),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, score FROM
+       |    (SELECT piece, score FROM ps ORDER BY score DESC, piece LIMIT $topV)
+       |  UNION
+       |  SELECT piece, score FROM ps WHERE len(piece) = 1)""".stripMargin
+
+  /** The unrolled DP chain d0..dU + the per-word result CTE `enc`. Every
+    * dj is referenced by up to `maxLen` later rounds, so the CTEs are
+    * MATERIALIZED — DuckDB's default inlining would expand the chain
+    * tetranacci-fold (minutes of planning at unroll=12). */
+  private def dpCtes(maxLen: Int, unroll: Int): String = {
+    val d0 = "d0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s, '' AS path FROM wt)"
+    val rounds = (1 to unroll).map { j =>
+      val cands = (1 to math.min(maxLen, j)).map { k =>
+        s"""SELECT w, n, s, path, substr(w, ${j - k + 1}, $k) AS pc
+           |      FROM d${j - k} WHERE len(w) >= $j""".stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      s"""d$j AS MATERIALIZED (
+         |  SELECT w, n, s, path FROM (
+         |    SELECT w, n, s, path,
+         |      row_number() OVER (PARTITION BY w ORDER BY n, s DESC, path) AS rk
+         |    FROM (SELECT c.w, c.n + 1 AS n, c.s + v.score AS s,
+         |            CASE WHEN c.path = '' THEN c.pc
+         |                 ELSE c.path || ' ' || c.pc END AS path
+         |          FROM ($cands) c JOIN vocab v ON v.piece = c.pc) e
+         |  ) r WHERE rk = 1)""".stripMargin
+    }
+    val enc = "enc AS (" + (1 to unroll).map(j =>
+      s"SELECT w, n, s, path FROM d$j WHERE len(w) = $j").mkString("\n  UNION ALL ") + ")"
+    (d0 +: rounds :+ enc).mkString(",\n")
+  }
+
+  /** Oracle for [[seedVocab]] over `documents`. */
+  def seedSql(maxLen: Int = DefaultMaxLen, topV: Int = DefaultTopV): String =
+    s"""WITH ${vocabCtes(maxLen, topV)}
+       |SELECT piece, score FROM vocab ORDER BY score DESC, piece""".stripMargin
+
+  /** Oracle for [[encodeWords]] over `documents`. */
+  def encodeSql(maxLen: Int = DefaultMaxLen, topV: Int = DefaultTopV,
+                unroll: Int = 12): String =
+    s"""WITH ${vocabCtes(maxLen, topV)},
+       |${dpCtes(maxLen, unroll)}
+       |SELECT w AS word, n AS n_pieces, s AS score_sum, path AS segmentation
+       |FROM enc ORDER BY word""".stripMargin
+
+  /** Oracle for [[fertility]] over `documents`. */
+  def fertilitySql(maxLen: Int = DefaultMaxLen, topV: Int = DefaultTopV,
+                   unroll: Int = 12): String =
+    s"""WITH ${vocabCtes(maxLen, topV)},
+       |${dpCtes(maxLen, unroll)},
+       |toks AS (SELECT source, w FROM
+       |    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '')
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(e.n) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(e.n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+       |FROM toks JOIN enc e ON toks.w = e.w
+       |GROUP BY source ORDER BY source""".stripMargin
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram.seedVocab / encodeWords / fertility — the unigram_* rows. */
+class UnigramSpec extends AnyFunSuite with SparkSuite {
+
+  private def bruteBest(w: String, vocab: Map[String, Long],
+                        maxLen: Int): Unigram.St = {
+    // enumerate every segmentation, pick the comparator optimum
+    def segs(s: String): Seq[List[String]] =
+      if (s.isEmpty) Seq(Nil)
+      else (1 to math.min(maxLen, s.length)).flatMap { k =>
+        val (h, t) = s.splitAt(k)
+        if (vocab.contains(h)) segs(t).map(h :: _) else Nil
+      }
+    segs(w).map { ps =>
+      Unigram.St(ps.length.toLong, ps.map(vocab).sum, ps.mkString(" "))
+    }.minBy(st => (st.n, -st.s, st.path))
+  }
+
+  test("segment equals brute-force enumeration on random words and vocabs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 300) {
+      val alpha = "ab" + (if (trial % 3 == 0) "c" else "")
+      val w = (0 until (1 + rnd.nextInt(9)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      // random multi-char pieces with random scores; singles always in
+      val multi = (0 until rnd.nextInt(6)).map { _ =>
+        val len = 2 + rnd.nextInt(3)
+        val p = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        p -> (1L + rnd.nextInt(50))
+      }
+      val singles = alpha.map(c => c.toString -> (1L + rnd.nextInt(50)))
+      val vocab = (singles ++ multi).toMap
+      val got = Unigram.segment(w, vocab, maxLen = 4)
+      val want = bruteBest(w, vocab, maxLen = 4)
+      assert((got.n, got.s, got.path) === (want.n, want.s, want.path), s"w=$w vocab=$vocab")
+    }
+  }
+
+  test("objective order: fewer pieces beats higher score; score breaks ties") {
+    // 'abab': pieces {ab:1} → 2 pieces, singles-only → 4 pieces
+    val v1 = Map("a" -> 100L, "b" -> 100L, "ab" -> 1L)
+    assert(Unigram.segment("abab", v1, 4).path === "ab ab")
+    // equal piece count: the higher-score split wins
+    val v2 = Map("a" -> 1L, "b" -> 1L, "ab" -> 5L, "ba" -> 9L, "abab" -> 1L)
+    val st = Unigram.segment("abab", v2, 4)
+    assert(st.n === 1L && st.path === "abab") // 1 piece still beats score 20
+    val st2 = Unigram.segment("aba", v2, 2)
+    // 2 pieces either way: (ab,a)=6 vs (a,ba)=10
+    assert(st2.path === "a ba" && st2.s === 10L)
+  }
+
+  test("seedVocab: every single character present; top-V ordered by mass") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab aa"), (2L, "ba aa")).toDF("doc_id", "text")
+    val v = Unigram.seedVocab(docs, maxLen = 2, topV = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // word table: aa f=3, ab f=1, ba f=1
+    // a: aa contributes 2 each ×3 + ab 1 + ba 1 = 8; aa piece: 3
+    assert(v("a") === 8L && v("b") === 2L && v("aa") === 3L)
+    // singles survive even when outside top-V
+    assert(v.contains("b"))
+  }
+
+  test("fertility: hand-computed tiny corpus, one division") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa b", "s1"), (2L, "aa aa", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Unigram.fertility(docs, maxLen = 2, topV = 10)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vocab contains 'aa' (top piece) → each 'aa' token = 1 piece
+    assert(out === Array(("s1", 2L, 2L, 1.0), ("s2", 2L, 2L, 1.0)))
+  }
+}
