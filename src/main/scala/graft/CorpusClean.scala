@@ -44,9 +44,12 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     `--pack <window>` (greedy next-fit sequence assignment, fill
   *     audit into `--stats-file`);
   *  9. post-delivery artifacts, each read back from the WRITTEN output:
-  *     `--bpe`/`--merges-out` (tokenizer merges), `--manifest-by`/
-  *     `--manifest-out` (mixture plan), `--drift-against`/`--drift-out`
-  *     (token drift vs a prior snapshot).
+  *     `--bpe`/`--merges-out` (tokenizer merges), `--unigram`/
+  *     `--pieces-out` (the SentencePiece-slot segmentation table — the
+  *     fertility A/B against BPE), `--manifest-by`/`--manifest-out`
+  *     (mixture plan), `--drift-against`/`--drift-out` (token drift vs a
+  *     prior snapshot). Formats: parquet (default), jsonl (exchange),
+  *     orc (columnar alternative) on both endpoints.
   *
   * Both endpoints speak live databases (the reference's native shape): a
   * `jdbc:` input with `--in-table` reads through the chunked PK walker,
@@ -110,6 +113,7 @@ object CorpusClean {
               org.apache.spark.sql.types.StructField("text",
                 org.apache.spark.sql.types.StringType)) ++ extra)
         spark.read.schema(schema).option("mode", "FAILFAST").json(dir)
+      case "orc" => spark.read.orc(dir)
       case _ => spark.read.parquet(dir)
     }
 
@@ -366,14 +370,17 @@ object CorpusClean {
         // shards, no partition dirs
         graft.sinks.JsonlSink.write(out, cfg.out)
         spark.read.text(cfg.out).count()
-      case _ =>
+      case fmt =>
+        // parquet (default) or orc: columnar with split/shard partition
+        // dirs — same layout, the DataFrameWriter format is the only
+        // difference
         val partCols =
           (if (cfg.splitBy.isDefined) Seq("split") else Nil) ++
             (if (cfg.shards.isDefined) Seq("shard") else Nil)
         val w = out.write.mode("overwrite")
-        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-          .parquet(cfg.out)
-        spark.read.parquet(cfg.out).count()
+        val pw = if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w
+        if (fmt == "orc") { pw.orc(cfg.out); spark.read.orc(cfg.out).count() }
+        else { pw.parquet(cfg.out); spark.read.parquet(cfg.out).count() }
     }
     // the vocab table the ids were encoded with: deliver() already
     // materialized it under the cc_vocab stage label, so this is a
@@ -400,6 +407,14 @@ object CorpusClean {
       case (Some(nm), Some(md)) =>
         graft.operators.Bpe.train(writtenSurvivors(), nm)
           .write.mode("overwrite").parquet(md)
+      case _ => ()
+    }
+    // the unigram alternative: the word→segmentation table under the
+    // top-V substring vocabulary, trained on the same survivors
+    (cfg.unigramTopV, cfg.piecesOut) match {
+      case (Some(v), Some(pd)) =>
+        graft.operators.Unigram.encodeWords(writtenSurvivors(), topV = v)
+          .write.mode("overwrite").parquet(pd)
       case _ => ()
     }
     // mixture manifest: the data-mixing plan over what SHIPPED,

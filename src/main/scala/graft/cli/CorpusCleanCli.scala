@@ -72,6 +72,12 @@ case class CorpusCleanConfig(
     // merge table to --merges-out
     bpeMerges: Option[Int] = None,
     mergesOut: Option[String] = None,
+    // unigram tokenizer prep (the SentencePiece-slot alternative): build
+    // the top-V substring vocabulary on the SURVIVORS and write the
+    // word→segmentation table to --pieces-out — alongside --bpe this is
+    // the measured fertility A/B that picks a tokenizer family
+    unigramTopV: Option[Int] = None,
+    piecesOut: Option[String] = None,
     // tokenizer staleness check (tokenizer_drift's tool form): read a
     // PERSISTED merge table and record, in --stats-file, the survivors'
     // fertility under those OLD merges vs merges re-trained on the
@@ -198,6 +204,12 @@ object CorpusCleanCli {
             case Left(e) => return Left(e)
           }
         case "--merges-out" :: v :: t => c = c.copy(mergesOut = Some(v)); rest = t
+        case "--unigram" :: v :: t =>
+          intArg(v, "--unigram") match {
+            case Right(i) => c = c.copy(unigramTopV = Some(i)); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "--pieces-out" :: v :: t => c = c.copy(piecesOut = Some(v)); rest = t
         case "--check-merges" :: v :: t => c = c.copy(checkMerges = Some(v)); rest = t
         case "--curriculum" :: t => c = c.copy(curriculum = true); rest = t
         case "--curriculum-by" :: v :: t => c = c.copy(curriculumBy = Some(v)); rest = t
@@ -244,7 +256,7 @@ object CorpusCleanCli {
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
     "--drift-against", "--drift-out", "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
-    "--check-merges")
+    "--check-merges", "--unigram", "--pieces-out")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -265,14 +277,18 @@ object CorpusCleanCli {
       Left(s"--encode must be >= 1, got ${c.encodeMinCount.get}")
     else if (c.encodeMinCount.isDefined != c.vocabOut.isDefined)
       Left("--encode and --vocab-out must be given together")
-    else if (!Set("parquet", "jsonl")(c.format))
-      Left(s"--format must be parquet or jsonl, got ${c.format}")
-    else if (!Set("parquet", "jsonl")(c.inFormat))
-      Left(s"--in-format must be parquet or jsonl, got ${c.inFormat}")
+    else if (!Set("parquet", "jsonl", "orc")(c.format))
+      Left(s"--format must be parquet, jsonl or orc, got ${c.format}")
+    else if (!Set("parquet", "jsonl", "orc")(c.inFormat))
+      Left(s"--in-format must be parquet, jsonl or orc, got ${c.inFormat}")
     else if (c.bpeMerges.exists(_ < 1))
       Left(s"--bpe must be >= 1, got ${c.bpeMerges.get}")
     else if (c.bpeMerges.isDefined != c.mergesOut.isDefined)
       Left("--bpe and --merges-out must be given together")
+    else if (c.unigramTopV.exists(_ < 1))
+      Left(s"--unigram must be >= 1, got ${c.unigramTopV.get}")
+    else if (c.unigramTopV.isDefined != c.piecesOut.isDefined)
+      Left("--unigram and --pieces-out must be given together")
     else if (c.pack.exists(_ < 1))
       Left(s"--pack must be >= 1, got ${c.pack.get}")
     else if (c.fluencyRef.isDefined != c.minFluency.isDefined)

@@ -669,4 +669,59 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(msgs(e).exists(m => m.contains("FAILFAST") ||
       m.contains("MALFORMED_RECORD")), msgs(e).mkString(" | "))
   }
+
+  test("--format orc and --in-format orc round-trip the same survivors as " +
+    "parquet, partition dirs included") {
+    val inP = tmp("cc_orc_inp")
+    val inO = tmp("cc_orc_ino")
+    val outP = tmp("cc_orc_p")
+    val outO = tmp("cc_orc_o")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    docs.write.mode("overwrite").parquet(inP)
+    docs.write.mode("overwrite").orc(inO)
+    val flags = Seq("--no-lang-gate", "--split-by", "source", "--shards", "3")
+    val nP = CorpusClean.run(spark,
+      CorpusCleanCli.parse(Seq(inP, outP) ++ flags).toOption.get)
+    val nO = CorpusClean.run(spark,
+      CorpusCleanCli.parse(Seq(inO, outO) ++ flags ++
+        Seq("--in-format", "orc", "--format", "orc")).toOption.get)
+    assert(nO === nP)
+    // same split=/shard= partition directory layout
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts(outO) === parts(outP))
+    val got = spark.read.orc(outO)
+      .select(col("doc_id"), col("text"), col("split"), col("shard").cast("long"))
+      .collect().map(_.toSeq).toSet
+    val want = spark.read.parquet(outP)
+      .select(col("doc_id"), col("text"), col("split"), col("shard").cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
+  test("--unigram writes the survivors' word→segmentation table: " +
+    "re-encoding the written output reproduces it") {
+    val inDir = tmp("cc_ug_in")
+    val outDir = tmp("cc_ug_out")
+    val piecesDir = tmp("cc_ug_p")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(inDir)
+    CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--unigram", "30",
+        "--pieces-out", piecesDir)).toOption.get)
+    val written = spark.read.parquet(piecesDir)
+      .orderBy("word").collect().map(_.toSeq)
+    assert(written.nonEmpty)
+    val again = graft.operators.Unigram.encodeWords(
+      spark.read.parquet(outDir).select(col("doc_id"), col("text")), topV = 30)
+      .orderBy("word").collect().map(_.toSeq)
+    assert(written.toSeq === again.toSeq)
+    // every surviving word is covered (singles guarantee)
+    val words = spark.read.parquet(outDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0)).toSet
+    assert(words.subsetOf(written.map(_.head.asInstanceOf[String]).toSet))
+  }
 }

@@ -38,17 +38,30 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(c.splitBy === Some("source") && c.shards === Some(16))
   }
 
-  test("--format: parquet default, jsonl accepted, anything else refused") {
+  test("--format: parquet default, jsonl/orc accepted, anything else refused") {
     assert(ok("in", "out").format === "parquet")
     assert(ok("in", "out", "--format", "jsonl").format === "jsonl")
+    assert(ok("in", "out", "--format", "orc").format === "orc")
     assert(CorpusCleanCli.parse(Seq("in", "out", "--format", "csv")).isLeft)
     assert(CorpusCleanCli.parse(Seq("in", "out", "--format")).isLeft)
   }
 
-  test("--in-format: parquet default, jsonl accepted, anything else refused") {
+  test("--in-format: parquet default, jsonl/orc accepted, anything else refused") {
     assert(ok("in", "out").inFormat === "parquet")
     assert(ok("in", "out", "--in-format", "jsonl").inFormat === "jsonl")
+    assert(ok("in", "out", "--in-format", "orc").inFormat === "orc")
     assert(CorpusCleanCli.parse(Seq("in", "out", "--in-format", "avro")).isLeft)
+  }
+
+  test("--unigram: pairs with --pieces-out, validates range") {
+    val c = ok("in", "out", "--unigram", "40", "--pieces-out", "/p")
+    assert(c.unigramTopV === Some(40) && c.piecesOut === Some("/p"))
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--unigram", "40")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--pieces-out", "/p")).isLeft)
+    assert(CorpusCleanCli.parse(
+      Seq("in", "out", "--unigram", "0", "--pieces-out", "/p")).isLeft)
+    assert(CorpusCleanCli.parse(
+      Seq("in", "out", "--unigram", "x", "--pieces-out", "/p")).isLeft)
   }
 
   test("--bpe: pairs with --merges-out, validates range") {
