@@ -3981,6 +3981,59 @@ object Queries {
       |WHERE rk <= 15 ORDER BY term, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // embedding_drift — the embedding-space drift monitor (the retrain /
+  // re-index signal for the ANN + semantic-dedup stages): per label, the
+  // L1 distance between the centroid of the PRIOR snapshot (even vec_ids
+  // — the stand-in for the persisted previous corpus) and the CURRENT
+  // shard (odd vec_ids). Centroid component sums use the KMeans
+  // fixed-point trick (floor(v·2^40) — exact integers, order-independent
+  // under any partitioning); the cross-epoch compare is the exact
+  // integer |s0·n1 − s1·n0| over the common denominator, so everything
+  // up to the final two IEEE divisions is associative BIGINT/DECIMAL
+  // arithmetic. One scan, one (label × dim)-bounded aggregate, one
+  // label-bounded reduce.
+  // ---------------------------------------------------------------------
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val scale = graft.operators.KMeans.Scale
+    val fpv = floor(col("v").cast("double") * lit(scale)).cast("decimal(38,0)")
+    val zero = lit(0).cast("decimal(38,0)")
+    val fp = t(s, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2).cast("int").as("epoch"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(when(col("epoch") === 0, fpv).otherwise(zero)).as("s0"),
+        sum(when(col("epoch") === 1, fpv).otherwise(zero)).as("s1"),
+        sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("n1"))
+    fp.groupBy("label")
+      .agg(max("n0").as("np"), max("n1").as("nc"),
+        sum(abs(col("s0") * col("n1") - col("s1") * col("n0"))).as("dfp"))
+      .select(col("label"), col("np").cast("long").as("n_prior"),
+        col("nc").cast("long").as("n_current"),
+        (col("dfp").cast("double") /
+          (col("np").cast("double") * col("nc").cast("double")) / lit(scale))
+          .as("l1_drift"))
+      .orderBy("label")
+  }
+
+  val embeddingDriftSql: String =
+    """WITH corpus AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |x AS (SELECT label, CAST(vec_id % 2 AS INT) AS epoch,
+      |        generate_subscripts(e, 1) AS pos, unnest(e) AS v FROM corpus),
+      |fp AS (SELECT label, pos,
+      |    SUM(CASE WHEN epoch = 0 THEN CAST(floor(v * 1099511627776.0) AS BIGINT) ELSE 0 END) AS s0,
+      |    SUM(CASE WHEN epoch = 1 THEN CAST(floor(v * 1099511627776.0) AS BIGINT) ELSE 0 END) AS s1,
+      |    SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS n0,
+      |    SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS n1
+      |  FROM x GROUP BY label, pos)
+      |SELECT label, CAST(MAX(n0) AS BIGINT) AS n_prior,
+      |  CAST(MAX(n1) AS BIGINT) AS n_current,
+      |  CAST(SUM(ABS(s0 * n1 - s1 * n0)) AS DOUBLE)
+      |    / (CAST(MAX(n0) AS DOUBLE) * CAST(MAX(n1) AS DOUBLE)) / 1099511627776.0 AS l1_drift
+      |FROM fp GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------------
   // curriculum_order — the curriculum-learning training order: every doc
   // gets a global contiguous 1-based position, easiest first, where
   // difficulty is the corpus-self-supervised rare-bigram count (the
@@ -5142,6 +5195,7 @@ object Queries {
     "fluency_buckets" -> (fluencyBuckets _),
     "host_cap" -> (hostCap _),
     "bm25_topk" -> (bm25Topk _),
+    "embedding_drift" -> (embeddingDrift _),
     "preference_pairs" -> (preferencePairs _),
     "curriculum_order" -> (curriculumOrder _),
     "importance_resample" -> (importanceResample _),
@@ -5296,6 +5350,7 @@ object Queries {
     "fluency_buckets" -> fluencyBucketsSql,
     "host_cap" -> hostCapSql,
     "bm25_topk" -> bm25TopkSql,
+    "embedding_drift" -> embeddingDriftSql,
     "preference_pairs" -> preferencePairsSql,
     "curriculum_order" -> curriculumOrderSql,
     "importance_resample" -> importanceResampleSql,

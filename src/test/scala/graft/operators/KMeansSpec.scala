@@ -82,4 +82,27 @@ class KMeansSpec extends AnyFunSuite with SparkSuite {
     }
     assert(byCone.values.flatten.toSet.size === 3)
   }
+
+  test("embedding_drift: hand-computed centroid shift; partitioning-invariant") {
+    import spark.implicits._
+    // label 0: prior (even ids) centroid (0, 0.5); current (odd) (1, 0.5)
+    //   → L1 drift 1.0. label 1: identical halves → drift 0.
+    val rows = Seq(
+      (0L, Seq(0f, 0f), 0), (2L, Seq(0f, 1f), 0),
+      (1L, Seq(1f, 0f), 0), (3L, Seq(1f, 1f), 0),
+      (10L, Seq(0.25f, 0.75f), 1), (11L, Seq(0.25f, 0.75f), 1))
+      .toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long, Double)] = {
+      val dir = java.nio.file.Files.createTempDirectory("edrift").toString
+      df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      graft.SparkEntry.queries("embedding_drift")(spark, dir)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+    }
+    val out = run(rows)
+    assert(out(0) === ((2L, 2L, 1.0)))
+    assert(out(1) === ((1L, 1L, 0.0)))
+    // fixed-point sums are order-independent: any partitioning, same bits
+    assert(run(rows.repartition(7)) === out)
+  }
 }
