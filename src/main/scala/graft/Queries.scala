@@ -4558,7 +4558,7 @@ object Queries {
     val projCols = rpMatrix.zipWithIndex.map { case (row, j) =>
       f"  list_inner_product(e, ${arr(row)}) AS r$j%02d"
     }.mkString(",\n")
-    def dot16(a: String, b: String) =
+    def dotRp(a: String, b: String) =
       (0 until rpDims).map(j => f"$a%s.r$j%02d * $b%s.r$j%02d").mkString(" + ")
     s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |proj AS (SELECT vec_id,
@@ -4567,11 +4567,11 @@ object Queries {
        |short AS (SELECT query_id, neighbor_id FROM (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |      (${dot16("n", "q")}) / (sqrt(${dot16("q", "q")}) * sqrt(${dot16("n", "n")})) DESC,
-       |      n.vec_id) AS rk16
+       |      (${dotRp("n", "q")}) / (sqrt(${dotRp("q", "q")}) * sqrt(${dotRp("n", "n")})) DESC,
+       |      n.vec_id) AS rk_rp
        |  FROM proj q CROSS JOIN proj n
        |  WHERE q.vec_id < 5 AND n.vec_id != q.vec_id) x
-       |WHERE rk16 <= $annRpShortlist)
+       |WHERE rk_rp <= $annRpShortlist)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
        |  SELECT s.query_id, s.neighbor_id,
        |    row_number() OVER (PARTITION BY s.query_id ORDER BY

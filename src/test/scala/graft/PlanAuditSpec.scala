@@ -731,4 +731,55 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!exchanges.exists(_.contains("user_id")),
       s"raw values cross a shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("fluency_buckets / host_cap: no per-group corpus window — the rank " +
+    "comes from the range-partitioned RDD index plus broadcast offsets") {
+    for (q <- Seq("fluency_buckets", "host_cap")) {
+      val p = plan(q)
+      // a row_number() OVER (PARTITION BY lang/source) spelling would
+      // route whole groups through single tasks; groupRank must not.
+      // (The cumulative-sum window over the |groups|-row count table IS
+      // expected — it sits above a HashAggregate and is group-bounded.)
+      assert(!p.contains("row_number() windowspecdefinition(lang") &&
+        !p.contains("row_number() windowspecdefinition(source"),
+        s"$q: per-group corpus ranking window found:\n$p")
+      // the zipWithIndex ord materializes as an RDD scan, and the group
+      // offsets (|groups| rows) come back via broadcast
+      assert(p.contains("ExistingRDD"), s"$q: rank RDD missing:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q: offsets not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+    }
+  }
+
+  test("bm25_topk: both top-k windows partition by term; df and length " +
+    "stats broadcast; tf partial-aggregates below its exchange") {
+    val p = plan("bm25_topk")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(term")),
+      s"window not term-partitioned:\n${specs.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), s"df/stats not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("unigram: encode is one word-table fold + map-only DP; fertility " +
+    "broadcasts the segmentation table") {
+    val pe = plan("unigram_encode")
+    // one corpus fold (partial agg below the exchange), then MapPartitions
+    assert(pe.contains("MapPartitions"), s"DP not map-only:\n$pe")
+    assert(pe.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"encode should shuffle exactly once (the word fold):\n$pe")
+    val pf = plan("unigram_fertility")
+    assert(pf.contains("BroadcastHashJoin"),
+      s"segmentation table not broadcast:\n$pf")
+    assert(!pf.contains("CartesianProduct"), s"cartesian:\n$pf")
+  }
+
+  test("embedding_drift: two partial-aggregated reduces, no windows, no " +
+    "vectors across the second exchange") {
+    val p = plan("embedding_drift")
+    assert(!p.contains("windowspecdefinition"), s"unexpected window:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2,
+      s"expected the (label,pos) and (label) exchanges only:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
 }
