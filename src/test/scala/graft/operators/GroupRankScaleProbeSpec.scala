@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Layout.groupRank's scale claim in the regime it exists for: ONE giant
+  * group (a dominant language/host) plus a scatter of tiny ones. The
+  * `row_number() OVER (PARTITION BY grp)` spelling routes the giant
+  * group through a single task; groupRank's range partitioning on
+  * (grp, orderCols…) must spread it across the cluster while the ranks
+  * stay exact. Verified from task-end listener metrics (the
+  * ShardAssignScaleProbeSpec pattern), AQE coalescing off. */
+class GroupRankScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nBig = 200000L
+  private val nSmall = 64L
+
+  /** 'en' holds nBig rows; 64 singleton groups around it. */
+  private def skewed = spark.range(0L, nBig + nSmall)
+    .select(
+      when(col("id") < nBig, "en")
+        .otherwise(concat(lit("g"), (col("id") - nBig).cast("string"))).as("grp"),
+      (col("id") % 1000L).as("score"), // heavy ties: doc_id tiebreak load-bearing
+      col("id").as("doc_id"))
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("a dominant group never funnels through one task; in-group ranks " +
+    "stay exact and contiguous", Slow) {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    val (out, maxRead) = try {
+      withMaxTaskShuffleRead {
+        Layout.groupRank(skewed, "grp",
+            Seq(col("score").desc, col("doc_id")))
+          .select(col("grp"), col("doc_id"), col("rnk"), col("grp_cnt"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+    info(s"groupRank max per-task shuffle read: $maxRead of ${nBig + nSmall} rows")
+    assert(out.length.toLong === nBig + nSmall)
+    val en = out.filter(_._1 == "en")
+    assert(en.forall(_._4 === nBig))
+    // contiguous 1..nBig within the giant group
+    assert(en.map(_._3).sorted.toSeq === (1L to nBig))
+    // exact order spot check: top rank = highest score, lowest doc_id
+    val top = en.find(_._3 == 1L).get
+    assert(top._2 === 999L, s"rank 1 should be doc 999 (score 999), got $top")
+    // singletons rank 1 of 1
+    assert(out.filter(_._1 != "en").forall(r => r._3 == 1L && r._4 == 1L))
+    // the giant group spread across tasks: no task read more than half
+    // the corpus (a per-group window would read ALL of 'en' in one)
+    assert(maxRead > 0 && maxRead < nBig / 2,
+      s"a task read $maxRead of $nBig rows — giant group funneled?")
+  }
+}
