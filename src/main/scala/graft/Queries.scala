@@ -4912,6 +4912,46 @@ object Queries {
   val unigramFertilitySql: String = graft.operators.Unigram.fertilitySql()
 
   // ---------------------------------------------------------------------
+  // unigram_drift — the unigram counterpart of tokenizer_drift: the
+  // persisted piece vocabulary is train-once/consume-many; this measures
+  // the drifted shard's fertility under the OLD pieces (read from the
+  // persisted seedVocab artifact) vs pieces re-trained on the shard.
+  // Unknown-alphabet words collapse to a single <unk> piece (the
+  // SentencePiece convention, pinned on both engines). Both encodes are
+  // map-only over the shard's vocab-bounded word table.
+  // ---------------------------------------------------------------------
+  def unigramDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Unigram
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" drifted drifted tokens")).as("text"))
+    val oldVocab = StageStore.materializeIfAbsent(s,
+        s"unigram_vocab_${StageStore.dirTag(dir)}") {
+        Unigram.seedVocab(docs)
+      }.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newVocab = Unigram.vocabMap(batch)
+    def variantRow(name: String, vocab: Map[String, Long]) = {
+      val enc = Unigram.encodeUnder(batch, vocab)
+      batch.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(enc.select(col("word").as("w"), col("n_pieces")), Seq("w"), "left")
+        .agg(count(lit(1)).cast("long").as("sum_words"),
+          sum(coalesce(col("n_pieces"), lit(1L))).cast("long").as("sum_pieces"))
+        .select(lit(name).as("variant"), col("sum_words"), col("sum_pieces"),
+          (col("sum_pieces").cast("double") / col("sum_words").cast("double"))
+            .as("fertility"))
+    }
+    variantRow("old_pieces", oldVocab)
+      .unionAll(variantRow("retrained", newVocab))
+      .orderBy("variant")
+  }
+
+  val unigramDriftSql: String = graft.operators.Unigram.driftSql(
+    "SELECT doc_id, text || ' drifted drifted tokens' AS text " +
+      "FROM documents WHERE doc_id % 3 = 0")
+
+  // ---------------------------------------------------------------------
   // tokenizer_drift — the tokenizer staleness gate (token_drift ×
   // bpe_fertility composed): the persisted merge table is
   // train-once/consume-many, but nothing else detects when it has gone
@@ -5225,6 +5265,7 @@ object Queries {
     "unigram_seed" -> (unigramSeed _),
     "unigram_encode" -> (unigramEncode _),
     "unigram_fertility" -> (unigramFertility _),
+    "unigram_drift" -> (unigramDrift _),
     "hard_negatives" -> (hardNegatives _),
     "packing_efficiency" -> (packingEfficiency _),
     "mixture_manifest" -> (mixtureManifest _),
@@ -5380,6 +5421,7 @@ object Queries {
     "unigram_seed" -> unigramSeedSql,
     "unigram_encode" -> unigramEncodeSql,
     "unigram_fertility" -> unigramFertilitySql,
+    "unigram_drift" -> unigramDriftSql,
     "hard_negatives" -> hardNegativesSql,
     "packing_efficiency" -> packingEfficiencySql,
     "mixture_manifest" -> mixtureManifestSql,

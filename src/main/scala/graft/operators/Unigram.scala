@@ -92,7 +92,11 @@ object Unigram {
       (a.s == b.s && a.path.compareTo(b.path) < 0)))
 
   /** Best segmentation of one word under the vocabulary (see the
-    * objective in the scaladoc). Always succeeds: singles are in-vocab. */
+    * objective in the scaladoc). Same-corpus vocabularies always cover
+    * (singles are in-vocab); under a FOREIGN vocabulary (the staleness
+    * gate) a word with an out-of-alphabet character is unsegmentable and
+    * collapses to the single `<unk>` piece — SentencePiece's UNK
+    * convention, mirrored by the drift oracle's LEFT JOIN + COALESCE. */
   private[operators] def segment(w: String, vocab: Map[String, Long],
                                  maxLen: Int): St = {
     val cps = w.codePoints().toArray
@@ -117,7 +121,7 @@ object Unigram {
       dp(j) = best
       j += 1
     }
-    dp(cps.length)
+    if (dp(cps.length) == null) St(1L, 0L, "<unk>") else dp(cps.length)
   }
 
   /** Per-distinct-word segmentations
@@ -125,11 +129,25 @@ object Unigram {
     * vocabulary-bounded word table; the vocabulary (topV + alphabet
     * rows, plan-time constant) collects and broadcasts. */
   def encodeWords(docs: DataFrame, maxLen: Int = DefaultMaxLen,
-                  topV: Int = DefaultTopV): DataFrame = {
+                  topV: Int = DefaultTopV): DataFrame =
+    encodeUnder(docs, vocabMap(docs, maxLen, topV), maxLen)
+
+  /** The vocabulary as a driver map — bounded: topV + alphabet rows. */
+  def vocabMap(docs: DataFrame, maxLen: Int = DefaultMaxLen,
+               topV: Int = DefaultTopV): Map[String, Long] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = seedVocab(docs, maxLen, topV)
-      .as[(String, Long)].collect().toMap // bounded: topV + alphabet
+    seedVocab(docs, maxLen, topV).as[(String, Long)].collect().toMap
+  }
+
+  /** Segment `docs`' distinct words under an ALREADY-TRAINED vocabulary
+    * (train-once/consume-many — the persisted-artifact path the
+    * staleness gate exercises). Map-only over the word table; the
+    * vocabulary broadcasts. */
+  def encodeUnder(docs: DataFrame, vocab: Map[String, Long],
+                  maxLen: Int = DefaultMaxLen): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab)
     wordTable(docs)
       .mapPartitions { it =>
@@ -166,66 +184,76 @@ object Unigram {
   // itself handles any length); the fixture maxes at 8.
   // ------------------------------------------------------------------
 
-  /** Shared CTE chain: word table → candidate pieces → vocabulary. */
-  private def vocabCtes(maxLen: Int, topV: Int): String =
-    s"""wt AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  /** Shared CTE chain (names prefixed by `p` so two chains — e.g. the
+    * historical corpus and a drifted shard — compose in one statement):
+    * word table → candidate pieces → vocabulary. */
+  private def vocabCtes(maxLen: Int, topV: Int, docsSql: String,
+                        p: String = ""): String =
+    s"""${p}wt AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM ($docsSql))
        |  WHERE w <> '' GROUP BY w),
-       |pos AS (SELECT w, f, unnest(generate_series(1, len(w))) AS i FROM wt),
-       |sub AS (SELECT substr(w, i, l) AS piece, f
-       |  FROM pos, (SELECT unnest(generate_series(1, $maxLen)) AS l) ls
+       |${p}pos AS (SELECT w, f, unnest(generate_series(1, len(w))) AS i FROM ${p}wt),
+       |${p}sub AS (SELECT substr(w, i, l) AS piece, f
+       |  FROM ${p}pos, (SELECT unnest(generate_series(1, $maxLen)) AS l) ls
        |  WHERE i + l - 1 <= len(w)),
-       |ps AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS score FROM sub GROUP BY piece),
-       |vocab AS MATERIALIZED (
+       |${p}ps AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS score FROM ${p}sub GROUP BY piece),
+       |${p}vocab AS MATERIALIZED (
        |  SELECT piece, score FROM
-       |    (SELECT piece, score FROM ps ORDER BY score DESC, piece LIMIT $topV)
+       |    (SELECT piece, score FROM ${p}ps ORDER BY score DESC, piece LIMIT $topV)
        |  UNION
-       |  SELECT piece, score FROM ps WHERE len(piece) = 1)""".stripMargin
+       |  SELECT piece, score FROM ${p}ps WHERE len(piece) = 1)""".stripMargin
 
-  /** The unrolled DP chain d0..dU + the per-word result CTE `enc`. Every
-    * dj is referenced by up to `maxLen` later rounds, so the CTEs are
-    * MATERIALIZED — DuckDB's default inlining would expand the chain
-    * tetranacci-fold (minutes of planning at unroll=12). */
-  private def dpCtes(maxLen: Int, unroll: Int): String = {
-    val d0 = "d0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s, '' AS path FROM wt)"
+  /** The unrolled DP chain `${p}d0..dU` over the word-table CTE `wtCte`
+    * under the vocabulary CTE `vocabCte`, + the per-word result CTE
+    * `${p}enc`. Every dj is referenced by up to `maxLen` later rounds,
+    * so the CTEs are MATERIALIZED — DuckDB's default inlining would
+    * expand the chain tetranacci-fold (minutes of planning at
+    * unroll=12). Decoupling `wtCte` from `vocabCte` is what lets the
+    * staleness gate segment a NEW shard's words under the OLD
+    * vocabulary. */
+  private def dpCtes(maxLen: Int, unroll: Int, p: String,
+                     wtCte: String, vocabCte: String): String = {
+    val d0 = s"${p}d0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s, '' AS path FROM $wtCte)"
     val rounds = (1 to unroll).map { j =>
       val cands = (1 to math.min(maxLen, j)).map { k =>
         s"""SELECT w, n, s, path, substr(w, ${j - k + 1}, $k) AS pc
-           |      FROM d${j - k} WHERE len(w) >= $j""".stripMargin
+           |      FROM ${p}d${j - k} WHERE len(w) >= $j""".stripMargin
       }.mkString("\n      UNION ALL\n      ")
-      s"""d$j AS MATERIALIZED (
+      s"""${p}d$j AS MATERIALIZED (
          |  SELECT w, n, s, path FROM (
          |    SELECT w, n, s, path,
          |      row_number() OVER (PARTITION BY w ORDER BY n, s DESC, path) AS rk
          |    FROM (SELECT c.w, c.n + 1 AS n, c.s + v.score AS s,
          |            CASE WHEN c.path = '' THEN c.pc
          |                 ELSE c.path || ' ' || c.pc END AS path
-         |          FROM ($cands) c JOIN vocab v ON v.piece = c.pc) e
+         |          FROM ($cands) c JOIN $vocabCte v ON v.piece = c.pc) e
          |  ) r WHERE rk = 1)""".stripMargin
     }
-    val enc = "enc AS (" + (1 to unroll).map(j =>
-      s"SELECT w, n, s, path FROM d$j WHERE len(w) = $j").mkString("\n  UNION ALL ") + ")"
+    val enc = s"${p}enc AS (" + (1 to unroll).map(j =>
+      s"SELECT w, n, s, path FROM ${p}d$j WHERE len(w) = $j").mkString("\n  UNION ALL ") + ")"
     (d0 +: rounds :+ enc).mkString(",\n")
   }
 
+  private val docsSqlDefault = "SELECT doc_id, text FROM documents"
+
   /** Oracle for [[seedVocab]] over `documents`. */
   def seedSql(maxLen: Int = DefaultMaxLen, topV: Int = DefaultTopV): String =
-    s"""WITH ${vocabCtes(maxLen, topV)}
+    s"""WITH ${vocabCtes(maxLen, topV, docsSqlDefault)}
        |SELECT piece, score FROM vocab ORDER BY score DESC, piece""".stripMargin
 
   /** Oracle for [[encodeWords]] over `documents`. */
   def encodeSql(maxLen: Int = DefaultMaxLen, topV: Int = DefaultTopV,
                 unroll: Int = 12): String =
-    s"""WITH ${vocabCtes(maxLen, topV)},
-       |${dpCtes(maxLen, unroll)}
+    s"""WITH ${vocabCtes(maxLen, topV, docsSqlDefault)},
+       |${dpCtes(maxLen, unroll, "", "wt", "vocab")}
        |SELECT w AS word, n AS n_pieces, s AS score_sum, path AS segmentation
        |FROM enc ORDER BY word""".stripMargin
 
   /** Oracle for [[fertility]] over `documents`. */
   def fertilitySql(maxLen: Int = DefaultMaxLen, topV: Int = DefaultTopV,
                    unroll: Int = 12): String =
-    s"""WITH ${vocabCtes(maxLen, topV)},
-       |${dpCtes(maxLen, unroll)},
+    s"""WITH ${vocabCtes(maxLen, topV, docsSqlDefault)},
+       |${dpCtes(maxLen, unroll, "", "wt", "vocab")},
        |toks AS (SELECT source, w FROM
        |    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE w <> '')
@@ -234,4 +262,33 @@ object Unigram {
        |  CAST(SUM(e.n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
        |FROM toks JOIN enc e ON toks.w = e.w
        |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Oracle for the unigram staleness gate: fertility of a drifted batch
+    * (`batchSql`, any `(doc_id, text)` query) under the vocabulary
+    * trained over `documents` (the persisted artifact) vs a vocabulary
+    * RE-TRAINED on the batch itself. Two rows; unknown-alphabet words
+    * fall to the single `<unk>` piece via LEFT JOIN + COALESCE — the
+    * [[segment]] convention. */
+  def driftSql(batchSql: String, maxLen: Int = DefaultMaxLen,
+               topV: Int = DefaultTopV, unroll: Int = 12): String =
+    s"""WITH ${vocabCtes(maxLen, topV, docsSqlDefault, "o")},
+       |bt AS MATERIALIZED ($batchSql),
+       |${vocabCtes(maxLen, topV, "SELECT doc_id, text FROM bt", "n")},
+       |${dpCtes(maxLen, unroll, "oa", "nwt", "ovocab")},
+       |${dpCtes(maxLen, unroll, "nb", "nwt", "nvocab")},
+       |toks AS (SELECT w FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS w FROM bt)
+       |  WHERE w <> ''),
+       |fo AS (SELECT CAST(COUNT(*) AS BIGINT) AS sum_words,
+       |    CAST(SUM(COALESCE(e.n, 1)) AS BIGINT) AS sum_pieces
+       |  FROM toks LEFT JOIN oaenc e ON toks.w = e.w),
+       |fn AS (SELECT CAST(COUNT(*) AS BIGINT) AS sum_words,
+       |    CAST(SUM(COALESCE(e.n, 1)) AS BIGINT) AS sum_pieces
+       |  FROM toks LEFT JOIN nbenc e ON toks.w = e.w)
+       |SELECT variant, sum_words, sum_pieces,
+       |  CAST(sum_pieces AS DOUBLE) / CAST(sum_words AS DOUBLE) AS fertility
+       |FROM (SELECT 'old_pieces' AS variant, sum_words, sum_pieces FROM fo
+       |      UNION ALL
+       |      SELECT 'retrained' AS variant, sum_words, sum_pieces FROM fn)
+       |ORDER BY variant""".stripMargin
 }

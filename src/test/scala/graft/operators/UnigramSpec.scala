@@ -66,6 +66,35 @@ class UnigramSpec extends AnyFunSuite with SparkSuite {
     assert(v.contains("b"))
   }
 
+  test("encodeUnder a foreign vocabulary: out-of-alphabet words collapse " +
+    "to <unk>; covered words segment under the OLD scores") {
+    import spark.implicits._
+    val oldDocs = Seq((1L, "abc abc ab")).toDF("doc_id", "text")
+    val newDocs = Seq((2L, "ab xyz")).toDF("doc_id", "text")
+    val out = Unigram.encodeUnder(newDocs, Unigram.vocabMap(oldDocs, 4, 10), 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(out("ab")._2 === "ab") // one old piece covers it
+    assert(out("xyz") === ((1L, "<unk>"))) // x,y,z absent from the old alphabet
+  }
+
+  test("drift gate: both variants measure the same shard and the planted " +
+    "drift produces a nonzero gap") {
+    val rows = graft.SparkEntry.queries("unigram_drift")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet === Set("old_pieces", "retrained"))
+    val (ow, op, of) = rows("old_pieces")
+    val (nw, np, nf) = rows("retrained")
+    assert(ow === nw && ow > 0, "same shard word count under both vocabs")
+    assert(of === op.toDouble / ow.toDouble && nf === np.toDouble / nw.toDouble)
+    // the gate's entire job: the two vocabularies tokenize the drifted
+    // shard measurably differently (the direction depends on where the
+    // batch's substring mass lands relative to the corpus top-V — the
+    // SIGNAL is the gap, pinned exactly by the DuckDB oracle)
+    assert(op !== np, s"planted drift produced no fertility gap: $rows")
+  }
+
   test("fertility: hand-computed tiny corpus, one division") {
     import spark.implicits._
     val docs = Seq((1L, "aa b", "s1"), (2L, "aa aa", "s2"))
