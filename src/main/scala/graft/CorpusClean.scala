@@ -23,6 +23,8 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     filters shrink the corpus FIRST; then line-level boilerplate
   *     removal (`--boilerplate <minDocFreq>`, CCNet paragraph dedup) so
   *     documents differing only by template collapse in the exact stage;
+  *     `--host-cap N --host-key COL` caps each host's surviving docs
+  *     (the C4 anti-spam cut) right after the gates;
   *  2. exact dedup (keep min doc_id per identical text);
   *  3. exact-substring span removal (Lee et al. ACL'22; `--ngram`,
   *     `--min-span`; `--gram-state` switches to incremental mode against
@@ -82,7 +84,8 @@ object CorpusClean {
       require(pk.nonEmpty,
         s"corpus table $table has no primary key — chunked ingest needs one")
       val cols = (Seq("doc_id", "text") ++ cfg.splitBy.toSeq ++
-        cfg.manifestBy.toSeq ++ cfg.curriculumBy.toSeq).distinct
+        cfg.manifestBy.toSeq ++ cfg.curriculumBy.toSeq ++
+        cfg.hostKey.toSeq).distinct
       graft.sources.JdbcChunkedSource
         .readChunked(spark, cfg.in, table, pk, cfg.inChunks, props)
         // alias to the pipeline's lower-case names (Derby/Oracle catalogs
@@ -90,7 +93,7 @@ object CorpusClean {
         .select(cols.map(c => col(c).as(c)): _*)
     } else jsonlRead(spark, cfg.inFormat, cfg.in,
       (cfg.splitBy.toSeq ++ cfg.manifestBy.toSeq ++
-        cfg.curriculumBy.toSeq).distinct)
+        cfg.curriculumBy.toSeq ++ cfg.hostKey.toSeq).distinct)
 
   /** Stage-label tag for one (input, output) run — includes the corpus
     * table for jdbc: inputs so two tables of one database never alias
@@ -167,6 +170,25 @@ object CorpusClean {
       case _ => worded
     }
 
+    // 1a. per-host document cap (the C4/CCNet anti-spam cut) — runs
+    // right after the gates so one spammy host cannot dominate the
+    // dedup candidate stages; kept docs drawn by content-independent
+    // md5 order via the groupRank machinery (hosts ARE the
+    // few-huge-groups regime — no per-host window)
+    val capped = (cfg.hostCap, cfg.hostKey) match {
+      case (Some(cap), Some(hk)) =>
+        val keys = readInput(spark, cfg).select(col("doc_id"), col(hk))
+        val ranked = graft.operators.Layout.groupRank(
+          filtered.join(keys, Seq("doc_id"))
+            .select(col("doc_id"), col(hk).as("host"),
+              md5(col("doc_id").cast("string")).as("draw")),
+          "host", Seq(col("draw"), col("doc_id")))
+        filtered.join(
+          ranked.filter(col("rnk") <= cap).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case _ => filtered
+    }
+
     // 1b. line-level boilerplate removal (CCNet paragraph dedup) — runs
     // BEFORE exact dedup, as CCNet does: stripping shared templates first
     // lets documents that differed only by boilerplate collapse in the
@@ -174,10 +196,10 @@ object CorpusClean {
     val deBoiler = cfg.boilerplate match {
       case Some(minDf) =>
         graft.operators.TextOps
-          .dedupLines(filtered, minDocFreq = minDf,
+          .dedupLines(capped, minDocFreq = minDf,
             stageLabel = Some(s"cc_duplines_$tag"))
           .select(col("doc_id"), col("cleaned").as("text"))
-      case None => filtered
+      case None => capped
     }
 
     // 2. exact dedup
@@ -245,6 +267,7 @@ object CorpusClean {
     Seq(
       "input" -> docs,
       "gates" -> filtered,
+      "host_cap" -> capped,
       "boilerplate" -> deBoiler,
       "exact_dedup" -> kept,
       "span_removal" -> cleaned,

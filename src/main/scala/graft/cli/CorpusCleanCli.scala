@@ -72,6 +72,11 @@ case class CorpusCleanConfig(
     // merge table to --merges-out
     bpeMerges: Option[Int] = None,
     mergesOut: Option[String] = None,
+    // per-host document cap (the C4/CCNet anti-spam cut): keep at most
+    // --host-cap docs per value of the --host-key input column, drawn by
+    // content-independent md5 order; runs right after the gates
+    hostCap: Option[Int] = None,
+    hostKey: Option[String] = None,
     // unigram tokenizer prep (the SentencePiece-slot alternative): build
     // the top-V substring vocabulary on the SURVIVORS and write the
     // word→segmentation table to --pieces-out — alongside --bpe this is
@@ -204,6 +209,12 @@ object CorpusCleanCli {
             case Left(e) => return Left(e)
           }
         case "--merges-out" :: v :: t => c = c.copy(mergesOut = Some(v)); rest = t
+        case "--host-cap" :: v :: t =>
+          intArg(v, "--host-cap") match {
+            case Right(i) => c = c.copy(hostCap = Some(i)); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "--host-key" :: v :: t => c = c.copy(hostKey = Some(v)); rest = t
         case "--unigram" :: v :: t =>
           intArg(v, "--unigram") match {
             case Right(i) => c = c.copy(unigramTopV = Some(i)); rest = t
@@ -256,7 +267,8 @@ object CorpusCleanCli {
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
     "--drift-against", "--drift-out", "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
-    "--check-merges", "--unigram", "--pieces-out")
+    "--check-merges", "--unigram", "--pieces-out", "--host-cap",
+    "--host-key")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -289,6 +301,11 @@ object CorpusCleanCli {
       Left(s"--unigram must be >= 1, got ${c.unigramTopV.get}")
     else if (c.unigramTopV.isDefined != c.piecesOut.isDefined)
       Left("--unigram and --pieces-out must be given together")
+    else if (c.hostCap.exists(_ < 1))
+      Left(s"--host-cap must be >= 1, got ${c.hostCap.get}")
+    else if (c.hostCap.isDefined != c.hostKey.isDefined)
+      Left("--host-cap and --host-key must be given together")
+    else if (c.hostKey.exists(_.isEmpty)) Left("--host-key: empty column name")
     else if (c.pack.exists(_ < 1))
       Left(s"--pack must be >= 1, got ${c.pack.get}")
     else if (c.fluencyRef.isDefined != c.minFluency.isDefined)

@@ -256,9 +256,9 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     val counts = "\"([a-z_]+)\": (\\d+)".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toLong).toSeq
     val names = counts.map(_._1)
-    assert(names === Seq("input", "gates", "boilerplate", "exact_dedup",
-      "span_removal", "near_dup", "semantic_dedup", "decontaminate",
-      "final"), txt)
+    assert(names === Seq("input", "gates", "host_cap", "boilerplate",
+      "exact_dedup", "span_removal", "near_dup", "semantic_dedup",
+      "decontaminate", "final"), txt)
     // survivors never grow across stages, and final matches run()'s count
     val vals = counts.map(_._2)
     assert(vals.zip(vals.tail).forall { case (a, b) => b <= a }, txt)
@@ -668,6 +668,33 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(m => m.contains("FAILFAST") ||
       m.contains("MALFORMED_RECORD")), msgs(e).mkString(" | "))
+  }
+
+  test("--host-cap keeps at most N docs per --host-key value, matching " +
+    "the host_cap query's md5 draw") {
+    val inDir = tmp("cc_hc_in")
+    val outDir = tmp("cc_hc_out")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    docs.write.mode("overwrite").parquet(inDir)
+    CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--min-words", "0",
+        "--min-span", "0", "--no-near-dup",
+        "--host-cap", "2", "--host-key", "source")).toOption.get)
+    val kept = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bySource = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every source keeps at most 2, and exactly the 2 lowest md5 draws
+    bySource.groupBy(_._2).foreach { case (src, rows) =>
+      val keptHere = rows.map(_._1).filter(kept)
+      assert(keptHere.length <= 2, s"$src over cap")
+      val want = rows.map(_._1).sortBy(id =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)).take(2).toSet
+      assert(keptHere.toSet === want, s"$src draw mismatch")
+    }
   }
 
   test("--format orc and --in-format orc round-trip the same survivors as " +

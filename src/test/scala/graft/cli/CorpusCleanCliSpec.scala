@@ -53,6 +53,17 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(CorpusCleanCli.parse(Seq("in", "out", "--in-format", "avro")).isLeft)
   }
 
+  test("--host-cap: pairs with --host-key, validates range") {
+    val c = ok("in", "out", "--host-cap", "100", "--host-key", "source")
+    assert(c.hostCap === Some(100) && c.hostKey === Some("source"))
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--host-cap", "100")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--host-key", "source")).isLeft)
+    assert(CorpusCleanCli.parse(
+      Seq("in", "out", "--host-cap", "0", "--host-key", "source")).isLeft)
+    assert(CorpusCleanCli.parse(
+      Seq("in", "out", "--host-cap", "5", "--host-key", "")).isLeft)
+  }
+
   test("--unigram: pairs with --pieces-out, validates range") {
     val c = ok("in", "out", "--unigram", "40", "--pieces-out", "/p")
     assert(c.unigramTopV === Some(40) && c.piecesOut === Some("/p"))
