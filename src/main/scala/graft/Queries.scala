@@ -3981,6 +3981,55 @@ object Queries {
       |WHERE rk <= 15 ORDER BY term, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // retrieve_chunks — the RAG retrieval shape end to end: BM25 over the
+  // sliding 32-token chunk table (doc_chunks × bm25_topk composed, via
+  // TextOps.bm25TopKBy keyed on (doc_id, chunk_id)) — a retrieval index
+  // serves CHUNKS, not documents, so df/dl/avgdl are all chunk-level.
+  // Same log-free idf and salted two-phase top-k as bm25_topk.
+  // ---------------------------------------------------------------------
+  def retrieveChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.bm25TopKBy(
+      graft.operators.TextOps.docChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("chunk_id"), col("chunk").as("text")),
+      Seq("doc_id", "chunk_id"), terms = Seq("spark", "table", "join"), k = 10)
+      .orderBy("term", "rk")
+
+  val retrieveChunksSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws)-1, 16)) AS start FROM w),
+      |ch AS (SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id,
+      |  array_to_string(ws[start+1:start+least(32, len(ws) - start)], ' ') AS text FROM c),
+      |toks AS (SELECT doc_id, chunk_id, lower(tok) AS term FROM
+      |    (SELECT doc_id, chunk_id, UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+      |     FROM ch) t
+      |  WHERE lower(tok) IN ('spark', 'table', 'join')),
+      |tf AS (SELECT doc_id, chunk_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      |df AS (SELECT term, COUNT(*) AS df FROM
+      |  (SELECT DISTINCT term, doc_id, chunk_id FROM toks) GROUP BY 1),
+      |dl AS (SELECT doc_id, chunk_id,
+      |    CAST(len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS dl
+      |  FROM ch),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl)
+      |SELECT term, doc_id, chunk_id, rk, score FROM (
+      |  SELECT tf.term, tf.doc_id, tf.chunk_id,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      AS score,
+      |    row_number() OVER (PARTITION BY tf.term ORDER BY
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      DESC, tf.doc_id, tf.chunk_id) AS rk
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id, chunk_id) CROSS JOIN stats) x
+      |WHERE rk <= 10 ORDER BY term, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // embedding_drift — the embedding-space drift monitor (the retrain /
   // re-index signal for the ANN + semantic-dedup stages): per label, the
   // L1 distance between the centroid of the PRIOR snapshot (even vec_ids
@@ -5235,6 +5284,7 @@ object Queries {
     "fluency_buckets" -> (fluencyBuckets _),
     "host_cap" -> (hostCap _),
     "bm25_topk" -> (bm25Topk _),
+    "retrieve_chunks" -> (retrieveChunks _),
     "embedding_drift" -> (embeddingDrift _),
     "preference_pairs" -> (preferencePairs _),
     "curriculum_order" -> (curriculumOrder _),
@@ -5391,6 +5441,7 @@ object Queries {
     "fluency_buckets" -> fluencyBucketsSql,
     "host_cap" -> hostCapSql,
     "bm25_topk" -> bm25TopkSql,
+    "retrieve_chunks" -> retrieveChunksSql,
     "embedding_drift" -> embeddingDriftSql,
     "preference_pairs" -> preferencePairsSql,
     "curriculum_order" -> curriculumOrderSql,

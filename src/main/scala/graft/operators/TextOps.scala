@@ -162,38 +162,50 @@ object TextOps {
     * is the salted two-phase draw: a 16-bucket local row_number prunes to
     * ≤ 16k rows per term before the per-term global window ranks —
     * no whole-term single-task window over the corpus. */
-  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame = {
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame =
+    bm25TopKBy(docs.select(col("doc_id"), col("text")), Seq("doc_id"), terms, k)
+
+  /** [[bm25TopK]] over any retrieval unit — `units` carries the key
+    * columns `idCols` plus `text`. The RAG shape: the unit is a CHUNK
+    * keyed (doc_id, chunk_id), not the whole document (retrieve_chunks).
+    * Output: idCols…, term, rk, score. */
+  def bm25TopKBy(units: DataFrame, idCols: Seq[String], terms: Seq[String],
+                 k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), "[^A-Za-z]+")).as("tok"))
-      .select(col("doc_id"), lower(col("tok")).as("term"))
+    val ids = idCols.map(col)
+    val toks = units
+      .select(ids :+ explode(split(col("text"), "[^A-Za-z]+")).as("tok"): _*)
+      .select(ids :+ lower(col("tok")).as("term"): _*)
       .filter(col("term").isin(terms: _*))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df_ = toks.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
-    // dl = non-empty [^A-Za-z]+ tokens per doc; the length stats (N, S)
+    val tf = toks.groupBy(ids :+ col("term"): _*).agg(count(lit(1)).as("tf"))
+    val df_ = toks.groupBy("term")
+      .agg(count_distinct(ids.head, ids.tail: _*).as("df"))
+    // dl = non-empty [^A-Za-z]+ tokens per unit; the length stats (N, S)
     // reduce to ONE row and broadcast via the cross join
-    val dl = docs.select(col("doc_id"),
+    val dl = units.select(ids :+
       size(filter(split(col("text"), "[^A-Za-z]+"), x => x =!= lit("")))
-        .cast("long").as("dl"))
+        .cast("long").as("dl"): _*)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    // operation order mirrors bm25TopkSql token for token: IEEE-exact
+    // operation order mirrors the oracle SQL token for token: IEEE-exact
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val score = idf * ((col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
         lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
-    val local = Window.partitionBy(col("term"), pmod(xxhash64(col("doc_id")), lit(16)))
-      .orderBy(col("score").desc, col("doc_id"))
-    val global = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    val local = Window
+      .partitionBy(col("term") +: pmod(xxhash64(ids: _*), lit(16)) +: Nil: _*)
+      .orderBy(col("score").desc +: ids.map(_.asc): _*)
+    val global = Window.partitionBy("term")
+      .orderBy(col("score").desc +: ids.map(_.asc): _*)
     tf.join(broadcast(df_), "term")
-      .join(dl, "doc_id")
+      .join(dl, idCols)
       .crossJoin(broadcast(stats))
-      .select(col("term"), col("doc_id"), score.as("score"))
+      .select(col("term") +: ids :+ score.as("score"): _*)
       .withColumn("_rl", row_number().over(local)).filter(col("_rl") <= k)
       .withColumn("rk", row_number().over(global).cast("long"))
       .filter(col("rk") <= k)
-      .select("term", "doc_id", "rk", "score")
+      .select(col("term") +: ids :+ col("rk") :+ col("score"): _*)
   }
 
   /** Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1
