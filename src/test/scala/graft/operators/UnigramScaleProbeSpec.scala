@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Unigram's scale claims at a vocabulary two orders above the fixture:
+  * the corpus folds ONCE to the distinct-word table, candidate pieces
+  * expand per distinct word (bounded by maxLen·|w|), the vocabulary
+  * collect is topV + alphabet rows, and the DP segments every word in
+  * one map pass. 50k distinct words ≈ a real per-language web-corpus
+  * vocabulary scaled by Heaps' law. */
+class UnigramScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nWords = 50000
+
+  /** Synthetic Zipf-ish corpus: 50k distinct words, base-26 spellings up
+    * to 8 chars, each word appearing once per doc row. */
+  private lazy val corpus = {
+    import spark.implicits._
+    (0 until nWords).map { i =>
+      val sb = new StringBuilder
+      var x = i
+      do { sb.append(('a' + x % 26).toChar); x /= 26 } while (x > 0)
+      (i.toLong, sb.toString)
+    }.toDF("doc_id", "text").repartition(8)
+  }
+
+  test("seedVocab collects only topV + alphabet rows at a 50k-word " +
+    "vocabulary; encode segments every word", Slow) {
+    val topV = 1000
+    val vocab = Unigram.vocabMap(corpus, maxLen = 4, topV = topV)
+    // the collect bound: topV + single-char pieces (26 here, overlapping
+    // with the top set) — never the candidate-piece table
+    assert(vocab.size <= topV + 26)
+    assert(('a' to 'z').forall(c => vocab.contains(c.toString)),
+      "alphabet coverage lost")
+    val enc = Unigram.encodeUnder(corpus, vocab, maxLen = 4)
+      .select(col("word"), col("n_pieces")).collect()
+    assert(enc.length === nWords)
+    // every word segments (coverage guarantee — no <unk> under the own
+    // corpus's vocabulary) into at most |w| pieces
+    val bad = enc.filter(r => r.getLong(1) < 1 || r.getLong(1) > 8)
+    assert(bad.isEmpty, s"${bad.take(3).mkString}")
+  }
+}
