@@ -856,6 +856,29 @@ object Queries {
   val annIvfSql: String =
     graft.operators.Similarity.ivfOracleSql(queryIds = 0L until 5L, k = 5)
 
+  // ---------------------------------------------------------------------
+  // ann_ivf_incremental — IVF index MAINTENANCE (Similarity.
+  // ivfTopKIncremental): centroids freeze on the historical half (even
+  // vec_ids), whose cell assignments persist via StageStore and are read
+  // from FILES; the new shard (odd vec_ids) assigns map-only and its
+  // vectors query the merged index. The standing-deployment form of
+  // ann_ivf — embedding_drift is the rebuild signal.
+  // ---------------------------------------------------------------------
+  def annIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.ivfTopKIncremental(
+      history = emb.filter(col("vec_id") % 2 === 0),
+      batch = emb.filter(col("vec_id") % 2 === 1),
+      queryIds = Seq(1L, 3L, 5L, 7L, 9L), k = 5,
+      stageLabel = Some(s"ivf_hist_${StageStore.dirTag(dir)}"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfIncrementalSql: String =
+    graft.operators.Similarity.ivfOracleSql(
+      queryIds = Seq(1L, 3L, 5L, 7L, 9L), k = 5,
+      centWhere = "WHERE vec_id % 2 = 0")
+
   val annLshSql: String =
     graft.operators.Similarity.lshOracleSql(queryIds = 0L until 5L, k = 5)
 
@@ -5212,6 +5235,7 @@ object Queries {
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_pq" -> (annPq _),
     "ann_ivf_pq" -> (annIvfPq _),
     "embed_near_dup" -> (embedNearDup _),
@@ -5369,6 +5393,7 @@ object Queries {
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_ivf_incremental" -> annIvfIncrementalSql,
     "ann_pq" -> annPqSql,
     "ann_ivf_pq" -> annIvfPqSql,
     "embed_near_dup" -> embedNearDupSql,

@@ -173,10 +173,24 @@ object Similarity {
     // nCells-cosine array is a single expression — as composed
     // expressions, CollapseProject + constraint inference re-inline the
     // hoisted norm and double-evaluate the array (plan measured 2× wider).
-    val assigned = emb.select(col("vec_id"), col("embedding"),
+    val assigned = assignCells(emb, centroids, cNorms)
+    ivfSearch(assigned, emb, queryIds, centroids, cNorms, k, nProbe)
+  }
+
+  /** Map-only frozen-geometry cell assignment (the fused argmax kernel). */
+  private def assignCells(emb: DataFrame, centroids: Array[Array[Double]],
+                          cNorms: Array[Double]): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
       graft.functions.VectorExprs
         .centroidArgMax(col("embedding"), centroids, cNorms).as("cell"))
-    val probes = emb.filter(col("vec_id").isin(queryIds: _*))
+
+  /** The shared IVF search tail: probe-cell selection for the queries
+    * (drawn from `queries`), candidate join against the assigned index,
+    * exact cosine re-rank. */
+  private def ivfSearch(assigned: DataFrame, queries: DataFrame,
+                        queryIds: Seq[Long], centroids: Array[Array[Double]],
+                        cNorms: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    val probes = queries.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         posexplode(graft.functions.VectorExprs
           .centroidScores(col("embedding"), centroids, cNorms))
@@ -195,17 +209,52 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** IVF index MAINTENANCE — the incremental form every standing ANN
+    * deployment needs (the semantic_dedup_incremental trade applied to
+    * retrieval): centroid geometry FREEZES on the historical corpus, the
+    * history's cell assignments persist via StageStore (read from files
+    * on every subsequent batch — never recomputed), and a new shard is
+    * assigned map-only before queries search the MERGED index. Frozen
+    * geometry is what makes increments cheap and the oracle replayable;
+    * the drift monitor (embedding_drift) is the signal to re-train
+    * centroids and rebuild. */
+  def ivfTopKIncremental(history: DataFrame, batch: DataFrame,
+                         queryIds: Seq[Long], k: Int, nCells: Int = 16,
+                         nProbe: Int = 4,
+                         stageLabel: Option[String] = None): DataFrame = {
+    val centroids: Array[Array[Double]] = history
+      .orderBy("vec_id").limit(nCells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cNorms: Array[Double] = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    val histAssigned = stageLabel match {
+      case Some(l) =>
+        // write-once, read-forever: subsequent batches and repeated
+        // queries consume the persisted index files, never the history
+        // vectors' lineage
+        graft.StageStore.materializeIfAbsent(history.sparkSession, l)(
+          assignCells(history, centroids, cNorms))
+      case None => assignCells(history, centroids, cNorms)
+    }
+    val index = histAssigned.unionAll(assignCells(batch, centroids, cNorms))
+    ivfSearch(index, batch, queryIds, centroids, cNorms, k, nProbe)
+  }
+
   /** DuckDB SQL replaying [[ivfTopK]] exactly: centroids re-derived from
     * the same table (lowest `nCells` vec_ids), assignment/probing by the
     * same double-accumulated cosine with the same first-max tie-break. */
   def ivfOracleSql(queryIds: Seq[Long], k: Int, nCells: Int = 16,
-                   nProbe: Int = 4): String = {
+                   nProbe: Int = 4, centWhere: String = ""): String = {
     val cos = (a: String, b: String) =>
       s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
     s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cent AS (
        |  SELECT e AS ce, row_number() OVER (ORDER BY vec_id) AS cidx
-       |  FROM corpus ORDER BY vec_id LIMIT $nCells
+       |  FROM corpus $centWhere ORDER BY vec_id LIMIT $nCells
        |),
        |scored AS (
        |  SELECT c.vec_id, cent.cidx, ${cos("c.e", "cent.ce")} AS score

@@ -180,6 +180,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(full === bf)
   }
 
+  test("ivfTopKIncremental: history assignments materialize once and are " +
+    "read from files; recall vs brute force holds on the merged index") {
+    import org.apache.spark.sql.functions._
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val qs = Seq(1L, 3L, 5L, 7L, 9L)
+    val label = s"ivf_hist_probe_${System.nanoTime()}"
+    val out = Similarity.ivfTopKIncremental(hist, batch, qs, k = 5,
+        stageLabel = Some(label))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(graft.StageStore.materializations(label) === 1L,
+      "history index must write exactly once")
+    assert(out.length === 25)
+    // a second query run against the SAME label re-reads the files — no
+    // second write job
+    val again = Similarity.ivfTopKIncremental(hist, batch, qs, k = 5,
+        stageLabel = Some(label))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(graft.StageStore.materializations(label) === 1L)
+    assert(out.toSeq === again.toSeq)
+    // recall: the probed candidate set keeps most of the exact top-5
+    val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val got = out.map(r => (r._1, r._3)).groupBy(_._1)
+    val recall = qs.map { q =>
+      val g = got.getOrElse(q, Array.empty).map(_._2).toSet
+      val b = brute(q).map(_._2).toSet
+      g.intersect(b).size.toDouble / b.size
+    }.sum / qs.size
+    info(f"incremental IVF top-5 recall vs brute force: $recall%.2f")
+    assert(recall >= 0.6, f"recall $recall%.2f below the IVF probe bound")
+  }
+
   test("cosineNearDupPairs: planted duplicate vectors are found at sim ~1") {
     val planted = emb.limit(10).unionAll(
       emb.limit(10).withColumn("vec_id", col("vec_id") + lit(1000000L)))
