@@ -774,6 +774,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!pf.contains("CartesianProduct"), s"cartesian:\n$pf")
   }
 
+  test("retrieve_chunks: chunk-level windows stay term-partitioned; the " +
+    "chunker is map-work (no chunk shuffle before tf)") {
+    val p = plan("retrieve_chunks")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(term")),
+      s"window not term-partitioned:\n${specs.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("ann_ivf_incremental: the history side of the index is a parquet " +
+    "scan of the persisted stage, not the vectors' lineage") {
+    val label = s"ivf_hist_${StageStore.dirTag(sf)}"
+    val before = StageStore.materializations(label)
+    val df = SparkEntry.queries("ann_ivf_incremental")(spark, sf)
+    assert(df.count() > 0)
+    val wrote = StageStore.materializations(label) - before
+    assert(wrote <= 1, "history index must write at most once")
+    // second evaluation: zero additional writes, and the plan's history
+    // arm reads the stage files
+    val p = planFullPaths(SparkEntry.queries("ann_ivf_incremental")(spark, sf))
+    assert(StageStore.materializations(label) - before === wrote)
+    assert(p.contains(label), s"history not read from the persisted stage:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("embedding_drift: two partial-aggregated reduces, no windows, no " +
     "vectors across the second exchange") {
     val p = plan("embedding_drift")
