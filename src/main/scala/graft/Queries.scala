@@ -2140,6 +2140,56 @@ object Queries {
       |GROUP BY text ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // emb_stream_index — vector-side streaming index maintenance
+  // (streaming/EmbStream.scala): arriving embedding shards assign to the
+  // FROZEN centroid geometry (the historical even-id half, the same
+  // geometry ann_ivf_incremental persists) as a standing query. The
+  // assignment is one fused argmax kernel per row — ZERO streaming
+  // state; centroid refresh is the embedding_drift-driven rebuild, never
+  // an implicit stream mutation.
+  // ---------------------------------------------------------------------
+  def embStreamIndex(s: SparkSession, dir: String): DataFrame = {
+    val centroids: Array[Array[Double]] = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 2 === 0)
+      .orderBy("vec_id").limit(16).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cNorms: Array[Double] = centroids.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val assigned = graft.streaming.EmbStream.assignCells(
+      graft.streaming.EmbStream.fromParquetDir(s, dir), centroids, cNorms)
+    val qname = "emb_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = assigned.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("vec_id")
+  }
+
+  val embStreamIndexSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (
+       |  SELECT e AS ce, row_number() OVER (ORDER BY vec_id) AS cidx
+       |  FROM corpus WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16
+       |),
+       |scored AS (
+       |  SELECT c.vec_id, cent.cidx, ${cos("c.e", "cent.ce")} AS score
+       |  FROM corpus c CROSS JOIN cent
+       |)
+       |SELECT vec_id, CAST(cidx AS BIGINT) AS cell FROM (
+       |  SELECT vec_id, cidx,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cidx) AS rn
+       |  FROM scored) x WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // docs_stream_ingest_incremental — the streaming form of
   // dedup_exact_incremental: the standing ingest query anti-joins every
   // micro-batch against the PERSISTED digest table (stream-static join,
@@ -5332,6 +5382,7 @@ object Queries {
     "dump_jsonl" -> (dumpJsonl _),
     "dump_jsonl_orders" -> (dumpJsonlOrders _),
     "docs_stream_ingest" -> (docsStreamIngest _),
+    "emb_stream_index" -> (embStreamIndex _),
     "docs_stream_ingest_incremental" -> (docsStreamIngestIncremental _),
     "docs_stream_fluency" -> (docsStreamFluency _),
     "mlm_mask" -> (mlmMask _),
@@ -5490,6 +5541,7 @@ object Queries {
     "dump_jsonl" -> dumpJsonlSql,
     "dump_jsonl_orders" -> dumpJsonlOrdersSql,
     "docs_stream_ingest" -> docsStreamIngestSql,
+    "emb_stream_index" -> embStreamIndexSql,
     "docs_stream_ingest_incremental" -> docsStreamIngestIncrementalSql,
     "docs_stream_fluency" -> docsStreamFluencySql,
     "mlm_mask" -> mlmMaskSql,

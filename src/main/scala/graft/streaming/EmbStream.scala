@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming over the `embeddings` table — the vector-side
+  * ingest cadence: embedding shards land continuously (an encoder fleet
+  * writes as it infers), and index maintenance runs as a standing query
+  * instead of a rebuild. Complements [[CorpusStream]] (text) the way
+  * `ann_ivf_incremental` complements `ann_ivf` batch-side.
+  *
+  * The assignment under FROZEN centroids is completely stateless — one
+  * fused argmax kernel per row, zero streaming state, so the standing
+  * query never grows and restarts are free. Centroid refresh is a
+  * rebuild decision driven by the `embedding_drift` monitor, not
+  * something the stream does implicitly. */
+object EmbStream {
+
+  /** File-source stream over the embeddings parquet data — micro-batch
+    * tailing of the embedding drop directory. */
+  def fromParquetDir(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Map-only frozen-geometry cell assignment of an embedding stream:
+    * `(vec_id, cell)` per arriving vector, via the fused
+    * [[graft.functions.VectorExprs.centroidArgMax]] cosine kernel —
+    * the exact batch semantics of the IVF assign, as a standing query. */
+  def assignCells(emb: DataFrame, centroids: Array[Array[Double]],
+                  cNorms: Array[Double]): DataFrame =
+    emb.select(col("vec_id"),
+      graft.functions.VectorExprs
+        .centroidArgMax(col("embedding"), centroids, cNorms)
+        .cast("long").as("cell"))
+}

@@ -141,4 +141,38 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
         s"state holds $stateRows rows — eviction not happening")
     } finally q.stop()
   }
+
+  test("EmbStream.assignCells: stateless streaming assignment matches the " +
+    "batch argmax kernel bit for bit, in any arrival order") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val centroids: Array[Array[Double]] = emb.orderBy("vec_id").limit(8)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cNorms = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    val want = EmbStream.assignCells(emb, centroids, cNorms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val assigned = EmbStream.assignCells(
+      input.toDF().toDF("vec_id", "embedding"), centroids, cNorms)
+    val q = assigned.writeStream.format("memory").queryName("emb_assign")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.reverse) // arrival order must not matter
+      q.processAllAvailable()
+      // pure map — the standing index query carries ZERO streaming state
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+    val got = spark.table("emb_assign").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
 }
