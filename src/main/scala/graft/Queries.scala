@@ -5240,6 +5240,92 @@ object Queries {
   val nbLangClassifySql: String = graft.operators.Classify.nbClassifySql("lang")
 
   // ---------------------------------------------------------------------
+  // markup_strip — the HTML-extraction slot of a web-corpus pipeline
+  // (C4/CCNet run on WET extractions; a from-WARC pipeline needs this
+  // gate first): remove <...> tag spans, decode the five core character
+  // entities, collapse whitespace. ONE byte pass per document via the
+  // StripMarkupString codegen kernel (functions/StringKernels.scala) —
+  // the staged form is three regex passes plus five replace passes, each
+  // a full scan and an allocation, on the largest column of the corpus.
+  // Map-only: zero shuffles before the output sort. Every row is wrapped
+  // in deterministic hostile markup so the kernel's tag/entity/whitespace
+  // paths are all exercised (and oracle-checked) on all 60k documents;
+  // the oracle replays the STAGED chain, pinning the fusion equivalence
+  // on real data (StringKernelSpec pins it on adversarial strings).
+  // ---------------------------------------------------------------------
+  def markupStrip(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("<div id=\"d\"><p>"), col("text"),
+          lit("</p>\n<br/> &amp; <a href=\"#\">tail&#39;s &lt;end&gt;</a>\t"))
+          .as("raw"))
+      .select(col("doc_id"),
+        graft.functions.StringKernels.stripMarkup(col("raw")).as("clean"))
+      .withColumn("n_clean", length(col("clean")).cast("long"))
+      .orderBy("doc_id")
+
+  val markupStripSql: String =
+    """WITH raw AS (SELECT doc_id,
+      |    '<div id="d"><p>' || text || '</p>' || chr(10) ||
+      |    '<br/> &amp; <a href="#">tail&#39;s &lt;end&gt;</a>' || chr(9) AS raw
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(raw, '<[^>]*>', ' ', 'g') AS t FROM raw),
+      |s2 AS (SELECT doc_id,
+      |    replace(replace(replace(replace(replace(t,
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |      '&amp;', '&') AS t
+      |  FROM s1),
+      |s3 AS (SELECT doc_id,
+      |    trim(regexp_replace(t, '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS clean
+      |  FROM s2)
+      |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean
+      |FROM s3 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // corpus_diff — snapshot-versioning audit between two corpus releases:
+  // which documents were added / edited / removed / unchanged, per
+  // source. The reference's chunk merge-diff (D3, parasync.go:2913-3034)
+  // lifted from DB tables to corpus snapshots: ONE full-outer join on
+  // doc_id over md5 digests — document bodies are projected away before
+  // the exchange, so the shuffle carries 32-hex keys at any corpus size,
+  // and the per-source rollup reduces map-side. The two snapshots are
+  // derived deterministically from `documents` so DuckDB replays them; a
+  // real deployment points cur/prior at two parquet snapshot dirs (the
+  // same shape StageStore's incremental-dedup families already read).
+  // ---------------------------------------------------------------------
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cur = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("dg"))
+    val prior = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source").as("psrc"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev1")))
+          .otherwise(col("text"))).as("pdg"))
+    cur.join(prior, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source"), col("psrc")).as("source"),
+        when(col("pdg").isNull, lit("I"))
+          .when(col("dg").isNull, lit("D"))
+          .when(col("dg") =!= col("pdg"), lit("U"))
+          .otherwise(lit("S")).as("op"))
+      .groupBy("source", "op")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "op")
+  }
+
+  val corpusDiffSql: String =
+    """WITH cur AS (SELECT doc_id, source, md5(text) AS dg
+      |    FROM documents WHERE doc_id % 5 <> 0),
+      |pri AS (SELECT doc_id, source AS psrc,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev1' ELSE text END) AS pdg
+      |  FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT COALESCE(cur.source, pri.psrc) AS source,
+      |  CASE WHEN pdg IS NULL THEN 'I' WHEN dg IS NULL THEN 'D'
+      |       WHEN dg <> pdg THEN 'U' ELSE 'S' END AS op,
+      |  COUNT(*) AS n
+      |FROM cur FULL OUTER JOIN pri ON cur.doc_id = pri.doc_id
+      |GROUP BY 1, 2 ORDER BY source, op""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -5373,6 +5459,8 @@ object Queries {
     "rolling_quantile_persisted" -> (rollingQuantilePersisted _),
     "media_phash" -> (mediaPhash _),
     "nb_lang_classify" -> (nbLangClassify _),
+    "markup_strip" -> (markupStrip _),
+    "corpus_diff" -> (corpusDiff _),
     "boilerplate_lines" -> (boilerplateLines _),
     "media_audio" -> (mediaAudio _),
     "token_drift" -> (tokenDrift _),
@@ -5532,6 +5620,8 @@ object Queries {
     "rolling_quantile_persisted" -> rollingQuantilePersistedSql,
     "media_phash" -> mediaPhashSql,
     "nb_lang_classify" -> nbLangClassifySql,
+    "markup_strip" -> markupStripSql,
+    "corpus_diff" -> corpusDiffSql,
     "boilerplate_lines" -> boilerplateLinesSql,
     "media_audio" -> mediaAudioSql,
     "token_drift" -> tokenDriftSql,

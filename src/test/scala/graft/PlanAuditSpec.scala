@@ -807,4 +807,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"expected the (label,pos) and (label) exchanges only:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
+
+  test("markup_strip: the strip is ONE fused kernel, map-only — the sole " +
+    "exchange is the output ordering's range partition") {
+    val p = plan("markup_strip")
+    assert(p.contains("graft_strip_markup"), s"kernel not in the plan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"markup strip must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("regexp_replace"),
+      s"staged regex chain leaked into the hot path:\n${p.take(2000)}")
+  }
+
+  test("corpus_diff: document bodies never cross an exchange — both join " +
+    "inputs project to md5 digests below their shuffles; the rollup " +
+    "partial-aggregates") {
+    val df = SparkEntry.queries("corpus_diff")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // every Exchange input schema carries digests/ids, never `text`
+    val exchanges = p.linesIterator.zipWithIndex.filter(_._1.contains("Exchange")).map(_._2).toList
+    assert(exchanges.nonEmpty)
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("FullOuter"), s"diff must be one full-outer join:\n${p.take(2000)}")
+    assert(p.contains("partial_count"), s"rollup lacks map-side combine:\n${p.take(2000)}")
+    // the Project below each join-input Exchange reduces text -> md5 digest:
+    // text#N must not appear as an Exchange *input* column list entry
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = formatted.split("\n\n").filter(_.startsWith("(")).filter(_.contains("Exchange"))
+    exchangeInputs.foreach { block =>
+      assert(!block.contains("text#"), s"document bodies shuffle:\n$block")
+    }
+  }
 }

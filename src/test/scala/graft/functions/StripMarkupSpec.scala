@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** StripMarkupKernel parity: the one-pass byte kernel must be byte-identical
+  * to the STAGED chain the DuckDB oracle runs (tag regex -> five sequential
+  * entity replaces -> whitespace-collapse regex -> space trim). The staged
+  * reference here mirrors the oracle SQL operation for operation; the
+  * `markup_strip` registry row then pins the same equivalence against
+  * DuckDB itself on all 60k corpus documents. */
+class StripMarkupSpec extends AnyFunSuite with SparkSuite {
+
+  /** The oracle's staged chain, operation for operation. Trim strips ONLY
+    * spaces (DuckDB `trim` semantics — NOT Java's trim, which eats all
+    * control chars); after the collapse pass at most one leading/trailing
+    * space can exist. */
+  private def staged(s: String): String = {
+    val s1 = s.replaceAll("<[^>]*>", " ")
+    val s2 = s1.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+    val s3 = s2.replaceAll("[ \t\n\r]+", " ")
+    s3.replaceAll("\\A | \\z", "")
+  }
+
+  private def kernel(s: String): String =
+    StripMarkupKernel.strip(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
+  test("hand cases: tags, entities, whitespace, edges") {
+    val cases = Seq(
+      "<p>hello</p>" -> "hello",
+      "a<br/>b" -> "a b",
+      "a <b>bold</b>  c" -> "a bold c",
+      // unmatched '<' with no later '>' stays literal
+      "a < b" -> "a < b",
+      "x<y" -> "x<y",
+      // '<' spans to the NEXT '>' even across inner '<' (regex semantics)
+      "a<b<c>d" -> "a d",
+      // '>' with no opener is literal
+      "a>b" -> "a>b",
+      // entities; decoded '<' is NOT a tag (tags are removed first)
+      "&lt;b&gt;x&lt;/b&gt;" -> "<b>x</b>",
+      "fish &amp; chips" -> "fish & chips",
+      "&quot;q&quot; &#39;s&#39;" -> "\"q\" 's'",
+      // &amp; decodes LAST: no double-decode
+      "&amp;lt;" -> "&lt;",
+      "&amp;amp;" -> "&amp;",
+      // unknown entity stays literal
+      "&nbsp;x" -> "&nbsp;x",
+      // whitespace collapse + trim
+      " \t a \n\r b \t " -> "a b",
+      "" -> "",
+      "<a><b>" -> "",
+      " \n\t " -> "",
+      // length-preserving but changed (the identity-shortcut trap)
+      "a\tb" -> "a b",
+      // multibyte passthrough
+      "caf\u00e9 <i>\u4e2d\u6587</i>" -> "caf\u00e9 \u4e2d\u6587")
+    cases.foreach { case (in, want) =>
+      assert(kernel(in) == want, s"kernel(${in.replace("\n", "\\n")})")
+      assert(staged(in) == want, s"staged(${in.replace("\n", "\\n")})")
+    }
+  }
+
+  test("kernel == staged chain on 2000 adversarial strings") {
+    val rnd = new scala.util.Random(1207)
+    val atoms = Array("<", ">", "&", ";", " ", "\t", "\n", "\r", "a", "b",
+      "lt;", "gt;", "amp;", "quot;", "#39;", "&lt;", "&amp;", "<p>", "</p",
+      "<>", "\u00e9", "\u4e2d", "x")
+    (1 to 2000).foreach { _ =>
+      val n = rnd.nextInt(24)
+      val s = (0 until n).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+      assert(kernel(s) == staged(s), s"mismatch on: ${s.replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")}")
+    }
+  }
+
+  test("codegen column path matches the staged chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7012)
+    val atoms = Array("<", ">", "&", " ", "\n", "a", "&lt;", "&amp;", "<i>", "</i>", "\t")
+    val rows = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(20)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString)
+    }
+    val got = rows.toDF("id", "raw")
+      .select(col("id"), StringKernels.stripMarkup(col("raw")).as("clean"))
+      .orderBy("id").collect().map(_.getString(1))
+    val want = rows.map { case (_, s) => staged(s) }
+    assert(got.toSeq == want)
+  }
+}
