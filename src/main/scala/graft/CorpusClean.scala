@@ -17,6 +17,9 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   * HDFS/S3 on a cluster).
   *
   * Stage order (each optional stage toggled by its flag):
+  *  0. markup strip (`--strip-markup`): the from-WARC HTML-extraction
+  *     slot — [[graft.functions.StringKernels.stripMarkup]]'s one-pass
+  *     byte kernel, so every downstream gate sees extracted text;
   *  1. language gate (`--lang` / `--lang-model` / `--no-lang-gate`) +
   *     quality gate (`--min-words`) + LM fluency gate (`--fluency-ref` /
   *     `--min-fluency`, the CCNet KenLM-filter slot) — cheap codegen
@@ -128,7 +131,16 @@ object CorpusClean {
   def stages(spark: SparkSession, cfg: CorpusCleanConfig): Seq[(String, DataFrame)] = {
     cfg.stageDir.foreach(d => spark.conf.set("spark.graft.stageDir", d))
     val tag = runTag(cfg)
-    val docs = readInput(spark, cfg).select(col("doc_id"), col("text"))
+    val rawDocs = readInput(spark, cfg).select(col("doc_id"), col("text"))
+
+    // 0. markup strip (`--strip-markup`, the from-WARC HTML-extraction
+    // slot): ONE codegen byte pass per document before any gate —
+    // language ID, word counts and every dedup family must see extracted
+    // text, not tag soup. Map-only, so it fuses into the gates' scan.
+    val docs = if (cfg.stripMarkup)
+      rawDocs.select(col("doc_id"),
+        graft.functions.StringKernels.stripMarkup(col("text")).as("text"))
+    else rawDocs
 
     // 1. gates — filter-first so the gram/candidate stages see less.
     // With --lang-model the gate is the hashed NB classifier trained on
@@ -265,7 +277,8 @@ object CorpusClean {
     } else afterDecon
 
     Seq(
-      "input" -> docs,
+      "input" -> rawDocs,
+      "markup" -> docs,
       "gates" -> filtered,
       "host_cap" -> capped,
       "boilerplate" -> deBoiler,

@@ -15,6 +15,11 @@ package graft.cli
 case class CorpusCleanConfig(
     in: String = "",
     out: String = "",
+    // markup strip (the from-WARC HTML-extraction slot): one codegen byte
+    // pass removing <...> tags, decoding the five core entities and
+    // collapsing whitespace, BEFORE any gate — language ID, word counts
+    // and every dedup family must see extracted text, not tag soup
+    stripMarkup: Boolean = false,
     // language gate: keep docs whose predicted language equals this;
     // None (--no-lang-gate) admits every language
     lang: Option[String] = Some("en"),
@@ -187,6 +192,7 @@ object CorpusCleanCli {
         case "--eval" :: v :: t => c = c.copy(evalDir = Some(v)); rest = t
         case "--gram-state" :: v :: t => c = c.copy(gramState = Some(v)); rest = t
         case "--redact" :: t => c = c.copy(redact = true); rest = t
+        case "--strip-markup" :: t => c = c.copy(stripMarkup = true); rest = t
         case "--split-by" :: v :: t => c = c.copy(splitBy = Some(v)); rest = t
         case "--shards" :: v :: t =>
           intArg(v, "--shards") match {

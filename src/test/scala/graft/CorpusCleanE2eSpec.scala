@@ -242,6 +242,41 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(bad.isEmpty, bad.take(3).mkString("; "))
   }
 
+  test("--strip-markup extracts text before the gates: delivered docs equal " +
+    "the kernel applied to the input, and tag-soup docs survive the word gate") {
+    val inDir = tmp("cc_mk_in")
+    val outDir = tmp("cc_mk_out")
+    // wrap every fixture doc in markup; without stripping, the whitespace-
+    // token word count is unchanged but the delivered text would carry tags
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("<html><body><p class=\"c\">"), col("text"),
+          lit("</p> &amp; <br/></body></html>")).as("text"))
+      .write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir, "--no-lang-gate",
+      "--no-near-dup", "--strip-markup")).toOption.get
+    val n = CorpusClean.run(spark, cfg)
+    assert(n > 0)
+    val delivered = spark.read.parquet(outDir).select("doc_id", "text")
+    // no markup artifacts ship
+    val dirty = delivered.filter(col("text").contains("<") ||
+      col("text").contains("&amp;")).count()
+    assert(dirty === 0L)
+    // end-to-end equivalence: the --strip-markup run over tag soup equals
+    // a plain run over the pre-stripped corpus (same gates, same spans)
+    val inStripped = tmp("cc_mk_pre")
+    val outPre = tmp("cc_mk_pre_out")
+    spark.read.parquet(inDir)
+      .select(col("doc_id"),
+        graft.functions.StringKernels.stripMarkup(col("text")).as("text"))
+      .write.mode("overwrite").parquet(inStripped)
+    CorpusClean.run(spark, CorpusCleanCli.parse(Seq(inStripped, outPre,
+      "--no-lang-gate", "--no-near-dup")).toOption.get)
+    val want = spark.read.parquet(outPre).select("doc_id", "text")
+    assert(delivered.count() === want.count())
+    assert(delivered.except(want).count() === 0L)
+  }
+
   test("--stats-file records monotone per-stage survivor counts") {
     val inDir = tmp("cc_stats_in")
     val outDir = tmp("cc_stats_out")
@@ -256,9 +291,9 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     val counts = "\"([a-z_]+)\": (\\d+)".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toLong).toSeq
     val names = counts.map(_._1)
-    assert(names === Seq("input", "gates", "host_cap", "boilerplate",
-      "exact_dedup", "span_removal", "near_dup", "semantic_dedup",
-      "decontaminate", "final"), txt)
+    assert(names === Seq("input", "markup", "gates", "host_cap",
+      "boilerplate", "exact_dedup", "span_removal", "near_dup",
+      "semantic_dedup", "decontaminate", "final"), txt)
     // survivors never grow across stages, and final matches run()'s count
     val vals = counts.map(_._2)
     assert(vals.zip(vals.tail).forall { case (a, b) => b <= a }, txt)

@@ -23,6 +23,7 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(c.nearDup === Some(0.5))
     assert(c.semanticEmb.isEmpty && c.evalDir.isEmpty && c.gramState.isEmpty)
     assert(!c.redact && c.stageDir.isEmpty)
+    assert(!c.stripMarkup)
   }
 
   test("every flag lands in the config") {
@@ -30,12 +31,13 @@ class CorpusCleanCliSpec extends AnyFunSuite {
       "--ngram", "4", "--min-span", "40", "--near-dup", "0.8",
       "--semantic", "/emb", "--eval", "/ev", "--gram-state", "/gs",
       "--redact", "--split-by", "source", "--shards", "16",
-      "--stage-dir", "/stages")
+      "--stage-dir", "/stages", "--strip-markup")
     assert(c.lang === Some("fr") && c.minWords === 3)
     assert(c.ngram === 4 && c.minSpan === 40 && c.nearDup === Some(0.8))
     assert(c.semanticEmb === Some("/emb") && c.evalDir === Some("/ev"))
     assert(c.gramState === Some("/gs") && c.redact && c.stageDir === Some("/stages"))
     assert(c.splitBy === Some("source") && c.shards === Some(16))
+    assert(c.stripMarkup)
   }
 
   test("--format: parquet default, jsonl/orc accepted, anything else refused") {
