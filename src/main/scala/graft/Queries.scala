@@ -2228,6 +2228,61 @@ object Queries {
       |GROUP BY text ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // docs_stream_neardup — the streaming NEAR-DUP gate (the third ingest
+  // family in streaming form, after exact dedup and fluency): the planted
+  // mutations arrive as a stream, every arrival is checked against the
+  // PERSISTED band/shingle-set state of the original corpus, and
+  // survivors (arrivals that do NOT near-dup history at jaccard >= 0.75)
+  // append to parquet via the stateless foreachBatch gate. Threshold 0.75
+  // splits the fixture both ways (471 of 500 planted mutations sit at
+  // 0.75-0.83 and drop; 29 ship). The oracle is the all-pairs exact
+  // ground truth restricted to history->batch pairs — recall is covered
+  // by the exactJaccardSql gate coupling: the >= 0.5 pair set (a strict
+  // SUPERSET of the >= 0.75 one, including the harder-to-catch 0.6
+  // pairs) is already deterministically fully caught by the pinned 16/8
+  // geometry in the oracle-green near_dup_minhash row. Batch-boundary invariance is
+  // BY CONSTRUCTION: the verdict never involves other arrivals
+  // (NearDup.historyDupIds forms history pairs only), so any AvailableNow
+  // slicing yields identical survivors (CorpusStreamSpec pins it).
+  // ---------------------------------------------------------------------
+  def docsStreamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val history = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val tag = StageStore.dirTag(dir)
+    val bandsF = StageStore.materializeIfAbsent(s, s"ndstream_bands_$tag") {
+      graft.operators.NearDup.bandFrame(history, k = 3, numHashes = 16, bands = 8)
+    }
+    val setsF = StageStore.materializeIfAbsent(s, s"ndstream_sets_$tag") {
+      graft.operators.NearDup.shingleHashSets(history, k = 3)
+    }
+    // the arriving shard: the planted mutations (doc_id + 1e6, first-80%
+    // words) derived map-side on the stream — same construction as
+    // docsWithPlantedDups' mutated half
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) * lit(8) / lit(10)).cast("int"), lit(3))
+    val arriving = graft.streaming.CorpusStream.fromParquetDir(s, dir)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), keep)).as("text"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("nd_stream_out").toFile.getAbsolutePath
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("nd_stream_ck").toFile.getAbsolutePath
+    drainStreamingRun(s) {
+      graft.streaming.CorpusStream.nearDupIngest(
+        arriving, bandsF, setsF, outDir, ckDir, threshold = 0.75)
+    }
+    s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+  }
+
+  val docsStreamNearDupSql: String =
+    jaccardPairsCtePrefix + """
+      |SELECT doc_id FROM docs2
+      |WHERE doc_id >= 1000000 AND doc_id NOT IN (
+      |  SELECT doc_b FROM p
+      |  WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.75
+      |    AND doc_a < 1000000 AND doc_b >= 1000000)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // docs_stream_fluency — the STREAMING fluency gate against the DuckDB
   // replay of the batch chain: the reference model (doc_id % 5 == 0
   // slice) collects batch-side (≤ 4096 entries), every streamed doc
@@ -5472,6 +5527,7 @@ object Queries {
     "docs_stream_ingest" -> (docsStreamIngest _),
     "emb_stream_index" -> (embStreamIndex _),
     "docs_stream_ingest_incremental" -> (docsStreamIngestIncremental _),
+    "docs_stream_neardup" -> (docsStreamNearDup _),
     "docs_stream_fluency" -> (docsStreamFluency _),
     "mlm_mask" -> (mlmMask _),
     "bpe_fertility" -> (bpeFertility _),
@@ -5633,6 +5689,7 @@ object Queries {
     "docs_stream_ingest" -> docsStreamIngestSql,
     "emb_stream_index" -> embStreamIndexSql,
     "docs_stream_ingest_incremental" -> docsStreamIngestIncrementalSql,
+    "docs_stream_neardup" -> docsStreamNearDupSql,
     "docs_stream_fluency" -> docsStreamFluencySql,
     "mlm_mask" -> mlmMaskSql,
     "bpe_fertility" -> bpeFertilitySql,

@@ -288,6 +288,44 @@ object NearDup {
     withJaccardHashed(pairs, allSets).filter(col("jaccard") >= threshold)
   }
 
+  /** Which docs of `batch` near-duplicate HISTORY — the per-shard GATE
+    * decision behind [[graft.streaming.CorpusStream.nearDupIngest]].
+    * Unlike [[nearDupPairsIncremental]] this never forms batch-batch
+    * pairs and caps bucket sizes on the HISTORY side alone, so the
+    * verdict for a document depends only on (document, history state) —
+    * NOT on which micro-batch it arrived in. That independence is what
+    * makes the streaming gate's output invariant under any arrival
+    * order/batching (spec-pinned), at the price of letting two arrivals
+    * that near-dup each other both pass (within-stream collapse is the
+    * digest stage's / the nightly batch CC's business).
+    *
+    * Scale shape: history contributes FILE reads of its band/set parquet;
+    * the bucket join ships 24-byte band keys; the verify joins sorted
+    * hash-set arrays for candidate pairs only. Returns distinct `doc_id`s
+    * of batch members with >= 1 verified history pair. */
+  def historyDupIds(batch: DataFrame,
+                    priorBands: DataFrame,
+                    priorShSets: DataFrame,
+                    k: Int = 3, numHashes: Int = 16, bands: Int = 8,
+                    threshold: Double = 0.5,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val okBuckets = priorBands.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("band_id", "band_hash")
+    val hist = priorBands.join(okBuckets, Seq("band_id", "band_hash"))
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val pairs = bandFrame(batch, k, numHashes, bands)
+      .join(hist, Seq("band_id", "band_hash"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val sets = priorShSets.unionByName(shingleHashSets(batch, k))
+    withJaccardHashed(pairs, sets)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+  }
+
   // --- SimHash -----------------------------------------------------------
 
   /** SimHash signature width. 62 bits (not 64) because the portable token

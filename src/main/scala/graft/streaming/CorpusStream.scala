@@ -120,4 +120,49 @@ object CorpusStream {
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("digest")
       .select(col("doc_id"), col("ingest_ts"))
+
+  /** The streaming NEAR-DUP gate — the third ingest stage family in
+    * streaming form (exact dedup: the [[ingestClean]] family; fluency:
+    * [[fluencyGate]]; near-dup: this): every arriving document is checked
+    * against the PERSISTED MinHash band/shingle-set state of the shipped
+    * corpus ([[graft.operators.NearDup.bandFrame]] /
+    * `shingleHashSets` parquet — the same artifacts
+    * `near_dup_incremental` reads batch-side), and survivors append to
+    * `outDir`.
+    *
+    * foreachBatch on purpose: the gate needs distinct + aggregate +
+    * multi-join per shard, which as a stream-stream plan would demand
+    * watermarked state; per-batch it is plain batch code against static
+    * files, so the standing query holds ZERO streaming state and restarts
+    * are free (checkpoint carries only the source offsets). The verdict
+    * for a document depends only on (document, history) —
+    * [[graft.operators.NearDup.historyDupIds]] never forms batch-batch
+    * pairs — so the survivor set is invariant under any arrival order or
+    * micro-batch slicing (spec-pinned). Delivery is at-least-once
+    * (foreachBatch replays a batch whose commit raced a crash); dedup
+    * downstream keys on doc_id.
+    *
+    * The compaction cadence mirrors the exact-dedup family: fold each
+    * interval's survivors into the band/set parquet between restarts, so
+    * the state the gate reads tracks the shipped corpus. */
+  def nearDupIngest(docs: DataFrame, priorBands: DataFrame,
+                    priorShSets: DataFrame, outDir: String,
+                    checkpointDir: String,
+                    k: Int = 3, numHashes: Int = 16, bands: Int = 8,
+                    threshold: Double = 0.5,
+                    maxBucketSize: Int = 1000): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dup = graft.operators.NearDup.historyDupIds(
+          batch, priorBands, priorShSets, k, numHashes, bands,
+          threshold, maxBucketSize)
+        batch.join(dup, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

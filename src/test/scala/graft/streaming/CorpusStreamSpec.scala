@@ -175,4 +175,55 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
   }
+
+  test("nearDupIngest: survivors equal the batch gate, the verdict is " +
+    "invariant under batch slicing, and the checkpoint holds no state") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "entirely different prose about compilers and parsing with many unique words"),
+      (3L, "a third reference body mentioning satellites weather and ocean currents"))
+      .toDF("doc_id", "text")
+    val bands = graft.operators.NearDup.bandFrame(history, 3, 16, 8)
+    val sets = graft.operators.NearDup.shingleHashSets(history, 3)
+    val arrivals = Seq(
+      // one-word tail change on history doc 1: jaccard 11/13 — drops
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      // unrelated — ships
+      (102L, "novel content with no resemblance to anything previously shipped at all"),
+      // near-dups of EACH OTHER but not of history: BOTH ship (the gate
+      // is vs history only — within-stream collapse is not its business)
+      (103L, "two arrivals sharing this exact sentence should both pass the gate"),
+      (104L, "two arrivals sharing this exact sentence should both pass the gate"))
+    val arrDf = arrivals.toDF("doc_id", "text")
+    // batch-boundary invariance at the operator level: per-doc "batches"
+    // produce exactly the whole-shard verdict
+    val whole = graft.operators.NearDup.historyDupIds(arrDf, bands, sets)
+      .collect().map(_.getLong(0)).toSet
+    val sliced = arrivals.flatMap { case (id, tx) =>
+      graft.operators.NearDup.historyDupIds(
+        Seq((id, tx)).toDF("doc_id", "text"), bands, sets)
+        .collect().map(_.getLong(0))
+    }.toSet
+    assert(whole === Set(101L))
+    assert(sliced === whole)
+    // the streaming form delivers the anti-join of that verdict
+    val outDir = java.nio.file.Files
+      .createTempDirectory("nd_ingest_out").toFile.getAbsolutePath
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("nd_ingest_ck").toFile.getAbsolutePath
+    val input = MemoryStream[(Long, String)]
+    input.addData(arrivals)
+    CorpusStream.nearDupIngest(
+      input.toDF().toDF("doc_id", "text"), bands, sets, outDir, ckDir)
+    val shipped = spark.read.parquet(outDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(shipped === Set(102L, 103L, 104L))
+    // zero streaming state: foreachBatch keeps everything batch-side —
+    // the checkpoint records offsets/commits only, never a state store
+    assert(!new java.io.File(ckDir, "state").exists(),
+      "streaming state store materialized — the gate is supposed to be stateless")
+    assert(new java.io.File(ckDir, "commits").exists())
+  }
 }
