@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.cli.{CorpusIngestCli, CorpusIngestConfig}
+
+/** `graft corpus-ingest` — [[CorpusClean]]'s STANDING counterpart: tail a
+  * drop directory, run every per-document gate against persisted state
+  * ([[graft.streaming.CorpusStream.standingIngest]]), append survivors.
+  * One AvailableNow invocation is the cron-cadence incremental run; the
+  * checkpoint carries source offsets only (the pipeline is stateless), so
+  * re-invocations pick up exactly where the last run stopped and already-
+  * processed shards are never re-read. */
+object CorpusIngest {
+
+  /** Run per config; returns the TOTAL survivor count now in `cfg.out`
+    * (this run's appends plus prior runs' — the standing query's view). */
+  def run(spark: SparkSession, cfg: CorpusIngestConfig): Long = {
+    val fluency = cfg.fluencyRef.map { rd =>
+      val ref = spark.read.parquet(rd).select(col("doc_id"), col("text"))
+      val (model, floor) = graft.operators.LmScore.fluencyModel(ref)
+      (model, floor, cfg.minFluency.get)
+    }
+    val digests = cfg.digests.map(spark.read.parquet(_))
+    val ndState = cfg.bands.map { bd =>
+      (spark.read.parquet(bd), spark.read.parquet(cfg.sets.get), cfg.nearDup)
+    }
+    val ck = cfg.checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("corpus_ingest_ck")
+        .toFile.getAbsolutePath)
+    // declared schema: a streaming file source must not infer (and the
+    // ingest contract is (doc_id, text) — extra columns pass through
+    // nothing here)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", cfg.glob)
+      .parquet(cfg.in)
+      .select(col("doc_id"), col("text"))
+    graft.streaming.CorpusStream.standingIngest(
+      stream, cfg.out, ck, cfg.minWords, fluency, digests, ndState)
+    // metadata-only count of what the output dir now holds; an empty dir
+    // (every arrival gated out, or nothing new) is a valid zero
+    val outFiles = new java.io.File(cfg.out)
+    if (outFiles.exists() && outFiles.listFiles() != null &&
+        outFiles.listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.read.parquet(cfg.out).count()
+    else 0L
+  }
+}
+
+/** `runMain graft.CorpusIngestMain <watchDir> <outDir> [flags]` — also the
+  * `corpus-ingest` subcommand of [[Main]]. */
+object CorpusIngestMain {
+  def main(args: Array[String]): Unit = {
+    CorpusIngestCli.parse(args.toSeq) match {
+      case Left(err) =>
+        System.err.println(s"graft corpus-ingest: $err")
+        sys.exit(1)
+      case Right(cfg) =>
+        val spark = GraftSession.get()
+        try {
+          val n = CorpusIngest.run(spark, cfg)
+          println(s"corpus-ingest: $n surviving documents in ${cfg.out}")
+        } catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                    _: org.apache.spark.sql.AnalysisException) =>
+            System.err.println(s"graft corpus-ingest: ${e.getMessage}")
+            sys.exit(1)
+        } finally spark.stop()
+    }
+  }
+}

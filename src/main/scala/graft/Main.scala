@@ -69,6 +69,10 @@ object Main {
       CorpusStatsMain.main(args.tail)
       return
     }
+    if (args.headOption.contains("corpus-ingest")) {
+      CorpusIngestMain.main(args.tail)
+      return
+    }
     val parsed = for {
       // -src/-o are ours; -dumpdir is the reference's spelling of -o
       // (paradump.go:3492); the rest is the reference flag surface

@@ -1,0 +1,94 @@
+package graft.cli
+
+/** `graft corpus-ingest <watchDir> <outDir>` — the STANDING form of the
+  * corpus pipeline: a Structured Streaming query tailing a drop directory,
+  * running every per-document gate against PERSISTED state, appending
+  * survivors. The batch tool ([[CorpusCleanCli]]) decides a corpus; this
+  * decides each arriving shard, with AvailableNow semantics so one
+  * invocation doubles as the cron-cadence incremental run.
+  *
+  * State inputs are the SAME artifacts the batch incremental operators
+  * consume: `--digests` (TextOps.textDigests parquet), `--bands`/`--sets`
+  * (NearDup.bandFrame / shingleHashSets parquet). Compaction — folding
+  * survivors back into those tables between runs — is the operator
+  * contract documented on the incremental families.
+  */
+case class CorpusIngestConfig(
+    in: String = "",
+    out: String = "",
+    // quality gate: minimum whitespace-token count (0 disables)
+    minWords: Int = 10,
+    // LM fluency gate: reference corpus dir + ppb threshold, together
+    fluencyRef: Option[String] = None,
+    minFluency: Option[Long] = None,
+    // exact-dedup gate: persisted digest table (text_sha parquet)
+    digests: Option[String] = None,
+    // near-dup gate: persisted band + shingle-set parquet, together;
+    // threshold applies to the exact-Jaccard verify
+    bands: Option[String] = None,
+    sets: Option[String] = None,
+    nearDup: Double = 0.5,
+    // streaming checkpoint dir (offsets only — the pipeline is stateless)
+    checkpoint: Option[String] = None,
+    // glob of files to tail under <watchDir> (parquet file source)
+    glob: String = "*.parquet")
+
+object CorpusIngestCli {
+
+  def parse(args: Seq[String]): Either[String, CorpusIngestConfig] = {
+    var c = CorpusIngestConfig()
+    var positional = List.empty[String]
+    var rest = args.toList
+    while (rest.nonEmpty) {
+      rest match {
+        case "--min-words" :: v :: t =>
+          v.toIntOption match {
+            case Some(i) => c = c.copy(minWords = i); rest = t
+            case None => return Left(s"--min-words: not an integer: $v")
+          }
+        case "--fluency-ref" :: v :: t => c = c.copy(fluencyRef = Some(v)); rest = t
+        case "--min-fluency" :: v :: t =>
+          v.toLongOption match {
+            case Some(n) => c = c.copy(minFluency = Some(n)); rest = t
+            case None => return Left(s"--min-fluency: not an integer: $v")
+          }
+        case "--digests" :: v :: t => c = c.copy(digests = Some(v)); rest = t
+        case "--bands" :: v :: t => c = c.copy(bands = Some(v)); rest = t
+        case "--sets" :: v :: t => c = c.copy(sets = Some(v)); rest = t
+        case "--near-dup" :: v :: t =>
+          v.toDoubleOption match {
+            case Some(d) => c = c.copy(nearDup = d); rest = t
+            case None => return Left(s"--near-dup: not a number: $v")
+          }
+        case "--checkpoint" :: v :: t => c = c.copy(checkpoint = Some(v)); rest = t
+        case "--glob" :: v :: t => c = c.copy(glob = v); rest = t
+        case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
+        case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
+        case p :: t => positional = positional :+ p; rest = t
+      }
+    }
+    positional match {
+      case in :: out :: Nil => c = c.copy(in = in, out = out)
+      case _ => return Left(
+        s"need exactly <watchDir> <outDir>, got ${positional.size} positional args")
+    }
+    validate(c)
+  }
+
+  private val valueFlags = Set("--min-words", "--fluency-ref",
+    "--min-fluency", "--digests", "--bands", "--sets", "--near-dup",
+    "--checkpoint", "--glob")
+
+  private def validate(c: CorpusIngestConfig): Either[String, CorpusIngestConfig] =
+    if (c.minWords < 0) Left(s"--min-words must be >= 0, got ${c.minWords}")
+    else if (c.fluencyRef.isDefined != c.minFluency.isDefined)
+      Left("--fluency-ref and --min-fluency must be given together")
+    else if (c.minFluency.exists(_ < 0))
+      Left(s"--min-fluency must be >= 0, got ${c.minFluency.get}")
+    else if (c.bands.isDefined != c.sets.isDefined)
+      Left("--bands and --sets must be given together")
+    else if (c.nearDup <= 0.0 || c.nearDup > 1.0)
+      Left(s"--near-dup must be in (0, 1], got ${c.nearDup}")
+    else if (c.glob.isEmpty) Left("--glob: empty pattern")
+    else Right(c)
+}

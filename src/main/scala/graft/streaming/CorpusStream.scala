@@ -165,4 +165,56 @@ object CorpusStream {
       .start()
     q.awaitTermination()
   }
+
+  /** The FULL standing-ingest pipeline — every streaming gate family
+    * composed per-document in one stateless foreachBatch: quality (word
+    * count) → optional fluency (broadcast reference model) → optional
+    * exact dedup vs the persisted digest table → optional near-dup vs
+    * the persisted band/shingle-set state; survivors append to `outDir`.
+    * This is [[graft.CorpusClean]]'s streaming counterpart (the `graft
+    * corpus-ingest` tool): run it with AvailableNow on a cron cadence
+    * and it is the incremental batch pipeline; leave it running and it
+    * is the standing gate.
+    *
+    * EVERY decision is (document, persisted-state)-only — no
+    * within-stream aggregation — so survivors are invariant under
+    * arrival order and micro-batch slicing, and the query holds zero
+    * streaming state (restart = offsets replay; delivery at-least-once,
+    * dedup downstream by doc_id). Within-stream duplicate COLLAPSE is
+    * deliberately not here: that is the compaction job's business
+    * (fold survivors into the digest/band/set parquet between runs),
+    * exactly the incremental-dedup contract batch-side. */
+  def standingIngest(docs: DataFrame, outDir: String, checkpointDir: String,
+                     minWords: Int,
+                     fluency: Option[(Map[String, Long], Long, Long)],
+                     historyDigests: Option[DataFrame],
+                     nearDupState: Option[(DataFrame, DataFrame, Double)]): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        var b = batch.filter(size(split(col("text"), " ")) >= minWords)
+        fluency.foreach { case (model, floor, minPpb) =>
+          b = fluencyGate(b, model, floor, minPpb)
+            .select(col("doc_id"), col("text"))
+        }
+        historyDigests.foreach { hist =>
+          b = b.withColumn("digest", sha2(col("text"), 256))
+            .join(hist.select(col("text_sha").as("digest")),
+              Seq("digest"), "left_anti")
+            .drop("digest")
+        }
+        nearDupState.foreach { case (bandsF, setsF, thr) =>
+          b = b.join(
+            graft.operators.NearDup.historyDupIds(b, bandsF, setsF,
+              threshold = thr),
+            Seq("doc_id"), "left_anti")
+        }
+        b.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.CorpusIngestCli
+
+/** The standing-ingest TOOL: every gate decision against persisted state,
+  * offsets-only checkpoint, re-invocation picks up exactly the new shards. */
+class CorpusIngestSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("CLI validation matrix") {
+    assert(CorpusIngestCli.parse(Seq("in", "out")).isRight)
+    assert(CorpusIngestCli.parse(Seq("in")).isLeft)
+    assert(CorpusIngestCli.parse(Seq("in", "out", "x")).isLeft)
+    assert(CorpusIngestCli.parse(Seq("in", "out", "--min-words", "x")).isLeft)
+    assert(CorpusIngestCli.parse(Seq("in", "out", "--fluency-ref", "/r")).isLeft)
+    assert(CorpusIngestCli.parse(Seq("in", "out", "--bands", "/b")).isLeft)
+    assert(CorpusIngestCli.parse(
+      Seq("in", "out", "--bands", "/b", "--sets", "/s", "--near-dup", "1.5")).isLeft)
+    assert(CorpusIngestCli.parse(Seq("in", "out", "--digests")).isLeft)
+    assert(CorpusIngestCli.parse(Seq("in", "out", "--bogus", "1")).isLeft)
+    val c = CorpusIngestCli.parse(Seq("/w", "/o", "--min-words", "3",
+      "--digests", "/d", "--bands", "/b", "--sets", "/s", "--near-dup", "0.7",
+      "--fluency-ref", "/f", "--min-fluency", "2", "--checkpoint", "/ck",
+      "--glob", "*.pq")).toOption.get
+    assert(c.in === "/w" && c.out === "/o" && c.minWords === 3)
+    assert(c.digests === Some("/d") && c.bands === Some("/b") &&
+      c.sets === Some("/s") && c.nearDup === 0.7)
+    assert(c.fluencyRef === Some("/f") && c.minFluency === Some(2L))
+    assert(c.checkpoint === Some("/ck") && c.glob === "*.pq")
+  }
+
+  private def dropShard(rows: Seq[(Long, String)], watchDir: String,
+                        name: String): Unit = {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("ing_shard").toFile
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val part = stage.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    Files.copy(part.toPath, Paths.get(watchDir, name))
+  }
+
+  test("gates compose against persisted state; re-invocation processes " +
+    "only NEW shards via the offsets checkpoint") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "entirely different prose about compilers and parsing with many unique words"),
+      (3L, "a third reference body mentioning satellites weather and ocean currents"))
+      .toDF("doc_id", "text")
+    val digestsDir = tmp("ing_dg")
+    val bandsDir = tmp("ing_bd")
+    val setsDir = tmp("ing_st")
+    graft.operators.TextOps.textDigests(history)
+      .write.mode("overwrite").parquet(digestsDir)
+    graft.operators.NearDup.bandFrame(history, 3, 16, 8)
+      .write.mode("overwrite").parquet(bandsDir)
+    graft.operators.NearDup.shingleHashSets(history, 3)
+      .write.mode("overwrite").parquet(setsDir)
+    val watchDir = tmp("ing_watch")
+    val outDir = new java.io.File(tmp("ing_base"), "out").getAbsolutePath
+    val ckDir = tmp("ing_ck")
+    dropShard(Seq(
+      // exact duplicate of history doc 2 — digest gate drops it
+      (101L, "entirely different prose about compilers and parsing with many unique words"),
+      // near-dup of history doc 1 (one-word tail change) — near-dup gate
+      (102L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      // word gate
+      (103L, "short"),
+      // survives every gate
+      (104L, "a genuinely novel arrival with plenty of words and no prior twin anywhere")),
+      watchDir, "shard1.parquet")
+    val cfg = CorpusIngestCli.parse(Seq(watchDir, outDir,
+      "--digests", digestsDir, "--bands", bandsDir, "--sets", setsDir,
+      "--checkpoint", ckDir)).toOption.get
+    val n1 = CorpusIngest.run(spark, cfg)
+    assert(n1 === 1L)
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(104L))
+    // second invocation, one new shard: only IT is processed (the
+    // checkpoint carries the offsets), survivors append
+    dropShard(Seq(
+      (201L, "another novel arrival carrying enough fresh words to pass every gate"),
+      // exact duplicate of history doc 3
+      (202L, "a third reference body mentioning satellites weather and ocean currents")),
+      watchDir, "shard2.parquet")
+    val n2 = CorpusIngest.run(spark, cfg)
+    assert(n2 === 2L)
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(104L, 201L))
+    // third invocation, nothing new: no re-processing, count unchanged
+    val n3 = CorpusIngest.run(spark, cfg)
+    assert(n3 === 2L)
+    assert(spark.read.parquet(outDir).count() === 2L)
+    // stateless standing query: the checkpoint never grew a state store
+    assert(!new java.io.File(ckDir, "state").exists())
+  }
+
+  test("the fluency gate wires in: a below-threshold arrival drops") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val refDir = tmp("ing_flu_ref")
+    ref.write.mode("overwrite").parquet(refDir)
+    val watchDir = tmp("ing_flu_watch")
+    val outDir = new java.io.File(tmp("ing_flu_base"), "out").getAbsolutePath
+    val arrivals = Seq(
+      // in-distribution bigrams — high fluency under the reference model
+      (301L, "alpha beta gamma delta alpha beta gamma delta epsilon alpha beta gamma"),
+      // out-of-distribution everything — floor-rate bigrams
+      (302L, "wholly unrelated vocabulary surfaces nowhere inside the tiny reference corpus model"))
+    dropShard(arrivals, watchDir, "shard.parquet")
+    // pick the threshold between the two batch scores so the gate splits
+    val scores = graft.operators.LmScore.fluencyScoreAgainst(
+      arrivals.toDF("doc_id", "text"), ref)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(301L) > scores(302L))
+    val cut = (scores(301L) + scores(302L)) / 2
+    val cfg = CorpusIngestCli.parse(Seq(watchDir, outDir,
+      "--min-words", "5", "--fluency-ref", refDir,
+      "--min-fluency", cut.toString)).toOption.get
+    val n = CorpusIngest.run(spark, cfg)
+    assert(n === 1L)
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(301L))
+  }
+}
