@@ -42,7 +42,8 @@ object CorpusIngest {
       .parquet(cfg.in)
       .select(col("doc_id"), col("text"))
     graft.streaming.CorpusStream.standingIngest(
-      stream, cfg.out, ck, cfg.minWords, fluency, digests, ndState)
+      stream, cfg.out, ck, cfg.minWords, fluency, digests, ndState,
+      stripMarkup = cfg.stripMarkup)
     // metadata-only count of what the output dir now holds; an empty dir
     // (every arrival gated out, or nothing new) is a valid zero
     val outFiles = new java.io.File(cfg.out)

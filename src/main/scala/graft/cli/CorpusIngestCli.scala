@@ -31,7 +31,10 @@ case class CorpusIngestConfig(
     // streaming checkpoint dir (offsets only — the pipeline is stateless)
     checkpoint: Option[String] = None,
     // glob of files to tail under <watchDir> (parquet file source)
-    glob: String = "*.parquet")
+    glob: String = "*.parquet",
+    // markup strip (the from-WARC slot) before every gate — the batch
+    // tool's --strip-markup, streaming form
+    stripMarkup: Boolean = false)
 
 object CorpusIngestCli {
 
@@ -62,6 +65,7 @@ object CorpusIngestCli {
           }
         case "--checkpoint" :: v :: t => c = c.copy(checkpoint = Some(v)); rest = t
         case "--glob" :: v :: t => c = c.copy(glob = v); rest = t
+        case "--strip-markup" :: t => c = c.copy(stripMarkup = true); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t

@@ -188,10 +188,15 @@ object CorpusStream {
                      minWords: Int,
                      fluency: Option[(Map[String, Long], Long, Long)],
                      historyDigests: Option[DataFrame],
-                     nearDupState: Option[(DataFrame, DataFrame, Double)]): Unit = {
+                     nearDupState: Option[(DataFrame, DataFrame, Double)],
+                     stripMarkup: Boolean = false): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        var b = batch.filter(size(split(col("text"), " ")) >= minWords)
+        val extracted = if (stripMarkup)
+          batch.select(col("doc_id"),
+            graft.functions.StringKernels.stripMarkup(col("text")).as("text"))
+        else batch
+        var b = extracted.filter(size(split(col("text"), " ")) >= minWords)
         fluency.foreach { case (model, floor, minPpb) =>
           b = fluencyGate(b, model, floor, minPpb)
             .select(col("doc_id"), col("text"))

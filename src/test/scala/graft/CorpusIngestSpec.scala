@@ -28,12 +28,40 @@ class CorpusIngestSpec extends AnyFunSuite with SparkSuite {
     val c = CorpusIngestCli.parse(Seq("/w", "/o", "--min-words", "3",
       "--digests", "/d", "--bands", "/b", "--sets", "/s", "--near-dup", "0.7",
       "--fluency-ref", "/f", "--min-fluency", "2", "--checkpoint", "/ck",
-      "--glob", "*.pq")).toOption.get
+      "--glob", "*.pq", "--strip-markup")).toOption.get
     assert(c.in === "/w" && c.out === "/o" && c.minWords === 3)
     assert(c.digests === Some("/d") && c.bands === Some("/b") &&
       c.sets === Some("/s") && c.nearDup === 0.7)
     assert(c.fluencyRef === Some("/f") && c.minFluency === Some(2L))
     assert(c.checkpoint === Some("/ck") && c.glob === "*.pq")
+    assert(c.stripMarkup)
+  }
+
+  test("--strip-markup extracts BEFORE the gates: a tag-wrapped exact " +
+    "duplicate of history is caught by the digest gate") {
+    import spark.implicits._
+    val histText = "entirely different prose about compilers and parsing with many unique words"
+    val digestsDir = tmp("ing_mk_dg")
+    graft.operators.TextOps.textDigests(
+      Seq((2L, histText)).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(digestsDir)
+    val watchDir = tmp("ing_mk_watch")
+    val outDir = new java.io.File(tmp("ing_mk_base"), "out").getAbsolutePath
+    dropShard(Seq(
+      // strips to EXACTLY the history text — must digest-drop
+      (401L, s"<div><p>$histText</p></div>"),
+      // strips to novel text — ships
+      (402L, "<b>a genuinely novel arrival</b> with plenty of words and <i>no prior twin</i> anywhere")),
+      watchDir, "shard.parquet")
+    val cfg = CorpusIngestCli.parse(Seq(watchDir, outDir,
+      "--digests", digestsDir, "--strip-markup")).toOption.get
+    val n = CorpusIngest.run(spark, cfg)
+    assert(n === 1L)
+    val out = spark.read.parquet(outDir).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(402L))
+    // and the shipped text is the EXTRACTED form
+    assert(out.head.getString(1) ===
+      "a genuinely novel arrival with plenty of words and no prior twin anywhere")
   }
 
   private def dropShard(rows: Seq[(Long, String)], watchDir: String,
