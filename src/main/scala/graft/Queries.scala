@@ -5278,6 +5278,64 @@ object Queries {
       |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // boilerplate_incremental — the INCREMENTAL form of boilerplate_lines,
+  // completing the incremental dedup set (exact / substring / near-dup /
+  // semantic / boilerplate): the history corpus's per-line doc
+  // frequencies persist ONCE (TextOps.lineDocFreqs parquet, counts
+  // saturated at the threshold), each new shard merges its own line
+  // frequencies with the FILE-read state, and a line drops when the
+  // COMBINED corpus reaches minDocFreq — history text never rescanned.
+  // Same bloom-masked salted join as the one-shot operator downstream of
+  // the merged frequency table.
+  // ---------------------------------------------------------------------
+  def boilerplateIncremental(s: SparkSession, dir: String): DataFrame = {
+    def wrap(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      concat(lit("(c) "), col("source"), lit(" all rights reserved\n"),
+        col("text"), lit("\ncontact "), col("source"), lit(" webmaster"))
+        .as("text"))
+    val all = t(s, dir, "documents")
+    val state = StageStore.materializeIfAbsent(s,
+      s"bl_linecounts_${StageStore.dirTag(dir)}") {
+      graft.operators.TextOps.lineDocFreqs(
+        wrap(all.filter(col("doc_id") % 3 =!= 0)), cap = 5)
+    }
+    graft.operators.TextOps.dedupLines(
+        wrap(all.filter(col("doc_id") % 3 === 0)), minDocFreq = 5,
+        stageLabel = Some(s"bl_duplines_inc_${StageStore.dirTag(dir)}"),
+        priorLineCounts = Some(state))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateIncrementalSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    '(c) ' || source || ' all rights reserved' || chr(10) || text ||
+      |    chr(10) || 'contact ' || source || ' webmaster' AS text
+      |  FROM documents),
+      |bat AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+      |lnh AS (SELECT doc_id,
+      |    unnest(string_split(text, chr(10))) AS line
+      |  FROM d WHERE doc_id % 3 <> 0),
+      |lnb AS (SELECT doc_id,
+      |    generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+      |    unnest(string_split(text, chr(10))) AS line
+      |  FROM bat),
+      |fh AS (SELECT md5(line) AS lh, LEAST(COUNT(DISTINCT doc_id), 5) AS df
+      |       FROM lnh GROUP BY 1),
+      |fb AS (SELECT md5(line) AS lh, COUNT(DISTINCT doc_id) AS df
+      |       FROM lnb GROUP BY 1),
+      |f AS (SELECT lh, SUM(df) AS df
+      |      FROM (SELECT * FROM fh UNION ALL SELECT * FROM fb) GROUP BY 1),
+      |keep AS (SELECT lnb.doc_id, lnb.pos, lnb.line
+      |         FROM lnb JOIN f ON md5(lnb.line) = f.lh WHERE f.df < 5),
+      |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+      |               COUNT(*) AS n_kept
+      |        FROM keep GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM bat)
+      |SELECT t.doc_id, COALESCE(a.cleaned, '') AS cleaned,
+      |  CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_lines_removed
+      |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // nb_lang_classify — hashed multinomial Naive Bayes (the fastText-style
   // classifier slot of a curation pipeline: CCNet language filter / GPT-3
   // quality classifier / domain router). Trains on the corpus's own lang
@@ -5517,6 +5575,7 @@ object Queries {
     "markup_strip" -> (markupStrip _),
     "corpus_diff" -> (corpusDiff _),
     "boilerplate_lines" -> (boilerplateLines _),
+    "boilerplate_incremental" -> (boilerplateIncremental _),
     "media_audio" -> (mediaAudio _),
     "token_drift" -> (tokenDrift _),
     "tokenizer_drift" -> (tokenizerDrift _),
@@ -5679,6 +5738,7 @@ object Queries {
     "markup_strip" -> markupStripSql,
     "corpus_diff" -> corpusDiffSql,
     "boilerplate_lines" -> boilerplateLinesSql,
+    "boilerplate_incremental" -> boilerplateIncrementalSql,
     "media_audio" -> mediaAudioSql,
     "token_drift" -> tokenDriftSql,
     "tokenizer_drift" -> tokenizerDriftSql,

@@ -682,9 +682,32 @@ object TextOps {
     * spreads over `salt` tasks); and the per-document line mask folds in
     * one typed pass, joined to bodies only once (inherent — the output IS
     * the rewritten corpus). */
+  /** Per-line distinct-document frequencies `(lh, df)` — the PERSISTED
+    * state of the incremental boilerplate family (the line-level analogue
+    * of [[gramCounts]]): write it once per corpus snapshot, then every
+    * subsequent shard passes it to [[dedupLines]]'s `priorLineCounts` and
+    * history text is never rescanned. `cap` saturates the count — the
+    * boilerplate test only asks whether (history + batch) reaches the
+    * threshold, so counts above it carry no information; pass a cap >= the
+    * minDocFreq the consumer will use. */
+  def lineDocFreqs(docs: DataFrame, cap: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          text.split("\n", -1).iterator.map(l => (id, md5Prefix64(md, l)))
+        }
+      }.toDF("doc_id", "lh")
+      .groupBy("lh", "doc_id").agg(count(lit(1)).as("__o"))
+      .groupBy("lh").agg(least(count(lit(1)), lit(cap)).as("df"))
+  }
+
   def dedupLines(docs: DataFrame, minDocFreq: Long = 2, salt: Int = 16,
                  expectedDupLines: Long = 1L << 17,
-                 stageLabel: Option[String] = None): DataFrame = {
+                 stageLabel: Option[String] = None,
+                 priorLineCounts: Option[DataFrame] = None): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -700,9 +723,19 @@ object TextOps {
       }.toDF("doc_id", "pos", "lh")
     // distinct-doc frequency: the (lh, doc_id) fold collapses a document's
     // own repeats map-side; the second aggregate counts documents over the
-    // already-reduced table
-    val docFreq = lines.groupBy("lh", "doc_id").agg(count(lit(1)).as("__o"))
+    // already-reduced table. Incremental mode adds the PERSISTED history
+    // frequencies ([[lineDocFreqs]] parquet, read from files) to the
+    // batch's own — a line is boilerplate when the COMBINED corpus reaches
+    // the threshold (contract: history and batch doc sets are disjoint,
+    // and the state was built with cap >= this minDocFreq).
+    val batchFreq = lines.groupBy("lh", "doc_id").agg(count(lit(1)).as("__o"))
       .groupBy("lh").agg(count(lit(1)).as("__df"))
+    val docFreq = priorLineCounts match {
+      case Some(p) => batchFreq
+        .unionByName(p.select(col("lh"), col("df").as("__df")))
+        .groupBy("lh").agg(sum("__df").as("__df"))
+      case None => batchFreq
+    }
     val dupLines0 = docFreq.filter(col("__df") >= minDocFreq).select("lh")
     val dupLines = stageLabel match {
       case Some(l) => graft.StageStore.materialize(dupLines0, l)

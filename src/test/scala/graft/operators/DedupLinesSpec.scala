@@ -63,4 +63,38 @@ class DedupLinesSpec extends AnyFunSuite with SparkSuite {
     assert(base(2L) == ("body 2", 2L)) // COMMON + EVEN dropped
     assert(base(1L) == ("body 1", 2L)) // COMMON + ODD dropped
   }
+
+  test("incremental: persisted line frequencies + batch == the one-shot " +
+    "union decision restricted to the batch, incl. cross-corpus lines") {
+    val history = docs(
+      (1L, "FOOTER\nunique one"),
+      (2L, "FOOTER\nunique two"),
+      (3L, "STRADDLE\nunique three"))
+    val batch = docs(
+      // FOOTER: history df 2 + batch 1 = 3 >= 3 -> drops
+      (11L, "FOOTER\nfresh body a"),
+      // STRADDLE: history 1 + batch 2 = 3 -> drops in BOTH batch docs
+      (12L, "STRADDLE\nfresh body b"),
+      (13L, "STRADDLE\nfresh body c"),
+      // BATCHONLY: batch df 2 < 3 -> survives
+      (14L, "BATCHONLY\nfresh body d"),
+      (15L, "BATCHONLY\nfresh body e"))
+    val state = TextOps.lineDocFreqs(history, cap = 3)
+    val inc = cleanedMap(TextOps.dedupLines(batch, minDocFreq = 3,
+      priorLineCounts = Some(state)))
+    // ground truth: the one-shot operator over history ∪ batch, batch rows
+    val oneShot = cleanedMap(TextOps.dedupLines(
+      history.unionByName(batch), minDocFreq = 3))
+      .filter { case (id, _) => id >= 11L }
+    assert(inc === oneShot)
+    assert(inc(11L) == ("fresh body a", 1L))
+    assert(inc(12L) == ("fresh body b", 1L))
+    assert(inc(14L) == ("BATCHONLY\nfresh body d", 0L))
+    // saturation at the cap does not change the verdict
+    val incCapped = cleanedMap(TextOps.dedupLines(batch, minDocFreq = 3,
+      priorLineCounts = Some(TextOps.lineDocFreqs(
+        history.unionByName(history.withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 100L)), cap = 3))))
+    assert(incCapped(11L) == ("fresh body a", 1L))
+  }
 }
