@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** `graft corpus-stats <in> [--topk N] [--out FILE]` — the corpus audit a
-  * training-data user runs FIRST: sizes, vocabulary, duplication, source
-  * and language mix, head tokens, rendered as one JSON document.
+/** `graft corpus-stats <in> [--topk N] [--out FILE] [--diff PRIOR]` — the
+  * corpus audit a training-data user runs FIRST: sizes, vocabulary,
+  * duplication, source and language mix, head tokens, rendered as one
+  * JSON document; `--diff <priorDir>` adds the release-versioning
+  * section (the corpus_diff query's tool form).
   *
   * Every number is an aggregate the registry queries already gate
   * (token counts, lang-ID, exact-dup ratio). Corpus passes: one for the
@@ -17,7 +19,29 @@ import org.apache.spark.sql.functions._
   * driver-sized except the top-k itself. */
 object CorpusStats {
 
-  def profile(spark: SparkSession, in: String, topK: Int = 10): String = {
+  /** Snapshot diff counts vs a prior corpus release — one full-outer join
+    * on doc_id over md5 digests (bodies projected away before the
+    * exchange; the corpus_diff query's shape without the per-source
+    * split, since (doc_id, text) is all the tool's input contract has). */
+  private def diffCounts(spark: SparkSession, in: String,
+                         prior: String): (Long, Long, Long, Long) = {
+    val cur = spark.read.parquet(in)
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+    val pri = spark.read.parquet(prior)
+      .select(col("doc_id"), md5(col("text")).as("pdg"))
+    val ops = cur.join(pri, Seq("doc_id"), "full_outer")
+      .select(when(col("pdg").isNull, lit("I"))
+        .when(col("dg").isNull, lit("D"))
+        .when(col("dg") =!= col("pdg"), lit("U"))
+        .otherwise(lit("S")).as("op"))
+      .groupBy("op").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (ops.getOrElse("I", 0L), ops.getOrElse("U", 0L),
+      ops.getOrElse("D", 0L), ops.getOrElse("S", 0L))
+  }
+
+  def profile(spark: SparkSession, in: String, topK: Int = 10,
+              diffAgainst: Option[String] = None): String = {
     val docs = spark.read.parquet(in).select(col("doc_id"), col("text"))
 
     val sizes = docs.agg(
@@ -71,10 +95,14 @@ object CorpusStats {
       s"""{"token": ${jStr(t)}, "cnt": $c}""" }.mkString("[", ", ", "]")
     val langJson = langs.map { case (l, n) =>
       s"${jStr(l)}: $n" }.mkString("{", ", ", "}")
+    val diffJson = diffAgainst.map { prior =>
+      val (i, u, d, sm) = diffCounts(spark, in, prior)
+      s""", "diff": {"insert": $i, "update": $u, "delete": $d, "same": $sm}"""
+    }.getOrElse("")
     s"""{"n_docs": $nDocs, "n_chars": $nChars, "n_tokens": $nTokens, """ +
       s""""vocab": $vocab, "exact_dup_docs": $dupDocs, """ +
       s""""dup_gram_ppm": $dupPpm, """ +
-      s""""top_tokens": $topJson, "langs": $langJson}"""
+      s""""top_tokens": $topJson, "langs": $langJson$diffJson}"""
   }
 }
 
@@ -82,10 +110,11 @@ object CorpusStats {
   * `corpus-stats` subcommand of [[Main]]. */
 object CorpusStatsMain {
   private[graft] def parse(args: Seq[String])
-      : Either[String, (String, Int, Option[String])] = {
+      : Either[String, (String, Int, Option[String], Option[String])] = {
     var in: Option[String] = None
     var topK = 10
     var out: Option[String] = None
+    var diff: Option[String] = None
     var rest = args.toList
     while (rest.nonEmpty) {
       rest match {
@@ -96,14 +125,16 @@ object CorpusStatsMain {
             case None => return Left(s"--topk: not an integer: $v")
           }
         case "--out" :: v :: t => out = Some(v); rest = t
-        case ("--topk" | "--out") :: Nil => return Left(s"${rest.head}: missing value")
+        case "--diff" :: v :: t => diff = Some(v); rest = t
+        case ("--topk" | "--out" | "--diff") :: Nil =>
+          return Left(s"${rest.head}: missing value")
         case f :: _ if f.startsWith("--") => return Left(s"unknown flag: $f")
         case p :: t =>
           if (in.isDefined) return Left(s"unexpected extra argument: $p")
           in = Some(p); rest = t
       }
     }
-    in.toRight("need <inParquet>").map((_, topK, out))
+    in.toRight("need <inParquet>").map((_, topK, out, diff))
   }
 
   def main(args: Array[String]): Unit = {
@@ -111,10 +142,10 @@ object CorpusStatsMain {
       case Left(err) =>
         System.err.println(s"graft corpus-stats: $err")
         sys.exit(1)
-      case Right((in, topK, out)) =>
+      case Right((in, topK, out, diff)) =>
         val spark = GraftSession.get()
         try {
-          val json = CorpusStats.profile(spark, in, topK)
+          val json = CorpusStats.profile(spark, in, topK, diff)
           println(json)
           out.foreach(p =>
             java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json))

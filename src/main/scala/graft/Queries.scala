@@ -585,6 +585,52 @@ object Queries {
       s"\nSELECT doc_id, comp FROM l$rounds"
   }
 
+  // ---------------------------------------------------------------------
+  // near_dup_keep_best — QUALITY-AWARE cluster selection (the CCNet/
+  // Gopher keep rule): per near-dup component keep the member with the
+  // MOST tokens (tie-break min doc_id), not the smallest id — the
+  // production choice, since the mutation/truncation is usually the
+  // worse copy. Consumes the PERSISTED pair table (the same
+  // `planted_pairs` stage split_leakage_audit reads — candidate
+  // generation runs once per corpus, its consumers read files), then one
+  // CC fixpoint over ids and a two-phase max-struct argmax per component
+  // — map-side combined, never a per-component window over the corpus.
+  // ---------------------------------------------------------------------
+  def nearDupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlantedDups(s, dir)
+    val pairs = StageStore.materializeIfAbsent(s,
+        s"planted_pairs_${StageStore.dirTag(dir)}") {
+      graft.operators.NearDup.jaccardPairs(docs, threshold = 0.5)
+    }.select("doc_a", "doc_b")
+    val comp = graft.operators.NearDup
+      .connectedComponents(docs.select("doc_id"), pairs)
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    comp.join(toks, Seq("doc_id"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_toks").as("t"), (-col("doc_id")).as("nid")))
+          .as("best"))
+      .select(col("comp"), col("n_members"),
+        col("best.t").as("kept_toks"), (-col("best.nid")).as("kept_doc_id"))
+      .orderBy("comp")
+  }
+
+  val nearDupKeepBestSql: String = {
+    val rounds = 8
+    jaccardPairsCtePrefix + ",\n" + ccUnrollSql(rounds, "docs2") + s""",
+      |ranked AS (
+      |  SELECT l.comp, l.doc_id, len(d.w) AS n_toks,
+      |    row_number() OVER (PARTITION BY l.comp
+      |      ORDER BY len(d.w) DESC, l.doc_id) AS rn
+      |  FROM l$rounds l JOIN docs2 d USING (doc_id)),
+      |cnt AS (SELECT comp, COUNT(*) AS n_members FROM l$rounds GROUP BY 1)
+      |SELECT r.comp, c.n_members, CAST(r.n_toks AS BIGINT) AS kept_toks,
+      |  r.doc_id AS kept_doc_id
+      |FROM ranked r JOIN cnt c USING (comp) WHERE r.rn = 1
+      |ORDER BY comp""".stripMargin
+  }
+
   /** The composed corpus-cleaning pipeline a training-data user actually
     * runs — language gate → quality gate → exact dedup → exact-substring
     * span removal (Lee et al. ACL'22: duplicated 5-gram spans are CUT from
@@ -5464,6 +5510,7 @@ object Queries {
     "near_dup_simhash" -> (nearDupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "near_dup_clusters" -> (nearDupClusters _),
+    "near_dup_keep_best" -> (nearDupKeepBest _),
     "split_leakage_audit" -> (splitLeakageAudit _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "events_stream" -> (eventsStreamHourly _),
@@ -5628,6 +5675,7 @@ object Queries {
     "near_dup_simhash" -> nearDupSimhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "near_dup_clusters" -> nearDupClustersSql,
+    "near_dup_keep_best" -> nearDupKeepBestSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "events_stream" -> eventsStreamHourlySql,
     "events_sessions" -> eventsSessionsSql,

@@ -8,9 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class CorpusStatsSpec extends AnyFunSuite with SparkSuite {
 
   test("parse: defaults, flags, and the validation matrix") {
-    assert(CorpusStatsMain.parse(Seq("/in")) === Right(("/in", 10, None)))
-    assert(CorpusStatsMain.parse(Seq("/in", "--topk", "3", "--out", "/f")) ===
-      Right(("/in", 3, Some("/f"))))
+    assert(CorpusStatsMain.parse(Seq("/in")) === Right(("/in", 10, None, None)))
+    assert(CorpusStatsMain.parse(
+      Seq("/in", "--topk", "3", "--out", "/f", "--diff", "/p")) ===
+      Right(("/in", 3, Some("/f"), Some("/p"))))
+    assert(CorpusStatsMain.parse(Seq("/in", "--diff")).left.exists(_.contains("missing")))
     assert(CorpusStatsMain.parse(Seq()).left.exists(_.contains("<inParquet>")))
     assert(CorpusStatsMain.parse(Seq("/a", "/b")).left.exists(_.contains("extra")))
     assert(CorpusStatsMain.parse(Seq("/in", "--topk")).left.exists(_.contains("missing")))
@@ -57,5 +59,26 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSuite {
     val langTotal = """"[a-z?]+": (\d+)""".r.findAllMatchIn(
       json.substring(json.indexOf("\"langs\""))).map(_.group(1).toLong).sum
     assert(langTotal === docs.count())
+  }
+
+  test("--diff: the snapshot-diff section counts I/U/D/S vs a prior release") {
+    import spark.implicits._
+    val prior = Seq(
+      (1L, "unchanged body one"), (2L, "will be edited"),
+      (3L, "will be deleted")).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "unchanged body one"), (2L, "was edited"),
+      (4L, "brand new document")).toDF("doc_id", "text")
+    val pd = java.nio.file.Files.createTempDirectory("cstats_p").toString
+    val cd = java.nio.file.Files.createTempDirectory("cstats_c").toString
+    prior.write.mode("overwrite").parquet(pd)
+    cur.write.mode("overwrite").parquet(cd)
+    val json = CorpusStats.profile(spark, cd, topK = 2, diffAgainst = Some(pd))
+    val diff = """"diff": \{"insert": (\d+), "update": (\d+), "delete": (\d+), "same": (\d+)\}""".r
+      .findFirstMatchIn(json).get
+    assert((diff.group(1), diff.group(2), diff.group(3), diff.group(4)) ===
+      (("1", "1", "1", "1")))
+    // and without --diff the section is absent
+    assert(!CorpusStats.profile(spark, cd, topK = 2).contains("\"diff\""))
   }
 }
