@@ -5135,6 +5135,28 @@ object Queries {
   val unigramFertilitySql: String = graft.operators.Unigram.fertilitySql()
 
   // ---------------------------------------------------------------------
+  // wordpiece_encode / wordpiece_excess — the BERT-slot greedy
+  // longest-match encoder (operators/Wordpiece.scala) under the SAME
+  // piece vocabulary as unigram_encode, and the per-source integer-ppm
+  // overhead of greedy vs the DP optimum — the measured price of the
+  // fast production encoder, completing the tokenizer triad's A/B
+  // (bpe_fertility / unigram_fertility / wordpiece_excess). The DuckDB
+  // oracle replays the greedy cursor scan unrolled to 12 rounds (and,
+  // for excess, the unigram DP chain side by side).
+  // ---------------------------------------------------------------------
+  def wordpieceEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Wordpiece.encodeWords(t(s, dir, "documents"))
+      .orderBy("word")
+
+  val wordpieceEncodeSql: String = graft.operators.Wordpiece.encodeSql()
+
+  def wordpieceExcess(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Wordpiece.excess(t(s, dir, "documents"))
+      .orderBy("source")
+
+  val wordpieceExcessSql: String = graft.operators.Wordpiece.excessSql()
+
+  // ---------------------------------------------------------------------
   // unigram_drift — the unigram counterpart of tokenizer_drift: the
   // persisted piece vocabulary is train-once/consume-many; this measures
   // the drifted shard's fertility under the OLD pieces (read from the
@@ -5641,6 +5663,8 @@ object Queries {
     "unigram_encode" -> (unigramEncode _),
     "unigram_fertility" -> (unigramFertility _),
     "unigram_drift" -> (unigramDrift _),
+    "wordpiece_encode" -> (wordpieceEncode _),
+    "wordpiece_excess" -> (wordpieceExcess _),
     "hard_negatives" -> (hardNegatives _),
     "packing_efficiency" -> (packingEfficiency _),
     "mixture_manifest" -> (mixtureManifest _),
@@ -5805,6 +5829,8 @@ object Queries {
     "unigram_encode" -> unigramEncodeSql,
     "unigram_fertility" -> unigramFertilitySql,
     "unigram_drift" -> unigramDriftSql,
+    "wordpiece_encode" -> wordpieceEncodeSql,
+    "wordpiece_excess" -> wordpieceExcessSql,
     "hard_negatives" -> hardNegativesSql,
     "packing_efficiency" -> packingEfficiencySql,
     "mixture_manifest" -> mixtureManifestSql,

@@ -187,8 +187,8 @@ object Unigram {
   /** Shared CTE chain (names prefixed by `p` so two chains — e.g. the
     * historical corpus and a drifted shard — compose in one statement):
     * word table → candidate pieces → vocabulary. */
-  private def vocabCtes(maxLen: Int, topV: Int, docsSql: String,
-                        p: String = ""): String =
+  private[operators] def vocabCtes(maxLen: Int, topV: Int, docsSql: String,
+                                   p: String = ""): String =
     s"""${p}wt AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM ($docsSql))
        |  WHERE w <> '' GROUP BY w),
@@ -211,8 +211,8 @@ object Unigram {
     * unroll=12). Decoupling `wtCte` from `vocabCte` is what lets the
     * staleness gate segment a NEW shard's words under the OLD
     * vocabulary. */
-  private def dpCtes(maxLen: Int, unroll: Int, p: String,
-                     wtCte: String, vocabCte: String): String = {
+  private[operators] def dpCtes(maxLen: Int, unroll: Int, p: String,
+                                wtCte: String, vocabCte: String): String = {
     val d0 = s"${p}d0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s, '' AS path FROM $wtCte)"
     val rounds = (1 to unroll).map { j =>
       val cands = (1 to math.min(maxLen, j)).map { k =>

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer encoding (the BERT slot — Wu et al. 2016 GNMT §4.1,
+  * Devlin NAACL'19): GREEDY longest-match-first segmentation of every word
+  * under a piece vocabulary. The third member of the tokenizer triad —
+  * [[Bpe]] grows symbols bottom-up through learned merges, [[Unigram]]
+  * picks each word's OPTIMAL segmentation by dynamic programming, and
+  * WordPiece is the production-encoder compromise: one forward scan taking
+  * the longest vocabulary piece at each cursor, O(|w|·maxLen) with no DP
+  * table, which is why BERT-family runtimes ship it.
+  *
+  * Semantics (deterministic in both engines, pinned by the DuckDB replay
+  * oracles [[encodeSql]]/[[excessSql]]):
+  *   - the vocabulary is [[Unigram.seedVocab]]'s — top `topV` substrings
+  *     by corpus mass plus every single-character piece — so greedy and
+  *     optimal segmentations are comparable UNDER THE SAME VOCABULARY;
+  *   - at each cursor the longest matching piece (length `maxLen` down
+  *     to 1) is consumed; ties are impossible (lengths are distinct);
+  *   - a cursor with no matching piece collapses the WHOLE word to the
+  *     single `<unk>` piece — WordPiece's [UNK] convention, same as
+  *     [[Unigram.segment]]'s unsegmentable case (unreachable under a
+  *     same-corpus vocabulary: all singles are in-vocab);
+  *   - no `##` continuation marker (documented divergence from BERT's
+  *     surface form, same choice as [[Bpe]]'s dropped `</w>`: the piece
+  *     STREAM is identical, the oracle needs no sentinel escaping).
+  *
+  * [[excess]] is the number this operator exists to produce: per source,
+  * total pieces under greedy vs under the DP optimum, and the overhead in
+  * exact integer ppm — the measured price of the fast encoder, the third
+  * axis (alongside `bpe_fertility` and `unigram_fertility`) of the
+  * tokenizer A/B that picks a family for a corpus.
+  *
+  * Scale shape — identical to [[Unigram]]'s: ONE corpus pass folds to the
+  * distinct-word frequency table (vocabulary-bounded, Heaps' law); the
+  * vocabulary (topV + alphabet rows, a plan-time constant) collects and
+  * broadcasts; both encoders run in ONE map-only pass over the word table
+  * (greedy and DP per distinct word in the same mapPartitions, so the
+  * comparison costs one word-table scan, not two); fertility-style
+  * reductions join corpus tokens against the word table on the word key
+  * with map-side partials. No stage touches corpus text more than once.
+  */
+object Wordpiece {
+
+  /** Greedy longest-match-first segmentation of one word:
+    * (piece count, space-joined piece path). */
+  private[operators] def greedySegment(w: String, vocab: Map[String, Long],
+                                       maxLen: Int): (Long, String) = {
+    val cps = w.codePoints().toArray
+    val sb = new java.lang.StringBuilder(w.length * 2)
+    var pos = 0
+    var n = 0L
+    while (pos < cps.length) {
+      var l = math.min(maxLen, cps.length - pos)
+      var hitLen = 0
+      while (hitLen == 0 && l >= 1) {
+        if (vocab.contains(new String(cps, pos, l))) hitLen = l else l -= 1
+      }
+      if (hitLen == 0) return (1L, "<unk>") // whole-word [UNK]
+      if (sb.length > 0) sb.append(' ')
+      sb.append(new String(cps, pos, hitLen))
+      n += 1
+      pos += hitLen
+    }
+    (n, sb.toString)
+  }
+
+  /** Per-distinct-word greedy segmentations
+    * `(word, n_pieces, segmentation)` — map-only over the
+    * vocabulary-bounded word table; the vocabulary broadcasts. */
+  def encodeWords(docs: DataFrame, maxLen: Int = Unigram.DefaultMaxLen,
+                  topV: Int = Unigram.DefaultTopV): DataFrame =
+    encodeUnder(docs, Unigram.vocabMap(docs, maxLen, topV), maxLen)
+
+  /** Greedy-segment `docs`' distinct words under an ALREADY-TRAINED
+    * vocabulary (train-once/consume-many — the persisted-artifact path). */
+  def encodeUnder(docs: DataFrame, vocab: Map[String, Long],
+                  maxLen: Int = Unigram.DefaultMaxLen): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    Unigram.wordTable(docs)
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (w, _) =>
+          val (n, path) = greedySegment(w, v, maxLen)
+          (w, n, path)
+        }
+      }
+      .toDF("word", "n_pieces", "segmentation")
+  }
+
+  /** Per-source greedy-vs-optimal piece overhead under ONE vocabulary:
+    * `(source, n_tokens, greedy_pieces, optimal_pieces, excess_ppm)`.
+    * `excess_ppm` is exact integer arithmetic — (greedy − optimal)·10⁶
+    * floor-divided by optimal (greedy ≥ optimal by DP optimality, so
+    * floor = truncation on both engines). Both segmentations compute in
+    * one word-table pass; tokens join the combined table on the word
+    * key. */
+  def excess(docs: DataFrame, maxLen: Int = Unigram.DefaultMaxLen,
+             topV: Int = Unigram.DefaultTopV): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(Unigram.vocabMap(docs, maxLen, topV))
+    val both = Unigram.wordTable(docs)
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (w, _) =>
+          (w, greedySegment(w, v, maxLen)._1, Unigram.segment(w, v, maxLen).n)
+        }
+      }
+      .toDF("w", "gn", "on")
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(both, Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("gn").as("greedy_pieces"), sum("on").as("optimal_pieces"))
+      .select(col("source"), col("n_tokens"),
+        col("greedy_pieces").cast("long").as("greedy_pieces"),
+        col("optimal_pieces").cast("long").as("optimal_pieces"),
+        expr("CAST(((greedy_pieces - optimal_pieces) * 1000000) DIV optimal_pieces AS BIGINT)")
+          .as("excess_ppm"))
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB replay oracles. The greedy scan unrolls to `unroll` cursor
+  // CTEs g1..gU — each round every unfinished word consumes its longest
+  // matching piece (>=1 character), so U rounds cover words up to U
+  // characters (same fixture bound as Unigram's DP unroll).
+  // ------------------------------------------------------------------
+
+  /** The unrolled greedy chain `g0..gU` over the word-table CTE `wtCte`
+    * under the vocabulary CTE `vocabCte`, + the per-word result CTE
+    * `wpenc (w, n, path)`. Each round partitions candidates per word and
+    * keeps the longest in-vocab piece at the cursor; finished words
+    * (cursor past end) carry unchanged. */
+  private def greedyCtes(maxLen: Int, unroll: Int,
+                         wtCte: String, vocabCte: String): String = {
+    val g0 = s"g0 AS MATERIALIZED (SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS n, '' AS path FROM $wtCte)"
+    val rounds = (1 to unroll).map { j =>
+      s"""g$j AS MATERIALIZED (
+         |  SELECT w, pos, n, path FROM g${j - 1} WHERE pos > len(w)
+         |  UNION ALL
+         |  SELECT w, pos + len(pc) AS pos, n + 1 AS n,
+         |    CASE WHEN path = '' THEN pc ELSE path || ' ' || pc END AS path
+         |  FROM (
+         |    SELECT c.w, c.pos, c.n, c.path, c.pc,
+         |      row_number() OVER (PARTITION BY c.w ORDER BY len(c.pc) DESC) AS rk
+         |    FROM (SELECT g.w, g.pos, g.n, g.path, substr(g.w, g.pos, l) AS pc
+         |          FROM g${j - 1} g, (SELECT unnest(generate_series(1, $maxLen)) AS l) ls
+         |          WHERE g.pos <= len(g.w) AND g.pos + l - 1 <= len(g.w)) c
+         |    JOIN $vocabCte v ON v.piece = c.pc) s
+         |  WHERE rk = 1)""".stripMargin
+    }
+    val enc = s"wpenc AS (SELECT w, n, path FROM g$unroll WHERE pos > len(w))"
+    (g0 +: rounds :+ enc).mkString(",\n")
+  }
+
+  private val docsSqlDefault = "SELECT doc_id, text FROM documents"
+
+  /** Oracle for [[encodeWords]] over `documents`. */
+  def encodeSql(maxLen: Int = Unigram.DefaultMaxLen,
+                topV: Int = Unigram.DefaultTopV, unroll: Int = 12): String =
+    s"""WITH ${Unigram.vocabCtes(maxLen, topV, docsSqlDefault)},
+       |${greedyCtes(maxLen, unroll, "wt", "vocab")}
+       |SELECT w AS word, n AS n_pieces, path AS segmentation
+       |FROM wpenc ORDER BY word""".stripMargin
+
+  /** Oracle for [[excess]] over `documents` — the greedy chain and the
+    * DP chain replay side by side under the one vocabulary. */
+  def excessSql(maxLen: Int = Unigram.DefaultMaxLen,
+                topV: Int = Unigram.DefaultTopV, unroll: Int = 12): String =
+    s"""WITH ${Unigram.vocabCtes(maxLen, topV, docsSqlDefault)},
+       |${Unigram.dpCtes(maxLen, unroll, "", "wt", "vocab")},
+       |${greedyCtes(maxLen, unroll, "wt", "vocab")},
+       |toks AS (SELECT source, w FROM
+       |    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '')
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(g.n) AS BIGINT) AS greedy_pieces,
+       |  CAST(SUM(e.n) AS BIGINT) AS optimal_pieces,
+       |  CAST(((SUM(g.n) - SUM(e.n)) * 1000000) // SUM(e.n) AS BIGINT) AS excess_ppm
+       |FROM toks JOIN wpenc g ON toks.w = g.w JOIN enc e ON toks.w = e.w
+       |GROUP BY source ORDER BY source""".stripMargin
+}

@@ -774,6 +774,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!pf.contains("CartesianProduct"), s"cartesian:\n$pf")
   }
 
+  test("wordpiece: encode is one word-table fold + map-only greedy scan; " +
+    "excess broadcasts the combined greedy+DP table") {
+    val pe = plan("wordpiece_encode")
+    assert(pe.contains("MapPartitions"), s"greedy scan not map-only:\n$pe")
+    assert(pe.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"encode should shuffle exactly once (the word fold):\n$pe")
+    val px = plan("wordpiece_excess")
+    assert(px.contains("BroadcastHashJoin"),
+      s"greedy+DP word table not broadcast:\n$px")
+    assert(!px.contains("CartesianProduct"), s"cartesian:\n$px")
+  }
+
   test("retrieve_chunks: chunk-level windows stay term-partitioned; the " +
     "chunker is map-work (no chunk shuffle before tf)") {
     val p = plan("retrieve_chunks")

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wordpiece.greedySegment / encodeWords / excess — the wordpiece_* rows. */
+class WordpieceSpec extends AnyFunSuite with SparkSuite {
+
+  /** Independent greedy reference: recursive longest-match, None when a
+    * cursor has no piece (the <unk> case). */
+  private def refGreedy(s: String, vocab: Map[String, Long],
+                        maxLen: Int): Option[List[String]] =
+    if (s.isEmpty) Some(Nil)
+    else (math.min(maxLen, s.length) to 1 by -1)
+      .collectFirst { case k if vocab.contains(s.take(k)) => s.take(k) }
+      .flatMap(h => refGreedy(s.drop(h.length), vocab, maxLen).map(h :: _))
+
+  test("greedySegment equals the recursive reference on random words and " +
+    "vocabs; piece count never beats the DP optimum") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 300) {
+      val alpha = "ab" + (if (trial % 3 == 0) "c" else "")
+      val w = (0 until (1 + rnd.nextInt(9)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val multi = (0 until rnd.nextInt(6)).map { _ =>
+        val len = 2 + rnd.nextInt(3)
+        val p = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        p -> (1L + rnd.nextInt(50))
+      }
+      // drop a random single from the vocab so the <unk> path is exercised
+      val singles = alpha.filter(_ => rnd.nextInt(10) > 0)
+        .map(c => c.toString -> (1L + rnd.nextInt(50)))
+      val vocab = (singles ++ multi).toMap
+      val (n, path) = Wordpiece.greedySegment(w, vocab, maxLen = 4)
+      refGreedy(w, vocab, 4) match {
+        case Some(ps) =>
+          assert((n, path) === ((ps.length.toLong, ps.mkString(" "))),
+            s"w=$w vocab=$vocab")
+          // DP optimality: greedy can only tie or lose on piece count
+          val dp = Unigram.segment(w, vocab, 4)
+          if (dp.path != "<unk>")
+            assert(dp.n <= n, s"DP worse than greedy? w=$w vocab=$vocab")
+        case None =>
+          assert((n, path) === ((1L, "<unk>")), s"w=$w vocab=$vocab")
+      }
+    }
+  }
+
+  test("greedy strictly worse than DP: vocab {a,aa,aab,b}, word aaab") {
+    val vocab = Map("a" -> 7L, "aa" -> 4L, "aab" -> 3L, "b" -> 3L)
+    assert(Wordpiece.greedySegment("aaab", vocab, 3) === ((3L, "aa a b")))
+    val dp = Unigram.segment("aaab", vocab, 3)
+    assert(dp.n === 2L && dp.path === "a aab")
+  }
+
+  test("excess: hand-computed corpus where greedy pays 250000 ppm") {
+    import spark.implicits._
+    // wt: aaab f=1, aab f=2 → piece mass a7 aa4 aab3 ab3 b3 aaa1; topV=3
+    // cuts at {a,aa,aab} (tie 3 breaks piece-asc: aab<ab<b) + singles
+    // {a,b} → vocab {a,aa,aab,b}: greedy(aaab)=3, dp(aaab)=2, aab=1 both
+    val docs = Seq((1L, "aaab aab aab", "s1")).toDF("doc_id", "text", "source")
+    val out = Wordpiece.excess(docs, maxLen = 3, topV = 3).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === (("s1", 3L, 5L, 4L, 250000L)))
+  }
+
+  test("registered queries on sf0.001: greedy >= optimal >= tokens and the " +
+    "exact integer ppm formula") {
+    val rows = graft.SparkEntry.queries("wordpiece_excess")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, g, o, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(g >= o && o >= tok && tok > 0, r.toString)
+      assert(ppm === (g - o) * 1000000L / o, r.toString)
+    }
+    // encode table covers every distinct word exactly once, no <unk>
+    // (same-corpus vocabulary always covers)
+    val enc = graft.SparkEntry.queries("wordpiece_encode")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(enc.map(_.getString(0)).distinct.length === enc.length)
+    assert(!enc.exists(_.getString(2) == "<unk>"))
+  }
+}
