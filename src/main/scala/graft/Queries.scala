@@ -541,6 +541,57 @@ object Queries {
 
   val ngramJaccardSql: String = exactJaccardSql
 
+  // ---------------------------------------------------------------------
+  // containment_pairs — asymmetric shingle containment (Broder
+  // SEQUENCES'97): C(A→B) = |Sh(A)∩Sh(B)|/|Sh(A)| ≥ 0.9, the
+  // subset-duplicate detector the resemblance family structurally
+  // misses. The planted corpus carves a first-quarter SNIPPET out of
+  // every document (doc_id + 2e6): its Jaccard vs the original is
+  // ~1/4 (invisible to every ≥0.5 resemblance gate above) but its
+  // containment is exactly 1.0 — and the fixture also surfaces ~167
+  // ORGANIC containments among the originals, which the exact-recall
+  // prefix-filter candidates must find too. Oracle: all ordered pairs,
+  // one IEEE division.
+  // ---------------------------------------------------------------------
+
+  /** documents plus a first-quarter snippet of each (min 3 words,
+    * doc_id + 2_000_000) — the planted CONTAINED docs. */
+  private def docsWithPlantedSnippets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) / lit(4)).cast("int"), lit(3))
+    val snippets = docs.select(
+      (col("doc_id") + lit(2000000L)).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), keep)).as("text"))
+    docs.unionAll(snippets)
+  }
+
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.containmentPairs(
+      docsWithPlantedSnippets(s, dir), threshold = 0.9)
+
+  val containmentPairsSql: String =
+    s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |docs3 AS (
+       |  SELECT doc_id, w FROM d0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, w[1:greatest(CAST(floor(len(w)/4) AS INT), 3)] AS w
+       |  FROM d0
+       |),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wj)-1, 1)),
+       |    i -> wj[i] || ' ' || wj[i+1] || ' ' || wj[i+2])) AS s
+       |  FROM (SELECT doc_id, $javaTokens AS wj FROM docs3) t
+       |),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na
+       |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+       |  WHERE len(a.s) > 0
+       |)
+       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+       |FROM p WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9""".stripMargin
+
   /** Near-dup CLUSTERS: connected components over the exact-Jaccard pair
     * graph — pairs become dedup groups (keep-one-per-component is then a
     * comp == doc_id filter). Spark iterates min-label propagation to
@@ -5531,6 +5582,7 @@ object Queries {
     "near_dup_incremental" -> (nearDupIncremental _),
     "near_dup_simhash" -> (nearDupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
+    "containment_pairs" -> (containmentPairs _),
     "near_dup_clusters" -> (nearDupClusters _),
     "near_dup_keep_best" -> (nearDupKeepBest _),
     "split_leakage_audit" -> (splitLeakageAudit _),
@@ -5698,6 +5750,7 @@ object Queries {
     "split_leakage_audit" -> splitLeakageAuditSql,
     "near_dup_simhash" -> nearDupSimhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "containment_pairs" -> containmentPairsSql,
     "near_dup_clusters" -> nearDupClustersSql,
     "near_dup_keep_best" -> nearDupKeepBestSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,

@@ -665,4 +665,57 @@ object NearDup {
       .select("doc_a", "doc_b").distinct()
     withJaccardHashed(cands, sets).filter(col("jaccard") >= threshold)
   }
+
+  /** Asymmetric shingle CONTAINMENT near-dup (Broder, "On the resemblance
+    * and containment of documents", SEQUENCES'97): directed pairs
+    * `(doc_a, doc_b, containment)` with
+    * C(A→B) = |Sh(A) ∩ Sh(B)| / |Sh(A)| >= `threshold` — the
+    * subset-duplicate detector the whole RESEMBLANCE family structurally
+    * misses: a quote or snippet carved out of a larger document has
+    * Jaccard ≈ |A|/|B| (far below any dedup threshold when B is big) but
+    * containment ≈ 1.0. Output is DIRECTED: doc_a is the contained side;
+    * a near-identical pair legitimately appears in both directions.
+    *
+    * Candidates by one-sided prefix filtering: C(A→B) >= t forces
+    * overlap >= ceil(t·|A|), so A must share a shingle from its
+    * |A| − ceil(t·|A|) + 1 RAREST shingles (global doc-freq-asc order —
+    * same order as [[jaccardPairs]]) with B — but B is unconstrained (any
+    * superset qualifies), so the container side indexes its FULL posting
+    * list and no length filter applies (that asymmetry is the operator's
+    * point). Recall is exact; `maxPosting` drops postings of
+    * ultra-common shingles from the container side — the documented skew
+    * guard (the [[candidatePairs]] bucket-cap precedent; a candidate is
+    * lost only if every rare-prefix shingle of A is globally common,
+    * which the threshold makes self-contradictory long before real caps
+    * bind). Only (doc_id, 8-byte hash) rows shuffle; the verify stage
+    * joins the sorted hash sets back for the exact intersection
+    * (codegen two-pointer merge) and one IEEE division. */
+  def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.9,
+                       maxPosting: Int = 1000): DataFrame = {
+    val sets = shingleHashSets(docs, k).filter(col("n_sh") > 0)
+    val posts = sets.select(col("doc_id"), col("n_sh"),
+      explode(col("sh_set")).as("sh_hash"))
+    val freq = posts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("doc_freq"), col("sh_hash"))
+    val prefix = posts.join(freq, "sh_hash")
+      .select(col("doc_id"), col("n_sh"), col("sh_hash"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
+    val full = posts.join(freq.filter(col("doc_freq") <= maxPosting), "sh_hash")
+    val cands = prefix.select(col("sh_hash"), col("doc_id").as("doc_a"))
+      .join(full.select(col("sh_hash"), col("doc_id").as("doc_b")), Seq("sh_hash"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val a = sets.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+      col("sh_set").as("set_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayExprs.sortedIntersectSize(col("set_a"), col("set_b")))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
 }

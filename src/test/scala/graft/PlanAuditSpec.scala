@@ -774,6 +774,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!pf.contains("CartesianProduct"), s"cartesian:\n$pf")
   }
 
+  test("containment_pairs: prefix/posting candidates equi-join on the " +
+    "shingle hash; no quadratic fallback; prefix window per-doc") {
+    val p = plan("containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic pair join:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(doc_id")),
+      s"prefix rank window not doc-partitioned:\n${specs.mkString("\n")}")
+  }
+
   test("wordpiece: encode is one word-table fold + map-only greedy scan; " +
     "excess broadcasts the combined greedy+DP table") {
     val pe = plan("wordpiece_encode")

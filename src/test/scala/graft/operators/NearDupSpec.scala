@@ -105,6 +105,53 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
       s"prefix-filtered result (${found.size}) != ground truth (${truth.size})")
   }
 
+  test("containmentPairs: a snippet is contained at 1.0 while its Jaccard " +
+    "stays far below the resemblance gate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // the container
+      (2L, "a b c d"),             // its snippet: 2 shingles, both in doc 1
+      (3L, "x y z w v u")          // unrelated
+    ).toDF("doc_id", "text")
+    val got = NearDup.containmentPairs(docs, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((2L, 1L, 1.0)))
+    // the motivation: the same pair is invisible to the resemblance family
+    val j = NearDup.withJaccard(
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), docs).collect()(0).getDouble(2)
+    assert(j === 2.0 / 8.0 && j < 0.5)
+  }
+
+  test("containmentPairs equals brute-force ordered-pairs ground truth on " +
+    "the snippet-planted corpus") {
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) / lit(4)).cast("int"), lit(3))
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val snipped = docs.unionAll(docs.select(
+      (col("doc_id") + lit(2000000L)).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), keep)).as("text")))
+    val found = NearDup.containmentPairs(snipped, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over string shingles — independent of the hashed path
+    val sh = snipped.select(col("doc_id"),
+      array_distinct(NearDup.shingles(col("text"), 3)).as("sh"))
+    val truth = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") =!= col("doc_b") && size(col("sh_a")) > 0)
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= 0.9)
+      .select("doc_a", "doc_b", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every planted snippet of a >=3-word doc is contained at exactly 1.0
+    val planted = truth.filter(t => t._1 >= 2000000L && t._2 == t._1 - 2000000L)
+    assert(planted.nonEmpty && planted.forall(_._3 == 1.0))
+    assert(found == truth,
+      s"prefix-filtered containment (${found.size}) != ground truth (${truth.size})")
+  }
+
   test("connectedComponents: transitive closure with min labels, singletons untouched") {
     import spark.implicits._
     val ids = (1L to 8L).toDF("doc_id")
