@@ -570,7 +570,10 @@ object Queries {
     graft.operators.NearDup.containmentPairs(
       docsWithPlantedSnippets(s, dir), threshold = 0.9)
 
-  val containmentPairsSql: String =
+  /** Snippet-planted corpus + all-ordered-pairs containment CTEs (through
+    * `p` with both sides' shingle counts) — shared by the pairs and dedup
+    * oracles. */
+  private val containmentCtePrefix: String =
     s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |docs3 AS (
        |  SELECT doc_id, w FROM d0
@@ -585,12 +588,36 @@ object Queries {
        |),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na
+       |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
        |  WHERE len(a.s) > 0
-       |)
+       |)""".stripMargin
+
+  val containmentPairsSql: String =
+    containmentCtePrefix + """
        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
        |FROM p WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9""".stripMargin
+
+  /** The delivery form: survivors after dropping every doc contained (at
+    * 0.9) in a strictly-larger doc (shingle-count; ties keep the smaller
+    * id). One deterministic pass — drops count even when the container
+    * itself drops (containment at a threshold is not transitive). The
+    * fixture drops all 500 planted snippets plus the organically-contained
+    * originals. */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.containmentDedup(
+      docsWithPlantedSnippets(s, dir), threshold = 0.9)
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"))
+
+  val containmentDedupSql: String =
+    containmentCtePrefix + """,
+       |dropped AS (
+       |  SELECT DISTINCT doc_a AS doc_id FROM p
+       |  WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9
+       |    AND (nb > na OR (nb = na AND doc_b < doc_a))
+       |)
+       |SELECT s.doc_id, CAST(len(s.s) AS BIGINT) AS n_sh FROM sh s
+       |WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
 
   /** Near-dup CLUSTERS: connected components over the exact-Jaccard pair
     * graph — pairs become dedup groups (keep-one-per-component is then a
@@ -5583,6 +5610,7 @@ object Queries {
     "near_dup_simhash" -> (nearDupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "containment_pairs" -> (containmentPairs _),
+    "containment_dedup" -> (containmentDedup _),
     "near_dup_clusters" -> (nearDupClusters _),
     "near_dup_keep_best" -> (nearDupKeepBest _),
     "split_leakage_audit" -> (splitLeakageAudit _),
@@ -5751,6 +5779,7 @@ object Queries {
     "near_dup_simhash" -> nearDupSimhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "containment_pairs" -> containmentPairsSql,
+    "containment_dedup" -> containmentDedupSql,
     "near_dup_clusters" -> nearDupClustersSql,
     "near_dup_keep_best" -> nearDupKeepBestSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,

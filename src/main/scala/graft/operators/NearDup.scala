@@ -691,8 +691,17 @@ object NearDup {
     * joins the sorted hash sets back for the exact intersection
     * (codegen two-pointer merge) and one IEEE division. */
   def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.9,
-                       maxPosting: Int = 1000): DataFrame = {
-    val sets = shingleHashSets(docs, k).filter(col("n_sh") > 0)
+                       maxPosting: Int = 1000): DataFrame =
+    containmentPairsSized(shingleHashSets(docs, k), threshold, maxPosting)
+      .select("doc_a", "doc_b", "containment")
+
+  /** [[containmentPairs]] from a prebuilt [[shingleHashSets]] frame, with
+    * both sides' distinct-shingle counts kept
+    * (`doc_a, doc_b, containment, n_a, n_b`) — the internal form
+    * [[containmentDedup]]'s keep rule consumes. */
+  private def containmentPairsSized(hashSets: DataFrame, threshold: Double,
+                                    maxPosting: Int): DataFrame = {
+    val sets = hashSets.filter(col("n_sh") > 0)
     val posts = sets.select(col("doc_id"), col("n_sh"),
       explode(col("sh_set")).as("sh_hash"))
     val freq = posts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq"))
@@ -709,13 +718,40 @@ object NearDup {
       .select("doc_a", "doc_b").distinct()
     val a = sets.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
       col("sh_set").as("set_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+      col("sh_set").as("set_b"))
     cands.join(a, "doc_a").join(b, "doc_b")
       .withColumn("inter",
         graft.functions.ArrayExprs.sortedIntersectSize(col("set_a"), col("set_b")))
       .withColumn("containment",
         col("inter").cast("double") / col("n_a").cast("double"))
       .filter(col("containment") >= threshold)
-      .select("doc_a", "doc_b", "containment")
+      .select("doc_a", "doc_b", "containment", "n_a", "n_b")
+  }
+
+  /** Containment DEDUP — the delivery form of [[containmentPairs]]: drop
+    * every document contained (at `threshold`) in a STRICTLY-LARGER
+    * document (more distinct shingles; equal sizes tie-break to the
+    * smaller doc_id, so mutually-containing near-identical docs keep
+    * exactly one). Returns the survivors as `(doc_id, n_sh)`.
+    *
+    * ONE deterministic pass, no iteration: a doc is dropped when ANY
+    * larger near-container exists, whether or not that container itself
+    * survives (containment at a threshold is not transitive, so an
+    * iterative "only drop into survivors" rule would need a fixpoint; the
+    * single-pass rule is the standard production form — the kept corpus
+    * never loses content that wasn't ~fully present in some bigger doc).
+    * Docs with no shingles (under k tokens) never pair and always
+    * survive. Cost is [[containmentPairs]] plus one semi-join-shaped
+    * aggregate over the (tiny) pair set. */
+  def containmentDedup(docs: DataFrame, k: Int = 3, threshold: Double = 0.9,
+                       maxPosting: Int = 1000): DataFrame = {
+    val sets = shingleHashSets(docs, k)
+    val dropped = containmentPairsSized(sets, threshold, maxPosting)
+      .filter(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
+      .select(col("doc_a").as("doc_id")).distinct()
+    sets.select("doc_id", "n_sh")
+      .join(dropped, Seq("doc_id"), "left_anti")
   }
 }

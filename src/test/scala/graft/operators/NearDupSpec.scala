@@ -152,6 +152,21 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
       s"prefix-filtered containment (${found.size}) != ground truth (${truth.size})")
   }
 
+  test("containmentDedup: snippets drop into larger containers, ties keep " +
+    "the smaller id, shingle-less docs always survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // container: survives
+      (2L, "a b c d"),             // snippet of 1: dropped (n 2 < 8)
+      (3L, "a b c d e f g h i j"), // identical to 1: tie, larger id drops
+      (4L, "x y"),                 // no shingles: survives with n_sh 0
+      (5L, "p q r s t u")          // unrelated: survives
+    ).toDF("doc_id", "text")
+    val out = NearDup.containmentDedup(docs, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(out.toSeq === Seq((1L, 8), (4L, 0), (5L, 4)))
+  }
+
   test("connectedComponents: transitive closure with min labels, singletons untouched") {
     import spark.implicits._
     val ids = (1L to 8L).toDF("doc_id")
