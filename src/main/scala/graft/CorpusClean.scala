@@ -33,7 +33,9 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     `--min-span`; `--gram-state` switches to incremental mode against
   *     a persisted [[graft.operators.TextOps.gramCounts]] table);
   *  4. near-dup keep-one (MinHash-banded Jaccard, `--near-dup` /
-  *     `--no-near-dup`);
+  *     `--no-near-dup`); then containment dedup (`--containment <t>`) —
+  *     the subset-duplicate cut (quotes, snippets, wrapper re-posts)
+  *     the resemblance stage structurally misses;
   *  5. semantic dedup (`--semantic <embeddings>`, SemDeDup keep-one over
   *     the survivors' embeddings);
   *  6. decontamination (`--eval <split>`, broadcast gram anti-join);
@@ -242,17 +244,29 @@ object CorpusClean {
       case None => cleaned
     }
 
+    // 4b. containment dedup — the subset-duplicate cut (quotes, snippets,
+    // wrapper re-posts) the resemblance stage structurally misses; drops
+    // docs contained in a strictly-larger survivor-candidate
+    val afterContain = cfg.containment match {
+      case Some(thr) =>
+        afterNear.join(
+          graft.operators.NearDup.containmentDedup(afterNear, threshold = thr)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case None => afterNear
+    }
+
     // 5. semantic dedup over the survivors' embeddings
     val afterSem = cfg.semanticEmb match {
       case Some(dir) =>
         val emb = spark.read.parquet(dir).select(col("vec_id"), col("embedding"))
-          .join(afterNear.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+          .join(afterContain.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         val n = emb.count()
         val keep = graft.operators.SemDeDup.dedup(emb,
           k = graft.operators.SemDeDup.deriveK(n), stageTag = Some(s"cc_$tag"))
-        afterNear.join(keep.select(col("vec_id").as("doc_id")),
+        afterContain.join(keep.select(col("vec_id").as("doc_id")),
           Seq("doc_id"), "left_semi")
-      case None => afterNear
+      case None => afterContain
     }
 
     // 6. decontamination against the raw eval split (persisted gram set,
@@ -285,6 +299,7 @@ object CorpusClean {
       "exact_dedup" -> kept,
       "span_removal" -> cleaned,
       "near_dup" -> afterNear,
+      "containment" -> afterContain,
       "semantic_dedup" -> afterSem,
       "decontaminate" -> afterDecon,
       "final" -> afterRedact)

@@ -46,6 +46,10 @@ case class CorpusCleanConfig(
     // near-dup stage: Jaccard keep-one threshold; None (--no-near-dup)
     // skips the stage
     nearDup: Option[Double] = Some(0.5),
+    // containment dedup: drop docs contained (at this threshold) in a
+    // strictly-larger doc — the subset-duplicate cut Jaccard misses
+    // (quotes, snippets, wrapper re-posts); None skips the stage
+    containment: Option[Double] = None,
     // semantic dedup: directory of (vec_id, embedding) parquet keyed by
     // doc_id — SemDeDup keep-one over the surviving docs
     semanticEmb: Option[String] = None,
@@ -188,6 +192,11 @@ object CorpusCleanCli {
             case None => return Left(s"--near-dup: not a number: $v")
           }
         case "--no-near-dup" :: t => noNearDup = true; rest = t
+        case "--containment" :: v :: t =>
+          v.toDoubleOption match {
+            case Some(d) => c = c.copy(containment = Some(d)); rest = t
+            case None => return Left(s"--containment: not a number: $v")
+          }
         case "--semantic" :: v :: t => c = c.copy(semanticEmb = Some(v)); rest = t
         case "--eval" :: v :: t => c = c.copy(evalDir = Some(v)); rest = t
         case "--gram-state" :: v :: t => c = c.copy(gramState = Some(v)); rest = t
@@ -267,7 +276,8 @@ object CorpusCleanCli {
 
   private val valueFlags = Set("--lang", "--lang-model", "--min-words",
     "--boilerplate", "--ngram",
-    "--min-span", "--near-dup", "--semantic", "--eval", "--gram-state",
+    "--min-span", "--near-dup", "--containment", "--semantic", "--eval",
+    "--gram-state",
     "--split-by", "--shards", "--stage-dir", "--stats-file",
     "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
@@ -287,6 +297,8 @@ object CorpusCleanCli {
         s"boilerplate), got ${c.boilerplate.get}")
     else if (c.nearDup.exists(t => t <= 0.0 || t > 1.0))
       Left(s"--near-dup must be in (0, 1], got ${c.nearDup.get}")
+    else if (c.containment.exists(t => t <= 0.0 || t > 1.0))
+      Left(s"--containment must be in (0, 1], got ${c.containment.get}")
     else if (c.lang.exists(_.isEmpty)) Left("--lang: empty language code")
     else if (c.splitBy.exists(_.isEmpty)) Left("--split-by: empty column name")
     else if (c.shards.exists(_ < 1))

@@ -166,6 +166,33 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(ids === Set(1L, 2L))
   }
 
+  test("--containment drops a snippet the Jaccard stage misses and matches " +
+    "the operator's survivor set") {
+    import spark.implicits._
+    val inDir = tmp("cc_cont_in")
+    val outDir = tmp("cc_cont_out")
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, big),                                    // container
+      (2L, big.split(" ").take(5).mkString(" ")),   // snippet: J=3/20, C=1.0
+      (3L, "completely different words making an unrelated document here"))
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    // default --min-span 50 leaves the short duplicated prefix intact —
+    // the snippet must reach the containment stage whole
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir, "--no-lang-gate",
+      "--min-words", "1", "--containment", "0.9")).toOption.get
+    assert(CorpusClean.run(spark, cfg) === 2L)
+    val ids = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L), "snippet must drop, container+unrelated survive")
+    // parity with the operator on the same rows
+    val opIds = graft.operators.NearDup.containmentDedup(
+      docs.toDF("doc_id", "text"), threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(opIds === ids)
+  }
+
   test("--split-by and --shards deliver partitioned train/val/test + balanced shards") {
     val inDir = tmp("cc_del_in")
     val outDir = tmp("cc_del_out")
@@ -293,7 +320,7 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     val names = counts.map(_._1)
     assert(names === Seq("input", "markup", "gates", "host_cap",
       "boilerplate", "exact_dedup", "span_removal", "near_dup",
-      "semantic_dedup", "decontaminate", "final"), txt)
+      "containment", "semantic_dedup", "decontaminate", "final"), txt)
     // survivors never grow across stages, and final matches run()'s count
     val vals = counts.map(_._2)
     assert(vals.zip(vals.tail).forall { case (a, b) => b <= a }, txt)

@@ -29,11 +29,13 @@ class CorpusCleanCliSpec extends AnyFunSuite {
   test("every flag lands in the config") {
     val c = ok("in", "out", "--lang", "fr", "--min-words", "3",
       "--ngram", "4", "--min-span", "40", "--near-dup", "0.8",
+      "--containment", "0.95",
       "--semantic", "/emb", "--eval", "/ev", "--gram-state", "/gs",
       "--redact", "--split-by", "source", "--shards", "16",
       "--stage-dir", "/stages", "--strip-markup")
     assert(c.lang === Some("fr") && c.minWords === 3)
     assert(c.ngram === 4 && c.minSpan === 40 && c.nearDup === Some(0.8))
+    assert(c.containment === Some(0.95))
     assert(c.semanticEmb === Some("/emb") && c.evalDir === Some("/ev"))
     assert(c.gramState === Some("/gs") && c.redact && c.stageDir === Some("/stages"))
     assert(c.splitBy === Some("source") && c.shards === Some(16))
@@ -162,6 +164,11 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(err("in", "out", "--near-dup", "0").contains("--near-dup"))
     assert(err("in", "out", "--near-dup", "1.5").contains("--near-dup"))
     assert(ok("in", "out", "--near-dup", "1").nearDup === Some(1.0))
+    assert(ok("in", "out").containment === None)
+    assert(err("in", "out", "--containment", "0").contains("--containment"))
+    assert(err("in", "out", "--containment", "1.5").contains("--containment"))
+    assert(err("in", "out", "--containment", "high").contains("not a number"))
+    assert(err("in", "out", "--containment").contains("missing value"))
     assert(err("in", "out", "--lang", "").contains("--lang"))
     assert(err("in", "out", "--split-by", "").contains("--split-by"))
     assert(err("in", "out", "--shards", "0").contains("--shards"))
