@@ -609,6 +609,58 @@ object Queries {
       docsWithPlantedSnippets(s, dir), threshold = 0.9)
       .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"))
 
+  /** Incremental containment — the production cadence: the batch (even
+    * roots: first-quarter snippets, all contained in their history
+    * originals; odd roots: token-REVERSED docs, shingle-fresh) dedups
+    * against the PERSISTED history shingle-hash sets (the same state
+    * table incremental near-dup reads) — history text never rescanned.
+    * Equals one-shot containmentDedup over history ∪ batch restricted to
+    * batch ids. */
+  def containmentIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) / lit(4)).cast("int"), lit(3))
+    val batch = docs.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+      when(col("doc_id") % 2 === 0, concat_ws(" ", slice(toks, lit(1), keep)))
+        .otherwise(concat_ws(" ", reverse(toks))).as("text"))
+    val priorSets = StageStore.materializeIfAbsent(s,
+        s"cont_sets_${StageStore.dirTag(dir)}") {
+      graft.operators.NearDup.shingleHashSets(docs, k = 3)
+    }
+    graft.operators.NearDup
+      .containmentDedupIncremental(batch, priorSets, threshold = 0.9)
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"))
+  }
+
+  val containmentIncrementalSql: String =
+    s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |docsI AS (
+       |  SELECT doc_id, w FROM d0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    CASE WHEN doc_id % 2 = 0 THEN w[1:greatest(CAST(floor(len(w)/4) AS INT), 3)]
+       |         ELSE list_reverse(w) END AS w
+       |  FROM d0
+       |),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wj)-1, 1)),
+       |    i -> wj[i] || ' ' || wj[i+1] || ' ' || wj[i+2])) AS s
+       |  FROM (SELECT doc_id, $javaTokens AS wj FROM docsI) t
+       |),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+       |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+       |  WHERE len(a.s) > 0 AND a.doc_id >= 2000000
+       |),
+       |dropped AS (
+       |  SELECT DISTINCT doc_a AS doc_id FROM p
+       |  WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9
+       |    AND (nb > na OR (nb = na AND doc_b < doc_a))
+       |)
+       |SELECT s.doc_id, CAST(len(s.s) AS BIGINT) AS n_sh FROM sh s
+       |WHERE s.doc_id >= 2000000 AND s.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
+
   val containmentDedupSql: String =
     containmentCtePrefix + """,
        |dropped AS (
@@ -5611,6 +5663,7 @@ object Queries {
     "ngram_jaccard" -> (ngramJaccard _),
     "containment_pairs" -> (containmentPairs _),
     "containment_dedup" -> (containmentDedup _),
+    "containment_incremental" -> (containmentIncremental _),
     "near_dup_clusters" -> (nearDupClusters _),
     "near_dup_keep_best" -> (nearDupKeepBest _),
     "split_leakage_audit" -> (splitLeakageAudit _),
@@ -5780,6 +5833,7 @@ object Queries {
     "ngram_jaccard" -> ngramJaccardSql,
     "containment_pairs" -> containmentPairsSql,
     "containment_dedup" -> containmentDedupSql,
+    "containment_incremental" -> containmentIncrementalSql,
     "near_dup_clusters" -> nearDupClustersSql,
     "near_dup_keep_best" -> nearDupKeepBestSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,

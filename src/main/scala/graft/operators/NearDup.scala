@@ -754,4 +754,56 @@ object NearDup {
     sets.select("doc_id", "n_sh")
       .join(dropped, Seq("doc_id"), "left_anti")
   }
+
+  /** Incremental [[containmentDedup]] — the production cadence: each NEW
+    * shard drops its docs contained in a strictly-larger doc of
+    * history ∪ batch, WITHOUT rescanning history text. `priorShSets` is
+    * the SAME persisted [[shingleHashSets]] state incremental near-dup
+    * reads (one state table serves both gates); history contributes file
+    * reads of its 8-byte hash arrays — postings and doc-frequencies
+    * re-derive from those compact arrays, never from text (a deployment
+    * that wants to skip even that re-derivation persists the posting
+    * doc-freq table, the [[TextOps]] `priorGramCounts` pattern — the
+    * documented upgrade path). History docs are never dropped
+    * (yesterday's corpus already shipped); returns the surviving BATCH
+    * docs `(doc_id, n_sh)`, equal to [[containmentDedup]] over
+    * history ∪ batch restricted to batch ids — doc-freq prefix order and
+    * posting caps compute over the same union a one-shot run would see.
+    * Contract: history and batch doc_ids are disjoint. */
+  def containmentDedupIncremental(batch: DataFrame, priorShSets: DataFrame,
+                                  k: Int = 3, threshold: Double = 0.9,
+                                  maxPosting: Int = 1000): DataFrame = {
+    val batchSets = shingleHashSets(batch, k)
+    val allSets = priorShSets.unionByName(batchSets)
+    val posts = allSets.filter(col("n_sh") > 0)
+      .select(col("doc_id"), col("n_sh"), explode(col("sh_set")).as("sh_hash"))
+    val freq = posts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("doc_freq"), col("sh_hash"))
+    // probe side: the BATCH docs' rare-prefix shingles only
+    val batchPosts = batchSets.filter(col("n_sh") > 0)
+      .select(col("doc_id"), col("n_sh"), explode(col("sh_set")).as("sh_hash"))
+    val prefix = batchPosts.join(freq, "sh_hash")
+      .select(col("doc_id"), col("n_sh"), col("sh_hash"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
+    val full = posts.join(freq.filter(col("doc_freq") <= maxPosting), "sh_hash")
+    val cands = prefix.select(col("sh_hash"), col("doc_id").as("doc_a"))
+      .join(full.select(col("sh_hash"), col("doc_id").as("doc_b")), Seq("sh_hash"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val a = batchSets.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+      col("sh_set").as("set_a"))
+    val b = allSets.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+      col("sh_set").as("set_b"))
+    val dropped = cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayExprs.sortedIntersectSize(col("set_a"), col("set_b")))
+      .filter(col("inter").cast("double") / col("n_a").cast("double") >= threshold)
+      .filter(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
+      .select(col("doc_a").as("doc_id")).distinct()
+    batchSets.select("doc_id", "n_sh")
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
 }

@@ -443,6 +443,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"a history-side documents scan is back in the pair plan:\n${p.take(3000)}")
   }
 
+  test("containment_incremental: history enters as the persisted shingle-set " +
+    "files, written once; re-evaluation never rebuilds the state") {
+    val label = s"cont_sets_${StageStore.dirTag(sf)}"
+    val before = StageStore.materializations(label)
+    val df = SparkEntry.queries("containment_incremental")(spark, sf)
+    val wrote = StageStore.materializations(label) - before
+    assert(wrote <= 1, "history state must write at most once")
+    val p = planFullPaths(df)
+    assert(p.contains(label),
+      s"history state not read from stage files:\n${p.take(3000)}")
+    // second evaluation: zero additional state writes (history shingle
+    // sets are train-once/consume-many — the batch is the only text
+    // that gets re-shingled)
+    SparkEntry.queries("containment_incremental")(spark, sf)
+    assert(StageStore.materializations(label) - before === wrote)
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("rolling_distinct_persisted: answered from sketch files alone — no events scan") {
     val df = SparkEntry.queries("rolling_distinct_persisted")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

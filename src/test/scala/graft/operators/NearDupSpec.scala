@@ -167,6 +167,28 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
     assert(out.toSeq === Seq((1L, 8), (4L, 0), (5L, 4)))
   }
 
+  test("containmentDedupIncremental == one-shot over history∪batch " +
+    "restricted to batch ids") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) / lit(4)).cast("int"), lit(3))
+    val batch = docs.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+      when(col("doc_id") % 2 === 0, concat_ws(" ", slice(toks, lit(1), keep)))
+        .otherwise(concat_ws(" ", reverse(toks))).as("text"))
+    val incr = NearDup.containmentDedupIncremental(batch,
+        NearDup.shingleHashSets(docs, 3), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val oneShot = NearDup.containmentDedup(docs.unionAll(batch), threshold = 0.9)
+      .filter(col("doc_id") >= 2000000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(oneShot.nonEmpty && incr === oneShot)
+    // the planted structure actually bites: every snippet (even root) is
+    // dropped, most reversed docs (odd root) survive
+    assert(!incr.exists(t => (t._1 - 2000000L) % 2 == 0))
+    assert(incr.count(t => (t._1 - 2000000L) % 2 == 1) > 0)
+  }
+
   test("connectedComponents: transitive closure with min labels, singletons untouched") {
     import spark.implicits._
     val ids = (1L to 8L).toDF("doc_id")
