@@ -3604,6 +3604,19 @@ object Queries {
       |FROM pairs, n ORDER BY pair_n DESC, tok_a, tok_b LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------------
+  // textrank_keywords — TextRank (Mihalcea & Tarau EMNLP'04): weighted
+  // integer-exact PageRank over the token co-occurrence graph
+  // (operators/TextRank.scala) — the unsupervised keyword-extraction
+  // slot, and the same centrality a crawl pipeline runs over its domain
+  // graph to prioritize sources. Every rank is an exact BIGINT (floor
+  // divisions replay via DuckDB `//`); the oracle unrolls all 8 rounds.
+  // ---------------------------------------------------------------------
+  def textrankKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.keywords(t(s, dir, "documents"))
+
+  val textrankKeywordsSql: String = graft.operators.TextRank.keywordsSql()
+
+  // ---------------------------------------------------------------------
   // edit_distance_pairs — character-level near-duplicates by banded
   // Levenshtein: candidates collide on (lang, length-band) with a
   // two-band probe so boundary-straddling pairs aren't lost, then the
@@ -5741,6 +5754,7 @@ object Queries {
     "histogram_bins" -> (histogramBins _),
     "inverted_index" -> (invertedIndex _),
     "token_cooccur" -> (tokenCooccur _),
+    "textrank_keywords" -> (textrankKeywords _),
     "edit_distance_pairs" -> (editDistancePairs _),
     "funnel_conversion" -> (funnelConversion _),
     "corr_profile" -> (corrProfile _),
@@ -5910,6 +5924,7 @@ object Queries {
     "histogram_bins" -> histogramBinsSql,
     "inverted_index" -> invertedIndexSql,
     "token_cooccur" -> tokenCooccurSql,
+    "textrank_keywords" -> textrankKeywordsSql,
     "edit_distance_pairs" -> editDistancePairsSql,
     "funnel_conversion" -> funnelConversionSql,
     "corr_profile" -> corrProfileSql,

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TextRank keyword ranking (Mihalcea & Tarau EMNLP'04) — weighted
+  * PageRank (Brin & Page WWW'98) over the token co-occurrence graph: the
+  * classic unsupervised keyword-extraction operator, and the same
+  * centrality computation a crawl pipeline runs over its domain graph to
+  * prioritize sources (the Common Crawl domain-ranking slot — only the
+  * edge table differs).
+  *
+  * Semantics (deterministic in both engines, pinned by the DuckDB replay
+  * oracle [[keywordsSql]] — every quantity an exact BIGINT, the log-free
+  * doctrine):
+  *   - the graph is the [[graft.Queries.tokenCooccur]] construction:
+  *     top-`topV` tokens by document frequency, undirected edges weighted
+  *     by document-co-occurrence count (documented divergence from the
+  *     paper's sliding-window co-occurrence — the graph SOURCE is
+  *     orthogonal to the ranking);
+  *   - ranks iterate `iters` rounds of integer PageRank: every node
+  *     starts at `base`; each round a node keeps the constant jump mass
+  *     `(100−dampPct)·base/100` plus `dampPct`% of its weighted incoming
+  *     contributions, where an edge (u,v,w) carries `(r(u)·w) div W(u)`
+  *     (W(u) = u's total out-weight). All divisions are BIGINT floor
+  *     divisions — replayed exactly by DuckDB `//` (both truncate toward
+  *     zero and every quantity is non-negative), so the fixed-point
+  *     mass-leak of flooring is identical on both engines;
+  *   - dangling nodes (no out-edges) leak their damped mass — the
+  *     original Brin/Page behavior, documented; the symmetrized
+  *     co-occurrence graph has none.
+  *
+  * Scale shape: the vocabulary cut bounds the graph (topV nodes,
+  * ≤ topV² edges) BEFORE the per-document pairing, so the pair self-join
+  * explodes on ≤ topV tokens per doc, never the raw vocabulary; the edge
+  * table with out-weights is computed once and reused by every round;
+  * each round is one equi-join + one aggregate over the EDGE table
+  * (vocabulary-bounded, never the corpus — the corpus is touched once,
+  * to build edges). On a domain graph (millions of nodes) the same
+  * rounds shuffle (node, 8-byte rank) rows; overflow headroom is
+  * n·base·dampPct < 2⁶³ (n < ~10⁸ at the defaults), and the iterative
+  * lineage stays linear (8 rounds — no checkpoint needed; the
+  * [[NearDup.connectedComponents]] round-materialization pattern is the
+  * documented upgrade for longer chains). */
+object TextRank {
+
+  val DefaultTopV = 50
+  val DefaultIters = 8
+  val DefaultDampPct = 85
+  val DefaultBase = 1000000000L
+
+  /** Integer-exact weighted PageRank over a DIRECTED edge table
+    * `(src, dst, w)` → `(node, rank)`. See the object scaladoc for the
+    * exact recurrence. */
+  def pageRankInt(edges: DataFrame, iters: Int = DefaultIters,
+                  dampPct: Int = DefaultDampPct,
+                  base: Long = DefaultBase): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val jump = (100 - dampPct) * base / 100
+    // "tw", not "W": Spark's default case-insensitive resolution would
+    // make a "W" out-weight ambiguous against the "w" edge weight
+    val outW = edges.groupBy("src").agg(sum("w").cast("long").as("tw"))
+    val e = edges.join(outW, "src")
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"), col("tw"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var r = nodes.select(col("node"), lit(base).as("r"))
+    var i = 0
+    while (i < iters) {
+      val contrib = e.join(r.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"), expr("CAST((r * w) DIV tw AS BIGINT)").as("c"))
+        .groupBy("node").agg(sum("c").cast("long").as("cs"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(jump) + expr(s"CAST(($dampPct * coalesce(cs, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)"))
+            .as("r"))
+      i += 1
+    }
+    r
+  }
+
+  /** Top-`k` corpus keywords `(token, rank)` by TextRank over the
+    * document-co-occurrence graph of the top-`topV` vocabulary. */
+  def keywords(docs: DataFrame, topV: Int = DefaultTopV,
+               iters: Int = DefaultIters, k: Int = 30): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(topV)
+    val tv = toks.join(broadcast(vocab.select("token")), "token")
+    val pairs = tv.select(col("doc_id"), col("token").as("tok_a"))
+      .join(tv.select(col("doc_id"), col("token").as("tok_b")), "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("tok_a").as("src"), col("tok_b").as("dst"), col("w"))
+      .unionAll(pairs.select(col("tok_b").as("src"), col("tok_a").as("dst"), col("w")))
+    pageRankInt(edges, iters)
+      .select(col("node").as("token"), col("r").as("rank"))
+      .orderBy(col("rank").desc, col("token")).limit(k)
+  }
+
+  /** Oracle for [[keywords]] over `documents` — the co-occurrence build
+    * plus `iters` unrolled PageRank rounds (MATERIALIZED: each round is
+    * referenced by the next's join AND left join). */
+  def keywordsSql(topV: Int = DefaultTopV, iters: Int = DefaultIters,
+                  dampPct: Int = DefaultDampPct, base: Long = DefaultBase,
+                  k: Int = 30): String = {
+    val jump = (100 - dampPct) * base / 100
+    val head =
+      s"""WITH tok AS (SELECT DISTINCT doc_id, t AS token
+         |  FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE t <> ''),
+         |freq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+         |vocab AS (SELECT token FROM freq ORDER BY df DESC, token LIMIT $topV),
+         |tv AS (SELECT tok.doc_id, tok.token FROM tok JOIN vocab USING (token)),
+         |pairs AS (SELECT a.token AS tok_a, b.token AS tok_b, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+         |  GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT tok_a AS src, tok_b AS dst, w FROM pairs
+         |  UNION ALL SELECT tok_b, tok_a, w FROM pairs),
+         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |r0 AS (SELECT node, CAST($base AS BIGINT) AS r FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { j =>
+      s"""r$j AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST($jump + ($dampPct * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM((r.r * e.w) // o.tw) AS BIGINT) AS cs
+         |    FROM edges e JOIN r${j - 1} r ON r.node = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node AS token, r AS rank FROM r$iters ORDER BY rank DESC, token LIMIT $k"
+  }
+}

@@ -443,6 +443,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"a history-side documents scan is back in the pair plan:\n${p.take(3000)}")
   }
 
+  test("textrank_keywords: vocab broadcast into the pairing; every rank " +
+    "round is an equi-join over the bounded edge table — no cartesian") {
+    val p = plan("textrank_keywords")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in the rank rounds:\n$p")
+  }
+
   test("containment_incremental: history enters as the persisted shingle-set " +
     "files, written once; re-evaluation never rebuilds the state") {
     val label = s"cont_sets_${StageStore.dirTag(sf)}"

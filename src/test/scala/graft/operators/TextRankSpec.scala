@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TextRank.pageRankInt / keywords — the textrank_keywords row. */
+class TextRankSpec extends AnyFunSuite with SparkSuite {
+
+  test("pageRankInt: hand-computed 3-node star, two exact integer rounds") {
+    import spark.implicits._
+    // undirected star a–c, b–c (symmetrized to 4 directed edges)
+    val edges = Seq(("a", "c", 1L), ("b", "c", 1L), ("c", "a", 1L), ("c", "b", 1L))
+      .toDF("src", "dst", "w")
+    // round 1: r(c) = .15e9 + 85%·(1e9 + 1e9)            = 1_850_000_000
+    //          r(a) = .15e9 + 85%·floor(1e9/2)           =   575_000_000
+    // round 2: r(c) = .15e9 + 85%·(575e6 + 575e6)        = 1_127_500_000
+    //          r(a) = .15e9 + 85%·floor(1.85e9/2)        =   936_250_000
+    val r2 = TextRank.pageRankInt(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 === Map("a" -> 936250000L, "b" -> 936250000L, "c" -> 1127500000L))
+  }
+
+  test("pageRankInt: two-node symmetric graph is a fixpoint at base") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val r = TextRank.pageRankInt(edges, iters = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r === Map("a" -> 1000000000L, "b" -> 1000000000L))
+  }
+
+  test("pageRankInt: dangling node leaks its damped mass (documented " +
+    "Brin/Page behavior)") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w") // b has no out
+    val r = TextRank.pageRankInt(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r === Map("a" -> 150000000L, "b" -> 1000000000L))
+  }
+
+  test("keywords on sf0.001: k tie-free descending ranks, all positive") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = TextRank.keywords(docs, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === 20)
+    assert(rows.forall(_._2 > 0))
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+  }
+}
