@@ -682,12 +682,15 @@ object NearDup {
     * same order as [[jaccardPairs]]) with B — but B is unconstrained (any
     * superset qualifies), so the container side indexes its FULL posting
     * list and no length filter applies (that asymmetry is the operator's
-    * point). Recall is exact; `maxPosting` drops postings of
-    * ultra-common shingles from the container side — the documented skew
-    * guard (the [[candidatePairs]] bucket-cap precedent; a candidate is
-    * lost only if every rare-prefix shingle of A is globally common,
-    * which the threshold makes self-contradictory long before real caps
-    * bind). Only (doc_id, 8-byte hash) rows shuffle; the verify stage
+    * point). Recall is exact; `maxPosting` removes ultra-common shingles
+    * — the documented skew guard (the [[candidatePairs]] bucket-cap
+    * precedent; a candidate is lost only if every rare-prefix shingle of
+    * A is globally common, which the threshold makes self-contradictory
+    * long before real caps bind), and the removal happens by BROADCAST
+    * anti-join before any posting equi-join so a universal boilerplate
+    * shingle never funnels its posting list through one task
+    * (ContainmentScaleProbeSpec). Only (doc_id, 8-byte hash) rows
+    * shuffle; the verify stage
     * joins the sorted hash sets back for the exact intersection
     * (codegen two-pointer merge) and one IEEE division. */
   def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.9,
@@ -704,16 +707,30 @@ object NearDup {
     val sets = hashSets.filter(col("n_sh") > 0)
     val posts = sets.select(col("doc_id"), col("n_sh"),
       explode(col("sh_set")).as("sh_hash"))
+    // doc-freq partial-aggregates map-side, so the HOT shingle is safe
+    // here; the skew point would be the per-posting freq LOOKUP join (a
+    // universal boilerplate shingle funnels its whole posting list
+    // through one hash key). Over-cap keys are therefore removed by a
+    // BROADCAST anti-join BEFORE any posting equi-join — the over-cap
+    // set is bounded by totalPostings/maxPosting rows (each needs > cap
+    // postings to qualify). Dropping them changes NO candidate: capped
+    // keys never produce candidates anyway (the container side excludes
+    // them), and every over-cap key sorts AFTER every kept key in the
+    // (doc_freq asc) prefix order, so kept-shingle prefix ranks are
+    // unchanged (n_sh in the prefix-length formula stays the FULL
+    // distinct count from the sets table). ContainmentScaleProbeSpec
+    // pins the per-task bound under a universal shingle.
     val freq = posts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq"))
+    val hot = freq.filter(col("doc_freq") > maxPosting).select("sh_hash")
+    val cold = posts.join(broadcast(hot), Seq("sh_hash"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("doc_freq"), col("sh_hash"))
-    val prefix = posts.join(freq, "sh_hash")
+    val prefix = cold.join(freq.filter(col("doc_freq") <= maxPosting), "sh_hash")
       .select(col("doc_id"), col("n_sh"), col("sh_hash"),
         row_number().over(w).as("rnk"))
       .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
-    val full = posts.join(freq.filter(col("doc_freq") <= maxPosting), "sh_hash")
     val cands = prefix.select(col("sh_hash"), col("doc_id").as("doc_a"))
-      .join(full.select(col("sh_hash"), col("doc_id").as("doc_b")), Seq("sh_hash"))
+      .join(cold.select(col("sh_hash"), col("doc_id").as("doc_b")), Seq("sh_hash"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val a = sets.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
@@ -777,19 +794,24 @@ object NearDup {
     val allSets = priorShSets.unionByName(batchSets)
     val posts = allSets.filter(col("n_sh") > 0)
       .select(col("doc_id"), col("n_sh"), explode(col("sh_set")).as("sh_hash"))
+    // same hot-key routing as the one-shot path (see
+    // containmentPairsSized): over-cap keys leave by broadcast anti-join
+    // before any posting equi-join — no candidate changes, no skew funnel
     val freq = posts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq"))
+    val hot = freq.filter(col("doc_freq") > maxPosting).select("sh_hash")
+    val cold = posts.join(broadcast(hot), Seq("sh_hash"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("doc_freq"), col("sh_hash"))
     // probe side: the BATCH docs' rare-prefix shingles only
     val batchPosts = batchSets.filter(col("n_sh") > 0)
       .select(col("doc_id"), col("n_sh"), explode(col("sh_set")).as("sh_hash"))
-    val prefix = batchPosts.join(freq, "sh_hash")
+      .join(broadcast(hot), Seq("sh_hash"), "left_anti")
+    val prefix = batchPosts.join(freq.filter(col("doc_freq") <= maxPosting), "sh_hash")
       .select(col("doc_id"), col("n_sh"), col("sh_hash"),
         row_number().over(w).as("rnk"))
       .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
-    val full = posts.join(freq.filter(col("doc_freq") <= maxPosting), "sh_hash")
     val cands = prefix.select(col("sh_hash"), col("doc_id").as("doc_a"))
-      .join(full.select(col("sh_hash"), col("doc_id").as("doc_b")), Seq("sh_hash"))
+      .join(cold.select(col("sh_hash"), col("doc_id").as("doc_b")), Seq("sh_hash"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val a = batchSets.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),

@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** The containment operator's skew-guard claim, probed the
+  * DupNgramScaleProbeSpec way: a corpus where ONE shingle appears in
+  * every document (the boilerplate-header shape — 2·10⁴ postings here,
+  * billions at 100 TB). An uncapped containment join would pair every
+  * prefix-holder of that shingle with its full posting list
+  * (O(n²) candidates); the guard has two independent layers:
+  *  - the PREFIX cut keeps only each doc's rarest shingles on the probe
+  *    side — the globally-hot shingle sorts to every doc's suffix and
+  *    never probes;
+  *  - `maxPosting` drops the hot shingle from the container side
+  *    entirely.
+  * Under that adversarial corpus the planted snippet→container pair must
+  * still surface EXACTLY (its rare prefix shingle routes around the hot
+  * one), and no task's shuffle read may approach the hot posting count.
+  * Per-task numbers come from task-end listener metrics, not plan
+  * inspection. AQE coalescing is disabled for the same reason as the
+  * dup-gram probe: record-count distribution, not byte-packing policy,
+  * is what must carry to 100 TB. */
+class ContainmentScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nDocs = 20000L
+
+  /** Every doc: `h h h u-<id> v-<id> w-<id>` — 4 shingles, one of them
+    * (`h h h`) shared by ALL docs, three unique. Containment between
+    * base docs maxes at 1/4, far under the 0.9 gate. Doc 10⁶ is the
+    * first-5-token snippet of doc 0: 3 shingles, all ⊂ doc 0's —
+    * the one true containment, findable only via its rare prefix. */
+  private def corpus = {
+    val base = spark.range(0L, nDocs)
+      .select(col("id").as("doc_id"),
+        concat(lit("h h h u-"), col("id"),
+          lit(" v-"), col("id"), lit(" w-"), col("id")).as("text"))
+    base.unionAll(
+      spark.range(0L, 1L).select(lit(1000000L).as("doc_id"),
+        lit("h h h u-0 v-0").as("text")))
+  }
+
+  private val totalPostings = nDocs * 4 // ≈ the hot shingle count × 4
+  private val perTaskBound = totalPostings / 4
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) { // stable for 300 ms, cap 10 s
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def withoutCoalescing[T](body: => T): T = {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("containmentPairs: a universal shingle never funnels through one " +
+    "task; the planted snippet pair still surfaces exactly", Slow) {
+    val (got, maxRead) = withoutCoalescing(withMaxTaskShuffleRead {
+      NearDup.containmentPairs(corpus, threshold = 0.9, maxPosting = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    })
+    info(s"containmentPairs max per-task shuffle read: $maxRead records " +
+      s"(hot shingle: $nDocs postings)")
+    assert(got === Set((1000000L, 0L, 1.0)),
+      "exactly the planted snippet→container pair")
+    assert(maxRead > 0 && maxRead < perTaskBound,
+      s"a task read $maxRead records (hot shingle has $nDocs postings) — " +
+        "funneled through one task?")
+  }
+}
