@@ -332,6 +332,33 @@ object Queries {
        |FROM (SELECT doc_id, rtrim(array_to_string(regexp_split_to_array(text, '\\s+'), ' '), ' ') AS norm
        |      FROM documents)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // winnow_fingerprints / winnow_matches — winnowing (Schleimer et al.
+  // SIGMOD'03, the MOSS algorithm): positional fingerprint SELECTION
+  // with the density guarantee (any shared >= w+k-1-token substring
+  // shares a selected fingerprint at ~2/(w+1) of the posting volume) —
+  // what the whole-doc rolling hash above cannot give. Matches run over
+  // the snippet-planted corpus: a carved snippet keeps its originals'
+  // selected fingerprints, so the winnowed index finds it at a fraction
+  // of the shingle-index cost.
+  // ---------------------------------------------------------------------
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow.fingerprints(t(s, dir, "documents"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+      .orderBy("doc_id", "pos")
+
+  val winnowFingerprintsSql: String = graft.operators.Winnow.fingerprintsSql()
+
+  def winnowMatches(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow.matches(docsWithPlantedSnippets(s, dir))
+
+  val winnowMatchesSql: String = graft.operators.Winnow.matchesSql(
+    """SELECT doc_id, wl FROM (
+      |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, w0[1:greatest(CAST(floor(len(w0)/4) AS INT), 3)] AS wl
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w0 FROM documents))""".stripMargin)
+
   /** Feature-hashing embeddings (Weinberger et al. ICML'09) for the whole
     * corpus — the in-engine, model-free vectorizer feeding the similarity
     * family. Exploded (doc_id, dim_idx, value) so the oracle compares
@@ -5668,6 +5695,8 @@ object Queries {
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
+    "winnow_fingerprints" -> (winnowFingerprints _),
+    "winnow_matches" -> (winnowMatches _),
     "dup_profile" -> (dupProfile _),
     "hash_embed" -> (hashEmbed _),
     "near_dup_minhash" -> (nearDupMinhash _),
@@ -5838,6 +5867,8 @@ object Queries {
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "winnow_fingerprints" -> winnowFingerprintsSql,
+    "winnow_matches" -> winnowMatchesSql,
     "dup_profile" -> dupProfileSql,
     "hash_embed" -> hashEmbedSql,
     "near_dup_minhash" -> nearDupMinhashSql,

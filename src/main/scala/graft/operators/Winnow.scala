@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD'03 — the MOSS algorithm): positional fingerprint SELECTION
+  * with the density guarantee the rolling-hash fingerprint
+  * ([[TextOps.fingerprint62]] — one hash per whole doc) cannot give: any
+  * shared substring of at least w+k−1 tokens is GUARANTEED to share a
+  * selected fingerprint, while only ~2/(w+1) of gram positions are kept
+  * — the copy-detection index at a fraction of the posting volume.
+  *
+  * Semantics (deterministic in both engines, pinned by the DuckDB replay
+  * oracles [[fingerprintsSql]]/[[matchesSql]]):
+  *   - grams are `k` consecutive whitespace tokens, hashed by the
+  *     portable 62-bit dual-base polynomial ([[NearDup.TokenHash]]'s
+  *     construction — replayable in SQL, no wraparound);
+  *   - every window of `w` consecutive gram hashes selects its MINIMUM;
+  *     ties select the RIGHTMOST minimal position (the paper's rule —
+  *     adjacent windows then tend to re-select the same gram, which is
+  *     what makes the density 2/(w+1) instead of 1);
+  *   - a document with fewer than `w` grams forms one window over all
+  *     its grams (so every ≥k-token doc fingerprints); selected
+  *     (pos, fp) pairs deduplicate across overlapping windows.
+  *
+  * Scale shape: fingerprint selection is ONE map-only pass (per-doc
+  * arrays, no shuffle); the match join ships only (doc_id, 8-byte fp)
+  * rows and routes over-cap fingerprints out by BROADCAST anti-join
+  * before the posting equi-join — the [[NearDup.containmentPairs]] skew
+  * guard (a boilerplate gram selected in millions of docs must not
+  * funnel one task; the over-cap key set is bounded by
+  * totalFps/maxPosting). */
+object Winnow {
+
+  val DefaultK = 4
+  val DefaultW = 4
+
+  /** One doc's selected fingerprints as (1-based gram position, fp62). */
+  private[operators] def select(toks: Array[String], k: Int,
+                                w: Int): Seq[(Int, Long)] = {
+    val ng = toks.length - k + 1
+    if (ng < 1) return Nil
+    val fps = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      val g = sb.toString
+      fps(i) = NearDup.TokenHash.poly(g, 31) | (NearDup.TokenHash.poly(g, 37) << 31)
+      i += 1
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+    val lastStart = math.max(ng - w, 0)
+    var s = 0
+    while (s <= lastStart) {
+      val end = math.min(s + w - 1, ng - 1)
+      var best = s
+      var p = s + 1
+      while (p <= end) { // <= keeps the RIGHTMOST minimum
+        if (fps(p) <= fps(best)) best = p
+        p += 1
+      }
+      out += ((best + 1, fps(best)))
+      s += 1
+    }
+    out.toSeq
+  }
+
+  /** Exploded per-doc fingerprints `(doc_id, pos, fp)` — map-only. */
+  def fingerprints(docs: DataFrame, k: Int = DefaultK,
+                   w: Int = DefaultW): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        select(text.split(' '), k, w).iterator.map { case (p, f) => (id, p, f) }
+      })
+      .toDF("doc_id", "pos", "fp")
+  }
+
+  /** Document pairs sharing at least `minShared` DISTINCT selected
+    * fingerprint hashes — the MOSS match score over the winnowed index.
+    * Over-cap fingerprints leave by broadcast anti-join (skew guard,
+    * recall documented: a pair is missed only if every shared
+    * fingerprint is globally over-cap). */
+  def matches(docs: DataFrame, k: Int = DefaultK, w: Int = DefaultW,
+              minShared: Int = 5, maxPosting: Int = 1000): DataFrame = {
+    val hset = fingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    val hot = hset.groupBy("fp").agg(count(lit(1)).as("pf"))
+      .filter(col("pf") > maxPosting).select("fp")
+    val cold = hset.join(broadcast(hot), Seq("fp"), "left_anti")
+    cold.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(cold.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB replay oracles.
+  // ------------------------------------------------------------------
+
+  /** dkPoly twin of [[graft.Queries]]' — the portable polynomial. */
+  private def dk(expr: String, base: Int): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_filter(list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT)), x -> x >= 0)), " +
+      s"(a, x) -> (a * $base + x) % 2147483647)"
+
+  /** The selection chain over a `(doc_id, w)` word-list CTE `wCte`:
+    * grams → fps → band self-join per window → rightmost-min pick →
+    * distinct `(doc_id, pos, fp)` in `${p}out`. */
+  private[operators] def selectCtes(k: Int, w: Int, wCte: String,
+                                    p: String): String =
+    s"""${p}tok AS (SELECT doc_id, string_split(rtrim(array_to_string(wl, ' '), ' '), ' ') AS wj
+       |  FROM $wCte),
+       |${p}gs AS (SELECT doc_id,
+       |    unnest([{'pos': i, 'gram': array_to_string(wj[i:i+${k - 1}], ' ')}
+       |            for i in generate_series(1, len(wj) - ${k - 1})]) AS g,
+       |    len(wj) - ${k - 1} AS ng
+       |  FROM ${p}tok WHERE len(wj) >= $k),
+       |${p}fp AS (SELECT doc_id, g.pos AS pos, ng,
+       |    ${dk("g.gram", 31)} + (${dk("g.gram", 37)} << 31) AS fp
+       |  FROM ${p}gs),
+       |${p}sel AS (SELECT doc_id, s, pos, fp,
+       |    row_number() OVER (PARTITION BY doc_id, s ORDER BY fp, pos DESC) AS rk
+       |  FROM (SELECT f1.doc_id, f1.pos AS s, f2.pos, f2.fp
+       |        FROM ${p}fp f1 JOIN ${p}fp f2 ON f1.doc_id = f2.doc_id
+       |          AND f2.pos BETWEEN f1.pos AND f1.pos + ${w - 1}
+       |        WHERE f1.pos <= greatest(f1.ng - ${w - 1}, 1))),
+       |${p}out AS (SELECT DISTINCT doc_id, pos, fp FROM ${p}sel WHERE rk = 1)""".stripMargin
+
+  /** Oracle for [[fingerprints]] over `documents`. */
+  def fingerprintsSql(k: Int = DefaultK, w: Int = DefaultW): String =
+    "WITH wl0 AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),\n" +
+      selectCtes(k, w, "wl0", "") +
+      "\nSELECT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM out ORDER BY doc_id, pos"
+
+  /** Oracle for [[matches]] over the snippet-planted corpus `docsSql`
+    * (a `(doc_id, wl)` word-list query). */
+  def matchesSql(docsSql: String, k: Int = DefaultK, w: Int = DefaultW,
+                 minShared: Int = 5): String =
+    s"WITH wl0 AS ($docsSql),\n" +
+      selectCtes(k, w, "wl0", "") +
+      s""",
+         |hset AS (SELECT DISTINCT doc_id, fp FROM out)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM hset a JOIN hset b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared""".stripMargin
+}

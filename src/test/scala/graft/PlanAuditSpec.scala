@@ -443,6 +443,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"a history-side documents scan is back in the pair plan:\n${p.take(3000)}")
   }
 
+  test("winnow: fingerprint selection is map-only (no hash exchange); " +
+    "matches equi-join on the fp key, no cartesian") {
+    val pf = plan("winnow_fingerprints")
+    assert(pf.contains("MapPartitions"), s"selection not map-only:\n$pf")
+    assert(!pf.contains("Exchange hashpartitioning"),
+      s"fingerprint selection shuffles:\n$pf")
+    val pm = plan("winnow_matches")
+    assert(!pm.contains("CartesianProduct") && !pm.contains("BroadcastNestedLoopJoin"),
+      s"quadratic match join:\n$pm")
+  }
+
   test("textrank_keywords: vocab broadcast into the pairing; every rank " +
     "round is an equi-join over the bounded edge table — no cartesian") {
     val p = plan("textrank_keywords")

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Winnow.select / fingerprints / matches — the winnow_* rows. */
+class WinnowSpec extends AnyFunSuite with SparkSuite {
+
+  /** Independent reference: enumerate every window, pick rightmost min. */
+  private def refSelect(toks: Array[String], k: Int, w: Int): Set[(Int, Long)] = {
+    val ng = toks.length - k + 1
+    if (ng < 1) return Set.empty
+    def h(g: String) =
+      NearDup.TokenHash.poly(g, 31) | (NearDup.TokenHash.poly(g, 37) << 31)
+    val fps = (0 until ng).map(i => h(toks.slice(i, i + k).mkString(" ")))
+    val starts = if (ng < w) Seq(0) else 0 to (ng - w)
+    starts.map { s =>
+      val win = (s until math.min(s + w, ng)).map(p => (fps(p), p))
+      val m = win.map(_._1).min
+      val p = win.filter(_._1 == m).map(_._2).max // rightmost
+      (p + 1, fps(p))
+    }.toSet
+  }
+
+  test("select equals the enumerate-every-window reference on random docs") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 300) {
+      val n = rnd.nextInt(20)
+      val toks = Array.fill(n)(s"t${rnd.nextInt(6)}") // collisions force ties
+      val got = Winnow.select(toks, 4, 4).toSet
+      assert(got === refSelect(toks, 4, 4), toks.mkString(" "))
+    }
+  }
+
+  test("density guarantee: a shared >= w+k-1-token run always shares a " +
+    "selected fingerprint; selection density ~2/(w+1)") {
+    val rnd = new scala.util.Random(5)
+    val shared = (1 to 7).map(i => s"s$i") // w+k-1 = 7 tokens
+    for (_ <- 0 until 50) {
+      def noise(n: Int) = Array.fill(n)(s"n${rnd.nextInt(1000000)}")
+      val a = noise(5 + rnd.nextInt(20)) ++ shared ++ noise(5 + rnd.nextInt(20))
+      val b = noise(5 + rnd.nextInt(20)) ++ shared ++ noise(5 + rnd.nextInt(20))
+      val fa = Winnow.select(a, 4, 4).map(_._2).toSet
+      val fb = Winnow.select(b, 4, 4).map(_._2).toSet
+      assert((fa & fb).nonEmpty, "guarantee violated")
+    }
+    // density on a long random doc: selected/grams between 1/(w+1) and 3/(w+1)
+    val toks = Array.fill(5000)(s"r${rnd.nextInt(1000000)}")
+    val density = Winnow.select(toks, 4, 4).size.toDouble / (toks.length - 3)
+    assert(density > 0.2 && density < 0.6, s"density $density")
+  }
+
+  test("matches finds the planted snippet pair; unrelated docs don't match") {
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, big),
+      (2L, (1 to 12).map(i => s"w$i").mkString(" ")), // snippet of 1
+      (3L, (1 to 40).map(i => s"x$i").mkString(" "))  // unrelated
+    ).toDF("doc_id", "text")
+    val got = Winnow.matches(docs, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+}
