@@ -2486,6 +2486,66 @@ object Queries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // docs_stream_containment — the streaming CONTAINMENT gate (the
+  // asymmetric sibling of docs_stream_neardup): arrivals are checked for
+  // containment >= 0.9 in the PERSISTED history shingle-set state; the
+  // even-root snippets all drop, the odd-root reversed docs all ship —
+  // including the handful that ARE contained in larger BATCH docs, which
+  // the history-only gate must NOT drop (per-doc verdicts depend only on
+  // (document, history state); that independence is the order-invariance
+  // contract, and it is what distinguishes this row from
+  // containment_incremental's union semantics). Stateless foreachBatch;
+  // checkpoint carries offsets only.
+  // ---------------------------------------------------------------------
+  def docsStreamContainment(s: SparkSession, dir: String): DataFrame = {
+    val history = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val setsF = StageStore.materializeIfAbsent(s,
+        s"contstream_sets_${StageStore.dirTag(dir)}") {
+      graft.operators.NearDup.shingleHashSets(history, k = 3)
+    }
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) / lit(4)).cast("int"), lit(3))
+    val arriving = graft.streaming.CorpusStream.fromParquetDir(s, dir)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        when(col("doc_id") % 2 === 0, concat_ws(" ", slice(toks, lit(1), keep)))
+          .otherwise(concat_ws(" ", reverse(toks))).as("text"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("cont_stream_out").toFile.getAbsolutePath
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("cont_stream_ck").toFile.getAbsolutePath
+    drainStreamingRun(s) {
+      graft.streaming.CorpusStream.containmentIngest(
+        arriving, setsF, outDir, ckDir, threshold = 0.9)
+    }
+    s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+  }
+
+  val docsStreamContainmentSql: String =
+    """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |docsI AS (
+      |  SELECT doc_id, w FROM d0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    CASE WHEN doc_id % 2 = 0 THEN w[1:greatest(CAST(floor(len(w)/4) AS INT), 3)]
+      |         ELSE list_reverse(w) END AS w
+      |  FROM d0
+      |),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wj)-1, 1)),
+      |    i -> wj[i] || ' ' || wj[i+1] || ' ' || wj[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(rtrim(array_to_string(w, ' '), ' '), ' ') AS wj FROM docsI) t
+      |),
+      |dropped AS (
+      |  SELECT DISTINCT a.doc_id FROM sh a JOIN sh b
+      |    ON a.doc_id >= 2000000 AND b.doc_id < 2000000
+      |  WHERE len(a.s) > 0
+      |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) AS DOUBLE) >= 0.9
+      |)
+      |SELECT s.doc_id FROM sh s
+      |WHERE s.doc_id >= 2000000 AND s.doc_id NOT IN (SELECT doc_id FROM dropped)
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // docs_stream_fluency — the STREAMING fluency gate against the DuckDB
   // replay of the batch chain: the reference model (doc_id % 5 == 0
   // slice) collects batch-side (≤ 4096 entries), every streamed doc
@@ -5832,6 +5892,7 @@ object Queries {
     "emb_stream_index" -> (embStreamIndex _),
     "docs_stream_ingest_incremental" -> (docsStreamIngestIncremental _),
     "docs_stream_neardup" -> (docsStreamNearDup _),
+    "docs_stream_containment" -> (docsStreamContainment _),
     "docs_stream_fluency" -> (docsStreamFluency _),
     "mlm_mask" -> (mlmMask _),
     "bpe_fertility" -> (bpeFertility _),
@@ -6004,6 +6065,7 @@ object Queries {
     "emb_stream_index" -> embStreamIndexSql,
     "docs_stream_ingest_incremental" -> docsStreamIngestIncrementalSql,
     "docs_stream_neardup" -> docsStreamNearDupSql,
+    "docs_stream_containment" -> docsStreamContainmentSql,
     "docs_stream_fluency" -> docsStreamFluencySql,
     "mlm_mask" -> mlmMaskSql,
     "bpe_fertility" -> bpeFertilitySql,

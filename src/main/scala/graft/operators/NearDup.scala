@@ -746,6 +746,54 @@ object NearDup {
       .select("doc_a", "doc_b", "containment", "n_a", "n_b")
   }
 
+  /** Which docs of `batch` are CONTAINED (at `threshold`) in a HISTORY
+    * doc — the per-shard gate decision behind
+    * [[graft.streaming.CorpusStream.containmentIngest]], the containment
+    * counterpart of [[historyDupIds]]. The verdict for a document
+    * depends only on (document, history state): doc-frequencies and the
+    * over-cap key set derive from HISTORY postings alone (batch-only
+    * shingles rank as frequency 0 — the rarest — which cannot hurt
+    * recall: if a batch doc's prefix fills with novel shingles, more
+    * than P of its shingles are outside every history doc and no
+    * >= t containment exists), and batch-batch pairs never form — so
+    * the survivor set is invariant under arrival order and micro-batch
+    * slicing, the streaming-gate contract. No size/tie rule (history
+    * never drops; an arrival contained in ANY history doc is already
+    * shipped content). Returns distinct batch `doc_id`s to drop. */
+  def historyContainedIds(batch: DataFrame, priorShSets: DataFrame,
+                          k: Int = 3, threshold: Double = 0.9,
+                          maxPosting: Int = 1000): DataFrame = {
+    val histSets = priorShSets.filter(col("n_sh") > 0)
+    val histPosts = histSets.select(col("doc_id"), explode(col("sh_set")).as("sh_hash"))
+    val freq = histPosts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq"))
+    val hot = freq.filter(col("doc_freq") > maxPosting).select("sh_hash")
+    val cold = histPosts.join(broadcast(hot), Seq("sh_hash"), "left_anti")
+    val batchSets = shingleHashSets(batch, k).filter(col("n_sh") > 0)
+    val batchPosts = batchSets
+      .select(col("doc_id"), col("n_sh"), explode(col("sh_set")).as("sh_hash"))
+      .join(broadcast(hot), Seq("sh_hash"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("doc_freq"), col("sh_hash"))
+    val prefix = batchPosts
+      .join(freq.filter(col("doc_freq") <= maxPosting), Seq("sh_hash"), "left")
+      .select(col("doc_id"), col("n_sh"), col("sh_hash"),
+        coalesce(col("doc_freq"), lit(0L)).as("doc_freq"))
+      .select(col("doc_id"), col("n_sh"), col("sh_hash"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + lit(1))
+    val cands = prefix.select(col("sh_hash"), col("doc_id").as("doc_a"))
+      .join(cold.select(col("sh_hash"), col("doc_id").as("doc_b")), Seq("sh_hash"))
+      .select("doc_a", "doc_b").distinct()
+    val a = batchSets.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+      col("sh_set").as("set_a"))
+    val b = histSets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayExprs.sortedIntersectSize(col("set_a"), col("set_b")))
+      .filter(col("inter").cast("double") / col("n_a").cast("double") >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+  }
+
   /** Containment DEDUP — the delivery form of [[containmentPairs]]: drop
     * every document contained (at `threshold`) in a STRICTLY-LARGER
     * document (more distinct shingles; equal sizes tie-break to the

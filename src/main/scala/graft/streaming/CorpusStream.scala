@@ -166,6 +166,36 @@ object CorpusStream {
     q.awaitTermination()
   }
 
+  /** The streaming CONTAINMENT gate — [[nearDupIngest]]'s asymmetric
+    * sibling: every arrival is checked for containment (at `threshold`)
+    * in the PERSISTED history shingle-set state
+    * ([[graft.operators.NearDup.historyContainedIds]] — the
+    * quote/snippet/wrapper-re-post cut the resemblance gate structurally
+    * misses), survivors append to `outDir`. Same stateless-foreachBatch
+    * contract: doc-frequencies and caps derive from history alone and
+    * batch-batch pairs never form, so survivors are invariant under
+    * arrival order and micro-batch slicing; the checkpoint carries only
+    * source offsets (zero streaming state); delivery at-least-once,
+    * dedup downstream by doc_id. Compaction cadence as with the other
+    * gates: fold shipped survivors into the set parquet between runs. */
+  def containmentIngest(docs: DataFrame, priorShSets: DataFrame,
+                        outDir: String, checkpointDir: String,
+                        k: Int = 3, threshold: Double = 0.9,
+                        maxPosting: Int = 1000): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val contained = graft.operators.NearDup.historyContainedIds(
+          batch, priorShSets, k, threshold, maxPosting)
+        batch.join(contained, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The FULL standing-ingest pipeline — every streaming gate family
     * composed per-document in one stateless foreachBatch: quality (word
     * count) → optional fluency (broadcast reference model) → optional

@@ -226,4 +226,49 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
       "streaming state store materialized — the gate is supposed to be stateless")
     assert(new java.io.File(ckDir, "commits").exists())
   }
+
+  test("containmentIngest: snippets of history drop, mutual-containing " +
+    "arrivals both ship, verdicts are slicing-invariant, no state store") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "entirely different prose about compilers and parsing with many unique words"))
+      .toDF("doc_id", "text")
+    val sets = graft.operators.NearDup.shingleHashSets(history, 3)
+    val arrivals = Seq(
+      // first-5-token snippet of history doc 1: containment 1.0 — drops
+      (101L, "alpha beta gamma delta epsilon"),
+      // unrelated — ships
+      (102L, "novel content with no resemblance to anything previously shipped at all"),
+      // contained in EACH OTHER (identical) but not in history: BOTH
+      // ship — the gate is vs history only, per-doc verdicts never see
+      // the rest of the batch
+      (103L, "two arrivals sharing this exact sentence should both pass the gate"),
+      (104L, "two arrivals sharing this exact sentence should both pass the gate"))
+    val arrDf = arrivals.toDF("doc_id", "text")
+    val whole = graft.operators.NearDup.historyContainedIds(arrDf, sets)
+      .collect().map(_.getLong(0)).toSet
+    val sliced = arrivals.flatMap { case (id, tx) =>
+      graft.operators.NearDup.historyContainedIds(
+        Seq((id, tx)).toDF("doc_id", "text"), sets)
+        .collect().map(_.getLong(0))
+    }.toSet
+    assert(whole === Set(101L))
+    assert(sliced === whole)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("cont_ingest_out").toFile.getAbsolutePath
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("cont_ingest_ck").toFile.getAbsolutePath
+    val input = MemoryStream[(Long, String)]
+    input.addData(arrivals)
+    CorpusStream.containmentIngest(
+      input.toDF().toDF("doc_id", "text"), sets, outDir, ckDir)
+    val shipped = spark.read.parquet(outDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(shipped === Set(102L, 103L, 104L))
+    assert(!new java.io.File(ckDir, "state").exists(),
+      "streaming state store materialized — the gate is supposed to be stateless")
+    assert(new java.io.File(ckDir, "commits").exists())
+  }
 }
