@@ -26,6 +26,9 @@ object CorpusIngest {
     val ndState = cfg.bands.map { bd =>
       (spark.read.parquet(bd), spark.read.parquet(cfg.sets.get), cfg.nearDup)
     }
+    // reuses the SAME --sets state table the near-dup gate reads
+    val contState = cfg.containment.map(t =>
+      (spark.read.parquet(cfg.sets.get), t))
     val ck = cfg.checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("corpus_ingest_ck")
         .toFile.getAbsolutePath)
@@ -43,7 +46,7 @@ object CorpusIngest {
       .select(col("doc_id"), col("text"))
     graft.streaming.CorpusStream.standingIngest(
       stream, cfg.out, ck, cfg.minWords, fluency, digests, ndState,
-      stripMarkup = cfg.stripMarkup)
+      containmentState = contState, stripMarkup = cfg.stripMarkup)
     // metadata-only count of what the output dir now holds; an empty dir
     // (every arrival gated out, or nothing new) is a valid zero
     val outFiles = new java.io.File(cfg.out)

@@ -28,6 +28,9 @@ case class CorpusIngestConfig(
     bands: Option[String] = None,
     sets: Option[String] = None,
     nearDup: Double = 0.5,
+    // containment gate: drop arrivals contained (>= this threshold) in a
+    // history doc — reuses the SAME --sets state table; None skips
+    containment: Option[Double] = None,
     // streaming checkpoint dir (offsets only — the pipeline is stateless)
     checkpoint: Option[String] = None,
     // glob of files to tail under <watchDir> (parquet file source)
@@ -63,6 +66,11 @@ object CorpusIngestCli {
             case Some(d) => c = c.copy(nearDup = d); rest = t
             case None => return Left(s"--near-dup: not a number: $v")
           }
+        case "--containment" :: v :: t =>
+          v.toDoubleOption match {
+            case Some(d) => c = c.copy(containment = Some(d)); rest = t
+            case None => return Left(s"--containment: not a number: $v")
+          }
         case "--checkpoint" :: v :: t => c = c.copy(checkpoint = Some(v)); rest = t
         case "--glob" :: v :: t => c = c.copy(glob = v); rest = t
         case "--strip-markup" :: t => c = c.copy(stripMarkup = true); rest = t
@@ -81,7 +89,7 @@ object CorpusIngestCli {
 
   private val valueFlags = Set("--min-words", "--fluency-ref",
     "--min-fluency", "--digests", "--bands", "--sets", "--near-dup",
-    "--checkpoint", "--glob")
+    "--containment", "--checkpoint", "--glob")
 
   private def validate(c: CorpusIngestConfig): Either[String, CorpusIngestConfig] =
     if (c.minWords < 0) Left(s"--min-words must be >= 0, got ${c.minWords}")
@@ -89,10 +97,16 @@ object CorpusIngestCli {
       Left("--fluency-ref and --min-fluency must be given together")
     else if (c.minFluency.exists(_ < 0))
       Left(s"--min-fluency must be >= 0, got ${c.minFluency.get}")
-    else if (c.bands.isDefined != c.sets.isDefined)
-      Left("--bands and --sets must be given together")
+    else if (c.bands.isDefined && c.sets.isEmpty)
+      Left("--bands needs --sets (the shingle-set state)")
+    else if (c.containment.isDefined && c.sets.isEmpty)
+      Left("--containment needs --sets (the shingle-set state)")
+    else if (c.sets.isDefined && c.bands.isEmpty && c.containment.isEmpty)
+      Left("--sets needs a consumer: --bands (near-dup) and/or --containment")
     else if (c.nearDup <= 0.0 || c.nearDup > 1.0)
       Left(s"--near-dup must be in (0, 1], got ${c.nearDup}")
+    else if (c.containment.exists(t => t <= 0.0 || t > 1.0))
+      Left(s"--containment must be in (0, 1], got ${c.containment.get}")
     else if (c.glob.isEmpty) Left("--glob: empty pattern")
     else Right(c)
 }

@@ -200,7 +200,8 @@ object CorpusStream {
     * composed per-document in one stateless foreachBatch: quality (word
     * count) → optional fluency (broadcast reference model) → optional
     * exact dedup vs the persisted digest table → optional near-dup vs
-    * the persisted band/shingle-set state; survivors append to `outDir`.
+    * the persisted band/shingle-set state → optional containment vs the
+    * same shingle-set state; survivors append to `outDir`.
     * This is [[graft.CorpusClean]]'s streaming counterpart (the `graft
     * corpus-ingest` tool): run it with AvailableNow on a cron cadence
     * and it is the incremental batch pipeline; leave it running and it
@@ -219,6 +220,7 @@ object CorpusStream {
                      fluency: Option[(Map[String, Long], Long, Long)],
                      historyDigests: Option[DataFrame],
                      nearDupState: Option[(DataFrame, DataFrame, Double)],
+                     containmentState: Option[(DataFrame, Double)] = None,
                      stripMarkup: Boolean = false): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -240,6 +242,12 @@ object CorpusStream {
         nearDupState.foreach { case (bandsF, setsF, thr) =>
           b = b.join(
             graft.operators.NearDup.historyDupIds(b, bandsF, setsF,
+              threshold = thr),
+            Seq("doc_id"), "left_anti")
+        }
+        containmentState.foreach { case (setsF, thr) =>
+          b = b.join(
+            graft.operators.NearDup.historyContainedIds(b, setsF,
               threshold = thr),
             Seq("doc_id"), "left_anti")
         }

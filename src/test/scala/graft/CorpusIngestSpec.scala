@@ -25,6 +25,13 @@ class CorpusIngestSpec extends AnyFunSuite with SparkSuite {
       Seq("in", "out", "--bands", "/b", "--sets", "/s", "--near-dup", "1.5")).isLeft)
     assert(CorpusIngestCli.parse(Seq("in", "out", "--digests")).isLeft)
     assert(CorpusIngestCli.parse(Seq("in", "out", "--bogus", "1")).isLeft)
+    // containment reuses --sets; --sets needs a consumer
+    assert(CorpusIngestCli.parse(Seq("in", "out", "--containment", "0.9")).isLeft)
+    assert(CorpusIngestCli.parse(Seq("in", "out", "--sets", "/s")).isLeft)
+    assert(CorpusIngestCli.parse(
+      Seq("in", "out", "--sets", "/s", "--containment", "0")).isLeft)
+    assert(CorpusIngestCli.parse(
+      Seq("in", "out", "--sets", "/s", "--containment", "0.9")).isRight)
     val c = CorpusIngestCli.parse(Seq("/w", "/o", "--min-words", "3",
       "--digests", "/d", "--bands", "/b", "--sets", "/s", "--near-dup", "0.7",
       "--fluency-ref", "/f", "--min-fluency", "2", "--checkpoint", "/ck",
@@ -74,6 +81,31 @@ class CorpusIngestSpec extends AnyFunSuite with SparkSuite {
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .get
     Files.copy(part.toPath, Paths.get(watchDir, name))
+  }
+
+  test("--containment gates on the same --sets state: a snippet of history " +
+    "drops while a same-length novel arrival ships") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"))
+      .toDF("doc_id", "text")
+    val setsDir = tmp("ing_ct_st")
+    graft.operators.NearDup.shingleHashSets(history, 3)
+      .write.mode("overwrite").parquet(setsDir)
+    val watchDir = tmp("ing_ct_watch")
+    val outDir = new java.io.File(tmp("ing_ct_base"), "out").getAbsolutePath
+    dropShard(Seq(
+      // first-5-token snippet of history: containment 1.0 (Jaccard ~0.25,
+      // which a near-dup gate at 0.5 would MISS) — drops
+      (301L, "alpha beta gamma delta epsilon"),
+      // novel — ships
+      (302L, "wholly original words making an arrival long enough to clear gates")),
+      watchDir, "shard.parquet")
+    val cfg = CorpusIngestCli.parse(Seq(watchDir, outDir, "--min-words", "5",
+      "--sets", setsDir, "--containment", "0.9")).toOption.get
+    assert(CorpusIngest.run(spark, cfg) === 1L)
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(302L))
   }
 
   test("gates compose against persisted state; re-invocation processes " +
