@@ -121,6 +121,18 @@ object CorpusClean {
               org.apache.spark.sql.types.StructField("text",
                 org.apache.spark.sql.types.StringType)) ++ extra)
         spark.read.schema(schema).option("mode", "FAILFAST").json(dir)
+      case "csv" =>
+        // CSV columns are positional, so unlike the jsonl path's pruning
+        // schema the reader takes every header column as a string and
+        // CASTS the contract columns; RFC-4180 double-quote escaping and
+        // multiLine cover embedded quotes/newlines, FAILFAST keeps the
+        // ingest-corruption-aborts discipline
+        val raw = spark.read
+          .option("header", "true").option("escape", "\"")
+          .option("multiLine", "true").option("mode", "FAILFAST")
+          .csv(dir)
+        raw.select((Seq(col("doc_id").cast("long").as("doc_id"),
+          col("text")) ++ extraCols.map(col)): _*)
       case "orc" => spark.read.orc(dir)
       case _ => spark.read.parquet(dir)
     }
@@ -421,6 +433,20 @@ object CorpusClean {
         // shards, no partition dirs
         graft.sinks.JsonlSink.write(out, cfg.out)
         spark.read.text(cfg.out).count()
+      case "csv" =>
+        // text exchange with the same split=/shard= partition layout as
+        // the columnar formats; emptyValue forces quoted "" so an empty
+        // text survives the round trip instead of reading back null
+        val partCols =
+          (if (cfg.splitBy.isDefined) Seq("split") else Nil) ++
+            (if (cfg.shards.isDefined) Seq("shard") else Nil)
+        val w = out.write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .option("emptyValue", "\"\"")
+        val pw = if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w
+        pw.csv(cfg.out)
+        spark.read.option("header", "true").option("escape", "\"")
+          .option("multiLine", "true").csv(cfg.out).count()
       case fmt =>
         // parquet (default) or orc: columnar with split/shard partition
         // dirs — same layout, the DataFrameWriter format is the only

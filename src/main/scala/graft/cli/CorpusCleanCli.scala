@@ -307,10 +307,10 @@ object CorpusCleanCli {
       Left(s"--encode must be >= 1, got ${c.encodeMinCount.get}")
     else if (c.encodeMinCount.isDefined != c.vocabOut.isDefined)
       Left("--encode and --vocab-out must be given together")
-    else if (!Set("parquet", "jsonl", "orc")(c.format))
-      Left(s"--format must be parquet, jsonl or orc, got ${c.format}")
-    else if (!Set("parquet", "jsonl", "orc")(c.inFormat))
-      Left(s"--in-format must be parquet, jsonl or orc, got ${c.inFormat}")
+    else if (!Set("parquet", "jsonl", "orc", "csv")(c.format))
+      Left(s"--format must be parquet, jsonl, orc or csv, got ${c.format}")
+    else if (!Set("parquet", "jsonl", "orc", "csv")(c.inFormat))
+      Left(s"--in-format must be parquet, jsonl, orc or csv, got ${c.inFormat}")
     else if (c.bpeMerges.exists(_ < 1))
       Left(s"--bpe must be >= 1, got ${c.bpeMerges.get}")
     else if (c.bpeMerges.isDefined != c.mergesOut.isDefined)

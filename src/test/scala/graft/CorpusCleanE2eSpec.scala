@@ -789,6 +789,41 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(got === want)
   }
 
+  test("--format csv and --in-format csv round-trip the same survivors as " +
+    "parquet, partition dirs included, quote/newline-hostile text intact") {
+    val inP = tmp("cc_csv_inp")
+    val inC = tmp("cc_csv_inc")
+    val outP = tmp("cc_csv_p")
+    val outC = tmp("cc_csv_c")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        // make the text CSV-hostile: embedded quote, comma and newline
+        concat(col("text"), lit(" \"quoted,part\"\ntail")).as("text"),
+        col("source"))
+    docs.write.mode("overwrite").parquet(inP)
+    docs.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").option("emptyValue", "\"\"").csv(inC)
+    val flags = Seq("--no-lang-gate", "--split-by", "source", "--shards", "3")
+    val nP = CorpusClean.run(spark,
+      CorpusCleanCli.parse(Seq(inP, outP) ++ flags).toOption.get)
+    val nC = CorpusClean.run(spark,
+      CorpusCleanCli.parse(Seq(inC, outC) ++ flags ++
+        Seq("--in-format", "csv", "--format", "csv")).toOption.get)
+    assert(nC === nP)
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts(outC) === parts(outP))
+    val got = spark.read.option("header", "true").option("escape", "\"")
+      .option("multiLine", "true").csv(outC)
+      .select(col("doc_id").cast("long"), col("text"), col("split"),
+        col("shard").cast("long"))
+      .collect().map(_.toSeq).toSet
+    val want = spark.read.parquet(outP)
+      .select(col("doc_id"), col("text"), col("split"), col("shard").cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
   test("--unigram writes the survivors' word→segmentation table: " +
     "re-encoding the written output reproduces it") {
     val inDir = tmp("cc_ug_in")

@@ -42,18 +42,20 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(c.stripMarkup)
   }
 
-  test("--format: parquet default, jsonl/orc accepted, anything else refused") {
+  test("--format: parquet default, jsonl/orc/csv accepted, anything else refused") {
     assert(ok("in", "out").format === "parquet")
     assert(ok("in", "out", "--format", "jsonl").format === "jsonl")
     assert(ok("in", "out", "--format", "orc").format === "orc")
-    assert(CorpusCleanCli.parse(Seq("in", "out", "--format", "csv")).isLeft)
+    assert(ok("in", "out", "--format", "csv").format === "csv")
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--format", "avro")).isLeft)
     assert(CorpusCleanCli.parse(Seq("in", "out", "--format")).isLeft)
   }
 
-  test("--in-format: parquet default, jsonl/orc accepted, anything else refused") {
+  test("--in-format: parquet default, jsonl/orc/csv accepted, anything else refused") {
     assert(ok("in", "out").inFormat === "parquet")
     assert(ok("in", "out", "--in-format", "jsonl").inFormat === "jsonl")
     assert(ok("in", "out", "--in-format", "orc").inFormat === "orc")
+    assert(ok("in", "out", "--in-format", "csv").inFormat === "csv")
     assert(CorpusCleanCli.parse(Seq("in", "out", "--in-format", "avro")).isLeft)
   }
 
