@@ -79,10 +79,45 @@ object TextRank {
     r
   }
 
+  /** [[pageRankInt]]'s recurrence computed LOCALLY over a collected edge
+    * list — bit-identical by construction (JVM `Long` `/` and Spark SQL
+    * `DIV` both truncate, every quantity non-negative; TextRankSpec pins
+    * the equivalence on random graphs). For graphs bounded by a
+    * plan-time constant (the keyword graph: ≤ topV² edges) this replaces
+    * 2·iters tiny shuffle jobs with microseconds of driver CPU — the
+    * [[Bpe.trainDriver]] bounded-collect pattern. */
+  private[operators] def pageRankLocal(edges: Seq[(String, String, Long)],
+                                       iters: Int = DefaultIters,
+                                       dampPct: Int = DefaultDampPct,
+                                       base: Long = DefaultBase): Map[String, Long] = {
+    val jump = (100 - dampPct) * base / 100
+    val outW = edges.groupBy(_._1).map { case (s, es) => (s, es.map(_._3).sum) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var r = nodes.map(_ -> base).toMap
+    var i = 0
+    while (i < iters) {
+      val cs = scala.collection.mutable.HashMap.empty[String, Long]
+      edges.foreach { case (s, d, w) =>
+        cs(d) = cs.getOrElse(d, 0L) + (r(s) * w) / outW(s)
+      }
+      r = nodes.map(n => n -> (jump + (dampPct * cs.getOrElse(n, 0L)) / 100)).toMap
+      i += 1
+    }
+    r
+  }
+
   /** Top-`k` corpus keywords `(token, rank)` by TextRank over the
-    * document-co-occurrence graph of the top-`topV` vocabulary. */
+    * document-co-occurrence graph of the top-`topV` vocabulary. The
+    * corpus folds to the pair table distributed (one scan, vocab cut
+    * before pairing); the EDGE TABLE is topV-bounded by construction
+    * (≤ topV(topV−1)/2 rows, a plan-time constant), so it collects and
+    * the rank rounds run driver-side via [[pageRankLocal]] — identical
+    * integers, none of the per-round job latency. [[pageRankInt]] is the
+    * path for graphs no constant bounds (the domain graph). */
   def keywords(docs: DataFrame, topV: Int = DefaultTopV,
                iters: Int = DefaultIters, k: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
@@ -94,11 +129,12 @@ object TextRank {
       .join(tv.select(col("doc_id"), col("token").as("tok_b")), "doc_id")
       .filter(col("tok_a") < col("tok_b"))
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("w"))
-    val edges = pairs.select(col("tok_a").as("src"), col("tok_b").as("dst"), col("w"))
-      .unionAll(pairs.select(col("tok_b").as("src"), col("tok_a").as("dst"), col("w")))
-    pageRankInt(edges, iters)
-      .select(col("node").as("token"), col("r").as("rank"))
-      .orderBy(col("rank").desc, col("token")).limit(k)
+      .as[(String, String, Long)]
+      .collect() // bounded: <= topV(topV-1)/2 rows, plan-time constant
+    val edges = pairs.toSeq ++ pairs.map { case (a, b, w) => (b, a, w) }
+    pageRankLocal(edges, iters).toSeq
+      .sortBy { case (t, r) => (-r, t) }.take(k)
+      .toDF("token", "rank")
   }
 
   /** Oracle for [[keywords]] over `documents` — the co-occurrence build

@@ -454,12 +454,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"quadratic match join:\n$pm")
   }
 
-  test("textrank_keywords: vocab broadcast into the pairing; every rank " +
-    "round is an equi-join over the bounded edge table — no cartesian") {
+  test("textrank_keywords: ranking precomputed over the bounded collected " +
+    "edge table — the returned plan is a local relation, no corpus scan") {
     val p = plan("textrank_keywords")
-    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"cartesian in the rank rounds:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"ranks not precomputed driver-side over the bounded edge table:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"returned plan still scans the corpus:\n$p")
   }
 
   test("containment_incremental: history enters as the persisted shingle-set " +

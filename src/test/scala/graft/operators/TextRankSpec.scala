@@ -37,6 +37,23 @@ class TextRankSpec extends AnyFunSuite with SparkSuite {
     assert(r === Map("a" -> 150000000L, "b" -> 1000000000L))
   }
 
+  test("pageRankLocal == pageRankInt on random weighted digraphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 10) {
+      val n = 3 + rnd.nextInt(8)
+      val edges = (0 until (n * 2)).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}", 1L + rnd.nextInt(9))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val dist = TextRank.pageRankInt(edges.toDF("src", "dst", "w"), iters = 4)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val local = TextRank.pageRankLocal(edges, iters = 4)
+        assert(local === dist, s"edges=$edges")
+      }
+    }
+  }
+
   test("keywords on sf0.001: k tie-free descending ranks, all positive") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val rows = TextRank.keywords(docs, k = 20).collect()
