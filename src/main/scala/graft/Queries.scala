@@ -5634,6 +5634,139 @@ object Queries {
       |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // gopher_filters — the Gopher/MassiveText document-quality ruleset
+  // (Rae et al. 2021 §A1.1): word-count bounds, mean-word-length bounds,
+  // symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+  // required-word count, combined verdict. The single-line fixture corpus
+  // is grafted IN BOTH ENGINES (pii_mask precedent) with the structures
+  // the rules exist for: bullet headers, ellipsis footers, '#' symbol
+  // runs, numeric tokens, and required-word phrases, each keyed on
+  // deterministic doc_id residues so every rule fires both ways at the
+  // verify scale. Verdicts compare integer cross-products, never floats —
+  // see TextOps.gopherQuality.
+  // ---------------------------------------------------------------------
+  def gopherFilters(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      opt(d % 7 === 0, "- first point\n* second point\n"),
+      col("text"),
+      opt(d % 4 === 0, " of the and that have"),
+      opt(d % 11 === 0, " ## # ###"),
+      opt(d % 9 === 0, " 123 456 789 000 111 222 333 444 555 999 888 777"),
+      lit("\nplain closing line"),
+      opt(d % 5 === 0, "\nread more...\nsee details...\ncontinued..."))
+    graft.operators.TextOps.gopherQuality(
+        t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
+      .orderBy("doc_id")
+  }
+
+  val gopherFiltersSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 7 = 0 THEN '- first point' || chr(10) || '* second point' || chr(10) ELSE '' END)
+      |    || text
+      |    || (CASE WHEN doc_id % 4 = 0 THEN ' of the and that have' ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN ' ## # ###' ELSE '' END)
+      |    || (CASE WHEN doc_id % 9 = 0 THEN ' 123 456 789 000 111 222 333 444 555 999 888 777' ELSE '' END)
+      |    || chr(10) || 'plain closing line'
+      |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'read more...' || chr(10) || 'see details...' || chr(10) || 'continued...' ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+      |    CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS word_chars,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    CAST(len([l for l in string_split(text, chr(10)) if l LIKE '- %' OR l LIKE '* %']) AS BIGINT) AS bullets,
+      |    CAST(len([l for l in string_split(text, chr(10)) if l LIKE '%...']) AS BIGINT) AS ellipsis,
+      |    CAST(len([w for w in regexp_extract_all(text, '\S+') if regexp_matches(w, '[A-Za-z]')]) AS BIGINT) AS alpha_words,
+      |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols,
+      |    CAST((CASE WHEN list_contains(regexp_extract_all(text, '\S+'), 'the') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(regexp_extract_all(text, '\S+'), 'be') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(regexp_extract_all(text, '\S+'), 'to') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(regexp_extract_all(text, '\S+'), 'of') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(regexp_extract_all(text, '\S+'), 'and') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(regexp_extract_all(text, '\S+'), 'that') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(regexp_extract_all(text, '\S+'), 'have') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(regexp_extract_all(text, '\S+'), 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_required
+      |  FROM d)
+      |SELECT doc_id, n_words, n_lines,
+      |  CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+      |  CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_word_ratio,
+      |  CAST(bullets AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_line_frac,
+      |  CAST(ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_line_frac,
+      |  CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_word_frac,
+      |  n_required,
+      |  (n_words >= 50 AND n_words <= 100000
+      |   AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+      |   AND n_symbols * 10 <= n_words
+      |   AND bullets * 10 <= n_lines * 9
+      |   AND ellipsis * 10 <= n_lines * 3
+      |   AND alpha_words * 10 >= n_words * 8
+      |   AND n_required >= 2) AS passes
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // c4_filters — the C4 page-cleaning ruleset (Raffel et al. 2020 §2.2):
+  // retain lines ending in terminal punctuation with >= 5 words and no
+  // "javascript"; drop pages with a blocklist word, "lorem ipsum", a
+  // brace, or fewer than 3 retained sentences. The fixture is grafted
+  // IN BOTH ENGINES with retained/dropped line variants and page-drop
+  // triggers on deterministic doc_id residues. See TextOps.c4Clean.
+  // ---------------------------------------------------------------------
+  def c4Filters(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      col("text"),
+      opt(d % 37 === 0, " casino"),
+      opt(d % 2 === 0, "."),
+      lit("\nshort one."),
+      opt(d % 13 === 0, "\nplease enable javascript to view this page."),
+      lit("\nthis closing sentence has at least five words."),
+      opt(d % 6 === 0, "\nanother valid closing sentence appears right here!"),
+      opt(d % 17 === 0, "\nhe said \"this quote line has six words\""),
+      opt(d % 41 === 0, "\nlorem ipsum dolor sit amet."),
+      opt(d % 43 === 0, "\nfunction() { return 0; }"))
+    graft.operators.TextOps.c4Clean(
+        t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
+      .orderBy("doc_id")
+  }
+
+  val c4FiltersSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text
+      |    || (CASE WHEN doc_id % 37 = 0 THEN ' casino' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END)
+      |    || chr(10) || 'short one.'
+      |    || (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'please enable javascript to view this page.' ELSE '' END)
+      |    || chr(10) || 'this closing sentence has at least five words.'
+      |    || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'another valid closing sentence appears right here!' ELSE '' END)
+      |    || (CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'he said "this quote line has six words"' ELSE '' END)
+      |    || (CASE WHEN doc_id % 41 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 43 = 0 THEN chr(10) || 'function() { return 0; }' ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |k AS (SELECT doc_id, text,
+      |    [l for l in string_split(text, chr(10))
+      |     if (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+      |        AND len(string_split(l, ' ')) >= 5
+      |        AND NOT contains(l, 'javascript')] AS kl
+      |  FROM d),
+      |r AS (SELECT doc_id, kl,
+      |    CASE WHEN contains(text, 'casino') THEN 'badword'
+      |         WHEN contains(text, 'lorem ipsum') THEN 'lorem_ipsum'
+      |         WHEN contains(text, '{') THEN 'brace'
+      |         WHEN len(kl) < 3 THEN 'too_few_sentences' END AS drop_reason
+      |  FROM k)
+      |SELECT doc_id,
+      |  CASE WHEN drop_reason IS NULL THEN array_to_string(kl, chr(10)) END AS cleaned,
+      |  CAST(len(kl) AS BIGINT) AS n_lines_kept,
+      |  drop_reason
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // nb_lang_classify — hashed multinomial Naive Bayes (the fastText-style
   // classifier slot of a curation pipeline: CCNet language filter / GPT-3
   // quality classifier / domain router). Trains on the corpus's own lang
@@ -5908,7 +6041,9 @@ object Queries {
     "span_corrupt" -> (spanCorrupt _),
     "rp_reduce" -> (rpReduce _),
     "ann_rp" -> (annRp _),
-    "quality_gate_audit" -> (qualityGateAudit _)
+    "quality_gate_audit" -> (qualityGateAudit _),
+    "gopher_filters" -> (gopherFilters _),
+    "c4_filters" -> (c4Filters _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -6081,6 +6216,8 @@ object Queries {
     "span_corrupt" -> spanCorruptSql,
     "rp_reduce" -> rpReduceSql,
     "ann_rp" -> annRpSql,
-    "quality_gate_audit" -> qualityGateAuditSql
+    "quality_gate_audit" -> qualityGateAuditSql,
+    "gopher_filters" -> gopherFiltersSql,
+    "c4_filters" -> c4FiltersSql
   )
 }

@@ -884,4 +884,105 @@ object TextOps {
       t
     }
   }
+
+  /** The Gopher "required words" (Rae et al. 2021 §A1.1): a document must
+    * contain at least two of these to pass the lexical-coherence rule.
+    * Fixed so the SQL oracle replicates the list verbatim. */
+  val gopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher / MassiveText document-quality rules (Rae et al. 2021 §A1.1):
+    * per-document signals plus the combined pass/fail verdict.
+    *
+    * Rules (a doc PASSES when all hold):
+    *  - word count in [50, 100000]
+    *  - mean word length in [3, 10]
+    *  - symbol-to-word ratio ('#' chars + '...' runs) <= 0.1
+    *  - <= 90% of lines start with a bullet ("- " / "* ")
+    *  - <= 30% of lines end with an ellipsis ("...")
+    *  - >= 80% of words contain an alphabetic character
+    *  - >= 2 of the eight [[gopherRequiredWords]] appear
+    *
+    * Scale shape: pure Catalyst column expressions — a map-only pass with
+    * zero shuffle and zero UDFs; at 100 TB this is scan-bound. The rule
+    * verdicts compare integer cross-products (`bullets*10 <= nLines*9`),
+    * never floating-point ratios, so the booleans are bit-stable across
+    * engines and partitionings; the emitted ratio columns are each ONE
+    * IEEE division of exact integers (identical in any engine). */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val nWords = regexp_count(text, lit("\\S+")).cast("long")
+    // total characters inside words: mean word length without a per-word
+    // explode (sum(len(w)) == len(text minus its whitespace))
+    val wordChars = length(regexp_replace(text, "\\s", "")).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val ellipsis = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val words = split(text, "\\s+")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nSymbols = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("long")
+    val nRequired = gopherRequiredWords
+      .map(w => when(array_contains(words, w), 1L).otherwise(0L))
+      .reduce(_ + _).cast("long")
+    val passes =
+      nWords >= 50L && nWords <= 100000L &&
+      wordChars >= nWords * 3L && wordChars <= nWords * 10L &&
+      nSymbols * 10L <= nWords &&
+      bullets * 10L <= nLines * 9L &&
+      ellipsis * 10L <= nLines * 3L &&
+      alphaWords * 10L >= nWords * 8L &&
+      nRequired >= 2L
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nLines.as("n_lines"),
+      when(nWords > 0L, wordChars.cast("double") / nWords.cast("double"))
+        .as("mean_word_len"),
+      when(nWords > 0L, nSymbols.cast("double") / nWords.cast("double"))
+        .as("symbol_word_ratio"),
+      (bullets.cast("double") / nLines.cast("double")).as("bullet_line_frac"),
+      (ellipsis.cast("double") / nLines.cast("double")).as("ellipsis_line_frac"),
+      when(nWords > 0L, alphaWords.cast("double") / nWords.cast("double"))
+        .as("alpha_word_frac"),
+      nRequired.as("n_required"),
+      passes.as("passes"))
+  }
+
+  /** C4 page cleaning (Raffel et al. 2020 §2.2): line retention + page
+    * drops, the other canonical web-corpus ruleset beside
+    * [[gopherQuality]].
+    *
+    * Line rule — a line is RETAINED when it ends in terminal punctuation
+    * (`.` `!` `?` `"`), has at least five words, and does not contain the
+    * word "javascript". Page rules — the whole page drops when it contains
+    * a blocklisted word, the phrase "lorem ipsum", a `{` (code), or fewer
+    * than three retained lines; `drop_reason` records the FIRST failing
+    * rule in that order (the audit-log discipline of quality_gate_audit).
+    *
+    * Scale shape: map-only column expressions over the line array — no
+    * shuffle, no UDFs; the blocklist is a compile-time literal conjunction,
+    * not a join. */
+  def c4Clean(docs: DataFrame, blocklist: Seq[String] = Seq("casino")): DataFrame = {
+    val text = col("text")
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+      size(split(l, " ")) >= 5 && !l.contains("javascript"))
+    val nKept = size(kept).cast("long")
+    val badword = blocklist.map(w => text.contains(w)).reduce(_ || _)
+    val dropReason = when(badword, lit("badword"))
+      .when(text.contains("lorem ipsum"), lit("lorem_ipsum"))
+      .when(text.contains("{"), lit("brace"))
+      .when(nKept < 3L, lit("too_few_sentences"))
+      .otherwise(lit(null).cast("string"))
+    docs.select(
+      col("doc_id"),
+      when(dropReason.isNull, array_join(kept, "\n")).as("cleaned"),
+      nKept.as("n_lines_kept"),
+      dropReason.as("drop_reason"))
+  }
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gopher (Rae et al. 2021 §A1.1) and C4 (Raffel et al. 2020 §2.2)
+  * document-quality rulesets — the operators behind the gopher_filters /
+  * c4_filters CORRECTNESS rows. Each rule is pinned with a doc that fails
+  * it alone, so a rule silently going dead would break a named case. */
+class QualityRulesetsSpec extends AnyFunSuite with SparkSuite {
+
+  import org.apache.spark.sql.Row
+
+  /** 50 words, 2 required words, all-alpha, no bullets/ellipsis/symbols —
+    * passes every Gopher rule. */
+  private val goodText = "the and " + Seq.fill(48)("word").mkString(" ")
+
+  private def gopher(texts: (Long, String)*): Map[Long, Row] = {
+    import spark.implicits._
+    TextOps.gopherQuality(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  private def passes(r: Row): Boolean = r.getBoolean(9)
+
+  test("gopher: the reference good doc passes with exact signal values") {
+    val r = gopher(1L -> goodText)(1L)
+    assert(r.getLong(1) === 50L)                 // n_words
+    assert(r.getLong(2) === 1L)                  // n_lines
+    // word chars: "the"(3) + "and"(3) + 48*"word"(4) = 198 → mean 3.96
+    assert(r.getDouble(3) === 198.0 / 50.0)
+    assert(r.getDouble(4) === 0.0)               // symbol_word_ratio
+    assert(r.getDouble(5) === 0.0)               // bullet_line_frac
+    assert(r.getDouble(6) === 0.0)               // ellipsis_line_frac
+    assert(r.getDouble(7) === 1.0)               // alpha_word_frac
+    assert(r.getLong(8) === 2L)                  // n_required: the, and
+    assert(passes(r))
+  }
+
+  test("gopher: 49 words fails the word-count floor alone") {
+    val short = "the and " + Seq.fill(47)("word").mkString(" ")
+    val m = gopher(1L -> short, 2L -> goodText)
+    assert(!passes(m(1L)) && m(1L).getLong(1) === 49L)
+    assert(passes(m(2L)))
+  }
+
+  test("gopher: mean word length below 3 fails") {
+    // 50 two-char words incl. required "to"/"of": wordChars 100 < 50*3
+    val thin = "to of " + Seq.fill(48)("ab").mkString(" ")
+    val r = gopher(1L -> thin)(1L)
+    assert(r.getDouble(3) === 2.0 && !passes(r))
+  }
+
+  test("gopher: symbol ratio over 0.1 fails (# chars and ... runs both count)") {
+    // goodText + " ###..." → 51 words, 3 '#' + 1 '...' = 4 symbols? No:
+    // 4*10=40 <= 51 passes; use 6 symbols → 60 > 51 fails.
+    val r = gopher(1L -> (goodText + " #####..."))(1L)
+    assert(r.getLong(1) === 51L)
+    assert(r.getDouble(4) === 6.0 / 51.0)
+    assert(!passes(r))
+  }
+
+  test("gopher: over 90% bulleted lines fails; exactly 90% passes") {
+    // 10 lines, 9 bullets: 9*10 <= 10*9 → passes that rule
+    val nine = (Seq.fill(9)("- " + goodText) :+ goodText).mkString("\n")
+    val ten = Seq.fill(10)("- " + goodText).mkString("\n")
+    val m = gopher(1L -> nine, 2L -> ten)
+    assert(m(1L).getDouble(5) === 0.9 && passes(m(1L)))
+    assert(m(2L).getDouble(5) === 1.0 && !passes(m(2L)))
+  }
+
+  test("gopher: over 30% ellipsis-ending lines fails") {
+    // 2 of 4 lines end in "..." → 2*10 > 4*3. The '...' chars also count
+    // as symbols: 2 symbols, 2*10=20 <= n_words 200+2... keep words high.
+    val el = Seq(goodText + " more...", goodText + " more...",
+      goodText, goodText).mkString("\n")
+    val r = gopher(1L -> el)(1L)
+    assert(r.getDouble(6) === 0.5 && !passes(r))
+  }
+
+  test("gopher: under 80% alphabetic words fails") {
+    // 40 alpha + 12 numeric of 52: 40*10 < 52*8
+    val num = "the and " + Seq.fill(38)("word").mkString(" ") + " " +
+      (1 to 12).map(i => (100 + i).toString).mkString(" ")
+    val r = gopher(1L -> num)(1L)
+    assert(r.getLong(1) === 52L)
+    assert(r.getDouble(7) === 40.0 / 52.0 && !passes(r))
+  }
+
+  test("gopher: fewer than two required words fails") {
+    val r = gopher(1L -> ("the " + Seq.fill(49)("word").mkString(" ")))(1L)
+    assert(r.getLong(8) === 1L && !passes(r))
+  }
+
+  private def c4(texts: (Long, String)*): Map[Long, Row] = {
+    import spark.implicits._
+    TextOps.c4Clean(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("c4: keeps only terminal-punct lines with >= 5 words, drops javascript") {
+    val page = Seq(
+      "this good sentence has five words.",   // kept
+      "too short.",                           // < 5 words
+      "no terminal punctuation on this line", // no punct
+      "please enable javascript to continue.",// javascript
+      "does this question line have six words?", // kept
+      "he said \"a quote of six words\"",     // kept (ends in ")
+      "an exclamation with five words here!"  // kept
+    ).mkString("\n")
+    val r = c4(1L -> page)(1L)
+    assert(r.getLong(2) === 4L)
+    assert(r.getString(1) === Seq(
+      "this good sentence has five words.",
+      "does this question line have six words?",
+      "he said \"a quote of six words\"",
+      "an exclamation with five words here!").mkString("\n"))
+    assert(r.isNullAt(3))
+  }
+
+  test("c4: drop reasons fire in priority order and null the cleaned text") {
+    val keep3 = Seq.fill(3)("this good sentence has five words.").mkString("\n")
+    val m = c4(
+      1L -> (keep3 + "\ncasino payouts { lorem ipsum"), // badword wins
+      2L -> (keep3 + "\nlorem ipsum dolor { sit"),      // lorem beats brace
+      3L -> (keep3 + "\nfunction() { return 1; }"),     // brace
+      4L -> "only two kept lines here.\nsecond kept line of five words.",
+      5L -> keep3)                                      // clean
+    assert(m(1L).getString(3) === "badword" && m(1L).isNullAt(1))
+    assert(m(2L).getString(3) === "lorem_ipsum")
+    assert(m(3L).getString(3) === "brace")
+    assert(m(4L).getString(3) === "too_few_sentences" && m(4L).getLong(2) === 2L)
+    assert(m(5L).isNullAt(3) && m(5L).getString(1) === keep3)
+  }
+
+  test("c4: custom blocklist replaces the default") {
+    import spark.implicits._
+    val keep3 = Seq.fill(3)("this good sentence has five words.").mkString("\n")
+    val df = Seq(1L -> (keep3 + "\ncasino night."), 2L -> (keep3 + "\nfoo bar."))
+      .toDF("doc_id", "text")
+    val m = TextOps.c4Clean(df, blocklist = Seq("foo"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).isNullAt(3))                    // casino no longer blocked
+    assert(m(2L).getString(3) === "badword")
+  }
+}
