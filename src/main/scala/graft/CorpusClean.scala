@@ -19,11 +19,14 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   * Stage order (each optional stage toggled by its flag):
   *  0. markup strip (`--strip-markup`): the from-WARC HTML-extraction
   *     slot — [[graft.functions.StringKernels.stripMarkup]]'s one-pass
-  *     byte kernel, so every downstream gate sees extracted text;
+  *     byte kernel, so every downstream gate sees extracted text; then
+  *     C4 page cleaning (`--c4`, Raffel et al. 2020 §2.2) rewrites each
+  *     page to its retained lines and drops pages on the page rules;
   *  1. language gate (`--lang` / `--lang-model` / `--no-lang-gate`) +
-  *     quality gate (`--min-words`) + LM fluency gate (`--fluency-ref` /
-  *     `--min-fluency`, the CCNet KenLM-filter slot) — cheap codegen
-  *     filters shrink the corpus FIRST; then line-level boilerplate
+  *     quality gate (`--min-words`) + Gopher ruleset verdict
+  *     (`--gopher`, Rae et al. 2021 §A1.1) + LM fluency gate
+  *     (`--fluency-ref` / `--min-fluency`, the CCNet KenLM-filter
+  *     slot) — cheap codegen filters shrink the corpus FIRST; then line-level boilerplate
   *     removal (`--boilerplate <minDocFreq>`, CCNet paragraph dedup) so
   *     documents differing only by template collapse in the exact stage;
   *     `--host-cap N --host-key COL` caps each host's surviving docs
@@ -156,6 +159,17 @@ object CorpusClean {
         graft.functions.StringKernels.stripMarkup(col("text")).as("text"))
     else rawDocs
 
+    // 0b. C4 page cleaning (`--c4`, Raffel et al. 2020 §2.2) — REWRITES
+    // each page to its retained lines and drops pages on the first
+    // failing page rule; runs before every gate so language ID, word
+    // counts and the dedup families see cleaned pages, the C4 order.
+    // Map-only like markup strip, so it fuses into the same scan.
+    val base = if (cfg.c4)
+      graft.operators.TextOps.c4Clean(docs)
+        .filter(col("drop_reason").isNull)
+        .select(col("doc_id"), col("cleaned").as("text"))
+    else docs
+
     // 1. gates — filter-first so the gram/candidate stages see less.
     // With --lang-model the gate is the hashed NB classifier trained on
     // the labeled seed (the CCNet pattern: pre-trained classifier scores
@@ -166,21 +180,30 @@ object CorpusClean {
         val seed = spark.read.parquet(seedDir)
           .select(col("doc_id"), col("text"), col("lang"))
         val rates = graft.operators.Classify.model(seed, labelCol = "lang")
-        docs.join(
-          graft.operators.Classify.scoreWith(docs, rates)
+        base.join(
+          graft.operators.Classify.scoreWith(base, rates)
             .filter(col("pred") === l).select("doc_id"),
           Seq("doc_id"), "left_semi")
-      case (Some(l), None) => docs.join(
-        graft.operators.TextOps.langId(docs)
+      case (Some(l), None) => base.join(
+        graft.operators.TextOps.langId(base)
           .filter(col("lang_pred") === l).select("doc_id"),
         Seq("doc_id"), "left_semi")
-      case (None, _) => docs
+      case (None, _) => base
     }
     val worded =
       if (cfg.minWords <= 0) langed
       else langed.join(
-        graft.operators.TextOps.textStats(docs)
+        graft.operators.TextOps.textStats(base)
           .filter(col("n_words") >= cfg.minWords).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    // Gopher quality verdict (`--gopher`, Rae et al. 2021 §A1.1): the
+    // MassiveText ruleset as one more codegen filter among the gates —
+    // integer-cross-product verdicts, zero shuffle of its own
+    val gophered =
+      if (!cfg.gopher) worded
+      else worded.join(
+        graft.operators.TextOps.gopherQuality(base)
+          .filter(col("passes")).select("doc_id"),
         Seq("doc_id"), "left_semi")
     // LM fluency gate (CCNet's central filter): score the ingest under a
     // model trained on the EXTERNAL reference corpus, keep docs at or
@@ -188,12 +211,12 @@ object CorpusClean {
     val filtered = (cfg.fluencyRef, cfg.minFluency) match {
       case (Some(rd), Some(minPpb)) =>
         val ref = spark.read.parquet(rd).select(col("doc_id"), col("text"))
-        worded.join(
-          graft.operators.LmScore.fluencyScoreAgainst(docs, ref,
+        gophered.join(
+          graft.operators.LmScore.fluencyScoreAgainst(base, ref,
             stageLabel = Some(s"cc_fluency_$tag"))
             .filter(col("fluency_ppb") >= minPpb).select("doc_id"),
           Seq("doc_id"), "left_semi")
-      case _ => worded
+      case _ => gophered
     }
 
     // 1a. per-host document cap (the C4/CCNet anti-spam cut) — runs
@@ -305,6 +328,7 @@ object CorpusClean {
     Seq(
       "input" -> rawDocs,
       "markup" -> docs,
+      "c4" -> base,
       "gates" -> filtered,
       "host_cap" -> capped,
       "boilerplate" -> deBoiler,

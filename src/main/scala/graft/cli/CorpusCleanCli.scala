@@ -20,6 +20,15 @@ case class CorpusCleanConfig(
     // collapsing whitespace, BEFORE any gate — language ID, word counts
     // and every dedup family must see extracted text, not tag soup
     stripMarkup: Boolean = false,
+    // C4 page cleaning (Raffel et al. 2020 §2.2): REWRITE each page to its
+    // retained lines (terminal punctuation, >= 5 words, no "javascript")
+    // and drop pages on blocklist word / "lorem ipsum" / brace / < 3 kept
+    // lines; runs right after markup strip so every later gate sees
+    // cleaned pages
+    c4: Boolean = false,
+    // Gopher quality verdict (Rae et al. 2021 §A1.1): drop docs failing
+    // the MassiveText ruleset; a pure filter among the stage-1 gates
+    gopher: Boolean = false,
     // language gate: keep docs whose predicted language equals this;
     // None (--no-lang-gate) admits every language
     lang: Option[String] = Some("en"),
@@ -201,6 +210,8 @@ object CorpusCleanCli {
         case "--eval" :: v :: t => c = c.copy(evalDir = Some(v)); rest = t
         case "--gram-state" :: v :: t => c = c.copy(gramState = Some(v)); rest = t
         case "--redact" :: t => c = c.copy(redact = true); rest = t
+        case "--c4" :: t => c = c.copy(c4 = true); rest = t
+        case "--gopher" :: t => c = c.copy(gopher = true); rest = t
         case "--strip-markup" :: t => c = c.copy(stripMarkup = true); rest = t
         case "--split-by" :: v :: t => c = c.copy(splitBy = Some(v)); rest = t
         case "--shards" :: v :: t =>

@@ -315,10 +315,10 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       Seq(inDir, outDir, "--no-lang-gate", "--stats-file", statsFile))
       .toOption.get)
     val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(statsFile))
-    val counts = "\"([a-z_]+)\": (\\d+)".r.findAllMatchIn(txt)
+    val counts = "\"([a-z0-9_]+)\": (\\d+)".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toLong).toSeq
     val names = counts.map(_._1)
-    assert(names === Seq("input", "markup", "gates", "host_cap",
+    assert(names === Seq("input", "markup", "c4", "gates", "host_cap",
       "boilerplate", "exact_dedup", "span_removal", "near_dup",
       "containment", "semantic_dedup", "decontaminate", "final"), txt)
     // survivors never grow across stages, and final matches run()'s count
@@ -730,6 +730,56 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(m => m.contains("FAILFAST") ||
       m.contains("MALFORMED_RECORD")), msgs(e).mkString(" | "))
+  }
+
+  test("--c4 and --gopher gate exactly as the c4Clean/gopherQuality " +
+    "operators: the flagged run equals a plain run over the pre-cleaned corpus") {
+    val inDir = tmp("cc_qr_in")
+    val outDir = tmp("cc_qr_out")
+    val d = col("doc_id")
+    def opt(c0: org.apache.spark.sql.Column, s0: String) =
+      when(c0, lit(s0)).otherwise(lit(""))
+    // grafts fire every rule both ways: %3 docs gain 12 retained lines
+    // (pass Gopher's 50-word floor), %7 docs gain a brace line (C4 page
+    // drop), %11 docs gain "lorem ipsum" (page drop)
+    val grafted = concat(
+      col("text"),
+      lit("\nthis closing sentence has at least five words."),
+      opt(d % 3 === 0,
+        Seq.fill(12)("\nthe and of sentence line with eight good words.").mkString),
+      opt(d % 7 === 0, "\nfunction() { return 0; }"),
+      opt(d % 11 === 0, "\nlorem ipsum dolor sit amet."))
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(d, grafted.as("text"))
+      .write.mode("overwrite").parquet(inDir)
+    val flags = Seq("--no-lang-gate", "--min-words", "0",
+      "--min-span", "0", "--no-near-dup")
+    CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--c4", "--gopher") ++ flags).toOption.get)
+    val got = spark.read.parquet(outDir).select("doc_id", "text")
+    // C4's page rules fired: no brace or lorem-ipsum page survives
+    val keptIds = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty)
+    assert(!keptIds.exists(id => id % 7 == 0 || id % 11 == 0))
+    // both gates cut something
+    assert(keptIds.size < spark.read.parquet(inDir).count())
+    // end-to-end equivalence: the flagged run equals a plain run over the
+    // corpus pre-cleaned by the two OPERATORS in the pipeline's order
+    // (c4Clean rewrite, then gopherQuality on the rewritten text)
+    val pre = tmp("cc_qr_pre")
+    val outPre = tmp("cc_qr_pre_out")
+    val c4ed = TextOps.c4Clean(spark.read.parquet(inDir))
+      .filter(col("drop_reason").isNull)
+      .select(col("doc_id"), col("cleaned").as("text"))
+    c4ed.join(
+        TextOps.gopherQuality(c4ed).filter(col("passes")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(pre)
+    CorpusClean.run(spark,
+      CorpusCleanCli.parse(Seq(pre, outPre) ++ flags).toOption.get)
+    val want = spark.read.parquet(outPre).select("doc_id", "text")
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0L)
   }
 
   test("--host-cap keeps at most N docs per --host-key value, matching " +
