@@ -4519,6 +4519,35 @@ object Queries {
       |FROM d ORDER BY ord""".stripMargin
 
   // ---------------------------------------------------------------------
+  // epoch_shuffle — the deterministic per-epoch training order: a seeded
+  // permutation of the corpus for epochs 1 and 2 (Splits.epochShuffle),
+  // proving distinct epochs derive distinct orders from zero stored
+  // randomness. Ranked per epoch by the curriculumOrder machinery (range
+  // repartition + zipWithIndex), never a single-partition window.
+  // ---------------------------------------------------------------------
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    graft.operators.Splits.epochShuffle(ids, epoch = 1L)
+      .withColumn("epoch", lit(1L))
+      .unionByName(
+        graft.operators.Splits.epochShuffle(ids, epoch = 2L)
+          .withColumn("epoch", lit(2L)))
+      .select(col("epoch"), col("doc_id"), col("draw"), col("pos"))
+      .orderBy("epoch", "pos")
+  }
+
+  val epochShuffleSql: String = {
+    def one(e: Long) =
+      s"""SELECT $e AS epoch, doc_id,
+         |  ${graft.operators.Splits.epochShuffleDrawSql(e)} AS draw,
+         |  CAST(row_number() OVER (ORDER BY ${graft.operators.Splits.epochShuffleDrawSql(e)}, doc_id) AS BIGINT) AS pos
+         |FROM documents""".stripMargin
+    s"""SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, CAST(draw AS BIGINT) AS draw, pos
+       |FROM (${one(1)} UNION ALL ${one(2)})
+       |ORDER BY epoch, pos""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // importance_resample — DSIR-style data selection (Xie et al.
   // NeurIPS'23, LmScore.importanceWeights): hashed-unigram importance of
   // every document toward the src0 target domain, then the top-100 draw
@@ -6043,6 +6072,7 @@ object Queries {
     "ann_rp" -> (annRp _),
     "quality_gate_audit" -> (qualityGateAudit _),
     "gopher_filters" -> (gopherFilters _),
+    "epoch_shuffle" -> (epochShuffle _),
     "c4_filters" -> (c4Filters _)
   )
 
@@ -6218,6 +6248,7 @@ object Queries {
     "ann_rp" -> annRpSql,
     "quality_gate_audit" -> qualityGateAuditSql,
     "gopher_filters" -> gopherFiltersSql,
+    "epoch_shuffle" -> epochShuffleSql,
     "c4_filters" -> c4FiltersSql
   )
 }

@@ -125,6 +125,47 @@ object Splits {
       .toDF("doc_id", "difficulty", "ord")
   }
 
+  /** Deterministic epoch shuffle: the global training order for one epoch
+    * as a contiguous 1-based position per doc — a SEEDED permutation, so
+    * every engine, rerun and partitioning derives the identical order and
+    * a resumed job re-materializes the exact schedule (the
+    * shuffle-by-stored-randomness alternative ships a full random column;
+    * this ships nothing).
+    *
+    * The draw is an affine hash in the 2^31-1 prime field:
+    * `((doc_id mod P + epoch) * A) mod P` — exact in 64-bit (products
+    * < 2^62) and replayable verbatim in any SQL engine, with doc_id as
+    * the tie-break. The epoch shifts the id BEFORE the multiplicative
+    * scramble: shifting after would add one constant to every draw, which
+    * preserves the order (the trap: an additive epoch term does not
+    * reshuffle). A > P/2 wraps between most consecutive ids, so no epoch
+    * is the identity order.
+    *
+    * Scale shape: the [[curriculumOrder]] ranking pattern — range
+    * repartition on (draw, doc_id) + per-partition sort + `zipWithIndex`
+    * over the (doc_id, draw) pair table, never a single-partition
+    * `row_number()` window and never a corpus-body shuffle. */
+  def epochShuffle(ids: DataFrame, epoch: Long): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val P = 2147483647L // 2^31 - 1
+    val draw =
+      ((col("doc_id").cast("long") % P + lit(epoch)) * lit(1103515245L)) % P
+    ids.select(col("doc_id").cast("long").as("doc_id"), draw.as("draw"))
+      .repartitionByRange(col("draw"), col("doc_id"))
+      .sortWithinPartitions("draw", "doc_id")
+      .as[(Long, Long)]
+      .rdd
+      .zipWithIndex()
+      .map { case ((id, d), i) => (id, d, i + 1L) }
+      .toDF("doc_id", "draw", "pos")
+  }
+
+  /** The [[epochShuffle]] draw as oracle SQL (same field arithmetic). */
+  def epochShuffleDrawSql(epoch: Long): String =
+    s"((doc_id % 2147483647 + $epoch) * 1103515245) % 2147483647"
+
   /** Per-shard audit row `(shard, n_docs, sum_tokens)` over
     * [[shardAssign]] — the balance evidence; shuffles `nShards` groups. */
   def shardBalance(docs: DataFrame, nShards: Int): DataFrame =

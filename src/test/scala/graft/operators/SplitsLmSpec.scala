@@ -201,4 +201,46 @@ class SplitsLmSpec extends AnyFunSuite with SparkSuite {
     val first = TextOps.tokenDrift(hist, batch, k = 1).collect()(0)
     assert(first.getString(0) == "x")
   }
+
+  test("epochShuffle is a permutation: positions 1..n, every doc once") {
+    val out = Splits.epochShuffle(docs.select("doc_id"), epoch = 1L).collect()
+    val n = docs.count()
+    assert(out.length.toLong === n)
+    assert(out.map(_.getLong(2)).sorted.toSeq === (1L to n).toSeq)
+    assert(out.map(_.getLong(0)).distinct.length.toLong === n)
+  }
+
+  test("epochShuffle: distinct epochs derive distinct orders, same epoch " +
+    "identical; neither is the identity order") {
+    val ids = docs.select("doc_id")
+    def order(e: Long): Seq[Long] =
+      Splits.epochShuffle(ids, e).orderBy("pos")
+        .collect().map(_.getLong(0)).toSeq
+    val e1 = order(1L)
+    assert(order(1L) === e1)                       // deterministic
+    assert(order(2L) !== e1)                       // epochs differ
+    assert(e1 !== e1.sorted)                       // scrambled, not identity
+  }
+
+  test("epochShuffle is invariant to input partitioning") {
+    val ids = docs.select("doc_id")
+    val a = Splits.epochShuffle(ids, 3L).orderBy("pos")
+      .collect().map(_.toSeq).toSeq
+    val b = Splits.epochShuffle(ids.repartition(7), 3L).orderBy("pos")
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("epochShuffle draw matches the affine field formula by hand") {
+    val s = spark
+    import s.implicits._
+    val P = 2147483647L
+    val out = Splits.epochShuffle(
+        Seq(0L, 1L, P + 5L).toDF("doc_id"), epoch = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def want(id: Long) = ((id % P + 4L) * 1103515245L) % P
+    assert(out(0L) === want(0L))
+    assert(out(1L) === want(1L))
+    assert(out(P + 5L) === want(P + 5L))
+  }
 }
