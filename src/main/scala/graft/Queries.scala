@@ -4925,6 +4925,76 @@ object Queries {
       |FROM hb ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // media_near_dup — image near-dup pairs over the dHash table
+  // (Media.phashNearDup): pigeonhole banding on the 64-char hash string +
+  // exact Hamming verify, the image arm of the near-dup family. The
+  // fixture's organic pairs are exact duplicates (hamming 0), so the
+  // query grafts near twins IN BOTH ENGINES: each %5 image gains a copy
+  // (id + 1000000) with the bit set {doc_id%64, doc_id*7%64} flipped —
+  // hamming 1 or 2, inside the banding guarantee.
+  // ---------------------------------------------------------------------
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = graft.multimodal.Media.dHash(
+      graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
+    val p1 = (col("media_id") % 64) + 1
+    val p2 = ((col("media_id") * 7) % 64) + 1
+    val chars = split(col("phash"), "")
+    val flipped = array_join(transform(sequence(lit(1), lit(64)), i => {
+      val ch = element_at(chars, i)
+      when(i === p1 || i === p2,
+        when(ch === "1", lit("0")).otherwise(lit("1"))).otherwise(ch)
+    }), "")
+    val twins = hashes.filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 1000000L).as("media_id"),
+        flipped.as("phash"))
+    graft.multimodal.Media.phashNearDup(hashes.unionByName(twins), maxDist = 3)
+      .orderBy("media_a", "media_b")
+  }
+
+  val mediaNearDupSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
+      |    octet_length(encode(text)) AS blen,
+      |    CAST(16 + doc_id % 64 AS INTEGER) AS w,
+      |    CAST(16 + doc_id % 48 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT media_id,
+      |    [CASE WHEN ((i // 9) * h // 8) * w + ((i % 9) * w // 9) < blen
+      |       THEN (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 1, 1)) - 1) * 16
+      |          + (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 2, 1)) - 1)
+      |       ELSE 0 END for i in generate_series(0, 71)] AS p
+      |  FROM m),
+      |hb AS (SELECT media_id,
+      |    array_to_string([CASE WHEN p[(i // 8) * 9 + (i % 8) + 2] >
+      |                               p[(i // 8) * 9 + (i % 8) + 1]
+      |                          THEN '1' ELSE '0' END
+      |                     for i in generate_series(0, 63)], '') AS phash
+      |  FROM px),
+      |tw AS (SELECT hb.media_id + 1000000 AS media_id,
+      |    array_to_string([CASE WHEN i = (hb.media_id % 64) + 1
+      |                            OR i = ((hb.media_id * 7) % 64) + 1
+      |                          THEN (CASE WHEN substr(hb.phash, CAST(i AS INT), 1) = '1'
+      |                                     THEN '0' ELSE '1' END)
+      |                          ELSE substr(hb.phash, CAST(i AS INT), 1) END
+      |                     for i in generate_series(1, 64)], '') AS phash
+      |  FROM hb WHERE hb.media_id % 5 = 0),
+      |u AS (SELECT * FROM hb UNION ALL SELECT * FROM tw),
+      |b AS (SELECT media_id, phash, band_id,
+      |    substr(phash, band_id * 16 + 1, 16) AS band_val
+      |  FROM u CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id)),
+      |pr AS (SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b,
+      |    l.phash AS pa, r.phash AS pb
+      |  FROM b l JOIN b r ON l.band_id = r.band_id
+      |    AND l.band_val = r.band_val AND l.media_id < r.media_id),
+      |hm AS (SELECT media_a, media_b,
+      |    CAST(len([i for i in generate_series(1, 64)
+      |              if substr(pa, CAST(i AS INT), 1) != substr(pb, CAST(i AS INT), 1)]) AS BIGINT) AS hamming
+      |  FROM pr)
+      |SELECT media_a, media_b, hamming FROM hm
+      |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // bpe_train / bpe_encode — BPE tokenizer training (Sennrich et al.
   // ACL'16) over the documents corpus: the top-8 learned merges with
   // their selection-time weighted pair counts, and every document encoded
@@ -6038,6 +6108,7 @@ object Queries {
     "vocab_encode_incremental" -> (vocabEncodeIncremental _),
     "rolling_quantile_persisted" -> (rollingQuantilePersisted _),
     "media_phash" -> (mediaPhash _),
+    "media_near_dup" -> (mediaNearDup _),
     "nb_lang_classify" -> (nbLangClassify _),
     "markup_strip" -> (markupStrip _),
     "corpus_diff" -> (corpusDiff _),
@@ -6214,6 +6285,7 @@ object Queries {
     "vocab_encode_incremental" -> vocabEncodeIncrementalSql,
     "rolling_quantile_persisted" -> rollingQuantilePersistedSql,
     "media_phash" -> mediaPhashSql,
+    "media_near_dup" -> mediaNearDupSql,
     "nb_lang_classify" -> nbLangClassifySql,
     "markup_strip" -> markupStripSql,
     "corpus_diff" -> corpusDiffSql,

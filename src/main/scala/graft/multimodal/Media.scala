@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
@@ -193,5 +193,60 @@ object Media {
       }
       (m.media_id, sb.toString)
     }.toDF("media_id", "phash")
+  }
+
+  /** Image near-dup pairs over a [[dHash]] table: every pair of media ids
+    * whose 64-bit perceptual hashes differ in at most `maxDist` bits —
+    * the image arm of the near-dup family, unified with
+    * [[graft.operators.NearDup.simhashPairs]]'s machinery. Production
+    * image dedup stores the PRECOMPUTED hash table (hashing is the
+    * decode-adjacent step; pairing is relational), so the operator takes
+    * `(media_id, phash)` rows, with [[dHash]] as the in-repo producer.
+    *
+    * Candidate generation is the pigeonhole banding trick on the
+    * '0'/'1'-string rendering: split the 64 chars into (maxDist+1)
+    * contiguous bands — a pair within maxDist must agree on at least one
+    * band, so candidates are an equi-join on (band_id, band substring)
+    * with zero recall loss. Buckets above `maxBucketSize` drop (the
+    * documented skew guard shared with the text family). The verify step
+    * re-parses each half of the string as a 32-bit word (`conv` base 2)
+    * and counts XOR bits — exact Hamming, codegen end to end; hash
+    * strings (16-byte bands, 64-byte verify columns) shuffle, payloads
+    * never do. */
+  def phashNearDup(phashes: DataFrame, maxDist: Int = 3,
+                   maxBucketSize: Int = 100000): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist in [0,64), got $maxDist")
+    val chunks = maxDist + 1
+    // contiguous cover of the 64 chars; first (64 % chunks) bands one wider
+    val baseW = 64 / chunks
+    val offsets = (0 until chunks).map { c =>
+      val extra = math.min(c, 64 % chunks)
+      (c * baseW + extra, baseW + (if (c < 64 % chunks) 1 else 0))
+    }
+    def word(s: Column, off1: Int): Column =
+      conv(substring(s, off1, 32), 2, 10).cast("long")
+    def hamming(a: Column, b: Column): Column =
+      (bit_count(word(a, 1).bitwiseXOR(word(b, 1))) +
+        bit_count(word(a, 33).bitwiseXOR(word(b, 33)))).cast("long")
+    val banded = phashes.select(col("media_id"), col("phash"),
+      explode(array(offsets.zipWithIndex.map { case ((off, width), c) =>
+        struct(lit(c).as("band_id"),
+          substring(col("phash"), off + 1, width).as("band_val"))
+      }: _*)).as("b"))
+      .select(col("media_id"), col("phash"), col("b.band_id"), col("b.band_val"))
+    val bucketSizes = banded.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("bucket_n"))
+    val bounded = banded.join(
+      bucketSizes.filter(col("bucket_n") <= maxBucketSize),
+      Seq("band_id", "band_val"))
+    val l = bounded.select(col("band_id"), col("band_val"),
+      col("media_id").as("media_a"), col("phash").as("ph_a"))
+    val r = bounded.select(col("band_id"), col("band_val"),
+      col("media_id").as("media_b"), col("phash").as("ph_b"))
+    l.join(r, Seq("band_id", "band_val"))
+      .filter(col("media_a") < col("media_b"))
+      .withColumn("hamming", hamming(col("ph_a"), col("ph_b")))
+      .filter(col("hamming") <= maxDist)
+      .select("media_a", "media_b", "hamming").distinct()
   }
 }

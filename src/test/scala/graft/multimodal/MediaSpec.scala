@@ -100,4 +100,45 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
     // only audio-kind rows are scored
     assert(got.keySet.forall(_ % 3 == 1))
   }
+
+  test("phashNearDup: finds exactly the pairs within maxDist, verified " +
+    "against a driver-side brute force") {
+    val sp = spark
+    import sp.implicits._
+    def bits(v: Long): String =
+      (63 to 0 by -1).map(i => if (((v >> i) & 1L) == 1L) '1' else '0').mkString
+    // hand-built hashes: 1~2 differ in 2 bits, 1~3 in 4 bits (outside
+    // maxDist 3), 4 equals 1, 5 shares a 16-char band with nothing near
+    val h1 = bits(0x0123456789abcdefL)
+    val h2 = bits(0x0123456789abcdefL ^ 0x0000000000000011L) // 2 bits
+    val h3 = bits(0x0123456789abcdefL ^ 0x000000000000001fL) // 5 bits
+    val h4 = h1
+    val h5 = bits(0xfedcba9876543210L)
+    val df = Seq((1L, h1), (2L, h2), (3L, h3), (4L, h4), (5L, h5))
+      .toDF("media_id", "phash")
+    val got = Media.phashNearDup(df, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hs = Map(1L -> h1, 2L -> h2, 3L -> h3, 4L -> h4, 5L -> h5)
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = hs(a).zip(hs(b)).count { case (x, y) => x != y } if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    assert(got === want)
+    assert(got((1L, 2L)) === 2L && got((1L, 4L)) === 0L)
+    assert(!got.contains((1L, 3L)))
+  }
+
+  test("phashNearDup over dHash: every duplicate image pair surfaces at " +
+    "hamming 0, and the bucket cap drops oversized buckets") {
+    val hashes = Media.dHash(Media.syntheticMedia(docs))
+    val pairs = Media.phashNearDup(hashes, maxDist = 0)
+    // maxDist 0 == exact-hash dedup: pairs must match the groupBy count
+    val nPairs = pairs.count()
+    val byHash = hashes.groupBy("phash").count()
+      .collect().map(_.getLong(1)).filter(_ > 1)
+    val want = byHash.map(n => n * (n - 1) / 2).sum
+    assert(nPairs === want)
+    // a bucket cap of 1 kills every bucket -> no pairs survive
+    assert(Media.phashNearDup(hashes, maxDist = 0, maxBucketSize = 1).count() === 0L)
+  }
 }
