@@ -1538,6 +1538,84 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // hll_distinct — HyperLogLog register sketch per event_type
+  // (Sketches.hllDistinct): the fixed-64-register production cardinality
+  // sketch beside KMV, md5-deterministic so DuckDB replays register
+  // index, leading-1 rho, the integer harmonic denominator and the one
+  // IEEE division bit-for-bit; n_zero ships the linear-counting signal
+  // (the ln correction is the consumer's — ln is not bit-portable).
+  // ---------------------------------------------------------------------
+  def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllDistinct(
+      t(s, dir, "events"), group = "event_type", value = col("user_id"))
+      .orderBy("event_type")
+
+  private val hllRegSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""m AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT event_type, CAST($hv AS BIGINT) AS hv FROM m),
+       |rg AS (SELECT event_type, hv % 64 AS register,
+       |    CASE WHEN hv // 64 = 0 THEN 47
+       |         ELSE 47 - length(bin(hv // 64)) END AS rho
+       |  FROM h),
+       |reg AS (SELECT event_type, register, MAX(rho) AS m_j
+       |  FROM rg GROUP BY 1, 2)""".stripMargin
+  }
+
+  val hllDistinctSql: String =
+    s"""WITH $hllRegSql,
+       |e AS (SELECT event_type, CAST(64 - COUNT(*) AS BIGINT) AS n_zero,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(47 - m_j AS INT))
+       |         + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 47) AS BIGINT) AS z_num
+       |  FROM reg GROUP BY 1),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |SELECT ex.event_type, n_exact, n_zero, z_num,
+       |  CAST(408983141160583168 AS DOUBLE) / CAST(z_num AS DOUBLE) AS est
+       |FROM ex JOIN e USING (event_type) ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // hll_merge — HLL sketch ALGEBRA (Sketches.hllMergeRegisters): the
+  // global-cardinality estimate max-merged from the persisted PER-TYPE
+  // register tables equals the estimate computed directly over all
+  // values — HLL's merge is exact by construction (max of maxes), which
+  // this one-row query proves next to the exact distinct count.
+  // ---------------------------------------------------------------------
+  def hllMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val regs = graft.operators.Sketches.hllRegisters(ev, "event_type", col("user_id"))
+    val merged = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllMergeRegisters(regs, lit("ALL")))
+    val direct = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(
+        ev.withColumn("g_all", lit("ALL")), "g_all", col("user_id")))
+    merged.select(col("n_zero").as("n_zero_merged"),
+        col("z_num").as("z_num_merged"), col("est").as("est_merged"))
+      .crossJoin(direct.select(col("z_num").as("z_num_direct"),
+        col("est").as("est_direct")))
+      .crossJoin(ev.filter(col("user_id").isNotNull)
+        .agg(countDistinct(col("user_id")).as("n_exact")))
+      .select("n_exact", "n_zero_merged", "z_num_merged", "z_num_direct",
+        "est_merged", "est_direct")
+  }
+
+  val hllMergeSql: String =
+    s"""WITH $hllRegSql,
+       |mg AS (SELECT register, MAX(m_j) AS m_j FROM reg GROUP BY 1),
+       |e AS (SELECT CAST(64 - COUNT(*) AS BIGINT) AS n_zero_merged,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(47 - m_j AS INT))
+       |         + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 47) AS BIGINT) AS z_num
+       |  FROM mg),
+       |ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events WHERE user_id IS NOT NULL)
+       |SELECT n_exact, n_zero_merged, z_num AS z_num_merged,
+       |  z_num AS z_num_direct,
+       |  CAST(408983141160583168 AS DOUBLE) / CAST(z_num AS DOUBLE) AS est_merged,
+       |  CAST(408983141160583168 AS DOUBLE) / CAST(z_num AS DOUBLE) AS est_direct
+       |FROM ex CROSS JOIN e""".stripMargin
+
+  // ---------------------------------------------------------------------
   // distinct_kmv_merge — KMV sketch ALGEBRA (Sketches.kmvMergeDistinct):
   // the union-cardinality estimate computed purely from two precomputed
   // per-segment sketches (the k smallest hashes of A ∪ B are a subset of
@@ -6109,6 +6187,8 @@ object Queries {
     "rolling_quantile_persisted" -> (rollingQuantilePersisted _),
     "media_phash" -> (mediaPhash _),
     "media_near_dup" -> (mediaNearDup _),
+    "hll_distinct" -> (hllDistinct _),
+    "hll_merge" -> (hllMerge _),
     "nb_lang_classify" -> (nbLangClassify _),
     "markup_strip" -> (markupStrip _),
     "corpus_diff" -> (corpusDiff _),
@@ -6286,6 +6366,8 @@ object Queries {
     "rolling_quantile_persisted" -> rollingQuantilePersistedSql,
     "media_phash" -> mediaPhashSql,
     "media_near_dup" -> mediaNearDupSql,
+    "hll_distinct" -> hllDistinctSql,
+    "hll_merge" -> hllMergeSql,
     "nb_lang_classify" -> nbLangClassifySql,
     "markup_strip" -> markupStripSql,
     "corpus_diff" -> corpusDiffSql,

@@ -147,4 +147,51 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("hllRegisters matches a driver-side replay of the 52-bit draw") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => ("g", i * 7919L)).toDF("g", "v")
+    val got = Sketches.hllRegisters(df, "g", col("v"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val want = (1L to 500L).map { i =>
+      val hv = java.lang.Long.parseLong(md5Hex((i * 7919L).toString).take(13), 16)
+      val w = hv >>> 6
+      val rho = if (w == 0L) 47L else 47L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      (hv % 64) -> rho
+    }.groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2).max }
+    assert(got === want)
+  }
+
+  test("hllDistinct estimate lands within the 13% rsd band (x4) of exact; " +
+    "duplicates do not move registers") {
+    import spark.implicits._
+    val base = (1L to 2000L).map(i => ("g", i * 104729L))
+    val df = (base ++ base ++ base).toDF("g", "v")
+    val r = Sketches.hllDistinct(df, "g", col("v")).collect().head
+    val exact = r.getLong(1)
+    val est = r.getDouble(4)
+    assert(exact === 2000L)
+    assert(math.abs(est - exact) / exact < 4 * 0.13, s"est $est vs $exact")
+    // with 2000 values over 64 registers, none stays empty
+    assert(r.getLong(2) === 0L)
+  }
+
+  test("hllMergeRegisters: merged per-group sketches equal the sketch of " +
+    "the union, and the estimate is partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (s"g${i % 3}", i * 6151L)).toDF("g", "v")
+    val perGroup = Sketches.hllRegisters(df, "g", col("v"))
+    val merged = Sketches.hllEstimate(
+      Sketches.hllMergeRegisters(perGroup, lit("ALL")))
+      .collect().head
+    val direct = Sketches.hllEstimate(
+      Sketches.hllRegisters(df.withColumn("g", lit("ALL")), "g", col("v")))
+      .collect().head
+    assert(merged.getLong(2) === direct.getLong(2))      // z_num
+    assert(merged.getDouble(3) === direct.getDouble(3))  // est bit-equal
+    val repart = Sketches.hllEstimate(
+      Sketches.hllRegisters(df.repartition(13).withColumn("g", lit("ALL")),
+        "g", col("v"))).collect().head
+    assert(repart.getDouble(3) === direct.getDouble(3))
+  }
 }
