@@ -5944,6 +5944,60 @@ object Queries {
       |FROM r ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // blocklist_scan — the Aho–Corasick multi-pattern blocklist audit
+  // (Blocklist.scan): one broadcast automaton pass per document counts
+  // every overlapping occurrence of every pattern — the scale path for
+  // production blocklists where c4's literal conjunction would compile
+  // one contains-scan per word. Grafts exercise overlap ("oxxxxo" hits
+  // "xx" 3x + "xxx" 2x) and nested-suffix output links (" hers" hits
+  // "her" AND "hers"). The oracle replays overlap counting per pattern
+  // via position comprehension.
+  // ---------------------------------------------------------------------
+  private val blocklistPatterns =
+    Seq("casino", "free money", "xx", "xxx", "her", "hers")
+
+  def blocklistScan(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      col("text"),
+      opt(d % 7 === 0, " casino night casino"),
+      opt(d % 11 === 0, " free money now"),
+      opt(d % 13 === 0, " oxxxxo"),
+      opt(d % 17 === 0, " hers"))
+    graft.operators.Blocklist.scan(
+        t(s, dir, "documents").select(col("doc_id"), grafted.as("text")),
+        blocklistPatterns)
+      .orderBy("doc_id")
+  }
+
+  val blocklistScanSql: String = {
+    val counts = blocklistPatterns.zipWithIndex.map { case (p, i) =>
+      s"len([i for i in generate_series(1, len(text)) " +
+        s"if substr(text, CAST(i AS INT), ${p.length}) = '$p']) AS c$i"
+    }.mkString(",\n      |    ")
+    val total = blocklistPatterns.indices.map(i => s"c$i").mkString(" + ")
+    val distinct = blocklistPatterns.indices
+      .map(i => s"(CASE WHEN c$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |    text
+       |    || (CASE WHEN doc_id % 7 = 0 THEN ' casino night casino' ELSE '' END)
+       |    || (CASE WHEN doc_id % 11 = 0 THEN ' free money now' ELSE '' END)
+       |    || (CASE WHEN doc_id % 13 = 0 THEN ' oxxxxo' ELSE '' END)
+       |    || (CASE WHEN doc_id % 17 = 0 THEN ' hers' ELSE '' END)
+       |    AS text
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    $counts
+       |  FROM d)
+       |SELECT doc_id, CAST($total AS BIGINT) AS n_hits,
+       |  CAST($distinct AS BIGINT) AS n_patterns,
+       |  ($total) > 0 AS flagged
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // nb_lang_classify — hashed multinomial Naive Bayes (the fastText-style
   // classifier slot of a curation pipeline: CCNet language filter / GPT-3
   // quality classifier / domain router). Trains on the corpus's own lang
@@ -6189,6 +6243,7 @@ object Queries {
     "media_near_dup" -> (mediaNearDup _),
     "hll_distinct" -> (hllDistinct _),
     "hll_merge" -> (hllMerge _),
+    "blocklist_scan" -> (blocklistScan _),
     "nb_lang_classify" -> (nbLangClassify _),
     "markup_strip" -> (markupStrip _),
     "corpus_diff" -> (corpusDiff _),
@@ -6368,6 +6423,7 @@ object Queries {
     "media_near_dup" -> mediaNearDupSql,
     "hll_distinct" -> hllDistinctSql,
     "hll_merge" -> hllMergeSql,
+    "blocklist_scan" -> blocklistScanSql,
     "nb_lang_classify" -> nbLangClassifySql,
     "markup_strip" -> markupStripSql,
     "corpus_diff" -> corpusDiffSql,

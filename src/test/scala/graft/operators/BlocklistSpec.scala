@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AhoCorasick / Blocklist.scan — the blocklist_scan CORRECTNESS row. */
+class BlocklistSpec extends AnyFunSuite with SparkSuite {
+
+  /** Overlap-counting brute force: every (position, pattern) match. */
+  private def brute(text: String, pats: Seq[String]): (Long, Long) = {
+    val counts = pats.map { p =>
+      (0 to text.length - p.length).count(i => text.startsWith(p, i))
+    }
+    (counts.map(_.toLong).sum, counts.count(_ > 0).toLong)
+  }
+
+  test("the classic he/she/his/hers automaton counts nested suffixes") {
+    val ac = AhoCorasick(Seq("he", "she", "his", "hers"))
+    // "ushers": she, he (inside ushers), hers
+    assert(ac.scan("ushers") === ((3L, 3L)))
+    assert(ac.scan("his hers") === ((3L, 3L))) // his, he (in hers), hers
+    assert(ac.scan("nothing") === ((0L, 0L)))
+  }
+
+  test("overlapping occurrences all count: xx/xxx over xxxx") {
+    val ac = AhoCorasick(Seq("xx", "xxx"))
+    assert(ac.scan("xxxx") === ((5L, 2L))) // xx at 3 starts + xxx at 2
+    assert(ac.scan("xx") === ((1L, 1L)))
+  }
+
+  test("matches a brute force over a pseudo-random corpus of a small alphabet") {
+    val pats = Seq("ab", "aba", "bab", "abab", "bb", "aaa")
+    val ac = AhoCorasick(pats)
+    var seed = 12345L
+    (1 to 200).foreach { _ =>
+      val sb = new StringBuilder
+      (1 to 40).foreach { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        sb.append(if (((seed >>> 33) & 1L) == 0L) 'a' else 'b')
+      }
+      val text = sb.toString
+      assert((ac.scan(text)) === brute(text, pats), s"text $text")
+    }
+  }
+
+  test("Blocklist.scan is a map-only pass: no exchange in the plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "x casino x"), (2L, "clean")).toDF("doc_id", "text")
+    val out = Blocklist.scan(docs, Seq("casino"))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val m = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(m(1L) === ((1L, true)) && m(2L) === ((0L, false)))
+  }
+
+  test("empty or overlapping-with-itself patterns are rejected") {
+    intercept[IllegalArgumentException](AhoCorasick(Seq("")))
+    intercept[IllegalArgumentException](AhoCorasick(Nil))
+  }
+}
