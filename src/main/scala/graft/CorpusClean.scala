@@ -24,9 +24,11 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     page to its retained lines and drops pages on the page rules;
   *  1. language gate (`--lang` / `--lang-model` / `--no-lang-gate`) +
   *     quality gate (`--min-words`) + Gopher ruleset verdict
-  *     (`--gopher`, Rae et al. 2021 §A1.1) + LM fluency gate
-  *     (`--fluency-ref` / `--min-fluency`, the CCNet KenLM-filter
-  *     slot) — cheap codegen filters shrink the corpus FIRST; then line-level boilerplate
+  *     (`--gopher`, Rae et al. 2021 §A1.1) + blocklist gate
+  *     (`--blocklist FILE`, one broadcast Aho-Corasick pass per doc) +
+  *     LM fluency gate (`--fluency-ref` / `--min-fluency`, the CCNet
+  *     KenLM-filter slot) — cheap codegen filters shrink the corpus
+  *     FIRST; then line-level boilerplate
   *     removal (`--boilerplate <minDocFreq>`, CCNet paragraph dedup) so
   *     documents differing only by template collapse in the exact stage;
   *     `--host-cap N --host-key COL` caps each host's surviving docs
@@ -205,18 +207,34 @@ object CorpusClean {
         graft.operators.TextOps.gopherQuality(base)
           .filter(col("passes")).select("doc_id"),
         Seq("doc_id"), "left_semi")
+    // blocklist gate (`--blocklist FILE`): drop docs containing ANY
+    // pattern — ONE broadcast Aho-Corasick pass per doc regardless of
+    // list size (the scale path past per-word contains chains). The
+    // pattern file reads through spark.read (HDFS/S3-able) and collects
+    // driver-side: bounded by the blocklist, never the corpus.
+    val blocked = cfg.blocklist match {
+      case Some(f) =>
+        val pats = spark.read.textFile(f).collect()
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        gophered.join(
+          graft.operators.Blocklist.scan(base, pats)
+            .filter(!col("flagged")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case None => gophered
+    }
+
     // LM fluency gate (CCNet's central filter): score the ingest under a
     // model trained on the EXTERNAL reference corpus, keep docs at or
     // above the ppb threshold; the model is 4096 broadcast rows
     val filtered = (cfg.fluencyRef, cfg.minFluency) match {
       case (Some(rd), Some(minPpb)) =>
         val ref = spark.read.parquet(rd).select(col("doc_id"), col("text"))
-        gophered.join(
+        blocked.join(
           graft.operators.LmScore.fluencyScoreAgainst(base, ref,
             stageLabel = Some(s"cc_fluency_$tag"))
             .filter(col("fluency_ppb") >= minPpb).select("doc_id"),
           Seq("doc_id"), "left_semi")
-      case _ => gophered
+      case _ => blocked
     }
 
     // 1a. per-host document cap (the C4/CCNet anti-spam cut) — runs

@@ -37,6 +37,12 @@ case class CorpusCleanConfig(
     // gates on its prediction instead of the stopword heuristic (the
     // CCNet pattern: a pre-trained classifier scores every ingest shard)
     langModel: Option[String] = None,
+    // multi-pattern blocklist gate: drop every doc containing ANY pattern
+    // from this newline-separated file — scanned by the broadcast
+    // Aho-Corasick automaton (one pass per doc regardless of list size,
+    // the scale path past per-word contains chains); runs with the
+    // stage-1 gates
+    blocklist: Option[String] = None,
     // quality gate: minimum whitespace-token count (0 disables)
     minWords: Int = 10,
     // LM fluency gate (CCNet's KenLM-filter slot): score every doc's
@@ -211,6 +217,7 @@ object CorpusCleanCli {
         case "--gram-state" :: v :: t => c = c.copy(gramState = Some(v)); rest = t
         case "--redact" :: t => c = c.copy(redact = true); rest = t
         case "--c4" :: t => c = c.copy(c4 = true); rest = t
+        case "--blocklist" :: v :: t => c = c.copy(blocklist = Some(v)); rest = t
         case "--gopher" :: t => c = c.copy(gopher = true); rest = t
         case "--strip-markup" :: t => c = c.copy(stripMarkup = true); rest = t
         case "--split-by" :: v :: t => c = c.copy(splitBy = Some(v)); rest = t
@@ -295,7 +302,7 @@ object CorpusCleanCli {
     "--drift-against", "--drift-out", "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
     "--check-merges", "--unigram", "--pieces-out", "--host-cap",
-    "--host-key")
+    "--host-key", "--blocklist")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")

@@ -782,6 +782,37 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(got.except(want).count() === 0L)
   }
 
+  test("--blocklist drops exactly the docs the Aho-Corasick scan flags") {
+    val inDir = tmp("cc_bl_in")
+    val outDir = tmp("cc_bl_out")
+    val listDir = new java.io.File(tmp("cc_bl_list"), "patterns.txt")
+    java.nio.file.Files.writeString(listDir.toPath, "casino\nfree money\n")
+    val d = col("doc_id")
+    val grafted = concat(col("text"),
+      when(d % 7 === 0, lit(" casino night")).otherwise(lit("")),
+      when(d % 11 === 0, lit(" free money now")).otherwise(lit("")))
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(d, grafted.as("text"))
+      .write.mode("overwrite").parquet(inDir)
+    CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--min-words", "0",
+        "--min-span", "0", "--no-near-dup",
+        "--blocklist", listDir.getAbsolutePath)).toOption.get)
+    val kept = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val flagged = graft.operators.Blocklist
+      .scan(spark.read.parquet(inDir), Seq("casino", "free money"))
+      .filter(col("flagged")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty)
+    assert(kept.intersect(flagged).isEmpty)
+    // everything unflagged survives (no other stage cuts on this corpus
+    // beyond exact/span dedup, which these distinct word-soup docs pass)
+    val all = spark.read.parquet(inDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === all.diff(flagged))
+  }
+
   test("--host-cap keeps at most N docs per --host-key value, matching " +
     "the host_cap query's md5 draw") {
     val inDir = tmp("cc_hc_in")
