@@ -5944,6 +5944,87 @@ object Queries {
       |FROM r ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // url_normalize — URL canonicalization (UrlOps.normalize): the
+  // key-cleaning step in front of URL-keyed dedup / host capping. The
+  // fixture has no URL column, so both engines graft the same synthetic
+  // URLs from doc_id residues, covering: mixed-case scheme+host, default
+  // ports :80/:443, fragments, empty paths, host?query with no path,
+  // tracking-param drop, all-tracking queries collapsing to none, and
+  // param sorting.
+  // ---------------------------------------------------------------------
+  def urlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val hostPart = when(d % 3 === 0, lit("HTTPS://API.Example.COM:443"))
+      .when(d % 7 === 0, lit("http://www.example.org:80"))
+      .otherwise(lit("https://Sub.Example.net"))
+    val pathPart = when(d % 11 === 0, lit(""))
+      .otherwise(concat(lit("/Dir/"), (d % 50).cast("string"), lit("/item")))
+    val queryPart = when(d % 17 === 0, lit(""))
+      .when(d % 19 === 0, lit("?utm_source=a&utm_medium=b"))
+      .when(d % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
+      .otherwise(lit("?z=9&a=1&gclid=g&ref=twitter&utm_campaign=c"))
+    val fragPart = when(d % 5 === 0, concat(lit("#Frag"), d.cast("string")))
+      .otherwise(lit(""))
+    val url = concat(hostPart, pathPart, queryPart, fragPart)
+    val (scheme, host, path, queryNorm, urlNorm) =
+      graft.operators.UrlOps.normalize(col("url"))
+    t(s, dir, "documents").select(d, url.as("url"))
+      .select(col("doc_id"), col("url"), scheme.as("scheme"),
+        host.as("host"), path.as("path"), queryNorm.as("query_norm"),
+        urlNorm.as("url_norm"))
+      .orderBy("doc_id")
+  }
+
+  val urlNormalizeSql: String =
+    """WITH u AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://API.Example.COM:443'
+      |          WHEN doc_id % 7 = 0 THEN 'http://www.example.org:80'
+      |          ELSE 'https://Sub.Example.net' END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN ''
+      |             ELSE '/Dir/' || CAST(doc_id % 50 AS VARCHAR) || '/item' END)
+      |    || (CASE WHEN doc_id % 17 = 0 THEN ''
+      |             WHEN doc_id % 19 = 0 THEN '?utm_source=a&utm_medium=b'
+      |             WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |             ELSE '?z=9&a=1&gclid=g&ref=twitter&utm_campaign=c' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '#Frag' || CAST(doc_id AS VARCHAR)
+      |             ELSE '' END) AS url
+      |  FROM documents),
+      |p AS (SELECT doc_id, url,
+      |    split_part(url, '#', 1) AS fragless,
+      |    split_part(split_part(url, '#', 1), '://', 1) AS scheme_raw
+      |  FROM u),
+      |q AS (SELECT doc_id, url, fragless, lower(scheme_raw) AS scheme,
+      |    substr(fragless, length(scheme_raw) + 4) AS rest
+      |  FROM p),
+      |r AS (SELECT doc_id, url, scheme, rest,
+      |    split_part(split_part(rest, '/', 1), '?', 1) AS hostport
+      |  FROM q),
+      |t0 AS (SELECT doc_id, url, scheme,
+      |    regexp_replace(lower(hostport), ':(80|443)$', '') AS host,
+      |    substr(rest, length(hostport) + 1) AS pathq
+      |  FROM r),
+      |t1 AS (SELECT doc_id, url, scheme, host, pathq,
+      |    split_part(pathq, '?', 1) AS path0
+      |  FROM t0),
+      |t2 AS (SELECT doc_id, url, scheme, host,
+      |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+      |    CASE WHEN contains(pathq, '?')
+      |         THEN substr(pathq, length(path0) + 2) ELSE '' END AS query0
+      |  FROM t1),
+      |t3 AS (SELECT doc_id, url, scheme, host, path,
+      |    COALESCE(array_to_string(list_sort(
+      |      [pp for pp in string_split(query0, '&')
+      |       if pp != '' AND NOT starts_with(pp, 'utm_')
+      |          AND NOT starts_with(pp, 'fbclid=')
+      |          AND NOT starts_with(pp, 'gclid=')
+      |          AND NOT starts_with(pp, 'ref=')]), '&'), '') AS query_norm
+      |  FROM t2)
+      |SELECT doc_id, url, scheme, host, path, query_norm,
+      |  scheme || '://' || host || path ||
+      |  (CASE WHEN query_norm != '' THEN '?' || query_norm ELSE '' END) AS url_norm
+      |FROM t3 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // blocklist_scan — the Aho–Corasick multi-pattern blocklist audit
   // (Blocklist.scan): one broadcast automaton pass per document counts
   // every overlapping occurrence of every pattern — the scale path for
@@ -6244,6 +6325,7 @@ object Queries {
     "hll_distinct" -> (hllDistinct _),
     "hll_merge" -> (hllMerge _),
     "blocklist_scan" -> (blocklistScan _),
+    "url_normalize" -> (urlNormalize _),
     "nb_lang_classify" -> (nbLangClassify _),
     "markup_strip" -> (markupStrip _),
     "corpus_diff" -> (corpusDiff _),
@@ -6424,6 +6506,7 @@ object Queries {
     "hll_distinct" -> hllDistinctSql,
     "hll_merge" -> hllMergeSql,
     "blocklist_scan" -> blocklistScanSql,
+    "url_normalize" -> urlNormalizeSql,
     "nb_lang_classify" -> nbLangClassifySql,
     "markup_strip" -> markupStripSql,
     "corpus_diff" -> corpusDiffSql,

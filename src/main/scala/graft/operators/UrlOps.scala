@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the key-cleaning step in front of URL-keyed
+  * dedup and per-host capping (C4 dedupes pages by URL; CCNet buckets by
+  * host): the same page arrives as `HTTPS://Host:443/p?b=2&a=1&utm_x=1#f`
+  * and `https://host/p?a=1&b=2` and must collapse to ONE key before any
+  * groupBy/dedup sees it.
+  *
+  * Normalization rules (absolute http(s) URLs — the crawl-corpus
+  * grammar):
+  *  - drop the `#fragment`;
+  *  - lowercase the scheme and the host; strip the default `:80`/`:443`
+  *    port suffixes;
+  *  - empty path becomes `/`;
+  *  - query params split on `&`, tracking params dropped (`utm_*`,
+  *    `fbclid=`, `gclid=`, `ref=`), the rest SORTED and rejoined — param
+  *    order never distinguishes two URLs.
+  *
+  * All pure column expressions — map-only, zero shuffle, zero UDFs; the
+  * per-URL `filter`/`array_sort` are interpreted higher-order calls over
+  * a handful of params (bounded by the URL, never the corpus), which
+  * keeps the whole pass scan-bound at 100 TB.
+  */
+object UrlOps {
+
+  /** Query-param prefixes that never distinguish two pages. */
+  val trackingPrefixes: Seq[String] = Seq("utm_", "fbclid=", "gclid=", "ref=")
+
+  /** Normalized parts of `url`:
+    * `(scheme, host, path, query_norm, url_norm)`. */
+  def normalize(url: Column): (Column, Column, Column, Column, Column) = {
+    val fragless = substring_index(url, "#", 1)
+    val schemeRaw = substring_index(fragless, "://", 1)
+    val scheme = lower(schemeRaw)
+    val rest = fragless.substr(length(schemeRaw) + lit(4), length(fragless))
+    val hostportRaw = substring_index(substring_index(rest, "/", 1), "?", 1)
+    val host = regexp_replace(lower(hostportRaw), ":(80|443)$", "")
+    val pathq = rest.substr(length(hostportRaw) + lit(1), length(rest))
+    val path0 = substring_index(pathq, "?", 1)
+    val path = when(length(path0) === 0, lit("/")).otherwise(path0)
+    val query0 = when(pathq.contains("?"),
+      pathq.substr(length(path0) + lit(2), length(pathq))).otherwise(lit(""))
+    val params = filter(split(query0, "&"), p =>
+      p =!= "" && !trackingPrefixes
+        .map(pre => p.startsWith(pre)).reduce(_ || _))
+    val queryNorm = array_join(array_sort(params), "&")
+    val urlNorm = concat(scheme, lit("://"), host, path,
+      when(length(queryNorm) > 0, concat(lit("?"), queryNorm))
+        .otherwise(lit("")))
+    (scheme, host, path, queryNorm, urlNorm)
+  }
+}

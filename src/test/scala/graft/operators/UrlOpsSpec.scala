@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UrlOps.normalize — the url_normalize CORRECTNESS row. */
+class UrlOpsSpec extends AnyFunSuite with SparkSuite {
+
+  private def norm(urls: (Long, String)*): Map[Long, (String, String, String, String, String)] = {
+    import spark.implicits._
+    val (scheme, host, path, q, u) = UrlOps.normalize(col("url"))
+    urls.toDF("id", "url")
+      .select(col("id"), scheme, host, path, q, u)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+          r.getString(5)))).toMap
+  }
+
+  test("case, default ports, fragments and param order all collapse") {
+    val m = norm(
+      1L -> "HTTPS://WWW.Example.COM:443/Path/x?b=2&a=1#frag",
+      2L -> "https://www.example.com/Path/x?a=1&b=2")
+    assert(m(1L) === (("https", "www.example.com", "/Path/x", "a=1&b=2",
+      "https://www.example.com/Path/x?a=1&b=2")))
+    // the two spellings of the same page produce ONE canonical key
+    assert(m(1L)._5 === m(2L)._5)
+  }
+
+  test("tracking params drop; all-tracking queries collapse to none") {
+    val m = norm(
+      1L -> "https://h.io/p?utm_source=x&keep=1&fbclid=f&gclid=g&ref=tw",
+      2L -> "https://h.io/p?utm_source=x&utm_medium=y",
+      3L -> "https://h.io/p")
+    assert(m(1L)._4 === "keep=1")
+    assert(m(1L)._5 === "https://h.io/p?keep=1")
+    assert(m(2L)._5 === "https://h.io/p")
+    assert(m(2L)._5 === m(3L)._5)
+  }
+
+  test("empty path becomes /; host?query parses without a path; :80 only " +
+    "strips as a default port") {
+    val m = norm(
+      1L -> "http://example.org",
+      2L -> "http://example.org:80?b=1&a=2",
+      3L -> "http://example.org:8080/x")
+    assert(m(1L) === (("http", "example.org", "/", "",
+      "http://example.org/")))
+    assert(m(2L) === (("http", "example.org", "/", "a=2&b=1",
+      "http://example.org/?a=2&b=1")))
+    assert(m(3L)._2 === "example.org:8080") // non-default port survives
+  }
+
+  test("normalize is idempotent: normalizing a canonical URL is a no-op") {
+    val m1 = norm(1L -> "HTTPS://A.B:443/p/q?z=1&a=2&utm_x=3#f")
+    val m2 = norm(1L -> m1(1L)._5)
+    assert(m2(1L) === m1(1L))
+  }
+}
