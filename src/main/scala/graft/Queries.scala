@@ -5944,6 +5944,39 @@ object Queries {
       |FROM r ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // collocations — top-k word bigrams by association lift
+  // (LmScore.collocations): phrase mining with the PMI log replaced by
+  // exact integer ppm lift, hapaxes cut by min-count 3; corpus reduces
+  // to distinct gram tables before any shuffle, top-k via the salted
+  // two-phase window.
+  // ---------------------------------------------------------------------
+  def collocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.collocations(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      minCount = 3L, k = 100)
+      .orderBy("rk")
+
+  val collocationsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT unnest(ws) AS w FROM w),
+      |uni AS (SELECT w, COUNT(*) AS n FROM t GROUP BY w),
+      |tot AS (SELECT COUNT(*) AS n_tok FROM t),
+      |b0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |  FROM w WHERE len(ws) >= 2),
+      |bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS n_ab
+      |  FROM b0 GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |j AS (SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b,
+      |    (1000000 * n_ab * n_tok) // (ua.n * ub.n) AS lift_ppm
+      |  FROM bi JOIN uni ua ON w1 = ua.w JOIN uni ub ON w2 = ub.w
+      |  CROSS JOIN tot),
+      |r AS (SELECT *, row_number() OVER
+      |    (ORDER BY lift_ppm DESC, w1, w2) AS rk FROM j)
+      |SELECT CAST(rk AS BIGINT) AS rk, w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(lift_ppm AS BIGINT) AS lift_ppm
+      |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // url_normalize — URL canonicalization (UrlOps.normalize): the
   // key-cleaning step in front of URL-keyed dedup / host capping. The
   // fixture has no URL column, so both engines graft the same synthetic
@@ -6326,6 +6359,7 @@ object Queries {
     "hll_merge" -> (hllMerge _),
     "blocklist_scan" -> (blocklistScan _),
     "url_normalize" -> (urlNormalize _),
+    "collocations" -> (collocations _),
     "nb_lang_classify" -> (nbLangClassify _),
     "markup_strip" -> (markupStrip _),
     "corpus_diff" -> (corpusDiff _),
@@ -6507,6 +6541,7 @@ object Queries {
     "hll_merge" -> hllMergeSql,
     "blocklist_scan" -> blocklistScanSql,
     "url_normalize" -> urlNormalizeSql,
+    "collocations" -> collocationsSql,
     "nb_lang_classify" -> nbLangClassifySql,
     "markup_strip" -> markupStripSql,
     "corpus_diff" -> corpusDiffSql,

@@ -354,4 +354,66 @@ object LmScore {
        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
        |  CAST(SUM(n * ((tgt_c * 1000000) // raw_c)) AS BIGINT) AS score_ppm
        |FROM db JOIN r USING (b) GROUP BY doc_id""".stripMargin
+
+  /** Collocation extraction: the top-k word bigrams by association LIFT —
+    * the corpus-analysis op behind phrase mining / multi-word-expression
+    * detection (Manning & Schütze ch. 5; PMI's log is not bit-portable,
+    * so the score is the RAW lift in exact integer ppm):
+    * `lift_ppm = (10^6 · n_ab · N) div (n_a · n_b)` with N the total
+    * token count — > 10^6 means the pair co-occurs more than independence
+    * predicts. `minCount` cuts the hapax noise PMI-family scores are
+    * notorious for.
+    *
+    * Scale shape: per-partition hash-map folds reduce the corpus to the
+    * distinct unigram/bigram tables BEFORE any shuffle (one output row
+    * per distinct gram per partition); the lift join touches only pairs
+    * above `minCount`; the top-k is the salted two-phase window (local
+    * top-k per hash bucket, then an exact window over ≤ 16k candidates),
+    * never a whole-table single-task sort. The 64-bit product
+    * `10^6 · n_ab · N` caps the EXACT form at N < ~9·10^6 tokens per
+    * invocation scale-factor; past that both sides move to DECIMAL(38)
+    * arithmetic — the formula, not the shape, is what changes. */
+  def collocations(docs: DataFrame, minCount: Long = 3L, k: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val uni = toks.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      it.foreach { case (_, text) =>
+        text.split(" ", -1).foreach(w => m.merge(w, 1L, _ + _))
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        m.entrySet().iterator()).asScala.map(e => (e.getKey, e.getValue))
+    }.toDF("w", "n").groupBy("w").agg(sum("n").as("n"))
+    val bi = toks.mapPartitions { it =>
+      val m = new java.util.HashMap[(String, String), Long]()
+      it.foreach { case (_, text) =>
+        val ws = text.split(" ", -1)
+        var i = 0
+        while (i < ws.length - 1) { m.merge((ws(i), ws(i + 1)), 1L, _ + _); i += 1 }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        m.entrySet().iterator()).asScala
+        .map(e => (e.getKey._1, e.getKey._2, e.getValue))
+    }.toDF("w1", "w2", "n").groupBy("w1", "w2").agg(sum("n").as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val tot = uni.agg(sum("n").cast("long").as("n_tok"))
+    val j = bi
+      .join(uni.select(col("w").as("w1"), col("n").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n_b")), "w2")
+      .crossJoin(tot)
+      .withColumn("lift_ppm",
+        expr("(1000000L * n_ab * n_tok) div (n_a * n_b)"))
+    val local = Window
+      .partitionBy(pmod(xxhash64(col("w1"), col("w2")), lit(16)))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+    val global = Window.orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+    j.withColumn("_rl", row_number().over(local)).filter(col("_rl") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("w1"), col("w2"), col("n_ab").cast("long").as("n_ab"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("lift_ppm").cast("long").as("lift_ppm"))
+  }
 }

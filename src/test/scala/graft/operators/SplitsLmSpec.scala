@@ -243,4 +243,28 @@ class SplitsLmSpec extends AnyFunSuite with SparkSuite {
     assert(out(1L) === want(1L))
     assert(out(P + 5L) === want(P + 5L))
   }
+
+  test("collocations: hand-computed integer lift on a tiny corpus") {
+    val s = spark
+    import s.implicits._
+    // "a b" x3, "b c" x2(< minCount), tokens: a:3 b:5 c:2 -> N=10
+    val df = Seq((1L, "a b a b a b b c"), (2L, "b c")).toDF("doc_id", "text")
+    val out = LmScore.collocations(df, minCount = 3L, k = 10)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(0), r.getLong(3), r.getLong(6)))).toMap
+    // pairs in doc1: (a,b)x3 (b,a)x2 (b,b)x1 (b,c)x1; doc2: (b,c)x1
+    // only (a,b) survives minCount 3: lift = 1e6*3*10 div (3*5) = 2000000
+    assert(out.keySet === Set(("a", "b")))
+    assert(out(("a", "b")) === ((1L, 3L, 2000000L)))
+  }
+
+  test("collocations is invariant to input partitioning") {
+    val ds = docs.select(col("doc_id"), col("text"))
+    val a = LmScore.collocations(ds, minCount = 2L, k = 50)
+      .orderBy("rk").collect().map(_.toSeq).toSeq
+    val b = LmScore.collocations(ds.repartition(11), minCount = 2L, k = 50)
+      .orderBy("rk").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
