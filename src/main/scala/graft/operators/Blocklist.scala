@@ -26,6 +26,10 @@ final class AhoCorasick private (
     private val out: Array[Array[Int]],
     val nPatterns: Int) extends Serializable {
 
+  /** Trie size — bounded by Σ pattern lengths + 1, NEVER the corpus
+    * (the broadcast-cost invariant the scale probe pins). */
+  def nNodes: Int = children.length
+
   /** Scan once: (total overlapping hits, distinct patterns present). */
   def scan(text: String): (Long, Long) = {
     var node = 0

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** The blocklist kernel's scale claims, probed at a production-shaped
+  * list size (10,000 patterns — the regime where the per-word `contains`
+  * chain is 10,000 corpus scans and the automaton is still ONE):
+  *  - the automaton is bounded by the BLOCKLIST (node count ≤ Σ pattern
+  *    lengths + 1, shared prefixes collapse), never the corpus — that is
+  *    the broadcast-cost invariant;
+  *  - one pass stays correct at that width: scan parity with the
+  *    10,000-pattern brute force on adversarial texts (shared prefixes,
+  *    overlaps, nested suffixes);
+  *  - the corpus-side plan stays map-only regardless of list size
+  *    (no Exchange — the gate cost is the scan it was already paying). */
+class BlocklistScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  // 10k patterns over 1k stems: "s<i>a", "s<i>b" … share the stem prefix
+  // in the trie; plus nested suffix families per stem
+  private val patterns: Seq[String] =
+    (0 until 1000).flatMap { i =>
+      Seq(s"s${i}alpha", s"s${i}beta", s"s${i}al", s"s${i}be",
+        s"s${i}alphax", s"s${i}betax", s"s${i}a", s"s${i}b",
+        s"s${i}ax", s"s${i}bx")
+    }
+
+  test("automaton size is bounded by the blocklist, not the pattern count " +
+    "times length (shared prefixes collapse)") {
+    val ac = AhoCorasick(patterns)
+    assert(patterns.size === 10000)
+    val totalChars = patterns.map(_.length).sum
+    assert(ac.nNodes <= totalChars + 1)
+    // prefix sharing must actually bite: "s123a" ⊂ "s123al" ⊂ "s123alpha"
+    // reuse one chain, so nodes stay well under the naive sum
+    assert(ac.nNodes < totalChars / 2, s"nNodes ${ac.nNodes} vs $totalChars")
+  }
+
+  test("one pass at 10k patterns matches the 10k-contains brute force") {
+    val ac = AhoCorasick(patterns)
+    def brute(text: String): (Long, Long) = {
+      val counts = patterns.map { p =>
+        (0 to text.length - p.length).count(i => text.startsWith(p, i))
+      }
+      (counts.map(_.toLong).sum, counts.count(_ > 0).toLong)
+    }
+    val texts = Seq(
+      "x s123alphax y s123a s999bx clean end",   // nested + distinct stems
+      "s0as0as0a",                               // overlapping repeats
+      "no hits anywhere in this one",
+      (0 until 50).map(i => s"s${i}beta").mkString(" "))
+    texts.foreach(t => assert(ac.scan(t) === brute(t), s"text $t"))
+  }
+
+  test("the corpus pass is one map-only job at any list width") {
+    import spark.implicits._
+    val docs = spark.range(0L, 20000L)
+      .select(col("id").as("doc_id"),
+        concat(lit("filler text s"), (col("id") % 1000).cast("string"),
+          lit("alpha more filler")).as("text"))
+    val out = Blocklist.scan(docs, patterns)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    // every doc hits its stem family: s<k>alpha contains s<k>a, s<k>al,
+    // s<k>alpha (+ s<k>ax? no: 'alphax' absent) -> n_patterns == 3
+    val sample = out.filter(col("doc_id") === 7L).collect().head
+    assert(sample.getLong(2) === 3L)
+    assert(out.filter(!col("flagged")).count() === 0L)
+  }
+}
