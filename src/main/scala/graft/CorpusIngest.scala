@@ -23,6 +23,10 @@ object CorpusIngest {
       (model, floor, cfg.minFluency.get)
     }
     val digests = cfg.digests.map(spark.read.parquet(_))
+    // pattern file reads driver-side once per invocation — bounded by
+    // the blocklist, never the stream
+    val blockPats = cfg.blocklist.map(f =>
+      spark.read.textFile(f).collect().map(_.trim).filter(_.nonEmpty).toSeq)
     val ndState = cfg.bands.map { bd =>
       (spark.read.parquet(bd), spark.read.parquet(cfg.sets.get), cfg.nearDup)
     }
@@ -46,7 +50,8 @@ object CorpusIngest {
       .select(col("doc_id"), col("text"))
     graft.streaming.CorpusStream.standingIngest(
       stream, cfg.out, ck, cfg.minWords, fluency, digests, ndState,
-      containmentState = contState, stripMarkup = cfg.stripMarkup)
+      containmentState = contState, stripMarkup = cfg.stripMarkup,
+      blocklist = blockPats)
     // metadata-only count of what the output dir now holds; an empty dir
     // (every arrival gated out, or nothing new) is a valid zero
     val outFiles = new java.io.File(cfg.out)

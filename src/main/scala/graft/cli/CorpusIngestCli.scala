@@ -37,7 +37,11 @@ case class CorpusIngestConfig(
     glob: String = "*.parquet",
     // markup strip (the from-WARC slot) before every gate — the batch
     // tool's --strip-markup, streaming form
-    stripMarkup: Boolean = false)
+    stripMarkup: Boolean = false,
+    // multi-pattern blocklist gate: newline-separated pattern file,
+    // scanned per arrival by the broadcast Aho-Corasick automaton (the
+    // batch tool's --blocklist, streaming form; stateless)
+    blocklist: Option[String] = None)
 
 object CorpusIngestCli {
 
@@ -74,6 +78,7 @@ object CorpusIngestCli {
         case "--checkpoint" :: v :: t => c = c.copy(checkpoint = Some(v)); rest = t
         case "--glob" :: v :: t => c = c.copy(glob = v); rest = t
         case "--strip-markup" :: t => c = c.copy(stripMarkup = true); rest = t
+        case "--blocklist" :: v :: t => c = c.copy(blocklist = Some(v)); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t
@@ -89,7 +94,7 @@ object CorpusIngestCli {
 
   private val valueFlags = Set("--min-words", "--fluency-ref",
     "--min-fluency", "--digests", "--bands", "--sets", "--near-dup",
-    "--containment", "--checkpoint", "--glob")
+    "--containment", "--checkpoint", "--glob", "--blocklist")
 
   private def validate(c: CorpusIngestConfig): Either[String, CorpusIngestConfig] =
     if (c.minWords < 0) Left(s"--min-words must be >= 0, got ${c.minWords}")

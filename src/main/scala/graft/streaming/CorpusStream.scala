@@ -221,7 +221,8 @@ object CorpusStream {
                      historyDigests: Option[DataFrame],
                      nearDupState: Option[(DataFrame, DataFrame, Double)],
                      containmentState: Option[(DataFrame, Double)] = None,
-                     stripMarkup: Boolean = false): Unit = {
+                     stripMarkup: Boolean = false,
+                     blocklist: Option[Seq[String]] = None): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val extracted = if (stripMarkup)
@@ -229,6 +230,14 @@ object CorpusStream {
             graft.functions.StringKernels.stripMarkup(col("text")).as("text"))
         else batch
         var b = extracted.filter(size(split(col("text"), " ")) >= minWords)
+        // blocklist gate — stateless, one broadcast Aho-Corasick pass per
+        // arrival regardless of list size (the batch tool's --blocklist)
+        blocklist.foreach { pats =>
+          b = b.join(
+            graft.operators.Blocklist.scan(b, pats)
+              .filter(!col("flagged")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        }
         fluency.foreach { case (model, floor, minPpb) =>
           b = fluencyGate(b, model, floor, minPpb)
             .select(col("doc_id"), col("text"))

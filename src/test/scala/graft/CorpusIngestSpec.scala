@@ -194,4 +194,24 @@ class CorpusIngestSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(outDir).select("doc_id")
       .collect().map(_.getLong(0)).toSet === Set(301L))
   }
+
+  test("the blocklist gate wires in: a pattern-bearing arrival drops") {
+    import spark.implicits._
+    val watchDir = tmp("ing_bl_watch")
+    val outDir = new java.io.File(tmp("ing_bl_base"), "out").getAbsolutePath
+    val listFile = new java.io.File(tmp("ing_bl_list"), "patterns.txt")
+    java.nio.file.Files.writeString(listFile.toPath, "casino\nfree money\n")
+    dropShard(Seq(
+      (401L, "a perfectly clean document with enough words to pass the gate"),
+      (402L, "spam spam casino night spam with enough words to pass the gate"),
+      (403L, "get free money now in this document of enough passing words")),
+      watchDir, "shard.parquet")
+    val cfg = CorpusIngestCli.parse(Seq(watchDir, outDir,
+      "--min-words", "5", "--blocklist", listFile.getAbsolutePath))
+      .toOption.get
+    val n = CorpusIngest.run(spark, cfg)
+    assert(n === 1L)
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(401L))
+  }
 }
