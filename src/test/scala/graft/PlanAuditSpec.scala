@@ -898,4 +898,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       assert(!block.contains("text#"), s"document bodies shuffle:\n$block")
     }
   }
+
+  test("gopher_filters / c4_filters: map-only codegen rulesets — no hash " +
+    "exchange, no UDF; the only exchange is the output ordering") {
+    Seq("gopher_filters", "c4_filters").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle:\n${p.take(2000)}")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q leaked a UDF:\n${p.take(2000)}")
+    }
+  }
+
+  test("url_normalize: map-only column expressions — no hash exchange, " +
+    "no UDF, one scan") {
+    val p = plan("url_normalize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"url_normalize must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("ScalaUDF"), s"UDF leaked:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1,
+      s"more than one scan:\n${p.take(2000)}")
+  }
+
+  test("hll_distinct: registers partial-aggregate map-side; the shuffle " +
+    "carries (group, register, rho), never values") {
+    val p = plan("hll_distinct")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"no map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(2000)}")
+  }
+
+  test("media_near_dup: banded equi-join candidates — no cartesian, no " +
+    "nested-loop pair blow-up") {
+    val p = plan("media_near_dup")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"band join missing:\n${p.take(3000)}")
+  }
+
+  test("collocations: gram folds partial-aggregate; the only nested-loop " +
+    "is the 1-row totals broadcast") {
+    val p = plan("collocations")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n${p.take(2000)}")
+  }
 }
