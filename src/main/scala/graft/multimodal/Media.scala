@@ -225,28 +225,39 @@ object Media {
     }
     def word(s: Column, off1: Int): Column =
       conv(substring(s, off1, 32), 2, 10).cast("long")
-    def hamming(a: Column, b: Column): Column =
-      (bit_count(word(a, 1).bitwiseXOR(word(b, 1))) +
-        bit_count(word(a, 33).bitwiseXOR(word(b, 33)))).cast("long")
-    val banded = phashes.select(col("media_id"), col("phash"),
+    // parse each half into its 32-bit word ONCE per row — the degenerate
+    // regime (near-constant hashes, e.g. mostly-zero dHashes of short
+    // bodies) multiplies candidates quadratically inside a hot bucket,
+    // and re-parsing 32-char strings per CANDIDATE was the dominant cost;
+    // two longs also shuffle narrower than the 64-char string
+    val withWords = phashes.select(col("media_id"), col("phash"),
+      word(col("phash"), 1).as("w_hi"), word(col("phash"), 33).as("w_lo"))
+    val banded = withWords.select(col("media_id"), col("w_hi"), col("w_lo"),
       explode(array(offsets.zipWithIndex.map { case ((off, width), c) =>
         struct(lit(c).as("band_id"),
           substring(col("phash"), off + 1, width).as("band_val"))
       }: _*)).as("b"))
-      .select(col("media_id"), col("phash"), col("b.band_id"), col("b.band_val"))
+      .select(col("media_id"), col("w_hi"), col("w_lo"),
+        col("b.band_id"), col("b.band_val"))
     val bucketSizes = banded.groupBy("band_id", "band_val")
       .agg(count(lit(1)).as("bucket_n"))
     val bounded = banded.join(
       bucketSizes.filter(col("bucket_n") <= maxBucketSize),
       Seq("band_id", "band_val"))
     val l = bounded.select(col("band_id"), col("band_val"),
-      col("media_id").as("media_a"), col("phash").as("ph_a"))
+      col("media_id").as("media_a"), col("w_hi").as("a_hi"), col("w_lo").as("a_lo"))
     val r = bounded.select(col("band_id"), col("band_val"),
-      col("media_id").as("media_b"), col("phash").as("ph_b"))
+      col("media_id").as("media_b"), col("w_hi").as("b_hi"), col("w_lo").as("b_lo"))
     l.join(r, Seq("band_id", "band_val"))
       .filter(col("media_a") < col("media_b"))
-      .withColumn("hamming", hamming(col("ph_a"), col("ph_b")))
+      // a pair agreeing on several bands (the hot-bucket shape agrees on
+      // ALL the constant bands) arrives once per band — dedupe BEFORE the
+      // verify so the xor runs once per pair, not once per agreement
+      .select("media_a", "media_b", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hamming",
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("long"))
       .filter(col("hamming") <= maxDist)
-      .select("media_a", "media_b", "hamming").distinct()
+      .select("media_a", "media_b", "hamming")
   }
 }
