@@ -5944,6 +5944,53 @@ object Queries {
       |FROM r ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // code_fences — fenced-code-block extraction (TextOps.codeFences): one
+  // row per CLOSED fence with language tag, body length and body md5.
+  // Grafts cover tagged fences, untagged fences, tag-only fences,
+  // multiple fences per doc, and an UNCLOSED trailing fence that must
+  // not count.
+  // ---------------------------------------------------------------------
+  def codeFences(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      col("text"),
+      opt(d % 4 === 0, "\n```python\nprint(1)\nprint(2)\n```\nafter text"),
+      opt(d % 6 === 0, "\n```\nplain untagged block\n```\nmore"),
+      opt(d % 10 === 0, "\n```sql\n```\n"),
+      opt(d % 9 === 0, "\n```js\nan unclosed trailing fence"))
+    graft.operators.TextOps.codeFences(
+        t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
+      .orderBy("doc_id", "fence_no")
+  }
+
+  val codeFencesSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text
+      |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '```python' || chr(10) || 'print(1)' || chr(10) || 'print(2)' || chr(10) || '```' || chr(10) || 'after text' ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || '```' || chr(10) || 'plain untagged block' || chr(10) || '```' || chr(10) || 'more' ELSE '' END)
+      |    || (CASE WHEN doc_id % 10 = 0 THEN chr(10) || '```sql' || chr(10) || '```' || chr(10) ELSE '' END)
+      |    || (CASE WHEN doc_id % 9 = 0 THEN chr(10) || '```js' || chr(10) || 'an unclosed trailing fence' ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |p AS (SELECT doc_id, string_split(text, '```') AS parts FROM d),
+      |e AS (SELECT doc_id, parts,
+      |    unnest(generate_series(2, len(parts) - 1, 2)) AS p1
+      |  FROM p WHERE len(parts) >= 3),
+      |f AS (SELECT doc_id, CAST((p1 - 2) / 2 AS BIGINT) AS fence_no,
+      |    parts[p1] AS part FROM e),
+      |g AS (SELECT doc_id, fence_no,
+      |    trim(split_part(part, chr(10), 1)) AS lang,
+      |    CASE WHEN len(part) > len(split_part(part, chr(10), 1))
+      |         THEN substr(part, len(split_part(part, chr(10), 1)) + 2)
+      |         ELSE '' END AS body
+      |  FROM f)
+      |SELECT doc_id, fence_no, lang, CAST(len(body) AS BIGINT) AS n_chars,
+      |  md5(body) AS body_md5
+      |FROM g ORDER BY doc_id, fence_no""".stripMargin
+
+  // ---------------------------------------------------------------------
   // collocations — top-k word bigrams by association lift
   // (LmScore.collocations): phrase mining with the PMI log replaced by
   // exact integer ppm lift, hapaxes cut by min-count 3; corpus reduces
@@ -6360,6 +6407,7 @@ object Queries {
     "blocklist_scan" -> (blocklistScan _),
     "url_normalize" -> (urlNormalize _),
     "collocations" -> (collocations _),
+    "code_fences" -> (codeFences _),
     "nb_lang_classify" -> (nbLangClassify _),
     "markup_strip" -> (markupStrip _),
     "corpus_diff" -> (corpusDiff _),
@@ -6542,6 +6590,7 @@ object Queries {
     "blocklist_scan" -> blocklistScanSql,
     "url_normalize" -> urlNormalizeSql,
     "collocations" -> collocationsSql,
+    "code_fences" -> codeFencesSql,
     "nb_lang_classify" -> nbLangClassifySql,
     "markup_strip" -> markupStripSql,
     "corpus_diff" -> corpusDiffSql,

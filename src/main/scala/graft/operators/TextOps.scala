@@ -985,4 +985,38 @@ object TextOps {
       nKept.as("n_lines_kept"),
       dropReason.as("drop_reason"))
   }
+
+  /** Fenced-code-block extraction from markdown-ish text — the
+    * structured-parsing op a code-model data pipeline runs before
+    * language routing / code-vs-prose mixing: one row per CLOSED fence
+    * `(doc_id, fence_no, lang, n_chars, body_md5)`.
+    *
+    * Semantics (what the oracle replays): split on the ``` marker; a
+    * segment is inside a fence iff it sits between two markers (an
+    * unclosed trailing fence does NOT count); the fence's first line is
+    * the language tag (trimmed, '' when absent), the rest is the body
+    * ('' when the fence is the tag line alone). `fence_no` is the
+    * fence's index among the doc's fence openings, counted over closed
+    * fences only.
+    *
+    * Scale shape: pure column expressions over the split array + one
+    * posexplode — a map-side flatMap, no shuffle of its own; bodies
+    * leave the operator as md5 + length, so downstream grouping never
+    * carries code text. */
+  def codeFences(docs: DataFrame): DataFrame = {
+    val parts = split(col("text"), "```")
+    val langRaw = substring_index(col("part"), "\n", 1)
+    val body = when(length(col("part")) > length(langRaw),
+      col("part").substr(length(langRaw) + lit(2), length(col("part"))))
+      .otherwise(lit(""))
+    docs
+      .select(col("doc_id"), size(parts).as("n_parts"),
+        posexplode(parts).as(Seq("pos", "part")))
+      .filter(col("pos") % 2 === 1 && col("pos") < col("n_parts") - 1)
+      .select(col("doc_id"),
+        ((col("pos") - 1) / 2).cast("long").as("fence_no"),
+        trim(langRaw).as("lang"),
+        length(body).cast("long").as("n_chars"),
+        md5(body).as("body_md5"))
+  }
 }

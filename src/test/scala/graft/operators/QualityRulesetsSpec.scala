@@ -143,4 +143,21 @@ class QualityRulesetsSpec extends AnyFunSuite with SparkSuite {
     assert(m(1L).isNullAt(3))                    // casino no longer blocked
     assert(m(2L).getString(3) === "badword")
   }
+
+  test("codeFences: tagged, untagged, tag-only, multiple and unclosed " +
+    "fences parse to the pinned rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "intro\n```python\nprint(1)\n```\nmiddle\n```\nraw\n```\nend"),
+      (2L, "tag only\n```sql\n```\ndone"),
+      (3L, "unclosed\n```js\nnever ends"),
+      (4L, "no fences at all")).toDF("doc_id", "text")
+    val out = TextOps.codeFences(df).orderBy("doc_id", "fence_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(out === Seq(
+      (1L, 0L, "python", 9L),   // "print(1)\n"
+      (1L, 1L, "", 4L),         // "raw\n"
+      (2L, 0L, "sql", 0L)))     // tag-only -> empty body; 3 and 4 emit none
+  }
 }
