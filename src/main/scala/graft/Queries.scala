@@ -6055,21 +6055,12 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  val urlNormalizeSql: String =
-    """WITH u AS (SELECT doc_id,
-      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://API.Example.COM:443'
-      |          WHEN doc_id % 7 = 0 THEN 'http://www.example.org:80'
-      |          ELSE 'https://Sub.Example.net' END)
-      |    || (CASE WHEN doc_id % 11 = 0 THEN ''
-      |             ELSE '/Dir/' || CAST(doc_id % 50 AS VARCHAR) || '/item' END)
-      |    || (CASE WHEN doc_id % 17 = 0 THEN ''
-      |             WHEN doc_id % 19 = 0 THEN '?utm_source=a&utm_medium=b'
-      |             WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
-      |             ELSE '?z=9&a=1&gclid=g&ref=twitter&utm_campaign=c' END)
-      |    || (CASE WHEN doc_id % 5 = 0 THEN '#Frag' || CAST(doc_id AS VARCHAR)
-      |             ELSE '' END) AS url
-      |  FROM documents),
-      |p AS (SELECT doc_id, url,
+  /** The url-normalization oracle CTE chain: consumes a `u(doc_id, url)`
+    * CTE, yields `t3(doc_id, url, scheme, host, path, query_norm)` —
+    * shared by every URL-keyed oracle so the replay logic has ONE source
+    * of truth. */
+  private val urlOracleChain: String =
+    """p AS (SELECT doc_id, url,
       |    split_part(url, '#', 1) AS fragless,
       |    split_part(split_part(url, '#', 1), '://', 1) AS scheme_raw
       |  FROM u),
@@ -6098,11 +6089,72 @@ object Queries {
       |          AND NOT starts_with(pp, 'fbclid=')
       |          AND NOT starts_with(pp, 'gclid=')
       |          AND NOT starts_with(pp, 'ref=')]), '&'), '') AS query_norm
-      |  FROM t2)
+      |  FROM t2)""".stripMargin
+
+  val urlNormalizeSql: String =
+    s"""WITH u AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://API.Example.COM:443'
+      |          WHEN doc_id % 7 = 0 THEN 'http://www.example.org:80'
+      |          ELSE 'https://Sub.Example.net' END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN ''
+      |             ELSE '/Dir/' || CAST(doc_id % 50 AS VARCHAR) || '/item' END)
+      |    || (CASE WHEN doc_id % 17 = 0 THEN ''
+      |             WHEN doc_id % 19 = 0 THEN '?utm_source=a&utm_medium=b'
+      |             WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |             ELSE '?z=9&a=1&gclid=g&ref=twitter&utm_campaign=c' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '#Frag' || CAST(doc_id AS VARCHAR)
+      |             ELSE '' END) AS url
+      |  FROM documents),
+      |$urlOracleChain
       |SELECT doc_id, url, scheme, host, path, query_norm,
       |  scheme || '://' || host || path ||
       |  (CASE WHEN query_norm != '' THEN '?' || query_norm ELSE '' END) AS url_norm
       |FROM t3 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_url — URL-keyed exact dedup (the C4 page-dedup shape): two
+  // spellings of one page (mixed case, default port, tracking params,
+  // param order, fragment) collapse to ONE canonical key via
+  // UrlOps.normalize, then keep-min-doc_id per key. %5 docs gain a messy
+  // twin (id + 1000000); paths collide on doc_id % 40, so groups also
+  // form organically.
+  // ---------------------------------------------------------------------
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val clean = concat(lit("https://example.com/page/"),
+      (d % 40).cast("string"), lit("?a=1&b=2"))
+    val messy = concat(lit("HTTPS://EXAMPLE.COM:443/page/"),
+      (d % 40).cast("string"), lit("?b=2&a=1&utm_source=x#frag"))
+    val base = t(s, dir, "documents").select(d, clean.as("url"))
+    val twins = t(s, dir, "documents").filter(d % 5 === 0)
+      .select((d + 1000000L).as("doc_id"), messy.as("url"))
+    val rows = base.unionByName(twins)
+    val (scheme, host, path, queryNorm, urlNorm) =
+      graft.operators.UrlOps.normalize(col("url"))
+    rows.select(col("doc_id"), urlNorm.as("url_norm"))
+      .groupBy("url_norm")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min("doc_id").as("kept_doc"))
+      .orderBy("url_norm")
+  }
+
+  val dedupUrlSql: String =
+    s"""WITH u AS (
+      |  SELECT doc_id,
+      |    'https://example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+      |      || '?a=1&b=2' AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    'HTTPS://EXAMPLE.COM:443/page/' || CAST(doc_id % 40 AS VARCHAR)
+      |      || '?b=2&a=1&utm_source=x#frag' AS url
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |$urlOracleChain
+      |SELECT scheme || '://' || host || path ||
+      |    (CASE WHEN query_norm != '' THEN '?' || query_norm ELSE '' END) AS url_norm,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS kept_doc
+      |FROM t3 GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // blocklist_scan — the Aho–Corasick multi-pattern blocklist audit
@@ -6408,6 +6460,7 @@ object Queries {
     "url_normalize" -> (urlNormalize _),
     "collocations" -> (collocations _),
     "code_fences" -> (codeFences _),
+    "dedup_url" -> (dedupUrl _),
     "nb_lang_classify" -> (nbLangClassify _),
     "markup_strip" -> (markupStrip _),
     "corpus_diff" -> (corpusDiff _),
@@ -6591,6 +6644,7 @@ object Queries {
     "url_normalize" -> urlNormalizeSql,
     "collocations" -> collocationsSql,
     "code_fences" -> codeFencesSql,
+    "dedup_url" -> dedupUrlSql,
     "nb_lang_classify" -> nbLangClassifySql,
     "markup_strip" -> markupStripSql,
     "corpus_diff" -> corpusDiffSql,
