@@ -6112,6 +6112,58 @@ object Queries {
       |FROM t3 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cc_mask — Luhn-validated credit-card masking (TextOps.ccMask): the
+  // validate-BEFORE-masking PII discipline. Grafts cover a valid Visa
+  // test number, an invalid 16-digit order id that must NOT mask, a
+  // 20-digit run that is no candidate at all, and a second valid card
+  // so multi-card docs fold both.
+  // ---------------------------------------------------------------------
+  def ccMask(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      col("text"),
+      opt(d % 6 === 0, " card 4111111111111111 ok"),
+      opt(d % 8 === 0, " order 1234567890123456 ref"),
+      opt(d % 9 === 0, " tracking 12345678901234567890 long"),
+      opt(d % 15 === 0, " alt 5500005555555559 end"))
+    val (masked, nValid, nCands) =
+      graft.operators.TextOps.ccMask(col("text"))
+    t(s, dir, "documents").select(d, grafted.as("text"))
+      .select(col("doc_id"), nValid.as("n_cc_valid"),
+        nCands.as("n_candidates"), md5(masked).as("masked_hash"))
+      .orderBy("doc_id")
+  }
+
+  val ccMaskSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text
+      |    || (CASE WHEN doc_id % 6 = 0 THEN ' card 4111111111111111 ok' ELSE '' END)
+      |    || (CASE WHEN doc_id % 8 = 0 THEN ' order 1234567890123456 ref' ELSE '' END)
+      |    || (CASE WHEN doc_id % 9 = 0 THEN ' tracking 12345678901234567890 long' ELSE '' END)
+      |    || (CASE WHEN doc_id % 15 = 0 THEN ' alt 5500005555555559 end' ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id, text,
+      |    [cc for cc in regexp_extract_all(text, '[0-9]+') if len(cc) = 16] AS cands
+      |  FROM d),
+      |v AS (SELECT doc_id, text, cands,
+      |    [cc for cc in cands if
+      |       list_sum([CASE WHEN i % 2 = 1
+      |           THEN (CASE WHEN CAST(substr(cc, CAST(i AS INT), 1) AS INT) > 4
+      |                 THEN CAST(substr(cc, CAST(i AS INT), 1) AS INT) * 2 - 9
+      |                 ELSE CAST(substr(cc, CAST(i AS INT), 1) AS INT) * 2 END)
+      |           ELSE CAST(substr(cc, CAST(i AS INT), 1) AS INT) END
+      |          for i in generate_series(1, 16)]) % 10 = 0] AS valid
+      |  FROM c)
+      |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_cc_valid,
+      |  CAST(len(cands) AS BIGINT) AS n_candidates,
+      |  md5(list_reduce(list_prepend(text, valid),
+      |      (acc, cc) -> replace(acc, cc, '<CC>'))) AS masked_hash
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dedup_url — URL-keyed exact dedup (the C4 page-dedup shape): two
   // spellings of one page (mixed case, default port, tracking params,
   // param order, fragment) collapse to ONE canonical key via
@@ -6461,6 +6513,7 @@ object Queries {
     "collocations" -> (collocations _),
     "code_fences" -> (codeFences _),
     "dedup_url" -> (dedupUrl _),
+    "cc_mask" -> (ccMask _),
     "nb_lang_classify" -> (nbLangClassify _),
     "markup_strip" -> (markupStrip _),
     "corpus_diff" -> (corpusDiff _),
@@ -6645,6 +6698,7 @@ object Queries {
     "collocations" -> collocationsSql,
     "code_fences" -> codeFencesSql,
     "dedup_url" -> dedupUrlSql,
+    "cc_mask" -> ccMaskSql,
     "nb_lang_classify" -> nbLangClassifySql,
     "markup_strip" -> markupStripSql,
     "corpus_diff" -> corpusDiffSql,

@@ -290,6 +290,38 @@ object TextOps {
     (masked, nEmails, nIps)
   }
 
+  /** Luhn-validated credit-card masking — the validate-BEFORE-masking PII
+    * discipline: a candidate is a MAXIMAL 16-digit run (a 16-digit window
+    * inside a longer number is not a card), and it masks to `<CC>` only
+    * when its Luhn checksum holds — order ids and random digit runs stay,
+    * so redaction never mutilates non-PII text.
+    *
+    * Columns over `text`: `(masked, n_valid, n_candidates)`. Lookarounds
+    * are avoided on purpose (RE2 engines lack them): maximal runs come
+    * from `[0-9]+` extraction filtered to length 16, replayable on any
+    * engine. The Luhn fold and the masking fold are higher-order column
+    * functions bounded by the per-doc candidate count — still a map-only
+    * pass, no shuffle, no UDF. */
+  def ccMask(text: Column): (Column, Column, Column) = {
+    val cands = filter(
+      regexp_extract_all(text, lit("[0-9]+"), lit(0)),
+      c => length(c) === 16)
+    // Luhn over a fixed 16-length string: 1-based odd positions double
+    // (digit > 4 folds back by 9); valid iff the sum is 0 mod 10
+    def digit(c: Column, i: Column): Column =
+      c.substr(i, lit(1)).cast("int")
+    def term(c: Column, i: Column): Column =
+      when(i % 2 === 1,
+        when(digit(c, i) > 4, digit(c, i) * 2 - 9).otherwise(digit(c, i) * 2))
+        .otherwise(digit(c, i))
+    val valid = filter(cands, c =>
+      aggregate(sequence(lit(1), lit(16)), lit(0),
+        (acc, i) => acc + term(c, i)) % 10 === 0)
+    val masked = aggregate(valid, text,
+      (acc, c) => call_function("replace", acc, c, lit("<CC>")))
+    (masked, size(valid).cast("long"), size(cands).cast("long"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with an eval split (doc_id ≡ 0 mod `evalMod`). Real pipelines
     * use 8–13-grams; the fixture's small vocabulary makes n=3 the

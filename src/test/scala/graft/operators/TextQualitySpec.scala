@@ -154,4 +154,24 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
       assert(toks.sum <= 128L || toks.length === 1, s"bin $bin overflows: $toks")
     }
   }
+
+  test("ccMask: Luhn-valid cards mask, invalid runs and long runs stay") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "pay 4111111111111111 now"),                 // valid Visa test
+      (2L, "order 1234567890123456 shipped"),           // fails Luhn
+      (3L, "track 12345678901234567890 pkg"),           // 20 digits: no candidate
+      (4L, "two 4111111111111111 and 5500005555555559"),// both valid
+      (5L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val (masked, nValid, nCands) = TextOps.ccMask(col("text"))
+    val out = df.select(col("doc_id"), masked.as("m"), nValid, nCands)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("pay <CC> now", 1L, 1L)))
+    assert(out(2L) === (("order 1234567890123456 shipped", 0L, 1L)))
+    assert(out(3L) === (("track 12345678901234567890 pkg", 0L, 0L)))
+    assert(out(4L) === (("two <CC> and <CC>", 2L, 2L)))
+    assert(out(5L) === (("no digits at all", 0L, 0L)))
+  }
 }
