@@ -60,7 +60,8 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     `--pieces-out` (the SentencePiece-slot segmentation table — the
   *     fertility A/B against BPE), `--manifest-by`/`--manifest-out`
   *     (mixture plan), `--drift-against`/`--drift-out` (token drift vs a
-  *     prior snapshot). Formats: parquet (default), jsonl (exchange),
+  *     prior snapshot), `--epochs`/`--epochs-out` (the seeded per-epoch
+  *     training orders). Formats: parquet (default), jsonl (exchange),
   *     orc (columnar alternative) on both endpoints.
   *
   * Both endpoints speak live databases (the reference's native shape): a
@@ -544,6 +545,20 @@ object CorpusClean {
         graft.operators.Mixture
           .manifest(writtenSurvivors().join(keys, Seq("doc_id")), col(mcol))
           .write.mode("overwrite").parquet(md)
+      case _ => ()
+    }
+    // epoch-shuffle plan: the per-epoch training orders over what
+    // SHIPPED — seeded permutations, so a resumed job re-materializes
+    // the identical schedule from nothing but the epoch number
+    (cfg.epochs, cfg.epochsOut) match {
+      case (Some(ne), Some(ed)) =>
+        val ids = writtenSurvivors().select(col("doc_id"))
+        (1 to ne).map { e =>
+            graft.operators.Splits.epochShuffle(ids, e.toLong)
+              .withColumn("epoch", lit(e.toLong))
+          }
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").partitionBy("epoch").parquet(ed)
       case _ => ()
     }
     // token drift: the shipped corpus vs the persisted prior snapshot

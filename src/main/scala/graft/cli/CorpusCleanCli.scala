@@ -136,6 +136,12 @@ case class CorpusCleanConfig(
     // movers table to --drift-out (token_drift's shape)
     driftAgainst: Option[String] = None,
     driftOut: Option[String] = None,
+    // deterministic epoch-shuffle plan: write the (epoch, doc_id, draw,
+    // pos) training-order tables for epochs 1..N over the SHIPPED
+    // survivors to --epochs-out (Splits.epochShuffle — a seeded
+    // permutation, zero stored randomness); both flags together
+    epochs: Option[Int] = None,
+    epochsOut: Option[String] = None,
     // output format: parquet (default, split/shard become partition
     // dirs) or jsonl (the exchange format — one object per line, every
     // delivered column a JSON field, split/shard included as fields)
@@ -266,6 +272,12 @@ object CorpusCleanCli {
         case "--manifest-out" :: v :: t => c = c.copy(manifestOut = Some(v)); rest = t
         case "--drift-against" :: v :: t => c = c.copy(driftAgainst = Some(v)); rest = t
         case "--drift-out" :: v :: t => c = c.copy(driftOut = Some(v)); rest = t
+        case "--epochs" :: v :: t =>
+          intArg(v, "--epochs") match {
+            case Right(i) => c = c.copy(epochs = Some(i)); rest = t
+            case Left(e) => return Left(e)
+          }
+        case "--epochs-out" :: v :: t => c = c.copy(epochsOut = Some(v)); rest = t
         case "--in-table" :: v :: t => c = c.copy(inTable = Some(v)); rest = t
         case "--out-table" :: v :: t => c = c.copy(outTable = Some(v)); rest = t
         case "--in-chunks" :: v :: t =>
@@ -299,7 +311,8 @@ object CorpusCleanCli {
     "--split-by", "--shards", "--stage-dir", "--stats-file",
     "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
-    "--drift-against", "--drift-out", "--in-table", "--in-chunks",
+    "--drift-against", "--drift-out", "--epochs", "--epochs-out",
+    "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
     "--check-merges", "--unigram", "--pieces-out", "--host-cap",
     "--host-key", "--blocklist")
@@ -333,6 +346,10 @@ object CorpusCleanCli {
       Left(s"--bpe must be >= 1, got ${c.bpeMerges.get}")
     else if (c.bpeMerges.isDefined != c.mergesOut.isDefined)
       Left("--bpe and --merges-out must be given together")
+    else if (c.epochs.exists(_ < 1))
+      Left(s"--epochs must be >= 1, got ${c.epochs.get}")
+    else if (c.epochs.isDefined != c.epochsOut.isDefined)
+      Left("--epochs and --epochs-out must be given together")
     else if (c.unigramTopV.exists(_ < 1))
       Left(s"--unigram must be >= 1, got ${c.unigramTopV.get}")
     else if (c.unigramTopV.isDefined != c.piecesOut.isDefined)

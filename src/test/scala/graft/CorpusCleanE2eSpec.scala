@@ -813,6 +813,42 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(kept === all.diff(flagged))
   }
 
+  test("--epochs/--epochs-out write the seeded per-epoch training orders " +
+    "over the shipped survivors") {
+    val inDir = tmp("cc_ep_in")
+    val outDir = tmp("cc_ep_out")
+    val epDir = tmp("cc_ep_plan")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(inDir)
+    CorpusClean.run(spark, CorpusCleanCli.parse(
+      Seq(inDir, outDir, "--no-lang-gate", "--min-words", "0",
+        "--min-span", "0", "--no-near-dup",
+        "--epochs", "2", "--epochs-out", epDir)).toOption.get)
+    val plan = spark.read.parquet(epDir)
+    val shipped = spark.read.parquet(outDir).select("doc_id")
+    // two epochs, each a full permutation of the shipped survivors
+    // partition-dir columns read back as int
+    assert(plan.select(col("epoch").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    val n = shipped.count()
+    (1L to 2L).foreach { e =>
+      val ep = plan.filter(col("epoch") === e)
+      assert(ep.count() === n)
+      val want = graft.operators.Splits.epochShuffle(shipped, e)
+        .orderBy("pos").collect().map(_.toSeq).toSeq
+      val got = ep.select("doc_id", "draw", "pos").orderBy("pos")
+        .collect().map(_.toSeq).toSeq
+      assert(got === want, s"epoch $e order mismatch")
+    }
+    // the two epochs are genuinely different orders
+    val o1 = plan.filter(col("epoch") === 1L).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o2 = plan.filter(col("epoch") === 2L).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(o1 !== o2)
+  }
+
   test("--host-cap keeps at most N docs per --host-key value, matching " +
     "the host_cap query's md5 draw") {
     val inDir = tmp("cc_hc_in")
