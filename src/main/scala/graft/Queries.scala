@@ -1616,6 +1616,39 @@ object Queries {
        |FROM ex CROSS JOIN e""".stripMargin
 
   // ---------------------------------------------------------------------
+  // hll_persisted — the PRODUCTION form of the HLL family: the per-type
+  // register tables are WRITTEN once (the nightly sketch-build job) and
+  // every estimate afterwards — per-type AND the max-merged global row —
+  // is answered from the register FILES alone; the returned plan
+  // contains no events scan at all (pinned in PlanAuditSpec). 64 rows
+  // per group is the entire standing state.
+  // ---------------------------------------------------------------------
+  def hllPersisted(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val regs = StageStore.materialize(
+      graft.operators.Sketches.hllRegisters(ev, "event_type", col("user_id")),
+      s"hll_regs_${StageStore.dirTag(dir)}")
+    graft.operators.Sketches.hllEstimate(regs)
+      .unionByName(graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllMergeRegisters(regs, lit("ALL"))))
+      .orderBy("g")
+  }
+
+  val hllPersistedSql: String =
+    s"""WITH $hllRegSql,
+       |u AS (SELECT event_type AS g, register, m_j FROM reg
+       |      UNION ALL
+       |      SELECT 'ALL' AS g, register, MAX(m_j) AS m_j
+       |      FROM reg GROUP BY 2),
+       |e AS (SELECT g, CAST(64 - COUNT(*) AS BIGINT) AS n_zero,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(47 - m_j AS INT))
+       |         + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 47) AS BIGINT) AS z_num
+       |  FROM u GROUP BY 1)
+       |SELECT g, n_zero, z_num,
+       |  CAST(408983141160583168 AS DOUBLE) / CAST(z_num AS DOUBLE) AS est
+       |FROM e ORDER BY g""".stripMargin
+
+  // ---------------------------------------------------------------------
   // distinct_kmv_merge — KMV sketch ALGEBRA (Sketches.kmvMergeDistinct):
   // the union-cardinality estimate computed purely from two precomputed
   // per-segment sketches (the k smallest hashes of A ∪ B are a subset of
@@ -6508,6 +6541,7 @@ object Queries {
     "media_near_dup" -> (mediaNearDup _),
     "hll_distinct" -> (hllDistinct _),
     "hll_merge" -> (hllMerge _),
+    "hll_persisted" -> (hllPersisted _),
     "blocklist_scan" -> (blocklistScan _),
     "url_normalize" -> (urlNormalize _),
     "collocations" -> (collocations _),
@@ -6693,6 +6727,7 @@ object Queries {
     "media_near_dup" -> mediaNearDupSql,
     "hll_distinct" -> hllDistinctSql,
     "hll_merge" -> hllMergeSql,
+    "hll_persisted" -> hllPersistedSql,
     "blocklist_scan" -> blocklistScanSql,
     "url_normalize" -> urlNormalizeSql,
     "collocations" -> collocationsSql,

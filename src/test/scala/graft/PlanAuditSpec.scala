@@ -943,4 +943,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
     assert(p.contains("partial_sum"), s"no map-side combine:\n${p.take(2000)}")
   }
+
+  test("hll_persisted: answered from register files alone — no events scan") {
+    val df = SparkEntry.queries("hll_persisted")(spark, sf)
+    val p = planFullPaths(df)
+    assert(p.contains("graft_stage_") && p.contains("hll_regs_"),
+      s"register files not in the plan:\n${p.take(3000)}")
+    assert(!p.contains("events.parquet"),
+      s"events scanned — the sketch files should answer alone:\n${p.take(3000)}")
+  }
 }
