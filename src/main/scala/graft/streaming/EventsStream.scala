@@ -309,6 +309,51 @@ object EventsStream {
       }
   }
 
+  case class HllState(regs: Seq[(Long, Long)])
+  case class HllEstimate(g: String, n_zero: Long, z_num: Long, est: Double)
+
+  /** STREAMING HyperLogLog: the 64-register sketch maintained per group
+    * with mapGroupsWithState — each micro-batch max-folds its rows'
+    * (register, rho) draws into the state (≤ 64 entries per group
+    * regardless of stream length or cardinality; the state IS the
+    * mergeable register table). Hash derivation and the integer
+    * estimate are identical to the batch [[graft.operators.Sketches]]
+    * family, and HLL's fold is max-per-register — a pure function of
+    * the SET of values seen — so the final streamed estimates equal
+    * [[graft.operators.Sketches.hllDistinct]] bit-for-bit (pinned in
+    * EventsStreamSpec). */
+  def hllDistinctStreaming(events: DataFrame, group: String,
+      valueCol: String): Dataset[HllEstimate] = {
+    import events.sparkSession.implicits._
+    val rows = events
+      .filter(col(valueCol).isNotNull)
+      .select(col(group).cast("string").as("g"),
+        conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
+          .cast("long").as("hv"))
+      .as[(String, Long)]
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, Long)],
+         state: GroupState[HllState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(s => m ++= s.regs)
+          it.foreach { case (_, hv) =>
+            val reg = hv % 64L
+            val w = hv >>> 6
+            val rho =
+              if (w == 0L) 47L
+              else 47L - (64L - java.lang.Long.numberOfLeadingZeros(w))
+            if (m.getOrElse(reg, 0L) < rho) m(reg) = rho
+          }
+          state.update(HllState(m.toSeq))
+          val occ = m.size.toLong
+          val zNum = m.valuesIterator.map(r => 1L << (47 - r)).sum +
+            (64L - occ) * (1L << 47)
+          HllEstimate(g, 64L - occ, zNum,
+            (2906L * (1L << 47)).toDouble / zNum.toDouble)
+      }
+  }
+
   /** Per-user sessionization with a custom state machine
     * (flatMapGroupsWithState): a session closes when a subsequent event
     * arrives more than `gapMinutes` after the last one. */

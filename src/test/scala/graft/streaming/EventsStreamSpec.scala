@@ -63,6 +63,36 @@ class EventsStreamSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("hllDistinctStreaming: final streamed estimates equal the batch " +
+    "sketch bit-for-bit") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("grp", "v")
+    val q = EventsStream.hllDistinctStreaming(df, "grp", "v").writeStream
+      .format("memory").queryName("hll_stream").outputMode("update").start()
+    try {
+      input.addData((1L to 300L).map(i => ("a", i * 31L)): _*)
+      q.processAllAvailable()
+      input.addData((150L to 600L).map(i => ("a", i * 31L)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(("b", 7L), ("b", 9L), ("b", 7L)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (g, rows) => g -> rows.last._2 }
+      val batchData = ((1L to 600L).map(i => ("a", i * 31L)) ++
+        Seq(("b", 7L), ("b", 9L))).toDF("grp", "v")
+      val batch = graft.operators.Sketches
+        .hllDistinct(batchData, "grp", org.apache.spark.sql.functions.col("v"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      assert(streamed("a") === batch("a"))
+      assert(streamed("b") === batch("b"))
+    } finally q.stop()
+  }
+
   test("kmvDistinctStreaming: final streamed estimates equal the batch sketch") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
