@@ -79,6 +79,19 @@ object CorpusStats {
     }
     val dupPpm = if (totalGrams == 0L) 0L else dupPos * 1000000L / totalGrams
 
+    // quality-ruleset rates (the gopher_filters / c4_filters signals as
+    // corpus-level audit numbers): one map-only pass each
+    val gopherPass = graft.operators.TextOps.gopherQuality(docs)
+      .agg(sum(when(col("passes"), 1L).otherwise(0L)).cast("long")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val c4Reasons = graft.operators.TextOps.c4Clean(docs)
+      .groupBy(coalesce(col("drop_reason"), lit("kept")).as("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("reason"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
     val langs = graft.operators.TextOps.langId(docs)
       .groupBy("lang_pred").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("lang_pred"))
@@ -102,6 +115,9 @@ object CorpusStats {
     s"""{"n_docs": $nDocs, "n_chars": $nChars, "n_tokens": $nTokens, """ +
       s""""vocab": $vocab, "exact_dup_docs": $dupDocs, """ +
       s""""dup_gram_ppm": $dupPpm, """ +
+      s""""gopher_pass": $gopherPass, "c4": ${
+        c4Reasons.map { case (rn, n) => s"${jStr(rn)}: $n" }
+          .mkString("{", ", ", "}")}, """ +
       s""""top_tokens": $topJson, "langs": $langJson$diffJson}"""
   }
 }

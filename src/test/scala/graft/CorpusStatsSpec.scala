@@ -55,6 +55,18 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSuite {
       .orderBy(col("c").desc, col("t")).limit(3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(topTokens === want)
+    // quality-ruleset rates match the operators directly
+    assert(field("gopher_pass") ===
+      graft.operators.TextOps.gopherQuality(docs)
+        .filter(col("passes")).count())
+    val c4Want = graft.operators.TextOps.c4Clean(docs)
+      .groupBy(coalesce(col("drop_reason"), lit("kept")).as("r"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c4Sect = json.substring(json.indexOf("\"c4\""))
+    c4Want.foreach { case (rn, n) =>
+      assert(c4Sect.contains(s""""$rn": $n"""), s"c4 $rn missing: $c4Sect")
+    }
     // langs section covers every doc exactly once
     val langTotal = """"[a-z?]+": (\d+)""".r.findAllMatchIn(
       json.substring(json.indexOf("\"langs\""))).map(_.group(1).toLong).sum
