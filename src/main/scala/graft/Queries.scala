@@ -5917,6 +5917,78 @@ object Queries {
       |FROM s ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // gopher_repetition — the MassiveText REPETITION rules (Rae et al.
+  // 2021 §A1.1), completing gopher_filters: duplicate line/paragraph
+  // fractions by count and by CHAR mass, the top-bigram char fraction,
+  // and the combined verdict at the paper's thresholds as integer
+  // cross-products. Grafts plant dup lines (%3), dup paragraphs (%5)
+  // and a dominant bigram (%7) so every rule fires both ways.
+  // ---------------------------------------------------------------------
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      col("text"),
+      opt(d % 3 === 0,
+        "\nrepeat me please now\nrepeat me please now\nrepeat me please now"),
+      opt(d % 5 === 0, "\n\nPARA block one\n\nPARA block one"),
+      opt(d % 7 === 0, " " + Seq.fill(25)("the cat").mkString(" ")))
+    graft.operators.TextOps.gopherRepetition(
+        t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
+      .orderBy("doc_id")
+  }
+
+  val gopherRepetitionSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text
+      |    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'repeat me please now' || chr(10) || 'repeat me please now' || chr(10) || 'repeat me please now' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || 'PARA block one' || chr(10) || chr(10) || 'PARA block one' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ' ' || array_to_string([('the cat') for i in generate_series(1, 25)], ' ') ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id,
+      |    CAST(len(parts) AS BIGINT) AS n_lines,
+      |    CAST(len(parts) - len(list_distinct(parts)) AS BIGINT) AS dup_lines,
+      |    CAST(COALESCE(list_sum([len(p) for p in parts]), 0) AS BIGINT) AS line_chars,
+      |    CAST(COALESCE(list_sum([len(p) for p in parts]), 0)
+      |       - COALESCE(list_sum([len(p) for p in list_distinct(parts)]), 0) AS BIGINT) AS dup_line_chars
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d)),
+      |pr AS (SELECT doc_id,
+      |    CAST(len(parts) AS BIGINT) AS n_paras,
+      |    CAST(len(parts) - len(list_distinct(parts)) AS BIGINT) AS dup_paras,
+      |    CAST(COALESCE(list_sum([len(p) for p in parts]), 0) AS BIGINT) AS para_chars,
+      |    CAST(COALESCE(list_sum([len(p) for p in parts]), 0)
+      |       - COALESCE(list_sum([len(p) for p in list_distinct(parts)]), 0) AS BIGINT) AS dup_para_chars
+      |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM d)),
+      |ch AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars FROM d),
+      |bg AS (SELECT doc_id,
+      |    unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d)
+      |  WHERE len(ws) >= 2),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+      |tp AS (SELECT doc_id, CAST(cnt * len(bg) AS BIGINT) AS top_cov,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rk
+      |  FROM bc),
+      |t1 AS (SELECT doc_id, top_cov FROM tp WHERE rk = 1),
+      |j AS (SELECT l.doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
+      |    n_paras, dup_paras, para_chars, dup_para_chars, n_chars,
+      |    COALESCE(top_cov, 0) AS top_cov
+      |  FROM l JOIN pr USING (doc_id) JOIN ch USING (doc_id)
+      |  LEFT JOIN t1 USING (doc_id))
+      |SELECT doc_id,
+      |  CASE WHEN n_lines > 0 THEN CAST(dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+      |  CASE WHEN line_chars > 0 THEN CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) ELSE 0.0 END AS dup_line_char_frac,
+      |  CASE WHEN n_paras > 0 THEN CAST(dup_paras AS DOUBLE) / CAST(n_paras AS DOUBLE) ELSE 0.0 END AS dup_para_frac,
+      |  CASE WHEN para_chars > 0 THEN CAST(dup_para_chars AS DOUBLE) / CAST(para_chars AS DOUBLE) ELSE 0.0 END AS dup_para_char_frac,
+      |  CASE WHEN n_chars > 0 THEN CAST(top_cov AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS top_bigram_char_frac,
+      |  (dup_lines * 10 <= n_lines * 3 AND dup_paras * 10 <= n_paras * 3
+      |   AND dup_line_chars * 5 <= line_chars
+      |   AND dup_para_chars * 5 <= para_chars
+      |   AND top_cov * 5 <= n_chars) AS passes
+      |FROM j ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // c4_filters — the C4 page-cleaning ruleset (Raffel et al. 2020 §2.2):
   // retain lines ending in terminal punctuation with >= 5 words and no
   // "javascript"; drop pages with a blocklist word, "lorem ipsum", a
@@ -6582,6 +6654,7 @@ object Queries {
     "ann_rp" -> (annRp _),
     "quality_gate_audit" -> (qualityGateAudit _),
     "gopher_filters" -> (gopherFilters _),
+    "gopher_repetition" -> (gopherRepetition _),
     "epoch_shuffle" -> (epochShuffle _),
     "c4_filters" -> (c4Filters _)
   )
@@ -6768,6 +6841,7 @@ object Queries {
     "ann_rp" -> annRpSql,
     "quality_gate_audit" -> qualityGateAuditSql,
     "gopher_filters" -> gopherFiltersSql,
+    "gopher_repetition" -> gopherRepetitionSql,
     "epoch_shuffle" -> epochShuffleSql,
     "c4_filters" -> c4FiltersSql
   )

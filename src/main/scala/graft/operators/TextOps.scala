@@ -1018,6 +1018,79 @@ object TextOps {
       dropReason.as("drop_reason"))
   }
 
+  /** The Gopher/MassiveText REPETITION rules (Rae et al. 2021 §A1.1,
+    * completing [[gopherQuality]]'s document rules): per doc,
+    *  - duplicate line / paragraph fraction (lines beyond their first
+    *    occurrence over all lines; paragraphs split on a blank line),
+    *  - duplicate line / paragraph CHARACTER fraction (char mass of the
+    *    repeat occurrences over all line/paragraph chars),
+    *  - top word-2-gram character fraction (chars covered by the most
+    *    frequent bigram — count × bigram length over doc chars; ties
+    *    break lexicographically so the mode is deterministic),
+    * plus the combined verdict at the paper's thresholds (0.30 / 0.30 /
+    * 0.20 / 0.20 / 0.20), compared as integer cross-products — never
+    * floating-point ratios; the emitted fractions are each ONE IEEE
+    * division of exact integers.
+    *
+    * Scale shape: the line/paragraph signals are map-only array
+    * expressions (per-doc distinct folds, bounded by the doc); the
+    * bigram mode is one explode → partial-counted groupBy → per-doc
+    * window over the REDUCED (doc, bigram, cnt) table — the only
+    * exchange, keyed on doc_id. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    def dupStats(sep: String): (Column, Column, Column, Column) = {
+      val parts = split(col("text"), sep)
+      val n = size(parts).cast("long")
+      val nDup = (n - size(array_distinct(parts))).cast("long")
+      val chars = aggregate(parts, lit(0L), (acc, p) => acc + length(p))
+      val distinctChars =
+        aggregate(array_distinct(parts), lit(0L), (acc, p) => acc + length(p))
+      (n, nDup, chars, chars - distinctChars)
+    }
+    val (nLines, dupLines, lineChars, dupLineChars) = dupStats("\n")
+    val (nParas, dupParas, paraChars, dupParaChars) = dupStats("\n\n")
+    val base = docs.select(col("doc_id"), col("text"),
+      nLines.as("n_lines"), dupLines.as("dup_lines"),
+      lineChars.as("line_chars"), dupLineChars.as("dup_line_chars"),
+      nParas.as("n_paras"), dupParas.as("dup_paras"),
+      paraChars.as("para_chars"), dupParaChars.as("dup_para_chars"),
+      length(col("text")).cast("long").as("n_chars"))
+    // top word-2-gram by (count desc, bigram asc) per doc
+    val words = split(col("text"), " ")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val top = {
+      import org.apache.spark.sql.expressions.Window
+      docs.select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("cnt").desc, col("bg"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"),
+          (col("cnt") * length(col("bg"))).cast("long").as("top_cov"))
+    }
+    val j = base.join(top, Seq("doc_id"), "left")
+      .withColumn("top_cov", coalesce(col("top_cov"), lit(0L)))
+    val passes =
+      col("dup_lines") * 10L <= col("n_lines") * 3L &&
+      col("dup_paras") * 10L <= col("n_paras") * 3L &&
+      col("dup_line_chars") * 5L <= col("line_chars") &&
+      col("dup_para_chars") * 5L <= col("para_chars") &&
+      col("top_cov") * 5L <= col("n_chars")
+    def frac(num: Column, den: Column): Column =
+      when(den > 0L, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    j.select(col("doc_id"),
+      frac(col("dup_lines"), col("n_lines")).as("dup_line_frac"),
+      frac(col("dup_line_chars"), col("line_chars")).as("dup_line_char_frac"),
+      frac(col("dup_paras"), col("n_paras")).as("dup_para_frac"),
+      frac(col("dup_para_chars"), col("para_chars")).as("dup_para_char_frac"),
+      frac(col("top_cov"), col("n_chars")).as("top_bigram_char_frac"),
+      passes.as("passes"))
+  }
+
   /** Fenced-code-block extraction from markdown-ish text — the
     * structured-parsing op a code-model data pipeline runs before
     * language routing / code-vs-prose mixing: one row per CLOSED fence

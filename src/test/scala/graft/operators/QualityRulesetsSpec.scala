@@ -160,4 +160,31 @@ class QualityRulesetsSpec extends AnyFunSuite with SparkSuite {
       (1L, 1L, "", 4L),         // "raw\n"
       (2L, 0L, "sql", 0L)))     // tag-only -> empty body; 3 and 4 emit none
   }
+
+  test("gopherRepetition: each repetition rule pinned with a doc failing " +
+    "it alone") {
+    import spark.implicits._
+    val cleanLine = (i: Int) => s"alpha$i beta$i gamma$i delta$i epsilon$i"
+    val clean = (1 to 10).map(cleanLine).mkString("\n")
+    val df = Seq(
+      1L -> clean,                                           // passes all
+      // 4 of 10 lines duplicated -> dup_line_frac 0.4 > 0.3
+      2L -> ((1 to 6).map(cleanLine) ++ Seq.fill(4)(cleanLine(1)))
+        .mkString("\n"),
+      // dup paragraphs: 2 of 4 are repeats -> 0.5 > 0.3
+      3L -> Seq("para one body", "para two body", "para one body",
+        "para one body").mkString("\n\n"),
+      // dominant bigram: "x y" repeated covers most chars
+      4L -> Seq.fill(30)("x y").mkString(" ")
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRepetition(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(6))
+    assert(!out(2L).getBoolean(6) && out(2L).getDouble(1) === 0.4)
+    assert(!out(3L).getBoolean(6) && out(3L).getDouble(3) === 0.5)
+    assert(!out(4L).getBoolean(6))
+    // doc 4: top bigram "x y" (3 chars) appears 30x? positions 1..59
+    // bigrams alternate "x y"/"y x": "x y" 30, "y x" 29 -> cov 90/119
+    assert(out(4L).getDouble(5) === 90.0 / 119.0)
+  }
 }
