@@ -199,15 +199,20 @@ object CorpusClean {
         graft.operators.TextOps.textStats(base)
           .filter(col("n_words") >= cfg.minWords).select("doc_id"),
         Seq("doc_id"), "left_semi")
-    // Gopher quality verdict (`--gopher`, Rae et al. 2021 §A1.1): the
-    // MassiveText ruleset as one more codegen filter among the gates —
-    // integer-cross-product verdicts, zero shuffle of its own
+    // Gopher verdicts (`--gopher`, Rae et al. 2021 §A1.1): BOTH
+    // MassiveText rulesets — the document-quality rules (codegen
+    // filters, zero shuffle) AND the repetition rules (whose bigram
+    // mode is one reduced-table exchange) — integer-cross-product
+    // verdicts throughout
     val gophered =
       if (!cfg.gopher) worded
-      else worded.join(
-        graft.operators.TextOps.gopherQuality(base)
+      else worded
+        .join(graft.operators.TextOps.gopherQuality(base)
           .filter(col("passes")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
+          Seq("doc_id"), "left_semi")
+        .join(graft.operators.TextOps.gopherRepetition(base)
+          .filter(col("passes")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
     // blocklist gate (`--blocklist FILE`): drop docs containing ANY
     // pattern — ONE broadcast Aho-Corasick pass per doc regardless of
     // list size (the scale path past per-word contains chains). The

@@ -26,8 +26,9 @@ case class CorpusCleanConfig(
     // lines; runs right after markup strip so every later gate sees
     // cleaned pages
     c4: Boolean = false,
-    // Gopher quality verdict (Rae et al. 2021 §A1.1): drop docs failing
-    // the MassiveText ruleset; a pure filter among the stage-1 gates
+    // Gopher verdicts (Rae et al. 2021 §A1.1): drop docs failing EITHER
+    // MassiveText ruleset (document quality + repetition); runs among
+    // the stage-1 gates
     gopher: Boolean = false,
     // language gate: keep docs whose predicted language equals this;
     // None (--no-lang-gate) admits every language

@@ -732,7 +732,7 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       m.contains("MALFORMED_RECORD")), msgs(e).mkString(" | "))
   }
 
-  test("--c4 and --gopher gate exactly as the c4Clean/gopherQuality " +
+  test("--c4 and --gopher gate exactly as the c4Clean/gopher ruleset " +
     "operators: the flagged run equals a plain run over the pre-cleaned corpus") {
     val inDir = tmp("cc_qr_in")
     val outDir = tmp("cc_qr_out")
@@ -746,7 +746,9 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       col("text"),
       lit("\nthis closing sentence has at least five words."),
       opt(d % 3 === 0,
-        Seq.fill(12)("\nthe and of sentence line with eight good words.").mkString),
+        (1 to 12).map(k =>
+          s"\nalpha$k beta$k gamma$k delta$k epsilon$k zeta$k eta$k.")
+          .mkString + "\nthe and of that have keep it simple okay."),
       opt(d % 7 === 0, "\nfunction() { return 0; }"),
       opt(d % 11 === 0, "\nlorem ipsum dolor sit amet."))
     spark.read.parquet(s"$sf/documents.parquet")
@@ -771,8 +773,10 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     val c4ed = TextOps.c4Clean(spark.read.parquet(inDir))
       .filter(col("drop_reason").isNull)
       .select(col("doc_id"), col("cleaned").as("text"))
-    c4ed.join(
-        TextOps.gopherQuality(c4ed).filter(col("passes")).select("doc_id"),
+    c4ed
+      .join(TextOps.gopherQuality(c4ed).filter(col("passes")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(TextOps.gopherRepetition(c4ed).filter(col("passes")).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(pre)
     CorpusClean.run(spark,
