@@ -3555,6 +3555,33 @@ object Queries {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // memorization_audit — the inverse of contamination_ngrams (the
+  // Carlini-style leakage question): per EVAL doc (%97 == 0), the
+  // distinct-3-gram coverage the training corpus already has, as exact
+  // integer ppm. Eval grams broadcast; the corpus gram set never does.
+  // ---------------------------------------------------------------------
+  def memorizationAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.TextOps.memorizationAudit(
+      docs.filter(col("doc_id") % 97 === 0),
+      docs.filter(col("doc_id") % 97 =!= 0))
+  }
+
+  val memorizationAuditSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, gh FROM (
+      |  SELECT doc_id, unnest([md5(array_to_string(ws[i:i+2], ' ')) for i in generate_series(1, len(ws)-2)]) AS gh
+      |  FROM w WHERE len(ws) >= 3)),
+      |ev AS (SELECT doc_id, gh FROM g WHERE doc_id % 97 = 0),
+      |cg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 <> 0),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY 1),
+      |hit AS (SELECT ev.doc_id, COUNT(*) AS n_hit FROM ev JOIN cg USING (gh) GROUP BY 1)
+      |SELECT tot.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST((1000000 * COALESCE(n_hit, 0)) // n_grams AS BIGINT) AS hit_ppm
+      |FROM tot LEFT JOIN hit USING (doc_id) ORDER BY tot.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // pack_sequences — greedy next-fit token-budget packing per hash bucket
   // (Packing.packSequences). The oracle replays the sequential recurrence
   // as a recursive CTE stepping one row per bucket per iteration.
@@ -6566,6 +6593,7 @@ object Queries {
     "repetition_stats" -> (repetitionStats _),
     "pii_mask" -> (piiMask _),
     "contamination_ngrams" -> (contaminationNgrams _),
+    "memorization_audit" -> (memorizationAudit _),
     "pack_sequences" -> (packSequences _),
     "global_index" -> (globalIndex _),
     "zorder_key" -> (zorderKey _),
@@ -6753,6 +6781,7 @@ object Queries {
     "repetition_stats" -> repetitionStatsSql,
     "pii_mask" -> piiMaskSql,
     "contamination_ngrams" -> contaminationNgramsSql,
+    "memorization_audit" -> memorizationAuditSql,
     "pack_sequences" -> packSequencesSql,
     "global_index" -> globalIndexSql,
     "zorder_key" -> zorderKeySql,

@@ -362,6 +362,32 @@ object TextOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
 
+  /** Memorization audit — the INVERSE direction of [[contamination]]
+    * (the Carlini-style leakage question): per EVAL doc, how much of it
+    * the training corpus already contains — distinct n-gram hit count
+    * and exact ppm coverage. Decontamination asks "which training docs
+    * must go"; this asks "how compromised is each benchmark item", the
+    * number an eval-integrity report leads with.
+    *
+    * Scale shape: the corpus gram set is the BIG side and never
+    * broadcasts — the (small) eval grams broadcast into a semi-select
+    * join against the corpus grams; only 8-byte gram keys shuffle, and
+    * the per-eval-doc rollup groups a hit set bounded by the eval split.
+    * Docs too short to have an n-gram emit no row (they cannot leak). */
+  def memorizationAudit(evalDocs: DataFrame, corpus: DataFrame,
+                        n: Int = 3): DataFrame = {
+    val eg = distinctGramsOf(evalDocs, n)
+    val cg = distinctGramsOf(corpus, n).select("gh").distinct()
+    val totals = eg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = cg.join(broadcast(eg), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("hit_ppm", expr("(1000000L * n_hit) div n_grams"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, gh) pairs: the per-document DISTINCT word n-grams keyed by
     * the first 8 bytes of their md5 as a long, generated in one JVM pass
     * (local HashSet dedup — the shuffle-free equivalent of

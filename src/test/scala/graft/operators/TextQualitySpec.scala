@@ -174,4 +174,22 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(out(4L) === (("two <CC> and <CC>", 2L, 2L)))
     assert(out(5L) === (("no digits at all", 0L, 0L)))
   }
+
+  test("memorizationAudit: per-eval-doc gram coverage with exact ppm") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      // grams: "alpha beta gamma"(hit) "beta gamma delta"(hit) "gamma delta xx"(miss)
+      (100L, "alpha beta gamma delta xx"),
+      (101L, "no overlap here at all"),
+      (102L, "too short")).toDF("doc_id", "text")
+    val out = TextOps.memorizationAudit(eval_, corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(100L) === ((3L, 2L, 666666L)))
+    assert(out(101L) === ((3L, 0L, 0L)))
+    assert(!out.contains(102L)) // no 3-gram, cannot leak
+  }
 }
