@@ -51,7 +51,7 @@ object CorpusIngest {
     graft.streaming.CorpusStream.standingIngest(
       stream, cfg.out, ck, cfg.minWords, fluency, digests, ndState,
       containmentState = contState, stripMarkup = cfg.stripMarkup,
-      blocklist = blockPats)
+      blocklist = blockPats, c4 = cfg.c4, gopher = cfg.gopher)
     // metadata-only count of what the output dir now holds; an empty dir
     // (every arrival gated out, or nothing new) is a valid zero
     val outFiles = new java.io.File(cfg.out)

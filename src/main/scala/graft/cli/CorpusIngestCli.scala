@@ -41,7 +41,13 @@ case class CorpusIngestConfig(
     // multi-pattern blocklist gate: newline-separated pattern file,
     // scanned per arrival by the broadcast Aho-Corasick automaton (the
     // batch tool's --blocklist, streaming form; stateless)
-    blocklist: Option[String] = None)
+    blocklist: Option[String] = None,
+    // C4 page cleaning per arrival (rewrite to retained lines, drop on
+    // the page rules) — the batch tool's --c4, streaming form; stateless
+    c4: Boolean = false,
+    // Gopher verdicts per arrival (both MassiveText rulesets) — the
+    // batch tool's --gopher, streaming form; stateless
+    gopher: Boolean = false)
 
 object CorpusIngestCli {
 
@@ -79,6 +85,8 @@ object CorpusIngestCli {
         case "--glob" :: v :: t => c = c.copy(glob = v); rest = t
         case "--strip-markup" :: t => c = c.copy(stripMarkup = true); rest = t
         case "--blocklist" :: v :: t => c = c.copy(blocklist = Some(v)); rest = t
+        case "--c4" :: t => c = c.copy(c4 = true); rest = t
+        case "--gopher" :: t => c = c.copy(gopher = true); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t

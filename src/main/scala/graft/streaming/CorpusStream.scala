@@ -222,14 +222,32 @@ object CorpusStream {
                      nearDupState: Option[(DataFrame, DataFrame, Double)],
                      containmentState: Option[(DataFrame, Double)] = None,
                      stripMarkup: Boolean = false,
-                     blocklist: Option[Seq[String]] = None): Unit = {
+                     blocklist: Option[Seq[String]] = None,
+                     c4: Boolean = false,
+                     gopher: Boolean = false): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val extracted = if (stripMarkup)
           batch.select(col("doc_id"),
             graft.functions.StringKernels.stripMarkup(col("text")).as("text"))
         else batch
-        var b = extracted.filter(size(split(col("text"), " ")) >= minWords)
+        // C4 page cleaning — rewrites arrivals to their retained lines
+        // BEFORE every gate (the batch stage-0b order); stateless
+        val paged = if (c4)
+          graft.operators.TextOps.c4Clean(extracted)
+            .filter(col("drop_reason").isNull)
+            .select(col("doc_id"), col("cleaned").as("text"))
+        else extracted
+        var b = paged.filter(size(split(col("text"), " ")) >= minWords)
+        // Gopher verdicts (both MassiveText rulesets) — stateless filters
+        if (gopher) {
+          b = b.join(graft.operators.TextOps.gopherQuality(b)
+              .filter(col("passes")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          b = b.join(graft.operators.TextOps.gopherRepetition(b)
+              .filter(col("passes")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        }
         // blocklist gate — stateless, one broadcast Aho-Corasick pass per
         // arrival regardless of list size (the batch tool's --blocklist)
         blocklist.foreach { pats =>

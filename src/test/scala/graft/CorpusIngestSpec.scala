@@ -214,4 +214,34 @@ class CorpusIngestSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(outDir).select("doc_id")
       .collect().map(_.getLong(0)).toSet === Set(401L))
   }
+
+  test("the --c4 and --gopher gates wire in: page rules rewrite/drop and " +
+    "the ruleset verdict filters arrivals") {
+    import spark.implicits._
+    val watchDir = tmp("ing_qr_watch")
+    val outDir = new java.io.File(tmp("ing_qr_base"), "out").getAbsolutePath
+    val goodLines = (1 to 12).map(k =>
+      s"alpha$k beta$k gamma$k delta$k epsilon$k zeta$k eta$k.")
+      .mkString("\n") + "\nthe and of that have keep it simple okay."
+    dropShard(Seq(
+      (501L, goodLines),                                  // passes both
+      (502L, goodLines + "\nlorem ipsum dolor sit amet."), // c4 page drop
+      // passes c4 but fails Gopher's word floor after line retention
+      (503L, "just one short retained line here okay.\n" +
+        "second retained line of words here.\n" +
+        "third retained line with words too.")),
+      watchDir, "shard.parquet")
+    val cfg = CorpusIngestCli.parse(Seq(watchDir, outDir,
+      "--min-words", "5", "--c4", "--gopher")).toOption.get
+    val n = CorpusIngest.run(spark, cfg)
+    assert(n === 1L)
+    val kept = spark.read.parquet(outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet === Set(501L))
+    // the delivered text is the C4-REWRITTEN page (retained lines only)
+    val want = graft.operators.TextOps.c4Clean(
+        Seq((501L, goodLines)).toDF("doc_id", "text"))
+      .collect().head.getString(1)
+    assert(kept(501L) === want)
+  }
 }
