@@ -5133,6 +5133,78 @@ object Queries {
       |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // media_near_dup_incremental — the production cadence of image dedup
+  // (Media.phashNearDupIncremental): the twin shard (id + 1000000,
+  // bit-flipped hashes) bands against YESTERDAY'S persisted hash table
+  // read from StageStore FILES; every arrival within hamming 3 of a
+  // history image surfaces. History is never rescanned (plan-pinned).
+  // ---------------------------------------------------------------------
+  def mediaNearDupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val hashes = graft.multimodal.Media.dHash(
+      graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
+    val histF = StageStore.materialize(hashes,
+      s"phash_hist_${StageStore.dirTag(dir)}")
+    val p1 = (col("media_id") % 64) + 1
+    val p2 = ((col("media_id") * 7) % 64) + 1
+    val chars = split(col("phash"), "")
+    val flipped = array_join(transform(sequence(lit(1), lit(64)), i => {
+      val ch = element_at(chars, i)
+      when(i === p1 || i === p2,
+        when(ch === "1", lit("0")).otherwise(lit("1"))).otherwise(ch)
+    }), "")
+    val twins = histF.filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 1000000L).as("media_id"),
+        flipped.as("phash"))
+    graft.multimodal.Media.phashNearDupIncremental(twins, histF, maxDist = 3)
+      .orderBy("media_id", "hist_id")
+  }
+
+  val mediaNearDupIncrementalSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
+      |    octet_length(encode(text)) AS blen,
+      |    CAST(16 + doc_id % 64 AS INTEGER) AS w,
+      |    CAST(16 + doc_id % 48 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT media_id,
+      |    [CASE WHEN ((i // 9) * h // 8) * w + ((i % 9) * w // 9) < blen
+      |       THEN (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 1, 1)) - 1) * 16
+      |          + (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 2, 1)) - 1)
+      |       ELSE 0 END for i in generate_series(0, 71)] AS p
+      |  FROM m),
+      |hb AS (SELECT media_id,
+      |    array_to_string([CASE WHEN p[(i // 8) * 9 + (i % 8) + 2] >
+      |                               p[(i // 8) * 9 + (i % 8) + 1]
+      |                          THEN '1' ELSE '0' END
+      |                     for i in generate_series(0, 63)], '') AS phash
+      |  FROM px),
+      |tw AS (SELECT hb.media_id + 1000000 AS media_id,
+      |    array_to_string([CASE WHEN i = (hb.media_id % 64) + 1
+      |                            OR i = ((hb.media_id * 7) % 64) + 1
+      |                          THEN (CASE WHEN substr(hb.phash, CAST(i AS INT), 1) = '1'
+      |                                     THEN '0' ELSE '1' END)
+      |                          ELSE substr(hb.phash, CAST(i AS INT), 1) END
+      |                     for i in generate_series(1, 64)], '') AS phash
+      |  FROM hb WHERE hb.media_id % 5 = 0),
+      |bh2 AS (SELECT media_id, phash, band_id,
+      |    substr(phash, band_id * 16 + 1, 16) AS band_val
+      |  FROM hb CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id)),
+      |bt AS (SELECT media_id, phash, band_id,
+      |    substr(phash, band_id * 16 + 1, 16) AS band_val
+      |  FROM tw CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id)),
+      |pr AS (SELECT DISTINCT bt.media_id AS media_id, bh2.media_id AS hist_id,
+      |    bt.phash AS pb, bh2.phash AS ph
+      |  FROM bt JOIN bh2 ON bt.band_id = bh2.band_id
+      |    AND bt.band_val = bh2.band_val),
+      |hm AS (SELECT media_id, hist_id,
+      |    CAST(len([i for i in generate_series(1, 64)
+      |              if substr(pb, CAST(i AS INT), 1) != substr(ph, CAST(i AS INT), 1)]) AS BIGINT) AS hamming
+      |  FROM pr)
+      |SELECT media_id, hist_id, hamming FROM hm
+      |WHERE hamming <= 3 ORDER BY media_id, hist_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // bpe_train / bpe_encode — BPE tokenizer training (Sennrich et al.
   // ACL'16) over the documents corpus: the top-8 learned merges with
   // their selection-time weighted pair counts, and every document encoded
@@ -6639,6 +6711,7 @@ object Queries {
     "rolling_quantile_persisted" -> (rollingQuantilePersisted _),
     "media_phash" -> (mediaPhash _),
     "media_near_dup" -> (mediaNearDup _),
+    "media_near_dup_incremental" -> (mediaNearDupIncremental _),
     "hll_distinct" -> (hllDistinct _),
     "hll_merge" -> (hllMerge _),
     "hll_persisted" -> (hllPersisted _),
@@ -6827,6 +6900,7 @@ object Queries {
     "rolling_quantile_persisted" -> rollingQuantilePersistedSql,
     "media_phash" -> mediaPhashSql,
     "media_near_dup" -> mediaNearDupSql,
+    "media_near_dup_incremental" -> mediaNearDupIncrementalSql,
     "hll_distinct" -> hllDistinctSql,
     "hll_merge" -> hllMergeSql,
     "hll_persisted" -> hllPersistedSql,

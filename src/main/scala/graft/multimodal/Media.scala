@@ -260,4 +260,55 @@ object Media {
       .filter(col("hamming") <= maxDist)
       .select("media_a", "media_b", "hamming")
   }
+
+  /** INCREMENTAL image near-dup — the production cadence of
+    * [[phashNearDup]]: a new media shard's hashes band against
+    * YESTERDAY'S persisted hash table (read from files, never a history
+    * rescan) and every arrival within `maxDist` of a history image
+    * surfaces as `(media_id, hist_id, hamming)` — the drop set of an
+    * image-dedup gate. Same pigeonhole bands and word-parsed Hamming
+    * verify as the batch form; bucket caps are computed on the HISTORY
+    * side (the hot-band skew lives in the accumulated corpus, not the
+    * shard). Payloads never shuffle on either side — 64-char hashes in,
+    * two longs through the join. */
+  def phashNearDupIncremental(batch: DataFrame, historyHashes: DataFrame,
+                              maxDist: Int = 3,
+                              maxBucketSize: Int = 100000): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist in [0,64), got $maxDist")
+    val chunks = maxDist + 1
+    val baseW = 64 / chunks
+    val offsets = (0 until chunks).map { c =>
+      val extra = math.min(c, 64 % chunks)
+      (c * baseW + extra, baseW + (if (c < 64 % chunks) 1 else 0))
+    }
+    def word(s: Column, off1: Int): Column =
+      conv(substring(s, off1, 32), 2, 10).cast("long")
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("media_id"),
+        word(col("phash"), 1).as("w_hi"), word(col("phash"), 33).as("w_lo"),
+        explode(array(offsets.zipWithIndex.map { case ((off, width), c) =>
+          struct(lit(c).as("band_id"),
+            substring(col("phash"), off + 1, width).as("band_val"))
+        }: _*)).as("b"))
+        .select(col("media_id"), col("w_hi"), col("w_lo"),
+          col("b.band_id"), col("b.band_val"))
+    val hist = banded(historyHashes)
+    val histSizes = hist.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("bucket_n"))
+    val histBounded = hist.join(
+        histSizes.filter(col("bucket_n") <= maxBucketSize),
+        Seq("band_id", "band_val"))
+      .select(col("band_id"), col("band_val"),
+        col("media_id").as("hist_id"),
+        col("w_hi").as("h_hi"), col("w_lo").as("h_lo"))
+    banded(batch)
+      .join(histBounded, Seq("band_id", "band_val"))
+      .select("media_id", "hist_id", "w_hi", "w_lo", "h_hi", "h_lo")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("w_hi").bitwiseXOR(col("h_hi"))) +
+          bit_count(col("w_lo").bitwiseXOR(col("h_lo")))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("media_id", "hist_id", "hamming")
+  }
 }

@@ -952,4 +952,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("events.parquet"),
       s"events scanned — the sketch files should answer alone:\n${p.take(3000)}")
   }
+
+  test("media_near_dup_incremental: history hashes come from stage files; " +
+    "the payload pass runs once at materialize, not in the returned plan") {
+    val df = SparkEntry.queries("media_near_dup_incremental")(spark, sf)
+    val p = planFullPaths(df)
+    assert(p.contains("graft_stage_") && p.contains("phash_hist_"),
+      s"history files not in the plan:\n${p.take(3000)}")
+    assert(!p.contains("SerializeFromObject"),
+      s"the dHash typed pass leaked into the query plan:\n${p.take(3000)}")
+  }
 }

@@ -141,4 +141,30 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
     // a bucket cap of 1 kills every bucket -> no pairs survive
     assert(Media.phashNearDup(hashes, maxDist = 0, maxBucketSize = 1).count() === 0L)
   }
+
+  test("phashNearDupIncremental: batch arrivals surface against the " +
+    "persisted history only, matching a brute force") {
+    val sp = spark
+    import sp.implicits._
+    def bits(v: Long): String =
+      (63 to 0 by -1).map(i => if (((v >> i) & 1L) == 1L) '1' else '0').mkString
+    val hist = Seq(
+      (1L, bits(0x0123456789abcdefL)),
+      (2L, bits(0x7edcba9876543210L))).toDF("media_id", "phash")
+    val batch = Seq(
+      (100L, bits(0x0123456789abcdefL ^ 0x3L)),  // 2 bits from hist 1
+      (101L, bits(0x0123456789abcdefL ^ 0x1fL)), // 5 bits: outside
+      (102L, bits(0x7edcba9876543210L))           // exact dup of hist 2
+    ).toDF("media_id", "phash")
+    val got = Media.phashNearDupIncremental(batch, hist, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((100L, 1L) -> 2L, (102L, 2L) -> 0L))
+    // batch-batch pairs never appear (100 and 101 are 7 bits apart anyway;
+    // plant two identical batch rows and confirm silence)
+    val batch2 = batch.unionByName(
+      Seq((103L, bits(0x0123456789abcdefL ^ 0x3L))).toDF("media_id", "phash"))
+    val got2 = Media.phashNearDupIncremental(batch2, hist, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === Set((100L, 1L), (102L, 2L), (103L, 1L)))
+  }
 }
