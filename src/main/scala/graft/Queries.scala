@@ -3555,6 +3555,59 @@ object Queries {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // sft_render — instruction-tuning delivery formatting: each doc
+  // renders into the chat template
+  //   <|system|>\n{sys}\n<|user|>\n{user}\n<|assistant|>\n{answer}<|end|>
+  // (user = the doc's first 12 words, answer = the rest — the grafted
+  // derivation both engines replay) together with the LOSS-MASK
+  // boundary arithmetic a trainer consumes: prompt token count (mask
+  // off), answer token count (loss on), total, and the rendered bytes'
+  // md5. Docs too short to have an answer flag has_answer = false.
+  // Map-only string assembly — zero shuffle; bodies leave as digests.
+  // ---------------------------------------------------------------------
+  def sftRender(s: SparkSession, dir: String): DataFrame = {
+    val sys = "You are a helpful assistant."
+    val words = split(col("text"), " ")
+    val user = array_join(slice(words, 1, 12), " ")
+    val answer = when(size(words) > 12,
+      array_join(slice(words, lit(13), size(words) - 12), " ")).otherwise(lit(""))
+    val prefix = concat(lit(s"<|system|>\n$sys\n<|user|>\n"), user,
+      lit("\n<|assistant|>\n"))
+    val rendered = concat(prefix, answer, lit("<|end|>"))
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        size(split(prefix, " ")).cast("long").as("prompt_toks"),
+        when(length(answer) > 0, size(split(answer, " ")))
+          .otherwise(lit(0)).cast("long").as("answer_toks"),
+        (size(split(prefix, " ")) +
+          when(length(answer) > 0, size(split(answer, " ")))
+            .otherwise(lit(0))).cast("long").as("total_toks"),
+        (length(answer) > 0).as("has_answer"),
+        md5(rendered).as("rendered_md5"))
+      .orderBy("doc_id")
+  }
+
+  val sftRenderSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |r AS (SELECT doc_id,
+      |    '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10)
+      |      || '<|user|>' || chr(10) || array_to_string(ws[1:12], ' ')
+      |      || chr(10) || '<|assistant|>' || chr(10) AS prefix,
+      |    CASE WHEN len(ws) > 12 THEN array_to_string(ws[13:len(ws)], ' ')
+      |         ELSE '' END AS answer
+      |  FROM w)
+      |SELECT doc_id,
+      |  CAST(len(string_split(prefix, ' ')) AS BIGINT) AS prompt_toks,
+      |  CAST(CASE WHEN len(answer) > 0 THEN len(string_split(answer, ' '))
+      |       ELSE 0 END AS BIGINT) AS answer_toks,
+      |  CAST(len(string_split(prefix, ' '))
+      |    + CASE WHEN len(answer) > 0 THEN len(string_split(answer, ' '))
+      |      ELSE 0 END AS BIGINT) AS total_toks,
+      |  len(answer) > 0 AS has_answer,
+      |  md5(prefix || answer || '<|end|>') AS rendered_md5
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // memorization_audit — the inverse of contamination_ngrams (the
   // Carlini-style leakage question): per EVAL doc (%97 == 0), the
   // distinct-3-gram coverage the training corpus already has, as exact
@@ -6666,6 +6719,7 @@ object Queries {
     "pii_mask" -> (piiMask _),
     "contamination_ngrams" -> (contaminationNgrams _),
     "memorization_audit" -> (memorizationAudit _),
+    "sft_render" -> (sftRender _),
     "pack_sequences" -> (packSequences _),
     "global_index" -> (globalIndex _),
     "zorder_key" -> (zorderKey _),
@@ -6855,6 +6909,7 @@ object Queries {
     "pii_mask" -> piiMaskSql,
     "contamination_ngrams" -> contaminationNgramsSql,
     "memorization_audit" -> memorizationAuditSql,
+    "sft_render" -> sftRenderSql,
     "pack_sequences" -> packSequencesSql,
     "global_index" -> globalIndexSql,
     "zorder_key" -> zorderKeySql,

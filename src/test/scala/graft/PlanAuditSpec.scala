@@ -962,4 +962,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SerializeFromObject"),
       s"the dHash typed pass leaked into the query plan:\n${p.take(3000)}")
   }
+
+  test("sft_render: map-only template assembly — no exchange beyond the " +
+    "output ordering, no UDF") {
+    val p = plan("sft_render")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sft_render must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("ScalaUDF"), s"UDF leaked:\n${p.take(2000)}")
+  }
 }
