@@ -3555,6 +3555,47 @@ object Queries {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // language_mix — per-line code-switching audit (TextOps.languageMix):
+  // the docs a doc-level language gate misclassifies are the MIXED ones;
+  // grafts plant a clearly-English line (%4) and a clearly-foreign line
+  // (%6) so every combination of (en, unk, mixed) occurs.
+  // ---------------------------------------------------------------------
+  def languageMix(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      col("text"),
+      opt(d % 4 === 0, "\nthe of and to in is on for with a"),
+      opt(d % 6 === 0, "\nzzz qqq vvv kkk www yyy"))
+    graft.operators.TextOps.languageMix(
+        t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
+      .orderBy("doc_id")
+  }
+
+  val languageMixSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text
+      |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'the of and to in is on for with a' ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'zzz qqq vvv kkk www yyy' ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+      |c AS (SELECT doc_id,
+      |    len([w for w in string_split(line, ' ') if w != '']) AS nw,
+      |    len([w for w in string_split(line, ' ')
+      |         if list_contains(['the','a','and','of','to','in','is','on','for','with'], w)]) AS sc
+      |  FROM l),
+      |g AS (SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(SUM(CASE WHEN nw > 0 AND sc * 20 >= nw THEN 1 ELSE 0 END) AS BIGINT) AS n_en_lines,
+      |    CAST(SUM(CASE WHEN nw > 0 AND sc * 20 >= nw THEN 0 ELSE 1 END) AS BIGINT) AS n_unk_lines
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_lines, n_en_lines, n_unk_lines,
+      |  (n_en_lines > 0 AND n_unk_lines > 0) AS mixed
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // sft_render — instruction-tuning delivery formatting: each doc
   // renders into the chat template
   //   <|system|>\n{sys}\n<|user|>\n{user}\n<|assistant|>\n{answer}<|end|>
@@ -6720,6 +6761,7 @@ object Queries {
     "contamination_ngrams" -> (contaminationNgrams _),
     "memorization_audit" -> (memorizationAudit _),
     "sft_render" -> (sftRender _),
+    "language_mix" -> (languageMix _),
     "pack_sequences" -> (packSequences _),
     "global_index" -> (globalIndex _),
     "zorder_key" -> (zorderKey _),
@@ -6910,6 +6952,7 @@ object Queries {
     "contamination_ngrams" -> contaminationNgramsSql,
     "memorization_audit" -> memorizationAuditSql,
     "sft_render" -> sftRenderSql,
+    "language_mix" -> languageMixSql,
     "pack_sequences" -> packSequencesSql,
     "global_index" -> globalIndexSql,
     "zorder_key" -> zorderKeySql,

@@ -362,6 +362,48 @@ object TextOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
 
+  /** Language-mix audit (code-switching detection): [[langId]]'s
+    * stopword heuristic applied per LINE, rolled up per doc — mixed
+    * documents (an English page with embedded foreign boilerplate, or
+    * vice versa) are exactly what a doc-level language gate misclassifies,
+    * and routing them to line-level cleaning instead of a hard drop is
+    * the CCNet practice. A line is 'en' when `stopCnt * 20 >= nWords`
+    * with `nWords > 0` (the integer-exact form of the 0.05 ratio; words
+    * are space-delimited, the house convention); word-less lines count
+    * as 'unk'. `mixed` = both kinds present.
+    *
+    * Scale shape: per-doc only, so ONE typed JVM pass with zero shuffle
+    * (the [[gopherRepetition]] lesson). */
+  def languageMix(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stops = stopwords.toSet
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val lines = text.split("\n", -1)
+          var en = 0L
+          var unk = 0L
+          var i = 0
+          while (i < lines.length) {
+            val toks = lines(i).split(" ", -1)
+            var nw = 0L
+            var sc = 0L
+            var j = 0
+            while (j < toks.length) {
+              if (toks(j).nonEmpty) nw += 1
+              if (stops.contains(toks(j))) sc += 1
+              j += 1
+            }
+            if (nw > 0L && sc * 20L >= nw) en += 1 else unk += 1
+            i += 1
+          }
+          (id, lines.length.toLong, en, unk, en > 0L && unk > 0L)
+        }
+      }
+      .toDF("doc_id", "n_lines", "n_en_lines", "n_unk_lines", "mixed")
+  }
+
   /** Memorization audit — the INVERSE direction of [[contamination]]
     * (the Carlini-style leakage question): per EVAL doc, how much of it
     * the training corpus already contains — distinct n-gram hit count

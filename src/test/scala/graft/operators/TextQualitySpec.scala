@@ -192,4 +192,23 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(out(101L) === ((3L, 0L, 0L)))
     assert(!out.contains(102L)) // no 3-gram, cannot leak
   }
+
+  test("languageMix: per-line verdicts and the mixed flag, hand-computed") {
+    import spark.implicits._
+    val en = "the quick fox is on the mat for a while with care"
+    val unk = "zzz qqq vvv kkk"
+    val df = Seq(
+      (1L, s"$en\n$unk"),          // mixed
+      (2L, s"$en\n$en"),           // pure en
+      (3L, unk),                    // pure unk
+      (4L, s"$en\n\n$unk")        // empty line counts unk
+    ).toDF("doc_id", "text")
+    val out = TextOps.languageMix(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((2L, 1L, 1L, true)))
+    assert(out(2L) === ((2L, 2L, 0L, false)))
+    assert(out(3L) === ((1L, 0L, 1L, false)))
+    assert(out(4L) === ((3L, 1L, 2L, true)))
+  }
 }
