@@ -211,4 +211,24 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(out(3L) === ((1L, 0L, 1L, false)))
     assert(out(4L) === ((3L, 1L, 2L, true)))
   }
+
+  test("languageMix and codeFences are invariant to input partitioning") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val a1 = TextOps.languageMix(docs).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val a2 = TextOps.languageMix(docs.repartition(7)).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(a1 === a2 && a1.nonEmpty)
+    val f1 = TextOps.codeFences(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit("\n```py\nx\n```")).as("text")))
+      .orderBy("doc_id", "fence_no").collect().map(_.toSeq).toSeq
+    val f2 = TextOps.codeFences(
+        docs.repartition(9).select(col("doc_id"),
+          concat(col("text"), lit("\n```py\nx\n```")).as("text")))
+      .orderBy("doc_id", "fence_no").collect().map(_.toSeq).toSeq
+    assert(f1 === f2 && f1.nonEmpty)
+  }
 }

@@ -57,4 +57,17 @@ class UrlOpsSpec extends AnyFunSuite with SparkSuite {
     val m2 = norm(1L -> m1(1L)._5)
     assert(m2(1L) === m1(1L))
   }
+
+  test("adversarial shapes stay deterministic: multiple ?, & runs, = in " +
+    "values, repeated params") {
+    val m = norm(
+      1L -> "https://h.io/p?a=1?b=2",          // second ? is part of a value
+      2L -> "https://h.io/p?a=1&&b=2&",        // empty params drop
+      3L -> "https://h.io/p?k=v=w&k=z",        // = inside value; dup keys kept
+      4L -> "https://h.io/p#frag#more")        // everything after first #
+    assert(m(1L)._4 === "a=1?b=2")
+    assert(m(2L)._4 === "a=1&b=2")
+    assert(m(3L)._4 === "k=v=w&k=z")
+    assert(m(4L)._5 === "https://h.io/p")
+  }
 }
