@@ -970,4 +970,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"sft_render must not shuffle:\n${p.take(2000)}")
     assert(!p.contains("ScalaUDF"), s"UDF leaked:\n${p.take(2000)}")
   }
+
+  test("memorization_audit: the eval gram side broadcasts; the corpus " +
+    "gram set never does") {
+    val df = SparkEntry.queries("memorization_audit")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval grams should broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
+  }
 }
