@@ -27,6 +27,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.scheduler.mode", "FAIR")
+      // .zst dumps decode through the pure-JVM zstd-jni codec (Hadoop's own
+      // ZStandardCodec needs native libhadoop, absent on vanilla Spark)
+      .config("spark.hadoop.io.compression.codecs", graft.sinks.ZstdJniCodec.codecsConf)
       // defense in depth for iterative operators: plan-string rendering is
       // O(plan size) driver memory on every action; cap it so a runaway
       // plan degrades to a truncated explain, never an OOM (r6 verdict)

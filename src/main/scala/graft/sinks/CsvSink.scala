@@ -43,7 +43,7 @@ object CsvSink {
       .option("escape", "\"") // '""' doubling, not backslash escapes
       .option("header", header.toString)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-    compression.foreach(c => writer.option("compression", c))
+    compression.foreach(c => writer.option("compression", ZstdJniCodec.sparkOption(c)))
     writer.csv(outDir)
   }
 }

@@ -14,7 +14,7 @@ object JsonlSink {
             compression: Option[String] = None): Unit = {
     val writer = graft.operators.JsonGen.jsonLines(df)
       .toDF("value").write.mode("overwrite")
-    compression.foreach(c => writer.option("compression", c))
+    compression.foreach(c => writer.option("compression", ZstdJniCodec.sparkOption(c)))
     writer.text(outDir)
   }
 }

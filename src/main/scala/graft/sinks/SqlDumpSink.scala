@@ -76,7 +76,7 @@ object SqlDumpSink {
         }(Encoders.STRING)
       } else stmts
     val writer = withHeader.write.mode("overwrite")
-    compression.foreach(c => writer.option("compression", c))
+    compression.foreach(c => writer.option("compression", ZstdJniCodec.sparkOption(c)))
     writer.text(outDir)
 
     // template rename (driver-side metadata ops only)

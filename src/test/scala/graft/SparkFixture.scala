@@ -22,6 +22,8 @@ object SparkFixture {
       // driver rendering a geometric plan tree, not data)
       .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+      // .zst dump read-back through the pure-JVM codec (no native libhadoop)
+      .config("spark.hadoop.io.compression.codecs", graft.sinks.ZstdJniCodec.codecsConf)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftSession.quietIterativeRelease()

@@ -62,8 +62,8 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("SqlDumpSink compression round-trips with the real codec extension") {
-    // gzip: the Hadoop text codec available without native libs (zstd text
-    // output needs libhadoop-zstd; parquet zstd is unaffected)
+    // gzip: the stock Hadoop text codec path (zstd goes through the
+    // pure-JVM ZstdJniCodec — covered by the round-trip tests below)
     val dir = tmpDir("sqldumpz")
     val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "region")
     val files = SqlDumpSink.write(df, "tpch", "region", dir,
@@ -71,6 +71,58 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
     assert(files.forall(_.endsWith(".sql.gz")))
     val lines = spark.read.text(dir).collect().map(_.getString(0))
     assert(lines.count(_.startsWith("INSERT INTO region")) > 0)
+  }
+
+  test("zstd dump round-trips byte-equal through an independent decoder") {
+    // reference analogue: run_test.sh zstd dump tests (dump with -compress
+    // zstd, decompress, diff against the plain dump). The .zst frames are
+    // produced by ZstdJniCodec and decoded here by zstd-jni's raw
+    // ZstdInputStream directly on the file bytes — no Hadoop codec in the
+    // read path — then byte-diffed against the uncompressed dump.
+    val plainDir = tmpDir("sqldump_plain")
+    val zstdDir = tmpDir("sqldump_zstd")
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .coalesce(1)
+    val plain = SqlDumpSink.write(df, "tpch", "nation", plainDir, insertSize = 4)
+    val zst = SqlDumpSink.write(df, "tpch", "nation", zstdDir, insertSize = 4,
+      compression = Some("zstd"))
+    assert(plain.length == 1 && zst.length == 1)
+    assert(zst.head.endsWith(".sql.zst"))
+    val plainBytes = Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(plain.head).getPath))
+    val zstPath = java.nio.file.Paths.get(new java.net.URI(zst.head).getPath)
+    val zin = new com.github.luben.zstd.ZstdInputStream(
+      Files.newInputStream(zstPath))
+    val decoded = try zin.readAllBytes() finally zin.close()
+    assert(java.util.Arrays.equals(decoded, plainBytes),
+      s"zstd round-trip diverged: ${decoded.length} vs ${plainBytes.length} bytes")
+    // and the engine reads its own .zst dumps back (codec registered in the
+    // session's io.compression.codecs)
+    val reread = spark.read.text(zstdDir).collect().map(_.getString(0))
+    assert(reread.count(_.startsWith("INSERT INTO nation")) > 0)
+    assert(reread.length == new String(plainBytes, "UTF-8").split("\n").length)
+  }
+
+  test("zstd level conf reaches the codec (higher level => no-bigger file)") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .coalesce(1)
+    def sizeAt(level: Int): Long = {
+      val dir = tmpDir(s"sqldump_l$level")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val prev = conf.get("io.compression.codec.zstd.level")
+      graft.DumpAll.applyCompressionLevel(conf, Some("zstd"), level)
+      try {
+        val files = SqlDumpSink.write(df, "tpch", "lineitem", dir,
+          compression = Some("zstd"))
+        new java.io.File(new java.net.URI(files.head).getPath).length()
+      } finally {
+        if (prev == null) conf.unset("io.compression.codec.zstd.level")
+        else conf.set("io.compression.codec.zstd.level", prev)
+      }
+    }
+    val (fast, small) = (sizeAt(1), sizeAt(19))
+    assert(fast > 0 && small > 0)
+    assert(small <= fast, s"level 19 produced $small > level 1's $fast")
   }
 
   test("NoopSink drains without error") {
