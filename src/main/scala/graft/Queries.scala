@@ -6321,6 +6321,19 @@ object Queries {
       |  CAST(lift_ppm AS BIGINT) AS lift_ppm
       |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin
 
+  // collocations_decimal — the same top-k lift with the oracle arithmetic
+  // FORCED to 128-bit (HUGEINT), pinning that the engine's DECIMAL(38,0)
+  // lift path (LmScore.collocations — its only path, chosen because the
+  // 64-bit product 10^6·n_ab·N wraps near 3·10^6 dominant-bigram tokens)
+  // equals the exact integer form on the fixture.
+  def collocationsDecimal(s: SparkSession, dir: String): DataFrame =
+    collocations(s, dir)
+
+  val collocationsDecimalSql: String =
+    collocationsSql.replace(
+      "(1000000 * n_ab * n_tok) // (ua.n * ub.n)",
+      "(CAST(1000000 AS HUGEINT) * n_ab * n_tok) // (CAST(ua.n AS HUGEINT) * ub.n)")
+
   // ---------------------------------------------------------------------
   // url_normalize — URL canonicalization (UrlOps.normalize): the
   // key-cleaning step in front of URL-keyed dedup / host capping. The
@@ -6814,6 +6827,7 @@ object Queries {
     "blocklist_scan" -> (blocklistScan _),
     "url_normalize" -> (urlNormalize _),
     "collocations" -> (collocations _),
+    "collocations_decimal" -> (collocationsDecimal _),
     "code_fences" -> (codeFences _),
     "dedup_url" -> (dedupUrl _),
     "cc_mask" -> (ccMask _),
@@ -7005,6 +7019,7 @@ object Queries {
     "blocklist_scan" -> blocklistScanSql,
     "url_normalize" -> urlNormalizeSql,
     "collocations" -> collocationsSql,
+    "collocations_decimal" -> collocationsDecimalSql,
     "code_fences" -> codeFencesSql,
     "dedup_url" -> dedupUrlSql,
     "cc_mask" -> ccMaskSql,

@@ -369,10 +369,14 @@ object LmScore {
     * per distinct gram per partition); the lift join touches only pairs
     * above `minCount`; the top-k is the salted two-phase window (local
     * top-k per hash bucket, then an exact window over ≤ 16k candidates),
-    * never a whole-table single-task sort. The 64-bit product
-    * `10^6 · n_ab · N` caps the EXACT form at N < ~9·10^6 tokens per
-    * invocation scale-factor; past that both sides move to DECIMAL(38)
-    * arithmetic — the formula, not the shape, is what changes. */
+    * never a whole-table single-task sort. The lift product
+    * `10^6 · n_ab · N` overflows 64-bit as soon as `n_ab · N > ~9·10^12`
+    * (a single dominant bigram hits it near N ≈ 3·10^6 tokens), so the
+    * arithmetic runs in DECIMAL(38,0) unconditionally — exact to
+    * `n_ab · N < 10^32`, i.e. any physical corpus — and `div` returns the
+    * BIGINT quotient directly. The quotient itself can exceed BIGINT only
+    * in the degenerate all-hapax-pair regime past ~10^13 tokens; that case
+    * FAILS LOUDLY (raise_error) instead of wrapping or nulling out. */
   def collocations(docs: DataFrame, minCount: Long = 3L, k: Int = 100): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -403,8 +407,19 @@ object LmScore {
       .join(uni.select(col("w").as("w1"), col("n").as("n_a")), "w1")
       .join(uni.select(col("w").as("w2"), col("n").as("n_b")), "w2")
       .crossJoin(tot)
-      .withColumn("lift_ppm",
-        expr("(1000000L * n_ab * n_tok) div (n_a * n_b)"))
+      .withColumn("lift_ppm", {
+        // DECIMAL(38,0) keeps 10^6·n_ab·N exact far past the 64-bit cliff;
+        // div's decimal form yields the BIGINT quotient. Inputs are
+        // aggregate counts (never null), so a null quotient can only mean
+        // the quotient itself overflowed BIGINT — surface that, don't wrap.
+        val q = expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_tok) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b)")
+        when(q.isNull, expr(
+          "CAST(raise_error('collocations: lift_ppm exceeds BIGINT " +
+            "(degenerate hapax-pair corpus); raise minCount') AS BIGINT)"))
+          .otherwise(q)
+      })
     val local = Window
       .partitionBy(pmod(xxhash64(col("w1"), col("w2")), lit(16)))
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))

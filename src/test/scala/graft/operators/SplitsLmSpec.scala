@@ -258,6 +258,32 @@ class SplitsLmSpec extends AnyFunSuite with SparkSuite {
     assert(out(("a", "b")) === ((1L, 3L, 2000000L)))
   }
 
+  test("collocations survives the 64-bit lift cliff (DECIMAL arithmetic)") {
+    val s = spark
+    import s.implicits._
+    // One dominant bigram at a token count where the old long arithmetic
+    // wraps: N = 5e6 alternating "x y" tokens => n_ab(x,y) = 2.5e6 and
+    // 10^6 * n_ab * N = 1.25e19 > Long.MaxValue (9.22e18). 50 docs of
+    // 100k tokens each keep row sizes sane.
+    val doc = ("x y " * 50000).trim // 100_000 tokens, 50_000 (x,y) pairs
+    val df = (1L to 50L).map(i => (i, doc)).toDF("doc_id", "text")
+    val out = LmScore.collocations(df, minCount = 3L, k = 10)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val nTok = BigInt(5000000L)
+    // per doc: (x,y) x50000; (y,x) x49999 (no wrap across the final y)
+    val nXY = BigInt(50L * 50000L)
+    val nYX = BigInt(50L * 49999L)
+    val nX = BigInt(2500000L); val nY = BigInt(2500000L)
+    def lift(nab: BigInt) = (BigInt(1000000) * nab * nTok) / (nX * nY)
+    assert(lift(nXY) * (nX * nY) > BigInt(Long.MaxValue), "fixture too small")
+    assert(out(("x", "y")) ===
+      ((nXY.toLong, nX.toLong, nY.toLong, lift(nXY).toLong)))
+    assert(out(("y", "x")) ===
+      ((nYX.toLong, nX.toLong, nY.toLong, lift(nYX).toLong)))
+    assert(out.values.forall(_._4 > 0L), "a wrapped lift went negative")
+  }
+
   test("collocations is invariant to input partitioning") {
     val ds = docs.select(col("doc_id"), col("text"))
     val a = LmScore.collocations(ds, minCount = 2L, k = 50)
