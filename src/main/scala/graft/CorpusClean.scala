@@ -61,7 +61,9 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     fertility A/B against BPE), `--manifest-by`/`--manifest-out`
   *     (mixture plan), `--drift-against`/`--drift-out` (token drift vs a
   *     prior snapshot), `--epochs`/`--epochs-out` (the seeded per-epoch
-  *     training orders). Formats: parquet (default), jsonl (exchange),
+  *     training orders), `--sft-out` (the instruction-tuning render +
+  *     loss-mask boundary table, sft_render's shape).
+  *     Formats: parquet (default), jsonl (exchange),
   *     orc (columnar alternative) on both endpoints.
   *
   * Both endpoints speak live databases (the reference's native shape): a
@@ -280,15 +282,20 @@ object CorpusClean {
       graft.operators.TextOps.dedupExact(deBoiler).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
-    // 3. substring span removal (optionally incremental vs persisted state)
+    // 3. substring span removal (optionally incremental vs persisted
+    // state; --no-span-removal skips the rewrite entirely — the stage
+    // handoff still materializes so the near-dup candidate stages never
+    // recompute the gate chain)
     val prior = cfg.gramState.map(spark.read.parquet(_))
-    val cleaned = StageStore.materialize(
-      graft.operators.TextOps.dedupSubstring(kept, n = cfg.ngram,
-          minSpanTokens = if (cfg.minSpan == 0) -1 else cfg.minSpan,
-          stageLabel = Some(s"cc_dupgrams_$tag"),
-          priorGramCounts = prior)
-        .select(col("doc_id"), col("cleaned").as("text")),
-      s"cc_cleaned_$tag")
+    val cleaned =
+      if (cfg.noSpanRemoval) StageStore.materialize(kept, s"cc_cleaned_$tag")
+      else StageStore.materialize(
+        graft.operators.TextOps.dedupSubstring(kept, n = cfg.ngram,
+            minSpanTokens = if (cfg.minSpan == 0) -1 else cfg.minSpan,
+            stageLabel = Some(s"cc_dupgrams_$tag"),
+            priorGramCounts = prior)
+          .select(col("doc_id"), col("cleaned").as("text")),
+        s"cc_cleaned_$tag")
 
     // 4. near-dup keep-one
     val afterNear = cfg.nearDup match {
@@ -565,6 +572,14 @@ object CorpusClean {
           .reduce(_ unionByName _)
           .write.mode("overwrite").partitionBy("epoch").parquet(ed)
       case _ => ()
+    }
+    // SFT delivery render: the instruction-tuning form of what SHIPPED
+    // (chat-template + loss-mask boundary counts, sft_render's shape) —
+    // map-only over the written survivors, the artifact an SFT trainer
+    // reads instead of raw text
+    cfg.sftOut.foreach { sd =>
+      graft.operators.SftRender.render(writtenSurvivors())
+        .write.mode("overwrite").parquet(sd)
     }
     // token drift: the shipped corpus vs the persisted prior snapshot
     (cfg.driftAgainst, cfg.driftOut) match {

@@ -41,7 +41,9 @@ object CorpusStats {
   }
 
   def profile(spark: SparkSession, in: String, topK: Int = 10,
-              diffAgainst: Option[String] = None): String = {
+              diffAgainst: Option[String] = None,
+              memorizationEval: Option[String] = None,
+              memorizationOut: Option[String] = None): String = {
     val docs = spark.read.parquet(in).select(col("doc_id"), col("text"))
 
     val sizes = docs.agg(
@@ -112,13 +114,40 @@ object CorpusStats {
       val (i, u, d, sm) = diffCounts(spark, in, prior)
       s""", "diff": {"insert": $i, "update": $u, "delete": $d, "same": $sm}"""
     }.getOrElse("")
+    // --memorization EVAL_DIR: the eval-integrity report (the Carlini
+    // leakage question, memorization_audit's tool form) — per-eval-doc
+    // distinct-3-gram coverage the corpus already contains. Eval grams
+    // broadcast; the corpus side never shuffles its gram set. The full
+    // per-doc table lands in --memorization-out when given; the JSON
+    // carries the exact-integer corpus-level rollup.
+    val memJson = memorizationEval.map { ed =>
+      val evalDocs = spark.read.parquet(ed).select(col("doc_id"), col("text"))
+      val audit = graft.operators.TextOps.memorizationAudit(evalDocs, docs)
+      val kept = memorizationOut match {
+        case Some(od) =>
+          audit.write.mode("overwrite").parquet(od)
+          spark.read.parquet(od) // rollup reads the written files back
+        case None => audit
+      }
+      val r = kept.agg(
+        count(lit(1)).as("n_eval_docs"),
+        coalesce(sum("n_grams"), lit(0L)).cast("long").as("sum_grams"),
+        coalesce(sum("n_hit"), lit(0L)).cast("long").as("sum_hit"),
+        coalesce(sum(when(col("n_hit") > 0, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_compromised")).head()
+      val (nEv, sg, sh, nc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val ppm = if (sg == 0L) 0L else sh * 1000000L / sg
+      s""", "memorization": {"n_eval_docs": $nEv, "sum_grams": $sg, """ +
+        s""""sum_hit": $sh, "n_compromised": $nc, "hit_ppm": $ppm}"""
+    }.getOrElse("")
     s"""{"n_docs": $nDocs, "n_chars": $nChars, "n_tokens": $nTokens, """ +
       s""""vocab": $vocab, "exact_dup_docs": $dupDocs, """ +
       s""""dup_gram_ppm": $dupPpm, """ +
       s""""gopher_pass": $gopherPass, "c4": ${
         c4Reasons.map { case (rn, n) => s"${jStr(rn)}: $n" }
           .mkString("{", ", ", "}")}, """ +
-      s""""top_tokens": $topJson, "langs": $langJson$diffJson}"""
+      s""""top_tokens": $topJson, "langs": $langJson$diffJson$memJson}"""
   }
 }
 
@@ -126,11 +155,14 @@ object CorpusStats {
   * `corpus-stats` subcommand of [[Main]]. */
 object CorpusStatsMain {
   private[graft] def parse(args: Seq[String])
-      : Either[String, (String, Int, Option[String], Option[String])] = {
+      : Either[String, (String, Int, Option[String], Option[String],
+          Option[String], Option[String])] = {
     var in: Option[String] = None
     var topK = 10
     var out: Option[String] = None
     var diff: Option[String] = None
+    var mem: Option[String] = None
+    var memOut: Option[String] = None
     var rest = args.toList
     while (rest.nonEmpty) {
       rest match {
@@ -142,7 +174,10 @@ object CorpusStatsMain {
           }
         case "--out" :: v :: t => out = Some(v); rest = t
         case "--diff" :: v :: t => diff = Some(v); rest = t
-        case ("--topk" | "--out" | "--diff") :: Nil =>
+        case "--memorization" :: v :: t => mem = Some(v); rest = t
+        case "--memorization-out" :: v :: t => memOut = Some(v); rest = t
+        case ("--topk" | "--out" | "--diff" | "--memorization" |
+              "--memorization-out") :: Nil =>
           return Left(s"${rest.head}: missing value")
         case f :: _ if f.startsWith("--") => return Left(s"unknown flag: $f")
         case p :: t =>
@@ -150,7 +185,9 @@ object CorpusStatsMain {
           in = Some(p); rest = t
       }
     }
-    in.toRight("need <inParquet>").map((_, topK, out, diff))
+    if (memOut.isDefined && mem.isEmpty)
+      return Left("--memorization-out requires --memorization <evalDir>")
+    in.toRight("need <inParquet>").map((_, topK, out, diff, mem, memOut))
   }
 
   def main(args: Array[String]): Unit = {
@@ -158,10 +195,10 @@ object CorpusStatsMain {
       case Left(err) =>
         System.err.println(s"graft corpus-stats: $err")
         sys.exit(1)
-      case Right((in, topK, out, diff)) =>
+      case Right((in, topK, out, diff, mem, memOut)) =>
         val spark = GraftSession.get()
         try {
-          val json = CorpusStats.profile(spark, in, topK, diff)
+          val json = CorpusStats.profile(spark, in, topK, diff, mem, memOut)
           println(json)
           out.foreach(p =>
             java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json))

@@ -3606,27 +3606,10 @@ object Queries {
   // md5. Docs too short to have an answer flag has_answer = false.
   // Map-only string assembly — zero shuffle; bodies leave as digests.
   // ---------------------------------------------------------------------
-  def sftRender(s: SparkSession, dir: String): DataFrame = {
-    val sys = "You are a helpful assistant."
-    val words = split(col("text"), " ")
-    val user = array_join(slice(words, 1, 12), " ")
-    val answer = when(size(words) > 12,
-      array_join(slice(words, lit(13), size(words) - 12), " ")).otherwise(lit(""))
-    val prefix = concat(lit(s"<|system|>\n$sys\n<|user|>\n"), user,
-      lit("\n<|assistant|>\n"))
-    val rendered = concat(prefix, answer, lit("<|end|>"))
-    t(s, dir, "documents").select(col("doc_id"), col("text"))
-      .select(col("doc_id"),
-        size(split(prefix, " ")).cast("long").as("prompt_toks"),
-        when(length(answer) > 0, size(split(answer, " ")))
-          .otherwise(lit(0)).cast("long").as("answer_toks"),
-        (size(split(prefix, " ")) +
-          when(length(answer) > 0, size(split(answer, " ")))
-            .otherwise(lit(0))).cast("long").as("total_toks"),
-        (length(answer) > 0).as("has_answer"),
-        md5(rendered).as("rendered_md5"))
+  def sftRender(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SftRender.render(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
       .orderBy("doc_id")
-  }
 
   val sftRenderSql: String =
     """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),

@@ -56,9 +56,12 @@ case class CorpusCleanConfig(
     // appearing in >= this many DISTINCT documents; None skips the stage
     boilerplate: Option[Long] = None,
     // substring dedup: gram size and the Lee et al. span threshold
-    // (--min-span 0 cuts every duplicated gram's coverage)
+    // (--min-span 0 cuts every duplicated gram's coverage;
+    // --no-span-removal skips the stage — gates + document-level dedup
+    // without any text rewriting)
     ngram: Int = 5,
     minSpan: Int = 50,
+    noSpanRemoval: Boolean = false,
     // near-dup stage: Jaccard keep-one threshold; None (--no-near-dup)
     // skips the stage
     nearDup: Option[Double] = Some(0.5),
@@ -143,6 +146,11 @@ case class CorpusCleanConfig(
     // permutation, zero stored randomness); both flags together
     epochs: Option[Int] = None,
     epochsOut: Option[String] = None,
+    // SFT delivery rendering: write the instruction-tuning form of the
+    // SHIPPED survivors (chat-template render + loss-mask boundary
+    // arithmetic, the sft_render query's shape) as a parquet table to
+    // this directory — the delivery artifact an SFT trainer consumes
+    sftOut: Option[String] = None,
     // output format: parquet (default, split/shard become partition
     // dirs) or jsonl (the exchange format — one object per line, every
     // delivered column a JSON field, split/shard included as fields)
@@ -214,6 +222,7 @@ object CorpusCleanCli {
             case None => return Left(s"--near-dup: not a number: $v")
           }
         case "--no-near-dup" :: t => noNearDup = true; rest = t
+        case "--no-span-removal" :: t => c = c.copy(noSpanRemoval = true); rest = t
         case "--containment" :: v :: t =>
           v.toDoubleOption match {
             case Some(d) => c = c.copy(containment = Some(d)); rest = t
@@ -279,6 +288,7 @@ object CorpusCleanCli {
             case Left(e) => return Left(e)
           }
         case "--epochs-out" :: v :: t => c = c.copy(epochsOut = Some(v)); rest = t
+        case "--sft-out" :: v :: t => c = c.copy(sftOut = Some(v)); rest = t
         case "--in-table" :: v :: t => c = c.copy(inTable = Some(v)); rest = t
         case "--out-table" :: v :: t => c = c.copy(outTable = Some(v)); rest = t
         case "--in-chunks" :: v :: t =>
@@ -312,7 +322,7 @@ object CorpusCleanCli {
     "--split-by", "--shards", "--stage-dir", "--stats-file",
     "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
-    "--drift-against", "--drift-out", "--epochs", "--epochs-out",
+    "--drift-against", "--drift-out", "--epochs", "--epochs-out", "--sft-out",
     "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
     "--check-merges", "--unigram", "--pieces-out", "--host-cap",
@@ -391,6 +401,8 @@ object CorpusCleanCli {
       Left("--format does not apply to a jdbc: output")
     else if (c.checkMerges.isDefined && c.statsFile.isEmpty)
       Left("--check-merges reports into --stats-file; give both")
+    else if (c.noSpanRemoval && c.gramState.isDefined)
+      Left("--no-span-removal conflicts with --gram-state")
     else Right(c)
   }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Instruction-tuning delivery formatting — each (doc_id, text) renders
+  * into the chat template
+  * `<|system|>\n{sys}\n<|user|>\n{user}\n<|assistant|>\n{answer}<|end|>`
+  * (user = the doc's first `promptWords` words, answer = the rest)
+  * together with the LOSS-MASK boundary arithmetic a trainer consumes:
+  * prompt token count (mask off), answer token count (loss on), total,
+  * and the rendered bytes' md5. Docs too short to have an answer flag
+  * `has_answer = false`.
+  *
+  * Map-only string assembly — zero shuffle, fuses into the survivor
+  * scan; bodies leave the executor as digests, never as rendered text.
+  * The `sft_render` registry query replays the identical derivation in
+  * DuckDB; `corpus-clean --sft-out` ships this frame as the delivery
+  * artifact.
+  */
+object SftRender {
+
+  val DefaultSystem = "You are a helpful assistant."
+
+  def render(docs: DataFrame,
+             sys: String = DefaultSystem,
+             promptWords: Int = 12): DataFrame = {
+    require(promptWords >= 1, s"promptWords must be >= 1, got $promptWords")
+    val words = split(col("text"), " ")
+    val user = array_join(slice(words, 1, promptWords), " ")
+    val answer: Column = when(size(words) > promptWords,
+      array_join(slice(words, lit(promptWords + 1), size(words) - promptWords), " "))
+      .otherwise(lit(""))
+    val prefix = concat(lit(s"<|system|>\n$sys\n<|user|>\n"), user,
+      lit("\n<|assistant|>\n"))
+    val rendered = concat(prefix, answer, lit("<|end|>"))
+    docs.select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        size(split(prefix, " ")).cast("long").as("prompt_toks"),
+        when(length(answer) > 0, size(split(answer, " ")))
+          .otherwise(lit(0)).cast("long").as("answer_toks"),
+        (size(split(prefix, " ")) +
+          when(length(answer) > 0, size(split(answer, " ")))
+            .otherwise(lit(0))).cast("long").as("total_toks"),
+        (length(answer) > 0).as("has_answer"),
+        md5(rendered).as("rendered_md5"))
+  }
+}

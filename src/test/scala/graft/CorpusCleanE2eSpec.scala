@@ -50,6 +50,32 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(got === want)
   }
 
+  test("--sft-out writes the instruction-tuning render of what shipped, " +
+    "matching the sft_render oracle query") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val inDir = tmp("cc_sft_in")
+    val outDir = tmp("cc_sft_out")
+    val sftDir = tmp("cc_sft_render")
+    docs.write.mode("overwrite").parquet(inDir)
+    // identity config: every gate off, span rewriting off, fixture texts
+    // unique (exact dedup keeps all) — delivered == input, so the SFT
+    // artifact must equal the registry query over the same table
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "0", "--no-span-removal",
+      "--no-near-dup", "--sft-out", sftDir)).toOption.get
+    val n = CorpusClean.run(spark, cfg)
+    assert(n === docs.count())
+    val got = spark.read.parquet(sftDir)
+      .select("doc_id", "prompt_toks", "answer_toks", "total_toks",
+        "has_answer", "rendered_md5")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("sft_render")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("--lang-model gates on the NB classifier's prediction instead of " +
     "the stopword heuristic") {
     val labeled = spark.read.parquet(s"$sf/documents.parquet")

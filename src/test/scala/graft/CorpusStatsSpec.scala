@@ -8,10 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class CorpusStatsSpec extends AnyFunSuite with SparkSuite {
 
   test("parse: defaults, flags, and the validation matrix") {
-    assert(CorpusStatsMain.parse(Seq("/in")) === Right(("/in", 10, None, None)))
+    assert(CorpusStatsMain.parse(Seq("/in")) ===
+      Right(("/in", 10, None, None, None, None)))
     assert(CorpusStatsMain.parse(
       Seq("/in", "--topk", "3", "--out", "/f", "--diff", "/p")) ===
-      Right(("/in", 3, Some("/f"), Some("/p"))))
+      Right(("/in", 3, Some("/f"), Some("/p"), None, None)))
+    assert(CorpusStatsMain.parse(
+      Seq("/in", "--memorization", "/ev", "--memorization-out", "/mo")) ===
+      Right(("/in", 10, None, None, Some("/ev"), Some("/mo"))))
+    assert(CorpusStatsMain.parse(Seq("/in", "--memorization-out", "/mo"))
+      .left.exists(_.contains("requires --memorization")))
+    assert(CorpusStatsMain.parse(Seq("/in", "--memorization"))
+      .left.exists(_.contains("missing")))
     assert(CorpusStatsMain.parse(Seq("/in", "--diff")).left.exists(_.contains("missing")))
     assert(CorpusStatsMain.parse(Seq()).left.exists(_.contains("<inParquet>")))
     assert(CorpusStatsMain.parse(Seq("/a", "/b")).left.exists(_.contains("extra")))
@@ -92,5 +100,47 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSuite {
       (("1", "1", "1", "1")))
     // and without --diff the section is absent
     assert(!CorpusStats.profile(spark, cd, topK = 2).contains("\"diff\""))
+  }
+
+  test("--memorization: per-doc table and rollup match the " +
+    "memorization_audit oracle query") {
+    // the memorization_audit registry query splits the fixture by
+    // doc_id % 97: eval = % 97 == 0, corpus = the rest. Feed the tool the
+    // same two slices as separate parquet dirs — its output table must
+    // equal the query's rows and the JSON rollup their exact-integer sums.
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpusDir = java.nio.file.Files.createTempDirectory("cstats_mc").toString
+    val evalDir = java.nio.file.Files.createTempDirectory("cstats_me").toString
+    val memOut = java.nio.file.Files.createTempDirectory("cstats_mo").toString
+    docs.filter(col("doc_id") % 97 =!= 0).write.mode("overwrite").parquet(corpusDir)
+    docs.filter(col("doc_id") % 97 === 0).write.mode("overwrite").parquet(evalDir)
+
+    val json = CorpusStats.profile(spark, corpusDir, topK = 2,
+      memorizationEval = Some(evalDir), memorizationOut = Some(memOut))
+
+    val want = graft.Queries.memorizationAudit(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(memOut)
+      .select("doc_id", "n_grams", "n_hit", "hit_ppm")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    val mem = (""""memorization": \{"n_eval_docs": (\d+), "sum_grams": (\d+), """ +
+      """"sum_hit": (\d+), "n_compromised": (\d+), "hit_ppm": (\d+)\}""").r
+      .findFirstMatchIn(json).getOrElse(fail(s"no memorization section: $json"))
+    val rows = want.toSeq.map(s =>
+      (s(1).asInstanceOf[Long], s(2).asInstanceOf[Long]))
+    assert(mem.group(1).toLong === want.size.toLong)
+    assert(mem.group(2).toLong === rows.map(_._1).sum)
+    assert(mem.group(3).toLong === rows.map(_._2).sum)
+    assert(mem.group(4).toLong === rows.count(_._2 > 0L).toLong)
+    assert(mem.group(5).toLong ===
+      rows.map(_._2).sum * 1000000L / rows.map(_._1).sum)
+    // without the flag the section is absent
+    assert(!CorpusStats.profile(spark, corpusDir, topK = 2)
+      .contains("\"memorization\""))
   }
 }

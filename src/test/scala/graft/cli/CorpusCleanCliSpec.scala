@@ -42,6 +42,15 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(c.stripMarkup)
   }
 
+  test("--no-span-removal and --sft-out land in the config; gram-state conflict") {
+    assert(!ok("in", "out").noSpanRemoval && ok("in", "out").sftOut.isEmpty)
+    val c = ok("in", "out", "--no-span-removal", "--sft-out", "/sft")
+    assert(c.noSpanRemoval && c.sftOut === Some("/sft"))
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--sft-out")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--no-span-removal",
+      "--gram-state", "/gs")).left.exists(_.contains("conflicts")))
+  }
+
   test("--format: parquet default, jsonl/orc/csv accepted, anything else refused") {
     assert(ok("in", "out").format === "parquet")
     assert(ok("in", "out", "--format", "jsonl").format === "jsonl")
