@@ -654,8 +654,17 @@ object Queries {
         s"cont_sets_${StageStore.dirTag(dir)}") {
       graft.operators.NearDup.shingleHashSets(docs, k = 3)
     }
+    // the persisted-state pair: the doc-frequency table lives NEXT TO the
+    // set arrays, so the batch merges two pre-aggregated tables instead of
+    // re-deriving df from history arrays (ContainmentStateSpec pins the
+    // history-scan count and state-path == rederive-path equality)
+    val priorDf = StageStore.materializeIfAbsent(s,
+        s"cont_df_${StageStore.dirTag(dir)}") {
+      graft.operators.NearDup.shingleDocFreq(priorSets)
+    }
     graft.operators.NearDup
-      .containmentDedupIncremental(batch, priorSets, threshold = 0.9)
+      .containmentDedupIncremental(batch, priorSets, threshold = 0.9,
+        priorDocFreq = Some(priorDf))
       .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"))
   }
 

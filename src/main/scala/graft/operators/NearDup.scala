@@ -746,6 +746,29 @@ object NearDup {
       .select("doc_a", "doc_b", "containment", "n_a", "n_b")
   }
 
+  /** Per-shingle DOCUMENT FREQUENCIES of a [[shingleHashSets]] state
+    * table — `(sh_hash, doc_freq)`, the second containment state file: a
+    * deployment persists this NEXT TO the set arrays (the
+    * `priorGramCounts` pattern dedup-substring already uses) so an
+    * incremental batch never re-derives frequencies from history arrays —
+    * the df pass over 100 TB of history would otherwise be a
+    * history-proportional job EVERY batch. Increments fold with
+    * [[mergeShingleDocFreq]]; both incremental containment entry points
+    * accept the table via `priorDocFreq`. */
+  def shingleDocFreq(shSets: DataFrame): DataFrame =
+    shSets.filter(col("n_sh") > 0)
+      .select(explode(col("sh_set")).as("sh_hash"))
+      .groupBy("sh_hash").agg(count(lit(1)).as("doc_freq"))
+
+  /** Fold a batch's [[shingleDocFreq]] delta into the persisted table —
+    * merge-by-sum, valid because state and batch doc_ids are disjoint
+    * (the incremental contract), so per-shingle doc counts add. The
+    * compaction job writes this back next to the updated set state. */
+  def mergeShingleDocFreq(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.select("sh_hash", "doc_freq")
+      .unionByName(delta.select("sh_hash", "doc_freq"))
+      .groupBy("sh_hash").agg(sum("doc_freq").as("doc_freq"))
+
   /** Which docs of `batch` are CONTAINED (at `threshold`) in a HISTORY
     * doc — the per-shard gate decision behind
     * [[graft.streaming.CorpusStream.containmentIngest]], the containment
@@ -759,13 +782,23 @@ object NearDup {
     * the survivor set is invariant under arrival order and micro-batch
     * slicing, the streaming-gate contract. No size/tie rule (history
     * never drops; an arrival contained in ANY history doc is already
-    * shipped content). Returns distinct batch `doc_id`s to drop. */
+    * shipped content). Returns distinct batch `doc_id`s to drop.
+    *
+    * `priorDocFreq`: the persisted [[shingleDocFreq]] table of the SAME
+    * state — when given, frequencies and the over-cap key set come from
+    * the table and the history set arrays are never touched by the df
+    * stage (they still feed the posting join and the verify
+    * intersection, both map-shaped reads, never a history-wide
+    * re-aggregation). */
   def historyContainedIds(batch: DataFrame, priorShSets: DataFrame,
                           k: Int = 3, threshold: Double = 0.9,
-                          maxPosting: Int = 1000): DataFrame = {
+                          maxPosting: Int = 1000,
+                          priorDocFreq: Option[DataFrame] = None): DataFrame = {
     val histSets = priorShSets.filter(col("n_sh") > 0)
     val histPosts = histSets.select(col("doc_id"), explode(col("sh_set")).as("sh_hash"))
-    val freq = histPosts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq"))
+    val freq = priorDocFreq
+      .map(_.select(col("sh_hash"), col("doc_freq")))
+      .getOrElse(histPosts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq")))
     val hot = freq.filter(col("doc_freq") > maxPosting).select("sh_hash")
     val cold = histPosts.join(broadcast(hot), Seq("sh_hash"), "left_anti")
     val batchSets = shingleHashSets(batch, k).filter(col("n_sh") > 0)
@@ -834,10 +867,19 @@ object NearDup {
     * docs `(doc_id, n_sh)`, equal to [[containmentDedup]] over
     * history ∪ batch restricted to batch ids — doc-freq prefix order and
     * posting caps compute over the same union a one-shot run would see.
-    * Contract: history and batch doc_ids are disjoint. */
+    * Contract: history and batch doc_ids are disjoint.
+    *
+    * `priorDocFreq`: the persisted [[shingleDocFreq]] table of the
+    * history state. When given, union frequencies come from
+    * merge-by-sum of the table with the BATCH's own delta — bit-equal to
+    * the re-derivation (disjoint ids ⇒ counts add) — and the history set
+    * arrays never feed a history-wide aggregation; without it each batch
+    * re-derives df from the full history arrays, a history-proportional
+    * job per batch (the scale cliff the persisted table removes). */
   def containmentDedupIncremental(batch: DataFrame, priorShSets: DataFrame,
                                   k: Int = 3, threshold: Double = 0.9,
-                                  maxPosting: Int = 1000): DataFrame = {
+                                  maxPosting: Int = 1000,
+                                  priorDocFreq: Option[DataFrame] = None): DataFrame = {
     val batchSets = shingleHashSets(batch, k)
     val allSets = priorShSets.unionByName(batchSets)
     val posts = allSets.filter(col("n_sh") > 0)
@@ -845,7 +887,9 @@ object NearDup {
     // same hot-key routing as the one-shot path (see
     // containmentPairsSized): over-cap keys leave by broadcast anti-join
     // before any posting equi-join — no candidate changes, no skew funnel
-    val freq = posts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq"))
+    val freq = priorDocFreq
+      .map(pdf => mergeShingleDocFreq(pdf, shingleDocFreq(batchSets)))
+      .getOrElse(posts.groupBy("sh_hash").agg(count(lit(1)).as("doc_freq")))
     val hot = freq.filter(col("doc_freq") > maxPosting).select("sh_hash")
     val cold = posts.join(broadcast(hot), Seq("sh_hash"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window

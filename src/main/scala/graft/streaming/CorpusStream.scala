@@ -177,15 +177,20 @@ object CorpusStream {
     * arrival order and micro-batch slicing; the checkpoint carries only
     * source offsets (zero streaming state); delivery at-least-once,
     * dedup downstream by doc_id. Compaction cadence as with the other
-    * gates: fold shipped survivors into the set parquet between runs. */
+    * gates: fold shipped survivors into the set parquet between runs —
+    * and fold their [[graft.operators.NearDup.shingleDocFreq]] delta into
+    * the persisted frequency table (`priorDocFreq`) by
+    * [[graft.operators.NearDup.mergeShingleDocFreq]], so no batch ever
+    * re-aggregates frequencies over the history arrays. */
   def containmentIngest(docs: DataFrame, priorShSets: DataFrame,
                         outDir: String, checkpointDir: String,
                         k: Int = 3, threshold: Double = 0.9,
-                        maxPosting: Int = 1000): Unit = {
+                        maxPosting: Int = 1000,
+                        priorDocFreq: Option[DataFrame] = None): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val contained = graft.operators.NearDup.historyContainedIds(
-          batch, priorShSets, k, threshold, maxPosting)
+          batch, priorShSets, k, threshold, maxPosting, priorDocFreq)
         batch.join(contained, Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(outDir)
         ()
@@ -224,7 +229,8 @@ object CorpusStream {
                      stripMarkup: Boolean = false,
                      blocklist: Option[Seq[String]] = None,
                      c4: Boolean = false,
-                     gopher: Boolean = false): Unit = {
+                     gopher: Boolean = false,
+                     containmentDocFreq: Option[DataFrame] = None): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val extracted = if (stripMarkup)
@@ -275,7 +281,7 @@ object CorpusStream {
         containmentState.foreach { case (setsF, thr) =>
           b = b.join(
             graft.operators.NearDup.historyContainedIds(b, setsF,
-              threshold = thr),
+              threshold = thr, priorDocFreq = containmentDocFreq),
             Seq("doc_id"), "left_anti")
         }
         b.select(col("doc_id"), col("text"))

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** The persisted containment doc-frequency state (`shingleDocFreq` /
+  * `mergeShingleDocFreq` + the `priorDocFreq` arm of the incremental
+  * entry points): equality with the re-derivation path, two-batch
+  * chaining == one-shot, and the plan pin that the df stage stops
+  * scanning the history set arrays. */
+class ContainmentStateSpec extends AnyFunSuite with SparkSuite {
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def words(n: Int, seed: Int): String =
+    (0 until n).map(i => s"w${(i * 31 + seed * 7) % 97}_$i").mkString(" ")
+
+  // history: 8 originals; batches plant snippets (contained) and
+  // reversed/fresh docs (not contained)
+  private val history = docsDf((0L until 8L).map(i => (i, words(40, i.toInt))))
+  private def snippetOf(i: Long, id: Long): (Long, String) =
+    (id, words(40, i.toInt).split(" ").take(14).mkString(" "))
+  private def fresh(id: Long): (Long, String) =
+    (id, words(40, id.toInt + 100).split(" ").reverse.mkString(" "))
+
+  private val batch1 = docsDf(Seq(snippetOf(0L, 100L), snippetOf(3L, 101L),
+    fresh(102L), fresh(103L)))
+  private val batch2 = docsDf(Seq(snippetOf(1L, 200L), snippetOf(5L, 201L),
+    (202L, words(40, 103 + 100).split(" ").reverse.mkString(" ")), // dup of 103's text
+    fresh(204L)))
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("state path == re-derivation path on the planted corpus") {
+    val sets = NearDup.shingleHashSets(history, k = 3)
+    val df = NearDup.shingleDocFreq(sets)
+    val a = NearDup.containmentDedupIncremental(batch1, sets, threshold = 0.8)
+    val b = NearDup.containmentDedupIncremental(batch1, sets, threshold = 0.8,
+      priorDocFreq = Some(df))
+    assert(a.collect().map(_.toSeq).toSet === b.collect().map(_.toSeq).toSet)
+    // snippets drop, fresh docs survive
+    assert(ids(b) === Set(102L, 103L))
+
+    val ga = NearDup.historyContainedIds(batch1, sets, threshold = 0.8)
+    val gb = NearDup.historyContainedIds(batch1, sets, threshold = 0.8,
+      priorDocFreq = Some(df))
+    assert(ids(ga) === ids(gb))
+    assert(ids(gb) === Set(100L, 101L))
+  }
+
+  test("two-batch chaining with merged df state == one-shot over the union") {
+    val tmp = java.nio.file.Files.createTempDirectory("contstate").toString
+    def persist(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    // state after history
+    val sets0 = persist(NearDup.shingleHashSets(history, k = 3), "sets0")
+    val df0 = persist(NearDup.shingleDocFreq(sets0), "df0")
+    // batch 1 gates against (sets0, df0); compaction folds its sets + df
+    val surv1 = NearDup.containmentDedupIncremental(batch1, sets0,
+      threshold = 0.8, priorDocFreq = Some(df0))
+    // compaction folds the SHIPPED survivors only (dropped docs never
+    // enter state — the production contract)
+    val b1sets = NearDup.shingleHashSets(batch1, k = 3)
+      .join(surv1.select("doc_id"), Seq("doc_id"), "left_semi")
+    val sets1 = persist(sets0.unionByName(b1sets), "sets1")
+    val df1 = persist(
+      NearDup.mergeShingleDocFreq(df0, NearDup.shingleDocFreq(b1sets)), "df1")
+    // merged table == re-derivation over history ∪ batch1
+    assert(df1.collect().map(_.toSeq).toSet ===
+      NearDup.shingleDocFreq(sets1).collect().map(_.toSeq).toSet)
+    // batch 2 against the evolved state == batch 2 with df re-derived
+    val surv2state = NearDup.containmentDedupIncremental(batch2, sets1,
+      threshold = 0.8, priorDocFreq = Some(df1))
+    val surv2rederive = NearDup.containmentDedupIncremental(batch2, sets1,
+      threshold = 0.8)
+    assert(surv2state.collect().map(_.toSeq).toSet ===
+      surv2rederive.collect().map(_.toSeq).toSet)
+    // snippets of history drop; 202 (reverse-dup of a BATCH-1 survivor
+    // now in state) drops as an equal-size mutual containment with the
+    // smaller id (103) winning; 204 survives
+    assert(ids(surv1) === Set(102L, 103L))
+    assert(ids(surv2state) === Set(204L))
+  }
+
+  test("df stage stops scanning the history set arrays when state is given") {
+    val tmp = java.nio.file.Files.createTempDirectory("contplan").toString
+    NearDup.shingleHashSets(history, k = 3)
+      .write.mode("overwrite").parquet(s"$tmp/hist_sets")
+    val sets = spark.read.parquet(s"$tmp/hist_sets")
+    NearDup.shingleDocFreq(sets).write.mode("overwrite").parquet(s"$tmp/hist_df")
+    val df = spark.read.parquet(s"$tmp/hist_df")
+    def histScans(frame: DataFrame): Int =
+      "hist_sets".r.findAllMatchIn(
+        frame.queryExecution.executedPlan.toString).length
+    // re-derivation: the freq aggregate over history postings feeds THREE
+    // consumers (the hot-key filter twice — cold's anti-join and the batch
+    // prefix's — plus the prefix freq join), each re-scanning history, on
+    // top of the two irreducible map-shaped reads (cold postings + the
+    // verify b-side). With the persisted table every freq consumer reads
+    // hist_df instead: exactly the two map-shaped history reads remain.
+    val without = histScans(NearDup.containmentDedupIncremental(
+      batch1, sets, threshold = 0.8))
+    val withState = histScans(NearDup.containmentDedupIncremental(
+      batch1, sets, threshold = 0.8, priorDocFreq = Some(df)))
+    assert(withState === 2 && without > withState,
+      s"history scans: $without -> $withState")
+    val gateWithout = histScans(NearDup.historyContainedIds(
+      batch1, sets, threshold = 0.8))
+    val gateWith = histScans(NearDup.historyContainedIds(
+      batch1, sets, threshold = 0.8, priorDocFreq = Some(df)))
+    assert(gateWith === 2 && gateWithout > gateWith,
+      s"history scans: $gateWithout -> $gateWith")
+  }
+}
