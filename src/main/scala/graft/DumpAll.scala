@@ -158,7 +158,13 @@ object DumpAll {
               dstUrl: Option[String] = None,
               dstProps: Map[String, String] = Map.empty,
               dstSchemas: Seq[String] = Nil,
-              compressLevel: Int = 1): Seq[Result] = {
+              compressLevel: Int = 1,
+              // -consistent single-conn (S1 fallback): stage every table
+              // through ONE snapshot transaction into parquet, then run
+              // the parallel sinks off the immutable staging copy —
+              // consistency over parallelism (SnapshotStage scaladoc)
+              consistent: Boolean = false,
+              stagingDir: Option[String] = None): Seq[Result] = {
     applyCompressionLevel(spark.sparkContext.hadoopConfiguration, compression, compressLevel)
     val props = new java.util.Properties()
     srcProps.foreach { case (k, v) => props.setProperty(k, v) }
@@ -195,6 +201,24 @@ object DumpAll {
     // largest-first on the statistics estimate, ACROSS schemas — one
     // global schedule, same as the reference's combined table list
     val ordered = works.sortBy(-_.meta.rowCount)
+    if (consistent) {
+      // single-conn consistent mode: EVERY selected table streams
+      // sequentially through one snapshot transaction into staging first
+      // (no PK needed — a single scan has no chunk geometry), then the
+      // sinks run with full parallelism off the frozen copy
+      val staging = stagingDir.getOrElse(s"$outDir/_staging")
+      val staged = graft.sources.SnapshotStage.stageAll(spark, url, props,
+        ordered.map(w => (w.qualified, w.label)), staging)
+      return inPool(spark, maxConcurrentTables, ordered, (_: JdbcWork).label) { w =>
+        val (dir, rows) = staged(w.qualified)
+        val cpyDst = w.dst.orElse(w.schema)
+        val settings = SinkSettings(mode, w.schema.getOrElse("graft"),
+          insertSize, header, fileTemplate, withColumnList, compression,
+          dstUrl, dstProps, cpyDst, compressLevel)
+        Result(w.label, rows, writeOne(spark.read.parquet(dir), w.bare,
+          outDir, settings, dirName = Some(w.label)))
+      }
+    }
     inPool(spark, maxConcurrentTables, ordered, (_: JdbcWork).label) { w =>
       val m = w.meta
       // cpy is the ONLY mode the reference schema-qualifies: INSERT INTO

@@ -40,12 +40,17 @@ object Main {
         guessPrimaryKey = cfg.guessPrimaryKey,
         dstUrl = cfg.dstUrl,
         dstSchemas = cfg.dstSchemas,
-        compressLevel = cfg.compressLevel)
+        compressLevel = cfg.compressLevel,
+        consistent = cfg.consistent.contains("single-conn"),
+        stagingDir = cfg.stagingDir)
     else {
       // the parquet lake has no schema dimension: a second -db would be
       // silently ignored — refuse instead (the JDBC path iterates them)
       require(cfg.schemas.length <= 1,
         "parquet lake source is single-schema: at most one -db")
+      // the lake is immutable — a snapshot barrier is meaningless there
+      require(cfg.consistent.isEmpty,
+        "-consistent single-conn applies to jdbc: sources only")
       DumpAll.run(spark, srcDir, outDir,
         mode = cfg.mode, insertSize = cfg.insertSize, exclude = cfg.exclude,
         maxConcurrentTables = cfg.dumpParallel, compression = cfg.compress,

@@ -53,7 +53,14 @@ case class DumpConfig(
     dstUrl: Option[String] = None,
     // -dst-schema: positional remap of -db entries on the destination
     // (reference PopulateDstSchema, paradump.go:1457-1466, flags :3506-3507)
-    dstSchemas: Seq[String] = Nil)
+    dstSchemas: Seq[String] = Nil,
+    // -consistent single-conn (S1 fallback, paradump.go:97-145,243-355):
+    // stage every table through ONE snapshot transaction, then run the
+    // parallel sinks off the frozen staging copy; jdbc: sources only
+    consistent: Option[String] = None,
+    // -stagingdir: where the consistent-mode staging parquet lands
+    // (default <out>/_staging; point at HDFS/S3 on a cluster)
+    stagingDir: Option[String] = None)
 
 /** CLI contract — the reference's flag surfaces and validation matrices
   * (/root/reference/src/paradump/paradump.go:3477-3524 flags, :3527-3637
@@ -148,6 +155,8 @@ object Cli {
         case "-guessprimarykey" :: t => c = c.copy(guessPrimaryKey = true); rest = t
         case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
         case "-dst-schema" :: v :: t => c = c.copy(dstSchemas = c.dstSchemas :+ v); rest = t
+        case "-consistent" :: v :: t => c = c.copy(consistent = Some(v)); rest = t
+        case "-stagingdir" :: v :: t => c = c.copy(stagingDir = Some(v)); rest = t
         case flag :: Nil if dumpValueFlags(flag) =>
           return Left(s"$flag: missing value")
         case flag :: _ => return Left(s"unknown flag: $flag")
@@ -187,7 +196,8 @@ object Cli {
     "-exclude", "-exclude-table", "-chunksize", "-insertsize", "-parallel",
     "-browser", "-dumpparallel", "-dumpfile", "-dumpheader", "-dumpinsert",
     "--dumpinsert", "-dumpcompress", "-dumpcompresslevel",
-    "-dumpcompressconcur", "-dst", "-dst-schema")
+    "-dumpcompressconcur", "-dst", "-dst-schema", "-consistent",
+    "-stagingdir")
   private val syncValueFlags = Set("-db", "-table", "-exclude",
     "-exclude-table", "-chunksize", "-parallel", "-readers", "-dst-readers",
     "-dst-writers", "-browser", "-statsfile", "--statsfile", "-dst",
@@ -298,6 +308,11 @@ object Cli {
       return Left("duplicate value in -dst-schema") // paradump.go:3626-3634
     if ((c.mode == "sql" || c.mode == "csv") && !templateValid(c.dumpFile))
       return Left(s"invalid -dumpfile template ${c.dumpFile}") // :3656-3671
+    if (c.consistent.exists(_ != "single-conn"))
+      return Left(s"-consistent: only 'single-conn' is implemented, " +
+        s"got ${c.consistent.get}")
+    if (c.stagingDir.isDefined && c.consistent.isEmpty)
+      return Left("-stagingdir only applies with -consistent single-conn")
     if (c.parallel < 1 || c.browsers < 1 || c.dumpParallel < 1)
       return Left("parallelism flags must be >= 1")
     Right(c)

@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.sql.{Connection, ResultSet}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** S1 consistency fallback — `-consistent single-conn`: the
+  * consistency-over-parallelism mode for engines whose cross-connection
+  * snapshot the reference reaches by raw connection control
+  * (MySQL FTWRL + `START TRANSACTION WITH CONSISTENT SNAPSHOT` fan-out,
+  * /root/reference/src/paradump/paradump.go:97-145,243-355) and Spark's
+  * per-partition JDBC connections cannot replay.
+  *
+  * ONE driver-side connection opens ONE transaction whose visibility is
+  * pinned at its start, every selected table is streamed SEQUENTIALLY
+  * through that connection into a parquet staging area, the transaction
+  * closes, and the normal parallel pipeline (chunking, sinks, diff/sync)
+  * runs against the immutable staging copy — the snapshot barrier moves
+  * from the database protocol into the lake. Slower (single wire) but
+  * reference-faithful: no write committed after the transaction opens can
+  * appear in ANY staged table.
+  *
+  * Per-dialect snapshot mechanics ([[snapshotStatements]]):
+  *  - MySQL: `START TRANSACTION WITH CONSISTENT SNAPSHOT` under
+  *    REPEATABLE READ — the reference's own statement (paradump.go:211),
+  *    MVCC, writers never block;
+  *  - PostgreSQL: `REPEATABLE READ` transaction (MVCC snapshot at first
+  *    query; the PARALLEL pg path uses exported snapshots instead —
+  *    [[JdbcSession.pgSnapshotInit]] — and does not need this mode);
+  *  - Derby (and other lock-based engines): `LOCK TABLE ... IN SHARE
+  *    MODE` up front for every selected table under SERIALIZABLE — the
+  *    FTWRL-analogue barrier (paradump.go:112): concurrent writers block
+  *    until staging commits, reads are the consistent cut at lock time.
+  *
+  * Scale note: staging throughput is bounded by the one connection by
+  * DESIGN (that is what the flag trades away); the staging directory
+  * belongs on the lake filesystem (HDFS/S3), and rows buffer through the
+  * driver in `batchRows` slices — memory is O(batch), never O(table).
+  */
+object SnapshotStage {
+
+  /** Dialect-appropriate statements that pin the transaction's snapshot.
+    * Executed once, in order, on the staging connection (autocommit
+    * already off). `tables` are the schema-qualified names to barrier —
+    * used only by the lock-based fallback. */
+  def snapshotStatements(url: String, tables: Seq[String]): Seq[String] =
+    if (url.startsWith("jdbc:mysql"))
+      Seq("SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ",
+        "START TRANSACTION WITH CONSISTENT SNAPSHOT")
+    else if (url.startsWith("jdbc:postgresql"))
+      Seq("SET TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+    else tables.map(t => s"LOCK TABLE $t IN SHARE MODE")
+
+  /** Stream `SELECT <schema cols> FROM table` through `conn` into
+    * `stagingDir` as parquet, in `batchRows` driver-side slices.
+    * Returns the staged row count. */
+  private def stageOne(spark: SparkSession, conn: Connection,
+                       table: String, schema: StructType,
+                       stagingDir: String, fetchSize: Int,
+                       batchRows: Int): Long = {
+    // staging must never read a stale previous run: clear the target dir
+    val path = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+
+    // MySQL quotes identifiers with backticks unless ANSI_QUOTES is set;
+    // every other wire speaks the SQL-standard double quote
+    val quotedCols =
+      if (conn.getMetaData.getURL != null &&
+          conn.getMetaData.getURL.startsWith("jdbc:mysql"))
+        schema.fields.map(f => s"`${f.name}`").mkString(", ")
+      else schema.fields.map(f => s""""${f.name}"""").mkString(", ")
+    val stmt = conn.createStatement(ResultSet.TYPE_FORWARD_ONLY,
+      ResultSet.CONCUR_READ_ONLY)
+    // MySQL streams only at fetchSize = MIN_VALUE; others take the hint
+    stmt.setFetchSize(
+      if (conn.getMetaData.getURL.startsWith("jdbc:mysql")) Integer.MIN_VALUE
+      else fetchSize)
+    var total = 0L
+    var wrote = false
+    def flush(buf: ArrayBuffer[Row]): Unit = {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(buf.toArray: _*), schema)
+      df.coalesce(1).write.mode("append").parquet(stagingDir)
+      wrote = true
+      buf.clear()
+    }
+    try {
+      val rs = stmt.executeQuery(s"SELECT $quotedCols FROM $table")
+      val buf = new ArrayBuffer[Row](batchRows)
+      while (rs.next()) {
+        buf += readRow(rs, schema)
+        total += 1
+        if (buf.length >= batchRows) flush(buf)
+      }
+      if (buf.nonEmpty || !wrote) flush(buf) // empty table: schema-only file
+      rs.close()
+    } finally stmt.close()
+    total
+  }
+
+  /** One JDBC column → the Spark-schema-typed value. */
+  private def readRow(rs: ResultSet, schema: StructType): Row = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val v: Any = schema.fields(i).dataType match {
+        case LongType => rs.getLong(i + 1)
+        case IntegerType => rs.getInt(i + 1)
+        case ShortType => rs.getShort(i + 1)
+        case ByteType => rs.getByte(i + 1)
+        case BooleanType => rs.getBoolean(i + 1)
+        case DoubleType => rs.getDouble(i + 1)
+        case FloatType => rs.getFloat(i + 1)
+        case StringType => rs.getString(i + 1)
+        case BinaryType => rs.getBytes(i + 1)
+        case _: DecimalType => rs.getBigDecimal(i + 1)
+        case DateType => rs.getDate(i + 1)
+        case TimestampType => rs.getTimestamp(i + 1)
+        case other => throw new IllegalArgumentException(
+          s"snapshot staging: unsupported column type $other")
+      }
+      vals(i) = if (rs.wasNull()) null else v
+      i += 1
+    }
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+  }
+
+  /** Stage every `(qualifiedTable, stagingSubdir)` pair through one
+    * consistent transaction. Returns per-table (stagedDir, rowCount).
+    * Schemas are inferred through Spark's JDBC reader BEFORE the barrier
+    * opens (metadata-only probes). */
+  def stageAll(spark: SparkSession, url: String,
+               props: java.util.Properties,
+               tables: Seq[(String, String)], stagingRoot: String,
+               fetchSize: Int = 10000,
+               batchRows: Int = 50000,
+               // invoked once the snapshot/barrier is open, before any
+               // table is read — the e2e concurrency probe's hook
+               onSnapshotOpen: () => Unit = () => ()): Map[String, (String, Long)] = {
+    val schemas: Map[String, StructType] = tables.map { case (q, _) =>
+      q -> spark.read.jdbc(url, q, props).schema
+    }.toMap
+    val conn = java.sql.DriverManager.getConnection(url,
+      Option(props.getProperty("user")).getOrElse(""),
+      Option(props.getProperty("password")).getOrElse(""))
+    try {
+      conn.setAutoCommit(false)
+      if (!url.startsWith("jdbc:mysql") && !url.startsWith("jdbc:postgresql"))
+        conn.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+      val st = conn.createStatement()
+      try snapshotStatements(url, tables.map(_._1)).foreach(st.execute)
+      finally st.close()
+      onSnapshotOpen()
+      val out = tables.map { case (q, sub) =>
+        val dir = s"$stagingRoot/$sub"
+        val n = stageOne(spark, conn, q, schemas(q), dir, fetchSize, batchRows)
+        q -> ((dir, n))
+      }.toMap
+      conn.commit() // releases the barrier / closes the snapshot
+      out
+    } finally {
+      try conn.rollback() catch { case _: java.sql.SQLException => () }
+      conn.close()
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** `-consistent single-conn` e2e on a real wire (Derby): the staged copy
+  * is a consistent cut — a write racing the dump lands in the DATABASE
+  * but never in ANY staged table, because the share-lock barrier (the
+  * FTWRL analogue, paradump.go:97-145) holds it out until staging
+  * commits. Plus fidelity (staged == source) and the CLI flag matrix. */
+class SnapshotStageSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val dbDir =
+    Files.createTempDirectory("derby-snap").toFile.getAbsolutePath
+  private lazy val url = s"jdbc:derby:$dbDir/snapdb;create=true"
+
+  private lazy val setup: Unit = {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE S_A (id INT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+    st.execute("INSERT INTO S_A VALUES (1,'a1'), (2,'a2'), (3,'a3')")
+    st.execute("CREATE TABLE S_B (id INT NOT NULL PRIMARY KEY, n INT)")
+    st.execute("INSERT INTO S_B VALUES (10, 100), (20, 200)")
+    // keyless: consistent mode must still dump it (no chunk geometry)
+    st.execute("CREATE TABLE S_NOKEY (x INT)")
+    st.execute("INSERT INTO S_NOKEY VALUES (7), (8), (9)")
+    st.execute("CREATE TABLE S_EMPTY (e INT NOT NULL PRIMARY KEY)")
+    // dedicated pair for the full-dump case (other tests mutate S_A/S_B)
+    st.execute("CREATE TABLE S_C (id INT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+    st.execute("INSERT INTO S_C VALUES (1,'a1'), (2,'a2'), (3,'a3')")
+    st.execute("CREATE TABLE S_D (id INT NOT NULL PRIMARY KEY, n INT)")
+    st.execute("INSERT INTO S_D VALUES (10, 100), (20, 200)")
+    st.close(); conn.close()
+  }
+
+  test("staged parquet equals the source tables, including keyless and empty") {
+    setup
+    val staging = Files.createTempDirectory("snap-stage").toString
+    val out = SnapshotStage.stageAll(spark, url, new Properties(),
+      Seq(("APP.S_A", "s_a"), ("APP.S_NOKEY", "s_nokey"),
+        ("APP.S_EMPTY", "s_empty")), staging)
+    assert(out("APP.S_A")._2 === 3L)
+    assert(out("APP.S_NOKEY")._2 === 3L)
+    assert(out("APP.S_EMPTY")._2 === 0L)
+    val a = spark.read.parquet(out("APP.S_A")._1)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(a === Set((1, "a1"), (2, "a2"), (3, "a3")))
+    val nk = spark.read.parquet(out("APP.S_NOKEY")._1)
+      .collect().map(_.getInt(0)).toSet
+    assert(nk === Set(7, 8, 9))
+    assert(spark.read.parquet(out("APP.S_EMPTY")._1).count() === 0L)
+  }
+
+  test("a write racing the dump reaches the DB but never the staged cut") {
+    setup
+    val staging = Files.createTempDirectory("snap-race").toString
+    @volatile var writerDone = 0L
+    val writer = new Thread(() => {
+      val c = DriverManager.getConnection(url)
+      val st = c.createStatement()
+      // blocks on the share-lock barrier until staging commits
+      st.execute("INSERT INTO S_A VALUES (99, 'raced')")
+      st.execute("INSERT INTO S_B VALUES (99, 999)")
+      st.close(); c.close()
+      writerDone = System.nanoTime()
+    })
+    val out = SnapshotStage.stageAll(spark, url, new Properties(),
+      Seq(("APP.S_A", "s_a"), ("APP.S_B", "s_b")), staging,
+      onSnapshotOpen = () => {
+        writer.start() // barrier already held: the insert MUST block
+        Thread.sleep(400) // let it reach the lock before tables are read
+      })
+    val staged = System.nanoTime()
+    writer.join(60000)
+    assert(!writer.isAlive, "writer never completed")
+    // the barrier held the writer out until the snapshot closed
+    assert(writerDone > staged,
+      "writer committed before staging finished — barrier did not hold")
+    // neither staged table contains the raced rows...
+    val aIds = spark.read.parquet(out("APP.S_A")._1)
+      .collect().map(_.getInt(0)).toSet
+    val bIds = spark.read.parquet(out("APP.S_B")._1)
+      .collect().map(_.getInt(0)).toSet
+    assert(aIds === Set(1, 2, 3))
+    assert(bIds === Set(10, 20))
+    // ...and the database does, once released
+    val c = DriverManager.getConnection(url)
+    val rs = c.createStatement()
+      .executeQuery("SELECT COUNT(*) FROM S_A WHERE id = 99")
+    rs.next(); assert(rs.getInt(1) === 1); rs.close(); c.close()
+  }
+
+  test("CLI: -consistent validation matrix") {
+    import graft.cli.Cli
+    assert(Cli.parseDump(Seq("-db", "app", "-consistent", "single-conn"))
+      .toOption.get.consistent === Some("single-conn"))
+    assert(Cli.parseDump(Seq("-db", "app", "-consistent", "ftwrl"))
+      .left.exists(_.contains("single-conn")))
+    assert(Cli.parseDump(Seq("-db", "app", "-consistent"))
+      .left.exists(_.contains("missing value")))
+    assert(Cli.parseDump(Seq("-db", "app", "-stagingdir", "/s"))
+      .left.exists(_.contains("-consistent")))
+    // parquet-lake sources refuse the flag (immutable input, no barrier)
+    val cfg = Cli.parseDump(
+      Seq("-db", "app", "-consistent", "single-conn")).toOption.get
+    val e = intercept[IllegalArgumentException] {
+      graft.Main.run(spark, "/root/testdata/sf0.001", "/tmp/never", cfg)
+    }
+    assert(e.getMessage.contains("jdbc: sources only"))
+  }
+
+  test("full dump through -consistent single-conn reloads equal to source") {
+    setup
+    val out = Files.createTempDirectory("snap-dump-out").toString
+    val results = graft.DumpAll.runJdbc(spark, url, out.toString,
+      mode = "sql", tables = Seq("s_c", "s_d"), dbs = Seq("app"),
+      consistent = true)
+    assert(results.map(r => r.table -> r.rows).toMap ===
+      Map("s_c" -> 3L, "s_d" -> 2L))
+    // reload the generated INSERT text through the SQL engine and diff
+    val lines = spark.read.text(s"$out/s_c").collect().map(_.getString(0))
+    val inserts = lines.filter(_.startsWith("INSERT INTO"))
+    assert(inserts.nonEmpty)
+    assert(inserts.mkString(" ").contains("'a1'"))
+  }
+}
