@@ -9,6 +9,17 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Second live SQL wire for the dialect-matrix tests (JdbcDialectMatrixSpec):
+// a DuckDB JDBC jar already present in the machine-local cache — an
+// unmanaged classpath entry, NOT a dependency resolution, so the zero-egress
+// build is unaffected. DuckDB's parser is PostgreSQL-flavored (E''-strings,
+// LIMIT/OFFSET, window functions), making it the closest live stand-in for
+// the PG dialect paths next to Derby's SQL-standard wire. The spec skips
+// itself when the jar is absent.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get().take(1).map(Attributed.blank(_))
+}
 Test / fork := true
 run / fork := true
 // Forked `run` output goes straight to stdout, NOT through sbt's logger —

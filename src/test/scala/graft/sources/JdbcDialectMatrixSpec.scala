@@ -1,0 +1,244 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Battle-test the dialect SQL on a SECOND live wire (r12 verdict #1).
+  *
+  * DuckDB over JDBC is the closest live stand-in for the PostgreSQL
+  * dialect available without containers: its parser speaks E''-strings
+  * (including the `\xNN` forms `Escapes.pgQuote` emits), `LIMIT n OFFSET
+  * m`, SQL:2008 `OFFSET/FETCH`, window functions (NTILE — which Derby
+  * lacks, so the ntile pushdown runs LIVE here for the first time), and
+  * row-value comparisons. Every statement this engine generates for the
+  * walk / predicate / dump / diff-sync cycles is EXECUTED by a real SQL
+  * engine here — any rejection is a found bug, the role the reference's
+  * booted containers play in test/run_db_4_test.sh.
+  *
+  * MySQL's `LIMIT o,1` paging and backslash literals remain golden-pinned
+  * (DuckDB — correctly — rejects the comma form, asserted below: the
+  * dialect branches are genuinely different text).
+  *
+  * The DuckDB JDBC jar arrives via `Test / unmanagedJars` from the local
+  * cache; the whole suite self-skips when absent.
+  */
+class JdbcDialectMatrixSpec extends AnyFunSuite with SparkSuite {
+
+  private val haveDriver =
+    scala.util.Try(Class.forName("org.duckdb.DuckDBDriver")).isSuccess
+
+  private lazy val dbPath =
+    Files.createTempDirectory("duckwire").resolve("wire.db").toString
+  private lazy val url = s"jdbc:duckdb:$dbPath"
+  private lazy val props = new Properties()
+
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private lazy val setup: Unit = withConn { conn =>
+    val st = conn.createStatement()
+    // composite-key walk table, shuffled insert order
+    st.execute("CREATE TABLE walk_t (g INT NOT NULL, k INT NOT NULL, " +
+      "payload VARCHAR, PRIMARY KEY (g, k))")
+    val ps = conn.prepareStatement("INSERT INTO walk_t VALUES (?, ?, ?)")
+    for ((g, k) <- new scala.util.Random(7).shuffle(
+        (for (g <- 0 until 10; k <- 0 until 60) yield (g, k)).toList)) {
+      ps.setInt(1, g); ps.setInt(2, k); ps.setString(3, s"p$g-$k")
+      ps.addBatch()
+    }
+    ps.executeBatch(); ps.close()
+    // typed fidelity table for dump -> reload
+    st.execute("CREATE TABLE typed_t (id INT PRIMARY KEY, s VARCHAR, " +
+      "d DOUBLE, dec DECIMAL(12,2), dt DATE, ts TIMESTAMP, b BOOLEAN)")
+    st.execute("INSERT INTO typed_t VALUES " +
+      "(1, 'plain', 1.5, 10.25, DATE '1995-03-15', TIMESTAMP '1995-03-15 12:30:45', true), " +
+      "(2, e'quo''te\\nnl', -0.125, -99999999.99, DATE '1970-01-01', TIMESTAMP '2038-01-19 03:14:07', false), " +
+      "(3, NULL, NULL, NULL, NULL, NULL, NULL), " +
+      "(4, 'back\\slash', 6.02e23, 0.01, DATE '2024-02-29', TIMESTAMP '2024-02-29 23:59:59', true)")
+    st.close()
+  }
+
+  test("catalog: listTables / primaryKey / meta on the DuckDB wire") {
+    assume(haveDriver); setup
+    val names = graft.catalog.JdbcCatalog.withConnection(url, props)(c =>
+      graft.catalog.JdbcCatalog.listTables(c))
+    assert(names.map(_.toLowerCase).toSet.contains("walk_t"))
+    val pk = graft.catalog.JdbcCatalog.withConnection(url, props)(c =>
+      graft.catalog.JdbcCatalog.primaryKey(c, "walk_t"))
+    assert(pk.map(_.toLowerCase) === Seq("g", "k"))
+    val m = graft.catalog.JdbcCatalog.meta(spark, url, "walk_t", props)
+    assert(m.pkCols.map(_.toLowerCase) === Seq("g", "k"))
+    assert(m.schema.fields.length === 3)
+  }
+
+  test("boundary walk pages via OFFSET/FETCH live; predicates partition exactly") {
+    assume(haveDriver); setup
+    val (cuts, stats) = JdbcBoundaryWalk.walkBoundaries(
+      url, "walk_t", Seq("g", "k"), chunkSize = 100, props)
+    assert(cuts.length === 5) // 600 rows / 100 — even: the max cut folds
+    assert(stats.rowsFetched <= cuts.length + 2)
+    val preds = JdbcBoundaryWalk.boundaryPredicates(Seq("g", "k"), cuts, url)
+    // every generated OR-of-ANDs predicate EXECUTES on the live engine and
+    // the chunks partition the table: counts sum, no overlap
+    val counts = preds.map { p =>
+      withConn { c =>
+        val rs = c.createStatement()
+          .executeQuery(s"SELECT COUNT(*) FROM walk_t WHERE $p")
+        rs.next(); rs.getLong(1)
+      }
+    }
+    assert(counts.sum === 600L)
+    assert(counts.forall(_ === 100L)) // equal-cardinality on the unique key
+    val df = JdbcChunkedSource.read(spark, url, "walk_t", preds, props)
+    assert(df.count() === 600L)
+    assert(df.select(countDistinct(concat_ws("-", col("g"), col("k"))))
+      .head().getLong(0) === 600L)
+  }
+
+  test("NTILE pushdown runs LIVE and agrees tuple-for-tuple with the walk") {
+    assume(haveDriver); setup
+    val (walkCuts, _) = JdbcBoundaryWalk.walkBoundaries(
+      url, "walk_t", Seq("g", "k"), chunkSize = 100, props)
+    val ntileCuts = JdbcBoundaryWalk.ntileBoundaries(
+      url, "walk_t", Seq("g", "k"), 6, props)
+    def norm(t: Seq[Any]) = t.map(_.asInstanceOf[Number].intValue)
+    // ntile returns n cuts, the last being the table max — drop it
+    assert(ntileCuts.dropRight(1).map(norm) === walkCuts.map(norm))
+    // and the full readChunked(NtilePushdown) path covers the table
+    val df = JdbcChunkedSource.readChunked(spark, url, "walk_t",
+      Seq("g", "k"), numChunks = 6, props,
+      mode = JdbcChunkedSource.NtilePushdown)
+    assert(df.count() === 600L)
+  }
+
+  test("the PG paging text executes on the PG-flavored parser; MySQL's does not") {
+    assume(haveDriver); setup
+    // generate the jdbc:postgresql branch's text, run it HERE — the first
+    // live parse of that exact string shape
+    val pgSql = JdbcBoundaryWalk.pageSql("walk_t", Seq("g", "k"),
+      where = Some(graft.chunk.Predicates.strictLowerSql(Seq("g", "k"),
+        Seq("3", "40"))),
+      offset = 99, url = "jdbc:postgresql://x/y")
+    assert(pgSql.contains("LIMIT 1 OFFSET 99"))
+    val row = withConn { c =>
+      val rs = c.createStatement().executeQuery(pgSql)
+      rs.next(); (rs.getInt(1), rs.getInt(2))
+    }
+    // 0-based offset 99 past (3,40): rows after are (3,41).. so the 100th
+    // is (3,41)+99 = verify against a direct ORDER BY scan
+    val want = withConn { c =>
+      val rs = c.createStatement().executeQuery(
+        "SELECT g, k FROM walk_t WHERE (g > 3) OR (g = 3 AND k > 40) " +
+          "ORDER BY g, k OFFSET 99 ROWS FETCH NEXT 1 ROWS ONLY")
+      rs.next(); (rs.getInt(1), rs.getInt(2))
+    }
+    assert(row === want)
+    // the MySQL branch's comma-LIMIT is ANOTHER dialect: the PG-flavored
+    // parser rejects it (proves the branches are not interchangeable text)
+    val myErr = intercept[java.sql.SQLException] {
+      withConn(_.createStatement().executeQuery(
+        JdbcBoundaryWalk.pageSql("walk_t", Seq("g", "k"), None, 5,
+          url = "jdbc:mysql://x/y")))
+    }
+    assert(myErr.getMessage.toLowerCase.contains("error"))
+  }
+
+  test("PG E'' dump statements execute live and round-trip adversarial strings") {
+    assume(haveDriver); setup
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "plain safe ascii"),
+      (2L, "a'b''c"),
+      (3L, "back\\slash \\n not-an-escape"),
+      (4L, "nl\nhere cr\rhere tab\there"),
+      (5L, "nul\u0000inside"), // PG semantics: NUL drops from text
+      (6L, "é€中 mixed"),
+      (7L, "😀 astral pair"),
+      (8L, ""),
+      (9L, "ends with quote'"))
+    val df = rows.toDF("id", "s").coalesce(1)
+    val stmts = graft.operators.FidelityGen
+      .insertStatements(df, "pg_esc", graft.operators.FidelityGen.Postgres,
+        insertSize = 3)
+      .collect()
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE pg_esc (id BIGINT, s VARCHAR)")
+      stmts.foreach(sql => st.execute(sql.stripSuffix(";")))
+      st.close()
+    }
+    val back = spark.read.jdbc(url, "pg_esc", props)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { case (id, v) =>
+      val expect = v.replace(" ", "")
+      assert(back(id) === expect, s"row $id diverged on the live wire")
+    }
+  }
+
+  test("standard-literal dump of the typed table reloads byte-equal") {
+    assume(haveDriver); setup
+    val src = spark.read.jdbc(url, "typed_t", props).coalesce(1)
+    val stmts = graft.operators.InsertGen
+      .insertStatements(src, "typed_copy", insertSize = 2).collect()
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE typed_copy AS SELECT * FROM typed_t WHERE 1=0")
+      stmts.foreach(sql => st.execute(sql.stripSuffix(";")))
+      st.close()
+    }
+    val a = src.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = spark.read.jdbc(url, "typed_copy", props)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(b === a)
+  }
+
+  test("corrupt -> diff -> sync DML executes live and restores equality") {
+    assume(haveDriver); setup
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE sync_dst AS SELECT * FROM typed_t")
+      // corrupt: delete one, mutate one, insert a stray
+      st.execute("DELETE FROM sync_dst WHERE id = 2")
+      st.execute("UPDATE sync_dst SET s = 'mutated', d = 9.9 WHERE id = 1")
+      st.execute("INSERT INTO sync_dst VALUES (99, 'stray', 0, 0, NULL, NULL, false)")
+      st.close()
+    }
+    val src = spark.read.jdbc(url, "typed_t", props)
+    val dst = spark.read.jdbc(url, "sync_dst", props)
+    val diff = graft.sync.DiffSync.diff(src, dst, Seq("id"))
+    val ops = diff.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops === Map("I" -> 1L, "U" -> 1L, "D" -> 1L))
+    val dml = graft.sync.DiffSync.dmlStatements(diff, "sync_dst",
+      src.schema.fields.toSeq, Seq("id")).collect().map(_.getString(0))
+    withConn { c =>
+      val st = c.createStatement()
+      dml.foreach(sql => st.execute(sql.stripSuffix(";")))
+      st.close()
+    }
+    val after = graft.sync.DiffSync.diff(src,
+      spark.read.jdbc(url, "sync_dst", props), Seq("id"))
+    assert(after.count() === 0L, "post-sync diff must be empty")
+  }
+
+  test("copy sink writes through the live wire after validation") {
+    assume(haveDriver); setup
+    withConn(_.createStatement().execute(
+      "CREATE TABLE cpy_dst AS SELECT * FROM walk_t WHERE 1=0"))
+    val src = spark.read.jdbc(url, "walk_t", props).coalesce(1)
+    graft.sinks.JdbcCopySink.write(src, url, "cpy_dst", props, batchSize = 128)
+    val n = withConn { c =>
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM cpy_dst")
+      rs.next(); rs.getLong(1)
+    }
+    assert(n === 600L)
+  }
+}
