@@ -209,7 +209,7 @@ object DumpAll {
       val staging = stagingDir.getOrElse(s"$outDir/_staging")
       val staged = graft.sources.SnapshotStage.stageAll(spark, url, props,
         ordered.map(w => (w.qualified, w.label)), staging)
-      return inPool(spark, maxConcurrentTables, ordered, (_: JdbcWork).label) { w =>
+      val results = inPool(spark, maxConcurrentTables, ordered, (_: JdbcWork).label) { w =>
         val (dir, rows) = staged(w.qualified)
         val cpyDst = w.dst.orElse(w.schema)
         val settings = SinkSettings(mode, w.schema.getOrElse("graft"),
@@ -218,6 +218,16 @@ object DumpAll {
         Result(w.label, rows, writeOne(spark.read.parquet(dir), w.bare,
           outDir, settings, dirName = Some(w.label)))
       }
+      // the DEFAULT staging root lives inside the dump output dir — remove
+      // it once the sinks finish, or stale copies of tables absent from a
+      // later run's selection would sit in the output indefinitely. An
+      // explicit -stagingdir is operator-owned and retained (documented).
+      if (stagingDir.isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(staging)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      return results
     }
     inPool(spark, maxConcurrentTables, ordered, (_: JdbcWork).label) { w =>
       val m = w.meta

@@ -1230,6 +1230,44 @@ object Queries {
       |FROM j""".stripMargin
   }
 
+  /** D4 dialect form — the same diff rendered as POSTGRES-dialect DML text
+    * (reference parasync renders per-dst-dialect statements,
+    * parasync.go:1493-1598): strings as E'' literals with \xNN escapes
+    * (F3), doubles shortest-round-trip (F7, digit-identical to DuckDB's
+    * VARCHAR cast — see dump_sql_orders_fidelity). */
+  def diffSyncDmlPg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val d = graft.sync.DiffSync.diff(orders, mutatedOrders(s, dir), Seq("o_orderkey"))
+    graft.sync.DiffSync.dmlStatementsDialect(d, "orders",
+      orders.schema.fields.toSeq, Seq("o_orderkey"),
+      graft.operators.FidelityGen.Postgres)
+  }
+
+  /** DuckDB rendering of one column as a PG-dialect literal (mirrors
+    * FidelityGen.renderValue + Escapes.pgQuote; orders has no NULLs and no
+    * control chars, so only quote/backslash need the \xNN mapping). */
+  private def dkLitPg(c: String, kind: String): String = kind match {
+    case "long" => s"CAST($c AS VARCHAR)"
+    case "dec"  => s"CAST($c AS VARCHAR)" // double: shortest-round-trip both engines
+    case "ts"   => "'E''' || strftime(" + c + ", '%Y-%m-%d %H:%M:%S') || ''''"
+    case "str"  => """'E''' || replace(replace(""" + c +
+      """, '\', '\x5c'), '''', '\x27') || ''''"""
+  }
+
+  val diffSyncDmlPgSql: String = {
+    val vals = ordColKinds.map { case (c, k) => dkLitPg(s"s_$c", k) }.mkString(" || ',' || ")
+    val sets = ordColKinds.filterNot(_._1 == "o_orderkey")
+      .map { case (c, k) => s"'$c = ' || ${dkLitPg(s"s_$c", k)}" }.mkString(" || ', ' || ")
+    val wheres = ordColKinds
+      .map { case (c, k) => s"'$c = ' || ${dkLitPg(s"d_$c", k)}" }.mkString(" || ' AND ' || ")
+    diffJoinSql + s"""
+      |SELECT CASE op
+      |  WHEN 'I' THEN 'INSERT INTO orders VALUES (' || $vals || ');'
+      |  WHEN 'U' THEN 'UPDATE orders SET ' || $sets || ' WHERE ' || $wheres || ';'
+      |  ELSE 'DELETE FROM orders WHERE ' || $wheres || ';' END AS stmt
+      |FROM j""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Relational coverage the reference only has implicitly (its test schema
   // ships a join view, test/mysql/create_viw_client_report.sql): joins,
@@ -6726,6 +6764,7 @@ object Queries {
     "embed_near_dup" -> (embedNearDup _),
     "diff_sync_ops" -> (diffSyncOps _),
     "diff_sync_dml" -> (diffSyncDml _),
+    "diff_sync_dml_pg" -> (diffSyncDmlPg _),
     "q3_join" -> (q3Join _),
     "window_topk" -> (windowTopk _),
     "set_except" -> (setExcept _),
@@ -6918,6 +6957,7 @@ object Queries {
     "embed_near_dup" -> embedNearDupSql,
     "diff_sync_ops" -> diffSyncOpsSql,
     "diff_sync_dml" -> diffSyncDmlSql,
+    "diff_sync_dml_pg" -> diffSyncDmlPgSql,
     "q3_join" -> q3JoinSql,
     "window_topk" -> windowTopkSql,
     "set_except" -> setExceptSql,

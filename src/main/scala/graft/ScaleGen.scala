@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe corpus builder: replicate `documents`/`embeddings` N× with
+  * per-replica perturbations, so the heavy dedup/near-dup/ANN families can
+  * be timed at a multiple of the largest driver-generated fixture
+  * (TESTDATA.md stops at sf0.1) without fabricating degenerate shapes:
+  *
+  *  - documents: replica r>0 re-keys doc_id into a disjoint band and
+  *    splices a replica-specific token after every 8th word — enough
+  *    shingle churn that replicas are NOT near-dups of each other (a naive
+  *    10× copy would make every doc a 10-way near-dup family and push the
+  *    LSH bucket joins toward a quadratic shape no natural 10× corpus
+  *    has), while pairs PLANTED inside the source stay near-dups within
+  *    every replica (same splice positions on both sides), so the planted
+  *    pair density per row is preserved;
+  *  - embeddings: disjoint vec_id bands and deterministic multiplicative
+  *    jitter `x * (1 + 2(u-1/2))`, u = xxhash64(vec_id, r, i) uniformized
+  *    — expected cosine to the source vector ≈ 0.87, far enough below the
+  *    semantic-dedup thresholds that replicas don't collapse into one
+  *    cluster per source row;
+  *  - every other table is copied through unchanged (the probe's queries
+  *    don't read them, but SPARK_GRAFT_SF_DIR must stay a complete dir).
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <factor>
+  */
+object ScaleGen {
+
+  private val Band = 10000000L // replica id offset: far above any fixture id
+
+  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      if (r == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(r * Band))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "),
+            (w, i) => when(i % 8 === 7, concat(w, lit(s" zqr${r}x"))).otherwise(w))))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionAll _)
+
+  def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      if (r == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(r * Band))
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0f) +
+            (pmod(xxhash64(col("vec_id"), lit(r), i), lit(10000L))
+              .cast("float") / lit(5000.0f) - lit(1.0f)))).cast("float")))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"scaled $src -> $out x$factor: " +
+      s"docs=${spark.read.parquet(s"$out/documents.parquet").count()}, " +
+      s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+    spark.stop()
+  }
+}

@@ -131,7 +131,12 @@ object JdbcCatalog {
     val system = Set("INFORMATION_SCHEMA", "MYSQL", "PERFORMANCE_SCHEMA", "SYS")
     val out = Seq.newBuilder[String]
     scopes.foreach { case (cat, pat) =>
-      val rs = md.getTables(cat, escPattern(md, pat), "%", Array("TABLE"))
+      // the base-table TABLE_TYPE vocabulary is driver-defined: most JDBC
+      // drivers say "TABLE", but information_schema-derived metadata
+      // (DuckDB; some MySQL driver configs) says "BASE TABLE" — request
+      // both (drivers match requested types literally and ignore unknowns)
+      val rs = md.getTables(cat, escPattern(md, pat), "%",
+        Array("TABLE", "BASE TABLE"))
       try {
         while (rs.next()) {
           // MySQL reports the database in TABLE_CAT with a null TABLE_SCHEM
@@ -190,7 +195,13 @@ object JdbcCatalog {
   def indexes(conn: Connection, table: String): Seq[IndexMeta] = {
     val md = conn.getMetaData
     scTab(md, table).iterator.map { case (c, s, t) =>
-      val rs = md.getIndexInfo(c, s, t, false, true)
+      val rs = try md.getIndexInfo(c, s, t, false, true) catch {
+        // a driver without index metadata (DuckDB) degrades to "no
+        // indexes": PK guessing falls through to the server probe and the
+        // row estimate to -1, same as an engine with no statistics
+        case _: java.sql.SQLFeatureNotSupportedException =>
+          return Seq.empty
+      }
       try {
         val rows = Seq.newBuilder[(String, Boolean, Long, Short, String)]
         while (rs.next()) {
@@ -217,7 +228,9 @@ object JdbcCatalog {
   def rowEstimate(conn: Connection, table: String): Long = {
     val md = conn.getMetaData
     val statRows = scTab(md, table).iterator.map { case (c, s, t) =>
-      val rs = md.getIndexInfo(c, s, t, false, true)
+      val rs = try md.getIndexInfo(c, s, t, false, true) catch {
+        case _: java.sql.SQLFeatureNotSupportedException => return -1L
+      }
       try {
         val vals = Seq.newBuilder[(Short, Long)]
         while (rs.next()) vals += ((rs.getShort("TYPE"), rs.getLong("CARDINALITY")))

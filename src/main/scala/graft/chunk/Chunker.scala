@@ -71,9 +71,11 @@ object Chunker {
     ntileCuts(sample, pkCols, n).dropRight(1)
   }
 
-  /** Half-open ranges covering (-inf, +inf) from internal cut points —
-    * parasync's chunk-set shape (first chunk upper-bound-only, last chunk
-    * lower-bound-only; parasync.go:1880-1881). `mysql` selects the literal
+  /** Half-open `(lower, upper]` ranges covering (-inf, +inf) from internal
+    * last-row-of-chunk cut points — parasync's chunk-set shape (first chunk
+    * upper-bound-only, last chunk lower-bound-only; parasync.go:1880-1881),
+    * anchored on this engine's cut convention so every bounded chunk holds
+    * exactly its walked/tiled cardinality. `mysql` selects the literal
     * dialect: MySQL treats backslash as an escape in string literals, so
     * string boundary values must go through the F1 escaper there. */
   def ranges(cuts: Seq[Seq[Any]], mysql: Boolean = false): Seq[Predicates.Range] = {

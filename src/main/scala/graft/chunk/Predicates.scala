@@ -8,9 +8,17 @@ import org.apache.spark.sql.functions._
   * Port of the reference's predicate generators
   * (`generatePredicat`, /root/reference/src/paradump/paradump.go:1539-1594 and
   * `generateEqualityPredicat`, paradump.go:1597-1621): a half-open tuple range
-  * `lower <= (pk...) < upper` expanded into the OR-of-ANDs form
-  * `(a>L1) or (a=L1 and b>L2) or (a=L1 and b=L2 and c>=L3)` because most SQL
-  * dialects can't index-optimize row-value comparisons.
+  * expanded into OR-of-ANDs form because most SQL dialects can't
+  * index-optimize row-value comparisons.
+  *
+  * Bound convention: `lower < (pk...) <= upper` — EXCLUSIVE lower,
+  * INCLUSIVE upper. This engine's cut tuples are "the LAST row of a chunk"
+  * ([[graft.sources.JdbcBoundaryWalk.walkBoundaries]], last-row-of-tile
+  * ntile cuts, [[Chunker.boundaries]]), so `(prev, cut]` makes every chunk
+  * exactly its walked/tiled cardinality and matches the Column path's
+  * `pk <= bound` when-chain ([[Chunker.chunkIdColumn]]). The reference uses
+  * the isomorphic `[begin, end)` over first-row-of-chunk cuts
+  * (paradump.go:1537-1538) — same chunk sets, different cut anchor.
   *
   * Two renderings:
   *  - [[sqlText]]: SQL text for `spark.read.jdbc(..., predicates, ...)` —
@@ -41,9 +49,9 @@ object Predicates {
   }
 
   /** One bound of the tuple comparison as OR-of-ANDs SQL text.
-    * `strictLast=false` makes the final column comparison inclusive
-    * (>= / <=); reference semantics: lower inclusive, upper exclusive
-    * (comment at paradump.go:1537-1538). */
+    * `inclusive=true` makes the final column comparison inclusive
+    * (>= / <=); range semantics here: lower exclusive, upper inclusive
+    * (see the cut-anchor note in the object scaladoc). */
   private def boundSql(cols: Seq[String], vals: Seq[String], op: String,
                        inclusive: Boolean): String = {
     require(cols.length == vals.length, s"${cols.length} cols vs ${vals.length} vals")
@@ -57,7 +65,8 @@ object Predicates {
     terms.mkString("(", " OR ", ")")
   }
 
-  /** Half-open range `[lower, upper)` as SQL text (reference P3).
+  /** Half-open range `(lower, upper]` as SQL text (reference P3; cut
+    * tuples are last-row-of-chunk, see object scaladoc).
     *
     * NULL contract: SQL comparisons silently drop NULL key values from
     * every range, so PK columns are required null-free — which both the
@@ -71,8 +80,8 @@ object Predicates {
     * [[Chunker.chunkIdColumn]]). */
   def sqlText(pkCols: Seq[String], r: Range): String = {
     val parts = Seq(
-      r.lower.map(v => boundSql(pkCols, v, ">", inclusive = true)),
-      r.upper.map(v => boundSql(pkCols, v, "<", inclusive = false))
+      r.lower.map(v => boundSql(pkCols, v, ">", inclusive = false)),
+      r.upper.map(v => boundSql(pkCols, v, "<", inclusive = true))
     ).flatten
     if (parts.isEmpty) "(1 = 1)"
     else if (r.lower.isEmpty)
@@ -91,13 +100,13 @@ object Predicates {
     pkCols.zip(vals).map { case (c, v) => s"$c = $v" }
       .mkString("(", " AND ", ")")
 
-  /** Same half-open range as a Catalyst Column — Spark compares structs
-    * lexicographically, so no expansion is needed. */
+  /** Same half-open range `(lower, upper]` as a Catalyst Column — Spark
+    * compares structs lexicographically, so no expansion is needed. */
   def column(pkCols: Seq[String], lower: Option[Seq[Column]],
              upper: Option[Seq[Column]]): Column = {
     val pk = struct(pkCols.map(col): _*)
-    val lo = lower.map(v => pk >= struct(v: _*))
-    val hi = upper.map(v => pk < struct(v: _*))
+    val lo = lower.map(v => pk > struct(v: _*))
+    val hi = upper.map(v => pk <= struct(v: _*))
     (lo, hi) match {
       case (Some(a), Some(b)) => a && b
       case (Some(a), None) => a
@@ -121,8 +130,8 @@ object Predicates {
           }
         (eqs :+ cmp).reduce(_ && _)
       }.reduce(_ || _)
-    val lo = lower.map(v => bound(v, gt = true, inclusive = true))
-    val hi = upper.map(v => bound(v, gt = false, inclusive = false))
+    val lo = lower.map(v => bound(v, gt = true, inclusive = false))
+    val hi = upper.map(v => bound(v, gt = false, inclusive = true))
     (lo, hi) match {
       case (Some(a), Some(b)) => a && b
       case (Some(a), None) => a

@@ -59,7 +59,8 @@ case class DumpConfig(
     // parallel sinks off the frozen staging copy; jdbc: sources only
     consistent: Option[String] = None,
     // -stagingdir: where the consistent-mode staging parquet lands
-    // (default <out>/_staging; point at HDFS/S3 on a cluster)
+    // (default <out>/_staging, deleted after the sinks finish; an
+    // explicit dir is retained for reuse — point at HDFS/S3 on a cluster)
     stagingDir: Option[String] = None)
 
 /** CLI contract — the reference's flag surfaces and validation matrices

@@ -63,6 +63,13 @@ object FidelityGen {
           if (t.endsWith(".0")) t.dropRight(2)
           else Escapes.fractTrim(t))
       case DateType => d.string(v.toString)
+      case _: DecimalType => v match {
+        // BigDecimal.toString flips to scientific notation on negative
+        // scale — not a SQL numeric literal on every engine
+        case b: java.math.BigDecimal => b.toPlainString
+        case b: Decimal => b.toJavaBigDecimal.toPlainString
+        case _ => v.toString
+      }
       case ArrayType(et, _) =>
         // nested types have no SQL literal form — quoted JSON-style array
         d.string(v.asInstanceOf[Seq[Any]]

@@ -27,8 +27,11 @@ import org.apache.spark.sql.types._
   *  - MySQL: `START TRANSACTION WITH CONSISTENT SNAPSHOT` under
   *    REPEATABLE READ — the reference's own statement (paradump.go:211),
   *    MVCC, writers never block;
-  *  - PostgreSQL: `REPEATABLE READ` transaction (MVCC snapshot at first
-  *    query; the PARALLEL pg path uses exported snapshots instead —
+  *  - PostgreSQL: `REPEATABLE READ` transaction, snapshot pinned by an
+  *    immediate `SELECT 1` (PG takes the snapshot at the FIRST read, not
+  *    at SET TRANSACTION — without the pin, a write committed between
+  *    transaction open and the first table scan would leak into the cut;
+  *    the PARALLEL pg path uses exported snapshots instead —
   *    [[JdbcSession.pgSnapshotInit]] — and does not need this mode);
   *  - Derby (and other lock-based engines): `LOCK TABLE ... IN SHARE
   *    MODE` up front for every selected table under SERIALIZABLE — the
@@ -42,22 +45,27 @@ import org.apache.spark.sql.types._
   */
 object SnapshotStage {
 
+  private def isMysql(url: String): Boolean =
+    url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb")
+
   /** Dialect-appropriate statements that pin the transaction's snapshot.
     * Executed once, in order, on the staging connection (autocommit
     * already off). `tables` are the schema-qualified names to barrier —
-    * used only by the lock-based fallback. */
+    * used only by the lock-based fallback. The PG list ends with a
+    * trivial `SELECT 1` because PG pins the MVCC snapshot at the first
+    * READ of the transaction, not at SET TRANSACTION. */
   def snapshotStatements(url: String, tables: Seq[String]): Seq[String] =
-    if (url.startsWith("jdbc:mysql"))
+    if (isMysql(url))
       Seq("SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ",
         "START TRANSACTION WITH CONSISTENT SNAPSHOT")
     else if (url.startsWith("jdbc:postgresql"))
-      Seq("SET TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+      Seq("SET TRANSACTION ISOLATION LEVEL REPEATABLE READ", "SELECT 1")
     else tables.map(t => s"LOCK TABLE $t IN SHARE MODE")
 
   /** Stream `SELECT <schema cols> FROM table` through `conn` into
     * `stagingDir` as parquet, in `batchRows` driver-side slices.
     * Returns the staged row count. */
-  private def stageOne(spark: SparkSession, conn: Connection,
+  private def stageOne(spark: SparkSession, conn: Connection, url: String,
                        table: String, schema: StructType,
                        stagingDir: String, fetchSize: Int,
                        batchRows: Int): Long = {
@@ -67,18 +75,16 @@ object SnapshotStage {
     if (fs.exists(path)) fs.delete(path, true)
 
     // MySQL quotes identifiers with backticks unless ANSI_QUOTES is set;
-    // every other wire speaks the SQL-standard double quote
+    // every other wire speaks the SQL-standard double quote. Branch on the
+    // caller's url, NOT conn.getMetaData.getURL — JDBC allows a null
+    // metadata URL, and the caller's string is the ground truth anyway.
     val quotedCols =
-      if (conn.getMetaData.getURL != null &&
-          conn.getMetaData.getURL.startsWith("jdbc:mysql"))
-        schema.fields.map(f => s"`${f.name}`").mkString(", ")
+      if (isMysql(url)) schema.fields.map(f => s"`${f.name}`").mkString(", ")
       else schema.fields.map(f => s""""${f.name}"""").mkString(", ")
     val stmt = conn.createStatement(ResultSet.TYPE_FORWARD_ONLY,
       ResultSet.CONCUR_READ_ONLY)
     // MySQL streams only at fetchSize = MIN_VALUE; others take the hint
-    stmt.setFetchSize(
-      if (conn.getMetaData.getURL.startsWith("jdbc:mysql")) Integer.MIN_VALUE
-      else fetchSize)
+    stmt.setFetchSize(if (isMysql(url)) Integer.MIN_VALUE else fetchSize)
     var total = 0L
     var wrote = false
     def flush(buf: ArrayBuffer[Row]): Unit = {
@@ -129,10 +135,54 @@ object SnapshotStage {
     Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
   }
 
+  /** Session normalization for the staging connection — EXACTLY what every
+    * parallel-path partition connection gets ([[JdbcBoundaryWalk]] replays
+    * the same property; reference session setup paradump.go:170-191):
+    * the caller's `sessionInitStatement` when present, else
+    * [[JdbcSession.MySqlInit]] on a MySQL/MariaDB wire. Without this the
+    * staged cut would render timestamps/charsets under the SERVER defaults
+    * while the parallel path renders UTC/utf8mb4. */
+  private def sessionNormalize(conn: Connection, url: String,
+                               props: java.util.Properties): Unit = {
+    val init = Option(props.getProperty("sessionInitStatement"))
+      .orElse(if (isMysql(url)) Some(JdbcSession.MySqlInit) else None)
+    init.foreach { stmts =>
+      val st = conn.createStatement()
+      try stmts.split(';').map(_.trim).filter(_.nonEmpty).foreach(st.execute)
+      finally st.close()
+    }
+  }
+
+  /** Re-probe column names on the staging connection INSIDE the open
+    * transaction and fail loudly if they drifted from the pre-barrier
+    * Spark schema probe (a DDL change in the gap would otherwise stage
+    * with a stale schema). Names only: a dropped/renamed column is the
+    * observable failure mode — the staging SELECT names its columns
+    * explicitly, so this turns a mid-stream SQL error (or worse, a silent
+    * type reinterpretation) into a diagnosable refusal up front. */
+  private[sources] def checkSchemaUnchanged(conn: Connection, table: String,
+                                            expected: StructType): Unit = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(s"SELECT * FROM $table WHERE 1=0")
+      val md = rs.getMetaData
+      val live = (1 to md.getColumnCount).map(i => md.getColumnLabel(i).toLowerCase)
+      val want = expected.fields.map(_.name.toLowerCase).toSeq
+      if (live != want)
+        throw new IllegalStateException(
+          s"schema of $table changed between probe and snapshot open: " +
+            s"probed [${want.mkString(",")}] but the transaction sees " +
+            s"[${live.mkString(",")}] — rerun the dump")
+      rs.close()
+    } finally st.close()
+  }
+
   /** Stage every `(qualifiedTable, stagingSubdir)` pair through one
     * consistent transaction. Returns per-table (stagedDir, rowCount).
     * Schemas are inferred through Spark's JDBC reader BEFORE the barrier
-    * opens (metadata-only probes). */
+    * opens (metadata-only probes) and RE-CHECKED against the open
+    * transaction before any table streams, so a DDL change in the gap
+    * fails loudly instead of staging stale. */
   def stageAll(spark: SparkSession, url: String,
                props: java.util.Properties,
                tables: Seq[(String, String)], stagingRoot: String,
@@ -144,20 +194,23 @@ object SnapshotStage {
     val schemas: Map[String, StructType] = tables.map { case (q, _) =>
       q -> spark.read.jdbc(url, q, props).schema
     }.toMap
-    val conn = java.sql.DriverManager.getConnection(url,
-      Option(props.getProperty("user")).getOrElse(""),
-      Option(props.getProperty("password")).getOrElse(""))
+    // full Properties through (ssl, timezone, charset, ... — everything
+    // the parallel path's partition connections honor), not just
+    // user/password: the staging connection must dial identically
+    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      sessionNormalize(conn, url, props)
       conn.setAutoCommit(false)
-      if (!url.startsWith("jdbc:mysql") && !url.startsWith("jdbc:postgresql"))
+      if (!isMysql(url) && !url.startsWith("jdbc:postgresql"))
         conn.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
       val st = conn.createStatement()
       try snapshotStatements(url, tables.map(_._1)).foreach(st.execute)
       finally st.close()
+      tables.foreach { case (q, _) => checkSchemaUnchanged(conn, q, schemas(q)) }
       onSnapshotOpen()
       val out = tables.map { case (q, sub) =>
         val dir = s"$stagingRoot/$sub"
-        val n = stageOne(spark, conn, q, schemas(q), dir, fetchSize, batchRows)
+        val n = stageOne(spark, conn, url, q, schemas(q), dir, fetchSize, batchRows)
         q -> ((dir, n))
       }.toMap
       conn.commit() // releases the barrier / closes the snapshot

@@ -53,7 +53,15 @@ object DiffSync {
     *    FULL pre-change (dst) image — the reference's optimistic full-row
     *    match, NULLs rendered as `IS NULL` (parasync.go:3113,3135);
     *  - DELETE WHERE matches the full pre-change image.
-    * `srcSchema` is the original table schema (diff frame column types). */
+    * `srcSchema` is the original table schema (diff frame column types).
+    *
+    * Dialect contract (the reference renders DML per DESTINATION dialect,
+    * parasync.go:1493-1598): this default overload emits MySQL-dialect
+    * literals (backslash escapes) through the codegen'd [[InsertGen]]
+    * renderers; [[dmlStatementsDialect]] renders the same statements with
+    * any [[graft.operators.FidelityGen.Dialect]]'s literal rules for text
+    * a user pipes to psql / sqlcmd. The live-wire sync path
+    * ([[DmlSink]], prepared statements) is dialect-safe by construction. */
   def dmlStatements(diffFrame: DataFrame, table: String,
                     srcSchema: Seq[StructField], pkCols: Seq[String]): DataFrame = {
     val payload = srcSchema.filterNot(f => pkCols.contains(f.name))
@@ -79,6 +87,50 @@ object DiffSync {
       when(col("op") === "I", insertSql)
         .when(col("op") === "U", updateSql)
         .otherwise(deleteSql).as("stmt"))
+  }
+
+  /** D4 in an arbitrary destination dialect — same statement shapes as
+    * [[dmlStatements]], literals rendered row-wise through
+    * [[graft.operators.FidelityGen.renderValue]] (E''/backslash for
+    * Postgres, CHAR-splice for MSSQL, backslash escapes for MySQL —
+    * reference parasync.go:1493-1598 renders per-dst-dialect text the same
+    * way). Row-wise rendering (mapPartitions, not codegen) is fine here:
+    * the DML-text artifact is a replay file, not the sync hot path — live
+    * syncing goes through [[DmlSink]]'s prepared statements. */
+  def dmlStatementsDialect(diffFrame: DataFrame, table: String,
+                           srcSchema: Seq[StructField], pkCols: Seq[String],
+                           dialect: graft.operators.FidelityGen.Dialect): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val fields = srcSchema.toIndexedSeq
+    val payload = fields.filterNot(f => pkCols.contains(f.name))
+    val schema = diffFrame.schema
+    val opI = schema.fieldIndex("op")
+    val newIdx = fields.map(f => schema.fieldIndex(f.name))
+    val oldIdx = fields.map(f => schema.fieldIndex(s"old_${f.name}"))
+    val payloadNewIdx = payload.map(f => schema.fieldIndex(f.name))
+    val rendered = diffFrame.mapPartitions { rows: Iterator[Row] =>
+      def lit(v: Any, dt: org.apache.spark.sql.types.DataType): String =
+        graft.operators.FidelityGen.renderValue(v, dt, dialect)
+      rows.map { r =>
+        def fullRowWhere: String = fields.indices.map { i =>
+          val old = r.get(oldIdx(i))
+          if (old == null) s"${fields(i).name} IS NULL"
+          else s"${fields(i).name} = ${lit(old, fields(i).dataType)}"
+        }.mkString(" AND ")
+        r.getString(opI) match {
+          case "I" =>
+            fields.indices.map(i => lit(r.get(newIdx(i)), fields(i).dataType))
+              .mkString(s"INSERT INTO $table VALUES (", ",", ");")
+          case "U" =>
+            payload.indices.map { i =>
+              s"${payload(i).name} = ${lit(r.get(payloadNewIdx(i)), payload(i).dataType)}"
+            }.mkString(s"UPDATE $table SET ", ", ", s" WHERE $fullRowWhere;")
+          case _ =>
+            s"DELETE FROM $table WHERE $fullRowWhere;"
+        }
+      }
+    }(Encoders.STRING)
+    rendered.toDF("stmt")
   }
 
   /** D5 — stats: per-op counts observed on the diff frame via `observe()`

@@ -16,7 +16,7 @@ class PredicatesSpec extends AnyFunSuite with SparkSuite {
     val s = spark
     import s.implicits._
     // Small domain (0..3)^3 guarantees bounds collide with data points,
-    // exercising inclusive-lower / exclusive-upper edges.
+    // exercising exclusive-lower / inclusive-upper edges.
     val rows = for (a <- 0 to 3; b <- 0 to 3; c <- 0 to 3) yield (a, b, c)
     rows.toDF("a", "b", "c").cache()
   }
@@ -58,7 +58,7 @@ class PredicatesSpec extends AnyFunSuite with SparkSuite {
     val loOnly = Predicates.Range(Some(Seq("2", "0", "0")), None)
     val viaText = collectSet(expr(Predicates.sqlText(pkCols, loOnly)))
     import scala.math.Ordering.Implicits._
-    assert(viaText == all.filter(t => t >= ((2, 0, 0))))
+    assert(viaText == all.filter(t => t > ((2, 0, 0))))
   }
 
   test("half-open ranges from consecutive cuts partition the table exactly") {

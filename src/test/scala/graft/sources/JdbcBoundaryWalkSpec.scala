@@ -59,6 +59,11 @@ class JdbcBoundaryWalkSpec extends AnyFunSuite with SparkSuite {
     // no row lost or duplicated across chunk predicates (payloads unique)
     assert(df.select(countDistinct(concat_ws("-", col("g"), col("k"), col("payload"))))
       .head().getLong(0) == 1002)
+    // equal-cardinality contract: cuts are the LAST row of each full chunk
+    // and ranges render (prev, cut], so every bounded chunk holds exactly
+    // chunkSize rows and the tail holds the remainder (1002 = 10*100 + 2)
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect().toSeq
+    assert(sizes.sorted == (2 +: Seq.fill(10)(100)))
   }
 
   test("even-divisible row count folds the table-max cut (no singleton tail chunk)") {
@@ -79,6 +84,9 @@ class JdbcBoundaryWalkSpec extends AnyFunSuite with SparkSuite {
     val df = JdbcChunkedSource.read(spark, url, "WALK_EVEN", preds, props)
     assert(df.count() == 400)
     assert(df.rdd.getNumPartitions == 4)
+    // evenly divisible: EVERY chunk is exactly chunkSize under (prev, cut]
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect().toSeq
+    assert(sizes == Seq.fill(4)(100))
   }
 
   test("readChunked default (Walk) covers the table with ~numChunks partitions") {

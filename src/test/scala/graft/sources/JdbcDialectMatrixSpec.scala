@@ -176,7 +176,7 @@ class JdbcDialectMatrixSpec extends AnyFunSuite with SparkSuite {
       st.close()
     }
     val back = spark.read.jdbc(url, "pg_esc", props)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      .collect().map(r => (r.get(0).asInstanceOf[Number].longValue, r.getString(1))).toMap
     rows.foreach { case (id, v) =>
       val expect = v.replace(" ", "")
       assert(back(id) === expect, s"row $id diverged on the live wire")
@@ -186,8 +186,11 @@ class JdbcDialectMatrixSpec extends AnyFunSuite with SparkSuite {
   test("standard-literal dump of the typed table reloads byte-equal") {
     assume(haveDriver); setup
     val src = spark.read.jdbc(url, "typed_t", props).coalesce(1)
-    val stmts = graft.operators.InsertGen
-      .insertStatements(src, "typed_copy", insertSize = 2).collect()
+    // the PG-flavored wire needs PG-dialect literals (InsertGen's MySQL
+    // backslash escapes are ANOTHER dialect — golden-pinned elsewhere)
+    val stmts = graft.operators.FidelityGen
+      .insertStatements(src, "typed_copy", graft.operators.FidelityGen.Postgres,
+        insertSize = 2).collect()
     withConn { c =>
       val st = c.createStatement()
       st.execute("CREATE TABLE typed_copy AS SELECT * FROM typed_t WHERE 1=0")
@@ -217,8 +220,9 @@ class JdbcDialectMatrixSpec extends AnyFunSuite with SparkSuite {
     val ops = diff.groupBy("op").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ops === Map("I" -> 1L, "U" -> 1L, "D" -> 1L))
-    val dml = graft.sync.DiffSync.dmlStatements(diff, "sync_dst",
-      src.schema.fields.toSeq, Seq("id")).collect().map(_.getString(0))
+    val dml = graft.sync.DiffSync.dmlStatementsDialect(diff, "sync_dst",
+      src.schema.fields.toSeq, Seq("id"),
+      graft.operators.FidelityGen.Postgres).collect().map(_.getString(0))
     withConn { c =>
       val st = c.createStatement()
       dml.foreach(sql => st.execute(sql.stripSuffix(";")))

@@ -94,6 +94,51 @@ class SnapshotStageSpec extends AnyFunSuite with SparkSuite {
     rs.next(); assert(rs.getInt(1) === 1); rs.close(); c.close()
   }
 
+  test("sessionInitStatement executes on the staging connection") {
+    setup
+    // an init statement with a VISIBLE side effect: every connection that
+    // replays it leaves a marker row. Spark's schema-resolution connection
+    // does NOT replay sessionInitStatement (JDBCRDD.resolveTable opens a
+    // bare connection), so after stageAll exactly ONE marker exists — the
+    // staging connection's (the session-normalization the parallel path's
+    // partition connections get, now proven on the single-conn path too)
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute("CREATE TABLE INIT_MARK (hit INT)")
+    conn.close()
+    val props = new Properties()
+    props.setProperty("sessionInitStatement",
+      "INSERT INTO APP.INIT_MARK VALUES (1)")
+    val staging = Files.createTempDirectory("snap-init").toString
+    val out = SnapshotStage.stageAll(spark, url, props,
+      Seq(("APP.S_D", "s_d")), staging)
+    assert(out("APP.S_D")._2 === 2L)
+    val c2 = DriverManager.getConnection(url)
+    val rs = c2.createStatement().executeQuery("SELECT COUNT(*) FROM INIT_MARK")
+    rs.next(); assert(rs.getInt(1) === 1,
+      "the staging connection must replay sessionInitStatement exactly once")
+    rs.close(); c2.close()
+  }
+
+  test("schema drift between probe and snapshot open fails loudly") {
+    setup
+    import org.apache.spark.sql.types._
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE S_DRIFT (id INT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+    // the in-transaction guard: the live column list must match the
+    // pre-barrier probe exactly — a probe schema that no longer matches
+    // (column dropped/renamed by DDL in the gap) is refused up front
+    SnapshotStage.checkSchemaUnchanged(conn, "APP.S_DRIFT",
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))))
+    val e = intercept[IllegalStateException] {
+      SnapshotStage.checkSchemaUnchanged(conn, "APP.S_DRIFT",
+        StructType(Seq(StructField("id", IntegerType),
+          StructField("renamed_away", StringType))))
+    }
+    assert(e.getMessage.contains("changed between probe and snapshot"))
+    conn.close()
+  }
+
   test("CLI: -consistent validation matrix") {
     import graft.cli.Cli
     assert(Cli.parseDump(Seq("-db", "app", "-consistent", "single-conn"))
