@@ -9,13 +9,19 @@ import org.apache.spark.sql.functions._
   * (TESTDATA.md stops at sf0.1) without fabricating degenerate shapes:
   *
   *  - documents: replica r>0 re-keys doc_id into a disjoint band and
-  *    splices a replica-specific token after every 8th word — enough
-  *    shingle churn that replicas are NOT near-dups of each other (a naive
-  *    10× copy would make every doc a 10-way near-dup family and push the
-  *    LSH bucket joins toward a quadratic shape no natural 10× corpus
-  *    has), while pairs PLANTED inside the source stay near-dups within
-  *    every replica (same splice positions on both sides), so the planted
-  *    pair density per row is preserved;
+  *    suffixes EVERY word with a replica tag. Word k-shingles then match
+  *    between two replica-r docs exactly iff the original shingles
+  *    matched — within-replica similarity structure (planted near-dup
+  *    pairs, exact duplicates, containment) is preserved EXACTLY — while
+  *    NO shingle is shared across replicas, so replicas are never
+  *    near-dups of each other. (A naive N× copy would make every doc an
+  *    N-way near-dup family and push the LSH bucket joins toward a
+  *    quadratic shape no natural N× corpus has; a sparse token splice
+  *    leaves cross-replica Jaccard hovering at the detection threshold —
+  *    measured ~90× pair blow-up at N=10, k=3, t=0.5.) Output-row counts
+  *    of the pair operators must scale by exactly N under this
+  *    construction — the probe asserts the data shape, not just wall
+  *    time;
   *  - embeddings: disjoint vec_id bands and deterministic multiplicative
   *    jitter `x * (1 + 2(u-1/2))`, u = xxhash64(vec_id, r, i) uniformized
   *    — expected cosine to the source vector ≈ 0.87, far enough below the
@@ -36,8 +42,7 @@ object ScaleGen {
       else docs
         .withColumn("doc_id", col("doc_id") + lit(r * Band))
         .withColumn("text", concat_ws(" ",
-          transform(split(col("text"), " "),
-            (w, i) => when(i % 8 === 7, concat(w, lit(s" zqr${r}x"))).otherwise(w))))
+          transform(split(col("text"), " "), w => concat(w, lit(s"zq${r}")))))
         .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionAll _)
 
