@@ -33,6 +33,11 @@ import org.apache.spark.sql.types._
   *    transaction open and the first table scan would leak into the cut;
   *    the PARALLEL pg path uses exported snapshots instead —
   *    [[JdbcSession.pgSnapshotInit]] — and does not need this mode);
+  *  - DuckDB (and other always-snapshot MVCC engines): nothing to
+  *    declare — every transaction reads a snapshot pinned at its first
+  *    read; a trivial `SELECT 1` pins it before the barrier hook fires
+  *    (the engine rejects both `LOCK TABLE` and
+  *    `setTransactionIsolation`, so the lock fallback would abort);
   *  - Derby (and other lock-based engines): `LOCK TABLE ... IN SHARE
   *    MODE` up front for every selected table under SERIALIZABLE — the
   *    FTWRL-analogue barrier (paradump.go:112): concurrent writers block
@@ -48,6 +53,14 @@ object SnapshotStage {
   private def isMysql(url: String): Boolean =
     url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb")
 
+  /** Engines whose transactions are MVCC snapshots by themselves — no
+    * isolation-level escalation, no table locks. DuckDB additionally
+    * REJECTS `setTransactionIsolation`, so membership here is load-bearing,
+    * not an optimization. */
+  private def mvccSnapshot(url: String): Boolean =
+    isMysql(url) || url.startsWith("jdbc:postgresql") ||
+      url.startsWith("jdbc:duckdb")
+
   /** Dialect-appropriate statements that pin the transaction's snapshot.
     * Executed once, in order, on the staging connection (autocommit
     * already off). `tables` are the schema-qualified names to barrier —
@@ -60,6 +73,8 @@ object SnapshotStage {
         "START TRANSACTION WITH CONSISTENT SNAPSHOT")
     else if (url.startsWith("jdbc:postgresql"))
       Seq("SET TRANSACTION ISOLATION LEVEL REPEATABLE READ", "SELECT 1")
+    else if (url.startsWith("jdbc:duckdb"))
+      Seq("SELECT 1") // always-snapshot MVCC: the read pins the cut
     else tables.map(t => s"LOCK TABLE $t IN SHARE MODE")
 
   /** Stream `SELECT <schema cols> FROM table` through `conn` into
@@ -201,7 +216,7 @@ object SnapshotStage {
     try {
       sessionNormalize(conn, url, props)
       conn.setAutoCommit(false)
-      if (!isMysql(url) && !url.startsWith("jdbc:postgresql"))
+      if (!mvccSnapshot(url))
         conn.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
       val st = conn.createStatement()
       try snapshotStatements(url, tables.map(_._1)).foreach(st.execute)

@@ -233,6 +233,46 @@ class JdbcDialectMatrixSpec extends AnyFunSuite with SparkSuite {
     assert(after.count() === 0L, "post-sync diff must be empty")
   }
 
+  test("-consistent single-conn stages a true MVCC snapshot on the live wire") {
+    assume(haveDriver); setup
+    // DuckDB is the always-snapshot MVCC member of the dialect matrix:
+    // the lock-based fallback would ABORT here (no LOCK TABLE, no
+    // setTransactionIsolation), so this proves the dedicated branch. A
+    // concurrent write lands in the DATABASE mid-staging (nothing blocks,
+    // unlike the Derby share-lock barrier) yet appears in NO staged table
+    // — the cross-table consistency the flag promises, on a second wire.
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE snap_a (id INT, v VARCHAR)")
+      st.execute("INSERT INTO snap_a VALUES (1,'a'), (2,'b')")
+      st.execute("CREATE TABLE snap_b (id INT, n INT)")
+      st.execute("INSERT INTO snap_b VALUES (10, 100)")
+      st.close()
+    }
+    val staging = Files.createTempDirectory("duck-snap").toString
+    val out = graft.sources.SnapshotStage.stageAll(spark, url, props,
+      Seq(("snap_a", "snap_a"), ("snap_b", "snap_b")), staging,
+      onSnapshotOpen = () => withConn { c =>
+        // MVCC: this commits immediately while the snapshot txn is open
+        val st = c.createStatement()
+        st.execute("INSERT INTO snap_a VALUES (99, 'raced')")
+        st.execute("INSERT INTO snap_b VALUES (99, 999)")
+        st.close()
+      })
+    assert(out("snap_a")._2 === 2L)
+    assert(out("snap_b")._2 === 1L)
+    assert(spark.read.parquet(out("snap_a")._1)
+      .collect().map(_.get(0).asInstanceOf[Number].intValue).toSet === Set(1, 2))
+    assert(spark.read.parquet(out("snap_b")._1)
+      .collect().map(_.get(0).asInstanceOf[Number].intValue).toSet === Set(10))
+    val n = withConn { c =>
+      val rs = c.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM snap_a WHERE id = 99")
+      rs.next(); rs.getLong(1)
+    }
+    assert(n === 1L, "the raced write must have reached the database")
+  }
+
   test("copy sink writes through the live wire after validation") {
     assume(haveDriver); setup
     withConn(_.createStatement().execute(
