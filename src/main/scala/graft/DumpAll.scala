@@ -263,9 +263,13 @@ object DumpAll {
       // footer counts, this path must not report less truthfully)
       val rows = graft.sources.JdbcChunkedSource.countRows(url, w.qualified, props)
       val nChunks = math.max(1, ((rows + chunkSize - 1) / chunkSize).toInt)
-      // enum PK components chunk through their declaration-index cast
-      // (consistent walk/predicate ranking — EnumPk.chunkKey scaladoc)
-      val chunkKey = graft.chunk.EnumPk.chunkKey(pk, m.enumCols)
+      // enum PK components chunk through their declaration-index ranking
+      // (consistent walk/predicate ordering — EnumPk.chunkKey scaladoc):
+      // MySQL via the enum cast, other enum-bearing wires via the CASE
+      // ladder over the catalog's declaration-ordered labels
+      val chunkKey = graft.chunk.EnumPk.chunkKey(pk, m.enumCols,
+        m.enumLabels, mysqlTarget = url.toLowerCase.startsWith("jdbc:mysql") ||
+          url.toLowerCase.startsWith("jdbc:mariadb"))
       val df = graft.sources.JdbcChunkedSource.readChunked(
         spark, url, w.qualified, chunkKey, nChunks, props, rowCountHint = rows)
       Result(w.label, rows,

@@ -96,9 +96,15 @@ object SyncMain {
       // (-readers vs -dst-readers) binds the chunk parallelism
       val nChunks = math.max(1, math.min(math.min(cfg.parallel, cfg.dstReaders),
         (srcRows / math.max(1, cfg.chunkSize)).toInt + 1))
-      // enum PK components chunk through their declaration-index cast on
-      // BOTH sides (consistent walk/predicate ranking — EnumPk.chunkKey)
-      val srcKey = graft.chunk.EnumPk.chunkKey(m.pkCols, m.enumCols)
+      // enum PK components chunk through their declaration-index ranking
+      // on BOTH sides (consistent walk/predicate ordering — EnumPk
+      // .chunkKey): the cast form on MySQL, the label CASE ladder elsewhere
+      def isMy(u: String) = {
+        val l = u.toLowerCase
+        l.startsWith("jdbc:mysql") || l.startsWith("jdbc:mariadb")
+      }
+      val srcKey = graft.chunk.EnumPk.chunkKey(m.pkCols, m.enumCols,
+        m.enumLabels, mysqlTarget = !jdbcSrc || isMy(srcDir))
       val srcRaw =
         if (jdbcSrc) graft.sources.JdbcChunkedSource.readChunked(
           spark, srcDir, m.name, srcKey, nChunks, toProps(srcProps),
@@ -113,11 +119,14 @@ object SyncMain {
       // to within the drift being synced)
       // the destination's enum columns come from ITS catalog (src may be
       // parquet or a different engine than dst)
-      val dstEnums = graft.catalog.JdbcCatalog.withConnection(cfg.dstUrl.get, props)(
-        c => graft.catalog.JdbcCatalog.enumColumns(c, dstTable))
+      val (dstEnums, dstLabels) =
+        graft.catalog.JdbcCatalog.withConnection(cfg.dstUrl.get, props)(c =>
+          (graft.catalog.JdbcCatalog.enumColumns(c, dstTable),
+            graft.catalog.JdbcCatalog.enumLabels(c, dstTable)))
       val dst = graft.sources.JdbcChunkedSource.readChunked(
         spark, cfg.dstUrl.get, dstTable,
-        graft.chunk.EnumPk.chunkKey(m.pkCols, dstEnums), nChunks, props,
+        graft.chunk.EnumPk.chunkKey(m.pkCols, dstEnums, dstLabels,
+          mysqlTarget = isMy(cfg.dstUrl.get)), nChunks, props,
         rowCountHint = srcRows)
       val dstAligned = dst.toDF(dst.columns.map(_.toLowerCase).toIndexedSeq: _*)
         .select(src.columns.map(col).toIndexedSeq: _*)

@@ -20,7 +20,11 @@ case class TableMeta(
     sizeBytes: Long,
     // catalog-declared enum columns (MySQL/MariaDB TYPE_NAME=ENUM): PK
     // components listed here chunk through EnumPk.chunkKey's index cast
-    enumCols: Set[String] = Set.empty)
+    enumCols: Set[String] = Set.empty,
+    // declaration-ordered labels for enum columns whose catalog embeds
+    // them in the type text (DuckDB `ENUM('a','b')`) — feed the portable
+    // CASE-ladder ranking on wires without MySQL's enum cast
+    enumLabels: Map[String, Seq[String]] = Map.empty)
 
 object Catalog {
 

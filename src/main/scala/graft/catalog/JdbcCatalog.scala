@@ -313,12 +313,9 @@ object JdbcCatalog {
     }.collectFirst { case Some(e) => e }
   }
 
-  /** Lower-cased names of ENUM-typed columns (MySQL/MariaDB report
-    * TYPE_NAME=ENUM in getColumns; no other supported engine has the
-    * type). Enum PK components must chunk through their declaration index
-    * ([[graft.chunk.EnumPk.chunkKey]]) — see the ORDER BY vs WHERE
-    * ranking mismatch documented there. */
-  def enumColumns(conn: Connection, table: String): Set[String] = {
+  /** (lower-cased column, declared TYPE_NAME) pairs from getColumns. */
+  private def columnTypeNames(conn: Connection,
+                              table: String): Seq[(String, String)] = {
     val md = conn.getMetaData
     scTab(md, table).iterator.map { case (c, s, t) =>
       val rs = md.getColumns(c, escPattern(md, s), escPattern(md, t), "%")
@@ -330,7 +327,63 @@ object JdbcCatalog {
         out.result()
       } finally rs.close()
     }.find(_.nonEmpty).getOrElse(Seq.empty)
-      .collect { case (c, tn) if tn.equalsIgnoreCase("enum") => c }.toSet
+  }
+
+  /** True for both shapes an ENUM column's TYPE_NAME takes: the bare word
+    * (MySQL/MariaDB Connector/J) and the label-embedding form
+    * `ENUM('a', 'b')` (DuckDB, and information_schema-derived drivers that
+    * surface the full type text). */
+  private def isEnumTypeName(tn: String): Boolean = {
+    val l = tn.trim.toLowerCase
+    l == "enum" || l.startsWith("enum(") || l.startsWith("enum (")
+  }
+
+  /** Lower-cased names of ENUM-typed columns. Enum PK components must
+    * chunk through their declaration index
+    * ([[graft.chunk.EnumPk.chunkKey]]) — see the ORDER BY vs WHERE
+    * ranking mismatch documented there. */
+  def enumColumns(conn: Connection, table: String): Set[String] =
+    columnTypeNames(conn, table)
+      .collect { case (c, tn) if isEnumTypeName(tn) => c }.toSet
+
+  /** Declaration-ordered label sets for the table's enum columns, for
+    * engines whose catalog embeds them in the type text
+    * (`ENUM('a', 'b')` — DuckDB and friends). Labels feed the portable
+    * CASE-ladder ranking ([[graft.chunk.EnumPk.sqlIndexExpr]]) on wires
+    * without MySQL's enum-to-index cast. Columns whose TYPE_NAME is the
+    * bare word `ENUM` (MySQL) are absent here — that dialect ranks via
+    * the cast and needs no labels. */
+  def enumLabels(conn: Connection, table: String): Map[String, Seq[String]] =
+    columnTypeNames(conn, table).collect {
+      case (c, tn) if isEnumTypeName(tn) && parseEnumLabels(tn).nonEmpty =>
+        c -> parseEnumLabels(tn)
+    }.toMap
+
+  /** Labels out of `ENUM('a', 'b', 'it''s')` type text, in declaration
+    * order; empty when the text embeds none. Quoted-literal scan: labels
+    * may contain commas/parens, quotes double inside. */
+  private[catalog] def parseEnumLabels(typeText: String): Seq[String] = {
+    val t = typeText.trim
+    val open = t.indexOf('(')
+    if (!t.toLowerCase.startsWith("enum") || open < 0) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var i = open + 1
+    while (i < t.length) {
+      if (t.charAt(i) == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < t.length && !closed) {
+          val ch = t.charAt(i)
+          if (ch == '\'') {
+            if (i + 1 < t.length && t.charAt(i + 1) == '\'') { sb += '\''; i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb += ch; i += 1 }
+        }
+        out += sb.result()
+      } else i += 1
+    }
+    out.result()
   }
 
   /** Lower-cased names of columns the catalog declares NULLABLE. */
@@ -445,6 +498,7 @@ object JdbcCatalog {
     * WHERE 1=0 probe — metadata-only, zero rows. */
   def meta(spark: org.apache.spark.sql.SparkSession, url: String,
            table: String, props: Properties): TableMeta = {
+    graft.sources.GraftDialects.ensureRegistered()
     val schema = spark.read.jdbc(url, s"(SELECT * FROM $table WHERE 1=0) q", props).schema
     withConnection(url, props) { conn =>
       val declared = primaryKey(conn, table)
@@ -454,7 +508,8 @@ object JdbcCatalog {
           .map { case (c, uniq) => (c, !uniq) }
           .getOrElse((Seq.empty[String], true))
       TableMeta(table, schema, pk, fake, rowEstimate(conn, table), -1L,
-        enumCols = enumColumns(conn, table))
+        enumCols = enumColumns(conn, table),
+        enumLabels = enumLabels(conn, table))
     }
   }
 }

@@ -51,16 +51,31 @@ object EnumPk {
 
   /** Chunk-key column list with enum PK components replaced by the index
     * expression — applied AUTOMATICALLY when the catalog reports enum
-    * columns (MySQL/MariaDB are the only engines with the type, so the
-    * cast form needs no label set). This is a correctness requirement,
-    * not a preference: MySQL's ORDER BY ranks an enum by declaration
-    * index while string comparisons in WHERE rank it lexicographically,
-    * so a boundary walk over the raw column and the range predicates it
-    * feeds would DISAGREE on row order — chunks would overlap or leak.
-    * Casting both sides to the index (paradump.go:1560) makes the walk's
-    * ORDER BY, the fetched boundary values, and the predicates one
-    * consistent numeric ranking. */
-  def chunkKey(pkCols: Seq[String], enumCols: Set[String]): Seq[String] =
-    pkCols.map(c =>
-      if (enumCols.contains(c)) sqlIndexExpr(c, Nil, mysqlTarget = true) else c)
+    * columns. This is a correctness requirement, not a preference:
+    * MySQL's ORDER BY ranks an enum by declaration index while string
+    * comparisons in WHERE rank it lexicographically, so a boundary walk
+    * over the raw column and the range predicates it feeds would DISAGREE
+    * on row order — chunks would overlap or leak. Casting both sides to
+    * the index (paradump.go:1560) makes the walk's ORDER BY, the fetched
+    * boundary values, and the predicates one consistent numeric ranking.
+    *
+    * Dialect split: MySQL ranks via `cast(col as unsigned)` (no labels
+    * needed); every other enum-bearing wire (DuckDB, PG enum types) gets
+    * the portable CASE ladder over the catalog's declaration-ordered
+    * `labels` — absent labels there are a loud refusal, because chunking
+    * an enum PK without its ranking would silently misorder. */
+  def chunkKey(pkCols: Seq[String], enumCols: Set[String],
+               labels: Map[String, Seq[String]] = Map.empty,
+               mysqlTarget: Boolean = true): Seq[String] =
+    pkCols.map { c =>
+      if (!enumCols.contains(c)) c
+      else if (mysqlTarget) sqlIndexExpr(c, Nil, mysqlTarget = true)
+      else labels.get(c).filter(_.nonEmpty) match {
+        case Some(ls) => sqlIndexExpr(c, ls, mysqlTarget = false)
+        case None => throw new IllegalStateException(
+          s"enum PK column $c: the catalog reports no declaration-ordered " +
+            "label set, and this wire has no enum-to-index cast — cannot " +
+            "rank chunk boundaries consistently (EnumPk.chunkKey)")
+      }
+    }
 }

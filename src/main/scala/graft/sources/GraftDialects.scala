@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects}
+import org.apache.spark.sql.types.{DataType, MetadataBuilder, StringType}
+
+/** Spark JDBC dialect shims for wires Spark does not know natively.
+  *
+  * DuckDB: Spark's default dialect has no mapping for the driver's ENUM
+  * columns (reported as `java.sql.Types.JAVA_OBJECT` with the full
+  * `ENUM('a', 'b')` type text), so a plain `spark.read.jdbc` of an
+  * enum-keyed table aborts with an unrecognized-type error. Enum VALUES
+  * travel as their labels (the driver's `getString`/`getObject` both
+  * return the label), so StringType is the faithful Catalyst type; the
+  * declaration-order RANKING the reference needs for chunk boundaries
+  * (paradump.go:1560) never relies on the Catalyst type — it is pushed
+  * down server-side by [[graft.chunk.EnumPk.sqlIndexExpr]].
+  *
+  * Registration is idempotent and lazy: every JDBC entry point calls
+  * [[ensureRegistered]], which registers exactly once per JVM. */
+object GraftDialects {
+
+  private object DuckDbDialect extends JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.toLowerCase.startsWith("jdbc:duckdb")
+    override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+                                 md: MetadataBuilder): Option[DataType] =
+      if (typeName != null && typeName.trim.toLowerCase.startsWith("enum"))
+        Some(StringType)
+      else None // everything else: Spark's default JDBC mapping
+  }
+
+  private lazy val registered: Unit = JdbcDialects.registerDialect(DuckDbDialect)
+
+  /** Register the shims exactly once per JVM. */
+  def ensureRegistered(): Unit = registered
+}

@@ -23,8 +23,10 @@ object JdbcChunkedSource {
 
   /** Read with an explicit predicate set (one partition per chunk). */
   def read(spark: SparkSession, url: String, table: String,
-           predicates: Seq[String], props: Properties): DataFrame =
+           predicates: Seq[String], props: Properties): DataFrame = {
+    GraftDialects.ensureRegistered()
     spark.read.jdbc(url, table, predicates.toArray, props)
+  }
 
   /** Boundary-probe strategy for [[readChunked]]. The server-side modes
     * move O(n_chunks) rows over the wire; the Spark-side modes stream the

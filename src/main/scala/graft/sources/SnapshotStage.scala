@@ -2,9 +2,7 @@ package graft.sources
 
 import java.sql.{Connection, ResultSet}
 
-import scala.collection.mutable.ArrayBuffer
-
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** S1 consistency fallback — `-consistent single-conn`: the
@@ -45,8 +43,9 @@ import org.apache.spark.sql.types._
   *
   * Scale note: staging throughput is bounded by the one connection by
   * DESIGN (that is what the flag trades away); the staging directory
-  * belongs on the lake filesystem (HDFS/S3), and rows buffer through the
-  * driver in `batchRows` slices — memory is O(batch), never O(table).
+  * belongs on the lake filesystem (HDFS/S3), and rows stream straight
+  * into ONE ParquetWriter per table — memory is bounded by the writer's
+  * row-group buffer, never O(table), and no Spark job runs per slice.
   */
 object SnapshotStage {
 
@@ -77,13 +76,29 @@ object SnapshotStage {
       Seq("SELECT 1") // always-snapshot MVCC: the read pins the cut
     else tables.map(t => s"LOCK TABLE $t IN SHARE MODE")
 
-  /** Stream `SELECT <schema cols> FROM table` through `conn` into
-    * `stagingDir` as parquet, in `batchRows` driver-side slices.
-    * Returns the staged row count. */
+  /** [[org.apache.parquet.hadoop.ParquetWriter]] builder over Spark's own
+    * parquet `WriteSupport` — the staged files carry EXACTLY the layout
+    * `df.write.parquet` would produce (decimal/timestamp annotations,
+    * rebase markers), so `spark.read.parquet` round-trips them
+    * identically to the parallel path's output. */
+  private class InternalRowWriterBuilder(file: org.apache.hadoop.fs.Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        org.apache.spark.sql.catalyst.InternalRow, InternalRowWriterBuilder](file) {
+    override def self(): InternalRowWriterBuilder = this
+    override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[
+          org.apache.spark.sql.catalyst.InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
+  }
+
+  /** Stream `SELECT <schema cols> FROM table` through `conn` into ONE
+    * parquet file under `stagingDir`, appending row groups as rows arrive
+    * — no per-slice Spark job, no file-per-slice: driver memory is
+    * bounded by the writer's row-group buffer, the staged table is a
+    * single file regardless of size. Returns the staged row count. */
   private def stageOne(spark: SparkSession, conn: Connection, url: String,
                        table: String, schema: StructType,
-                       stagingDir: String, fetchSize: Int,
-                       batchRows: Int): Long = {
+                       stagingDir: String, fetchSize: Int): Long = {
     // staging must never read a stale previous run: clear the target dir
     val path = new org.apache.hadoop.fs.Path(stagingDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -100,26 +115,43 @@ object SnapshotStage {
       ResultSet.CONCUR_READ_ONLY)
     // MySQL streams only at fetchSize = MIN_VALUE; others take the hint
     stmt.setFetchSize(if (isMysql(url)) Integer.MIN_VALUE else fetchSize)
-    var total = 0L
-    var wrote = false
-    def flush(buf: ArrayBuffer[Row]): Unit = {
-      val df = spark.createDataFrame(
-        java.util.Arrays.asList(buf.toArray: _*), schema)
-      df.coalesce(1).write.mode("append").parquet(stagingDir)
-      wrote = true
-      buf.clear()
+
+    // Spark's WriteSupport reads its required settings from the Hadoop
+    // conf (schema + the format knobs ParquetFileFormat.prepareWrite
+    // seeds); mirror the session's values so staged files match what the
+    // session itself would write
+    val hconf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(schema, hconf)
+    locally {
+      import org.apache.spark.sql.internal.SQLConf
+      Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+        SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+        SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+        SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE)
+        .foreach(e => hconf.set(e.key, spark.conf.get(e.key)))
     }
+    val writer = new InternalRowWriterBuilder(
+      new org.apache.hadoop.fs.Path(stagingDir, "part-00000.snappy.parquet"))
+      .withConf(hconf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    var total = 0L
     try {
       val rs = stmt.executeQuery(s"SELECT $quotedCols FROM $table")
-      val buf = new ArrayBuffer[Row](batchRows)
       while (rs.next()) {
-        buf += readRow(rs, schema)
+        writer.write(toInternal(readRow(rs, schema))
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
         total += 1
-        if (buf.length >= batchRows) flush(buf)
       }
-      if (buf.nonEmpty || !wrote) flush(buf) // empty table: schema-only file
-      rs.close()
-    } finally stmt.close()
+      rs.close() // zero rows: close() still writes the schema-only footer
+    } finally {
+      try writer.close() finally stmt.close()
+    }
     total
   }
 
@@ -202,10 +234,10 @@ object SnapshotStage {
                props: java.util.Properties,
                tables: Seq[(String, String)], stagingRoot: String,
                fetchSize: Int = 10000,
-               batchRows: Int = 50000,
                // invoked once the snapshot/barrier is open, before any
                // table is read — the e2e concurrency probe's hook
                onSnapshotOpen: () => Unit = () => ()): Map[String, (String, Long)] = {
+    GraftDialects.ensureRegistered()
     val schemas: Map[String, StructType] = tables.map { case (q, _) =>
       q -> spark.read.jdbc(url, q, props).schema
     }.toMap
@@ -225,7 +257,7 @@ object SnapshotStage {
       onSnapshotOpen()
       val out = tables.map { case (q, sub) =>
         val dir = s"$stagingRoot/$sub"
-        val n = stageOne(spark, conn, url, q, schemas(q), dir, fetchSize, batchRows)
+        val n = stageOne(spark, conn, url, q, schemas(q), dir, fetchSize)
         q -> ((dir, n))
       }.toMap
       conn.commit() // releases the barrier / closes the snapshot

@@ -205,4 +205,12 @@ class JdbcCatalogSpec extends AnyFunSuite with SparkSuite {
     assert(resolveScopes(cands, Set("OTHER"), Set("other")) ==
       cands.map(s => (null, s)))
   }
+
+  test("enum label parse: declaration order, quote doubling, commas inside labels") {
+    import graft.catalog.JdbcCatalog.parseEnumLabels
+    assert(parseEnumLabels("ENUM('sad', 'ok', 'happy')") == Seq("sad", "ok", "happy"))
+    assert(parseEnumLabels("enum('a,b','it''s','(x)')") == Seq("a,b", "it's", "(x)"))
+    assert(parseEnumLabels("ENUM") == Seq.empty) // MySQL's bare form: no labels embedded
+    assert(parseEnumLabels("VARCHAR") == Seq.empty)
+  }
 }

@@ -44,4 +44,18 @@ class EnumPkSpec extends AnyFunSuite with SparkSuite {
       Seq("cast(status as unsigned)", "k"))
     assert(EnumPk.chunkKey(Seq("status", "k"), Set.empty) == Seq("status", "k"))
   }
+
+  test("chunkKey on a non-MySQL wire ranks via the label CASE ladder, or refuses") {
+    val key = EnumPk.chunkKey(Seq("status", "k"), Set("status"),
+      Map("status" -> Seq("omega", "mid", "alpha")), mysqlTarget = false)
+    assert(key(1) == "k")
+    assert(key.head ==
+      "CASE status WHEN 'omega' THEN 1 WHEN 'mid' THEN 2 WHEN 'alpha' THEN 3 ELSE 0 END")
+    // ranking without labels on a wire without the enum cast would
+    // silently misorder — must refuse loudly
+    val e = intercept[IllegalStateException] {
+      EnumPk.chunkKey(Seq("status"), Set("status"), Map.empty, mysqlTarget = false)
+    }
+    assert(e.getMessage.contains("label"))
+  }
 }

@@ -273,6 +273,64 @@ class JdbcDialectMatrixSpec extends AnyFunSuite with SparkSuite {
     assert(n === 1L, "the raced write must have reached the database")
   }
 
+  test("enum PK: P7 dual representation walks/chunks by DECLARATION index live") {
+    assume(haveDriver); setup
+    withConn { c =>
+      val st = c.createStatement()
+      // declaration order is the REVERSE of lexicographic order, so any
+      // path that ranked raw labels lexicographically would cut elsewhere
+      st.execute("CREATE TYPE sev AS ENUM ('omega','mid','alpha')")
+      st.execute("CREATE TABLE enum_t (m sev NOT NULL, k INT NOT NULL, " +
+        "v VARCHAR, PRIMARY KEY (m, k))")
+      val ps = c.prepareStatement("INSERT INTO enum_t VALUES (?::sev, ?, ?)")
+      for ((m, k) <- new scala.util.Random(11).shuffle(
+          (for (m <- Seq("omega", "mid", "alpha"); k <- 0 until 40)
+            yield (m, k)).toList)) {
+        ps.setString(1, m); ps.setInt(2, k); ps.setString(3, s"$m-$k")
+        ps.addBatch()
+      }
+      ps.executeBatch(); ps.close(); st.close()
+    }
+    // catalog: the ENUM('...') type text is detected and its labels come
+    // back in declaration order (the live analogue of MySQL COLUMN_TYPE,
+    // reference parasync.go:1787-1811)
+    val m = graft.catalog.JdbcCatalog.meta(spark, url, "enum_t", props)
+    assert(m.enumCols === Set("m"))
+    assert(m.enumLabels("m") === Seq("omega", "mid", "alpha"))
+    assert(m.pkCols.map(_.toLowerCase) === Seq("m", "k"))
+    // non-MySQL wire: chunk key replaces the enum component with the
+    // portable CASE-ladder index expression
+    val key = graft.chunk.EnumPk.chunkKey(m.pkCols, m.enumCols,
+      m.enumLabels, mysqlTarget = false)
+    assert(key.head.startsWith("CASE "))
+    // the walk pages the index expression live; 120 rows / 25 = cuts at
+    // 25,50,75,100 + open 20-row tail
+    val (cuts, _) = JdbcBoundaryWalk.walkBoundaries(
+      url, "enum_t", key, chunkSize = 25, props)
+    assert(cuts.length === 4)
+    // the first cut's enum index is 1 = 'omega' — lexicographically LAST,
+    // declaration-first: the walk ranked by declaration, not by label text
+    assert(cuts.head.head.asInstanceOf[Number].intValue === 1)
+    val preds = JdbcBoundaryWalk.boundaryPredicates(key, cuts, url)
+    val counts = preds.map { p =>
+      withConn { c =>
+        val rs = c.createStatement()
+          .executeQuery(s"SELECT COUNT(*) FROM enum_t WHERE $p")
+        rs.next(); rs.getLong(1)
+      }
+    }
+    assert(counts === Seq(25L, 25L, 25L, 25L, 20L))
+    // the chunked Spark read EXECUTES over the enum column (dialect shim
+    // maps ENUM -> StringType) and covers the table exactly once
+    val df = JdbcChunkedSource.read(spark, url, "enum_t", preds, props)
+    assert(df.count() === 120L)
+    assert(df.select(countDistinct(concat_ws("-", col("m"), col("k"))))
+      .head().getLong(0) === 120L)
+    // enum values land as their labels
+    assert(df.select("m").distinct().collect().map(_.getString(0)).toSet
+      === Set("omega", "mid", "alpha"))
+  }
+
   test("copy sink writes through the live wire after validation") {
     assume(haveDriver); setup
     withConn(_.createStatement().execute(

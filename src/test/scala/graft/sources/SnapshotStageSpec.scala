@@ -53,6 +53,13 @@ class SnapshotStageSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getInt(0)).toSet
     assert(nk === Set(7, 8, 9))
     assert(spark.read.parquet(out("APP.S_EMPTY")._1).count() === 0L)
+    // one ParquetWriter per table appends row groups to ONE file — never
+    // a file per driver-side slice (and never a per-slice Spark job)
+    out.values.foreach { case (dir, _) =>
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"staging must write exactly one file in $dir")
+    }
   }
 
   test("a write racing the dump reaches the DB but never the staged cut") {
