@@ -331,6 +331,47 @@ class JdbcDialectMatrixSpec extends AnyFunSuite with SparkSuite {
       === Set("omega", "mid", "alpha"))
   }
 
+  test("CLI dump auto-chunks the enum-keyed table over the live wire") {
+    assume(haveDriver); setup
+    // depends on enum_t created by the P7 test; create independently if
+    // this test runs alone
+    withConn { c =>
+      val rs = c.getMetaData.getTables(null, null, "enum_t", null)
+      val exists = rs.next(); rs.close()
+      if (!exists) {
+        val st = c.createStatement()
+        st.execute("CREATE TYPE sev AS ENUM ('omega','mid','alpha')")
+        st.execute("CREATE TABLE enum_t (m sev NOT NULL, k INT NOT NULL, " +
+          "v VARCHAR, PRIMARY KEY (m, k))")
+        val ps = c.prepareStatement("INSERT INTO enum_t VALUES (?::sev, ?, ?)")
+        for (m <- Seq("omega", "mid", "alpha"); k <- 0 until 40) {
+          ps.setString(1, m); ps.setInt(2, k); ps.setString(3, s"$m-$k")
+          ps.addBatch()
+        }
+        ps.executeBatch(); ps.close(); st.close()
+      }
+    }
+    // the UNMODIFIED CLI path: catalog meta discovers the enum labels,
+    // DumpAll swaps the PK component for the CASE-ladder ranking, the
+    // boundary walk pages it live, the sink renders per chunk — nothing
+    // enum-specific is passed on the command line
+    val out = Files.createTempDirectory("duck-dump-enum").toString
+    val cfg = graft.cli.Cli.parseDump(Seq(
+      "-dumpmode", "sql", "-db", "main", "-table", "enum_t",
+      "-chunksize", "100", "-insertsize", "10")).toOption.get
+    val results = graft.Main.run(spark, url, out, cfg)
+    assert(results.map(r => r.table -> r.rows).toMap === Map("enum_t" -> 120L))
+    // ceil(120/100) = 2 chunk partitions -> 2 files: the chunk geometry
+    // rode the declaration-index ranking end to end
+    assert(results.head.files.length === 2)
+    // and the dump carries every row exactly once (labels as text)
+    val lines = spark.read.textFile(s"$out/enum_t")
+      .collect().filter(_.startsWith("INSERT"))
+    val vals = lines.flatMap(_.split("\\),\\(").toSeq)
+    assert(vals.length === 120)
+    assert(Seq("omega", "mid", "alpha").forall(l => vals.count(_.contains(l)) === 40))
+  }
+
   test("copy sink writes through the live wire after validation") {
     assume(haveDriver); setup
     withConn(_.createStatement().execute(
