@@ -87,6 +87,13 @@ object SyncMain {
       // (paradump.go:1384-1413) rather than corrupting the destination.
       require(!m.fakePrimaryKey,
         s"table ${m.name}: primary key is not unique (fake PK) — row-DML sync requires a unique key")
+      // an index-GUESSED unique key addresses DML only under the explicit
+      // opt-in, exactly as the reference gates index guessing
+      // (parasync.go:3379): without -guessprimarykey a keyless table is a
+      // refusal, never a silent sync over an inferred key
+      require(!m.guessedKey || cfg.guessPrimaryKey,
+        s"table ${m.name}: no declared primary key (unique index available) — " +
+          "pass -guessprimarykey to sync over the index-guessed key")
       // exact source rows: parquet footers are exact; a JDBC estimate is
       // replaced by one server-side COUNT (stats must not drift)
       val srcRows =

@@ -24,7 +24,12 @@ case class TableMeta(
     // declaration-ordered labels for enum columns whose catalog embeds
     // them in the type text (DuckDB `ENUM('a','b')`) — feed the portable
     // CASE-ladder ranking on wires without MySQL's enum cast
-    enumLabels: Map[String, Seq[String]] = Map.empty)
+    enumLabels: Map[String, Seq[String]] = Map.empty,
+    // pkCols came from index guessing, not a declared PRIMARY KEY — sync
+    // (key-addressed DML) requires the -guessprimarykey opt-in to use it
+    // (parasync gates index guessing behind the flag); dump chunking
+    // accepts guessed keys freely (duplicate-tolerant ranges)
+    guessedKey: Boolean = false)
 
 object Catalog {
 

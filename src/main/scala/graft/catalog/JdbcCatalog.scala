@@ -509,7 +509,8 @@ object JdbcCatalog {
           .getOrElse((Seq.empty[String], true))
       TableMeta(table, schema, pk, fake, rowEstimate(conn, table), -1L,
         enumCols = enumColumns(conn, table),
-        enumLabels = enumLabels(conn, table))
+        enumLabels = enumLabels(conn, table),
+        guessedKey = declared.isEmpty && pk.nonEmpty)
     }
   }
 }

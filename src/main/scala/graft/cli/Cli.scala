@@ -13,6 +13,9 @@ case class SyncConfig(
     noInsert: Boolean = false,
     noUpdate: Boolean = false,
     noDelete: Boolean = false,
+    // -guessprimarykey (parasync.go:3379): allow key-addressed DML over an
+    // index-GUESSED unique key; without it a keyless table refuses to sync
+    guessPrimaryKey: Boolean = false,
     statsFile: Option[String] = None,
     dstUrl: Option[String] = None,
     // -schema / -dst-schema (parasync.go:3388-3389): source schema filter
@@ -249,6 +252,7 @@ object Cli {
             case Right(_) => return Left("-browser must be >= 1")
             case Left(e) => return Left(e)
           }
+        case "-guessprimarykey" :: t => c = c.copy(guessPrimaryKey = true); rest = t
         case ("--writer-no-insert" | "-writer-no-insert") :: t =>
           c = c.copy(noInsert = true); rest = t
         case ("--writer-no-update" | "-writer-no-update") :: t =>

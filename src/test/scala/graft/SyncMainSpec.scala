@@ -65,6 +65,37 @@ class SyncMainSpec extends AnyFunSuite with SparkSuite {
     assert(ok.exists(c => c.noDelete && c.statsFile.contains("/tmp/s.json") && !c.noInsert))
   }
 
+  test("index-guessed key syncs only under -guessprimarykey (parasync gate)") {
+    // a keyless source table with a unique non-null index: the catalog
+    // GUESSES the key; key-addressed DML over a guessed key needs the
+    // explicit opt-in (parasync.go:3379) — refusal without it
+    val srcUrl = s"jdbc:derby:$dbDir/gksrc;create=true"
+    val dstUrl2 = s"jdbc:derby:$dbDir/gkdst;create=true"
+    for ((u, rows) <- Seq((srcUrl, Seq((1, "a"), (2, "b"), (3, "c"))),
+        (dstUrl2, Seq((1, "a"), (2, "WRONG"))))) {
+      val c = DriverManager.getConnection(u)
+      val st = c.createStatement()
+      st.execute("CREATE TABLE GK_T (id INT NOT NULL, v VARCHAR(10))")
+      st.execute("CREATE UNIQUE INDEX GK_IDX ON GK_T (id)")
+      rows.foreach { case (i, s) =>
+        st.execute(s"INSERT INTO GK_T VALUES ($i, '$s')") }
+      st.close(); c.close()
+    }
+    val noFlag = Cli.parseSync(Seq("-table", "gk_t", "-dst", dstUrl2)).toOption.get
+    val e = intercept[IllegalArgumentException] {
+      SyncMain.run(spark, srcUrl, noFlag)
+    }
+    assert(e.getMessage.contains("guessprimarykey"))
+    // with the flag the guessed unique key addresses the DML and converges
+    val withFlag = Cli.parseSync(Seq("-table", "gk_t", "-dst", dstUrl2,
+      "-guessprimarykey")).toOption.get
+    val stats = SyncMain.run(spark, srcUrl, withFlag)
+    assert(stats.head.inserts == 1 && stats.head.updates == 1 && stats.head.deletes == 0)
+    val back = spark.read.jdbc(dstUrl2, "GK_T", new java.util.Properties())
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back === Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("-db and -schema naming different scopes is refused on a live source") {
     // both scope the same live catalog; preferring -schema would silently
     // drop -db — the require fires before any connection is attempted
