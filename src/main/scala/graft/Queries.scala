@@ -3966,33 +3966,27 @@ object Queries {
   val textrankKeywordsSql: String = graft.operators.TextRank.keywordsSql()
 
   // ---------------------------------------------------------------------
-  // edit_distance_pairs — character-level near-duplicates by banded
-  // Levenshtein: candidates collide on (lang, length-band) with a
-  // two-band probe so boundary-straddling pairs aren't lost, then the
+  // edit_distance_pairs — character-level near-duplicates by EXACT
+  // thresholded Levenshtein: candidates come from the PassJoin pigeonhole
+  // (operators/EditDist.scala — one of the shorter prefix's k+1 pieces
+  // must appear exactly, shift-bounded, in the partner), then the
   // thresholded levenshtein(…, 8) kernel early-exits as soon as the
-  // distance exceeds the cap (O(k·min(m,n)) not O(m·n)). Distance is on
-  // the 256-char ASCII projection — DuckDB's levenshtein counts BYTES
-  // (café→cafe = 2) while Spark counts CHARS, so parity requires the
-  // projection anyway, and it bounds the DP cost per pair.
+  // distance exceeds the cap (O(k·min(m,n)) not O(m·n)). A (lang,
+  // length-band) blocking key was measured QUADRATIC (bucket populations
+  // grow with the corpus: warm 5.4 s at 10x the fixture, 171.7 s at 50x);
+  // the content-anchored pieces keep candidates tracking the true
+  // near-dup density. Distance is on the 256-char ASCII projection —
+  // DuckDB's levenshtein counts BYTES (café→cafe = 2) while Spark counts
+  // CHARS, so parity requires the projection anyway, and it bounds the
+  // DP cost per pair. The oracle stays the all-pairs form: the hash gate
+  // proves the pigeonhole lossless on the fixture.
   // ---------------------------------------------------------------------
   def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("a"))
       .withColumn("alen", length(col("a")))
-    val banded = docs.select(col("doc_id"), col("lang"), col("a"), col("alen"),
-      explode(array(floor(col("alen") / 16), floor(col("alen") / 16) - 1)).as("band"))
-    val l = banded.select(col("lang"), col("band"), col("doc_id").as("id_a"),
-      col("a").as("t_a"), col("alen").as("len_a"))
-    val r = banded.select(col("lang"), col("band"), col("doc_id").as("id_b"),
-      col("a").as("t_b"), col("alen").as("len_b"))
-    l.join(r, Seq("lang", "band"))
-      .filter(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= 8)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(substring(col("t_a"), 1, 256), substring(col("t_b"), 1, 256), 8)
-          .as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= 8)
-      .distinct()
+    graft.operators.EditDist.pairs(docs, k = 8, prefixLen = 256)
       .orderBy("id_a", "id_b")
   }
 

@@ -240,11 +240,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"top-100 is a global sort, not TakeOrdered:\n$p")
   }
 
-  test("edit_distance_pairs: banded candidates equi-join; no quadratic fallback") {
+  test("edit_distance_pairs: q-chunk signature equi-join; no quadratic fallback") {
     val p = plan("edit_distance_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation fell back to all-pairs:\n$p")
-    assert(p.contains("band"), s"band key missing from the join:\n$p")
+    // the lossless content signatures: gram/chunk rows join on the 8-byte
+    // xxhash64 key, never on a (lang, length-band) population key — the
+    // banded form was measured QUADRATIC at the 50x probe (BENCH_NOTES)
+    assert(p.contains("xxhash64"), s"signature hash key missing from the join:\n$p")
     // thresholded kernel: the levenshtein call carries the early-exit cap
     assert(p.contains("levenshtein") && p.contains("Some(8)"),
       s"levenshtein not thresholded:\n$p")

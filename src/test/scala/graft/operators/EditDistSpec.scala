@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Losslessness proof for the PassJoin pigeonhole: [[EditDist.pairs]]
+  * must return EXACTLY the pairs the quadratic all-pairs form returns —
+  * on corpora engineered to stress every leg (tiny strings below the
+  * piece threshold, lengths straddling the tiny/PassJoin boundary,
+  * planted edits at piece boundaries, shifts from leading
+  * insertions/deletions, cross-language non-pairs). The driver-side
+  * brute force is the ground truth. */
+class EditDistSpec extends AnyFunSuite with SparkSuite {
+
+  private def lev(a: String, b: String): Int = {
+    val m = a.length; val n = b.length
+    val dp = Array.tabulate(m + 1)(i => i)
+    for (j <- 1 to n) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to m) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(m)
+  }
+
+  private def bruteForce(rows: Seq[(Long, String, String)], k: Int,
+                         prefixLen: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, la, ta) <- rows; (ib, lb, tb) <- rows
+      if ia < ib && la == lb && math.abs(ta.length - tb.length) <= k
+      d = lev(ta.take(prefixLen), tb.take(prefixLen))
+      if d <= k
+    } yield (ia, ib, d)).toSet
+
+  private def run(rows: Seq[(Long, String, String)], k: Int,
+                  prefixLen: Int): Set[(Long, Long, Int)] = {
+    val s = spark
+    import s.implicits._
+    val docs = rows.toDF("doc_id", "lang", "a")
+      .withColumn("alen", length(col("a")))
+    EditDist.pairs(docs, k, prefixLen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("randomized corpus == brute force (boundary lengths, planted edits, tiny strings)") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcd" // tiny alphabet: collisions and near-misses abound
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val k = 4
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    var id = 0L
+    // lengths sweeping the tiny (<k+1) / PassJoin (>=k+1) boundary
+    for (len <- Seq(0, 1, 3, 4, 5, 6, 9, 12, 20, 33); rep <- 0 until 6) {
+      val base = word(len)
+      val lang = if (rep % 3 == 0) "fr" else "en"
+      rows += ((id, lang, base)); id += 1
+      // planted near-edit of the previous: substitutions, an insertion at
+      // a random point (shifts every later piece), a deletion at the head
+      if (rep % 2 == 1 && base.nonEmpty) {
+        val mutated = rnd.nextInt(3) match {
+          case 0 => base.updated(rnd.nextInt(base.length), 'z').mkString
+          case 1 =>
+            val p = rnd.nextInt(base.length + 1)
+            base.substring(0, p) + "zz" + base.substring(p)
+          case _ => base.drop(rnd.nextInt(math.min(3, base.length)) + 1)
+        }
+        rows += ((id, lang, mutated)); id += 1
+      }
+    }
+    // plus pure-random strings for organic pairs/non-pairs
+    for (_ <- 0 until 60) { rows += ((id, "en", word(rnd.nextInt(30)))); id += 1 }
+    val want = bruteForce(rows.toSeq, k, prefixLen = 24)
+    val got = run(rows.toSeq, k, prefixLen = 24)
+    assert(got === want)
+    assert(want.nonEmpty, "degenerate fixture: brute force found no pairs")
+  }
+
+  test("piece-boundary edits and prefix-cap interplay stay lossless") {
+    // strings longer than prefixLen: distance counts only the prefix, the
+    // length filter counts the FULL projection — both sides must agree
+    val base = ("x" * 30) + ("y" * 30)
+    val rows = Seq(
+      (1L, "en", base),
+      (2L, "en", base.updated(0, 'z').updated(29, 'z').mkString), // head+piece-edge
+      (3L, "en", "qq" + base), // global shift by 2
+      (4L, "en", base + "tail beyond the cap"), // |alen| gap > k: excluded
+      (5L, "en", base.take(10)), // far shorter: length filter excludes
+      (6L, "de", base)) // other language: excluded
+    val k = 5
+    val want = bruteForce(rows, k, prefixLen = 40)
+    val got = run(rows, k, prefixLen = 40)
+    assert(got === want)
+    assert(want.exists { case (a, b, _) => (a, b) == (1L, 2L) })
+    assert(want.exists { case (a, b, _) => (a, b) == (1L, 3L) })
+  }
+}
