@@ -372,6 +372,28 @@ class JdbcDialectMatrixSpec extends AnyFunSuite with SparkSuite {
     assert(Seq("omega", "mid", "alpha").forall(l => vals.count(_.contains(l)) === 40))
   }
 
+  test("-consistent staging carries an enum column as its labels") {
+    assume(haveDriver); setup
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TYPE tri AS ENUM ('hi','md','lo')")
+      st.execute("CREATE TABLE snap_e (id INT, grade tri)")
+      st.execute("INSERT INTO snap_e VALUES (1,'lo'), (2,'hi'), (3,'md'), (4,NULL)")
+      st.close()
+    }
+    val staging = Files.createTempDirectory("duck-snap-enum").toString
+    // schema probe maps ENUM -> StringType through the dialect shim; the
+    // staging reader then streams labels (getString) into the parquet cut
+    val out = graft.sources.SnapshotStage.stageAll(spark, url, props,
+      Seq(("snap_e", "snap_e")), staging)
+    assert(out("snap_e")._2 === 4L)
+    val back = spark.read.parquet(out("snap_e")._1)
+      .collect().map(r => (r.get(0).asInstanceOf[Number].intValue,
+        Option(r.getString(1)))).toMap
+    assert(back === Map(1 -> Some("lo"), 2 -> Some("hi"),
+      3 -> Some("md"), 4 -> None))
+  }
+
   test("copy sink writes through the live wire after validation") {
     assume(haveDriver); setup
     withConn(_.createStatement().execute(
