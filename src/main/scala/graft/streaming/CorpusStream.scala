@@ -17,9 +17,19 @@ object CorpusStream {
     * tailing of the corpus drop directory. */
   def fromParquetDir(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = graft.sources.Tables.load(spark, sfDir, "documents")
-    spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    // the table lives either as one FILE named documents.parquet (the
+    // driver fixtures) or as a DIRECTORY of part files by that name (what
+    // any Spark writer — and ScaleGen — produces); a file-name glob over
+    // the parent sees only the former, so stream the directory itself
+    // when that is the layout
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      spark.readStream.schema(raw.schema).parquet(p.toString)
+    else
+      spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir)
   }
 
   /** Streaming ingest gate + exact dedup: the quality gate runs
