@@ -15,8 +15,11 @@ import java.nio.file.{Files, Paths}
   * warm time exceeds cold by >10% are listed in `inversions` (impossible on
   * a quiet box — the run was contended and its numbers are suspect);
   * setting SPARK_GRAFT_BENCH_STRICT makes such a run exit 3.
-  * The line is also written to $SPARK_GRAFT_BENCH_OUT (default
-  * ./bench_out.json) so sbt log decoration can't make it unparseable.
+  * The FULL line (warm + cold for every query) is written to
+  * $SPARK_GRAFT_BENCH_OUT (default ./bench_out.json); STDOUT carries a
+  * compact variant (total + health fields + a fixed headline-query
+  * subset, with a "full" pointer) sized to survive a collector that keeps
+  * only the last ~2 KB of output.
   */
 object Bench {
 
@@ -134,7 +137,28 @@ object Bench {
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     if (only.isEmpty || outFile.isDefined)
       Files.writeString(Paths.get(outFile.getOrElse("bench_out.json")), line + "\n")
-    println(line)
+    // STDOUT gets a COMPACT line: the harness that collects this run keeps
+    // only the final ~2000 characters of output, and the full 190-query
+    // warm+cold map (~18 KB) overflows that window — the r14 collection
+    // recorded `parsed: null` because the line's opening brace was cut
+    // off. The full record is bench_out.json (written above, untouched);
+    // stdout carries the total, the run-health fields, and a fixed
+    // headline subset of per-query warm times, sized to survive the
+    // window with room for the trailing sbt/status lines.
+    val headline = Seq(
+      "q1_agg", "q3_join", "q5_join", "csv_lineitem", "dump_sql_lineitem",
+      "dump_binary", "diff_sync_ops", "chunk_predicate_equiv", "dedup_exact",
+      "near_dup_minhash", "near_dup_simhash", "near_dup_clusters",
+      "containment_pairs", "dedup_substring", "semantic_dedup",
+      "semantic_dedup_incremental", "edit_distance_pairs", "ngram_jaccard",
+      "ann_topk", "ann_ivf", "bm25_topk", "bpe_train", "pack_sequences",
+      "events_sessions", "media_near_dup", "pipeline_clean_corpus",
+      "pipeline_full_corpus")
+    val headWarm = scala.collection.mutable.LinkedHashMap[String, Double]()
+    headline.foreach(q => warm.get(q).foreach(v => headWarm(q) = v))
+    val stdoutLine =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",$subsetTag"n_queries":${names.size},"queries":${fmt(headWarm)},"failed":$failedJson,"inversions":$inversionsJson,$loadJson,"sf":"$sfDir","full":"${outFile.getOrElse("bench_out.json")}"}"""
+    println(stdoutLine)
     if (inversions.nonEmpty)
       System.err.println(s"[bench] WARNING: warm > cold inversions (box was " +
         s"contended; numbers unreliable): ${inversions.mkString(", ")}")

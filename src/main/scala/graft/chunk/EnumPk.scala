@@ -60,13 +60,23 @@ object EnumPk {
     * boundary values, and the predicates one consistent numeric ranking.
     *
     * Dialect split: MySQL ranks via `cast(col as unsigned)` (no labels
-    * needed); every other enum-bearing wire (DuckDB, PG enum types) gets
-    * the portable CASE ladder over the catalog's declaration-ordered
+    * needed); every other wire whose catalog embeds the label list in the
+    * column's type text (DuckDB `ENUM(...)` — what `isEnumTypeName`
+    * detects) gets the portable CASE ladder over the declaration-ordered
     * `labels` — absent labels there are a loud refusal, because chunking
-    * an enum PK without its ranking would silently misorder. */
+    * an enum PK without its ranking would silently misorder. (PostgreSQL
+    * enums are NOT detected: PG's JDBC getColumns reports the
+    * user-defined type name, not `ENUM(...)`, so a PG enum PK chunks on
+    * the raw column — order-consistent there only because PG compares
+    * enums by declaration order natively, not via this mechanism.)
+    *
+    * `labels` and `mysqlTarget` are deliberately REQUIRED: a call site
+    * that passed enumCols but defaulted the dialect would silently emit
+    * the MySQL cast on a non-MySQL wire — the exact ORDER-BY-vs-WHERE
+    * ranking bug class this object exists to prevent. */
   def chunkKey(pkCols: Seq[String], enumCols: Set[String],
-               labels: Map[String, Seq[String]] = Map.empty,
-               mysqlTarget: Boolean = true): Seq[String] =
+               labels: Map[String, Seq[String]],
+               mysqlTarget: Boolean): Seq[String] =
     pkCols.map { c =>
       if (!enumCols.contains(c)) c
       else if (mysqlTarget) sqlIndexExpr(c, Nil, mysqlTarget = true)

@@ -107,11 +107,17 @@ object EditDist {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
 
     // verify: join prefixes back by id (candidates are the sparse side),
-    // thresholded DP kernel, -1 = early-exited past the cap
-    val byId = base.select(col("doc_id"), col("p"))
+    // thresholded DP kernel, -1 = early-exited past the cap. lang rides
+    // along and is re-checked explicitly: upstream it is only folded into
+    // the 64-bit signature hash, and a hash collision between docs of
+    // different languages must not survive into an "exact" result
+    val byId = base.select(col("doc_id"), col("lang"), col("p"))
     candMain.unionByName(candTiny).distinct()
-      .join(byId.select(col("doc_id").as("id_a"), col("p").as("p_a")), "id_a")
-      .join(byId.select(col("doc_id").as("id_b"), col("p").as("p_b")), "id_b")
+      .join(byId.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+        col("p").as("p_a")), "id_a")
+      .join(byId.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+        col("p").as("p_b")), "id_b")
+      .filter(col("lang_a") === col("lang_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("p_a"), col("p_b"), kk).as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= kk)

@@ -119,7 +119,16 @@ object SnapshotStage {
     // Spark's WriteSupport reads its required settings from the Hadoop
     // conf (schema + the format knobs ParquetFileFormat.prepareWrite
     // seeds); mirror the session's values so staged files match what the
-    // session itself would write
+    // session itself would write.
+    // DRIVER-THREAD CONSTRAINT: ParquetWriteSupport additionally reads the
+    // datetime/INT96 rebase modes from the THREAD-LOCAL active SQLConf in
+    // its constructor (not from this mirrored conf) — correct only while
+    // the calling thread carries the active session; refuse loudly rather
+    // than silently fall back to global rebase defaults on a bare thread
+    require(SparkSession.getActiveSession.isDefined,
+      "SnapshotStage.stageOne must run on a thread with an active " +
+        "SparkSession: ParquetWriteSupport reads rebase modes from the " +
+        "thread-local SQLConf (call SparkSession.setActiveSession first)")
     val hconf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport

@@ -40,9 +40,11 @@ class EnumPkSpec extends AnyFunSuite with SparkSuite {
     // catalog-driven automatic substitution (dump/sync wire this from
     // TableMeta.enumCols): enum components become the MySQL index cast —
     // the only engine that reports TYPE_NAME=ENUM — others pass through
-    assert(EnumPk.chunkKey(Seq("status", "k"), Set("status")) ==
+    assert(EnumPk.chunkKey(Seq("status", "k"), Set("status"),
+      Map.empty, mysqlTarget = true) ==
       Seq("cast(status as unsigned)", "k"))
-    assert(EnumPk.chunkKey(Seq("status", "k"), Set.empty) == Seq("status", "k"))
+    assert(EnumPk.chunkKey(Seq("status", "k"), Set.empty,
+      Map.empty, mysqlTarget = true) == Seq("status", "k"))
   }
 
   test("chunkKey on a non-MySQL wire ranks via the label CASE ladder, or refuses") {
