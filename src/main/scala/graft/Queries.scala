@@ -4641,6 +4641,163 @@ object Queries {
       |WHERE rk <= 15 ORDER BY term, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // rrf_fusion — hybrid retrieval: reciprocal-rank fusion (SIGIR'09,
+  // c=60) of the BM25 and TF-IDF top-30 lists per query term, top-10
+  // fused. The two scorers disagree exactly where length normalization
+  // matters, so the fused list is a genuine third ranking. Pure
+  // composition: bm25_topk + tfidf_topk through TextOps.rrfFuse; the
+  // fused score is a fixed-order two-addend sum, so it hash-oracles.
+  // ---------------------------------------------------------------------
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = Seq("spark", "table", "join")
+    graft.operators.TextOps.rrfFuse(
+      graft.operators.TextOps.bm25TopK(docs, terms, k = 30),
+      graft.operators.TextOps.tfidfTopK(docs, terms, k = 30),
+      keyCols = Seq("term"), idCol = "doc_id", k = 10)
+      .orderBy("term", "rk")
+  }
+
+  val rrfFusionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(tok) AS term
+      |  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+      |        FROM documents) t
+      |  WHERE lower(tok) IN ('spark', 'table', 'join')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |dl AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      |bm AS (
+      |  SELECT term, doc_id, rk FROM (
+      |    SELECT tf.term, tf.doc_id,
+      |      row_number() OVER (PARTITION BY tf.term ORDER BY
+      |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |        * ((CAST(tf AS DOUBLE) * 2.2) /
+      |           (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |              (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |        DESC, tf.doc_id) AS rk
+      |    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats) x
+      |  WHERE rk <= 30),
+      |ti AS (
+      |  SELECT term, doc_id, rk FROM (
+      |    SELECT tf.term, tf.doc_id,
+      |      row_number() OVER (PARTITION BY tf.term
+      |        ORDER BY CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+      |                 tf.doc_id) AS rk
+      |    FROM tf JOIN df USING (term) CROSS JOIN stats) x
+      |  WHERE rk <= 30),
+      |fused AS (
+      |  SELECT term, doc_id,
+      |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(a.rk AS DOUBLE)), CAST(0 AS DOUBLE))
+      |      + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(b.rk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+      |  FROM bm a FULL OUTER JOIN ti b USING (term, doc_id))
+      |SELECT term, doc_id, rk, rrf FROM (
+      |  SELECT term, doc_id, rrf,
+      |    row_number() OVER (PARTITION BY term ORDER BY rrf DESC, doc_id) AS rk
+      |  FROM fused) x
+      |WHERE rk <= 10 ORDER BY term, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // mmr_rerank — Maximal Marginal Relevance (SIGIR'98) diversity
+  // re-ranking of the BM25 top-20 per term: greedily pick 5, each pick
+  // scored λ·rel − (1−λ)·max-Jaccard-to-picked (λ=0.5, exact word-set
+  // Jaccard). The greedy loop runs per key inside flatMapGroups (bounded
+  // candidates; keys distribute); the oracle unrolls the 5 selection
+  // steps to QUALIFY-pick CTEs — the KMeans-Lloyd replay idiom.
+  // ---------------------------------------------------------------------
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = graft.operators.TextOps
+      .bm25TopK(docs, Seq("spark", "table", "join"), k = 20)
+      .select(col("term"), col("doc_id"), col("score").as("rel"))
+    graft.operators.Mmr.rerank(cands, docs, "term", "doc_id", k = 5)
+      .orderBy("term", "pick")
+  }
+
+  lazy val mmrRerankSql: String = {
+    // one QUALIFY-pick CTE per greedy step; sel_i accumulates the picked
+    // (term, doc_id, words) rows steps i+1.. penalize against
+    val steps = (2 to 5).map { i =>
+      val prev = i - 1
+      s"""p$i AS (
+         |  SELECT c.term, c.doc_id, c.rel,
+         |    max(CAST(len(list_intersect(c.words, s.words)) AS DOUBLE) /
+         |        CAST(len(c.words) + len(s.words)
+         |             - len(list_intersect(c.words, s.words)) AS DOUBLE)) AS msim
+         |  FROM cand c JOIN sel$prev s USING (term)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$prev e
+         |                    WHERE e.term = c.term AND e.doc_id = c.doc_id)
+         |  GROUP BY c.term, c.doc_id, c.rel),
+         |s$i AS (
+         |  SELECT p.term, p.doc_id, c.words,
+         |    CAST(0.5 AS DOUBLE) * p.rel - CAST(0.5 AS DOUBLE) * p.msim AS mmr,
+         |    CAST($i AS BIGINT) AS pick
+         |  FROM p$i p JOIN cand c USING (term, doc_id)
+         |  QUALIFY row_number() OVER (PARTITION BY p.term
+         |    ORDER BY CAST(0.5 AS DOUBLE) * p.rel
+         |             - CAST(0.5 AS DOUBLE) * p.msim DESC, p.doc_id) = 1),
+         |sel$i AS (SELECT term, doc_id, words FROM sel$prev
+         |          UNION ALL SELECT term, doc_id, words FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to 5)
+      .map(i => s"SELECT term, doc_id, pick, mmr FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lower(tok) AS term
+       |  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+       |        FROM documents) t
+       |  WHERE lower(tok) IN ('spark', 'table', 'join')),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |dl AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+       |                         x -> x <> '')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |bm AS (
+       |  SELECT term, doc_id, score FROM (
+       |    SELECT tf.term, tf.doc_id,
+       |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * ((CAST(tf AS DOUBLE) * 2.2) /
+       |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |            (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |        AS score,
+       |      row_number() OVER (PARTITION BY tf.term ORDER BY
+       |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |        * ((CAST(tf AS DOUBLE) * 2.2) /
+       |           (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |              (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |        DESC, tf.doc_id) AS rk
+       |    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats) x
+       |  WHERE rk <= 20),
+       |w AS (SELECT doc_id, list_distinct(list_transform(list_filter(
+       |    string_split_regex(text, '[^A-Za-z]+'), x -> x <> ''),
+       |    x -> lower(x))) AS words
+       |  FROM documents),
+       |cand AS (SELECT b.term, b.doc_id, b.score AS rel, w.words
+       |  FROM bm b JOIN w USING (doc_id)),
+       |s1 AS (
+       |  SELECT term, doc_id, words,
+       |    CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * CAST(0 AS DOUBLE) AS mmr,
+       |    CAST(1 AS BIGINT) AS pick
+       |  FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY term
+       |    ORDER BY CAST(0.5 AS DOUBLE) * rel
+       |             - CAST(0.5 AS DOUBLE) * CAST(0 AS DOUBLE) DESC, doc_id) = 1),
+       |sel1 AS (SELECT term, doc_id, words FROM s1),
+       |$steps
+       |SELECT term, doc_id, pick, mmr FROM (
+       |  $unions) u
+       |ORDER BY term, pick""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // retrieve_chunks — the RAG retrieval shape end to end: BM25 over the
   // sliding 32-token chunk table (doc_chunks × bm25_topk composed, via
   // TextOps.bm25TopKBy keyed on (doc_id, chunk_id)) — a retrieval index
@@ -6499,6 +6656,72 @@ object Queries {
       |FROM v ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // iban_phone_mask — the other two PII families a corpus scrub needs:
+  // phone numbers (count-and-replace, no checksum exists) and ISO 13616
+  // IBANs (mod-97 validate-BEFORE-masking, ccMask's discipline on the
+  // second checksummed family). Grafts cover both phone forms, two valid
+  // IBANs (DE, GB — letters inside the body), and a check-digit-broken
+  // IBAN that must stay a candidate but never mask.
+  // ---------------------------------------------------------------------
+  def ibanPhoneMask(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      col("text"),
+      opt(d % 5 === 0, " call +14155552671 now"),
+      opt(d % 7 === 0, " tel 415-555-2671 desk"),
+      opt(d % 6 === 0, " acct DE89370400440532013000 sepa"),
+      opt(d % 9 === 0, " alt GB82WEST12345698765432 uk"),
+      opt(d % 11 === 0, " bogus DE00370400440532013000 nope"))
+    val (masked, nPhones, nValid, nCands) =
+      graft.operators.TextOps.ibanPhoneMask(col("text"))
+    t(s, dir, "documents").select(d, grafted.as("text"))
+      .select(col("doc_id"), nPhones.as("n_phones"),
+        nValid.as("n_iban_valid"), nCands.as("n_iban_cand"),
+        md5(masked).as("masked_hash"))
+      .orderBy("doc_id")
+  }
+
+  val ibanPhoneMaskSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ' call +14155552671 now' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ' tel 415-555-2671 desk' ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN ' acct DE89370400440532013000 sepa' ELSE '' END)
+      |    || (CASE WHEN doc_id % 9 = 0 THEN ' alt GB82WEST12345698765432 uk' ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN ' bogus DE00370400440532013000 nope' ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text,
+      |      '\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |    regexp_replace(text, '\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}',
+      |      '<PHONE>', 'g') AS text
+      |  FROM d),
+      |c AS (SELECT doc_id, n_phones, text,
+      |    regexp_extract_all(text, '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}') AS cands
+      |  FROM p),
+      |v AS (SELECT doc_id, n_phones, text, cands,
+      |    [ib for ib in cands if
+      |       list_reduce(list_prepend(0,
+      |         [CASE WHEN substr(substr(ib, 5) || substr(ib, 1, 4), CAST(i AS INT), 1)
+      |                    BETWEEN '0' AND '9'
+      |               THEN 1000 + CAST(substr(substr(ib, 5) || substr(ib, 1, 4),
+      |                                       CAST(i AS INT), 1) AS INT)
+      |               ELSE 10000 + ascii(substr(substr(ib, 5) || substr(ib, 1, 4),
+      |                                         CAST(i AS INT), 1)) - 55 END
+      |          for i in generate_series(1, len(ib))]),
+      |         (acc, e) -> CASE WHEN e < 10000 THEN (acc * 10 + (e - 1000)) % 97
+      |                          ELSE (acc * 100 + (e - 10000)) % 97 END) = 1] AS valid
+      |  FROM c)
+      |SELECT doc_id, n_phones, CAST(len(valid) AS BIGINT) AS n_iban_valid,
+      |  CAST(len(cands) AS BIGINT) AS n_iban_cand,
+      |  md5(list_reduce(list_prepend(text, valid),
+      |      (acc, ib) -> replace(acc, ib, '<IBAN>'))) AS masked_hash
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dedup_url — URL-keyed exact dedup (the C4 page-dedup shape): two
   // spellings of one page (mixed case, default port, tracking params,
   // param order, fragment) collapse to ONE canonical key via
@@ -6830,6 +7053,8 @@ object Queries {
     "fluency_buckets" -> (fluencyBuckets _),
     "host_cap" -> (hostCap _),
     "bm25_topk" -> (bm25Topk _),
+    "rrf_fusion" -> (rrfFusion _),
+    "mmr_rerank" -> (mmrRerank _),
     "retrieve_chunks" -> (retrieveChunks _),
     "embedding_drift" -> (embeddingDrift _),
     "preference_pairs" -> (preferencePairs _),
@@ -6856,6 +7081,7 @@ object Queries {
     "code_fences" -> (codeFences _),
     "dedup_url" -> (dedupUrl _),
     "cc_mask" -> (ccMask _),
+    "iban_phone_mask" -> (ibanPhoneMask _),
     "nb_lang_classify" -> (nbLangClassify _),
     "markup_strip" -> (markupStrip _),
     "corpus_diff" -> (corpusDiff _),
@@ -7023,6 +7249,8 @@ object Queries {
     "fluency_buckets" -> fluencyBucketsSql,
     "host_cap" -> hostCapSql,
     "bm25_topk" -> bm25TopkSql,
+    "rrf_fusion" -> rrfFusionSql,
+    "mmr_rerank" -> mmrRerankSql,
     "retrieve_chunks" -> retrieveChunksSql,
     "embedding_drift" -> embeddingDriftSql,
     "preference_pairs" -> preferencePairsSql,
@@ -7049,6 +7277,7 @@ object Queries {
     "code_fences" -> codeFencesSql,
     "dedup_url" -> dedupUrlSql,
     "cc_mask" -> ccMaskSql,
+    "iban_phone_mask" -> ibanPhoneMaskSql,
     "nb_lang_classify" -> nbLangClassifySql,
     "markup_strip" -> markupStripSql,
     "corpus_diff" -> corpusDiffSql,

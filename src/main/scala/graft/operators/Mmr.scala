@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR'98)
+  * — the classic diversity re-ranker that sits between retrieval and the
+  * consumer: from a per-key candidate list with relevance scores, greedily
+  * pick the candidate maximizing `λ·rel − (1−λ)·max_{s∈picked} sim(c, s)`,
+  * so every further pick is penalized by its closest already-picked
+  * neighbor. Similarity here is exact Jaccard over distinct lowercased
+  * word sets — integers plus one IEEE division, so the whole greedy run
+  * replays token-for-token in a SQL oracle (the selection loop unrolls to
+  * one QUALIFY-pick CTE per step, the same idiom as the KMeans Lloyd
+  * replay).
+  *
+  * Determinism: `rel` comes in bit-identical from the retrieval stage
+  * (BM25's fixed-order IEEE ops); `max` over picked similarities is
+  * order-independent; the MMR combination is two multiplies and one
+  * subtract in fixed order; ties break by ascending id. No float
+  * aggregation whose order could vary exists anywhere in the pass.
+  *
+  * Scale shape: the greedy loop is inherently sequential PER KEY, so it
+  * runs inside `flatMapGroups` keyed on the query key — each group holds
+  * only that key's top-N candidates (bounded, ~20), while keys distribute
+  * freely across executors. The word sets ride along from a map-only
+  * projection of the corpus scan; nothing quadratic ever leaves a group. */
+object Mmr {
+
+  /** Distinct lowercased `[A-Za-z]+` word set per doc — the similarity
+    * vocabulary. Mirrors the retrieval tokenizer so the oracle replays it
+    * with the same split regex. */
+  def wordSets(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(col(idCol),
+      array_distinct(transform(
+        filter(split(col("text"), "[^A-Za-z]+"), w => w =!= lit("")),
+        w => lower(w))).as("words"))
+
+  /** Greedy MMR over per-key candidates.
+    *
+    * @param cands per-key candidate lists: `keyCol`, `idCol`, `rel`
+    *              (double relevance, higher = better)
+    * @param docs  corpus with `idCol` + `text` (word sets derived here)
+    * @param k     picks per key
+    * @param lam   λ relevance weight (1−λ penalizes redundancy)
+    * @return `keyCol, idCol, pick (1-based), mmr` — `mmr` is the score the
+    *         candidate was picked AT (λ·rel for the first pick). */
+  def rerank(cands: DataFrame, docs: DataFrame, keyCol: String,
+             idCol: String, k: Int, lam: Double = 0.5): DataFrame = {
+    val joined = cands
+      .join(wordSets(docs, idCol), idCol)
+      .select(col(keyCol).cast("string").as("_key"),
+        col(idCol).cast("long").as("_id"),
+        col("rel").cast("double").as("_rel"), col("words"))
+    import joined.sparkSession.implicits._
+    val picked = joined.as[(String, Long, Double, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        // canonical ascending-id order + strict > ⇒ smallest id wins ties
+        val cs = it.toArray.sortBy(_._2)
+        val sets = cs.map(_._4.toSet)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        (1 to math.min(k, cs.length)).iterator.map { pick =>
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          cs.indices.foreach { i =>
+            if (!selected.contains(i)) {
+              val maxSim =
+                if (selected.isEmpty) 0.0
+                else selected.iterator.map { j =>
+                  val inter = sets(i).intersect(sets(j)).size
+                  inter.toDouble /
+                    (sets(i).size + sets(j).size - inter).toDouble
+                }.max
+              val score = lam * cs(i)._3 - (1.0 - lam) * maxSim
+              if (score > bestScore) { best = i; bestScore = score }
+            }
+          }
+          selected += best
+          (key, cs(best)._2, pick.toLong, bestScore)
+        }
+      }
+    picked.toDF(keyCol, idCol, "pick", "mmr")
+  }
+}

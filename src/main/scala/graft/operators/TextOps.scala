@@ -208,6 +208,37 @@ object TextOps {
       .select(col("term") +: ids :+ col("rk") :+ col("score"): _*)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of two
+    * rank lists — the standard hybrid-retrieval combiner (lexical BM25 +
+    * a second scorer fused by rank, not by incomparable raw scores).
+    * Inputs carry `keyCols… , idCol, rk`; an id's fused score is
+    * Σ 1/(c + rk) over the lists it appears in, a missing list
+    * contributing 0. The sum has exactly TWO addends evaluated in fixed
+    * order off a full-outer join — no float aggregation whose order could
+    * vary — so the doubles are bit-identical on every engine and the
+    * result hash-oracles cleanly.
+    *
+    * Scale shape: both inputs are already per-key top-k lists, bounded at
+    * k·|keys| rows regardless of corpus size; the fusion join and the
+    * final per-key window shuffle only those lists, never the corpus. */
+  def rrfFuse(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+              idCol: String, k: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joinCols = keyCols :+ idCol
+    val ja = a.select(joinCols.map(col) :+ col("rk").as("rk_a"): _*)
+    val jb = b.select(joinCols.map(col) :+ col("rk").as("rk_b"): _*)
+    val contrib = (rk: Column) =>
+      coalesce(lit(1.0) / (lit(c).cast("double") + rk.cast("double")), lit(0.0))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("rrf").desc, col(idCol))
+    ja.join(jb, joinCols, "full_outer")
+      .select(joinCols.map(col) :+
+        (contrib(col("rk_a")) + contrib(col("rk_b"))).as("rrf"): _*)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(keyCols.map(col) :+ col(idCol) :+ col("rk") :+ col("rrf"): _*)
+  }
+
   /** Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1
     * quality filters, adapted to the single-line fixture: word-level rather
     * than line-level):
@@ -320,6 +351,46 @@ object TextOps {
     val masked = aggregate(valid, text,
       (acc, c) => call_function("replace", acc, c, lit("<CC>")))
     (masked, size(valid).cast("long"), size(cands).cast("long"))
+  }
+
+  /** International phone numbers — `+` then 7-15 digits (E.164 length
+    * bounds) or the dashed NANP form. No checksum exists for phone
+    * numbers, so this is count-and-replace like [[piiMask]]. RE2-safe
+    * (no lookarounds), so the same pattern replays on any engine. */
+  val phoneRegex: String = "\\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** ISO 13616 mod-97-validated IBAN masking — [[ccMask]]'s
+    * validate-BEFORE-masking discipline on the second checksummed PII
+    * family: a candidate is `CC##` + 11-30 alphanumerics (15-34 total,
+    * the real IBAN length envelope); it masks to `<IBAN>` only when the
+    * ISO 7064 check holds (move the first 4 chars to the end, map
+    * letters A→10…Z→35, the resulting number ≡ 1 mod 97). The fold keeps
+    * a running remainder — digit step `(acc·10 + d) mod 97`, letter step
+    * `(acc·100 + v) mod 97` — so the accumulator never exceeds 9 699 and
+    * the whole validation is exact 32-bit integer arithmetic, replayable
+    * token-for-token in the SQL oracle.
+    *
+    * Columns over `text` (phones masked FIRST, then IBANs):
+    * `(masked, n_phones, n_iban_valid, n_iban_candidates)`. Map-only
+    * higher-order column functions, no shuffle, no UDF. */
+  def ibanPhoneMask(text: Column): (Column, Column, Column, Column) = {
+    val nPhones = regexp_count(text, lit(phoneRegex)).cast("long")
+    val phoneMasked = regexp_replace(text, phoneRegex, "<PHONE>")
+    val cands = regexp_extract_all(
+      phoneMasked, lit("[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"), lit(0))
+    def rearranged(c: Column): Column =
+      concat(c.substr(lit(5), length(c)), c.substr(lit(1), lit(4)))
+    val valid = filter(cands, c => {
+      val r = rearranged(c)
+      aggregate(sequence(lit(1), length(r)), lit(0), (acc, i) => {
+        val ch = r.substr(i, lit(1))
+        when(ch.between("0", "9"), (acc * 10 + ch.cast("int")) % 97)
+          .otherwise((acc * 100 + (ascii(ch) - 55)) % 97)
+      }) === 1
+    })
+    val masked = aggregate(valid, phoneMasked,
+      (acc, c) => call_function("replace", acc, c, lit("<IBAN>")))
+    (masked, nPhones, size(valid).cast("long"), size(cands).cast("long"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any word

@@ -143,6 +143,34 @@ class CurationOpsSpec extends AnyFunSuite with SparkSuite {
     assert(out(("join", 1L))._2 > out(("spark", 1L))._2)
   }
 
+  test("rrfFuse: fixed-order two-addend RRF, absent list contributes 0, " +
+    "ties break by ascending id") {
+    import spark.implicits._
+    val a = Seq(("t", 1L, 1L), ("t", 2L, 2L), ("t", 3L, 3L))
+      .toDF("term", "doc_id", "rk")
+    val b = Seq(("t", 3L, 1L), ("t", 4L, 2L)).toDF("term", "doc_id", "rk")
+    val out = TextOps.rrfFuse(a, b, Seq("term"), "doc_id", k = 10)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // doc 3 is in both lists; docs 1/2 only in a; doc 4 only in b
+    assert(out(3L) === ((1L, 1.0 / (60.0 + 3.0) + 1.0 / (60.0 + 1.0))))
+    assert(out(1L) === ((2L, 1.0 / (60.0 + 1.0))))
+    // docs 2 and 4 tie at 1/62 — ascending doc_id breaks it
+    assert(out(2L) === ((3L, 1.0 / (60.0 + 2.0))))
+    assert(out(4L) === ((4L, 1.0 / (60.0 + 2.0))))
+  }
+
+  test("rrfFuse: keys fuse independently and k cuts per key") {
+    import spark.implicits._
+    val a = Seq(("x", 1L, 1L), ("x", 2L, 2L), ("y", 9L, 1L))
+      .toDF("term", "doc_id", "rk")
+    val b = Seq(("x", 2L, 1L), ("y", 8L, 1L)).toDF("term", "doc_id", "rk")
+    val out = TextOps.rrfFuse(a, b, Seq("term"), "doc_id", k = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // x: doc 2 appears in both lists and overtakes doc 1; y: 8 vs 9 tie
+    // at rank 1 each — ascending id wins
+    assert(out === Map("x" -> 2L, "y" -> 8L))
+  }
+
   test("tokenTopK counts ASCII-letter runs, case-folded, ties by token") {
     import spark.implicits._
     val corpus = Seq(

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MMR greedy diversity re-ranking — the mmr_rerank CORRECTNESS row. */
+class MmrSpec extends AnyFunSuite with SparkSuite {
+
+  test("rerank: a near-duplicate of the top pick loses to a disjoint doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"), // identical word set to doc 1
+      (3L, "xray yankee zulu")  // disjoint
+    ).toDF("doc_id", "text")
+    val cands = Seq(("q", 1L, 1.0), ("q", 2L, 0.9), ("q", 3L, 0.5))
+      .toDF("term", "doc_id", "rel")
+    val out = Mmr.rerank(cands, docs, "term", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._2)
+    // pick 1: doc 1 at 0.5·1.0; pick 2: doc 3 (0.25 − 0) beats doc 2
+    // (0.45 − 0.5·1.0 = −0.05); pick 3: doc 2 at its penalized score
+    assert(out === Seq(
+      (1L, 1L, 0.5 * 1.0 - 0.5 * 0.0),
+      (3L, 2L, 0.5 * 0.5 - 0.5 * 0.0),
+      (2L, 3L, 0.5 * 0.9 - 0.5 * 1.0)))
+  }
+
+  test("rerank: rel ties break by ascending id; keys are independent") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "one two"), (11L, "one two"),
+      (20L, "three four")).toDF("doc_id", "text")
+    val cands = Seq(
+      ("a", 10L, 2.0), ("a", 11L, 2.0), // identical rel AND words
+      ("b", 20L, 1.0)).toDF("term", "doc_id", "rel")
+    val out = Mmr.rerank(cands, docs, "term", "doc_id", k = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 10L, "b" -> 20L))
+  }
+
+  test("rerank: k caps picks and short groups emit every candidate once") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"))
+      .toDF("doc_id", "text")
+    val cands = Seq(("q", 1L, 3.0), ("q", 2L, 2.0), ("q", 3L, 1.0))
+      .toDF("term", "doc_id", "rel")
+    assert(Mmr.rerank(cands, docs, "term", "doc_id", k = 2).count() === 2)
+    // k larger than the group: every candidate appears exactly once
+    val all = Mmr.rerank(cands, docs, "term", "doc_id", k = 99)
+      .collect().map(_.getLong(1)).sorted
+    assert(all === Array(1L, 2L, 3L))
+  }
+}

@@ -175,6 +175,27 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(out(5L) === (("no digits at all", 0L, 0L)))
   }
 
+  test("ibanPhoneMask: mod-97-valid IBANs mask, broken check digits stay, " +
+    "phones mask first") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "wire DE89370400440532013000 today"),   // valid (ISO example)
+      (2L, "fake DE00370400440532013000 here"),    // check digits broken
+      (3L, "call +14155552671 or 415-555-2671"),   // both phone forms
+      (4L, "GB82WEST12345698765432"),              // valid, letters in body
+      (5L, "nothing to scrub")
+    ).toDF("doc_id", "text")
+    val (masked, nPhones, nValid, nCands) = TextOps.ibanPhoneMask(col("text"))
+    val out = df.select(col("doc_id"), masked.as("m"), nPhones, nValid, nCands)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("wire <IBAN> today", 0L, 1L, 1L)))
+    assert(out(2L) === (("fake DE00370400440532013000 here", 0L, 0L, 1L)))
+    assert(out(3L) === (("call <PHONE> or <PHONE>", 2L, 0L, 0L)))
+    assert(out(4L) === (("<IBAN>", 0L, 1L, 1L)))
+    assert(out(5L) === (("nothing to scrub", 0L, 0L, 0L)))
+  }
+
   test("memorizationAudit: per-eval-doc gram coverage with exact ppm") {
     import spark.implicits._
     val corpus = Seq(
