@@ -47,7 +47,10 @@ object Mmr {
     *         candidate was picked AT (λ·rel for the first pick). */
   def rerank(cands: DataFrame, docs: DataFrame, keyCol: String,
              idCol: String, k: Int, lam: Double = 0.5): DataFrame = {
-    val joined = cands
+    // cands is bounded (top-N per key) while the word-set projection is
+    // corpus-sized: broadcast the candidate list so the corpus never
+    // shuffles to meet it
+    val joined = broadcast(cands)
       .join(wordSets(docs, idCol), idCol)
       .select(col(keyCol).cast("string").as("_key"),
         col(idCol).cast("long").as("_id"),
