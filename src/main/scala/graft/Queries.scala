@@ -1147,6 +1147,64 @@ object Queries {
       |    / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.999""".stripMargin
 
   // ---------------------------------------------------------------------
+  // bitext_mine — margin-based parallel-corpus mining (Artetxe & Schwenk,
+  // ACL'19): sides A/B = even/odd vec_ids, cell-routed candidates over
+  // the seeded IVF geometry, ratio margin against cell-restricted 4-NN
+  // means, fwd strategy (best-per-A) at tau=1.05. Every float reduction
+  // is fixed-order, so the oracle replays scores bit-for-bit.
+  // ---------------------------------------------------------------------
+  def bitextMine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.bitextMine(
+      emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
+      .orderBy("a_id")
+  }
+
+  val bitextMineSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (SELECT e AS ce, row_number() OVER (ORDER BY vec_id) AS cidx
+       |  FROM corpus ORDER BY vec_id LIMIT 16),
+       |sa AS (SELECT vec_id, e FROM corpus WHERE vec_id % 2 = 0),
+       |sb AS (SELECT vec_id, e FROM corpus WHERE vec_id % 2 = 1),
+       |asg_a AS (SELECT vec_id AS a_id, e AS ae, cidx AS cell FROM (
+       |    SELECT s.vec_id, s.e, cent.cidx,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${cos("s.e", "cent.ce")} DESC, cidx) AS rn
+       |    FROM sa s CROSS JOIN cent) x WHERE rn = 1),
+       |asg_b AS (SELECT vec_id AS b_id, e AS be, cidx AS cell FROM (
+       |    SELECT s.vec_id, s.e, cent.cidx,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${cos("s.e", "cent.ce")} DESC, cidx) AS rn
+       |    FROM sb s CROSS JOIN cent) x WHERE rn = 1),
+       |pairs AS (SELECT a.a_id, b.b_id, ${cos("a.ae", "b.be")} AS cos
+       |  FROM asg_a a JOIN asg_b b USING (cell)),
+       |fa AS (SELECT a_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cos ORDER BY rk)),
+       |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS a_id_knn
+       |  FROM (SELECT a_id, b_id, cos,
+       |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+       |    FROM pairs) x
+       |  WHERE rk <= 4 GROUP BY a_id),
+       |fb AS (SELECT b_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cos ORDER BY rk)),
+       |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS b_id_knn
+       |  FROM (SELECT a_id, b_id, cos,
+       |      row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rk
+       |    FROM pairs) x
+       |  WHERE rk <= 4 GROUP BY b_id),
+       |m AS (SELECT p.a_id, p.b_id, p.cos,
+       |    p.cos / ((f.a_id_knn + g.b_id_knn) / CAST(2 AS DOUBLE)) AS margin
+       |  FROM pairs p JOIN fa f USING (a_id) JOIN fb g USING (b_id))
+       |SELECT a_id, b_id, cos, margin FROM (
+       |  SELECT a_id, b_id, cos, margin,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk
+       |  FROM m WHERE margin > 1.05) x
+       |WHERE rk = 1 ORDER BY a_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // DiffSync (parasync D1-D4): src = orders, dst = deterministically
   // mutated copy (pattern of test/run_test_sync.sh:607-631): updates on
   // keys %97, deletes %101, inserts %499 with a key offset.
@@ -7055,6 +7113,7 @@ object Queries {
     "bm25_topk" -> (bm25Topk _),
     "rrf_fusion" -> (rrfFusion _),
     "mmr_rerank" -> (mmrRerank _),
+    "bitext_mine" -> (bitextMine _),
     "retrieve_chunks" -> (retrieveChunks _),
     "embedding_drift" -> (embeddingDrift _),
     "preference_pairs" -> (preferencePairs _),
@@ -7251,6 +7310,7 @@ object Queries {
     "bm25_topk" -> bm25TopkSql,
     "rrf_fusion" -> rrfFusionSql,
     "mmr_rerank" -> mmrRerankSql,
+    "bitext_mine" -> bitextMineSql,
     "retrieve_chunks" -> retrieveChunksSql,
     "embedding_drift" -> embeddingDriftSql,
     "preference_pairs" -> preferencePairsSql,

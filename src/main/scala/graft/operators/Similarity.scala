@@ -642,6 +642,73 @@ object Similarity {
   def bucketId(emb: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column =
     element_at(lshBuckets(emb, dim, tables = 1, bits = bits, seed = seed), 1)
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019) — the
+    * parallel-corpus alignment operator: given two embedding sides A and
+    * B (two languages, two snapshots, two modalities), surface the A→B
+    * pairs whose cosine stands OUT against each endpoint's neighborhood:
+    *
+    *   margin(x,y) = cos(x,y) / ((knn̄_A(x) + knn̄_B(y)) / 2)
+    *
+    * where knn̄ is the mean cosine of the endpoint's `kNn` nearest
+    * candidates — the ratio margin that suppresses hub vectors whose raw
+    * cosine is high against EVERYTHING. Pairs with margin > `tau` are
+    * kept, best-per-A-side (the "fwd" strategy).
+    *
+    * Scale + determinism choices, mirroring [[ivfTopK]]:
+    *  - candidates are CELL-ROUTED, never all-pairs: both sides assign to
+    *    the same seeded Voronoi geometry (centroids = embeddings of the
+    *    `nCells` lowest vec_ids of the union) by the fused argmax kernel,
+    *    and only co-cell cross-side pairs are scored — the k-NN means are
+    *    cell-restricted, which is the documented approximation;
+    *  - every float reduction has a FIXED order: cosines accumulate in
+    *    element order (codegen dot), the k-NN mean sums in rank order via
+    *    an explicit left fold over the rank-sorted list, and the margin is
+    *    two adds, one halving, one division — so the SQL oracle replays
+    *    the whole mine bit-for-bit, scores included. */
+  def bitextMine(a: DataFrame, b: DataFrame, kNn: Int = 4, tau: Double = 1.05,
+                 nCells: Int = 16): DataFrame = {
+    val union = a.select("vec_id", "embedding")
+      .unionByName(b.select("vec_id", "embedding"))
+    val centroids: Array[Array[Double]] = union
+      .orderBy("vec_id").limit(nCells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cNorms: Array[Double] = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    val aa = assignCells(a.select(col("vec_id"), col("embedding")), centroids, cNorms)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("cell"))
+    val bb = assignCells(b.select(col("vec_id"), col("embedding")), centroids, cNorms)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
+    val pairs = aa.join(bb, "cell")
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_emb"), col("b_emb")).as("cos"))
+    // k-NN mean per endpoint: rank within the candidate set, then a
+    // rank-ordered left fold (collect_list order is nondeterministic —
+    // array_sort on (rk, cos) restores the one defined order)
+    def knnAvg(key: String, other: String): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(col("cos").desc, col(other))
+      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= kNn)
+        .groupBy(key)
+        .agg(collect_list(struct(col("rk"), col("cos"))).as("lst"))
+        .select(col(key),
+          (aggregate(transform(array_sort(col("lst")), s => s.getField("cos")),
+            lit(0.0), (acc, v) => acc + v)
+            / size(col("lst")).cast("double")).as(s"${key}_knn"))
+    }
+    val wBest = Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id"))
+    pairs
+      .join(knnAvg("a_id", "b_id"), "a_id")
+      .join(knnAvg("b_id", "a_id"), "b_id")
+      .withColumn("margin",
+        col("cos") / ((col("a_id_knn") + col("b_id_knn")) / lit(2.0)))
+      .filter(col("margin") > tau)
+      .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a bucket (the embedding
     * analogue of NearDup: equi-join on bucket, never all-pairs). */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double, bits: Int = 4): DataFrame = {

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Margin-based bitext mining — the bitext_mine CORRECTNESS row. */
+class BitextSpec extends AnyFunSuite with SparkSuite {
+
+  private def vecs(rows: (Long, Array[Float])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  // the operator's arithmetic, replayed: double accumulation in element
+  // order over the WIDENED floats (0.9f != 0.9 in double)
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("bitextMine: exact margins on a hand-checkable two-by-two mine") {
+    val a1 = Array(1f, 0f, 0f); val a2 = Array(0.9f, 0.1f, 0f)
+    val b1 = Array(1f, 0f, 0f); val b2 = Array(0f, 0f, 1f)
+    val out = Similarity.bitextMine(
+      vecs(0L -> a1, 2L -> a2), vecs(1L -> b1, 3L -> b2), nCells = 1)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // rank-ordered folds: knn(a1)=(cos(a1,b1)+cos(a1,b2))/2, knn(b1) =
+    // (cos(a1,b1)+cos(a2,b1))/2 — b2's orthogonal cosines keep margins
+    // for (ai,b2) at 0, so both A vectors pick b1
+    val c11 = cos(a1, b1); val c12 = cos(a1, b2)
+    val c21 = cos(a2, b1); val c22 = cos(a2, b2)
+    val ka1 = (0.0 + c11 + c12) / 2.0; val ka2 = (0.0 + c21 + c22) / 2.0
+    val kb1 = (0.0 + c11 + c21) / 2.0
+    assert(out(0L) === ((1L, c11, c11 / ((ka1 + kb1) / 2.0))))
+    assert(out(2L) === ((1L, c21, c21 / ((ka2 + kb1) / 2.0))))
+  }
+
+  test("bitextMine: a hub that is everyone's neighbor is margin-suppressed") {
+    // a1 has a true partner (cos .99); a2's best raw cosine is the hub at
+    // .7 — but the hub is .7 to EVERYONE, so its knn mean equals that
+    // cosine and the ratio margin stays ~1.02 < tau. Raw-cosine pairing
+    // would emit (a2, hub); margin mining emits only (a1, match).
+    val out = Similarity.bitextMine(
+      vecs(0L -> Array(1f, 0f, 0f, 0f), 2L -> Array(0f, 1f, 0f, 0f)),
+      vecs(1L -> Array(0.7f, 0.7f, 0.1414f, 0f), // hub: .7 to a1 AND a2
+        3L -> Array(0.99f, 0f, 0.141f, 0f), // near-exact partner of a1
+        5L -> Array(0.6f, 0.65f, 0.4664f, 0f)), // distractor
+      kNn = 2, nCells = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === 3L) // a1 pairs with its true partner, not the hub
+    assert(!out.contains(2L)) // every a2 margin is hub-suppressed under tau
+  }
+
+  test("bitextMine: output is invariant to input partitioning") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val r1 = Similarity.bitextMine(a, b).collect().map(_.toSeq).toSet
+    val r2 = Similarity.bitextMine(a.repartition(7), b.repartition(3))
+      .collect().map(_.toSeq).toSet
+    assert(r1 === r2)
+    assert(r1.nonEmpty)
+  }
+}
