@@ -94,9 +94,17 @@ object Main {
         sys.exit(1)
       case Right((src, out, cfg)) =>
         val spark = GraftSession.get()
+        // -trace / -debug raise log verbosity (paradump.go:3638-3642)
+        if (cfg.trace) spark.sparkContext.setLogLevel("TRACE")
+        else if (cfg.debug) spark.sparkContext.setLogLevel("DEBUG")
         try {
-          val results = run(spark, src, out, cfg)
-          results.foreach(r => println(s"${r.table}: ${r.rows} rows -> ${r.files.mkString(", ")}"))
+          // -loopcnt repeats the whole dump (paradump.go:3772) — the
+          // reference's soak/debug knob; each pass overwrites the last
+          (1 to cfg.loopCnt).foreach { _ =>
+            val results = run(spark, src, out, cfg)
+            results.foreach(r =>
+              println(s"${r.table}: ${r.rows} rows -> ${r.files.mkString(", ")}"))
+          }
         } catch {
           // post-parse validation (unknown table, cpy without reachable
           // dst, keyless/view/triggered refusals from the live-JDBC

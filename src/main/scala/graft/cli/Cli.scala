@@ -27,7 +27,10 @@ case class SyncConfig(
     // read budget (binds chunk parallelism, both sides read the same
     // chunks) and DML connection fan-out
     dstReaders: Int = 10,
-    dstWriters: Int = 20)
+    dstWriters: Int = 20,
+    // -debug / -trace (parasync.go:3371-3372): log verbosity
+    debug: Boolean = false,
+    trace: Boolean = false)
 
 case class DumpConfig(
     mode: String = "sql", // sql | csv | cpy | null
@@ -64,7 +67,13 @@ case class DumpConfig(
     // -stagingdir: where the consistent-mode staging parquet lands
     // (default <out>/_staging, deleted after the sinks finish; an
     // explicit dir is retained for reuse — point at HDFS/S3 on a cluster)
-    stagingDir: Option[String] = None)
+    stagingDir: Option[String] = None,
+    // -loopcnt (paradump.go:3480,:3772): repeat the whole dump N times —
+    // the reference's debugging/soak knob, kept for flag parity
+    loopCnt: Int = 1,
+    // -debug / -trace (paradump.go:3478-3479,:3638-3642): log verbosity
+    debug: Boolean = false,
+    trace: Boolean = false)
 
 /** CLI contract — the reference's flag surfaces and validation matrices
   * (/root/reference/src/paradump/paradump.go:3477-3524 flags, :3527-3637
@@ -157,6 +166,13 @@ object Cli {
           }
         case "-alltables" :: t => c = c.copy(allTables = true); rest = t
         case "-guessprimarykey" :: t => c = c.copy(guessPrimaryKey = true); rest = t
+        case "-loopcnt" :: v :: t =>
+          intArg(v, "-loopcnt") match {
+            case Left(e) => return Left(e)
+            case Right(n) => c = c.copy(loopCnt = n); rest = t
+          }
+        case "-debug" :: t => c = c.copy(debug = true); rest = t
+        case "-trace" :: t => c = c.copy(trace = true); rest = t
         case "-dst" :: v :: t => c = c.copy(dstUrl = Some(v)); rest = t
         case "-dst-schema" :: v :: t => c = c.copy(dstSchemas = c.dstSchemas :+ v); rest = t
         case "-consistent" :: v :: t => c = c.copy(consistent = Some(v)); rest = t
@@ -201,7 +217,7 @@ object Cli {
     "-browser", "-dumpparallel", "-dumpfile", "-dumpheader", "-dumpinsert",
     "--dumpinsert", "-dumpcompress", "-dumpcompresslevel",
     "-dumpcompressconcur", "-dst", "-dst-schema", "-consistent",
-    "-stagingdir")
+    "-stagingdir", "-loopcnt")
   private val syncValueFlags = Set("-db", "-table", "-exclude",
     "-exclude-table", "-chunksize", "-parallel", "-readers", "-dst-readers",
     "-dst-writers", "-browser", "-statsfile", "--statsfile", "-dst",
@@ -253,6 +269,8 @@ object Cli {
             case Left(e) => return Left(e)
           }
         case "-guessprimarykey" :: t => c = c.copy(guessPrimaryKey = true); rest = t
+        case "-debug" :: t => c = c.copy(debug = true); rest = t
+        case "-trace" :: t => c = c.copy(trace = true); rest = t
         case ("--writer-no-insert" | "-writer-no-insert") :: t =>
           c = c.copy(noInsert = true); rest = t
         case ("--writer-no-update" | "-writer-no-update") :: t =>
@@ -304,6 +322,8 @@ object Cli {
       return Left("-dumpcompresslevel must be in 1..22") // :3588-3591 (exit 9)
     if (c.compressConcurrency < 1)
       return Left("-dumpcompressconcur must be >= 1")
+    if (c.loopCnt < 1)
+      return Left("-loopcnt must be >= 1")
     if (c.compress.isDefined && c.mode == "cpy")
       return Left("-dumpcompress incompatible with cpy") // paradump.go:3592-3595
     if (c.mode == "cpy" && c.dstUrl.isEmpty) return Left("cpy requires -dst")

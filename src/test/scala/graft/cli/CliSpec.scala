@@ -49,6 +49,17 @@ class CliSpec extends AnyFunSuite {
       .exists(_.compressConcurrency == 8))
   }
 
+  test("debug-mode flags: -loopcnt validates, -debug/-trace parse on both surfaces") {
+    val c = parse("-db", "x", "-loopcnt", "3", "-debug").toOption.get
+    assert(c.loopCnt == 3 && c.debug && !c.trace)
+    assert(parse("-db", "x", "-trace").toOption.exists(_.trace))
+    assert(parse("-db", "x", "-loopcnt", "0").isLeft)   // must be >= 1
+    assert(parse("-db", "x", "-loopcnt", "q").isLeft)   // not an integer
+    val s = Cli.parseSync(Seq("-table", "t", "-dst", "jdbc:x", "-debug", "-trace"))
+      .toOption.get
+    assert(s.debug && s.trace)
+  }
+
   test("template grammar accepts all verbs and literal percents") {
     assert(Cli.templateValid("%d_%t_%p.%m%z"))
     assert(Cli.templateValid("100%%"))
