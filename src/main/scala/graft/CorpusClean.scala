@@ -44,7 +44,9 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *  5. semantic dedup (`--semantic <embeddings>`, SemDeDup keep-one over
   *     the survivors' embeddings);
   *  6. decontamination (`--eval <split>`, broadcast gram anti-join);
-  *  7. PII redaction (`--redact`, map-only email/IPv4 masking);
+  *  7. PII redaction (`--redact`, map-only email/IPv4 masking;
+  *     `--redact-financial` adds Luhn-validated cards, phones and
+  *     mod-97-validated IBANs);
   *  8. delivery layout ([[deliver]]): `--split-by <col>` labels each doc
   *     with its leakage-safe train/val/test split (keyed on the input
   *     column, [[graft.operators.Splits.hashSplit]]) and `--shards <n>`
@@ -356,6 +358,16 @@ object CorpusClean {
       afterDecon.select(col("doc_id"), masked.as("text"))
     } else afterDecon
 
+    // 7b. financial PII (--redact-financial) — the checksum-validated
+    // families: Luhn cards, then phones + mod-97 IBANs. Two chained
+    // projections, still map-only (no exchange of their own)
+    val afterFin = if (cfg.redactFinancial) {
+      val (ccMasked, _, _) = graft.operators.TextOps.ccMask(col("text"))
+      val step1 = afterRedact.select(col("doc_id"), ccMasked.as("text"))
+      val (m, _, _, _) = graft.operators.TextOps.ibanPhoneMask(col("text"))
+      step1.select(col("doc_id"), m.as("text"))
+    } else afterRedact
+
     Seq(
       "input" -> rawDocs,
       "markup" -> docs,
@@ -369,7 +381,8 @@ object CorpusClean {
       "containment" -> afterContain,
       "semantic_dedup" -> afterSem,
       "decontaminate" -> afterDecon,
-      "final" -> afterRedact)
+      "redact" -> afterRedact,
+      "final" -> afterFin)
   }
 
   /** Build the cleaned corpus frame (doc_id, text) per config — the

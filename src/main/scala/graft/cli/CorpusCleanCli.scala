@@ -77,6 +77,9 @@ case class CorpusCleanConfig(
     // incremental substring dedup: persisted TextOps.gramCounts parquet
     gramState: Option[String] = None,
     redact: Boolean = false,
+    // financial PII on top of --redact's email/IP pass: Luhn-validated
+    // card masking, then phone + mod-97-validated IBAN masking
+    redactFinancial: Boolean = false,
     // leakage-safe train/val/test split: name of the input column that is
     // the leakage domain (e.g. source/site); output is partitioned by the
     // resulting split= directory
@@ -232,6 +235,7 @@ object CorpusCleanCli {
         case "--eval" :: v :: t => c = c.copy(evalDir = Some(v)); rest = t
         case "--gram-state" :: v :: t => c = c.copy(gramState = Some(v)); rest = t
         case "--redact" :: t => c = c.copy(redact = true); rest = t
+        case "--redact-financial" :: t => c = c.copy(redactFinancial = true); rest = t
         case "--c4" :: t => c = c.copy(c4 = true); rest = t
         case "--blocklist" :: v :: t => c = c.copy(blocklist = Some(v)); rest = t
         case "--gopher" :: t => c = c.copy(gopher = true); rest = t

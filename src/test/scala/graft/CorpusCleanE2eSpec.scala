@@ -149,6 +149,31 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(out.contains("<EMAIL>") && out.contains("<IP>"))
   }
 
+  test("--redact-financial masks valid cards, IBANs and phones; " +
+    "checksum-broken lookalikes survive untouched") {
+    val inDir = tmp("cc_fin_in")
+    val outDir = tmp("cc_fin_out")
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog pay with " +
+      "4111111111111111 or wire DE89370400440532013000 or call " +
+      "415-555-2671 but order 1234567890123456 and " +
+      "DE00370400440532013000 are not credentials"
+    Seq((1L, text)).toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "1", "--no-near-dup",
+      "--redact-financial")).toOption.get
+    assert(CorpusClean.run(spark, cfg) === 1L)
+    val out = spark.read.parquet(outDir).collect().head.getString(1)
+    assert(out.contains("<CC>") && out.contains("<IBAN>") &&
+      out.contains("<PHONE>"), out)
+    assert(!out.contains("4111111111111111") &&
+      !out.contains("DE89370400440532013000") &&
+      !out.contains("415-555-2671"), out)
+    // invalid checksums are data, not PII — they must ship unmutilated
+    assert(out.contains("order 1234567890123456") &&
+      out.contains("DE00370400440532013000"), out)
+  }
+
   test("--gram-state dedups the shard against persisted history without it present") {
     import spark.implicits._
     val span = "one two three four five"
@@ -346,7 +371,8 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     val names = counts.map(_._1)
     assert(names === Seq("input", "markup", "c4", "gates", "host_cap",
       "boilerplate", "exact_dedup", "span_removal", "near_dup",
-      "containment", "semantic_dedup", "decontaminate", "final"), txt)
+      "containment", "semantic_dedup", "decontaminate", "redact",
+      "final"), txt)
     // survivors never grow across stages, and final matches run()'s count
     val vals = counts.map(_._2)
     assert(vals.zip(vals.tail).forall { case (a, b) => b <= a }, txt)
