@@ -664,9 +664,18 @@ object Similarity {
     *    element order (codegen dot), the k-NN mean sums in rank order via
     *    an explicit left fold over the rank-sorted list, and the margin is
     *    two adds, one halving, one division — so the SQL oracle replays
-    *    the whole mine bit-for-bit, scores included. */
+    *    the whole mine bit-for-bit, scores included.
+    *
+    * `maxCell` is the skew guard (the [[NearDup.candidatePairs]]
+    * bucket-cap discipline): a cell whose A-side × B-side candidate
+    * product exceeds it is dropped WHOLE — deterministic, loud in the
+    * output (those ids are absent), and the reason the operator stays
+    * sub-quadratic when a caller under-provisions `nCells` for the
+    * corpus. 0 disables (the default — at oracle scale nothing caps).
+    * The real 100 TB lever is `nCells` itself: cells should scale with
+    * corpus size exactly as an IVF index's do. */
   def bitextMine(a: DataFrame, b: DataFrame, kNn: Int = 4, tau: Double = 1.05,
-                 nCells: Int = 16): DataFrame = {
+                 nCells: Int = 16, maxCell: Long = 0L): DataFrame = {
     val union = a.select("vec_id", "embedding")
       .unionByName(b.select("vec_id", "embedding"))
     val centroids: Array[Array[Double]] = union
@@ -682,7 +691,18 @@ object Similarity {
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("cell"))
     val bb = assignCells(b.select(col("vec_id"), col("embedding")), centroids, cNorms)
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
-    val pairs = aa.join(bb, "cell")
+    // skew guard: drop whole cells whose candidate product exceeds the
+    // cap — the bucket-cap discipline, counted BEFORE the pair join so
+    // an oversized cell never materializes its pairs
+    val (la, rb) =
+      if (maxCell <= 0L) (aa, bb)
+      else {
+        val sizes = aa.groupBy("cell").agg(count(lit(1)).as("na"))
+          .join(bb.groupBy("cell").agg(count(lit(1)).as("nb")), "cell")
+          .filter(col("na") * col("nb") <= maxCell).select("cell")
+        (aa.join(broadcast(sizes), "cell"), bb.join(broadcast(sizes), "cell"))
+      }
+    val pairs = la.join(rb, "cell")
       .select(col("a_id"), col("b_id"),
         cosine(col("a_emb"), col("b_emb")).as("cos"))
     // k-NN mean per endpoint: rank within the candidate set, then a

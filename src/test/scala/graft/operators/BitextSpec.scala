@@ -56,6 +56,22 @@ class BitextSpec extends AnyFunSuite with SparkSuite {
     assert(!out.contains(2L)) // every a2 margin is hub-suppressed under tau
   }
 
+  test("bitextMine: maxCell drops oversized cells whole, leaves others") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val full = Similarity.bitextMine(a, b).collect().map(_.getLong(0)).toSet
+    // a cap below every cell product empties the mine; a huge cap is a
+    // no-op (same rows as uncapped)
+    assert(Similarity.bitextMine(a, b, maxCell = 1L).count() === 0L)
+    val capped = Similarity.bitextMine(a, b, maxCell = 100000000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped === full)
+  }
+
   test("bitextMine: output is invariant to input partitioning") {
     import org.apache.spark.sql.functions._
     val emb = spark.read
