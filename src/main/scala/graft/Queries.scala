@@ -1205,6 +1205,66 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // bitext_mine_incremental — standing-index alignment: the target side
+  // (odd vec_ids) freezes its geometry and persists its cell index via
+  // StageStore; the batch (vec_id % 6 = 0) pays one map-only assignment
+  // plus the co-cell mine. Margin normalization is batch-scoped —
+  // batch-vs-corpus, not corpus-vs-corpus.
+  // ---------------------------------------------------------------------
+  def bitextMineIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.bitextMineIncremental(
+      historyB = emb.filter(col("vec_id") % 2 === 1),
+      batchA = emb.filter(col("vec_id") % 6 === 0),
+      stageLabel = Some(s"bitext_idx_${StageStore.dirTag(dir)}"))
+      .orderBy("a_id")
+  }
+
+  val bitextMineIncrementalSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sb AS (SELECT vec_id, e FROM corpus WHERE vec_id % 2 = 1),
+       |sa AS (SELECT vec_id, e FROM corpus WHERE vec_id % 6 = 0),
+       |cent AS (SELECT e AS ce, row_number() OVER (ORDER BY vec_id) AS cidx
+       |  FROM sb ORDER BY vec_id LIMIT 16),
+       |asg_a AS (SELECT vec_id AS a_id, e AS ae, cidx AS cell FROM (
+       |    SELECT s.vec_id, s.e, cent.cidx,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${cos("s.e", "cent.ce")} DESC, cidx) AS rn
+       |    FROM sa s CROSS JOIN cent) x WHERE rn = 1),
+       |asg_b AS (SELECT vec_id AS b_id, e AS be, cidx AS cell FROM (
+       |    SELECT s.vec_id, s.e, cent.cidx,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${cos("s.e", "cent.ce")} DESC, cidx) AS rn
+       |    FROM sb s CROSS JOIN cent) x WHERE rn = 1),
+       |pairs AS (SELECT a.a_id, b.b_id, ${cos("a.ae", "b.be")} AS cos
+       |  FROM asg_a a JOIN asg_b b USING (cell)),
+       |fa AS (SELECT a_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cos ORDER BY rk)),
+       |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS a_id_knn
+       |  FROM (SELECT a_id, b_id, cos,
+       |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+       |    FROM pairs) x
+       |  WHERE rk <= 4 GROUP BY a_id),
+       |fb AS (SELECT b_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cos ORDER BY rk)),
+       |      (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS b_id_knn
+       |  FROM (SELECT a_id, b_id, cos,
+       |      row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rk
+       |    FROM pairs) x
+       |  WHERE rk <= 4 GROUP BY b_id),
+       |m AS (SELECT p.a_id, p.b_id, p.cos,
+       |    p.cos / ((f.a_id_knn + g.b_id_knn) / CAST(2 AS DOUBLE)) AS margin
+       |  FROM pairs p JOIN fa f USING (a_id) JOIN fb g USING (b_id))
+       |SELECT a_id, b_id, cos, margin FROM (
+       |  SELECT a_id, b_id, cos, margin,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk
+       |  FROM m WHERE margin > 1.05) x
+       |WHERE rk = 1 ORDER BY a_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // DiffSync (parasync D1-D4): src = orders, dst = deterministically
   // mutated copy (pattern of test/run_test_sync.sh:607-631): updates on
   // keys %97, deletes %101, inserts %499 with a key offset.
@@ -7114,6 +7174,7 @@ object Queries {
     "rrf_fusion" -> (rrfFusion _),
     "mmr_rerank" -> (mmrRerank _),
     "bitext_mine" -> (bitextMine _),
+    "bitext_mine_incremental" -> (bitextMineIncremental _),
     "retrieve_chunks" -> (retrieveChunks _),
     "embedding_drift" -> (embeddingDrift _),
     "preference_pairs" -> (preferencePairs _),
@@ -7311,6 +7372,7 @@ object Queries {
     "rrf_fusion" -> rrfFusionSql,
     "mmr_rerank" -> mmrRerankSql,
     "bitext_mine" -> bitextMineSql,
+    "bitext_mine_incremental" -> bitextMineIncrementalSql,
     "retrieve_chunks" -> retrieveChunksSql,
     "embedding_drift" -> embeddingDriftSql,
     "preference_pairs" -> preferencePairsSql,

@@ -691,6 +691,51 @@ object Similarity {
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("cell"))
     val bb = assignCells(b.select(col("vec_id"), col("embedding")), centroids, cNorms)
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
+    mineTail(aa, bb, kNn, tau, maxCell)
+  }
+
+  /** Standing-index bitext mining — the incremental form every other
+    * heavy family here carries (the [[ivfTopKIncremental]] trade applied
+    * to alignment): the TARGET side's geometry freezes on `historyB`
+    * (centroids = its `nCells` lowest vec_ids) and its cell assignments
+    * persist via StageStore (`stageLabel` — written once, read from files
+    * by every later batch), so a new source-side batch pays one map-only
+    * assignment plus the co-cell mine against the frozen index. The
+    * margin normalization is batch-scoped by construction (an endpoint's
+    * k-NN mean is over THIS batch's candidates — the mine is
+    * batch-vs-corpus, not corpus-vs-corpus). */
+  def bitextMineIncremental(historyB: DataFrame, batchA: DataFrame,
+                            kNn: Int = 4, tau: Double = 1.05,
+                            nCells: Int = 16, maxCell: Long = 0L,
+                            stageLabel: Option[String] = None): DataFrame = {
+    val centroids: Array[Array[Double]] = historyB
+      .orderBy("vec_id").limit(nCells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cNorms: Array[Double] = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bAssigned0 = assignCells(
+      historyB.select(col("vec_id"), col("embedding")), centroids, cNorms)
+    val bAssigned = stageLabel match {
+      case Some(l) => graft.StageStore
+        .materializeIfAbsent(historyB.sparkSession, l)(bAssigned0)
+      case None => bAssigned0
+    }
+    val aa = assignCells(
+      batchA.select(col("vec_id"), col("embedding")), centroids, cNorms)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("cell"))
+    val bb = bAssigned
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
+    mineTail(aa, bb, kNn, tau, maxCell)
+  }
+
+  /** The shared mining tail: co-cell pair scoring, rank-ordered k-NN
+    * means, ratio margin, fwd best-per-A cut. */
+  private def mineTail(aa: DataFrame, bb: DataFrame, kNn: Int, tau: Double,
+                       maxCell: Long): DataFrame = {
     // skew guard: drop whole cells whose candidate product exceeds the
     // cap — the bucket-cap discipline, counted BEFORE the pair join so
     // an oversized cell never materializes its pairs

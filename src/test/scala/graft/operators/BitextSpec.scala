@@ -72,6 +72,29 @@ class BitextSpec extends AnyFunSuite with SparkSuite {
     assert(capped === full)
   }
 
+  test("bitextMineIncremental: the persisted index path equals rederive, " +
+    "twice (write-once read-forever)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val hist = emb.filter(col("vec_id") % 2 === 1)
+    val batch = emb.filter(col("vec_id") % 6 === 0)
+    val label = s"bitext_spec_idx_${System.nanoTime()}"
+    val fresh = Similarity.bitextMineIncremental(hist, batch)
+      .collect().map(_.toSeq).toSet
+    val persisted1 = Similarity
+      .bitextMineIncremental(hist, batch, stageLabel = Some(label))
+      .collect().map(_.toSeq).toSet
+    // second call reads the already-written index files
+    val persisted2 = Similarity
+      .bitextMineIncremental(hist, batch, stageLabel = Some(label))
+      .collect().map(_.toSeq).toSet
+    assert(persisted1 === fresh)
+    assert(persisted2 === fresh)
+    assert(fresh.nonEmpty)
+  }
+
   test("bitextMine: output is invariant to input partitioning") {
     import org.apache.spark.sql.functions._
     val emb = spark.read
