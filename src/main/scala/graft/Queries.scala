@@ -1265,6 +1265,35 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // emb_stream_bitext — the streaming ALIGNMENT gate: source-side
+  // embedding arrivals margin-mine against the persisted target index
+  // (EmbStream.bitextIngest -> Similarity.bitextMineIncremental).
+  // Margin normalization is per micro-batch (inherent to margin mining
+  // over an arrival window — documented loudly in the gate); the fixture
+  // arrives as ONE AvailableNow shard, so the oracle is exactly the
+  // standing-index replay.
+  // ---------------------------------------------------------------------
+  def embStreamBitext(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val hist = emb.filter(col("vec_id") % 2 === 1)
+    val arriving = graft.streaming.EmbStream.fromParquetDir(s, dir)
+      .filter(col("vec_id") % 6 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("bitext_stream_out").toFile.getAbsolutePath
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("bitext_stream_ck").toFile.getAbsolutePath
+    drainStreamingRun(s) {
+      graft.streaming.EmbStream.bitextIngest(arriving, hist, outDir, ckDir,
+        stageLabel = s"bitext_stream_idx_${StageStore.dirTag(dir)}")
+    }
+    s.read.parquet(outDir).orderBy("a_id")
+  }
+
+  // single-shard arrival ≡ the standing-index mine — same replay
+  val embStreamBitextSql: String = bitextMineIncrementalSql
+
+  // ---------------------------------------------------------------------
   // DiffSync (parasync D1-D4): src = orders, dst = deterministically
   // mutated copy (pattern of test/run_test_sync.sh:607-631): updates on
   // keys %97, deletes %101, inserts %499 with a key offset.
@@ -7175,6 +7204,7 @@ object Queries {
     "mmr_rerank" -> (mmrRerank _),
     "bitext_mine" -> (bitextMine _),
     "bitext_mine_incremental" -> (bitextMineIncremental _),
+    "emb_stream_bitext" -> (embStreamBitext _),
     "retrieve_chunks" -> (retrieveChunks _),
     "embedding_drift" -> (embeddingDrift _),
     "preference_pairs" -> (preferencePairs _),
@@ -7373,6 +7403,7 @@ object Queries {
     "mmr_rerank" -> mmrRerankSql,
     "bitext_mine" -> bitextMineSql,
     "bitext_mine_incremental" -> bitextMineIncrementalSql,
+    "emb_stream_bitext" -> embStreamBitextSql,
     "retrieve_chunks" -> retrieveChunksSql,
     "embedding_drift" -> embeddingDriftSql,
     "preference_pairs" -> preferencePairsSql,

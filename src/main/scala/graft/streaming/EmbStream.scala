@@ -35,4 +35,37 @@ object EmbStream {
       graft.functions.VectorExprs
         .centroidArgMax(col("embedding"), centroids, cNorms)
         .cast("long").as("cell"))
+
+  /** The streaming ALIGNMENT gate: each arriving source-side embedding
+    * shard is margin-mined against the PERSISTED target-side index
+    * ([[graft.operators.Similarity.bitextMineIncremental]] — the
+    * standing-index form; the index writes once under `stageLabel` and
+    * every batch re-reads its files). foreachBatch on purpose, like the
+    * text-side gates: the mine needs cell joins + windowed k-NN means,
+    * which per-batch is plain batch code — ZERO streaming state beyond
+    * source offsets.
+    *
+    * Semantics caveat, stated loudly: the ratio-margin normalization is
+    * PER MICRO-BATCH (an endpoint's k-NN mean is over this batch's
+    * candidates), so unlike the dedup gates the output is NOT invariant
+    * to batch slicing — that is inherent to margin mining over an
+    * arrival window, not an implementation accident. The oracle pins the
+    * single-batch (AvailableNow over one shard) case. */
+  def bitextIngest(batchA: DataFrame, historyB: DataFrame, outDir: String,
+                   checkpointDir: String, stageLabel: String,
+                   kNn: Int = 4, tau: Double = 1.05,
+                   nCells: Int = 16): Unit = {
+    val q = batchA.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.bitextMineIncremental(
+          historyB, batch, kNn, tau, nCells, maxCell = 0L,
+          stageLabel = Some(stageLabel))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
