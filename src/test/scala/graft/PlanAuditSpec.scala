@@ -982,4 +982,42 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"eval grams should broadcast:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
   }
+
+  test("rrf_fusion: both scorer windows rank-prune (WindowGroupLimit); " +
+    "the fusion never touches the corpus scan twice per side") {
+    val p = plan("rrf_fusion")
+    // top-k windows push a group-limit below the rank filter — the cut
+    // happens pre-shuffle, not on fully-ranked partitions
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
+  }
+
+  test("mmr_rerank: the bounded candidate list broadcasts against the " +
+    "corpus word-set scan; one exchange feeds the greedy groups") {
+    val df = SparkEntry.queries("mmr_rerank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate list should broadcast:\n${p.take(3000)}")
+    // the candidate/word-set join must NOT be a shuffle join (the BM25
+    // candidate generation upstream shuffles its pre-aggregated counts —
+    // that is fine; the corpus-sized word-set scan shuffling would not be)
+    assert(!p.contains("SortMergeJoin"),
+      s"word-set side shuffled into a sort-merge join:\n${p.take(3000)}")
+    assert(p.contains("MapGroups"), s"greedy stage missing:\n${p.take(3000)}")
+  }
+
+  test("bitext_mine: cell-routed — no cartesian anywhere except the " +
+    "bounded centroid cross (BroadcastNestedLoopJoin over nCells rows)") {
+    val df = SparkEntry.queries("bitext_mine")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(3000)}")
+  }
+
+  test("bitext_mine_incremental: the target index reads from stage files, " +
+    "never re-deriving assignment from the history lineage") {
+    val df = SparkEntry.queries("bitext_mine_incremental")(spark, sf)
+    val p = planFullPaths(df)
+    assert(p.contains("graft_stage_") && p.contains("bitext_idx_"),
+      s"persisted index files not in the plan:\n${p.take(3000)}")
+  }
 }
