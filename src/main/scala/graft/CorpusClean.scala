@@ -46,7 +46,8 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *  6. decontamination (`--eval <split>`, broadcast gram anti-join);
   *  7. PII redaction (`--redact`, map-only email/IPv4 masking;
   *     `--redact-financial` adds Luhn-validated cards, phones and
-  *     mod-97-validated IBANs);
+  *     mod-97-validated IBANs; `--redact-secrets` adds credential
+  *     masking — AWS/GitHub/Slack/JWT/PEM);
   *  8. delivery layout ([[deliver]]): `--split-by <col>` labels each doc
   *     with its leakage-safe train/val/test split (keyed on the input
   *     column, [[graft.operators.Splits.hashSplit]]) and `--shards <n>`
@@ -368,6 +369,14 @@ object CorpusClean {
       step1.select(col("doc_id"), m.as("text"))
     } else afterRedact
 
+    // 7c. credentials (--redact-secrets) — structural key/token/PEM
+    // masking, the scrub that must land before a model can memorize a
+    // live secret. Map-only like the other redaction passes
+    val afterSecrets = if (cfg.redactSecrets) {
+      val (m, _) = graft.operators.TextOps.secretScan(col("text"))
+      afterFin.select(col("doc_id"), m.as("text"))
+    } else afterFin
+
     Seq(
       "input" -> rawDocs,
       "markup" -> docs,
@@ -382,7 +391,7 @@ object CorpusClean {
       "semantic_dedup" -> afterSem,
       "decontaminate" -> afterDecon,
       "redact" -> afterRedact,
-      "final" -> afterFin)
+      "final" -> afterSecrets)
   }
 
   /** Build the cleaned corpus frame (doc_id, text) per config — the

@@ -80,6 +80,9 @@ case class CorpusCleanConfig(
     // financial PII on top of --redact's email/IP pass: Luhn-validated
     // card masking, then phone + mod-97-validated IBAN masking
     redactFinancial: Boolean = false,
+    // credential masking: AWS keys, GitHub PATs, Slack tokens, JWTs,
+    // private-key PEM headers (TextOps.secretScan's families)
+    redactSecrets: Boolean = false,
     // leakage-safe train/val/test split: name of the input column that is
     // the leakage domain (e.g. source/site); output is partitioned by the
     // resulting split= directory
@@ -236,6 +239,7 @@ object CorpusCleanCli {
         case "--gram-state" :: v :: t => c = c.copy(gramState = Some(v)); rest = t
         case "--redact" :: t => c = c.copy(redact = true); rest = t
         case "--redact-financial" :: t => c = c.copy(redactFinancial = true); rest = t
+        case "--redact-secrets" :: t => c = c.copy(redactSecrets = true); rest = t
         case "--c4" :: t => c = c.copy(c4 = true); rest = t
         case "--blocklist" :: v :: t => c = c.copy(blocklist = Some(v)); rest = t
         case "--gopher" :: t => c = c.copy(gopher = true); rest = t

@@ -393,6 +393,37 @@ object TextOps {
     (masked, nPhones, size(valid).cast("long"), size(cands).cast("long"))
   }
 
+  /** Credential/secret patterns a corpus scrub must catch BEFORE the
+    * corpus trains a model that can regurgitate them — structural
+    * prefixes make these far more precise than entropy heuristics, and
+    * every pattern is RE2-safe (no lookarounds) so the SQL oracle replays
+    * them verbatim. Family order is the masking order (fixed, so the
+    * oracle's chained regexp_replace matches byte-for-byte; JWT before
+    * Slack etc. never overlaps — the prefixes are disjoint). */
+  val secretFamilies: Seq[(String, String)] = Seq(
+    "aws_key" -> "AKIA[0-9A-Z]{16}",
+    "github_token" -> "ghp_[A-Za-z0-9]{36}",
+    "slack_token" -> "xox[bpars]-[A-Za-z0-9-]{10,48}",
+    "jwt" -> "eyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{5,}",
+    "private_key" -> "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----")
+
+  /** Secret scanning + masking over `text`: per-family occurrence counts
+    * (counted BEFORE masking, on the original text — family prefixes are
+    * disjoint so earlier masking cannot create or destroy later matches,
+    * but counting first keeps each count a pure function of the input)
+    * and the text with every match replaced by `<SECRET:family>`.
+    * Map-only regex passes, no shuffle, no UDF — [[piiMask]]'s shape with
+    * a family dimension. Returns (masked, Seq(family -> count)). */
+  def secretScan(text: Column): (Column, Seq[(String, Column)]) = {
+    val counts = secretFamilies.map { case (fam, re) =>
+      fam -> regexp_count(text, lit(re)).cast("long")
+    }
+    val masked = secretFamilies.foldLeft(text) { case (acc, (fam, re)) =>
+      regexp_replace(acc, re, s"<SECRET:$fam>")
+    }
+    (masked, counts)
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with an eval split (doc_id ≡ 0 mod `evalMod`). Real pipelines
     * use 8–13-grams; the fixture's small vocabulary makes n=3 the
