@@ -94,6 +94,23 @@ object CorpusStats {
       .orderBy(col("reason"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
+    // credential exposure audit (secret_scan's corpus-level rollup): one
+    // map-only pass counting each structural family plus the number of
+    // documents carrying ANY secret — the "do not train on this yet"
+    // number a release gate reads
+    val (_, secretCounts) = graft.operators.TextOps.secretScan(col("text"))
+    val secretAggCols = secretCounts.map { case (fam, c) =>
+      coalesce(sum(c), lit(0L)).cast("long").as(s"sum_$fam")
+    } :+
+      coalesce(sum(when(
+        secretCounts.map(_._2).reduce(_ + _) > 0L, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("docs_with_secrets")
+    val secretAgg = docs.agg(secretAggCols.head, secretAggCols.tail: _*).head()
+    val secretJson = secretCounts.map(_._1).zipWithIndex.map {
+      case (fam, i) => s""""$fam": ${secretAgg.getLong(i)}"""
+    }.mkString("{", ", ", s""", "docs_with_secrets": ${
+      secretAgg.getLong(secretCounts.length)}}""")
+
     val langs = graft.operators.TextOps.langId(docs)
       .groupBy("lang_pred").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("lang_pred"))
@@ -147,6 +164,7 @@ object CorpusStats {
       s""""gopher_pass": $gopherPass, "c4": ${
         c4Reasons.map { case (rn, n) => s"${jStr(rn)}: $n" }
           .mkString("{", ", ", "}")}, """ +
+      s""""secrets": $secretJson, """ +
       s""""top_tokens": $topJson, "langs": $langJson$diffJson$memJson}"""
   }
 }
