@@ -153,7 +153,8 @@ object Bench {
       "semantic_dedup_incremental", "edit_distance_pairs", "ngram_jaccard",
       "ann_topk", "ann_ivf", "bm25_topk", "bpe_train", "pack_sequences",
       "events_sessions", "media_near_dup", "pipeline_clean_corpus",
-      "pipeline_full_corpus")
+      "pipeline_full_corpus", "rrf_fusion", "mmr_rerank", "bitext_mine",
+      "secret_scan")
     val headWarm = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach(q => warm.get(q).foreach(v => headWarm(q) = v))
     val stdoutLine =

@@ -20,9 +20,18 @@ object EmbStream {
     * tailing of the embedding drop directory. */
   def fromParquetDir(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = graft.sources.Tables.load(spark, sfDir, "embeddings")
-    spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(sfDir)
+    // file-or-directory layout, same as CorpusStream.fromParquetDir: the
+    // driver fixtures are one FILE named embeddings.parquet; any Spark
+    // writer (ScaleGen included) produces a DIRECTORY of part files by
+    // that name, which a parent-level file-name glob would miss entirely
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      spark.readStream.schema(raw.schema).parquet(p.toString)
+    else
+      spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sfDir)
   }
 
   /** Map-only frozen-geometry cell assignment of an embedding stream:
