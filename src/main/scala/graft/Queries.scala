@@ -4616,6 +4616,61 @@ object Queries {
     graft.operators.LmScore.fluencyScoreSql("d.source = 'src0'")
 
   // ---------------------------------------------------------------------
+  // lm_stupid_backoff — the trigram slot of the LM family (Brants et al.
+  // EMNLP'07, the backoff built FOR distributed web-scale counts): every
+  // document's position-stream scored under reference-slice (doc_id%5=0)
+  // trigram/bigram/unigram counts with the fixed 0.4 backoff; the doc
+  // score is the position-order fold sum, so it hash-oracles exactly.
+  // ---------------------------------------------------------------------
+  def lmStupidBackoff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.stupidBackoff(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      referenceFilter = col("doc_id") % 5 === 0)
+      .orderBy("doc_id")
+
+  val lmStupidBackoffSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ref AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+      |uni AS (SELECT w, COUNT(*) AS c1 FROM
+      |  (SELECT UNNEST(ws) AS w FROM ref) GROUP BY w),
+      |bi AS (SELECT g[1] AS w1, g[2] AS w2, COUNT(*) AS c2 FROM
+      |  (SELECT UNNEST([[ws[i], ws[i+1]] for i in generate_series(1, len(ws)-1)]) AS g
+      |   FROM ref WHERE len(ws) >= 2) GROUP BY 1, 2),
+      |tri AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS c3 FROM
+      |  (SELECT UNNEST([[ws[i], ws[i+1], ws[i+2]] for i in generate_series(1, len(ws)-2)]) AS g
+      |   FROM ref WHERE len(ws) >= 3) GROUP BY 1, 2, 3),
+      |nstat AS (SELECT CAST(coalesce(SUM(len(ws)), 0) AS BIGINT) AS n FROM ref),
+      |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    ws[CAST(i AS INT)-2] AS wa, ws[CAST(i AS INT)-1] AS wb,
+      |    ws[CAST(i AS INT)] AS wc
+      |  FROM (SELECT doc_id, ws, UNNEST(generate_series(3, len(ws))) AS i
+      |        FROM t WHERE len(ws) >= 3) x),
+      |scored AS (SELECT p.doc_id, p.i,
+      |    CASE WHEN tr.c3 IS NOT NULL
+      |           THEN CAST(tr.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+      |         WHEN b2.c2 IS NOT NULL
+      |           THEN CAST(0.4 AS DOUBLE) *
+      |                (CAST(b2.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE))
+      |         WHEN uw.c1 IS NOT NULL
+      |           THEN CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE) *
+      |                (CAST(uw.c1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |         ELSE CAST(0 AS DOUBLE) END AS s
+      |  FROM pos p
+      |  LEFT JOIN tri tr ON tr.w1 = p.wa AND tr.w2 = p.wb AND tr.w3 = p.wc
+      |  LEFT JOIN bi bc ON bc.w1 = p.wa AND bc.w2 = p.wb
+      |  LEFT JOIN bi b2 ON b2.w1 = p.wb AND b2.w2 = p.wc
+      |  LEFT JOIN uni up ON up.w = p.wb
+      |  LEFT JOIN uni uw ON uw.w = p.wc
+      |  CROSS JOIN nstat),
+      |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY i)),
+      |      (a, b) -> a + b) AS sb_sum
+      |  FROM scored GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(p.n_scored, 0) AS n_scored,
+      |  coalesce(p.sb_sum, CAST(0 AS DOUBLE)) AS sb_sum
+      |FROM t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // preference_pairs — alignment-data prep (the RLHF/DPO chosen-rejected
   // construction from a scored corpus): within each source, the top-3
   // fluency docs pair with the bottom-3 by rank (1↔1, 2↔2, 3↔3), giving
@@ -7249,6 +7304,7 @@ object Queries {
     "shard_balance" -> (shardBalance _),
     "lm_bigram_rarity" -> (lmBigramRarity _),
     "lm_fluency" -> (lmFluency _),
+    "lm_stupid_backoff" -> (lmStupidBackoff _),
     "fluency_buckets" -> (fluencyBuckets _),
     "host_cap" -> (hostCap _),
     "bm25_topk" -> (bm25Topk _),
@@ -7449,6 +7505,7 @@ object Queries {
     "shard_balance" -> shardBalanceSql,
     "lm_bigram_rarity" -> lmBigramRaritySql,
     "lm_fluency" -> lmFluencySql,
+    "lm_stupid_backoff" -> lmStupidBackoffSql,
     "fluency_buckets" -> fluencyBucketsSql,
     "host_cap" -> hostCapSql,
     "bm25_topk" -> bm25TopkSql,

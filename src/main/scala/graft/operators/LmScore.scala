@@ -431,4 +431,95 @@ object LmScore {
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
         col("lift_ppm").cast("long").as("lift_ppm"))
   }
+
+  /** Stupid Backoff trigram scoring (Brants et al., EMNLP 2007 — "Large
+    * Language Models in Machine Translation", the backoff designed FOR
+    * web-scale distributed counts: no discounting to normalize, just
+    * relative frequencies and a fixed 0.4 backoff factor). Per token
+    * position i ≥ 3 of every document, under counts from a REFERENCE
+    * slice:
+    *
+    *   S(w_i | w_{i-2} w_{i-1}) = c(tri)/c(ctx-bi)            if c(tri)>0
+    *                            = 0.4 · c(bi)/c(w_{i-1})      elif c(bi)>0
+    *                            = 0.4 · 0.4 · c(w_i)/N        elif c(uni)>0
+    *                            = 0                           else
+    *
+    * The document score is the POSITION-ORDER left-fold sum of S (no
+    * float aggregation whose order could vary — the rank-ordered-fold
+    * rule every float-emitting operator here follows), so the oracle
+    * replays it bit-for-bit; each S is one or two exact-integer IEEE
+    * divisions times exactly-representable 0.4 factors in a fixed shape.
+    *
+    * Scale shape: the three count tables aggregate map-side from the
+    * reference slice (Heaps-bounded vocab per n); the position stream is
+    * linear in corpus tokens and joins them by key — at reference sizes
+    * where the tables broadcast, every join is map-only; a corpus-sized
+    * reference degrades to shuffle joins of pre-aggregated counts, never
+    * of text. Output: (doc_id, n_scored, sb_sum) — zeros for docs under
+    * three tokens. */
+  def stupidBackoff(docs: DataFrame, referenceFilter: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val ref = toks.filter(referenceFilter)
+    val uni = ref.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = ref.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = ref.filter(size(col("ws")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2"),
+          element_at(col("ws"), i + 2).as("w3")))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val nTokens = ref.agg(coalesce(sum(size(col("ws"))), lit(0))
+      .cast("long")).head().getLong(0)
+    val pos = toks.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(3), size(col("ws"))),
+          i => struct(i.cast("long").as("i"),
+            element_at(col("ws"), i - 2).as("wa"),
+            element_at(col("ws"), i - 1).as("wb"),
+            element_at(col("ws"), i).as("wc")))).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.wa").as("wa"),
+        col("p.wb").as("wb"), col("p.wc").as("wc"))
+    val joined = pos
+      .join(tri, col("wa") === col("w1") && col("wb") === col("w2") &&
+        col("wc") === col("w3"), "left").drop("w1", "w2", "w3")
+      .join(bi.select(col("w1").as("bw1"), col("w2").as("bw2"),
+        col("c2").as("c2ctx")),
+        col("wa") === col("bw1") && col("wb") === col("bw2"), "left")
+      .drop("bw1", "bw2")
+      .join(bi.select(col("w1").as("pw1"), col("w2").as("pw2"),
+        col("c2").as("c2")),
+        col("wb") === col("pw1") && col("wc") === col("pw2"), "left")
+      .drop("pw1", "pw2")
+      .join(uni.select(col("w").as("uprev"), col("c1").as("c1prev")),
+        col("wb") === col("uprev"), "left").drop("uprev")
+      .join(uni.select(col("w").as("uw"), col("c1").as("c1w")),
+        col("wc") === col("uw"), "left").drop("uw")
+    val s =
+      when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2ctx").cast("double"))
+        .otherwise(when(col("c2").isNotNull,
+          lit(0.4) * (col("c2").cast("double") / col("c1prev").cast("double")))
+          .otherwise(when(col("c1w").isNotNull,
+            lit(0.4) * (lit(0.4) *
+              (col("c1w").cast("double") / lit(nTokens).cast("double"))))
+            .otherwise(lit(0.0))))
+    val perDoc = joined.select(col("doc_id"), col("i"), s.as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        collect_list(struct(col("i"), col("s"))).as("lst"))
+      .select(col("doc_id"), col("n_scored"),
+        aggregate(transform(array_sort(col("lst")), e => e.getField("s")),
+          lit(0.0), (acc, v) => acc + v).as("sb_sum"))
+    toks.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).cast("long").as("n_scored"),
+        coalesce(col("sb_sum"), lit(0.0)).as("sb_sum"))
+  }
 }

@@ -293,4 +293,39 @@ class SplitsLmSpec extends AnyFunSuite with SparkSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("stupidBackoff: hand-computed trigram/bigram/unigram backoff ladder") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // reference = doc 0: "a b c a b d" → N=6; uni a:2 b:2 c:1 d:1;
+    // bi (a,b):2 (b,c):1 (c,a):1 (b,d):1; tri each once
+    val docs = Seq(
+      (0L, "a b c a b d"),
+      (1L, "a b c x"), // (a,b,c) tri 1/2; (b,c,x) full miss → 0
+      (2L, "x a b"),   // (x,a,b) backs off to bi: 0.4·(2/2)
+      (3L, "q q d"),   // (q,q,d) backs off to uni: 0.4·(0.4·(1/6))
+      (4L, "a b")      // under three tokens: zeros
+    ).toDF("doc_id", "text")
+    val out = LmScore.stupidBackoff(docs, col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 0 scores its own positions: 1/2, 1/1, 1/1, 1/2 in order
+    assert(out(0L) === ((4L, ((0.0 + 0.5) + 1.0 + 1.0) + 0.5)))
+    assert(out(1L) === ((2L, (0.0 + 0.5) + 0.0)))
+    assert(out(2L) === ((1L, 0.4 * (2.0 / 2.0))))
+    assert(out(3L) === ((1L, 0.4 * (0.4 * (1.0 / 6.0)))))
+    assert(out(4L) === ((0L, 0.0)))
+  }
+
+  test("stupidBackoff is invariant to input partitioning") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = LmScore.stupidBackoff(docs, col("doc_id") % 5 === 0)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = LmScore.stupidBackoff(docs.repartition(7), col("doc_id") % 5 === 0)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.exists(r => r(2).asInstanceOf[Double] > 0.0))
+  }
 }
