@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** bitextMine's skew-guard claim, probed the ContainmentScaleProbeSpec
+  * way: a corpus where ONE Voronoi cell holds thousands of vectors on
+  * BOTH sides (the boilerplate-embedding shape — near-identical template
+  * docs collapse to one cell at any nCells). Uncapped, that cell alone
+  * materializes |A_c|·|B_c| pairs (9·10⁶ here, unbounded at 100 TB);
+  * `maxCell` drops the cell WHOLE before the pair join, while a planted
+  * true pair in a small cell must still surface with its exact margin
+  * rank. Per-task numbers come from task-end listener metrics, not plan
+  * inspection; AQE coalescing is disabled so record-count distribution,
+  * not byte-packing policy, is what's measured. */
+class BitextScaleProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val nHot = 3000L
+
+  // centroids = the two lowest union vec_ids: id 0 (A side, the hot
+  // direction h) and id 1 (B side, the rare direction r — also the
+  // planted match). Hot vectors sit exactly on h; the planted A vector
+  // leans on r with a small h-orthogonal tilt; b_far shares the rare
+  // cell at a visibly lower cosine so the margin normalization has a
+  // neighborhood to push against (a single-candidate cell would margin
+  // to exactly 1.0 and never clear tau).
+  private def sides = {
+    import spark.implicits._
+    val h = Array(1f, 0f, 0f, 0f)
+    val hotA = spark.range(0L, nHot)
+      .select((col("id") * 2 + 10).as("vec_id"),
+        typedLit(h).as("embedding"))
+    val hotB = spark.range(0L, nHot)
+      .select((col("id") * 2 + 11).as("vec_id"),
+        typedLit(h).as("embedding"))
+    val a = Seq(
+      (0L, h),
+      (2L, Array(0f, 0.99f, 0.1f, 0f))).toDF("vec_id", "embedding")
+      .unionAll(hotA)
+    val b = Seq(
+      (1L, Array(0f, 1f, 0f, 0f)),        // the planted match (centroid r)
+      (3L, Array(0f, 0.7f, 0.7f, 0f)))    // rare-cell distractor
+      .toDF("vec_id", "embedding")
+      .unionAll(hotB)
+    (a, b)
+  }
+
+  private def withMaxTaskShuffleRead[T](body: => T): (T, Long) = {
+    val maxRead = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(p => math.max(p, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val cur = maxRead.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (out, maxRead.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def withoutCoalescing[T](body: => T): T = {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("bitextMine: a hot cell on both sides never materializes its pair " +
+    "product; the planted rare-cell pair still surfaces", Slow) {
+    val (a, b) = sides
+    val (got, maxRead) = withoutCoalescing(withMaxTaskShuffleRead {
+      Similarity.bitextMine(a, b, nCells = 2, maxCell = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    })
+    info(s"bitextMine max per-task shuffle read: $maxRead records " +
+      s"(hot cell pair product: ${nHot * nHot})")
+    assert(got === Set((2L, 1L)),
+      "exactly the planted rare-cell pair (hot cell dropped whole)")
+    // no task may read anything near the hot cell's pair product — the
+    // cap filters BEFORE the join, so shuffles carry at most side rows
+    // and pre-aggregated cell counts, never pairs
+    assert(maxRead > 0 && maxRead <= nHot * 2 + 16,
+      s"a task read $maxRead records (hot product is ${nHot * nHot}) — " +
+        "did the capped cell materialize pairs?")
+  }
+}
