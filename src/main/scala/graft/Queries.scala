@@ -6927,7 +6927,9 @@ object Queries {
       opt(d % 7 === 0, " tel 415-555-2671 desk"),
       opt(d % 6 === 0, " acct DE89370400440532013000 sepa"),
       opt(d % 9 === 0, " alt GB82WEST12345698765432 uk"),
-      opt(d % 11 === 0, " bogus DE00370400440532013000 nope"))
+      opt(d % 11 === 0, " bogus DE00370400440532013000 nope"),
+      opt(d % 8 === 0, " serial 9415-555-26712 keep"),
+      opt(d % 17 === 0, " id +123456 short"))
     val (masked, nPhones, nValid, nCands) =
       graft.operators.TextOps.ibanPhoneMask(col("text"))
     t(s, dir, "documents").select(d, grafted.as("text"))
@@ -6945,14 +6947,21 @@ object Queries {
       |    || (CASE WHEN doc_id % 6 = 0 THEN ' acct DE89370400440532013000 sepa' ELSE '' END)
       |    || (CASE WHEN doc_id % 9 = 0 THEN ' alt GB82WEST12345698765432 uk' ELSE '' END)
       |    || (CASE WHEN doc_id % 11 = 0 THEN ' bogus DE00370400440532013000 nope' ELSE '' END)
+      |    || (CASE WHEN doc_id % 8 = 0 THEN ' serial 9415-555-26712 keep' ELSE '' END)
+      |    || (CASE WHEN doc_id % 17 = 0 THEN ' id +123456 short' ELSE '' END)
       |    AS text
       |  FROM documents),
-      |p AS (SELECT doc_id,
-      |    CAST(len(regexp_extract_all(text,
-      |      '\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-      |    regexp_replace(text, '\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}',
-      |      '<PHONE>', 'g') AS text
+      |p0 AS (SELECT doc_id, text,
+      |    [ph for ph in regexp_extract_all(text, '\+[0-9]+')
+      |       if len(ph) BETWEEN 8 AND 16]
+      |    || [ph for ph in regexp_extract_all(text, '[0-9-]+')
+      |        if regexp_full_match(ph, '[0-9]{3}-[0-9]{3}-[0-9]{4}')] AS phones
       |  FROM d),
+      |p AS (SELECT doc_id,
+      |    CAST(len(phones) AS BIGINT) AS n_phones,
+      |    list_reduce(list_prepend(text, phones),
+      |      (acc, ph) -> replace(acc, ph, '<PHONE>')) AS text
+      |  FROM p0),
       |c AS (SELECT doc_id, n_phones, text,
       |    regexp_extract_all(text, '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}') AS cands
       |  FROM p),

@@ -354,10 +354,16 @@ object TextOps {
   }
 
   /** International phone numbers — `+` then 7-15 digits (E.164 length
-    * bounds) or the dashed NANP form. No checksum exists for phone
-    * numbers, so this is count-and-replace like [[piiMask]]. RE2-safe
-    * (no lookarounds), so the same pattern replays on any engine. */
-  val phoneRegex: String = "\\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    * bounds) or the dashed NANP form, under [[ccMask]]'s MAXIMAL-RUN
+    * candidate discipline: a shape match INSIDE a longer digit/dash run
+    * is not a phone (a bare `[0-9]{3}-…` regex would mask the middle of
+    * a serial number — redaction must never mutilate non-PII). No
+    * checksum exists for phones, so validation is shape-only: maximal
+    * `\+[0-9]+` runs of the right length, and maximal `[0-9-]+` runs
+    * anchored to exactly ddd-ddd-dddd. RE2-safe (no lookarounds). */
+  val phoneIntlRunRegex: String = "\\+[0-9]+"
+  val phoneDashedRunRegex: String = "[0-9-]+"
+  val phoneDashedShape: String = "^[0-9]{3}-[0-9]{3}-[0-9]{4}$"
 
   /** ISO 13616 mod-97-validated IBAN masking — [[ccMask]]'s
     * validate-BEFORE-masking discipline on the second checksummed PII
@@ -374,8 +380,16 @@ object TextOps {
     * `(masked, n_phones, n_iban_valid, n_iban_candidates)`. Map-only
     * higher-order column functions, no shuffle, no UDF. */
   def ibanPhoneMask(text: Column): (Column, Column, Column, Column) = {
-    val nPhones = regexp_count(text, lit(phoneRegex)).cast("long")
-    val phoneMasked = regexp_replace(text, phoneRegex, "<PHONE>")
+    val intl = filter(
+      regexp_extract_all(text, lit(phoneIntlRunRegex), lit(0)),
+      c => length(c).between(8, 16)) // '+' plus 7-15 digits
+    val dashed = filter(
+      regexp_extract_all(text, lit(phoneDashedRunRegex), lit(0)),
+      c => c.rlike(phoneDashedShape))
+    val phones = concat(intl, dashed)
+    val nPhones = size(phones).cast("long")
+    val phoneMasked = aggregate(phones, text,
+      (acc, p) => call_function("replace", acc, p, lit("<PHONE>")))
     val cands = regexp_extract_all(
       phoneMasked, lit("[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"), lit(0))
     def rearranged(c: Column): Column =

@@ -183,7 +183,11 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
       (2L, "fake DE00370400440532013000 here"),    // check digits broken
       (3L, "call +14155552671 or 415-555-2671"),   // both phone forms
       (4L, "GB82WEST12345698765432"),              // valid, letters in body
-      (5L, "nothing to scrub")
+      (5L, "nothing to scrub"),
+      // maximal-run discipline: shape matches INSIDE longer runs are not
+      // phones — serials and long intl numbers ship unmutilated
+      (6L, "serial 9415-555-26712 and +12345678901234567 stay"),
+      (7L, "+123456 too short")
     ).toDF("doc_id", "text")
     val (masked, nPhones, nValid, nCands) = TextOps.ibanPhoneMask(col("text"))
     val out = df.select(col("doc_id"), masked.as("m"), nPhones, nValid, nCands)
@@ -194,6 +198,9 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(out(3L) === (("call <PHONE> or <PHONE>", 2L, 0L, 0L)))
     assert(out(4L) === (("<IBAN>", 0L, 1L, 1L)))
     assert(out(5L) === (("nothing to scrub", 0L, 0L, 0L)))
+    assert(out(6L) ===
+      (("serial 9415-555-26712 and +12345678901234567 stay", 0L, 0L, 0L)))
+    assert(out(7L) === (("+123456 too short", 0L, 0L, 0L)))
   }
 
   test("secretScan: every family masks; structural near-misses survive") {
