@@ -407,33 +407,60 @@ object TextOps {
     (masked, nPhones, size(valid).cast("long"), size(cands).cast("long"))
   }
 
-  /** Credential/secret patterns a corpus scrub must catch BEFORE the
+  /** Credential/secret families a corpus scrub must catch BEFORE the
     * corpus trains a model that can regurgitate them — structural
     * prefixes make these far more precise than entropy heuristics, and
-    * every pattern is RE2-safe (no lookarounds) so the SQL oracle replays
-    * them verbatim. Family order is the masking order (fixed, so the
-    * oracle's chained regexp_replace matches byte-for-byte; JWT before
-    * Slack etc. never overlaps — the prefixes are disjoint). */
-  val secretFamilies: Seq[(String, String)] = Seq(
-    "aws_key" -> "AKIA[0-9A-Z]{16}",
-    "github_token" -> "ghp_[A-Za-z0-9]{36}",
-    "slack_token" -> "xox[bpars]-[A-Za-z0-9-]{10,48}",
-    "jwt" -> "eyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{5,}",
-    "private_key" -> "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----")
+    * every pattern is RE2-safe (no lookarounds) so the SQL oracle
+    * replays them verbatim.
+    *
+    * The four TOKEN families use the maximal-run candidate discipline
+    * ([[ccMask]]/phone): a candidate is a maximal run of the family's
+    * alphabet, validated against the anchored full shape — a shape match
+    * INSIDE a longer token (`XAKIA…`, a key with an extra trailing
+    * digit) is NOT a secret and ships unmutilated. Conservative corollary
+    * (documented, deliberate): a real token GLUED to run-alphabet
+    * punctuation — e.g. a JWT immediately followed by `.` — joins the
+    * run and is missed rather than a longer string being mangled. The
+    * PEM header is a multi-token DELIMITER, not a token, so it stays a
+    * plain pattern (runRegex = None). Family order is the masking order
+    * (fixed; the prefixes are disjoint, so order can never create or
+    * destroy matches). */
+  final case class SecretFamily(name: String, runRegex: Option[String],
+                                shape: String)
+  val secretFamilies: Seq[SecretFamily] = Seq(
+    SecretFamily("aws_key", Some("[A-Z0-9]+"), "^AKIA[0-9A-Z]{16}$"),
+    SecretFamily("github_token", Some("[A-Za-z0-9_]+"),
+      "^ghp_[A-Za-z0-9]{36}$"),
+    SecretFamily("slack_token", Some("[A-Za-z0-9-]+"),
+      "^xox[bpars]-[A-Za-z0-9-]{10,48}$"),
+    SecretFamily("jwt", Some("[A-Za-z0-9_.-]+"),
+      "^eyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{5,}$"),
+    SecretFamily("private_key", None,
+      "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"))
 
   /** Secret scanning + masking over `text`: per-family occurrence counts
-    * (counted BEFORE masking, on the original text — family prefixes are
-    * disjoint so earlier masking cannot create or destroy later matches,
-    * but counting first keeps each count a pure function of the input)
-    * and the text with every match replaced by `<SECRET:family>`.
-    * Map-only regex passes, no shuffle, no UDF — [[piiMask]]'s shape with
-    * a family dimension. Returns (masked, Seq(family -> count)). */
+    * (counted on the original text — candidates are a pure function of
+    * the input) and the text with every validated candidate replaced by
+    * `<SECRET:family>`. Map-only regex/fold passes, no shuffle, no UDF —
+    * [[piiMask]]'s shape with a family dimension. Returns
+    * (masked, Seq(family -> count)). */
   def secretScan(text: Column): (Column, Seq[(String, Column)]) = {
-    val counts = secretFamilies.map { case (fam, re) =>
-      fam -> regexp_count(text, lit(re)).cast("long")
+    val cands = secretFamilies.map { f =>
+      f -> f.runRegex.map { run =>
+        filter(regexp_extract_all(text, lit(run), lit(0)),
+          c => c.rlike(f.shape))
+      }
     }
-    val masked = secretFamilies.foldLeft(text) { case (acc, (fam, re)) =>
-      regexp_replace(acc, re, s"<SECRET:$fam>")
+    val counts = cands.map { case (f, c) =>
+      f.name -> c.map(size(_).cast("long"))
+        .getOrElse(regexp_count(text, lit(f.shape)).cast("long"))
+    }
+    val masked = cands.foldLeft(text) { case (acc, (f, c)) =>
+      c match {
+        case Some(arr) => aggregate(arr, acc,
+          (a, v) => call_function("replace", a, v, lit(s"<SECRET:${f.name}>")))
+        case None => regexp_replace(acc, f.shape, s"<SECRET:${f.name}>")
+      }
     }
     (masked, counts)
   }
