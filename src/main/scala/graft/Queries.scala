@@ -6809,8 +6809,10 @@ object Queries {
   // cc_mask — Luhn-validated credit-card masking (TextOps.ccMask): the
   // validate-BEFORE-masking PII discipline. Grafts cover a valid Visa
   // test number, an invalid 16-digit order id that must NOT mask, a
-  // 20-digit run that is no candidate at all, and a second valid card
-  // so multi-card docs fold both.
+  // 20-digit run that is no candidate at all, a second valid card so
+  // multi-card docs fold both, and a 17-digit run CONTAINING the valid
+  // Visa value — which must ship unmutilated even in docs where the
+  // standalone card masks (the positional maskRuns invariant).
   // ---------------------------------------------------------------------
   def ccMask(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
@@ -6821,7 +6823,8 @@ object Queries {
       opt(d % 6 === 0, " card 4111111111111111 ok"),
       opt(d % 8 === 0, " order 1234567890123456 ref"),
       opt(d % 9 === 0, " tracking 12345678901234567890 long"),
-      opt(d % 15 === 0, " alt 5500005555555559 end"))
+      opt(d % 15 === 0, " alt 5500005555555559 end"),
+      opt(d % 21 === 0, " ref 94111111111111112 pad"))
     val (masked, nValid, nCands) =
       graft.operators.TextOps.ccMask(col("text"))
     t(s, dir, "documents").select(d, grafted.as("text"))
@@ -6830,13 +6833,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  val ccMaskSql: String =
-    """WITH d AS (SELECT doc_id,
+  val ccMaskSql: String = {
+    // Luhn validity is a pure function of the run VALUE, so membership in
+    // the validated list replays positional masking exactly
+    val ccMaskExpr = maskRunsSql("text", "[0-9]+",
+      r => s"list_contains(valid, $r)", "<CC>")
+    s"""WITH d AS (SELECT doc_id,
       |    text
       |    || (CASE WHEN doc_id % 6 = 0 THEN ' card 4111111111111111 ok' ELSE '' END)
       |    || (CASE WHEN doc_id % 8 = 0 THEN ' order 1234567890123456 ref' ELSE '' END)
       |    || (CASE WHEN doc_id % 9 = 0 THEN ' tracking 12345678901234567890 long' ELSE '' END)
       |    || (CASE WHEN doc_id % 15 = 0 THEN ' alt 5500005555555559 end' ELSE '' END)
+      |    || (CASE WHEN doc_id % 21 = 0 THEN ' ref 94111111111111112 pad' ELSE '' END)
       |    AS text
       |  FROM documents),
       |c AS (SELECT doc_id, text,
@@ -6853,9 +6861,9 @@ object Queries {
       |  FROM c)
       |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_cc_valid,
       |  CAST(len(cands) AS BIGINT) AS n_candidates,
-      |  md5(list_reduce(list_prepend(text, valid),
-      |      (acc, cc) -> replace(acc, cc, '<CC>'))) AS masked_hash
+      |  md5($ccMaskExpr) AS masked_hash
       |FROM v ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // secret_scan — credential scanning (TextOps.secretScan): the scrub a
@@ -6891,15 +6899,22 @@ object Queries {
     def candsExpr(run: String, shape: String): String =
       s"[c for c in regexp_extract_all(text, '$run') " +
         s"if regexp_full_match(c, '$shape')]"
-    val masked = fams.foldLeft("text") { (acc, f) =>
-      f.runRegex match {
+    // one CTE per family so the positional-rebuild expression references
+    // the previous stage by COLUMN, keeping the SQL linear in families
+    // (inlining would duplicate the whole prior stage per run reference)
+    val maskCtes = fams.zipWithIndex.map { case (f, i) =>
+      val prev = s"t$i"
+      val step = f.runRegex match {
         case Some(run) =>
-          s"list_reduce(list_prepend($acc, ${candsExpr(run, f.shape)}), " +
-            s"(a, c) -> replace(a, c, '<SECRET:${f.name}>'))"
+          maskRunsSql(prev, run,
+            r => s"regexp_full_match($r, '${f.shape}')",
+            s"<SECRET:${f.name}>")
         case None =>
-          s"regexp_replace($acc, '${f.shape}', '<SECRET:${f.name}>', 'g')"
+          s"regexp_replace($prev, '${f.shape}', '<SECRET:${f.name}>', 'g')"
       }
-    }
+      s"m${i + 1} AS (SELECT doc_id, text,\n" +
+        s"    $step AS t${i + 1}\n  FROM m$i)"
+    }.mkString(",\n")
     val countCols = fams.map { f =>
       f.runRegex match {
         case Some(run) =>
@@ -6918,11 +6933,32 @@ object Queries {
        |    || (CASE WHEN doc_id % 5 = 0 THEN ' nope AKIA1234 and ghp_tooshort stay' ELSE '' END)
        |    || (CASE WHEN doc_id % 19 = 0 THEN ' glued XAKIAIOSFODNN7EXAMPLE9 stays' ELSE '' END)
        |    AS text
-       |  FROM documents)
+       |  FROM documents),
+       |m0 AS (SELECT doc_id, text, text AS t0 FROM d),
+       |$maskCtes
        |SELECT doc_id,
        |  $countCols,
-       |  md5($masked) AS masked_hash
-       |FROM d ORDER BY doc_id""".stripMargin
+       |  md5(t${fams.length}) AS masked_hash
+       |FROM m${fams.length} ORDER BY doc_id""".stripMargin
+  }
+
+  // DuckDB replay of TextOps.maskRuns — POSITIONAL rebuild from the
+  // maximal-run split: str_split_regex keeps leading/trailing empty
+  // separators (so seps has exactly len(runs)+1 pieces), each run is
+  // masked in place when `valid(run)` holds, and the pieces re-concatenate
+  // in order. `valid` receives the SQL expression of the i-th run. (No
+  // emitted line may START with '|': callers interpolate this into
+  // stripMargin templates, which would eat it.)
+  private def maskRunsSql(text: String, run: String,
+                          valid: String => String, mask: String): String = {
+    val runAt = s"regexp_extract_all($text, '$run')[CAST(i AS INT)]"
+    s"(CASE WHEN len(regexp_extract_all($text, '$run')) = 0 THEN $text\n" +
+      s"      ELSE str_split_regex($text, '$run')[1] || list_reduce(\n" +
+      s"        [(CASE WHEN ${valid(runAt)} THEN '$mask' ELSE $runAt END) ||\n" +
+      s"           str_split_regex($text, '$run')[CAST(i AS INT) + 1]\n" +
+      s"         for i in generate_series(1, " +
+      s"len(regexp_extract_all($text, '$run')))],\n" +
+      s"        (a, b) -> a || b) END)"
   }
 
   // ---------------------------------------------------------------------
@@ -6930,8 +6966,11 @@ object Queries {
   // phone numbers (count-and-replace, no checksum exists) and ISO 13616
   // IBANs (mod-97 validate-BEFORE-masking, ccMask's discipline on the
   // second checksummed family). Grafts cover both phone forms, two valid
-  // IBANs (DE, GB — letters inside the body), and a check-digit-broken
-  // IBAN that must stay a candidate but never mask.
+  // IBANs (DE, GB — letters inside the body), a check-digit-broken IBAN
+  // that must stay a candidate but never mask, a serial containing a
+  // valid phone as a substring (must ship unmutilated — the positional
+  // maskRuns invariant), and a valid-IBAN window glued inside a longer
+  // token (not a candidate under the maximal-run discipline).
   // ---------------------------------------------------------------------
   def ibanPhoneMask(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
@@ -6945,7 +6984,8 @@ object Queries {
       opt(d % 9 === 0, " alt GB82WEST12345698765432 uk"),
       opt(d % 11 === 0, " bogus DE00370400440532013000 nope"),
       opt(d % 8 === 0, " serial 9415-555-26712 keep"),
-      opt(d % 17 === 0, " id +123456 short"))
+      opt(d % 17 === 0, " id +123456 short"),
+      opt(d % 13 === 0, " glue XDE89370400440532013000 keep"))
     val (masked, nPhones, nValid, nCands) =
       graft.operators.TextOps.ibanPhoneMask(col("text"))
     t(s, dir, "documents").select(d, grafted.as("text"))
@@ -6955,8 +6995,16 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  val ibanPhoneMaskSql: String =
-    """WITH d AS (SELECT doc_id,
+  val ibanPhoneMaskSql: String = {
+    val intlMask = maskRunsSql("text", "\\+[0-9]+",
+      r => s"len($r) BETWEEN 8 AND 16", "<PHONE>")
+    val dashMask = maskRunsSql("t1", "[0-9-]+",
+      r => s"regexp_full_match($r, '[0-9]{3}-[0-9]{3}-[0-9]{4}')", "<PHONE>")
+    // mod-97 validity is a pure function of the run VALUE, so membership
+    // in the validated list replays positional masking exactly
+    val ibanMask = maskRunsSql("text", "[A-Z0-9]+",
+      r => s"list_contains(valid, $r)", "<IBAN>")
+    s"""WITH d AS (SELECT doc_id,
       |    text
       |    || (CASE WHEN doc_id % 5 = 0 THEN ' call +14155552671 now' ELSE '' END)
       |    || (CASE WHEN doc_id % 7 = 0 THEN ' tel 415-555-2671 desk' ELSE '' END)
@@ -6965,21 +7013,23 @@ object Queries {
       |    || (CASE WHEN doc_id % 11 = 0 THEN ' bogus DE00370400440532013000 nope' ELSE '' END)
       |    || (CASE WHEN doc_id % 8 = 0 THEN ' serial 9415-555-26712 keep' ELSE '' END)
       |    || (CASE WHEN doc_id % 17 = 0 THEN ' id +123456 short' ELSE '' END)
+      |    || (CASE WHEN doc_id % 13 = 0 THEN ' glue XDE89370400440532013000 keep' ELSE '' END)
       |    AS text
       |  FROM documents),
-      |p0 AS (SELECT doc_id, text,
-      |    [ph for ph in regexp_extract_all(text, '\+[0-9]+')
-      |       if len(ph) BETWEEN 8 AND 16]
-      |    || [ph for ph in regexp_extract_all(text, '[0-9-]+')
-      |        if regexp_full_match(ph, '[0-9]{3}-[0-9]{3}-[0-9]{4}')] AS phones
+      |p0 AS (SELECT doc_id,
+      |    CAST(len([ph for ph in regexp_extract_all(text, '\\+[0-9]+')
+      |              if len(ph) BETWEEN 8 AND 16])
+      |       + len([ph for ph in regexp_extract_all(text, '[0-9-]+')
+      |              if regexp_full_match(ph, '[0-9]{3}-[0-9]{3}-[0-9]{4}')])
+      |      AS BIGINT) AS n_phones,
+      |    $intlMask AS t1
       |  FROM d),
-      |p AS (SELECT doc_id,
-      |    CAST(len(phones) AS BIGINT) AS n_phones,
-      |    list_reduce(list_prepend(text, phones),
-      |      (acc, ph) -> replace(acc, ph, '<PHONE>')) AS text
+      |p AS (SELECT doc_id, n_phones,
+      |    $dashMask AS text
       |  FROM p0),
       |c AS (SELECT doc_id, n_phones, text,
-      |    regexp_extract_all(text, '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}') AS cands
+      |    [ib for ib in regexp_extract_all(text, '[A-Z0-9]+')
+      |       if regexp_full_match(ib, '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}')] AS cands
       |  FROM p),
       |v AS (SELECT doc_id, n_phones, text, cands,
       |    [ib for ib in cands if
@@ -6996,9 +7046,9 @@ object Queries {
       |  FROM c)
       |SELECT doc_id, n_phones, CAST(len(valid) AS BIGINT) AS n_iban_valid,
       |  CAST(len(cands) AS BIGINT) AS n_iban_cand,
-      |  md5(list_reduce(list_prepend(text, valid),
-      |      (acc, ib) -> replace(acc, ib, '<IBAN>'))) AS masked_hash
+      |  md5($ibanMask) AS masked_hash
       |FROM v ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // dedup_url — URL-keyed exact dedup (the C4 page-dedup shape): two

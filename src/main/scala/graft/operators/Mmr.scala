@@ -62,7 +62,10 @@ object Mmr {
         // canonical ascending-id order + strict > ⇒ smallest id wins ties
         val cs = it.toArray.sortBy(_._2)
         val sets = cs.map(_._4.toSet)
-        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        // BitSet: O(1) membership on the inner loop (vs linear scan) and
+        // iteration for the max-sim pass — the greedy kernel stays O(k·n)
+        // set ops per key even if candidate lists grow past the ~20 contract
+        val selected = scala.collection.mutable.BitSet.empty
         (1 to math.min(k, cs.length)).iterator.map { pick =>
           var best = -1
           var bestScore = Double.NegativeInfinity
@@ -72,8 +75,12 @@ object Mmr {
                 if (selected.isEmpty) 0.0
                 else selected.iterator.map { j =>
                   val inter = sets(i).intersect(sets(j)).size
-                  inter.toDouble /
-                    (sets(i).size + sets(j).size - inter).toDouble
+                  val union = sets(i).size + sets(j).size - inter
+                  // two empty word sets (no [A-Za-z] runs — CJK/Arabic
+                  // text) have union 0; 0/0 is NaN and NaN never beats
+                  // -Infinity, which would leave best = -1. Define the
+                  // empty-vs-empty similarity as 0.0 instead.
+                  if (union == 0) 0.0 else inter.toDouble / union.toDouble
                 }.max
               val score = lam * cs(i)._3 - (1.0 - lam) * maxSim
               if (score > bestScore) { best = i; bestScore = score }

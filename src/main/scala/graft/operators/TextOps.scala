@@ -330,9 +330,9 @@ object TextOps {
     * Columns over `text`: `(masked, n_valid, n_candidates)`. Lookarounds
     * are avoided on purpose (RE2 engines lack them): maximal runs come
     * from `[0-9]+` extraction filtered to length 16, replayable on any
-    * engine. The Luhn fold and the masking fold are higher-order column
-    * functions bounded by the per-doc candidate count — still a map-only
-    * pass, no shuffle, no UDF. */
+    * engine. Masking is POSITIONAL via [[maskRuns]], so a valid card value
+    * embedded in a longer digit run elsewhere in the document never
+    * mutilates that run. Still a map-only pass, no shuffle, no UDF. */
   def ccMask(text: Column): (Column, Column, Column) = {
     val cands = filter(
       regexp_extract_all(text, lit("[0-9]+"), lit(0)),
@@ -345,11 +345,12 @@ object TextOps {
       when(i % 2 === 1,
         when(digit(c, i) > 4, digit(c, i) * 2 - 9).otherwise(digit(c, i) * 2))
         .otherwise(digit(c, i))
-    val valid = filter(cands, c =>
+    def luhnOk(c: Column): Column =
       aggregate(sequence(lit(1), lit(16)), lit(0),
-        (acc, i) => acc + term(c, i)) % 10 === 0)
-    val masked = aggregate(valid, text,
-      (acc, c) => call_function("replace", acc, c, lit("<CC>")))
+        (acc, i) => acc + term(c, i)) % 10 === 0
+    val valid = filter(cands, c => luhnOk(c))
+    val masked = maskRuns(text, "[0-9]+",
+      c => length(c) === 16 && luhnOk(c), "<CC>")
     (masked, size(valid).cast("long"), size(cands).cast("long"))
   }
 
@@ -365,20 +366,66 @@ object TextOps {
   val phoneDashedRunRegex: String = "[0-9-]+"
   val phoneDashedShape: String = "^[0-9]{3}-[0-9]{3}-[0-9]{4}$"
 
+  /** POSITIONAL run masking — the replacement kernel every masking family
+    * shares: split `text` into maximal `runRegex` runs plus the separator
+    * stretches between them, replace each run that passes `isValid` with
+    * `mask` IN PLACE, and rebuild. Replacing by position (not by string
+    * value) is what keeps the maximal-run discipline honest end-to-end: a
+    * validated value that ALSO occurs as a substring of a longer run
+    * elsewhere in the document must never mutilate that run, which a
+    * global `replace(acc, value, mask)` fold cannot guarantee.
+    *
+    * Mechanics: `split(text, runRegex, -1)` keeps leading/trailing empty
+    * separators (Java split semantics), so `size(seps) == size(runs)+1`
+    * always; `zip_with` pads the shorter runs array with one trailing
+    * null, which `coalesce`s to "". Rows with no valid run short-circuit
+    * through the `when` guard without rebuilding. Pure higher-order
+    * column functions — map-only, no shuffle, no UDF. */
+  def maskRuns(text: Column, runRegex: String, isValid: Column => Column,
+               mask: String): Column = {
+    val runs = regexp_extract_all(text, lit(runRegex), lit(0))
+    val pieces = zip_with(
+      split(text, runRegex, -1),
+      transform(runs, r => when(isValid(r), lit(mask)).otherwise(r)),
+      (s, r) => concat(s, coalesce(r, lit(""))))
+    when(!exists(runs, isValid), text).otherwise(array_join(pieces, ""))
+  }
+
+  /** IBAN candidate alphabet + anchored shape: a candidate is a MAXIMAL
+    * `[A-Z0-9]+` run whose WHOLE extent is `CC##` + 11-30 alphanumerics
+    * (15-34 total, the real IBAN length envelope) — an IBAN-shaped window
+    * glued inside a longer token (`XDE89…`) is not a candidate, exactly
+    * [[ccMask]]'s and [[secretScan]]'s maximal-run discipline. */
+  val ibanRunRegex: String = "[A-Z0-9]+"
+  val ibanShape: String = "^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$"
+
+  /** ISO 7064 mod-97 IBAN check (ISO 13616): move the first 4 chars to
+    * the end, map letters A→10…Z→35, and the resulting number ≡ 1 mod 97.
+    * The fold keeps a running remainder — digit step `(acc·10 + d) mod
+    * 97`, letter step `(acc·100 + v) mod 97` — so the accumulator never
+    * exceeds 9 699 and the whole validation is exact 32-bit integer
+    * arithmetic, replayable token-for-token in the SQL oracle. */
+  def ibanMod97Ok(c: Column): Column = {
+    val r = concat(c.substr(lit(5), length(c)), c.substr(lit(1), lit(4)))
+    aggregate(sequence(lit(1), length(r)), lit(0), (acc, i) => {
+      val ch = r.substr(i, lit(1))
+      when(ch.between("0", "9"), (acc * 10 + ch.cast("int")) % 97)
+        .otherwise((acc * 100 + (ascii(ch) - 55)) % 97)
+    }) === 1
+  }
+
   /** ISO 13616 mod-97-validated IBAN masking — [[ccMask]]'s
     * validate-BEFORE-masking discipline on the second checksummed PII
-    * family: a candidate is `CC##` + 11-30 alphanumerics (15-34 total,
-    * the real IBAN length envelope); it masks to `<IBAN>` only when the
-    * ISO 7064 check holds (move the first 4 chars to the end, map
-    * letters A→10…Z→35, the resulting number ≡ 1 mod 97). The fold keeps
-    * a running remainder — digit step `(acc·10 + d) mod 97`, letter step
-    * `(acc·100 + v) mod 97` — so the accumulator never exceeds 9 699 and
-    * the whole validation is exact 32-bit integer arithmetic, replayable
-    * token-for-token in the SQL oracle.
+    * family. Candidates are maximal [[ibanRunRegex]] runs matching the
+    * anchored [[ibanShape]]; they mask to `<IBAN>` only when
+    * [[ibanMod97Ok]] holds. All three families replace POSITIONALLY via
+    * [[maskRuns]], so a validated value occurring inside a longer run
+    * elsewhere in the document never mutilates that run.
     *
-    * Columns over `text` (phones masked FIRST, then IBANs):
-    * `(masked, n_phones, n_iban_valid, n_iban_candidates)`. Map-only
-    * higher-order column functions, no shuffle, no UDF. */
+    * Columns over `text` (phones masked FIRST, then IBANs; counts are a
+    * pure function of the input text): `(masked, n_phones, n_iban_valid,
+    * n_iban_candidates)`. Map-only higher-order column functions, no
+    * shuffle, no UDF. */
   def ibanPhoneMask(text: Column): (Column, Column, Column, Column) = {
     val intl = filter(
       regexp_extract_all(text, lit(phoneIntlRunRegex), lit(0)),
@@ -386,24 +433,17 @@ object TextOps {
     val dashed = filter(
       regexp_extract_all(text, lit(phoneDashedRunRegex), lit(0)),
       c => c.rlike(phoneDashedShape))
-    val phones = concat(intl, dashed)
-    val nPhones = size(phones).cast("long")
-    val phoneMasked = aggregate(phones, text,
-      (acc, p) => call_function("replace", acc, p, lit("<PHONE>")))
-    val cands = regexp_extract_all(
-      phoneMasked, lit("[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"), lit(0))
-    def rearranged(c: Column): Column =
-      concat(c.substr(lit(5), length(c)), c.substr(lit(1), lit(4)))
-    val valid = filter(cands, c => {
-      val r = rearranged(c)
-      aggregate(sequence(lit(1), length(r)), lit(0), (acc, i) => {
-        val ch = r.substr(i, lit(1))
-        when(ch.between("0", "9"), (acc * 10 + ch.cast("int")) % 97)
-          .otherwise((acc * 100 + (ascii(ch) - 55)) % 97)
-      }) === 1
-    })
-    val masked = aggregate(valid, phoneMasked,
-      (acc, c) => call_function("replace", acc, c, lit("<IBAN>")))
+    val nPhones = (size(intl) + size(dashed)).cast("long")
+    val intlMasked = maskRuns(text, phoneIntlRunRegex,
+      c => length(c).between(8, 16), "<PHONE>")
+    val phoneMasked = maskRuns(intlMasked, phoneDashedRunRegex,
+      c => c.rlike(phoneDashedShape), "<PHONE>")
+    val cands = filter(
+      regexp_extract_all(phoneMasked, lit(ibanRunRegex), lit(0)),
+      c => c.rlike(ibanShape))
+    val valid = filter(cands, c => ibanMod97Ok(c))
+    val masked = maskRuns(phoneMasked, ibanRunRegex,
+      c => c.rlike(ibanShape) && ibanMod97Ok(c), "<IBAN>")
     (masked, nPhones, size(valid).cast("long"), size(cands).cast("long"))
   }
 
@@ -441,9 +481,13 @@ object TextOps {
   /** Secret scanning + masking over `text`: per-family occurrence counts
     * (counted on the original text — candidates are a pure function of
     * the input) and the text with every validated candidate replaced by
-    * `<SECRET:family>`. Map-only regex/fold passes, no shuffle, no UDF —
-    * [[piiMask]]'s shape with a family dimension. Returns
-    * (masked, Seq(family -> count)). */
+    * `<SECRET:family>`. Token families mask POSITIONALLY via [[maskRuns]]
+    * — a validated token value that also occurs inside a longer
+    * same-alphabet run elsewhere in the document never mutilates that run
+    * — and the PEM delimiter family stays a plain `regexp_replace` (which
+    * is positional by construction). Map-only regex/fold passes, no
+    * shuffle, no UDF — [[piiMask]]'s shape with a family dimension.
+    * Returns (masked, Seq(family -> count)). */
   def secretScan(text: Column): (Column, Seq[(String, Column)]) = {
     val cands = secretFamilies.map { f =>
       f -> f.runRegex.map { run =>
@@ -455,10 +499,10 @@ object TextOps {
       f.name -> c.map(size(_).cast("long"))
         .getOrElse(regexp_count(text, lit(f.shape)).cast("long"))
     }
-    val masked = cands.foldLeft(text) { case (acc, (f, c)) =>
-      c match {
-        case Some(arr) => aggregate(arr, acc,
-          (a, v) => call_function("replace", a, v, lit(s"<SECRET:${f.name}>")))
+    val masked = secretFamilies.foldLeft(text) { (acc, f) =>
+      f.runRegex match {
+        case Some(run) =>
+          maskRuns(acc, run, c => c.rlike(f.shape), s"<SECRET:${f.name}>")
         case None => regexp_replace(acc, f.shape, s"<SECRET:${f.name}>")
       }
     }

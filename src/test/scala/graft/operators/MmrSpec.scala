@@ -39,6 +39,68 @@ class MmrSpec extends AnyFunSuite with SparkSuite {
     assert(out === Map("a" -> 10L, "b" -> 20L))
   }
 
+  test("rerank: all-empty word sets (no Latin letters) rank by relevance " +
+    "instead of crashing on the NaN Jaccard") {
+    import spark.implicits._
+    // [A-Za-z]+ extraction leaves every word set empty: Jaccard over two
+    // empty sets is 0/0, which the kernel must define as 0.0 — otherwise
+    // NaN never beats -Infinity and pick 2 dereferences cs(-1)
+    val docs = Seq(
+      (1L, "数据 处理 引擎"), (2L, "محرك البيانات"), (3L, "测试 文本")
+    ).toDF("doc_id", "text")
+    val cands = Seq(("q", 1L, 0.3), ("q", 2L, 0.9), ("q", 3L, 0.5))
+      .toDF("term", "doc_id", "rel")
+    val out = Mmr.rerank(cands, docs, "term", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._2)
+    // empty-vs-empty sim = 0.0 ⇒ pure relevance order, scores λ·rel
+    assert(out === Seq(
+      (2L, 1L, 0.5 * 0.9), (3L, 2L, 0.5 * 0.5), (1L, 3L, 0.5 * 0.3)))
+  }
+
+  test("rerank: 200-candidate group matches a reference greedy replay") {
+    import spark.implicits._
+    // deterministic synthetic corpus: doc i's words are wa..wg by i mod 7,
+    // xa..xk by i+1 mod 11, ya..ym by i+2 mod 13 — overlapping sets with
+    // varied Jaccard structure. Letters only: wordSets tokenizes on
+    // [A-Za-z]+, so digit-bearing words would collapse every set to {w}.
+    def w(p: Char, m: Long): String = s"$p${('a' + m.toInt).toChar}"
+    val docs = (0L until 200L)
+      .map(i => (i, s"${w('w', i % 7)} ${w('x', (i + 1) % 11)} ${w('y', (i + 2) % 13)}"))
+      .toDF("doc_id", "text")
+    val cands = (0L until 200L)
+      .map(i => ("q", i, ((i * 37) % 101).toDouble / 101.0))
+      .toDF("term", "doc_id", "rel")
+    val k = 20
+    val got = Mmr.rerank(cands, docs, "term", "doc_id", k = k)
+      .orderBy("pick").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // reference replay: the same greedy loop in plain Scala
+    val sets = (0L until 200L).map(i =>
+      Set(w('w', i % 7), w('x', (i + 1) % 11), w('y', (i + 2) % 13))).toArray
+    val rel = (0L until 200L).map(i => ((i * 37) % 101).toDouble / 101.0)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val want = (1 to k).map { pick =>
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      (0 until 200).foreach { i =>
+        if (!selected.contains(i)) {
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map { j =>
+              val inter = sets(i).intersect(sets(j)).size
+              inter.toDouble / (sets(i).size + sets(j).size - inter)
+            }.max
+          val score = 0.5 * rel(i) - 0.5 * maxSim
+          if (score > bestScore) { best = i; bestScore = score }
+        }
+      }
+      selected += best
+      (best.toLong, pick.toLong, bestScore)
+    }
+    assert(got.toSeq === want)
+  }
+
   test("rerank: k caps picks and short groups emit every candidate once") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"))
