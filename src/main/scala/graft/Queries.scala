@@ -1164,10 +1164,12 @@ object Queries {
     val cos = (a: String, b: String) =>
       s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
     s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |cent AS (SELECT e AS ce, row_number() OVER (ORDER BY vec_id) AS cidx
-       |  FROM corpus ORDER BY vec_id LIMIT 16),
        |sa AS (SELECT vec_id, e FROM corpus WHERE vec_id % 2 = 0),
        |sb AS (SELECT vec_id, e FROM corpus WHERE vec_id % 2 = 1),
+       |cent AS (SELECT e AS ce, row_number() OVER (ORDER BY vec_id) AS cidx
+       |  FROM corpus ORDER BY vec_id
+       |  LIMIT (SELECT GREATEST(16, CAST(ceil(sqrt(LEAST(
+       |    (SELECT count(*) FROM sa), (SELECT count(*) FROM sb)))) AS BIGINT)))),
        |asg_a AS (SELECT vec_id AS a_id, e AS ae, cidx AS cell FROM (
        |    SELECT s.vec_id, s.e, cent.cidx,
        |      row_number() OVER (PARTITION BY s.vec_id
@@ -1227,7 +1229,9 @@ object Queries {
        |sb AS (SELECT vec_id, e FROM corpus WHERE vec_id % 2 = 1),
        |sa AS (SELECT vec_id, e FROM corpus WHERE vec_id % 6 = 0),
        |cent AS (SELECT e AS ce, row_number() OVER (ORDER BY vec_id) AS cidx
-       |  FROM sb ORDER BY vec_id LIMIT 16),
+       |  FROM sb ORDER BY vec_id
+       |  LIMIT (SELECT GREATEST(16, CAST(ceil(sqrt(
+       |    (SELECT count(*) FROM sb))) AS BIGINT)))),
        |asg_a AS (SELECT vec_id AS a_id, e AS ae, cidx AS cell FROM (
        |    SELECT s.vec_id, s.e, cent.cidx,
        |      row_number() OVER (PARTITION BY s.vec_id

@@ -642,6 +642,19 @@ object Similarity {
   def bucketId(emb: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column =
     element_at(lshBuckets(emb, dim, tables = 1, bits = bits, seed = seed), 1)
 
+  /** IVF cell-count rule shared by the bitext miners: cells grow with the
+    * corpus as `ceil(sqrt(N))` — the standard IVF index sizing, which
+    * keeps both the per-cell candidate product (N/cells per cell) and the
+    * centroid table (cells vectors on the driver) sub-linear — floored at
+    * 16 so small corpora keep the historical geometry. `N` is the SMALLER
+    * side: the co-cell pair product is bounded by the smaller side's cell
+    * occupancy. Pinned in the SQL oracles as
+    * `GREATEST(16, CEIL(SQRT(LEAST(countA, countB))))` — integer sqrt is
+    * exact in IEEE double well past any real corpus size, so the two
+    * derivations can never disagree. */
+  def deriveCells(nA: Long, nB: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.min(nA, nB).toDouble)).toInt)
+
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019) — the
     * parallel-corpus alignment operator: given two embedding sides A and
     * B (two languages, two snapshots, two modalities), surface the A→B
@@ -673,13 +686,22 @@ object Similarity {
     * sub-quadratic when a caller under-provisions `nCells` for the
     * corpus. 0 disables (the default — at oracle scale nothing caps).
     * The real 100 TB lever is `nCells` itself: cells should scale with
-    * corpus size exactly as an IVF index's do. */
+    * corpus size exactly as an IVF index's do — so `nCells <= 0` (the
+    * default) DERIVES it via [[deriveCells]] from the two side counts,
+    * and the explicit parameter remains a caller override.
+    *
+    * Centroid determinism: the union is ordered by `(vec_id, side)` — A
+    * before B on equal ids — so the selected centroid EMBEDDINGS are
+    * well-defined even when the two sides share vec_id values (sides
+    * need not have disjoint id spaces). */
   def bitextMine(a: DataFrame, b: DataFrame, kNn: Int = 4, tau: Double = 1.05,
-                 nCells: Int = 16, maxCell: Long = 0L): DataFrame = {
-    val union = a.select("vec_id", "embedding")
-      .unionByName(b.select("vec_id", "embedding"))
+                 nCells: Int = 0, maxCell: Long = 0L): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells else deriveCells(a.count(), b.count())
+    val union = a.select(col("vec_id"), col("embedding"), lit(0).as("side"))
+      .unionByName(b.select(col("vec_id"), col("embedding"), lit(1).as("side")))
     val centroids: Array[Array[Double]] = union
-      .orderBy("vec_id").limit(nCells)
+      .orderBy("vec_id", "side").limit(cells)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val cNorms: Array[Double] = centroids.map { c =>
@@ -703,13 +725,20 @@ object Similarity {
     * assignment plus the co-cell mine against the frozen index. The
     * margin normalization is batch-scoped by construction (an endpoint's
     * k-NN mean is over THIS batch's candidates — the mine is
-    * batch-vs-corpus, not corpus-vs-corpus). */
+    * batch-vs-corpus, not corpus-vs-corpus). `nCells <= 0` (the default)
+    * derives the cell count from the HISTORY side via [[deriveCells]] —
+    * the frozen-geometry contract already requires `historyB` unchanged
+    * across runs, so the derived count is stable exactly when the
+    * persisted stage is valid. */
   def bitextMineIncremental(historyB: DataFrame, batchA: DataFrame,
                             kNn: Int = 4, tau: Double = 1.05,
-                            nCells: Int = 16, maxCell: Long = 0L,
+                            nCells: Int = 0, maxCell: Long = 0L,
                             stageLabel: Option[String] = None): DataFrame = {
+    val cells = if (nCells > 0) nCells else {
+      val nB = historyB.count(); deriveCells(nB, nB)
+    }
     val centroids: Array[Array[Double]] = historyB
-      .orderBy("vec_id").limit(nCells)
+      .orderBy("vec_id").limit(cells)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val cNorms: Array[Double] = centroids.map { c =>

@@ -63,7 +63,7 @@ object EmbStream {
   def bitextIngest(batchA: DataFrame, historyB: DataFrame, outDir: String,
                    checkpointDir: String, stageLabel: String,
                    kNn: Int = 4, tau: Double = 1.05,
-                   nCells: Int = 16): Unit = {
+                   nCells: Int = 0): Unit = {
     val q = batchA.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.Similarity.bitextMineIncremental(

@@ -22,6 +22,35 @@ class BitextSpec extends AnyFunSuite with SparkSuite {
     dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
   }
 
+  test("deriveCells: sqrt(min-side) floored at 16 — the IVF sizing rule") {
+    // below 256 on the smaller side the floor holds
+    assert(Similarity.deriveCells(0L, 0L) === 16)
+    assert(Similarity.deriveCells(250L, 250L) === 16)  // the sf0.01 fixture
+    assert(Similarity.deriveCells(256L, 1000000L) === 16)
+    // above it, cells grow as ceil(sqrt(min(|A|, |B|)))
+    assert(Similarity.deriveCells(257L, 1000000L) === 17)
+    assert(Similarity.deriveCells(1000L, 1000L) === 32) // the sf0.1 sides
+    assert(Similarity.deriveCells(1000000L, 10000L) === 100)
+    assert(Similarity.deriveCells(1000000000L, 1000000000L) === 31623)
+  }
+
+  test("bitextMine: derived nCells (default) equals the explicit value " +
+    "the rule computes — no behavior fork between the two spellings") {
+    val n = 40
+    val a = vecs((0 until n).map(i =>
+      (i * 2).toLong -> Array(math.cos(i * 0.3).toFloat,
+        math.sin(i * 0.3).toFloat, (i % 5).toFloat / 5f)): _*)
+    val b = vecs((0 until n).map(i =>
+      (i * 2 + 1).toLong -> Array(math.cos(i * 0.3 + 0.05).toFloat,
+        math.sin(i * 0.3 + 0.05).toFloat, (i % 7).toFloat / 7f)): _*)
+    val derived = Similarity.bitextMine(a, b).collect().map(_.toSeq).toSet
+    val explicit = Similarity
+      .bitextMine(a, b, nCells = Similarity.deriveCells(n.toLong, n.toLong))
+      .collect().map(_.toSeq).toSet
+    assert(derived === explicit)
+    assert(derived.nonEmpty)
+  }
+
   test("bitextMine: exact margins on a hand-checkable two-by-two mine") {
     val a1 = Array(1f, 0f, 0f); val a2 = Array(0.9f, 0.1f, 0f)
     val b1 = Array(1f, 0f, 0f); val b2 = Array(0f, 0f, 1f)
@@ -106,6 +135,27 @@ class BitextSpec extends AnyFunSuite with SparkSuite {
     val r2 = Similarity.bitextMine(a.repartition(7), b.repartition(3))
       .collect().map(_.toSeq).toSet
     assert(r1 === r2)
+    assert(r1.nonEmpty)
+  }
+
+  test("bitextMine: SHARED vec_id spaces stay deterministic — centroid " +
+    "ties break by (vec_id, side), not partition order") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // both sides REUSE ids 0..N: every centroid candidate id is tied
+    // across sides, so without the side tie-break the selected embeddings
+    // would depend on partition order
+    val a = emb.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") / 2).cast("long").as("vec_id"), col("embedding"))
+    val b = emb.filter(col("vec_id") % 2 === 1)
+      .select(((col("vec_id") - 1) / 2).cast("long").as("vec_id"), col("embedding"))
+    val r1 = Similarity.bitextMine(a, b).collect().map(_.toSeq).toSet
+    val r2 = Similarity
+      .bitextMine(a.repartition(5), b.repartition(11), nCells = 16)
+      .collect().map(_.toSeq).toSet
+    assert(r1 === r2) // r1 derives nCells (= 16 at 250 rows), r2 pins it
     assert(r1.nonEmpty)
   }
 }
