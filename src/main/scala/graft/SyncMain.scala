@@ -168,6 +168,18 @@ object SyncMain {
         s""""inserts":${s.inserts},"updates":${s.updates},"deletes":${s.deletes}}""")
       .mkString("[", ",", "]")
 
+  /** -trace / -debug raise log verbosity — the same block as the dump
+    * binary's (paradump.go:3638-3642); parasync parses the same flags, so
+    * a parsed-but-unapplied flag would be a silent no-op. Returns the
+    * level applied (None = flags absent, level untouched) so the spec can
+    * pin the wiring. */
+  def applyLogLevel(spark: SparkSession, cfg: SyncConfig): Option[String] = {
+    val level =
+      if (cfg.trace) Some("TRACE") else if (cfg.debug) Some("DEBUG") else None
+    level.foreach(spark.sparkContext.setLogLevel)
+    level
+  }
+
   def main(args: Array[String]): Unit = {
     val parsed = for {
       stripped <- Cli.stripLocal(args.toSeq, Set("-src"))
@@ -181,6 +193,7 @@ object SyncMain {
         sys.exit(1)
       case Right((src, cfg)) =>
         val spark = GraftSession.get()
+        applyLogLevel(spark, cfg)
         try {
           val stats = run(spark, src, cfg)
           stats.foreach(t => println(

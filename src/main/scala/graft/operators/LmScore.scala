@@ -475,8 +475,13 @@ object LmScore {
           element_at(col("ws"), i + 2).as("w3")))).as("g"))
       .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
       .agg(count(lit(1)).as("c3"))
-    val nTokens = ref.agg(coalesce(sum(size(col("ws"))), lit(0))
-      .cast("long")).head().getLong(0)
+    // N = Σ c1 (every token occurrence contributes 1 to its word's
+    // unigram count) as a ONE-ROW frame cross-joined in, not a separate
+    // driver action: uni's shuffle exchange is already consumed by two
+    // joins, so the N reduce rides the same ReusedExchange and the whole
+    // operator stays a single job over the reference slice
+    val nTok = uni.agg(coalesce(sum(col("c1")), lit(0L))
+      .cast("long").as("n_tok"))
     val pos = toks.filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
         explode(transform(sequence(lit(3), size(col("ws"))),
@@ -501,6 +506,7 @@ object LmScore {
         col("wb") === col("uprev"), "left").drop("uprev")
       .join(uni.select(col("w").as("uw"), col("c1").as("c1w")),
         col("wc") === col("uw"), "left").drop("uw")
+      .crossJoin(broadcast(nTok))
     val s =
       when(col("c3").isNotNull,
         col("c3").cast("double") / col("c2ctx").cast("double"))
@@ -508,7 +514,7 @@ object LmScore {
           lit(0.4) * (col("c2").cast("double") / col("c1prev").cast("double")))
           .otherwise(when(col("c1w").isNotNull,
             lit(0.4) * (lit(0.4) *
-              (col("c1w").cast("double") / lit(nTokens).cast("double"))))
+              (col("c1w").cast("double") / col("n_tok").cast("double"))))
             .otherwise(lit(0.0))))
     val perDoc = joined.select(col("doc_id"), col("i"), s.as("s"))
       .groupBy("doc_id")

@@ -1020,4 +1020,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("graft_stage_") && p.contains("bitext_idx_"),
       s"persisted index files not in the plan:\n${p.take(3000)}")
   }
+
+  test("lm_stupid_backoff: N is a one-row aggregate INSIDE the plan (cross " +
+    "broadcast), not a separate driver action before it") {
+    import org.apache.spark.sql.functions._
+    // construction must be lazy: a corpus whose text column raises on
+    // evaluation builds fine — the old code ran a blocking sum(size(ws))
+    // job right here
+    import spark.implicits._
+    val poisoned = Seq((1L, "a b c")).toDF("doc_id", "raw").select(col("doc_id"),
+      when(col("doc_id") >= 0, expr("raise_error('eager construction')"))
+        .otherwise(col("raw")).as("text"))
+    val lazyBuilt = graft.operators.LmScore
+      .stupidBackoff(poisoned, col("doc_id") === 1L) // must not throw
+    assert(lazyBuilt.columns.toSeq === Seq("doc_id", "n_scored", "sb_sum"))
+    // and the real query carries the N fold in-plan: a one-row n_tok
+    // aggregate cross-broadcast into the scoring join
+    val p = plan("lm_stupid_backoff")
+    assert(p.contains("n_tok"),
+      s"N not plan-side (driver literal regression):\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
+      s"one-row N frame should cross-broadcast:\n${p.take(3000)}")
+  }
 }

@@ -56,6 +56,23 @@ class SyncMainSpec extends AnyFunSuite with SparkSuite {
     assert(again.head.inserts == 0 && again.head.updates == 0 && again.head.deletes == 0)
   }
 
+  test("sync -debug/-trace set the session log level — not silent no-ops") {
+    import org.apache.logging.log4j.{Level, LogManager}
+    val before = LogManager.getRootLogger.getLevel
+    try {
+      val base = Seq("-table", "t", "-dst", "jdbc:x")
+      val none = Cli.parseSync(base).toOption.get
+      assert(SyncMain.applyLogLevel(spark, none) === None)
+      val dbg = Cli.parseSync(base :+ "-debug").toOption.get
+      assert(SyncMain.applyLogLevel(spark, dbg) === Some("DEBUG"))
+      assert(LogManager.getRootLogger.getLevel === Level.DEBUG)
+      // -trace wins when both are set, like the dump binary
+      val both = Cli.parseSync(base ++ Seq("-debug", "-trace")).toOption.get
+      assert(SyncMain.applyLogLevel(spark, both) === Some("TRACE"))
+      assert(LogManager.getRootLogger.getLevel === Level.TRACE)
+    } finally spark.sparkContext.setLogLevel(before.toString)
+  }
+
   test("parseSync validation matrix") {
     assert(Cli.parseSync(Seq("-dst", "jdbc:x")).isLeft) // no tables
     assert(Cli.parseSync(Seq("-table", "t")).isLeft) // no dst

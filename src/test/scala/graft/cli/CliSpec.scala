@@ -94,6 +94,14 @@ class CliSpec extends AnyFunSuite {
     assert(got == Right((Map("-src" -> "/d", "-dumpdir" -> "/out"), Seq("-db", "x"))))
   }
 
+  test("-dumpdir with no value fails exactly like -o (same validation exit)") {
+    val flags = Set("-src", "-o", "-dumpdir")
+    assert(Cli.stripLocal(Seq("-src", "/d", "-o"), flags)
+      === Left("-o: missing value"))
+    assert(Cli.stripLocal(Seq("-src", "/d", "-dumpdir"), flags)
+      === Left("-dumpdir: missing value"))
+  }
+
   test("stripLocal leaves a local-flag lookalike alone when it is a reference flag's value") {
     // `-exclude -src` means "exclude tables matching '-src'", not a -src flag
     val got = Cli.stripLocal(
