@@ -1,0 +1,420 @@
+package graft.functions
+
+/** Validating tokenizer/parser for the MySQL text surface this engine
+  * EMITS — the machine check the mysqldump oracle provides when a live
+  * server is available (reference `test/run_test.sh:267-313` diffs engine
+  * output against mysqldump; with no server in the loop, this grammar is
+  * the strict stand-in). It accepts exactly the canonical forms the
+  * generators produce and nothing looser, so one dropped escape, one bare
+  * quote, or one truncated `_binary` keyword flips a whole statement to
+  * `Left`:
+  *
+  *  - INSERT statements ([[graft.operators.InsertGen]] /
+  *    [[graft.operators.FidelityGen.MySql]]): `INSERT INTO t [(c,...)]
+  *    VALUES (v,...)[,(v,...)];` with NULL / numeric / boolean /
+  *    `'F1-escaped'` / `_binary 'F2-escaped'` / `0x<hex>` values;
+  *  - row-DML ([[graft.sync.DiffSync.dmlStatementsDialect]]): UPDATE with
+  *    `SET c = v` lists and full-row `WHERE c = v | c IS NULL` conjuncts,
+  *    DELETE with the same WHERE;
+  *  - boundary-walk paging ([[graft.sources.JdbcBoundaryWalk]]): `SELECT
+  *    cols FROM t [WHERE <or-of-ands>] ORDER BY cols LIMIT <offset>, 1`;
+  *  - dump-file session headers ([[graft.sinks.SqlDumpSink.sqlHeader]]):
+  *    the `SET NAMES/TIME_ZONE` lines.
+  *
+  * Strictness contract (what "canonical" means here):
+  *  - inside a `'...'` string body every one of NUL \n \r 0x1A " ' \
+  *    MUST appear escaped (`\0 \n \r \Z \" \' \\`) — a raw occurrence is
+  *    rejected even where the MySQL server would tolerate it, because the
+  *    F1 kernel always escapes it (a raw one in engine output can only be
+  *    a dropped escape);
+  *  - inside a `_binary '...'` body the same set must be escaped, and a
+  *    backslash may additionally prefix a raw 0xC2-0xF7 lead byte (the F2
+  *    invalid-UTF-8 rule); all body chars must be <= 0xFF (the literal is
+  *    ISO-8859-1 bytes by construction);
+  *  - `0x` hex literals must be lowercase and even-length;
+  *  - numbers are plain decimal (`-?d+[.d+]`) — the float canonicalizers
+  *    never emit exponent forms.
+  *
+  * Decoded values are returned so round-trip specs can assert
+  * `decode(render(x)) == x` against the ORIGINAL input, independent of
+  * the escape kernels. */
+object MySqlLiteral {
+
+  sealed trait Value
+  case object NullV extends Value
+  final case class BoolV(b: Boolean) extends Value
+  final case class NumV(text: String) extends Value
+  final case class StrV(s: String) extends Value
+  final case class BinV(bytes: Array[Byte]) extends Value
+  final case class HexV(bytes: Array[Byte]) extends Value
+
+  final case class Insert(table: String, columns: Seq[String],
+                          rows: Seq[Seq[Value]])
+
+  /** Cursor-based strict scanner. Every `fail` carries the position so a
+    * spec failure names the corrupt byte. */
+  private final class P(val s: String) {
+    var i = 0
+    def eof: Boolean = i >= s.length
+    def peek: Char = s.charAt(i)
+    def fail[A](msg: String): Either[String, A] =
+      Left(s"$msg at $i in: ${s.take(200)}")
+    def lit(tok: String): Either[String, Unit] =
+      if (s.startsWith(tok, i)) { i += tok.length; Right(()) }
+      else fail(s"expected '$tok'")
+    def wsOpt(): Unit = while (!eof && s.charAt(i) == ' ') i += 1
+  }
+
+  private def isIdentStart(c: Char) = c == '_' || Character.isLetter(c)
+  private def isIdentPart(c: Char) = c == '_' || Character.isLetterOrDigit(c)
+
+  /** `name`, `` `name` ``, or dot-qualified chains of either. */
+  private def ident(p: P): Either[String, String] = {
+    def seg(): Either[String, String] =
+      if (!p.eof && p.peek == '`') {
+        val start = p.i + 1
+        val end = p.s.indexOf('`', start)
+        if (end < 0) p.fail("unterminated backtick identifier")
+        else if (end == start) p.fail("empty backtick identifier")
+        else { p.i = end + 1; Right(p.s.substring(start, end)) }
+      } else if (!p.eof && isIdentStart(p.peek)) {
+        val start = p.i
+        while (!p.eof && isIdentPart(p.peek)) p.i += 1
+        Right(p.s.substring(start, p.i))
+      } else p.fail("expected identifier")
+    seg().flatMap { first =>
+      var acc = first
+      var err: Option[String] = None
+      while (err.isEmpty && !p.eof && p.peek == '.') {
+        p.i += 1
+        seg() match {
+          case Right(sg) => acc = acc + "." + sg
+          case Left(e) => err = Some(e)
+        }
+      }
+      err.toLeft(acc)
+    }
+  }
+
+  private val escSub: Map[Char, Char] = Map(
+    '0' -> '\u0000', 'n' -> '\n', 'r' -> '\r', 'Z' -> '\u001a',
+    '"' -> '"', '\'' -> '\'', '\\' -> '\\')
+
+  /** Chars the F1/F2 kernels ALWAYS escape — raw occurrence = corruption. */
+  private def mustEscape(c: Char): Boolean =
+    c == '\u0000' || c == '\n' || c == '\r' || c == '\u001a' ||
+      c == '"' || c == '\'' || c == '\\'
+
+  /** Strict F1 string literal: cursor on the opening quote. */
+  private def stringLit(p: P): Either[String, String] = {
+    if (p.eof || p.peek != '\'') return p.fail("expected string literal")
+    p.i += 1
+    val b = new java.lang.StringBuilder
+    while (!p.eof) {
+      val c = p.peek
+      if (c == '\'') { p.i += 1; return Right(b.toString) }
+      else if (c == '\\') {
+        if (p.i + 1 >= p.s.length) return p.fail("dangling backslash")
+        val e = p.s.charAt(p.i + 1)
+        escSub.get(e) match {
+          case Some(sub) => b.append(sub); p.i += 2
+          case None => return p.fail(s"invalid escape \\$e in string literal")
+        }
+      } else if (mustEscape(c)) {
+        return p.fail(f"raw 0x${c.toInt}%02x must be escaped in string literal")
+      } else { b.append(c); p.i += 1 }
+    }
+    p.fail("unterminated string literal")
+  }
+
+  /** Strict F2 `_binary '...'` body: cursor on the opening quote. */
+  private def binaryLit(p: P): Either[String, Array[Byte]] = {
+    if (p.eof || p.peek != '\'') return p.fail("expected binary literal body")
+    p.i += 1
+    val out = new java.io.ByteArrayOutputStream
+    while (!p.eof) {
+      val c = p.peek
+      if (c == '\'') { p.i += 1; return Right(out.toByteArray) }
+      else if (c > '\u00ff') return p.fail("non-ISO-8859-1 char in binary literal")
+      else if (c == '\\') {
+        if (p.i + 1 >= p.s.length) return p.fail("dangling backslash")
+        val e = p.s.charAt(p.i + 1)
+        escSub.get(e) match {
+          case Some(sub) => out.write(sub.toInt); p.i += 2
+          case None if e >= '\u00c2' && e <= '\u00f7' =>
+            // F2 writes a bare backslash before an invalid UTF-8 lead byte
+            out.write(e.toInt); p.i += 2
+          case None => return p.fail(s"invalid escape \\$e in binary literal")
+        }
+      } else if (mustEscape(c)) {
+        return p.fail(f"raw 0x${c.toInt}%02x must be escaped in binary literal")
+      } else { out.write(c.toInt); p.i += 1 }
+    }
+    p.fail("unterminated binary literal")
+  }
+
+  private def number(p: P): Either[String, String] = {
+    val start = p.i
+    if (!p.eof && p.peek == '-') p.i += 1
+    val digitsStart = p.i
+    while (!p.eof && p.peek.isDigit) p.i += 1
+    if (p.i == digitsStart) return p.fail("expected digits")
+    if (!p.eof && p.peek == '.') {
+      p.i += 1
+      val fracStart = p.i
+      while (!p.eof && p.peek.isDigit) p.i += 1
+      if (p.i == fracStart) return p.fail("expected fraction digits")
+    }
+    Right(p.s.substring(start, p.i))
+  }
+
+  /** One value in the emitted literal vocabulary. */
+  private def value(p: P): Either[String, Value] = {
+    if (p.s.startsWith("NULL", p.i)) { p.i += 4; Right(NullV) }
+    else if (p.s.startsWith("true", p.i)) { p.i += 4; Right(BoolV(true)) }
+    else if (p.s.startsWith("false", p.i)) { p.i += 5; Right(BoolV(false)) }
+    else if (p.s.startsWith("_binary '", p.i)) {
+      p.i += "_binary ".length
+      binaryLit(p).map(BinV.apply)
+    } else if (p.s.startsWith("0x", p.i)) {
+      p.i += 2
+      val start = p.i
+      while (!p.eof && ((p.peek >= '0' && p.peek <= '9') ||
+        (p.peek >= 'a' && p.peek <= 'f'))) p.i += 1
+      val hex = p.s.substring(start, p.i)
+      if (hex.length % 2 != 0) p.fail("odd-length hex literal")
+      else Right(HexV(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray))
+    } else if (!p.eof && p.peek == '\'') stringLit(p).map(StrV.apply)
+    else if (!p.eof && (p.peek == '-' || p.peek.isDigit)) number(p).map(NumV.apply)
+    else p.fail("expected value")
+  }
+
+  private def valueTuple(p: P): Either[String, Seq[Value]] = {
+    for {
+      _ <- p.lit("(")
+      first <- value(p)
+      rest <- {
+        var acc = scala.collection.mutable.ArrayBuffer(first)
+        var err: Option[String] = None
+        while (err.isEmpty && !p.eof && p.peek == ',') {
+          p.i += 1
+          value(p) match {
+            case Right(v) => acc += v
+            case Left(e) => err = Some(e)
+          }
+        }
+        err.toLeft(acc.toSeq)
+      }
+      _ <- p.lit(")")
+    } yield rest
+  }
+
+  /** Validating parse of one emitted INSERT statement. */
+  def parseInsert(stmt: String): Either[String, Insert] = {
+    val p = new P(stmt)
+    for {
+      _ <- p.lit("INSERT INTO ")
+      table <- ident(p)
+      cols <- {
+        p.wsOpt()
+        if (!p.eof && p.peek == '(') {
+          // distinguish a column list from the first VALUES tuple: the
+          // generators always write ` VALUES ` between them, so a '(' here
+          // is only a column list if "VALUES" has not been consumed yet
+          val save = p.i
+          p.i += 1
+          ident(p) match {
+            case Right(first) =>
+              var acc = scala.collection.mutable.ArrayBuffer(first)
+              var err: Option[String] = None
+              while (err.isEmpty && !p.eof && p.peek == ',') {
+                p.i += 1
+                ident(p) match {
+                  case Right(c) => acc += c
+                  case Left(e) => err = Some(e)
+                }
+              }
+              err match {
+                case Some(e) => Left(e)
+                case None => p.lit(")").map(_ => acc.toSeq)
+              }
+            case Left(_) => p.i = save; Right(Seq.empty[String])
+          }
+        } else Right(Seq.empty[String])
+      }
+      _ <- { p.wsOpt(); p.lit("VALUES ") }
+      rows <- {
+        valueTuple(p).flatMap { first =>
+          var acc = scala.collection.mutable.ArrayBuffer(first)
+          var err: Option[String] = None
+          while (err.isEmpty && !p.eof && p.peek == ',') {
+            p.i += 1
+            valueTuple(p) match {
+              case Right(t) => acc += t
+              case Left(e) => err = Some(e)
+            }
+          }
+          err.toLeft(acc.toSeq)
+        }
+      }
+      _ <- p.lit(";")
+      _ <- if (p.eof) Right(()) else p.fail[Unit]("trailing garbage")
+      _ <- if (rows.forall(_.length == rows.head.length)) Right(())
+           else p.fail[Unit]("ragged VALUES tuples")
+      _ <- if (cols.isEmpty || rows.forall(_.length == cols.length)) Right(())
+           else p.fail[Unit]("tuple arity != column list arity")
+    } yield Insert(table, cols, rows)
+  }
+
+  private def condition(p: P): Either[String, Unit] =
+    ident(p).flatMap { _ =>
+      if (p.s.startsWith(" IS NULL", p.i)) { p.i += 8; Right(()) }
+      else for { _ <- p.lit(" = "); _ <- value(p) } yield ()
+    }
+
+  /** Validating parse of one emitted row-DML statement (I/U/D). */
+  def parseDml(stmt: String): Either[String, Unit] = {
+    if (stmt.startsWith("INSERT INTO ")) return parseInsert(stmt).map(_ => ())
+    val p = new P(stmt)
+    if (stmt.startsWith("UPDATE ")) {
+      for {
+        _ <- p.lit("UPDATE ")
+        _ <- ident(p)
+        _ <- p.lit(" SET ")
+        _ <- assignment(p)
+        _ <- {
+          var err: Option[String] = None
+          while (err.isEmpty && p.s.startsWith(", ", p.i)) {
+            p.i += 2
+            assignment(p) match {
+              case Right(_) => ()
+              case Left(e) => err = Some(e)
+            }
+          }
+          err.toLeft(())
+        }
+        _ <- p.lit(" WHERE ")
+        _ <- whereConjuncts(p)
+        _ <- p.lit(";")
+        _ <- if (p.eof) Right(()) else p.fail[Unit]("trailing garbage")
+      } yield ()
+    } else if (stmt.startsWith("DELETE FROM ")) {
+      for {
+        _ <- p.lit("DELETE FROM ")
+        _ <- ident(p)
+        _ <- p.lit(" WHERE ")
+        _ <- whereConjuncts(p)
+        _ <- p.lit(";")
+        _ <- if (p.eof) Right(()) else p.fail[Unit]("trailing garbage")
+      } yield ()
+    } else Left(s"not an emitted DML statement: ${stmt.take(80)}")
+  }
+
+  private def assignment(p: P): Either[String, Unit] =
+    for { _ <- ident(p); _ <- p.lit(" = "); _ <- value(p) } yield ()
+
+  private def whereConjuncts(p: P): Either[String, Unit] = {
+    condition(p).flatMap { _ =>
+      var err: Option[String] = None
+      while (err.isEmpty && p.s.startsWith(" AND ", p.i)) {
+        p.i += 5
+        condition(p) match {
+          case Right(_) => ()
+          case Left(e) => err = Some(e)
+        }
+      }
+      err.toLeft(())
+    }
+  }
+
+  // -- boundary-walk paging text ---------------------------------------
+
+  /** `(pred)` grammar of [[graft.chunk.Predicates.sqlText]]: OR-of-ANDs
+    * over comparisons, `(1 = 1)`, and the leading-null disjunct. */
+  private def predicate(p: P): Either[String, Unit] = orExpr(p)
+
+  private def orExpr(p: P): Either[String, Unit] =
+    andExpr(p).flatMap { _ =>
+      var err: Option[String] = None
+      while (err.isEmpty && p.s.startsWith(" OR ", p.i)) {
+        p.i += 4
+        andExpr(p) match {
+          case Right(_) => ()
+          case Left(e) => err = Some(e)
+        }
+      }
+      err.toLeft(())
+    }
+
+  private def andExpr(p: P): Either[String, Unit] =
+    atom(p).flatMap { _ =>
+      var err: Option[String] = None
+      while (err.isEmpty && p.s.startsWith(" AND ", p.i)) {
+        p.i += 5
+        atom(p) match {
+          case Right(_) => ()
+          case Left(e) => err = Some(e)
+        }
+      }
+      err.toLeft(())
+    }
+
+  private def atom(p: P): Either[String, Unit] =
+    if (!p.eof && p.peek == '(')
+      for { _ <- p.lit("("); _ <- predicate(p); _ <- p.lit(")") } yield ()
+    else if (!p.eof && p.peek.isDigit)
+      // the degenerate full-range predicate renders `1 = 1`
+      for { _ <- number(p); _ <- p.lit(" = "); _ <- number(p) } yield ()
+    else
+      ident(p).flatMap { _ =>
+        if (p.s.startsWith(" IS NULL", p.i)) { p.i += 8; Right(()) }
+        else {
+          val op = Seq(" >= ", " <= ", " > ", " < ", " = ")
+            .find(o => p.s.startsWith(o, p.i))
+          op match {
+            case Some(o) => p.i += o.length; value(p).map(_ => ())
+            case None => p.fail("expected comparison operator")
+          }
+        }
+      }
+
+  /** Validating parse of the MySQL boundary-walk paging query:
+    * `SELECT cols FROM t [WHERE pred] ORDER BY cols LIMIT <offset>, 1`. */
+  def parsePageSql(sql: String): Either[String, Unit] = {
+    val p = new P(sql)
+    def identList(): Either[String, Unit] =
+      ident(p).flatMap { _ =>
+        var err: Option[String] = None
+        while (err.isEmpty && p.s.startsWith(", ", p.i)) {
+          p.i += 2
+          ident(p) match {
+            case Right(_) => ()
+            case Left(e) => err = Some(e)
+          }
+        }
+        err.toLeft(())
+      }
+    for {
+      _ <- p.lit("SELECT ")
+      _ <- identList()
+      _ <- p.lit(" FROM ")
+      _ <- ident(p)
+      _ <- if (p.s.startsWith(" WHERE ", p.i)) { p.i += 7; predicate(p) }
+           else Right(())
+      _ <- p.lit(" ORDER BY ")
+      _ <- identList()
+      _ <- p.lit(" LIMIT ")
+      off <- number(p)
+      _ <- if (off.forall(_.isDigit)) Right(())
+           else p.fail[Unit]("LIMIT offset must be a bare non-negative int")
+      _ <- p.lit(", 1")
+      _ <- if (p.eof) Right(()) else p.fail[Unit]("trailing garbage")
+    } yield ()
+  }
+
+  /** One line of a dump FILE: the SET session headers or an INSERT. */
+  def parseDumpLine(line: String): Either[String, Unit] =
+    if (line == "SET NAMES utf8mb4;" || line == "SET TIME_ZONE='+00:00';")
+      Right(())
+    else parseInsert(line).map(_ => ())
+}

@@ -1,0 +1,252 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MySqlLiteral._
+
+/** The MySQL-surface machine check (the mysqldump-oracle pattern of
+  * reference `test/run_test.sh:267-313`, run against a grammar instead of
+  * a server): every statement the engine emits must PARSE under the
+  * strict canonical grammar and decode back to the exact input values,
+  * and every seeded corruption mutant must be REJECTED. */
+class MySqlLiteralSpec extends AnyFunSuite with SparkSuite {
+
+  // -- hostile inputs ----------------------------------------------------
+
+  private val hostileStrings: Seq[String] = {
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet: Array[Char] = Array(
+      '\u0000', '\n', '\r', '\u001a', '"', '\'', '\\', 'a', 'Z', '0', ' ',
+      ',', '(', ')', ';', '%', '_', 'é', '✓', 'Â', '÷', '￿')
+    val fixed = Seq(
+      "", "plain", "it's", "two''quotes", "back\\slash", "nl\nnl",
+      "\u0000lead-nul", "trail-sub\u001a", "\\", "'", "'; DROP TABLE x; --",
+      "mixed ' \" \\ \n \r \u001a \u0000 end", "héllo ✓ wörld")
+    fixed ++ (1 to 60).map { _ =>
+      val n = rnd.nextInt(24)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+  }
+
+  private val hostileBytes: Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(42L)
+    val fixed = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0, 1, 2, 3),
+      Seq(0x27, 0x5c, 0x22, 0x0a, 0x0d, 0x1a, 0x00).map(_.toByte).toArray,
+      "héllo ✓".getBytes("UTF-8"),
+      Seq(0xed, 0xa0, 0xbd, 0xed, 0xb2, 0xa9).map(_.toByte).toArray, // CESU-8
+      Seq(0xc3, 0x28).map(_.toByte).toArray,       // truncated 2-byte seq
+      Seq(0xe0, 0x80, 0x80).map(_.toByte).toArray, // overlong
+      Seq(0xf8, 0xff, 0x80).map(_.toByte).toArray) // pass range
+    fixed ++ (1 to 40).map { _ =>
+      val b = new Array[Byte](rnd.nextInt(32)); rnd.nextBytes(b); b
+    }
+  }
+
+  // -- 1. round-trip: the REAL render paths parse and decode exactly ----
+
+  test("FidelityGen MySQL statements parse and decode back to the input " +
+    "(hostile strings + bytes, randomized)") {
+    import spark.implicits._
+    val rows = hostileStrings.zipAll(hostileBytes, "pad", Array[Byte](9))
+      .zipWithIndex.map { case ((s, b), i) => (i.toLong, s, b, i * 1.25) }
+    val df = rows.toDF("id", "s", "b", "d")
+    val stmts = graft.operators.FidelityGen
+      .insertStatements(df, "hostile", graft.operators.FidelityGen.MySql,
+        insertSize = 7)
+      .collect()
+    val decoded = stmts.flatMap { st =>
+      val parsed = parseInsert(st)
+      assert(parsed.isRight, s"engine output rejected: $parsed")
+      parsed.toOption.get.rows
+    }.map { vs =>
+      val Seq(NumV(id), sv, bv, dv) = vs: @unchecked
+      (id.toLong, sv, bv, dv)
+    }.sortBy(_._1)
+    assert(decoded.length === rows.length)
+    rows.zip(decoded).foreach { case ((id, s, b, d), (pid, sv, bv, dv)) =>
+      assert(pid === id)
+      assert(sv === StrV(s), s"string row $id")
+      assert(java.util.Arrays.equals(bv.asInstanceOf[BinV].bytes, b),
+        s"binary row $id")
+      assert(dv === NumV(graft.functions.Escapes.doubleCanonical(d)))
+    }
+  }
+
+  test("InsertGen (expression path) statements parse; hex literals decode " +
+    "to the exact bytes") {
+    import spark.implicits._
+    val rows = hostileStrings.take(30).zip(hostileBytes.take(30))
+      .zipWithIndex.map { case ((s, b), i) => (i.toLong, s, b) }
+    val df = rows.toDF("id", "s", "b")
+    val stmts = graft.operators.InsertGen
+      .insertStatements(df, "hostile", insertSize = 5, withColumnList = true)
+      .collect()
+    val decoded = stmts.flatMap { st =>
+      val parsed = parseInsert(st)
+      assert(parsed.isRight, s"engine output rejected: $parsed")
+      assert(parsed.toOption.get.columns === Seq("id", "s", "b"))
+      parsed.toOption.get.rows
+    }.map { vs =>
+      val Seq(NumV(id), sv, bv) = vs: @unchecked
+      (id.toLong, sv, bv)
+    }.sortBy(_._1)
+    rows.zip(decoded).foreach { case ((id, s, b), (pid, sv, bv)) =>
+      assert(pid === id)
+      assert(sv === StrV(s), s"string row $id")
+      assert(java.util.Arrays.equals(bv.asInstanceOf[HexV].bytes, b),
+        s"hex row $id")
+    }
+  }
+
+  // -- 2. golden dump artifacts: every line of every file parses --------
+
+  test("every line of a MySQL dump artifact (headers + batched INSERTs, " +
+    "lineitem + a hostile table) parses") {
+    import spark.implicits._
+    val out1 = java.nio.file.Files
+      .createTempDirectory("mysql_dump_li").toFile.getAbsolutePath
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    graft.sinks.SqlDumpSink.write(li, "tpch", "lineitem", out1,
+      insertSize = 100, dialect = Some(graft.operators.FidelityGen.MySql))
+    val out2 = java.nio.file.Files
+      .createTempDirectory("mysql_dump_hostile").toFile.getAbsolutePath
+    val hostile = hostileStrings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s").repartition(2)
+    graft.sinks.SqlDumpSink.write(hostile, "x", "hostile", out2,
+      insertSize = 9, dialect = Some(graft.operators.FidelityGen.MySql))
+    var lines = 0
+    Seq(out1, out2).foreach { out =>
+      spark.read.textFile(out).collect().foreach { line =>
+        val r = parseDumpLine(line)
+        assert(r.isRight, s"dump line rejected: $r")
+        lines += 1
+      }
+    }
+    assert(lines > 10)
+  }
+
+  test("row-DML (MySQL dialect) statements all parse: INSERT/UPDATE/DELETE " +
+    "with full-row WHERE and IS NULL conjuncts") {
+    import spark.implicits._
+    val fields = Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))
+    val src = Seq((1L, "one's"), (2L, "two\\2"), (3L, null.asInstanceOf[String]),
+      (5L, "ins\nert")).toDF("k", "v")
+    val dst = Seq((1L, "one's"), (2L, "stale"), (3L, "was-set"),
+      (4L, null.asInstanceOf[String])).toDF("k", "v")
+    val diff = graft.sync.DiffSync.diff(src, dst, Seq("k"))
+    val stmts = graft.sync.DiffSync.dmlStatementsDialect(
+      diff, "t", fields, Seq("k"), graft.operators.FidelityGen.MySql)
+      .collect().map(_.getString(0))
+    assert(stmts.length === 4) // I(5), U(2), U(3 -> null? no: src null) , D(4)
+    stmts.foreach { st =>
+      val r = parseDml(st)
+      assert(r.isRight, s"DML rejected: $r")
+    }
+    assert(stmts.exists(_.startsWith("INSERT INTO ")))
+    assert(stmts.exists(_.startsWith("UPDATE ")))
+    assert(stmts.exists(_.startsWith("DELETE FROM ")))
+    assert(stmts.exists(_.contains(" IS NULL")))
+  }
+
+  test("boundary-walk MySQL paging text parses, with and without the " +
+    "OR-of-ANDs lower bound") {
+    val noBound = graft.sources.JdbcBoundaryWalk.pageSql(
+      "lineitem", Seq("l_orderkey", "l_linenumber"), None, 0L,
+      "jdbc:mysql://h/db")
+    assert(parsePageSql(noBound).isRight, noBound)
+    val where = graft.chunk.Predicates.strictLowerSql(
+      Seq("l_orderkey", "l_linenumber"), Seq("15", "3"))
+    val bounded = graft.sources.JdbcBoundaryWalk.pageSql(
+      "lineitem", Seq("l_orderkey", "l_linenumber"), Some(where), 9999L,
+      "jdbc:mysql://h/db")
+    assert(parsePageSql(bounded).isRight, bounded)
+    // the degenerate full-range predicate and the leading-null disjunct
+    val full = graft.chunk.Predicates.sqlText(
+      Seq("a"), graft.chunk.Predicates.Range(None, None))
+    val nullLead = graft.chunk.Predicates.sqlText(
+      Seq("a", "b"),
+      graft.chunk.Predicates.Range(None, Some(Seq("7", "'x'"))))
+    Seq(full, nullLead).foreach { w =>
+      val sql = graft.sources.JdbcBoundaryWalk.pageSql(
+        "t", Seq("a", "b"), Some(w), 3L, "jdbc:mariadb://h/db")
+      assert(parsePageSql(sql).isRight, sql)
+    }
+  }
+
+  // -- 3. corruption mutants: every one must be rejected -----------------
+
+  test("seeded corruption mutants are all rejected") {
+    val good = "INSERT INTO t VALUES (1,'a\\'b',_binary 'x\\0y',0x0aff,NULL);"
+    assert(parseInsert(good).isRight)
+    val mutants = Seq(
+      // dropped escape backslash: the quote now terminates early
+      "INSERT INTO t VALUES (1,'a'b',_binary 'x\\0y',0x0aff,NULL);",
+      // dropped escape backslash inside _binary: raw NUL-sub digit is fine
+      // but a dropped \ before the quote is not
+      "INSERT INTO t VALUES (1,'a\\'b',_binary 'x\\0y'',0x0aff,NULL);",
+      // bare quote appended inside the string body
+      "INSERT INTO t VALUES (1,'a\\'b'',_binary 'x\\0y',0x0aff,NULL);",
+      // truncated _binary keyword
+      "INSERT INTO t VALUES (1,'a\\'b',_binar 'x\\0y',0x0aff,NULL);",
+      // raw newline where the kernel always escapes it
+      "INSERT INTO t VALUES (1,'a\nb',_binary 'x\\0y',0x0aff,NULL);",
+      // raw carriage return inside the binary body
+      "INSERT INTO t VALUES (1,'a\\'b',_binary 'x\ry',0x0aff,NULL);",
+      // dangling backslash at end of literal
+      "INSERT INTO t VALUES (1,'a\\',_binary 'x\\0y',0x0aff,NULL);",
+      // invalid escape letter
+      "INSERT INTO t VALUES (1,'a\\qb',_binary 'x\\0y',0x0aff,NULL);",
+      // odd-length hex literal
+      "INSERT INTO t VALUES (1,'a\\'b',_binary 'x\\0y',0x0af,NULL);",
+      // uppercase hex (the renderer lowercases)
+      "INSERT INTO t VALUES (1,'a\\'b',_binary 'x\\0y',0x0AFF,NULL);",
+      // unterminated string literal
+      "INSERT INTO t VALUES (1,'a\\'b,_binary 'x\\0y',0x0aff,NULL);",
+      // lost semicolon
+      "INSERT INTO t VALUES (1,'a\\'b',_binary 'x\\0y',0x0aff,NULL)",
+      // trailing garbage after the statement
+      "INSERT INTO t VALUES (1,'a\\'b',_binary 'x\\0y',0x0aff,NULL); --",
+      // ragged tuples
+      "INSERT INTO t VALUES (1,'a'),(2);",
+      // arity != column list
+      "INSERT INTO t (a,b) VALUES (1);",
+      // lowercase keyword (the generators emit exact case)
+      "insert into t VALUES (1);",
+      // NUL smuggled raw into the string body
+      "INSERT INTO t VALUES (1,'a\u0000b');",
+      // 0x1A smuggled raw into the binary body
+      "INSERT INTO t VALUES (1,_binary 'a\u001ab');")
+    mutants.foreach { m =>
+      assert(parseInsert(m).isLeft, s"mutant accepted: ${m.take(80)}")
+    }
+    // DML mutants
+    assert(parseDml("UPDATE t SET v = 'x' WHERE k = 1;").isRight)
+    assert(parseDml("UPDATE t SET v = 'x' WHERE k = 1").isLeft)   // no ;
+    assert(parseDml("UPDATE t SET v = 'x WHERE k = 1;").isLeft)   // bare '
+    assert(parseDml("DELETE FROM t WHERE v IS NULL AND k = 2;").isRight)
+    assert(parseDml("DELETE FROM t WHERE v ISNULL;").isLeft)
+    // paging mutants
+    assert(parsePageSql("SELECT a FROM t ORDER BY a LIMIT 5, 1").isRight)
+    assert(parsePageSql("SELECT a FROM t ORDER BY a LIMIT 5, 2").isLeft)
+    assert(parsePageSql("SELECT a FROM t ORDER BY a LIMIT -5, 1").isLeft)
+    assert(parsePageSql("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 1").isLeft)
+  }
+
+  test("backtick identifiers parse in statements and reject when " +
+    "unterminated or empty") {
+    assert(parseInsert("INSERT INTO `order table` VALUES (1);").isRight)
+    assert(parseInsert("INSERT INTO `a`.`b` (`k`,`v`) VALUES (1,'x');").isRight)
+    assert(parseInsert("INSERT INTO `a VALUES (1);").isLeft)
+    assert(parseInsert("INSERT INTO `` VALUES (1);").isLeft)
+    // the snapshot-stage column list spelling: backticked idents in SELECT
+    assert(parsePageSql(
+      "SELECT `k`, `v` FROM `t` ORDER BY `k` LIMIT 0, 1").isRight)
+  }
+}

@@ -74,6 +74,10 @@ class BinaryDumpSpec extends AnyFunSuite with SparkSuite {
     val stmts = FidelityGen.insertStatements(
       sourceDf, "bin_rt", FidelityGen.MySql, insertSize = 1).collect()
     assert(stmts.length == payloads.length + 1)
+    // strict-grammar machine check on top of the permissive decoder below
+    // (MySqlLiteralSpec carries the mutant-rejection side)
+    stmts.foreach(s => assert(
+      graft.functions.MySqlLiteral.parseInsert(s).isRight, s))
     // DOTALL: pass-through bytes include 0x85 (U+0085 NEL), a Java regex
     // line terminator that plain `.` refuses to match
     val prefixRe = """(?s)INSERT INTO bin_rt VALUES \((\d+),(.*)\);""".r

@@ -29,6 +29,11 @@ class FidelityGenSpec extends AnyFunSuite with SparkSuite {
     assert(lines(0) == "INSERT INTO t VALUES (1,'it\\'s\\na\\\\test',_binary '\\0Aÿ',1.5);")
     assert(lines(1) == "INSERT INTO t VALUES (2,NULL,NULL,NULL);")
     assert(lines(2) == "INSERT INTO t VALUES (3,'héllo',_binary '\\'',12345678);")
+    // the machine check (MySqlLiteral): every emitted statement parses
+    // under the strict canonical grammar — see MySqlLiteralSpec for the
+    // round-trip + mutant coverage
+    lines.foreach(l => assert(
+      graft.functions.MySqlLiteral.parseInsert(l).isRight, l))
   }
 
   test("Postgres dialect: E'' with hex escapes, decode() binary, NUL strip") {
