@@ -3886,6 +3886,58 @@ object Queries {
       |FROM pack ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // seq_pack — GPT-style concat-and-chunk packing offsets
+  // (SequencePack.packOffsets): the exclusive token prefix sum in doc_id
+  // order as a two-pass distributed scan (range shuffle + per-partition
+  // totals + broadcast offsets), never a single-partition window. The
+  // oracle is the window spelling DuckDB can afford at oracle scale.
+  // ---------------------------------------------------------------------
+  def seqPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePack.packOffsets(
+      t(s, dir, "documents"), seqLen = 512,
+      nTokens = size(split(col("text"), " ")))
+      .orderBy("doc_id")
+
+  val seqPackSql: String =
+    """WITH s AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      |  FROM s)
+      |SELECT doc_id, n_tokens, tok_start,
+      |  tok_start // 512 AS seq_first,
+      |  CASE WHEN n_tokens = 0 THEN tok_start // 512
+      |       ELSE (tok_start + n_tokens - 1) // 512 END AS seq_last,
+      |  (CASE WHEN n_tokens = 0 THEN tok_start // 512
+      |        ELSE (tok_start + n_tokens - 1) // 512 END)
+      |    - tok_start // 512 AS n_splits
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // shard_shuffle — seeded deterministic global shuffle + shard assignment
+  // (ShardShuffle.assign): the reproducible training-order permutation.
+  // Portable dual-base polynomial key over "<seed>:<doc_id>", shard from
+  // the key mod nShards, dense in-shard position by key order.
+  // ---------------------------------------------------------------------
+  def shardShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ShardShuffle.assign(
+      t(s, dir, "documents"), nShards = 8, seed = 20260815L)
+      .orderBy("doc_id")
+
+  val shardShuffleSql: String = {
+    val key = "CAST('20260815:' || CAST(doc_id AS VARCHAR) AS VARCHAR)"
+    s"""WITH k AS (SELECT doc_id,
+       |    ${dkPoly(key, 31)} | (${dkPoly(key, 37)} << 31) AS h
+       |  FROM documents)
+       |SELECT doc_id, h % 8 AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // global_index — contiguous row numbering without the single-partition
   // row_number() collapse (Layout.globalIndex: range shuffle stays n-way,
   // zipWithIndex ships one long per partition).
@@ -7357,6 +7409,8 @@ object Queries {
     "sft_render" -> (sftRender _),
     "language_mix" -> (languageMix _),
     "pack_sequences" -> (packSequences _),
+    "seq_pack" -> (seqPack _),
+    "shard_shuffle" -> (shardShuffle _),
     "global_index" -> (globalIndex _),
     "zorder_key" -> (zorderKey _),
     "doc_chunks" -> (docChunks _),
@@ -7558,6 +7612,8 @@ object Queries {
     "sft_render" -> sftRenderSql,
     "language_mix" -> languageMixSql,
     "pack_sequences" -> packSequencesSql,
+    "seq_pack" -> seqPackSql,
+    "shard_shuffle" -> shardShuffleSql,
     "global_index" -> globalIndexSql,
     "zorder_key" -> zorderKeySql,
     "doc_chunks" -> docChunksSql,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the operator that turns a cleaned corpus into
+  * fixed-length training sequences, the last step before a pretraining
+  * run. This is the GPT-style "concat and chunk" discipline: concatenate
+  * every document's token stream in a defined global order, cut the
+  * stream every `seqLen` tokens, and record for each document where it
+  * landed — so shard builders know which sequences a document spans and
+  * loss-mask builders know where document boundaries fall inside each
+  * sequence.
+  *
+  * The whole operator reduces to ONE exclusive prefix sum over token
+  * counts in `orderCol` order, and a global ordered prefix sum is the
+  * textbook thing NOT to compute with a single unpartitioned window (a
+  * `Window.orderBy` with no partition key is one task doing a full-corpus
+  * sort — the anti-pattern every scale review flags). It is computed here
+  * as the classic two-pass distributed scan:
+  *
+  *   1. range-partition by `orderCol` and sort within partitions — the
+  *      only wide exchange in the plan;
+  *   2. job 1: per-partition token totals (one tiny row per partition)
+  *      collect to the driver, fold into per-partition START offsets;
+  *   3. job 2: one typed pass per partition adds the broadcast offset to
+  *      a local running sum.
+  *
+  * Both jobs re-scan only the (doc_id, n_tokens) projection — two narrow
+  * column scans instead of a corpus-wide cache, the cheaper trade at any
+  * scale. Output is deterministic for any input partitioning: it depends
+  * only on the global `orderCol` order (which must be unique).
+  *
+  * Complements [[Packing.packSequences]] (greedy next-fit into padded
+  * budget windows, bucket-sharded) — concat-and-chunk is the padding-free
+  * discipline most pretraining runs use — and generalizes
+  * [[Layout.globalIndex]]'s scan from row COUNTS (zipWithIndex) to token
+  * SUMS, which zipWithIndex cannot carry. No counterpart in the reference
+  * (chunking there is row-count paging, paradump.go:1700-1770); the
+  * operator exists because a 100 TB pipeline needs the packing plan
+  * itself to be distributed, not a driver loop. */
+object SequencePack {
+
+  /** Per-document packing offsets under concat-and-chunk at `seqLen`.
+    *
+    * Returns `doc_id, n_tokens, tok_start, seq_first, seq_last, n_splits`:
+    * `tok_start` is the document's global token offset (exclusive prefix
+    * sum), `seq_first`/`seq_last` the first/last sequence ids the document
+    * occupies, `n_splits` how many sequence boundaries cut through it. A
+    * zero-token document sits AT its offset and spans nothing
+    * (`seq_first == seq_last`, `n_splits = 0`).
+    *
+    * @param nTokens token count column evaluated against `docs` (e.g.
+    *                `size(split(col("text"), " "))` for the house
+    *                whitespace convention, or a real tokenizer count)
+    * @param nParts  scan width; defaults to the session shuffle
+    *                parallelism */
+  def packOffsets(docs: DataFrame, seqLen: Int, nTokens: Column,
+                  orderCol: String = "doc_id", nParts: Int = 0): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p =
+      if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
+    val parts = docs
+      .select(col(orderCol).cast("long").as("doc_id"),
+        nTokens.cast("long").as("n_tokens"))
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id())
+    // job 1: per-partition totals — p rows, driver-side fold to exclusive
+    // partition offsets (range partitions are ordered by partition id)
+    val totals = parts.groupBy("pid")
+      .agg(coalesce(sum("n_tokens"), lit(0L)).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](p)
+    var acc = 0L
+    (0 until p).foreach { i => offsets(i) = acc; acc += totals.getOrElse(i, 0L) }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // job 2: local running sum + the broadcast start offset
+    val scanned = parts.as[(Long, Long, Int)].mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val buf = it.buffered
+        var run = bc.value(buf.head._3)
+        buf.map { case (id, n, _) =>
+          val start = run; run += n; (id, n, start)
+        }
+      }
+    }.toDF("doc_id", "n_tokens", "tok_start")
+    val first = expr(s"tok_start div $seqLen")
+    val last = when(col("n_tokens") === 0L, first)
+      .otherwise(expr(s"(tok_start + n_tokens - 1) div $seqLen"))
+    scanned.select(col("doc_id"), col("n_tokens"), col("tok_start"),
+      first.as("seq_first"), last.as("seq_last"),
+      (last - first).as("n_splits"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic global shuffle + shard assignment — the "shuffle the
+  * corpus before training" step, made reproducible: instead of a random
+  * permutation that differs per run (and per partitioning), every document
+  * gets a pseudo-random SORT KEY from a seeded portable hash of its id, a
+  * shard from the key's low bits, and a dense position within its shard by
+  * key order. Re-running with the same seed reproduces the exact training
+  * order bit-for-bit on any cluster; changing the seed is a fresh
+  * permutation.
+  *
+  * Scale + determinism choices:
+  *  - the hash is [[NearDup.TokenHash]]'s dual-base polynomial mod 2^31-1
+  *    over the decimal rendering of `<seed>:<doc_id>` — exactly replayable
+  *    in plain 64-bit SQL (the house portable-hash discipline), computed
+  *    in one typed JVM pass (map-only, no shuffle of its own);
+  *  - the position window partitions BY SHARD, so the only sort is
+  *    per-shard and parallelism equals `nShards` — there is no global
+  *    unpartitioned window anywhere;
+  *  - ties cannot happen (the sort key includes doc_id), so row_number is
+  *    deterministic.
+  *
+  * No counterpart in the reference; a training-data engine needs the
+  * shuffle itself to be an auditable, replayable artifact rather than a
+  * side effect of cluster scheduling. */
+object ShardShuffle {
+
+  /** `doc_id, shard, pos` — shard in [0, nShards), pos dense from 1 within
+    * the shard in shuffled order. */
+  def assign(docs: DataFrame, nShards: Int, seed: Long,
+             idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long].mapPartitions(_.map { id =>
+        val h = NearDup.TokenHash.hash62(s"$seed:$id")
+        (id, h % nShards, h)
+      }).toDF("doc_id", "shard", "h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    keyed.select(col("doc_id"), col("shard"),
+      row_number().over(w).cast("long").as("pos"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concat-and-chunk packing offsets — the seq_pack CORRECTNESS row. */
+class SequencePackSpec extends AnyFunSuite with SparkSuite {
+
+  test("packOffsets: hand-computed offsets, spans and splits at L=4") {
+    import spark.implicits._
+    // token stream: [0,3) doc1, [3,8) doc2, [8,10) doc3, [10,19) doc4
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 2L), (4L, 9L))
+      .toDF("doc_id", "n")
+    val out = SequencePack
+      .packOffsets(docs, seqLen = 4, nTokens = col("n"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out === Array(
+      (1L, 3L, 0L, 0L, 0L, 0L),   // [0,3)   inside seq 0
+      (2L, 5L, 3L, 0L, 1L, 1L),   // [3,8)   crosses the 4-boundary once
+      (3L, 2L, 8L, 2L, 2L, 0L),   // [8,10)  inside seq 2
+      (4L, 9L, 10L, 2L, 4L, 2L))) // [10,19) crosses 12 and 16
+  }
+
+  test("packOffsets: zero-token documents sit AT their offset, span nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, 4L), (2L, 0L), (3L, 1L)).toDF("doc_id", "n")
+    val out = SequencePack
+      .packOffsets(docs, seqLen = 4, nTokens = col("n"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array((1L, 0L, 0L, 0L), (2L, 4L, 1L, 1L), (3L, 4L, 1L, 1L)))
+  }
+
+  test("packOffsets: invariant to input partitioning, conserves the total " +
+    "token stream, and agrees with a driver-side replay on real docs") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = size(split(col("text"), " ")).cast("long")
+    val a = SequencePack.packOffsets(docs, 512, n)
+      .collect().map(_.toSeq).toSet
+    val b = SequencePack.packOffsets(docs.repartition(13), 512, n, nParts = 5)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    // exclusive-prefix-sum replay in plain Scala
+    val counts = docs.select(col("doc_id"), n.as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var run = 0L
+    val want = counts.map { case (id, c) =>
+      val start = run; run += c
+      val first = start / 512
+      val last = if (c == 0) first else (start + c - 1) / 512
+      Seq(id, c, start, first, last, last - first)
+    }.toSet
+    assert(a === want)
+    // conservation: the last doc ends exactly at the total token count
+    val maxEnd = a.map(s => s(2).asInstanceOf[Long] + s(1).asInstanceOf[Long]).max
+    assert(maxEnd === counts.map(_._2).sum)
+  }
+
+  test("packOffsets: the plan carries NO window — the scan is the two-pass " +
+    "distributed form, not a single-partition row_number") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, i % 7)).toDF("doc_id", "n")
+    val df = SequencePack.packOffsets(docs, seqLen = 16, nTokens = col("n"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"unpartitioned window found:\n${p.take(2000)}")
+    assert(p.contains("rangepartitioning"),
+      s"range scan exchange missing:\n${p.take(2000)}")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded deterministic shuffle/sharding — the shard_shuffle row. */
+class ShardShuffleSpec extends AnyFunSuite with SparkSuite {
+
+  private def docs = {
+    import spark.implicits._
+    (0L until 200L).map(i => Tuple1(i)).toDF("doc_id")
+  }
+
+  test("assign: bit-identical across runs and partitionings; a different " +
+    "seed is a different permutation") {
+    val a = ShardShuffle.assign(docs, nShards = 8, seed = 7L)
+      .collect().map(_.toSeq).toSet
+    val b = ShardShuffle.assign(docs.repartition(11), nShards = 8, seed = 7L)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    val c = ShardShuffle.assign(docs, nShards = 8, seed = 8L)
+      .collect().map(_.toSeq).toSet
+    assert(a !== c)
+  }
+
+  test("assign: shards cover [0, n); positions are dense 1..|shard| " +
+    "within each shard") {
+    val rows = ShardShuffle.assign(docs, nShards = 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 200)
+    assert(rows.map(_._1).toSet.size === 200)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length).toSeq)
+    }
+  }
+
+  test("assign: the sort key replays TokenHash.hash62 over '<seed>:<id>' " +
+    "(the portable-oracle contract)") {
+    val got = ShardShuffle.assign(docs, nShards = 8, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 200L).foreach { id =>
+      val h = NearDup.TokenHash.hash62(s"7:$id")
+      assert(got(id) === h % 8, s"doc $id")
+    }
+  }
+
+  test("assign: the position window partitions BY SHARD — no global window") {
+    val p = ShardShuffle.assign(docs, nShards = 8, seed = 7L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p.take(1500))
+    assert(p.contains("partitionBy") || p.contains("hashpartitioning(shard"),
+      s"window must partition by shard:\n${p.take(1500)}")
+  }
+}
