@@ -54,7 +54,20 @@ object Bench {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Block hygiene BETWEEN timed runs (outside the timer): an operator
+      // that returns materialized data (the CC family's final round) leaves
+      // RDD blocks that only the context cleaner frees AFTER a driver GC.
+      // On a large heap GC may not run for many minutes, so blocks pile up
+      // across runs, storage evicts into execution's share, and later runs
+      // measure the eviction churn instead of the query — measured at x50:
+      // warm 74-79 s on a 32 GiB heap vs 29-33 s once cleared (8 GiB heap,
+      // where routine GC does the clearing). A finished run's leftover
+      // blocks are by definition leaks (every live consumer has run), so
+      // clearing them restores per-run independence on ANY heap size.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      t
     }
 
     // absorb one-time session costs (scheduler init, codegen infra, FS

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TextOps.maskRuns — the positional replacement kernel every masking
+  * family shares — property-tested against an independent
+  * java.util.regex reference: walk the matches of the run regex in
+  * order, replace each validated match IN PLACE, keep everything else.
+  * The zip_with/array_join rebuild must agree on arbitrary inputs,
+  * including runs at the string edges, adjacent runs, and empty text. */
+class MaskRunsSpec extends AnyFunSuite with SparkSuite {
+
+  /** Reference: positional replace via Matcher.appendReplacement. */
+  private def reference(text: String, run: String,
+                        valid: String => Boolean, mask: String): String = {
+    val m = java.util.regex.Pattern.compile(run).matcher(text)
+    val sb = new java.lang.StringBuffer
+    while (m.find()) {
+      val rep = if (valid(m.group)) mask else m.group
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  private def engine(texts: Seq[String], run: String,
+                     valid: org.apache.spark.sql.Column =>
+                       org.apache.spark.sql.Column,
+                     mask: String): Seq[String] = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), TextOps.maskRuns(col("text"), run, valid, mask))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+  }
+
+  test("maskRuns == Matcher.appendReplacement replay on randomized text " +
+    "(digit runs, length-validated)") {
+    val rnd = new scala.util.Random(16L)
+    val alphabet = "ab 0123456789-x"
+    val texts = Seq("", "123", "a123b", "12 345 6789", "-1-22-333-",
+      "4111111111111111", "x4111111111111111x41111111111111119") ++
+      (1 to 150).map { _ =>
+        (1 to rnd.nextInt(30)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+    val got = engine(texts, "[0-9]+", c => length(c) === 3, "<N3>")
+    val want = texts.map(reference(_, "[0-9]+", _.length == 3, "<N3>"))
+    got.zip(want).zip(texts).foreach { case ((g, w), t) =>
+      assert(g === w, s"input: '$t'")
+    }
+  }
+
+  test("maskRuns == reference on the dashed-phone shape over hostile " +
+    "punctuation soup") {
+    val rnd = new scala.util.Random(17L)
+    val alphabet = "0123456789- ."
+    val shape = "^[0-9]{3}-[0-9]{3}-[0-9]{4}$"
+    val texts = Seq("415-555-2671", "9415-555-26712",
+      "415-555-2671 9415-555-26712", "--415-555-2671--") ++
+      (1 to 150).map { _ =>
+        (1 to rnd.nextInt(40)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+    val got = engine(texts, "[0-9-]+", c => c.rlike(shape), "<PHONE>")
+    val want = texts.map(reference(_, "[0-9-]+",
+      s => s.matches("[0-9]{3}-[0-9]{3}-[0-9]{4}"), "<PHONE>"))
+    got.zip(want).zip(texts).foreach { case ((g, w), t) =>
+      assert(g === w, s"input: '$t'")
+    }
+  }
+
+  test("maskRuns: null text stays null; no-valid-run text is returned " +
+    "by reference (the fast path)") {
+    import spark.implicits._
+    val out = Seq((1L, "no digits here"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextOps.maskRuns(col("text"), "[0-9]+", c => length(c) === 3, "<N>"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) === "no digits here")
+    assert(out(1).isNullAt(1))
+  }
+}
