@@ -365,16 +365,18 @@ object CorpusClean {
     val afterFin = if (cfg.redactFinancial) {
       val (ccMasked, _, _) = graft.operators.TextOps.ccMask(col("text"))
       val step1 = afterRedact.select(col("doc_id"), ccMasked.as("text"))
-      val (m, _, _, _) = graft.operators.TextOps.ibanPhoneMask(col("text"))
-      step1.select(col("doc_id"), m.as("text"))
+      // staged per-family projections: the single-expression chain
+      // re-evaluates each masking stage per reference (TextOps scaladoc)
+      graft.operators.TextOps.ibanPhoneMaskStaged(step1, "text", "__m")
+        .select(col("doc_id"), col("__m").as("text"))
     } else afterRedact
 
     // 7c. credentials (--redact-secrets) — structural key/token/PEM
     // masking, the scrub that must land before a model can memorize a
     // live secret. Map-only like the other redaction passes
     val afterSecrets = if (cfg.redactSecrets) {
-      val (m, _) = graft.operators.TextOps.secretScan(col("text"))
-      afterFin.select(col("doc_id"), m.as("text"))
+      graft.operators.TextOps.secretMaskStaged(afterFin, "text", "__m")
+        .select(col("doc_id"), col("__m").as("text"))
     } else afterFin
 
     Seq(
