@@ -3886,6 +3886,59 @@ object Queries {
       |FROM pack ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // unicode_clean — Unicode canonicalization gate (TextOps.unicodeClean):
+  // exotic spaces -> ' ', invisibles dropped (C0/C1 minus tab/newline,
+  // zero-widths, BOM, soft hyphen), then NFC. Grafts plant a decomposed
+  // accent (NFC must compose it), NBSP + ideographic space, zero-width +
+  // BOM, a bell control + CRLF, and a soft-hyphenated word.
+  // ---------------------------------------------------------------------
+  def unicodeClean(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    // explicit escapes, never raw invisibles in source: U+0301 combining
+    // acute (a DECOMPOSED e-acute NFC must compose), U+00A0 NBSP, U+3000
+    // ideographic space, U+200B/U+200D zero-widths, U+FEFF BOM, U+0007
+    // BEL, U+00AD soft hyphen
+    val grafted = concat(
+      col("text"),
+      opt(d % 4 === 0, " cafe\u0301 decomposed"),
+      opt(d % 6 === 0, " x\u00a0y\u3000z spaces"),
+      opt(d % 9 === 0, " a\u200bb\u200dc\ufeff zw"),
+      opt(d % 7 === 0, " bell\u0007cr\r\nkeep"),
+      opt(d % 11 === 0, " co\u00adoperate shy"))
+    val out = graft.operators.TextOps.unicodeClean(
+      t(s, dir, "documents").select(d, grafted.as("text")))
+    out.select(col("doc_id"), col("n_space_mapped"), col("n_dropped"),
+      col("nfc_changed"), md5(col("text_clean")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  val unicodeCleanSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text
+      |    || (CASE WHEN doc_id % 4 = 0 THEN ' caf' || chr(101) || chr(769) || ' decomposed' ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN ' x' || chr(160) || 'y' || chr(12288) || 'z spaces' ELSE '' END)
+      |    || (CASE WHEN doc_id % 9 = 0 THEN ' a' || chr(8203) || 'b' || chr(8205) || 'c' || chr(65279) || ' zw' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ' bell' || chr(7) || 'cr' || chr(13) || chr(10) || 'keep' ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN ' co' || chr(173) || 'operate shy' ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(text,
+      |      '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+      |      '[\x{0000}-\x{0008}\x{000B}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}\x{00AD}\x{2060}]', '', 'g') AS mapped,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]')) AS BIGINT) AS n_space_mapped,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[\x{0000}-\x{0008}\x{000B}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}\x{00AD}\x{2060}]')) AS BIGINT) AS n_dropped
+      |  FROM d)
+      |SELECT doc_id, n_space_mapped, n_dropped,
+      |  nfc_normalize(mapped) != mapped AS nfc_changed,
+      |  md5(nfc_normalize(mapped)) AS clean_hash
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // seq_pack — GPT-style concat-and-chunk packing offsets
   // (SequencePack.packOffsets): the exclusive token prefix sum in doc_id
   // order as a two-pass distributed scan (range shuffle + per-partition
@@ -7412,6 +7465,7 @@ object Queries {
     "sft_render" -> (sftRender _),
     "language_mix" -> (languageMix _),
     "pack_sequences" -> (packSequences _),
+    "unicode_clean" -> (unicodeClean _),
     "seq_pack" -> (seqPack _),
     "shard_shuffle" -> (shardShuffle _),
     "global_index" -> (globalIndex _),
@@ -7615,6 +7669,7 @@ object Queries {
     "sft_render" -> sftRenderSql,
     "language_mix" -> languageMixSql,
     "pack_sequences" -> packSequencesSql,
+    "unicode_clean" -> unicodeCleanSql,
     "seq_pack" -> seqPackSql,
     "shard_shuffle" -> shardShuffleSql,
     "global_index" -> globalIndexSql,

@@ -509,6 +509,60 @@ object TextOps {
     (masked, counts)
   }
 
+  /** Unicode canonicalization — the normalization gate a web corpus needs
+    * BEFORE any hash-keyed operator sees the text (exact dedup, shingles,
+    * fingerprints): two byte-different spellings of the same rendered
+    * string (decomposed accents, NBSP vs space, zero-width joins) would
+    * otherwise hash apart and silently survive dedup. Three canonical
+    * steps, in this order:
+    *
+    *  1. exotic spaces -> ' ' (NBSP, OGHAM, U+2000-200A, NNBSP, MMSP,
+    *     ideographic space);
+    *  2. DROP invisibles: C0/C1 controls except tab and newline (CR goes
+    *     too — CRLF becomes bare LF), zero-width space/joiners, BOM, soft
+    *     hyphen, word joiner;
+    *  3. NFC composition (java.text.Normalizer) — canonical, NOT
+    *     compatibility (NFKC folds ligatures/width and is NOT stable
+    *     across engines; NFC results are frozen by Unicode's
+    *     normalization stability policy, so the JVM and any other
+    *     engine's NFC agree on every assigned codepoint).
+    *
+    * Counts are pure functions of the INPUT text (`n_space_mapped`,
+    * `n_dropped`, plus `nfc_changed` on the mapped/stripped form), so the
+    * gate doubles as a corpus-health audit. One typed JVM pass, zero
+    * shuffle — scan-bound at 100 TB like every other gate. */
+  def unicodeClean(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    def isSpaceClass(cp: Int): Boolean =
+      cp == 0x00a0 || cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200a) ||
+        cp == 0x202f || cp == 0x205f || cp == 0x3000
+    def isDropClass(cp: Int): Boolean =
+      (cp <= 0x1f && cp != '\t' && cp != '\n') ||
+        (cp >= 0x7f && cp <= 0x9f) ||
+        (cp >= 0x200b && cp <= 0x200d) || cp == 0xfeff || cp == 0x00ad ||
+        cp == 0x2060
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val b = new java.lang.StringBuilder(text.length)
+        var nSpace = 0L
+        var nDrop = 0L
+        var i = 0
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          if (isSpaceClass(cp)) { b.append(' '); nSpace += 1 }
+          else if (isDropClass(cp)) nDrop += 1
+          else b.appendCodePoint(cp)
+          i += Character.charCount(cp)
+        }
+        val mapped = b.toString
+        val clean = java.text.Normalizer
+          .normalize(mapped, java.text.Normalizer.Form.NFC)
+        (id, clean, nSpace, nDrop, clean != mapped)
+      })
+      .toDF("doc_id", "text_clean", "n_space_mapped", "n_dropped",
+        "nfc_changed")
+  }
+
   /** DataFrame-level [[secretScan]] masking — ONE PROJECTION PER FAMILY.
     * Chaining the five families inside a single expression tree
     * re-evaluates each stage once per reference ([[maskRuns]] reads its

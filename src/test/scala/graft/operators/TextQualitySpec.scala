@@ -250,6 +250,28 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
       (("key <SECRET:aws_key> and XAKIAIOSFODNN7EXAMPLE9 mix", 1L)))
   }
 
+  test("unicodeClean: spaces map, invisibles drop, NFC composes — " +
+    "hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "café latte"),              // decomposed acute -> composed
+      (2L, "x\u00a0y\u3000z"),               // NBSP + ideographic space
+      (3L, "a\u200bb\u200dc\ufeff"),         // zero-widths + BOM drop
+      (4L, "bell\u0007 cr\r\n tab\t keep"),  // BEL + CR drop; tab/newline stay
+      (5L, "co\u00adoperate"),               // soft hyphen drops
+      (6L, "plain ascii")
+    ).toDF("doc_id", "text")
+    val out = TextOps.unicodeClean(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === (("caf\u00e9 latte", 0L, 0L, true)))
+    assert(out(2L) === (("x y z", 2L, 0L, false)))
+    assert(out(3L) === (("abc", 0L, 3L, false)))
+    assert(out(4L) === (("bell cr\n tab\t keep", 0L, 2L, false)))
+    assert(out(5L) === (("cooperate", 0L, 1L, false)))
+    assert(out(6L) === (("plain ascii", 0L, 0L, false)))
+  }
+
   test("memorizationAudit: per-eval-doc gram coverage with exact ppm") {
     import spark.implicits._
     val corpus = Seq(
