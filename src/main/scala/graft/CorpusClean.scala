@@ -162,10 +162,19 @@ object CorpusClean {
     // slot): ONE codegen byte pass per document before any gate —
     // language ID, word counts and every dedup family must see extracted
     // text, not tag soup. Map-only, so it fuses into the gates' scan.
-    val docs = if (cfg.stripMarkup)
+    val docs0 = if (cfg.stripMarkup)
       rawDocs.select(col("doc_id"),
         graft.functions.StringKernels.stripMarkup(col("text")).as("text"))
     else rawDocs
+
+    // 0a. Unicode canonicalization (`--unicode-clean`): exotic spaces ->
+    // ' ', invisibles dropped, NFC — BEFORE the hash-keyed operators, so
+    // byte-different spellings of one rendered string cannot hash apart
+    // and survive dedup. One typed pass, fused position with the gates.
+    val docs = if (cfg.unicodeClean)
+      graft.operators.TextOps.unicodeClean(docs0)
+        .select(col("doc_id"), col("text_clean").as("text"))
+    else docs0
 
     // 0b. C4 page cleaning (`--c4`, Raffel et al. 2020 §2.2) — REWRITES
     // each page to its retained lines and drops pages on the first

@@ -20,6 +20,11 @@ case class CorpusCleanConfig(
     // collapsing whitespace, BEFORE any gate — language ID, word counts
     // and every dedup family must see extracted text, not tag soup
     stripMarkup: Boolean = false,
+    // Unicode canonicalization (exotic spaces -> ' ', invisibles dropped,
+    // NFC): runs right after markup strip so every hash-keyed operator
+    // sees canonical bytes — two spellings of one rendered string must
+    // not hash apart and survive dedup
+    unicodeClean: Boolean = false,
     // C4 page cleaning (Raffel et al. 2020 §2.2): REWRITE each page to its
     // retained lines (terminal punctuation, >= 5 words, no "javascript")
     // and drop pages on blocklist word / "lorem ipsum" / brace / < 3 kept
@@ -244,6 +249,7 @@ object CorpusCleanCli {
         case "--blocklist" :: v :: t => c = c.copy(blocklist = Some(v)); rest = t
         case "--gopher" :: t => c = c.copy(gopher = true); rest = t
         case "--strip-markup" :: t => c = c.copy(stripMarkup = true); rest = t
+        case "--unicode-clean" :: t => c = c.copy(unicodeClean = true); rest = t
         case "--split-by" :: v :: t => c = c.copy(splitBy = Some(v)); rest = t
         case "--shards" :: v :: t =>
           intArg(v, "--shards") match {

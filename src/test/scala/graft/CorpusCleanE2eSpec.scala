@@ -174,6 +174,27 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       out.contains("DE00370400440532013000"), out)
   }
 
+  test("--unicode-clean canonicalizes before dedup: NBSP/decomposed twins " +
+    "collapse to one survivor; without the flag both ship") {
+    val inDir = tmp("cc_uni_in")
+    val outA = tmp("cc_uni_outA")
+    val outB = tmp("cc_uni_outB")
+    import spark.implicits._
+    // same RENDERED text, different bytes: doc 2 uses NBSP + decomposed
+    // e-acute where doc 1 has a plain space + composed e-acute
+    Seq(
+      (1L, "the caf\u00e9 on the corner serves very good coffee today"),
+      (2L, "the cafe\u0301 on\u00a0the corner serves very good coffee today"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val cleanCfg = CorpusCleanCli.parse(Seq(inDir, outA,
+      "--no-lang-gate", "--min-words", "1", "--no-near-dup",
+      "--unicode-clean")).toOption.get
+    assert(CorpusClean.run(spark, cleanCfg) === 1L)
+    val plainCfg = CorpusCleanCli.parse(Seq(inDir, outB,
+      "--no-lang-gate", "--min-words", "1", "--no-near-dup")).toOption.get
+    assert(CorpusClean.run(spark, plainCfg) === 2L)
+  }
+
   test("--redact-secrets masks credentials; structural near-misses ship") {
     val inDir = tmp("cc_sec_in")
     val outDir = tmp("cc_sec_out")

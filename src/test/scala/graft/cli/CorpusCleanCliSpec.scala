@@ -32,14 +32,14 @@ class CorpusCleanCliSpec extends AnyFunSuite {
       "--containment", "0.95",
       "--semantic", "/emb", "--eval", "/ev", "--gram-state", "/gs",
       "--redact", "--split-by", "source", "--shards", "16",
-      "--stage-dir", "/stages", "--strip-markup")
+      "--stage-dir", "/stages", "--strip-markup", "--unicode-clean")
     assert(c.lang === Some("fr") && c.minWords === 3)
     assert(c.ngram === 4 && c.minSpan === 40 && c.nearDup === Some(0.8))
     assert(c.containment === Some(0.95))
     assert(c.semanticEmb === Some("/emb") && c.evalDir === Some("/ev"))
     assert(c.gramState === Some("/gs") && c.redact && c.stageDir === Some("/stages"))
     assert(c.splitBy === Some("source") && c.shards === Some(16))
-    assert(c.stripMarkup)
+    assert(c.stripMarkup && c.unicodeClean)
   }
 
   test("--no-span-removal and --sft-out land in the config; gram-state conflict") {
