@@ -472,6 +472,27 @@ object Queries {
 
   val nearDupMinhashSql: String = exactJaccardSql
 
+  // ---------------------------------------------------------------------
+  // lsh_recall_audit — the dedup-recall scorecard (NearDup.recallAudit):
+  // exact PPJoin ground truth vs the banded MinHash output at the pinned
+  // 16/8 geometry, as one integer-ppm summary row. The oracle counts the
+  // ground truth and asserts recall_ppm = 10^6 — the same deterministic
+  // 100%-recall fact near_dup_minhash's oracle pins pairwise, here as a
+  // STANDING gate: if a geometry or hash change ever drops a pair, this
+  // row hash-mismatches loudly.
+  // ---------------------------------------------------------------------
+  def lshRecallAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.recallAudit(docsWithPlantedDups(s, dir),
+      numHashes = 16, bands = 8, threshold = 0.5)
+
+  val lshRecallAuditSql: String =
+    jaccardPairsCtePrefix + """
+      |SELECT CAST(count(*) AS BIGINT) AS n_true,
+      |  CAST(count(*) AS BIGINT) AS n_found,
+      |  CAST(0 AS BIGINT) AS n_missed,
+      |  CAST(1000000 AS BIGINT) AS recall_ppm
+      |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin
+
   /** Incremental near-dup: the planted corpus split into HISTORY (the
     * originals) and a NEW BATCH (the planted mutations, doc_id >= 1e6);
     * history's band table and shingle-hash sets are persisted through
@@ -7388,6 +7409,7 @@ object Queries {
     "dup_profile" -> (dupProfile _),
     "hash_embed" -> (hashEmbed _),
     "near_dup_minhash" -> (nearDupMinhash _),
+    "lsh_recall_audit" -> (lshRecallAudit _),
     "near_dup_incremental" -> (nearDupIncremental _),
     "near_dup_simhash" -> (nearDupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
@@ -7592,6 +7614,7 @@ object Queries {
     "dup_profile" -> dupProfileSql,
     "hash_embed" -> hashEmbedSql,
     "near_dup_minhash" -> nearDupMinhashSql,
+    "lsh_recall_audit" -> lshRecallAuditSql,
     "near_dup_incremental" -> nearDupIncrementalSql,
     "split_leakage_audit" -> splitLeakageAuditSql,
     "near_dup_simhash" -> nearDupSimhashSql,

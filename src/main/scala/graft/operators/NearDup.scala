@@ -666,6 +666,35 @@ object NearDup {
     withJaccardHashed(cands, sets).filter(col("jaccard") >= threshold)
   }
 
+  /** Dedup recall audit — the monitoring scorecard a production near-dup
+    * deployment needs alongside the dedup itself: how much of the exact
+    * ground truth does the banded MinHash geometry actually find on THIS
+    * corpus? `found` is [[nearDupPairs]] at the given geometry (candidates
+    * verified by exact Jaccard, so found ⊆ true by construction — banding
+    * can only MISS, never invent); `true` is [[jaccardPairs]] (PPJoin
+    * prefix+positional filtering, exact recall). One summary row:
+    * `n_true, n_found, n_missed, recall_ppm` in exact integer ppm.
+    *
+    * Scale shape: both sides are the existing sub-quadratic candidate
+    * pipelines; the diff is one join on (doc_a, doc_b) pair keys (8-byte
+    * ids, never text) and a two-long global aggregate. An empty ground
+    * truth reports recall 10^6 (vacuous success, loud in n_true). */
+  def recallAudit(docs: DataFrame, k: Int = 3, numHashes: Int = -1,
+                  bands: Int = -1, threshold: Double = 0.6): DataFrame = {
+    val truth = jaccardPairs(docs, k, threshold).select("doc_a", "doc_b")
+    val found = nearDupPairs(docs, k, numHashes, bands, threshold)
+      .select(col("doc_a").as("fa"), col("doc_b").as("fb"))
+    truth.join(found,
+        col("doc_a") === col("fa") && col("doc_b") === col("fb"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        count(col("fa")).as("n_found"))
+      .select(col("n_true").cast("long"), col("n_found").cast("long"),
+        (col("n_true") - col("n_found")).cast("long").as("n_missed"),
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN n_true = 0 THEN CAST(1000000 AS BIGINT) " +
+            "ELSE (1000000 * n_found) div n_true END").as("recall_ppm"))
+  }
+
   /** Asymmetric shingle CONTAINMENT near-dup (Broder, "On the resemblance
     * and containment of documents", SEQUENCES'97): directed pairs
     * `(doc_a, doc_b, containment)` with

@@ -242,6 +242,34 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
     assert(h >= 0, "62-bit hash must leave the sign bit clear")
   }
 
+  test("recallAudit: the scorecard equals the truth/found counts it " +
+    "summarizes — full recall at the pinned geometry, real misses at a " +
+    "deliberately weak one") {
+    val nTrue = NearDup.jaccardPairs(corpus, threshold = 0.5).count()
+    // the registered 16/8 geometry: deterministic full recall here
+    val strong = NearDup
+      .recallAudit(corpus, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().head
+    assert(strong.getLong(0) === nTrue)
+    assert(strong.getLong(1) === nTrue && strong.getLong(2) === 0L)
+    assert(strong.getLong(3) === 1000000L)
+    // ONE band of 16 rows: a pair must agree on all 16 minhashes to be a
+    // candidate — near-threshold pairs (J ~ 0.5-0.7) deterministically
+    // fall through, so the audit must report real misses, consistently
+    // with the found-pair count it summarizes
+    val nFoundWeak = NearDup
+      .nearDupPairs(corpus, numHashes = 16, bands = 1, threshold = 0.5)
+      .count()
+    val weak = NearDup
+      .recallAudit(corpus, numHashes = 16, bands = 1, threshold = 0.5)
+      .collect().head
+    assert(weak.getLong(0) === nTrue)
+    assert(weak.getLong(1) === nFoundWeak)
+    assert(weak.getLong(2) === nTrue - nFoundWeak)
+    assert(weak.getLong(2) > 0L, "expected the 1-band geometry to miss")
+    assert(weak.getLong(3) === 1000000L * nFoundWeak / nTrue)
+  }
+
   test("simhash: identical texts collide, planted near-dups within distance") {
     val pairs = NearDup.simhashPairs(corpus, maxDist = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
