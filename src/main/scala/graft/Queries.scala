@@ -3990,6 +3990,43 @@ object Queries {
       |FROM c ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // seq_pack_incremental — the standing-corpus packing form: history's
+  // total token count freezes as a one-row StageStore stage; a new batch
+  // (the same docs re-keyed +1e6, i.e. strictly after history in id
+  // order) packs at history_total + its own scan, landing in exactly the
+  // sequence ids a one-shot pack of history ++ batch would give.
+  // ---------------------------------------------------------------------
+  def seqPackIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    graft.operators.SequencePack.packOffsetsIncremental(
+      history = docs, batch = batch, seqLen = 512,
+      nTokens = size(split(col("text"), " ")),
+      stageLabel = Some(s"seqpack_hist_${StageStore.dirTag(dir)}"))
+      .orderBy("doc_id")
+  }
+
+  val seqPackIncrementalSql: String =
+    """WITH h AS (SELECT CAST(COALESCE(SUM(len(string_split(text, ' '))), 0)
+      |    AS BIGINT) AS ht FROM documents),
+      |b AS (SELECT doc_id + 1000000 AS doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |    (SELECT ht FROM h) + COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      |  FROM b)
+      |SELECT doc_id, n_tokens, tok_start,
+      |  tok_start // 512 AS seq_first,
+      |  CASE WHEN n_tokens = 0 THEN tok_start // 512
+      |       ELSE (tok_start + n_tokens - 1) // 512 END AS seq_last,
+      |  (CASE WHEN n_tokens = 0 THEN tok_start // 512
+      |        ELSE (tok_start + n_tokens - 1) // 512 END)
+      |    - tok_start // 512 AS n_splits
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // shard_shuffle — seeded deterministic global shuffle + shard assignment
   // (ShardShuffle.assign): the reproducible training-order permutation.
   // Portable dual-base polynomial key over "<seed>:<doc_id>", shard from
@@ -7489,6 +7526,7 @@ object Queries {
     "pack_sequences" -> (packSequences _),
     "unicode_clean" -> (unicodeClean _),
     "seq_pack" -> (seqPack _),
+    "seq_pack_incremental" -> (seqPackIncremental _),
     "shard_shuffle" -> (shardShuffle _),
     "global_index" -> (globalIndex _),
     "zorder_key" -> (zorderKey _),
@@ -7694,6 +7732,7 @@ object Queries {
     "pack_sequences" -> packSequencesSql,
     "unicode_clean" -> unicodeCleanSql,
     "seq_pack" -> seqPackSql,
+    "seq_pack_incremental" -> seqPackIncrementalSql,
     "shard_shuffle" -> shardShuffleSql,
     "global_index" -> globalIndexSql,
     "zorder_key" -> zorderKeySql,

@@ -95,4 +95,38 @@ object SequencePack {
       first.as("seq_first"), last.as("seq_last"),
       (last - first).as("n_splits"))
   }
+
+  /** Incremental packing — the standing-corpus form every other heavy
+    * family here carries: the HISTORY's total token count freezes as a
+    * one-row stage (written once under `stageLabel` via StageStore, read
+    * from files by every later batch — history text is never rescanned),
+    * and a new batch's offsets are `history_total + scan(batch)`. The
+    * token stream thus EXTENDS across batches: batch documents land in
+    * the sequence ids they would have had under a one-shot pack of
+    * history ++ batch (provided the batch follows history in `orderCol`,
+    * the append-only contract every incremental operator here states). */
+  def packOffsetsIncremental(history: DataFrame, batch: DataFrame,
+                             seqLen: Int, nTokens: Column,
+                             orderCol: String = "doc_id",
+                             stageLabel: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val totals0 = history
+      .agg(coalesce(sum(nTokens.cast("long")), lit(0L)).as("hist_tokens"))
+    val totals = stageLabel match {
+      case Some(l) => graft.StageStore.materializeIfAbsent(spark, l)(totals0)
+      case None => totals0
+    }
+    val base = packOffsets(batch, seqLen, nTokens, orderCol)
+    val first = expr(s"tok_start div $seqLen")
+    val last = when(col("n_tokens") === 0L, first)
+      .otherwise(expr(s"(tok_start + n_tokens - 1) div $seqLen"))
+    base.select(col("doc_id"), col("n_tokens"),
+        (col("tok_start")).as("_local_start"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("_local_start") + col("hist_tokens")).as("tok_start"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        first.as("seq_first"), last.as("seq_last"),
+        (last - first).as("n_splits"))
+  }
 }

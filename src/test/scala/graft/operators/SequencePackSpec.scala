@@ -62,6 +62,30 @@ class SequencePackSpec extends AnyFunSuite with SparkSuite {
     assert(maxEnd === counts.map(_._2).sum)
   }
 
+  test("packOffsetsIncremental: batch offsets equal a one-shot pack of " +
+    "history ++ batch; the persisted stage path equals rederive") {
+    import spark.implicits._
+    val history = (1L to 40L).map(i => (i, i % 9)).toDF("doc_id", "n")
+    val batch = (41L to 60L).map(i => (i, (i * 3) % 11)).toDF("doc_id", "n")
+    val oneShot = SequencePack
+      .packOffsets(history.unionAll(batch), seqLen = 16, nTokens = col("n"))
+      .filter(col("doc_id") >= 41L)
+      .collect().map(_.toSeq).toSet
+    val fresh = SequencePack
+      .packOffsetsIncremental(history, batch, seqLen = 16, nTokens = col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(fresh === oneShot)
+    // stage path: first call writes the history total, second reads files
+    val label = s"seqpack_spec_${System.nanoTime()}"
+    val a = SequencePack.packOffsetsIncremental(history, batch, 16, col("n"),
+      stageLabel = Some(label)).collect().map(_.toSeq).toSet
+    val b = SequencePack.packOffsetsIncremental(
+      history.limit(0), // persisted total must win over an EMPTY rescan
+      batch, 16, col("n"), stageLabel = Some(label))
+      .collect().map(_.toSeq).toSet
+    assert(a === oneShot && b === oneShot)
+  }
+
   test("packOffsets: the plan carries NO window — the scan is the two-pass " +
     "distributed form, not a single-partition row_number") {
     import spark.implicits._
