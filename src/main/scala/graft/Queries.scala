@@ -2902,6 +2902,47 @@ object Queries {
     s.table(qname).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // docs_stream_unicode — the Unicode canonicalization gate as a STREAMING
+  // stage: TextOps.unicodeClean is a stateless typed map, so the batch
+  // operator applies to the arrival stream VERBATIM (no streaming-specific
+  // code to diverge from the batch semantics); the same grafts as
+  // unicode_clean ride the stream, and the single AvailableNow shard makes
+  // the batch oracle the exact replay.
+  // ---------------------------------------------------------------------
+  def docsStreamUnicode(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      col("text"),
+      opt(d % 4 === 0, " cafe\u0301 decomposed"),
+      opt(d % 6 === 0, " x\u00a0y\u3000z spaces"),
+      opt(d % 9 === 0, " a\u200bb\u200dc\ufeff zw"),
+      opt(d % 7 === 0, " bell\u0007cr\r\nkeep"),
+      opt(d % 11 === 0, " co\u00adoperate shy"))
+    val cleaned = graft.operators.TextOps.unicodeClean(
+      graft.streaming.CorpusStream.fromParquetDir(s, dir)
+        .select(d, grafted.as("text")))
+    val qname = "docs_stream_uni_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = cleaned
+        .select(col("doc_id"), col("n_space_mapped"), col("n_dropped"),
+          col("nfc_changed"), md5(col("text_clean")).as("clean_hash"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("doc_id")
+  }
+
+  // single-shard arrival ≡ the batch gate — same replay (lazy: the batch
+  // oracle val is defined later in the file)
+  lazy val docsStreamUnicodeSql: String = unicodeCleanSql
+
   val docsStreamFluencySql: String = {
     val flu = graft.operators.LmScore.fluencyScoreSql("d.doc_id % 5 = 0")
     s"""SELECT * FROM (
@@ -7609,6 +7650,7 @@ object Queries {
     "docs_stream_neardup" -> (docsStreamNearDup _),
     "docs_stream_containment" -> (docsStreamContainment _),
     "docs_stream_fluency" -> (docsStreamFluency _),
+    "docs_stream_unicode" -> (docsStreamUnicode _),
     "mlm_mask" -> (mlmMask _),
     "bpe_fertility" -> (bpeFertility _),
     "unigram_seed" -> (unigramSeed _),
@@ -7815,6 +7857,7 @@ object Queries {
     "docs_stream_neardup" -> docsStreamNearDupSql,
     "docs_stream_containment" -> docsStreamContainmentSql,
     "docs_stream_fluency" -> docsStreamFluencySql,
+    "docs_stream_unicode" -> docsStreamUnicodeSql,
     "mlm_mask" -> mlmMaskSql,
     "bpe_fertility" -> bpeFertilitySql,
     "unigram_seed" -> unigramSeedSql,
