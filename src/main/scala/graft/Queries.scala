@@ -4001,6 +4001,76 @@ object Queries {
       |FROM m ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // script_profile — codepoint-range writing-system detection
+  // (TextOps.scriptProfile): per-doc counts for six script classes plus
+  // the deterministic dominant label. Docs at %13 / %17 / %19 are
+  // REPLACED with pure CJK / Arabic / mixed Cyrillic-Hangul-Kana text
+  // (so non-Latin dominants actually occur); others get appended
+  // smatterings that move counts but not dominance.
+  // ---------------------------------------------------------------------
+  private val cjkSnippet = "数据处理引擎"
+  private val arabicSnippet =
+    "محرك البيانات"
+  private val cyrSnippet = "данные"
+  private val hangulSnippet = "한국어"
+  private val kanaSnippet = "データ"
+
+  def scriptProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val appended = concat(col("text"),
+      opt(d % 4 === 0, " " + cjkSnippet),
+      opt(d % 6 === 0, " " + arabicSnippet),
+      opt(d % 9 === 0, " " + cyrSnippet + " " + kanaSnippet))
+    val grafted =
+      when(d % 13 === 0, lit(cjkSnippet + " " + cjkSnippet))
+        .otherwise(when(d % 17 === 0, lit(arabicSnippet))
+          .otherwise(when(d % 19 === 0,
+            lit(cyrSnippet + " " + hangulSnippet + " " + kanaSnippet))
+            .otherwise(appended)))
+    graft.operators.TextOps.scriptProfile(
+      t(s, dir, "documents").select(d, grafted.as("text")))
+      .orderBy("doc_id")
+  }
+
+  val scriptProfileSql: String = {
+    def chrs(str: String): String =
+      str.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
+    def cnt(range: String): String =
+      s"CAST(len(regexp_extract_all(text, '$range')) AS BIGINT)"
+    val l = cnt("[A-Za-z\\x{00C0}-\\x{024F}]")
+    val c = cnt("[\\x{0400}-\\x{04FF}]")
+    val a = cnt("[\\x{0600}-\\x{06FF}]")
+    val j = cnt("[\\x{4E00}-\\x{9FFF}]")
+    val h = cnt("[\\x{AC00}-\\x{D7AF}]")
+    val k = cnt("[\\x{3040}-\\x{30FF}]")
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN ${chrs(cjkSnippet)} || ' ' || ${chrs(cjkSnippet)}
+       |         WHEN doc_id % 17 = 0 THEN ${chrs(arabicSnippet)}
+       |         WHEN doc_id % 19 = 0 THEN ${chrs(cyrSnippet)} || ' ' || ${chrs(hangulSnippet)} || ' ' || ${chrs(kanaSnippet)}
+       |         ELSE text
+       |          || (CASE WHEN doc_id % 4 = 0 THEN ' ' || ${chrs(cjkSnippet)} ELSE '' END)
+       |          || (CASE WHEN doc_id % 6 = 0 THEN ' ' || ${chrs(arabicSnippet)} ELSE '' END)
+       |          || (CASE WHEN doc_id % 9 = 0 THEN ' ' || ${chrs(cyrSnippet)} || ' ' || ${chrs(kanaSnippet)} ELSE '' END)
+       |    END AS text
+       |  FROM documents),
+       |n AS (SELECT doc_id,
+       |    $l AS n_latin, $c AS n_cyrillic, $a AS n_arabic,
+       |    $j AS n_cjk, $h AS n_hangul, $k AS n_kana
+       |  FROM d)
+       |SELECT doc_id, n_latin, n_cyrillic, n_arabic, n_cjk, n_hangul, n_kana,
+       |  CASE WHEN greatest(n_latin, n_cyrillic, n_arabic, n_cjk, n_hangul, n_kana) = 0 THEN 'none'
+       |       WHEN n_latin >= n_cyrillic AND n_latin >= n_arabic AND n_latin >= n_cjk AND n_latin >= n_hangul AND n_latin >= n_kana THEN 'latin'
+       |       WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_cjk AND n_cyrillic >= n_hangul AND n_cyrillic >= n_kana THEN 'cyrillic'
+       |       WHEN n_arabic >= n_cjk AND n_arabic >= n_hangul AND n_arabic >= n_kana THEN 'arabic'
+       |       WHEN n_cjk >= n_hangul AND n_cjk >= n_kana THEN 'cjk'
+       |       WHEN n_hangul >= n_kana THEN 'hangul'
+       |       ELSE 'kana' END AS dominant
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // seq_pack — GPT-style concat-and-chunk packing offsets
   // (SequencePack.packOffsets): the exclusive token prefix sum in doc_id
   // order as a two-pass distributed scan (range shuffle + per-partition
@@ -7566,6 +7636,7 @@ object Queries {
     "language_mix" -> (languageMix _),
     "pack_sequences" -> (packSequences _),
     "unicode_clean" -> (unicodeClean _),
+    "script_profile" -> (scriptProfile _),
     "seq_pack" -> (seqPack _),
     "seq_pack_incremental" -> (seqPackIncremental _),
     "shard_shuffle" -> (shardShuffle _),
@@ -7773,6 +7844,7 @@ object Queries {
     "language_mix" -> languageMixSql,
     "pack_sequences" -> packSequencesSql,
     "unicode_clean" -> unicodeCleanSql,
+    "script_profile" -> scriptProfileSql,
     "seq_pack" -> seqPackSql,
     "seq_pack_incremental" -> seqPackIncrementalSql,
     "shard_shuffle" -> shardShuffleSql,

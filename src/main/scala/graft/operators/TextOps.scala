@@ -563,6 +563,55 @@ object TextOps {
         "nfc_changed")
   }
 
+  /** Script profile — codepoint-range writing-system detection, the
+    * complement to the stopword [[langId]] heuristic (which is
+    * Latin-biased by construction): per document, counts of Latin,
+    * Cyrillic, Arabic, CJK-ideograph, Hangul and Kana letters plus a
+    * DOMINANT script label, so the pipeline can route non-Latin text away
+    * from whitespace tokenization and Latin-only word-set similarity (the
+    * failure mode the Mmr NaN guard closed) instead of misgating it.
+    *
+    * Exact by construction on every engine: fixed codepoint ranges, no
+    * locale/ICU tables; the dominant label is the FIRST class in the
+    * declared order achieving the max count (ties deterministic), 'none'
+    * when no scripted letter occurs. One typed JVM pass, zero shuffle. */
+  val scriptClasses: Seq[(String, Int => Boolean)] = Seq(
+    "latin" -> (cp => (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+      (cp >= 0x00c0 && cp <= 0x024f)),
+    "cyrillic" -> (cp => cp >= 0x0400 && cp <= 0x04ff),
+    "arabic" -> (cp => cp >= 0x0600 && cp <= 0x06ff),
+    "cjk" -> (cp => cp >= 0x4e00 && cp <= 0x9fff),
+    "hangul" -> (cp => cp >= 0xac00 && cp <= 0xd7af),
+    "kana" -> (cp => cp >= 0x3040 && cp <= 0x30ff))
+
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val classes = scriptClasses
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val counts = new Array[Long](classes.length)
+        var i = 0
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          var k = 0
+          var hit = false
+          while (k < classes.length && !hit) {
+            if (classes(k)._2(cp)) { counts(k) += 1; hit = true }
+            k += 1
+          }
+          i += Character.charCount(cp)
+        }
+        val maxC = counts.max
+        val dominant =
+          if (maxC == 0L) "none"
+          else classes(counts.indexWhere(_ == maxC))._1
+        (id, counts(0), counts(1), counts(2), counts(3), counts(4),
+          counts(5), dominant)
+      })
+      .toDF("doc_id", "n_latin", "n_cyrillic", "n_arabic", "n_cjk",
+        "n_hangul", "n_kana", "dominant")
+  }
+
   /** DataFrame-level [[secretScan]] masking — ONE PROJECTION PER FAMILY.
     * Chaining the five families inside a single expression tree
     * re-evaluates each stage once per reference ([[maskRuns]] reads its

@@ -272,6 +272,30 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(out(6L) === (("plain ascii", 0L, 0L, false)))
   }
 
+  test("scriptProfile: range counts and deterministic dominant label") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain latin text"),
+      (2L, "数据处理"),            // pure CJK
+      (3L, "mix данные here"), // latin beats cyr
+      (4L, "データタ"),            // kana (incl. long mark)
+      (5L, "12345 .,;!"),                          // no scripted letters
+      (6L, "ab да")                      // TIE latin=cyr=2 -> latin
+    ).toDF("doc_id", "text")
+    val out = TextOps.scriptProfile(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(6),
+          r.getString(7)))).toMap
+    assert(out(1L) === ((14L, 0L, 0L, 0L, "latin")))
+    assert(out(2L) === ((0L, 0L, 4L, 0L, "cjk")))
+    assert(out(3L) === ((7L, 6L, 0L, 0L, "latin")))
+    // U+30FC (katakana-hiragana prolonged sound mark) is inside the kana
+    // block and counts
+    assert(out(4L) === ((0L, 0L, 0L, 4L, "kana")))
+    assert(out(5L) === ((0L, 0L, 0L, 0L, "none")))
+    assert(out(6L) === ((2L, 2L, 0L, 0L, "latin")))
+  }
+
   test("memorizationAudit: per-eval-doc gram coverage with exact ppm") {
     import spark.implicits._
     val corpus = Seq(
