@@ -207,9 +207,20 @@ object CorpusClean {
         Seq("doc_id"), "left_semi")
       case (None, _) => base
     }
+    // script gate (`--script <name>`): keep docs whose DOMINANT writing
+    // system (codepoint-range profile) matches — the routing complement
+    // to the stopword/NB language gates, which are Latin-trained and
+    // misgate CJK/Arabic/Cyrillic text rather than classify it
+    val scripted = cfg.script match {
+      case Some(sc) => langed.join(
+        graft.operators.TextOps.scriptProfile(base)
+          .filter(col("dominant") === sc).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      case None => langed
+    }
     val worded =
-      if (cfg.minWords <= 0) langed
-      else langed.join(
+      if (cfg.minWords <= 0) scripted
+      else scripted.join(
         graft.operators.TextOps.textStats(base)
           .filter(col("n_words") >= cfg.minWords).select("doc_id"),
         Seq("doc_id"), "left_semi")

@@ -38,6 +38,10 @@ case class CorpusCleanConfig(
     // language gate: keep docs whose predicted language equals this;
     // None (--no-lang-gate) admits every language
     lang: Option[String] = Some("en"),
+    // script gate: keep docs whose dominant writing system (codepoint
+    // range profile) matches — routing for corpora the Latin-trained
+    // language gates misgate
+    script: Option[String] = None,
     // language gate model: directory of LABELED (doc_id, text, lang)
     // parquet — trains the hashed Naive-Bayes classifier on this seed and
     // gates on its prediction instead of the stopword heuristic (the
@@ -199,6 +203,7 @@ object CorpusCleanCli {
     while (rest.nonEmpty) {
       rest match {
         case "--lang" :: v :: t => c = c.copy(lang = Some(v)); langSet = true; rest = t
+        case "--script" :: v :: t => c = c.copy(script = Some(v)); rest = t
         case "--lang-model" :: v :: t => c = c.copy(langModel = Some(v)); rest = t
         case "--no-lang-gate" :: t => noLang = true; rest = t
         case "--fluency-ref" :: v :: t => c = c.copy(fluencyRef = Some(v)); rest = t
@@ -329,7 +334,7 @@ object CorpusCleanCli {
     validate(c)
   }
 
-  private val valueFlags = Set("--lang", "--lang-model", "--min-words",
+  private val valueFlags = Set("--lang", "--script", "--lang-model", "--min-words",
     "--boilerplate", "--ngram",
     "--min-span", "--near-dup", "--containment", "--semantic", "--eval",
     "--gram-state",
@@ -356,6 +361,11 @@ object CorpusCleanCli {
     else if (c.containment.exists(t => t <= 0.0 || t > 1.0))
       Left(s"--containment must be in (0, 1], got ${c.containment.get}")
     else if (c.lang.exists(_.isEmpty)) Left("--lang: empty language code")
+    else if (c.script.exists(sc =>
+      !(graft.operators.TextOps.scriptClasses.map(_._1).toSet + "none")(sc)))
+      Left(s"--script must be one of " +
+        (graft.operators.TextOps.scriptClasses.map(_._1) :+ "none")
+          .mkString(", ") + s", got ${c.script.get}")
     else if (c.splitBy.exists(_.isEmpty)) Left("--split-by: empty column name")
     else if (c.shards.exists(_ < 1))
       Left(s"--shards must be >= 1, got ${c.shards.get}")

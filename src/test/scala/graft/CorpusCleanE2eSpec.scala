@@ -195,6 +195,24 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(CorpusClean.run(spark, plainCfg) === 2L)
   }
 
+  test("--script latin routes out the CJK doc the stopword lang gate " +
+    "would have to guess about") {
+    val inDir = tmp("cc_script_in")
+    val outDir = tmp("cc_script_out")
+    import spark.implicits._
+    Seq(
+      (1L, "a perfectly ordinary english document about data engines"),
+      (2L, "数据处理引擎模型" +
+        "训练语料"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "1", "--no-near-dup",
+      "--script", "latin")).toOption.get
+    assert(CorpusClean.run(spark, cfg) === 1L)
+    assert(spark.read.parquet(outDir)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("--redact-secrets masks credentials; structural near-misses ship") {
     val inDir = tmp("cc_sec_in")
     val outDir = tmp("cc_sec_out")

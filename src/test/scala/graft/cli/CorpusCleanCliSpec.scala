@@ -32,7 +32,8 @@ class CorpusCleanCliSpec extends AnyFunSuite {
       "--containment", "0.95",
       "--semantic", "/emb", "--eval", "/ev", "--gram-state", "/gs",
       "--redact", "--split-by", "source", "--shards", "16",
-      "--stage-dir", "/stages", "--strip-markup", "--unicode-clean")
+      "--stage-dir", "/stages", "--strip-markup", "--unicode-clean",
+      "--script", "latin")
     assert(c.lang === Some("fr") && c.minWords === 3)
     assert(c.ngram === 4 && c.minSpan === 40 && c.nearDup === Some(0.8))
     assert(c.containment === Some(0.95))
@@ -40,6 +41,9 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(c.gramState === Some("/gs") && c.redact && c.stageDir === Some("/stages"))
     assert(c.splitBy === Some("source") && c.shards === Some(16))
     assert(c.stripMarkup && c.unicodeClean)
+    assert(c.script === Some("latin"))
+    // unknown script class refuses loudly, not a silently-empty gate
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--script", "klingon")).isLeft)
   }
 
   test("--no-span-removal and --sft-out land in the config; gram-state conflict") {
