@@ -268,6 +268,84 @@ object Queries {
        |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // score_calibrate — cross-domain score calibration (Calibrate.calibrate):
+  // per-language ECDF of the stopword-ratio quality score + the calibrated
+  // top-half gate, computed via groupBy + a window over the DISTINCT
+  // (domain, score) table (never a per-domain corpus-sized window). The
+  // oracle re-derives the same counts/running-sum/division; kept = ecdf
+  // strictly above the cut, ties falling together.
+  // ---------------------------------------------------------------------
+  def scoreCalibrate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = graft.operators.TextOps.textStats(docs)
+      .select(col("doc_id"), col("stop_ratio").as("score"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    graft.operators.Calibrate.calibrate(scored, "lang", "score", keepTop = 0.5)
+      .select("doc_id", "lang", "score", "ecdf", "kept")
+      .orderBy("doc_id")
+  }
+
+  val scoreCalibrateSql: String =
+    s"""WITH ts AS ($textStatsSql),
+       |s AS (SELECT ts.doc_id, d.lang, ts.stop_ratio AS score
+       |  FROM ts JOIN documents d ON ts.doc_id = d.doc_id
+       |  WHERE ts.stop_ratio IS NOT NULL),
+       |c AS (SELECT lang, score, count(*) AS cnt FROM s GROUP BY 1, 2),
+       |e AS (SELECT lang, score,
+       |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY score) AS DOUBLE)
+       |    / CAST(sum(cnt) OVER (PARTITION BY lang) AS DOUBLE) AS ecdf
+       |  FROM c)
+       |SELECT s.doc_id, s.lang, s.score, e.ecdf, e.ecdf > 0.5 AS kept
+       |FROM s JOIN e ON s.lang = e.lang AND s.score = e.score
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // score_calibrate_incremental — the production cadence
+  // (Calibrate.calibrateAgainst): a NEW batch calibrates against
+  // YESTERDAY'S persisted ECDF table (StageStore files, history never
+  // rescanned; frozen quantiles keep shipped keep-decisions immutable).
+  // Unseen scores look up the step function via a backward as-of join.
+  // The oracle replays the frozen lookup as max(ecdf) over history scores
+  // <= s — identical bits because the ECDF is monotone within a domain.
+  // ---------------------------------------------------------------------
+  def scoreCalibrateIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = graft.operators.TextOps.textStats(docs)
+      .select(col("doc_id"), col("stop_ratio").as("score"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val history = scored.filter(col("doc_id") % 3 =!= 0)
+    val batch = scored.filter(col("doc_id") % 3 === 0)
+    val tag = graft.StageStore.dirTag(dir)
+    val frozen = graft.StageStore.materialize(
+      graft.operators.Calibrate.ecdfTable(history, "lang", "score"),
+      s"calinc_ecdf_$tag")
+    graft.operators.Calibrate.calibrateAgainst(batch, frozen, "lang", "score",
+      keepTop = 0.5)
+      .select("doc_id", "lang", "score", "ecdf_frozen", "kept")
+      .orderBy("doc_id")
+  }
+
+  val scoreCalibrateIncrementalSql: String =
+    s"""WITH ts AS ($textStatsSql),
+       |s_all AS (SELECT ts.doc_id, d.lang, ts.stop_ratio AS score
+       |  FROM ts JOIN documents d ON ts.doc_id = d.doc_id
+       |  WHERE ts.stop_ratio IS NOT NULL),
+       |hist AS (SELECT * FROM s_all WHERE doc_id % 3 <> 0),
+       |batch AS (SELECT * FROM s_all WHERE doc_id % 3 = 0),
+       |c AS (SELECT lang, score, count(*) AS cnt FROM hist GROUP BY 1, 2),
+       |e AS (SELECT lang, score,
+       |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY score) AS DOUBLE)
+       |    / CAST(sum(cnt) OVER (PARTITION BY lang) AS DOUBLE) AS ecdf
+       |  FROM c),
+       |m AS (SELECT b.doc_id, b.lang, b.score, max(e.ecdf) AS mecdf
+       |  FROM batch b LEFT JOIN e ON b.lang = e.lang AND e.score <= b.score
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, lang, score,
+       |  coalesce(mecdf, CAST(0 AS DOUBLE)) AS ecdf_frozen,
+       |  coalesce(mecdf, CAST(0 AS DOUBLE)) > 0.5 AS kept
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dup_profile — the corpus duplication AUDIT (how much of each source
   // is inside duplicated 5-gram spans, exact ppm): the number a curation
   // team reads before deciding dedup aggressiveness, and the monitoring
@@ -492,6 +570,44 @@ object Queries {
       |  CAST(0 AS BIGINT) AS n_missed,
       |  CAST(1000000 AS BIGINT) AS recall_ppm
       |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // lsh_band_plan — NearDup.bandPlanTable: the band-geometry search space
+  // as an auditable table (planning-as-data). S-curve probabilities are
+  // LEFT FOLDS of multiplication (one IEEE multiply per step), so the
+  // oracle reproduces every double bit-for-bit via list_reduce; `chosen`
+  // marks the geometry bandPlan deploys for threshold 0.6.
+  // ---------------------------------------------------------------------
+  def lshBandPlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.bandPlanTable(s, threshold = 0.6)
+
+  val lshBandPlanSql: String = {
+    def pCand(sExpr: String): String =
+      s"""CAST(1 AS DOUBLE) - list_reduce(list_prepend(CAST(1 AS DOUBLE),
+         |    list_transform(range(bands), xb ->
+         |      CAST(1 AS DOUBLE) - list_reduce(list_prepend(CAST(1 AS DOUBLE),
+         |        list_transform(range(rows_per_band), xr -> $sExpr)),
+         |        (aa, bb) -> aa * bb))),
+         |    (a, b) -> a * b)""".stripMargin
+    s"""WITH grid AS (
+       |  SELECT r.range AS rows_per_band, b.range AS bands
+       |  FROM range(1, 11) r, range(2, 65) b
+       |  WHERE r.range * b.range <= 64),
+       |p AS (SELECT rows_per_band, bands,
+       |  rows_per_band * bands AS num_hashes,
+       |  ${pCand("CAST('0.6' AS DOUBLE)")} AS recall_at_t,
+       |  ${pCand("CAST('0.6' AS DOUBLE) / 2")} AS fp_at_half_t
+       |  FROM grid),
+       |v AS (SELECT *, recall_at_t >= CAST('0.97' AS DOUBLE) AS viable,
+       |  max(recall_at_t >= CAST('0.97' AS DOUBLE)) OVER () AS anyv FROM p)
+       |SELECT rows_per_band, bands, num_hashes, recall_at_t, fp_at_half_t,
+       |  viable,
+       |  row_number() OVER (ORDER BY viable DESC,
+       |    CASE WHEN anyv THEN fp_at_half_t ELSE -recall_at_t END,
+       |    CASE WHEN anyv THEN num_hashes ELSE 0 END,
+       |    rows_per_band, bands) = 1 AS chosen
+       |FROM v ORDER BY rows_per_band, bands""".stripMargin
+  }
 
   /** Incremental near-dup: the planted corpus split into HISTORY (the
     * originals) and a NEW BATCH (the planted mutations, doc_id >= 1e6);
@@ -4015,7 +4131,10 @@ object Queries {
   private val hangulSnippet = "한국어"
   private val kanaSnippet = "データ"
 
-  def scriptProfile(s: SparkSession, dir: String): DataFrame = {
+  /** The multi-script documents fixture shared by script_profile and
+    * script_segments: docs at %13 / %17 / %19 replaced with pure
+    * non-Latin text, others get appended snippets (multi-segment docs). */
+  private def scriptFixture(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     def opt(cond: Column, s0: String): Column =
       when(cond, lit(s0)).otherwise(lit(""))
@@ -4029,23 +4148,15 @@ object Queries {
           .otherwise(when(d % 19 === 0,
             lit(cyrSnippet + " " + hangulSnippet + " " + kanaSnippet))
             .otherwise(appended)))
-    graft.operators.TextOps.scriptProfile(
-      t(s, dir, "documents").select(d, grafted.as("text")))
-      .orderBy("doc_id")
+    t(s, dir, "documents").select(d, grafted.as("text"))
   }
 
-  val scriptProfileSql: String = {
+  /** The same fixture as a `d AS (...)` CTE body for the oracles (ASCII
+    * source discipline: snippets render as chr() concatenations). */
+  private val scriptFixtureCte: String = {
     def chrs(str: String): String =
       str.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
-    def cnt(range: String): String =
-      s"CAST(len(regexp_extract_all(text, '$range')) AS BIGINT)"
-    val l = cnt("[A-Za-z\\x{00C0}-\\x{024F}]")
-    val c = cnt("[\\x{0400}-\\x{04FF}]")
-    val a = cnt("[\\x{0600}-\\x{06FF}]")
-    val j = cnt("[\\x{4E00}-\\x{9FFF}]")
-    val h = cnt("[\\x{AC00}-\\x{D7AF}]")
-    val k = cnt("[\\x{3040}-\\x{30FF}]")
-    s"""WITH d AS (SELECT doc_id,
+    s"""d AS (SELECT doc_id,
        |    CASE WHEN doc_id % 13 = 0 THEN ${chrs(cjkSnippet)} || ' ' || ${chrs(cjkSnippet)}
        |         WHEN doc_id % 17 = 0 THEN ${chrs(arabicSnippet)}
        |         WHEN doc_id % 19 = 0 THEN ${chrs(cyrSnippet)} || ' ' || ${chrs(hangulSnippet)} || ' ' || ${chrs(kanaSnippet)}
@@ -4054,7 +4165,26 @@ object Queries {
        |          || (CASE WHEN doc_id % 6 = 0 THEN ' ' || ${chrs(arabicSnippet)} ELSE '' END)
        |          || (CASE WHEN doc_id % 9 = 0 THEN ' ' || ${chrs(cyrSnippet)} || ' ' || ${chrs(kanaSnippet)} ELSE '' END)
        |    END AS text
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+  }
+
+  def scriptProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.scriptProfile(scriptFixture(s, dir))
+      .orderBy("doc_id")
+
+  val scriptProfileSql: String = {
+    def cnt(range: String): String =
+      s"CAST(len(regexp_extract_all(text, '$range')) AS BIGINT)"
+    val l = cnt("[A-Za-z\\x{00C0}-\\x{024F}]")
+    val c = cnt("[\\x{0400}-\\x{04FF}]")
+    val a = cnt("[\\x{0600}-\\x{06FF}]")
+    val j = cnt("[\\x{4E00}-\\x{9FFF}]")
+    val h = cnt("[\\x{AC00}-\\x{D7AF}]")
+    val k = cnt("[\\x{3040}-\\x{30FF}]")
+    // concatenated, NOT interpolated into the margin block: the fixture
+    // contains `||` continuation lines a second stripMargin would mangle
+    s"WITH $scriptFixtureCte,\n" +
+    s"""
        |n AS (SELECT doc_id,
        |    $l AS n_latin, $c AS n_cyrillic, $a AS n_arabic,
        |    $j AS n_cjk, $h AS n_hangul, $k AS n_kana
@@ -4069,6 +4199,46 @@ object Queries {
        |       ELSE 'kana' END AS dominant
        |FROM n ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // script_segments — per-SPAN script segmentation (TextOps.scriptSegments)
+  // over the same multi-script fixture: maximal same-script codepoint runs
+  // with codepoint offsets, lossless (concat of segs rebuilds the doc).
+  // The oracle rebuilds the runs in SQL: per-codepoint classification +
+  // islands-and-gaps (lag-break + running sum), string_agg in position
+  // order — same rows, independently derived.
+  // ---------------------------------------------------------------------
+  def scriptSegments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.scriptSegments(scriptFixture(s, dir))
+      .orderBy("doc_id", "seg_idx")
+
+  val scriptSegmentsSql: String =
+    // concatenated, NOT interpolated (see scriptProfileSql margin note)
+    s"WITH $scriptFixtureCte,\n" +
+    s"""c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos FROM d),
+       |ch AS (SELECT doc_id, pos, text[pos] AS chs, unicode(text[pos]) AS cp FROM c),
+       |k AS (SELECT doc_id, pos, chs,
+       |  CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+       |            OR (cp BETWEEN 192 AND 591) THEN 'latin'
+       |       WHEN cp BETWEEN 1024 AND 1279 THEN 'cyrillic'
+       |       WHEN cp BETWEEN 1536 AND 1791 THEN 'arabic'
+       |       WHEN cp BETWEEN 19968 AND 40959 THEN 'cjk'
+       |       WHEN cp BETWEEN 44032 AND 55215 THEN 'hangul'
+       |       WHEN cp BETWEEN 12352 AND 12543 THEN 'kana'
+       |       ELSE 'other' END AS script
+       |  FROM ch),
+       |g AS (SELECT doc_id, pos, chs, script,
+       |  CASE WHEN script IS DISTINCT FROM
+       |    lag(script) OVER (PARTITION BY doc_id ORDER BY pos)
+       |    THEN 1 ELSE 0 END AS brk FROM k),
+       |i AS (SELECT doc_id, pos, chs, script,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_idx FROM g)
+       |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+       |  any_value(script) AS script,
+       |  CAST(min(pos) - 1 AS BIGINT) AS start_cp,
+       |  CAST(count(*) AS BIGINT) AS n_cp,
+       |  string_agg(chs, '' ORDER BY pos) AS seg
+       |FROM i GROUP BY doc_id, seg_idx ORDER BY doc_id, seg_idx""".stripMargin
 
   // ---------------------------------------------------------------------
   // seq_pack — GPT-style concat-and-chunk packing offsets
@@ -4189,6 +4359,69 @@ object Queries {
       "(l_partkey % 1024)", "(l_suppkey % 1024)")
     s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS z
        |FROM lineitem""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // hilbert_key — Hilbert-curve layout key (functions.HilbertIndex, native
+  // codegen): same quantized dims as zorder_key, strictly better locality
+  // (consecutive keys are ALWAYS city-block neighbors; Morton jumps
+  // diagonally at every power-of-two boundary). The oracle replays the
+  // per-level quadrant-rotation algebra as a materialized CTE chain.
+  // ---------------------------------------------------------------------
+  def hilbertKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      graft.operators.Layout.hilbertValue(
+        pmod(col("l_partkey"), lit(256L)),
+        pmod(col("l_suppkey"), lit(256L)), 8).as("h"))
+
+  val hilbertKeySql: String = {
+    val ctes = graft.operators.Layout.hilbertSqlCtes(
+      "src", "l_partkey % 256", "l_suppkey % 256",
+      Seq("l_orderkey", "l_linenumber"), bits = 8)
+    s"""WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem),
+       |$ctes
+       |SELECT l_orderkey, l_linenumber, h FROM _hfin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // hilbert_locality — the measured argument for the key above
+  // (Layout.curveLocality): total/max city-block jump between
+  // curve-consecutive cells for row-major vs Z-order vs Hilbert over the
+  // distinct quantized cells of lineitem. Hilbert's total is the cell
+  // count minus one (every step is a neighbor) — the property the
+  // LayoutSpec pins on the full grid; smaller totals = fewer files a
+  // sorted write splits a 2-D neighborhood across.
+  // ---------------------------------------------------------------------
+  def hilbertLocality(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.curveLocality(
+      t(s, dir, "lineitem"),
+      pmod(col("l_partkey"), lit(64L)), pmod(col("l_suppkey"), lit(64L)),
+      bits = 6)
+
+  val hilbertLocalitySql: String = {
+    val ctes = graft.operators.Layout.hilbertSqlCtes(
+      "cells", "qx", "qy", Seq("qx", "qy"), bits = 6)
+    val z = graft.operators.Layout.zValueSql("qx", "qy", bits = 6)
+    def walk(curve: String): String =
+      s"""SELECT '$curve' AS curve,
+         |  CAST(count(*) + 1 AS BIGINT) AS n_cells,
+         |  CAST(sum(jump) AS BIGINT) AS total_jump,
+         |  CAST(max(jump) AS BIGINT) AS max_jump
+         |FROM (SELECT abs(qx - lag(qx) OVER (ORDER BY $curve)) +
+         |             abs(qy - lag(qy) OVER (ORDER BY $curve)) AS jump
+         |      FROM keyed) WHERE jump IS NOT NULL""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT DISTINCT CAST(l_partkey % 64 AS BIGINT) AS qx,
+       |    CAST(l_suppkey % 64 AS BIGINT) AS qy FROM lineitem),
+       |$ctes,
+       |keyed AS (SELECT qx, qy, qx * 64 + qy AS rowmajor,
+       |  CAST($z AS BIGINT) AS zorder, h AS hilbert FROM _hfin)
+       |${walk("rowmajor")}
+       |UNION ALL
+       |${walk("zorder")}
+       |UNION ALL
+       |${walk("hilbert")}""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -7551,6 +7784,8 @@ object Queries {
     "dedup_keep" -> (dedupKeep _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
+    "score_calibrate" -> (scoreCalibrate _),
+    "score_calibrate_incremental" -> (scoreCalibrateIncremental _),
     "doc_fingerprint" -> (docFingerprint _),
     "winnow_fingerprints" -> (winnowFingerprints _),
     "winnow_matches" -> (winnowMatches _),
@@ -7558,6 +7793,7 @@ object Queries {
     "hash_embed" -> (hashEmbed _),
     "near_dup_minhash" -> (nearDupMinhash _),
     "lsh_recall_audit" -> (lshRecallAudit _),
+    "lsh_band_plan" -> (lshBandPlan _),
     "near_dup_incremental" -> (nearDupIncremental _),
     "near_dup_simhash" -> (nearDupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
@@ -7637,11 +7873,14 @@ object Queries {
     "pack_sequences" -> (packSequences _),
     "unicode_clean" -> (unicodeClean _),
     "script_profile" -> (scriptProfile _),
+    "script_segments" -> (scriptSegments _),
     "seq_pack" -> (seqPack _),
     "seq_pack_incremental" -> (seqPackIncremental _),
     "shard_shuffle" -> (shardShuffle _),
     "global_index" -> (globalIndex _),
     "zorder_key" -> (zorderKey _),
+    "hilbert_key" -> (hilbertKey _),
+    "hilbert_locality" -> (hilbertLocality _),
     "doc_chunks" -> (docChunks _),
     "distinct_agg" -> (distinctAgg _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
@@ -7759,6 +7998,8 @@ object Queries {
     "dedup_keep" -> dedupKeepSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
+    "score_calibrate" -> scoreCalibrateSql,
+    "score_calibrate_incremental" -> scoreCalibrateIncrementalSql,
     "doc_fingerprint" -> docFingerprintSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,
     "winnow_matches" -> winnowMatchesSql,
@@ -7766,6 +8007,7 @@ object Queries {
     "hash_embed" -> hashEmbedSql,
     "near_dup_minhash" -> nearDupMinhashSql,
     "lsh_recall_audit" -> lshRecallAuditSql,
+    "lsh_band_plan" -> lshBandPlanSql,
     "near_dup_incremental" -> nearDupIncrementalSql,
     "split_leakage_audit" -> splitLeakageAuditSql,
     "near_dup_simhash" -> nearDupSimhashSql,
@@ -7845,11 +8087,14 @@ object Queries {
     "pack_sequences" -> packSequencesSql,
     "unicode_clean" -> unicodeCleanSql,
     "script_profile" -> scriptProfileSql,
+    "script_segments" -> scriptSegmentsSql,
     "seq_pack" -> seqPackSql,
     "seq_pack_incremental" -> seqPackIncrementalSql,
     "shard_shuffle" -> shardShuffleSql,
     "global_index" -> globalIndexSql,
     "zorder_key" -> zorderKeySql,
+    "hilbert_key" -> hilbertKeySql,
+    "hilbert_locality" -> hilbertLocalitySql,
     "doc_chunks" -> docChunksSql,
     "distinct_agg" -> distinctAggSql,
     "grouping_sets_agg" -> groupingSetsAggSql,

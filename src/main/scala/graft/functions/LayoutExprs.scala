@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Hilbert-curve index of a 2-D cell — the layout key that beats Z-order
+  * (Morton) for range-scan locality: consecutive Hilbert indices are ALWAYS
+  * city-block distance 1 apart, while the Morton curve takes long diagonal
+  * jumps at every power-of-two boundary. Sorting a table by this key before
+  * writing clusters both dimensions into the same files strictly better
+  * than `Layout.zValue` (min/max footer pruning touches fewer files for the
+  * same 2-D range predicate) — the difference compounds at 100 TB where a
+  * file boundary crossed is a file read.
+  *
+  * The iterative quadrant-rotation transform is the classic public-domain
+  * `xy2d` (Hilbert 1891; conversion loop as in Hamilton's compact-Hilbert
+  * tech report CS-2006-07 and the well-known Wikipedia C routine): per
+  * level, take one bit of each coordinate, accumulate the quadrant's
+  * contribution `s² · ((3·rx) XOR ry)`, then reflect/transpose the frame so
+  * the sub-quadrant walk stays contiguous. Pure long arithmetic in a fixed
+  * `bits`-step loop: whole-stage codegen here, and the identical per-level
+  * algebra renders to portable SQL via [[graft.operators.Layout.hilbertSql]]
+  * for the oracle replay.
+  *
+  * Inputs are masked to the low `bits` bits (callers quantize with `pmod`,
+  * the mask makes out-of-range input well-defined rather than garbage).
+  * Output is in `[0, 4^bits)`; `bits` must be in [1, 31] so `s²` and the
+  * final index fit comfortably in a long.
+  */
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+  extends BinaryExpression {
+
+  require(bits >= 1 && bits <= 31, s"bits in [1,31], got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two bigint arguments, got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val n = 1L << bits
+    var x = a.asInstanceOf[Long] & (n - 1)
+    var y = b.asInstanceOf[Long] & (n - 1)
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate the frame: reflect when entering quadrants 0/3, then
+      // transpose — n-1-x complements every bit, which agrees with the
+      // confined s-1-x reflection on all bits the remaining levels read
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      val n = 1L << bits
+      s"""
+         |long $x = $a & ${n - 1}L; long $y = $b & ${n - 1}L;
+         |long $d = 0L;
+         |for (long $s = ${n >> 1}L; $s > 0; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0) {
+         |    if ($rx == 1) { $x = ${n - 1}L - $x; $y = ${n - 1}L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-domain score calibration — the step a mixed-corpus pipeline needs
+  * between per-domain quality scoring and a global keep decision: raw
+  * scores from different domains (languages, sources, crawls) live on
+  * different scales, so one global threshold over-prunes some domains and
+  * under-prunes others. Mapping each score to its domain-conditional ECDF
+  * `P(S <= s | domain)` puts every domain on the same [0,1] percentile
+  * axis; "keep the top p of every domain" is then a single calibrated
+  * cutoff — the per-domain rank normalization used when composing mixed
+  * web corpora (CCNet's per-language perplexity buckets, Wenzek et al.
+  * LREC'20, are this construction with tertile cuts).
+  *
+  * Scale shape: the textbook spelling, `cume_dist() OVER (PARTITION BY
+  * domain ORDER BY score)`, routes EVERY ROW of a domain through one task
+  * — hostile exactly like the window `Layout.groupRank` exists to avoid
+  * (domains are few and huge). Here the corpus-sized stage is a groupBy on
+  * `(domain, score)` — two small columns, map-side combinable — and the
+  * running sum that turns counts into the ECDF windows over the DISTINCT
+  * `(domain, score)` table, bounded by score cardinality (quality scores
+  * are ratios of small integer counts), never the corpus. Rows then join
+  * the per-score ECDF back by equality — broadcastable whenever the
+  * distinct-score table is small. The ECDF itself is one IEEE division of
+  * exact integer counts, so every value replays bit-for-bit in any engine.
+  *
+  * Determinism: counts are integers; the running sum is over integers in
+  * a total (domain, score) order; ties in `score` share one (domain,
+  * score) row and hence EXACTLY one ecdf value — cume_dist semantics,
+  * order-invariant by construction.
+  */
+object Calibrate {
+
+  /** Appends `ecdf` = P(score' <= score | domain) to `df`.
+    * Rows with NULL score are dropped (no percentile is defined for
+    * them); callers filter or impute first. */
+  def ecdfByDomain(df: DataFrame, domainCol: String, scoreCol: String): DataFrame = {
+    val rows = df.filter(col(scoreCol).isNotNull)
+    // rows join the DISTINCT-score ECDF back by equality; both windows in
+    // ecdfTable stay on the aggregate (score-cardinality-bounded)
+    rows.join(ecdfTable(rows, domainCol, scoreCol), Seq(domainCol, scoreCol))
+  }
+
+  /** [[ecdfByDomain]] plus the calibrated gate: `kept` = this row is in
+    * the top `keepTop` fraction OF ITS DOMAIN (ecdf > 1 - keepTop; ties
+    * at the cut share one ecdf and fall together — no arbitrary
+    * tie-breaking inside an equivalence class). */
+  def calibrate(df: DataFrame, domainCol: String, scoreCol: String,
+                keepTop: Double): DataFrame = {
+    require(keepTop > 0 && keepTop <= 1, s"keepTop in (0,1], got $keepTop")
+    ecdfByDomain(df, domainCol, scoreCol)
+      .withColumn("kept", col("ecdf") > lit(1.0d) - lit(keepTop))
+  }
+
+  /** The DISTINCT per-(domain, score) ECDF table alone — the artifact the
+    * incremental cadence persists (score-cardinality-bounded, so it is a
+    * cheap standing file). */
+  def ecdfTable(df: DataFrame, domainCol: String, scoreCol: String): DataFrame = {
+    val counts = df.filter(col(scoreCol).isNotNull)
+      .groupBy(domainCol, scoreCol).agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(domainCol).orderBy(scoreCol)
+    val totals = Window.partitionBy(domainCol)
+    counts.select(col(domainCol), col(scoreCol),
+      (sum("_cnt").over(w).cast("double") /
+        sum("_cnt").over(totals).cast("double")).as("ecdf"))
+  }
+
+  /** Incremental calibration — the production cadence: a NEW batch is
+    * calibrated against YESTERDAY'S persisted [[ecdfTable]] without
+    * recomputing (or even rescanning) history. Frozen quantiles are the
+    * POINT, not a compromise: re-estimating the ECDF per batch would move
+    * every previously shipped keep decision (the same immutability
+    * argument as the frozen cluster geometry in semantic-dedup).
+    *
+    * An unseen batch score looks up the ECDF STEP FUNCTION — the largest
+    * history score at or below it — which is exactly a backward as-of
+    * join ([[AsOfJoin.backward]]: sorted union + one window pass, no
+    * range-join blowup), keyed on the domain with the score as the time
+    * axis. Scores below the domain's observed minimum calibrate to 0.0
+    * (nothing in history scored worse). */
+  def calibrateAgainst(batch: DataFrame, frozenEcdf: DataFrame,
+                       domainCol: String, scoreCol: String,
+                       keepTop: Double): DataFrame = {
+    require(keepTop > 0 && keepTop <= 1, s"keepTop in (0,1], got $keepTop")
+    val rows = batch.filter(col(scoreCol).isNotNull)
+    AsOfJoin.backward(rows, frozenEcdf, domainCol, scoreCol,
+      rightCols = Seq("ecdf"), tieBreak = "ecdf")
+      .withColumn("ecdf_frozen",
+        coalesce(col("asof_match.ecdf"), lit(0.0d)))
+      .drop("asof_match")
+      .withColumn("kept", col("ecdf_frozen") > lit(1.0d) - lit(keepTop))
+  }
+}

@@ -90,4 +90,88 @@ object Layout {
     (0 until bits).map { i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
+
+  /** 2-D Hilbert-curve key (see [[graft.functions.HilbertIndex]]): strictly
+    * better clustering than [[zValue]] — consecutive key values are always
+    * city-block neighbors, so a sort-before-write never splits a locality
+    * run across a file boundary the way Morton's power-of-two jumps do.
+    * Native codegen expression; inputs are long cell coordinates already
+    * quantized to `[0, 2^bits)` (e.g. via `pmod`). */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.HilbertIndex(
+        org.apache.spark.sql.GraftColumnBridge.expression(x),
+        org.apache.spark.sql.GraftColumnBridge.expression(y), bits))
+
+  /** The identical per-level Hilbert algebra as chained SQL CTEs for the
+    * oracle replay. Emits `bits + 1` CTE definitions named
+    * `{pfx}0 … {pfx}{bits}`; the last one exposes `pass` columns plus the
+    * key as `h`. CTEs are MATERIALIZED: each level's (x, y, d) state is
+    * referenced ~6 times by the next level, so letting the engine inline
+    * the chain would compound the expression tree 6^bits-fold — the same
+    * blowup the Spark side avoids by being an imperative loop inside one
+    * codegen kernel.
+    *
+    * @param src  name of the CTE/table providing `pass` columns + `x`/`y`
+    * @param x,y  SQL expressions for the quantized cell coordinates
+    * @param pass passthrough column names carried to the final CTE */
+  def hilbertSqlCtes(src: String, x: String, y: String, pass: Seq[String],
+                     bits: Int, pfx: String = "_h"): String = {
+    val n = 1L << bits
+    val passSel = if (pass.isEmpty) "" else pass.mkString("", ", ", ", ")
+    val l0 =
+      s"""${pfx}0 AS MATERIALIZED (SELECT $passSel
+         |  CAST(($x) AS BIGINT) & ${n - 1} AS hx0,
+         |  CAST(($y) AS BIGINT) & ${n - 1} AS hy0,
+         |  CAST(0 AS BIGINT) AS hd0 FROM $src)""".stripMargin
+    val levels = (0 until bits).map { k =>
+      val s = n >> (k + 1)
+      val rx = s"(CASE WHEN (hx$k & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy$k & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""$pfx${k + 1} AS MATERIALIZED (SELECT $passSel
+         |  CASE WHEN (hy$k & $s) = 0
+         |       THEN (CASE WHEN (hx$k & $s) > 0 THEN ${n - 1} - hy$k ELSE hy$k END)
+         |       ELSE hx$k END AS hx${k + 1},
+         |  CASE WHEN (hy$k & $s) = 0
+         |       THEN (CASE WHEN (hx$k & $s) > 0 THEN ${n - 1} - hx$k ELSE hx$k END)
+         |       ELSE hy$k END AS hy${k + 1},
+         |  hd$k + ${s * s} * xor(3 * $rx, $ry) AS hd${k + 1}
+         |  FROM $pfx$k)""".stripMargin
+    }
+    val fin =
+      s"""${pfx}fin AS (SELECT $passSel hd$bits AS h FROM $pfx$bits)"""
+    (l0 +: levels :+ fin).mkString(",\n")
+  }
+
+  /** Curve-locality scorecard: for each layout key (row-major, Z-order,
+    * Hilbert) over the DISTINCT quantized cells of `df`, the total and max
+    * city-block jump between curve-consecutive cells. Smaller totals mean
+    * a sort-by-key write packs 2-D neighborhoods into fewer files — this
+    * is the measured argument for Hilbert layout keys at scale. The walk
+    * itself runs over at most `4^bits` grid cells (bounded by the key
+    * geometry, NOT the table), so the single-task windows are safe at any
+    * corpus size; the distinct-cell aggregation is the only corpus-sized
+    * stage and it shuffles just two small integer columns. */
+  def curveLocality(df: DataFrame, x: Column, y: Column, bits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(x.cast("long").as("qx"), y.cast("long").as("qy"))
+      .groupBy("qx", "qy").agg(count(lit(1)).as("_n")).drop("_n")
+    val keyed = cells.select(col("qx"), col("qy"),
+      (col("qx") * (1L << bits) + col("qy")).as("rowmajor"),
+      zValue(col("qx"), col("qy"), bits).as("zorder"),
+      hilbertValue(col("qx"), col("qy"), bits).as("hilbert"))
+    val walks = Seq("rowmajor", "zorder", "hilbert").map { curve =>
+      val w = Window.orderBy(curve) // <= 4^bits rows: grid-bounded
+      keyed.select(
+        lit(curve).as("curve"),
+        (abs(col("qx") - lag("qx", 1).over(w)) +
+          abs(col("qy") - lag("qy", 1).over(w))).as("jump"))
+        .filter(col("jump").isNotNull)
+        .groupBy("curve").agg(
+          (count(lit(1)) + 1).as("n_cells"),
+          sum("jump").as("total_jump"),
+          max("jump").as("max_jump"))
+    }
+    walks.reduce(_ unionAll _)
+  }
 }

@@ -222,6 +222,56 @@ object NearDup {
     (b * r, b)
   }
 
+  /** [[bandPlan]]'s search space as an auditable TABLE — every (rows ×
+    * bands) geometry under the hash budget with its S-curve recall at the
+    * threshold, its false-positive proxy at `threshold/2`, and a `chosen`
+    * flag marking the row [[bandPlan]] picks. Planning-as-data: the
+    * heuristic that sizes every LSH deployment in this library becomes an
+    * artifact a reviewer (or the DuckDB oracle) can replay line by line,
+    * the audit-side complement of [[recallAudit]]'s measured recall.
+    *
+    * Replay-exact floats: `s^r` and `(1-s^r)^b` are LEFT FOLDS of
+    * multiplication over `array_repeat` (one IEEE multiply per step, fixed
+    * order) rather than `math.pow`, so any engine folding a list
+    * left-to-right reproduces every probability bit-for-bit; the `chosen`
+    * selection sorts those exact doubles. (`bandPlan` itself uses
+    * `math.pow`, which agrees to ~1 ulp — the NearDupSpec pins that both
+    * select the same geometry.) */
+  def bandPlanTable(spark: org.apache.spark.sql.SparkSession,
+                    threshold: Double, maxHashes: Int = 64,
+                    targetRecall: Double = 0.97): DataFrame = {
+    import spark.implicits._
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    val grid = for { r <- 1 to 10; b <- 2 to maxHashes if b * r <= maxHashes }
+      yield (r.toLong, b.toLong)
+    // fold-based integer power: exact cross-engine replay (see scaladoc)
+    def powFold(base: Column, e: Column): Column =
+      aggregate(array_repeat(base, e.cast("int")), lit(1.0d), (acc, v) => acc * v)
+    def pCand(s: Column): Column =
+      lit(1.0d) - powFold(lit(1.0d) - powFold(s, col("rows_per_band")), col("bands"))
+    val scored = grid.toDF("rows_per_band", "bands")
+      .withColumn("num_hashes", col("rows_per_band") * col("bands"))
+      .withColumn("recall_at_t", pCand(lit(threshold)))
+      .withColumn("fp_at_half_t", pCand(lit(threshold) / lit(2.0d)))
+      .withColumn("viable", col("recall_at_t") >= lit(targetRecall))
+    import org.apache.spark.sql.expressions.Window
+    // bandPlan's selection, totalized: viable rows first ordered by
+    // (fp, hash budget), else best recall; final (r, b) tiebreak = the
+    // grid iteration order minBy resolves ties by. Windows span the plan
+    // grid only (<= maxHashes * 10 rows).
+    val withAny = scored.withColumn("_anyv",
+      max(col("viable")).over(Window.partitionBy(lit(1))))
+    val ord = Window.orderBy(
+      col("viable").desc,
+      when(col("_anyv"), col("fp_at_half_t")).otherwise(-col("recall_at_t")),
+      when(col("_anyv"), col("num_hashes")).otherwise(lit(0L)),
+      col("rows_per_band"), col("bands"))
+    withAny
+      .withColumn("chosen", row_number().over(ord) === 1)
+      .drop("_anyv")
+      .orderBy("rows_per_band", "bands")
+  }
+
   /** Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold.
     * With the default sentinel (-1) the band geometry comes from
     * [[bandPlan]] for the given threshold (e.g. t=0.5 -> 16 bands of 2,

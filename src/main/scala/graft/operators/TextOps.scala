@@ -612,6 +612,54 @@ object TextOps {
         "n_hangul", "n_kana", "dominant")
   }
 
+  /** Script segmentation — the per-SPAN complement to the per-doc
+    * [[scriptProfile]]: explodes each document into its maximal runs of
+    * same-script codepoints (classes = [[scriptClasses]] plus `other` for
+    * everything unscripted — digits, punctuation, whitespace), so a
+    * multi-script document routes each span to the right tokenizer /
+    * similarity family instead of being gated whole by its dominant
+    * label. Lossless by construction: concatenating `seg` in `seg_idx`
+    * order rebuilds the document byte-for-byte, and `start_cp`/`n_cp` are
+    * codepoint offsets (surrogate-pair safe — the loop advances by
+    * `Character.charCount`, matching any engine that counts codepoints).
+    *
+    * One typed map-only JVM pass, zero shuffle: linear in corpus bytes at
+    * any scale, the same cost shape as [[unicodeClean]]. */
+  def scriptSegments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val classes = scriptClasses
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, String, Long, Long, String)]
+        var i = 0            // UTF-16 char index
+        var cpIdx = 0L       // codepoint index
+        var runStart = 0     // run start, char index
+        var runStartCp = 0L
+        var runCls: String = null
+        var runLen = 0L
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          val k = classes.indexWhere(_._2(cp))
+          val c = if (k >= 0) classes(k)._1 else "other"
+          if (runCls == null) { runCls = c }
+          else if (c != runCls) {
+            out += ((id, out.length + 1L, runCls, runStartCp, runLen,
+              text.substring(runStart, i)))
+            runCls = c; runStart = i; runStartCp = cpIdx; runLen = 0L
+          }
+          runLen += 1
+          cpIdx += 1
+          i += Character.charCount(cp)
+        }
+        if (runCls != null)
+          out += ((id, out.length + 1L, runCls, runStartCp, runLen,
+            text.substring(runStart)))
+        out
+      }
+      .toDF("doc_id", "seg_idx", "script", "start_cp", "n_cp", "seg")
+  }
+
   /** DataFrame-level [[secretScan]] masking — ONE PROJECTION PER FAMILY.
     * Chaining the five families inside a single expression tree
     * re-evaluates each stage once per reference ([[maskRuns]] reads its

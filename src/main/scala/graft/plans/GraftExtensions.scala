@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SortedIntersectSize}
+import graft.functions.{DotProduct, HilbertIndex, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: makes the library's native
   * expressions available as SQL functions. Activate with
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      GraftExtensions.hilbertBuilder))
   }
 }
 
@@ -31,5 +35,17 @@ object GraftExtensions {
     org.apache.spark.sql.GraftColumnBridge.registerFunction(
       spark, "graft_sorted_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)))
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(
+      spark, "graft_hilbert", hilbertBuilder)
+  }
+
+  // bits must be a compile-time constant (it sizes the codegen loop):
+  // require a foldable third argument rather than silently evaluating
+  // a non-constant to its first value
+  private[plans] def hilbertBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "graft_hilbert(x, y, bits) takes 3 arguments")
+    require(exprs(2).foldable, "graft_hilbert: bits must be a literal")
+    HilbertIndex(exprs(0), exprs(1),
+      exprs(2).eval().asInstanceOf[Number].intValue)
   }
 }

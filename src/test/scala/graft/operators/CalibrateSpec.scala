@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Calibrate.ecdfByDomain / calibrate — the score_calibrate CORRECTNESS
+  * row: the aggregate-then-small-window spelling must equal the textbook
+  * cume_dist window exactly, including tie classes. */
+class CalibrateSpec extends AnyFunSuite with SparkSuite {
+
+  test("ecdfByDomain equals cume_dist on skewed random data with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // few huge domains, heavily tied scores (the regime the operator is
+    // shaped for: score cardinality << corpus size)
+    val rows = Seq("en" -> 3000, "zh" -> 800, "xx" -> 1).flatMap {
+      case (d, n) => (0 until n).map(i => (d, rnd.nextInt(13).toDouble / 7.0, i.toLong))
+    }
+    val df = rows.toDF("domain", "score", "id").repartition(7)
+    val got = Calibrate.ecdfByDomain(df, "domain", "score")
+      .select("domain", "id", "ecdf")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = df.withColumn("ecdf",
+      cume_dist().over(Window.partitionBy("domain").orderBy("score")))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.size === rows.size)
+    got.foreach { case (k, v) =>
+      assert(v === want(k), s"$k") // exact: same integer counts, one division
+    }
+  }
+
+  test("ecdf is partitioning-invariant and drops NULL scores") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0), 1L), ("a", Some(2.0), 2L), ("a", None, 3L),
+      ("b", Some(5.0), 4L)).toDF("domain", "score", "id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Calibrate.ecdfByDomain(d, "domain", "score")
+        .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val a = run(df)
+    val b = run(df.repartition(5))
+    assert(a === b)
+    assert(a === Map(1L -> 0.5, 2L -> 1.0, 4L -> 1.0)) // id=3 dropped
+  }
+
+  test("calibrate: top-p gate per domain, tie classes fall together") {
+    import spark.implicits._
+    // domain "a": scores 1,1,2,3 -> ecdfs 0.5,0.5,0.75,1.0; keepTop=0.5
+    // keeps ecdf > 0.5 -> ids 3,4 only; the tied pair falls together.
+    // domain "b": all-equal scores -> one class at ecdf 1.0, all kept.
+    val df = Seq(("a", 1.0, 1L), ("a", 1.0, 2L), ("a", 2.0, 3L),
+      ("a", 3.0, 4L), ("b", 9.0, 5L), ("b", 9.0, 6L))
+      .toDF("domain", "score", "id")
+    val kept = Calibrate.calibrate(df, "domain", "score", keepTop = 0.5)
+      .filter(col("kept")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L, 5L, 6L))
+  }
+
+  test("calibrateAgainst: frozen step-function lookup, unseen scores floor") {
+    import spark.implicits._
+    val hist = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 2.0, 3L),
+      ("a", 4.0, 4L)).toDF("domain", "score", "id")
+    val frozen = Calibrate.ecdfTable(hist, "domain", "score")
+    // history ECDF: 1.0 -> 0.25, 2.0 -> 0.75, 4.0 -> 1.0
+    val batch = Seq(
+      ("a", 2.0, 10L),  // seen score: exact frozen value 0.75
+      ("a", 3.0, 11L),  // between 2 and 4: floors to 0.75
+      ("a", 0.5, 12L),  // below min: 0.0, not kept
+      ("a", 9.0, 13L)   // above max: 1.0
+    ).toDF("domain", "score", "id")
+    val out = Calibrate.calibrateAgainst(batch, frozen, "domain", "score", 0.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("ecdf_frozen"), r.getAs[Boolean]("kept")))).toMap
+    assert(out(10L) === ((0.75, true)))
+    assert(out(11L) === ((0.75, true)))
+    assert(out(12L) === ((0.0, false)))
+    assert(out(13L) === ((1.0, true)))
+  }
+
+  test("calibrateAgainst over in-history scores equals direct calibration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val hist = (0 until 500).map(i =>
+      (if (i % 3 == 0) "en" else "zh", rnd.nextInt(9).toDouble, i.toLong))
+      .toDF("domain", "score", "id")
+    val frozen = Calibrate.ecdfTable(hist, "domain", "score")
+    // a batch whose scores all occur in history: the frozen lookup must
+    // return the recomputed per-row ecdf bit-for-bit
+    val batch = hist.limit(120)
+    val viaFrozen = Calibrate.calibrateAgainst(batch, frozen, "domain", "score", 0.3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("ecdf_frozen")).toMap
+    val direct = Calibrate.ecdfByDomain(hist, "domain", "score")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("ecdf")).toMap
+    assert(viaFrozen.nonEmpty)
+    viaFrozen.foreach { case (id, v) => assert(v === direct(id), s"id=$id") }
+  }
+
+  test("the corpus-sized window never happens: windows sit on the aggregate") {
+    import spark.implicits._
+    // plan shape: the Window operator's child must be an Aggregate (the
+    // (domain, score) counts), not the input rows — the whole point of
+    // the spelling at few-huge-domains scale
+    val df = (1 to 100).map(i => ("d", (i % 5).toDouble, i.toLong))
+      .toDF("domain", "score", "id")
+    val plan = Calibrate.ecdfByDomain(df, "domain", "score")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val aggBelow = w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggBelow.nonEmpty, "window must run over the counts aggregate")
+    }
+  }
+}

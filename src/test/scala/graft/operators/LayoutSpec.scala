@@ -72,6 +72,82 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       s"z-order layout did not prune: z-sorted scan=$zRows shuffled scan=$rRows")
   }
 
+  // independent Hilbert reference (the classic xy2d loop, re-derived here
+  // rather than shared with the production code)
+  private def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var x = x0 & (n - 1); var y = y0 & (n - 1)
+    var d = 0L; var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertValue: bijection on the full grid, every step a unit move") {
+    import spark.implicits._
+    val bits = 4
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // codegen output matches the independent reference
+    got.foreach { case (x, y, h) => assert(h === xy2d(bits, x, y), s"($x,$y)") }
+    // permutation of 0..255
+    assert(got.map(_._3).sorted === (0L until 256L).toArray.toSeq)
+    // the defining Hilbert property: consecutive indices are city-block
+    // neighbors — the locality guarantee Morton order does NOT have
+    val walk = got.sortBy(_._3).toSeq
+    walk.sliding(2).foreach { w =>
+      val (x1, y1, _) = w(0); val (x2, y2, _) = w(1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+    }
+  }
+
+  test("hilbertValue: interpreted eval agrees with codegen; input masked to bits") {
+    import spark.implicits._
+    val e = graft.functions.HilbertIndex(
+      org.apache.spark.sql.catalyst.expressions.Literal(300L),
+      org.apache.spark.sql.catalyst.expressions.Literal(-7L), 4)
+    // mask semantics: 300 & 15 = 12, -7 & 15 = 9
+    assert(e.eval() === xy2d(4, 12L, 9L))
+    val viaDf = Seq((300L, -7L)).toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), 4)).head().getLong(0)
+    assert(viaDf === xy2d(4, 12L, 9L))
+  }
+
+  test("graft_hilbert SQL function: literal bits required, matches the Column form") {
+    graft.plans.GraftExtensions.register(spark)
+    val h = spark.sql("SELECT graft_hilbert(CAST(5 AS BIGINT), CAST(9 AS BIGINT), 8) AS h")
+      .head().getLong(0)
+    assert(h === xy2d(8, 5L, 9L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_hilbert(CAST(5 AS BIGINT), CAST(9 AS BIGINT), id) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
+  test("curveLocality: hilbert walk is optimal on the full grid, morton is not") {
+    import spark.implicits._
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("qx", "qy").repartition(5)
+    val out = Layout.curveLocality(grid, col("qx"), col("qy"), bits = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // hilbert: 1024 cells, total jump = cells-1 (every step a neighbor)
+    assert(out("hilbert") === ((1024L, 1023L, 1L)))
+    assert(out("zorder")._2 > out("hilbert")._2)
+    assert(out("rowmajor")._3 === 32L) // row-wrap jump
+  }
+
   test("globalIndex equals row_number and is partitioning-invariant") {
     val docs = graft.sources.Tables
       .load(spark, "/root/testdata/sf0.001", "documents")

@@ -62,6 +62,29 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
     assert(rHigh > rLow)
   }
 
+  test("bandPlanTable: chosen row equals bandPlan, fold probs match pow to ~ulp") {
+    def prob(s: Double, r: Long, b: Long): Double =
+      1d - math.pow(1d - math.pow(s, r.toDouble), b.toDouble)
+    for (t <- Seq(0.5, 0.6, 0.9)) {
+      val rows = NearDup.bandPlanTable(spark, t).collect()
+      // full budget-constrained grid, each geometry exactly once
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length === rows.length)
+      rows.foreach { r =>
+        val (rpb, b, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(nh === rpb * b && nh <= 64 && rpb >= 1 && rpb <= 10 && b >= 2)
+        // fold-based and pow-based S-curves agree to floating noise
+        assert(math.abs(r.getDouble(3) - prob(t, rpb, b)) < 1e-12)
+        assert(math.abs(r.getDouble(4) - prob(t / 2, rpb, b)) < 1e-12)
+        assert(r.getBoolean(5) === (r.getDouble(3) >= 0.97))
+      }
+      val chosen = rows.filter(_.getBoolean(6))
+      assert(chosen.length === 1, "exactly one chosen geometry")
+      val (nhWant, bWant) = NearDup.bandPlan(t)
+      assert((chosen.head.getLong(2), chosen.head.getLong(1)) === ((nhWant.toLong, bWant.toLong)),
+        s"table choice diverged from bandPlan at t=$t")
+    }
+  }
+
   test("planned geometry matches brute force at thresholds 0.7 and 0.9") {
     // brute-force ground truth once (hashed-shingle representation, the
     // same verify kernel the pipeline uses — the candidate stage is what's

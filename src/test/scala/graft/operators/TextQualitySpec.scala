@@ -296,6 +296,48 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(out(6L) === ((2L, 2L, 0L, 0L, "latin")))
   }
 
+  test("scriptSegments: lossless maximal runs with codepoint offsets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab данные cd"),       // latin|other|cyrillic|other|latin
+      (2L, "数据"),                 // single pure-CJK run
+      (3L, ""),                    // empty doc -> no segments
+      (4L, "a😀b")       // non-BMP emoji (surrogate pair) = other
+    ).toDF("doc_id", "text")
+    val segs = TextOps.scriptSegments(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val byDoc = segs.groupBy(_._1)
+    // lossless: concatenating segs in order rebuilds each doc exactly
+    val texts = Map(1L -> "ab данные cd", 2L -> "数据",
+      4L -> "a😀b")
+    texts.foreach { case (id, txt) =>
+      val ordered = byDoc(id).sortBy(_._2)
+      assert(ordered.map(_._6).mkString === txt, s"doc $id reconstruction")
+      // seg_idx contiguous from 1; offsets/lengths tile the codepoint axis
+      assert(ordered.map(_._2).toSeq === (1L to ordered.length))
+      val tiles = ordered.map(s => (s._4, s._4 + s._5))
+      assert(tiles.head._1 === 0L)
+      tiles.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._2 === w(1)._1, s"doc $id gap/overlap")
+      }
+    }
+    assert(!byDoc.contains(3L))
+    assert(byDoc(1L).map(s => (s._3, s._6)).toSeq === Seq(
+      ("latin", "ab"), ("other", " "), ("cyrillic", "данные"),
+      ("other", " "), ("latin", "cd")))
+    // the emoji occupies ONE codepoint (surrogate-pair safe offsets)
+    assert(byDoc(4L).map(s => (s._3, s._4, s._5)).toSeq === Seq(
+      ("latin", 0L, 1L), ("other", 1L, 1L), ("latin", 2L, 1L)))
+    // per-script n_cp totals agree with scriptProfile's counts
+    val prof = TextOps.scriptProfile(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    val sums = segs.groupBy(s => (s._1, s._3)).view
+      .mapValues(_.map(_._5).sum).toMap.withDefaultValue(0L)
+    assert(prof(1L) === ((sums((1L, "latin")), sums((1L, "cyrillic")), 0L)))
+    assert(prof(2L)._3 === sums((2L, "cjk")))
+  }
+
   test("memorizationAudit: per-eval-doc gram coverage with exact ppm") {
     import spark.implicits._
     val corpus = Seq(
