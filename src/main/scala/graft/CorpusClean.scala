@@ -28,7 +28,11 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     (`--blocklist FILE`, one broadcast Aho-Corasick pass per doc) +
   *     LM fluency gate (`--fluency-ref` / `--min-fluency`, the CCNet
   *     KenLM-filter slot) — cheap codegen filters shrink the corpus
-  *     FIRST; then line-level boilerplate
+  *     FIRST; `--calibrate P --calibrate-by COL` then keeps the top P
+  *     of each domain by the domain-conditional ECDF of the
+  *     stopword-ratio score ([[graft.operators.Calibrate]] — one
+  *     calibrated cutoff instead of a global threshold that misprunes
+  *     differently-scaled domains); then line-level boilerplate
   *     removal (`--boilerplate <minDocFreq>`, CCNet paragraph dedup) so
   *     documents differing only by template collapse in the exact stage;
   *     `--host-cap N --host-key COL` caps each host's surviving docs
@@ -268,6 +272,25 @@ object CorpusClean {
       case _ => blocked
     }
 
+    // calibrated quality gate (`--calibrate P --calibrate-by COL`): keep
+    // the top P fraction of each domain by the domain-conditional ECDF of
+    // the stopword-ratio score — scored over the gate SURVIVORS (the
+    // population the cut is defined on), domains read from the raw input
+    // (the score table drops non-text columns)
+    val calibrated = (cfg.calibrateTop, cfg.calibrateBy) match {
+      case (Some(p), Some(dcol)) =>
+        val domains = readInput(spark, cfg).select(col("doc_id"),
+          col(dcol).as("_dom"))
+        val scored = graft.operators.TextOps.textStats(filtered)
+          .select(col("doc_id"), col("stop_ratio").as("_score"))
+          .join(domains, Seq("doc_id"))
+        filtered.join(
+          graft.operators.Calibrate.calibrate(scored, "_dom", "_score", p)
+            .filter(col("kept")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case _ => filtered
+    }
+
     // 1a. per-host document cap (the C4/CCNet anti-spam cut) — runs
     // right after the gates so one spammy host cannot dominate the
     // dedup candidate stages; kept docs drawn by content-independent
@@ -277,14 +300,14 @@ object CorpusClean {
       case (Some(cap), Some(hk)) =>
         val keys = readInput(spark, cfg).select(col("doc_id"), col(hk))
         val ranked = graft.operators.Layout.groupRank(
-          filtered.join(keys, Seq("doc_id"))
+          calibrated.join(keys, Seq("doc_id"))
             .select(col("doc_id"), col(hk).as("host"),
               md5(col("doc_id").cast("string")).as("draw")),
           "host", Seq(col("draw"), col("doc_id")))
-        filtered.join(
+        calibrated.join(
           ranked.filter(col("rnk") <= cap).select("doc_id"),
           Seq("doc_id"), "left_semi")
-      case _ => filtered
+      case _ => calibrated
     }
 
     // 1b. line-level boilerplate removal (CCNet paragraph dedup) — runs

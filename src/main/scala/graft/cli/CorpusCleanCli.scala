@@ -61,6 +61,15 @@ case class CorpusCleanConfig(
     // --min-fluency; both flags go together
     fluencyRef: Option[String] = None,
     minFluency: Option[Long] = None,
+    // calibrated quality gate (the CCNet per-language bucket cut): keep
+    // the top --calibrate FRACTION of every --calibrate-by domain by the
+    // domain-conditional ECDF of the stopword-ratio quality score — raw
+    // scores from different languages/sources live on different scales,
+    // so one calibrated cutoff replaces a global threshold that
+    // over-prunes some domains and under-prunes others; both flags go
+    // together
+    calibrateTop: Option[Double] = None,
+    calibrateBy: Option[String] = None,
     // line-level boilerplate removal (CCNet paragraph dedup): drop lines
     // appearing in >= this many DISTINCT documents; None skips the stage
     boilerplate: Option[Long] = None,
@@ -212,6 +221,13 @@ object CorpusCleanCli {
             case Some(n) => c = c.copy(minFluency = Some(n)); rest = t
             case None => return Left(s"--min-fluency: not an integer: $v")
           }
+        case "--calibrate" :: v :: t =>
+          v.toDoubleOption match {
+            case Some(p) => c = c.copy(calibrateTop = Some(p)); rest = t
+            case None => return Left(s"--calibrate: not a number: $v")
+          }
+        case "--calibrate-by" :: v :: t =>
+          c = c.copy(calibrateBy = Some(v)); rest = t
         case "--min-words" :: v :: t =>
           intArg(v, "--min-words") match {
             case Right(i) => c = c.copy(minWords = i); rest = t
@@ -344,6 +360,7 @@ object CorpusCleanCli {
     "--drift-against", "--drift-out", "--epochs", "--epochs-out", "--sft-out",
     "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
+    "--calibrate", "--calibrate-by",
     "--check-merges", "--unigram", "--pieces-out", "--host-cap",
     "--host-key", "--blocklist")
 
@@ -398,6 +415,12 @@ object CorpusCleanCli {
       Left(s"--pack must be >= 1, got ${c.pack.get}")
     else if (c.fluencyRef.isDefined != c.minFluency.isDefined)
       Left("--fluency-ref and --min-fluency must be given together")
+    else if (c.calibrateTop.isDefined != c.calibrateBy.isDefined)
+      Left("--calibrate and --calibrate-by must be given together")
+    else if (c.calibrateTop.exists(p => p <= 0.0 || p > 1.0))
+      Left(s"--calibrate must be in (0, 1], got ${c.calibrateTop.get}")
+    else if (c.calibrateBy.exists(_.isEmpty))
+      Left("--calibrate-by: empty column name")
     else if (c.minFluency.exists(_ < 0))
       Left(s"--min-fluency must be >= 0, got ${c.minFluency.get}")
     else if (c.curriculum && c.curriculumBy.isDefined)

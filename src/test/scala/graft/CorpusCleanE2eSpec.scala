@@ -213,6 +213,29 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("--calibrate keeps the top fraction of EACH domain; all-tied domains survive whole") {
+    val inDir = tmp("cc_cal_in")
+    val outDir = tmp("cc_cal_out")
+    import spark.implicits._
+    // en: stop ratios 0/4, 1/4, 2/4, 3/4 -> ecdfs .25/.5/.75/1.0; top half
+    // (ecdf > 0.5) keeps docs 3 and 4. zh: no Latin stopwords, all scores
+    // tie at 0 -> one class at ecdf 1.0, the whole domain survives.
+    Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "the alpha beta gamma", "en"),
+      (3L, "the a alpha beta", "en"),
+      (4L, "the a and alpha", "en"),
+      (5L, "gamma delta epsilon zeta", "zh"),
+      (6L, "eta theta iota kappa", "zh"))
+      .toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "1", "--no-near-dup",
+      "--calibrate", "0.5", "--calibrate-by", "lang")).toOption.get
+    assert(CorpusClean.run(spark, cfg) === 4L)
+    assert(spark.read.parquet(outDir)
+      .collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L, 6L))
+  }
+
   test("--redact-secrets masks credentials; structural near-misses ship") {
     val inDir = tmp("cc_sec_in")
     val outDir = tmp("cc_sec_out")

@@ -46,6 +46,22 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(CorpusCleanCli.parse(Seq("in", "out", "--script", "klingon")).isLeft)
   }
 
+  test("--calibrate/--calibrate-by: parsed together, validated loudly") {
+    val c = ok("in", "out", "--calibrate", "0.4", "--calibrate-by", "lang")
+    assert(c.calibrateTop === Some(0.4) && c.calibrateBy === Some("lang"))
+    // both-or-neither, fraction bounds, non-numeric, empty column
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--calibrate", "0.4")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--calibrate-by", "lang")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out",
+      "--calibrate", "0", "--calibrate-by", "lang")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out",
+      "--calibrate", "1.5", "--calibrate-by", "lang")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out",
+      "--calibrate", "abc", "--calibrate-by", "lang")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out",
+      "--calibrate", "0.4", "--calibrate-by", "")).isLeft)
+  }
+
   test("--no-span-removal and --sft-out land in the config; gram-state conflict") {
     assert(!ok("in", "out").noSpanRemoval && ok("in", "out").sftOut.isEmpty)
     val c = ok("in", "out", "--no-span-removal", "--sft-out", "/sft")
