@@ -161,6 +161,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"column pruning failed:\n$p")
   }
 
+  test("hilbert_key: the curve loop stays in whole-stage codegen, pruned scan, no exchange") {
+    val p = plan("hilbert_key")
+    assert(p.contains("*(1) Project"), s"hilbert index fell out of codegen:\n$p")
+    assert(!p.contains("Exchange"), s"per-row key derivation shuffled:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("score_calibrate_incremental: frozen ECDF from stage files; only the batch shard is scanned") {
+    val df = SparkEntry.queries("score_calibrate_incremental")(spark, sf)
+    val p = planFullPaths(df)
+    assert(p.contains(s"calinc_ecdf_${StageStore.dirTag(sf)}"),
+      s"frozen ECDF not read from stage files:\n${p.take(3000)}")
+    // every documents scan must sit under the batch shard filter; a
+    // history-side rescan would add a scan without it
+    val scans = p.linesIterator.count(l =>
+      l.contains("documents.parquet") && l.contains("FileScan"))
+    val batchFilters = "% 3\\) = 0".r.findAllIn(p).length
+    assert(scans > 0 && batchFilters >= scans,
+      s"$scans documents scans but only $batchFilters batch filters — " +
+        s"history is being rescanned:\n${p.take(3000)}")
+  }
+
   test("pii_mask: map-only regex kernels — no exchange, no UDF") {
     val p = plan("pii_mask")
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
