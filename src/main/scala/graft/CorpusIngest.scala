@@ -48,10 +48,13 @@ object CorpusIngest {
       .option("pathGlobFilter", cfg.glob)
       .parquet(cfg.in)
       .select(col("doc_id"), col("text"))
+    val calib = cfg.calibrateState.map(d =>
+      (spark.read.parquet(d), cfg.calibrateTop.get))
     graft.streaming.CorpusStream.standingIngest(
       stream, cfg.out, ck, cfg.minWords, fluency, digests, ndState,
       containmentState = contState, stripMarkup = cfg.stripMarkup,
-      blocklist = blockPats, c4 = cfg.c4, gopher = cfg.gopher)
+      blocklist = blockPats, c4 = cfg.c4, gopher = cfg.gopher,
+      calibration = calib)
     // metadata-only count of what the output dir now holds; an empty dir
     // (every arrival gated out, or nothing new) is a valid zero
     val outFiles = new java.io.File(cfg.out)

@@ -47,7 +47,13 @@ case class CorpusIngestConfig(
     c4: Boolean = false,
     // Gopher verdicts per arrival (both MassiveText rulesets) — the
     // batch tool's --gopher, streaming form; stateless
-    gopher: Boolean = false)
+    gopher: Boolean = false,
+    // calibrated quality gate: persisted per-domain ECDF table
+    // ((domain, score, ecdf) parquet, built by Calibrate.ecdfTable over
+    // the predicted-language domain) + the keep fraction, together —
+    // the batch tool's --calibrate under frozen quantiles
+    calibrateState: Option[String] = None,
+    calibrateTop: Option[Double] = None)
 
 object CorpusIngestCli {
 
@@ -87,6 +93,13 @@ object CorpusIngestCli {
         case "--blocklist" :: v :: t => c = c.copy(blocklist = Some(v)); rest = t
         case "--c4" :: t => c = c.copy(c4 = true); rest = t
         case "--gopher" :: t => c = c.copy(gopher = true); rest = t
+        case "--calibrate-state" :: v :: t =>
+          c = c.copy(calibrateState = Some(v)); rest = t
+        case "--calibrate-top" :: v :: t =>
+          v.toDoubleOption match {
+            case Some(d) => c = c.copy(calibrateTop = Some(d)); rest = t
+            case None => return Left(s"--calibrate-top: not a number: $v")
+          }
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t
@@ -102,7 +115,8 @@ object CorpusIngestCli {
 
   private val valueFlags = Set("--min-words", "--fluency-ref",
     "--min-fluency", "--digests", "--bands", "--sets", "--near-dup",
-    "--containment", "--checkpoint", "--glob", "--blocklist")
+    "--containment", "--checkpoint", "--glob", "--blocklist",
+    "--calibrate-state", "--calibrate-top")
 
   private def validate(c: CorpusIngestConfig): Either[String, CorpusIngestConfig] =
     if (c.minWords < 0) Left(s"--min-words must be >= 0, got ${c.minWords}")
@@ -120,6 +134,10 @@ object CorpusIngestCli {
       Left(s"--near-dup must be in (0, 1], got ${c.nearDup}")
     else if (c.containment.exists(t => t <= 0.0 || t > 1.0))
       Left(s"--containment must be in (0, 1], got ${c.containment.get}")
+    else if (c.calibrateState.isDefined != c.calibrateTop.isDefined)
+      Left("--calibrate-state and --calibrate-top must be given together")
+    else if (c.calibrateTop.exists(p => p <= 0.0 || p > 1.0))
+      Left(s"--calibrate-top must be in (0, 1], got ${c.calibrateTop.get}")
     else if (c.glob.isEmpty) Left("--glob: empty pattern")
     else Right(c)
 }

@@ -216,7 +216,9 @@ object CorpusStream {
     * count) → optional fluency (broadcast reference model) → optional
     * exact dedup vs the persisted digest table → optional near-dup vs
     * the persisted band/shingle-set state → optional containment vs the
-    * same shingle-set state; survivors append to `outDir`.
+    * same shingle-set state → optional calibrated quality gate vs a
+    * persisted per-domain ECDF table (frozen quantiles; domain = the
+    * arrival's predicted language); survivors append to `outDir`.
     * This is [[graft.CorpusClean]]'s streaming counterpart (the `graft
     * corpus-ingest` tool): run it with AvailableNow on a cron cadence
     * and it is the incremental batch pipeline; leave it running and it
@@ -240,7 +242,8 @@ object CorpusStream {
                      blocklist: Option[Seq[String]] = None,
                      c4: Boolean = false,
                      gopher: Boolean = false,
-                     containmentDocFreq: Option[DataFrame] = None): Unit = {
+                     containmentDocFreq: Option[DataFrame] = None,
+                     calibration: Option[(DataFrame, Double)] = None): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val extracted = if (stripMarkup)
@@ -293,6 +296,24 @@ object CorpusStream {
             graft.operators.NearDup.historyContainedIds(b, setsF,
               threshold = thr, priorDocFreq = containmentDocFreq),
             Seq("doc_id"), "left_anti")
+        }
+        // calibrated quality gate — arrivals keep the top fraction of
+        // their (predicted-language) domain under YESTERDAY'S persisted
+        // ECDF table: frozen quantiles, so an arrival's verdict never
+        // depends on what else is in the micro-batch (the same
+        // (document, persisted-state)-only contract as every gate here);
+        // unseen scores floor via the backward as-of lookup
+        calibration.foreach { case (ecdfF, keepTop) =>
+          val scored = graft.operators.TextOps.textStats(b)
+            .select(col("doc_id"), col("stop_ratio").as("score"))
+            .join(graft.operators.TextOps.langId(b)
+              .select(col("doc_id"), col("lang_pred").as("domain")),
+              Seq("doc_id"))
+          b = b.join(
+            graft.operators.Calibrate.calibrateAgainst(
+              scored, ecdfF, "domain", "score", keepTop)
+              .filter(col("kept")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
         }
         b.select(col("doc_id"), col("text"))
           .write.mode("append").parquet(outDir)

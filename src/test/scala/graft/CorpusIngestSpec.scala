@@ -195,6 +195,49 @@ class CorpusIngestSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(0)).toSet === Set(301L))
   }
 
+  test("the calibrated gate wires in: arrivals keep the top of their " +
+    "predicted-language domain under the FROZEN ecdf state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // history: en docs at stop ratios .2/.4/.6/.8 (ecdfs .25/.5/.75/1.0)
+    // plus an unk doc at ratio 0 (its domain's single class, ecdf 1.0)
+    val hist = Seq(
+      (1L, "the alpha beta gamma delta"),
+      (2L, "the a alpha beta gamma"),
+      (3L, "the a and alpha beta"),
+      (4L, "the a and of alpha"),
+      (5L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val scored = graft.operators.TextOps.textStats(hist)
+      .select(col("doc_id"), col("stop_ratio").as("score"))
+      .join(graft.operators.TextOps.langId(hist)
+        .select(col("doc_id"), col("lang_pred").as("domain")), Seq("doc_id"))
+    val stateDir = tmp("ing_cal_state")
+    graft.operators.Calibrate.ecdfTable(scored, "domain", "score")
+      .write.mode("overwrite").parquet(stateDir)
+    val watchDir = tmp("ing_cal_watch")
+    val outDir = new java.io.File(tmp("ing_cal_base"), "out").getAbsolutePath
+    dropShard(Seq(
+      // en, ratio 4/6 -> floors to history .6 -> ecdf .75 > .5: kept
+      (501L, "the a and of alpha beta"),
+      // en, ratio 1/6 -> below the domain's observed minimum -> 0.0: drops
+      (502L, "the alpha beta gamma delta epsilon"),
+      // unk, ratio 0 -> its domain's single class at ecdf 1.0: kept
+      (503L, "alpha beta gamma delta epsilon zeta")),
+      watchDir, "shard.parquet")
+    val cfg = CorpusIngestCli.parse(Seq(watchDir, outDir,
+      "--min-words", "5", "--calibrate-state", stateDir,
+      "--calibrate-top", "0.5")).toOption.get
+    val n = CorpusIngest.run(spark, cfg)
+    assert(n === 2L)
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(501L, 503L))
+    // flag validation: together, bounded
+    assert(CorpusIngestCli.parse(Seq("w", "o", "--calibrate-state", "d")).isLeft)
+    assert(CorpusIngestCli.parse(Seq("w", "o", "--calibrate-top", "0.5")).isLeft)
+    assert(CorpusIngestCli.parse(Seq("w", "o", "--calibrate-state", "d",
+      "--calibrate-top", "1.5")).isLeft)
+  }
+
   test("the blocklist gate wires in: a pattern-bearing arrival drops") {
     import spark.implicits._
     val watchDir = tmp("ing_bl_watch")
