@@ -6455,6 +6455,34 @@ object Queries {
       |FROM sw, tot ORDER BY mix_src""".stripMargin
 
   // ---------------------------------------------------------------------
+  // stride_interleave — the deterministic weighted mixture ORDER
+  // (Mixture.strideInterleave, stride scheduling): per-lang weights
+  // en=4/zh=2/rest=1, seeded md5 within-domain shuffle, pass = rank/w,
+  // global position by (pass, domain, rank). Any prefix holds each
+  // domain in weight proportion within one document. The oracle is the
+  // two-window textbook spelling.
+  // ---------------------------------------------------------------------
+  def strideInterleave(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.strideInterleave(
+      t(s, dir, "documents"), "lang",
+      weights = Map("en" -> 4.0, "zh" -> 2.0), seed = "graft16")
+      .orderBy("pos")
+
+  val strideInterleaveSql: String =
+    """WITH d AS (SELECT doc_id, lang AS domain,
+      |    md5('graft16' || CAST(doc_id AS VARCHAR)) AS draw FROM documents),
+      |r AS (SELECT doc_id, domain,
+      |    CAST(row_number() OVER (PARTITION BY domain ORDER BY draw, doc_id) AS BIGINT) AS dom_rnk
+      |  FROM d),
+      |p AS (SELECT doc_id, domain, dom_rnk,
+      |    CAST(dom_rnk AS DOUBLE) /
+      |      (CASE domain WHEN 'en' THEN 4.0 WHEN 'zh' THEN 2.0 ELSE 1.0 END) AS pass
+      |  FROM r)
+      |SELECT doc_id, domain, dom_rnk, pass,
+      |  CAST(row_number() OVER (ORDER BY pass, domain, dom_rnk) AS BIGINT) AS pos
+      |FROM p ORDER BY pos""".stripMargin
+
+  // ---------------------------------------------------------------------
   // hard_negatives — contrastive-training hard-negative mining (the
   // embedding-side complement of MLM preprocessing: dense retrievers /
   // contrastive encoders train on near-but-not-same examples, e.g. DPR,
@@ -7972,6 +8000,7 @@ object Queries {
     "hard_negatives" -> (hardNegatives _),
     "packing_efficiency" -> (packingEfficiency _),
     "mixture_manifest" -> (mixtureManifest _),
+    "stride_interleave" -> (strideInterleave _),
     "span_corrupt" -> (spanCorrupt _),
     "rp_reduce" -> (rpReduce _),
     "ann_rp" -> (annRp _),
@@ -8186,6 +8215,7 @@ object Queries {
     "hard_negatives" -> hardNegativesSql,
     "packing_efficiency" -> packingEfficiencySql,
     "mixture_manifest" -> mixtureManifestSql,
+    "stride_interleave" -> strideInterleaveSql,
     "span_corrupt" -> spanCorruptSql,
     "rp_reduce" -> rpReduceSql,
     "ann_rp" -> annRpSql,

@@ -41,4 +41,52 @@ object Mixture {
         "epochs_ppm")
       .orderBy("mix_src")
   }
+
+  /** Deterministic weighted mixture INTERLEAVE — the training order that
+    * realizes a mixture plan: documents from all domains merge into one
+    * sequence where any prefix holds each domain in proportion to its
+    * weight, within one document (stride scheduling, Waldspurger & Weihl
+    * OSDI'94: item r of domain d runs at pass `r / w_d`; ordering by pass
+    * IS the bounded-lag weighted round-robin). The usual alternative —
+    * sampling domains per step — needs either a stateful generator (not
+    * replayable) or rejection bookkeeping; the stride form is three
+    * deterministic columns.
+    *
+    * Determinism: the within-domain order is a seeded md5 draw (the
+    * [[graft.operators.Splits]] discipline — content-independent,
+    * replayable anywhere), the pass is ONE IEEE division of the integer
+    * rank by the weight literal, and ties order by (pass, domain, rank).
+    * Every value hash-compares across engines.
+    *
+    * Scale shape: both ranks ride [[Layout.groupRank]]'s range-partition
+    * + zipWithIndex machinery — the per-domain rank because domains are
+    * few and huge (the hostile window regime), the global position
+    * because a `row_number() OVER ()` would be single-task. No window
+    * ever sees corpus-sized input.
+    *
+    * @param weights domain -> weight; domains absent default to
+    *                `defaultWeight`. Weights are RATES (docs per pass),
+    *                not fractions — only ratios matter. */
+  def strideInterleave(docs: DataFrame, domainCol: String,
+                       weights: Map[String, Double],
+                       defaultWeight: Double = 1.0,
+                       seed: String = "graft"): DataFrame = {
+    require(defaultWeight > 0 && weights.values.forall(_ > 0),
+      "stride weights must be positive")
+    val drawn = docs.select(col("doc_id"), col(domainCol).as("domain"),
+      md5(concat(lit(seed), col("doc_id").cast("string"))).as("draw"))
+    val ranked = Layout.groupRank(drawn, "domain",
+      Seq(col("draw"), col("doc_id")))
+      .withColumnRenamed("rnk", "dom_rnk")
+    // keys sorted so the CASE chain is identical run to run
+    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (d, w)) => when(col("domain") === d, lit(w)).otherwise(acc)
+    }
+    val passed = ranked.select(col("doc_id"), col("domain"), col("dom_rnk"),
+      (col("dom_rnk").cast("double") / wExpr).as("pass"))
+    Layout.groupRank(passed.withColumn("_g", lit("all")), "_g",
+      Seq(col("pass"), col("domain"), col("dom_rnk")))
+      .withColumnRenamed("rnk", "pos")
+      .select("doc_id", "domain", "dom_rnk", "pass", "pos")
+  }
 }

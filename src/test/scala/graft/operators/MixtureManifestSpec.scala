@@ -38,4 +38,53 @@ class MixtureManifestSpec extends AnyFunSuite with SparkSuite {
     assert(largest._5 > smallest._5,
       "temperature must compress, not invert, the allocation order")
   }
+
+  test("strideInterleave equals the priority-queue stride reference; prefixes are weight-fair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val weights = Map("en" -> 3.0, "zh" -> 2.0)
+    val docs = (1L to 900L).map(i =>
+      (i, if (rnd.nextInt(6) < 3) "en" else if (rnd.nextInt(2) == 0) "zh" else "de"))
+      .toDF("doc_id", "lang")
+    val got = Mixture.strideInterleave(docs, "lang", weights, seed = "s1")
+      .orderBy("pos")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    // independent reference: per-domain queues in (md5 draw, id) order,
+    // always emit the smallest (pass, domain, rank)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val queues = rows.groupBy(_._2).map { case (d, xs) =>
+      d -> xs.map(_._1).sortBy(id => (md5hex("s1" + id), id)).toVector
+    }
+    val w = weights.withDefaultValue(1.0)
+    val ref = queues.flatMap { case (d, ids) =>
+      ids.zipWithIndex.map { case (id, i) =>
+        val r = i + 1L
+        (r / w(d), d, r, id)
+      }
+    }.toSeq.sortBy { case (p, d, r, _) => (p, d, r) }
+    assert(got.length === ref.length)
+    got.zip(ref).foreach { case ((id, d, rnk, pass, _), (rp, rd, rr, rid)) =>
+      assert(id === rid && d === rd && rnk === rr && pass === rp)
+    }
+    // weight-fair prefixes: by any pass cut P, domain d has emitted
+    // exactly floor(P * w_d) docs (capped by its size) — check a few cuts
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for (cut <- Seq(5.0, 20.0, 50.0)) {
+      val emitted = got.filter(_._4 <= cut).groupBy(_._2).view
+        .mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+      Seq("en", "zh", "de").foreach { d =>
+        val want = math.min(math.floor(cut * w(d)).toLong, sizes(d))
+        assert(emitted(d) === want, s"domain $d at pass cut $cut")
+      }
+    }
+    // partitioning invariance
+    val again = Mixture.strideInterleave(docs.repartition(7), "lang",
+      weights, seed = "s1").orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(again.toSeq === got.map(t => (t._1, t._5)).toSeq)
+  }
 }
