@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.cli.{CorpusCompactCli, CorpusCompactConfig}
+
+/** `graft corpus-compact` — the COMPACTION job every incremental/streaming
+  * gate's contract defers to: fold a new shard's (or an ingest run's
+  * survivors') contributions into the persisted state tables, so the next
+  * `corpus-ingest` / incremental-dedup invocation gates against an updated
+  * snapshot without ever rescanning history text. This closes the
+  * production loop (ingest → compact → ingest) that the gates' scaladocs
+  * describe: the state tables are the ONLY thing that grows with the
+  * corpus, and each is either pre-aggregated (counts merge by sum) or
+  * append-disjoint (per-doc signatures union), so compaction cost is
+  * `O(new shard + state)`, never `O(corpus)`.
+  *
+  * State layout under `<stateOutDir>` (a fresh, versioned root — the
+  * previous root passed via `--prior` is read-only; flipping a pointer to
+  * the new version is the caller's atomic publish):
+  *  - `digests/`      (text_sha)                       — `--digests`
+  *  - `bands/`, `sets/` (band table + shingle-hash sets) — `--minhash`
+  *  - `doc_freq/`     (sh_hash, doc_freq)              — `--doc-freq`
+  *  - `score_counts/` (domain, score, cnt) + `ecdf/`   — `--calibrate`
+  *
+  * Each artifact merges with `--prior`'s corresponding table when given
+  * (union-distinct for digests, disjoint-id union for bands/sets,
+  * merge-by-sum for doc_freq and score_counts) or bootstraps from the
+  * shard alone. The ECDF is DERIVED from the merged counts at write time —
+  * ecdf values themselves never merge (quantiles aren't additive; counts
+  * are), which is exactly why `score_counts` is the persisted state.
+  */
+object CorpusCompact {
+
+  /** Run per config; returns (artifact -> row count written). */
+  def run(spark: SparkSession, cfg: CorpusCompactConfig): Map[String, Long] = {
+    val docs = spark.read.parquet(cfg.in).select(col("doc_id"), col("text"))
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+    def write(name: String, df: DataFrame): Unit = {
+      val path = new java.io.File(cfg.out, name).getAbsolutePath
+      // errorifexists: a half-written state version must fail loudly, not
+      // silently mix two compactions
+      df.write.mode("errorifexists").parquet(path)
+      out += name -> spark.read.parquet(path).count()
+    }
+    def prior(name: String): Option[DataFrame] = cfg.prior.map { pd =>
+      val f = new java.io.File(pd, name)
+      require(f.exists,
+        s"--prior selected for $name but ${f.getAbsolutePath} does not exist")
+      spark.read.parquet(f.getAbsolutePath)
+    }
+
+    if (cfg.digests) {
+      val delta = graft.operators.TextOps.textDigests(docs)
+      write("digests", prior("digests") match {
+        case Some(p) => p.select("text_sha").unionByName(delta).distinct()
+        case None => delta
+      })
+    }
+    if (cfg.minhash || cfg.docFreq) {
+      val newSets = graft.operators.NearDup.shingleHashSets(docs, cfg.k)
+      if (cfg.minhash) {
+        val newBands = graft.operators.NearDup.bandFrame(
+          docs, cfg.k, cfg.numHashes, cfg.bands)
+        write("bands", prior("bands") match {
+          case Some(p) => p.unionByName(newBands)
+          case None => newBands
+        })
+        write("sets", prior("sets") match {
+          case Some(p) => p.unionByName(newSets)
+          case None => newSets
+        })
+      }
+      if (cfg.docFreq) {
+        val delta = graft.operators.NearDup.shingleDocFreq(newSets)
+        write("doc_freq", prior("doc_freq") match {
+          case Some(p) => graft.operators.NearDup.mergeShingleDocFreq(p, delta)
+          case None => delta
+        })
+      }
+    }
+    if (cfg.calibrate) {
+      // the same (predicted-language domain, stop-ratio score) scoring the
+      // ingest gate applies — state and gate must agree on the axes
+      val scored = graft.operators.TextOps.textStats(docs)
+        .select(col("doc_id"), col("stop_ratio").as("score"))
+        .join(graft.operators.TextOps.langId(docs)
+          .select(col("doc_id"), col("lang_pred").as("domain")), Seq("doc_id"))
+      val delta = graft.operators.Calibrate.scoreCounts(scored, "domain", "score")
+      write("score_counts", prior("score_counts") match {
+        case Some(p) => graft.operators.Calibrate.mergeScoreCounts(p, delta)
+        case None => delta
+      })
+      // derive the gate artifact from the PERSISTED counts (read back), so
+      // ecdf/ is always consistent with score_counts/ on disk
+      val counts = spark.read.parquet(
+        new java.io.File(cfg.out, "score_counts").getAbsolutePath)
+      write("ecdf", graft.operators.Calibrate.ecdfFromCounts(counts))
+    }
+    out.toMap
+  }
+}
+
+/** `runMain graft.CorpusCompactMain <newDocsDir> <stateOutDir> [flags]` —
+  * also the `corpus-compact` subcommand of [[Main]]. */
+object CorpusCompactMain {
+  def main(args: Array[String]): Unit = {
+    CorpusCompactCli.parse(args.toSeq) match {
+      case Left(err) =>
+        System.err.println(s"graft corpus-compact: $err")
+        sys.exit(1)
+      case Right(cfg) =>
+        val spark = GraftSession.get()
+        try {
+          val counts = CorpusCompact.run(spark, cfg)
+          counts.foreach { case (name, n) =>
+            println(s"corpus-compact: $name -> $n rows in ${cfg.out}/$name")
+          }
+        } catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                    _: org.apache.spark.sql.AnalysisException) =>
+            System.err.println(s"graft corpus-compact: ${e.getMessage}")
+            sys.exit(1)
+        }
+    }
+  }
+}

@@ -78,6 +78,10 @@ object Main {
       CorpusIngestMain.main(args.tail)
       return
     }
+    if (args.headOption.contains("corpus-compact")) {
+      CorpusCompactMain.main(args.tail)
+      return
+    }
     val parsed = for {
       // -src/-o are ours; -dumpdir is the reference's spelling of -o
       // (paradump.go:3492); the rest is the reference flag surface

@@ -1,0 +1,72 @@
+package graft.cli
+
+case class CorpusCompactConfig(
+    in: String = "",
+    out: String = "",
+    // previous state ROOT to merge with (its subdirs must exist for every
+    // selected artifact); None bootstraps fresh state from <newDocs> alone
+    prior: Option[String] = None,
+    // artifact selectors — at least one required
+    digests: Boolean = false,   // exact-dedup digest table (text_sha)
+    minhash: Boolean = false,   // near-dup band table + shingle-set table
+    docFreq: Boolean = false,   // containment doc-frequency table
+    calibrate: Boolean = false, // score_counts (mergeable) + derived ecdf
+    // shingle/band geometry — must match what the gates were planned with
+    k: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 8)
+
+object CorpusCompactCli {
+
+  def parse(args: Seq[String]): Either[String, CorpusCompactConfig] = {
+    var c = CorpusCompactConfig()
+    var positional = List.empty[String]
+    var rest = args.toList
+    while (rest.nonEmpty) {
+      rest match {
+        case "--prior" :: v :: t => c = c.copy(prior = Some(v)); rest = t
+        case "--digests" :: t => c = c.copy(digests = true); rest = t
+        case "--minhash" :: t => c = c.copy(minhash = true); rest = t
+        case "--doc-freq" :: t => c = c.copy(docFreq = true); rest = t
+        case "--calibrate" :: t => c = c.copy(calibrate = true); rest = t
+        case "--k" :: v :: t => intArg(v, "--k") match {
+          case Right(i) => c = c.copy(k = i); rest = t
+          case Left(e) => return Left(e)
+        }
+        case "--num-hashes" :: v :: t => intArg(v, "--num-hashes") match {
+          case Right(i) => c = c.copy(numHashes = i); rest = t
+          case Left(e) => return Left(e)
+        }
+        case "--bands" :: v :: t => intArg(v, "--bands") match {
+          case Right(i) => c = c.copy(bands = i); rest = t
+          case Left(e) => return Left(e)
+        }
+        case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
+        case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
+        case p :: t => positional = positional :+ p; rest = t
+      }
+    }
+    positional match {
+      case in :: out :: Nil => c = c.copy(in = in, out = out)
+      case _ => return Left(
+        s"need exactly <newDocsDir> <stateOutDir>, got ${positional.size} positional args")
+    }
+    validate(c)
+  }
+
+  private def intArg(v: String, flag: String): Either[String, Int] =
+    v.toIntOption.toRight(s"$flag: not an integer: $v")
+
+  private val valueFlags = Set("--prior", "--k", "--num-hashes", "--bands")
+
+  private def validate(c: CorpusCompactConfig): Either[String, CorpusCompactConfig] =
+    if (!(c.digests || c.minhash || c.docFreq || c.calibrate))
+      Left("select at least one artifact: --digests, --minhash, --doc-freq, --calibrate")
+    else if (c.prior.contains(c.out))
+      Left("--prior must differ from <stateOutDir> (state versions are immutable)")
+    else if (c.k < 1) Left(s"--k must be >= 1, got ${c.k}")
+    else if (c.numHashes < 1 || c.bands < 1 || c.numHashes % c.bands != 0)
+      Left(s"--num-hashes must be a positive multiple of --bands, " +
+        s"got ${c.numHashes}/${c.bands}")
+    else Right(c)
+}

@@ -55,18 +55,40 @@ object Calibrate {
       .withColumn("kept", col("ecdf") > lit(1.0d) - lit(keepTop))
   }
 
+  /** The mergeable calibration STATE: per-(domain, score) row counts.
+    * ECDF values themselves cannot be merged across snapshots, but counts
+    * add — so the compaction job persists THIS table (merge-by-sum via
+    * [[mergeScoreCounts]], the priorGramCounts pattern) and derives the
+    * gate-consumable ECDF from it with [[ecdfFromCounts]]. */
+  def scoreCounts(df: DataFrame, domainCol: String, scoreCol: String): DataFrame =
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(domainCol).as("domain"), col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold a batch's [[scoreCounts]] delta into the persisted table —
+    * merge-by-sum, valid because counts of disjoint row sets add. */
+  def mergeScoreCounts(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.select("domain", "score", "cnt")
+      .unionByName(delta.select("domain", "score", "cnt"))
+      .groupBy("domain", "score").agg(sum("cnt").as("cnt"))
+
+  /** Derive the per-domain ECDF from a [[scoreCounts]] table: running
+    * integer sum over the distinct scores, one IEEE division. */
+  def ecdfFromCounts(counts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("domain").orderBy("score")
+    val totals = Window.partitionBy("domain")
+    counts.select(col("domain"), col("score"),
+      (sum("cnt").over(w).cast("double") /
+        sum("cnt").over(totals).cast("double")).as("ecdf"))
+  }
+
   /** The DISTINCT per-(domain, score) ECDF table alone — the artifact the
     * incremental cadence persists (score-cardinality-bounded, so it is a
     * cheap standing file). */
-  def ecdfTable(df: DataFrame, domainCol: String, scoreCol: String): DataFrame = {
-    val counts = df.filter(col(scoreCol).isNotNull)
-      .groupBy(domainCol, scoreCol).agg(count(lit(1)).as("_cnt"))
-    val w = Window.partitionBy(domainCol).orderBy(scoreCol)
-    val totals = Window.partitionBy(domainCol)
-    counts.select(col(domainCol), col(scoreCol),
-      (sum("_cnt").over(w).cast("double") /
-        sum("_cnt").over(totals).cast("double")).as("ecdf"))
-  }
+  def ecdfTable(df: DataFrame, domainCol: String, scoreCol: String): DataFrame =
+    ecdfFromCounts(scoreCounts(df, domainCol, scoreCol))
+      .withColumnRenamed("domain", domainCol)
+      .withColumnRenamed("score", scoreCol)
 
   /** Incremental calibration — the production cadence: a NEW batch is
     * calibrated against YESTERDAY'S persisted [[ecdfTable]] without

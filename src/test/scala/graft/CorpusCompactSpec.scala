@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.{CorpusCompactCli, CorpusIngestCli}
+
+/** The compaction TOOL: folds a shard's contributions into the persisted
+  * state tables, closing the ingest -> compact -> ingest loop every
+  * incremental gate's contract defers to. */
+class CorpusCompactSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def writeDocs(rows: Seq[(Long, String)], dir: String): Unit =
+    docsDf(rows).write.mode("overwrite").parquet(dir)
+
+  /** Single parquet FILE named `name` in `watchDir` — the shape the
+    * streaming file source's glob expects (one arrival = one file). */
+  private def dropShard(rows: Seq[(Long, String)], watchDir: String,
+                        name: String): Unit = {
+    val stage = Files.createTempDirectory("cpt_shard").toFile
+    docsDf(rows).coalesce(1)
+      .write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val part = stage.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    Files.copy(part.toPath, java.nio.file.Paths.get(watchDir, name))
+  }
+
+  private val shard1 = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a completely different document about data engines"),
+    (3L, "a completely different document about data engines"), // dup of 2
+    (4L, "alpha beta gamma delta epsilon zeta"))
+  private val shard2 = Seq(
+    (11L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+    (12L, "novel content that history has never seen before"),
+    (13L, "alpha beta gamma delta epsilon eta")) // near-dup of 4
+
+  test("CLI validation matrix") {
+    assert(CorpusCompactCli.parse(Seq("in", "out", "--digests")).isRight)
+    assert(CorpusCompactCli.parse(Seq("in", "out")).isLeft) // no artifact
+    assert(CorpusCompactCli.parse(Seq("in", "--digests")).isLeft)
+    assert(CorpusCompactCli.parse(
+      Seq("in", "out", "--digests", "--prior", "out")).isLeft) // in-place
+    assert(CorpusCompactCli.parse(
+      Seq("in", "out", "--minhash", "--num-hashes", "15", "--bands", "8")).isLeft)
+    assert(CorpusCompactCli.parse(Seq("in", "out", "--k", "x", "--digests")).isLeft)
+    assert(CorpusCompactCli.parse(Seq("in", "out", "--bogus")).isLeft)
+    val c = CorpusCompactCli.parse(Seq("/n", "/s2", "--prior", "/s1",
+      "--digests", "--minhash", "--doc-freq", "--calibrate",
+      "--k", "4", "--num-hashes", "32", "--bands", "16")).toOption.get
+    assert(c.in === "/n" && c.out === "/s2" && c.prior === Some("/s1"))
+    assert(c.digests && c.minhash && c.docFreq && c.calibrate)
+    assert(c.k === 4 && c.numHashes === 32 && c.bands === 16)
+  }
+
+  test("bootstrap + incremental compaction == one-shot state over the union, per artifact") {
+    val in1 = tmp("cpt_in1"); val in2 = tmp("cpt_in2"); val inU = tmp("cpt_inU")
+    writeDocs(shard1, in1); writeDocs(shard2, in2)
+    writeDocs(shard1 ++ shard2, inU)
+    val s1 = new java.io.File(tmp("cpt_s1"), "v1").getAbsolutePath
+    val s2 = new java.io.File(tmp("cpt_s2"), "v2").getAbsolutePath
+    val sU = new java.io.File(tmp("cpt_sU"), "vU").getAbsolutePath
+    val flags = Seq("--digests", "--minhash", "--doc-freq", "--calibrate")
+    def compact(in: String, out: String, prior: Option[String]) =
+      CorpusCompact.run(spark, CorpusCompactCli.parse(
+        Seq(in, out) ++ flags ++ prior.toSeq.flatMap(p => Seq("--prior", p)))
+        .toOption.get)
+    val c1 = compact(in1, s1, None)
+    assert(c1("digests") === 3L) // 4 docs, one exact dup
+    val c2 = compact(in2, s2, Some(s1))
+    val cU = compact(inU, sU, None)
+    assert(c2 === cU, "incremental state must equal the one-shot state counts")
+    // content equality, not just counts
+    def rows(root: String, name: String) =
+      spark.read.parquet(s"$root/$name").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    for (t <- Seq("digests", "bands", "sets", "doc_freq", "score_counts", "ecdf"))
+      assert(rows(s2, t) === rows(sU, t), s"artifact $t diverged")
+    // the ecdf artifact equals the operator's direct derivation
+    val direct = graft.operators.Calibrate.ecdfFromCounts(
+      spark.read.parquet(s"$s2/score_counts")).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows(s2, "ecdf") === direct)
+  }
+
+  test("a second compaction into the same state root fails loudly") {
+    val in1 = tmp("cpt_dup_in"); writeDocs(shard1, in1)
+    val out = new java.io.File(tmp("cpt_dup_s"), "v1").getAbsolutePath
+    val cfg = CorpusCompactCli.parse(Seq(in1, out, "--digests")).toOption.get
+    CorpusCompact.run(spark, cfg)
+    intercept[Exception] { CorpusCompact.run(spark, cfg) }
+  }
+
+  test("the production loop: ingest gates on state v1, compaction of survivors " +
+    "builds v2, the next ingest drops a dup of a v1-era survivor") {
+    // state v1 from shard1
+    val in1 = tmp("loop_in1"); writeDocs(shard1, in1)
+    val v1 = new java.io.File(tmp("loop_s1"), "v1").getAbsolutePath
+    CorpusCompact.run(spark, CorpusCompactCli.parse(
+      Seq(in1, v1, "--digests", "--minhash")).toOption.get)
+    // ingest run 1: shard2 arrives; 11 (exact dup of 1) and 13 (near-dup
+    // of 4 at the 16/8 geometry) drop, 12 survives
+    val watch1 = tmp("loop_w1"); dropShard(shard2, watch1, "shard.parquet")
+    val out1 = new java.io.File(tmp("loop_o1"), "out").getAbsolutePath
+    val n1 = CorpusIngest.run(spark, CorpusIngestCli.parse(Seq(
+      watch1, out1, "--min-words", "3", "--digests", s"$v1/digests",
+      "--bands", s"$v1/bands", "--sets", s"$v1/sets", "--near-dup", "0.5"))
+      .toOption.get)
+    assert(n1 === 1L)
+    assert(spark.read.parquet(out1).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(12L))
+    // compact run-1 survivors into v2
+    val v2 = new java.io.File(tmp("loop_s2"), "v2").getAbsolutePath
+    CorpusCompact.run(spark, CorpusCompactCli.parse(
+      Seq(out1, v2, "--prior", v1, "--digests", "--minhash")).toOption.get)
+    // ingest run 2: an exact dup of the v1-ERA SURVIVOR (doc 12) now
+    // drops — only possible because compaction folded it into the state
+    val watch2 = tmp("loop_w2")
+    dropShard(Seq(
+      (21L, "novel content that history has never seen before"), // dup of 12
+      (22L, "genuinely fresh arrival for the second ingest run")),
+      watch2, "shard.parquet")
+    val out2 = new java.io.File(tmp("loop_o2"), "out").getAbsolutePath
+    val n2 = CorpusIngest.run(spark, CorpusIngestCli.parse(Seq(
+      watch2, out2, "--min-words", "3", "--digests", s"$v2/digests",
+      "--bands", s"$v2/bands", "--sets", s"$v2/sets", "--near-dup", "0.5"))
+      .toOption.get)
+    assert(n2 === 1L)
+    assert(spark.read.parquet(out2).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(22L))
+  }
+}
