@@ -518,12 +518,27 @@ object CorpusClean {
           Seq("doc_id"))
       case (false, None) => withIds
     }
-    cfg.pack match {
+    val withPack = cfg.pack match {
       case Some(w) => withCur.join(
         graft.operators.Packing.packSequences(
           withIds.select(col("doc_id"), col("text")), budget = w),
         Seq("doc_id"))
       case None => withCur
+    }
+    // --interleave-by joins the deterministic weighted mixture ORDER
+    // (stride scheduling): `interleave_pos` is the global training
+    // position under which any prefix holds each domain in weight
+    // proportion; domains read from the input like --split-by's key
+    cfg.interleaveBy match {
+      case Some(dcol) =>
+        val keys = readInput(spark, cfg).select(col("doc_id"), col(dcol))
+        withPack.join(
+          graft.operators.Mixture.strideInterleave(
+            withPack.select("doc_id").join(keys, Seq("doc_id")),
+            dcol, cfg.interleaveWeights)
+            .select(col("doc_id"), col("pos").as("interleave_pos")),
+          Seq("doc_id"))
+      case None => withPack
     }
   }
 

@@ -70,6 +70,12 @@ case class CorpusCleanConfig(
     // together
     calibrateTop: Option[Double] = None,
     calibrateBy: Option[String] = None,
+    // mixture interleave training-plan column: join `interleave_pos`, the
+    // stride-scheduled global order in which any prefix holds each
+    // --interleave-by domain in --interleave-weights proportion
+    // ("en=4,zh=2"; absent domains weigh 1)
+    interleaveBy: Option[String] = None,
+    interleaveWeights: Map[String, Double] = Map.empty,
     // line-level boilerplate removal (CCNet paragraph dedup): drop lines
     // appearing in >= this many DISTINCT documents; None skips the stage
     boilerplate: Option[Long] = None,
@@ -228,6 +234,18 @@ object CorpusCleanCli {
           }
         case "--calibrate-by" :: v :: t =>
           c = c.copy(calibrateBy = Some(v)); rest = t
+        case "--interleave-by" :: v :: t =>
+          c = c.copy(interleaveBy = Some(v)); rest = t
+        case "--interleave-weights" :: v :: t =>
+          val parsed = v.split(",").toSeq.map { kv =>
+            kv.split("=", 2) match {
+              case Array(d, w) if d.nonEmpty => w.toDoubleOption.map(d -> _)
+              case _ => None
+            }
+          }
+          if (parsed.exists(_.isEmpty))
+            return Left(s"--interleave-weights: expected d1=w1,d2=w2, got $v")
+          c = c.copy(interleaveWeights = parsed.flatten.toMap); rest = t
         case "--min-words" :: v :: t =>
           intArg(v, "--min-words") match {
             case Right(i) => c = c.copy(minWords = i); rest = t
@@ -360,7 +378,7 @@ object CorpusCleanCli {
     "--drift-against", "--drift-out", "--epochs", "--epochs-out", "--sft-out",
     "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
-    "--calibrate", "--calibrate-by",
+    "--calibrate", "--calibrate-by", "--interleave-by", "--interleave-weights",
     "--check-merges", "--unigram", "--pieces-out", "--host-cap",
     "--host-key", "--blocklist")
 
@@ -421,6 +439,12 @@ object CorpusCleanCli {
       Left(s"--calibrate must be in (0, 1], got ${c.calibrateTop.get}")
     else if (c.calibrateBy.exists(_.isEmpty))
       Left("--calibrate-by: empty column name")
+    else if (c.interleaveBy.exists(_.isEmpty))
+      Left("--interleave-by: empty column name")
+    else if (c.interleaveWeights.nonEmpty && c.interleaveBy.isEmpty)
+      Left("--interleave-weights needs --interleave-by")
+    else if (c.interleaveWeights.values.exists(_ <= 0.0))
+      Left("--interleave-weights: weights must be positive")
     else if (c.minFluency.exists(_ < 0))
       Left(s"--min-fluency must be >= 0, got ${c.minFluency.get}")
     else if (c.curriculum && c.curriculumBy.isDefined)

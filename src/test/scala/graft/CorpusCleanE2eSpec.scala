@@ -236,6 +236,35 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L, 6L))
   }
 
+  test("--interleave-by joins the stride training order over the survivors") {
+    val inDir = tmp("cc_il_in")
+    val outDir = tmp("cc_il_out")
+    import spark.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, s"document number $i with enough words to pass the gate easily",
+        if (i % 3 == 0) "zh" else "en"))
+    docs.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "1", "--no-near-dup",
+      "--interleave-by", "lang", "--interleave-weights", "en=2")).toOption.get
+    assert(CorpusClean.run(spark, cfg) === 30L)
+    val out = spark.read.parquet(outDir)
+      .select("doc_id", "interleave_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation of 1..30, equal to the operator run directly
+    assert(out.values.toSeq.sorted === (1L to 30L))
+    val want = graft.operators.Mixture.strideInterleave(
+      docs.toDF("doc_id", "text", "lang"), "lang", Map("en" -> 2.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out === want)
+    // weight-2 en: every 3-prefix of the order holds 2 en + 1 zh
+    val order = out.toSeq.sortBy(_._2).map(_._1)
+    order.grouped(3).foreach { w =>
+      assert(w.count(_ % 3 != 0) === 2 && w.count(_ % 3 == 0) === 1,
+        s"unfair window $w")
+    }
+  }
+
   test("--redact-secrets masks credentials; structural near-misses ship") {
     val inDir = tmp("cc_sec_in")
     val outDir = tmp("cc_sec_out")

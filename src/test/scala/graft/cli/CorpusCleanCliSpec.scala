@@ -62,6 +62,23 @@ class CorpusCleanCliSpec extends AnyFunSuite {
       "--calibrate", "0.4", "--calibrate-by", "")).isLeft)
   }
 
+  test("--interleave-by/--interleave-weights: parsed, weights validated") {
+    val c = ok("in", "out", "--interleave-by", "lang",
+      "--interleave-weights", "en=4,zh=2.5")
+    assert(c.interleaveBy === Some("lang"))
+    assert(c.interleaveWeights === Map("en" -> 4.0, "zh" -> 2.5))
+    // weights without a domain column; malformed pairs; nonpositive weight
+    assert(CorpusCleanCli.parse(Seq("in", "out",
+      "--interleave-weights", "en=4")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--interleave-by", "lang",
+      "--interleave-weights", "en4")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--interleave-by", "lang",
+      "--interleave-weights", "en=abc")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--interleave-by", "lang",
+      "--interleave-weights", "en=0")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--interleave-by", "")).isLeft)
+  }
+
   test("--no-span-removal and --sft-out land in the config; gram-state conflict") {
     assert(!ok("in", "out").noSpanRemoval && ok("in", "out").sftOut.isEmpty)
     val c = ok("in", "out", "--no-span-removal", "--sft-out", "/sft")
