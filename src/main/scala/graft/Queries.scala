@@ -6576,6 +6576,40 @@ object Queries {
        |ORDER BY ts.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // fim_transform — fill-in-the-middle preprocessing (Bavarian et al.
+  // 2022; TextOps.fimTransform): 50% of docs (first-hex-digit gate) split
+  // at two seeded-hash cut points into <PRE>prefix<SUF>suffix<MID>middle,
+  // the rest pass through verbatim. The oracle replays gate, 52-bit
+  // hex-prefix draws, cuts and the PSM splice character-for-character.
+  // ---------------------------------------------------------------------
+  def fimTransform(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.fimTransform(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  val fimTransformSql: String = {
+    def hv(h: String): String =
+      graft.operators.Sketches.hexPrefixValSql(h)
+    s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+       |h AS (SELECT doc_id, text, n,
+       |  substr(md5('fimg' || CAST(doc_id AS VARCHAR)), 1, 1) < '8' AND n >= 20 AS fim,
+       |  md5('fima' || CAST(doc_id AS VARCHAR)) AS hxa,
+       |  md5('fimb' || CAST(doc_id AS VARCHAR)) AS hxb FROM d),
+       |c AS (SELECT doc_id, text, n, fim,
+       |  (CAST(${hv("hxa")} AS BIGINT) % greatest(n - 1, 1)) + 1 AS a,
+       |  (CAST(${hv("hxb")} AS BIGINT) % greatest(n - 1, 1)) + 1 AS b FROM h),
+       |p AS (SELECT doc_id, text, n, fim,
+       |  least(a, b) AS c1, greatest(a, b) AS c2 FROM c)
+       |SELECT doc_id, fim,
+       |  CAST(CASE WHEN fim THEN c1 END AS BIGINT) AS cut1,
+       |  CAST(CASE WHEN fim THEN c2 END AS BIGINT) AS cut2,
+       |  CASE WHEN fim THEN '<PRE>' || substr(text, 1, c1)
+       |    || '<SUF>' || substr(text, c2 + 1, n - c2)
+       |    || '<MID>' || substr(text, c1 + 1, c2 - c1)
+       |  ELSE text END AS psm
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // mlm_mask — deterministic masked-LM preprocessing (BERT, Devlin et al.
   // NAACL'19 §3.1): select ~15% of token positions (md5(doc:pos) < '26' =
   // 38/256 ≈ 14.84% — the sample_bernoulli hex-draw trade) and assign the
@@ -7990,6 +8024,7 @@ object Queries {
     "docs_stream_fluency" -> (docsStreamFluency _),
     "docs_stream_unicode" -> (docsStreamUnicode _),
     "mlm_mask" -> (mlmMask _),
+    "fim_transform" -> (fimTransform _),
     "bpe_fertility" -> (bpeFertility _),
     "unigram_seed" -> (unigramSeed _),
     "unigram_encode" -> (unigramEncode _),
@@ -8205,6 +8240,7 @@ object Queries {
     "docs_stream_fluency" -> docsStreamFluencySql,
     "docs_stream_unicode" -> docsStreamUnicodeSql,
     "mlm_mask" -> mlmMaskSql,
+    "fim_transform" -> fimTransformSql,
     "bpe_fertility" -> bpeFertilitySql,
     "unigram_seed" -> unigramSeedSql,
     "unigram_encode" -> unigramEncodeSql,

@@ -660,6 +660,48 @@ object TextOps {
       .toDF("doc_id", "seg_idx", "script", "start_cp", "n_cp", "seg")
   }
 
+  /** Fill-in-the-middle preprocessing (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): for a
+    * hash-chosen fraction of documents, split the text at two
+    * deterministic cut points into (prefix, middle, suffix) and emit the
+    * PSM rendering `<PRE>prefix<SUF>suffix<MID>middle` — the causal-LM
+    * data transform that teaches infilling without architecture changes.
+    * Untransformed docs pass through verbatim with `fim = false` (the
+    * paper's mixed-rate regime, here the 50% first-hex-digit gate).
+    *
+    * Determinism (the mlm_mask/span_corrupt discipline): the gate and
+    * both cuts derive from md5 of the SEEDED doc_id — content- and
+    * partitioning-independent, replayable in any engine with md5 +
+    * character substring; cut offsets are the 52-bit hex-prefix draw
+    * modulo (len-1), so every position in [1, len-1] is reachable and
+    * `cut1 == cut2` (empty middle) is a valid degenerate plan. Pure
+    * codegen Column arithmetic, zero shuffle, linear in corpus bytes. */
+  def fimTransform(docs: DataFrame, minLen: Int = 20,
+                   seed: String = "fim"): DataFrame = {
+    val n = length(col("text")).cast("long")
+    def hv(tag: String): Column =
+      conv(substring(md5(concat(lit(seed + tag),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val gate = substring(md5(concat(lit(seed + "g"),
+      col("doc_id").cast("string"))), 1, 1) < lit("8")
+    // greatest(..., 1): ANSI-safe for sub-minLen docs (the gate already
+    // excludes them, but when() does not short-circuit the expression)
+    val a = pmod(hv("a"), greatest(n - 1, lit(1L))) + 1
+    val b = pmod(hv("b"), greatest(n - 1, lit(1L))) + 1
+    val c1 = least(a, b)
+    val c2 = greatest(a, b)
+    val doFim = gate && (n >= minLen)
+    docs.select(col("doc_id"),
+      doFim.as("fim"),
+      when(doFim, c1).otherwise(lit(null)).cast("long").as("cut1"),
+      when(doFim, c2).otherwise(lit(null)).cast("long").as("cut2"),
+      when(doFim, concat(
+        lit("<PRE>"), col("text").substr(lit(1L), c1),
+        lit("<SUF>"), col("text").substr(c2 + 1, n - c2),
+        lit("<MID>"), col("text").substr(c1 + 1, c2 - c1)))
+        .otherwise(col("text")).as("psm"))
+  }
+
   /** DataFrame-level [[secretScan]] masking — ONE PROJECTION PER FAMILY.
     * Chaining the five families inside a single expression tree
     * re-evaluates each stage once per reference ([[maskRuns]] reads its

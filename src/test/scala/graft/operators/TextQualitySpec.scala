@@ -338,6 +338,44 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(prof(2L)._3 === sums((2L, "cjk")))
   }
 
+  test("fimTransform: PSM splice is lossless, cuts in range, rate ~ half") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i =>
+      (i, s"document $i body ${"x " * (i % 37).toInt}trailing tail")).toDF("doc_id", "text")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextOps.fimTransform(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(4)))
+    assert(out.length === 400)
+    val fimmed = out.filter(_._2)
+    // the 50% first-hex-digit gate: binomially safe band on 400 draws
+    assert(fimmed.length > 140 && fimmed.length < 260, s"rate ${fimmed.length}/400")
+    fimmed.foreach { case (id, _, c1o, c2o, psm) =>
+      val (c1, c2) = (c1o.get, c2o.get)
+      val t = texts(id)
+      assert(c1 >= 1 && c1 <= c2 && c2 <= t.length - 1, s"doc $id cuts ($c1,$c2)")
+      // parse the PSM rendering and rebuild the original
+      val m = "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$".r
+      psm match {
+        case m(pre, suf, mid) =>
+          assert(pre + mid + suf === t, s"doc $id splice not lossless")
+          assert(pre.length === c1 && mid.length === (c2 - c1), s"doc $id cut lengths")
+        case _ => fail(s"doc $id psm shape: $psm")
+      }
+    }
+    out.filterNot(_._2).foreach { case (id, _, c1o, c2o, psm) =>
+      assert(c1o.isEmpty && c2o.isEmpty && psm === texts(id), s"doc $id passthrough")
+    }
+    // short docs never transform even when the hash gate fires
+    val shortTexts = Map(1L -> "tiny", 2L -> "also small")
+    val shorts = TextOps.fimTransform(
+      shortTexts.toSeq.toDF("doc_id", "text")).collect()
+    assert(shorts.length === 2)
+    shorts.foreach(r => assert(!r.getBoolean(1) &&
+      r.getString(4) === shortTexts(r.getLong(0))))
+  }
+
   test("memorizationAudit: per-eval-doc gram coverage with exact ppm") {
     import spark.implicits._
     val corpus = Seq(
