@@ -184,6 +184,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
         s"history is being rescanned:\n${p.take(3000)}")
   }
 
+  test("fim_transform: map-only codegen splice — no exchange beyond the output sort, no UDF") {
+    val p = plan("fim_transform")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"the FIM splice shuffled for something other than the output sort:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"the transform fell back to a UDF:\n$p")
+  }
+
+  test("stride_interleave: no corpus-sized window (both ranks are range-partition + zipWithIndex)") {
+    val df = SparkEntry.queries("stride_interleave")(spark, sf)
+    val p = planFullPaths(df)
+    // the only Window operators allowed are the groupRank offset windows,
+    // whose input is the per-group count table (an Aggregate), never rows
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows.foreach { w =>
+      val agg = w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(agg.nonEmpty,
+        s"a window runs over non-aggregated (corpus-sized) input:\n$p")
+    }
+  }
+
   test("pii_mask: map-only regex kernels — no exchange, no UDF") {
     val p = plan("pii_mask")
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
