@@ -4442,6 +4442,86 @@ object Queries {
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cdc_chunks — content-defined chunking (Cdc.chunks, the rsync/LBFS
+  // gear construction): boundaries where the rolling gear hash mod 2^6
+  // hits 0. Because the x2 shift kills terms older than 6 positions, the
+  // boundary rule is EXACTLY a weighted sum of the last 6 gear values —
+  // which is how the oracle replays it: six lagged window terms, then
+  // islands. Offsets in codepoints; concat of chunks rebuilds the doc.
+  // ---------------------------------------------------------------------
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.chunks(t(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private def cdcChunkCtes(src: String): String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("ghx")
+    val lags = (1 to 5).map(j =>
+      s"${1L << j} * coalesce(lag(g, $j) OVER w, 0)").mkString(" + ")
+    s"""c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos FROM $src),
+       |cch AS (SELECT doc_id, pos, text[pos] AS chs, unicode(text[pos]) AS cp FROM c),
+       |gh AS (SELECT doc_id, pos, chs, md5('gear' || CAST(cp AS VARCHAR)) AS ghx FROM cch),
+       |gvv AS (SELECT doc_id, pos, chs, CAST($hv AS BIGINT) % 64 AS g FROM gh),
+       |hh AS (SELECT doc_id, pos, chs,
+       |  (g + $lags) % 64 AS h
+       |  FROM gvv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |k AS (SELECT doc_id, pos, chs,
+       |  1 + coalesce(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) OVER
+       |    (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM hh),
+       |chunks AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(min(pos) - 1 AS BIGINT) AS start_cp,
+       |  CAST(count(*) AS BIGINT) AS n_cp,
+       |  string_agg(chs, '' ORDER BY pos) AS chunk
+       |  FROM k GROUP BY doc_id, chunk_idx)""".stripMargin
+  }
+
+  val cdcChunksSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |${cdcChunkCtes("d")}
+       |SELECT doc_id, chunk_idx, start_cp, n_cp, chunk
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cdc_dedup — recurring blocks across the corpus (Cdc.duplicateBlocks):
+  // every 7th doc is REWRITTEN as a doc-specific prefix + one fixed
+  // shared paragraph, so the shared run sits at a DIFFERENT offset in
+  // each doc — whole-doc hashing and fixed windows both miss it, CDC
+  // reports the same block digests regardless of position (the
+  // insertion-robustness argument, demonstrated rather than claimed).
+  // ---------------------------------------------------------------------
+  private val cdcSharedPara: String =
+    "the shared boilerplate paragraph that recurs across documents " +
+    "with entirely different prefixes and therefore at entirely " +
+    "different byte offsets which defeats any fixed window scheme " +
+    "but produces identical content defined chunks wherever it lands " +
+    "because boundaries depend only on the local bytes of the text"
+
+  def cdcDedup(s: SparkSession, dir: String): DataFrame = {
+    val grafted = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("ins"), col("doc_id").cast("string"), lit(" "),
+          lit(cdcSharedPara)))
+        .otherwise(col("text")).as("text"))
+    graft.operators.Cdc.duplicateBlocks(grafted)
+      .orderBy("chunk_sha")
+  }
+
+  val cdcDedupSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0
+       |       THEN 'ins' || CAST(doc_id AS VARCHAR) || ' ' || '$cdcSharedPara'
+       |       ELSE text END AS text
+       |  FROM documents),
+       |${cdcChunkCtes("d")}
+       |SELECT sha256(chunk) AS chunk_sha,
+       |  COUNT(*) AS n_occ,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(min(n_cp) AS BIGINT) AS n_cp
+       |FROM chunks GROUP BY 1 HAVING COUNT(*) >= 2
+       |ORDER BY chunk_sha""".stripMargin
+
+  // ---------------------------------------------------------------------
   // grouping_sets_agg — explicit GROUPING SETS (the general form rollup
   // and cube specialize): per-flag totals, per-status totals, and the
   // grand total in ONE shuffle (Catalyst expands to a single Expand +
@@ -7944,6 +8024,8 @@ object Queries {
     "hilbert_key" -> (hilbertKey _),
     "hilbert_locality" -> (hilbertLocality _),
     "doc_chunks" -> (docChunks _),
+    "cdc_chunks" -> (cdcChunks _),
+    "cdc_dedup" -> (cdcDedup _),
     "distinct_agg" -> (distinctAgg _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "pivot_agg" -> (pivotAgg _),
@@ -8160,6 +8242,8 @@ object Queries {
     "hilbert_key" -> hilbertKeySql,
     "hilbert_locality" -> hilbertLocalitySql,
     "doc_chunks" -> docChunksSql,
+    "cdc_chunks" -> cdcChunksSql,
+    "cdc_dedup" -> cdcDedupSql,
     "distinct_agg" -> distinctAggSql,
     "grouping_sets_agg" -> groupingSetsAggSql,
     "pivot_agg" -> pivotAggSql,

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking — the block-level arm of the dedup family
+  * (the rsync / LBFS construction, Muthitacharoen et al. SOSP'01): chunk
+  * boundaries are placed where a rolling hash of the local content hits a
+  * mask, so two documents sharing a long run produce IDENTICAL chunks for
+  * that run even when one has extra text inserted BEFORE it — the shift
+  * that breaks every fixed-window scheme (`doc_chunks` windows, gram
+  * offsets) costs CDC at most one boundary chunk on each side of the
+  * insertion. Whole-doc exact dedup misses these; substring span removal
+  * finds them but rewrites text — CDC gives the storage/dedup view:
+  * which BLOCKS recur, where, and how often.
+  *
+  * The rolling hash is the gear construction `h_t = (2·h_{t-1} + g(c_t))
+  * mod 2^m`, cut after any position with `h_t = 0` (expected chunk length
+  * 2^m). Because the shift is ×2, terms older than m positions vanish mod
+  * 2^m — `h_t` is EXACTLY a weighted sum of the last m gear values, which
+  * is what makes the boundary rule replayable in portable SQL (m lagged
+  * window terms), not just in imperative code. Gear values derive from
+  * md5 of the codepoint (the engine's deterministic-draw discipline):
+  * the first 13 hex digits as an integer, mod 2^m — no RNG table to ship.
+  *
+  * One typed map-only pass, zero shuffle; offsets in codepoints
+  * (surrogate-safe, matching any engine that counts codepoints).
+  * Deliberately no min/max chunk bounds: bounds improve storage layout
+  * but break the "boundary depends only on local content" property that
+  * the oracle (and the insertion-robustness argument) relies on. */
+object Cdc {
+
+  /** Gear value of a codepoint: first 13 hex digits of
+    * `md5("gear" + cp)` as an integer, mod `2^maskBits`. */
+  def gear(cp: Int, maskBits: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(("gear" + cp).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 13), 16) & ((1L << maskBits) - 1)
+  }
+
+  /** Chunk `docs` (doc_id, text) into content-defined blocks.
+    * @return doc_id, chunk_idx (1-based), start_cp, n_cp, chunk */
+  def chunks(docs: DataFrame, maskBits: Int = 6): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20, s"maskBits in [1,20], got $maskBits")
+    import docs.sparkSession.implicits._
+    val mb = maskBits
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val mask = (1L << mb) - 1
+        val gearCache = scala.collection.mutable.LongMap.empty[Long]
+        it.flatMap { case (id, text) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, String)]
+          var h = 0L
+          var i = 0           // UTF-16 char index
+          var cpIdx = 0L      // codepoint index
+          var start = 0       // chunk start, char index
+          var startCp = 0L
+          while (i < text.length) {
+            val cp = text.codePointAt(i)
+            h = ((h << 1) + gearCache.getOrElseUpdate(cp.toLong,
+              gear(cp, mb))) & mask
+            cpIdx += 1
+            i += Character.charCount(cp)
+            if (h == 0L) {
+              out += ((id, out.length + 1L, startCp, cpIdx - startCp,
+                text.substring(start, i)))
+              start = i; startCp = cpIdx
+            }
+          }
+          if (start < text.length)
+            out += ((id, out.length + 1L, startCp, cpIdx - startCp,
+              text.substring(start)))
+          out
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "start_cp", "n_cp", "chunk")
+  }
+
+  /** Recurring blocks across the corpus: CDC chunks grouped by content
+    * digest, keeping those appearing more than once. The dedup signal
+    * whole-doc hashing misses: a shared run reports the SAME digests
+    * regardless of where each document positions it. Shuffles 32-byte
+    * digests with map-side partial counts — chunk text never moves. */
+  def duplicateBlocks(docs: DataFrame, maskBits: Int = 6): DataFrame =
+    chunks(docs, maskBits)
+      .groupBy(sha2(col("chunk"), 256).as("chunk_sha"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("n_cp")).as("n_cp"))
+      .filter(col("n_occ") >= 2)
+}

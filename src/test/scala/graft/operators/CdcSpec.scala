@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cdc.chunks / duplicateBlocks — the cdc_chunks / cdc_dedup CORRECTNESS
+  * rows: lossless tiling, calibrated chunk length, and the property the
+  * whole construction exists for — boundary resynchronization after an
+  * insertion. */
+class CdcSpec extends AnyFunSuite with SparkSuite {
+
+  private def chunksOf(rows: Seq[(Long, String)]): Map[Long, Seq[(Long, Long, Long, String)]] = {
+    import spark.implicits._
+    Cdc.chunks(rows.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3, t._4, t._5)).toSeq).toMap
+  }
+
+  test("chunks tile each document losslessly with contiguous indices") {
+    val rnd = new scala.util.Random(5)
+    val texts = (1L to 20L).map(i =>
+      i -> (1 to 300 + rnd.nextInt(400)).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString).toMap
+    val got = chunksOf(texts.toSeq.map { case (k, v) => (k, v) })
+    texts.foreach { case (id, t) =>
+      val cs = got(id)
+      assert(cs.map(_._1) === (1L to cs.length))
+      assert(cs.map(_._4).mkString === t, s"doc $id reconstruction")
+      assert(cs.head._2 === 0L)
+      cs.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._2 + w(0)._3 === w(1)._2, s"doc $id tiling gap")
+      }
+    }
+    // expected chunk length is 2^6 = 64: the empirical mean over ~10k
+    // random chars must sit in a generous band around it
+    val all = got.values.flatten.toSeq
+    val mean = all.map(_._3).sum.toDouble / all.length
+    assert(mean > 30 && mean < 130, s"mean chunk length $mean")
+  }
+
+  test("boundaries resynchronize after an insertion (the CDC property)") {
+    val rnd = new scala.util.Random(11)
+    val shared = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val variants = Seq(
+      (1L, shared),
+      (2L, "x " + shared),                        // 2-char insertion
+      (3L, "a completely different long prefix inserted here " + shared))
+    val got = chunksOf(variants)
+    val base = got(1L).map(_._4)
+    for (id <- Seq(2L, 3L)) {
+      val v = got(id).map(_._4)
+      // common suffix of the chunk sequences: after the first boundary
+      // inside the shared run, every later boundary depends only on
+      // local content, so the tails must be IDENTICAL chunk-for-chunk
+      val common = base.reverse.zip(v.reverse).takeWhile(p => p._1 == p._2).length
+      val commonChars = base.takeRight(common).map(_.length).sum
+      assert(commonChars >= shared.length * 8 / 10,
+        s"variant $id: only $commonChars/${shared.length} chars resynced " +
+          s"($common common chunks of ${base.length}/${v.length})")
+    }
+  }
+
+  test("duplicateBlocks finds shifted shared runs; partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val shared = (1 to 1500).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = (1L to 6L).map(i =>
+      (i, s"prefix-of-doc-$i${"pad" * i.toInt} " + shared)) ++
+      Seq((7L, (1 to 800).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Cdc.duplicateBlocks(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val a = run(docs.toDF("doc_id", "text"))
+    val b = run(docs.toDF("doc_id", "text").repartition(5))
+    assert(a === b)
+    // the shared run must surface as blocks recurring across all 6 docs
+    assert(a.exists(_._3 === 6L),
+      s"no block recurred across all 6 prefix-shifted docs: ${a.take(5)}")
+    // and the recurring mass covers most of the shared run
+    val sixDocBlocks = a.filter(_._3 === 6L)
+    assert(sixDocBlocks.map(_._2).sum >= 6L * 3,
+      "too few recurring occurrences")
+  }
+
+  test("gear values match an independent md5 derivation") {
+    for (cp <- Seq('a'.toInt, 'Z'.toInt, 0x4e2d, 0x1F600)) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("gear" + cp).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want = java.lang.Long.parseLong(hex.take(13), 16) % 64
+      assert(Cdc.gear(cp, 6) === want, s"cp $cp")
+    }
+  }
+}
