@@ -23,6 +23,7 @@ import graft.cli.{CorpusCompactCli, CorpusCompactConfig}
   *  - `bands/`, `sets/` (band table + shingle-hash sets) — `--minhash`
   *  - `doc_freq/`     (sh_hash, doc_freq)              — `--doc-freq`
   *  - `score_counts/` (domain, score, cnt) + `ecdf/`   — `--calibrate`
+  *  - `cdc_blocks/`   (chunk_sha)                      — `--cdc`
   *
   * Each artifact merges with `--prior`'s corresponding table when given
   * (union-distinct for digests, disjoint-id union for bands/sets,
@@ -80,6 +81,13 @@ object CorpusCompact {
           case None => delta
         })
       }
+    }
+    if (cfg.cdc) {
+      val delta = graft.operators.Cdc.blockDigests(docs)
+      write("cdc_blocks", prior("cdc_blocks") match {
+        case Some(p) => p.select("chunk_sha").unionByName(delta).distinct()
+        case None => delta
+      })
     }
     if (cfg.calibrate) {
       // the same (predicted-language domain, stop-ratio score) scoring the

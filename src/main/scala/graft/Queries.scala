@@ -4497,22 +4497,26 @@ object Queries {
     "but produces identical content defined chunks wherever it lands " +
     "because boundaries depend only on the local bytes of the text"
 
-  def cdcDedup(s: SparkSession, dir: String): DataFrame = {
-    val grafted = t(s, dir, "documents").select(col("doc_id"),
+  private def cdcGraftedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 7 === 0,
         concat(lit("ins"), col("doc_id").cast("string"), lit(" "),
           lit(cdcSharedPara)))
         .otherwise(col("text")).as("text"))
-    graft.operators.Cdc.duplicateBlocks(grafted)
-      .orderBy("chunk_sha")
-  }
 
-  val cdcDedupSql: String =
-    s"""WITH d AS (SELECT doc_id,
+  private val cdcGraftCte: String =
+    s"""d AS (SELECT doc_id,
        |  CASE WHEN doc_id % 7 = 0
        |       THEN 'ins' || CAST(doc_id AS VARCHAR) || ' ' || '$cdcSharedPara'
        |       ELSE text END AS text
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+
+  def cdcDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.duplicateBlocks(cdcGraftedDocs(s, dir))
+      .orderBy("chunk_sha")
+
+  val cdcDedupSql: String =
+    s"""WITH $cdcGraftCte,
        |${cdcChunkCtes("d")}
        |SELECT sha256(chunk) AS chunk_sha,
        |  COUNT(*) AS n_occ,
@@ -4520,6 +4524,40 @@ object Queries {
        |  CAST(min(n_cp) AS BIGINT) AS n_cp
        |FROM chunks GROUP BY 1 HAVING COUNT(*) >= 2
        |ORDER BY chunk_sha""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cdc_dedup_incremental — block-level containment of a NEW batch
+  // against history's persisted block-digest state (Cdc.knownBlockShare,
+  // StageStore files — history text never rescanned): per batch doc, the
+  // exact-ppm share of its content-defined blocks history already holds.
+  // Batch docs at %21==0 are prefix+shared-paragraph re-posts of material
+  // history's %7 docs carry at different offsets — they score high while
+  // their whole-doc digests are all novel (the CDC argument, incremental
+  // form).
+  // ---------------------------------------------------------------------
+  def cdcDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val grafted = cdcGraftedDocs(s, dir)
+    val history = grafted.filter(col("doc_id") % 3 =!= 0)
+    val batch = grafted.filter(col("doc_id") % 3 === 0)
+    val tag = graft.StageStore.dirTag(dir)
+    val digs = graft.StageStore.materialize(
+      graft.operators.Cdc.blockDigests(history), s"cdcinc_blocks_$tag")
+    graft.operators.Cdc.knownBlockShare(batch, digs).orderBy("doc_id")
+  }
+
+  val cdcDedupIncrementalSql: String =
+    s"""WITH $cdcGraftCte,
+       |${cdcChunkCtes("d")},
+       |hist AS (SELECT DISTINCT sha256(chunk) AS chunk_sha FROM chunks
+       |  WHERE doc_id % 3 <> 0),
+       |b AS (SELECT doc_id, sha256(chunk) AS chunk_sha FROM chunks
+       |  WHERE doc_id % 3 = 0)
+       |SELECT b.doc_id, COUNT(*) AS n_blocks,
+       |  CAST(sum(CASE WHEN h.chunk_sha IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+       |  CAST(sum(CASE WHEN h.chunk_sha IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS known_ppm
+       |FROM b LEFT JOIN hist h ON b.chunk_sha = h.chunk_sha
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // grouping_sets_agg — explicit GROUPING SETS (the general form rollup
@@ -8026,6 +8064,7 @@ object Queries {
     "doc_chunks" -> (docChunks _),
     "cdc_chunks" -> (cdcChunks _),
     "cdc_dedup" -> (cdcDedup _),
+    "cdc_dedup_incremental" -> (cdcDedupIncremental _),
     "distinct_agg" -> (distinctAgg _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "pivot_agg" -> (pivotAgg _),
@@ -8244,6 +8283,7 @@ object Queries {
     "doc_chunks" -> docChunksSql,
     "cdc_chunks" -> cdcChunksSql,
     "cdc_dedup" -> cdcDedupSql,
+    "cdc_dedup_incremental" -> cdcDedupIncrementalSql,
     "distinct_agg" -> distinctAggSql,
     "grouping_sets_agg" -> groupingSetsAggSql,
     "pivot_agg" -> pivotAggSql,

@@ -11,6 +11,7 @@ case class CorpusCompactConfig(
     minhash: Boolean = false,   // near-dup band table + shingle-set table
     docFreq: Boolean = false,   // containment doc-frequency table
     calibrate: Boolean = false, // score_counts (mergeable) + derived ecdf
+    cdc: Boolean = false,       // content-defined block digest table
     // shingle/band geometry — must match what the gates were planned with
     k: Int = 3,
     numHashes: Int = 16,
@@ -29,6 +30,7 @@ object CorpusCompactCli {
         case "--minhash" :: t => c = c.copy(minhash = true); rest = t
         case "--doc-freq" :: t => c = c.copy(docFreq = true); rest = t
         case "--calibrate" :: t => c = c.copy(calibrate = true); rest = t
+        case "--cdc" :: t => c = c.copy(cdc = true); rest = t
         case "--k" :: v :: t => intArg(v, "--k") match {
           case Right(i) => c = c.copy(k = i); rest = t
           case Left(e) => return Left(e)
@@ -60,8 +62,8 @@ object CorpusCompactCli {
   private val valueFlags = Set("--prior", "--k", "--num-hashes", "--bands")
 
   private def validate(c: CorpusCompactConfig): Either[String, CorpusCompactConfig] =
-    if (!(c.digests || c.minhash || c.docFreq || c.calibrate))
-      Left("select at least one artifact: --digests, --minhash, --doc-freq, --calibrate")
+    if (!(c.digests || c.minhash || c.docFreq || c.calibrate || c.cdc))
+      Left("select at least one artifact: --digests, --minhash, --doc-freq, --calibrate, --cdc")
     else if (c.prior.contains(c.out))
       Left("--prior must differ from <stateOutDir> (state versions are immutable)")
     else if (c.k < 1) Left(s"--k must be >= 1, got ${c.k}")

@@ -90,4 +90,32 @@ object Cdc {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("n_cp")).as("n_cp"))
       .filter(col("n_occ") >= 2)
+
+  /** Persisted CDC state: the DISTINCT block digests of a corpus snapshot
+    * — 32 bytes per unique block, the artifact `corpus-compact --cdc`
+    * maintains (merge = union-distinct). Feed to [[knownBlockShare]]. */
+  def blockDigests(docs: DataFrame, maskBits: Int = 6): DataFrame =
+    chunks(docs, maskBits)
+      .select(sha2(col("chunk"), 256).as("chunk_sha")).distinct()
+
+  /** Block-level containment of a NEW batch against history — the
+    * incremental cadence of [[duplicateBlocks]]: per batch document, how
+    * many of its content-defined blocks history has already seen
+    * (`known_ppm`, exact integer ppm). Because boundaries depend only on
+    * local content, a re-post of history material under a new wrapper
+    * scores high even though its whole-doc digest and fixed windows are
+    * all novel. History enters as the persisted digest FILES only; the
+    * join ships 32-byte digests, never text. */
+  def knownBlockShare(batch: DataFrame, priorDigests: DataFrame,
+                      maskBits: Int = 6): DataFrame =
+    chunks(batch, maskBits)
+      .withColumn("chunk_sha", sha2(col("chunk"), 256))
+      .join(priorDigests.select("chunk_sha").distinct()
+        .withColumn("_known", lit(1L)), Seq("chunk_sha"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(coalesce(col("_known"), lit(0L))).as("n_known"))
+      .withColumn("known_ppm",
+        org.apache.spark.sql.functions.expr(
+          "n_known * 1000000L div n_blocks"))
 }

@@ -71,7 +71,7 @@ class CorpusCompactSpec extends AnyFunSuite with SparkSuite {
     val s1 = new java.io.File(tmp("cpt_s1"), "v1").getAbsolutePath
     val s2 = new java.io.File(tmp("cpt_s2"), "v2").getAbsolutePath
     val sU = new java.io.File(tmp("cpt_sU"), "vU").getAbsolutePath
-    val flags = Seq("--digests", "--minhash", "--doc-freq", "--calibrate")
+    val flags = Seq("--digests", "--minhash", "--doc-freq", "--calibrate", "--cdc")
     def compact(in: String, out: String, prior: Option[String]) =
       CorpusCompact.run(spark, CorpusCompactCli.parse(
         Seq(in, out) ++ flags ++ prior.toSeq.flatMap(p => Seq("--prior", p)))
@@ -85,7 +85,7 @@ class CorpusCompactSpec extends AnyFunSuite with SparkSuite {
     def rows(root: String, name: String) =
       spark.read.parquet(s"$root/$name").collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
-    for (t <- Seq("digests", "bands", "sets", "doc_freq", "score_counts", "ecdf"))
+    for (t <- Seq("digests", "bands", "sets", "doc_freq", "score_counts", "ecdf", "cdc_blocks"))
       assert(rows(s2, t) === rows(sU, t), s"artifact $t diverged")
     // the ecdf artifact equals the operator's direct derivation
     val direct = graft.operators.Calibrate.ecdfFromCounts(

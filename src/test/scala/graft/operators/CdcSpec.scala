@@ -83,6 +83,28 @@ class CdcSpec extends AnyFunSuite with SparkSuite {
       "too few recurring occurrences")
   }
 
+  test("knownBlockShare: a re-post under a new wrapper scores high against " +
+    "history's digest state; fresh content scores near zero") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def rand(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = rand(1500)
+    val history = Seq((1L, "history doc one " + shared), (2L, rand(900)))
+      .toDF("doc_id", "text")
+    val digs = Cdc.blockDigests(history)
+    val batch = Seq(
+      (10L, s"totally new wrapper ${rand(40)} " + shared), // re-post
+      (11L, rand(1200)))                                   // fresh
+      .toDF("doc_id", "text")
+    val out = Cdc.knownBlockShare(batch, digs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (nb10, nk10, ppm10) = out(10L)
+    val (nb11, nk11, ppm11) = out(11L)
+    assert(ppm10 > 700000, s"re-post only $nk10/$nb10 known ($ppm10 ppm)")
+    assert(ppm11 < 200000, s"fresh doc $nk11/$nb11 known ($ppm11 ppm)")
+    assert(ppm10 === nk10 * 1000000L / nb10)
+  }
+
   test("gear values match an independent md5 derivation") {
     for (cp <- Seq('a'.toInt, 'Z'.toInt, 0x4e2d, 0x1F600)) {
       val hex = java.security.MessageDigest.getInstance("MD5")
