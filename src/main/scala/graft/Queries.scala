@@ -4241,6 +4241,50 @@ object Queries {
        |FROM i GROUP BY doc_id, seg_idx ORDER BY doc_id, seg_idx""".stripMargin
 
   // ---------------------------------------------------------------------
+  // sentence_split — sentence segmentation with codepoint offsets
+  // (TextOps.sentenceSegments): the fixed two-codepoint-lookahead
+  // boundary rule (punct + space + uppercase/digit), lossless tiling.
+  // The fixture grafts sentence structure onto the punctuation-free
+  // corpus text, including the negative cases (lowercase continuation
+  // after '!', no trailing-boundary split). Oracle: per-codepoint lag /
+  // lead cut flags + islands.
+  // ---------------------------------------------------------------------
+  def sentenceSplit(s: SparkSession, dir: String): DataFrame = {
+    val stext = concat(
+      lit("Alpha head "),
+      col("text").substr(lit(1), (lit(15) + pmod(col("doc_id"), lit(9L))).cast("int")),
+      lit(". Second sentence number "), col("doc_id").cast("string"),
+      lit("! maybe lowercase continues? Or Does it. 9 starts a digit sentence. The end"))
+    graft.operators.TextOps.sentenceSegments(
+      t(s, dir, "documents").select(col("doc_id"), stext.as("text")))
+      .orderBy("doc_id", "sent_idx")
+  }
+
+  val sentenceSplitSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    'Alpha head ' || substr(text, 1, CAST(15 + doc_id % 9 AS INT))
+      |    || '. Second sentence number ' || CAST(doc_id AS VARCHAR)
+      |    || '! maybe lowercase continues? Or Does it. 9 starts a digit sentence. The end' AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos FROM d),
+      |ch AS (SELECT doc_id, pos, text[pos] AS chs FROM c),
+      |b AS (SELECT doc_id, pos, chs,
+      |  CASE WHEN chs = ' ' AND lag(chs, 1) OVER w IN ('.', '!', '?')
+      |        AND (lead(chs, 1) OVER w BETWEEN 'A' AND 'Z'
+      |             OR lead(chs, 1) OVER w BETWEEN '0' AND '9')
+      |       THEN 1 ELSE 0 END AS cut
+      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |i AS (SELECT doc_id, pos, chs,
+      |  1 + coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_idx
+      |  FROM b)
+      |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+      |  CAST(min(pos) - 1 AS BIGINT) AS start_cp,
+      |  CAST(count(*) AS BIGINT) AS n_cp,
+      |  string_agg(chs, '' ORDER BY pos) AS sentence
+      |FROM i GROUP BY doc_id, sent_idx ORDER BY doc_id, sent_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
   // seq_pack — GPT-style concat-and-chunk packing offsets
   // (SequencePack.packOffsets): the exclusive token prefix sum in doc_id
   // order as a two-pass distributed scan (range shuffle + per-partition
@@ -8054,6 +8098,7 @@ object Queries {
     "unicode_clean" -> (unicodeClean _),
     "script_profile" -> (scriptProfile _),
     "script_segments" -> (scriptSegments _),
+    "sentence_split" -> (sentenceSplit _),
     "seq_pack" -> (seqPack _),
     "seq_pack_incremental" -> (seqPackIncremental _),
     "shard_shuffle" -> (shardShuffle _),
@@ -8273,6 +8318,7 @@ object Queries {
     "unicode_clean" -> unicodeCleanSql,
     "script_profile" -> scriptProfileSql,
     "script_segments" -> scriptSegmentsSql,
+    "sentence_split" -> sentenceSplitSql,
     "seq_pack" -> seqPackSql,
     "seq_pack_incremental" -> seqPackIncrementalSql,
     "shard_shuffle" -> shardShuffleSql,

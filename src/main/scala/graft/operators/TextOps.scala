@@ -660,6 +660,54 @@ object TextOps {
       .toDF("doc_id", "seg_idx", "script", "start_cp", "n_cp", "seg")
   }
 
+  /** Sentence segmentation with codepoint offsets — the NLP-standard unit
+    * between [[scriptSegments]]' codepoint runs and [[docChunks]]' token
+    * windows: SFT pair builders, sentence-level dedup and alignment all
+    * consume it. The boundary rule is deliberately a FIXED two-codepoint
+    * lookahead — a boundary falls after position `i` iff `text[i] ∈ .!?`,
+    * `text[i+1]` is a space and `text[i+2]` is `[A-Z0-9]` — rather than a
+    * smarter abbreviation-aware heuristic: every sentence splitter is a
+    * heuristic, but THIS one is a pure function of three adjacent
+    * codepoints, so it replays in any engine as two `lead()` columns (the
+    * oracle's spelling) and never depends on lookahead of unbounded
+    * width. Trailing/inter-sentence spaces attach to the PRECEDING
+    * sentence: concatenating `sentence` in order rebuilds the document
+    * byte-for-byte.
+    *
+    * One typed map-only JVM pass, zero shuffle, linear in corpus bytes;
+    * offsets are codepoint positions (surrogate-pair safe). */
+  def sentenceSegments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val cps = text.codePoints().toArray
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, String)]
+        var startCp = 0
+        var i = 0
+        def emit(endExcl: Int): Unit = {
+          if (endExcl > startCp) {
+            val s = new String(cps, startCp, endExcl - startCp)
+            out += ((id, out.length + 1L, startCp.toLong,
+              (endExcl - startCp).toLong, s))
+            startCp = endExcl
+          }
+        }
+        while (i < cps.length) {
+          val c = cps(i)
+          if ((c == '.' || c == '!' || c == '?') && i + 2 < cps.length &&
+              cps(i + 1) == ' ' &&
+              ((cps(i + 2) >= 'A' && cps(i + 2) <= 'Z') ||
+               (cps(i + 2) >= '0' && cps(i + 2) <= '9')))
+            emit(i + 2) // the single boundary space rides with the left side
+          i += 1
+        }
+        emit(cps.length)
+        out
+      }
+      .toDF("doc_id", "sent_idx", "start_cp", "n_cp", "sentence")
+  }
+
   /** Fill-in-the-middle preprocessing (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): for a
     * hash-chosen fraction of documents, split the text at two

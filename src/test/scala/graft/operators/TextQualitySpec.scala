@@ -338,6 +338,41 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(prof(2L)._3 === sums((2L, "cjk")))
   }
 
+  test("sentenceSegments: boundary rule edge cases, lossless tiling") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "First sentence. Second one! Third? Yes."),
+      (2L, "no caps. so one sentence stays whole"),   // lowercase after '. '
+      (3L, "Ends mid. 9 digits start sentences. "),   // digit start; trailing space
+      (4L, "Multi  spaced.  Gap stays"),              // double space: no boundary
+      (5L, ""),                                       // empty -> no rows
+      (6L, "A. B. C")).toDF("doc_id", "text")
+    val out = TextOps.sentenceSegments(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    val texts = Map(1L -> "First sentence. Second one! Third? Yes.",
+      2L -> "no caps. so one sentence stays whole",
+      3L -> "Ends mid. 9 digits start sentences. ",
+      4L -> "Multi  spaced.  Gap stays", 6L -> "A. B. C")
+    texts.foreach { case (id, t) =>
+      val ss = out(id).sortBy(_._2)
+      assert(ss.map(_._5).mkString === t, s"doc $id reconstruction")
+      assert(ss.map(_._2).toSeq === (1L to ss.length), s"doc $id indices")
+      val tiles = ss.map(s => (s._3, s._3 + s._4))
+      assert(tiles.head._1 === 0L)
+      tiles.sliding(2).filter(_.length == 2).foreach(w =>
+        assert(w(0)._2 === w(1)._1, s"doc $id tiling"))
+    }
+    assert(out(1L).map(_._5).toSeq.sorted ===
+      Seq("First sentence. ", "Second one! ", "Third? ", "Yes.").sorted)
+    assert(out(2L).length === 1)                     // lowercase: no split
+    assert(out(3L).map(_._5).toSeq ===
+      Seq("Ends mid. ", "9 digits start sentences. ")) // digit starts; no empty tail
+    assert(out(4L).length === 1)                     // double space: no boundary
+    assert(!out.contains(5L))
+    assert(out(6L).map(_._5).toSeq === Seq("A. ", "B. ", "C"))
+  }
+
   test("fimTransform: PSM splice is lossless, cuts in range, rate ~ half") {
     import spark.implicits._
     val docs = (1L to 400L).map(i =>
