@@ -2,26 +2,73 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Flake gate (`SPARK_GRAFT_VERIFY_REPS=2`, local closing-gate use; the
+  * driver never sets it): runs the FULL query list twice in one JVM with
+  * RDD-id-burning dummy jobs interleaved between reps and between rep-2
+  * queries — the perturbation that fired the CORRECTNESS_r16 `seq_pack`
+  * nondeterminism (range-boundary sampling is seeded from the RDD id, so
+  * a query whose output depends on which physical plan an action compiled
+  * only fails when OTHER work shifts id allocation between its actions).
+  * Rep outputs are hash-multiset-compared per query; mismatches print as
+  * `[verify] REP-MISMATCH <name>`. The driver-compared outDir always holds
+  * the final rep. Exit code stays 0 — the driver owns pass/fail. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing args: restrict to these query names (local debugging)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_VERIFY_REPS", "1").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.isEmpty || only(n))
+    val rng = new scala.util.Random(41)
+    def burnRddIds(): Unit =
+      (0 until (1 + rng.nextInt(4))).foreach { _ =>
+        spark.sparkContext.parallelize(1 to 8, 2).map(_ + 1).count()
+      }
+    def runAll(dir: String, perturb: Boolean): Unit = names.foreach { name =>
+      if (perturb) burnRddIds()
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    (1 until reps).foreach { i =>
+      runAll(s"$outDir.rep$i", perturb = i > 1); burnRddIds()
+    }
+    runAll(outDir, perturb = reps > 1)
+    if (reps > 1) {
+      // hash-multiset compare of rep 1 vs the final rep, per query: rows
+      // canonicalize as md5(to_json(struct(cols sorted by name))) — the
+      // same column-order-insensitive discipline as the driver's compare
+      import org.apache.spark.sql.functions.{col, md5, struct, to_json}
+      def hashes(dir: String, name: String): Option[Seq[String]] =
+        try {
+          val df = spark.read.parquet(s"$dir/$name")
+          val cols = df.columns.sorted.map(col)
+          Some(df.select(md5(to_json(struct(cols: _*))).as("h"))
+            .collect().map(_.getString(0)).toSeq.sorted)
+        } catch { case _: Throwable => None }
+      var bad = 0
+      names.foreach { name =>
+        (hashes(s"$outDir.rep1", name), hashes(outDir, name)) match {
+          case (Some(a), Some(b)) if a == b => ()
+          case (a, b) =>
+            bad += 1
+            System.err.println(s"[verify] REP-MISMATCH $name " +
+              s"(rep1=${a.map(_.size)}, final=${b.map(_.size)})")
+        }
+      }
+      System.err.println(
+        s"[verify] rep-compare: ${names.size - bad} ok, $bad mismatched")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -26,10 +26,20 @@ import org.apache.spark.sql.functions._
   *   3. job 2: one typed pass per partition adds the broadcast offset to
   *      a local running sum.
   *
-  * Both jobs re-scan only the (doc_id, n_tokens) projection — two narrow
-  * column scans instead of a corpus-wide cache, the cheaper trade at any
-  * scale. Output is deterministic for any input partitioning: it depends
-  * only on the global `orderCol` order (which must be unique).
+  * DETERMINISM — the single-lineage discipline (see DETERMINISM.md):
+  * both jobs run against ONE materialized `RDD` object, so the range
+  * shuffle — and the sampled `RangePartitioner` boundaries inside it —
+  * executes once and is REUSED by the second action. Running the two
+  * actions against the uncached Dataset plan instead would let each
+  * action compile its own physical plan and build its own
+  * `RangePartitioner` (boundary sampling is seeded from the RDD id,
+  * which shifts under concurrent load), so job 1's totals could describe
+  * different partition contents than job 2 scans — the exact
+  * hash-mismatch CORRECTNESS_r16 recorded. Same machinery as
+  * [[Layout.globalIndex]]'s `zipWithIndex` (itself a count job + a map
+  * job over one RDD). Output is deterministic for any input
+  * partitioning: it depends only on the global `orderCol` order (which
+  * must be unique).
   *
   * Complements [[Packing.packSequences]] (greedy next-fit into padded
   * budget windows, bucket-sharded) — concat-and-chunk is the padding-free
@@ -62,31 +72,33 @@ object SequencePack {
     import spark.implicits._
     val p =
       if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
-    val parts = docs
+    // ONE materialized lineage; both actions below hit this same RDD
+    // object, so the range shuffle and its sampled boundaries execute
+    // once and are reused (scaladoc: the single-lineage discipline).
+    val sorted = docs
       .select(col(orderCol).cast("long").as("doc_id"),
         nTokens.cast("long").as("n_tokens"))
       .repartitionByRange(p, col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id())
-    // job 1: per-partition totals — p rows, driver-side fold to exclusive
-    // partition offsets (range partitions are ordered by partition id)
-    val totals = parts.groupBy("pid")
-      .agg(coalesce(sum("n_tokens"), lit(0L)).as("tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = new Array[Long](p)
+      .as[(Long, Long)]
+      .rdd
+    // job 1: per-partition totals — ONE long per partition to the driver,
+    // folded to exclusive partition start offsets (range partitions are
+    // ordered by partition id)
+    val totals = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator(pid -> s)
+    }.collect().toMap
+    val offsets = new Array[Long](sorted.getNumPartitions)
     var acc = 0L
-    (0 until p).foreach { i => offsets(i) = acc; acc += totals.getOrElse(i, 0L) }
+    offsets.indices.foreach { i =>
+      offsets(i) = acc; acc += totals.getOrElse(i, 0L)
+    }
     val bc = spark.sparkContext.broadcast(offsets)
-    // job 2: local running sum + the broadcast start offset
-    val scanned = parts.as[(Long, Long, Int)].mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val buf = it.buffered
-        var run = bc.value(buf.head._3)
-        buf.map { case (id, n, _) =>
-          val start = run; run += n; (id, n, start)
-        }
-      }
+    // job 2: same RDD — shuffle output reused, boundaries pinned; local
+    // running sum + the broadcast start offset
+    val scanned = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
+      it.map { case (id, n) => val start = run; run += n; (id, n, start) }
     }.toDF("doc_id", "n_tokens", "tok_start")
     val first = expr(s"tok_start div $seqLen")
     val last = when(col("n_tokens") === 0L, first)

@@ -1,0 +1,56 @@
+package org.apache.spark
+
+import org.apache.spark.rdd.RDD
+import scala.collection.mutable
+
+/** Test-only bridge (mirrors the `GraftColumnBridge` pattern): simulate
+  * "an executor died and its shuffle map outputs are gone" so a later
+  * action on the SAME RDD lineage must recompute the map stages — the
+  * routine 100 TB failure mode the prefix-sum family
+  * (`Layout.globalIndex`, `Splits`, `Vocab`, `Chunker`,
+  * `SequencePack`) must survive: recomputation must reproduce the exact
+  * partition contents the already-collected offsets describe.
+  *
+  * Determinism argument being probed: a `ShuffleDependency`'s
+  * `RangePartitioner` is constructed ONCE (its boundary-sampling job runs
+  * at plan execution) and is held by the dependency object — stage
+  * recomputation re-runs map tasks with the SAME partitioner, so the
+  * boundaries cannot re-sample; combined with a deterministic
+  * per-partition order (sortWithinPartitions on a unique total key) the
+  * recomputed partitions are byte-identical. Only compiling a NEW
+  * physical plan (a second action on an uncached Dataset) builds a new
+  * partitioner — the `seq_pack` CORRECTNESS_r16 bug, fixed by the
+  * single-lineage discipline. */
+object GraftShuffleTestBridge {
+
+  /** All shuffle ids reachable from `rdd`'s dependency DAG. */
+  def shuffleIds(rdd: RDD[_]): Seq[Int] = {
+    val seen = mutable.Set[Int]()
+    val ids = mutable.ArrayBuffer[Int]()
+    def walk(r: RDD[_]): Unit = if (seen.add(r.id)) {
+      r.dependencies.foreach {
+        case s: ShuffleDependency[_, _, _] => ids += s.shuffleId; walk(s.rdd)
+        case d => walk(d.rdd)
+      }
+    }
+    walk(rdd)
+    ids.toSeq
+  }
+
+  /** Drain the listener bus so listener-observed counters are final. */
+  def waitForListeners(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
+  /** Unregister every map (and merge) output of every shuffle in `rdd`'s
+    * lineage: the next action finds the map stages unavailable and
+    * resubmits them, exactly as after a lost executor. Returns the
+    * affected shuffle ids (empty = the plan had no shuffle, the probe
+    * proves nothing — callers should assert nonEmpty). */
+  def dropMapOutputs(rdd: RDD[_]): Seq[Int] = {
+    val tracker = SparkEnv.get.mapOutputTracker
+      .asInstanceOf[MapOutputTrackerMaster]
+    val ids = shuffleIds(rdd)
+    ids.foreach(tracker.unregisterAllMapAndMergeOutput)
+    ids
+  }
+}
