@@ -67,7 +67,9 @@ case class CorpusCleanConfig(
     // scores from different languages/sources live on different scales,
     // so one calibrated cutoff replaces a global threshold that
     // over-prunes some domains and under-prunes others; both flags go
-    // together
+    // together. Docs with no quality score (zero-word docs, reachable
+    // with --min-words 0) are never ranked and pass through this gate
+    // unchanged — the word-count gates own them.
     calibrateTop: Option[Double] = None,
     calibrateBy: Option[String] = None,
     // mixture interleave training-plan column: join `interleave_pos`, the

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * contribution `s² · ((3·rx) XOR ry)`, then reflect/transpose the frame so
   * the sub-quadrant walk stays contiguous. Pure long arithmetic in a fixed
   * `bits`-step loop: whole-stage codegen here, and the identical per-level
-  * algebra renders to portable SQL via [[graft.operators.Layout.hilbertSql]]
+  * algebra renders to portable SQL via [[graft.operators.Layout.hilbertSqlCtes]]
   * for the oracle replay.
   *
   * Inputs are masked to the low `bits` bits (callers quantize with `pmod`,

@@ -102,17 +102,28 @@ object Calibrate {
     * join ([[AsOfJoin.backward]]: sorted union + one window pass, no
     * range-join blowup), keyed on the domain with the score as the time
     * axis. Scores below the domain's observed minimum calibrate to 0.0
-    * (nothing in history scored worse). */
+    * (nothing in history scored worse).
+    *
+    * Scale shape: the as-of join partitions by the domain key only, so
+    * running it over BATCH ROWS would route every row of a domain through
+    * one window task — the few-huge-domains hazard this file's header
+    * names. The lookup therefore runs over the DISTINCT batch
+    * `(domain, score)` pairs — score-cardinality-bounded exactly like the
+    * frozen table — and fans back to rows via an equality join, which
+    * AQE broadcasts whenever the distinct table is small. Batch rows
+    * never enter a window. */
   def calibrateAgainst(batch: DataFrame, frozenEcdf: DataFrame,
                        domainCol: String, scoreCol: String,
                        keepTop: Double): DataFrame = {
     require(keepTop > 0 && keepTop <= 1, s"keepTop in (0,1], got $keepTop")
     val rows = batch.filter(col(scoreCol).isNotNull)
-    AsOfJoin.backward(rows, frozenEcdf, domainCol, scoreCol,
-      rightCols = Seq("ecdf"), tieBreak = "ecdf")
-      .withColumn("ecdf_frozen",
-        coalesce(col("asof_match.ecdf"), lit(0.0d)))
-      .drop("asof_match")
+    val looked = AsOfJoin.backward(
+        rows.select(col(domainCol), col(scoreCol)).distinct(),
+        frozenEcdf, domainCol, scoreCol,
+        rightCols = Seq("ecdf"), tieBreak = "ecdf")
+      .select(col(domainCol), col(scoreCol),
+        coalesce(col("asof_match.ecdf"), lit(0.0d)).as("ecdf_frozen"))
+    rows.join(looked, Seq(domainCol, scoreCol))
       .withColumn("kept", col("ecdf_frozen") > lit(1.0d) - lit(keepTop))
   }
 }

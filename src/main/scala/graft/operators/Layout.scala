@@ -151,10 +151,22 @@ object Layout {
     * itself runs over at most `4^bits` grid cells (bounded by the key
     * geometry, NOT the table), so the single-task windows are safe at any
     * corpus size; the distinct-cell aggregation is the only corpus-sized
-    * stage and it shuffles just two small integer columns. */
+    * stage and it shuffles just two small integer columns.
+    *
+    * Inputs are masked to the low `bits` bits ONCE, at the cell stage, so
+    * all three keys — including the row-major product, which has no
+    * internal mask the way [[zValue]]/[[hilbertValue]] do — and the jump
+    * arithmetic see the same well-defined coordinates; unquantized input
+    * folds onto the grid instead of silently corrupting only the
+    * row-major walk. Each curve's scorecard row comes from a PLAIN
+    * aggregate (no groupBy), so a degenerate input — one distinct cell,
+    * or none — still yields one row per curve (`n_cells` = jumps + 1,
+    * NULL total/max), exactly the oracle's global-aggregate shape. */
   def curveLocality(df: DataFrame, x: Column, y: Column, bits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = df.select(x.cast("long").as("qx"), y.cast("long").as("qy"))
+    val mask = (1L << bits) - 1L
+    val cells = df.select(x.cast("long").bitwiseAND(lit(mask)).as("qx"),
+        y.cast("long").bitwiseAND(lit(mask)).as("qy"))
       .groupBy("qx", "qy").agg(count(lit(1)).as("_n")).drop("_n")
     val keyed = cells.select(col("qx"), col("qy"),
       (col("qx") * (1L << bits) + col("qy")).as("rowmajor"),
@@ -163,14 +175,15 @@ object Layout {
     val walks = Seq("rowmajor", "zorder", "hilbert").map { curve =>
       val w = Window.orderBy(curve) // <= 4^bits rows: grid-bounded
       keyed.select(
-        lit(curve).as("curve"),
         (abs(col("qx") - lag("qx", 1).over(w)) +
           abs(col("qy") - lag("qy", 1).over(w))).as("jump"))
         .filter(col("jump").isNotNull)
-        .groupBy("curve").agg(
+        .agg(
           (count(lit(1)) + 1).as("n_cells"),
           sum("jump").as("total_jump"),
           max("jump").as("max_jump"))
+        .select(lit(curve).as("curve"), col("n_cells"),
+          col("total_jump"), col("max_jump"))
     }
     walks.reduce(_ unionAll _)
   }

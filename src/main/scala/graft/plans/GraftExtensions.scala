@@ -45,7 +45,15 @@ object GraftExtensions {
   private[plans] def hilbertBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, "graft_hilbert(x, y, bits) takes 3 arguments")
     require(exprs(2).foldable, "graft_hilbert: bits must be a literal")
-    HilbertIndex(exprs(0), exprs(1),
-      exprs(2).eval().asInstanceOf[Number].intValue)
+    // NULL evaluates to null and a string literal to UTF8String — both
+    // must fail with the same descriptive analysis error as the requires
+    // above, not an NPE/ClassCastException
+    val bits = exprs(2).eval() match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"graft_hilbert: bits must be an integer literal, got " +
+          s"${if (other == null) "NULL" else other.toString}")
+    }
+    HilbertIndex(exprs(0), exprs(1), bits)
   }
 }

@@ -133,6 +133,41 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       spark.sql("SELECT graft_hilbert(CAST(5 AS BIGINT), CAST(9 AS BIGINT), id) FROM range(1)").collect()
     }
     assert(err.getMessage.contains("literal"))
+    // a NULL or string bits literal IS foldable — it must still fail with
+    // the descriptive error, not an NPE / ClassCastException
+    val errNull = intercept[Exception] {
+      spark.sql("SELECT graft_hilbert(CAST(5 AS BIGINT), CAST(9 AS BIGINT), NULL)").collect()
+    }
+    assert(errNull.getMessage.contains("integer literal"), errNull.getMessage)
+    val errStr = intercept[Exception] {
+      spark.sql("SELECT graft_hilbert(CAST(5 AS BIGINT), CAST(9 AS BIGINT), 'a')").collect()
+    }
+    assert(errStr.getMessage.contains("integer literal"), errStr.getMessage)
+  }
+
+  test("curveLocality: degenerate inputs still yield one scorecard row per " +
+    "curve, and unquantized inputs fold onto the grid for ALL three keys") {
+    import spark.implicits._
+    // single distinct cell: no jumps — one row per curve, n_cells=1,
+    // NULL total/max (the oracle's plain-aggregate shape)
+    val one = Seq((3L, 5L), (3L, 5L)).toDF("qx", "qy")
+    val rows = Layout.curveLocality(one, col("qx"), col("qy"), bits = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3))))
+    assert(rows.map(_._1).toSet === Set("rowmajor", "zorder", "hilbert"))
+    rows.foreach { case (c, n, tot, mx) =>
+      assert(n === 1L && tot.isEmpty && mx.isEmpty, s"curve=$c")
+    }
+    // out-of-range coordinates mask to the low bits consistently: the
+    // walk over (17,16) at bits=4 equals the walk over (1,0) — for the
+    // row-major key too, which has no internal mask of its own
+    val dirty = Seq((17L, 16L), (2L, 3L), (7L, 1L)).toDF("qx", "qy")
+    val clean = Seq((1L, 0L), (2L, 3L), (7L, 1L)).toDF("qx", "qy")
+    def score(df: org.apache.spark.sql.DataFrame) =
+      Layout.curveLocality(df, col("qx"), col("qy"), bits = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(score(dirty) === score(clean))
   }
 
   test("curveLocality: hilbert walk is optimal on the full grid, morton is not") {
