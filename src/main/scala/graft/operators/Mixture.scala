@@ -89,4 +89,122 @@ object Mixture {
       .withColumnRenamed("rnk", "pos")
       .select("doc_id", "domain", "dom_rnk", "pass", "pos")
   }
+
+  /** DoReMi-style domain-weight SOLVER — the piece that DERIVES the
+    * weights [[strideInterleave]] consumes, instead of taking them on
+    * faith: multiplicative-weights updates over per-domain excess loss
+    * (Xie et al., NeurIPS'23 "DoReMi" — domains whose loss exceeds the
+    * reference get upweighted, step by step). The update here is the
+    * exp-free LINEAR multiplicative-weights rule
+    * `α ← α · (1 + η · max(excess, 0))` (Arora–Hazan–Kale, "The
+    * Multiplicative Weights Update Method", Theory of Computing 2012,
+    * §2) rather than DoReMi's `exp(η·excess)`: `exp` is a libm call with
+    * no cross-engine bit contract, while multiply/add/divide are IEEE
+    * exact — so every α and weight in the trajectory hash-compares
+    * against the DuckDB replay, the same reasoning that keeps k-means
+    * here in fixed-point.
+    *
+    * Input is any per-document integer loss signal (token counts, rare
+    * n-gram counts, quantized per-doc loss reports shipped back from a
+    * proxy-model run) tagged with a reporting `step`. Per (step, domain)
+    * the excess is `mean_domain − mean_all` clipped at 0, where each mean
+    * is ONE IEEE division of exact integer sums (the calibrate-ECDF
+    * discipline). Steps fold in ascending order; after each step α
+    * normalizes (sum folded in domain-sorted order — the defined-order
+    * float-reduction rule) and the published weight smooths with the
+    * uniform mixture: `w = (1−c)·α + c/D`.
+    *
+    * Scale shape: the ONLY corpus-sized stage is the (step, domain)
+    * integer aggregate — two small group columns, map-side combinable.
+    * The solve itself runs on the collected aggregate: a
+    * |domains|·|steps| planning table (domains are few by the same
+    * doctrine as [[manifest]]'s strata), the bounded-collect pattern the
+    * k-means centroid loop uses. Output: one row per (step, domain):
+    * `(step, domain, alpha, weight)` — the full trajectory, so the
+    * recurrence itself is oracle-checkable; training manifests read the
+    * last step.
+    *
+    * No counterpart in the reference (paradump has no mixture planning);
+    * exists because a 100 TB pretraining pipeline tunes domain sampling
+    * from measured loss, not hand-set ratios. */
+  def domainReweight(rows: DataFrame, domainCol: String, stepCol: Column,
+                     lossCnt: Column, eta: Double = 0.25,
+                     smooth: Double = 0.25): DataFrame = {
+    val agg = lossAgg(rows, domainCol, stepCol, lossCnt)
+    val domains = agg.map(_._2).distinct.sorted
+    val alpha0 = domains.map(d => d -> 1.0d / domains.size.toDouble)
+    mwTrajectory(rows.sparkSession, alpha0, agg,
+      agg.map(_._1).distinct.sorted, domains.size, eta, smooth)
+  }
+
+  /** Incremental solve — the standing-corpus form: history's FINAL
+    * normalized α freezes as a `(domain, alpha)` table (StageStore it
+    * like every frozen state here) and a new batch of loss reports folds
+    * its steps on top, bitwise-equal to a one-shot solve of
+    * history ++ batch provided (a) batch steps strictly follow history
+    * steps (append-only step contract) and (b) the domain set is fixed
+    * by history — batch rows in unknown domains are dropped (a new
+    * domain would change the 1/D initialization history already
+    * consumed; introduce domains by re-solving). `smooth/D` uses the
+    * frozen table's domain count. */
+  def domainReweightFrom(frozenAlpha: DataFrame, batch: DataFrame,
+                         domainCol: String, stepCol: Column,
+                         lossCnt: Column, eta: Double = 0.25,
+                         smooth: Double = 0.25): DataFrame = {
+    val alpha0 = frozenAlpha.select(col("domain").cast("string"),
+        col("alpha").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    val known = alpha0.map(_._1).toSet
+    val agg = lossAgg(batch, domainCol, stepCol, lossCnt)
+      .filter(r => known(r._2))
+    mwTrajectory(batch.sparkSession, alpha0, agg,
+      agg.map(_._1).distinct.sorted, alpha0.size, eta, smooth)
+  }
+
+  /** Per-(step, domain) exact integer loss sums — the corpus-sized
+    * aggregate, collected as the bounded planning table. */
+  private def lossAgg(rows: DataFrame, domainCol: String, stepCol: Column,
+                      lossCnt: Column): Seq[(Long, String, Long, Long)] =
+    rows.select(stepCol.cast("long").as("step"),
+        col(domainCol).cast("string").as("domain"),
+        lossCnt.cast("long").as("loss"))
+      .groupBy("step", "domain")
+      .agg(sum("loss").as("s"), count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  /** The exact MW fold: IEEE ops in defined order (steps ascending,
+    * normalization sum in domain-sorted order) so the DuckDB unrolled-CTE
+    * replay reproduces every bit. */
+  private def mwTrajectory(spark: org.apache.spark.sql.SparkSession,
+                           alpha0: Seq[(String, Double)],
+                           agg: Seq[(Long, String, Long, Long)],
+                           steps: Seq[Long], nDomains: Int,
+                           eta: Double, smooth: Double): DataFrame = {
+    import spark.implicits._
+    val domains = alpha0.map(_._1)
+    val dD = nDomains.toDouble
+    val byStep = agg.groupBy(_._1)
+    var alpha = alpha0.toMap
+    val out = Seq.newBuilder[(Long, String, Double, Double)]
+    steps.foreach { t =>
+      val rowsT = byStep.getOrElse(t, Seq.empty)
+      val gmean = rowsT.map(_._3).sum.toDouble / rowsT.map(_._4).sum.toDouble
+      val excess = rowsT.map { case (_, d, s, c) =>
+        d -> math.max(s.toDouble / c.toDouble - gmean, 0.0d)
+      }.toMap
+      val raw = domains.map(d =>
+        d -> alpha(d) * (1.0d + eta * excess.getOrElse(d, 0.0d))).toMap
+      var sum = 0.0d
+      domains.foreach { d => sum = sum + raw(d) } // domain-sorted fold
+      alpha = domains.map(d => d -> raw(d) / sum).toMap
+      domains.foreach { d =>
+        out += ((t, d, alpha(d),
+          (1.0d - smooth) * alpha(d) + smooth / dD))
+      }
+    }
+    out.result().toDF("step", "domain", "alpha", "weight")
+  }
 }

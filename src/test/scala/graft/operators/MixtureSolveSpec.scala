@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DoReMi-style domain-weight solver (Mixture.domainReweight) — the
+  * domain_reweight CORRECTNESS rows. */
+class MixtureSolveSpec extends AnyFunSuite with SparkSuite {
+
+  private def traj(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    Mixture.domainReweight(
+      rows.toDF("doc_id", "domain", "loss").withColumn("step",
+        col("doc_id") % 2),
+      "domain", col("step"), col("loss"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+  }
+
+  test("two domains, two steps: the lossier domain is strictly upweighted, " +
+    "alphas normalize, published weights sum to one") {
+    // step 0 (even ids): a -> 2,4 (mean 3), b -> 1 (mean 1); a is lossy
+    // step 1 (odd ids):  a -> 5 (mean 5), b -> 1,1 (mean 1)
+    val out = traj(Seq(
+      (0L, "a", 2L), (2L, "a", 4L), (4L, "b", 1L),
+      (1L, "a", 5L), (3L, "b", 1L), (5L, "b", 1L)))
+    assert(out.length === 4) // 2 steps x 2 domains
+    val byStep = out.groupBy(_._1)
+    byStep.foreach { case (t, rows) =>
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12, s"alpha sum, t=$t")
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, s"weight sum, t=$t")
+    }
+    val a = out.filter(_._2 == "a").sortBy(_._1).map(_._3)
+    val b = out.filter(_._2 == "b").sortBy(_._1).map(_._3)
+    assert(a(0) > 0.5 && b(0) < 0.5, "lossy domain upweighted at step 0")
+    assert(a(1) > a(0), "excess persists -> alpha keeps rising")
+    // exact recurrence replay for step 0: means 3 and 1, gmean 7/3
+    val gmean = 7.0 / 3.0
+    val rawA = 0.5 * (1.0 + 0.25 * (3.0 - gmean))
+    val rawB = 0.5 * (1.0 + 0.25 * 0.0)
+    val s = 0.0 + rawA + rawB // domain-sorted fold: a then b
+    assert(a(0) === rawA / s && b(0) === rawB / s)
+    assert(out.find(r => r._1 == 0 && r._2 == "a").get._4 ===
+      (1.0 - 0.25) * (rawA / s) + 0.25 / 2.0)
+  }
+
+  test("deterministic: repartitioned input produces identical bits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i =>
+      (i, Seq("en", "zh", "fr")(rnd.nextInt(3)), (rnd.nextInt(50) + 1).toLong))
+    val df = rows.toDF("doc_id", "domain", "loss")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Mixture.domainReweight(d, "domain", col("doc_id") % 5, col("loss"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(df) === run(df.repartition(13)))
+  }
+
+  test("incremental from frozen alpha equals the one-shot solve bitwise; " +
+    "unknown batch domains are dropped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val all = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "zh" else "en", (rnd.nextInt(30) + 1).toLong))
+      .toDF("doc_id", "domain", "loss")
+      .withColumn("step", col("doc_id") % 6)
+    val hist = all.filter(col("step") < 3)
+    val batch = all.filter(col("step") >= 3)
+    val oneShot = Mixture.domainReweight(all, "domain", col("step"), col("loss"))
+    val frozen = oneShot.filter(col("step") === 2).select("domain", "alpha")
+    val inc = Mixture.domainReweightFrom(frozen, batch, "domain",
+      col("step"), col("loss"))
+    val want = oneShot.filter(col("step") >= 3)
+      .collect().map(_.toSeq).toSet
+    assert(inc.collect().map(_.toSeq).toSet === want)
+    // a batch-only domain does not perturb the solve
+    val noisy = batch.unionByName(
+      Seq((999L, "xx", 7L, 3L)).toDF("doc_id", "domain", "loss", "step"))
+    val inc2 = Mixture.domainReweightFrom(frozen, noisy, "domain",
+      col("step"), col("loss"))
+    assert(inc2.collect().map(_.toSeq).toSet === want)
+  }
+}
