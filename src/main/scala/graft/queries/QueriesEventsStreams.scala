@@ -1,0 +1,927 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Queries registry segment: time-series/event analytics and the streaming gates.
+  * Split from the monolithic Queries.scala (r17); member order and
+  * the mixin order in [[Queries]] preserve the original top-to-bottom
+  * val initialization sequence. */
+trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
+  // time_decay_score — recency-weighted per-user value: half-life decay
+  // weight 2^-days_ago. Transcendental decay (exp) is not cross-engine
+  // reproducible; a base-2 integer-day decay IS: every weight 2^(cap-d) is
+  // an exact long, the weighted sum runs in DECIMAL (associative), and the
+  // final normalization by 2^cap is the single IEEE division. The
+  // reference day is the corpus max — computed once and broadcast (one-row
+  // cross join), never a global window.
+  // ---------------------------------------------------------------------
+  def timeDecayScore(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+    val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"),
+      min(to_date(col("ts"))).as("min_day"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("d", datediff(col("ref_day"), to_date(col("ts"))))
+      // 2^(cap-d) is only an exact BIGINT while cap < 63 — the JVM masks
+      // the shift count to 6 bits, so a ≥63-day span would silently WRAP
+      // (DuckDB's << does not: cross-engine divergence). Fail loudly; a
+      // wider history needs a different decay kernel (e.g. bucket the
+      // history into <63-day epochs and decay the epoch sums).
+      .withColumn("cap",
+        when(datediff(col("ref_day"), col("min_day")) < lit(63),
+            datediff(col("ref_day"), col("min_day")))
+          .otherwise(raise_error(concat(
+            lit("timeDecayScore: day span must be < 63 (2^x weight wraps), got "),
+            datediff(col("ref_day"), col("min_day")).cast("string")))))
+      .groupBy("user_id")
+      .agg(
+        sum(col("value").cast("decimal(18,4)") *
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(cap - d AS INT))")
+              .cast("decimal(20,0)")).as("num"),
+        max(col("cap")).as("capx"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        (col("num").cast("double") /
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(capx AS INT))").cast("double"))
+          .as("decayed_value"),
+        col("n_events"))
+      .orderBy("user_id")
+  }
+
+  val timeDecayScoreSql: String =
+    """WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref_day,
+      |                  min(CAST(ts AS DATE)) AS min_day FROM events),
+      |e AS (SELECT user_id, value,
+      |    date_diff('day', CAST(ts AS DATE), ref_day) AS d,
+      |    date_diff('day', min_day, ref_day) AS cap
+      |  FROM events CROSS JOIN r)
+      |SELECT user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))
+      |           * CAST((CAST(1 AS BIGINT) << (cap - d)) AS DECIMAL(20,0))) AS DOUBLE)
+      |    / CAST((CAST(1 AS BIGINT) << max(cap)) AS DOUBLE) AS decayed_value,
+      |  COUNT(*) AS n_events
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // rfm_segments — recency/frequency/monetary segmentation: per-user RFM
+  // metrics (one aggregate; decimal-exact monetary), median cutoffs via
+  // the broadcast-exact-percentile pattern (quantile_bins), 3-bit segment
+  // code from the three high/low splits. Everything is one scan + one
+  // tiny aggregate broadcast back — no global sort, no window over raw
+  // rows.
+  // ---------------------------------------------------------------------
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+    val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+    // the per-user aggregate feeds TWO consumers (the cutoff aggregate and
+    // the final segment projection); Spark re-evaluates common subplans per
+    // consumer, so it is materialized once. Files, not .persist(): the r9
+    // persist was never released and its MEMORY_AND_DISK blocks leaked
+    // into every later query sharing the JVM — StageStore rows are narrow
+    // (id + 3 measures), overwritten per re-run, deleted at exit
+    val per = StageStore.materialize(
+      ev.crossJoin(broadcast(ref))
+        .groupBy("user_id")
+        .agg(min(datediff(col("ref_day"), to_date(col("ts")))).cast("long").as("recency"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary")),
+      s"rfm_per_${StageStore.dirTag(dir)}")
+    // median cutoffs as a 1-row aggregate broadcast back (the quantile_bins
+    // pattern) — never a partitionBy(lit(1)) window, which would sort every
+    // user's row through ONE task at scale
+    val cuts = per.agg(
+      percentile(col("recency"), lit(0.5)).as("rc"),
+      percentile(col("frequency"), lit(0.5)).as("fc"),
+      percentile(col("monetary"), lit(0.5)).as("mc"))
+    per.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("recency"), col("frequency"), col("monetary"),
+        (when(col("recency") <= col("rc"), lit(1)).otherwise(lit(0)) * 4 +
+          when(col("frequency") > col("fc"), lit(1)).otherwise(lit(0)) * 2 +
+          when(col("monetary") > col("mc"), lit(1)).otherwise(lit(0)))
+          .cast("long").as("segment"))
+      .orderBy("user_id")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+      |per AS (SELECT user_id,
+      |    CAST(min(date_diff('day', CAST(ts AS DATE), ref_day)) AS BIGINT) AS recency,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      |  FROM events CROSS JOIN r GROUP BY user_id),
+      |c AS (SELECT quantile_cont(recency, 0.5) AS rc,
+      |             quantile_cont(frequency, 0.5) AS fc,
+      |             quantile_cont(monetary, 0.5) AS mc FROM per)
+      |SELECT user_id, recency, frequency, monetary,
+      |  CAST(CASE WHEN recency <= rc THEN 1 ELSE 0 END * 4 +
+      |       CASE WHEN frequency > fc THEN 1 ELSE 0 END * 2 +
+      |       CASE WHEN monetary > mc THEN 1 ELSE 0 END AS BIGINT) AS segment
+      |FROM per, c ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // rolling_distinct — trailing-7-day distinct users per day, computed
+  // from PER-DAY SKETCHES (the canonical production KMV shape: sketch
+  // each day once, answer any trailing window by merging ≤7 sketches —
+  // ≤ 7k pairs per anchor day — instead of re-scanning a week of raw
+  // events per day). The exact COUNT(DISTINCT) over the same windows
+  // rides along as the verification column; at 100 TB you'd keep only
+  // the sketch side. Bounded day×day range join (calendar × calendar),
+  // never day×events.
+  // ---------------------------------------------------------------------
+  def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .filter(col("user_id").isNotNull)
+    val sketch = graft.operators.Sketches.kmvMinHashes(
+      ev, group = "day", value = col("user_id"), k = k)
+    // anchors derived from the cheap base scan, NOT from the sketch, and
+    // kth + n_hashes folded into ONE aggregate over the ranked merge:
+    // Spark re-evaluates common subplans per consumer, so the naive
+    // days-from-sketch + separate kth/count queries ran the whole
+    // sketch+merge subtree three times (three BNLJs in the plan)
+    val days = ev.select(col("day").as("anchor")).distinct()
+    val win = to_date(col("g")).between(
+      date_sub(to_date(col("anchor")), 6), to_date(col("anchor")))
+    val agg = days.join(sketch, win)
+      .select(col("anchor"), col("hv"), col("hx")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("anchor").orderBy(col("hv"), col("hx"))))
+      .filter(col("rk") <= k)
+      .groupBy("anchor")
+      .agg(count(lit(1)).as("n_hashes"),
+        max(when(col("rk") === k, col("hv"))).as("kth_hash"))
+    val exact = days.join(ev,
+        to_date(col("day")).between(
+          date_sub(to_date(col("anchor")), 6), to_date(col("anchor"))))
+      .groupBy("anchor").agg(count_distinct(col("user_id")).as("n_exact"))
+    exact.join(agg, "anchor")
+      .select(col("anchor"), col("n_exact"),
+        coalesce(lit((k - 1).toDouble * graft.operators.Sketches.HashSpace) /
+            col("kth_hash").cast("double"),
+          col("n_hashes").cast("double")).as("est"))
+      .orderBy("anchor")
+  }
+
+  val rollingDistinctSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH ev AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |m AS (SELECT DISTINCT day, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+       |h AS (SELECT day, CAST($hv AS BIGINT) AS hv, hx FROM m),
+       |r AS (SELECT day, hv, hx,
+       |    row_number() OVER (PARTITION BY day ORDER BY hv, hx) AS rk FROM h),
+       |sk AS (SELECT day, hv, hx FROM r WHERE rk <= 64),
+       |days AS (SELECT DISTINCT day AS anchor FROM sk),
+       |mg AS (SELECT DISTINCT anchor, hv, hx FROM days JOIN sk
+       |       ON CAST(sk.day AS DATE) BETWEEN CAST(anchor AS DATE) - 6
+       |                                   AND CAST(anchor AS DATE)),
+       |mr AS (SELECT anchor, hv,
+       |    row_number() OVER (PARTITION BY anchor ORDER BY hv, hx) AS rk FROM mg),
+       |ag AS (SELECT anchor, COUNT(*) AS n_hashes,
+       |       max(CASE WHEN rk = 64 THEN hv END) AS kth_hash
+       |       FROM mr WHERE rk <= 64 GROUP BY anchor),
+       |ex AS (SELECT anchor, COUNT(DISTINCT user_id) AS n_exact
+       |       FROM days JOIN ev
+       |       ON CAST(ev.day AS DATE) BETWEEN CAST(anchor AS DATE) - 6
+       |                                   AND CAST(anchor AS DATE)
+       |       GROUP BY anchor)
+       |SELECT ex.anchor AS anchor, n_exact,
+       |  COALESCE((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+       |             / CAST(kth_hash AS DOUBLE),
+       |           CAST(n_hashes AS DOUBLE)) AS est
+       |FROM ex JOIN ag ON ex.anchor = ag.anchor
+       |ORDER BY ex.anchor""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // rolling_distinct_persisted — the PRODUCTION form of rolling_distinct:
+  // the per-day KMV sketch table is WRITTEN to parquet once (the nightly
+  // sketch-build job), and the trailing-7-day distinct estimate is
+  // answered from the sketch FILES alone — the returned plan contains no
+  // events scan at all (pinned in PlanAuditSpec). This is the entire
+  // point of a mergeable sketch at 100 TB: the raw-event scan happens
+  // once per day, every window query afterwards reads ≤ k rows per day.
+  // Estimates are md5-deterministic, so the file round-trip is
+  // oracle-exact, not approximate-vs-approximate.
+  // ---------------------------------------------------------------------
+  def rollingDistinctPersisted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .filter(col("user_id").isNotNull)
+    // the sketch-build job: one scan of the raw events, ≤ k rows per day
+    // out. StageStore (not a fresh temp dir per evaluation, the r9 shape
+    // that orphaned three dirs per bench run): deterministic label →
+    // re-evaluation overwrites, JVM exit deletes
+    val sk = StageStore.materialize(
+      graft.operators.Sketches.kmvMinHashes(ev, "day", col("user_id"), k),
+      s"kmv_days_${StageStore.dirTag(dir)}")
+    // the window query: sketch files only (calendar × calendar range join,
+    // merge ≤ 7·k pairs per anchor, one ranked aggregate)
+    val days = sk.select(col("g").as("anchor")).distinct()
+    val win = to_date(col("g")).between(
+      date_sub(to_date(col("anchor")), 6), to_date(col("anchor")))
+    days.join(sk, win)
+      .select(col("anchor"), col("hv"), col("hx")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("anchor").orderBy(col("hv"), col("hx"))))
+      .filter(col("rk") <= k)
+      .groupBy("anchor")
+      .agg(count(lit(1)).as("n_hashes"),
+        max(when(col("rk") === k, col("hv"))).as("kth_hash"))
+      .select(col("anchor"), col("n_hashes"),
+        coalesce(lit((k - 1).toDouble * graft.operators.Sketches.HashSpace) /
+            col("kth_hash").cast("double"),
+          col("n_hashes").cast("double")).as("est"))
+      .orderBy("anchor")
+  }
+
+  val rollingDistinctPersistedSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH ev AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |m AS (SELECT DISTINCT day, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+       |h AS (SELECT day, CAST($hv AS BIGINT) AS hv, hx FROM m),
+       |r AS (SELECT day, hv, hx,
+       |    row_number() OVER (PARTITION BY day ORDER BY hv, hx) AS rk FROM h),
+       |sk AS (SELECT day, hv, hx FROM r WHERE rk <= 64),
+       |days AS (SELECT DISTINCT day AS anchor FROM sk),
+       |mg AS (SELECT DISTINCT anchor, hv, hx FROM days JOIN sk
+       |       ON CAST(sk.day AS DATE) BETWEEN CAST(anchor AS DATE) - 6
+       |                                   AND CAST(anchor AS DATE)),
+       |mr AS (SELECT anchor, hv,
+       |    row_number() OVER (PARTITION BY anchor ORDER BY hv, hx) AS rk FROM mg)
+       |SELECT anchor, COUNT(*) AS n_hashes,
+       |  COALESCE((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+       |             / CAST(max(CASE WHEN rk = 64 THEN hv END) AS DOUBLE),
+       |           CAST(COUNT(*) AS DOUBLE)) AS est
+       |FROM mr WHERE rk <= 64 GROUP BY anchor
+       |ORDER BY anchor""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // event_transitions — the user-journey Markov matrix: P(next event type
+  // | current) from per-user event sequences. One lead() window on the
+  // user_id exchange (same shape as scd2_intervals — never a self-join),
+  // then the transition counts aggregate; the probability normalization
+  // runs on the 25-row aggregate, and its single division is the only
+  // IEEE op.
+  // ---------------------------------------------------------------------
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH t AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM t
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // anomaly_zscore — per-user outlier events by z-score. The moments
+  // (n, Σx, Σx²) aggregate EXACTLY in DECIMAL (like corr_profile — the
+  // builtin stddev is partition-order-dependent); mean/variance/sd then
+  // derive through a fixed sequence of IEEE ops (division, multiply,
+  // sqrt — all correctly-rounded per IEEE 754), so the flagged set and
+  // the z values replay bit-identically. Per-user stats are a tiny
+  // aggregate broadcast back onto the events — no window over raw rows.
+  // ---------------------------------------------------------------------
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("value").isNotNull)
+    val stats = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
+      sum((col("value").cast("decimal(18,4)") * col("value").cast("decimal(18,4)"))
+        .cast("decimal(38,8)")).cast("double").as("s2"))
+    val mean = col("s1") / col("n").cast("double")
+    val sd = sqrt(col("s2") / col("n").cast("double") - mean * mean)
+    ev.join(broadcast(stats), "user_id")
+      .withColumn("z", (col("value") - mean) / sd)
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("user_id"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH e AS (SELECT event_id, user_id, value FROM events
+      |           WHERE value IS NOT NULL),
+      |st AS (SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,4))
+      |                  * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s2
+      |  FROM e GROUP BY user_id),
+      |z AS (SELECT event_id, e.user_id, value,
+      |    (value - s1 / CAST(n AS DOUBLE))
+      |      / sqrt(s2 / CAST(n AS DOUBLE)
+      |             - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS z
+      |  FROM e JOIN st ON e.user_id = st.user_id)
+      |SELECT event_id, user_id, value, z FROM z
+      |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // partial_merge_agg — incremental aggregation as data: build per-
+  // (user, day) partial states (decimal sum + count — the persistable
+  // artifact an incremental pipeline checkpoints per day/partition), then
+  // MERGE the states into per-user totals without touching the base rows
+  // again. Decimal partials are associative, so the merged result is
+  // bit-equal to the direct aggregate the oracle computes. The same
+  // algebra as distinct_kmv_merge, for plain statistics.
+  // ---------------------------------------------------------------------
+  def partialMergeAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("p_sum"),
+        count(col("value")).as("p_cnt"))
+    daily.groupBy("user_id")
+      .agg(sum(col("p_sum")).cast("double").as("sum_value"),
+        sum(col("p_cnt")).cast("long").as("n_values"),
+        count(lit(1)).as("n_days"))
+      .orderBy("user_id")
+  }
+
+  val partialMergeAggSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS p_sum,
+      |    COUNT(value) AS p_cnt
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT user_id,
+      |  CAST(SUM(p_sum) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(p_cnt) AS BIGINT) AS n_values,
+      |  COUNT(*) AS n_days
+      |FROM daily GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cohort_retention — the classic cohort matrix: users grouped by first-
+  // active day, counted on each later activity day offset. Two shuffles:
+  // first-day per user (agg), then distinct (cohort, offset, user) counts.
+  // ---------------------------------------------------------------------
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      // DATE round-trips differently through the two engines' parquet/
+      // pandas paths — compare as ISO text
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY f.cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Hourly windowed aggregation over events with JSON extraction from the
+    * props column (ns timestamps normalized via Tables.events). */
+  def eventsWindow(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy("event_type", "hr")
+
+  val eventsWindowSql: String =
+    """SELECT event_type, date_trunc('hour', ts) AS hr,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY event_type, date_trunc('hour', ts)
+      |ORDER BY event_type, hr""".stripMargin
+
+  /** Structured Streaming end-to-end: the hourly windowed aggregation run
+    * as a micro-batch stream over the events parquet (Trigger.AvailableNow,
+    * memory sink, complete mode) — the streaming result must equal the
+    * batch oracle exactly. Proves the readStream -> watermark+window ->
+    * writeStream surface with a real CORRECTNESS row. */
+  /** Drain-and-stop streaming runs get two tunings a standing production
+    * query would size differently:
+    *
+    *  - skip no-data micro-batches (unless `skipNoData=false`): those
+    *    rounds only advance the watermark to EVICT state (nothing is
+    *    emitted by inner joins, and complete-mode tables are unchanged),
+    *    but each one commits every state-store instance. Production keeps
+    *    the default — eviction is what bounds state over days.
+    *  - pin shuffle partitions to 8 for the run: every shuffle partition
+    *    is a state-store INSTANCE each stateful operator opens, commits,
+    *    and snapshots per micro-batch, so a drain over a bounded fixture
+    *    pays partitions × operators × batches in pure state-store
+    *    overhead while each partition holds only a sliver of data. A
+    *    standing query sizes this to its stateful load (the count is
+    *    frozen into the checkpoint on first start).
+    *
+    * Restores the previous settings after. */
+  private[graft] def drainStreamingRun[T](s: SparkSession, skipNoData: Boolean = true)
+      (body: => T): T = {
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = Seq(noDataKey, partsKey).map(k => k -> s.conf.getOption(k))
+    if (skipNoData) s.conf.set(noDataKey, "false")
+    s.conf.set(partsKey,
+      math.max(1, math.min(8, s.conf.get(partsKey, "200").toInt)).toString)
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  def eventsStreamHourly(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.EventsStream.hourlyCounts(
+      graft.streaming.EventsStream.fromParquetDir(s, dir))
+    val qname = "events_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname)
+  }
+
+  val eventsStreamHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hr, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // docs_stream_ingest — the corpus-side standing query (CorpusStream):
+  // quality gate stateless per micro-batch, exact dedup as a streaming
+  // digest aggregate keeping min doc_id per sha2 (deterministic under any
+  // arrival order, unlike keep-first-seen). Complete-mode drain over the
+  // fixture; the oracle is the batch gate + group-by-text keep-min.
+  // ---------------------------------------------------------------------
+  def docsStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.streaming.CorpusStream.ingestClean(
+      graft.streaming.CorpusStream.fromParquetDir(s, dir), minWords = 10)
+    val qname = "docs_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = cleaned.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("doc_id")
+  }
+
+  val docsStreamIngestSql: String =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_cnt
+      |FROM documents WHERE len(string_split(text, ' ')) >= 10
+      |GROUP BY text ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // emb_stream_index — vector-side streaming index maintenance
+  // (streaming/EmbStream.scala): arriving embedding shards assign to the
+  // FROZEN centroid geometry (the historical even-id half, the same
+  // geometry ann_ivf_incremental persists) as a standing query. The
+  // assignment is one fused argmax kernel per row — ZERO streaming
+  // state; centroid refresh is the embedding_drift-driven rebuild, never
+  // an implicit stream mutation.
+  // ---------------------------------------------------------------------
+  def embStreamIndex(s: SparkSession, dir: String): DataFrame = {
+    val centroids: Array[Array[Double]] = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 2 === 0)
+      .orderBy("vec_id").limit(16).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cNorms: Array[Double] = centroids.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val assigned = graft.streaming.EmbStream.assignCells(
+      graft.streaming.EmbStream.fromParquetDir(s, dir), centroids, cNorms)
+    val qname = "emb_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = assigned.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("vec_id")
+  }
+
+  val embStreamIndexSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (
+       |  SELECT e AS ce, row_number() OVER (ORDER BY vec_id) AS cidx
+       |  FROM corpus WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16
+       |),
+       |scored AS (
+       |  SELECT c.vec_id, cent.cidx, ${cos("c.e", "cent.ce")} AS score
+       |  FROM corpus c CROSS JOIN cent
+       |)
+       |SELECT vec_id, CAST(cidx AS BIGINT) AS cell FROM (
+       |  SELECT vec_id, cidx,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cidx) AS rn
+       |  FROM scored) x WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // docs_stream_ingest_incremental — the streaming form of
+  // dedup_exact_incremental: the standing ingest query anti-joins every
+  // micro-batch against the PERSISTED digest table (stream-static join,
+  // history read from files — never rescanned, never in streaming
+  // state), so only texts history has never seen survive. History here is
+  // the doc_id % 3 != 0 subset's digests (StageStore-persisted once, the
+  // production compaction artifact); the stream is the whole corpus. The
+  // oracle is the equivalent batch anti-join.
+  // ---------------------------------------------------------------------
+  def docsStreamIngestIncremental(s: SparkSession, dir: String): DataFrame = {
+    val digests = StageStore.materializeIfAbsent(s,
+      s"stream_digests_${StageStore.dirTag(dir)}") {
+      graft.operators.TextOps.textDigests(
+        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("text")))
+    }
+    val cleaned = graft.streaming.CorpusStream.ingestCleanIncremental(
+      graft.streaming.CorpusStream.fromParquetDir(s, dir), minWords = 10,
+      historyDigests = digests)
+    val qname = "docs_stream_inc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = cleaned.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("doc_id")
+  }
+
+  val docsStreamIngestIncrementalSql: String =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_cnt
+      |FROM documents
+      |WHERE len(string_split(text, ' ')) >= 10
+      |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
+      |GROUP BY text ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // docs_stream_neardup — the streaming NEAR-DUP gate (the third ingest
+  // family in streaming form, after exact dedup and fluency): the planted
+  // mutations arrive as a stream, every arrival is checked against the
+  // PERSISTED band/shingle-set state of the original corpus, and
+  // survivors (arrivals that do NOT near-dup history at jaccard >= 0.75)
+  // append to parquet via the stateless foreachBatch gate. Threshold 0.75
+  // splits the fixture both ways (471 of 500 planted mutations sit at
+  // 0.75-0.83 and drop; 29 ship). The oracle is the all-pairs exact
+  // ground truth restricted to history->batch pairs — recall is covered
+  // by the exactJaccardSql gate coupling: the >= 0.5 pair set (a strict
+  // SUPERSET of the >= 0.75 one, including the harder-to-catch 0.6
+  // pairs) is already deterministically fully caught by the pinned 16/8
+  // geometry in the oracle-green near_dup_minhash row. Batch-boundary invariance is
+  // BY CONSTRUCTION: the verdict never involves other arrivals
+  // (NearDup.historyDupIds forms history pairs only), so any AvailableNow
+  // slicing yields identical survivors (CorpusStreamSpec pins it).
+  // ---------------------------------------------------------------------
+  def docsStreamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val history = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val tag = StageStore.dirTag(dir)
+    val bandsF = StageStore.materializeIfAbsent(s, s"ndstream_bands_$tag") {
+      graft.operators.NearDup.bandFrame(history, k = 3, numHashes = 16, bands = 8)
+    }
+    val setsF = StageStore.materializeIfAbsent(s, s"ndstream_sets_$tag") {
+      graft.operators.NearDup.shingleHashSets(history, k = 3)
+    }
+    // the arriving shard: the planted mutations (doc_id + 1e6, first-80%
+    // words) derived map-side on the stream — same construction as
+    // docsWithPlantedDups' mutated half
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) * lit(8) / lit(10)).cast("int"), lit(3))
+    val arriving = graft.streaming.CorpusStream.fromParquetDir(s, dir)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), keep)).as("text"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("nd_stream_out").toFile.getAbsolutePath
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("nd_stream_ck").toFile.getAbsolutePath
+    drainStreamingRun(s) {
+      graft.streaming.CorpusStream.nearDupIngest(
+        arriving, bandsF, setsF, outDir, ckDir, threshold = 0.75)
+    }
+    s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+  }
+
+  val docsStreamNearDupSql: String =
+    jaccardPairsCtePrefix + """
+      |SELECT doc_id FROM docs2
+      |WHERE doc_id >= 1000000 AND doc_id NOT IN (
+      |  SELECT doc_b FROM p
+      |  WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.75
+      |    AND doc_a < 1000000 AND doc_b >= 1000000)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // docs_stream_containment — the streaming CONTAINMENT gate (the
+  // asymmetric sibling of docs_stream_neardup): arrivals are checked for
+  // containment >= 0.9 in the PERSISTED history shingle-set state; the
+  // even-root snippets all drop, the odd-root reversed docs all ship —
+  // including the handful that ARE contained in larger BATCH docs, which
+  // the history-only gate must NOT drop (per-doc verdicts depend only on
+  // (document, history state); that independence is the order-invariance
+  // contract, and it is what distinguishes this row from
+  // containment_incremental's union semantics). Stateless foreachBatch;
+  // checkpoint carries offsets only.
+  // ---------------------------------------------------------------------
+  def docsStreamContainment(s: SparkSession, dir: String): DataFrame = {
+    val history = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val setsF = StageStore.materializeIfAbsent(s,
+        s"contstream_sets_${StageStore.dirTag(dir)}") {
+      graft.operators.NearDup.shingleHashSets(history, k = 3)
+    }
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) / lit(4)).cast("int"), lit(3))
+    val arriving = graft.streaming.CorpusStream.fromParquetDir(s, dir)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        when(col("doc_id") % 2 === 0, concat_ws(" ", slice(toks, lit(1), keep)))
+          .otherwise(concat_ws(" ", reverse(toks))).as("text"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("cont_stream_out").toFile.getAbsolutePath
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("cont_stream_ck").toFile.getAbsolutePath
+    drainStreamingRun(s) {
+      graft.streaming.CorpusStream.containmentIngest(
+        arriving, setsF, outDir, ckDir, threshold = 0.9)
+    }
+    s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+  }
+
+  val docsStreamContainmentSql: String =
+    """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |docsI AS (
+      |  SELECT doc_id, w FROM d0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    CASE WHEN doc_id % 2 = 0 THEN w[1:greatest(CAST(floor(len(w)/4) AS INT), 3)]
+      |         ELSE list_reverse(w) END AS w
+      |  FROM d0
+      |),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wj)-1, 1)),
+      |    i -> wj[i] || ' ' || wj[i+1] || ' ' || wj[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(rtrim(array_to_string(w, ' '), ' '), ' ') AS wj FROM docsI) t
+      |),
+      |dropped AS (
+      |  SELECT DISTINCT a.doc_id FROM sh a JOIN sh b
+      |    ON a.doc_id >= 2000000 AND b.doc_id < 2000000
+      |  WHERE len(a.s) > 0
+      |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) AS DOUBLE) >= 0.9
+      |)
+      |SELECT s.doc_id FROM sh s
+      |WHERE s.doc_id >= 2000000 AND s.doc_id NOT IN (SELECT doc_id FROM dropped)
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // docs_stream_fluency — the STREAMING fluency gate against the DuckDB
+  // replay of the batch chain: the reference model (doc_id % 5 == 0
+  // slice) collects batch-side (≤ 4096 entries), every streamed doc
+  // scores through the stateless per-row map, and docs with zero bigrams
+  // fall to the >= 1 threshold. Proves the streaming scorer's JVM fold
+  // bit-equals the relational/oracle path end to end.
+  // ---------------------------------------------------------------------
+  def docsStreamFluency(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val (model, floor) = graft.operators.LmScore.fluencyModel(
+      docs.filter(col("doc_id") % 5 === 0))
+    val gated = graft.streaming.CorpusStream.fluencyGate(
+      graft.streaming.CorpusStream.fromParquetDir(s, dir), model, floor,
+      minPpb = 1L)
+    val qname = "docs_stream_flu_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = gated.select("doc_id", "n_bigrams", "fluency_ppb")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // docs_stream_unicode — the Unicode canonicalization gate as a STREAMING
+  // stage: TextOps.unicodeClean is a stateless typed map, so the batch
+  // operator applies to the arrival stream VERBATIM (no streaming-specific
+  // code to diverge from the batch semantics); the same grafts as
+  // unicode_clean ride the stream, and the single AvailableNow shard makes
+  // the batch oracle the exact replay.
+  // ---------------------------------------------------------------------
+  def docsStreamUnicode(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      col("text"),
+      opt(d % 4 === 0, " cafe\u0301 decomposed"),
+      opt(d % 6 === 0, " x\u00a0y\u3000z spaces"),
+      opt(d % 9 === 0, " a\u200bb\u200dc\ufeff zw"),
+      opt(d % 7 === 0, " bell\u0007cr\r\nkeep"),
+      opt(d % 11 === 0, " co\u00adoperate shy"))
+    val cleaned = graft.operators.TextOps.unicodeClean(
+      graft.streaming.CorpusStream.fromParquetDir(s, dir)
+        .select(d, grafted.as("text")))
+    val qname = "docs_stream_uni_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = cleaned
+        .select(col("doc_id"), col("n_space_mapped"), col("n_dropped"),
+          col("nfc_changed"), md5(col("text_clean")).as("clean_hash"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("doc_id")
+  }
+
+  // single-shard arrival ≡ the batch gate — same replay (lazy: the batch
+  // oracle val is defined later in the file)
+  lazy val docsStreamUnicodeSql: String = unicodeCleanSql
+
+  val docsStreamFluencySql: String = {
+    val flu = graft.operators.LmScore.fluencyScoreSql("d.doc_id % 5 = 0")
+    s"""SELECT * FROM (
+       |${flu.stripSuffix(" ORDER BY d.doc_id")}
+       |) WHERE fluency_ppb >= 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Streaming exact dedup: the events stream unioned with itself (every
+    * record duplicated) must come out exactly once through
+    * withWatermark + dropDuplicatesWithinWatermark keyed on event_id — the
+    * WithinWatermark variant is what actually EVICTS dedup state once the
+    * watermark passes (plain dropDuplicates without the event-time column
+    * in its keys keeps state forever). Streaming analogue of
+    * TextOps.dedupExact. The oracle is the plain batch aggregate: dedup
+    * must make the duplicated stream indistinguishable from the original. */
+  def eventsStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventsStream.fromParquetDir(s, dir)
+    val agg = ev.unionAll(ev)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val qname = "events_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname)
+  }
+
+  val eventsStreamDedupSql: String =
+    "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type"
+
+  /** Stream-stream interval join (click→purchase attribution, 30 min):
+    * TWO independent file-stream sources joined with watermark-bounded
+    * state — append mode, the only mode stream-stream joins support. The
+    * oracle is the batch join: inner stream-stream joins emit exactly the
+    * batch join set once the AvailableNow run drains. */
+  def eventsStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val joined = graft.streaming.EventsStream.attributionJoin(
+      graft.streaming.EventsStream.fromParquetDir(s, dir),
+      graft.streaming.EventsStream.fromParquetDir(s, dir),
+      windowMinutes = 30)
+    val qname = "events_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // biggest beneficiary: a stream-stream join commits 4 state-store
+    // instances per shuffle partition per micro-batch (measured 5.53 s ->
+    // 3.41 s warm at sf0.1 from skipping the eviction-only rounds)
+    drainStreamingRun(s) {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname)
+  }
+
+  val eventsStreamJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
+
+  /** Stateful sessionization (flatMapGroupsWithState) run in batch mode over
+    * events: 30-min-gap sessions per user. Batch semantics emit only CLOSED
+    * sessions (each user's final session stays in state), which the oracle
+    * mirrors by dropping each user's last island. Session arithmetic is in
+    * epoch millis on both sides (java.sql.Timestamp.getTime truncates micros
+    * to ms; DuckDB epoch_ms does the same). */
+  def eventsSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .as[graft.streaming.EventsStream.Event]
+    graft.streaming.EventsStream.sessionize(ev, gapMinutes = 30).toDF()
+      .select(col("user_id"), col("start").as("session_start"),
+        col("end").as("session_end"), col("n_events").cast("long").as("n_events"))
+  }
+
+  val eventsSessionsSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+      |o AS (SELECT user_id, t,
+      |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |sess AS (SELECT user_id, t,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |agg AS (SELECT user_id, sid, min(t) AS t0, max(t) AS t1, COUNT(*) AS n_events
+      |        FROM sess GROUP BY user_id, sid),
+      |agg2 AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg)
+      |SELECT user_id, make_timestamp(t0*1000) AS session_start,
+      |  make_timestamp(t1*1000) AS session_end, n_events
+      |FROM agg2 WHERE sid < max_sid""".stripMargin
+
+  /** STREAMING sessionization — the EventTimeTimeout state machine over
+    * the real file stream. Unlike the batch run (events_sessions, which
+    * can never close a user's final session), the watermark advancing past
+    * `last + gap` closes and EMITS trailing sessions with no further
+    * events — the oracle adds exactly that clause: the last island also
+    * closes iff max(event time) > session_end + gap. Must keep the
+    * default no-data micro-batch (it fires the trailing timeouts). */
+  def eventsSessionsStream(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.streaming.EventsStream.sessionizeStreaming(
+      graft.streaming.EventsStream.fromParquetDir(s, dir), gapMinutes = 30)
+    val qname = "sess_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // skipNoData=false: the trailing-timeout micro-batch IS the semantics
+    drainStreamingRun(s, skipNoData = false) {
+      val q = sess.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname)
+      .select(col("user_id"), col("start").as("session_start"),
+        col("end").as("session_end"), col("n_events").cast("long").as("n_events"))
+  }
+
+  val eventsSessionsStreamSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+      |o AS (SELECT user_id, t,
+      |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |sess AS (SELECT user_id, t,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |agg AS (SELECT user_id, sid, min(t) AS t0, max(t) AS t1, COUNT(*) AS n_events
+      |        FROM sess GROUP BY user_id, sid),
+      |agg2 AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg),
+      |mx AS (SELECT max(epoch_ms(ts)) AS mts FROM events)
+      |SELECT user_id, make_timestamp(t0*1000) AS session_start,
+      |  make_timestamp(t1*1000) AS session_end, n_events
+      |FROM agg2, mx
+      |WHERE sid < max_sid OR mx.mts > t1 + 1800000""".stripMargin
+
+  // ---------------------------------------------------------------------
+}

@@ -1,0 +1,875 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Queries registry segment: multimodal, JSONL dumps, as-of/range joins, sampling, k-means and SemDeDup.
+  * Split from the monolithic Queries.scala (r17); member order and
+  * the mixin order in [[Queries]] preserve the original top-to-bottom
+  * val initialization sequence. */
+trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
+  // Multimodal: binary payload round-trip (synthetic header + decode stub).
+  // The oracle re-derives the decoded metadata independently — proving the
+  // encode -> binary column -> mapPartitions decode path end to end.
+  // ---------------------------------------------------------------------
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Media.extractFeatures(
+      graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_bytes"))
+
+  val mediaFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
+      |  CAST(16 + doc_id % 48 AS INTEGER) AS height,
+      |  CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
+
+  /** F2/F5 binary-dump wiring under the oracle gate: deterministic binary
+    * payloads (sha256 digests of document text — every byte value occurs
+    * across 500 digests) rendered as the Postgres hex literal by the same
+    * FidelityGen dispatch that renders `_binary` for MySQL. DuckDB rebuilds
+    * the exact line from its own sha256. (The MySQL `_binary` byte-escape
+    * path is oracle-checked by BinaryDumpSpec's independent decoder — its
+    * escape rules are not expressible in one SQL expression.) */
+  def dumpBinary(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FidelityGen.insertStatements(
+      t(s, dir, "documents").select(col("doc_id"),
+        unhex(sha2(col("text"), 256)).as("payload")),
+      "doc_digest", graft.operators.FidelityGen.Postgres, insertSize = 1)
+      .toDF("line")
+
+  val dumpBinarySql: String =
+    """SELECT 'INSERT INTO doc_digest VALUES (' || CAST(doc_id AS VARCHAR)
+      |  || ',decode(''' || lower(sha256(text)) || ''',''hex''));' AS line
+      |FROM documents""".stripMargin
+
+  /** Frame sampling over the synthetic video payloads: every 4th 64-byte
+    * block of each video body becomes a frame row — the inference-input
+    * shape (media_id, frame_no, bytes). The oracle re-derives the blocks by
+    * slicing the hex rendering of the same body (DuckDB 1.0 has no blob
+    * substring; 2 hex chars per byte, both engines render uppercase). */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Media.sampleFrames(
+      graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")),
+      frameSize = 64, stride = 4)
+      .select(col("media_id"), col("frame_no"), hex(col("frame")).as("frame_hex"))
+      .orderBy("media_id", "frame_no")
+
+  val mediaFramesSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
+      |    (octet_length(encode(text)) + 63) // 64 AS nblocks
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT media_id, bh, UNNEST(generate_series(0, CAST(nblocks AS INT) - 1)) AS frame_no FROM m)
+      |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+      |  substring(bh, frame_no * 128 + 1, 128) AS frame_hex
+      |FROM f WHERE frame_no % 4 = 0 ORDER BY media_id, frame_no""".stripMargin
+
+  /** Nearest-neighbor resize of every payload to a 16×16 grid, rendered as
+    * hex. The oracle replays the exact resample arithmetic (sy = y·h/16,
+    * sx = x·w/16, integer division; reads beyond the body pad with 0x00)
+    * over a generated (y,x) grid, reassembles the body with an ordered
+    * string_agg of hex pairs, and rebuilds the patched 12-byte header from
+    * the same doc_id-derived fields via printf. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Media.resize(
+      graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")),
+      newW = 16, newH = 16)
+      .toDF()
+      .select(col("media_id"), hex(col("payload")).as("payload_hex"))
+      .orderBy("media_id")
+
+  val mediaResizeSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    CAST(16 + doc_id % 64 AS INT) AS w, CAST(16 + doc_id % 48 AS INT) AS h,
+      |    CAST(doc_id % 3 AS INT) AS kindb,
+      |    hex(encode(text)) AS bh, octet_length(encode(text)) AS blen
+      |  FROM documents),
+      |grid AS (SELECT media_id, w, h, bh, blen,
+      |    UNNEST(generate_series(0, 255)) AS p
+      |  FROM m),
+      |px AS (SELECT media_id,
+      |    ((p // 16) * h // 16) * w + ((p % 16) * w // 16) AS idx,
+      |    p, bh, blen
+      |  FROM grid),
+      |body AS (SELECT media_id,
+      |    string_agg(CASE WHEN idx < blen THEN substring(bh, idx * 2 + 1, 2)
+      |                    ELSE '00' END, '' ORDER BY p) AS body_hex
+      |  FROM px GROUP BY media_id),
+      |hdr AS (SELECT media_id,
+      |    -- 'GFT0' + kind byte + new w=16 LE + new h=16 LE + len=256 LE24
+      |    '47465430' || printf('%02X', kindb) || '10001000' || '000100' AS header_hex
+      |  FROM m)
+      |SELECT hdr.media_id, hdr.header_hex || body.body_hex AS payload_hex
+      |FROM hdr JOIN body USING (media_id) ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // F3/F4 end-to-end: the Postgres E''/NUL-drop writer and the MSSQL
+  // CHAR-splice/N'' segment writer rendered over an escape-hostile corpus,
+  // with DuckDB independently re-deriving the exact literal (replace-chain
+  // for PG; per-char explode + window-function run grouping for MSSQL —
+  // a from-scratch SQL re-implementation of the segmentation, not a port
+  // of the Scala loop). Reference writers: paradump.go:2262-2328 (PG),
+  // :2332-2445 (MSSQL).
+  // ---------------------------------------------------------------------
+
+  /** Escape-hostile corpus: deterministic per-doc strings hitting every
+    * escaper branch — quotes, backslashes, \n \r 0x1A, embedded NUL,
+    * non-ASCII (N'' segments), the all-ASCII-safe fast path, and the empty
+    * string. Built from column functions only so DuckDB reconstructs the
+    * identical bytes from the same parquet. */
+  private[graft] def hostileCorpus(s: SparkSession, dir: String): DataFrame = {
+    val atom = element_at(
+      array(lit("\u0000"), lit("\\"), lit("\n"), lit("é€中"), lit("\r\u001a")),
+      (col("doc_id") % 5).cast("int") + lit(1))
+    val hostile = when(col("doc_id") % 17 === 0, lit(""))
+      .when(col("doc_id") % 7 === 0, lit("plain safe"))
+      .otherwise(concat(lit("p'q\\"),
+        repeat(lit("'"), (col("doc_id") % 4).cast("int")),
+        atom, col("text"), atom, lit("\u0000tail\n")))
+    t(s, dir, "documents").select(col("doc_id"), hostile.as("v"))
+  }
+
+  /** Shared DuckDB-side reconstruction of [[hostileCorpus]]. */
+  private[graft] val hostileCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 0 THEN ''
+      |         WHEN doc_id % 7 = 0 THEN 'plain safe'
+      |         ELSE 'p''q\' ||
+      |           repeat('''', CAST(doc_id % 4 AS INTEGER)) ||
+      |           CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN chr(0) WHEN 1 THEN '\' WHEN 2 THEN chr(10) WHEN 3 THEN 'é€中' ELSE chr(13) || chr(26) END ||
+      |           text ||
+      |           CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN chr(0) WHEN 1 THEN '\' WHEN 2 THEN chr(10) WHEN 3 THEN 'é€中' ELSE chr(13) || chr(26) END ||
+      |           chr(0) || 'tail' || chr(10)
+      |    END AS s
+      |  FROM documents)""".stripMargin
+
+  def dumpPgEscape(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FidelityGen.insertStatements(
+      hostileCorpus(s, dir), "esc_pg", graft.operators.FidelityGen.Postgres,
+      insertSize = 1).toDF("line")
+
+  /** PG escape is a char→char substitution, so the oracle is a replace
+    * chain: backslash FIRST (introduced backslashes are never re-escaped),
+    * then \n \r 0x1A ' as \xNN, NUL dropped (paradump.go:2308,2319). */
+  val dumpPgEscapeSql: String =
+    s"""WITH $hostileCorpusSql
+       |SELECT 'INSERT INTO esc_pg VALUES (' || CAST(doc_id AS VARCHAR) || ',E''' ||
+       |  replace(replace(replace(replace(replace(replace(s,
+       |    chr(92), '\\x5c'), chr(10), '\\x0a'), chr(13), '\\x0d'),
+       |    chr(26), '\\x1a'), chr(39), '\\x27'), chr(0), '') || ''');' AS line
+       |FROM corpus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dump_jsonl / dump_jsonl_orders — the JSONL corpus-export arm of the
+  // dump family (JsonGen/JsonlSink, `-dumpmode jsonl`): the hostile
+  // corpus proves the string-escape convention byte for byte (quotes,
+  // backslashes, \n \r, 0x1a and NUL as \u00xx — NUL is KEPT, unlike the
+  // PG dump's mandated drop), and orders proves the typed arms
+  // (shortest-round-trip doubles, bare-second timestamps, bare integers,
+  // JSON null for SQL NULL) against DuckDB's own renderings.
+  // ---------------------------------------------------------------------
+  def dumpJsonl(s: SparkSession, dir: String): DataFrame =
+    graft.operators.JsonGen.jsonLines(hostileCorpus(s, dir)).toDF("line")
+
+  val dumpJsonlSql: String =
+    s"""WITH $hostileCorpusSql
+       |SELECT '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"v":"' ||
+       |  ${graft.operators.JsonGen.escapeSql("s")} || '"}' AS line
+       |FROM corpus""".stripMargin
+
+  def dumpJsonlOrders(s: SparkSession, dir: String): DataFrame =
+    graft.operators.JsonGen.jsonLines(t(s, dir, "orders")).toDF("line")
+
+  val dumpJsonlOrdersSql: String =
+    """SELECT '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR)
+      |  || ',"o_custkey":' || CAST(o_custkey AS VARCHAR)
+      |  || ',"o_orderstatus":"' || o_orderstatus
+      |  || '","o_totalprice":' || CAST(o_totalprice AS VARCHAR)
+      |  || ',"o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+      |  || '","o_orderpriority":"' || o_orderpriority || '"}' AS line
+      |FROM orders""".stripMargin
+
+  def dumpMsSqlEscape(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FidelityGen.insertStatements(
+      hostileCorpus(s, dir), "esc_ms", graft.operators.FidelityGen.MsSql,
+      insertSize = 1).toDF("line")
+
+  /** MSSQL literals are runs: control/quote chars become standalone CHAR(n)
+    * splices, ASCII-safe runs '...'-quoted, non-ASCII runs N'...'-quoted,
+    * all joined with '+'. The oracle re-derives the segmentation with
+    * per-character UNNEST + a lag/sum run-id window, then string_aggs runs
+    * back in order — the BinaryDumpSpec pattern expressed in SQL. */
+  val dumpMsSqlEscapeSql: String =
+    s"""WITH $hostileCorpusSql,
+       |chars AS (SELECT doc_id, UNNEST(generate_series(1, length(s))) AS i, s FROM corpus),
+       |classed AS (SELECT doc_id, i, substr(s, i, 1) AS ch,
+       |  CASE WHEN unicode(substr(s, i, 1)) IN (0,10,13,26,39) THEN 1
+       |       WHEN unicode(substr(s, i, 1)) < 128 THEN 0 ELSE 2 END AS cls FROM chars),
+       |brks AS (SELECT *, CASE WHEN cls = 1
+       |    OR lag(cls) OVER (PARTITION BY doc_id ORDER BY i) IS DISTINCT FROM cls
+       |  THEN 1 ELSE 0 END AS brk FROM classed),
+       |runs AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS rid FROM brks),
+       |segs AS (SELECT doc_id, rid, cls,
+       |  CASE cls WHEN 1 THEN 'CHAR(' || CAST(unicode(any_value(ch)) AS VARCHAR) || ')'
+       |           WHEN 0 THEN '''' || string_agg(ch, '' ORDER BY i) || ''''
+       |           ELSE 'N''' || string_agg(ch, '' ORDER BY i) || '''' END AS seg
+       |  FROM runs GROUP BY doc_id, rid, cls),
+       |lits AS (SELECT doc_id, string_agg(seg, '+' ORDER BY rid) AS body FROM segs GROUP BY doc_id)
+       |SELECT 'INSERT INTO esc_ms VALUES (' || CAST(corpus.doc_id AS VARCHAR) || ',' ||
+       |  COALESCE(lits.body, '''''') || ');' AS line
+       |FROM corpus LEFT JOIN lits USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // As-of join (backward, inclusive): each purchase is attributed to the
+  // latest at-or-before click by the same user. Spark has no native as-of
+  // operator — AsOfJoin.backward is the union+window formulation (one
+  // shuffle, no range blow-up); the oracle is DuckDB's native ASOF JOIN,
+  // a fully independent implementation of the same semantics. Timestamps
+  // compare in epoch millis on both sides (events carry nanos; unix_millis
+  // and epoch_ms truncate identically).
+  // ---------------------------------------------------------------------
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.backward(purchases, clicks,
+      key = "user_id", ts = "ts",
+      rightCols = Seq("click_id", "ts"), tieBreak = "click_id")
+      .select(col("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("p_ms"),
+        col("asof_match.click_id").as("click_id"),
+        unix_millis(col("asof_match.ts")).as("click_ms"),
+        (unix_millis(col("ts")) - unix_millis(col("asof_match.ts"))).as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, epoch_ms(p.ts) AS p_ms,
+      |  c.event_id AS click_id, epoch_ms(c.ts) AS click_ms,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Forward as-of: each click matched to the NEXT purchase by the same
+    * user (time-to-conversion). Oracle: DuckDB ASOF with the inequality
+    * flipped (`p.ts >= c.ts`). */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.forward(clicks, purchases,
+      key = "user_id", ts = "ts",
+      rightCols = Seq("purchase_id", "ts"), tieBreak = "purchase_id")
+      .select(col("click_id"), col("user_id"),
+        unix_millis(col("ts")).as("c_ms"),
+        col("asof_match.purchase_id").as("purchase_id"),
+        unix_millis(col("asof_match.ts")).as("p_ms"),
+        (unix_millis(col("asof_match.ts")) - unix_millis(col("ts"))).as("lag_ms"))
+      .orderBy("click_id")
+  }
+
+  val asofJoinForwardSql: String =
+    """SELECT c.event_id AS click_id, c.user_id, epoch_ms(c.ts) AS c_ms,
+      |  p.event_id AS purchase_id, epoch_ms(p.ts) AS p_ms,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts
+      |ORDER BY click_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Bucketed range join: all event pairs within 10 minutes of each other,
+  // with NO equi key — the bucket derivation is what keeps this off
+  // Spark's quadratic BroadcastNestedLoopJoin (plan pinned). The oracle is
+  // DuckDB's native inequality join (IEJoin), an independent range-join
+  // implementation.
+  // ---------------------------------------------------------------------
+  def rangeJoinPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RangeJoin.timePairs(
+      Tables.events(s, dir), idCol = "event_id", ts = "ts",
+      // pair density grows quadratically with event rate: 10 min keeps
+      // the OUTPUT a sane size at every SF (the join itself is linear in
+      // candidates either way; 1 h at sf0.1 materializes ~14M pairs and
+      // the bench measures parquet-noop throughput, not the operator)
+      windowMs = 600L * 1000L)
+      .orderBy("first_id", "second_id")
+
+  val rangeJoinPairsSql: String =
+    """SELECT a.event_id AS first_id, b.event_id AS second_id,
+      |  epoch_ms(b.ts) - epoch_ms(a.ts) AS dt_ms
+      |FROM events a JOIN events b
+      |  ON (b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE)
+      |  OR (b.ts = a.ts AND a.event_id < b.event_id)
+      |ORDER BY first_id, second_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Deterministic stratified sampling: the 50 smallest-md5(text) documents
+  // per language — a reproducible, content-addressed training-mix draw.
+  // The Spark side is the two-phase salted top-n (no whole-stratum-on-one-
+  // task shuffle); the oracle is the textbook single-window form.
+  // ---------------------------------------------------------------------
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedTopN(
+      t(s, dir, "documents"), stratum = "lang", textCol = "text", n = 50)
+      .orderBy("lang", "rk")
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Deterministic Bernoulli downsampling: rebalance the overrepresented
+  // language by keeping only docs whose content hash falls under a hex
+  // threshold — en at ~25%, es at ~50%, everything else kept. A pure
+  // per-row filter: no shuffle, no state, reproducible keep-set.
+  // ---------------------------------------------------------------------
+  def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.bernoulliByHash(
+      t(s, dir, "documents"), stratum = "lang", textCol = "text",
+      thresholds = Map("en" -> "4", "es" -> "8"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val sampleBernoulliSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CASE lang WHEN 'en' THEN md5(text) < '4'
+      |                WHEN 'es' THEN md5(text) < '8'
+      |                ELSE TRUE END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Deterministic budget packing: fill a 20000-char budget per language in
+  // content-hash order — the assemble-a-training-mix-to-a-budget
+  // primitive. Exact prefix-sum cut, reproducible by construction.
+  // ---------------------------------------------------------------------
+  def sampleBudget(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.budgetPack(
+      t(s, dir, "documents"), stratum = "lang", textCol = "text",
+      sizeCol = "n_chars", budget = 20000L)
+      .orderBy("lang", "cum_size")
+
+  val sampleBudgetSql: String =
+    """SELECT doc_id, lang, cum_size FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY md5(text), doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_size
+      |  FROM documents) t
+      |WHERE cum_size <= 20000 ORDER BY lang, cum_size""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Corpus token frequency top-k: the vocabulary-head profile every
+  // training-data audit starts with. Map-side partial counts absorb the
+  // stopword skew; only (token, partial_count) rows shuffle.
+  // ---------------------------------------------------------------------
+  def tokenTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.tokenTopK(t(s, dir, "documents"), k = 50)
+
+  val tokenTopkSql: String =
+    """SELECT lower(tok) AS token, COUNT(*) AS cnt
+      |FROM (SELECT UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+      |      FROM documents) t
+      |WHERE tok <> ''
+      |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TF-IDF retrieval scoring: top-20 documents per query term. Linear
+  // (rational) IDF — tf·(N/df), two IEEE ops in fixed order — so the
+  // scores are bit-identical across engines (log is 1-2 ulp
+  // platform-dependent and would break the hash oracle; ranking is
+  // unchanged since log is monotone).
+  // ---------------------------------------------------------------------
+  def tfidfTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.tfidfTopK(
+      t(s, dir, "documents"), terms = Seq("spark", "table", "join"), k = 20)
+      .orderBy("term", "rk")
+
+  val tfidfTopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(tok) AS term
+      |  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+      |        FROM documents) t
+      |  WHERE lower(tok) IN ('spark', 'table', 'join')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT term, doc_id, rk, score FROM (
+      |  SELECT tf.term, tf.doc_id,
+      |    CAST(tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score,
+      |    row_number() OVER (PARTITION BY tf.term
+      |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+      |               tf.doc_id) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n) x
+      |WHERE rk <= 20 ORDER BY term, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Deterministic distributed k-means (semantic clustering): 2 Lloyd
+  // rounds, seeded from the 10 lowest vec_ids, fixed-point (2^-40)
+  // centroid updates so training is bitwise-reproducible — the oracle
+  // replays BOTH training rounds and the final assignment in SQL. See
+  // operators/KMeans.scala for why the quantization makes an iterative
+  // trainer oracle-replayable at all.
+  // ---------------------------------------------------------------------
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.KMeans.assign(emb,
+      graft.operators.KMeans.train(emb, k = 10, iters = 2))
+      .orderBy("vec_id")
+  }
+
+  /** Shared DuckDB CTE chain replaying KMeans.train(k=10, iters=2) + final
+    * assignment as a relation `km(vec_id, cluster)` — used by the
+    * kmeans_assign oracle directly and composed under the diverse-sample
+    * oracle. */
+  private[graft] lazy val kmeansCtes: String =
+    s"""corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$kmeansChainCtes"""
+
+  /** The Lloyd chain + final assignment, rebased onto whatever `corpus`
+    * CTE the caller defines (vec_id, e DOUBLE[]) — shared by the plain
+    * kmeans oracle and the planted-corpus semantic-dedup oracle. One Lloyd
+    * round per lloyd(i): assign under cent$i, quantized per-dim mean,
+    * empty cells keep their previous centroid. */
+  private[graft] lazy val kmeansChainCtes: String = {
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    def lloyd(i: Int): String =
+      s"""s$i AS (SELECT v.vec_id, c.cell, ${cos("v.e", "c.c")} AS score
+         |  FROM corpus v CROSS JOIN cent$i c),
+         |a$i AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+         |  FROM s$i) x WHERE rn = 1),
+         |x$i AS (SELECT a$i.cell, generate_subscripts(corpus.e, 1) AS pos, unnest(corpus.e) AS v
+         |  FROM a$i JOIN corpus USING (vec_id)),
+         |u$i AS (SELECT cell, pos,
+         |  CAST(CAST(SUM(CAST(floor(v * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1099511627776.0) AS cv
+         |  FROM x$i GROUP BY cell, pos),
+         |m$i AS (SELECT cell, list(cv ORDER BY pos) AS c FROM u$i GROUP BY cell),
+         |cent${i + 1} AS (SELECT p.cell, COALESCE(m$i.c, p.c) AS c
+         |  FROM cent$i p LEFT JOIN m$i USING (cell))""".stripMargin
+    s"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, e AS c
+       |  FROM corpus ORDER BY vec_id LIMIT 10),
+       |${lloyd(0)},
+       |${lloyd(1)},
+       |sf AS (SELECT v.vec_id, c.cell, ${cos("v.e", "c.c")} AS score
+       |  FROM corpus v CROSS JOIN cent2 c),
+       |km AS (SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |  FROM sf) x WHERE rn = 1)""".stripMargin
+  }
+
+  val kmeansAssignSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cluster FROM km ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Cluster-balanced ("diverse") sampling: the k-means clusters become the
+  // sampling strata — 10 deterministic draws per semantic cluster, the
+  // balanced-training-mix primitive. Composes the two oracle-replayable
+  // stages verbatim: the k-means CTE chain feeds the textbook stratified
+  // window (keyed on md5 of the vec_id — there is no text to
+  // content-address).
+  // ---------------------------------------------------------------------
+  def pipelineDiverseSample(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val assigned = graft.operators.KMeans.assign(emb,
+      graft.operators.KMeans.train(emb, k = 10, iters = 2))
+    graft.operators.Sampling.stratifiedTopNBy(
+      assigned, idCol = "vec_id", stratum = "cluster",
+      key = md5(col("vec_id").cast("string")), n = 10)
+      .orderBy("cluster", "rk")
+  }
+
+  val pipelineDiverseSampleSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cluster, rk FROM (
+       |  SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM km) t
+       |WHERE rk <= 10 ORDER BY cluster, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540),
+  // delegated to the bounded graft.operators.SemDeDup operator: k derived
+  // from corpus size (k ∝ n; the fixture sizes resolve to the paper's
+  // small-corpus floor of 10, which the oracle's training replay uses),
+  // identical embeddings collapsed to representatives before the pair
+  // stage, and the residual pair join banded on (cluster, normalized-
+  // leading-coordinate cell) — provably the same pair set as the oracle's
+  // plain within-cluster all-pairs form (see the operator scaladoc). Same
+  // planted duplicates as embed_near_dup (bitwise-identical copies, cosine
+  // exactly 1.0 ≥ 0.999; organic fixture max ~0.51 — equality is
+  // reproducible).
+  // ---------------------------------------------------------------------
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.unionAll(
+      emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    // corpus-size probe: a bare parquet count (footer metadata, no scan);
+    // the planted side adds 1/10th
+    val n = emb.count()
+    val k = graft.operators.SemDeDup.deriveK(n + n / 10)
+    graft.operators.SemDeDup.dedup(planted, k = k, iters = 2,
+        threshold = 0.999, stageTag = Some(StageStore.dirTag(dir)))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String = {
+    val iters = (0 until 3).map { k =>
+      s"""l${k + 1} AS MATERIALIZED (
+         |  SELECT l.doc_id, least(l.comp, COALESCE(min(ln.comp), l.comp)) AS comp
+         |  FROM l$k l
+         |  LEFT JOIN ed ON ed.u = l.doc_id
+         |  LEFT JOIN l$k ln ON ln.doc_id = ed.v
+         |  GROUP BY l.doc_id, l.comp
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+       |  WHERE vec_id % 10 = 0
+       |),
+       |$kmeansChainCtes,
+       |wc AS (SELECT km.vec_id, km.cluster, corpus.e FROM km JOIN corpus USING (vec_id)),
+       |sp AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM wc a JOIN wc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_inner_product(a.e, b.e)
+       |      / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.999),
+       |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM sp
+       |  UNION ALL SELECT doc_b, doc_a FROM sp),
+       |l0 AS MATERIALIZED (SELECT vec_id AS doc_id, vec_id AS comp FROM km),
+       |$iters
+       |SELECT l3.doc_id AS vec_id, km.cluster FROM l3 JOIN km ON km.vec_id = l3.doc_id
+       |WHERE l3.comp = l3.doc_id ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // semantic_dedup_incremental — the production cadence of SemDeDup: a new
+  // shard of embeddings dedups against YESTERDAY'S kept corpus, read from
+  // persisted StageStore files, under FROZEN cluster geometry (re-training
+  // would re-assign history and invalidate shipped keep decisions). The
+  // planted batch exercises all three outcomes: every 10th history vector
+  // re-arrives verbatim (+1M — dropped against history), every 25th
+  // arrives NEGATED twice (+2M/+3M — novel vs history since cos(-x,x)=-1,
+  // duplicates of each other, keep-one keeps +2M). The oracle replays
+  // history training + history dedup + frozen-centroid batch assignment +
+  // the cross-boundary component rule end to end.
+  // ---------------------------------------------------------------------
+  def semanticDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val k = graft.operators.SemDeDup.deriveK(hist.count())
+    // frozen geometry: deterministic trainer → bit-identical to the
+    // centroids yesterday's dedup trained (production persists them; the
+    // fixed-point Lloyd makes recomputation equivalent)
+    val cent = graft.operators.KMeans.train(hist, k, iters = 2)
+    val tag = StageStore.dirTag(dir)
+    // yesterday's kept corpus is persisted STATE, built once and read
+    // from files thereafter (the production cadence this query claims —
+    // a pipeline never re-derives shipped keep decisions per batch);
+    // deterministic per input dir, so compute-if-absent is sound
+    val keptHist = StageStore.materializeIfAbsent(s, s"semdedupinc_kept_$tag") {
+      graft.operators.SemDeDup.dedup(hist, k = k, iters = 2,
+          threshold = 0.999, stageTag = Some(s"inchist_$tag"))
+        .join(hist, Seq("vec_id"))
+        .select("vec_id", "cluster", "embedding")
+    }
+    val neg = transform(col("embedding"), x => -x)
+    val batch = hist.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionAll(hist.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), neg.as("embedding")))
+      .unionAll(hist.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 3000000L).as("vec_id"), neg.as("embedding")))
+    graft.operators.SemDeDup.dedupIncremental(batch, cent, keptHist,
+        threshold = 0.999, stageTag = Some(tag))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupIncrementalSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    def unroll(n: Int, prefix: String, edges: String): String =
+      (0 until n).map { i =>
+        s"""$prefix${i + 1} AS MATERIALIZED (
+           |  SELECT l.doc_id, least(l.comp, COALESCE(min(ln.comp), l.comp)) AS comp
+           |  FROM $prefix$i l
+           |  LEFT JOIN $edges ON $edges.u = l.doc_id
+           |  LEFT JOIN $prefix$i ln ON ln.doc_id = $edges.v
+           |  GROUP BY l.doc_id, l.comp
+           |)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$kmeansChainCtes,
+       |wc AS (SELECT km.vec_id, km.cluster, corpus.e FROM km JOIN corpus USING (vec_id)),
+       |sph AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM wc a JOIN wc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.e", "b.e")} >= 0.999),
+       |edh AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM sph
+       |  UNION ALL SELECT doc_b, doc_a FROM sph),
+       |h0 AS MATERIALIZED (SELECT vec_id AS doc_id, vec_id AS comp FROM km),
+       |${unroll(3, "h", "edh")},
+       |hkept AS (SELECT wc.vec_id, wc.cluster, wc.e FROM h3 JOIN wc ON wc.vec_id = h3.doc_id
+       |  WHERE h3.comp = h3.doc_id),
+       |batchc AS (
+       |  SELECT vec_id + 1000000 AS vec_id, e FROM corpus WHERE vec_id % 10 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 2000000, list_transform(e, x -> -x) FROM corpus WHERE vec_id % 25 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 3000000, list_transform(e, x -> -x) FROM corpus WHERE vec_id % 25 = 0),
+       |sb AS (SELECT v.vec_id, c.cell, ${cos("v.e", "c.c")} AS score
+       |  FROM batchc v CROSS JOIN cent2 c),
+       |kmb AS (SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |  FROM sb) x WHERE rn = 1),
+       |bwc AS (SELECT kmb.vec_id, kmb.cluster, batchc.e FROM kmb JOIN batchc USING (vec_id)),
+       |spb AS MATERIALIZED (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM bwc a JOIN bwc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.e", "b.e")} >= 0.999
+       |  UNION ALL
+       |  SELECT b.vec_id, h.vec_id
+       |  FROM bwc b JOIN hkept h ON b.cluster = h.cluster
+       |  WHERE ${cos("b.e", "h.e")} >= 0.999),
+       |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM spb
+       |  UNION ALL SELECT doc_b, doc_a FROM spb),
+       |l0 AS MATERIALIZED (
+       |  SELECT vec_id AS doc_id, vec_id AS comp FROM kmb
+       |  UNION ALL SELECT vec_id, vec_id FROM hkept),
+       |${unroll(3, "l", "ed")}
+       |SELECT l3.doc_id AS vec_id, kmb.cluster
+       |FROM l3 JOIN kmb ON kmb.vec_id = l3.doc_id
+       |WHERE l3.comp = l3.doc_id ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // repetition_stats — Gopher-style per-document repetition quality
+  // signals (dup-word fraction, top-bigram fraction, char collision
+  // probability). See TextOps.repetitionStats for the scale shape.
+  // ---------------------------------------------------------------------
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.repetitionStats(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  val repetitionStatsSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS dup_word_frac
+      |  FROM w),
+      |bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS bg
+      |       FROM w WHERE len(ws) >= 2),
+      |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |topbg AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+      |          FROM bgc GROUP BY 1),
+      |ch AS (SELECT doc_id, unnest([text[i] for i in generate_series(1, len(text))]) AS ch FROM w),
+      |chc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      |coll AS (SELECT doc_id, CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE) AS char_coll_prob
+      |         FROM chc GROUP BY 1)
+      |SELECT b.doc_id, b.n_words, b.dup_word_frac, t.top_bigram_frac, c.char_coll_prob
+      |FROM base b LEFT JOIN topbg t USING(doc_id) LEFT JOIN coll c USING(doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // pii_mask — PII redaction. The fixture corpus contains no PII, so a
+  // deterministic synthetic email + IPv4 derived from doc_id is grafted
+  // onto each document IN BOTH ENGINES; the masking regexes then have
+  // real work to do and the oracle checks the masked text byte-for-byte.
+  // ---------------------------------------------------------------------
+  def piiMask(s: SparkSession, dir: String): DataFrame = {
+    val pii = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example.com from 10."),
+      (col("doc_id") % 200).cast("string"), lit(".0."),
+      (col("doc_id") % 250).cast("string"))
+    val (masked, nEmails, nIps) = graft.operators.TextOps.piiMask(pii)
+    t(s, dir, "documents")
+      .select(col("doc_id"), masked.as("masked"),
+        nEmails.as("n_emails"), nIps.as("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  val piiMaskSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
+      |      || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS pii
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, pii,
+      |    regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS em
+      |  FROM p)
+      |SELECT doc_id,
+      |  regexp_replace(em, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS masked,
+      |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(em, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // contamination_ngrams — benchmark decontamination: corpus docs sharing
+  // any word 3-gram with the doc_id % 97 == 0 eval split. md5-hashed gram
+  // keys, broadcast eval side (TextOps.contamination).
+  // ---------------------------------------------------------------------
+  def contaminationNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.contamination(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  val contaminationNgramsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, gh FROM (
+      |  SELECT doc_id, unnest([md5(array_to_string(ws[i:i+2], ' ')) for i in generate_series(1, len(ws)-2)]) AS gh
+      |  FROM w WHERE len(ws) >= 3)),
+      |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
+      |SELECT g.doc_id, count(*) AS n_hits
+      |FROM g JOIN ev USING (gh)
+      |WHERE g.doc_id % 97 <> 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // language_mix — per-line code-switching audit (TextOps.languageMix):
+  // the docs a doc-level language gate misclassifies are the MIXED ones;
+  // grafts plant a clearly-English line (%4) and a clearly-foreign line
+  // (%6) so every combination of (en, unk, mixed) occurs.
+  // ---------------------------------------------------------------------
+  def languageMix(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val grafted = concat(
+      col("text"),
+      opt(d % 4 === 0, "\nthe of and to in is on for with a"),
+      opt(d % 6 === 0, "\nzzz qqq vvv kkk www yyy"))
+    graft.operators.TextOps.languageMix(
+        t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
+      .orderBy("doc_id")
+  }
+
+  val languageMixSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text
+      |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'the of and to in is on for with a' ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'zzz qqq vvv kkk www yyy' ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+      |c AS (SELECT doc_id,
+      |    len([w for w in string_split(line, ' ') if w != '']) AS nw,
+      |    len([w for w in string_split(line, ' ')
+      |         if list_contains(['the','a','and','of','to','in','is','on','for','with'], w)]) AS sc
+      |  FROM l),
+      |g AS (SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(SUM(CASE WHEN nw > 0 AND sc * 20 >= nw THEN 1 ELSE 0 END) AS BIGINT) AS n_en_lines,
+      |    CAST(SUM(CASE WHEN nw > 0 AND sc * 20 >= nw THEN 0 ELSE 1 END) AS BIGINT) AS n_unk_lines
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_lines, n_en_lines, n_unk_lines,
+      |  (n_en_lines > 0 AND n_unk_lines > 0) AS mixed
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sft_render — instruction-tuning delivery formatting: each doc
+  // renders into the chat template
+  //   <|system|>\n{sys}\n<|user|>\n{user}\n<|assistant|>\n{answer}<|end|>
+  // (user = the doc's first 12 words, answer = the rest — the grafted
+  // derivation both engines replay) together with the LOSS-MASK
+  // boundary arithmetic a trainer consumes: prompt token count (mask
+  // off), answer token count (loss on), total, and the rendered bytes'
+  // md5. Docs too short to have an answer flag has_answer = false.
+  // Map-only string assembly — zero shuffle; bodies leave as digests.
+  // ---------------------------------------------------------------------
+  def sftRender(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SftRender.render(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+
+  val sftRenderSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |r AS (SELECT doc_id,
+      |    '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10)
+      |      || '<|user|>' || chr(10) || array_to_string(ws[1:12], ' ')
+      |      || chr(10) || '<|assistant|>' || chr(10) AS prefix,
+      |    CASE WHEN len(ws) > 12 THEN array_to_string(ws[13:len(ws)], ' ')
+      |         ELSE '' END AS answer
+      |  FROM w)
+      |SELECT doc_id,
+      |  CAST(len(string_split(prefix, ' ')) AS BIGINT) AS prompt_toks,
+      |  CAST(CASE WHEN len(answer) > 0 THEN len(string_split(answer, ' '))
+      |       ELSE 0 END AS BIGINT) AS answer_toks,
+      |  CAST(len(string_split(prefix, ' '))
+      |    + CASE WHEN len(answer) > 0 THEN len(string_split(answer, ' '))
+      |      ELSE 0 END AS BIGINT) AS total_toks,
+      |  len(answer) > 0 AS has_answer,
+      |  md5(prefix || answer || '<|end|>') AS rendered_md5
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // memorization_audit — the inverse of contamination_ngrams (the
+  // Carlini-style leakage question): per EVAL doc (%97 == 0), the
+  // distinct-3-gram coverage the training corpus already has, as exact
+  // integer ppm. Eval grams broadcast; the corpus gram set never does.
+  // ---------------------------------------------------------------------
+  def memorizationAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.TextOps.memorizationAudit(
+      docs.filter(col("doc_id") % 97 === 0),
+      docs.filter(col("doc_id") % 97 =!= 0))
+  }
+
+  val memorizationAuditSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, gh FROM (
+      |  SELECT doc_id, unnest([md5(array_to_string(ws[i:i+2], ' ')) for i in generate_series(1, len(ws)-2)]) AS gh
+      |  FROM w WHERE len(ws) >= 3)),
+      |ev AS (SELECT doc_id, gh FROM g WHERE doc_id % 97 = 0),
+      |cg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 <> 0),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY 1),
+      |hit AS (SELECT ev.doc_id, COUNT(*) AS n_hit FROM ev JOIN cg USING (gh) GROUP BY 1)
+      |SELECT tot.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST((1000000 * COALESCE(n_hit, 0)) // n_grams AS BIGINT) AS hit_ppm
+      |FROM tot LEFT JOIN hit USING (doc_id) ORDER BY tot.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // pack_sequences — greedy next-fit token-budget packing per hash bucket
+  // (Packing.packSequences). The oracle replays the sequential recurrence
+  // as a recursive CTE stepping one row per bucket per iteration.
+  // ---------------------------------------------------------------------
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  val packSequencesSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, doc_id % 16 AS bucket,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT bucket, rn, doc_id, n_toks,
+      |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS tok_offset
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.bucket, d.rn, d.doc_id, d.n_toks,
+      |    CASE WHEN p.tok_offset + p.n_toks + d.n_toks <= 128
+      |         THEN p.seq_id ELSE p.seq_id + 1 END,
+      |    CASE WHEN p.tok_offset + p.n_toks + d.n_toks <= 128
+      |         THEN p.tok_offset + p.n_toks ELSE CAST(0 AS BIGINT) END
+      |  FROM pack p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+      |SELECT doc_id, bucket, n_toks, seq_id, tok_offset
+      |FROM pack ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+}

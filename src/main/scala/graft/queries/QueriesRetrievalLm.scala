@@ -1,0 +1,945 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Queries registry segment: window family, LM scoring, retrieval/fusion and curriculum ordering.
+  * Split from the monolithic Queries.scala (r17); member order and
+  * the mixin order in [[Queries]] preserve the original top-to-bottom
+  * val initialization sequence. */
+trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
+  // window_ranks — the full rank family (rank / dense_rank / percent_rank
+  // / ntile) in ONE window pass: all four share a partition+order spec,
+  // so Catalyst plans a single exchange + sort. percent_rank's
+  // (rank-1)/(n-1) is a single IEEE division — engine-exact. ntile here
+  // is PARTITIONED (safe); the global-ntile anti-pattern is what
+  // quantile_bins exists to avoid.
+  // ---------------------------------------------------------------------
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("prk", percent_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  val windowRanksSql: String =
+    """WITH w AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+      |  dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS drk,
+      |  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS prk,
+      |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey, o_totalprice, rk, drk, prk, quartile
+      |FROM w WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // text_normalize — the canonicalization pass that precedes dedup in a
+  // training pipeline: trim → casefold → strip non-alphanumerics →
+  // collapse runs of spaces. Pure map-side regex kernels (same codegen
+  // family as pii_mask); the only exchange is the output sort.
+  // ---------------------------------------------------------------------
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""),
+          " +", " ").as("norm"))
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sample_proportional — integer proportional allocation (largest-
+  // remainder method) of a global budget across strata, then a
+  // deterministic per-stratum draw by md5 order. Complements
+  // sample_stratified (fixed N per stratum) and sample_budget (byte
+  // budget): here the BUDGET is global and strata get integer quotas
+  // summing to it exactly. The allocation table is |sources| rows — the
+  // global remainder-rank window runs on that tiny frame, never on data.
+  // Budget 103 is deliberately not a multiple of the stratum count so
+  // the remainder branch is exercised (and oracle-checked) every run.
+  // ---------------------------------------------------------------------
+  def sampleProportional(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 103
+    val docs = t(s, dir, "documents")
+    val strata = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+    val tot = strata.agg(sum(col("ns")).cast("long").as("n"))
+    val q = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"CAST(($budget * ns) DIV n AS BIGINT)"))
+      .withColumn("rem", expr(s"($budget * ns) % n"))
+    val deficit = q.agg((lit(budget) - sum(col("base"))).cast("long").as("deficit"))
+    val alloc = q.crossJoin(broadcast(deficit))
+      .withColumn("quota", col("base") +
+        when(rank().over(Window.orderBy(col("rem").desc, col("source")))
+          .cast("long") <= col("deficit"), 1L).otherwise(0L))
+      .select("source", "quota")
+    // per-stratum ranking via the two-phase salted top-n (never a single-
+    // phase window, which lands a whole stratum on one task): quotas sum
+    // to the budget, so ranking the budget-smallest digests per stratum
+    // is enough for every possible quota
+    val ranked = graft.operators.Sampling.stratifiedTopNBy(
+      docs, "doc_id", "source", md5(col("text")), n = budget)
+    ranked.join(broadcast(alloc), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  val sampleProportionalSql: String =
+    """WITH s AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM s),
+      |q AS (SELECT source, ns, CAST((103 * ns) // n AS BIGINT) AS base,
+      |      (103 * ns) % n AS rem FROM s, tot),
+      |alloc AS (SELECT source, base + CASE WHEN
+      |      rank() OVER (ORDER BY rem DESC, source) <= 103 - (SELECT SUM(base) FROM q)
+      |      THEN 1 ELSE 0 END AS quota FROM q),
+      |ranked AS (SELECT doc_id, source,
+      |      row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+      |FROM ranked r JOIN alloc a USING (source)
+      |WHERE r.rk <= a.quota ORDER BY r.source, r.rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sample_mixture — temperature-weighted corpus mixing (the multilingual
+  // pretraining rule, XLM-R/mBERT style): stratum s draws a share of the
+  // global budget ∝ n_s^α with α = 0.5, so low-resource sources are
+  // UPSAMPLED relative to proportional allocation and dominant sources
+  // damped. Same largest-remainder integer allocation + salted two-phase
+  // per-stratum draw as sample_proportional — only the weight changes.
+  // Cross-engine exactness: n_s^0.5 is computed as
+  // floor(sqrt(ns·10⁶)) in BIGINT (IEEE sqrt is correctly rounded, so
+  // both engines floor the same double; all later arithmetic is integer)
+  // — never a double ratio whose summation order could flip a floor. A
+  // quota may exceed a tiny stratum's row count; the draw is without
+  // replacement, so such strata emit every row (real mixtures then repeat
+  // epochs — a loader concern, not a sampler one).
+  //
+  // The fixture's sources are UNIFORM (temperature would be invisible —
+  // α=0.5 on equal strata equals proportional), so the stratum key tiers
+  // them: src0 and src1 stand alone, everything else pools into 'rest' —
+  // a {25, 25, 450}-shaped skew at sf0.01 where proportional allocates
+  // {5, 5, 93} and the α=0.5 mixture {16, 16, 71}: the low-resource
+  // upsampling IS the oracle-checked behavior.
+  // ---------------------------------------------------------------------
+  def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 103
+    val docs = t(s, dir, "documents")
+      .withColumn("mix_src", when(col("source").isin("src0", "src1"),
+        col("source")).otherwise(lit("rest")))
+    val strata = docs.groupBy("mix_src").agg(count(lit(1)).as("ns"))
+      .withColumn("w", floor(sqrt(col("ns").cast("double") * lit(1000000.0d))).cast("long"))
+    val tot = strata.agg(sum(col("w")).cast("long").as("wsum"))
+    val q = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"CAST(($budget * w) DIV wsum AS BIGINT)"))
+      .withColumn("rem", expr(s"($budget * w) % wsum"))
+    val deficit = q.agg((lit(budget) - sum(col("base"))).cast("long").as("deficit"))
+    val alloc = q.crossJoin(broadcast(deficit))
+      .withColumn("quota", col("base") +
+        when(rank().over(Window.orderBy(col("rem").desc, col("mix_src")))
+          .cast("long") <= col("deficit"), 1L).otherwise(0L))
+      .select("mix_src", "quota")
+    val ranked = graft.operators.Sampling.stratifiedTopNBy(
+      docs, "doc_id", "mix_src", md5(col("text")), n = budget)
+    ranked.join(broadcast(alloc), "mix_src")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("mix_src"), col("rk"))
+      .orderBy("mix_src", "rk")
+  }
+
+  val sampleMixtureSql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |      CASE WHEN source IN ('src0','src1') THEN source ELSE 'rest' END AS mix_src
+      |  FROM documents),
+      |s AS (SELECT mix_src, COUNT(*) AS ns FROM d GROUP BY mix_src),
+      |sw AS (SELECT mix_src, CAST(floor(sqrt(CAST(ns AS DOUBLE) * 1000000.0)) AS BIGINT) AS w FROM s),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM sw),
+      |q AS (SELECT mix_src, w, CAST((103 * w) // wsum AS BIGINT) AS base,
+      |      (103 * w) % wsum AS rem FROM sw, tot),
+      |alloc AS (SELECT mix_src, base + CASE WHEN
+      |      rank() OVER (ORDER BY rem DESC, mix_src) <= 103 - (SELECT SUM(base) FROM q)
+      |      THEN 1 ELSE 0 END AS quota FROM q),
+      |ranked AS (SELECT doc_id, mix_src,
+      |      row_number() OVER (PARTITION BY mix_src ORDER BY md5(text), doc_id) AS rk
+      |  FROM d)
+      |SELECT r.doc_id, r.mix_src, CAST(r.rk AS BIGINT) AS rk
+      |FROM ranked r JOIN alloc a USING (mix_src)
+      |WHERE r.rk <= a.quota ORDER BY r.mix_src, r.rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // scd2_intervals — slowly-changing-dimension type-2 history from an
+  // event feed: each record becomes a version row valid [ts, next ts),
+  // open-ended for the latest. One lead() window per user — a single
+  // exchange + sort; the history build is a window, never a self-join.
+  // ---------------------------------------------------------------------
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)))
+      .select("user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH v AS (SELECT user_id, event_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM events)
+      |SELECT user_id, event_id, event_type, valid_from, valid_to,
+      |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // events_stream_enrich — stream-STATIC join: the live stream enriches
+  // against a broadcast batch profile (per-user value tier) with NO join
+  // state (re-evaluated per micro-batch, unlike the state-bounded
+  // stream-stream attributionJoin), then a watermarked aggregation per
+  // (tier, event_type). The batch equivalent is an exact oracle because
+  // the static side is fixed for the whole run.
+  // ---------------------------------------------------------------------
+  def eventsStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val profile = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        floor((col("sv").cast("double") / col("cnt").cast("double")) / lit(25.0))
+          .as("tier"))
+    val stream = graft.streaming.EventsStream.fromParquetDir(s, dir)
+    val agg = stream.join(broadcast(profile), "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    val qname = "events_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname)
+  }
+
+  val eventsStreamEnrichSql: String =
+    """WITH prof AS (SELECT user_id,
+      |    CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE)) / 25.0) AS BIGINT) AS tier
+      |  FROM events GROUP BY user_id)
+      |SELECT tier, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN prof USING (user_id)
+      |GROUP BY tier, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // rolling_window — time-RANGE frame aggregation: per user, the count
+  // and exact-decimal sum over the trailing 7 days at every event. A
+  // range frame over epoch-micros is one window pass (single exchange +
+  // sort per user); the naive equivalent is a self-join on a time
+  // inequality, which is quadratic per user. Micros keep the frame
+  // boundary integer-exact on both engines.
+  // ---------------------------------------------------------------------
+  def rollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-sevenDaysUs, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d",
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+      .select("event_id", "user_id", "ts", "n_7d", "sum_7d")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val rollingWindowSql: String =
+    """SELECT event_id, user_id, ts,
+      |  COUNT(*) OVER w AS n_7d,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // split_assign — leakage-safe train/val/test split (Splits.hashSplit):
+  // the split key is the SOURCE, not the row, so near-duplicates from one
+  // site can never straddle train and test. Map-only: no shuffle, no
+  // state, and a key's label never changes as the corpus grows (a rank-
+  // quantile split relabels on every ingest).
+  // ---------------------------------------------------------------------
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.hashSplit(
+        t(s, dir, "documents"), keyCol = "source", salt = "graft-split:")
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy("doc_id")
+
+  val splitAssignSql: String =
+    s"""SELECT doc_id, source,
+       |${graft.operators.Splits.splitLabelSql("source", "graft-split:")} AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // shard_balance — token-balanced shard assignment (Splits.shardBalance):
+  // global rank by token count without a single-partition window (range
+  // shuffle + zipWithIndex), snake assignment, per-shard audit row. The
+  // oracle is the textbook one-window form.
+  // ---------------------------------------------------------------------
+  def shardBalance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.shardBalance(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), nShards = 8)
+
+  val shardBalanceSql: String =
+    """WITH w AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |             md5(text) AS hx FROM documents),
+      |r AS (SELECT doc_id, tok,
+      |        row_number() OVER (ORDER BY tok DESC, hx, doc_id) - 1 AS rk FROM w),
+      |a AS (SELECT CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+      |                  ELSE 7 - (rk % 8) END AS shard, tok FROM r)
+      |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // lm_bigram_rarity — self-supervised LM quality signal
+  // (LmScore.bigramRarity): per-doc rare-bigram mass against the corpus
+  // bigram distribution, the no-external-model cousin of CCNet's KenLM
+  // perplexity filter. Exact counts + one IEEE division.
+  // ---------------------------------------------------------------------
+  def lmBigramRarity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.bigramRarity(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        rareMax = 2L,
+        stageLabel = Some(s"bigram_rarity_${StageStore.dirTag(dir)}"))
+      .orderBy("doc_id")
+
+  val lmBigramRaritySql: String = graft.operators.LmScore.bigramRaritySql(2L)
+
+  // ---------------------------------------------------------------------
+  // lm_fluency — CCNet's LM-filter slot (KenLM-over-Wikipedia scoring, in
+  // the ln-free exact-integer form LmScore.fluencyScore documents): every
+  // document scored as its average per-bigram Laplace rate under a model
+  // trained on the src0 reference slice; the keep decision downstream is
+  // a rank/threshold cut, which consumes only the score ORDER. Model
+  // bounded at 4096 buckets (hashing trick) and broadcast.
+  // ---------------------------------------------------------------------
+  def lmFluency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.fluencyScore(
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("source")),
+      referenceFilter = col("source") === lit("src0"),
+      stageLabel = Some(s"lm_fluency_buckets_${StageStore.dirTag(dir)}"))
+      .orderBy("doc_id")
+
+  val lmFluencySql: String =
+    graft.operators.LmScore.fluencyScoreSql("d.source = 'src0'")
+
+  // ---------------------------------------------------------------------
+  // lm_stupid_backoff — the trigram slot of the LM family (Brants et al.
+  // EMNLP'07, the backoff built FOR distributed web-scale counts): every
+  // document's position-stream scored under reference-slice (doc_id%5=0)
+  // trigram/bigram/unigram counts with the fixed 0.4 backoff; the doc
+  // score is the position-order fold sum, so it hash-oracles exactly.
+  // ---------------------------------------------------------------------
+  def lmStupidBackoff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.stupidBackoff(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      referenceFilter = col("doc_id") % 5 === 0)
+      .orderBy("doc_id")
+
+  val lmStupidBackoffSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ref AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+      |uni AS (SELECT w, COUNT(*) AS c1 FROM
+      |  (SELECT UNNEST(ws) AS w FROM ref) GROUP BY w),
+      |bi AS (SELECT g[1] AS w1, g[2] AS w2, COUNT(*) AS c2 FROM
+      |  (SELECT UNNEST([[ws[i], ws[i+1]] for i in generate_series(1, len(ws)-1)]) AS g
+      |   FROM ref WHERE len(ws) >= 2) GROUP BY 1, 2),
+      |tri AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS c3 FROM
+      |  (SELECT UNNEST([[ws[i], ws[i+1], ws[i+2]] for i in generate_series(1, len(ws)-2)]) AS g
+      |   FROM ref WHERE len(ws) >= 3) GROUP BY 1, 2, 3),
+      |nstat AS (SELECT CAST(coalesce(SUM(len(ws)), 0) AS BIGINT) AS n FROM ref),
+      |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    ws[CAST(i AS INT)-2] AS wa, ws[CAST(i AS INT)-1] AS wb,
+      |    ws[CAST(i AS INT)] AS wc
+      |  FROM (SELECT doc_id, ws, UNNEST(generate_series(3, len(ws))) AS i
+      |        FROM t WHERE len(ws) >= 3) x),
+      |scored AS (SELECT p.doc_id, p.i,
+      |    CASE WHEN tr.c3 IS NOT NULL
+      |           THEN CAST(tr.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+      |         WHEN b2.c2 IS NOT NULL
+      |           THEN CAST(0.4 AS DOUBLE) *
+      |                (CAST(b2.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE))
+      |         WHEN uw.c1 IS NOT NULL
+      |           THEN CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE) *
+      |                (CAST(uw.c1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |         ELSE CAST(0 AS DOUBLE) END AS s
+      |  FROM pos p
+      |  LEFT JOIN tri tr ON tr.w1 = p.wa AND tr.w2 = p.wb AND tr.w3 = p.wc
+      |  LEFT JOIN bi bc ON bc.w1 = p.wa AND bc.w2 = p.wb
+      |  LEFT JOIN bi b2 ON b2.w1 = p.wb AND b2.w2 = p.wc
+      |  LEFT JOIN uni up ON up.w = p.wb
+      |  LEFT JOIN uni uw ON uw.w = p.wc
+      |  CROSS JOIN nstat),
+      |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY i)),
+      |      (a, b) -> a + b) AS sb_sum
+      |  FROM scored GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(p.n_scored, 0) AS n_scored,
+      |  coalesce(p.sb_sum, CAST(0 AS DOUBLE)) AS sb_sum
+      |FROM t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // preference_pairs — alignment-data prep (the RLHF/DPO chosen-rejected
+  // construction from a scored corpus): within each source, the top-3
+  // fluency docs pair with the bottom-3 by rank (1↔1, 2↔2, 3↔3), giving
+  // per-source (chosen, rejected) training pairs with the widest score
+  // margins. Both rankings are per-source windows over the REDUCED score
+  // table (|sources| partitions, never the corpus); ties break by doc_id
+  // so every pair hash-compares. A real prompt corpus pairs responses
+  // within a prompt group — source plays the group key here.
+  // ---------------------------------------------------------------------
+  def preferencePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val scored = graft.operators.LmScore.fluencyScore(
+        docs.select(col("doc_id"), col("text"), col("source")),
+        referenceFilter = col("source") === lit("src0"),
+        stageLabel = Some(s"lm_fluency_buckets_${StageStore.dirTag(dir)}"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val top = Window.partitionBy("source")
+      .orderBy(col("fluency_ppb").desc, col("doc_id"))
+    val bot = Window.partitionBy("source")
+      .orderBy(col("fluency_ppb").asc, col("doc_id").desc)
+    val ranked = scored.select(col("source"), col("doc_id"), col("fluency_ppb"),
+      row_number().over(top).as("rk_top"),
+      row_number().over(bot).as("rk_bot"))
+    ranked.filter(col("rk_top") <= 3)
+      .select(col("source"), col("rk_top").cast("long").as("pair_rank"),
+        col("doc_id").as("chosen_id"), col("fluency_ppb").as("chosen_ppb"))
+      .join(ranked.filter(col("rk_bot") <= 3)
+        .select(col("source"), col("rk_bot").cast("long").as("pair_rank"),
+          col("doc_id").as("rejected_id"), col("fluency_ppb").as("rejected_ppb")),
+        Seq("source", "pair_rank"))
+      // a chosen doc must strictly beat its rejected partner — degenerate
+      // groups (all-equal scores) emit no pair
+      .filter(col("chosen_ppb") > col("rejected_ppb"))
+      .orderBy("source", "pair_rank")
+  }
+
+  val preferencePairsSql: String = {
+    val flu = graft.operators.LmScore.fluencyScoreSql("d.source = 'src0'")
+    // reuse the fluency CTE chain up to its final SELECT, then rank
+    flu.substring(0, flu.indexOf("SELECT d.doc_id,")).stripTrailing + ",\n" +
+      """fl AS (SELECT d.doc_id, d.source,
+        |    CAST(COALESCE(sc.fluency_ppb, 0) AS BIGINT) AS fluency_ppb
+        |  FROM documents d LEFT JOIN sc USING (doc_id)),
+        |rk AS (SELECT source, doc_id, fluency_ppb,
+        |    row_number() OVER (PARTITION BY source ORDER BY fluency_ppb DESC, doc_id) AS rk_top,
+        |    row_number() OVER (PARTITION BY source ORDER BY fluency_ppb ASC, doc_id DESC) AS rk_bot
+        |  FROM fl)
+        |SELECT a.source, CAST(a.rk_top AS BIGINT) AS pair_rank,
+        |  a.doc_id AS chosen_id, a.fluency_ppb AS chosen_ppb,
+        |  b.doc_id AS rejected_id, b.fluency_ppb AS rejected_ppb
+        |FROM rk a JOIN rk b ON a.source = b.source AND a.rk_top = b.rk_bot
+        |WHERE a.rk_top <= 3 AND a.fluency_ppb > b.fluency_ppb
+        |ORDER BY a.source, pair_rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // fluency_buckets — CCNet's head/middle/tail split (Wenzek LREC'20 §4.3:
+  // per-language perplexity terciles decide which slice trains): each doc
+  // gets its per-lang fluency tercile. The rank is Layout.groupRank
+  // (range-partitioned zipWithIndex minus broadcast group offsets — a
+  // per-lang window would route whole languages through single tasks),
+  // and the tercile is exact ntile(3) arithmetic from (rnk, grp_cnt), so
+  // the oracle's ntile window replays bit-for-bit.
+  // ---------------------------------------------------------------------
+  def fluencyBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = graft.operators.LmScore.fluencyScore(
+        docs.select(col("doc_id"), col("text"), col("source")),
+        referenceFilter = col("source") === lit("src0"),
+        stageLabel = Some(s"lm_fluency_buckets_${StageStore.dirTag(dir)}"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("fluency_ppb"))
+    graft.operators.Layout.groupRank(scored, "lang",
+        Seq(col("fluency_ppb").desc, col("doc_id")))
+      // exact SQL ntile(n): the first (cnt mod n) buckets hold one extra
+      // row — plain integer arithmetic on (rnk, grp_cnt), no window
+      .withColumn("q", expr("grp_cnt div 3"))
+      .withColumn("r", expr("grp_cnt % 3"))
+      .withColumn("tercile",
+        when(col("rnk") <= col("r") * (col("q") + lit(1)),
+          expr("(rnk - 1) div (q + 1) + 1"))
+          .otherwise(expr("r + (rnk - r * (q + 1) - 1) div greatest(q, 1) + 1")))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("fluency_ppb"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val fluencyBucketsSql: String = {
+    val flu = graft.operators.LmScore.fluencyScoreSql("d.source = 'src0'")
+    flu.substring(0, flu.indexOf("SELECT d.doc_id,")).stripTrailing + "\n" +
+      """SELECT doc_id, lang, fluency_ppb,
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY fluency_ppb DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM (SELECT d.doc_id, d.lang,
+        |        CAST(COALESCE(sc.fluency_ppb, 0) AS BIGINT) AS fluency_ppb
+        |      FROM documents d LEFT JOIN sc USING (doc_id)) fl
+        |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // host_cap — the C4/CCNet per-host document cap (at most 15 docs per
+  // host, drawn by content-independent hash order so the kept subset is
+  // unbiased and reproducible): `(doc_id, source, host_rank)`. source
+  // plays the host key in the fixture. Same groupRank machinery — a
+  // per-host window would put each whole host through one task, and web
+  // hosts are exactly the few-huge-groups regime the cap exists for.
+  // ---------------------------------------------------------------------
+  def hostCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("draw"))
+    graft.operators.Layout.groupRank(docs, "source",
+        Seq(col("draw"), col("doc_id")))
+      .filter(col("rnk") <= 15)
+      .select(col("doc_id"), col("source"), col("rnk").as("host_rank"))
+      .orderBy("source", "host_rank")
+  }
+
+  val hostCapSql: String =
+    """SELECT doc_id, source, CAST(rk AS BIGINT) AS host_rank FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) x
+      |WHERE rk <= 15 ORDER BY source, host_rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // bm25_topk — BM25 retrieval over the corpus for a fixed term set
+  // (TextOps.bm25TopK: k1=1.2, b=0.75, log-free raw idf — divergence
+  // documented there). The retrieval scorer behind RAG indexing and
+  // lexical hard-negative mining; length-normalized where tfidf_topk is
+  // not.
+  // ---------------------------------------------------------------------
+  def bm25Topk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.bm25TopK(
+      t(s, dir, "documents"), terms = Seq("spark", "table", "join"), k = 15)
+      .orderBy("term", "rk")
+
+  val bm25TopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(tok) AS term
+      |  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+      |        FROM documents) t
+      |  WHERE lower(tok) IN ('spark', 'table', 'join')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |dl AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl)
+      |SELECT term, doc_id, rk, score FROM (
+      |  SELECT tf.term, tf.doc_id,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      AS score,
+      |    row_number() OVER (PARTITION BY tf.term ORDER BY
+      |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      DESC, tf.doc_id) AS rk
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats) x
+      |WHERE rk <= 15 ORDER BY term, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // rrf_fusion — hybrid retrieval: reciprocal-rank fusion (SIGIR'09,
+  // c=60) of the BM25 and TF-IDF top-30 lists per query term, top-10
+  // fused. The two scorers disagree exactly where length normalization
+  // matters, so the fused list is a genuine third ranking. Pure
+  // composition: bm25_topk + tfidf_topk through TextOps.rrfFuse; the
+  // fused score is a fixed-order two-addend sum, so it hash-oracles.
+  // ---------------------------------------------------------------------
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = Seq("spark", "table", "join")
+    graft.operators.TextOps.rrfFuse(
+      graft.operators.TextOps.bm25TopK(docs, terms, k = 30),
+      graft.operators.TextOps.tfidfTopK(docs, terms, k = 30),
+      keyCols = Seq("term"), idCol = "doc_id", k = 10)
+      .orderBy("term", "rk")
+  }
+
+  val rrfFusionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(tok) AS term
+      |  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+      |        FROM documents) t
+      |  WHERE lower(tok) IN ('spark', 'table', 'join')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |dl AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      |bm AS (
+      |  SELECT term, doc_id, rk FROM (
+      |    SELECT tf.term, tf.doc_id,
+      |      row_number() OVER (PARTITION BY tf.term ORDER BY
+      |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |        * ((CAST(tf AS DOUBLE) * 2.2) /
+      |           (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |              (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |        DESC, tf.doc_id) AS rk
+      |    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats) x
+      |  WHERE rk <= 30),
+      |ti AS (
+      |  SELECT term, doc_id, rk FROM (
+      |    SELECT tf.term, tf.doc_id,
+      |      row_number() OVER (PARTITION BY tf.term
+      |        ORDER BY CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+      |                 tf.doc_id) AS rk
+      |    FROM tf JOIN df USING (term) CROSS JOIN stats) x
+      |  WHERE rk <= 30),
+      |fused AS (
+      |  SELECT term, doc_id,
+      |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(a.rk AS DOUBLE)), CAST(0 AS DOUBLE))
+      |      + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(b.rk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+      |  FROM bm a FULL OUTER JOIN ti b USING (term, doc_id))
+      |SELECT term, doc_id, rk, rrf FROM (
+      |  SELECT term, doc_id, rrf,
+      |    row_number() OVER (PARTITION BY term ORDER BY rrf DESC, doc_id) AS rk
+      |  FROM fused) x
+      |WHERE rk <= 10 ORDER BY term, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // mmr_rerank — Maximal Marginal Relevance (SIGIR'98) diversity
+  // re-ranking of the BM25 top-20 per term: greedily pick 5, each pick
+  // scored λ·rel − (1−λ)·max-Jaccard-to-picked (λ=0.5, exact word-set
+  // Jaccard). The greedy loop runs per key inside flatMapGroups (bounded
+  // candidates; keys distribute); the oracle unrolls the 5 selection
+  // steps to QUALIFY-pick CTEs — the KMeans-Lloyd replay idiom.
+  // ---------------------------------------------------------------------
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = graft.operators.TextOps
+      .bm25TopK(docs, Seq("spark", "table", "join"), k = 20)
+      .select(col("term"), col("doc_id"), col("score").as("rel"))
+    graft.operators.Mmr.rerank(cands, docs, "term", "doc_id", k = 5)
+      .orderBy("term", "pick")
+  }
+
+  lazy val mmrRerankSql: String = {
+    // one QUALIFY-pick CTE per greedy step; sel_i accumulates the picked
+    // (term, doc_id, words) rows steps i+1.. penalize against
+    val steps = (2 to 5).map { i =>
+      val prev = i - 1
+      s"""p$i AS (
+         |  SELECT c.term, c.doc_id, c.rel,
+         |    max(CAST(len(list_intersect(c.words, s.words)) AS DOUBLE) /
+         |        CAST(len(c.words) + len(s.words)
+         |             - len(list_intersect(c.words, s.words)) AS DOUBLE)) AS msim
+         |  FROM cand c JOIN sel$prev s USING (term)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$prev e
+         |                    WHERE e.term = c.term AND e.doc_id = c.doc_id)
+         |  GROUP BY c.term, c.doc_id, c.rel),
+         |s$i AS (
+         |  SELECT p.term, p.doc_id, c.words,
+         |    CAST(0.5 AS DOUBLE) * p.rel - CAST(0.5 AS DOUBLE) * p.msim AS mmr,
+         |    CAST($i AS BIGINT) AS pick
+         |  FROM p$i p JOIN cand c USING (term, doc_id)
+         |  QUALIFY row_number() OVER (PARTITION BY p.term
+         |    ORDER BY CAST(0.5 AS DOUBLE) * p.rel
+         |             - CAST(0.5 AS DOUBLE) * p.msim DESC, p.doc_id) = 1),
+         |sel$i AS (SELECT term, doc_id, words FROM sel$prev
+         |          UNION ALL SELECT term, doc_id, words FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to 5)
+      .map(i => s"SELECT term, doc_id, pick, mmr FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lower(tok) AS term
+       |  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+       |        FROM documents) t
+       |  WHERE lower(tok) IN ('spark', 'table', 'join')),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |dl AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+       |                         x -> x <> '')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |bm AS (
+       |  SELECT term, doc_id, score FROM (
+       |    SELECT tf.term, tf.doc_id,
+       |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * ((CAST(tf AS DOUBLE) * 2.2) /
+       |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |            (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |        AS score,
+       |      row_number() OVER (PARTITION BY tf.term ORDER BY
+       |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |        * ((CAST(tf AS DOUBLE) * 2.2) /
+       |           (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |              (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |        DESC, tf.doc_id) AS rk
+       |    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats) x
+       |  WHERE rk <= 20),
+       |w AS (SELECT doc_id, list_distinct(list_transform(list_filter(
+       |    string_split_regex(text, '[^A-Za-z]+'), x -> x <> ''),
+       |    x -> lower(x))) AS words
+       |  FROM documents),
+       |cand AS (SELECT b.term, b.doc_id, b.score AS rel, w.words
+       |  FROM bm b JOIN w USING (doc_id)),
+       |s1 AS (
+       |  SELECT term, doc_id, words,
+       |    CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * CAST(0 AS DOUBLE) AS mmr,
+       |    CAST(1 AS BIGINT) AS pick
+       |  FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY term
+       |    ORDER BY CAST(0.5 AS DOUBLE) * rel
+       |             - CAST(0.5 AS DOUBLE) * CAST(0 AS DOUBLE) DESC, doc_id) = 1),
+       |sel1 AS (SELECT term, doc_id, words FROM s1),
+       |$steps
+       |SELECT term, doc_id, pick, mmr FROM (
+       |  $unions) u
+       |ORDER BY term, pick""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // retrieve_chunks — the RAG retrieval shape end to end: BM25 over the
+  // sliding 32-token chunk table (doc_chunks × bm25_topk composed, via
+  // TextOps.bm25TopKBy keyed on (doc_id, chunk_id)) — a retrieval index
+  // serves CHUNKS, not documents, so df/dl/avgdl are all chunk-level.
+  // Same log-free idf and salted two-phase top-k as bm25_topk.
+  // ---------------------------------------------------------------------
+  def retrieveChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.bm25TopKBy(
+      graft.operators.TextOps.docChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("chunk_id"), col("chunk").as("text")),
+      Seq("doc_id", "chunk_id"), terms = Seq("spark", "table", "join"), k = 10)
+      .orderBy("term", "rk")
+
+  val retrieveChunksSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws)-1, 16)) AS start FROM w),
+      |ch AS (SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id,
+      |  array_to_string(ws[start+1:start+least(32, len(ws) - start)], ' ') AS text FROM c),
+      |toks AS (SELECT doc_id, chunk_id, lower(tok) AS term FROM
+      |    (SELECT doc_id, chunk_id, UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS tok
+      |     FROM ch) t
+      |  WHERE lower(tok) IN ('spark', 'table', 'join')),
+      |tf AS (SELECT doc_id, chunk_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      |df AS (SELECT term, COUNT(*) AS df FROM
+      |  (SELECT DISTINCT term, doc_id, chunk_id FROM toks) GROUP BY 1),
+      |dl AS (SELECT doc_id, chunk_id,
+      |    CAST(len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS dl
+      |  FROM ch),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl)
+      |SELECT term, doc_id, chunk_id, rk, score FROM (
+      |  SELECT tf.term, tf.doc_id, tf.chunk_id,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      AS score,
+      |    row_number() OVER (PARTITION BY tf.term ORDER BY
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      DESC, tf.doc_id, tf.chunk_id) AS rk
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id, chunk_id) CROSS JOIN stats) x
+      |WHERE rk <= 10 ORDER BY term, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // embedding_drift — the embedding-space drift monitor (the retrain /
+  // re-index signal for the ANN + semantic-dedup stages): per label, the
+  // L1 distance between the centroid of the PRIOR snapshot (even vec_ids
+  // — the stand-in for the persisted previous corpus) and the CURRENT
+  // shard (odd vec_ids). Centroid component sums use the KMeans
+  // fixed-point trick (floor(v·2^40) — exact integers, order-independent
+  // under any partitioning); the cross-epoch compare is the exact
+  // integer |s0·n1 − s1·n0| over the common denominator, so everything
+  // up to the final two IEEE divisions is associative BIGINT/DECIMAL
+  // arithmetic. One scan, one (label × dim)-bounded aggregate, one
+  // label-bounded reduce.
+  // ---------------------------------------------------------------------
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val scale = graft.operators.KMeans.Scale
+    val fpv = floor(col("v").cast("double") * lit(scale)).cast("decimal(38,0)")
+    val zero = lit(0).cast("decimal(38,0)")
+    val fp = t(s, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2).cast("int").as("epoch"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(when(col("epoch") === 0, fpv).otherwise(zero)).as("s0"),
+        sum(when(col("epoch") === 1, fpv).otherwise(zero)).as("s1"),
+        sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("n1"))
+    fp.groupBy("label")
+      .agg(max("n0").as("np"), max("n1").as("nc"),
+        sum(abs(col("s0") * col("n1") - col("s1") * col("n0"))).as("dfp"))
+      .select(col("label"), col("np").cast("long").as("n_prior"),
+        col("nc").cast("long").as("n_current"),
+        (col("dfp").cast("double") /
+          (col("np").cast("double") * col("nc").cast("double")) / lit(scale))
+          .as("l1_drift"))
+      .orderBy("label")
+  }
+
+  val embeddingDriftSql: String =
+    """WITH corpus AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |x AS (SELECT label, CAST(vec_id % 2 AS INT) AS epoch,
+      |        generate_subscripts(e, 1) AS pos, unnest(e) AS v FROM corpus),
+      |fp AS (SELECT label, pos,
+      |    SUM(CASE WHEN epoch = 0 THEN CAST(floor(v * 1099511627776.0) AS BIGINT) ELSE 0 END) AS s0,
+      |    SUM(CASE WHEN epoch = 1 THEN CAST(floor(v * 1099511627776.0) AS BIGINT) ELSE 0 END) AS s1,
+      |    SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS n0,
+      |    SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS n1
+      |  FROM x GROUP BY label, pos)
+      |SELECT label, CAST(MAX(n0) AS BIGINT) AS n_prior,
+      |  CAST(MAX(n1) AS BIGINT) AS n_current,
+      |  CAST(SUM(ABS(s0 * n1 - s1 * n0)) AS DOUBLE)
+      |    / (CAST(MAX(n0) AS DOUBLE) * CAST(MAX(n1) AS DOUBLE)) / 1099511627776.0 AS l1_drift
+      |FROM fp GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // curriculum_order — the curriculum-learning training order: every doc
+  // gets a global contiguous 1-based position, easiest first, where
+  // difficulty is the corpus-self-supervised rare-bigram count (the
+  // lm_bigram_rarity signal — garbled/rare-transition docs sort last).
+  // The rank is the shardAssign pattern (range repartition + zipWithIndex
+  // over the REDUCED score table), never a single-partition window.
+  // ---------------------------------------------------------------------
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.curriculumOrder(
+      graft.operators.LmScore.bigramRarity(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        rareMax = 2L,
+        stageLabel = Some(s"curriculum_rarity_${StageStore.dirTag(dir)}")),
+      scoreCol = "rare_cnt")
+      .orderBy("ord")
+
+  val curriculumOrderSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g0 AS (SELECT doc_id,
+      |         unnest([md5(ws[i] || ' ' || ws[i+1]) for i in generate_series(1, len(ws)-1)]) AS gh
+      |       FROM w WHERE len(ws) >= 2),
+      |g AS (SELECT doc_id, gh, COUNT(*) AS n FROM g0 GROUP BY doc_id, gh),
+      |c AS (SELECT gh, SUM(n) AS c FROM g GROUP BY gh),
+      |s AS (SELECT doc_id, SUM(CASE WHEN c <= 2 THEN n ELSE 0 END) AS rare_cnt
+      |      FROM g JOIN c USING (gh) GROUP BY doc_id),
+      |d AS (SELECT w.doc_id, CAST(COALESCE(s.rare_cnt, 0) AS BIGINT) AS difficulty
+      |      FROM w LEFT JOIN s USING (doc_id))
+      |SELECT doc_id, difficulty,
+      |  CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS ord
+      |FROM d ORDER BY ord""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // epoch_shuffle — the deterministic per-epoch training order: a seeded
+  // permutation of the corpus for epochs 1 and 2 (Splits.epochShuffle),
+  // proving distinct epochs derive distinct orders from zero stored
+  // randomness. Ranked per epoch by the curriculumOrder machinery (range
+  // repartition + zipWithIndex), never a single-partition window.
+  // ---------------------------------------------------------------------
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    graft.operators.Splits.epochShuffle(ids, epoch = 1L)
+      .withColumn("epoch", lit(1L))
+      .unionByName(
+        graft.operators.Splits.epochShuffle(ids, epoch = 2L)
+          .withColumn("epoch", lit(2L)))
+      .select(col("epoch"), col("doc_id"), col("draw"), col("pos"))
+      .orderBy("epoch", "pos")
+  }
+
+  val epochShuffleSql: String = {
+    def one(e: Long) =
+      s"""SELECT $e AS epoch, doc_id,
+         |  ${graft.operators.Splits.epochShuffleDrawSql(e)} AS draw,
+         |  CAST(row_number() OVER (ORDER BY ${graft.operators.Splits.epochShuffleDrawSql(e)}, doc_id) AS BIGINT) AS pos
+         |FROM documents""".stripMargin
+    s"""SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, CAST(draw AS BIGINT) AS draw, pos
+       |FROM (${one(1)} UNION ALL ${one(2)})
+       |ORDER BY epoch, pos""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // importance_resample — DSIR-style data selection (Xie et al.
+  // NeurIPS'23, LmScore.importanceWeights): hashed-unigram importance of
+  // every document toward the src0 target domain, then the top-100 draw
+  // via the salted two-phase top-n (no whole-corpus single-task window).
+  // ---------------------------------------------------------------------
+  def importanceResample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    val scored = graft.operators.LmScore.importanceWeights(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+      targetFilter = col("source") === lit("src0"),
+      stageLabel = Some(s"dsir_buckets_${StageStore.dirTag(dir)}"))
+    val local = Window
+      .partitionBy(pmod(xxhash64(col("doc_id")), lit(16)))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    val global = Window.orderBy(col("score_ppm").desc, col("doc_id"))
+    scored
+      .withColumn("_rl", row_number().over(local)).filter(col("_rl") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("n_tokens"), col("score_ppm"), col("rk"))
+      .orderBy("rk")
+  }
+
+  val importanceResampleSql: String =
+    """WITH toks AS (SELECT doc_id, (source = 'src0') AS is_target,
+      |         substr(md5(unnest(string_split(text, ' '))), 1, 2) AS b
+      |       FROM documents),
+      |db AS (SELECT doc_id, b, COUNT(*) AS n, MAX(is_target) AS is_target
+      |       FROM toks GROUP BY doc_id, b),
+      |r AS (SELECT b, SUM(n) AS raw_c,
+      |        SUM(CASE WHEN is_target THEN n ELSE 0 END) AS tgt_c
+      |      FROM db GROUP BY b),
+      |s AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |        CAST(SUM(n * ((tgt_c * 1000000) // raw_c)) AS BIGINT) AS score_ppm
+      |      FROM db JOIN r USING (b) GROUP BY doc_id),
+      |t AS (SELECT doc_id, n_tokens, score_ppm,
+      |        CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rk
+      |      FROM s)
+      |SELECT doc_id, n_tokens, score_ppm, rk FROM t WHERE rk <= 100 ORDER BY rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+}

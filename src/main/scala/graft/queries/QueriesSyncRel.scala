@@ -1,0 +1,863 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Queries registry segment: diff-sync, relational coverage, skew treatments and KMV/HLL sketches.
+  * Split from the monolithic Queries.scala (r17); member order and
+  * the mixin order in [[Queries]] preserve the original top-to-bottom
+  * val initialization sequence. */
+trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
+  // DiffSync (parasync D1-D4): src = orders, dst = deterministically
+  // mutated copy (pattern of test/run_test_sync.sh:607-631): updates on
+  // keys %97, deletes %101, inserts %499 with a key offset.
+  // ---------------------------------------------------------------------
+  private[graft] def mutatedOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderkey") % 101 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + lit(1.0d))
+          .otherwise(col("o_totalprice")))
+      .unionAll(o.filter(col("o_orderkey") % 499 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+  }
+
+  def diffSyncOps(s: SparkSession, dir: String): DataFrame =
+    graft.sync.DiffSync.diff(t(s, dir, "orders"), mutatedOrders(s, dir), Seq("o_orderkey"))
+      .select(col("op"), col("o_orderkey"))
+
+  private[graft] val ordColKinds = Seq(
+    "o_orderkey" -> "long", "o_custkey" -> "long", "o_orderstatus" -> "str",
+    "o_totalprice" -> "dec", "o_orderdate" -> "ts", "o_orderpriority" -> "str")
+
+  /** DuckDB rendering of one column as a MySQL literal (mirrors
+    * InsertGen.renderLiteral; orders has no NULLs so no CASE wrapper). */
+  private[graft] def dkLit(c: String, kind: String): String = kind match {
+    case "long" => s"CAST($c AS VARCHAR)"
+    case "dec"  => s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+    case "ts"   => "'''' || strftime(" + c + ", '%Y-%m-%d %H:%M:%S') || ''''"
+    case "str"  => """'''' || replace(replace(""" + c + """, '\', '\\'), '''', '\''') || ''''"""
+  }
+
+  private[graft] val diffJoinSql: String =
+    """WITH dst AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 101 != 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 499 = 0
+      |),
+      |j AS (
+      |  SELECT
+      |    CASE WHEN d.o_orderkey IS NULL THEN 'I' WHEN s.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS op,
+      |    s.o_orderkey AS s_o_orderkey, s.o_custkey AS s_o_custkey,
+      |    s.o_orderstatus AS s_o_orderstatus, s.o_totalprice AS s_o_totalprice,
+      |    s.o_orderdate AS s_o_orderdate, s.o_orderpriority AS s_o_orderpriority,
+      |    d.o_orderkey AS d_o_orderkey, d.o_custkey AS d_o_custkey,
+      |    d.o_orderstatus AS d_o_orderstatus, d.o_totalprice AS d_o_totalprice,
+      |    d.o_orderdate AS d_o_orderdate, d.o_orderpriority AS d_o_orderpriority
+      |  FROM orders s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
+      |  WHERE d.o_orderkey IS NULL OR s.o_orderkey IS NULL
+      |    OR NOT (s.o_custkey IS NOT DISTINCT FROM d.o_custkey
+      |        AND s.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
+      |        AND s.o_totalprice IS NOT DISTINCT FROM d.o_totalprice
+      |        AND s.o_orderdate IS NOT DISTINCT FROM d.o_orderdate
+      |        AND s.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority)
+      |)""".stripMargin
+
+  val diffSyncOpsSql: String =
+    diffJoinSql +
+      "\nSELECT op, COALESCE(s_o_orderkey, d_o_orderkey) AS o_orderkey FROM j"
+
+  def diffSyncDml(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val d = graft.sync.DiffSync.diff(orders, mutatedOrders(s, dir), Seq("o_orderkey"))
+    graft.sync.DiffSync.dmlStatements(d, "orders", orders.schema.fields.toSeq, Seq("o_orderkey"))
+  }
+
+  val diffSyncDmlSql: String = {
+    val vals = ordColKinds.map { case (c, k) => dkLit(s"s_$c", k) }.mkString(" || ',' || ")
+    val sets = ordColKinds.filterNot(_._1 == "o_orderkey")
+      .map { case (c, k) => s"'$c = ' || ${dkLit(s"s_$c", k)}" }.mkString(" || ', ' || ")
+    val wheres = ordColKinds
+      .map { case (c, k) => s"'$c = ' || ${dkLit(s"d_$c", k)}" }.mkString(" || ' AND ' || ")
+    diffJoinSql + s"""
+      |SELECT CASE op
+      |  WHEN 'I' THEN 'INSERT INTO orders VALUES (' || $vals || ');'
+      |  WHEN 'U' THEN 'UPDATE orders SET ' || $sets || ' WHERE ' || $wheres || ';'
+      |  ELSE 'DELETE FROM orders WHERE ' || $wheres || ';' END AS stmt
+      |FROM j""".stripMargin
+  }
+
+  /** D4 dialect form — the same diff rendered as POSTGRES-dialect DML text
+    * (reference parasync renders per-dst-dialect statements,
+    * parasync.go:1493-1598): strings as E'' literals with \xNN escapes
+    * (F3), doubles shortest-round-trip (F7, digit-identical to DuckDB's
+    * VARCHAR cast — see dump_sql_orders_fidelity). */
+  def diffSyncDmlPg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val d = graft.sync.DiffSync.diff(orders, mutatedOrders(s, dir), Seq("o_orderkey"))
+    graft.sync.DiffSync.dmlStatementsDialect(d, "orders",
+      orders.schema.fields.toSeq, Seq("o_orderkey"),
+      graft.operators.FidelityGen.Postgres)
+  }
+
+  /** DuckDB rendering of one column as a PG-dialect literal (mirrors
+    * FidelityGen.renderValue + Escapes.pgQuote; orders has no NULLs and no
+    * control chars, so only quote/backslash need the \xNN mapping). */
+  private[graft] def dkLitPg(c: String, kind: String): String = kind match {
+    case "long" => s"CAST($c AS VARCHAR)"
+    case "dec"  => s"CAST($c AS VARCHAR)" // double: shortest-round-trip both engines
+    case "ts"   => "'E''' || strftime(" + c + ", '%Y-%m-%d %H:%M:%S') || ''''"
+    case "str"  => """'E''' || replace(replace(""" + c +
+      """, '\', '\x5c'), '''', '\x27') || ''''"""
+  }
+
+  val diffSyncDmlPgSql: String = {
+    val vals = ordColKinds.map { case (c, k) => dkLitPg(s"s_$c", k) }.mkString(" || ',' || ")
+    val sets = ordColKinds.filterNot(_._1 == "o_orderkey")
+      .map { case (c, k) => s"'$c = ' || ${dkLitPg(s"s_$c", k)}" }.mkString(" || ', ' || ")
+    val wheres = ordColKinds
+      .map { case (c, k) => s"'$c = ' || ${dkLitPg(s"d_$c", k)}" }.mkString(" || ' AND ' || ")
+    diffJoinSql + s"""
+      |SELECT CASE op
+      |  WHEN 'I' THEN 'INSERT INTO orders VALUES (' || $vals || ');'
+      |  WHEN 'U' THEN 'UPDATE orders SET ' || $sets || ' WHERE ' || $wheres || ';'
+      |  ELSE 'DELETE FROM orders WHERE ' || $wheres || ';' END AS stmt
+      |FROM j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Relational coverage the reference only has implicitly (its test schema
+  // ships a join view, test/mysql/create_viw_client_report.sql): joins,
+  // windows, set ops, JSON extraction over events.
+  // ---------------------------------------------------------------------
+
+  /** customer ⋈ orders ⋈ lineitem, revenue per market segment. The dim side
+    * is explicitly broadcast at this scale; at 100 TB AQE's size-based
+    * planning takes over (the hint degrades gracefully to a shuffle join). */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(c("c_mktsegment").as("c_mktsegment"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q3JoinSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q5 shape: customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈
+    * region — local-supplier revenue per nation for one region and one
+    * order year. The 6-table join exercises join ORDERING, broadcast
+    * chains, and exchange reuse:
+    *
+    *  - region→nation→supplier is a broadcast CHAIN (guaranteed-tiny at
+    *    every SF: 5 / 25 / 10k·SF rows) attached to lineitem without any
+    *    exchange, carrying the s_nationkey the customer side must match;
+    *  - orders (year-filtered, pushed to the scan) ⋈ customer are the
+    *    data-sized sides: both UNHINTED, so Catalyst's size estimates (and
+    *    AQE at runtime) pick broadcast at fixture scale and flip to
+    *    shuffle joins at 100 TB — the hint-free degradation q3_join's
+    *    scaladoc promises, exercised across two join levels;
+    *  - the c_nationkey = s_nationkey predicate ties the two dimension
+    *    arms into one equi-join (never a post-join filter: it is part of
+    *    the customer join's key, so mismatched rows drop at the join).
+    *
+    * Revenue runs in DECIMAL (exact, associative) and casts to double
+    * once at the end — the q1/q3 reproducibility discipline. */
+  def q5Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val dims = broadcast(
+      t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(dims, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5JoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Top-3 orders by price per priority — partitioned window (never a
+    * global single-task sort), ties broken by key. */
+  def windowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk").cast("long").as("rnk"), col("o_orderkey"))
+  }
+
+  val windowTopkSql: String =
+    """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) x
+      |WHERE rnk <= 3""".stripMargin
+
+  /** EXCEPT-distinct: custkeys having 'F' orders but no 'O' orders. */
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")).distinct()
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+  }
+
+  val setExceptSql: String =
+    """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
+  /** Global top-N — compiles to TakeOrderedAndProject (per-partition top-N
+    * + driver merge of N rows), never a global sort. */
+  def topnOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)
+
+  val topnOrdersSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** ROLLUP aggregation — grouping-set coverage (subtotal + grand-total
+    * rows with NULL group markers on both engines). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Left-anti join — the NOT EXISTS shape (customers with no URGENT
+    * order; every customer HAS orders in the fixture, so the unfiltered
+    * variant would be a weak 0-row check). Catalyst compiles this to a
+    * broadcast/shuffled anti join; the oracle is the ANSI NOT EXISTS
+    * form. The probe filter is pushed to the orders scan before the
+    * anti join ships only o_custkey. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-semi join — the EXISTS complement of [[antiJoin]]. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** One-pass column profiling over lineitem — the data-audit primitive
+    * (null counts, distinct cardinalities, exact extrema) computed as ONE
+    * aggregate scan, unpivoted to a row per metric. */
+  def profileLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("l_orderkey")).as("d_orderkey"),
+      count_distinct(col("l_returnflag")).as("d_returnflag"),
+      sum(col("l_quantity").isNull.cast("long")).as("null_quantity"),
+      min(col("l_quantity").cast("decimal(18,2)")).cast("double").as("min_quantity"),
+      max(col("l_quantity").cast("decimal(18,2)")).cast("double").as("max_quantity"),
+      min(col("l_shipdate")).cast("date").cast("string").as("min_shipdate"),
+      max(col("l_shipdate")).cast("date").cast("string").as("max_shipdate"))
+    agg.selectExpr(
+      """stack(8,
+        | 'n_rows', cast(n_rows as string),
+        | 'd_orderkey', cast(d_orderkey as string),
+        | 'd_returnflag', cast(d_returnflag as string),
+        | 'null_quantity', cast(null_quantity as string),
+        | 'min_quantity', cast(min_quantity as string),
+        | 'max_quantity', cast(max_quantity as string),
+        | 'min_shipdate', min_shipdate,
+        | 'max_shipdate', max_shipdate) AS (metric, value)""".stripMargin)
+      .orderBy("metric")
+  }
+
+  val profileLineitemSql: String =
+    """WITH a AS (SELECT
+      |  COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_orderkey) AS d_orderkey,
+      |  COUNT(DISTINCT l_returnflag) AS d_returnflag,
+      |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity,
+      |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_quantity,
+      |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_quantity,
+      |  CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS min_shipdate,
+      |  CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS max_shipdate
+      |FROM lineitem)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_rows' AS metric, CAST(n_rows AS VARCHAR) AS value FROM a
+      |  UNION ALL SELECT 'd_orderkey', CAST(d_orderkey AS VARCHAR) FROM a
+      |  UNION ALL SELECT 'd_returnflag', CAST(d_returnflag AS VARCHAR) FROM a
+      |  UNION ALL SELECT 'null_quantity', CAST(null_quantity AS VARCHAR) FROM a
+      |  UNION ALL SELECT 'min_quantity', CAST(min_quantity AS VARCHAR) FROM a
+      |  UNION ALL SELECT 'max_quantity', CAST(max_quantity AS VARCHAR) FROM a
+      |  UNION ALL SELECT 'min_shipdate', min_shipdate FROM a
+      |  UNION ALL SELECT 'max_shipdate', max_shipdate FROM a) u
+      |ORDER BY metric""".stripMargin
+
+  /** Salted two-phase aggregation under the oracle gate: the hot-key
+    * mitigation (Skew.saltedSum — phase 1 on (key, salt), phase 2 merges
+    * partials) run on a DECIMAL value, where both phases are exact and
+    * associative, so the salted result is BIT-equal to the plain GROUP BY
+    * the oracle runs. Proves the mitigation is a pure physical rewrite. */
+  def skewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSum(t(s, dir, "lineitem"),
+        key = col("l_returnflag"),
+        value = col("l_quantity").cast("decimal(18,2)"),
+        salts = 8, saltBy = col("l_orderkey"))
+      .select(col("k").as("l_returnflag"),
+        col("sum_v").cast("double").as("sum_qty"), col("n"))
+      .orderBy("l_returnflag")
+
+  val skewSaltedAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // skew_split_join — the OTHER standard skew treatment (Skew.splitJoin):
+  // rows carrying the 10 hottest custkeys take a broadcast join (the
+  // skewed traffic never shuffles), the rest take the normal shuffle join.
+  // A physical rewrite, not a semantic one — the oracle is the plain join.
+  // Decimal-exact revenue so the union's aggregation order can't perturb
+  // the double.
+  // ---------------------------------------------------------------------
+  def skewSplitJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val hot = graft.operators.Skew.hotKeys(orders, "o_custkey", 10)
+    graft.operators.Skew.splitJoin(orders, customer, "o_custkey", hot)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val skewSplitJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // distinct_kmv — KMV distinct-count sketch per event_type
+  // (Sketches.kmvDistinct): the oracle-checkable cardinality sketch —
+  // DuckDB replays hash → kth-min → one IEEE division and must reproduce
+  // the estimate bit-for-bit, next to the exact count for comparison.
+  // ---------------------------------------------------------------------
+  def distinctKmv(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvDistinct(
+      t(s, dir, "events"), group = "event_type", value = col("user_id"), k = 64)
+      .orderBy("event_type")
+
+  val distinctKmvSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH m AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT event_type, CAST($hv AS BIGINT) AS hv, hx FROM m),
+       |r AS (SELECT event_type, hv,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY hv, hx) AS rk FROM h),
+       |kth AS (SELECT event_type, hv AS kth_hash FROM r WHERE rk = 64),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |SELECT ex.event_type, n_exact, kth_hash,
+       |  COALESCE((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)) / CAST(kth_hash AS DOUBLE),
+       |           CAST(n_exact AS DOUBLE)) AS est
+       |FROM ex LEFT JOIN kth USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // hll_distinct — HyperLogLog register sketch per event_type
+  // (Sketches.hllDistinct): the fixed-64-register production cardinality
+  // sketch beside KMV, md5-deterministic so DuckDB replays register
+  // index, leading-1 rho, the integer harmonic denominator and the one
+  // IEEE division bit-for-bit; n_zero ships the linear-counting signal
+  // (the ln correction is the consumer's — ln is not bit-portable).
+  // ---------------------------------------------------------------------
+  def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllDistinct(
+      t(s, dir, "events"), group = "event_type", value = col("user_id"))
+      .orderBy("event_type")
+
+  private[graft] val hllRegSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""m AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT event_type, CAST($hv AS BIGINT) AS hv FROM m),
+       |rg AS (SELECT event_type, hv % 64 AS register,
+       |    CASE WHEN hv // 64 = 0 THEN 47
+       |         ELSE 47 - length(bin(hv // 64)) END AS rho
+       |  FROM h),
+       |reg AS (SELECT event_type, register, MAX(rho) AS m_j
+       |  FROM rg GROUP BY 1, 2)""".stripMargin
+  }
+
+  val hllDistinctSql: String =
+    s"""WITH $hllRegSql,
+       |e AS (SELECT event_type, CAST(64 - COUNT(*) AS BIGINT) AS n_zero,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(47 - m_j AS INT))
+       |         + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 47) AS BIGINT) AS z_num
+       |  FROM reg GROUP BY 1),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |SELECT ex.event_type, n_exact, n_zero, z_num,
+       |  CAST(408983141160583168 AS DOUBLE) / CAST(z_num AS DOUBLE) AS est
+       |FROM ex JOIN e USING (event_type) ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // hll_merge — HLL sketch ALGEBRA (Sketches.hllMergeRegisters): the
+  // global-cardinality estimate max-merged from the persisted PER-TYPE
+  // register tables equals the estimate computed directly over all
+  // values — HLL's merge is exact by construction (max of maxes), which
+  // this one-row query proves next to the exact distinct count.
+  // ---------------------------------------------------------------------
+  def hllMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val regs = graft.operators.Sketches.hllRegisters(ev, "event_type", col("user_id"))
+    val merged = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllMergeRegisters(regs, lit("ALL")))
+    val direct = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(
+        ev.withColumn("g_all", lit("ALL")), "g_all", col("user_id")))
+    merged.select(col("n_zero").as("n_zero_merged"),
+        col("z_num").as("z_num_merged"), col("est").as("est_merged"))
+      .crossJoin(direct.select(col("z_num").as("z_num_direct"),
+        col("est").as("est_direct")))
+      .crossJoin(ev.filter(col("user_id").isNotNull)
+        .agg(countDistinct(col("user_id")).as("n_exact")))
+      .select("n_exact", "n_zero_merged", "z_num_merged", "z_num_direct",
+        "est_merged", "est_direct")
+  }
+
+  val hllMergeSql: String =
+    s"""WITH $hllRegSql,
+       |mg AS (SELECT register, MAX(m_j) AS m_j FROM reg GROUP BY 1),
+       |e AS (SELECT CAST(64 - COUNT(*) AS BIGINT) AS n_zero_merged,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(47 - m_j AS INT))
+       |         + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 47) AS BIGINT) AS z_num
+       |  FROM mg),
+       |ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events WHERE user_id IS NOT NULL)
+       |SELECT n_exact, n_zero_merged, z_num AS z_num_merged,
+       |  z_num AS z_num_direct,
+       |  CAST(408983141160583168 AS DOUBLE) / CAST(z_num AS DOUBLE) AS est_merged,
+       |  CAST(408983141160583168 AS DOUBLE) / CAST(z_num AS DOUBLE) AS est_direct
+       |FROM ex CROSS JOIN e""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // hll_persisted — the PRODUCTION form of the HLL family: the per-type
+  // register tables are WRITTEN once (the nightly sketch-build job) and
+  // every estimate afterwards — per-type AND the max-merged global row —
+  // is answered from the register FILES alone; the returned plan
+  // contains no events scan at all (pinned in PlanAuditSpec). 64 rows
+  // per group is the entire standing state.
+  // ---------------------------------------------------------------------
+  def hllPersisted(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val regs = StageStore.materialize(
+      graft.operators.Sketches.hllRegisters(ev, "event_type", col("user_id")),
+      s"hll_regs_${StageStore.dirTag(dir)}")
+    graft.operators.Sketches.hllEstimate(regs)
+      .unionByName(graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllMergeRegisters(regs, lit("ALL"))))
+      .orderBy("g")
+  }
+
+  val hllPersistedSql: String =
+    s"""WITH $hllRegSql,
+       |u AS (SELECT event_type AS g, register, m_j FROM reg
+       |      UNION ALL
+       |      SELECT 'ALL' AS g, register, MAX(m_j) AS m_j
+       |      FROM reg GROUP BY 2),
+       |e AS (SELECT g, CAST(64 - COUNT(*) AS BIGINT) AS n_zero,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(47 - m_j AS INT))
+       |         + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 47) AS BIGINT) AS z_num
+       |  FROM u GROUP BY 1)
+       |SELECT g, n_zero, z_num,
+       |  CAST(408983141160583168 AS DOUBLE) / CAST(z_num AS DOUBLE) AS est
+       |FROM e ORDER BY g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // distinct_kmv_merge — KMV sketch ALGEBRA (Sketches.kmvMergeDistinct):
+  // the union-cardinality estimate computed purely from two precomputed
+  // per-segment sketches (the k smallest hashes of A ∪ B are a subset of
+  // K(A) ∪ K(B)) — no rescan of the base data. Segments user_id%2 are
+  // disjoint so the union genuinely exceeds either input sketch.
+  // ---------------------------------------------------------------------
+  def distinctKmvMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(concat(lit("seg"), (col("user_id") % 2).cast("string")).as("seg"),
+        col("user_id"))
+    val sketch = graft.operators.Sketches.kmvMinHashes(
+      ev, group = "seg", value = col("user_id"), k = 64)
+    val merged = graft.operators.Sketches.kmvMergeDistinct(
+      sketch, Seq("seg0", "seg1"), k = 64)
+    val exact = ev.agg(count_distinct(col("user_id")).as("n_exact"))
+    exact.join(merged, lit(true), "left")
+      .select("n_exact", "n_hashes", "kth_hash", "est")
+  }
+
+  val distinctKmvMergeSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH m AS (SELECT DISTINCT 'seg' || CAST(user_id % 2 AS VARCHAR) AS seg,
+       |    md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT seg, CAST($hv AS BIGINT) AS hv, hx FROM m),
+       |r AS (SELECT seg, hv, hx,
+       |    row_number() OVER (PARTITION BY seg ORDER BY hv, hx) AS rk FROM h),
+       |sk AS (SELECT DISTINCT hv, hx FROM r WHERE rk <= 64),
+       |g AS (SELECT hv, row_number() OVER (ORDER BY hv, hx) AS rk FROM sk),
+       |kth AS (SELECT hv AS kth_hash FROM g WHERE rk = 64),
+       |tot AS (SELECT COUNT(*) AS n_hashes FROM sk),
+       |ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events WHERE user_id IS NOT NULL)
+       |SELECT n_exact, n_hashes, kth_hash,
+       |  COALESCE((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+       |             / CAST(kth_hash AS DOUBLE),
+       |           CAST(n_hashes AS DOUBLE)) AS est
+       |FROM ex CROSS JOIN tot LEFT JOIN kth ON TRUE""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // distinct_kmv_intersect — join-cardinality estimation from sketches
+  // (Sketches.kmvIntersect): overlapping user segments A (user_id%3<2)
+  // and B (user_id%3>0) — |A∩B| estimated purely from the two 64-pair
+  // sketches via the Jaccard ratio on the merged sketch, next to the
+  // exact intersection for comparison.
+  // ---------------------------------------------------------------------
+  def distinctKmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+    val tall = ev.filter(col("user_id") % 3 < 2)
+      .select(lit("a").as("seg"), col("user_id"))
+      .unionByName(ev.filter(col("user_id") % 3 > 0)
+        .select(lit("b").as("seg"), col("user_id")))
+    val sketch = graft.operators.Sketches.kmvMinHashes(
+      tall, group = "seg", value = col("user_id"), k = 64)
+    val inter = graft.operators.Sketches.kmvIntersect(sketch, "a", "b", k = 64)
+    val exact = ev.filter(col("user_id") % 3 === 1)
+      .agg(count_distinct(col("user_id")).as("n_exact_int"))
+    exact.join(inter, lit(true), "left")
+      .select("n_exact_int", "n_common", "est_int")
+  }
+
+  val distinctKmvIntersectSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH mem AS (
+       |  SELECT 'a' AS g, user_id FROM events
+       |    WHERE user_id IS NOT NULL AND user_id % 3 < 2
+       |  UNION ALL
+       |  SELECT 'b', user_id FROM events
+       |    WHERE user_id IS NOT NULL AND user_id % 3 > 0),
+       |m AS (SELECT DISTINCT g, md5(CAST(user_id AS VARCHAR)) AS hx FROM mem),
+       |h AS (SELECT g, CAST($hv AS BIGINT) AS hv, hx FROM m),
+       |r AS (SELECT g, hv, hx,
+       |    row_number() OVER (PARTITION BY g ORDER BY hv, hx) AS rk FROM h),
+       |sk AS (SELECT g, hv, hx FROM r WHERE rk <= 64),
+       |u AS (SELECT DISTINCT hv, hx FROM sk),
+       |ur AS (SELECT hv, hx, row_number() OVER (ORDER BY hv, hx) AS rk FROM u),
+       |mu AS (SELECT hv, hx, rk FROM ur WHERE rk <= 64),
+       |cm AS (SELECT COUNT(*) AS n_common FROM mu
+       |       JOIN (SELECT hx FROM sk WHERE g = 'a') sa USING (hx)
+       |       JOIN (SELECT hx FROM sk WHERE g = 'b') sb USING (hx)),
+       |kth AS (SELECT hv AS kth_hash FROM mu WHERE rk = 64),
+       |ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact_int FROM events
+       |       WHERE user_id IS NOT NULL AND user_id % 3 = 1)
+       |SELECT n_exact_int, n_common,
+       |  CASE WHEN kth_hash IS NULL THEN CAST(n_common AS DOUBLE)
+       |       ELSE (CAST(n_common AS DOUBLE) *
+       |             ((CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+       |               / CAST(kth_hash AS DOUBLE)))
+       |            / CAST(64 AS DOUBLE) END AS est_int
+       |FROM ex CROSS JOIN cm LEFT JOIN kth ON TRUE""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // sample_weighted — deterministic weighted sampling (priority sampling,
+  // Sampling.weightedTopN): priority = weight/u with u from the content
+  // hash; the 20 highest-priority docs per language win. Heavier docs win
+  // proportionally more often; the draw replays bit-exactly (exact
+  // product, one IEEE division).
+  // ---------------------------------------------------------------------
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedTopN(
+      t(s, dir, "documents"), stratum = "lang", textCol = "text",
+      weightCol = "n_chars", n = 20)
+      .orderBy("lang", "rk")
+
+  val sampleWeightedSql: String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("hx")
+    s"""WITH h AS (SELECT doc_id, lang, n_chars, md5(text) AS hx FROM documents),
+       |p AS (SELECT doc_id, lang, hx,
+       |  (CAST(n_chars AS DOUBLE) * CAST(4503599627370496 AS DOUBLE))
+       |    / CAST($hv + 1 AS DOUBLE) AS pri
+       |  FROM h),
+       |r AS (SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY pri DESC, hx, doc_id) AS rk
+       |  FROM p)
+       |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r
+       |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // dup_ngram_spans — exact-substring dedup signal (TextOps.dupNgramStats):
+  // per document, how many word-5-gram positions carry a gram occurring
+  // ≥ 2 times corpus-wide — the fraction an exact-substring pass would
+  // mask (Lee et al. ACL'22).
+  // ---------------------------------------------------------------------
+  def dupNgramSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.dupNgramStats(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5,
+      stageLabel = Some(s"dupgrams_stats_${StageStore.dirTag(dir)}"))
+
+  val dupNgramSpansSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest([md5(array_to_string(ws[i:i+4], ' ')) for i in generate_series(1, len(ws)-4)]) AS gh
+      |      FROM w WHERE len(ws) >= 5),
+      |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+      |d AS (SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN c USING (gh) GROUP BY doc_id),
+      |n AS (SELECT doc_id, CAST(greatest(len(ws) - 4, 0) AS BIGINT) AS n_grams FROM w)
+      |SELECT n.doc_id, n.n_grams, CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup
+      |FROM n LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_substring — exact-substring span REMOVAL (Lee et al. ACL'22 §4,
+  // TextOps.dedupSubstring): the positional dup mask of dup_ngram_spans
+  // turned into the cleaned corpus itself — every 5-gram occurring ≥ 2
+  // times corpus-wide cuts its covered tokens. Output is content-hashed
+  // so the artifact stays small; n_chars_removed is the cut volume.
+  // ---------------------------------------------------------------------
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.dedupSubstring(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), n = 5,
+        stageLabel = Some(s"dupgrams_cut_${StageStore.dirTag(dir)}"))
+      .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
+        col("n_chars_removed"))
+      .orderBy("doc_id")
+
+  val dedupSubstringSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(CAST(generate_series(1, len(ws)-4) AS BIGINT[])) AS pos,
+      |        unnest([md5(array_to_string(ws[i:i+4], ' ')) for i in generate_series(1, len(ws)-4)]) AS gh
+      |      FROM w WHERE len(ws) >= 5),
+      |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+      |d AS (SELECT doc_id, list(pos) AS ps FROM g JOIN c USING (gh) GROUP BY doc_id),
+      |k AS (SELECT w.doc_id, w.text, w.ws, COALESCE(d.ps, []) AS ps
+      |      FROM w LEFT JOIN d USING (doc_id)),
+      |cl AS (SELECT doc_id, text,
+      |    COALESCE(array_to_string(
+      |      list_transform(
+      |        list_filter(CAST(generate_series(1, len(ws)) AS BIGINT[]),
+      |          j -> len(list_filter(ps, p -> p <= j AND j <= p + 4)) = 0),
+      |        j -> ws[j]), ' '), '') AS cleaned
+      |  FROM k)
+      |SELECT doc_id, md5(cleaned) AS clean_hash,
+      |  CAST(length(text) - length(cleaned) AS BIGINT) AS n_chars_removed
+      |FROM cl ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_substring_spans — the PAPER'S transform (Lee et al. ACL'22
+  // remove duplicated substrings of ≥ 50 tokens): dup-gram coverage merges
+  // into maximal runs and only runs ≥ 50 tokens are cut, so idioms and
+  // short boilerplate survive while verbatim blocks vanish. At sf0.01 the
+  // fixture has both populations (runs of 5..43 tokens survive, 58..93
+  // cut), so the oracle exercises the run-merge, the threshold, and the
+  // untouched-doc path at once.
+  // ---------------------------------------------------------------------
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.dedupSubstring(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        n = 5, minSpanTokens = 50,
+        stageLabel = Some(s"dupgrams_spans_${StageStore.dirTag(dir)}"))
+      .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
+        col("n_chars_removed"))
+      .orderBy("doc_id")
+
+  val dedupSubstringSpansSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(CAST(generate_series(1, len(ws)-4) AS BIGINT[])) AS pos,
+      |        unnest([md5(array_to_string(ws[i:i+4], ' ')) for i in generate_series(1, len(ws)-4)]) AS gh
+      |      FROM w WHERE len(ws) >= 5),
+      |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+      |g2 AS (SELECT doc_id, pos FROM g JOIN c USING (gh)),
+      |i AS (SELECT doc_id, pos,
+      |        SUM(CASE WHEN lp IS NULL OR pos - lp > 5 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      |      FROM (SELECT doc_id, pos,
+      |              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp FROM g2)),
+      |r AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+      |      FROM i GROUP BY doc_id, isl
+      |      HAVING max(pos) + 4 - min(pos) + 1 >= 50),
+      |rl AS (SELECT doc_id, list([s, e]) AS runs FROM r GROUP BY doc_id),
+      |k AS (SELECT w.doc_id, w.text, w.ws, COALESCE(rl.runs, []) AS runs
+      |      FROM w LEFT JOIN rl USING (doc_id)),
+      |cl AS (SELECT doc_id, text,
+      |    COALESCE(array_to_string(
+      |      list_transform(
+      |        list_filter(CAST(generate_series(1, len(ws)) AS BIGINT[]),
+      |          j -> len(list_filter(runs, r -> r[1] <= j AND j <= r[2])) = 0),
+      |        j -> ws[j]), ' '), '') AS cleaned
+      |  FROM k)
+      |SELECT doc_id, md5(cleaned) AS clean_hash,
+      |  CAST(length(text) - length(cleaned) AS BIGINT) AS n_chars_removed
+      |FROM cl ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_substring_incremental — the PRODUCTION cadence of substring
+  // dedup: a real pipeline dedups each NEW shard against yesterday's
+  // corpus, not against itself. Yesterday (doc_id % 3 ≠ 0) persists its
+  // saturating gram-count state via StageStore; today's shard
+  // (doc_id % 3 = 0) runs TextOps.dedupSubstring in incremental mode,
+  // unioning the persisted counts READ FROM FILES — history documents are
+  // never rescanned (plan-pinned). Oracle: replaying the two-batch
+  // sequence must equal the one-shot transform over the whole corpus
+  // restricted to the shard's rows — a gram seen once in history and once
+  // in the shard cuts the shard occurrence either way.
+  // ---------------------------------------------------------------------
+  def dedupSubstringIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val prior = StageStore.materialize(
+      graft.operators.TextOps.gramCounts(docs.filter(col("doc_id") % 3 =!= 0), 5),
+      s"incr_gramstate_${StageStore.dirTag(dir)}")
+    graft.operators.TextOps.dedupSubstring(
+        docs.filter(col("doc_id") % 3 === 0), n = 5,
+        priorGramCounts = Some(prior))
+      .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
+        col("n_chars_removed"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringIncrementalSql: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(CAST(generate_series(1, len(ws)-4) AS BIGINT[])) AS pos,
+      |        unnest([md5(array_to_string(ws[i:i+4], ' ')) for i in generate_series(1, len(ws)-4)]) AS gh
+      |      FROM w WHERE len(ws) >= 5),
+      |c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+      |d AS (SELECT doc_id, list(pos) AS ps FROM g JOIN c USING (gh)
+      |      WHERE doc_id % 3 = 0 GROUP BY doc_id),
+      |k AS (SELECT w.doc_id, w.text, w.ws, COALESCE(d.ps, []) AS ps
+      |      FROM w LEFT JOIN d USING (doc_id) WHERE w.doc_id % 3 = 0),
+      |cl AS (SELECT doc_id, text,
+      |    COALESCE(array_to_string(
+      |      list_transform(
+      |        list_filter(CAST(generate_series(1, len(ws)) AS BIGINT[]),
+      |          j -> len(list_filter(ps, p -> p <= j AND j <= p + 4)) = 0),
+      |        j -> ws[j]), ' '), '') AS cleaned
+      |  FROM k)
+      |SELECT doc_id, md5(cleaned) AS clean_hash,
+      |  CAST(length(text) - length(cleaned) AS BIGINT) AS n_chars_removed
+      |FROM cl ORDER BY doc_id""".stripMargin
+
+  /** CUBE (all 2^n grouping sets — rollup's sibling Expand path; one scan,
+    * the Expand operator multiplies rows by the grouping-set count before
+    * the partial aggregate, so the shuffle still carries aggregates). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val cubeAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** DISTINCT aggregation — the two-phase distinct-agg path. */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count_distinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val distinctAggSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Shared table loaders for the split Queries registry traits. */
+trait QueriesTables {
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Table scan for CPU-BOUND per-row render pipelines: the fixture
+    * parquet is written as ONE row group per table, so a plain scan is a
+    * single task and heavy per-row work serializes on one core of 32. A
+    * production corpus carries thousands of row groups per file and
+    * parallelizes at the scan — and the reference's own dump path reads
+    * chunk predicates concurrently (paradump.go:1414+), so spreading
+    * render work across cores IS the modeled behavior, not a bench trick.
+    * The explicit round-robin repartition costs one shuffle of the table,
+    * so it pays ONLY where per-row CPU exceeds per-row shuffle cost —
+    * measured true for the INSERT escape/render chain (dump_sql_lineitem
+    * 1.43 → 1.07 s warm) and measured FALSE for the cheap CSV byte-scan
+    * kernel and the multi-consumer gram pipelines (both regressed; they
+    * re-execute the exchange per consumer). Apply per measured query, not
+    * blanket. */
+  private[graft] def tPar(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
+}

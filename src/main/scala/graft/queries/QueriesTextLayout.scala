@@ -1,0 +1,952 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Queries registry segment: unicode/script hygiene, sequence packing, layout keys and CDC.
+  * Split from the monolithic Queries.scala (r17); member order and
+  * the mixin order in [[Queries]] preserve the original top-to-bottom
+  * val initialization sequence. */
+trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
+  // unicode_clean — Unicode canonicalization gate (TextOps.unicodeClean):
+  // exotic spaces -> ' ', invisibles dropped (C0/C1 minus tab/newline,
+  // zero-widths, BOM, soft hyphen), then NFC. Grafts plant a decomposed
+  // accent (NFC must compose it), NBSP + ideographic space, zero-width +
+  // BOM, a bell control + CRLF, and a soft-hyphenated word.
+  // ---------------------------------------------------------------------
+  def unicodeClean(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    // explicit escapes, never raw invisibles in source: U+0301 combining
+    // acute (a DECOMPOSED e-acute NFC must compose), U+00A0 NBSP, U+3000
+    // ideographic space, U+200B/U+200D zero-widths, U+FEFF BOM, U+0007
+    // BEL, U+00AD soft hyphen
+    val grafted = concat(
+      col("text"),
+      opt(d % 4 === 0, " cafe\u0301 decomposed"),
+      opt(d % 6 === 0, " x\u00a0y\u3000z spaces"),
+      opt(d % 9 === 0, " a\u200bb\u200dc\ufeff zw"),
+      opt(d % 7 === 0, " bell\u0007cr\r\nkeep"),
+      opt(d % 11 === 0, " co\u00adoperate shy"))
+    val out = graft.operators.TextOps.unicodeClean(
+      t(s, dir, "documents").select(d, grafted.as("text")))
+    out.select(col("doc_id"), col("n_space_mapped"), col("n_dropped"),
+      col("nfc_changed"), md5(col("text_clean")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  val unicodeCleanSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text
+      |    || (CASE WHEN doc_id % 4 = 0 THEN ' caf' || chr(101) || chr(769) || ' decomposed' ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN ' x' || chr(160) || 'y' || chr(12288) || 'z spaces' ELSE '' END)
+      |    || (CASE WHEN doc_id % 9 = 0 THEN ' a' || chr(8203) || 'b' || chr(8205) || 'c' || chr(65279) || ' zw' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ' bell' || chr(7) || 'cr' || chr(13) || chr(10) || 'keep' ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN ' co' || chr(173) || 'operate shy' ELSE '' END)
+      |    AS text
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(text,
+      |      '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+      |      '[\x{0000}-\x{0008}\x{000B}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}\x{00AD}\x{2060}]', '', 'g') AS mapped,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]')) AS BIGINT) AS n_space_mapped,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[\x{0000}-\x{0008}\x{000B}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}\x{00AD}\x{2060}]')) AS BIGINT) AS n_dropped
+      |  FROM d)
+      |SELECT doc_id, n_space_mapped, n_dropped,
+      |  nfc_normalize(mapped) != mapped AS nfc_changed,
+      |  md5(nfc_normalize(mapped)) AS clean_hash
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // script_profile — codepoint-range writing-system detection
+  // (TextOps.scriptProfile): per-doc counts for six script classes plus
+  // the deterministic dominant label. Docs at %13 / %17 / %19 are
+  // REPLACED with pure CJK / Arabic / mixed Cyrillic-Hangul-Kana text
+  // (so non-Latin dominants actually occur); others get appended
+  // smatterings that move counts but not dominance.
+  // ---------------------------------------------------------------------
+  private[graft] val cjkSnippet = "数据处理引擎"
+  private[graft] val arabicSnippet =
+    "محرك البيانات"
+  private[graft] val cyrSnippet = "данные"
+  private[graft] val hangulSnippet = "한국어"
+  private[graft] val kanaSnippet = "データ"
+
+  /** The multi-script documents fixture shared by script_profile and
+    * script_segments: docs at %13 / %17 / %19 replaced with pure
+    * non-Latin text, others get appended snippets (multi-segment docs). */
+  private[graft] def scriptFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def opt(cond: Column, s0: String): Column =
+      when(cond, lit(s0)).otherwise(lit(""))
+    val appended = concat(col("text"),
+      opt(d % 4 === 0, " " + cjkSnippet),
+      opt(d % 6 === 0, " " + arabicSnippet),
+      opt(d % 9 === 0, " " + cyrSnippet + " " + kanaSnippet))
+    val grafted =
+      when(d % 13 === 0, lit(cjkSnippet + " " + cjkSnippet))
+        .otherwise(when(d % 17 === 0, lit(arabicSnippet))
+          .otherwise(when(d % 19 === 0,
+            lit(cyrSnippet + " " + hangulSnippet + " " + kanaSnippet))
+            .otherwise(appended)))
+    t(s, dir, "documents").select(d, grafted.as("text"))
+  }
+
+  /** The same fixture as a `d AS (...)` CTE body for the oracles (ASCII
+    * source discipline: snippets render as chr() concatenations). */
+  private[graft] val scriptFixtureCte: String = {
+    def chrs(str: String): String =
+      str.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
+    s"""d AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN ${chrs(cjkSnippet)} || ' ' || ${chrs(cjkSnippet)}
+       |         WHEN doc_id % 17 = 0 THEN ${chrs(arabicSnippet)}
+       |         WHEN doc_id % 19 = 0 THEN ${chrs(cyrSnippet)} || ' ' || ${chrs(hangulSnippet)} || ' ' || ${chrs(kanaSnippet)}
+       |         ELSE text
+       |          || (CASE WHEN doc_id % 4 = 0 THEN ' ' || ${chrs(cjkSnippet)} ELSE '' END)
+       |          || (CASE WHEN doc_id % 6 = 0 THEN ' ' || ${chrs(arabicSnippet)} ELSE '' END)
+       |          || (CASE WHEN doc_id % 9 = 0 THEN ' ' || ${chrs(cyrSnippet)} || ' ' || ${chrs(kanaSnippet)} ELSE '' END)
+       |    END AS text
+       |  FROM documents)""".stripMargin
+  }
+
+  def scriptProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.scriptProfile(scriptFixture(s, dir))
+      .orderBy("doc_id")
+
+  val scriptProfileSql: String = {
+    def cnt(range: String): String =
+      s"CAST(len(regexp_extract_all(text, '$range')) AS BIGINT)"
+    val l = cnt("[A-Za-z\\x{00C0}-\\x{024F}]")
+    val c = cnt("[\\x{0400}-\\x{04FF}]")
+    val a = cnt("[\\x{0600}-\\x{06FF}]")
+    val j = cnt("[\\x{4E00}-\\x{9FFF}]")
+    val h = cnt("[\\x{AC00}-\\x{D7AF}]")
+    val k = cnt("[\\x{3040}-\\x{30FF}]")
+    // concatenated, NOT interpolated into the margin block: the fixture
+    // contains `||` continuation lines a second stripMargin would mangle
+    s"WITH $scriptFixtureCte,\n" +
+    s"""
+       |n AS (SELECT doc_id,
+       |    $l AS n_latin, $c AS n_cyrillic, $a AS n_arabic,
+       |    $j AS n_cjk, $h AS n_hangul, $k AS n_kana
+       |  FROM d)
+       |SELECT doc_id, n_latin, n_cyrillic, n_arabic, n_cjk, n_hangul, n_kana,
+       |  CASE WHEN greatest(n_latin, n_cyrillic, n_arabic, n_cjk, n_hangul, n_kana) = 0 THEN 'none'
+       |       WHEN n_latin >= n_cyrillic AND n_latin >= n_arabic AND n_latin >= n_cjk AND n_latin >= n_hangul AND n_latin >= n_kana THEN 'latin'
+       |       WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_cjk AND n_cyrillic >= n_hangul AND n_cyrillic >= n_kana THEN 'cyrillic'
+       |       WHEN n_arabic >= n_cjk AND n_arabic >= n_hangul AND n_arabic >= n_kana THEN 'arabic'
+       |       WHEN n_cjk >= n_hangul AND n_cjk >= n_kana THEN 'cjk'
+       |       WHEN n_hangul >= n_kana THEN 'hangul'
+       |       ELSE 'kana' END AS dominant
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // script_segments — per-SPAN script segmentation (TextOps.scriptSegments)
+  // over the same multi-script fixture: maximal same-script codepoint runs
+  // with codepoint offsets, lossless (concat of segs rebuilds the doc).
+  // The oracle rebuilds the runs in SQL: per-codepoint classification +
+  // islands-and-gaps (lag-break + running sum), string_agg in position
+  // order — same rows, independently derived.
+  // ---------------------------------------------------------------------
+  def scriptSegments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.scriptSegments(scriptFixture(s, dir))
+      .orderBy("doc_id", "seg_idx")
+
+  val scriptSegmentsSql: String =
+    // concatenated, NOT interpolated (see scriptProfileSql margin note)
+    s"WITH $scriptFixtureCte,\n" +
+    s"""c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos FROM d),
+       |ch AS (SELECT doc_id, pos, text[pos] AS chs, unicode(text[pos]) AS cp FROM c),
+       |k AS (SELECT doc_id, pos, chs,
+       |  CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+       |            OR (cp BETWEEN 192 AND 591) THEN 'latin'
+       |       WHEN cp BETWEEN 1024 AND 1279 THEN 'cyrillic'
+       |       WHEN cp BETWEEN 1536 AND 1791 THEN 'arabic'
+       |       WHEN cp BETWEEN 19968 AND 40959 THEN 'cjk'
+       |       WHEN cp BETWEEN 44032 AND 55215 THEN 'hangul'
+       |       WHEN cp BETWEEN 12352 AND 12543 THEN 'kana'
+       |       ELSE 'other' END AS script
+       |  FROM ch),
+       |g AS (SELECT doc_id, pos, chs, script,
+       |  CASE WHEN script IS DISTINCT FROM
+       |    lag(script) OVER (PARTITION BY doc_id ORDER BY pos)
+       |    THEN 1 ELSE 0 END AS brk FROM k),
+       |i AS (SELECT doc_id, pos, chs, script,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_idx FROM g)
+       |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+       |  any_value(script) AS script,
+       |  CAST(min(pos) - 1 AS BIGINT) AS start_cp,
+       |  CAST(count(*) AS BIGINT) AS n_cp,
+       |  string_agg(chs, '' ORDER BY pos) AS seg
+       |FROM i GROUP BY doc_id, seg_idx ORDER BY doc_id, seg_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sentence_split — sentence segmentation with codepoint offsets
+  // (TextOps.sentenceSegments): the fixed two-codepoint-lookahead
+  // boundary rule (punct + space + uppercase/digit), lossless tiling.
+  // The fixture grafts sentence structure onto the punctuation-free
+  // corpus text, including the negative cases (lowercase continuation
+  // after '!', no trailing-boundary split). Oracle: per-codepoint lag /
+  // lead cut flags + islands.
+  // ---------------------------------------------------------------------
+  def sentenceSplit(s: SparkSession, dir: String): DataFrame = {
+    val stext = concat(
+      lit("Alpha head "),
+      col("text").substr(lit(1), (lit(15) + pmod(col("doc_id"), lit(9L))).cast("int")),
+      lit(". Second sentence number "), col("doc_id").cast("string"),
+      lit("! maybe lowercase continues? Or Does it. 9 starts a digit sentence. The end"))
+    graft.operators.TextOps.sentenceSegments(
+      t(s, dir, "documents").select(col("doc_id"), stext.as("text")))
+      .orderBy("doc_id", "sent_idx")
+  }
+
+  val sentenceSplitSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    'Alpha head ' || substr(text, 1, CAST(15 + doc_id % 9 AS INT))
+      |    || '. Second sentence number ' || CAST(doc_id AS VARCHAR)
+      |    || '! maybe lowercase continues? Or Does it. 9 starts a digit sentence. The end' AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos FROM d),
+      |ch AS (SELECT doc_id, pos, text[pos] AS chs FROM c),
+      |b AS (SELECT doc_id, pos, chs,
+      |  CASE WHEN chs = ' ' AND lag(chs, 1) OVER w IN ('.', '!', '?')
+      |        AND (lead(chs, 1) OVER w BETWEEN 'A' AND 'Z'
+      |             OR lead(chs, 1) OVER w BETWEEN '0' AND '9')
+      |       THEN 1 ELSE 0 END AS cut
+      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |i AS (SELECT doc_id, pos, chs,
+      |  1 + coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_idx
+      |  FROM b)
+      |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+      |  CAST(min(pos) - 1 AS BIGINT) AS start_cp,
+      |  CAST(count(*) AS BIGINT) AS n_cp,
+      |  string_agg(chs, '' ORDER BY pos) AS sentence
+      |FROM i GROUP BY doc_id, sent_idx ORDER BY doc_id, sent_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // seq_pack — GPT-style concat-and-chunk packing offsets
+  // (SequencePack.packOffsets): the exclusive token prefix sum in doc_id
+  // order as a two-pass distributed scan (range shuffle + per-partition
+  // totals + broadcast offsets), never a single-partition window. The
+  // oracle is the window spelling DuckDB can afford at oracle scale.
+  // ---------------------------------------------------------------------
+  def seqPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePack.packOffsets(
+      t(s, dir, "documents"), seqLen = 512,
+      nTokens = size(split(col("text"), " ")))
+      .orderBy("doc_id")
+
+  val seqPackSql: String =
+    """WITH s AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      |  FROM s)
+      |SELECT doc_id, n_tokens, tok_start,
+      |  tok_start // 512 AS seq_first,
+      |  CASE WHEN n_tokens = 0 THEN tok_start // 512
+      |       ELSE (tok_start + n_tokens - 1) // 512 END AS seq_last,
+      |  (CASE WHEN n_tokens = 0 THEN tok_start // 512
+      |        ELSE (tok_start + n_tokens - 1) // 512 END)
+      |    - tok_start // 512 AS n_splits
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // seq_pack_incremental — the standing-corpus packing form: history's
+  // total token count freezes as a one-row StageStore stage; a new batch
+  // (the same docs re-keyed +1e6, i.e. strictly after history in id
+  // order) packs at history_total + its own scan, landing in exactly the
+  // sequence ids a one-shot pack of history ++ batch would give.
+  // ---------------------------------------------------------------------
+  def seqPackIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    graft.operators.SequencePack.packOffsetsIncremental(
+      history = docs, batch = batch, seqLen = 512,
+      nTokens = size(split(col("text"), " ")),
+      stageLabel = Some(s"seqpack_hist_${StageStore.dirTag(dir)}"))
+      .orderBy("doc_id")
+  }
+
+  val seqPackIncrementalSql: String =
+    """WITH h AS (SELECT CAST(COALESCE(SUM(len(string_split(text, ' '))), 0)
+      |    AS BIGINT) AS ht FROM documents),
+      |b AS (SELECT doc_id + 1000000 AS doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |    (SELECT ht FROM h) + COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      |  FROM b)
+      |SELECT doc_id, n_tokens, tok_start,
+      |  tok_start // 512 AS seq_first,
+      |  CASE WHEN n_tokens = 0 THEN tok_start // 512
+      |       ELSE (tok_start + n_tokens - 1) // 512 END AS seq_last,
+      |  (CASE WHEN n_tokens = 0 THEN tok_start // 512
+      |        ELSE (tok_start + n_tokens - 1) // 512 END)
+      |    - tok_start // 512 AS n_splits
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // shard_shuffle — seeded deterministic global shuffle + shard assignment
+  // (ShardShuffle.assign): the reproducible training-order permutation.
+  // Portable dual-base polynomial key over "<seed>:<doc_id>", shard from
+  // the key mod nShards, dense in-shard position by key order.
+  // ---------------------------------------------------------------------
+  def shardShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ShardShuffle.assign(
+      t(s, dir, "documents"), nShards = 8, seed = 20260815L)
+      .orderBy("doc_id")
+
+  val shardShuffleSql: String = {
+    val key = "CAST('20260815:' || CAST(doc_id AS VARCHAR) AS VARCHAR)"
+    s"""WITH k AS (SELECT doc_id,
+       |    ${dkPoly(key, 31)} | (${dkPoly(key, 37)} << 31) AS h
+       |  FROM documents)
+       |SELECT doc_id, h % 8 AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // global_index — contiguous row numbering without the single-partition
+  // row_number() collapse (Layout.globalIndex: range shuffle stays n-way,
+  // zipWithIndex ships one long per partition).
+  // ---------------------------------------------------------------------
+  def globalIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.globalIndex(t(s, dir, "documents"), "doc_id")
+
+  val globalIndexSql: String =
+    """SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // zorder_key — Morton interleave of two dimensions as pure codegen
+  // arithmetic (Layout.zValue); sorting by it clusters both dimensions
+  // for min/max file pruning. The oracle replays the identical bit
+  // formula.
+  // ---------------------------------------------------------------------
+  def zorderKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      graft.operators.Layout.zValue(
+        pmod(col("l_partkey"), lit(1024L)),
+        pmod(col("l_suppkey"), lit(1024L))).as("z"))
+
+  val zorderKeySql: String = {
+    val z = graft.operators.Layout.zValueSql(
+      "(l_partkey % 1024)", "(l_suppkey % 1024)")
+    s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS z
+       |FROM lineitem""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // hilbert_key — Hilbert-curve layout key (functions.HilbertIndex, native
+  // codegen): same quantized dims as zorder_key, strictly better locality
+  // (consecutive keys are ALWAYS city-block neighbors; Morton jumps
+  // diagonally at every power-of-two boundary). The oracle replays the
+  // per-level quadrant-rotation algebra as a materialized CTE chain.
+  // ---------------------------------------------------------------------
+  def hilbertKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      graft.operators.Layout.hilbertValue(
+        pmod(col("l_partkey"), lit(256L)),
+        pmod(col("l_suppkey"), lit(256L)), 8).as("h"))
+
+  val hilbertKeySql: String = {
+    val ctes = graft.operators.Layout.hilbertSqlCtes(
+      "src", "l_partkey % 256", "l_suppkey % 256",
+      Seq("l_orderkey", "l_linenumber"), bits = 8)
+    s"""WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem),
+       |$ctes
+       |SELECT l_orderkey, l_linenumber, h FROM _hfin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // hilbert_locality — the measured argument for the key above
+  // (Layout.curveLocality): total/max city-block jump between
+  // curve-consecutive cells for row-major vs Z-order vs Hilbert over the
+  // distinct quantized cells of lineitem. Hilbert's total is the cell
+  // count minus one (every step is a neighbor) — the property the
+  // LayoutSpec pins on the full grid; smaller totals = fewer files a
+  // sorted write splits a 2-D neighborhood across.
+  // ---------------------------------------------------------------------
+  def hilbertLocality(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.curveLocality(
+      t(s, dir, "lineitem"),
+      pmod(col("l_partkey"), lit(64L)), pmod(col("l_suppkey"), lit(64L)),
+      bits = 6)
+
+  val hilbertLocalitySql: String = {
+    val ctes = graft.operators.Layout.hilbertSqlCtes(
+      "cells", "qx", "qy", Seq("qx", "qy"), bits = 6)
+    val z = graft.operators.Layout.zValueSql("qx", "qy", bits = 6)
+    def walk(curve: String): String =
+      s"""SELECT '$curve' AS curve,
+         |  CAST(count(*) + 1 AS BIGINT) AS n_cells,
+         |  CAST(sum(jump) AS BIGINT) AS total_jump,
+         |  CAST(max(jump) AS BIGINT) AS max_jump
+         |FROM (SELECT abs(qx - lag(qx) OVER (ORDER BY $curve)) +
+         |             abs(qy - lag(qy) OVER (ORDER BY $curve)) AS jump
+         |      FROM keyed) WHERE jump IS NOT NULL""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT DISTINCT CAST(l_partkey % 64 AS BIGINT) AS qx,
+       |    CAST(l_suppkey % 64 AS BIGINT) AS qy FROM lineitem),
+       |$ctes,
+       |keyed AS (SELECT qx, qy, qx * 64 + qy AS rowmajor,
+       |  CAST($z AS BIGINT) AS zorder, h AS hilbert FROM _hfin)
+       |${walk("rowmajor")}
+       |UNION ALL
+       |${walk("zorder")}
+       |UNION ALL
+       |${walk("hilbert")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // doc_chunks — overlapping sliding-window chunking (TextOps.docChunks):
+  // 32-token windows advancing by 16, map-only.
+  // ---------------------------------------------------------------------
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.docChunks(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  val docChunksSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws)-1, 16)) AS start FROM w)
+      |SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id,
+      |  CAST(start AS BIGINT) AS start_tok,
+      |  CAST(least(32, len(ws) - start) AS BIGINT) AS n_toks,
+      |  array_to_string(ws[start+1:start+least(32, len(ws) - start)], ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cdc_chunks — content-defined chunking (Cdc.chunks, the rsync/LBFS
+  // gear construction): boundaries where the rolling gear hash mod 2^6
+  // hits 0. Because the x2 shift kills terms older than 6 positions, the
+  // boundary rule is EXACTLY a weighted sum of the last 6 gear values —
+  // which is how the oracle replays it: six lagged window terms, then
+  // islands. Offsets in codepoints; concat of chunks rebuilds the doc.
+  // ---------------------------------------------------------------------
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.chunks(t(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private[graft] def cdcChunkCtes(src: String): String = {
+    val hv = graft.operators.Sketches.hexPrefixValSql("ghx")
+    val lags = (1 to 5).map(j =>
+      s"${1L << j} * coalesce(lag(g, $j) OVER w, 0)").mkString(" + ")
+    s"""c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos FROM $src),
+       |cch AS (SELECT doc_id, pos, text[pos] AS chs, unicode(text[pos]) AS cp FROM c),
+       |gh AS (SELECT doc_id, pos, chs, md5('gear' || CAST(cp AS VARCHAR)) AS ghx FROM cch),
+       |gvv AS (SELECT doc_id, pos, chs, CAST($hv AS BIGINT) % 64 AS g FROM gh),
+       |hh AS (SELECT doc_id, pos, chs,
+       |  (g + $lags) % 64 AS h
+       |  FROM gvv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |k AS (SELECT doc_id, pos, chs,
+       |  1 + coalesce(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) OVER
+       |    (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM hh),
+       |chunks AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(min(pos) - 1 AS BIGINT) AS start_cp,
+       |  CAST(count(*) AS BIGINT) AS n_cp,
+       |  string_agg(chs, '' ORDER BY pos) AS chunk
+       |  FROM k GROUP BY doc_id, chunk_idx)""".stripMargin
+  }
+
+  val cdcChunksSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |${cdcChunkCtes("d")}
+       |SELECT doc_id, chunk_idx, start_cp, n_cp, chunk
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cdc_dedup — recurring blocks across the corpus (Cdc.duplicateBlocks):
+  // every 7th doc is REWRITTEN as a doc-specific prefix + one fixed
+  // shared paragraph, so the shared run sits at a DIFFERENT offset in
+  // each doc — whole-doc hashing and fixed windows both miss it, CDC
+  // reports the same block digests regardless of position (the
+  // insertion-robustness argument, demonstrated rather than claimed).
+  // ---------------------------------------------------------------------
+  private[graft] val cdcSharedPara: String =
+    "the shared boilerplate paragraph that recurs across documents " +
+    "with entirely different prefixes and therefore at entirely " +
+    "different byte offsets which defeats any fixed window scheme " +
+    "but produces identical content defined chunks wherever it lands " +
+    "because boundaries depend only on the local bytes of the text"
+
+  private[graft] def cdcGraftedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("ins"), col("doc_id").cast("string"), lit(" "),
+          lit(cdcSharedPara)))
+        .otherwise(col("text")).as("text"))
+
+  private[graft] val cdcGraftCte: String =
+    s"""d AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0
+       |       THEN 'ins' || CAST(doc_id AS VARCHAR) || ' ' || '$cdcSharedPara'
+       |       ELSE text END AS text
+       |  FROM documents)""".stripMargin
+
+  def cdcDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.duplicateBlocks(cdcGraftedDocs(s, dir))
+      .orderBy("chunk_sha")
+
+  val cdcDedupSql: String =
+    s"""WITH $cdcGraftCte,
+       |${cdcChunkCtes("d")}
+       |SELECT sha256(chunk) AS chunk_sha,
+       |  COUNT(*) AS n_occ,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(min(n_cp) AS BIGINT) AS n_cp
+       |FROM chunks GROUP BY 1 HAVING COUNT(*) >= 2
+       |ORDER BY chunk_sha""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cdc_dedup_incremental — block-level containment of a NEW batch
+  // against history's persisted block-digest state (Cdc.knownBlockShare,
+  // StageStore files — history text never rescanned): per batch doc, the
+  // exact-ppm share of its content-defined blocks history already holds.
+  // Batch docs at %21==0 are prefix+shared-paragraph re-posts of material
+  // history's %7 docs carry at different offsets — they score high while
+  // their whole-doc digests are all novel (the CDC argument, incremental
+  // form).
+  // ---------------------------------------------------------------------
+  def cdcDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val grafted = cdcGraftedDocs(s, dir)
+    val history = grafted.filter(col("doc_id") % 3 =!= 0)
+    val batch = grafted.filter(col("doc_id") % 3 === 0)
+    val tag = graft.StageStore.dirTag(dir)
+    val digs = graft.StageStore.materialize(
+      graft.operators.Cdc.blockDigests(history), s"cdcinc_blocks_$tag")
+    graft.operators.Cdc.knownBlockShare(batch, digs).orderBy("doc_id")
+  }
+
+  val cdcDedupIncrementalSql: String =
+    s"""WITH $cdcGraftCte,
+       |${cdcChunkCtes("d")},
+       |hist AS (SELECT DISTINCT sha256(chunk) AS chunk_sha FROM chunks
+       |  WHERE doc_id % 3 <> 0),
+       |b AS (SELECT doc_id, sha256(chunk) AS chunk_sha FROM chunks
+       |  WHERE doc_id % 3 = 0)
+       |SELECT b.doc_id, COUNT(*) AS n_blocks,
+       |  CAST(sum(CASE WHEN h.chunk_sha IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+       |  CAST(sum(CASE WHEN h.chunk_sha IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS known_ppm
+       |FROM b LEFT JOIN hist h ON b.chunk_sha = h.chunk_sha
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cdc_containment — DOCUMENT-level block containment
+  // (Cdc.containmentPairs, the bridge between CDC block units and
+  // NearDup's shingle containment): per ordered doc pair, the exact-ppm
+  // share of the first doc's distinct content-defined blocks the second
+  // also carries. Fixture: every %5 doc becomes a unique wrapper with the
+  // NEXT doc's text pasted whole inside — the pasted doc's interior
+  // blocks survive the offset shift, so the (contained, host) pair
+  // scores high while whole-doc digests and fixed windows see nothing.
+  // Hot digests (> 64 holders — true boilerplate, the CC-cluster regime)
+  // are excluded from pairing; single-holder digests are dropped before
+  // the shuffle. Only 32-byte digests ever shuffle — one join key per
+  // ~2^6-codepoint block, where shingling pays one key per position.
+  // ---------------------------------------------------------------------
+  private[graft] def cdcPasteDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inner = d.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("_inner"))
+    d.join(inner, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0 && col("_inner").isNotNull,
+          concat(lit("wrap"), col("doc_id").cast("string"), lit(" "),
+            col("_inner"), lit(" end"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+  }
+
+  private[graft] val cdcPasteCte: String =
+    """d AS (SELECT d0.doc_id,
+      |  CASE WHEN d0.doc_id % 5 = 0 AND i.text IS NOT NULL
+      |       THEN 'wrap' || CAST(d0.doc_id AS VARCHAR) || ' ' || i.text ||
+      |            ' end' || CAST(d0.doc_id AS VARCHAR)
+      |       ELSE d0.text END AS text
+      |  FROM documents d0 LEFT JOIN documents i
+      |    ON i.doc_id = d0.doc_id + 1)""".stripMargin
+
+  def cdcContainment(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.containmentPairs(cdcPasteDocs(s, dir),
+        minSharePpm = 250000L)
+      .orderBy("doc_id", "other_id")
+
+  val cdcContainmentSql: String =
+    s"""WITH $cdcPasteCte,
+       |${cdcChunkCtes("d")},
+       |bl AS (SELECT DISTINCT doc_id, sha256(chunk) AS chunk_sha FROM chunks),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks FROM bl GROUP BY 1),
+       |fr AS (SELECT chunk_sha FROM bl GROUP BY 1
+       |       HAVING COUNT(*) BETWEEN 2 AND 64),
+       |kb AS (SELECT bl.doc_id, bl.chunk_sha FROM bl JOIN fr USING (chunk_sha)),
+       |p AS (SELECT a.doc_id AS doc_id, b.doc_id AS other_id,
+       |        CAST(COUNT(*) AS BIGINT) AS n_shared
+       |      FROM kb a JOIN kb b
+       |        ON a.chunk_sha = b.chunk_sha AND a.doc_id <> b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT p.doc_id, p.other_id, sz.n_blocks, p.n_shared,
+       |  CAST(p.n_shared * 1000000 // sz.n_blocks AS BIGINT) AS share_ppm
+       |FROM p JOIN sz ON p.doc_id = sz.doc_id
+       |WHERE p.n_shared * 1000000 // sz.n_blocks >= 250000
+       |ORDER BY p.doc_id, p.other_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // grouping_sets_agg — explicit GROUPING SETS (the general form rollup
+  // and cube specialize): per-flag totals, per-status totals, and the
+  // grand total in ONE shuffle (Catalyst expands to a single Expand +
+  // aggregate, not three scans).
+  // ---------------------------------------------------------------------
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val groupingSetsAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // pivot_agg — long-to-wide reshaping with an explicit value list (no
+  // discovery pass over the data; at 100 TB the two-pass .pivot(col)
+  // overload would scan once just to enumerate columns). One shuffle.
+  // ---------------------------------------------------------------------
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .withColumnRenamed("F", "total_f")
+      .withColumnRenamed("O", "total_o")
+      .withColumnRenamed("P", "total_p")
+      .orderBy("o_orderpriority")
+
+  val pivotAggSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // percentile_profile — exact interpolated percentiles per group.
+  // Uses the builtin exact `percentile` aggregate (same linear
+  // interpolation as DuckDB's quantile_cont: v_lo + (v_hi-v_lo)*frac at
+  // position p*(n-1)). Group count is tiny (5 langs) so the per-group
+  // value buffer is safe; for high-cardinality groups at 100 TB the
+  // approx_percentile sketch is the scale path (spec-checked against
+  // this exact result within its error bound).
+  // ---------------------------------------------------------------------
+  def percentileProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.9)).as("p90"),
+        percentile(col("n_chars"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  val percentileProfileSql: String =
+    """SELECT lang,
+      |  quantile_cont(n_chars, 0.5) AS p50,
+      |  quantile_cont(n_chars, 0.9) AS p90,
+      |  quantile_cont(n_chars, 0.99) AS p99,
+      |  COUNT(*) AS n
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // histogram_bins — fixed-width histogram of a measure: one map-side
+  // bin computation + one groupBy on the bin id (bins ≪ rows, so the
+  // shuffle carries only partial counts per bin). floor(value/width) is
+  // a single IEEE division — deterministic across engines.
+  // ---------------------------------------------------------------------
+  def histogramBins(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(floor(col("value") / lit(25.0)).as("bin"), col("value"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+      .orderBy("bin")
+
+  val histogramBinsSql: String =
+    """SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin, COUNT(*) AS n,
+      |  MIN(value) AS lo, MAX(value) AS hi
+      |FROM events GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // inverted_index — token → (document frequency, capped postings list)
+  // over the corpus: the retrieval-index build primitive. explode →
+  // distinct → groupBy(token); the shuffle key is the token. Postings are
+  // the 20 SMALLEST doc ids per token, selected with the bounded KMinPairs
+  // aggregate (partial-aggregatable ≤20-entry ordered set): each map task
+  // folds to at most 20 ids per token BEFORE the exchange, so a hot
+  // stopword token shuffles ≤ 20×partitions ids and no reducer ever
+  // materializes the full postings list (collect_list would). The df floor
+  // prunes the hapax long tail before output.
+  // ---------------------------------------------------------------------
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(
+            graft.functions.KMinPairs.kminPairs(col("doc_id"), lit(""), 20),
+            p => p.getField("hv").cast("string")),
+          ",").as("postings"))
+      .filter(col("df") >= 10)
+      .orderBy("token")
+
+  val invertedIndexSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE t <> '')
+      |SELECT token, COUNT(*) AS df,
+      |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
+      |FROM tok GROUP BY token HAVING COUNT(*) >= 10 ORDER BY token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // token_cooccur — co-occurrence lift over the top-50 vocabulary:
+  // lift = P(a,b)/(P(a)P(b)) as one exact double expression (log-free so
+  // both engines agree bit-for-bit). The vocabulary is restricted BEFORE
+  // the per-document pairing, so the self-join blows up on ≤50 tokens per
+  // doc, not the full vocabulary; vocab and the corpus count broadcast.
+  // ---------------------------------------------------------------------
+  def tokenCooccur(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(50)
+    val tv = toks.join(broadcast(vocab), "token")
+    val a = tv.select(col("doc_id"), col("token").as("tok_a"), col("df").as("df_a"))
+    val b = tv.select(col("doc_id"), col("token").as("tok_b"), col("df").as("df_b"))
+    val pairs = a.join(b, "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b", "df_a", "df_b")
+      .agg(count(lit(1)).as("pair_n"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("pair_n"),
+        ((col("pair_n").cast("double") * col("n_docs")) /
+          (col("df_a") * col("df_b"))).as("lift"))
+      .orderBy(col("pair_n").desc, col("tok_a"), col("tok_b"))
+      .limit(100)
+  }
+
+  val tokenCooccurSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE t <> ''),
+      |freq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+      |vocab AS (SELECT token, df FROM freq ORDER BY df DESC, token LIMIT 50),
+      |tv AS (SELECT tok.doc_id, tok.token, vocab.df FROM tok JOIN vocab USING (token)),
+      |pairs AS (SELECT a.token AS tok_a, b.token AS tok_b, a.df AS df_a, b.df AS df_b,
+      |    COUNT(*) AS pair_n
+      |  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+      |  GROUP BY 1, 2, 3, 4),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT tok_a, tok_b, pair_n,
+      |  (CAST(pair_n AS DOUBLE) * n_docs) / (df_a * df_b) AS lift
+      |FROM pairs, n ORDER BY pair_n DESC, tok_a, tok_b LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // textrank_keywords — TextRank (Mihalcea & Tarau EMNLP'04): weighted
+  // integer-exact PageRank over the token co-occurrence graph
+  // (operators/TextRank.scala) — the unsupervised keyword-extraction
+  // slot, and the same centrality a crawl pipeline runs over its domain
+  // graph to prioritize sources. Every rank is an exact BIGINT (floor
+  // divisions replay via DuckDB `//`); the oracle unrolls all 8 rounds.
+  // ---------------------------------------------------------------------
+  def textrankKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.keywords(t(s, dir, "documents"))
+
+  val textrankKeywordsSql: String = graft.operators.TextRank.keywordsSql()
+
+  // ---------------------------------------------------------------------
+  // edit_distance_pairs — character-level near-duplicates by EXACT
+  // thresholded Levenshtein: candidates come from the PassJoin pigeonhole
+  // (operators/EditDist.scala — one of the shorter prefix's k+1 pieces
+  // must appear exactly, shift-bounded, in the partner), then the
+  // thresholded levenshtein(…, 8) kernel early-exits as soon as the
+  // distance exceeds the cap (O(k·min(m,n)) not O(m·n)). A (lang,
+  // length-band) blocking key was measured QUADRATIC (bucket populations
+  // grow with the corpus: warm 5.4 s at 10x the fixture, 171.7 s at 50x);
+  // the content-anchored pieces keep candidates tracking the true
+  // near-dup density. Distance is on the 256-char ASCII projection —
+  // DuckDB's levenshtein counts BYTES (café→cafe = 2) while Spark counts
+  // CHARS, so parity requires the projection anyway, and it bounds the
+  // DP cost per pair. The oracle stays the all-pairs form: the hash gate
+  // proves the pigeonhole lossless on the fixture.
+  // ---------------------------------------------------------------------
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("a"))
+      .withColumn("alen", length(col("a")))
+    graft.operators.EditDist.pairs(docs, k = 8, prefixLen = 256)
+      .orderBy("id_a", "id_b")
+  }
+
+  val editDistancePairsSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS a,
+      |    length(regexp_replace(text, '[^\x20-\x7e]', '', 'g')) AS alen
+      |  FROM documents),
+      |banded AS (SELECT doc_id, lang, a, alen,
+      |    CAST(floor(alen / 16) AS BIGINT) + u.off AS band
+      |  FROM d, (VALUES (0), (-1)) u(off)),
+      |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |    levenshtein(substring(x.a, 1, 256), substring(y.a, 1, 256)) AS dist
+      |  FROM banded x JOIN banded y ON x.lang = y.lang AND x.band = y.band
+      |  WHERE x.doc_id < y.doc_id AND abs(x.alen - y.alen) <= 8)
+      |SELECT DISTINCT id_a, id_b, dist FROM pairs WHERE dist <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // funnel_conversion — strictly-ordered funnel (view → click → purchase)
+  // per user: stage k's timestamp is the MIN event AFTER stage k-1's.
+  // Three stacked window passes share ONE partitionBy(user_id) exchange
+  // (no orderBy → whole-partition frame, no sort); the per-user collapse
+  // and stage unpivot are a groupBy + stack, so the only shuffle keyed on
+  // users is the window exchange itself.
+  // ---------------------------------------------------------------------
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val staged = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+    staged.agg(
+      count(col("t1")).as("view_users"),
+      count(col("t2")).as("click_users"),
+      count(col("t3")).as("purchase_users"))
+      .selectExpr("stack(3, 1, 'view', view_users, 2, 'click', click_users, " +
+        "3, 'purchase', purchase_users) AS (stage_idx, stage, users)")
+      .orderBy("stage_idx")
+  }
+
+  val funnelConversionSql: String =
+    """WITH w1 AS (SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1 FROM events),
+      |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t3 FROM w2),
+      |u AS (SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+      |    any_value(t3) AS t3 FROM w3 GROUP BY user_id)
+      |SELECT stage_idx, stage, users FROM (
+      |  SELECT 1 AS stage_idx, 'view' AS stage, COUNT(t1) AS users FROM u
+      |  UNION ALL SELECT 2, 'click', COUNT(t2) FROM u
+      |  UNION ALL SELECT 3, 'purchase', COUNT(t3) FROM u)
+      |ORDER BY stage_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // corr_profile — Pearson correlation from EXACT decimal moments: the
+  // builtin corr() accumulates doubles in partition order (never
+  // reproducible across engines or even runs), so the moments
+  // (n, Σx, Σy, Σx², Σy², Σxy) aggregate as decimals — exact and
+  // associative, safe under any shuffle schedule — and the final
+  // correlation is one deterministic double expression on top.
+  // ---------------------------------------------------------------------
+  def corrProfile(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val m = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast("decimal(38,4)")).as("sxx"),
+        sum((y * y).cast("decimal(38,4)")).as("syy"),
+        sum((x * y).cast("decimal(38,4)")).as("sxy"))
+    val (n, sx, sy, sxx, syy, sxy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"),
+      col("sxy").cast("double"))
+    m.select(col("l_returnflag"), col("n"),
+      ((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val corrProfileSql: String =
+    """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // quantile_bins — discretize a measure into quartiles by BROADCAST
+  // cutoffs: the exact percentiles reduce to one 1-row frame, attach to
+  // every row for free (broadcast nested-loop over a single row), and
+  // binning is a map-side CASE — no ntile() global sort, which is the
+  // naive formulation that cannot scale past one task.
+  // ---------------------------------------------------------------------
+  def quantileBins(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cuts = docs.agg(
+      percentile(col("n_chars"), lit(0.25)).as("c1"),
+      percentile(col("n_chars"), lit(0.5)).as("c2"),
+      percentile(col("n_chars"), lit(0.75)).as("c3"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") <= col("c1"), lit(0))
+          .when(col("n_chars") <= col("c2"), lit(1))
+          .when(col("n_chars") <= col("c3"), lit(2))
+          .otherwise(lit(3)).as("bin"))
+      .orderBy("doc_id")
+  }
+
+  val quantileBinsSql: String =
+    """WITH c AS (SELECT quantile_cont(n_chars, 0.25) AS c1,
+      |    quantile_cont(n_chars, 0.5) AS c2,
+      |    quantile_cont(n_chars, 0.75) AS c3 FROM documents)
+      |SELECT doc_id, n_chars,
+      |  CASE WHEN n_chars <= c1 THEN 0 WHEN n_chars <= c2 THEN 1
+      |       WHEN n_chars <= c3 THEN 2 ELSE 3 END AS bin
+      |FROM documents, c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+}

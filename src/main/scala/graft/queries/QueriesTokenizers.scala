@@ -1,0 +1,1252 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Queries registry segment: vocab/BPE/unigram/wordpiece, CMS/quantile sketches and mixture planning.
+  * Split from the monolithic Queries.scala (r17); member order and
+  * the mixin order in [[Queries]] preserve the original top-to-bottom
+  * val initialization sequence. */
+trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
+  // vocab_build / vocab_encode — the tokenizer-prep pair (Vocab.build /
+  // Vocab.encode): frequency-ranked (token → id) table with a min-count
+  // cutoff, then every doc rendered as its id sequence (OOV → 0),
+  // content-addressed by md5 so the artifact stays small. Vocab ranking
+  // sorts the VOCAB-bounded count table (range exchange + zipWithIndex,
+  // no single-partition window); encoding broadcasts the vocab.
+  // ---------------------------------------------------------------------
+  def vocabBuild(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.build(
+        t(s, dir, "documents").select(col("text")), minCount = 5L)
+      .orderBy("vid")
+
+  val vocabBuildSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token HAVING COUNT(*) >= 5)
+      |SELECT token, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vid
+      |FROM c ORDER BY vid""".stripMargin
+
+  def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Vocab.encode(
+        docs, graft.operators.Vocab.build(docs, minCount = 5L))
+      .orderBy("doc_id")
+  }
+
+  val vocabEncodeSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |allt AS (SELECT unnest(ws) AS token FROM w),
+      |v AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS vid
+      |      FROM (SELECT token, COUNT(*) AS cnt FROM allt GROUP BY token
+      |            HAVING COUNT(*) >= 5)),
+      |tok AS (SELECT doc_id,
+      |          unnest(CAST(generate_series(1, len(ws)) AS BIGINT[])) AS pos,
+      |          unnest(ws) AS token FROM w),
+      |e AS (SELECT doc_id, pos, COALESCE(v.vid, 0) AS vid
+      |      FROM tok LEFT JOIN v USING (token))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  md5(array_to_string(list(CAST(vid AS VARCHAR) ORDER BY pos), ',')) AS ids_hash
+      |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cms_topk — Count-Min sketch estimates vs truth for the head tokens
+  // (CountMin.table/estimate): est = min over 4 row-salted 256-bucket
+  // sums, always ≥ the true count. The sketch build reduces each
+  // partition to ≤ 1024 rows map-side; the estimate join broadcasts the
+  // sketch.
+  // ---------------------------------------------------------------------
+  def cmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("text"))
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(20)
+    graft.operators.CountMin.estimate(
+        top.select("token"), graft.operators.CountMin.table(docs))
+      .join(top, "token")
+      .select(col("token"), col("cnt").cast("long").as("cnt"), col("est"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val cmsTopkSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cms AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b,
+      |          SUM(cnt) AS s
+      |        FROM c CROSS JOIN rr GROUP BY r, b),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20),
+      |k AS (SELECT token, r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b
+      |      FROM top CROSS JOIN rr)
+      |SELECT token, cnt, est FROM (
+      |  SELECT top.token AS token, CAST(top.cnt AS BIGINT) AS cnt,
+      |    CAST(MIN(cms.s) AS BIGINT) AS est
+      |  FROM k JOIN cms USING (r, b) JOIN top USING (token)
+      |  GROUP BY top.token, top.cnt)
+      |ORDER BY cnt DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cms_merge — the sketch's shard-merge law, verified by hash: two
+  // sketches built over a disjoint source split of the corpus, merged by
+  // (r, b) summation, probed for the top-10 tokens — the oracle replays
+  // the ONE-SHOT sketch over the whole corpus, so the hash match IS the
+  // proof that per-shard builds compose exactly (the 1000-executor
+  // pattern: every shard sketches locally, 1024 rows each meet in one
+  // tiny shuffle).
+  // ---------------------------------------------------------------------
+  def cmsMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("source"), col("text"))
+    val half = substring(md5(col("source")), 1, 1) < lit("8")
+    val merged = graft.operators.CountMin.merge(Seq(
+      graft.operators.CountMin.table(docs.filter(half)),
+      graft.operators.CountMin.table(docs.filter(!half))))
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(10)
+    graft.operators.CountMin.estimate(top.select("token"), merged)
+      .join(top, "token")
+      .select(col("token"), col("cnt").cast("long").as("cnt"), col("est"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val cmsMergeSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cms AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b,
+      |          SUM(cnt) AS s
+      |        FROM c CROSS JOIN rr GROUP BY r, b),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 10),
+      |k AS (SELECT token, r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b
+      |      FROM top CROSS JOIN rr)
+      |SELECT token, cnt, est FROM (
+      |  SELECT top.token AS token, CAST(top.cnt AS BIGINT) AS cnt,
+      |    CAST(MIN(cms.s) AS BIGINT) AS est
+      |  FROM k JOIN cms USING (r, b) JOIN top USING (token)
+      |  GROUP BY top.token, top.cnt)
+      |ORDER BY cnt DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cms_stream — the Count-Min sketch as a STREAMING aggregate: heavy-user
+  // detection over the events stream with state bounded at d·256 rows
+  // regardless of stream length (the sketch is the poster child for
+  // complete-mode aggregation — most streaming groupBys grow state with
+  // key cardinality; this one's key space is the fixed (r, b) grid).
+  // Probes the drained sketch for the top-10 users; the oracle replays
+  // the batch build, so the hash match proves stream == batch.
+  // ---------------------------------------------------------------------
+  def cmsStream(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val stream = graft.streaming.EventsStream.fromParquetDir(s, dir)
+    val rows = stream
+      .select(col("user_id").cast("string").as("token"))
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          substring(md5(concat(lit(s"$r:"), col("token"))), 1, 2).as("b"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("s"))
+    val qname = "cms_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = rows.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val cms = s.table(qname)
+    val counts = Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(10)
+    graft.operators.CountMin.estimate(top.select("token"), cms, d)
+      .join(top, "token")
+      .select(col("token"), col("cnt").cast("long").as("cnt"), col("est"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val cmsStreamSql: String =
+    """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS token, COUNT(*) AS cnt
+      |           FROM events GROUP BY token),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cms AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b,
+      |          SUM(cnt) AS s
+      |        FROM c CROSS JOIN rr GROUP BY r, b),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 10),
+      |k AS (SELECT token, r, substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 2) AS b
+      |      FROM top CROSS JOIN rr)
+      |SELECT token, cnt, est FROM (
+      |  SELECT top.token AS token, CAST(top.cnt AS BIGINT) AS cnt,
+      |    CAST(MIN(cms.s) AS BIGINT) AS est
+      |  FROM k JOIN cms USING (r, b) JOIN top USING (token)
+      |  GROUP BY top.token, top.cnt)
+      |ORDER BY cnt DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // quantile_sketch — mergeable bin-histogram quantiles
+  // (HistQuantile): two histograms built over a disjoint user split of
+  // events, merged by (type, bin) summation, then p50/p90/p99 of value
+  // per event_type read off the merged histogram. The oracle replays the
+  // ONE-SHOT histogram, so the hash match proves shard mergeability (the
+  // same law cms_merge pins for counts, here for quantiles); the
+  // cumulative window runs over bin-bounded histogram rows, never raw
+  // events.
+  // ---------------------------------------------------------------------
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val w = 0.25
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value"))
+    val merged = graft.operators.HistQuantile.merge("event_type", Seq(
+      graft.operators.HistQuantile.histogram(
+        ev.filter(col("user_id") % 2 === 0), "event_type", "value", w),
+      graft.operators.HistQuantile.histogram(
+        ev.filter(col("user_id") % 2 =!= 0), "event_type", "value", w)))
+    graft.operators.HistQuantile.quantiles(
+        merged, "event_type", Seq(0.5, 0.9, 0.99), w)
+      .orderBy("event_type", "q")
+  }
+
+  val quantileSketchSql: String =
+    """WITH h AS (SELECT event_type, CAST(floor(value / 0.25) AS BIGINT) AS bin,
+      |             COUNT(*) AS cnt
+      |           FROM events GROUP BY event_type, bin),
+      |c AS (SELECT event_type, bin, cnt,
+      |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |        SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |      FROM h),
+      |q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+      |                     CAST(0.99 AS DOUBLE)]) AS q)
+      |SELECT event_type, q, CAST(MIN(bin) AS BIGINT) AS bin,
+      |  CAST(MIN(bin) AS DOUBLE) * 0.25 AS p_lo
+      |FROM c CROSS JOIN q
+      |WHERE cum >= ceil(q * n)
+      |GROUP BY event_type, q
+      |ORDER BY event_type, q""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // vocab_encode_incremental — the production encode: a NEW shard is
+  // tokenized with YESTERDAY'S persisted vocab (frequency ids must stay
+  // stable across shards or the ids in already-written training data go
+  // stale). The vocab table is built once over the history split and
+  // StageStore-materialized; the encode plan reads the vocab from FILES
+  // (one documents scan: the new shard's — pinned in VocabSpec). Oracle
+  // recomputes the history vocab in SQL and encodes the new shard.
+  // ---------------------------------------------------------------------
+  def vocabEncodeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val vocab = StageStore.materialize(
+      graft.operators.Vocab.build(history, minCount = 5L),
+      s"vocab_hist_${StageStore.dirTag(dir)}")
+    graft.operators.Vocab.encode(batch, vocab).orderBy("doc_id")
+  }
+
+  val vocabEncodeIncrementalSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ht AS (SELECT unnest(ws) AS token FROM w WHERE doc_id % 3 <> 0),
+      |v AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS vid
+      |      FROM (SELECT token, COUNT(*) AS cnt FROM ht GROUP BY token
+      |            HAVING COUNT(*) >= 5)),
+      |tok AS (SELECT doc_id,
+      |          unnest(CAST(generate_series(1, len(ws)) AS BIGINT[])) AS pos,
+      |          unnest(ws) AS token FROM w WHERE doc_id % 3 = 0),
+      |e AS (SELECT doc_id, pos, COALESCE(v.vid, 0) AS vid
+      |      FROM tok LEFT JOIN v USING (token))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  md5(array_to_string(list(CAST(vid AS VARCHAR) ORDER BY pos), ',')) AS ids_hash
+      |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // rolling_quantile_persisted — trailing-7-day p90 of event value from
+  // PERSISTED daily histograms (the monitoring companion of
+  // rolling_distinct_persisted): one events scan builds ≤ bins rows per
+  // day into StageStore files; the window query is a calendar range join
+  // + (anchor, bin) summation over HISTOGRAM FILES — the raw events never
+  // rescan, and yesterday's files never recompute. Mergeability is
+  // HistQuantile's sum-monoid law (pinned by quantile_sketch).
+  // ---------------------------------------------------------------------
+  def rollingQuantilePersisted(s: SparkSession, dir: String): DataFrame = {
+    val w = 0.25
+    val ev = Tables.events(s, dir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("value"))
+    val hist = StageStore.materialize(
+      graft.operators.HistQuantile.histogram(ev, "day", "value", w),
+      s"hist_days_${StageStore.dirTag(dir)}")
+    val anchors = hist.select(col("day").as("anchor")).distinct()
+    val win = to_date(col("day")).between(
+      date_sub(to_date(col("anchor")), 6), to_date(col("anchor")))
+    val merged = anchors.join(hist, win)
+      .groupBy(col("anchor"), col("bin"))
+      .agg(sum("cnt").cast("long").as("cnt"))
+    graft.operators.HistQuantile.quantiles(merged, "anchor", Seq(0.9), w)
+      .orderBy("anchor")
+  }
+
+  val rollingQuantilePersistedSql: String =
+    """WITH h AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |             CAST(floor(value / 0.25) AS BIGINT) AS bin, COUNT(*) AS cnt
+      |           FROM events GROUP BY day, bin),
+      |d AS (SELECT DISTINCT day AS anchor FROM h),
+      |wj AS (SELECT anchor, bin, SUM(cnt) AS cnt
+      |       FROM d JOIN h ON CAST(h.day AS DATE)
+      |         BETWEEN CAST(anchor AS DATE) - INTERVAL 6 DAY AND CAST(anchor AS DATE)
+      |       GROUP BY anchor, bin),
+      |c AS (SELECT anchor, bin, cnt,
+      |        SUM(cnt) OVER (PARTITION BY anchor ORDER BY bin) AS cum,
+      |        SUM(cnt) OVER (PARTITION BY anchor) AS n
+      |      FROM wj)
+      |SELECT anchor, CAST(0.9 AS DOUBLE) AS q, CAST(MIN(bin) AS BIGINT) AS bin,
+      |  CAST(MIN(bin) AS DOUBLE) * 0.25 AS p_lo
+      |FROM c WHERE cum >= ceil(CAST(0.9 AS DOUBLE) * n)
+      |GROUP BY anchor ORDER BY anchor""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // media_phash — perceptual image hashing (Media.dHash) + dup grouping:
+  // the multimodal arm of the dedup family. The oracle re-derives the
+  // 9×8 resample and the 64 brightness comparisons from the hex rendering
+  // of the same payload bytes, proving the binary → decode → hash chain
+  // end to end (the mediaFrames replay technique).
+  // ---------------------------------------------------------------------
+  def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.multimodal.Media.dHash(
+        graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy("phash")))
+      .orderBy("media_id")
+  }
+
+  val mediaPhashSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
+      |    octet_length(encode(text)) AS blen,
+      |    CAST(16 + doc_id % 64 AS INTEGER) AS w,
+      |    CAST(16 + doc_id % 48 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT media_id,
+      |    [CASE WHEN ((i // 9) * h // 8) * w + ((i % 9) * w // 9) < blen
+      |       THEN (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 1, 1)) - 1) * 16
+      |          + (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 2, 1)) - 1)
+      |       ELSE 0 END for i in generate_series(0, 71)] AS p
+      |  FROM m),
+      |hb AS (SELECT media_id,
+      |    array_to_string([CASE WHEN p[(i // 8) * 9 + (i % 8) + 2] >
+      |                               p[(i // 8) * 9 + (i % 8) + 1]
+      |                          THEN '1' ELSE '0' END
+      |                     for i in generate_series(0, 63)], '') AS phash
+      |  FROM px)
+      |SELECT media_id, phash,
+      |  COUNT(*) OVER (PARTITION BY phash) AS n_same
+      |FROM hb ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // media_near_dup — image near-dup pairs over the dHash table
+  // (Media.phashNearDup): pigeonhole banding on the 64-char hash string +
+  // exact Hamming verify, the image arm of the near-dup family. The
+  // fixture's organic pairs are exact duplicates (hamming 0), so the
+  // query grafts near twins IN BOTH ENGINES: each %5 image gains a copy
+  // (id + 1000000) with the bit set {doc_id%64, doc_id*7%64} flipped —
+  // hamming 1 or 2, inside the banding guarantee.
+  // ---------------------------------------------------------------------
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = graft.multimodal.Media.dHash(
+      graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
+    val p1 = (col("media_id") % 64) + 1
+    val p2 = ((col("media_id") * 7) % 64) + 1
+    val chars = split(col("phash"), "")
+    val flipped = array_join(transform(sequence(lit(1), lit(64)), i => {
+      val ch = element_at(chars, i)
+      when(i === p1 || i === p2,
+        when(ch === "1", lit("0")).otherwise(lit("1"))).otherwise(ch)
+    }), "")
+    val twins = hashes.filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 1000000L).as("media_id"),
+        flipped.as("phash"))
+    graft.multimodal.Media.phashNearDup(hashes.unionByName(twins), maxDist = 3)
+      .orderBy("media_a", "media_b")
+  }
+
+  val mediaNearDupSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
+      |    octet_length(encode(text)) AS blen,
+      |    CAST(16 + doc_id % 64 AS INTEGER) AS w,
+      |    CAST(16 + doc_id % 48 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT media_id,
+      |    [CASE WHEN ((i // 9) * h // 8) * w + ((i % 9) * w // 9) < blen
+      |       THEN (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 1, 1)) - 1) * 16
+      |          + (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 2, 1)) - 1)
+      |       ELSE 0 END for i in generate_series(0, 71)] AS p
+      |  FROM m),
+      |hb AS (SELECT media_id,
+      |    array_to_string([CASE WHEN p[(i // 8) * 9 + (i % 8) + 2] >
+      |                               p[(i // 8) * 9 + (i % 8) + 1]
+      |                          THEN '1' ELSE '0' END
+      |                     for i in generate_series(0, 63)], '') AS phash
+      |  FROM px),
+      |tw AS (SELECT hb.media_id + 1000000 AS media_id,
+      |    array_to_string([CASE WHEN i = (hb.media_id % 64) + 1
+      |                            OR i = ((hb.media_id * 7) % 64) + 1
+      |                          THEN (CASE WHEN substr(hb.phash, CAST(i AS INT), 1) = '1'
+      |                                     THEN '0' ELSE '1' END)
+      |                          ELSE substr(hb.phash, CAST(i AS INT), 1) END
+      |                     for i in generate_series(1, 64)], '') AS phash
+      |  FROM hb WHERE hb.media_id % 5 = 0),
+      |u AS (SELECT * FROM hb UNION ALL SELECT * FROM tw),
+      |b AS (SELECT media_id, phash, band_id,
+      |    substr(phash, band_id * 16 + 1, 16) AS band_val
+      |  FROM u CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id)),
+      |pr AS (SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b,
+      |    l.phash AS pa, r.phash AS pb
+      |  FROM b l JOIN b r ON l.band_id = r.band_id
+      |    AND l.band_val = r.band_val AND l.media_id < r.media_id),
+      |hm AS (SELECT media_a, media_b,
+      |    CAST(len([i for i in generate_series(1, 64)
+      |              if substr(pa, CAST(i AS INT), 1) != substr(pb, CAST(i AS INT), 1)]) AS BIGINT) AS hamming
+      |  FROM pr)
+      |SELECT media_a, media_b, hamming FROM hm
+      |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // media_near_dup_incremental — the production cadence of image dedup
+  // (Media.phashNearDupIncremental): the twin shard (id + 1000000,
+  // bit-flipped hashes) bands against YESTERDAY'S persisted hash table
+  // read from StageStore FILES; every arrival within hamming 3 of a
+  // history image surfaces. History is never rescanned (plan-pinned).
+  // ---------------------------------------------------------------------
+  def mediaNearDupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val hashes = graft.multimodal.Media.dHash(
+      graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
+    val histF = StageStore.materialize(hashes,
+      s"phash_hist_${StageStore.dirTag(dir)}")
+    val p1 = (col("media_id") % 64) + 1
+    val p2 = ((col("media_id") * 7) % 64) + 1
+    val chars = split(col("phash"), "")
+    val flipped = array_join(transform(sequence(lit(1), lit(64)), i => {
+      val ch = element_at(chars, i)
+      when(i === p1 || i === p2,
+        when(ch === "1", lit("0")).otherwise(lit("1"))).otherwise(ch)
+    }), "")
+    val twins = histF.filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 1000000L).as("media_id"),
+        flipped.as("phash"))
+    graft.multimodal.Media.phashNearDupIncremental(twins, histF, maxDist = 3)
+      .orderBy("media_id", "hist_id")
+  }
+
+  val mediaNearDupIncrementalSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
+      |    octet_length(encode(text)) AS blen,
+      |    CAST(16 + doc_id % 64 AS INTEGER) AS w,
+      |    CAST(16 + doc_id % 48 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT media_id,
+      |    [CASE WHEN ((i // 9) * h // 8) * w + ((i % 9) * w // 9) < blen
+      |       THEN (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 1, 1)) - 1) * 16
+      |          + (strpos('0123456789ABCDEF',
+      |              substr(bh, (((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * 2 + 2, 1)) - 1)
+      |       ELSE 0 END for i in generate_series(0, 71)] AS p
+      |  FROM m),
+      |hb AS (SELECT media_id,
+      |    array_to_string([CASE WHEN p[(i // 8) * 9 + (i % 8) + 2] >
+      |                               p[(i // 8) * 9 + (i % 8) + 1]
+      |                          THEN '1' ELSE '0' END
+      |                     for i in generate_series(0, 63)], '') AS phash
+      |  FROM px),
+      |tw AS (SELECT hb.media_id + 1000000 AS media_id,
+      |    array_to_string([CASE WHEN i = (hb.media_id % 64) + 1
+      |                            OR i = ((hb.media_id * 7) % 64) + 1
+      |                          THEN (CASE WHEN substr(hb.phash, CAST(i AS INT), 1) = '1'
+      |                                     THEN '0' ELSE '1' END)
+      |                          ELSE substr(hb.phash, CAST(i AS INT), 1) END
+      |                     for i in generate_series(1, 64)], '') AS phash
+      |  FROM hb WHERE hb.media_id % 5 = 0),
+      |bh2 AS (SELECT media_id, phash, band_id,
+      |    substr(phash, band_id * 16 + 1, 16) AS band_val
+      |  FROM hb CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id)),
+      |bt AS (SELECT media_id, phash, band_id,
+      |    substr(phash, band_id * 16 + 1, 16) AS band_val
+      |  FROM tw CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id)),
+      |pr AS (SELECT DISTINCT bt.media_id AS media_id, bh2.media_id AS hist_id,
+      |    bt.phash AS pb, bh2.phash AS ph
+      |  FROM bt JOIN bh2 ON bt.band_id = bh2.band_id
+      |    AND bt.band_val = bh2.band_val),
+      |hm AS (SELECT media_id, hist_id,
+      |    CAST(len([i for i in generate_series(1, 64)
+      |              if substr(pb, CAST(i AS INT), 1) != substr(ph, CAST(i AS INT), 1)]) AS BIGINT) AS hamming
+      |  FROM pr)
+      |SELECT media_id, hist_id, hamming FROM hm
+      |WHERE hamming <= 3 ORDER BY media_id, hist_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // bpe_train / bpe_encode — BPE tokenizer training (Sennrich et al.
+  // ACL'16) over the documents corpus: the top-8 learned merges with
+  // their selection-time weighted pair counts, and every document encoded
+  // under them (token count + md5 of the full symbol stream — the
+  // content-addressed proof the whole encoding matches). The corpus folds
+  // ONCE to the vocabulary-bounded distinct-word table; each round is one
+  // pair aggregate over that reduction plus a 1-row argmax collect; the
+  // encode pass broadcasts the 8-row merge table and memoizes per
+  // distinct word per partition. Oracles replay all 8 rounds as chained
+  // CTEs with a list_reduce greedy fold (Bpe.trainSql/encodeSql).
+  // ---------------------------------------------------------------------
+  private[graft] val bpeMerges = 8
+
+  private[graft] def bpeMergeLabel(dir: String): String =
+    s"bpe_merges_${bpeMerges}_${StageStore.dirTag(dir)}"
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    StageStore.materialize(
+      graft.operators.Bpe.train(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), bpeMerges),
+      bpeMergeLabel(dir))
+      .orderBy("merge_rank")
+
+  val bpeTrainSql: String = graft.operators.Bpe.trainSql(8)
+
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // the train-once/encode-many cadence: the merge table is read from
+    // the persisted stage (bpe_train's artifact, or produced once here);
+    // the 8-row collect is bounded by construction
+    val merges = StageStore.materializeIfAbsent(s, bpeMergeLabel(dir)) {
+        graft.operators.Bpe.train(docs, bpeMerges)
+      }.orderBy("merge_rank").collect()
+      .map(r => graft.operators.Bpe.Merge(
+        r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    graft.operators.Bpe.encode(docs, merges).orderBy("doc_id")
+  }
+
+  val bpeEncodeSql: String = graft.operators.Bpe.encodeSql(8)
+
+  // ---------------------------------------------------------------------
+  // rp_reduce — Johnson-Lindenstrauss random projection (Achlioptas
+  // JCSS'03 / the Gaussian form): reduce the 64-dim embeddings to 32
+  // dims through a SEEDED Gaussian matrix embedded as literals (the LSH
+  // hyperplane discipline — no data-dependent state, bit-reproducible
+  // across engines). Each output dim is one codegen'd float-array dot
+  // accumulated in double, element order fixed, so DuckDB's sequential
+  // list_inner_product replays it bitwise. Map-only: the projection
+  // parallelizes with the scan, nothing shuffles.
+  // ---------------------------------------------------------------------
+  private[graft] val rpDims = 32
+  private[graft] lazy val rpMatrix: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7L)
+    Seq.fill(rpDims)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  def rpReduce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val outs = rpMatrix.zipWithIndex.map { case (row, j) =>
+      graft.functions.VectorExprs.dot(col("embedding"),
+        lit(row.map(_.toFloat).toArray)).as(f"r$j%02d")
+    }
+    emb.select(col("vec_id") +: outs: _*).orderBy("vec_id")
+  }
+
+  val rpReduceSql: String = {
+    // each element parses from a STRING: a bare numeric inside a DuckDB
+    // list literal goes through DECIMAL first, and DECIMAL→DOUBLE rounds
+    // differently than the correctly-rounded string→double path (a 1-ulp
+    // trap invisible to the rank-output LSH oracles, fatal to raw-score
+    // hash compare)
+    def arr(p: Seq[Double]): String =
+      p.map(d => s"CAST('${d.toFloat.toDouble}' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+    val cols = rpMatrix.zipWithIndex.map { case (row, j) =>
+      f"  list_inner_product(e, ${arr(row)}) AS r$j%02d"
+    }.mkString(",\n")
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |SELECT vec_id,
+       |$cols
+       |FROM corpus ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // ann_rp — the JL projection USED: approximate nearest neighbors via a
+  // 32-dim shortlist + exact 64-dim refine (the classic two-stage ANN:
+  // score cheap on the reduced vectors — half the multiplies and half
+  // the vector I/O — keep top-`SHORTLIST` candidates, then re-rank the
+  // shortlist with the exact cosine and emit top-5; the shortlist size is
+  // the recall/cost dial — 100 of the 500-vector fixture is a large
+  // fraction only because the fixture is small). Projected cosine is an EXPLICIT
+  // 32-term left-to-right sum over the rp columns — identical expression
+  // text in both engines, so candidate ORDER is bit-deterministic (a
+  // 1-ulp flip in the shortlist boundary would diverge the refine).
+  // ---------------------------------------------------------------------
+  private[graft] val annRpShortlist = 100
+
+  def annRp(s: SparkSession, dir: String): DataFrame =
+    // the operator API ([[graft.operators.Similarity.rpTopK]]) with the
+    // registry parameters: seed 7 reproduces rpMatrix exactly, so the
+    // 32-dim shortlist and the refine are bit-identical to the oracle
+    graft.operators.Similarity.rpTopK(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64,
+      projDims = rpDims, shortlist = annRpShortlist, seed = 7L)
+      .orderBy("query_id", "rank")
+
+  val annRpSql: String = {
+    def arr(p: Seq[Double]): String =
+      p.map(d => s"CAST('${d.toFloat.toDouble}' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+    val projCols = rpMatrix.zipWithIndex.map { case (row, j) =>
+      f"  list_inner_product(e, ${arr(row)}) AS r$j%02d"
+    }.mkString(",\n")
+    def dotRp(a: String, b: String) =
+      (0 until rpDims).map(j => f"$a%s.r$j%02d * $b%s.r$j%02d").mkString(" + ")
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |proj AS (SELECT vec_id,
+       |$projCols
+       |FROM corpus),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      (${dotRp("n", "q")}) / (sqrt(${dotRp("q", "q")}) * sqrt(${dotRp("n", "n")})) DESC,
+       |      n.vec_id) AS rk_rp
+       |  FROM proj q CROSS JOIN proj n
+       |  WHERE q.vec_id < 5 AND n.vec_id != q.vec_id) x
+       |WHERE rk_rp <= $annRpShortlist)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_cosine_similarity(q.e, n.e) DESC, s.neighbor_id) AS rank
+       |  FROM short s
+       |  JOIN corpus q ON q.vec_id = s.query_id
+       |  JOIN corpus n ON n.vec_id = s.neighbor_id) y
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // span_corrupt — T5-style span corruption planning (Raffel et al.
+  // JMLR'20 §3.1.4): deterministic span STARTS from the content-hash draw
+  // (md5 < '0d' = 13/256 ≈ 5.1% of positions), span length 2-4 (mean 3,
+  // T5's default) from the next hex digit, clipped at doc end; adjacent/
+  // overlapping spans merge into islands and each island gets its
+  // sentinel id. The same reproducibility argument as mlm_mask — the
+  // corruption plan survives reruns and engine changes. Expansion is
+  // map-side (sequence + explode); the only shuffles are the covered-set
+  // distinct and the per-doc island window.
+  // ---------------------------------------------------------------------
+  def spanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val starts = toks.filter(col("token") =!= "")
+      .withColumn("h", md5(concat_ws(":", col("doc_id"), col("pos"))))
+      .filter(col("h") < "0d")
+    val cov = starts.select(col("doc_id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + lit(1) + (ascii(substring(col("h"), 3, 1)) % 3),
+            col("n") - 1))).as("pos"))
+      .distinct()
+    val isl = cov.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    isl.groupBy("doc_id", "grp")
+      .agg(min("pos").as("s0"), max("pos").as("s1"))
+      .withColumn("sentinel_id", row_number().over(
+        Window.partitionBy("doc_id").orderBy("s0")).cast("long"))
+      .select(col("doc_id"), col("sentinel_id"),
+        col("s0").cast("long").as("span_start"),
+        col("s1").cast("long").as("span_end"),
+        (col("s1") - col("s0") + 1).cast("long").as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val spanCorruptSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, len(ws) AS n,
+      |        unnest([{'p': i - 1, 'tok': ws[i]} for i in generate_series(1, len(ws))]) AS u
+      |      FROM w),
+      |starts AS (SELECT doc_id, n, u.p AS p, md5(doc_id || ':' || u.p) AS h
+      |           FROM t WHERE u.tok <> '' AND md5(doc_id || ':' || u.p) < '0d'),
+      |spans AS (SELECT doc_id, unnest(generate_series(p,
+      |            least(p + 1 + (unicode(substr(h, 3, 1)) % 3), CAST(n - 1 AS BIGINT)))) AS pos
+      |          FROM starts),
+      |cov AS (SELECT DISTINCT doc_id, pos FROM spans),
+      |isl AS (SELECT doc_id, pos,
+      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |        FROM cov)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY MIN(pos)) AS BIGINT) AS sentinel_id,
+      |  CAST(MIN(pos) AS BIGINT) AS span_start, CAST(MAX(pos) AS BIGINT) AS span_end,
+      |  CAST(MAX(pos) - MIN(pos) + 1 AS BIGINT) AS span_len
+      |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // packing_efficiency — the context-window fill audit over the sequence
+  // packer: per bucket, how many packed sequences, how many tokens, and
+  // the fill ratio against the 128-token window (wasted capacity is paid
+  // GPU time at training). Integer sums + one IEEE division; the
+  // aggregate runs over pack_sequences' per-doc output, nSeqs per bucket
+  // bounded by the bucket's token mass.
+  // ---------------------------------------------------------------------
+  def packingEfficiency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .groupBy("bucket")
+      .agg(countDistinct("seq_id").as("n_seqs"),
+        sum("n_toks").as("sum_toks"))
+      .select(col("bucket"), col("n_seqs"), col("sum_toks"),
+        (col("n_seqs") * 128L).as("capacity"),
+        (col("sum_toks").cast("double") / (col("n_seqs") * 128L).cast("double"))
+          .as("fill"))
+      .orderBy("bucket")
+
+  val packingEfficiencySql: String = {
+    val ctes = packSequencesSql.substring(0, packSequencesSql.indexOf("SELECT doc_id, bucket"))
+    ctes +
+      """SELECT bucket,
+        |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+        |  CAST(COUNT(DISTINCT seq_id) * 128 AS BIGINT) AS capacity,
+        |  CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(DISTINCT seq_id) * 128 AS DOUBLE) AS fill
+        |FROM pack GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // mixture_manifest — the data-mixing PLAN (the table LLaMA-style
+  // sampling proportions are read from, sample_mixture's planning
+  // complement): per mixture source, available tokens, its
+  // temperature-α=0.5 weight (floor(sqrt(tokens·10⁶)) — the
+  // sample_mixture integer-exact trade), the target token budget share in
+  // ppm, and the implied epochs over the source in ppm (10⁶ = one epoch;
+  // > 10⁶ means the source repeats). Pure integer arithmetic over the
+  // 3-row strata table; every number hash-compares.
+  // ---------------------------------------------------------------------
+  def mixtureManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.manifest(
+      t(s, dir, "documents"),
+      when(col("source").isin("src0", "src1"), col("source"))
+        .otherwise(lit("rest")))
+
+  val mixtureManifestSql: String =
+    """WITH d AS (SELECT doc_id,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |      CASE WHEN source IN ('src0','src1') THEN source ELSE 'rest' END AS mix_src
+      |  FROM documents),
+      |s AS (SELECT mix_src, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      |      FROM d GROUP BY mix_src),
+      |sw AS (SELECT mix_src, n_docs, n_tokens,
+      |      CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) * 1000000.0)) AS BIGINT) AS w FROM s),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum,
+      |      CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM sw)
+      |SELECT mix_src, n_docs, n_tokens,
+      |  CAST((w * 1000000) // wsum AS BIGINT) AS weight_ppm,
+      |  CAST(((w * 1000000) // wsum * tok_total) // 1000000 AS BIGINT) AS target_tokens,
+      |  CAST((((w * 1000000) // wsum * tok_total) // 1000000 * 1000000) // n_tokens AS BIGINT) AS epochs_ppm
+      |FROM sw, tot ORDER BY mix_src""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // stride_interleave — the deterministic weighted mixture ORDER
+  // (Mixture.strideInterleave, stride scheduling): per-lang weights
+  // en=4/zh=2/rest=1, seeded md5 within-domain shuffle, pass = rank/w,
+  // global position by (pass, domain, rank). Any prefix holds each
+  // domain in weight proportion within one document. The oracle is the
+  // two-window textbook spelling.
+  // ---------------------------------------------------------------------
+  def strideInterleave(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.strideInterleave(
+      t(s, dir, "documents"), "lang",
+      weights = Map("en" -> 4.0, "zh" -> 2.0), seed = "graft16")
+      .orderBy("pos")
+
+  val strideInterleaveSql: String =
+    """WITH d AS (SELECT doc_id, lang AS domain,
+      |    md5('graft16' || CAST(doc_id AS VARCHAR)) AS draw FROM documents),
+      |r AS (SELECT doc_id, domain,
+      |    CAST(row_number() OVER (PARTITION BY domain ORDER BY draw, doc_id) AS BIGINT) AS dom_rnk
+      |  FROM d),
+      |p AS (SELECT doc_id, domain, dom_rnk,
+      |    CAST(dom_rnk AS DOUBLE) /
+      |      (CASE domain WHEN 'en' THEN 4.0 WHEN 'zh' THEN 2.0 ELSE 1.0 END) AS pass
+      |  FROM r)
+      |SELECT doc_id, domain, dom_rnk, pass,
+      |  CAST(row_number() OVER (ORDER BY pass, domain, dom_rnk) AS BIGINT) AS pos
+      |FROM p ORDER BY pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // domain_reweight — the DoReMi-style domain-weight SOLVER
+  // (Mixture.domainReweight; Xie et al. NeurIPS'23 structure with the
+  // exp-free linear MW update, Arora–Hazan–Kale 2012, chosen because
+  // multiply/add/divide are IEEE-exact across engines while exp is not):
+  // langs are the domains, doc_id % 4 the reporting step, per-doc token
+  // counts the loss signal. The oracle UNROLLS the recurrence — one
+  // raw/normalize CTE pair per step, the hilbertSqlCtes discipline — with
+  // every normalization sum folded in domain order via list_reduce, so
+  // the whole (step, domain, alpha, weight) trajectory hash-matches.
+  // ---------------------------------------------------------------------
+  def domainReweight(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.domainReweight(
+      t(s, dir, "documents"), "lang", col("doc_id") % 4,
+      size(split(col("text"), " ")))
+      .orderBy("step", "domain")
+
+  /** Shared CTE prefix for the MW oracles: per-(step, domain) exact
+    * integer loss sums, the per-step global mean, clipped excess, the
+    * domain count, and the uniform initial alpha. */
+  private[graft] val mwPrefixSql: String =
+    """l AS (SELECT lang AS domain, doc_id % 4 AS step,
+      |  len(string_split(text, ' ')) AS loss FROM documents),
+      |a AS (SELECT step, domain, sum(loss) AS s, count(*) AS c
+      |      FROM l GROUP BY 1, 2),
+      |g AS (SELECT step, CAST(sum(s) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS gmean
+      |      FROM a GROUP BY 1),
+      |e AS (SELECT a.step, a.domain,
+      |  greatest(CAST(a.s AS DOUBLE) / CAST(a.c AS DOUBLE) - g.gmean,
+      |           CAST(0 AS DOUBLE)) AS x
+      |  FROM a JOIN g ON a.step = g.step),
+      |nd AS (SELECT CAST(count(DISTINCT domain) AS DOUBLE) AS dn FROM l),
+      |w0 AS (SELECT DISTINCT domain, CAST(1 AS DOUBLE) / dn AS alpha
+      |       FROM l, nd)""".stripMargin
+
+  /** One unrolled MW level per step: raw multiplicative update off the
+    * previous level, then normalization by the domain-ordered fold. */
+  private[graft] def mwLevelsSql(steps: Seq[Int]): String =
+    steps.zipWithIndex.map { case (t, i) =>
+      s"""r${i + 1} AS (SELECT w.domain,
+         |  w.alpha * (1 + 0.25 * coalesce(e.x, CAST(0 AS DOUBLE))) AS raw
+         |  FROM w$i w LEFT JOIN e ON e.domain = w.domain AND e.step = $t),
+         |w${i + 1} AS (SELECT domain, raw / (SELECT list_reduce(
+         |    list_prepend(CAST(0 AS DOUBLE), list(raw ORDER BY domain)),
+         |    (acc, v) -> acc + v) FROM r${i + 1}) AS alpha FROM r${i + 1})"""
+        .stripMargin
+    }.mkString(",\n")
+
+  private[graft] def mwOutSql(steps: Seq[Int], lvlOffset: Int = 0): String =
+    steps.zipWithIndex.map { case (t, i) =>
+      s"""SELECT CAST($t AS BIGINT) AS step, domain, alpha,
+         |  (1 - 0.25) * alpha + 0.25 / dn AS weight FROM w${i + 1 + lvlOffset}, nd"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  val domainReweightSql: String =
+    s"""WITH $mwPrefixSql,
+       |${mwLevelsSql(Seq(0, 1, 2, 3))}
+       |SELECT * FROM (
+       |${mwOutSql(Seq(0, 1, 2, 3))}
+       |) ORDER BY step, domain""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // domain_reweight_incremental — the standing-corpus cadence: history
+  // (steps 0-1) solves once and its FINAL normalized alpha freezes as a
+  // (domain, alpha) stage table (StageStore files — history loss reports
+  // never rescanned); a new batch of reports (steps 2-3) folds on top via
+  // Mixture.domainReweightFrom. The oracle replays the ONE-SHOT solve
+  // over all four steps and keeps the batch rows — equality IS the
+  // append-only-contract gate, bitwise.
+  // ---------------------------------------------------------------------
+  def domainReweightIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("step", col("doc_id") % 4)
+    val toks = size(split(col("text"), " "))
+    val tag = graft.StageStore.dirTag(dir)
+    val frozen = graft.StageStore.materialize(
+      graft.operators.Mixture
+        .domainReweight(docs.filter(col("step") < 2), "lang", col("step"), toks)
+        .filter(col("step") === 1).select("domain", "alpha"),
+      s"mwinc_alpha_$tag")
+    graft.operators.Mixture.domainReweightFrom(frozen,
+        docs.filter(col("step") >= 2), "lang", col("step"), toks)
+      .orderBy("step", "domain")
+  }
+
+  val domainReweightIncrementalSql: String =
+    s"""WITH $mwPrefixSql,
+       |${mwLevelsSql(Seq(0, 1, 2, 3))}
+       |SELECT * FROM (
+       |${mwOutSql(Seq(2, 3), lvlOffset = 2)}
+       |) ORDER BY step, domain""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // hard_negatives — contrastive-training hard-negative mining (the
+  // embedding-side complement of MLM preprocessing: dense retrievers /
+  // contrastive encoders train on near-but-not-same examples, e.g. DPR,
+  // Karpukhin et al. EMNLP'20 §3): for each anchor, the top-5 most
+  // cosine-similar vectors OUTSIDE the anchor's k-means cluster — similar
+  // enough to be hard, cluster-separated enough to be negative. Clusters
+  // come from the deterministic fixed-point trainer (bit-identical to the
+  // kmeans_assign oracle chain); anchors broadcast; one corpus pass with
+  // a per-anchor bounded window.
+  // ---------------------------------------------------------------------
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cent = graft.operators.KMeans.train(emb, k = 10, iters = 2)
+    val corpus = emb.join(graft.operators.KMeans.assign(emb, cent), Seq("vec_id"))
+    val anchors = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cluster").as("q_cluster"))
+    val sim = graft.operators.Similarity.cosine(col("q_emb"), col("embedding"))
+    val w = Window.partitionBy("query_id").orderBy(sim.desc, col("vec_id"))
+    corpus.crossJoin(broadcast(anchors))
+      .filter(col("cluster") =!= col("q_cluster"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cluster").as("neighbor_cluster"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("neighbor_cluster"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$kmeansChainCtes,
+       |j AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |        nk.cluster AS neighbor_cluster,
+       |        list_cosine_similarity(q.e, n.e) AS s
+       |      FROM corpus q
+       |      JOIN km qk ON qk.vec_id = q.vec_id
+       |      CROSS JOIN corpus n
+       |      JOIN km nk ON nk.vec_id = n.vec_id
+       |      WHERE q.vec_id < 8 AND nk.cluster != qk.cluster)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, neighbor_cluster
+       |FROM (SELECT query_id, neighbor_id, neighbor_cluster,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+       |      FROM j) x
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // quality_gate_audit — the filter LOG every production pipeline keeps
+  // (Gopher's rule cascade, Rae et al. 2021 §A1.1, recorded per doc):
+  // each document gets its keep/drop decision plus the FIRST failing
+  // rule as the reject reason — the artifact that makes a 100 TB filter
+  // run auditable ("why did we lose 40% of source X?"). Rules in
+  // precedence order: too_short (< 10 words), repetitive
+  // (dup_word_frac > 0.4 — one exact-integer division on both engines,
+  // so the comparison is bit-deterministic), no_stopwords (Gopher's
+  // stop-word requirement, integer). Composition of the textStats and
+  // repetitionStats passes, one doc_id join between reduced per-doc
+  // rows.
+  // ---------------------------------------------------------------------
+  def qualityGateAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ts = graft.operators.TextOps.textStats(docs)
+      .select(col("doc_id"), col("n_words"), col("stop_cnt"))
+    val rep = graft.operators.TextOps.repetitionStats(docs)
+      .select(col("doc_id"), col("dup_word_frac"))
+    val reason = when(col("n_words") < 10, "too_short")
+      .when(col("dup_word_frac") > 0.4, "repetitive")
+      .when(col("stop_cnt") === 0, "no_stopwords")
+      .otherwise("ok")
+    ts.join(rep, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("stop_cnt"),
+        reason.as("reject_reason"))
+      .withColumn("keep", col("reject_reason") === "ok")
+      .orderBy("doc_id")
+  }
+
+  val qualityGateAuditSql: String =
+    s"""WITH ts AS ($textStatsSql),
+       |rep AS ($repetitionStatsSql)
+       |SELECT ts.doc_id, ts.n_words, ts.stop_cnt,
+       |  CASE WHEN ts.n_words < 10 THEN 'too_short'
+       |       WHEN rep.dup_word_frac > 0.4 THEN 'repetitive'
+       |       WHEN ts.stop_cnt = 0 THEN 'no_stopwords'
+       |       ELSE 'ok' END AS reject_reason,
+       |  (CASE WHEN ts.n_words < 10 THEN 'too_short'
+       |        WHEN rep.dup_word_frac > 0.4 THEN 'repetitive'
+       |        WHEN ts.stop_cnt = 0 THEN 'no_stopwords'
+       |        ELSE 'ok' END) = 'ok' AS keep
+       |FROM ts JOIN rep ON rep.doc_id = ts.doc_id
+       |ORDER BY ts.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // fim_transform — fill-in-the-middle preprocessing (Bavarian et al.
+  // 2022; TextOps.fimTransform): 50% of docs (first-hex-digit gate) split
+  // at two seeded-hash cut points into <PRE>prefix<SUF>suffix<MID>middle,
+  // the rest pass through verbatim. The oracle replays gate, 52-bit
+  // hex-prefix draws, cuts and the PSM splice character-for-character.
+  // ---------------------------------------------------------------------
+  def fimTransform(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.fimTransform(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  val fimTransformSql: String = {
+    def hv(h: String): String =
+      graft.operators.Sketches.hexPrefixValSql(h)
+    s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+       |h AS (SELECT doc_id, text, n,
+       |  substr(md5('fimg' || CAST(doc_id AS VARCHAR)), 1, 1) < '8' AND n >= 20 AS fim,
+       |  md5('fima' || CAST(doc_id AS VARCHAR)) AS hxa,
+       |  md5('fimb' || CAST(doc_id AS VARCHAR)) AS hxb FROM d),
+       |c AS (SELECT doc_id, text, n, fim,
+       |  (CAST(${hv("hxa")} AS BIGINT) % greatest(n - 1, 1)) + 1 AS a,
+       |  (CAST(${hv("hxb")} AS BIGINT) % greatest(n - 1, 1)) + 1 AS b FROM h),
+       |p AS (SELECT doc_id, text, n, fim,
+       |  least(a, b) AS c1, greatest(a, b) AS c2 FROM c)
+       |SELECT doc_id, fim,
+       |  CAST(CASE WHEN fim THEN c1 END AS BIGINT) AS cut1,
+       |  CAST(CASE WHEN fim THEN c2 END AS BIGINT) AS cut2,
+       |  CASE WHEN fim THEN '<PRE>' || substr(text, 1, c1)
+       |    || '<SUF>' || substr(text, c2 + 1, n - c2)
+       |    || '<MID>' || substr(text, c1 + 1, c2 - c1)
+       |  ELSE text END AS psm
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // mlm_mask — deterministic masked-LM preprocessing (BERT, Devlin et al.
+  // NAACL'19 §3.1): select ~15% of token positions (md5(doc:pos) < '26' =
+  // 38/256 ≈ 14.84% — the sample_bernoulli hex-draw trade) and assign the
+  // 80/10/10 mask/random/keep action from the next two hex digits
+  // ('cd' = 205/256 ≈ 80.1%, 'e7' adds 26/256 ≈ 10.2%). Content-hash
+  // randomness instead of an RNG: the mask plan is REPRODUCIBLE across
+  // reruns, engines, and partitionings — the property a training-data
+  // pipeline needs for resumable preprocessing. Fully declarative
+  // (posexplode + builtin md5): codegen, map-only, zero shuffle.
+  // ---------------------------------------------------------------------
+  def mlmMask(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+      .withColumn("h", md5(concat_ws(":", col("doc_id"), col("pos"))))
+      .filter(col("h") < "26")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"),
+        when(substring(col("h"), 3, 2) < "cd", "M")
+          .when(substring(col("h"), 3, 2) < "e7", "R")
+          .otherwise("K").as("action"))
+      .orderBy("doc_id", "pos")
+
+  val mlmMaskSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id,
+      |        unnest([{'p': i - 1, 'tok': ws[i]} for i in generate_series(1, len(ws))]) AS u
+      |      FROM w),
+      |f AS (SELECT doc_id, u.p AS pos, u.tok AS token,
+      |        md5(doc_id || ':' || u.p) AS h
+      |      FROM t WHERE u.tok <> '')
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
+      |  CASE WHEN substr(h, 3, 2) < 'cd' THEN 'M'
+      |       WHEN substr(h, 3, 2) < 'e7' THEN 'R'
+      |       ELSE 'K' END AS action
+      |FROM f WHERE h < '26' ORDER BY doc_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // bpe_fertility — tokenizer-quality audit: tokens-per-word by corpus
+  // source under the learned BPE merges (fertility is THE comparative
+  // tokenizer metric — a source whose fertility spikes is being
+  // fragmented into char-soup and will waste context window). Integer
+  // sums + one IEEE division; the encode reads the persisted merge table
+  // (bpe_train's artifact), and the per-source fold runs over the
+  // already-reduced (doc_id, n_tokens) table.
+  // ---------------------------------------------------------------------
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = StageStore.materializeIfAbsent(s, bpeMergeLabel(dir)) {
+        graft.operators.Bpe.train(
+          docs.select(col("doc_id"), col("text")), bpeMerges)
+      }.orderBy("merge_rank").collect()
+      .map(r => graft.operators.Bpe.Merge(
+        r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val enc = graft.operators.Bpe.encode(
+      docs.select(col("doc_id"), col("text")), merges)
+    val words = docs.select(col("doc_id"), col("source"),
+      size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_words"))
+    words.join(enc.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_words"),
+        sum("n_tokens").as("sum_tokens"))
+      .select(col("source"), col("n_docs"), col("sum_words"), col("sum_tokens"),
+        (col("sum_tokens").cast("double") / col("sum_words").cast("double"))
+          .as("fertility"))
+      .orderBy("source")
+  }
+
+  val bpeFertilitySql: String = {
+    val encCtes = graft.operators.Bpe.encodeSql(8)
+    // reuse the encode chain's final word table via a with-wrapper: take
+    // everything up to the final SELECT (the dp/enc CTEs) and aggregate
+    // per source instead
+    encCtes.substring(0, encCtes.indexOf("SELECT d.doc_id,")) +
+      """SELECT d.source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(d.text, ' '), w -> w <> ''))) AS BIGINT) AS sum_words,
+        |  CAST(SUM(COALESCE(len(string_split(e.stream, ' ')), 0)) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(COALESCE(len(string_split(e.stream, ' ')), 0)) AS DOUBLE)
+        |    / CAST(SUM(len(list_filter(string_split(d.text, ' '), w -> w <> ''))) AS DOUBLE) AS fertility
+        |FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // unigram_seed / unigram_encode / unigram_fertility — the
+  // SentencePiece-slot unigram tokenizer (operators/Unigram.scala):
+  // substring vocabulary by corpus mass, then exact-integer Viterbi-style
+  // best segmentation per distinct word, then per-source fertility —
+  // alongside bpe_fertility this is the measured A/B that picks a
+  // tokenizer family for a corpus. The DuckDB oracle replays the
+  // vocabulary build AND the full DP (unrolled to 12 position CTEs,
+  // one best state per word per position).
+  // ---------------------------------------------------------------------
+  def unigramSeed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.seedVocab(t(s, dir, "documents"))
+      .orderBy(col("score").desc, col("piece"))
+
+  val unigramSeedSql: String = graft.operators.Unigram.seedSql()
+
+  def unigramEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.encodeWords(t(s, dir, "documents"))
+      .orderBy("word")
+
+  val unigramEncodeSql: String = graft.operators.Unigram.encodeSql()
+
+  def unigramFertility(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.fertility(t(s, dir, "documents"))
+      .orderBy("source")
+
+  val unigramFertilitySql: String = graft.operators.Unigram.fertilitySql()
+
+  // ---------------------------------------------------------------------
+  // wordpiece_encode / wordpiece_excess — the BERT-slot greedy
+  // longest-match encoder (operators/Wordpiece.scala) under the SAME
+  // piece vocabulary as unigram_encode, and the per-source integer-ppm
+  // overhead of greedy vs the DP optimum — the measured price of the
+  // fast production encoder, completing the tokenizer triad's A/B
+  // (bpe_fertility / unigram_fertility / wordpiece_excess). The DuckDB
+  // oracle replays the greedy cursor scan unrolled to 12 rounds (and,
+  // for excess, the unigram DP chain side by side).
+  // ---------------------------------------------------------------------
+  def wordpieceEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Wordpiece.encodeWords(t(s, dir, "documents"))
+      .orderBy("word")
+
+  val wordpieceEncodeSql: String = graft.operators.Wordpiece.encodeSql()
+
+  def wordpieceExcess(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Wordpiece.excess(t(s, dir, "documents"))
+      .orderBy("source")
+
+  val wordpieceExcessSql: String = graft.operators.Wordpiece.excessSql()
+
+  // ---------------------------------------------------------------------
+  // unigram_drift — the unigram counterpart of tokenizer_drift: the
+  // persisted piece vocabulary is train-once/consume-many; this measures
+  // the drifted shard's fertility under the OLD pieces (read from the
+  // persisted seedVocab artifact) vs pieces re-trained on the shard.
+  // Unknown-alphabet words collapse to a single <unk> piece (the
+  // SentencePiece convention, pinned on both engines). Both encodes are
+  // map-only over the shard's vocab-bounded word table.
+  // ---------------------------------------------------------------------
+  def unigramDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Unigram
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" drifted drifted tokens")).as("text"))
+    val oldVocab = StageStore.materializeIfAbsent(s,
+        s"unigram_vocab_${StageStore.dirTag(dir)}") {
+        Unigram.seedVocab(docs)
+      }.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newVocab = Unigram.vocabMap(batch)
+    def variantRow(name: String, vocab: Map[String, Long]) = {
+      val enc = Unigram.encodeUnder(batch, vocab)
+      batch.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(enc.select(col("word").as("w"), col("n_pieces")), Seq("w"), "left")
+        .agg(count(lit(1)).cast("long").as("sum_words"),
+          sum(coalesce(col("n_pieces"), lit(1L))).cast("long").as("sum_pieces"))
+        .select(lit(name).as("variant"), col("sum_words"), col("sum_pieces"),
+          (col("sum_pieces").cast("double") / col("sum_words").cast("double"))
+            .as("fertility"))
+    }
+    variantRow("old_pieces", oldVocab)
+      .unionAll(variantRow("retrained", newVocab))
+      .orderBy("variant")
+  }
+
+  val unigramDriftSql: String = graft.operators.Unigram.driftSql(
+    "SELECT doc_id, text || ' drifted drifted tokens' AS text " +
+      "FROM documents WHERE doc_id % 3 = 0")
+
+  // ---------------------------------------------------------------------
+  // tokenizer_drift — the tokenizer staleness gate (token_drift ×
+  // bpe_fertility composed): the persisted merge table is
+  // train-once/consume-many, but nothing else detects when it has gone
+  // stale against a drifted corpus. Fertility of the NEW shard (the
+  // token_drift planted batch) under the OLD merges vs merges re-trained
+  // on the shard itself — a widening gap is the retrain signal. The old
+  // merges read the persisted bpe_train artifact (8 bounded rows);
+  // retraining folds the shard once and runs the driver-side Sennrich
+  // loop; both encodes are one map-only pass over the shard.
+  // ---------------------------------------------------------------------
+  def tokenizerDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" drifted drifted tokens")).as("text"))
+    val oldMerges = StageStore.materializeIfAbsent(s, bpeMergeLabel(dir)) {
+        graft.operators.Bpe.train(docs, bpeMerges)
+      }.orderBy("merge_rank").collect()
+      .map(r => graft.operators.Bpe.Merge(
+        r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val newMerges = graft.operators.Bpe.trainMerges(batch, bpeMerges)
+    val sumWords = batch.agg(
+      sum(size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+        .cast("long").as("sum_words"))
+    def variantRow(name: String, merges: Seq[graft.operators.Bpe.Merge]) =
+      graft.operators.Bpe.encode(batch, merges)
+        .agg(sum("n_tokens").cast("long").as("sum_tokens"))
+        .crossJoin(broadcast(sumWords))
+        .select(lit(name).as("variant"), col("sum_words"), col("sum_tokens"),
+          (col("sum_tokens").cast("double") / col("sum_words").cast("double"))
+            .as("fertility"))
+    variantRow("old_merges", oldMerges)
+      .unionAll(variantRow("retrained", newMerges))
+      .orderBy("variant")
+  }
+
+  val tokenizerDriftSql: String = graft.operators.Bpe.tokenizerDriftSql(8,
+    "SELECT doc_id, text || ' drifted drifted tokens' AS text " +
+      "FROM documents WHERE doc_id % 3 = 0")
+
+  // ---------------------------------------------------------------------
+  // token_drift — data drift monitoring between corpus snapshots: the
+  // planted "new shard" (every 3rd doc with an appended campaign phrase)
+  // must surface its injected tokens as the top positive movers while the
+  // diluted baseline tokens drift negative. Exact ppm rates (BIGINT div)
+  // so the ranking hash-compares; see TextOps.tokenDrift for the
+  // vocab-bounded scale shape.
+  // ---------------------------------------------------------------------
+  def tokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" drifted drifted tokens")).as("text"))
+    graft.operators.TextOps.tokenDrift(docs, batch, k = 20)
+  }
+
+  val tokenDriftSql: String =
+    """WITH histT AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |batT AS (SELECT unnest(string_split(text || ' drifted drifted tokens', ' ')) AS tok
+      |         FROM documents WHERE doc_id % 3 = 0),
+      |h AS (SELECT tok, COUNT(*) AS hc FROM histT GROUP BY 1),
+      |b AS (SELECT tok, COUNT(*) AS bc FROM batT GROUP BY 1),
+      |ht AS (SELECT SUM(hc) AS h_tot FROM h),
+      |bt AS (SELECT SUM(bc) AS b_tot FROM b),
+      |j AS (SELECT COALESCE(h.tok, b.tok) AS token,
+      |        COALESCE(h.hc, 0) * 1000000 // ht.h_tot AS hist_ppm,
+      |        COALESCE(b.bc, 0) * 1000000 // bt.b_tot AS batch_ppm
+      |      FROM h FULL OUTER JOIN b ON h.tok = b.tok
+      |      CROSS JOIN ht CROSS JOIN bt)
+      |SELECT token, CAST(hist_ppm AS BIGINT) AS hist_ppm,
+      |  CAST(batch_ppm AS BIGINT) AS batch_ppm,
+      |  CAST(batch_ppm - hist_ppm AS BIGINT) AS delta_ppm
+      |FROM j ORDER BY abs(batch_ppm - hist_ppm) DESC, token LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+}
