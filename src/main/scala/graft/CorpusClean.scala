@@ -105,7 +105,8 @@ object CorpusClean {
         s"corpus table $table has no primary key — chunked ingest needs one")
       val cols = (Seq("doc_id", "text") ++ cfg.splitBy.toSeq ++
         cfg.manifestBy.toSeq ++ cfg.curriculumBy.toSeq ++
-        cfg.hostKey.toSeq).distinct
+        cfg.hostKey.toSeq ++ cfg.mixtureSolveBy.toSeq ++
+        cfg.mixtureStepBy.toSeq).distinct
       graft.sources.JdbcChunkedSource
         .readChunked(spark, cfg.in, table, pk, cfg.inChunks, props)
         // alias to the pipeline's lower-case names (Derby/Oracle catalogs
@@ -113,7 +114,8 @@ object CorpusClean {
         .select(cols.map(c => col(c).as(c)): _*)
     } else jsonlRead(spark, cfg.inFormat, cfg.in,
       (cfg.splitBy.toSeq ++ cfg.manifestBy.toSeq ++
-        cfg.curriculumBy.toSeq ++ cfg.hostKey.toSeq).distinct)
+        cfg.curriculumBy.toSeq ++ cfg.hostKey.toSeq ++
+        cfg.mixtureSolveBy.toSeq ++ cfg.mixtureStepBy.toSeq).distinct)
 
   /** Stage-label tag for one (input, output) run — includes the corpus
     * table for jdbc: inputs so two tables of one database never alias
@@ -643,6 +645,23 @@ object CorpusClean {
         val keys = readInput(spark, cfg).select(col("doc_id"), col(mcol))
         graft.operators.Mixture
           .manifest(writtenSurvivors().join(keys, Seq("doc_id")), col(mcol))
+          .write.mode("overwrite").parquet(md)
+      case _ => ()
+    }
+    // DoReMi domain-weight solve: the multiplicative-weights trajectory
+    // over what SHIPPED — domains from the --mixture-solve-by input
+    // column, per-doc token counts as the loss signal, steps from
+    // --mixture-step-by (one step 0 when absent); the weights table
+    // strideInterleave/--interleave-weights would consume next run
+    (cfg.mixtureSolveBy, cfg.mixtureSolveOut) match {
+      case (Some(mcol), Some(md)) =>
+        val keyCols = (Seq(mcol) ++ cfg.mixtureStepBy.toSeq).distinct
+        val keys = readInput(spark, cfg)
+          .select((Seq(col("doc_id")) ++ keyCols.map(col)): _*)
+        val stepCol = cfg.mixtureStepBy.map(col).getOrElse(lit(0L))
+        graft.operators.Mixture.domainReweight(
+            writtenSurvivors().join(keys, Seq("doc_id")), mcol, stepCol,
+            size(split(col("text"), " ")))
           .write.mode("overwrite").parquet(md)
       case _ => ()
     }

@@ -167,6 +167,14 @@ case class CorpusCleanConfig(
     // table to --manifest-out (mixture_manifest's shape)
     manifestBy: Option[String] = None,
     manifestOut: Option[String] = None,
+    // DoReMi-style domain-weight solve: run the multiplicative-weights
+    // trajectory (domain_reweight's shape) over the SURVIVORS, domains
+    // from this input column, per-doc token counts as the loss signal,
+    // steps from --mixture-step-by (a single step 0 when absent); the
+    // (step, domain, alpha, weight) table lands at --mixture-solve-out
+    mixtureSolveBy: Option[String] = None,
+    mixtureSolveOut: Option[String] = None,
+    mixtureStepBy: Option[String] = None,
     // token drift: compare the survivors' token distribution against a
     // persisted prior corpus (doc_id, text parquet) and write the top-20
     // movers table to --drift-out (token_drift's shape)
@@ -334,6 +342,12 @@ object CorpusCleanCli {
             case None => return Left(s"--pack: not an integer: $v")
           }
         case "--manifest-by" :: v :: t => c = c.copy(manifestBy = Some(v)); rest = t
+        case "--mixture-solve-by" :: v :: t =>
+          c = c.copy(mixtureSolveBy = Some(v)); rest = t
+        case "--mixture-solve-out" :: v :: t =>
+          c = c.copy(mixtureSolveOut = Some(v)); rest = t
+        case "--mixture-step-by" :: v :: t =>
+          c = c.copy(mixtureStepBy = Some(v)); rest = t
         case "--manifest-out" :: v :: t => c = c.copy(manifestOut = Some(v)); rest = t
         case "--drift-against" :: v :: t => c = c.copy(driftAgainst = Some(v)); rest = t
         case "--drift-out" :: v :: t => c = c.copy(driftOut = Some(v)); rest = t
@@ -377,6 +391,7 @@ object CorpusCleanCli {
     "--split-by", "--shards", "--stage-dir", "--stats-file",
     "--encode", "--vocab-out", "--format", "--in-format", "--bpe",
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
+    "--mixture-solve-by", "--mixture-solve-out", "--mixture-step-by",
     "--drift-against", "--drift-out", "--epochs", "--epochs-out", "--sft-out",
     "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
@@ -456,6 +471,12 @@ object CorpusCleanCli {
     else if (c.manifestBy.exists(_.isEmpty)) Left("--manifest-by: empty column name")
     else if (c.manifestBy.isDefined != c.manifestOut.isDefined)
       Left("--manifest-by and --manifest-out must be given together")
+    else if (c.mixtureSolveBy.exists(_.isEmpty))
+      Left("--mixture-solve-by: empty column name")
+    else if (c.mixtureSolveBy.isDefined != c.mixtureSolveOut.isDefined)
+      Left("--mixture-solve-by and --mixture-solve-out must be given together")
+    else if (c.mixtureStepBy.isDefined && c.mixtureSolveBy.isEmpty)
+      Left("--mixture-step-by needs --mixture-solve-by")
     else if (c.driftAgainst.isDefined != c.driftOut.isDefined)
       Left("--drift-against and --drift-out must be given together")
     else if (c.in.startsWith("jdbc:") && c.inTable.isEmpty)

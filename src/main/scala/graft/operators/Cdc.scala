@@ -98,6 +98,51 @@ object Cdc {
     chunks(docs, maskBits)
       .select(sha2(col("chunk"), 256).as("chunk_sha")).distinct()
 
+  /** Document-level block containment — the bridge between this file's
+    * block units and [[NearDup.containmentPairs]]'s shingle units
+    * (VERDICT r16 #6): for each ordered document pair `(doc, other)`, the
+    * share of `doc`'s DISTINCT content-defined blocks that `other` also
+    * carries (`share_ppm = |blocks(doc) ∩ blocks(other)|·10^6 div
+    * |blocks(doc)|`, exact integer ppm — Broder containment over blocks
+    * instead of shingles). A document pasted whole inside a larger one
+    * shares all its interior blocks (insertion moves offsets, not
+    * content-defined boundaries), so it scores near 10^6 here just as it
+    * does under shingle containment — but with ~2^maskBits-fold fewer
+    * join keys, since one block covers an expected 2^maskBits codepoints
+    * that shingling would emit one key PER POSITION for, and only 32-byte
+    * digests ever shuffle.
+    *
+    * Scale shape: candidate generation is an equi-self-join on the block
+    * digest — bucketed exactly like every dedup family here — with the
+    * standard hot-key guard: a digest held by k documents fans into
+    * k·(k−1) pairs, so digests above `hotBlockCap` holders (true
+    * boilerplate — the CC-cluster regime, not the pairwise one) are
+    * excluded from pairing, and single-holder digests are dropped before
+    * the shuffle (they cannot pair). Documented cap, not silent: capped
+    * digests simply do not contribute to `n_shared`, while `n_blocks`
+    * still counts them in the denominator. */
+  def containmentPairs(docs: DataFrame, maskBits: Int = 6,
+                       minSharePpm: Long = 500000L,
+                       hotBlockCap: Int = 64): DataFrame = {
+    val blocks = chunks(docs, maskBits)
+      .select(col("doc_id"), sha2(col("chunk"), 256).as("chunk_sha"))
+      .distinct()
+    val sizes = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    val pairable = blocks.groupBy("chunk_sha")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= hotBlockCap)
+      .select("chunk_sha")
+    val kept = blocks.join(pairable, Seq("chunk_sha"))
+    val pairs = kept.as("a").join(kept.as("b"), Seq("chunk_sha"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs.join(sizes, Seq("doc_id"))
+      .withColumn("share_ppm", expr("n_shared * 1000000L div n_blocks"))
+      .filter(col("share_ppm") >= minSharePpm)
+      .select("doc_id", "other_id", "n_blocks", "n_shared", "share_ppm")
+  }
+
   /** Block-level containment of a NEW batch against history — the
     * incremental cadence of [[duplicateBlocks]]: per batch document, how
     * many of its content-defined blocks history has already seen

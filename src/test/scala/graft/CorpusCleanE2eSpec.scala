@@ -258,6 +258,39 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(0)).toSet === Set(3L, 4L, 7L))
   }
 
+  test("--mixture-solve writes the MW weight trajectory over the survivors") {
+    val inDir = tmp("cc_mw_in")
+    val outDir = tmp("cc_mw_out")
+    val wDir = tmp("cc_mw_weights")
+    import spark.implicits._
+    val docs = (1L to 24L).map(i =>
+      (i, s"document number $i padded with plain filler words" +
+        (" extra" * (i % 5).toInt),
+        if (i % 3 == 0) "zh" else "en"))
+    docs.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "1", "--no-near-dup",
+      "--mixture-solve-by", "lang", "--mixture-solve-out", wDir)).toOption.get
+    assert(CorpusClean.run(spark, cfg) === 24L)
+    val w = spark.read.parquet(wDir).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("domain"),
+        r.getAs[Double]("alpha"), r.getAs[Double]("weight")))
+    // single implicit step 0, one row per domain, weights sum to one
+    assert(w.map(_._1).toSet === Set(0L))
+    assert(w.map(_._2).toSet === Set("en", "zh"))
+    assert(math.abs(w.map(_._4).sum - 1.0) < 1e-12)
+    // equals the operator run directly over the same survivors
+    val want = graft.operators.Mixture.domainReweight(
+        docs.toDF("doc_id", "text", "lang"),
+        "lang", org.apache.spark.sql.functions.lit(0L),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(w.toSet === want)
+  }
+
   test("--interleave-by joins the stride training order over the survivors") {
     val inDir = tmp("cc_il_in")
     val outDir = tmp("cc_il_out")

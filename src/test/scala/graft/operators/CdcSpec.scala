@@ -105,6 +105,44 @@ class CdcSpec extends AnyFunSuite with SparkSuite {
     assert(ppm10 === nk10 * 1000000L / nb10)
   }
 
+  test("containmentPairs: a doc pasted whole inside a larger doc is caught " +
+    "at high share, with far fewer join keys than shingle containment") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    def rand(n: Int) = (1 to n).map(_ =>
+      if (rnd.nextInt(6) == 0) ' ' else ('a' + rnd.nextInt(26)).toChar).mkString
+    val inner = rand(1600)
+    val docs = Seq(
+      (1L, inner),                                    // the contained doc
+      (2L, rand(700) + " " + inner + " " + rand(500)), // host: 1 pasted inside
+      (3L, rand(1400)))                               // unrelated
+      .toDF("doc_id", "text")
+    val out = Cdc.containmentPairs(docs, minSharePpm = 600000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out.contains((1L, 2L)),
+      s"contained doc not caught: ${out.keySet}")
+    assert(out((1L, 2L)) > 600000L)
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not pair")
+    // the scale claim: block containment ships one key per ~2^6-codepoint
+    // block where shingle containment ships one key per token position —
+    // count both join-key multisets on the same corpus
+    val blockKeys = Cdc.chunks(docs).count()
+    val shingleKeys = docs
+      .select(explode(split(col("text"), " "))).count() // >= one per pos
+    assert(blockKeys * 4 < shingleKeys,
+      s"expected blocks ($blockKeys) << shingle positions ($shingleKeys)")
+    // share_ppm is the exact integer ppm of the distinct-block overlap
+    val blocks = Cdc.chunks(docs)
+      .select(col("doc_id"), sha2(col("chunk"), 256).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = blocks(1L).intersect(blocks(2L)).size.toLong * 1000000L /
+      blocks(1L).size
+    assert(out((1L, 2L)) === want)
+  }
+
   test("gear values match an independent md5 derivation") {
     for (cp <- Seq('a'.toInt, 'Z'.toInt, 0x4e2d, 0x1F600)) {
       val hex = java.security.MessageDigest.getInstance("MD5")
