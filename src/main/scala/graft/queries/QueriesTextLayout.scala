@@ -151,11 +151,14 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
   // with codepoint offsets, lossless (concat of segs rebuilds the doc).
   // The oracle rebuilds the runs in SQL: per-codepoint classification +
   // islands-and-gaps (lag-break + running sum), string_agg in position
-  // order — same rows, independently derived.
+  // order — same rows, independently derived. NO final orderBy: the
+  // driver compare is order-insensitive, and a global sort of the
+  // corpus-sized segment output was pure display cost — it is what
+  // pushed the x50→x100 probe super-linear (r17; the map pass itself
+  // scales like script_profile, alpha~0.6).
   // ---------------------------------------------------------------------
   def scriptSegments(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextOps.scriptSegments(scriptFixture(s, dir))
-      .orderBy("doc_id", "seg_idx")
 
   val scriptSegmentsSql: String =
     // concatenated, NOT interpolated (see scriptProfileSql margin note)
@@ -183,7 +186,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
        |  CAST(min(pos) - 1 AS BIGINT) AS start_cp,
        |  CAST(count(*) AS BIGINT) AS n_cp,
        |  string_agg(chs, '' ORDER BY pos) AS seg
-       |FROM i GROUP BY doc_id, seg_idx ORDER BY doc_id, seg_idx""".stripMargin
+       |FROM i GROUP BY doc_id, seg_idx""".stripMargin
 
   // ---------------------------------------------------------------------
   // sentence_split — sentence segmentation with codepoint offsets
