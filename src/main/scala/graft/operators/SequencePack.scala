@@ -108,6 +108,49 @@ object SequencePack {
       (last - first).as("n_splits"))
   }
 
+  /** Per-(sequence, document) manifest under concat-and-chunk at `seqLen`
+    * — the table a shard builder and a loss-mask builder consume: for
+    * every training sequence, which documents fill it and where. Derived
+    * from [[packOffsets]] by pure integer arithmetic: document span
+    * `[tok_start, tok_start + n_tokens)` intersected with sequence
+    * window `[seq_id·L, (seq_id+1)·L)`.
+    *
+    * Returns `seq_id, doc_id, seq_off, doc_off, n_toks, doc_starts,
+    * doc_ends`: the span occupies `[seq_off, seq_off + n_toks)` inside
+    * the sequence and `[doc_off, doc_off + n_toks)` inside the document;
+    * `doc_starts`/`doc_ends` flag whether the document's first/last
+    * token falls in this sequence — where attention resets and loss
+    * masks cut. Zero-token documents emit no span (they occupy
+    * nothing). Spans tile both ways: per document they sum to
+    * `n_tokens` with exactly one start and one end flag; per sequence
+    * they sum to `seqLen` (except the final partial sequence) — the
+    * conservation laws SequencePackSpec pins.
+    *
+    * Scale shape: one `explode(sequence(seq_first, seq_last))` over the
+    * offsets table — output rows = documents + boundary crossings, the
+    * cardinality a trainer materializes anyway — and everything after
+    * the explode is codegen integer arithmetic; no shuffle beyond
+    * [[packOffsets]]' own range exchange. */
+  def sequenceManifest(docs: DataFrame, seqLen: Int, nTokens: Column,
+                       orderCol: String = "doc_id",
+                       nParts: Int = 0): DataFrame = {
+    val offs = packOffsets(docs, seqLen, nTokens, orderCol, nParts)
+      .filter(col("n_tokens") > 0L)
+    val L = lit(seqLen.toLong)
+    val spans = offs.select(col("doc_id"), col("n_tokens"), col("tok_start"),
+      explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+    val winStart = col("seq_id") * L
+    val spanStart = greatest(col("tok_start"), winStart)
+    val spanEnd = least(col("tok_start") + col("n_tokens"), winStart + L)
+    spans.select(
+      col("seq_id"), col("doc_id"),
+      (spanStart - winStart).as("seq_off"),
+      (spanStart - col("tok_start")).as("doc_off"),
+      (spanEnd - spanStart).as("n_toks"),
+      (spanStart === col("tok_start")).as("doc_starts"),
+      (spanEnd === col("tok_start") + col("n_tokens")).as("doc_ends"))
+  }
+
   /** Incremental packing — the standing-corpus form every other heavy
     * family here carries: the HISTORY's total token count freezes as a
     * one-row stage (written once under `stageLabel` via StageStore, read

@@ -300,6 +300,39 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |FROM c ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // seq_manifest — the per-(sequence, document) packing manifest
+  // (SequencePack.sequenceManifest): which documents fill each training
+  // sequence and where, with doc-start/doc-end flags — the loss-mask /
+  // attention-reset table a shard builder consumes. Pure integer span
+  // intersection off the seq_pack offsets; the oracle replays it as the
+  // window prefix sum + generate_series over each doc's sequence range.
+  // ---------------------------------------------------------------------
+  def seqManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePack.sequenceManifest(
+      t(s, dir, "documents"), seqLen = 512,
+      nTokens = size(split(col("text"), " ")))
+      .orderBy("seq_id", "doc_id")
+
+  val seqManifestSql: String =
+    """WITH n AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+      |o AS (SELECT doc_id, nt,
+      |    CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts
+      |  FROM n),
+      |s AS (SELECT doc_id, nt, ts,
+      |    unnest(generate_series(ts // 512, (ts + nt - 1) // 512)) AS seq_id
+      |  FROM o WHERE nt > 0)
+      |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+      |  CAST(greatest(ts, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off,
+      |  CAST(greatest(ts, seq_id * 512) - ts AS BIGINT) AS doc_off,
+      |  CAST(least(ts + nt, seq_id * 512 + 512)
+      |    - greatest(ts, seq_id * 512) AS BIGINT) AS n_toks,
+      |  greatest(ts, seq_id * 512) = ts AS doc_starts,
+      |  least(ts + nt, seq_id * 512 + 512) = ts + nt AS doc_ends
+      |FROM s ORDER BY seq_id, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // shard_shuffle — seeded deterministic global shuffle + shard assignment
   // (ShardShuffle.assign): the reproducible training-order permutation.
   // Portable dual-base polynomial key over "<seed>:<doc_id>", shard from

@@ -100,6 +100,56 @@ class SequencePackSpec extends AnyFunSuite with SparkSuite {
       s"expected an existing-RDD scan over the packed lineage:\n${p.take(2000)}")
   }
 
+  test("sequenceManifest: spans tile sequences and documents; boundary " +
+    "flags mark exactly the cut points (hand case, L=4)") {
+    import spark.implicits._
+    // token stream: doc1 [0,3), doc2 [3,8), doc3 [8,10), doc4 [10,19)
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 2L), (4L, 9L))
+      .toDF("doc_id", "n")
+    val m = SequencePack.sequenceManifest(docs, seqLen = 4, nTokens = col("n"))
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(m === Array(
+      (0L, 1L, 0L, 0L, 3L, true, true),   // doc1 whole, inside seq 0
+      (0L, 2L, 3L, 0L, 1L, true, false),  // doc2 head
+      (1L, 2L, 0L, 1L, 4L, false, true),  // doc2 tail
+      (2L, 3L, 0L, 0L, 2L, true, true),
+      (2L, 4L, 2L, 0L, 2L, true, false),
+      (3L, 4L, 0L, 2L, 4L, false, false), // doc4 interior: no flags
+      (4L, 4L, 0L, 6L, 3L, false, true)))
+  }
+
+  test("sequenceManifest conservation on real docs: per-doc spans sum to " +
+    "n_tokens with one start/end; per-seq spans fill every non-final seq") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = size(split(col("text"), " ")).cast("long")
+    val m = SequencePack.sequenceManifest(docs, 512, n)
+    val perDoc = m.groupBy("doc_id")
+      .agg(sum("n_toks").as("tot"),
+        sum(when(col("doc_starts"), 1L).otherwise(0L)).as("ns"),
+        sum(when(col("doc_ends"), 1L).otherwise(0L)).as("ne"))
+      .collect()
+    val want = docs.select(col("doc_id"), n.as("n")).filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.length === want.size)
+    perDoc.foreach { r =>
+      assert(r.getLong(1) === want(r.getLong(0)), s"doc ${r.getLong(0)}")
+      assert(r.getLong(2) === 1L && r.getLong(3) === 1L, s"doc ${r.getLong(0)}")
+    }
+    val perSeq = m.groupBy("seq_id").agg(sum("n_toks").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val last = perSeq.keys.max
+    assert(perSeq.keySet === (0L to last).toSet, "contiguous sequence ids")
+    perSeq.foreach { case (s, tot) =>
+      if (s != last) assert(tot === 512L, s"seq $s underfilled")
+      else assert(tot <= 512L)
+    }
+  }
+
   test("packOffsets: deterministic under RDD-id perturbation — interleaved " +
     "dummy jobs and varying nParts pin equality with the window spelling") {
     // The CORRECTNESS_r16 failure mode: two actions over an UNCACHED
