@@ -100,6 +100,14 @@ object SequencePack {
       var run = bc.value(pid)
       it.map { case (id, n) => val start = run; run += n; (id, n, start) }
     }.toDF("doc_id", "n_tokens", "tok_start")
+    seqColumns(scanned, seqLen)
+  }
+
+  /** Derives `seq_first/seq_last/n_splits` from `(doc_id, n_tokens,
+    * tok_start)` — the shared continuation arithmetic of the one-shot,
+    * incremental and streaming forms (tok_start may carry any constant
+    * history shift; the sequence ids follow). */
+  private[graft] def seqColumns(scanned: DataFrame, seqLen: Int): DataFrame = {
     val first = expr(s"tok_start div $seqLen")
     val last = when(col("n_tokens") === 0L, first)
       .otherwise(expr(s"(tok_start + n_tokens - 1) div $seqLen"))
@@ -172,16 +180,12 @@ object SequencePack {
       case None => totals0
     }
     val base = packOffsets(batch, seqLen, nTokens, orderCol)
-    val first = expr(s"tok_start div $seqLen")
-    val last = when(col("n_tokens") === 0L, first)
-      .otherwise(expr(s"(tok_start + n_tokens - 1) div $seqLen"))
-    base.select(col("doc_id"), col("n_tokens"),
-        (col("tok_start")).as("_local_start"))
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("_local_start") + col("hist_tokens")).as("tok_start"))
-      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
-        first.as("seq_first"), last.as("seq_last"),
-        (last - first).as("n_splits"))
+    seqColumns(
+      base.select(col("doc_id"), col("n_tokens"),
+          (col("tok_start")).as("_local_start"))
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("_local_start") + col("hist_tokens")).as("tok_start")),
+      seqLen)
   }
 }

@@ -782,6 +782,33 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
   // oracle val is defined later in the file)
   lazy val docsStreamUnicodeSql: String = unicodeCleanSql
 
+  // ---------------------------------------------------------------------
+  // docs_stream_seqpack — concat-and-chunk packing as a STANDING query
+  // (CorpusStream.packStream): every arriving micro-batch packs as a
+  // continuation of the persisted running token total (one long of state,
+  // read/rewritten per batch — nothing corpus-sized in streaming state),
+  // outputs append as sequences close. The fixture drains as one
+  // AvailableNow shard from a zero total, so the batch seq_pack oracle is
+  // the exact replay; CorpusStreamSpec pins the cross-batch continuation
+  // against the one-shot pack with a two-shard fixture.
+  // ---------------------------------------------------------------------
+  def docsStreamSeqpack(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("seqpack_stream").toString
+    drainStreamingRun(s) {
+      graft.streaming.CorpusStream.packStream(
+        graft.streaming.CorpusStream.fromParquetDir(s, dir),
+        seqLen = 512, nTokens = size(split(col("text"), " ")),
+        statePath = s"$base/state", outPath = s"$base/out",
+        checkpointDir = s"$base/ckpt")
+    }
+    s.read.parquet(s"$base/out").orderBy("doc_id")
+  }
+
+  // single-shard drain from zero state ≡ the one-shot pack (lazy: the
+  // batch oracle val lives in QueriesTextLayout)
+  lazy val docsStreamSeqpackSql: String = seqPackSql
+
   val docsStreamFluencySql: String = {
     val flu = graft.operators.LmScore.fluencyScoreSql("d.doc_id % 5 = 0")
     s"""SELECT * FROM (

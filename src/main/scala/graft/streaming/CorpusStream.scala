@@ -232,6 +232,56 @@ object CorpusStream {
     * deliberately not here: that is the compaction job's business
     * (fold survivors into the digest/band/set parquet between runs),
     * exactly the incremental-dedup contract batch-side. */
+  /** Streaming concat-and-chunk packing — the standing-query form of
+    * [[graft.operators.SequencePack.packOffsetsIncremental]]: every
+    * micro-batch of arriving documents is packed as a continuation of
+    * everything already packed, so the global token stream EXTENDS across
+    * batches and a shard builder can consume sequences as they close.
+    *
+    * State is ONE long — the running token total — persisted as a one-row
+    * parquet at `statePath` and read/rewritten per batch in `foreachBatch`
+    * (the `(document, persisted-state)` contract every gate here follows;
+    * nothing corpus-sized ever enters streaming state). Batch offsets come
+    * from the batch-only distributed scan plus the prior total; outputs
+    * append to `outPath`. Deterministic under the family's append-only
+    * contract: arrivals ordered by `orderCol` within a batch (the scan
+    * sorts) and batches arriving in `orderCol` order (the file source's
+    * modification-time order — the same contract packOffsetsIncremental
+    * states for its batches).
+    *
+    * Runs the query to completion (AvailableNow) and returns when
+    * drained. */
+  def packStream(docs: DataFrame, seqLen: Int,
+                 nTokens: org.apache.spark.sql.Column,
+                 statePath: String, outPath: String,
+                 checkpointDir: String): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val spark = b.sparkSession
+        import spark.implicits._
+        val prior: Long =
+          try spark.read.parquet(statePath).as[Long].collect()(0)
+          catch { case _: Throwable => 0L }
+        val out = graft.operators.SequencePack.seqColumns(
+          graft.operators.SequencePack.packOffsets(b, seqLen, nTokens)
+            .select(col("doc_id"), col("n_tokens"),
+              (col("tok_start") + lit(prior)).as("tok_start")),
+          seqLen)
+        out.write.mode("append").parquet(outPath)
+        // value-deterministic aggregate off the same materialized lineage
+        // (shuffle reuse — the single-lineage discipline)
+        val batchTokens = out
+          .agg(coalesce(sum("n_tokens"), lit(0L))).as[Long].collect()(0)
+        Seq(prior + batchTokens).toDF("hist_tokens")
+          .write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def standingIngest(docs: DataFrame, outDir: String, checkpointDir: String,
                      minWords: Int,
                      fluency: Option[(Map[String, Long], Long, Long)],

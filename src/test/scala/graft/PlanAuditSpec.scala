@@ -1090,4 +1090,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
       s"one-row N frame should cross-broadcast:\n${p.take(3000)}")
   }
+
+  test("cdc_containment: candidates are a digest equi-join — no cartesian, " +
+    "no nested loop; chunk text never crosses the pair exchange") {
+    val p = plan("cdc_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation fell back to a product join:\n${p.take(3000)}")
+    assert(p.contains("chunk_sha"), s"digest key missing:\n${p.take(2000)}")
+    // above the pair join only (doc_id, chunk_sha) may flow: the raw
+    // chunk string appears solely below the sha2 projection, so the text
+    // column must not be a join-side attribute of any exchange feeding
+    // the pair aggregate
+    val pairJoinRegion = p.substring(p.indexOf("chunk_sha"))
+    assert(!pairJoinRegion.contains("hashpartitioning(chunk, ") &&
+      !pairJoinRegion.contains("hashpartitioning(text"),
+      s"chunk/text shuffled:\n${p.take(3000)}")
+  }
+
+  test("domain_reweight: the published plan is a LocalTableScan — the solve " +
+    "ran on the bounded (step, domain) planning table, the corpus stage " +
+    "was one integer aggregate") {
+    val p = plan("domain_reweight")
+    assert(p.contains("LocalTableScan"),
+      s"expected the solved trajectory as a local table:\n${p.take(2000)}")
+    assert(!p.contains("parquet"),
+      s"corpus scan leaked into the trajectory plan:\n${p.take(2000)}")
+  }
+
+  test("seq_manifest: explode over the packed offsets — no window, no " +
+    "per-document shuffle beyond the pack's own range exchange") {
+    val p = plan("seq_manifest")
+    assert(p.contains("Generate explode"),
+      s"sequence-range explode missing:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"manifest must not introduce a window:\n${p.take(2000)}")
+  }
 }

@@ -271,4 +271,49 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
       "streaming state store materialized — the gate is supposed to be stateless")
     assert(new java.io.File(ckDir, "commits").exists())
   }
+
+  test("packStream: multi-batch arrival packs as a continuation of the " +
+    "persisted token total, bitwise-equal to the one-shot pack") {
+    import org.apache.spark.sql.functions.{size, split}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("packstream").toString
+    val d1 = (1L to 40L).map(i => (i, ("w " * ((i % 7) + 1).toInt).trim))
+    val d2 = (41L to 70L).map(i => (i, ("w " * ((i % 5) + 1).toInt).trim))
+    // two single-file shards with controlled names + mtimes so the file
+    // source delivers them as TWO batches in doc order
+    def shard(rows: Seq[(Long, String)], n: Int, mtime: Long): Unit = {
+      val tmp = s"$base/tmp$n"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(s"$base/in/shard$n.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    shard(d1, 1, 1000000000000L)
+    shard(d2, 2, 1000000100000L)
+    val stream = spark.readStream
+      .schema(d1.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+    CorpusStream.packStream(stream, seqLen = 16,
+      nTokens = size(split(org.apache.spark.sql.functions.col("text"), " ")),
+      statePath = s"$base/state", outPath = s"$base/out",
+      checkpointDir = s"$base/ckpt")
+    // two commits — the continuation really crossed a batch boundary
+    assert(new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(_.getName.forall(_.isDigit)) >= 2, "expected >= 2 micro-batches")
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.SequencePack.packOffsets(
+      (d1 ++ d2).toDF("doc_id", "text"), seqLen = 16,
+      nTokens = size(split(org.apache.spark.sql.functions.col("text"), " ")))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    // the persisted total is the grand token count
+    val totalWant = (d1 ++ d2).map(_._2.split(" ").length.toLong).sum
+    assert(spark.read.parquet(s"$base/state").as[Long].head() === totalWant)
+  }
 }
