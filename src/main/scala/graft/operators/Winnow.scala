@@ -101,6 +101,32 @@ object Winnow {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Standing-corpus clone detection — the incremental cadence of
+    * [[matches]]: a NEW batch is fingerprinted (map-only) and matched
+    * against the PERSISTED winnowed index of history, which enters as
+    * fingerprint FILES only — history text is never rescanned, and the
+    * index is ~2/(w+1) of history's gram volume by the winnowing density
+    * bound. Output pairs `(doc_a = history doc, doc_b = batch doc,
+    * n_shared)` at `minShared` distinct shared fingerprints. The hot-key
+    * guard caps the COMBINED posting (a boilerplate gram selected
+    * everywhere must not funnel one task), same recall note as
+    * [[matches]]. */
+  def matchesAgainst(batch: DataFrame, priorFps: DataFrame,
+                     k: Int = DefaultK, w: Int = DefaultW,
+                     minShared: Int = 5, maxPosting: Int = 1000): DataFrame = {
+    val bset = fingerprints(batch, k, w).select("doc_id", "fp").distinct()
+    val hset = priorFps.select("doc_id", "fp").distinct()
+    val hot = bset.unionByName(hset).groupBy("fp")
+      .agg(count(lit(1)).as("pf"))
+      .filter(col("pf") > maxPosting).select("fp")
+    val b = bset.join(broadcast(hot), Seq("fp"), "left_anti")
+    val h = hset.join(broadcast(hot), Seq("fp"), "left_anti")
+    h.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(b.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------------------------------
   // DuckDB replay oracles.
   // ------------------------------------------------------------------
@@ -114,7 +140,7 @@ object Winnow {
   /** The selection chain over a `(doc_id, w)` word-list CTE `wCte`:
     * grams → fps → band self-join per window → rightmost-min pick →
     * distinct `(doc_id, pos, fp)` in `${p}out`. */
-  private[operators] def selectCtes(k: Int, w: Int, wCte: String,
+  private[graft] def selectCtes(k: Int, w: Int, wCte: String,
                                     p: String): String =
     s"""${p}tok AS (SELECT doc_id, string_split(rtrim(array_to_string(wl, ' '), ' '), ' ') AS wj
        |  FROM $wCte),

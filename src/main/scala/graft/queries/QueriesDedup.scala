@@ -266,6 +266,51 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
       |  SELECT doc_id + 2000000, w0[1:greatest(CAST(floor(len(w0)/4) AS INT), 3)] AS wl
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w0 FROM documents))""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // winnow_matches_incremental — the standing-corpus clone index
+  // (Winnow.matchesAgainst): history's winnowed fingerprints persist once
+  // (StageStore files, ~2/(w+1) of the gram volume by the density bound);
+  // a batch of NEW arrivals — here the carved first-quarter snippets of
+  // history docs — fingerprints map-only and joins the index, so re-posts
+  // of history material are caught without rescanning history text. The
+  // oracle winnows both sides in SQL and splits the match join by id
+  // band.
+  // ---------------------------------------------------------------------
+  def winnowMatchesIncremental(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val fps = StageStore.materialize(
+      graft.operators.Winnow.fingerprints(hist).select("doc_id", "fp"),
+      s"winnow_fps_${StageStore.dirTag(dir)}")
+    val toks = split(col("text"), " ")
+    val keep = greatest((size(toks) / lit(4)).cast("int"), lit(3))
+    val batch = hist.select(
+      (col("doc_id") + lit(2000000L)).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), keep)).as("text"))
+    graft.operators.Winnow.matchesAgainst(batch, fps)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val winnowMatchesIncrementalSql: String = {
+    val wl =
+      """SELECT doc_id, wl FROM (
+        |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, w0[1:greatest(CAST(floor(len(w0)/4) AS INT), 3)] AS wl
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w0 FROM documents))""".stripMargin
+    s"WITH wl0 AS ($wl),\n" +
+      graft.operators.Winnow.selectCtes(
+        graft.operators.Winnow.DefaultK, graft.operators.Winnow.DefaultW,
+        "wl0", "") +
+      s""",
+         |hset AS (SELECT DISTINCT doc_id, fp FROM out)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM hset a JOIN hset b ON a.fp = b.fp
+         |WHERE a.doc_id < 2000000 AND b.doc_id >= 2000000
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+         |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Feature-hashing embeddings (Weinberger et al. ICML'09) for the whole
     * corpus — the in-engine, model-free vectorizer feeding the similarity
     * family. Exploded (doc_id, dim_idx, value) so the oracle compares

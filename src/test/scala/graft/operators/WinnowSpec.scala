@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.{col, concat_ws}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Winnow.select / fingerprints / matches — the winnow_* rows. */
@@ -61,5 +62,30 @@ class WinnowSpec extends AnyFunSuite with SparkSuite {
     val got = Winnow.matches(docs, minShared = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L)))
+  }
+
+  test("matchesAgainst equals the one-shot matches restricted to " +
+    "(history, batch) pairs; history enters as fingerprints only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def words(n: Int) = (1 to n).map(_ => "w" + rnd.nextInt(40)).mkString(" ")
+    val hist = (1L to 30L).map(i => (i, words(60))).toDF("doc_id", "text")
+    // batch: carved halves of history docs (ids shifted) + fresh noise
+    val toks = org.apache.spark.sql.functions.split(col("text"), " ")
+    val batch = hist.select((col("doc_id") + 100L).as("doc_id"),
+        concat_ws(" ", org.apache.spark.sql.functions.slice(toks, 1, 30))
+          .as("text"))
+      .unionAll(Seq((999L, words(50))).toDF("doc_id", "text"))
+    val inc = Winnow.matchesAgainst(batch, Winnow.fingerprints(hist)
+        .select("doc_id", "fp"), minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = Winnow.matches(hist.unionAll(batch), minShared = 3)
+      .filter(col("doc_a") <= 30L && col("doc_b") > 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === oneShot && inc.nonEmpty)
+    // every carved half matches its source
+    (1L to 30L).foreach { i =>
+      assert(inc.exists(p => p._1 == i && p._2 == i + 100L), s"doc $i")
+    }
   }
 }
