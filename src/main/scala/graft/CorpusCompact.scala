@@ -24,6 +24,8 @@ import graft.cli.{CorpusCompactCli, CorpusCompactConfig}
   *  - `doc_freq/`     (sh_hash, doc_freq)              — `--doc-freq`
   *  - `score_counts/` (domain, score, cnt) + `ecdf/`   — `--calibrate`
   *  - `cdc_blocks/`   (chunk_sha)                      — `--cdc`
+  *  - `winnow_fps/`   (doc_id, fp) winnowed clone index — `--winnow`
+  *  - `pack_total/`   (hist_tokens, one row)           — `--pack`
   *
   * Each artifact merges with `--prior`'s corresponding table when given
   * (union-distinct for digests, disjoint-id union for bands/sets,
@@ -86,6 +88,29 @@ object CorpusCompact {
       val delta = graft.operators.Cdc.blockDigests(docs)
       write("cdc_blocks", prior("cdc_blocks") match {
         case Some(p) => p.select("chunk_sha").unionByName(delta).distinct()
+        case None => delta
+      })
+    }
+    if (cfg.winnow) {
+      // append-disjoint per-doc union (shard doc ids never repeat, the
+      // same contract as bands/sets); ~2/(w+1) of the shard's gram volume
+      val delta = graft.operators.Winnow.fingerprints(docs)
+        .select("doc_id", "fp").distinct()
+      write("winnow_fps", prior("winnow_fps") match {
+        case Some(p) => p.select("doc_id", "fp").unionByName(delta)
+        case None => delta
+      })
+    }
+    if (cfg.pack) {
+      // the packing family's entire state: ONE long (running token total,
+      // whitespace convention — the same count packStream maintains);
+      // merge-by-sum, valid because shard token counts add
+      import org.apache.spark.sql.functions.{coalesce, lit, size, split, sum}
+      val delta = docs.agg(coalesce(sum(size(split(col("text"), " "))
+        .cast("long")), lit(0L)).as("hist_tokens"))
+      write("pack_total", prior("pack_total") match {
+        case Some(p) => p.select("hist_tokens").unionByName(delta)
+          .agg(coalesce(sum("hist_tokens"), lit(0L)).as("hist_tokens"))
         case None => delta
       })
     }

@@ -12,6 +12,8 @@ case class CorpusCompactConfig(
     docFreq: Boolean = false,   // containment doc-frequency table
     calibrate: Boolean = false, // score_counts (mergeable) + derived ecdf
     cdc: Boolean = false,       // content-defined block digest table
+    winnow: Boolean = false,    // winnowed clone-index fingerprints
+    pack: Boolean = false,      // running token total (seq-pack state)
     // shingle/band geometry — must match what the gates were planned with
     k: Int = 3,
     numHashes: Int = 16,
@@ -31,6 +33,8 @@ object CorpusCompactCli {
         case "--doc-freq" :: t => c = c.copy(docFreq = true); rest = t
         case "--calibrate" :: t => c = c.copy(calibrate = true); rest = t
         case "--cdc" :: t => c = c.copy(cdc = true); rest = t
+        case "--winnow" :: t => c = c.copy(winnow = true); rest = t
+        case "--pack" :: t => c = c.copy(pack = true); rest = t
         case "--k" :: v :: t => intArg(v, "--k") match {
           case Right(i) => c = c.copy(k = i); rest = t
           case Left(e) => return Left(e)
@@ -62,8 +66,10 @@ object CorpusCompactCli {
   private val valueFlags = Set("--prior", "--k", "--num-hashes", "--bands")
 
   private def validate(c: CorpusCompactConfig): Either[String, CorpusCompactConfig] =
-    if (!(c.digests || c.minhash || c.docFreq || c.calibrate || c.cdc))
-      Left("select at least one artifact: --digests, --minhash, --doc-freq, --calibrate, --cdc")
+    if (!(c.digests || c.minhash || c.docFreq || c.calibrate || c.cdc ||
+        c.winnow || c.pack))
+      Left("select at least one artifact: --digests, --minhash, --doc-freq, " +
+        "--calibrate, --cdc, --winnow, --pack")
     else if (c.prior.contains(c.out))
       Left("--prior must differ from <stateOutDir> (state versions are immutable)")
     else if (c.k < 1) Left(s"--k must be >= 1, got ${c.k}")

@@ -71,7 +71,8 @@ class CorpusCompactSpec extends AnyFunSuite with SparkSuite {
     val s1 = new java.io.File(tmp("cpt_s1"), "v1").getAbsolutePath
     val s2 = new java.io.File(tmp("cpt_s2"), "v2").getAbsolutePath
     val sU = new java.io.File(tmp("cpt_sU"), "vU").getAbsolutePath
-    val flags = Seq("--digests", "--minhash", "--doc-freq", "--calibrate", "--cdc")
+    val flags = Seq("--digests", "--minhash", "--doc-freq", "--calibrate",
+      "--cdc", "--winnow", "--pack")
     def compact(in: String, out: String, prior: Option[String]) =
       CorpusCompact.run(spark, CorpusCompactCli.parse(
         Seq(in, out) ++ flags ++ prior.toSeq.flatMap(p => Seq("--prior", p)))
@@ -85,13 +86,30 @@ class CorpusCompactSpec extends AnyFunSuite with SparkSuite {
     def rows(root: String, name: String) =
       spark.read.parquet(s"$root/$name").collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
-    for (t <- Seq("digests", "bands", "sets", "doc_freq", "score_counts", "ecdf", "cdc_blocks"))
+    for (t <- Seq("digests", "bands", "sets", "doc_freq", "score_counts",
+        "ecdf", "cdc_blocks", "winnow_fps", "pack_total"))
       assert(rows(s2, t) === rows(sU, t), s"artifact $t diverged")
     // the ecdf artifact equals the operator's direct derivation
     val direct = graft.operators.Calibrate.ecdfFromCounts(
       spark.read.parquet(s"$s2/score_counts")).collect()
       .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(rows(s2, "ecdf") === direct)
+    // the compacted states are directly CONSUMABLE: the winnow index
+    // catches a re-post of shard-1 material, and the pack total is the
+    // exact grand token count the next packOffsetsIncremental continues
+    // from
+    val repost = docsDf(Seq((900L,
+      "the quick brown fox jumps over the lazy dog")))
+    // minShared=1: a 9-token doc yields ~6 grams whose windows mostly
+    // re-select one gram (the winnowing density working as designed)
+    val caught = graft.operators.Winnow.matchesAgainst(repost,
+        spark.read.parquet(s"$s2/winnow_fps"), minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(caught === Set((1L, 900L), (11L, 900L)))
+    val total = spark.read.parquet(s"$s2/pack_total")
+      .collect()(0).getLong(0)
+    val want = (shard1 ++ shard2).map(_._2.split(" ").length.toLong).sum
+    assert(total === want)
   }
 
   test("a second compaction into the same state root fails loudly") {
