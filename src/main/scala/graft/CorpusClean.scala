@@ -278,11 +278,13 @@ object CorpusClean {
     // the top P fraction of each domain by the domain-conditional ECDF of
     // the stopword-ratio score — scored over the gate SURVIVORS (the
     // population the cut is defined on), domains read from the raw input
-    // (the score table drops non-text columns). Docs with a NULL score
-    // (zero-word docs, reachable with --min-words 0) were never ranked —
-    // Calibrate drops NULL scores — so they PASS THROUGH the gate
-    // unchanged rather than silently vanishing from every domain's
-    // ranking; the word-count gates, not the quality cut, own them.
+    // (the score table drops non-text columns). Docs the ranking never
+    // saw PASS THROUGH the gate unchanged rather than silently vanishing
+    // from every domain's ranking: a NULL score (zero-word docs,
+    // reachable with --min-words 0 — the word-count gates own those) and
+    // a NULL domain (a missing --calibrate-by field — no domain ever
+    // ranked it; Calibrate's equality joins drop NULL keys) are both
+    // unranked, not rejected.
     val calibrated = (cfg.calibrateTop, cfg.calibrateBy) match {
       case (Some(p), Some(dcol)) =>
         val domains = readInput(spark, cfg).select(col("doc_id"),
@@ -293,7 +295,9 @@ object CorpusClean {
         val keptIds = graft.operators.Calibrate
           .calibrate(scored, "_dom", "_score", p)
           .filter(col("kept")).select("doc_id")
-        val unranked = scored.filter(col("_score").isNull).select("doc_id")
+        val unranked = scored
+          .filter(col("_score").isNull || col("_dom").isNull)
+          .select("doc_id")
         filtered.join(keptIds.unionAll(unranked), Seq("doc_id"), "left_semi")
       case _ => filtered
     }

@@ -61,6 +61,11 @@ object Verify {
       names.foreach { name =>
         (hashes(s"$outDir.rep1", name), hashes(outDir, name)) match {
           case (Some(a), Some(b)) if a == b => ()
+          case (None, None) =>
+            // failed identically in BOTH reps — a deterministic failure,
+            // already reported by the per-query `failed:` line; flagging
+            // it REP-MISMATCH would fake a nondeterminism alarm
+            ()
           case (a, b) =>
             bad += 1
             System.err.println(s"[verify] REP-MISMATCH $name " +

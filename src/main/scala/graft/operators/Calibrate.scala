@@ -111,7 +111,11 @@ object Calibrate {
     * `(domain, score)` pairs — score-cardinality-bounded exactly like the
     * frozen table — and fans back to rows via an equality join, which
     * AQE broadcasts whenever the distinct table is small. Batch rows
-    * never enter a window. */
+    * never enter a window. The fan-back is a LEFT join with a 0.0
+    * default, so a row whose domain is NULL (unmatchable by equality)
+    * still comes back annotated `ecdf_frozen = 0.0, kept = false` —
+    * the same floor the as-of form gave it — instead of silently
+    * vanishing from the returned frame. */
   def calibrateAgainst(batch: DataFrame, frozenEcdf: DataFrame,
                        domainCol: String, scoreCol: String,
                        keepTop: Double): DataFrame = {
@@ -122,8 +126,10 @@ object Calibrate {
         frozenEcdf, domainCol, scoreCol,
         rightCols = Seq("ecdf"), tieBreak = "ecdf")
       .select(col(domainCol), col(scoreCol),
-        coalesce(col("asof_match.ecdf"), lit(0.0d)).as("ecdf_frozen"))
-    rows.join(looked, Seq(domainCol, scoreCol))
+        coalesce(col("asof_match.ecdf"), lit(0.0d)).as("_ecdf_lkp"))
+    rows.join(looked, Seq(domainCol, scoreCol), "left")
+      .withColumn("ecdf_frozen", coalesce(col("_ecdf_lkp"), lit(0.0d)))
+      .drop("_ecdf_lkp")
       .withColumn("kept", col("ecdf_frozen") > lit(1.0d) - lit(keepTop))
   }
 }

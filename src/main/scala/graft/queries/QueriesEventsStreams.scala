@@ -802,7 +802,11 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
         statePath = s"$base/state", outPath = s"$base/out",
         checkpointDir = s"$base/ckpt")
     }
-    s.read.parquet(s"$base/out").orderBy("doc_id")
+    // drop the batch=<id> partition column the idempotent writer adds
+    s.read.parquet(s"$base/out")
+      .select("doc_id", "n_tokens", "tok_start", "seq_first", "seq_last",
+        "n_splits")
+      .orderBy("doc_id")
   }
 
   // single-shard drain from zero state ≡ the one-shot pack (lazy: the

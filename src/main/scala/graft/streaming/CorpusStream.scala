@@ -238,16 +238,30 @@ object CorpusStream {
     * everything already packed, so the global token stream EXTENDS across
     * batches and a shard builder can consume sequences as they close.
     *
-    * State is ONE long — the running token total — persisted as a one-row
-    * parquet at `statePath` and read/rewritten per batch in `foreachBatch`
-    * (the `(document, persisted-state)` contract every gate here follows;
-    * nothing corpus-sized ever enters streaming state). Batch offsets come
-    * from the batch-only distributed scan plus the prior total; outputs
-    * append to `outPath`. Deterministic under the family's append-only
-    * contract: arrivals ordered by `orderCol` within a batch (the scan
-    * sorts) and batches arriving in `orderCol` order (the file source's
-    * modification-time order — the same contract packOffsetsIncremental
-    * states for its batches).
+    * State is ONE row — the running token total plus the last applied
+    * batch id — persisted under `statePath` as batch-versioned one-row
+    * parquet partitions (`v=<batchId>`, each written exactly once; the
+    * read takes the row with the highest `last_batch`). Nothing
+    * corpus-sized ever enters streaming state. Batch offsets come from
+    * the batch-only distributed scan plus the prior total; each batch's
+    * output lands in its OWN `batch=<batchId>` partition of `outPath`
+    * with overwrite semantics.
+    *
+    * REPLAY-IDEMPOTENT under foreachBatch's at-least-once contract
+    * (unlike a bare append, which would double-ship a batch whose
+    * checkpoint commit was lost): a replayed batch id at or below the
+    * state's `last_batch` is skipped outright (its output partition and
+    * state version already exist), and a crash BETWEEN the output write
+    * and the state write replays with the same prior total, recomputing
+    * identical rows into the same partition. A state-read failure on an
+    * EXISTING state directory fails the batch loudly — only the
+    * first-batch missing path maps to the zero total (a transient read
+    * error silently resetting to 0 would corrupt every later offset).
+    *
+    * Deterministic under the family's append-only contract: arrivals
+    * ordered by `orderCol` within a batch (the scan sorts) and batches
+    * arriving in `orderCol` order (the file source's modification-time
+    * order — the same contract packOffsetsIncremental states).
     *
     * Runs the query to completion (AvailableNow) and returns when
     * drained. */
@@ -256,24 +270,36 @@ object CorpusStream {
                  statePath: String, outPath: String,
                  checkpointDir: String): Unit = {
     val q = docs.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
         import spark.implicits._
-        val prior: Long =
-          try spark.read.parquet(statePath).as[Long].collect()(0)
-          catch { case _: Throwable => 0L }
-        val out = graft.operators.SequencePack.seqColumns(
-          graft.operators.SequencePack.packOffsets(b, seqLen, nTokens)
-            .select(col("doc_id"), col("n_tokens"),
-              (col("tok_start") + lit(prior)).as("tok_start")),
-          seqLen)
-        out.write.mode("append").parquet(outPath)
-        // value-deterministic aggregate off the same materialized lineage
-        // (shuffle reuse — the single-lineage discipline)
-        val batchTokens = out
-          .agg(coalesce(sum("n_tokens"), lit(0L))).as[Long].collect()(0)
-        Seq(prior + batchTokens).toDF("hist_tokens")
-          .write.mode("overwrite").parquet(statePath)
+        val stateDir = new org.apache.hadoop.fs.Path(statePath)
+        val fs = stateDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val (prior, lastBatch): (Long, Long) =
+          if (!fs.exists(stateDir)) (0L, -1L)
+          else {
+            // state exists: a read failure here is a REAL error, not the
+            // first-batch case — let it fail the batch
+            val rows = spark.read.parquet(statePath)
+              .select(col("hist_tokens").cast("long"),
+                col("last_batch").cast("long"))
+              .as[(Long, Long)].collect()
+            if (rows.isEmpty) (0L, -1L) else rows.maxBy(_._2)
+          }
+        if (batchId > lastBatch) {
+          val out = graft.operators.SequencePack.seqColumns(
+            graft.operators.SequencePack.packOffsets(b, seqLen, nTokens)
+              .select(col("doc_id"), col("n_tokens"),
+                (col("tok_start") + lit(prior)).as("tok_start")),
+            seqLen)
+          out.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          // value-deterministic aggregate off the same materialized
+          // lineage (shuffle reuse — the single-lineage discipline)
+          val batchTokens = out
+            .agg(coalesce(sum("n_tokens"), lit(0L))).as[Long].collect()(0)
+          Seq((prior + batchTokens, batchId)).toDF("hist_tokens", "last_batch")
+            .write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

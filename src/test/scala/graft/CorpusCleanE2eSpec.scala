@@ -236,26 +236,29 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L, 6L))
   }
 
-  test("--calibrate passes NULL-score (zero-word) docs through unchanged") {
+  test("--calibrate passes NULL-score (zero-word) and NULL-domain docs " +
+    "through unchanged") {
     val inDir = tmp("cc_cal_null_in")
     val outDir = tmp("cc_cal_null_out")
     import spark.implicits._
     // doc 7 has no words at all: with --min-words 0 it reaches the
-    // calibrate gate with a NULL stop_ratio — it was never ranked, so
-    // the quality cut must pass it through, not silently drop it
+    // calibrate gate with a NULL stop_ratio; doc 8 has words but a
+    // MISSING lang field. Neither was ever ranked in any domain, so the
+    // quality cut must pass both through, not silently drop them.
     Seq(
-      (1L, "alpha beta gamma delta", "en"),
-      (2L, "the alpha beta gamma", "en"),
-      (3L, "the a alpha beta", "en"),
-      (4L, "the a and alpha", "en"),
-      (7L, "", "en"))
+      (1L, "alpha beta gamma delta", Some("en")),
+      (2L, "the alpha beta gamma", Some("en")),
+      (3L, "the a alpha beta", Some("en")),
+      (4L, "the a and alpha", Some("en")),
+      (7L, "", Some("en")),
+      (8L, "the a and of alpha", None))
       .toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(inDir)
     val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
       "--no-lang-gate", "--min-words", "0", "--no-near-dup",
       "--calibrate", "0.5", "--calibrate-by", "lang")).toOption.get
-    assert(CorpusClean.run(spark, cfg) === 3L)
+    assert(CorpusClean.run(spark, cfg) === 4L)
     assert(spark.read.parquet(outDir)
-      .collect().map(_.getLong(0)).toSet === Set(3L, 4L, 7L))
+      .collect().map(_.getLong(0)).toSet === Set(3L, 4L, 7L, 8L))
   }
 
   test("--mixture-solve writes the MW weight trajectory over the survivors") {

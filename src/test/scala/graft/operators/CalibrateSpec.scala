@@ -79,6 +79,21 @@ class CalibrateSpec extends AnyFunSuite with SparkSuite {
     assert(out(13L) === ((1.0, true)))
   }
 
+  test("calibrateAgainst: a NULL-domain batch row is returned floored, " +
+    "not silently dropped") {
+    import spark.implicits._
+    val hist = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("domain", "score", "id")
+    val frozen = Calibrate.ecdfTable(hist, "domain", "score")
+    val batch = Seq((Some("a"), 2.0, 10L), (None, 2.0, 11L))
+      .toDF("domain", "score", "id")
+    val out = Calibrate.calibrateAgainst(batch, frozen, "domain", "score", 0.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("ecdf_frozen"), r.getAs[Boolean]("kept")))).toMap
+    assert(out.keySet === Set(10L, 11L), "NULL-domain row vanished")
+    assert(out(11L) === ((0.0, false)))
+    assert(out(10L) === ((1.0, true)))
+  }
+
   test("calibrateAgainst over in-history scores equals direct calibration") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -305,15 +305,42 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
     // two commits — the continuation really crossed a batch boundary
     assert(new java.io.File(s"$base/ckpt/commits").listFiles()
       .count(_.getName.forall(_.isDigit)) >= 2, "expected >= 2 micro-batches")
+    val packCols = Seq("doc_id", "n_tokens", "tok_start", "seq_first",
+      "seq_last", "n_splits")
     val got = spark.read.parquet(s"$base/out")
+      .select(packCols.head, packCols.tail: _*)
       .collect().map(_.toSeq).toSet
     val want = graft.operators.SequencePack.packOffsets(
       (d1 ++ d2).toDF("doc_id", "text"), seqLen = 16,
       nTokens = size(split(org.apache.spark.sql.functions.col("text"), " ")))
       .collect().map(_.toSeq).toSet
     assert(got === want)
-    // the persisted total is the grand token count
+    // the persisted total (highest state version) is the grand token count
     val totalWant = (d1 ++ d2).map(_._2.split(" ").length.toLong).sum
-    assert(spark.read.parquet(s"$base/state").as[Long].head() === totalWant)
+    val st = spark.read.parquet(s"$base/state")
+      .select("hist_tokens", "last_batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).maxBy(_._2)
+    assert(st._1 === totalWant)
+    // replay idempotency: re-running a committed batch id must be a no-op
+    // — same prior state, same output partition, nothing double-shipped
+    val before = spark.read.parquet(s"$base/out")
+      .select(packCols.head, packCols.tail: _*).collect().map(_.toSeq).toSet
+    val replayStream = spark.readStream
+      .schema(d1.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+    // fresh checkpoint => batch ids restart at 0, which the state's
+    // last_batch already covers — every batch must skip
+    CorpusStream.packStream(replayStream, seqLen = 16,
+      nTokens = size(split(org.apache.spark.sql.functions.col("text"), " ")),
+      statePath = s"$base/state", outPath = s"$base/out",
+      checkpointDir = s"$base/ckpt2")
+    val after = spark.read.parquet(s"$base/out")
+      .select(packCols.head, packCols.tail: _*).collect().map(_.toSeq).toSet
+    assert(after === before, "replayed batches must not double-ship")
+    val st2 = spark.read.parquet(s"$base/state")
+      .select("hist_tokens", "last_batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).maxBy(_._2)
+    assert(st2 === st)
   }
 }
