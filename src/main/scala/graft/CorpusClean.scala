@@ -69,7 +69,9 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     (mixture plan), `--drift-against`/`--drift-out` (token drift vs a
   *     prior snapshot), `--epochs`/`--epochs-out` (the seeded per-epoch
   *     training orders), `--sft-out` (the instruction-tuning render +
-  *     loss-mask boundary table, sft_render's shape).
+  *     loss-mask boundary table, sft_render's shape),
+  *     `--loss-mask-out` [`--loss-mask-seqlen <L>`, default 512] (the
+  *     packed per-sequence no-loss span table, seq_loss_mask's shape).
   *     Formats: parquet (default), jsonl (exchange),
   *     orc (columnar alternative) on both endpoints.
   *
@@ -690,6 +692,15 @@ object CorpusClean {
     cfg.sftOut.foreach { sd =>
       graft.operators.SftRender.render(writtenSurvivors())
         .write.mode("overwrite").parquet(sd)
+    }
+    // per-sequence loss-mask export: pack the SHIPPED survivors'
+    // SFT-rendered turns with concat-and-chunk and write the merged
+    // no-loss span table (seq_loss_mask's shape) — the table a trainer
+    // loads next to the packed shards
+    cfg.lossMaskOut.foreach { ld =>
+      graft.operators.SequencePack
+        .seqLossMask(writtenSurvivors(), seqLen = cfg.lossMaskSeqLen.toInt)
+        .write.mode("overwrite").parquet(ld)
     }
     // token drift: the shipped corpus vs the persisted prior snapshot
     (cfg.driftAgainst, cfg.driftOut) match {

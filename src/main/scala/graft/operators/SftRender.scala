@@ -22,9 +22,13 @@ object SftRender {
 
   val DefaultSystem = "You are a helpful assistant."
 
-  def render(docs: DataFrame,
-             sys: String = DefaultSystem,
-             promptWords: Int = 12): DataFrame = {
+  /** The template halves, as columns over a `text` column: the rendered
+    * prefix (system + user turn + assistant header — loss OFF) and the
+    * answer (loss ON; empty when the doc has no words past the prompt).
+    * Shared by [[render]] and [[SequencePack.seqLossMask]] so the
+    * loss-mask export uses bit-identical boundary arithmetic. */
+  private[operators] def templateParts(sys: String,
+                                       promptWords: Int): (Column, Column) = {
     require(promptWords >= 1, s"promptWords must be >= 1, got $promptWords")
     val words = split(col("text"), " ")
     val user = array_join(slice(words, 1, promptWords), " ")
@@ -33,6 +37,29 @@ object SftRender {
       .otherwise(lit(""))
     val prefix = concat(lit(s"<|system|>\n$sys\n<|user|>\n"), user,
       lit("\n<|assistant|>\n"))
+    (prefix, answer)
+  }
+
+  /** Whitespace token count of the rendered prefix — the loss-OFF
+    * prefix length a trainer masks. */
+  private[operators] def promptToks(sys: String, promptWords: Int): Column = {
+    val (prefix, _) = templateParts(sys, promptWords)
+    size(split(prefix, " ")).cast("long")
+  }
+
+  /** Whitespace token count of the full rendered turn (prefix + answer)
+    * — the packing weight of an SFT-rendered document. */
+  private[operators] def totalToks(sys: String, promptWords: Int): Column = {
+    val (prefix, answer) = templateParts(sys, promptWords)
+    (size(split(prefix, " ")) +
+      when(length(answer) > 0, size(split(answer, " ")))
+        .otherwise(lit(0))).cast("long")
+  }
+
+  def render(docs: DataFrame,
+             sys: String = DefaultSystem,
+             promptWords: Int = 12): DataFrame = {
+    val (prefix, answer) = templateParts(sys, promptWords)
     val rendered = concat(prefix, answer, lit("<|end|>"))
     docs.select(col("doc_id"), col("text"))
       .select(col("doc_id"),

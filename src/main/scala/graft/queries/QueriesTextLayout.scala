@@ -250,8 +250,9 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |c AS (SELECT doc_id, n_tokens,
-      |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS tok_start
       |  FROM s)
       |SELECT doc_id, n_tokens, tok_start,
       |  tok_start // 512 AS seq_first,
@@ -287,8 +288,10 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |c AS (SELECT doc_id, n_tokens,
-      |    (SELECT ht FROM h) + COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      |    CAST((SELECT ht FROM h)
+      |      + COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS tok_start
       |  FROM b)
       |SELECT doc_id, n_tokens, tok_start,
       |  tok_start // 512 AS seq_first,
@@ -331,6 +334,72 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |  greatest(ts, seq_id * 512) = ts AS doc_starts,
       |  least(ts + nt, seq_id * 512 + 512) = ts + nt AS doc_ends
       |FROM s ORDER BY seq_id, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // seq_loss_mask — the per-sequence loss-mask export
+  // (SequencePack.seqLossMask): pack SFT-rendered turns (SftRender's
+  // template arithmetic) with concat-and-chunk, intersect each packed
+  // document's prompt region with its sequence occupancy, merge touching
+  // spans per sequence. Positions [mask_start, mask_end) carry no loss —
+  // the table a trainer loads next to the packed shards. The oracle
+  // replays the whole derivation: template prefix lengths, window prefix
+  // sum (CAST BIGINT — HUGEINT lint), generate_series spans, and the
+  // classic running-max interval merge.
+  // ---------------------------------------------------------------------
+  def seqLossMask(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePack.seqLossMask(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      seqLen = 512)
+      .orderBy("seq_id", "mask_start")
+
+  val seqLossMaskSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |r AS (SELECT doc_id,
+      |    '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10)
+      |      || '<|user|>' || chr(10) || array_to_string(ws[1:12], ' ')
+      |      || chr(10) || '<|assistant|>' || chr(10) AS prefix,
+      |    CASE WHEN len(ws) > 12 THEN array_to_string(ws[13:len(ws)], ' ')
+      |         ELSE '' END AS answer
+      |  FROM w),
+      |n AS (SELECT doc_id,
+      |    CAST(len(string_split(prefix, ' ')) AS BIGINT) AS prompt_toks,
+      |    CAST(len(string_split(prefix, ' '))
+      |      + CASE WHEN len(answer) > 0 THEN len(string_split(answer, ' '))
+      |        ELSE 0 END AS BIGINT) AS nt
+      |  FROM r),
+      |o AS (SELECT doc_id, prompt_toks, nt,
+      |    CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts
+      |  FROM n),
+      |s AS (SELECT doc_id, prompt_toks, nt, ts,
+      |    unnest(generate_series(ts // 512, (ts + nt - 1) // 512)) AS seq_id
+      |  FROM o WHERE nt > 0),
+      |m AS (SELECT CAST(seq_id AS BIGINT) AS seq_id,
+      |    greatest(ts, seq_id * 512) - seq_id * 512 AS seq_off,
+      |    greatest(ts, seq_id * 512) - ts AS doc_off,
+      |    least(ts + nt, seq_id * 512 + 512) - greatest(ts, seq_id * 512) AS n_toks,
+      |    prompt_toks
+      |  FROM s),
+      |sp AS (SELECT seq_id, CAST(seq_off AS BIGINT) AS ms,
+      |    CAST(seq_off + least(greatest(prompt_toks - doc_off, 0), n_toks)
+      |      AS BIGINT) AS me
+      |  FROM m
+      |  WHERE least(greatest(prompt_toks - doc_off, 0), n_toks) > 0),
+      |f AS (SELECT seq_id, ms, me,
+      |    CASE WHEN max(me) OVER (PARTITION BY seq_id ORDER BY ms, me
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR ms > max(me) OVER (PARTITION BY seq_id ORDER BY ms, me
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM sp),
+      |g AS (SELECT seq_id, ms, me,
+      |    CAST(SUM(nw) OVER (PARTITION BY seq_id ORDER BY ms, me
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      |  FROM f)
+      |SELECT seq_id, CAST(min(ms) AS BIGINT) AS mask_start,
+      |  CAST(max(me) AS BIGINT) AS mask_end,
+      |  CAST(max(me) - min(ms) AS BIGINT) AS mask_toks
+      |FROM g GROUP BY seq_id, grp ORDER BY seq_id, mask_start""".stripMargin
 
   // ---------------------------------------------------------------------
   // shard_shuffle — seeded deterministic global shuffle + shard assignment
@@ -430,12 +499,12 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
     val z = graft.operators.Layout.zValueSql("qx", "qy", bits = 6)
     def walk(curve: String): String =
       s"""SELECT '$curve' AS curve,
-         |  CAST(count(*) + 1 AS BIGINT) AS n_cells,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
          |  CAST(sum(jump) AS BIGINT) AS total_jump,
          |  CAST(max(jump) AS BIGINT) AS max_jump
          |FROM (SELECT abs(qx - lag(qx) OVER (ORDER BY $curve)) +
          |             abs(qy - lag(qy) OVER (ORDER BY $curve)) AS jump
-         |      FROM keyed) WHERE jump IS NOT NULL""".stripMargin
+         |      FROM keyed)""".stripMargin
     s"""WITH cells AS (
        |  SELECT DISTINCT CAST(l_partkey % 64 AS BIGINT) AS qx,
        |    CAST(l_suppkey % 64 AS BIGINT) AS qy FROM lineitem),

@@ -241,11 +241,19 @@ object CorpusStream {
     * State is ONE row — the running token total plus the last applied
     * batch id — persisted under `statePath` as batch-versioned one-row
     * parquet partitions (`v=<batchId>`, each written exactly once; the
-    * read takes the row with the highest `last_batch`). Nothing
+    * read lists the version directories and takes the HIGHEST completed
+    * one — a directory-listing pick, not a scan over every version, so a
+    * long-lived standing query pays O(1) state reads per batch). After
+    * each state write, versions older than the last two are deleted
+    * (two, not one, so a version whose commit is interrupted mid-write
+    * still has a completed predecessor to fall back to). Nothing
     * corpus-sized ever enters streaming state. Batch offsets come from
     * the batch-only distributed scan plus the prior total; each batch's
     * output lands in its OWN `batch=<batchId>` partition of `outPath`
-    * with overwrite semantics.
+    * with overwrite semantics. The batch token total is the scan's own
+    * driver-side fold ([[graft.operators.SequencePack.packOffsetsWithTotal]]),
+    * so each micro-batch executes the pack scan EXACTLY once — the
+    * output write is the only corpus-sized action.
     *
     * REPLAY-IDEMPOTENT under foreachBatch's at-least-once contract
     * (unlike a bare append, which would double-ship a batch whose
@@ -257,6 +265,17 @@ object CorpusStream {
     * EXISTING state directory fails the batch loudly — only the
     * first-batch missing path maps to the zero total (a transient read
     * error silently resetting to 0 would corrupt every later offset).
+    *
+    * SCOPE of the skip contract: batch ids are stable only WITHIN one
+    * checkpoint lineage, so the skip is sound for same-checkpoint
+    * replays (crash/restart on an intact `checkpointDir`) and for a
+    * fresh checkpoint that re-reads the SAME file set in the same
+    * grouping. Losing the checkpoint AFTER new files arrived is NOT a
+    * supported resume path — a restart may group files differently, and
+    * unprocessed documents could land in an already-applied batch id
+    * and be skipped. Recover from a lost checkpoint by restarting with
+    * fresh `statePath`/`outPath`/`checkpointDir` (or seeding a new
+    * statePath from the old total after auditing `outPath`).
     *
     * Deterministic under the family's append-only contract: arrivals
     * ordered by `orderCol` within a batch (the scan sorts) and batches
@@ -275,30 +294,56 @@ object CorpusStream {
         import spark.implicits._
         val stateDir = new org.apache.hadoop.fs.Path(statePath)
         val fs = stateDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // one parquet dir per version: v=<batchId>, newest completed wins
+        def versions(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+          fs.listStatus(stateDir).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+            .flatMap { st =>
+              scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong)
+                .toOption.map(_ -> st.getPath)
+            }
+            .sortBy(-_._1)
         val (prior, lastBatch): (Long, Long) =
           if (!fs.exists(stateDir)) (0L, -1L)
           else {
-            // state exists: a read failure here is a REAL error, not the
-            // first-batch case — let it fail the batch
-            val rows = spark.read.parquet(statePath)
-              .select(col("hist_tokens").cast("long"),
-                col("last_batch").cast("long"))
-              .as[(Long, Long)].collect()
-            if (rows.isEmpty) (0L, -1L) else rows.maxBy(_._2)
+            // state exists: pick the HIGHEST version whose commit
+            // finished (_SUCCESS present) — a directory-listing pick, so
+            // the read cost stays O(1) as the query ages. A read failure
+            // here is a REAL error, not the first-batch case — let it
+            // fail the batch.
+            val done = versions().find { case (_, p) =>
+              fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+            }
+            done match {
+              case Some((_, p)) =>
+                val rows = spark.read.parquet(p.toString)
+                  .select(col("hist_tokens").cast("long"),
+                    col("last_batch").cast("long"))
+                  .as[(Long, Long)].collect()
+                require(rows.nonEmpty, s"empty packStream state version $p")
+                rows.maxBy(_._2)
+              case None =>
+                require(versions().isEmpty,
+                  s"packStream state dir $statePath has version dirs but " +
+                    "none completed — refusing to reset the token total to 0")
+                (0L, -1L)
+            }
           }
         if (batchId > lastBatch) {
+          // ONE pack scan per batch: the batch token total is the
+          // driver-side fold the two-pass scan already computed
+          val (offs, batchTokens) = graft.operators.SequencePack
+            .packOffsetsWithTotal(b, seqLen, nTokens)
           val out = graft.operators.SequencePack.seqColumns(
-            graft.operators.SequencePack.packOffsets(b, seqLen, nTokens)
-              .select(col("doc_id"), col("n_tokens"),
-                (col("tok_start") + lit(prior)).as("tok_start")),
+            offs.select(col("doc_id"), col("n_tokens"),
+              (col("tok_start") + lit(prior)).as("tok_start")),
             seqLen)
           out.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-          // value-deterministic aggregate off the same materialized
-          // lineage (shuffle reuse — the single-lineage discipline)
-          val batchTokens = out
-            .agg(coalesce(sum("n_tokens"), lit(0L))).as[Long].collect()(0)
           Seq((prior + batchTokens, batchId)).toDF("hist_tokens", "last_batch")
             .write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+          // compact: keep the two newest versions (current + a completed
+          // fallback should the next commit be interrupted mid-write)
+          versions().drop(2).foreach { case (_, p) => fs.delete(p, true) }
         }
         ()
       }

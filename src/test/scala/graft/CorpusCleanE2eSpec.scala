@@ -76,6 +76,28 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("--loss-mask-out writes the packed per-sequence no-loss span table " +
+    "of what shipped, matching the seq_loss_mask oracle query") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val inDir = tmp("cc_lm_in")
+    val outDir = tmp("cc_lm_out")
+    val lmDir = tmp("cc_lm_mask")
+    docs.write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "0", "--no-span-removal",
+      "--no-near-dup", "--loss-mask-out", lmDir)).toOption.get
+    val n = CorpusClean.run(spark, cfg)
+    assert(n === docs.count())
+    val got = spark.read.parquet(lmDir)
+      .select("seq_id", "mask_start", "mask_end", "mask_toks")
+      .orderBy("seq_id", "mask_start").collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("seq_loss_mask")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("--lang-model gates on the NB classifier's prediction instead of " +
     "the stopword heuristic") {
     val labeled = spark.read.parquet(s"$sf/documents.parquet")

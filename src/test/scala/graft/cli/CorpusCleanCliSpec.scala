@@ -84,6 +84,14 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     val c = ok("in", "out", "--no-span-removal", "--sft-out", "/sft")
     assert(c.noSpanRemoval && c.sftOut === Some("/sft"))
     assert(CorpusCleanCli.parse(Seq("in", "out", "--sft-out")).isLeft)
+    assert(ok("in", "out").lossMaskOut.isEmpty &&
+      ok("in", "out").lossMaskSeqLen === 512L)
+    val lm = ok("in", "out", "--loss-mask-out", "/lm",
+      "--loss-mask-seqlen", "128")
+    assert(lm.lossMaskOut === Some("/lm") && lm.lossMaskSeqLen === 128L)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--loss-mask-out")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out",
+      "--loss-mask-seqlen", "0")).isLeft)
     assert(CorpusCleanCli.parse(Seq("in", "out", "--no-span-removal",
       "--gram-state", "/gs")).left.exists(_.contains("conflicts")))
   }

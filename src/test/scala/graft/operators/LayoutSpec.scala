@@ -158,6 +158,16 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     rows.foreach { case (c, n, tot, mx) =>
       assert(n === 1L && tot.isEmpty && mx.isEmpty, s"curve=$c")
     }
+    // EMPTY input: zero cells exist and the scorecard must say so —
+    // n_cells=0 (not a phantom jumps+1=1), still one row per curve
+    val empty = Seq.empty[(Long, Long)].toDF("qx", "qy")
+    val erows = Layout.curveLocality(empty, col("qx"), col("qy"), bits = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3))))
+    assert(erows.map(_._1).toSet === Set("rowmajor", "zorder", "hilbert"))
+    erows.foreach { case (c, n, tot, mx) =>
+      assert(n === 0L && tot.isEmpty && mx.isEmpty, s"curve=$c")
+    }
     // out-of-range coordinates mask to the low bits consistently: the
     // walk over (17,16) at bits=4 equals the walk over (1,0) — for the
     // row-major key too, which has no internal mask of its own

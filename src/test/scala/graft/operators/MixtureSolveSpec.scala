@@ -45,6 +45,37 @@ class MixtureSolveSpec extends AnyFunSuite with SparkSuite {
       (1.0 - 0.25) * (rawA / s) + 0.25 / 2.0)
   }
 
+  test("NULL domain/step/loss rows are dropped, not NPE'd: the solve over " +
+    "a raw corpus column with missing domains equals the solve over the " +
+    "non-null subset") {
+    import spark.implicits._
+    val clean = Seq(
+      (0L, "a", 2L), (2L, "a", 4L), (4L, "b", 1L),
+      (1L, "a", 5L), (3L, "b", 1L), (5L, "b", 1L))
+    val dirty = clean.map { case (i, d, l) =>
+      (i, d: String, java.lang.Long.valueOf(l)) } ++ Seq(
+      (6L, null: String, java.lang.Long.valueOf(9L)),   // NULL domain
+      (7L, "a", null: java.lang.Long))                  // NULL loss
+    val cleanOut = traj(clean)
+    val dirtyOut = Mixture.domainReweight(
+      dirty.toDF("doc_id", "domain", "loss")
+        // NULL step for one otherwise-valid row
+        .withColumn("step", when(col("doc_id") === 0L, lit(null))
+          .otherwise(col("doc_id") % 2)),
+      "domain", col("step"), col("loss"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    // the NULL-step row (doc 0) is also dropped: replay the expectation
+    val wantOut = traj(clean.filterNot(_._1 == 0L))
+    assert(dirtyOut.toSeq === wantOut.toSeq)
+    assert(cleanOut.nonEmpty) // the fixture itself solves
+    // fully-null input: empty trajectory, no crash
+    val allNull = Seq((1L, null: String, null: java.lang.Long))
+      .toDF("doc_id", "domain", "loss")
+    assert(Mixture.domainReweight(allNull, "domain", lit(null), col("loss"))
+      .collect().isEmpty)
+  }
+
   test("deterministic: repartitioned input produces identical bits") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

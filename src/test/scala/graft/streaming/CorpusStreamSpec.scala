@@ -279,6 +279,7 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
     val base = java.nio.file.Files.createTempDirectory("packstream").toString
     val d1 = (1L to 40L).map(i => (i, ("w " * ((i % 7) + 1).toInt).trim))
     val d2 = (41L to 70L).map(i => (i, ("w " * ((i % 5) + 1).toInt).trim))
+    val d3 = (71L to 90L).map(i => (i, ("w " * ((i % 3) + 1).toInt).trim))
     // two single-file shards with controlled names + mtimes so the file
     // source delivers them as TWO batches in doc order
     def shard(rows: Seq[(Long, String)], n: Int, mtime: Long): Unit = {
@@ -294,6 +295,7 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
     }
     shard(d1, 1, 1000000000000L)
     shard(d2, 2, 1000000100000L)
+    shard(d3, 3, 1000000200000L)
     val stream = spark.readStream
       .schema(d1.toDF("doc_id", "text").schema)
       .option("maxFilesPerTrigger", 1)
@@ -302,21 +304,27 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
       nTokens = size(split(org.apache.spark.sql.functions.col("text"), " ")),
       statePath = s"$base/state", outPath = s"$base/out",
       checkpointDir = s"$base/ckpt")
-    // two commits — the continuation really crossed a batch boundary
+    // three commits — the continuation really crossed batch boundaries
     assert(new java.io.File(s"$base/ckpt/commits").listFiles()
-      .count(_.getName.forall(_.isDigit)) >= 2, "expected >= 2 micro-batches")
+      .count(_.getName.forall(_.isDigit)) >= 3, "expected >= 3 micro-batches")
     val packCols = Seq("doc_id", "n_tokens", "tok_start", "seq_first",
       "seq_last", "n_splits")
     val got = spark.read.parquet(s"$base/out")
       .select(packCols.head, packCols.tail: _*)
       .collect().map(_.toSeq).toSet
     val want = graft.operators.SequencePack.packOffsets(
-      (d1 ++ d2).toDF("doc_id", "text"), seqLen = 16,
+      (d1 ++ d2 ++ d3).toDF("doc_id", "text"), seqLen = 16,
       nTokens = size(split(org.apache.spark.sql.functions.col("text"), " ")))
       .collect().map(_.toSeq).toSet
     assert(got === want)
+    // state compaction: three versions were written, only the newest two
+    // survive (current + a completed fallback)
+    val vdirs = new java.io.File(s"$base/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName).toSet
+    assert(vdirs === Set("v=1", "v=2"), s"state versions: $vdirs")
     // the persisted total (highest state version) is the grand token count
-    val totalWant = (d1 ++ d2).map(_._2.split(" ").length.toLong).sum
+    val totalWant = (d1 ++ d2 ++ d3).map(_._2.split(" ").length.toLong).sum
     val st = spark.read.parquet(s"$base/state")
       .select("hist_tokens", "last_batch")
       .collect().map(r => (r.getLong(0), r.getLong(1))).maxBy(_._2)
@@ -342,5 +350,45 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
       .select("hist_tokens", "last_batch")
       .collect().map(r => (r.getLong(0), r.getLong(1))).maxBy(_._2)
     assert(st2 === st)
+  }
+
+  test("packStream: each micro-batch executes exactly one pack scan — " +
+    "no re-aggregation of the output as a second corpus-sized action") {
+    import org.apache.spark.sql.functions.{size, split}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("packstream1").toString
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L to 50L).map(i => (i, ("w " * ((i % 7) + 1).toInt).trim)))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        sites.add(js.stageInfos.map(_.name).mkString("{", "; ", "}"))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      CorpusStream.packStream(input.toDF().toDF("doc_id", "text"),
+        seqLen = 16,
+        nTokens = size(split(org.apache.spark.sql.functions.col("text"), " ")),
+        statePath = s"$base/state", outPath = s"$base/out",
+        checkpointDir = s"$base/ckpt")
+      // drain listener-bus events before reading the counter
+      org.apache.spark.GraftShuffleTestBridge
+        .waitForListeners(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // One fresh batch costs exactly 5 jobs in this environment: range
+    // bounds sampling + shuffle map-stage materialization (the exchange
+    // machinery), totals collect, output write, state write. The r17
+    // double-scan shape (out.agg(sum) as a SECOND action over the pack
+    // lineage) adds a 6th job — the regression this pins against.
+    assert(jobs.get <= 5,
+      s"expected <= 5 jobs for one fresh batch (single-scan contract), " +
+        s"saw ${jobs.get}: " + sites.toArray.mkString("[", ", ", "]"))
+    val rows = spark.read.parquet(s"$base/out")
+    assert(rows.count() === 50L)
   }
 }

@@ -6,11 +6,35 @@ Usage: compare_duckdb.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB with the sf tables registered as
 views, sorts columns by name and rows by all columns, and compares values.
+
+Type-faithful (round 18): the driver's gate hashes typed values, so a loose
+value compare (32.0 == 32) hides representation skew that deterministically
+fails the driver.  This script now ALSO
+  (a) lints every oracle's DuckDB output types and FAILS outright on
+      HUGEINT/UHUGEINT columns (fetchdf() materializes those as float64,
+      which can never hash-equal Spark's int64 — the r16/r17 seq_pack
+      family failure class), and
+  (b) FAILS any query whose oracle column materializes as float while the
+      Spark parquet column is integral (or vice versa) — the exact
+      driver-visible divergence — except the benign nullable-int case
+      where BOTH sides would float-ify identically.
+Every other dtype divergence is printed as a non-fatal SKEW line so the
+registry-wide representation sweep is one run of this script.
 """
 import sys, os, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
+
+# DuckDB logical types whose fetchdf() materialization loses the integer
+# representation the driver hashes against.
+BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+def dtype_kind(s: pd.Series) -> str:
+    """Collapse a pandas dtype to a comparison kind: i(nt), f(loat),
+    b(ool), M(datetime), O(ther)."""
+    k = s.dtype.kind
+    return k if k in ("i", "u", "f", "b", "M") else "O"
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -53,14 +77,48 @@ def main():
             print(f"ROWS-ONLY {name}: rows={len(got)}")
             continue
         try:
-            want = con.execute(oracle[name]).fetchdf()
+            rel = con.sql(oracle[name])
+            duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+            want = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        banned = {c: t for c, t in duck_types.items()
+                  if any(b in t.upper() for b in BANNED_DUCK_TYPES)}
+        if banned:
+            print(f"FAIL {name}: oracle emits banned DuckDB types "
+                  f"(fetchdf -> float64, driver hash can never match): {banned}")
             n_bad += 1
             continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns differ: spark={list(g.columns)} duckdb={list(w.columns)}")
+            n_bad += 1
+            continue
+        skew = None
+        for c in (g.columns if len(g) else []):  # 0-row: nothing to hash
+            gk, wk = dtype_kind(g[c]), dtype_kind(w[c])
+            if gk == wk:
+                continue
+            # benign nullable-int: an int column with NULLs floats-ify
+            # identically on both sides at driver time, so int-vs-float is
+            # only fatal when the float side has NO nulls (pure
+            # representation skew, e.g. HUGEINT or a DOUBLE aggregate).
+            if {gk, wk} == {"i", "f"} or {gk, wk} == {"u", "f"}:
+                fcol = g[c] if gk == "f" else w[c]
+                if fcol.isna().any():
+                    print(f"SKEW {name}.{c}: spark={g[c].dtype} duckdb={w[c].dtype} "
+                          f"(duck type {duck_types.get(c)}) — nullable-int, benign")
+                    continue
+                skew = (c, g[c].dtype, w[c].dtype, duck_types.get(c))
+                break
+            print(f"SKEW {name}.{c}: spark={g[c].dtype} duckdb={w[c].dtype} "
+                  f"(duck type {duck_types.get(c)})")
+        if skew:
+            c, gd, wd, dt = skew
+            print(f"FAIL {name}: type skew on {c}: spark={gd} duckdb={wd} "
+                  f"(duck type {dt}) — driver hash cannot match")
             n_bad += 1
             continue
         if len(g) != len(w):
