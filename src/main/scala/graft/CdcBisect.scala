@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage probe of Cdc.containmentPairs at a scale fixture —
+  * the bisect tool behind the r18 BENCH_NOTES adjudication of the
+  * x50→x100 alpha (scan vs pairable-digest filter vs pair self-join vs
+  * full query, with a hotBlockCap sweep). Each stage recomputes its
+  * upstream (nothing cached), so stage deltas are indicative, not
+  * additive; pair/survivor COUNTS are exact.
+  * Usage: runMain graft.CdcBisect <sfDir> [hotBlockCap ...]
+  */
+object CdcBisect {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val caps = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(64)
+    val spark = GraftSession.get(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[bisect] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s  -> $r")
+      r
+    }
+    // warm the input page cache once
+    docs.count()
+    val blocks = graft.operators.Cdc.chunks(docs, 6)
+      .select(col("doc_id"), sha2(col("chunk"), 256).as("chunk_sha"))
+      .distinct()
+    time("A chunks+sha+distinct")(blocks.count())
+    time("A again (warm)")(blocks.count())
+    val sizes = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    time("B sizes agg")(sizes.count())
+    caps.foreach { cap =>
+      val pairable = blocks.groupBy("chunk_sha")
+        .agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= 2 && col("_df") <= cap)
+        .select("chunk_sha")
+      time(s"C pairable digests cap=$cap")(pairable.count())
+      val kept = blocks.join(pairable, Seq("chunk_sha"))
+      val pairs = kept.as("a").join(kept.as("b"), Seq("chunk_sha"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      time(s"D pair self-join cap=$cap")(pairs.count())
+      time(s"E full containment cap=$cap")(
+        graft.operators.Cdc.containmentPairs(docs, 6, 500000L, cap).count())
+    }
+    spark.stop()
+  }
+}

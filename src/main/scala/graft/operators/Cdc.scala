@@ -120,7 +120,17 @@ object Cdc {
     * excluded from pairing, and single-holder digests are dropped before
     * the shuffle (they cannot pair). Documented cap, not silent: capped
     * digests simply do not contribute to `n_shared`, while `n_blocks`
-    * still counts them in the denominator. */
+    * still counts them in the denominator.
+    *
+    * The cap is SEMANTIC and deliberately constant in corpus size
+    * (r18 x100 sweep, BENCH_NOTES): `df > cap` IS the boilerplate
+    * regime — a block whose holder count grows with the corpus is
+    * exactly what pairwise containment should exclude (route it to
+    * [[duplicateBlocks]]/CC clustering instead) — and a constant cap
+    * bounds worst-case pair fan-out to cap·|digests|, linear in the
+    * corpus. Raising it admits k·(k−1) template-block pairs with no
+    * recall gain on true containment (cap 64→256 at x100: 4.8× the
+    * pairs, the extra survivors all df>64 boilerplate). */
   def containmentPairs(docs: DataFrame, maskBits: Int = 6,
                        minSharePpm: Long = 500000L,
                        hotBlockCap: Int = 64): DataFrame = {

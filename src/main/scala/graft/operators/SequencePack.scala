@@ -157,9 +157,31 @@ object SequencePack {
     * [[packOffsets]]' own range exchange. */
   def sequenceManifest(docs: DataFrame, seqLen: Int, nTokens: Column,
                        orderCol: String = "doc_id",
-                       nParts: Int = 0): DataFrame = {
-    val offs = packOffsets(docs, seqLen, nTokens, orderCol, nParts)
-      .filter(col("n_tokens") > 0L)
+                       nParts: Int = 0): DataFrame =
+    manifestFromOffsets(
+      packOffsets(docs, seqLen, nTokens, orderCol, nParts), seqLen)
+
+  /** Incremental manifest — the standing-corpus form: the BATCH's
+    * per-(sequence, document) spans as a continuation of history's
+    * frozen token total ([[packOffsetsIncremental]]'s contract: batch
+    * follows history in `orderCol`, history text never rescanned).
+    * Emits spans for batch documents only; unioned with history's own
+    * manifest it equals the one-shot manifest of history ++ batch row
+    * for row (the boundary sequence simply carries spans from both
+    * deliveries — spans never overlap). */
+  def sequenceManifestIncremental(history: DataFrame, batch: DataFrame,
+                                  seqLen: Int, nTokens: Column,
+                                  orderCol: String = "doc_id",
+                                  stageLabel: Option[String] = None): DataFrame =
+    manifestFromOffsets(
+      packOffsetsIncremental(history, batch, seqLen, nTokens, orderCol,
+        stageLabel), seqLen)
+
+  /** The span-intersection arithmetic shared by the one-shot and
+    * incremental manifests: codegen integer projection over a
+    * `packOffsets`-shaped frame. */
+  private def manifestFromOffsets(offsets: DataFrame, seqLen: Int): DataFrame = {
+    val offs = offsets.filter(col("n_tokens") > 0L)
     val L = lit(seqLen.toLong)
     val spans = offs.select(col("doc_id"), col("n_tokens"), col("tok_start"),
       explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
@@ -203,15 +225,45 @@ object SequencePack {
                   sys: String = SftRender.DefaultSystem,
                   promptWords: Int = 12,
                   orderCol: String = "doc_id",
-                  nParts: Int = 0): DataFrame = {
+                  nParts: Int = 0): DataFrame =
+    lossMaskFrom(
+      sequenceManifest(docs, seqLen,
+        SftRender.totalToks(sys, promptWords), orderCol, nParts),
+      docs, sys, promptWords, orderCol)
+
+  /** Incremental loss-mask export — the standing-corpus form: the
+    * BATCH's no-loss spans as a continuation of history's frozen token
+    * total (the same append-only contract as
+    * [[sequenceManifestIncremental]]). Emits spans contributed by batch
+    * documents only, merged among themselves; unioned with history's own
+    * export, spans from the two deliveries never overlap, though at the
+    * single boundary sequence a history span and a batch span may TOUCH
+    * without fusing (a trainer treating each row as "positions
+    * [mask_start, mask_end) carry no loss" is unaffected). */
+  def seqLossMaskIncremental(history: DataFrame, batch: DataFrame,
+                             seqLen: Int,
+                             sys: String = SftRender.DefaultSystem,
+                             promptWords: Int = 12,
+                             orderCol: String = "doc_id",
+                             stageLabel: Option[String] = None): DataFrame =
+    lossMaskFrom(
+      sequenceManifestIncremental(history, batch, seqLen,
+        SftRender.totalToks(sys, promptWords), orderCol, stageLabel),
+      batch, sys, promptWords, orderCol)
+
+  /** The mask-intersection + interval-merge tail shared by the one-shot
+    * and incremental loss-mask forms: attach each document's prompt
+    * length, clamp to its sequence occupancy, merge touching spans per
+    * sequence (window PARTITIONED BY seq_id — never global). */
+  private def lossMaskFrom(manifest: DataFrame, docs: DataFrame,
+                           sys: String, promptWords: Int,
+                           orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = sequenceManifest(docs, seqLen,
-      SftRender.totalToks(sys, promptWords), orderCol, nParts)
     val p = docs.select(col(orderCol).cast("long").as("doc_id"),
       SftRender.promptToks(sys, promptWords).as("prompt_toks"))
     val maskLen = least(greatest(col("prompt_toks") - col("doc_off"), lit(0L)),
       col("n_toks"))
-    val spans = m.join(p, "doc_id")
+    val spans = manifest.join(p, "doc_id")
       .select(col("seq_id"), col("seq_off").as("ms"),
         (col("seq_off") + maskLen).as("me"))
       .filter(col("me") > col("ms"))

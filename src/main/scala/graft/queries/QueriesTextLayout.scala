@@ -336,6 +336,47 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |FROM s ORDER BY seq_id, doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // seq_manifest_incremental — the standing-corpus manifest: a new batch
+  // (the same docs re-keyed +1e6, strictly after history in id order)
+  // emits its (sequence, document) spans as a continuation of history's
+  // frozen token total — the spans a one-shot manifest of history ++
+  // batch would give those documents.
+  // ---------------------------------------------------------------------
+  def seqManifestIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    graft.operators.SequencePack.sequenceManifestIncremental(
+      history = docs, batch = batch, seqLen = 512,
+      nTokens = size(split(col("text"), " ")),
+      stageLabel = Some(s"seqmanifest_hist_${StageStore.dirTag(dir)}"))
+      .orderBy("seq_id", "doc_id")
+  }
+
+  val seqManifestIncrementalSql: String =
+    """WITH n0 AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+      |h AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS ht FROM n0),
+      |n AS (SELECT doc_id + 1000000 AS doc_id, nt FROM n0),
+      |o AS (SELECT doc_id, nt,
+      |    CAST((SELECT ht FROM h)
+      |      + COALESCE(SUM(nt) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS ts
+      |  FROM n),
+      |s AS (SELECT doc_id, nt, ts,
+      |    unnest(generate_series(ts // 512, (ts + nt - 1) // 512)) AS seq_id
+      |  FROM o WHERE nt > 0)
+      |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+      |  CAST(greatest(ts, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off,
+      |  CAST(greatest(ts, seq_id * 512) - ts AS BIGINT) AS doc_off,
+      |  CAST(least(ts + nt, seq_id * 512 + 512)
+      |    - greatest(ts, seq_id * 512) AS BIGINT) AS n_toks,
+      |  greatest(ts, seq_id * 512) = ts AS doc_starts,
+      |  least(ts + nt, seq_id * 512 + 512) = ts + nt AS doc_ends
+      |FROM s ORDER BY seq_id, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // seq_loss_mask — the per-sequence loss-mask export
   // (SequencePack.seqLossMask): pack SFT-rendered turns (SftRender's
   // template arithmetic) with concat-and-chunk, intersect each packed
@@ -370,6 +411,75 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |o AS (SELECT doc_id, prompt_toks, nt,
       |    CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts
+      |  FROM n),
+      |s AS (SELECT doc_id, prompt_toks, nt, ts,
+      |    unnest(generate_series(ts // 512, (ts + nt - 1) // 512)) AS seq_id
+      |  FROM o WHERE nt > 0),
+      |m AS (SELECT CAST(seq_id AS BIGINT) AS seq_id,
+      |    greatest(ts, seq_id * 512) - seq_id * 512 AS seq_off,
+      |    greatest(ts, seq_id * 512) - ts AS doc_off,
+      |    least(ts + nt, seq_id * 512 + 512) - greatest(ts, seq_id * 512) AS n_toks,
+      |    prompt_toks
+      |  FROM s),
+      |sp AS (SELECT seq_id, CAST(seq_off AS BIGINT) AS ms,
+      |    CAST(seq_off + least(greatest(prompt_toks - doc_off, 0), n_toks)
+      |      AS BIGINT) AS me
+      |  FROM m
+      |  WHERE least(greatest(prompt_toks - doc_off, 0), n_toks) > 0),
+      |f AS (SELECT seq_id, ms, me,
+      |    CASE WHEN max(me) OVER (PARTITION BY seq_id ORDER BY ms, me
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR ms > max(me) OVER (PARTITION BY seq_id ORDER BY ms, me
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM sp),
+      |g AS (SELECT seq_id, ms, me,
+      |    CAST(SUM(nw) OVER (PARTITION BY seq_id ORDER BY ms, me
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      |  FROM f)
+      |SELECT seq_id, CAST(min(ms) AS BIGINT) AS mask_start,
+      |  CAST(max(me) AS BIGINT) AS mask_end,
+      |  CAST(max(me) - min(ms) AS BIGINT) AS mask_toks
+      |FROM g GROUP BY seq_id, grp ORDER BY seq_id, mask_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // seq_loss_mask_incremental — the standing-corpus loss-mask export: a
+  // new batch's no-loss spans as a continuation of history's frozen
+  // SFT-rendered token total (history = the raw docs, batch = the same
+  // docs re-keyed +1e6), merged among themselves per sequence.
+  // ---------------------------------------------------------------------
+  def seqLossMaskIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    graft.operators.SequencePack.seqLossMaskIncremental(
+      history = docs, batch = batch, seqLen = 512,
+      stageLabel = Some(s"seqlossmask_hist_${StageStore.dirTag(dir)}"))
+      .orderBy("seq_id", "mask_start")
+  }
+
+  val seqLossMaskIncrementalSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |r AS (SELECT doc_id,
+      |    '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10)
+      |      || '<|user|>' || chr(10) || array_to_string(ws[1:12], ' ')
+      |      || chr(10) || '<|assistant|>' || chr(10) AS prefix,
+      |    CASE WHEN len(ws) > 12 THEN array_to_string(ws[13:len(ws)], ' ')
+      |         ELSE '' END AS answer
+      |  FROM w),
+      |n0 AS (SELECT doc_id,
+      |    CAST(len(string_split(prefix, ' ')) AS BIGINT) AS prompt_toks,
+      |    CAST(len(string_split(prefix, ' '))
+      |      + CASE WHEN len(answer) > 0 THEN len(string_split(answer, ' '))
+      |        ELSE 0 END AS BIGINT) AS nt
+      |  FROM r),
+      |h AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS ht FROM n0),
+      |n AS (SELECT doc_id + 1000000 AS doc_id, prompt_toks, nt FROM n0),
+      |o AS (SELECT doc_id, prompt_toks, nt,
+      |    CAST((SELECT ht FROM h)
+      |      + COALESCE(SUM(nt) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS ts
       |  FROM n),
       |s AS (SELECT doc_id, prompt_toks, nt, ts,
       |    unnest(generate_series(ts // 512, (ts + nt - 1) // 512)) AS seq_id

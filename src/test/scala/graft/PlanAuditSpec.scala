@@ -1126,4 +1126,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"),
       s"manifest must not introduce a window:\n${p.take(2000)}")
   }
+
+  test("seq_loss_mask: prompt lengths attach via a doc_id equi-join (no " +
+    "product join) and the interval-merge windows partition by seq_id — " +
+    "never a global window") {
+    val p = plan("seq_loss_mask")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prompt join fell back to a product:\n${p.take(3000)}")
+    assert(p.contains("Window"), s"merge window missing:\n${p.take(2000)}")
+    // every window spec must carry the seq_id partition key: a Window
+    // line with an empty partition list would be the single-task global
+    // sort this operator is designed to avoid
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition"))
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("seq_id")),
+      s"window not partitioned by seq_id:\n${p.take(3000)}")
+  }
 }

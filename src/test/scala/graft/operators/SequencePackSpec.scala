@@ -150,6 +150,55 @@ class SequencePackSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("sequenceManifestIncremental: batch spans equal the one-shot " +
+    "manifest of history ++ batch restricted to batch documents") {
+    import spark.implicits._
+    val hist = Seq((1L, 3L), (2L, 5L), (3L, 2L)).toDF("doc_id", "n")
+    val batch = Seq((10L, 9L), (11L, 4L), (12L, 1L)).toDF("doc_id", "n")
+    val got = SequencePack.sequenceManifestIncremental(
+      hist, batch, seqLen = 4, nTokens = col("n"))
+      .orderBy("seq_id", "doc_id").collect().map(_.toSeq).toSeq
+    val want = SequencePack.sequenceManifest(
+      hist.unionAll(batch), seqLen = 4, nTokens = col("n"))
+      .filter(col("doc_id") >= 10L)
+      .orderBy("seq_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("seqLossMaskIncremental: history's export + the batch's continuation, " +
+    "re-merged at the boundary, equal the one-shot export of the union") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val histOut = spans(SequencePack.seqLossMask(hist, seqLen = 512))
+    val incrOut = spans(SequencePack.seqLossMaskIncremental(
+      hist, batch, seqLen = 512))
+    val oneShot = spans(SequencePack.seqLossMask(
+      hist.unionAll(batch), seqLen = 512)).toSet
+    // merge touching/overlapping spans per sequence across the two
+    // deliveries — the load-time fold the scaladoc describes
+    val merged = (histOut ++ incrOut).groupBy(_._1).toSeq.flatMap {
+      case (seq, sp) =>
+        val sorted = sp.sortBy(x => (x._2, x._3))
+        val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        sorted.foreach { case (_, ms, me) =>
+          acc.lastOption match {
+            case Some((_, ps, pe)) if ms <= pe =>
+              acc(acc.size - 1) = (seq, ps, math.max(pe, me))
+            case _ => acc += ((seq, ms, me))
+          }
+        }
+        acc
+    }.toSet
+    assert(merged === oneShot && incrOut.nonEmpty)
+  }
+
   test("seqLossMask: hand case — prompt regions mask, touching spans merge " +
     "across document junctions, answer regions stay unmasked") {
     import spark.implicits._
