@@ -457,6 +457,136 @@ object LmScore {
     * reference degrades to shuffle joins of pre-aggregated counts, never
     * of text. Output: (doc_id, n_scored, sb_sum) — zeros for docs under
     * three tokens. */
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP 1995,
+    * in Chen & Goodman 1998's interpolated form with a fixed absolute
+    * discount d = 0.75) — the LM-family slot between [[fluencyScore]]'s
+    * Laplace unigram-bucket rate and [[stupidBackoff]]'s unnormalized
+    * trigram score: the distribution KenLM-style quality filters
+    * actually use, distinguished by backing off to the CONTINUATION
+    * distribution (how many distinct contexts a word follows) rather
+    * than raw frequency, which stops boilerplate tokens that appear
+    * often but in one fixed context from scoring as fluent. Per token
+    * position i ≥ 2 under counts from a REFERENCE slice:
+    *
+    *   P(w|u) = max(c(u,w) − d, 0)/c(u·) + d·N1+(u,·)/c(u·)·Pc(w)   if c(u·) > 0
+    *          = Pc(w)                                                else
+    *   Pc(w)  = N1+(·,w) / N1+(·,·)      (0 for a word never seen as a
+    *                                      continuation; the whole score
+    *                                      is 0 on an empty reference)
+    *
+    * computed as the IEEE shape `max(c2−d,0)/cctx + d·ntypes/cctx·Pc`
+    * — every operand an exact integer count, d = 0.75 = 3/4 exactly
+    * representable, so each P is a fixed tree of correctly-rounded
+    * IEEE ops that DuckDB replays bit-for-bit ([[kneserNeySql]]). The
+    * document score is the POSITION-ORDER left-fold sum of P (the
+    * rank-ordered-fold rule every float-emitting operator here
+    * follows); no transcendental functions cross the engine boundary
+    * (log is NOT correctly-rounded-portable — consumers needing
+    * log-perplexity apply it downstream, inside one engine).
+    *
+    * Scale shape: identical to [[stupidBackoff]] — the three model
+    * tables (bigram counts, per-context totals/types, continuation
+    * types) aggregate map-side from the reference slice and are
+    * Heaps-bounded; the position stream is linear in corpus tokens and
+    * joins them by key; the per-doc fold is bounded by document length.
+    * Output: `(doc_id, n_scored, kn_sum)` — zeros for docs under two
+    * tokens. */
+  def kneserNey(docs: DataFrame, referenceFilter: Column): DataFrame = {
+    val d = 0.75 // 3/4 — exactly representable in binary64 both engines
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val ref = toks.filter(referenceFilter)
+    val bi = ref.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // per-context totals AND distinct-continuation type counts ride one
+    // aggregate over bi (its exchange is reused by the pair join below)
+    val ctx = bi.groupBy("w1")
+      .agg(sum("c2").cast("long").as("cctx"), count(lit(1)).as("ntypes"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val nb = bi.agg(count(lit(1)).cast("long").as("nb"))
+    val pos = toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(2), size(col("ws"))),
+          i => struct(i.cast("long").as("i"),
+            element_at(col("ws"), i - 1).as("u"),
+            element_at(col("ws"), i).as("wd")))).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"),
+        col("p.u").as("u"), col("p.wd").as("wd"))
+    val joined = pos
+      .join(bi, col("u") === col("w1") && col("wd") === col("w2"), "left")
+      .drop("w1", "w2")
+      .join(ctx.select(col("w1").as("cu"), col("cctx"), col("ntypes")),
+        col("u") === col("cu"), "left").drop("cu")
+      .join(cont.select(col("w2").as("cw"), col("ncont")),
+        col("wd") === col("cw"), "left").drop("cw")
+      .crossJoin(broadcast(nb))
+    val pc = coalesce(col("ncont"), lit(0L)).cast("double") /
+      col("nb").cast("double")
+    val p =
+      when(col("nb") === 0L, lit(0.0))
+        .otherwise(when(col("cctx").isNotNull,
+          greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(d),
+            lit(0.0)) / col("cctx").cast("double")
+            + lit(d) * col("ntypes").cast("double") /
+              col("cctx").cast("double") * pc)
+          .otherwise(pc))
+    val perDoc = joined.select(col("doc_id"), col("i"), p.as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        collect_list(struct(col("i"), col("p"))).as("lst"))
+      .select(col("doc_id"), col("n_scored"),
+        aggregate(transform(array_sort(col("lst")), e => e.getField("p")),
+          lit(0.0), (acc, v) => acc + v).as("kn_sum"))
+    toks.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).cast("long").as("n_scored"),
+        coalesce(col("kn_sum"), lit(0.0)).as("kn_sum"))
+  }
+
+  /** DuckDB replay of [[kneserNey]] — the same IEEE expression shape
+    * over the same exact-integer counts. */
+  def kneserNeySql(refWhere: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |ref AS (SELECT * FROM t WHERE $refWhere),
+       |bi AS (SELECT g[1] AS w1, g[2] AS w2, COUNT(*) AS c2 FROM
+       |  (SELECT UNNEST([[ws[i], ws[i+1]] for i in generate_series(1, len(ws)-1)]) AS g
+       |   FROM ref WHERE len(ws) >= 2) GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cctx,
+       |    CAST(COUNT(*) AS BIGINT) AS ntypes FROM bi GROUP BY 1),
+       |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM bi GROUP BY 1),
+       |nstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi),
+       |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    ws[CAST(i AS INT)-1] AS u, ws[CAST(i AS INT)] AS wd
+       |  FROM (SELECT doc_id, ws, UNNEST(generate_series(2, len(ws))) AS i
+       |        FROM t WHERE len(ws) >= 2) x),
+       |scored AS (SELECT p.doc_id, p.i,
+       |    CASE WHEN nb = 0 THEN CAST(0 AS DOUBLE)
+       |         WHEN cx.cctx IS NOT NULL
+       |           THEN greatest(CAST(COALESCE(b.c2, 0) AS DOUBLE)
+       |                  - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+       |                / CAST(cx.cctx AS DOUBLE)
+       |              + CAST(0.75 AS DOUBLE) * CAST(cx.ntypes AS DOUBLE)
+       |                / CAST(cx.cctx AS DOUBLE)
+       |                * (CAST(COALESCE(cn.ncont, 0) AS DOUBLE)
+       |                   / CAST(nb AS DOUBLE))
+       |         ELSE CAST(COALESCE(cn.ncont, 0) AS DOUBLE)
+       |              / CAST(nb AS DOUBLE) END AS p
+       |  FROM pos p
+       |  LEFT JOIN bi b ON b.w1 = p.u AND b.w2 = p.wd
+       |  LEFT JOIN ctx cx ON cx.w1 = p.u
+       |  LEFT JOIN cont cn ON cn.w2 = p.wd
+       |  CROSS JOIN nstat),
+       |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY i)),
+       |      (a, b) -> a + b) AS kn_sum
+       |  FROM scored GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(p.n_scored, 0) AS n_scored,
+       |  coalesce(p.kn_sum, CAST(0 AS DOUBLE)) AS kn_sum
+       |FROM t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   def stupidBackoff(docs: DataFrame, referenceFilter: Column): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val ref = toks.filter(referenceFilter)

@@ -408,6 +408,22 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       |FROM t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // lm_kneser_ney — the normalized-distribution slot of the LM family
+  // (Kneser & Ney '95, interpolated form, fixed d=0.75): every document's
+  // bigram positions scored under reference-slice (doc_id%5=0) counts
+  // with continuation-distribution backoff — the KenLM-style quality
+  // model; position-order fold sum, so it hash-oracles exactly.
+  // ---------------------------------------------------------------------
+  def lmKneserNey(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.kneserNey(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      referenceFilter = col("doc_id") % 5 === 0)
+      .orderBy("doc_id")
+
+  val lmKneserNeySql: String =
+    graft.operators.LmScore.kneserNeySql("doc_id % 5 = 0")
+
+  // ---------------------------------------------------------------------
   // preference_pairs — alignment-data prep (the RLHF/DPO chosen-rejected
   // construction from a scored corpus): within each source, the top-3
   // fluency docs pair with the bottom-3 by rank (1↔1, 2↔2, 3↔3), giving

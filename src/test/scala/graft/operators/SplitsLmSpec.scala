@@ -316,6 +316,80 @@ class SplitsLmSpec extends AnyFunSuite with SparkSuite {
     assert(out(4L) === ((0L, 0.0)))
   }
 
+  test("kneserNey: hand-computed interpolated discounting, normalization " +
+    "over the vocabulary, and zeros for short docs and unseen pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // reference = doc 0: "a b c a b d" → bigrams (a,b):2 (b,c):1 (c,a):1
+    // (b,d):1; ctx a:(2,1) b:(2,2) c:(1,1); every word's ncont=1; nb=4
+    val docs = Seq(
+      (0L, "a b c a b d"),
+      (1L, "a b"),  // 1.25/2 + 0.75·1/2·(1/4) = 0.71875
+      (2L, "a x"),  // seen ctx, unseen word, Pc(x)=0 → 0
+      (3L, "z b"),  // unseen ctx → Pc(b) = 1/4
+      (4L, "b c"),  // 0.25/2 + 0.75·2/2·(1/4) = 0.3125
+      (5L, "q")     // one token: zeros
+    ).toDF("doc_id", "text")
+    val out = LmScore.kneserNey(docs, col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((1L, 0.71875)))
+    assert(out(2L) === ((1L, 0.0)))
+    assert(out(3L) === ((1L, 0.25)))
+    assert(out(4L) === ((1L, 0.3125)))
+    assert(out(5L) === ((0L, 0.0)))
+    // the reference doc scores its own five positions:
+    // (a,b) (b,c) (c,a) (a,b) (b,d) = .71875 + .3125 + .4375 + .71875 + .3125
+    assert(out(0L) === ((5L, 2.5)))
+    // NORMALIZATION: summed over the reference vocabulary {a,b,c,d},
+    // P(·|u) is exactly 1 for a seen context (interpolated KN is a true
+    // distribution — the property Stupid Backoff deliberately gives up)
+    val vocab = Seq("a", "b", "c", "d")
+    val probes = vocab.zipWithIndex.map { case (w, k) =>
+      (100L + k, s"b $w")
+    }.toDF("doc_id", "text")
+    val probeOut = LmScore.kneserNey(docs.unionAll(probes), col("doc_id") === 0)
+      .filter(col("doc_id") >= 100L).collect().map(_.getDouble(2))
+    assert(math.abs(probeOut.sum - 1.0) < 1e-12,
+      s"P(.|b) sums to ${probeOut.sum}")
+  }
+
+  test("kneserNey: continuation backoff ranks a many-context word above an " +
+    "equally frequent single-context word — the property raw-frequency " +
+    "backoff cannot express") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // y: frequency 4, but ALWAYS after x (one context). z: frequency 3,
+    // after three different words. Under an unseen context, KN backs off
+    // to the continuation distribution: P(z) = 3/nb > P(y) = 1/nb.
+    val docs = Seq(
+      (0L, "x y x y x y x y a z b z c z"),
+      (1L, "q y"),
+      (2L, "q z")
+    ).toDF("doc_id", "text")
+    val out = LmScore.kneserNey(docs, col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) > out(1L),
+      s"continuation word must outrank the frequent single-context word: " +
+        s"P(z)=${out(2L)} P(y)=${out(1L)}")
+    assert(out(1L) > 0.0)
+  }
+
+  test("kneserNey is invariant to input partitioning; empty reference " +
+    "scores everything zero") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val a = LmScore.kneserNey(docs, col("doc_id") % 5 === 0)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = LmScore.kneserNey(docs.repartition(7), col("doc_id") % 5 === 0)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.exists(r => r(2).asInstanceOf[Double] > 0.0))
+    val empty = LmScore.kneserNey(docs, lit(false)).collect()
+    assert(empty.forall(r => r.getLong(1) >= 0L && r.getDouble(2) === 0.0))
+  }
+
   test("stupidBackoff is invariant to input partitioning") {
     import org.apache.spark.sql.functions._
     val docs = spark.read
