@@ -708,6 +708,50 @@ object TextOps {
       .toDF("doc_id", "sent_idx", "start_cp", "n_cp", "sentence")
   }
 
+  /** Sentence-aligned retrieval chunking — the RAG delivery unit between
+    * [[docChunks]]' fixed token windows (which cut mid-sentence) and
+    * whole documents: consecutive [[sentenceSegments]] sentences group
+    * into chunks of roughly `budget` whitespace tokens, and a sentence
+    * is NEVER split across chunks.
+    *
+    * The grouping is concat-and-chunk at sentence granularity (the
+    * [[SequencePack]] discipline): a sentence belongs to chunk
+    * `floor(tok_start / budget)` of its document, where `tok_start` is
+    * the exclusive prefix sum of sentence token counts in sentence
+    * order. Closed-form — no sequential greedy fold — so it replays as
+    * one window prefix sum in any engine; the price is that a chunk may
+    * overflow `budget` by up to the longest member sentence (greedy
+    * close-on-overflow has the same overflow bound but is not
+    * closed-form). Sentences carry their inter-sentence spaces
+    * ([[sentenceSegments]]' contract), so concatenating `chunk` in
+    * chunk order rebuilds the document byte-for-byte.
+    *
+    * Scale shape: the segmentation pass is map-only; the prefix sum and
+    * the chunk assembly are windows/aggregates PARTITIONED BY document —
+    * parallelism is document count, no global window, and only
+    * sentence-sized strings shuffle. Output:
+    * `(doc_id, chunk_id, n_sents, n_toks, chunk)`. */
+  def ragChunks(docs: DataFrame, budget: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val sents = sentenceSegments(docs)
+      .select(col("doc_id"), col("sent_idx"),
+        size(split(trim(col("sentence")), " ")).cast("long").as("nt"),
+        col("sentence"))
+    val w = Window.partitionBy("doc_id").orderBy("sent_idx")
+    val ts = coalesce(
+      sum("nt").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    sents.withColumn("ts", ts)
+      .withColumn("chunk_id", expr(s"ts div $budget"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_sents"),
+        sum("nt").as("n_toks"),
+        collect_list(struct(col("sent_idx"), col("sentence"))).as("lst"))
+      .select(col("doc_id"), col("chunk_id"), col("n_sents"), col("n_toks"),
+        array_join(transform(array_sort(col("lst")),
+          e => e.getField("sentence")), "").as("chunk"))
+  }
+
   /** Fill-in-the-middle preprocessing (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): for a
     * hash-chosen fraction of documents, split the text at two

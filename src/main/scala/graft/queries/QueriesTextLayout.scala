@@ -233,6 +233,60 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |FROM i GROUP BY doc_id, sent_idx ORDER BY doc_id, sent_idx""".stripMargin
 
   // ---------------------------------------------------------------------
+  // rag_chunks — sentence-aligned retrieval chunking (TextOps.ragChunks):
+  // consecutive sentences group into ~16-token chunks, sentences never
+  // split (the RAG delivery unit docChunks' fixed windows can't give).
+  // Same grafted sentence fixture as sentence_split; the oracle replays
+  // segmentation + the per-doc prefix-sum assignment + ordered reassembly.
+  // ---------------------------------------------------------------------
+  def ragChunks(s: SparkSession, dir: String): DataFrame = {
+    val stext = concat(
+      lit("Alpha head "),
+      col("text").substr(lit(1), (lit(15) + pmod(col("doc_id"), lit(9L))).cast("int")),
+      lit(". Second sentence number "), col("doc_id").cast("string"),
+      lit("! maybe lowercase continues? Or Does it. 9 starts a digit sentence. The end"))
+    graft.operators.TextOps.ragChunks(
+      t(s, dir, "documents").select(col("doc_id"), stext.as("text")),
+      budget = 16)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val ragChunksSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    'Alpha head ' || substr(text, 1, CAST(15 + doc_id % 9 AS INT))
+      |    || '. Second sentence number ' || CAST(doc_id AS VARCHAR)
+      |    || '! maybe lowercase continues? Or Does it. 9 starts a digit sentence. The end' AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos FROM d),
+      |ch AS (SELECT doc_id, pos, text[pos] AS chs FROM c),
+      |b AS (SELECT doc_id, pos, chs,
+      |  CASE WHEN chs = ' ' AND lag(chs, 1) OVER w IN ('.', '!', '?')
+      |        AND (lead(chs, 1) OVER w BETWEEN 'A' AND 'Z'
+      |             OR lead(chs, 1) OVER w BETWEEN '0' AND '9')
+      |       THEN 1 ELSE 0 END AS cut
+      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |i AS (SELECT doc_id, pos, chs,
+      |  1 + coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_idx
+      |  FROM b),
+      |s AS (SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+      |    string_agg(chs, '' ORDER BY pos) AS sentence
+      |  FROM i GROUP BY doc_id, sent_idx),
+      |n AS (SELECT doc_id, sent_idx, sentence,
+      |    CAST(len(string_split(trim(sentence), ' ')) AS BIGINT) AS nt
+      |  FROM s),
+      |o AS (SELECT doc_id, sent_idx, sentence, nt,
+      |    CAST(COALESCE(SUM(nt) OVER (PARTITION BY doc_id ORDER BY sent_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS ts
+      |  FROM n)
+      |SELECT doc_id, CAST(ts // 16 AS BIGINT) AS chunk_id,
+      |  CAST(count(*) AS BIGINT) AS n_sents,
+      |  CAST(sum(nt) AS BIGINT) AS n_toks,
+      |  string_agg(sentence, '' ORDER BY sent_idx) AS chunk
+      |FROM o GROUP BY doc_id, ts // 16 ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // seq_pack — GPT-style concat-and-chunk packing offsets
   // (SequencePack.packOffsets): the exclusive token prefix sum in doc_id
   // order as a two-pass distributed scan (range shuffle + per-partition

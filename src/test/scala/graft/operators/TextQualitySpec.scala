@@ -373,6 +373,55 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
     assert(out(6L).map(_._5).toSeq === Seq("A. ", "B. ", "C"))
   }
 
+  test("ragChunks: hand case — prefix-sum assignment, sentences never " +
+    "split, chunk concat rebuilds the document") {
+    import spark.implicits._
+    // sentences: "One two three. " (3 toks) / "Four five six seven! " (4)
+    // / "Eight nine. " (2) / "Ten" (1); budget 5 → exclusive prefixes
+    // 0,3,7,9 → chunks 0,0,1,1
+    val docs = Seq(
+      (1L, "One two three. Four five six seven! Eight nine. Ten"))
+      .toDF("doc_id", "text")
+    val out = TextOps.ragChunks(docs, budget = 5)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out === Array(
+      (0L, 2L, 7L, "One two three. Four five six seven! "),
+      (1L, 2L, 3L, "Eight nine. Ten")))
+    // reconstruction in chunk order
+    assert(out.map(_._4).mkString === docs.collect()(0).getString(1))
+    // an oversized sentence still lands whole in one chunk
+    val big = Seq((2L, "Tiny. A b c d e f g h i j k l. End here"))
+      .toDF("doc_id", "text")
+    val bo = TextOps.ragChunks(big, budget = 4)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(4)))
+    assert(bo.map(_._2).mkString === big.collect()(0).getString(1))
+    assert(bo.exists(_._2.contains("A b c d e f g h i j k l. ")),
+      s"long sentence split: ${bo.mkString("|")}")
+  }
+
+  test("ragChunks: invariant to input partitioning; per-doc totals " +
+    "conserve sentences and tokens") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(". Tail sentence here. The end")).as("text"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.ragChunks(d, budget = 32).orderBy("doc_id", "chunk_id")
+        .collect().map(_.toSeq).toSeq
+    val a = run(docs)
+    assert(a === run(docs.repartition(11)) && a.nonEmpty)
+    // conservation vs the segmentation pass
+    val sentTotals = TextOps.sentenceSegments(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunkTotals = a.groupBy(_(0).asInstanceOf[Long])
+      .view.mapValues(_.map(_(2).asInstanceOf[Long]).sum).toMap
+    assert(chunkTotals === sentTotals)
+  }
+
   test("fimTransform: PSM splice is lossless, cuts in range, rate ~ half") {
     import spark.implicits._
     val docs = (1L to 400L).map(i =>
