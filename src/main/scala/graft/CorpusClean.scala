@@ -71,7 +71,9 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     training orders), `--sft-out` (the instruction-tuning render +
   *     loss-mask boundary table, sft_render's shape),
   *     `--loss-mask-out` [`--loss-mask-seqlen <L>`, default 512] (the
-  *     packed per-sequence no-loss span table, seq_loss_mask's shape).
+  *     packed per-sequence no-loss span table, seq_loss_mask's shape),
+  *     `--rag-out` [`--rag-budget <n>`, default 64] (sentence-aligned
+  *     retrieval chunks, rag_chunks' shape).
   *     Formats: parquet (default), jsonl (exchange),
   *     orc (columnar alternative) on both endpoints.
   *
@@ -701,6 +703,13 @@ object CorpusClean {
       graft.operators.SequencePack
         .seqLossMask(writtenSurvivors(), seqLen = cfg.lossMaskSeqLen.toInt)
         .write.mode("overwrite").parquet(ld)
+    }
+    // sentence-aligned retrieval chunks of what SHIPPED (rag_chunks'
+    // shape) — the artifact a RAG index ingests instead of raw text
+    cfg.ragOut.foreach { rd =>
+      graft.operators.TextOps
+        .ragChunks(writtenSurvivors(), budget = cfg.ragBudget.toInt)
+        .write.mode("overwrite").parquet(rd)
     }
     // token drift: the shipped corpus vs the persisted prior snapshot
     (cfg.driftAgainst, cfg.driftOut) match {

@@ -198,6 +198,11 @@ case class CorpusCleanConfig(
     // table a trainer loads next to the packed shards
     lossMaskOut: Option[String] = None,
     lossMaskSeqLen: Long = 512L,
+    // sentence-aligned retrieval chunks of the SHIPPED survivors
+    // (rag_chunks' shape — whole sentences grouped to ~--rag-budget
+    // tokens) written to this directory: the RAG index ingest artifact
+    ragOut: Option[String] = None,
+    ragBudget: Long = 64L,
     // output format: parquet (default, split/shard become partition
     // dirs) or jsonl (the exchange format — one object per line, every
     // delivered column a JSON field, split/shard included as fields)
@@ -324,6 +329,7 @@ object CorpusCleanCli {
     "--epochs-out" -> ((c, v) => c.copy(epochsOut = Some(v))),
     "--sft-out" -> ((c, v) => c.copy(sftOut = Some(v))),
     "--loss-mask-out" -> ((c, v) => c.copy(lossMaskOut = Some(v))),
+    "--rag-out" -> ((c, v) => c.copy(ragOut = Some(v))),
     "--in-table" -> ((c, v) => c.copy(inTable = Some(v))),
     "--out-table" -> ((c, v) => c.copy(outTable = Some(v))))
   private val intSetters: Map[String, (C, Int) => C] = Map(
@@ -336,6 +342,7 @@ object CorpusCleanCli {
     "--unigram" -> ((c, i) => c.copy(unigramTopV = Some(i))),
     "--epochs" -> ((c, i) => c.copy(epochs = Some(i))),
     "--loss-mask-seqlen" -> ((c, i) => c.copy(lossMaskSeqLen = i.toLong)),
+    "--rag-budget" -> ((c, i) => c.copy(ragBudget = i.toLong)),
     "--in-chunks" -> ((c, i) => c.copy(inChunks = i)))
   private val longSetters: Map[String, (C, Long) => C] = Map(
     "--min-fluency" -> ((c, n) => c.copy(minFluency = Some(n))),
@@ -365,7 +372,7 @@ object CorpusCleanCli {
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
     "--mixture-solve-by", "--mixture-solve-out", "--mixture-step-by",
     "--drift-against", "--drift-out", "--epochs", "--epochs-out", "--sft-out",
-    "--loss-mask-out", "--loss-mask-seqlen",
+    "--loss-mask-out", "--loss-mask-seqlen", "--rag-out", "--rag-budget",
     "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
     "--calibrate", "--calibrate-by", "--interleave-by", "--interleave-weights",
@@ -423,6 +430,8 @@ object CorpusCleanCli {
       Left(s"--pack must be >= 1, got ${c.pack.get}")
     else if (c.lossMaskSeqLen < 1)
       Left(s"--loss-mask-seqlen must be >= 1, got ${c.lossMaskSeqLen}")
+    else if (c.ragBudget < 1)
+      Left(s"--rag-budget must be >= 1, got ${c.ragBudget}")
     else if (c.fluencyRef.isDefined != c.minFluency.isDefined)
       Left("--fluency-ref and --min-fluency must be given together")
     else if (c.calibrateTop.isDefined != c.calibrateBy.isDefined)

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Host-graph PageRank — the crawl-side quality signal (Brin & Page
+  * 1998; the CommonCrawl-style host centrality pretraining pipelines use
+  * to weight and prioritize URL sources) in EXACT integer fixed-point
+  * arithmetic, so the entire T-iteration trajectory replays bit-for-bit
+  * in any engine (the [[Mixture.domainReweight]] doctrine, applied to a
+  * graph recurrence):
+  *
+  *   r_0(v)     = 10^9 div N
+  *   r_{t+1}(v) = base + Σ_{u→v} (r_t(u) · dampPpm div 10^6) div out(u)
+  *   base       = ((10^6 − dampPpm) · (10^9 div N)) div 10^6
+  *
+  * Ranks are parts-per-billion integers; every operation is exact
+  * 64-bit (10^9 · 10^6 < 2^63). Integer division makes mass
+  * conservation approximate — per-edge remainders and dangling-node
+  * mass are DROPPED (the standard sink-loss variant) rather than
+  * renormalized, because consumers use the order and relative magnitude
+  * of the signal, and renormalizing would trade exact replay for a
+  * cosmetic invariant. Self-loops and duplicate edges collapse
+  * (distinct), NULL endpoints drop.
+  *
+  * Scale shape: edges pre-aggregate once to distinct `(src, dst)` with
+  * the source out-degree attached — host cardinality (millions at web
+  * scale), never corpus-sized. When the distinct-edge count is within
+  * `driverSolveMax`, the whole bounded graph collects and the T-step
+  * fold runs on the driver (the [[Mixture.domainReweight]]
+  * bounded-planning-table doctrine: corpus-sized work = the one edge
+  * aggregation); above it, each of the T iterations is ONE rank-edge
+  * equi-join plus a `groupBy(dst)` sum, materialized per round
+  * (localCheckpoint + release of the previous round, the
+  * connected-components discipline) so the plan stays flat at any T.
+  * Both paths compute the identical exact-integer values — every rank
+  * is partitioning-independent, so the path choice is invisible.
+  *
+  * Output: `(node, rank_ppb)` for every node appearing as an edge
+  * endpoint. */
+object HostRank {
+
+  def pageRank(edges: DataFrame, iters: Int = 10,
+               dampPpm: Long = 850000L,
+               driverSolveMax: Long = 1000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampPpm >= 0L && dampPpm <= 1000000L,
+      s"dampPpm must be in [0, 10^6], got $dampPpm")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val eo = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+    // bounded-graph fast path: one collect of the distinct-edge table,
+    // exact fold on the driver — identical values to the loop below
+    val m = eo.count()
+    if (m <= driverSolveMax) {
+      import spark.implicits._
+      val es = eo.select(col("src"), col("dst"),
+          col("outdeg").cast("long").as("outdeg"))
+        .as[(String, String, Long)].collect()
+      val nodeSeq = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      if (nodeSeq.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("rank_ppb",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      val r0d = 1000000000L / nodeSeq.length
+      val based = ((1000000L - dampPpm) * r0d) / 1000000L
+      var r = nodeSeq.map(_ -> r0d).toMap
+      (1 to iters).foreach { _ =>
+        val in = es.groupBy(_._2).view.mapValues(_.map { case (u, _, od) =>
+          (r(u) * dampPpm / 1000000L) / od
+        }.sum).toMap
+        r = nodeSeq.map(v => v -> (based + in.getOrElse(v, 0L))).toMap
+      }
+      return nodeSeq.map(v => (v, r(v))).toSeq.toDF("node", "rank_ppb")
+    }
+    // materialize per round (value-deterministic integer tables), release
+    // the previous round — NearDup.materializeRows' localCheckpoint shape
+    def materialize(df: DataFrame): (DataFrame, Long, () => Unit) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      val cnt = rdd.count()
+      (spark.createDataFrame(rdd, df.schema), cnt,
+        () => { rdd.unpersist(blocking = false); () })
+    }
+    val (nodes, n, releaseNodes) = materialize(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct())
+    if (n == 0)
+      return nodes.select(col("node"), lit(0L).as("rank_ppb"))
+    val r0 = 1000000000L / n
+    val base = ((1000000L - dampPpm) * r0) / 1000000L
+    var (ranks, _, release) =
+      materialize(nodes.select(col("node"), lit(r0).as("rank")))
+    (1 to iters).foreach { _ =>
+      val contrib = ranks.join(eo, ranks("node") === eo("src"))
+        .select(col("dst").as("node"),
+          expr(s"(rank * $dampPpm div 1000000L) div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").cast("long").as("in_mass"))
+      val (next, _, releaseNext) = materialize(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank")))
+      release() // the previous round's blocks are no longer consumed
+      ranks = next; release = releaseNext
+    }
+    releaseNodes()
+    ranks.select(col("node"), col("rank").cast("long").as("rank_ppb"))
+  }
+
+  /** DuckDB replay of [[pageRank]] over an `edges(src, dst)` relation:
+    * the same recurrence unrolled as one CTE per iteration (the
+    * [[Layout.hilbertSqlCtes]] style — fixed T, no recursion), every op
+    * the same exact 64-bit integer arithmetic. */
+  def pageRankSql(edgesCte: String, iters: Int = 10,
+                  dampPpm: Long = 850000L): String = {
+    val head =
+      s"""e AS (SELECT DISTINCT CAST(src AS VARCHAR) AS src,
+         |    CAST(dst AS VARCHAR) AS dst FROM ($edgesCte)
+         |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+         |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |eo AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT node,
+         |    CAST(1000000000 // (SELECT n FROM ns) AS BIGINT) AS rank
+         |  FROM nodes)""".stripMargin
+    val baseExpr =
+      s"CAST(((1000000 - $dampPpm) * (1000000000 // (SELECT n FROM ns))) " +
+        s"// 1000000 AS BIGINT)"
+    val steps = (1 to iters).map { t =>
+      s"""r$t AS (SELECT nodes.node,
+         |    $baseExpr + CAST(COALESCE(m.in_mass, 0) AS BIGINT) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT eo.dst AS node,
+         |      CAST(SUM((r.rank * $dampPpm // 1000000) // eo.outdeg)
+         |        AS BIGINT) AS in_mass
+         |    FROM r${t - 1} r JOIN eo ON r.node = eo.src
+         |    GROUP BY eo.dst) m USING (node))""".stripMargin
+    }
+    (Seq(head) ++ steps).mkString(",\n") +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank_ppb FROM r$iters"
+  }
+}

@@ -554,6 +554,35 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       |WHERE rk <= 15 ORDER BY source, host_rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // host_rank — host-graph PageRank (HostRank.pageRank, 10 iterations,
+  // d=0.85 in exact ppm/ppb integer arithmetic): the crawl-side quality
+  // signal that weights URL sources. The graph grafts onto the fixture:
+  // source → h(doc_id%23) edges plus h(doc_id%23) → h((7·doc_id+3)%23)
+  // host-host links — 33 nodes, dangling sink-loss exercised (sources
+  // have no inlinks, some h-nodes no outlinks). The oracle unrolls the
+  // identical recurrence as ten chained CTEs.
+  // ---------------------------------------------------------------------
+  def hostRank(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val h1 = concat(lit("h"), pmod(col("doc_id"), lit(23L)).cast("string"))
+    val h2 = concat(lit("h"),
+      pmod(col("doc_id") * 7L + 3L, lit(23L)).cast("string"))
+    val edges = d.select(col("source").as("src"), h1.as("dst"))
+      .unionAll(d.select(h1.as("src"), h2.as("dst")))
+    graft.operators.HostRank.pageRank(edges, iters = 10)
+      .orderBy("node")
+  }
+
+  val hostRankSql: String =
+    "WITH " + graft.operators.HostRank.pageRankSql(
+      """SELECT source AS src,
+        |    'h' || CAST(doc_id % 23 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 23 AS VARCHAR),
+        |    'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) FROM documents""".stripMargin,
+      iters = 10) + " ORDER BY node"
+
+  // ---------------------------------------------------------------------
   // bm25_topk — BM25 retrieval over the corpus for a fixed term set
   // (TextOps.bm25TopK: k1=1.2, b=0.75, log-free raw idf — divergence
   // documented there). The retrieval scorer behind RAG indexing and

@@ -98,6 +98,27 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("--rag-out writes the sentence-aligned retrieval chunks of what " +
+    "shipped at the requested budget") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val inDir = tmp("cc_rag_in")
+    val outDir = tmp("cc_rag_out")
+    val ragDir = tmp("cc_rag_chunks")
+    docs.write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "0", "--no-span-removal",
+      "--no-near-dup", "--rag-out", ragDir, "--rag-budget", "32")).toOption.get
+    assert(CorpusClean.run(spark, cfg) === docs.count())
+    val got = spark.read.parquet(ragDir)
+      .select("doc_id", "chunk_id", "n_sents", "n_toks", "chunk")
+      .orderBy("doc_id", "chunk_id").collect().map(_.toSeq).toSeq
+    val want = graft.operators.TextOps.ragChunks(docs, budget = 32)
+      .select("doc_id", "chunk_id", "n_sents", "n_toks", "chunk")
+      .orderBy("doc_id", "chunk_id").collect().map(_.toSeq).toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
   test("--lang-model gates on the NB classifier's prediction instead of " +
     "the stopword heuristic") {
     val labeled = spark.read.parquet(s"$sf/documents.parquet")

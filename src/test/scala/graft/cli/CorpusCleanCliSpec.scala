@@ -92,6 +92,10 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(CorpusCleanCli.parse(Seq("in", "out", "--loss-mask-out")).isLeft)
     assert(CorpusCleanCli.parse(Seq("in", "out",
       "--loss-mask-seqlen", "0")).isLeft)
+    assert(ok("in", "out").ragOut.isEmpty && ok("in", "out").ragBudget === 64L)
+    val rg = ok("in", "out", "--rag-out", "/rag", "--rag-budget", "32")
+    assert(rg.ragOut === Some("/rag") && rg.ragBudget === 32L)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--rag-budget", "0")).isLeft)
     assert(CorpusCleanCli.parse(Seq("in", "out", "--no-span-removal",
       "--gram-state", "/gs")).left.exists(_.contains("conflicts")))
   }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Host-graph PageRank (HostRank.pageRank) — the host_rank CORRECTNESS
+  * row: exact integer fixed-point recurrence, sink-loss variant. */
+class HostRankSpec extends AnyFunSuite with SparkSuite {
+
+  private def run(edges: Seq[(String, String)], iters: Int = 10,
+                  driverSolveMax: Long = 1000000L) = {
+    import spark.implicits._
+    HostRank.pageRank(edges.toDF("src", "dst"), iters,
+        driverSolveMax = driverSolveMax)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Driver-side replication of the exact recurrence. */
+  private def reference(edges: Seq[(String, String)], iters: Int,
+                        dampPpm: Long = 850000L): Map[String, Long] = {
+    val e = edges.distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val r0 = 1000000000L / nodes.size
+    val base = ((1000000L - dampPpm) * r0) / 1000000L
+    var r = nodes.map(_ -> r0).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        (r(u) * dampPpm / 1000000L) / out(u)
+      }.sum).toMap
+      r = nodes.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  test("hand graph matches the driver-side exact recurrence bit-for-bit") {
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c"), // d: dangling-in only (no inlinks) -> base after iter 1
+      ("a", "b")) // duplicate collapses
+    assert(run(edges) === reference(edges, 10))
+    assert(run(edges, iters = 3) === reference(edges, 3))
+    // the distributed path (driverSolveMax = 0 forces it) computes the
+    // SAME exact integers as the bounded-collect fast path
+    assert(run(edges, driverSolveMax = 0L) === reference(edges, 10))
+    // iters = 0: everyone at the uniform init
+    val r0 = 1000000000L / 4
+    assert(run(edges, iters = 0).values.toSet === Set(r0))
+  }
+
+  test("symmetric cycle stays uniform; star concentrates rank on the hub; " +
+    "a no-inlink source lands exactly at base") {
+    val cyc = run(Seq(("a", "b"), ("b", "c"), ("c", "a")))
+    assert(cyc.values.toSet.size === 1, s"cycle not uniform: $cyc")
+    val star = run(Seq(("l1", "hub"), ("l2", "hub"), ("l3", "hub"),
+      ("hub", "l1")))
+    assert(star("hub") > star("l2"), s"hub not ranked above leaves: $star")
+    // l2/l3 have no inlinks: exactly the teleport base
+    val r0 = 1000000000L / 4
+    val base = ((1000000L - 850000L) * r0) / 1000000L
+    assert(star("l2") === base && star("l3") === base)
+  }
+
+  test("invariant to input partitioning and rerun-stable") {
+    import spark.implicits._
+    val edges = (1L to 500L).map(i =>
+      (s"h${i % 29}", s"h${(i * 7 + 3) % 29}")).toDF("src", "dst")
+    def go(d: org.apache.spark.sql.DataFrame, cap: Long) =
+      HostRank.pageRank(d, 10, driverSolveMax = cap)
+        .orderBy("node").collect().map(_.toSeq).toSeq
+    val a = go(edges, 1000000L)
+    assert(a === go(edges.repartition(13), 1000000L))
+    assert(a === go(edges, 0L), "distributed path diverged from fast path")
+    assert(a.nonEmpty)
+  }
+}
