@@ -1127,6 +1127,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"manifest must not introduce a window:\n${p.take(2000)}")
   }
 
+  test("rag_chunks: prefix-sum and assembly windows partition by doc_id — " +
+    "never a global window; the segmentation pass is object-typed map-only") {
+    val p = plan("rag_chunks")
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("doc_id")),
+      s"window not partitioned by doc_id:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"product join:\n${p.take(2000)}")
+  }
+
+  test("lm_kneser_ney: positions join the Heaps-bounded model tables by " +
+    "key — no cartesian, no window; the doc fold is an ordered-array " +
+    "aggregate, not a float shuffle") {
+    val p = plan("lm_kneser_ney")
+    // the only non-equi join allowed is the broadcast one-row nb total
+    // (a BroadcastNestedLoopJoin of a single aggregate row), never a
+    // CartesianProduct of data-sized sides
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian:\n${p.take(2000)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"KN must not introduce a window:\n${p.take(2000)}")
+    // the fold's input: positions collected per doc (the array_sort +
+    // aggregate projection above it is elided from the plan string)
+    assert(p.contains("collect_list"),
+      s"ordered fold input missing:\n${p.take(2000)}")
+  }
+
   test("seq_loss_mask: prompt lengths attach via a doc_id equi-join (no " +
     "product join) and the interval-merge windows partition by seq_id — " +
     "never a global window") {
