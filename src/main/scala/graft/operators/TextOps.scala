@@ -1254,6 +1254,34 @@ object TextOps {
       .toDF("doc_id", "cleaned", "n_chars_removed")
   }
 
+  /** Per-group lexical diversity — the corpus-health audit beside
+    * [[tokenDrift]]: for each value of `by`, total token occurrences,
+    * distinct types, hapax legomena (types occurring once), and the
+    * type-token / hapax-type ratios in exact integer ppm
+    * (`n · 10⁶ div d` — the house integer-rate trade, hash-comparable).
+    * A collapsing TTR or hapax rate flags template/boilerplate flooding
+    * (generated spam repeats its vocabulary); an inflating one flags
+    * char-soup. Zipf makes both scale-sensitive — compare like-sized
+    * slices, which is what the per-group shape gives.
+    *
+    * Scale shape: ONE (group, token) aggregate with map-side combine
+    * (vocab-bounded per group by Heaps' law), then a per-group count
+    * fold over that reduced table; nothing corpus-sized shuffles
+    * twice, no window. */
+  def lexicalDiversity(docs: DataFrame, by: String = "source"): DataFrame =
+    docs.select(col(by).as("grp"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_hapax"))
+      .select(col("grp").as(by), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        expr("n_types * 1000000L div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000L div n_types").as("hapax_ppm"))
+
   /** Token-distribution drift between two corpus snapshots — the data
     * drift monitor every continuously-ingesting pipeline runs (a shard
     * whose token rates moved is a crawler change, a new spam campaign, or

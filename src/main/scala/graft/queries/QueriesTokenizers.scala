@@ -1249,4 +1249,28 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       |FROM j ORDER BY abs(batch_ppm - hist_ppm) DESC, token LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // lexical_diversity — per-source type-token / hapax health audit
+  // (TextOps.lexicalDiversity): collapsing TTR flags template flooding,
+  // inflating flags char-soup. Exact integer ppm off one (source, token)
+  // aggregate.
+  // ---------------------------------------------------------------------
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.lexicalDiversity(
+      t(s, dir, "documents").select(col("source"), col("text")))
+      .orderBy("source")
+
+  val lexicalDiversitySql: String =
+    """WITH tc AS (SELECT source, tok, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS hapax_ppm
+      |FROM tc GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
 }

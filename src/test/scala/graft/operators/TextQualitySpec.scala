@@ -401,6 +401,30 @@ class TextQualitySpec extends AnyFunSuite with SparkSuite {
       s"long sentence split: ${bo.mkString("|")}")
   }
 
+  test("lexicalDiversity: hand-computed TTR/hapax ppm per group; " +
+    "invariant to input partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      ("a", "x x y z"),       // a: tokens 4+2, types {x,y,z,w}: 4
+      ("a", "x w"),           //    counts x:3 y:1 z:1 w:1 -> hapax 3
+      ("b", "p p p p"))       // b: 4 tokens, 1 type, 0 hapax
+      .toDF("source", "text")
+    val out = TextOps.lexicalDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") === ((6L, 4L, 3L, 4L * 1000000L / 6L, 750000L)))
+    assert(out("b") === ((4L, 1L, 0L, 250000L, 0L)))
+    val real = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("text"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.lexicalDiversity(d).orderBy("source")
+        .collect().map(_.toSeq).toSeq
+    val a = run(real)
+    assert(a === run(real.repartition(9)) && a.nonEmpty)
+  }
+
   test("ragChunks: invariant to input partitioning; per-doc totals " +
     "conserve sentences and tokens") {
     import org.apache.spark.sql.functions._
