@@ -72,6 +72,8 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     loss-mask boundary table, sft_render's shape),
   *     `--loss-mask-out` [`--loss-mask-seqlen <L>`, default 512] (the
   *     packed per-sequence no-loss span table, seq_loss_mask's shape),
+  *     `--shards-out` [`--shards-seqlen <L>`, default 512] (the packed
+  *     (seq_id, token_ids) training shards, seq_tokens' shape),
   *     `--rag-out` [`--rag-budget <n>`, default 64] (sentence-aligned
   *     retrieval chunks, rag_chunks' shape).
   *     Formats: parquet (default), jsonl (exchange),
@@ -703,6 +705,20 @@ object CorpusClean {
       graft.operators.SequencePack
         .seqLossMask(writtenSurvivors(), seqLen = cfg.lossMaskSeqLen.toInt)
         .write.mode("overwrite").parquet(ld)
+    }
+    // packed training shards: tokenize the SHIPPED survivors (frequency
+    // vocab + id encode over the shipped corpus, --encode's min-count if
+    // given) and write the (seq_id, token_ids) shard table (seq_tokens'
+    // shape) — the trainer-ready delivery that closes corpus-in ->
+    // shards-out
+    cfg.shardsOut.foreach { sd =>
+      val docs = writtenSurvivors()
+      val ids = graft.operators.Vocab.encodeIds(
+        docs, graft.operators.Vocab.build(docs,
+          minCount = cfg.encodeMinCount.getOrElse(5L)))
+      graft.operators.SequencePack
+        .packedShards(ids, seqLen = cfg.shardsSeqLen.toInt)
+        .write.mode("overwrite").parquet(sd)
     }
     // sentence-aligned retrieval chunks of what SHIPPED (rag_chunks'
     // shape) — the artifact a RAG index ingests instead of raw text

@@ -198,6 +198,13 @@ case class CorpusCleanConfig(
     // table a trainer loads next to the packed shards
     lossMaskOut: Option[String] = None,
     lossMaskSeqLen: Long = 512L,
+    // packed training shards: tokenize the SHIPPED survivors (frequency
+    // vocab + id encode, --encode's min-count if given) and write the
+    // (seq_id, token_ids) shard table (seq_tokens' shape —
+    // concat-and-chunk at --shards-seqlen) to this directory: the
+    // trainer-ready artifact that closes corpus-in -> shards-out
+    shardsOut: Option[String] = None,
+    shardsSeqLen: Long = 512L,
     // sentence-aligned retrieval chunks of the SHIPPED survivors
     // (rag_chunks' shape — whole sentences grouped to ~--rag-budget
     // tokens) written to this directory: the RAG index ingest artifact
@@ -329,6 +336,7 @@ object CorpusCleanCli {
     "--epochs-out" -> ((c, v) => c.copy(epochsOut = Some(v))),
     "--sft-out" -> ((c, v) => c.copy(sftOut = Some(v))),
     "--loss-mask-out" -> ((c, v) => c.copy(lossMaskOut = Some(v))),
+    "--shards-out" -> ((c, v) => c.copy(shardsOut = Some(v))),
     "--rag-out" -> ((c, v) => c.copy(ragOut = Some(v))),
     "--in-table" -> ((c, v) => c.copy(inTable = Some(v))),
     "--out-table" -> ((c, v) => c.copy(outTable = Some(v))))
@@ -342,6 +350,7 @@ object CorpusCleanCli {
     "--unigram" -> ((c, i) => c.copy(unigramTopV = Some(i))),
     "--epochs" -> ((c, i) => c.copy(epochs = Some(i))),
     "--loss-mask-seqlen" -> ((c, i) => c.copy(lossMaskSeqLen = i.toLong)),
+    "--shards-seqlen" -> ((c, i) => c.copy(shardsSeqLen = i.toLong)),
     "--rag-budget" -> ((c, i) => c.copy(ragBudget = i.toLong)),
     "--in-chunks" -> ((c, i) => c.copy(inChunks = i)))
   private val longSetters: Map[String, (C, Long) => C] = Map(
@@ -372,7 +381,8 @@ object CorpusCleanCli {
     "--merges-out", "--pack", "--manifest-by", "--manifest-out",
     "--mixture-solve-by", "--mixture-solve-out", "--mixture-step-by",
     "--drift-against", "--drift-out", "--epochs", "--epochs-out", "--sft-out",
-    "--loss-mask-out", "--loss-mask-seqlen", "--rag-out", "--rag-budget",
+    "--loss-mask-out", "--loss-mask-seqlen", "--shards-out",
+    "--shards-seqlen", "--rag-out", "--rag-budget",
     "--in-table", "--in-chunks",
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
     "--calibrate", "--calibrate-by", "--interleave-by", "--interleave-weights",
@@ -430,6 +440,8 @@ object CorpusCleanCli {
       Left(s"--pack must be >= 1, got ${c.pack.get}")
     else if (c.lossMaskSeqLen < 1)
       Left(s"--loss-mask-seqlen must be >= 1, got ${c.lossMaskSeqLen}")
+    else if (c.shardsSeqLen < 1)
+      Left(s"--shards-seqlen must be >= 1, got ${c.shardsSeqLen}")
     else if (c.ragBudget < 1)
       Left(s"--rag-budget must be >= 1, got ${c.ragBudget}")
     else if (c.fluencyRef.isDefined != c.minFluency.isDefined)

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection — importance scoring of a raw pool against a
+  * small target distribution over hashed n-gram features (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance Resampling":
+  * fit bag-of-hashed-ngrams distributions on target and raw, weight each
+  * raw document by how target-like its n-grams are, keep the top mass).
+  * The pretraining-curation cadence: target = a trusted slice (wiki,
+  * books, a vetted language), raw = the crawl, output = the subset to
+  * train on.
+  *
+  * Feature space: unigrams + bigrams of the space-split text, bucketed by
+  * the portable polynomial hash ([[NearDup.TokenHash.hash62]] mod
+  * `buckets`) — the standard hashing trick, and exactly replayable in
+  * integer SQL (the [[Winnow]] dk convention).
+  *
+  * Score: the paper's log-likelihood-ratio Σ c_b·(log p_t[b] − log p_r[b])
+  * is replaced by the exact fixed-point FREQUENCY CONTRAST
+  *
+  *   score(x) = Σ_b c_b(x) · (t_b·10^9 div T  −  r_b·10^9 div R)
+  *
+  * (c_b = the doc's count in bucket b; t_b/T, r_b/R the target/raw bucket
+  * counts and totals) — the linear MMD-witness form of the same signal:
+  * positive where the doc's mass sits in buckets the target over-uses,
+  * negative where the raw pool over-uses them. Every operand is an exact
+  * 64-bit integer (ppb rates from exact counts), so the whole score —
+  * and therefore the selected set — replays bit-for-bit in any engine,
+  * which the log form cannot do (`ln` is not correctly-rounded-portable
+  * across libm implementations; the [[LmScore.kneserNey]] doctrine).
+  * Selection is deterministic top-k by (score desc, doc_id) rather than
+  * Gumbel-sampled — the reproducibility convention every sampler here
+  * follows ([[Sampling]]: content-hash draws, no RNG).
+  *
+  * Integer bounds: `t_b·10^9` requires t_b < 2^63/10^9 ≈ 9.2·10^9 — with
+  * the default 1024 buckets that holds to ~10^13 corpus grams (~40 TB of
+  * text); for larger corpora raise `buckets` (hot-bucket mass scales as
+  * 1/buckets and the rate table stays broadcast-small at any realistic
+  * setting). Per-doc scores are bounded by doc_grams·10^9 < 2^63 for any
+  * document under ~9 billion tokens.
+  *
+  * Scale shape: ONE JVM tokenize+hash pass emits per-doc bucket counts
+  * (map-side combined in the pass itself — the exchange carries
+  * `(doc_id, bucket, count)`, ≤ min(doc_grams, buckets) rows per doc,
+  * never token strings); the rate table is one `buckets`-bounded groupBy
+  * of that stream with its totals attached by a broadcast one-row cross
+  * join; scoring joins the stream back to the BROADCAST rate table and
+  * aggregates per doc — no corpus-sized shuffle beyond the one keyed
+  * exchange, no window. Top-k select is TakeOrdered (per-partition local
+  * top-k, tiny global merge). */
+object Dsir {
+
+  /** Per-document importance contrast against `targetFilter`'s slice:
+    * `(doc_id, score_ppb)` for EVERY input doc (docs with no grams score
+    * 0). `targetFilter` evaluates over the input row (e.g.
+    * `col("lang") === "en"`); target docs are scored too — selection
+    * normally applies to the raw remainder, but the score is defined
+    * pool-wide. */
+  def contrastScore(docs: DataFrame, targetFilter: Column,
+                    buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import docs.sparkSession.implicits._
+    val g = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        targetFilter.as("is_t"))
+      .as[(Long, String, Boolean)]
+      .flatMap { case (id, text, isT) =>
+        val ws = text.split(' ')
+        val m = new java.util.HashMap[Long, Long]()
+        var i = 0
+        while (i < ws.length) {
+          val b1 = NearDup.TokenHash.hash62(ws(i)) % buckets
+          m.merge(b1, 1L, (a, b) => a + b)
+          if (i + 1 < ws.length) {
+            val b2 = NearDup.TokenHash.hash62(ws(i) + " " + ws(i + 1)) % buckets
+            m.merge(b2, 1L, (a, b) => a + b)
+          }
+          i += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Boolean)](m.size)
+        m.forEach((b, c) => out += ((id, b, c, isT)))
+        out
+      }.toDF("doc_id", "b", "c", "is_t")
+    // rate table: buckets-bounded; totals attach via a broadcast one-row
+    // cross join (the kneserNey nb shape)
+    val perBucket = g.groupBy("b")
+      .agg(sum("c").cast("long").as("rb"),
+        sum(when(col("is_t"), col("c")).otherwise(0L)).cast("long").as("tb"))
+    val totals = perBucket
+      .agg(sum("rb").cast("long").as("tr"), sum("tb").cast("long").as("tt"))
+    val rates = perBucket.crossJoin(broadcast(totals))
+      .select(col("b"),
+        // `div`, not `/`: Spark's `/` on longs is DOUBLE division; the
+        // contrast must stay in exact integer ppb
+        (when(col("tt") > 0L, expr("tb * 1000000000L div tt"))
+          .otherwise(lit(0L)).cast("long")
+          - when(col("tr") > 0L, expr("rb * 1000000000L div tr"))
+            .otherwise(lit(0L)).cast("long")).as("diff"))
+    val scores = g.join(broadcast(rates), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("diff")).cast("long").as("score_ppb"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score_ppb"), lit(0L)).as("score_ppb"))
+  }
+
+  /** Top-`k` most target-like documents of the pool — `(doc_id,
+    * score_ppb)` by (score desc, doc_id), the selected training subset.
+    * Deterministic top-k (see object doc); executes as TakeOrdered. */
+  def select(docs: DataFrame, targetFilter: Column, k: Int,
+             buckets: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    contrastScore(docs, targetFilter, buckets)
+      .orderBy(col("score_ppb").desc, col("doc_id")).limit(k)
+  }
+
+  /** The portable polynomial in DuckDB ([[Winnow]]'s dk convention). */
+  private def dk(expr: String, base: Int): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_filter(list_transform(string_split($expr, ''), " +
+      s"c -> CAST(unicode(c) AS BIGINT)), x -> x >= 0)), " +
+      s"(a, x) -> (a * $base + x) % 2147483647)"
+
+  /** DuckDB replay of [[contrastScore]] over `documents` — same hashed
+    * buckets, same exact ppb contrast, ordered by doc_id. `targetWhere`
+    * is the SQL form of the target filter. */
+  def contrastScoreSql(targetWhere: String, buckets: Int = 1024): String =
+    s"""WITH t AS (SELECT doc_id, ($targetWhere) AS is_t,
+       |    string_split(text, ' ') AS ws FROM documents),
+       |gr AS (SELECT doc_id, is_t, unnest(ws) AS g FROM t
+       |  UNION ALL
+       |  SELECT doc_id, is_t, ws[i] || ' ' || ws[i + 1] AS g
+       |  FROM (SELECT doc_id, is_t, ws,
+       |          unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM t WHERE len(ws) >= 2) x),
+       |gb AS (SELECT doc_id, is_t,
+       |    (${dk("g", 31)} | (${dk("g", 37)} << 31)) % $buckets AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM gr GROUP BY 1, 2, 3),
+       |pb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rb,
+       |    CAST(SUM(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS tb
+       |  FROM gb GROUP BY b),
+       |tot AS (SELECT CAST(SUM(rb) AS BIGINT) AS tr,
+       |    CAST(SUM(tb) AS BIGINT) AS tt FROM pb),
+       |rates AS (SELECT b,
+       |    CAST(CASE WHEN tt > 0 THEN tb * 1000000000 // tt ELSE 0 END
+       |      - CASE WHEN tr > 0 THEN rb * 1000000000 // tr ELSE 0 END
+       |      AS BIGINT) AS diff
+       |  FROM pb CROSS JOIN tot),
+       |sc AS (SELECT doc_id, CAST(SUM(c * diff) AS BIGINT) AS score_ppb
+       |  FROM gb JOIN rates USING (b) GROUP BY doc_id)
+       |SELECT t0.doc_id, CAST(COALESCE(sc.score_ppb, 0) AS BIGINT) AS score_ppb
+       |FROM (SELECT DISTINCT doc_id FROM documents) t0
+       |LEFT JOIN sc USING (doc_id) ORDER BY t0.doc_id""".stripMargin
+
+  /** DuckDB replay of [[select]]: the top-k rows of the score replay. */
+  def selectSql(targetWhere: String, k: Int, buckets: Int = 1024): String =
+    s"""SELECT doc_id, score_ppb FROM (
+       |${contrastScoreSql(targetWhere, buckets)}
+       |) ORDER BY score_ppb DESC, doc_id LIMIT $k""".stripMargin
+}

@@ -73,11 +73,19 @@ object HostRank {
               org.apache.spark.sql.types.LongType, nullable = false))))
       val r0d = 1000000000L / nodeSeq.length
       val based = ((1000000L - dampPpm) * r0d) / 1000000L
+      // loop-invariant: per-dst list of (src, outdeg) — only the rank
+      // lookup changes per iteration
+      val byDst: Array[(String, Array[(String, Long)])] =
+        es.groupBy(_._2).view
+          .mapValues(_.map { case (u, _, od) => (u, od) })
+          .toArray
       var r = nodeSeq.map(_ -> r0d).toMap
       (1 to iters).foreach { _ =>
-        val in = es.groupBy(_._2).view.mapValues(_.map { case (u, _, od) =>
-          (r(u) * dampPpm / 1000000L) / od
-        }.sum).toMap
+        val in = byDst.map { case (v, srcs) =>
+          v -> srcs.map { case (u, od) =>
+            (r(u) * dampPpm / 1000000L) / od
+          }.sum
+        }.toMap
         r = nodeSeq.map(v => v -> (based + in.getOrElse(v, 0L))).toMap
       }
       return nodeSeq.map(v => (v, r(v))).toSeq.toDF("node", "rank_ppb")
@@ -91,17 +99,25 @@ object HostRank {
       (spark.createDataFrame(rdd, df.schema), cnt,
         () => { rdd.unpersist(blocking = false); () })
     }
+    // pre-aggregate edges ONCE: without this the uncached `eo` lineage
+    // (distinct + out-degree groupBy + join) re-executes inside every
+    // per-round materialization — T redundant corpus-edge shuffles
+    val (eoM, _, releaseEo) = materialize(
+      eo.select(col("src"), col("dst"),
+        col("outdeg").cast("long").as("outdeg")))
     val (nodes, n, releaseNodes) = materialize(
       e.select(col("src").as("node"))
         .unionAll(e.select(col("dst").as("node"))).distinct())
-    if (n == 0)
+    if (n == 0) {
+      releaseEo()
       return nodes.select(col("node"), lit(0L).as("rank_ppb"))
+    }
     val r0 = 1000000000L / n
     val base = ((1000000L - dampPpm) * r0) / 1000000L
     var (ranks, _, release) =
       materialize(nodes.select(col("node"), lit(r0).as("rank")))
     (1 to iters).foreach { _ =>
-      val contrib = ranks.join(eo, ranks("node") === eo("src"))
+      val contrib = ranks.join(eoM, ranks("node") === eoM("src"))
         .select(col("dst").as("node"),
           expr(s"(rank * $dampPpm div 1000000L) div outdeg").as("c"))
         .groupBy("node").agg(sum("c").cast("long").as("in_mass"))
@@ -112,9 +128,47 @@ object HostRank {
       release() // the previous round's blocks are no longer consumed
       ranks = next; release = releaseNext
     }
+    releaseEo()
     releaseNodes()
     ranks.select(col("node"), col("rank").cast("long").as("rank_ppb"))
   }
+
+  /** Distinct-edge index of a crawl's host graph — the persisted
+    * artifact [[pageRankIncremental]] extends: normalized string
+    * `(src, dst)` pairs, duplicates collapsed, NULL endpoints dropped.
+    * Host-cardinality (millions at web scale), never corpus-sized —
+    * exactly what a standing pipeline writes to distributed storage
+    * after each crawl's edge extraction. */
+  def edgeIndex(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+
+  /** Standing-corpus host rank — the incremental cadence of
+    * [[pageRank]] (the [[Winnow.matchesAgainst]] shape): a NEW crawl's
+    * edges extend the PERSISTED [[edgeIndex]] of history, which enters
+    * as edge FILES only — history's corpus is never rescanned; the only
+    * corpus-sized work is the batch's own edge extraction, done by the
+    * caller — and the T-step solve re-runs on the merged graph.
+    *
+    * The solve re-runs in full rather than updating ranks because
+    * PageRank has no sound decomposable increment: one new edge can
+    * shift every rank in the graph (mass re-routes globally through the
+    * recurrence). What makes the incremental form cheap is that the
+    * merged graph is HOST-cardinality — the union of two bounded
+    * distinct-edge tables — so re-solving costs T bounded joins (or one
+    * driver fold), independent of how many corpus-TB produced those
+    * edges. Values are bit-identical to the one-shot [[pageRank]] over
+    * the union of the raw edge sets (the union-law spec in
+    * HostRankSpec): merge, then the same exact-integer trajectory. */
+  def pageRankIncremental(priorEdges: DataFrame, batch: DataFrame,
+                          iters: Int = 10, dampPpm: Long = 850000L,
+                          driverSolveMax: Long = 1000000L): DataFrame =
+    pageRank(
+      priorEdges.select(col("src"), col("dst"))
+        .unionByName(edgeIndex(batch)),
+      iters, dampPpm, driverSolveMax)
 
   /** DuckDB replay of [[pageRank]] over an `edges(src, dst)` relation:
     * the same recurrence unrolled as one CTE per iteration (the

@@ -484,11 +484,14 @@ object LmScore {
     * (log is NOT correctly-rounded-portable — consumers needing
     * log-perplexity apply it downstream, inside one engine).
     *
-    * Scale shape: identical to [[stupidBackoff]] — the three model
-    * tables (bigram counts, per-context totals/types, continuation
-    * types) aggregate map-side from the reference slice and are
-    * Heaps-bounded; the position stream is linear in corpus tokens and
-    * joins them by key; the per-doc fold is bounded by document length.
+    * Scale shape: the three model tables (bigram counts, per-context
+    * totals/types, continuation types) aggregate map-side from the
+    * reference slice and are Heaps-bounded; they join the corpus's
+    * DISTINCT (context, word) pair table — itself Heaps-bounded — so
+    * per-pair scoring never touches the position stream; the
+    * corpus-linear position stream then takes its score by ONE pair-key
+    * equi-join (the unavoidable linear pass — every position must be
+    * scored); the per-doc fold is bounded by document length.
     * Output: `(doc_id, n_scored, kn_sum)` — zeros for docs under two
     * tokens. */
   def kneserNey(docs: DataFrame, referenceFilter: Column): DataFrame = {
@@ -515,7 +518,15 @@ object LmScore {
             element_at(col("ws"), i).as("wd")))).as("p"))
       .select(col("doc_id"), col("p.i").as("i"),
         col("p.u").as("u"), col("p.wd").as("wd"))
-    val joined = pos
+    // Score each DISTINCT (context, word) pair ONCE: the corpus pair
+    // table is vocab²-bounded (Heaps-small in practice — far below the
+    // position count), so the three model joins touch pair-cardinality
+    // rows instead of every corpus position, and the position stream
+    // takes its p by ONE equi-join on the pair key. Per-position values
+    // and the per-doc position-order fold are bit-identical — only the
+    // joined cardinality shrinks (by the pair-repetition factor).
+    val pairs = pos.select(col("u"), col("wd")).distinct()
+    val pairJoined = pairs
       .join(bi, col("u") === col("w1") && col("wd") === col("w2"), "left")
       .drop("w1", "w2")
       .join(ctx.select(col("w1").as("cu"), col("cctx"), col("ntypes")),
@@ -533,7 +544,9 @@ object LmScore {
             + lit(d) * col("ntypes").cast("double") /
               col("cctx").cast("double") * pc)
           .otherwise(pc))
-    val perDoc = joined.select(col("doc_id"), col("i"), p.as("p"))
+    val scoredPairs = pairJoined.select(col("u"), col("wd"), p.as("p"))
+    val joined = pos.join(scoredPairs, Seq("u", "wd"))
+    val perDoc = joined.select(col("doc_id"), col("i"), col("p"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_scored"),
         collect_list(struct(col("i"), col("p"))).as("lst"))
@@ -585,6 +598,193 @@ object LmScore {
        |  FROM scored GROUP BY doc_id)
        |SELECT t.doc_id, coalesce(p.n_scored, 0) AS n_scored,
        |  coalesce(p.kn_sum, CAST(0 AS DOUBLE)) AS kn_sum
+       |FROM t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  /** Interpolated Kneser–Ney at TRIGRAM order (Chen & Goodman 1998 §2.7
+    * — the recursive interpolated form KenLM filters actually run, fixed
+    * absolute discount d = 0.75 at every layer): the trigram layer
+    * discounts RAW counts; each lower layer is the CONTINUATION
+    * distribution of the layer above (the modified-counts discipline
+    * that defines Kneser–Ney — [[kneserNey]]'s bigram form becomes this
+    * model's backoff). Per token position i ≥ 3 under counts from a
+    * REFERENCE slice:
+    *
+    *   P3(w|u,v) = max(c(uvw) − d, 0)/c(uv·)
+    *             + d·N1+(uv·)/c(uv·) · P2(w|v)       if c(uv·) > 0
+    *             = P2(w|v)                            else
+    *   P2(w|v)   = max(N1+(·vw) − d, 0)/N1+(·v·)
+    *             + d·|{w: N1+(·vw)>0}|/N1+(·v·) · Pc(w)  if N1+(·v·) > 0
+    *             = Pc(w)                               else
+    *   Pc(w)     = N1+(·w) / N1+(··)                 (bigram continuation,
+    *                                                  exactly [[kneserNey]]'s)
+    *
+    * Every operand is an exact integer count and each layer is the same
+    * fixed IEEE tree `max(c−d,0)/cx + d·nt/cx·p_lower` as the bigram
+    * form, so DuckDB replays the whole ladder bit-for-bit
+    * ([[kneserNeyTrigramSql]]); the document score is the
+    * POSITION-ORDER left-fold sum of P3.
+    *
+    * Scale shape: the five model tables (raw trigram counts, trigram
+    * context totals/types, middle-layer continuation counts + their
+    * per-context totals/types, bigram continuation counts) aggregate
+    * map-side from the reference slice and are Heaps-bounded; they join
+    * the corpus's DISTINCT (u, v, w) triple table — Heaps-bounded — so
+    * per-triple scoring never touches the position stream; the
+    * corpus-linear position stream takes its score by ONE triple-key
+    * equi-join. Output: `(doc_id, n_scored, kn3_sum)` — zeros for docs
+    * under three tokens. */
+  def kneserNeyTrigram(docs: DataFrame, referenceFilter: Column): DataFrame = {
+    val d = 0.75
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val ref = toks.filter(referenceFilter)
+    val tri = ref.filter(size(col("ws")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2"),
+          element_at(col("ws"), i + 2).as("w3")))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    // trigram context totals/types and the middle continuation layer both
+    // ride tri's one exchange
+    val ctx3 = tri.groupBy("w1", "w2")
+      .agg(sum("c3").cast("long").as("cctx3"), count(lit(1)).as("ntypes3"))
+    // N1+(·vw): distinct LEFT extensions of each (v, w) — tri rows are
+    // distinct (u, v, w), so this is a COUNT per (v, w)
+    val mid = tri.groupBy(col("w2").as("m1"), col("w3").as("m2"))
+      .agg(count(lit(1)).as("cm"))
+    val ctx2 = mid.groupBy(col("m1"))
+      .agg(sum("cm").cast("long").as("cctx2"), count(lit(1)).as("ntypes2"))
+    val bi = ref.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val nb = bi.agg(count(lit(1)).cast("long").as("nb"))
+    val pos = toks.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(3), size(col("ws"))),
+          i => struct(i.cast("long").as("i"),
+            element_at(col("ws"), i - 2).as("wa"),
+            element_at(col("ws"), i - 1).as("wb"),
+            element_at(col("ws"), i).as("wc")))).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.wa").as("wa"),
+        col("p.wb").as("wb"), col("p.wc").as("wc"))
+    // the distinct-triple discipline (see kneserNey): model joins touch
+    // triple-cardinality rows, positions take p3 by one equi-join
+    val triples = pos.select(col("wa"), col("wb"), col("wc")).distinct()
+    val tj = triples
+      .join(tri, col("wa") === col("w1") && col("wb") === col("w2") &&
+        col("wc") === col("w3"), "left").drop("w1", "w2", "w3")
+      .join(ctx3.select(col("w1").as("x1"), col("w2").as("x2"),
+        col("cctx3"), col("ntypes3")),
+        col("wa") === col("x1") && col("wb") === col("x2"), "left")
+      .drop("x1", "x2")
+      .join(mid, col("wb") === col("m1") && col("wc") === col("m2"), "left")
+      .drop("m1", "m2")
+      .join(ctx2.select(col("m1").as("y1"), col("cctx2"), col("ntypes2")),
+        col("wb") === col("y1"), "left").drop("y1")
+      .join(cont.select(col("w2").as("cw"), col("ncont")),
+        col("wc") === col("cw"), "left").drop("cw")
+      .crossJoin(broadcast(nb))
+    val pc = coalesce(col("ncont"), lit(0L)).cast("double") /
+      col("nb").cast("double")
+    val p2 =
+      when(col("cctx2").isNotNull,
+        greatest(coalesce(col("cm"), lit(0L)).cast("double") - lit(d),
+          lit(0.0)) / col("cctx2").cast("double")
+          + lit(d) * col("ntypes2").cast("double") /
+            col("cctx2").cast("double") * pc)
+        .otherwise(pc)
+    val p3 =
+      when(col("nb") === 0L, lit(0.0))
+        .otherwise(when(col("cctx3").isNotNull,
+          greatest(coalesce(col("c3"), lit(0L)).cast("double") - lit(d),
+            lit(0.0)) / col("cctx3").cast("double")
+            + lit(d) * col("ntypes3").cast("double") /
+              col("cctx3").cast("double") * p2)
+          .otherwise(p2))
+    val scoredTriples = tj.select(col("wa"), col("wb"), col("wc"), p3.as("p"))
+    val perDoc = pos.join(scoredTriples, Seq("wa", "wb", "wc"))
+      .select(col("doc_id"), col("i"), col("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        collect_list(struct(col("i"), col("p"))).as("lst"))
+      .select(col("doc_id"), col("n_scored"),
+        aggregate(transform(array_sort(col("lst")), e => e.getField("p")),
+          lit(0.0), (acc, v) => acc + v).as("kn3_sum"))
+    toks.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).cast("long").as("n_scored"),
+        coalesce(col("kn3_sum"), lit(0.0)).as("kn3_sum"))
+  }
+
+  /** DuckDB replay of [[kneserNeyTrigram]] — the same three-layer IEEE
+    * ladder over the same exact-integer counts. */
+  def kneserNeyTrigramSql(refWhere: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |ref AS (SELECT * FROM t WHERE $refWhere),
+       |tri AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS c3 FROM
+       |  (SELECT UNNEST([[ws[i], ws[i+1], ws[i+2]] for i in generate_series(1, len(ws)-2)]) AS g
+       |   FROM ref WHERE len(ws) >= 3) GROUP BY 1, 2, 3),
+       |ctx3 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS cctx3,
+       |    CAST(COUNT(*) AS BIGINT) AS ntypes3 FROM tri GROUP BY 1, 2),
+       |mid AS (SELECT w2 AS m1, w3 AS m2, CAST(COUNT(*) AS BIGINT) AS cm
+       |  FROM tri GROUP BY 1, 2),
+       |ctx2 AS (SELECT m1, CAST(SUM(cm) AS BIGINT) AS cctx2,
+       |    CAST(COUNT(*) AS BIGINT) AS ntypes2 FROM mid GROUP BY 1),
+       |bi AS (SELECT g[1] AS w1, g[2] AS w2, COUNT(*) AS c2 FROM
+       |  (SELECT UNNEST([[ws[i], ws[i+1]] for i in generate_series(1, len(ws)-1)]) AS g
+       |   FROM ref WHERE len(ws) >= 2) GROUP BY 1, 2),
+       |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM bi GROUP BY 1),
+       |nstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi),
+       |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    ws[CAST(i AS INT)-2] AS wa, ws[CAST(i AS INT)-1] AS wb,
+       |    ws[CAST(i AS INT)] AS wc
+       |  FROM (SELECT doc_id, ws, UNNEST(generate_series(3, len(ws))) AS i
+       |        FROM t WHERE len(ws) >= 3) x),
+       |scored AS (SELECT p.doc_id, p.i,
+       |    CASE WHEN nb = 0 THEN CAST(0 AS DOUBLE)
+       |         WHEN x.cctx3 IS NOT NULL
+       |           THEN greatest(CAST(COALESCE(tr.c3, 0) AS DOUBLE)
+       |                  - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+       |                / CAST(x.cctx3 AS DOUBLE)
+       |              + CAST(0.75 AS DOUBLE) * CAST(x.ntypes3 AS DOUBLE)
+       |                / CAST(x.cctx3 AS DOUBLE)
+       |                * (CASE WHEN y.cctx2 IS NOT NULL
+       |                     THEN greatest(CAST(COALESCE(m.cm, 0) AS DOUBLE)
+       |                            - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+       |                          / CAST(y.cctx2 AS DOUBLE)
+       |                        + CAST(0.75 AS DOUBLE) * CAST(y.ntypes2 AS DOUBLE)
+       |                          / CAST(y.cctx2 AS DOUBLE)
+       |                          * (CAST(COALESCE(cn.ncont, 0) AS DOUBLE)
+       |                             / CAST(nb AS DOUBLE))
+       |                     ELSE CAST(COALESCE(cn.ncont, 0) AS DOUBLE)
+       |                          / CAST(nb AS DOUBLE) END)
+       |         WHEN y.cctx2 IS NOT NULL
+       |           THEN greatest(CAST(COALESCE(m.cm, 0) AS DOUBLE)
+       |                  - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+       |                / CAST(y.cctx2 AS DOUBLE)
+       |              + CAST(0.75 AS DOUBLE) * CAST(y.ntypes2 AS DOUBLE)
+       |                / CAST(y.cctx2 AS DOUBLE)
+       |                * (CAST(COALESCE(cn.ncont, 0) AS DOUBLE)
+       |                   / CAST(nb AS DOUBLE))
+       |         ELSE CAST(COALESCE(cn.ncont, 0) AS DOUBLE)
+       |              / CAST(nb AS DOUBLE) END AS p
+       |  FROM pos p
+       |  LEFT JOIN tri tr ON tr.w1 = p.wa AND tr.w2 = p.wb AND tr.w3 = p.wc
+       |  LEFT JOIN ctx3 x ON x.w1 = p.wa AND x.w2 = p.wb
+       |  LEFT JOIN mid m ON m.m1 = p.wb AND m.m2 = p.wc
+       |  LEFT JOIN ctx2 y ON y.m1 = p.wb
+       |  LEFT JOIN cont cn ON cn.w2 = p.wc
+       |  CROSS JOIN nstat),
+       |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY i)),
+       |      (a, b) -> a + b) AS kn3_sum
+       |  FROM scored GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(p.n_scored, 0) AS n_scored,
+       |  coalesce(p.kn3_sum, CAST(0 AS DOUBLE)) AS kn3_sum
        |FROM t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   def stupidBackoff(docs: DataFrame, referenceFilter: Column): DataFrame = {

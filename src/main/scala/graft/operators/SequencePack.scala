@@ -279,6 +279,86 @@ object SequencePack {
         (col("mask_end") - col("mask_start")).as("mask_toks"))
   }
 
+  /** Packed training shards — the `(seq_id, token_ids)` delivery
+    * artifact a trainer actually loads: every training sequence's packed
+    * token-id array under concat-and-chunk at `seqLen`. This closes the
+    * pipeline end-to-end (corpus in → trainer-ready shards out): the
+    * tokenizer half ([[Vocab.encodeIds]], or any `(doc_id,
+    * ids: array<long>)` encoding) composes with [[sequenceManifest]]'s
+    * spans — each document's ids slice by `[doc_off, doc_off + n_toks)`,
+    * assembled in `seq_off` order.
+    *
+    * Returns `(seq_id, n_docs, n_tokens, token_ids)`: `token_ids` is the
+    * sequence's packed id array (length `seqLen` for every sequence but
+    * the final partial one — the conservation law SequencePackSpec
+    * pins), `n_docs` how many documents contribute spans.
+    *
+    * Scale shape: the packing PLAN is computed over counts only
+    * ([[packOffsets]]' two-pass range scan of `(doc_id, n_tokens)` —
+    * token bodies never enter the range exchange); the id arrays
+    * themselves cross exactly two key-partitioned exchanges — the
+    * `doc_id` equi-join attaching each manifest span to its document's
+    * ids (both sides corpus-sized, co-partitioned by the join key) and
+    * the final `seq_id` groupBy whose per-group state is bounded by
+    * `seqLen` tokens (at most ceil(seqLen/2)+1 spans of total length
+    * seqLen). That is the floor for this artifact: every token must be
+    * delivered once, and each crossing is the token volume, never more.
+    *
+    * @param tokens `(doc_id, ids)` — one row per document, `ids` the
+    *               document's token-id sequence in position order */
+  def packedShards(tokens: DataFrame, seqLen: Int,
+                   orderCol: String = "doc_id", nParts: Int = 0): DataFrame = {
+    val toks = tokens.select(col(orderCol).cast("long").as("doc_id"),
+      col("ids").cast("array<long>").as("ids"))
+    val offsets = packOffsets(toks, seqLen, size(col("ids")), "doc_id", nParts)
+    val pieces = manifestFromOffsets(offsets, seqLen)
+      .join(toks, "doc_id")
+      .select(col("seq_id"), col("seq_off"),
+        slice(col("ids"), (col("doc_off") + lit(1L)).cast("int"),
+          col("n_toks").cast("int")).as("piece"))
+    pieces.groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("seq_off"), col("piece")))),
+          s => s.getField("piece"))).as("token_ids"))
+      .select(col("seq_id"), col("n_docs").cast("long").as("n_docs"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids"))
+  }
+
+  /** Incremental packed shards — the standing-corpus delivery form: the
+    * BATCH's training sequences as a continuation of history's frozen
+    * token total (the [[packOffsetsIncremental]] contract: batch follows
+    * history in `orderCol`, history text never rescanned). Emits only
+    * sequences the batch contributes tokens to; at the single boundary
+    * sequence the row carries the batch's TAIL spans alone (`seq_off >
+    * 0` possible on the first emitted sequence), so a shard builder
+    * concatenates it after history's final partial sequence — the
+    * union-law SequencePackSpec pins. */
+  def packedShardsIncremental(history: DataFrame, batch: DataFrame,
+                              seqLen: Int, orderCol: String = "doc_id",
+                              stageLabel: Option[String] = None): DataFrame = {
+    val toks = batch.select(col(orderCol).cast("long").as("doc_id"),
+      col("ids").cast("array<long>").as("ids"))
+    val offsets = packOffsetsIncremental(
+      history, toks, seqLen, size(col("ids")), "doc_id", stageLabel)
+    val pieces = manifestFromOffsets(offsets, seqLen)
+      .join(toks, "doc_id")
+      .select(col("seq_id"), col("seq_off"),
+        slice(col("ids"), (col("doc_off") + lit(1L)).cast("int"),
+          col("n_toks").cast("int")).as("piece"))
+    pieces.groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("seq_off").as("seq_start"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("seq_off"), col("piece")))),
+          s => s.getField("piece"))).as("token_ids"))
+      .select(col("seq_id"), col("n_docs").cast("long").as("n_docs"),
+        col("seq_start").cast("long").as("seq_start"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids"))
+  }
+
   /** Incremental packing — the standing-corpus form every other heavy
     * family here carries: the HISTORY's total token count freezes as a
     * one-row stage (written once under `stageLabel` via StageStore, read

@@ -975,4 +975,32 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |FROM cur FULL OUTER JOIN pri ON cur.doc_id = pri.doc_id
       |GROUP BY 1, 2 ORDER BY source, op""".stripMargin
 
+
+  // ---------------------------------------------------------------------
+  // dsir_score / dsir_select — DSIR-style importance selection
+  // (Dsir.contrastScore/select; Xie et al. '23 structure with the exact
+  // fixed-point frequency contrast replacing the log-likelihood ratio,
+  // for bit-exact cross-engine replay): target = the English slice,
+  // raw = the whole pool, hashed unigram+bigram buckets (portable
+  // TokenHash polynomial mod 256), ppb rate contrast summed per doc;
+  // select = deterministic top-40 by (score desc, doc_id).
+  // ---------------------------------------------------------------------
+  def dsirScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.contrastScore(
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")),
+      targetFilter = col("lang") === "en", buckets = 256)
+      .orderBy("doc_id")
+
+  val dsirScoreSql: String =
+    graft.operators.Dsir.contrastScoreSql("lang = 'en'", buckets = 256)
+
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.select(
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")),
+      targetFilter = col("lang") === "en", k = 40, buckets = 256)
+      .orderBy(col("score_ppb").desc, col("doc_id"))
+
+  val dsirSelectSql: String =
+    graft.operators.Dsir.selectSql("lang = 'en'", k = 40, buckets = 256)
+
 }

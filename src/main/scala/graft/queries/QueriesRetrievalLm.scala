@@ -424,6 +424,22 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
     graft.operators.LmScore.kneserNeySql("doc_id % 5 = 0")
 
   // ---------------------------------------------------------------------
+  // lm_kneser_ney3 — Kneser–Ney at TRIGRAM order (Chen & Goodman '98's
+  // recursive interpolated form — the model KenLM filters actually run):
+  // raw-count discounting at the trigram layer, the continuation
+  // distribution of the layer above at each lower layer, same fixed
+  // d=0.75 IEEE ladder; reference slice doc_id%5=0; position-order fold.
+  // ---------------------------------------------------------------------
+  def lmKneserNey3(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.kneserNeyTrigram(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      referenceFilter = col("doc_id") % 5 === 0)
+      .orderBy("doc_id")
+
+  val lmKneserNey3Sql: String =
+    graft.operators.LmScore.kneserNeyTrigramSql("doc_id % 5 = 0")
+
+  // ---------------------------------------------------------------------
   // preference_pairs — alignment-data prep (the RLHF/DPO chosen-rejected
   // construction from a scored corpus): within each source, the top-3
   // fluency docs pair with the bottom-3 by rank (1↔1, 2↔2, 3↔3), giving
@@ -580,6 +596,51 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
         |  UNION ALL
         |  SELECT 'h' || CAST(doc_id % 23 AS VARCHAR),
         |    'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) FROM documents""".stripMargin,
+      iters = 10) + " ORDER BY node"
+
+  // ---------------------------------------------------------------------
+  // host_rank_incremental — standing-corpus host rank
+  // (HostRank.pageRankIncremental): history's distinct-edge index
+  // persists once (StageStore, edge FILES — history's corpus never
+  // rescanned), a new crawl (the same docs re-keyed +1e6, so its host
+  // hashes land on different h-nodes) extends it, and the bounded merged
+  // graph re-solves. Values == the one-shot pageRank over the union of
+  // raw edge sets (rank has no decomposable increment — the union law
+  // HostRankSpec pins); the oracle runs the identical unrolled
+  // recurrence over the unioned edge query.
+  // ---------------------------------------------------------------------
+  def hostRankIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def grafted(docs: DataFrame): DataFrame = {
+      val h1 = concat(lit("h"), pmod(col("doc_id"), lit(23L)).cast("string"))
+      val h2 = concat(lit("h"),
+        pmod(col("doc_id") * 7L + 3L, lit(23L)).cast("string"))
+      docs.select(col("source").as("src"), h1.as("dst"))
+        .unionAll(docs.select(h1.as("src"), h2.as("dst")))
+    }
+    val prior = graft.StageStore.materializeIfAbsent(s,
+      s"hostrank_hist_${graft.StageStore.dirTag(dir)}")(
+      graft.operators.HostRank.edgeIndex(grafted(d)))
+    val batch = grafted(
+      d.select((col("doc_id") + 1000000L).as("doc_id"), col("source")))
+    graft.operators.HostRank.pageRankIncremental(prior, batch, iters = 10)
+      .orderBy("node")
+  }
+
+  val hostRankIncrementalSql: String =
+    "WITH " + graft.operators.HostRank.pageRankSql(
+      """SELECT source AS src,
+        |    'h' || CAST(doc_id % 23 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 23 AS VARCHAR),
+        |    'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT source,
+        |    'h' || CAST((doc_id + 1000000) % 23 AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST((doc_id + 1000000) % 23 AS VARCHAR),
+        |    'h' || CAST(((doc_id + 1000000) * 7 + 3) % 23 AS VARCHAR)
+        |  FROM documents""".stripMargin,
       iters = 10) + " ORDER BY node"
 
   // ---------------------------------------------------------------------

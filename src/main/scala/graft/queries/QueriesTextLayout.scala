@@ -566,6 +566,121 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |FROM g GROUP BY seq_id, grp ORDER BY seq_id, mask_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // seq_tokens — packed training shards (SequencePack.packedShards): the
+  // (seq_id, token_ids) delivery artifact that closes the pipeline end to
+  // end — Vocab.encodeIds' materialized id sequences sliced by the
+  // manifest spans ([doc_off, doc_off + n_toks) per document) and
+  // assembled per sequence in seq_off order. The registered row
+  // serializes the packed array as ids_csv so the driver hash pins every
+  // position and value (the vocab_encode convention); the operator itself
+  // emits the raw array<long>. seqLen 128 so sf0.01 exercises many
+  // boundary crossings.
+  // ---------------------------------------------------------------------
+  def seqTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ids = graft.operators.Vocab.encodeIds(
+      docs, graft.operators.Vocab.build(docs, minCount = 5L))
+    graft.operators.SequencePack.packedShards(ids, seqLen = 128)
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+        array_join(transform(col("token_ids"), _.cast("string")), ",")
+          .as("ids_csv"))
+      .orderBy("seq_id")
+  }
+
+  val seqTokensSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |allt AS (SELECT unnest(ws) AS token FROM w),
+      |v AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS vid
+      |      FROM (SELECT token, COUNT(*) AS cnt FROM allt GROUP BY token
+      |            HAVING COUNT(*) >= 5)),
+      |tok AS (SELECT doc_id,
+      |          unnest(CAST(generate_series(1, len(ws)) AS BIGINT[])) AS pos,
+      |          unnest(ws) AS token FROM w),
+      |e AS (SELECT doc_id, pos, CAST(COALESCE(v.vid, 0) AS BIGINT) AS vid
+      |      FROM tok LEFT JOIN v USING (token)),
+      |ids AS (SELECT doc_id, list(vid ORDER BY pos) AS ids,
+      |        CAST(COUNT(*) AS BIGINT) AS nt FROM e GROUP BY doc_id),
+      |o AS (SELECT doc_id, ids, nt,
+      |    CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts
+      |  FROM ids),
+      |s AS (SELECT doc_id, ids, nt, ts,
+      |    unnest(generate_series(ts // 128, (ts + nt - 1) // 128)) AS seq_id
+      |  FROM o WHERE nt > 0),
+      |sp AS (SELECT CAST(seq_id AS BIGINT) AS seq_id,
+      |    CAST(greatest(ts, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_off,
+      |    list_slice(ids,
+      |      CAST(greatest(ts, seq_id * 128) - ts + 1 AS BIGINT),
+      |      CAST(least(ts + nt, seq_id * 128 + 128) - ts AS BIGINT)) AS piece
+      |  FROM s)
+      |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(piece)) AS BIGINT) AS n_tokens,
+      |  array_to_string(flatten(list(list_transform(piece,
+      |    x -> CAST(x AS VARCHAR)) ORDER BY seq_off)), ',') AS ids_csv
+      |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // seq_tokens_incremental — the standing-corpus shard delivery: a new
+  // batch (the same docs re-keyed +1e6, strictly after history in id
+  // order), encoded with HISTORY'S vocab (the production convention
+  // vocab_encode_incremental states: frequency ids must stay stable
+  // across deliveries), packs at history's frozen token total and ships
+  // only the sequences it contributes to. seq_start marks where in the
+  // boundary sequence the batch's tokens begin.
+  // ---------------------------------------------------------------------
+  def seqTokensIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val vocab = graft.operators.Vocab.build(docs, minCount = 5L)
+    val histIds = graft.operators.Vocab.encodeIds(docs, vocab)
+    val batchIds = graft.operators.Vocab.encodeIds(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")), vocab)
+    graft.operators.SequencePack.packedShardsIncremental(
+      history = histIds, batch = batchIds, seqLen = 128,
+      stageLabel = Some(s"seqtokens_hist_${StageStore.dirTag(dir)}"))
+      .select(col("seq_id"), col("n_docs"), col("seq_start"), col("n_tokens"),
+        array_join(transform(col("token_ids"), _.cast("string")), ",")
+          .as("ids_csv"))
+      .orderBy("seq_id")
+  }
+
+  val seqTokensIncrementalSql: String =
+    """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |allt AS (SELECT unnest(ws) AS token FROM w0),
+      |v AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS vid
+      |      FROM (SELECT token, COUNT(*) AS cnt FROM allt GROUP BY token
+      |            HAVING COUNT(*) >= 5)),
+      |h AS (SELECT CAST(COALESCE(SUM(len(ws)), 0) AS BIGINT) AS ht FROM w0),
+      |w AS (SELECT doc_id + 1000000 AS doc_id, ws FROM w0),
+      |tok AS (SELECT doc_id,
+      |          unnest(CAST(generate_series(1, len(ws)) AS BIGINT[])) AS pos,
+      |          unnest(ws) AS token FROM w),
+      |e AS (SELECT doc_id, pos, CAST(COALESCE(v.vid, 0) AS BIGINT) AS vid
+      |      FROM tok LEFT JOIN v USING (token)),
+      |ids AS (SELECT doc_id, list(vid ORDER BY pos) AS ids,
+      |        CAST(COUNT(*) AS BIGINT) AS nt FROM e GROUP BY doc_id),
+      |o AS (SELECT doc_id, ids, nt,
+      |    CAST((SELECT ht FROM h)
+      |      + COALESCE(SUM(nt) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS ts
+      |  FROM ids),
+      |s AS (SELECT doc_id, ids, nt, ts,
+      |    unnest(generate_series(ts // 128, (ts + nt - 1) // 128)) AS seq_id
+      |  FROM o WHERE nt > 0),
+      |sp AS (SELECT CAST(seq_id AS BIGINT) AS seq_id,
+      |    CAST(greatest(ts, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_off,
+      |    list_slice(ids,
+      |      CAST(greatest(ts, seq_id * 128) - ts + 1 AS BIGINT),
+      |      CAST(least(ts + nt, seq_id * 128 + 128) - ts AS BIGINT)) AS piece
+      |  FROM s)
+      |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(seq_off) AS BIGINT) AS seq_start,
+      |  CAST(SUM(len(piece)) AS BIGINT) AS n_tokens,
+      |  array_to_string(flatten(list(list_transform(piece,
+      |    x -> CAST(x AS VARCHAR)) ORDER BY seq_off)), ',') AS ids_csv
+      |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // shard_shuffle — seeded deterministic global shuffle + shard assignment
   // (ShardShuffle.assign): the reproducible training-order permutation.
   // Portable dual-base polynomial key over "<seed>:<doc_id>", shard from

@@ -307,12 +307,17 @@ object CorpusStream {
           if (!fs.exists(stateDir)) (0L, -1L)
           else {
             // state exists: pick the HIGHEST version whose commit
-            // finished (_SUCCESS present) — a directory-listing pick, so
-            // the read cost stays O(1) as the query ages. A read failure
-            // here is a REAL error, not the first-batch case — let it
-            // fail the batch.
+            // finished — _SUCCESS when the committer writes markers, or
+            // (markers disabled: marksuccessfuljobs=false, common on
+            // object stores) any non-empty part file, since task commits
+            // only surface fully-written parquet parts. A
+            // directory-listing pick, so the read cost stays O(1) as the
+            // query ages. A read failure here is a REAL error, not the
+            // first-batch case — let it fail the batch.
             val done = versions().find { case (_, p) =>
-              fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+              fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) ||
+                fs.listStatus(p).exists(f =>
+                  f.getPath.getName.startsWith("part-") && f.getLen > 0)
             }
             done match {
               case Some((_, p)) =>

@@ -98,6 +98,31 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("--shards-out writes the packed (seq_id, token_ids) training " +
+    "shards of what shipped, matching the seq_tokens oracle query") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val inDir = tmp("cc_sh_in")
+    val outDir = tmp("cc_sh_out")
+    val shDir = tmp("cc_sh_shards")
+    docs.write.mode("overwrite").parquet(inDir)
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "0", "--no-span-removal",
+      "--no-near-dup", "--shards-out", shDir,
+      "--shards-seqlen", "128")).toOption.get
+    val n = CorpusClean.run(spark, cfg)
+    assert(n === docs.count())
+    val got = spark.read.parquet(shDir)
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+        array_join(transform(col("token_ids"),
+          _.cast("string")), ",").as("ids_csv"))
+      .orderBy("seq_id").collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("seq_tokens")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("--rag-out writes the sentence-aligned retrieval chunks of what " +
     "shipped at the requested budget") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

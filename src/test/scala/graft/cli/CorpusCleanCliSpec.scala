@@ -92,6 +92,14 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(CorpusCleanCli.parse(Seq("in", "out", "--loss-mask-out")).isLeft)
     assert(CorpusCleanCli.parse(Seq("in", "out",
       "--loss-mask-seqlen", "0")).isLeft)
+    assert(ok("in", "out").shardsOut.isEmpty &&
+      ok("in", "out").shardsSeqLen === 512L)
+    val sh = ok("in", "out", "--shards-out", "/shards",
+      "--shards-seqlen", "256")
+    assert(sh.shardsOut === Some("/shards") && sh.shardsSeqLen === 256L)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--shards-out")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out",
+      "--shards-seqlen", "0")).isLeft)
     assert(ok("in", "out").ragOut.isEmpty && ok("in", "out").ragBudget === 64L)
     val rg = ok("in", "out", "--rag-out", "/rag", "--rag-budget", "32")
     assert(rg.ragOut === Some("/rag") && rg.ragBudget === 32L)

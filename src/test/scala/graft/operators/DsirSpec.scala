@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSIR-style importance selection (Dsir.contrastScore/select) — the
+  * dsir_score / dsir_select CORRECTNESS rows: hashed unigram+bigram
+  * buckets, exact ppb frequency contrast, deterministic top-k. */
+class DsirSpec extends AnyFunSuite with SparkSuite {
+
+  /** Driver-side replica of the exact integer contrast. */
+  private def reference(docs: Seq[(Long, String, Boolean)],
+                        buckets: Int): Map[Long, Long] = {
+    def grams(t: String): Seq[Long] = {
+      val ws = t.split(' ')
+      val uni = ws.map(w => NearDup.TokenHash.hash62(w) % buckets)
+      val bi = ws.sliding(2).filter(_.length == 2)
+        .map(p => NearDup.TokenHash.hash62(p(0) + " " + p(1)) % buckets).toSeq
+      (uni ++ bi).toSeq
+    }
+    val all = docs.flatMap { case (id, t, isT) =>
+      grams(t).map(b => (id, b, isT))
+    }
+    val rb = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tb = all.filter(_._3).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tr = rb.values.sum
+    val tt = tb.values.sum
+    def diff(b: Long): Long =
+      (if (tt > 0) tb.getOrElse(b, 0L) * 1000000000L / tt else 0L) -
+        (if (tr > 0) rb(b) * 1000000000L / tr else 0L)
+    docs.map { case (id, t, _) =>
+      id -> grams(t).map(diff).sum
+    }.toMap
+  }
+
+  test("hand corpus matches the driver-side exact contrast; target-like " +
+    "docs outrank raw-like docs; select returns the top-k in order") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "wiki facts wiki facts", true),
+      (1L, "wiki facts and more wiki", true),
+      (2L, "spam click spam click spam", false),
+      (3L, "wiki facts spam", false), // mixed: between the poles
+      (4L, "click here now", false),
+      (5L, "", false)) // empty text: one empty token, still scored
+    val df = rows.map(r => (r._1, r._2, if (r._3) "en" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dsir.contrastScore(df, col("lang") === "en", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === reference(rows, 64))
+    // the target-vocabulary docs outscore the spam docs
+    assert(got(0L) > got(2L) && got(1L) > got(4L))
+    assert(got(3L) > got(2L), "mixed doc should beat pure spam")
+    val sel = Dsir.select(df, col("lang") === "en", k = 3, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = got.toSeq.sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(sel.sortBy { case (id, s) => (-s, id) } === want)
+  }
+
+  test("partitioning-invariant and rerun-stable on the fixture; empty " +
+    "target scores pure-negative raw rates; no-gram pool is all zero") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      Dsir.contrastScore(d, col("lang") === "en", buckets = 256)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val a = rows(docs)
+    assert(a === rows(docs.repartition(13)))
+    assert(a === rows(docs), "rerun diverged")
+    assert(a.exists(_(1).asInstanceOf[Long] > 0L) &&
+      a.exists(_(1).asInstanceOf[Long] < 0L),
+      "fixture should separate target-like from raw-like docs")
+    // empty target: tt = 0, every score is -(sum of raw rates over the
+    // doc's grams) < 0 for any doc with grams
+    val noT = Dsir.contrastScore(docs, lit(false), buckets = 256)
+      .collect().map(_.getLong(1))
+    assert(noT.forall(_ < 0L))
+    // select cap larger than the pool returns the whole pool
+    assert(Dsir.select(docs, col("lang") === "en", k = 1000000, buckets = 256)
+      .count() === docs.count())
+  }
+}

@@ -74,4 +74,34 @@ class HostRankSpec extends AnyFunSuite with SparkSuite {
     assert(a === go(edges, 0L), "distributed path diverged from fast path")
     assert(a.nonEmpty)
   }
+
+  test("pageRankIncremental union law: persisted history index + batch " +
+    "edges == one-shot pageRank over the union of raw edge sets, on " +
+    "both solve paths; history enters as files and is not rescanned") {
+    import spark.implicits._
+    val hist = (1L to 300L).map(i =>
+      (s"h${i % 17}", s"h${(i * 5 + 1) % 17}")).toDF("src", "dst")
+    // batch overlaps history's node set AND brings new nodes — the case
+    // where every old rank shifts
+    val batch = (1L to 200L).map(i =>
+      (s"h${i % 23}", s"h${(i * 11 + 2) % 23}")).toDF("src", "dst")
+    val label = "hostrank_spec_hist"
+    val prior = graft.StageStore.materializeIfAbsent(spark, label)(
+      HostRank.edgeIndex(hist))
+    // the index is distinct and host-bounded
+    assert(prior.count() === prior.distinct().count())
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("node").collect().map(_.toSeq).toSeq
+    val oneShot = rows(HostRank.pageRank(hist.unionAll(batch), 10))
+    assert(rows(HostRank.pageRankIncremental(prior, batch, 10)) === oneShot)
+    assert(rows(HostRank.pageRankIncremental(prior, batch, 10,
+      driverSolveMax = 0L)) === oneShot,
+      "distributed incremental solve diverged")
+    // second incremental run consumes the SAME persisted index: the
+    // producer ran exactly once — history was never rescanned
+    val prior2 = graft.StageStore.materializeIfAbsent(spark, label)(
+      fail("history producer re-ran — index files were not reused"))
+    assert(rows(HostRank.pageRankIncremental(prior2, batch, 10)) === oneShot)
+    assert(graft.StageStore.materializations(label) === 1L)
+  }
 }

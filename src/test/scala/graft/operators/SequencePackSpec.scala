@@ -318,4 +318,127 @@ class SequencePackSpec extends AnyFunSuite with SparkSuite {
         s"nondeterministic offsets at rep=$rep nParts=$nParts")
     }
   }
+
+  test("packedShards: hand case at L=4 — slices assemble in seq_off order") {
+    import spark.implicits._
+    val toks = Seq(
+      (1L, Seq(10L, 11L, 12L)),
+      (2L, Seq(20L, 21L, 22L, 23L, 24L)),
+      (3L, Seq(30L, 31L)),
+      (4L, Seq(40L, 41L, 42L, 43L, 44L, 45L, 46L, 47L, 48L)))
+      .toDF("doc_id", "ids")
+    val out = SequencePack.packedShards(toks, seqLen = 4)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList))
+    assert(out === Array(
+      (0L, 2L, 4L, List(10L, 11L, 12L, 20L)),
+      (1L, 1L, 4L, List(21L, 22L, 23L, 24L)),
+      (2L, 2L, 4L, List(30L, 31L, 40L, 41L)),
+      (3L, 1L, 4L, List(42L, 43L, 44L, 45L)),
+      (4L, 1L, 3L, List(46L, 47L, 48L))))
+  }
+
+  test("packedShards conservation on real docs: flattening the shards in " +
+    "seq_id order reproduces the concatenated corpus id stream; every " +
+    "sequence but the last is exactly seqLen") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ids = Vocab.encodeIds(docs, Vocab.build(docs, minCount = 5L))
+    val shards = SequencePack.packedShards(ids, seqLen = 64)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getSeq[Long](3).toList))
+    // dense sequence ids from 0; all but the final one full
+    assert(shards.map(_._1).toList === shards.indices.map(_.toLong).toList)
+    shards.dropRight(1).foreach { case (sid, nt, arr) =>
+      assert(nt === 64L && arr.length === 64, s"seq $sid not full")
+    }
+    assert(shards.last._3.nonEmpty && shards.last._3.length <= 64)
+    // token conservation: shard stream == per-doc streams in doc_id order
+    val corpusStream = ids.orderBy("doc_id").collect()
+      .flatMap(_.getSeq[Long](1)).toList
+    assert(shards.flatMap(_._3).toList === corpusStream)
+    // invariant to input partitioning
+    val b = SequencePack.packedShards(ids.repartition(13), 64, nParts = 7)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](3).toList)).toList
+    assert(b === shards.map(s => (s._1, s._3)).toList)
+  }
+
+  test("packedShardsIncremental union law: batch shards continue history's " +
+    "stream — every emitted sequence equals the one-shot shard's suffix " +
+    "from seq_start") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vocab = Vocab.build(docs, minCount = 5L)
+    val hist = Vocab.encodeIds(docs, vocab)
+    val batch = Vocab.encodeIds(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")), vocab)
+    val oneShot = SequencePack.packedShards(hist.unionAll(batch), 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3).toList).toMap
+    val inc = SequencePack.packedShardsIncremental(hist, batch, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getSeq[Long](4).toList))
+    assert(inc.nonEmpty)
+    inc.foreach { case (sid, start, arr) =>
+      assert(oneShot(sid).drop(start.toInt) === arr,
+        s"seq $sid: incremental shard is not the one-shot suffix from $start")
+    }
+    // exactly one boundary sequence may start mid-sequence
+    assert(inc.count(_._2 > 0L) <= 1)
+    // and history's own one-shot shards cover everything before it
+    val histShards = SequencePack.packedShards(hist, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3).toList).toMap
+    val boundary = inc.map(_._1).min
+    histShards.foreach { case (sid, arr) =>
+      if (sid < boundary) assert(oneShot(sid) === arr)
+      else assert(oneShot(sid).take(arr.length) === arr) // boundary prefix
+    }
+  }
+
+  test("loss-mask <-> packed-shard consistency: seqLossMask spans point at " +
+    "exactly the prompt token positions in the packed shards") {
+    // The cross-operator invariant a trainer silently depends on: pack a
+    // per-position prompt INDICATOR stream (1 = prompt token, 0 = answer
+    // token, from SftRender's own boundary arithmetic) with the SAME
+    // concat-and-chunk geometry seqLossMask uses; in every sequence the
+    // mask spans must be precisely the maximal runs of 1s.
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val L = 64
+    val pt = SftRender.promptToks(SftRender.DefaultSystem, 12)
+    val tt = SftRender.totalToks(SftRender.DefaultSystem, 12)
+    val indicator = docs.select(col("doc_id"),
+      concat(
+        array_repeat(lit(1L), pt.cast("int")),
+        array_repeat(lit(0L), (tt - pt).cast("int"))).as("ids"))
+    val packed = SequencePack.packedShards(indicator, L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    val maskSpans = SequencePack.seqLossMask(docs, L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(s => (s._2, s._3)).sortBy(_._1).toList).toMap
+    assert(packed.keySet === maskSpans.keySet.union(
+      packed.filter(_._2.forall(_ == 0L)).keySet))
+    packed.foreach { case (sid, arr) =>
+      // maximal runs of 1s in the packed indicator stream
+      val runs = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < arr.length) {
+        if (arr(i) == 1L) {
+          val s = i
+          while (i < arr.length && arr(i) == 1L) i += 1
+          runs += ((s.toLong, i.toLong))
+        } else i += 1
+      }
+      assert(maskSpans.getOrElse(sid, Nil) === runs.toList,
+        s"seq $sid: mask spans disagree with packed prompt positions")
+    }
+  }
 }

@@ -353,6 +353,65 @@ class SplitsLmSpec extends AnyFunSuite with SparkSuite {
       s"P(.|b) sums to ${probeOut.sum}")
   }
 
+  test("kneserNeyTrigram: hand-computed three-layer ladder, normalization " +
+    "over the vocabulary, and backoff through every layer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // reference = doc 0: "a b c a b d"
+    //   trigrams (a,b,c):1 (b,c,a):1 (c,a,b):1 (a,b,d):1
+    //   ctx3 (a,b):(2,2) (b,c):(1,1) (c,a):(1,1)
+    //   mid N1+(·vw): (b,c):1 (c,a):1 (a,b):1 (b,d):1
+    //   ctx2 b:(2,2) c:(1,1) a:(1,1); cont a,b,c,d = 1 each; nb = 4
+    val docs = Seq(
+      (0L, "a b c a b d"),
+      (1L, "a b c"),  // full hit: .25/2 + .75·2/2·(.25/2 + .75·2/2·¼) = 0.359375
+      (2L, "a b a"),  // unseen tri, unseen mid: .75·(.75·¼) = 0.140625
+      (3L, "b c a"),  // .25/1 + .75·1/1·(.25/1 + .75·1/1·¼) = 0.578125
+      (4L, "q r s"),  // unseen everything, Pc(s)=0 → 0
+      (5L, "q r b"),  // double backoff to Pc(b) = 1/4
+      (6L, "x b c"),  // unseen ctx3, seen mid layer → P2(c|b) = 0.3125
+      (7L, "a b")     // two tokens: zeros
+    ).toDF("doc_id", "text")
+    val out = LmScore.kneserNeyTrigram(docs, col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((1L, 0.359375)))
+    assert(out(2L) === ((1L, 0.140625)))
+    assert(out(3L) === ((1L, 0.578125)))
+    assert(out(4L) === ((1L, 0.0)))
+    assert(out(5L) === ((1L, 0.25)))
+    assert(out(6L) === ((1L, 0.3125)))
+    assert(out(7L) === ((0L, 0.0)))
+    // the reference doc's own four positions:
+    // (a,b,c) (b,c,a) (c,a,b) (a,b,d) = .359375 + .578125 + .578125 + .359375
+    assert(out(0L) === ((4L, 1.875)))
+    // NORMALIZATION: P3(·|a,b) over the vocabulary {a,b,c,d} is exactly 1
+    // — each layer normalizes, so the recursion does too
+    val probes = Seq("a", "b", "c", "d").zipWithIndex.map { case (w, k) =>
+      (100L + k, s"a b $w")
+    }.toDF("doc_id", "text")
+    val probeOut = LmScore
+      .kneserNeyTrigram(docs.unionAll(probes), col("doc_id") === 0)
+      .filter(col("doc_id") >= 100L).collect().map(_.getDouble(2))
+    assert(math.abs(probeOut.sum - 1.0) < 1e-12,
+      s"P3(.|a,b) sums to ${probeOut.sum}")
+  }
+
+  test("kneserNeyTrigram is invariant to input partitioning; empty " +
+    "reference scores everything zero") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val a = LmScore.kneserNeyTrigram(docs, col("doc_id") % 5 === 0)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = LmScore.kneserNeyTrigram(docs.repartition(7), col("doc_id") % 5 === 0)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.exists(r => r(2).asInstanceOf[Double] > 0.0))
+    val empty = LmScore.kneserNeyTrigram(docs, lit(false)).collect()
+    assert(empty.forall(r => r.getLong(1) >= 0L && r.getDouble(2) === 0.0))
+  }
+
   test("kneserNey: continuation backoff ranks a many-context word above an " +
     "equally frequent single-context word — the property raw-frequency " +
     "backoff cannot express") {

@@ -360,34 +360,37 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     input.addData((1L to 50L).map(i => (i, ("w " * ((i % 7) + 1).toInt).trim)))
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet()
-        sites.add(js.stageInfos.map(_.name).mkString("{", "; ", "}"))
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      CorpusStream.packStream(input.toDF().toDF("doc_id", "text"),
-        seqLen = 16,
-        nTokens = size(split(org.apache.spark.sql.functions.col("text"), " ")),
-        statePath = s"$base/state", outPath = s"$base/out",
-        checkpointDir = s"$base/ckpt")
-      // drain listener-bus events before reading the counter
-      org.apache.spark.GraftShuffleTestBridge
-        .waitForListeners(spark.sparkContext)
-    } finally spark.sparkContext.removeSparkListener(listener)
-    // One fresh batch costs exactly 5 jobs in this environment: range
-    // bounds sampling + shuffle map-stage materialization (the exchange
-    // machinery), totals collect, output write, state write. The r17
-    // double-scan shape (out.agg(sum) as a SECOND action over the pack
-    // lineage) adds a 6th job — the regression this pins against.
-    assert(jobs.get <= 5,
-      s"expected <= 5 jobs for one fresh batch (single-scan contract), " +
-        s"saw ${jobs.get}: " + sites.toArray.mkString("[", ", ", "]"))
+    // Pin the REGRESSION, not the job count (job totals shift with Spark
+    // version / AQE / committer details): count row-level evaluations of
+    // the batch source with an accumulator-ticking column. The two-pass
+    // pack scan evaluates each of the 50 docs a bounded number of times
+    // (pass 1 partial sums + range-bounds sample, pass 2 offsets, output
+    // write); the r17 double-scan shape (out.agg(sum) as a SECOND
+    // corpus-sized action over the pack lineage) re-executes the whole
+    // lineage — a full extra pass of 50 evaluations — which the ceiling
+    // below rejects.
+    val acc = spark.sparkContext.longAccumulator("docScanRows")
+    val tick = org.apache.spark.sql.functions.udf { (s: String) =>
+      acc.add(1L); s
+    }.asNondeterministic()
+    CorpusStream.packStream(
+      input.toDF().toDF("doc_id", "text")
+        .withColumn("text", tick(org.apache.spark.sql.functions.col("text"))),
+      seqLen = 16,
+      nTokens = size(split(org.apache.spark.sql.functions.col("text"), " ")),
+      statePath = s"$base/state", outPath = s"$base/out",
+      checkpointDir = s"$base/ckpt")
+    // drain listener-bus events before reading the accumulator
+    org.apache.spark.GraftShuffleTestBridge
+      .waitForListeners(spark.sparkContext)
+    // measured today: exactly 2.0 passes (the documented two-pass scan).
+    // The ceiling leaves headroom for partial sampling evals but rejects
+    // any reintroduced FULL extra pass (>= 3.0 passes).
+    val passes = acc.value.toDouble / 50.0
+    assert(acc.value < 3 * 50,
+      s"single-scan contract: expected < 3 source passes for one fresh " +
+        s"batch, saw ${acc.value} row evaluations ($passes passes) — a " +
+        "second corpus-sized action over the pack lineage was reintroduced")
     val rows = spark.read.parquet(s"$base/out")
     assert(rows.count() === 50L)
   }

@@ -30,6 +30,14 @@ import numpy as np
 # representation the driver hashes against.
 BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
 
+# Logical types that are integral at the SOURCE — the only case where an
+# int-vs-float pandas skew is pure NaN materialization, not representation.
+INTEGRAL_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                  "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+def is_integral(t) -> bool:
+    return t is not None and str(t).upper() in INTEGRAL_TYPES
+
 def dtype_kind(s: pd.Series) -> str:
     """Collapse a pandas dtype to a comparison kind: i(nt), f(loat),
     b(ool), M(datetime), O(ther)."""
@@ -73,6 +81,12 @@ def main():
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        spark_types = {}
+        if files:
+            spark_types = dict(con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})"
+            ).fetchdf()[["column_name", "column_type"]].itertuples(
+                index=False, name=None))
         if name not in oracle:
             print(f"ROWS-ONLY {name}: rows={len(got)}")
             continue
@@ -101,15 +115,21 @@ def main():
             gk, wk = dtype_kind(g[c]), dtype_kind(w[c])
             if gk == wk:
                 continue
-            # benign nullable-int: an int column with NULLs floats-ify
-            # identically on both sides at driver time, so int-vs-float is
-            # only fatal when the float side has NO nulls (pure
-            # representation skew, e.g. HUGEINT or a DOUBLE aggregate).
+            # benign nullable-int: int-vs-float is pure pandas NaN
+            # materialization ONLY when the SOURCE logical type is
+            # integral on BOTH engines (Spark parquet schema and the
+            # oracle's DuckDB type) and the float side carries NULLs.
+            # A genuine DOUBLE/DECIMAL oracle aggregate against a Spark
+            # int64 is representation skew even when NULLs are present —
+            # the driver hash will diverge.
             if {gk, wk} == {"i", "f"} or {gk, wk} == {"u", "f"}:
                 fcol = g[c] if gk == "f" else w[c]
-                if fcol.isna().any():
+                if (fcol.isna().any() and is_integral(duck_types.get(c))
+                        and is_integral(spark_types.get(c))):
                     print(f"SKEW {name}.{c}: spark={g[c].dtype} duckdb={w[c].dtype} "
-                          f"(duck type {duck_types.get(c)}) — nullable-int, benign")
+                          f"(duck type {duck_types.get(c)}, "
+                          f"spark parquet {spark_types.get(c)}) — "
+                          f"nullable-int on both sources, benign")
                     continue
                 skew = (c, g[c].dtype, w[c].dtype, duck_types.get(c))
                 break
