@@ -41,15 +41,20 @@ import org.apache.spark.sql.functions._
   * setting). Per-doc scores are bounded by doc_grams·10^9 < 2^63 for any
   * document under ~9 billion tokens.
   *
-  * Scale shape: ONE JVM tokenize+hash pass emits per-doc bucket counts
+  * Scale shape: the JVM tokenize+hash pass emits per-doc bucket counts
   * (map-side combined in the pass itself — the exchange carries
   * `(doc_id, bucket, count)`, ≤ min(doc_grams, buckets) rows per doc,
   * never token strings); the rate table is one `buckets`-bounded groupBy
-  * of that stream with its totals attached by a broadcast one-row cross
-  * join; scoring joins the stream back to the BROADCAST rate table and
+  * of that stream, collected and folded to ppb on the driver (the
+  * domainReweight bounded-planning-table doctrine — `buckets` rows, two
+  * longs each); scoring joins the stream to the BROADCAST rate table and
   * aggregates per doc — no corpus-sized shuffle beyond the one keyed
   * exchange, no window. Top-k select is TakeOrdered (per-partition local
-  * top-k, tiny global merge). */
+  * top-k, tiny global merge). The one-shot [[contrastScore]] evaluates
+  * the gram pass twice (model fit + scoring — an uncached subplan is
+  * re-evaluated per consumer); the production cadence persists
+  * [[rateTable]] once (StageStore files) and every delivery pays only
+  * its own single scoring pass via [[scoreAgainst]]. */
 object Dsir {
 
   /** Per-document importance contrast against `targetFilter`'s slice:
@@ -59,10 +64,16 @@ object Dsir {
     * normally applies to the raw remainder, but the score is defined
     * pool-wide. */
   def contrastScore(docs: DataFrame, targetFilter: Column,
-                    buckets: Int = 1024): DataFrame = {
+                    buckets: Int = 1024): DataFrame =
+    scoreAgainst(docs, rateTable(docs, targetFilter, buckets), buckets)
+
+  /** The per-doc hashed bucket-count stream `(doc_id, b, c, is_t)` — one
+    * JVM pass, map-side combined within the pass (see object doc). */
+  private def gramStream(docs: DataFrame, targetFilter: Column,
+                         buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     import docs.sparkSession.implicits._
-    val g = docs
+    docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         targetFilter.as("is_t"))
       .as[(Long, String, Boolean)]
@@ -83,22 +94,53 @@ object Dsir {
         m.forEach((b, c) => out += ((id, b, c, isT)))
         out
       }.toDF("doc_id", "b", "c", "is_t")
-    // rate table: buckets-bounded; totals attach via a broadcast one-row
-    // cross join (the kneserNey nb shape)
-    val perBucket = g.groupBy("b")
+  }
+
+  /** The FROZEN importance model — the `(b, diff)` per-bucket ppb
+    * contrast table fitted on a pool: the persistable artifact
+    * ([[scoreAgainst]] consumes it, the standing-corpus cadence persists
+    * it via StageStore and scores every later batch against the same
+    * model, the vocab_encode_incremental convention: scores must stay
+    * comparable across deliveries, so the model must not drift with each
+    * batch). `buckets`-bounded — broadcastable at any realistic
+    * setting. */
+  def rateTable(docs: DataFrame, targetFilter: Column,
+                buckets: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE corpus gram pass: the per-bucket aggregate is buckets-bounded,
+    // so it collects and the ppb arithmetic folds on the driver (the
+    // domainReweight bounded-planning-table doctrine). Leaving this as a
+    // composed plan instead would re-execute the corpus pass per
+    // consumer (rows + totals = two evaluations) and put a second
+    // corpus-sized subtree under every scoring query.
+    val pb = gramStream(docs, targetFilter, buckets)
+      .groupBy("b")
       .agg(sum("c").cast("long").as("rb"),
         sum(when(col("is_t"), col("c")).otherwise(0L)).cast("long").as("tb"))
-    val totals = perBucket
-      .agg(sum("rb").cast("long").as("tr"), sum("tb").cast("long").as("tt"))
-    val rates = perBucket.crossJoin(broadcast(totals))
-      .select(col("b"),
-        // `div`, not `/`: Spark's `/` on longs is DOUBLE division; the
-        // contrast must stay in exact integer ppb
-        (when(col("tt") > 0L, expr("tb * 1000000000L div tt"))
-          .otherwise(lit(0L)).cast("long")
-          - when(col("tr") > 0L, expr("rb * 1000000000L div tr"))
-            .otherwise(lit(0L)).cast("long")).as("diff"))
-    val scores = g.join(broadcast(rates), Seq("b"))
+      .as[(Long, Long, Long)].collect()
+    val tr = pb.iterator.map(_._2).sum
+    val tt = pb.iterator.map(_._3).sum
+    // integer div throughout: exact ppb, no IEEE division anywhere
+    pb.toSeq.sortBy(_._1).map { case (b, rb, tb) =>
+      (b, (if (tt > 0L) tb * 1000000000L / tt else 0L)
+        - (if (tr > 0L) rb * 1000000000L / tr else 0L))
+    }.toDF("b", "diff")
+  }
+
+  /** Score `docs` against a FITTED `(b, diff)` rate table (from
+    * [[rateTable]], typically read back from persisted files): the
+    * incremental cadence — the model is frozen, only the batch's own
+    * gram pass runs, and batch scores are exactly what
+    * [[contrastScore]] assigns pool members (for a doc in the fitting
+    * pool the two are identical by construction — the law DsirSpec
+    * pins). Grams in buckets the model never saw contribute 0 (an
+    * unseen bucket has no evidence either way). */
+  def scoreAgainst(docs: DataFrame, rates: DataFrame,
+                   buckets: Int = 1024): DataFrame = {
+    val g = gramStream(docs, lit(false), buckets)
+    val scores = g.join(broadcast(rates.select(col("b"), col("diff"))),
+        Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("c") * col("diff")).cast("long").as("score_ppb"))
     docs.select(col("doc_id").cast("long").as("doc_id"))
@@ -155,6 +197,51 @@ object Dsir {
        |SELECT t0.doc_id, CAST(COALESCE(sc.score_ppb, 0) AS BIGINT) AS score_ppb
        |FROM (SELECT DISTINCT doc_id FROM documents) t0
        |LEFT JOIN sc USING (doc_id) ORDER BY t0.doc_id""".stripMargin
+
+  /** DuckDB replay of [[scoreAgainst]] with the model fitted on
+    * `documents` (target = `targetWhere`) and the batch given by
+    * `batchSelect` — a query producing `(doc_id, text)`. */
+  def scoreAgainstSql(targetWhere: String, batchSelect: String,
+                      buckets: Int = 1024): String =
+    s"""WITH t AS (SELECT doc_id, ($targetWhere) AS is_t,
+       |    string_split(text, ' ') AS ws FROM documents),
+       |gr AS (SELECT doc_id, is_t, unnest(ws) AS g FROM t
+       |  UNION ALL
+       |  SELECT doc_id, is_t, ws[i] || ' ' || ws[i + 1] AS g
+       |  FROM (SELECT doc_id, is_t, ws,
+       |          unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM t WHERE len(ws) >= 2) x),
+       |gb AS (SELECT doc_id,
+       |    (${dk("g", 31)} | (${dk("g", 37)} << 31)) % $buckets AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c, is_t
+       |  FROM gr GROUP BY 1, 2, 4),
+       |pb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rb,
+       |    CAST(SUM(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS tb
+       |  FROM gb GROUP BY b),
+       |tot AS (SELECT CAST(SUM(rb) AS BIGINT) AS tr,
+       |    CAST(SUM(tb) AS BIGINT) AS tt FROM pb),
+       |rates AS (SELECT b,
+       |    CAST(CASE WHEN tt > 0 THEN tb * 1000000000 // tt ELSE 0 END
+       |      - CASE WHEN tr > 0 THEN rb * 1000000000 // tr ELSE 0 END
+       |      AS BIGINT) AS diff
+       |  FROM pb CROSS JOIN tot),
+       |bt AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM ($batchSelect)),
+       |bgr AS (SELECT doc_id, unnest(ws) AS g FROM bt
+       |  UNION ALL
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM bt WHERE len(ws) >= 2) y),
+       |bgb AS (SELECT doc_id,
+       |    (${dk("g", 31)} | (${dk("g", 37)} << 31)) % $buckets AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM bgr GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, CAST(SUM(c * diff) AS BIGINT) AS score_ppb
+       |  FROM bgb JOIN rates USING (b) GROUP BY doc_id)
+       |SELECT b0.doc_id, CAST(COALESCE(sc.score_ppb, 0) AS BIGINT) AS score_ppb
+       |FROM (SELECT DISTINCT doc_id FROM ($batchSelect)) b0
+       |LEFT JOIN sc USING (doc_id) ORDER BY b0.doc_id""".stripMargin
 
   /** DuckDB replay of [[select]]: the top-k rows of the score replay. */
   def selectSql(targetWhere: String, k: Int, buckets: Int = 1024): String =

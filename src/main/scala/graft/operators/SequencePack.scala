@@ -359,6 +359,92 @@ object SequencePack {
         col("token_ids"))
   }
 
+  /** Packing-efficiency audit — the L-selection signal a trainer reads
+    * BEFORE committing to a sequence length: for each candidate `seqLen`,
+    * what concat-and-chunk at that length costs. Per `seq_len` row:
+    *
+    *   - `n_docs`, `total_toks` — pool shape (L-invariant, repeated per
+    *     row for self-containment)
+    *   - `n_seqs` = ceil(total/L) — shard count
+    *   - `cross_docs` — documents a sequence boundary cuts through
+    *     (attention-reset / context-fragmentation exposure)
+    *   - `n_splits` — total boundary cuts (a long doc can be cut many
+    *     times; Σ per-doc `n_splits`)
+    *   - `tail_waste` — pad tokens the final partial sequence would
+    *     carry (concat-and-chunk's ONLY padding)
+    *   - `span_rows` — Σ per-doc sequences spanned = the manifest row
+    *     count [[sequenceManifest]] would emit (shard-builder join
+    *     volume)
+    *
+    * All exact integers, closed-form from ONE [[packOffsets]] prefix
+    * sum: the L-dependent columns are pure arithmetic over
+    * `(tok_start, n_tokens)`, so auditing ten candidate lengths costs
+    * one two-pass scan plus a broadcast-L aggregation (corpus×|L| rows
+    * through map-side combine, no window, no second scan). */
+  def packingStats(docs: DataFrame, seqLens: Seq[Int], nTokens: Column,
+                   orderCol: String = "doc_id"): DataFrame = {
+    require(seqLens.nonEmpty, "packingStats needs at least one seqLen")
+    require(seqLens.forall(_ >= 1), s"seqLens must be >= 1, got $seqLens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val off = packOffsets(docs, seqLens.head, nTokens, orderCol)
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"))
+    val ls = seqLens.distinct.sorted.map(_.toLong).toDF("seq_len")
+    val f = expr("tok_start div seq_len")
+    val la = expr("(tok_start + n_tokens - 1) div seq_len")
+    off.crossJoin(broadcast(ls))
+      .select(col("seq_len"), col("n_tokens"), f.as("f"), la.as("la"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_toks"),
+        sum(when(col("n_tokens") > 0L, col("la") - col("f"))
+          .otherwise(0L)).cast("long").as("n_splits"),
+        sum(when(col("n_tokens") > 0L && col("la") > col("f"), 1L)
+          .otherwise(0L)).cast("long").as("cross_docs"),
+        sum(when(col("n_tokens") > 0L, col("la") - col("f") + 1L)
+          .otherwise(0L)).cast("long").as("span_rows"))
+      .select(col("seq_len"), col("n_docs"), col("total_toks"),
+        expr("(total_toks + seq_len - 1) div seq_len").as("n_seqs"),
+        col("cross_docs"), col("n_splits"),
+        (expr("(total_toks + seq_len - 1) div seq_len") * col("seq_len")
+          - col("total_toks")).as("tail_waste"),
+        col("span_rows"))
+  }
+
+  /** DuckDB replay of [[packingStats]] over `documents` with the house
+    * whitespace token count. */
+  def packingStatsSql(seqLens: Seq[Int]): String = {
+    val lits = seqLens.distinct.sorted.mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |o AS (SELECT doc_id, nt,
+       |    CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS ts
+       |  FROM d),
+       |l AS (SELECT CAST(UNNEST([$lits]) AS BIGINT) AS seq_len),
+       |j AS (SELECT seq_len, nt, ts // seq_len AS f,
+       |    (ts + nt - 1) // seq_len AS la
+       |  FROM o CROSS JOIN l),
+       |g AS (SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(nt) AS BIGINT) AS total_toks,
+       |    CAST(SUM(CASE WHEN nt > 0 THEN la - f ELSE 0 END) AS BIGINT)
+       |      AS n_splits,
+       |    CAST(SUM(CASE WHEN nt > 0 AND la > f THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cross_docs,
+       |    CAST(SUM(CASE WHEN nt > 0 THEN la - f + 1 ELSE 0 END)
+       |      AS BIGINT) AS span_rows
+       |  FROM j GROUP BY seq_len)
+       |SELECT seq_len, n_docs, total_toks,
+       |  (total_toks + seq_len - 1) // seq_len AS n_seqs,
+       |  cross_docs, n_splits,
+       |  ((total_toks + seq_len - 1) // seq_len) * seq_len - total_toks
+       |    AS tail_waste,
+       |  span_rows
+       |FROM g ORDER BY seq_len""".stripMargin
+  }
+
   /** Incremental packing — the standing-corpus form every other heavy
     * family here carries: the HISTORY's total token count freezes as a
     * one-row stage (written once under `stageLabel` via StageStore, read

@@ -994,6 +994,33 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
   val dsirScoreSql: String =
     graft.operators.Dsir.contrastScoreSql("lang = 'en'", buckets = 256)
 
+  // ---------------------------------------------------------------------
+  // dsir_score_incremental — the standing-corpus DSIR cadence: the
+  // importance model (per-bucket ppb rate table) fits ONCE on the pool
+  // and persists (StageStore files); a new delivery (the same docs
+  // re-keyed +1e6) scores against the FROZEN model — scores stay
+  // comparable across deliveries because the model never drifts with the
+  // batch (the vocab_encode_incremental convention). For a doc in the
+  // fitting pool scoreAgainst == contrastScore (DsirSpec pins the law).
+  // ---------------------------------------------------------------------
+  def dsirScoreIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val rates = graft.StageStore.materializeIfAbsent(s,
+      s"dsir_rates_${graft.StageStore.dirTag(dir)}")(
+      graft.operators.Dsir.rateTable(
+        docs, targetFilter = col("lang") === "en", buckets = 256))
+    graft.operators.Dsir.scoreAgainst(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+      rates, buckets = 256)
+      .orderBy("doc_id")
+  }
+
+  val dsirScoreIncrementalSql: String =
+    graft.operators.Dsir.scoreAgainstSql("lang = 'en'",
+      "SELECT doc_id + 1000000 AS doc_id, text FROM documents",
+      buckets = 256)
+
   def dsirSelect(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dsir.select(
       t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")),

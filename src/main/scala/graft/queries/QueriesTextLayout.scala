@@ -681,6 +681,23 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // pack_stats — packing-efficiency audit (SequencePack.packingStats):
+  // the L-selection table a trainer reads before committing to a
+  // sequence length — shard count, boundary-cut exposure, tail padding,
+  // manifest volume per candidate L, all closed-form off ONE prefix-sum
+  // scan.
+  // ---------------------------------------------------------------------
+  def packStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePack.packingStats(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      seqLens = Seq(64, 128, 512, 2048),
+      nTokens = size(split(col("text"), " ")))
+      .orderBy("seq_len")
+
+  val packStatsSql: String =
+    graft.operators.SequencePack.packingStatsSql(Seq(64, 128, 512, 2048))
+
+  // ---------------------------------------------------------------------
   // shard_shuffle — seeded deterministic global shuffle + shard assignment
   // (ShardShuffle.assign): the reproducible training-order permutation.
   // Portable dual-base polynomial key over "<seed>:<doc_id>", shard from

@@ -1169,4 +1169,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("seq_id")),
       s"window not partitioned by seq_id:\n${p.take(3000)}")
   }
+
+  test("dsir_score: the driver-folded rate table joins BROADCAST into the " +
+    "scoring side, the gram stream never shuffles on bucket, and no " +
+    "window appears") {
+    val p = plan("dsir_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate join not broadcast:\n${p.take(3000)}")
+    // the rate FIT folds on the driver at construction (bounded collect),
+    // so the scoring plan itself must carry NO bucket-keyed exchange —
+    // one would mean the corpus-side gram stream started shuffling on
+    // bucket instead of taking the broadcast
+    assert(!p.contains("Exchange hashpartitioning(b#"),
+      s"gram stream shuffled on bucket:\n${p.take(3000)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"dsir must not introduce a window:\n${p.take(2000)}")
+  }
+
+  test("dsir_select: the top-k is TakeOrderedAndProject, never a global sort") {
+    val p = plan("dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"select top-k is not TakeOrderedAndProject:\n${p.take(3000)}")
+  }
+
+  test("seq_tokens: id arrays attach via a doc_id equi-join (no product " +
+    "join) and assembly has no window — the two token-volume exchanges " +
+    "are the only wide ops") {
+    val p = plan("seq_tokens")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"manifest-ids join fell back to a product:\n${p.take(3000)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"seq_tokens must not introduce a window:\n${p.take(2000)}")
+  }
 }

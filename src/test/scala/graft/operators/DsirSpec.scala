@@ -81,4 +81,28 @@ class DsirSpec extends AnyFunSuite with SparkSuite {
     assert(Dsir.select(docs, col("lang") === "en", k = 1000000, buckets = 256)
       .count() === docs.count())
   }
+
+  test("frozen-model law: scoring the pool against its own fitted rate " +
+    "table reproduces contrastScore exactly; unseen buckets contribute 0") {
+    import spark.implicits._
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val rates = Dsir.rateTable(docs, col("lang") === "en", buckets = 256)
+    val against = Dsir.scoreAgainst(docs, rates, buckets = 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val oneShot = Dsir.contrastScore(docs, col("lang") === "en", buckets = 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(against === oneShot)
+    // a batch whose grams never appeared in the fitting pool: with a
+    // bucket space much larger than the pool's gram count, fresh tokens
+    // land in unseen buckets and contribute nothing
+    val pool = Seq((0L, "a b", "en"), (1L, "c d", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val poolRates = Dsir.rateTable(pool, col("lang") === "en", buckets = 1 << 20)
+    val alien = Seq((9L, "zz7_unseen qq8_unseen")).toDF("doc_id", "text")
+    val sc = Dsir.scoreAgainst(alien, poolRates, buckets = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sc === Array((9L, 0L)))
+  }
 }

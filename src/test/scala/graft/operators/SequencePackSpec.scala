@@ -399,6 +399,45 @@ class SequencePackSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("packingStats: hand case at L=4/8; stats agree with the manifest " +
+    "and shards they predict; invariant to input partitioning") {
+    import spark.implicits._
+    // doc token counts 3, 5, 2, 9 -> offsets 0, 3, 8, 10; total 19
+    val docs = Seq(
+      (1L, "a a a"), (2L, "b b b b b"), (3L, "c c"),
+      (4L, "d d d d d d d d d")).toDF("doc_id", "text")
+    val nt = size(split(col("text"), " "))
+    val got = SequencePack.packingStats(docs, Seq(4, 8), nt)
+      .orderBy("seq_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // L=4: spans f/la = 0/0, 0/1, 2/2, 2/4 -> cross 2, splits 3,
+    //   span_rows 1+2+1+3 = 7; n_seqs ceil(19/4)=5; tail 20-19=1
+    // L=8: f/la = 0/0, 0/0, 1/1, 1/2 -> cross 1, splits 1, span_rows 5;
+    //   n_seqs 3; tail 24-19=5
+    assert(got === Array(
+      (4L, 4L, 19L, 5L, 2L, 3L, 1L, 7L),
+      (8L, 4L, 19L, 3L, 1L, 1L, 5L, 5L)))
+    // the stats PREDICT the artifacts: span_rows == manifest rows,
+    // n_seqs == shard count, tail_waste == L - last shard's n_tokens
+    val ids = docs.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr("transform(toks, x -> CAST(1 AS BIGINT))").as("ids"))
+    Seq(4, 8).foreach { l =>
+      val row = got.find(_._1 == l.toLong).get
+      assert(SequencePack.sequenceManifest(docs, l, nt).count() === row._8,
+        s"span_rows vs manifest at L=$l")
+      val shards = SequencePack.packedShards(ids, l)
+        .orderBy("seq_id").collect()
+      assert(shards.length.toLong === row._4, s"n_seqs at L=$l")
+      assert(l - shards.last.getLong(2) === row._7, s"tail_waste at L=$l")
+    }
+    assert(SequencePack.packingStats(docs.repartition(7), Seq(4, 8), nt)
+      .orderBy("seq_len").collect().map(_.toSeq).toSeq ===
+      got.map(t => Seq[Any](t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)))
+  }
+
   test("loss-mask <-> packed-shard consistency: seqLossMask spans point at " +
     "exactly the prompt token positions in the packed shards") {
     // The cross-operator invariant a trainer silently depends on: pack a
