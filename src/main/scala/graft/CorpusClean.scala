@@ -32,9 +32,13 @@ import graft.cli.{CorpusCleanCli, CorpusCleanConfig}
   *     of each domain by the domain-conditional ECDF of the
   *     stopword-ratio score ([[graft.operators.Calibrate]] — one
   *     calibrated cutoff instead of a global threshold that misprunes
-  *     differently-scaled domains); then line-level boilerplate
-  *     removal (`--boilerplate <minDocFreq>`, CCNet paragraph dedup) so
-  *     documents differing only by template collapse in the exact stage;
+  *     differently-scaled domains); `--dsir-by COL --dsir-target VAL
+  *     --dsir-keep K` [`--dsir-buckets B`] keeps the K survivors most
+  *     like the target slice by hashed n-gram importance
+  *     ([[graft.operators.Dsir]] — the DSIR data-selection slot); then
+  *     line-level boilerplate removal (`--boilerplate <minDocFreq>`,
+  *     CCNet paragraph dedup) so documents differing only by template
+  *     collapse in the exact stage;
   *     `--host-cap N --host-key COL` caps each host's surviving docs
   *     (the C4 anti-spam cut) right after the gates;
   *  2. exact dedup (keep min doc_id per identical text);
@@ -308,6 +312,26 @@ object CorpusClean {
       case _ => filtered
     }
 
+    // DSIR importance gate (`--dsir-by COL --dsir-target VAL
+    // --dsir-keep K`): keep the K gate-survivors whose hashed n-gram
+    // profile is most target-like (Dsir.select over the SURVIVOR pool —
+    // the population the importance model is defined on; target = rows
+    // whose raw-input COL equals VAL). A NULL target column is simply
+    // non-target, never a drop.
+    val dsired = (cfg.dsirBy, cfg.dsirTarget, cfg.dsirKeep) match {
+      case (Some(dcol), Some(tval), Some(k)) =>
+        val tcol = readInput(spark, cfg)
+          .select(col("doc_id"), col(dcol).as("_t"))
+        val pool = calibrated.select(col("doc_id"), col("text"))
+          .join(tcol, Seq("doc_id"), "left")
+        calibrated.join(
+          graft.operators.Dsir.select(pool,
+            col("_t") === tval, k, buckets = cfg.dsirBuckets.toInt)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case _ => calibrated
+    }
+
     // 1a. per-host document cap (the C4/CCNet anti-spam cut) — runs
     // right after the gates so one spammy host cannot dominate the
     // dedup candidate stages; kept docs drawn by content-independent
@@ -317,14 +341,14 @@ object CorpusClean {
       case (Some(cap), Some(hk)) =>
         val keys = readInput(spark, cfg).select(col("doc_id"), col(hk))
         val ranked = graft.operators.Layout.groupRank(
-          calibrated.join(keys, Seq("doc_id"))
+          dsired.join(keys, Seq("doc_id"))
             .select(col("doc_id"), col(hk).as("host"),
               md5(col("doc_id").cast("string")).as("draw")),
           "host", Seq(col("draw"), col("doc_id")))
-        calibrated.join(
+        dsired.join(
           ranked.filter(col("rnk") <= cap).select("doc_id"),
           Seq("doc_id"), "left_semi")
-      case _ => calibrated
+      case _ => dsired
     }
 
     // 1b. line-level boilerplate removal (CCNet paragraph dedup) — runs

@@ -137,6 +137,14 @@ case class CorpusCleanConfig(
     // content-independent md5 order; runs right after the gates
     hostCap: Option[Int] = None,
     hostKey: Option[String] = None,
+    // DSIR importance gate: keep the --dsir-keep gate-survivors whose
+    // hashed n-gram profile is most like the target slice (rows whose
+    // --dsir-by input column equals --dsir-target); --dsir-buckets sizes
+    // the hashed feature space. All three base flags or none.
+    dsirBy: Option[String] = None,
+    dsirTarget: Option[String] = None,
+    dsirKeep: Option[Int] = None,
+    dsirBuckets: Long = 1024L,
     // unigram tokenizer prep (the SentencePiece-slot alternative): build
     // the top-V substring vocabulary on the SURVIVORS and write the
     // word→segmentation table to --pieces-out — alongside --bpe this is
@@ -323,6 +331,8 @@ object CorpusCleanCli {
     "--in-format" -> ((c, v) => c.copy(inFormat = v)),
     "--merges-out" -> ((c, v) => c.copy(mergesOut = Some(v))),
     "--host-key" -> ((c, v) => c.copy(hostKey = Some(v))),
+    "--dsir-by" -> ((c, v) => c.copy(dsirBy = Some(v))),
+    "--dsir-target" -> ((c, v) => c.copy(dsirTarget = Some(v))),
     "--pieces-out" -> ((c, v) => c.copy(piecesOut = Some(v))),
     "--check-merges" -> ((c, v) => c.copy(checkMerges = Some(v))),
     "--curriculum-by" -> ((c, v) => c.copy(curriculumBy = Some(v))),
@@ -347,6 +357,7 @@ object CorpusCleanCli {
     "--shards" -> ((c, i) => c.copy(shards = Some(i))),
     "--bpe" -> ((c, i) => c.copy(bpeMerges = Some(i))),
     "--host-cap" -> ((c, i) => c.copy(hostCap = Some(i))),
+    "--dsir-keep" -> ((c, i) => c.copy(dsirKeep = Some(i))),
     "--unigram" -> ((c, i) => c.copy(unigramTopV = Some(i))),
     "--epochs" -> ((c, i) => c.copy(epochs = Some(i))),
     "--loss-mask-seqlen" -> ((c, i) => c.copy(lossMaskSeqLen = i.toLong)),
@@ -357,7 +368,8 @@ object CorpusCleanCli {
     "--min-fluency" -> ((c, n) => c.copy(minFluency = Some(n))),
     "--boilerplate" -> ((c, n) => c.copy(boilerplate = Some(n))),
     "--encode" -> ((c, n) => c.copy(encodeMinCount = Some(n))),
-    "--pack" -> ((c, n) => c.copy(pack = Some(n))))
+    "--pack" -> ((c, n) => c.copy(pack = Some(n))),
+    "--dsir-buckets" -> ((c, n) => c.copy(dsirBuckets = n)))
   private val doubleSetters: Map[String, (C, Double) => C] = Map(
     "--calibrate" -> ((c, d) => c.copy(calibrateTop = Some(d))),
     "--containment" -> ((c, d) => c.copy(containment = Some(d))))
@@ -387,7 +399,8 @@ object CorpusCleanCli {
     "--curriculum-by", "--fluency-ref", "--min-fluency", "--out-table",
     "--calibrate", "--calibrate-by", "--interleave-by", "--interleave-weights",
     "--check-merges", "--unigram", "--pieces-out", "--host-cap",
-    "--host-key", "--blocklist")
+    "--host-key", "--blocklist",
+    "--dsir-by", "--dsir-target", "--dsir-keep", "--dsir-buckets")
 
   private def validate(c: CorpusCleanConfig): Either[String, CorpusCleanConfig] = {
     if (c.ngram < 1) Left(s"--ngram must be >= 1, got ${c.ngram}")
@@ -433,6 +446,13 @@ object CorpusCleanCli {
       Left("--unigram and --pieces-out must be given together")
     else if (c.hostCap.exists(_ < 1))
       Left(s"--host-cap must be >= 1, got ${c.hostCap.get}")
+    else if (Seq(c.dsirBy.isDefined, c.dsirTarget.isDefined,
+        c.dsirKeep.isDefined).distinct.length > 1)
+      Left("--dsir-by, --dsir-target and --dsir-keep must be given together")
+    else if (c.dsirKeep.exists(_ < 1))
+      Left(s"--dsir-keep must be >= 1, got ${c.dsirKeep.get}")
+    else if (c.dsirBuckets < 2)
+      Left(s"--dsir-buckets must be >= 2, got ${c.dsirBuckets}")
     else if (c.hostCap.isDefined != c.hostKey.isDefined)
       Left("--host-cap and --host-key must be given together")
     else if (c.hostKey.exists(_.isEmpty)) Left("--host-key: empty column name")

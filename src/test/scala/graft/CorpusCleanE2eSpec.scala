@@ -123,6 +123,28 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("--dsir gate keeps exactly the top-K most target-like survivors " +
+    "(Dsir.select over the survivor pool)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val inDir = tmp("cc_ds_in")
+    val outDir = tmp("cc_ds_out")
+    docs.write.mode("overwrite").parquet(inDir)
+    val k = 50
+    val cfg = CorpusCleanCli.parse(Seq(inDir, outDir,
+      "--no-lang-gate", "--min-words", "0", "--no-span-removal",
+      "--no-near-dup", "--dsir-by", "lang", "--dsir-target", "en",
+      "--dsir-keep", k.toString, "--dsir-buckets", "256")).toOption.get
+    val n = CorpusClean.run(spark, cfg)
+    assert(n === k.toLong)
+    val kept = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = graft.operators.Dsir.select(docs,
+      col("lang") === "en", k, buckets = 256)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === want)
+  }
+
   test("--rag-out writes the sentence-aligned retrieval chunks of what " +
     "shipped at the requested budget") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

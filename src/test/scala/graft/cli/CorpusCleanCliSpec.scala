@@ -100,6 +100,18 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(CorpusCleanCli.parse(Seq("in", "out", "--shards-out")).isLeft)
     assert(CorpusCleanCli.parse(Seq("in", "out",
       "--shards-seqlen", "0")).isLeft)
+    assert(ok("in", "out").dsirBy.isEmpty &&
+      ok("in", "out").dsirBuckets === 1024L)
+    val ds = ok("in", "out", "--dsir-by", "lang", "--dsir-target", "en",
+      "--dsir-keep", "100", "--dsir-buckets", "256")
+    assert(ds.dsirBy === Some("lang") && ds.dsirTarget === Some("en") &&
+      ds.dsirKeep === Some(100) && ds.dsirBuckets === 256L)
+    // the three base flags are all-or-none; bounds enforced
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--dsir-by", "lang")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--dsir-keep", "5")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--dsir-by", "lang",
+      "--dsir-target", "en", "--dsir-keep", "0")).isLeft)
+    assert(CorpusCleanCli.parse(Seq("in", "out", "--dsir-buckets", "1")).isLeft)
     assert(ok("in", "out").ragOut.isEmpty && ok("in", "out").ragBudget === 64L)
     val rg = ok("in", "out", "--rag-out", "/rag", "--rag-budget", "32")
     assert(rg.ragOut === Some("/rag") && rg.ragBudget === 32L)
