@@ -159,6 +159,27 @@ object Dsir {
       .orderBy(col("score_ppb").desc, col("doc_id")).limit(k)
   }
 
+  /** One document's contrast score under a FITTED rate map — the
+    * per-row JVM form of [[scoreAgainst]] (identical integers: the
+    * per-bucket aggregation there and the local fold here sum the same
+    * `c·diff` terms, and integer addition is order-free). This is what
+    * a STREAMING gate evaluates per arriving doc with the bounded rate
+    * map broadcast — no shuffle, no state. */
+  def scoreTextAgainst(text: String, rates: scala.collection.Map[Long, Long],
+                       buckets: Int): Long = {
+    val ws = text.split(' ')
+    var s = 0L
+    var i = 0
+    while (i < ws.length) {
+      s += rates.getOrElse(NearDup.TokenHash.hash62(ws(i)) % buckets, 0L)
+      if (i + 1 < ws.length)
+        s += rates.getOrElse(
+          NearDup.TokenHash.hash62(ws(i) + " " + ws(i + 1)) % buckets, 0L)
+      i += 1
+    }
+    s
+  }
+
   /** The portable polynomial in DuckDB ([[Winnow]]'s dk convention). */
   private def dk(expr: String, base: Int): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +

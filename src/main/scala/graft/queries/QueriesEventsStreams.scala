@@ -742,6 +742,43 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
   }
 
   // ---------------------------------------------------------------------
+  // docs_stream_dsir — the STREAMING DSIR importance gate: the rate
+  // table fits batch-side on the standing pool (lang='en' target,
+  // 256 buckets — the dsir_score model) and broadcasts frozen; every
+  // streamed doc folds its hashed grams through it statelessly
+  // (Dsir.scoreTextAgainst, bit-equal to the batch scorer) and the gate
+  // keeps score >= 1 (strictly target-like). Oracle = the batch
+  // scoreAgainst replay thresholded the same way.
+  // ---------------------------------------------------------------------
+  def docsStreamDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val rates = graft.operators.Dsir
+      .rateTable(docs, col("lang") === "en", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gated = graft.streaming.CorpusStream.dsirGate(
+      graft.streaming.CorpusStream.fromParquetDir(s, dir), rates,
+      buckets = 256, minPpb = 1L)
+    val qname = "docs_stream_dsir_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    drainStreamingRun(s) {
+      val q = gated.select("doc_id", "score_ppb")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(qname).orderBy("doc_id")
+  }
+
+  val docsStreamDsirSql: String =
+    s"""SELECT doc_id, score_ppb FROM (
+       |${graft.operators.Dsir.scoreAgainstSql("lang = 'en'",
+          "SELECT doc_id, text FROM documents", buckets = 256)}
+       |) WHERE score_ppb >= 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // docs_stream_unicode — the Unicode canonicalization gate as a STREAMING
   // stage: TextOps.unicodeClean is a stateless typed map, so the batch
   // operator applies to the arrival stream VERBATIM (no streaming-specific

@@ -86,6 +86,36 @@ object CorpusStream {
     * bit-identical to the batch [[graft.operators.LmScore.fluencyScore]]
     * (spec-pinned). Emits the surviving rows plus their
     * `(n_bigrams, fluency_ppb)` audit columns. */
+  /** Streaming DSIR importance gate — the arrival-time form of
+    * [[graft.operators.Dsir.scoreAgainst]]: the FROZEN rate table
+    * (fitted batch-side on the standing pool, `buckets`-bounded)
+    * broadcasts as a plain map and every arriving doc folds its hashed
+    * grams through it in one stateless JVM pass
+    * ([[graft.operators.Dsir.scoreTextAgainst]] — bit-identical
+    * integers to the batch scorer), keeping docs at or above `minPpb`.
+    * No shuffle, no streaming state: the per-doc score is local to the
+    * row, so this composes into any ingest gate chain at line rate.
+    * (Top-k SELECTION does not stream — a global top-k over an unbounded
+    * arrival order is not append-computable; the streaming cadence is
+    * this threshold gate, with the cutoff calibrated batch-side, e.g.
+    * the k-th score of the last delivery.) */
+  def dsirGate(docs: DataFrame, rates: Map[Long, Long], buckets: Int,
+               minPpb: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rates)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text) =>
+          (id, text,
+            graft.operators.Dsir.scoreTextAgainst(text, m, buckets))
+        }
+      }
+      .toDF("doc_id", "text", "score_ppb")
+      .filter(col("score_ppb") >= minPpb)
+  }
+
   def fluencyGate(docs: DataFrame, model: Map[String, Long], floor: Long,
                   minPpb: Long, hexDigits: Int = 3): DataFrame = {
     val spark = docs.sparkSession

@@ -76,6 +76,41 @@ class CorpusStreamSpec extends AnyFunSuite with SparkSuite {
     assert(kept < batch.size && kept > 0)
   }
 
+  test("dsirGate: stateless streaming scores are bit-identical to the " +
+    "batch scoreAgainst, the gate thresholds, and no streaming state " +
+    "exists") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val ratesDf = graft.operators.Dsir.rateTable(
+      docs, col("lang") === "en", buckets = 256)
+    val rates = ratesDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Dsir.scoreAgainst(
+      docs.select(col("doc_id"), col("text")), ratesDf, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val gated = CorpusStream.dsirGate(
+      input.toDF().toDF("doc_id", "text"), rates, buckets = 256,
+      minPpb = Long.MinValue)
+    val q = gated.writeStream.format("memory").queryName("corpus_dsir")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      // a pure map/filter: zero stateful operators
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+    val streamed = spark.table("corpus_dsir").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    // a median threshold actually gates
+    val med = batch.values.toSeq.sorted.apply(batch.size / 2)
+    val kept = streamed.count { case (_, s) => s >= med }
+    assert(kept < batch.size && kept > 0)
+  }
+
   test("ingestCleanIncremental: history digests filter the stream via the " +
     "static anti-join and never enter streaming state") {
     import spark.implicits._
