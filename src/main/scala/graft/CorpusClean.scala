@@ -324,11 +324,16 @@ object CorpusClean {
           .select(col("doc_id"), col(dcol).as("_t"))
         val pool = calibrated.select(col("doc_id"), col("text"))
           .join(tcol, Seq("doc_id"), "left")
-        calibrated.join(
+        // materialize the K-row kept set (the multi-consumer rule):
+        // left as a composed subplan, the pool gram pass + TakeOrdered
+        // would re-execute for every downstream consumer of the chain —
+        // on top of the rate fit the select already runs eagerly
+        val kept = StageStore.materialize(
           graft.operators.Dsir.select(pool,
             col("_t") === tval, k, buckets = cfg.dsirBuckets.toInt)
             .select("doc_id"),
-          Seq("doc_id"), "left_semi")
+          s"cc_dsir_$tag")
+        calibrated.join(kept, Seq("doc_id"), "left_semi")
       case _ => calibrated
     }
 
@@ -737,9 +742,15 @@ object CorpusClean {
     // shards-out
     cfg.shardsOut.foreach { sd =>
       val docs = writtenSurvivors()
-      val ids = graft.operators.Vocab.encodeIds(
-        docs, graft.operators.Vocab.build(docs,
+      // reuse the encode path's materialized vocab stage when --encode
+      // built it (same survivors, same min-count source); build-and-
+      // persist it otherwise — either way the corpus-wide token count
+      // runs ONCE per run, never a second time for the shards
+      val vocab = StageStore.materializeIfAbsent(spark,
+        s"cc_vocab_${runTag(cfg)}")(
+        graft.operators.Vocab.build(docs,
           minCount = cfg.encodeMinCount.getOrElse(5L)))
+      val ids = graft.operators.Vocab.encodeIds(docs, vocab)
       graft.operators.SequencePack
         .packedShards(ids, seqLen = cfg.shardsSeqLen.toInt)
         .write.mode("overwrite").parquet(sd)

@@ -451,8 +451,9 @@ object CorpusCleanCli {
       Left("--dsir-by, --dsir-target and --dsir-keep must be given together")
     else if (c.dsirKeep.exists(_ < 1))
       Left(s"--dsir-keep must be >= 1, got ${c.dsirKeep.get}")
-    else if (c.dsirBuckets < 2)
-      Left(s"--dsir-buckets must be >= 2, got ${c.dsirBuckets}")
+    else if (c.dsirBuckets < 2 || c.dsirBuckets > Int.MaxValue)
+      Left(s"--dsir-buckets must be in [2, ${Int.MaxValue}], " +
+        s"got ${c.dsirBuckets}")
     else if (c.hostCap.isDefined != c.hostKey.isDefined)
       Left("--host-cap and --host-key must be given together")
     else if (c.hostKey.exists(_.isEmpty)) Left("--host-key: empty column name")

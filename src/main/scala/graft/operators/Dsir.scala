@@ -75,7 +75,11 @@ object Dsir {
     import docs.sparkSession.implicits._
     docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        targetFilter.as("is_t"))
+        // NULL target evidence (e.g. a NULL lang column) means
+        // non-target, never a crash: without the coalesce the typed
+        // encoder hits a NULL in a primitive Boolean field and throws —
+        // and the DuckDB oracle's CASE WHEN already treats NULL as false
+        coalesce(targetFilter, lit(false)).as("is_t"))
       .as[(Long, String, Boolean)]
       .flatMap { case (id, text, isT) =>
         val ws = text.split(' ')

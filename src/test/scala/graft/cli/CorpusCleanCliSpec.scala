@@ -112,6 +112,9 @@ class CorpusCleanCliSpec extends AnyFunSuite {
     assert(CorpusCleanCli.parse(Seq("in", "out", "--dsir-by", "lang",
       "--dsir-target", "en", "--dsir-keep", "0")).isLeft)
     assert(CorpusCleanCli.parse(Seq("in", "out", "--dsir-buckets", "1")).isLeft)
+    // Long-range buckets would truncate at the .toInt narrowing — reject
+    assert(CorpusCleanCli.parse(Seq("in", "out",
+      "--dsir-buckets", "3000000000")).isLeft)
     assert(ok("in", "out").ragOut.isEmpty && ok("in", "out").ragBudget === 64L)
     val rg = ok("in", "out", "--rag-out", "/rag", "--rag-budget", "32")
     assert(rg.ragOut === Some("/rag") && rg.ragBudget === 32L)

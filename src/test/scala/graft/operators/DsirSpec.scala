@@ -82,6 +82,24 @@ class DsirSpec extends AnyFunSuite with SparkSuite {
       .count() === docs.count())
   }
 
+  test("NULL target evidence is non-target, never a crash: a NULL lang " +
+    "row scores exactly as a non-target row does") {
+    import spark.implicits._
+    val withNull = Seq(
+      (0L, "wiki facts wiki", Some("en")),
+      (1L, "spam click spam", Some("xx")),
+      (2L, "wiki facts extra", None: Option[String]))
+      .toDF("doc_id", "text", "lang")
+    val asXx = Seq(
+      (0L, "wiki facts wiki", "en"),
+      (1L, "spam click spam", "xx"),
+      (2L, "wiki facts extra", "xx")).toDF("doc_id", "text", "lang")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      Dsir.contrastScore(d, col("lang") === "en", buckets = 64)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(withNull) === rows(asXx))
+  }
+
   test("frozen-model law: scoring the pool against its own fitted rate " +
     "table reproduces contrastScore exactly; unseen buckets contribute 0") {
     import spark.implicits._
