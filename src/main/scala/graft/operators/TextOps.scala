@@ -75,6 +75,24 @@ object TextOps {
       regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long").as("punct_cnt"))
   }
 
+  /** The composed language + min-words pipeline gate as ONE row predicate —
+    * the fused form of `langId(docs).filter('lang_pred === "en")` and
+    * `textStats(docs).filter('n_words >= minWords)` applied by doc_id
+    * semi-joins: both gates are pure per-row projections and doc_id is
+    * unique, so semi-joining their id sets back is row-for-row identical
+    * to filtering on the predicates directly — without the two extra
+    * corpus scans and two joins the semi-join composition pays (the
+    * pipeline queries' r19 plan cut: 3 documents scans → 1, 2 joins → 0).
+    * `minWords >= 1` subsumes langId's `nWords > 0` guard. */
+  def langWordGate(minWords: Long = 10L, threshold: Double = 0.05): Column = {
+    val words = split(col("text"), " ")
+    val nWords = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val stopCnt = size(filter(words,
+      w => stopwords.map(s => w === lit(s)).reduce(_ || _))).cast("long")
+    nWords >= minWords &&
+      stopCnt.cast("double") >= nWords.cast("double") * threshold
+  }
+
   /** Language-ID heuristic: stopword-ratio thresholding. Deterministic from
     * integer counts, so exactly reproducible by the SQL oracle. */
   def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame = {

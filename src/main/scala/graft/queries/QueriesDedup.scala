@@ -819,12 +819,10 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
     * quadratic-candidate stages ever see it. */
   def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val en = graft.operators.TextOps.langId(docs)
-      .filter(col("lang_pred") === "en").select("doc_id")
-    val good = graft.operators.TextOps.textStats(docs)
-      .filter(col("n_words") >= 10).select("doc_id")
-    val filtered = docs.join(en, Seq("doc_id"), "left_semi")
-      .join(good, Seq("doc_id"), "left_semi")
+    // both gates are per-row projections over unique doc_ids: the fused
+    // one-pass filter is row-identical to the two id semi-joins it
+    // replaces and drops 2 corpus scans + 2 joins (guide §2.4; r19)
+    val filtered = docs.filter(graft.operators.TextOps.langWordGate())
     val canonical = graft.operators.TextOps.dedupExact(filtered).select("doc_id")
     val kept = filtered.join(canonical, Seq("doc_id"), "left_semi")
     // the span-removal stage is the pipeline's expensive middle (gram scan
@@ -897,12 +895,9 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
   def pipelineFullCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val train = docs.filter(col("doc_id") % 97 =!= 0)
-    val en = graft.operators.TextOps.langId(train)
-      .filter(col("lang_pred") === "en").select("doc_id")
-    val good = graft.operators.TextOps.textStats(train)
-      .filter(col("n_words") >= 10).select("doc_id")
-    val filtered = train.join(en, Seq("doc_id"), "left_semi")
-      .join(good, Seq("doc_id"), "left_semi")
+    // fused one-pass gate — see pipelineCleanCorpus (row-identical to the
+    // two id semi-joins; 2 fewer corpus scans, 2 fewer joins)
+    val filtered = train.filter(graft.operators.TextOps.langWordGate())
     val canonical = graft.operators.TextOps.dedupExact(filtered).select("doc_id")
     val kept = filtered.join(canonical, Seq("doc_id"), "left_semi")
     val cleaned = StageStore.materialize(
