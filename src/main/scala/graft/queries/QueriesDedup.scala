@@ -1069,7 +1069,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
     * recall vs brute force asserted in SimilaritySpec. */
   def annIvf(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.ivfTopK(
-      t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
+      tPar(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
 
   val annIvfSql: String =
     graft.operators.Similarity.ivfOracleSql(queryIds = 0L until 5L, k = 5)

@@ -696,7 +696,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       (col("doc_id") % 200).cast("string"), lit(".0."),
       (col("doc_id") % 250).cast("string"))
     val (masked, nEmails, nIps) = graft.operators.TextOps.piiMask(pii)
-    t(s, dir, "documents")
+    tPar(s, dir, "documents")
       .select(col("doc_id"), masked.as("masked"),
         nEmails.as("n_emails"), nIps.as("n_ips"))
       .orderBy("doc_id")

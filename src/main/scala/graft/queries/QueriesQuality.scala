@@ -164,7 +164,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       lit("\nplain closing line"),
       opt(d % 5 === 0, "\nread more...\nsee details...\ncontinued..."))
     graft.operators.TextOps.gopherQuality(
-        t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
+        tPar(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
       .orderBy("doc_id")
   }
 
@@ -610,7 +610,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
     // one projection per family (secretMaskStaged): the single-expression
     // chain re-evaluates each stage per reference — 4.3 s vs 1.5 s at sf0.1
     graft.operators.TextOps.secretMaskStaged(
-      t(s, dir, "documents").select(d, grafted.as("text")), "text", "__masked")
+      tPar(s, dir, "documents").select(d, grafted.as("text")), "text", "__masked")
       .select(col("doc_id") +:
         counts.map { case (fam, c) => c.as(s"n_$fam") } :+
         md5(col("__masked")).as("masked_hash"): _*)
@@ -711,7 +711,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       opt(d % 13 === 0, " glue XDE89370400440532013000 keep"))
     // staged per-family projections (see secretScan's note)
     graft.operators.TextOps.ibanPhoneMaskStaged(
-      t(s, dir, "documents").select(d, grafted.as("text")), "text", "__masked")
+      tPar(s, dir, "documents").select(d, grafted.as("text")), "text", "__masked")
       .select(col("doc_id"), col("n_phones"),
         col("n_iban_valid"), col("n_iban_cand"),
         md5(col("__masked")).as("masked_hash"))

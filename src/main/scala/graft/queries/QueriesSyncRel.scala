@@ -141,8 +141,8 @@ trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
     * planning takes over (the hint degrades gracefully to a shuffle join). */
   def q3Join(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
-    val l = t(s, dir, "lineitem")
+    val o = tPar(s, dir, "orders")
+    val l = tPar(s, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(c("c_mktsegment").as("c_mktsegment"))
@@ -834,7 +834,7 @@ trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
     * the Expand operator multiplies rows by the grouping-set count before
     * the partial aggregate, so the shuffle still carries aggregates). */
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    tPar(s, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))

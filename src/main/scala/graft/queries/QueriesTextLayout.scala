@@ -1207,7 +1207,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
   // proves the pigeonhole lossless on the fixture.
   // ---------------------------------------------------------------------
   def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = tPar(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         regexp_replace(col("text"), "[^\\x20-\\x7e]", "").as("a"))
       .withColumn("alen", length(col("a")))
