@@ -164,7 +164,7 @@ object Winnow {
   def fingerprintsSql(k: Int = DefaultK, w: Int = DefaultW): String =
     "WITH wl0 AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),\n" +
       selectCtes(k, w, "wl0", "") +
-      "\nSELECT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM out ORDER BY doc_id, pos"
+      "\nSELECT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM out"
 
   /** Oracle for [[matches]] over the snippet-planted corpus `docsSql`
     * (a `(doc_id, wl)` word-list query). */

