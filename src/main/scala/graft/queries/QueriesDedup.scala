@@ -111,7 +111,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
     graft.operators.Calibrate.calibrate(scored, "lang", "score", keepTop = 0.5)
       .select("doc_id", "lang", "score", "ecdf", "kept")
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val scoreCalibrateSql: String =
@@ -125,8 +125,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
        |    / CAST(sum(cnt) OVER (PARTITION BY lang) AS DOUBLE) AS ecdf
        |  FROM c)
        |SELECT s.doc_id, s.lang, s.score, e.ecdf, e.ecdf > 0.5 AS kept
-       |FROM s JOIN e ON s.lang = e.lang AND s.score = e.score
-       |ORDER BY doc_id""".stripMargin
+       |FROM s JOIN e ON s.lang = e.lang AND s.score = e.score""".stripMargin
 
   // ---------------------------------------------------------------------
   // score_calibrate_incremental — the production cadence
@@ -151,7 +150,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
     graft.operators.Calibrate.calibrateAgainst(batch, frozen, "lang", "score",
       keepTop = 0.5)
       .select("doc_id", "lang", "score", "ecdf_frozen", "kept")
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val scoreCalibrateIncrementalSql: String =
@@ -172,7 +171,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
        |SELECT doc_id, lang, score,
        |  coalesce(mecdf, CAST(0 AS DOUBLE)) AS ecdf_frozen,
        |  coalesce(mecdf, CAST(0 AS DOUBLE)) > 0.5 AS kept
-       |FROM m ORDER BY doc_id""".stripMargin
+       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------------
   // dup_profile — the corpus duplication AUDIT (how much of each source
@@ -287,7 +286,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
       (col("doc_id") + lit(2000000L)).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), keep)).as("text"))
     graft.operators.Winnow.matchesAgainst(batch, fps)
-      .orderBy("doc_a", "doc_b")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val winnowMatchesIncrementalSql: String = {
@@ -790,7 +789,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
           .as("best"))
       .select(col("comp"), col("n_members"),
         col("best.t").as("kept_toks"), (-col("best.nid")).as("kept_doc_id"))
-      .orderBy("comp")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val nearDupKeepBestSql: String = {
@@ -804,8 +803,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
       |cnt AS (SELECT comp, COUNT(*) AS n_members FROM l$rounds GROUP BY 1)
       |SELECT r.comp, c.n_members, CAST(r.n_toks AS BIGINT) AS kept_toks,
       |  r.doc_id AS kept_doc_id
-      |FROM ranked r JOIN cnt c USING (comp) WHERE r.rn = 1
-      |ORDER BY comp""".stripMargin
+      |FROM ranked r JOIN cnt c USING (comp) WHERE r.rn = 1""".stripMargin
   }
 
   /** The composed corpus-cleaning pipeline a training-data user actually
@@ -1163,7 +1161,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     graft.operators.Similarity.bitextMine(
       emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
-      .orderBy("a_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val bitextMineSql: String = {
@@ -1209,7 +1207,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
        |  SELECT a_id, b_id, cos, margin,
        |    row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk
        |  FROM m WHERE margin > 1.05) x
-       |WHERE rk = 1 ORDER BY a_id""".stripMargin
+       |WHERE rk = 1""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -1225,7 +1223,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
       historyB = emb.filter(col("vec_id") % 2 === 1),
       batchA = emb.filter(col("vec_id") % 6 === 0),
       stageLabel = Some(s"bitext_idx_${StageStore.dirTag(dir)}"))
-      .orderBy("a_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val bitextMineIncrementalSql: String = {
@@ -1271,7 +1269,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
        |  SELECT a_id, b_id, cos, margin,
        |    row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk
        |  FROM m WHERE margin > 1.05) x
-       |WHERE rk = 1 ORDER BY a_id""".stripMargin
+       |WHERE rk = 1""".stripMargin
   }
 
   // ---------------------------------------------------------------------

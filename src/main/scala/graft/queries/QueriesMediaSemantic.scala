@@ -56,7 +56,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")),
       frameSize = 64, stride = 4)
       .select(col("media_id"), col("frame_no"), hex(col("frame")).as("frame_hex"))
-      .orderBy("media_id", "frame_no")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val mediaFramesSql: String =
     """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
@@ -65,7 +65,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       |f AS (SELECT media_id, bh, UNNEST(generate_series(0, CAST(nblocks AS INT) - 1)) AS frame_no FROM m)
       |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
       |  substring(bh, frame_no * 128 + 1, 128) AS frame_hex
-      |FROM f WHERE frame_no % 4 = 0 ORDER BY media_id, frame_no""".stripMargin
+      |FROM f WHERE frame_no % 4 = 0""".stripMargin
 
   /** Nearest-neighbor resize of every payload to a 16×16 grid, rendered as
     * hex. The oracle replays the exact resample arithmetic (sy = y·h/16,
@@ -79,7 +79,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       newW = 16, newH = 16)
       .toDF()
       .select(col("media_id"), hex(col("payload")).as("payload_hex"))
-      .orderBy("media_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val mediaResizeSql: String =
     """WITH m AS (SELECT doc_id AS media_id,
@@ -103,7 +103,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       |    '47465430' || printf('%02X', kindb) || '10001000' || '000100' AS header_hex
       |  FROM m)
       |SELECT hdr.media_id, hdr.header_hex || body.body_hex AS payload_hex
-      |FROM hdr JOIN body USING (media_id) ORDER BY media_id""".stripMargin
+      |FROM hdr JOIN body USING (media_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   // F3/F4 end-to-end: the Postgres E''/NUL-drop writer and the MSSQL
@@ -433,7 +433,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
     val emb = t(s, dir, "embeddings")
     graft.operators.KMeans.assign(emb,
       graft.operators.KMeans.train(emb, k = 10, iters = 2))
-      .orderBy("vec_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   /** Shared DuckDB CTE chain replaying KMeans.train(k=10, iters=2) + final
@@ -480,7 +480,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
 
   val kmeansAssignSql: String =
     s"""WITH $kmeansCtes
-       |SELECT vec_id, cluster FROM km ORDER BY vec_id""".stripMargin
+       |SELECT vec_id, cluster FROM km""".stripMargin
 
   // ---------------------------------------------------------------------
   // Cluster-balanced ("diverse") sampling: the k-means clusters become the
@@ -532,7 +532,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
     val k = graft.operators.SemDeDup.deriveK(n + n / 10)
     graft.operators.SemDeDup.dedup(planted, k = k, iters = 2,
         threshold = 0.999, stageTag = Some(StageStore.dirTag(dir)))
-      .orderBy("vec_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val semanticDedupSql: String = {
@@ -604,7 +604,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
         .select((col("vec_id") + 3000000L).as("vec_id"), neg.as("embedding")))
     graft.operators.SemDeDup.dedupIncremental(batch, cent, keptHist,
         threshold = 0.999, stageTag = Some(tag))
-      .orderBy("vec_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val semanticDedupIncrementalSql: String = {
@@ -706,7 +706,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
     tPar(s, dir, "documents")
       .select(col("doc_id"), masked.as("masked"),
         nEmails.as("n_emails"), nIps.as("n_ips"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val piiMaskSql: String =
@@ -723,7 +723,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       |  regexp_replace(em, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS masked,
       |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
       |  CAST(len(regexp_extract_all(em, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips
-      |FROM m ORDER BY doc_id""".stripMargin
+      |FROM m""".stripMargin
 
   // ---------------------------------------------------------------------
   // contamination_ngrams — benchmark decontamination: corpus docs sharing
@@ -761,7 +761,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       opt(d % 6 === 0, "\nzzz qqq vvv kkk www yyy"))
     graft.operators.TextOps.languageMix(
         t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val languageMixSql: String =
@@ -784,7 +784,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       |  FROM c GROUP BY doc_id)
       |SELECT doc_id, n_lines, n_en_lines, n_unk_lines,
       |  (n_en_lines > 0 AND n_unk_lines > 0) AS mixed
-      |FROM g ORDER BY doc_id""".stripMargin
+      |FROM g""".stripMargin
 
   // ---------------------------------------------------------------------
   // sft_render — instruction-tuning delivery formatting: each doc
@@ -800,7 +800,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
   def sftRender(s: SparkSession, dir: String): DataFrame =
     graft.operators.SftRender.render(
       t(s, dir, "documents").select(col("doc_id"), col("text")))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val sftRenderSql: String =
     """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
@@ -820,7 +820,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       |      ELSE 0 END AS BIGINT) AS total_toks,
       |  len(answer) > 0 AS has_answer,
       |  md5(prefix || answer || '<|end|>') AS rendered_md5
-      |FROM r ORDER BY doc_id""".stripMargin
+      |FROM r""".stripMargin
 
   // ---------------------------------------------------------------------
   // memorization_audit — the inverse of contamination_ngrams (the

@@ -57,7 +57,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
           .as("text"))
     graft.operators.TextOps.dedupLines(docs, minDocFreq = 5,
         stageLabel = Some(s"bl_duplines_${StageStore.dirTag(dir)}"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val boilerplateLinesSql: String =
@@ -79,7 +79,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM d)
       |SELECT t.doc_id, COALESCE(a.cleaned, '') AS cleaned,
       |  CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_lines_removed
-      |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+      |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   // boilerplate_incremental — the INCREMENTAL form of boilerplate_lines,
@@ -107,7 +107,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
         wrap(all.filter(col("doc_id") % 3 === 0)), minDocFreq = 5,
         stageLabel = Some(s"bl_duplines_inc_${StageStore.dirTag(dir)}"),
         priorLineCounts = Some(state))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val boilerplateIncrementalSql: String =
@@ -137,7 +137,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM bat)
       |SELECT t.doc_id, COALESCE(a.cleaned, '') AS cleaned,
       |  CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_lines_removed
-      |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+      |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   // gopher_filters — the Gopher/MassiveText document-quality ruleset
@@ -165,7 +165,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       opt(d % 5 === 0, "\nread more...\nsee details...\ncontinued..."))
     graft.operators.TextOps.gopherQuality(
         tPar(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val gopherFiltersSql: String =
@@ -210,7 +210,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |   AND ellipsis * 10 <= n_lines * 3
       |   AND alpha_words * 10 >= n_words * 8
       |   AND n_required >= 2) AS passes
-      |FROM s ORDER BY doc_id""".stripMargin
+      |FROM s""".stripMargin
 
   // ---------------------------------------------------------------------
   // gopher_repetition — the MassiveText REPETITION rules (Rae et al.
@@ -232,7 +232,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       opt(d % 7 === 0, " " + Seq.fill(25)("the cat").mkString(" ")))
     graft.operators.TextOps.gopherRepetition(
         t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val gopherRepetitionSql: String =
@@ -282,7 +282,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |   AND dup_line_chars * 5 <= line_chars
       |   AND dup_para_chars * 5 <= para_chars
       |   AND top_cov * 5 <= n_chars) AS passes
-      |FROM j ORDER BY doc_id""".stripMargin
+      |FROM j""".stripMargin
 
   // ---------------------------------------------------------------------
   // c4_filters — the C4 page-cleaning ruleset (Raffel et al. 2020 §2.2):
@@ -309,7 +309,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       opt(d % 43 === 0, "\nfunction() { return 0; }"))
     graft.operators.TextOps.c4Clean(
         t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val c4FiltersSql: String =
@@ -342,7 +342,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |  CASE WHEN drop_reason IS NULL THEN array_to_string(kl, chr(10)) END AS cleaned,
       |  CAST(len(kl) AS BIGINT) AS n_lines_kept,
       |  drop_reason
-      |FROM r ORDER BY doc_id""".stripMargin
+      |FROM r""".stripMargin
 
   // ---------------------------------------------------------------------
   // code_fences — fenced-code-block extraction (TextOps.codeFences): one
@@ -466,7 +466,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       .select(col("doc_id"), col("url"), scheme.as("scheme"),
         host.as("host"), path.as("path"), queryNorm.as("query_norm"),
         urlNorm.as("url_norm"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   /** The url-normalization oracle CTE chain: consumes a `u(doc_id, url)`
@@ -523,7 +523,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |SELECT doc_id, url, scheme, host, path, query_norm,
       |  scheme || '://' || host || path ||
       |  (CASE WHEN query_norm != '' THEN '?' || query_norm ELSE '' END) AS url_norm
-      |FROM t3 ORDER BY doc_id""".stripMargin
+      |FROM t3""".stripMargin
 
   // ---------------------------------------------------------------------
   // cc_mask — Luhn-validated credit-card masking (TextOps.ccMask): the
@@ -550,7 +550,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
     t(s, dir, "documents").select(d, grafted.as("text"))
       .select(col("doc_id"), nValid.as("n_cc_valid"),
         nCands.as("n_candidates"), md5(masked).as("masked_hash"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val ccMaskSql: String = {
@@ -582,7 +582,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_cc_valid,
       |  CAST(len(cands) AS BIGINT) AS n_candidates,
       |  md5($ccMaskExpr) AS masked_hash
-      |FROM v ORDER BY doc_id""".stripMargin
+      |FROM v""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -614,7 +614,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       .select(col("doc_id") +:
         counts.map { case (fam, c) => c.as(s"n_$fam") } :+
         md5(col("__masked")).as("masked_hash"): _*)
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val secretScanSql: String = {
@@ -662,7 +662,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
        |SELECT doc_id,
        |  $countCols,
        |  md5(t${fams.length}) AS masked_hash
-       |FROM m${fams.length} ORDER BY doc_id""".stripMargin
+       |FROM m${fams.length}""".stripMargin
   }
 
   // DuckDB replay of TextOps.maskRuns — POSITIONAL rebuild from the
@@ -715,7 +715,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       .select(col("doc_id"), col("n_phones"),
         col("n_iban_valid"), col("n_iban_cand"),
         md5(col("__masked")).as("masked_hash"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val ibanPhoneMaskSql: String = {
@@ -770,7 +770,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |SELECT doc_id, n_phones, CAST(len(valid) AS BIGINT) AS n_iban_valid,
       |  CAST(len(cands) AS BIGINT) AS n_iban_cand,
       |  md5($ibanMask) AS masked_hash
-      |FROM v ORDER BY doc_id""".stripMargin
+      |FROM v""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -797,7 +797,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       .groupBy("url_norm")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         min("doc_id").as("kept_doc"))
-      .orderBy("url_norm")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val dedupUrlSql: String =
@@ -816,7 +816,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |    (CASE WHEN query_norm != '' THEN '?' || query_norm ELSE '' END) AS url_norm,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  MIN(doc_id) AS kept_doc
-      |FROM t3 GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM t3 GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // blocklist_scan — the Aho–Corasick multi-pattern blocklist audit
@@ -844,7 +844,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
     graft.operators.Blocklist.scan(
         t(s, dir, "documents").select(col("doc_id"), grafted.as("text")),
         blocklistPatterns)
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val blocklistScanSql: String = {
@@ -869,7 +869,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
        |SELECT doc_id, CAST($total AS BIGINT) AS n_hits,
        |  CAST($distinct AS BIGINT) AS n_patterns,
        |  ($total) > 0 AS flagged
-       |FROM c ORDER BY doc_id""".stripMargin
+       |FROM c""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -912,7 +912,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       .select(col("doc_id"),
         graft.functions.StringKernels.stripMarkup(col("raw")).as("clean"))
       .withColumn("n_clean", length(col("clean")).cast("long"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val markupStripSql: String =
     """WITH raw AS (SELECT doc_id,
@@ -929,7 +929,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |    trim(regexp_replace(t, '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS clean
       |  FROM s2)
       |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean
-      |FROM s3 ORDER BY doc_id""".stripMargin
+      |FROM s3""".stripMargin
 
   // ---------------------------------------------------------------------
   // corpus_diff — snapshot-versioning audit between two corpus releases:
@@ -989,7 +989,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
     graft.operators.Dsir.contrastScore(
       t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")),
       targetFilter = col("lang") === "en", buckets = 256)
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val dsirScoreSql: String =
     graft.operators.Dsir.contrastScoreSql("lang = 'en'", buckets = 256)
@@ -1013,7 +1013,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
     graft.operators.Dsir.scoreAgainst(
       docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
       rates, buckets = 256)
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val dsirScoreIncrementalSql: String =

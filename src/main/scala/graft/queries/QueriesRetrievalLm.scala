@@ -52,12 +52,12 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
         regexp_replace(
           regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""),
           " +", " ").as("norm"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val textNormalizeSql: String =
     """SELECT doc_id,
       |  regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS norm
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
   // sample_proportional — integer proportional allocation (largest-
@@ -291,12 +291,12 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
     graft.operators.Splits.hashSplit(
         t(s, dir, "documents"), keyCol = "source", salt = "graft-split:")
       .select(col("doc_id"), col("source"), col("split"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val splitAssignSql: String =
     s"""SELECT doc_id, source,
        |${graft.operators.Splits.splitLabelSql("source", "graft-split:")} AS split
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
   // shard_balance — token-balanced shard assignment (Splits.shardBalance):
@@ -330,7 +330,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         rareMax = 2L,
         stageLabel = Some(s"bigram_rarity_${StageStore.dirTag(dir)}"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val lmBigramRaritySql: String = graft.operators.LmScore.bigramRaritySql(2L)
 
@@ -347,7 +347,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       t(s, dir, "documents").select(col("doc_id"), col("text"), col("source")),
       referenceFilter = col("source") === lit("src0"),
       stageLabel = Some(s"lm_fluency_buckets_${StageStore.dirTag(dir)}"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val lmFluencySql: String =
     graft.operators.LmScore.fluencyScoreSql("d.source = 'src0'")
@@ -363,7 +363,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
     graft.operators.LmScore.stupidBackoff(
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       referenceFilter = col("doc_id") % 5 === 0)
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val lmStupidBackoffSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -405,7 +405,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       |  FROM scored GROUP BY doc_id)
       |SELECT t.doc_id, coalesce(p.n_scored, 0) AS n_scored,
       |  coalesce(p.sb_sum, CAST(0 AS DOUBLE)) AS sb_sum
-      |FROM t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id""".stripMargin
+      |FROM t LEFT JOIN perdoc p USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   // lm_kneser_ney — the normalized-distribution slot of the LM family
@@ -418,7 +418,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
     graft.operators.LmScore.kneserNey(
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       referenceFilter = col("doc_id") % 5 === 0)
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val lmKneserNeySql: String =
     graft.operators.LmScore.kneserNeySql("doc_id % 5 = 0")
@@ -434,7 +434,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
     graft.operators.LmScore.kneserNeyTrigram(
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       referenceFilter = col("doc_id") % 5 === 0)
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val lmKneserNey3Sql: String =
     graft.operators.LmScore.kneserNeyTrigramSql("doc_id % 5 = 0")
@@ -492,8 +492,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
         |  a.doc_id AS chosen_id, a.fluency_ppb AS chosen_ppb,
         |  b.doc_id AS rejected_id, b.fluency_ppb AS rejected_ppb
         |FROM rk a JOIN rk b ON a.source = b.source AND a.rk_top = b.rk_bot
-        |WHERE a.rk_top <= 3 AND a.fluency_ppb > b.fluency_ppb
-        |ORDER BY a.source, pair_rank""".stripMargin
+        |WHERE a.rk_top <= 3 AND a.fluency_ppb > b.fluency_ppb""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -527,7 +526,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
         when(col("tercile") === 1, "head")
           .when(col("tercile") === 2, "middle").otherwise("tail"))
       .select(col("doc_id"), col("lang"), col("fluency_ppb"), col("bucket"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val fluencyBucketsSql: String = {
@@ -538,8 +537,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM (SELECT d.doc_id, d.lang,
         |        CAST(COALESCE(sc.fluency_ppb, 0) AS BIGINT) AS fluency_ppb
-        |      FROM documents d LEFT JOIN sc USING (doc_id)) fl
-        |ORDER BY doc_id""".stripMargin
+        |      FROM documents d LEFT JOIN sc USING (doc_id)) fl""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -959,7 +957,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
         rareMax = 2L,
         stageLabel = Some(s"curriculum_rarity_${StageStore.dirTag(dir)}")),
       scoreCol = "rare_cnt")
-      .orderBy("ord")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val curriculumOrderSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -974,7 +972,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       |      FROM w LEFT JOIN s USING (doc_id))
       |SELECT doc_id, difficulty,
       |  CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS ord
-      |FROM d ORDER BY ord""".stripMargin
+      |FROM d""".stripMargin
 
   // ---------------------------------------------------------------------
   // epoch_shuffle — the deterministic per-epoch training order: a seeded
@@ -1026,7 +1024,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       .withColumn("rk", row_number().over(global).cast("long"))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("n_tokens"), col("score_ppm"), col("rk"))
-      .orderBy("rk")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val importanceResampleSql: String =
@@ -1044,7 +1042,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       |t AS (SELECT doc_id, n_tokens, score_ppm,
       |        CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rk
       |      FROM s)
-      |SELECT doc_id, n_tokens, score_ppm, rk FROM t WHERE rk <= 100 ORDER BY rk""".stripMargin
+      |SELECT doc_id, n_tokens, score_ppm, rk FROM t WHERE rk <= 100""".stripMargin
 
   // ---------------------------------------------------------------------
 }

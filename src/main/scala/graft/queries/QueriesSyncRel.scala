@@ -315,14 +315,13 @@ trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
       .select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      .orderBy("c_custkey")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val semiJoinSql: String =
     """SELECT c_custkey, c_name, c_nationkey FROM customer c
       |WHERE EXISTS (SELECT 1 FROM orders o
-      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-      |ORDER BY c_custkey""".stripMargin
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin
 
   /** One-pass column profiling over lineitem — the data-audit primitive
     * (null counts, distinct cardinalities, exact extrema) computed as ONE
@@ -712,7 +711,7 @@ trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
         stageLabel = Some(s"dupgrams_cut_${StageStore.dirTag(dir)}"))
       .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
         col("n_chars_removed"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val dedupSubstringSql: String =
     """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
@@ -733,7 +732,7 @@ trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
       |  FROM k)
       |SELECT doc_id, md5(cleaned) AS clean_hash,
       |  CAST(length(text) - length(cleaned) AS BIGINT) AS n_chars_removed
-      |FROM cl ORDER BY doc_id""".stripMargin
+      |FROM cl""".stripMargin
 
   // ---------------------------------------------------------------------
   // dedup_substring_spans — the PAPER'S transform (Lee et al. ACL'22
@@ -751,7 +750,7 @@ trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
         stageLabel = Some(s"dupgrams_spans_${StageStore.dirTag(dir)}"))
       .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
         col("n_chars_removed"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val dedupSubstringSpansSql: String =
     """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
@@ -781,7 +780,7 @@ trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
       |  FROM k)
       |SELECT doc_id, md5(cleaned) AS clean_hash,
       |  CAST(length(text) - length(cleaned) AS BIGINT) AS n_chars_removed
-      |FROM cl ORDER BY doc_id""".stripMargin
+      |FROM cl""".stripMargin
 
   // ---------------------------------------------------------------------
   // dedup_substring_incremental — the PRODUCTION cadence of substring
@@ -805,7 +804,7 @@ trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
         priorGramCounts = Some(prior))
       .select(col("doc_id"), md5(col("cleaned")).as("clean_hash"),
         col("n_chars_removed"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val dedupSubstringIncrementalSql: String =
@@ -828,7 +827,7 @@ trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
       |  FROM k)
       |SELECT doc_id, md5(cleaned) AS clean_hash,
       |  CAST(length(text) - length(cleaned) AS BIGINT) AS n_chars_removed
-      |FROM cl ORDER BY doc_id""".stripMargin
+      |FROM cl""".stripMargin
 
   /** CUBE (all 2^n grouping sets — rollup's sibling Expand path; one scan,
     * the Expand operator multiplies rows by the grouping-set count before

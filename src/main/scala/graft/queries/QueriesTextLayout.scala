@@ -34,7 +34,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       t(s, dir, "documents").select(d, grafted.as("text")))
     out.select(col("doc_id"), col("n_space_mapped"), col("n_dropped"),
       col("nfc_changed"), md5(col("text_clean")).as("clean_hash"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val unicodeCleanSql: String =
@@ -59,7 +59,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |SELECT doc_id, n_space_mapped, n_dropped,
       |  nfc_normalize(mapped) != mapped AS nfc_changed,
       |  md5(nfc_normalize(mapped)) AS clean_hash
-      |FROM m ORDER BY doc_id""".stripMargin
+      |FROM m""".stripMargin
 
   // ---------------------------------------------------------------------
   // script_profile — codepoint-range writing-system detection
@@ -115,7 +115,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
 
   def scriptProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextOps.scriptProfile(scriptFixture(s, dir))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val scriptProfileSql: String = {
     def cnt(range: String): String =
@@ -142,7 +142,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
        |       WHEN n_cjk >= n_hangul AND n_cjk >= n_kana THEN 'cjk'
        |       WHEN n_hangul >= n_kana THEN 'hangul'
        |       ELSE 'kana' END AS dominant
-       |FROM n ORDER BY doc_id""".stripMargin
+       |FROM n""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -297,7 +297,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
     graft.operators.SequencePack.packOffsets(
       t(s, dir, "documents"), seqLen = 512,
       nTokens = size(split(col("text"), " ")))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val seqPackSql: String =
     """WITH s AS (SELECT doc_id,
@@ -315,7 +315,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |  (CASE WHEN n_tokens = 0 THEN tok_start // 512
       |        ELSE (tok_start + n_tokens - 1) // 512 END)
       |    - tok_start // 512 AS n_splits
-      |FROM c ORDER BY doc_id""".stripMargin
+      |FROM c""".stripMargin
 
   // ---------------------------------------------------------------------
   // seq_pack_incremental — the standing-corpus packing form: history's
@@ -332,7 +332,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       history = docs, batch = batch, seqLen = 512,
       nTokens = size(split(col("text"), " ")),
       stageLabel = Some(s"seqpack_hist_${StageStore.dirTag(dir)}"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val seqPackIncrementalSql: String =
@@ -354,7 +354,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |  (CASE WHEN n_tokens = 0 THEN tok_start // 512
       |        ELSE (tok_start + n_tokens - 1) // 512 END)
       |    - tok_start // 512 AS n_splits
-      |FROM c ORDER BY doc_id""".stripMargin
+      |FROM c""".stripMargin
 
   // ---------------------------------------------------------------------
   // seq_manifest — the per-(sequence, document) packing manifest
@@ -368,7 +368,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
     graft.operators.SequencePack.sequenceManifest(
       t(s, dir, "documents"), seqLen = 512,
       nTokens = size(split(col("text"), " ")))
-      .orderBy("seq_id", "doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val seqManifestSql: String =
     """WITH n AS (SELECT doc_id,
@@ -387,7 +387,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |    - greatest(ts, seq_id * 512) AS BIGINT) AS n_toks,
       |  greatest(ts, seq_id * 512) = ts AS doc_starts,
       |  least(ts + nt, seq_id * 512 + 512) = ts + nt AS doc_ends
-      |FROM s ORDER BY seq_id, doc_id""".stripMargin
+      |FROM s""".stripMargin
 
   // ---------------------------------------------------------------------
   // seq_manifest_incremental — the standing-corpus manifest: a new batch
@@ -404,7 +404,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       history = docs, batch = batch, seqLen = 512,
       nTokens = size(split(col("text"), " ")),
       stageLabel = Some(s"seqmanifest_hist_${StageStore.dirTag(dir)}"))
-      .orderBy("seq_id", "doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val seqManifestIncrementalSql: String =
@@ -428,7 +428,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |    - greatest(ts, seq_id * 512) AS BIGINT) AS n_toks,
       |  greatest(ts, seq_id * 512) = ts AS doc_starts,
       |  least(ts + nt, seq_id * 512 + 512) = ts + nt AS doc_ends
-      |FROM s ORDER BY seq_id, doc_id""".stripMargin
+      |FROM s""".stripMargin
 
   // ---------------------------------------------------------------------
   // seq_loss_mask — the per-sequence loss-mask export
@@ -445,7 +445,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
     graft.operators.SequencePack.seqLossMask(
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       seqLen = 512)
-      .orderBy("seq_id", "mask_start")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val seqLossMaskSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -494,7 +494,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |SELECT seq_id, CAST(min(ms) AS BIGINT) AS mask_start,
       |  CAST(max(me) AS BIGINT) AS mask_end,
       |  CAST(max(me) - min(ms) AS BIGINT) AS mask_toks
-      |FROM g GROUP BY seq_id, grp ORDER BY seq_id, mask_start""".stripMargin
+      |FROM g GROUP BY seq_id, grp""".stripMargin
 
   // ---------------------------------------------------------------------
   // seq_loss_mask_incremental — the standing-corpus loss-mask export: a
@@ -509,7 +509,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
     graft.operators.SequencePack.seqLossMaskIncremental(
       history = docs, batch = batch, seqLen = 512,
       stageLabel = Some(s"seqlossmask_hist_${StageStore.dirTag(dir)}"))
-      .orderBy("seq_id", "mask_start")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val seqLossMaskIncrementalSql: String =
@@ -563,7 +563,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |SELECT seq_id, CAST(min(ms) AS BIGINT) AS mask_start,
       |  CAST(max(me) AS BIGINT) AS mask_end,
       |  CAST(max(me) - min(ms) AS BIGINT) AS mask_toks
-      |FROM g GROUP BY seq_id, grp ORDER BY seq_id, mask_start""".stripMargin
+      |FROM g GROUP BY seq_id, grp""".stripMargin
 
   // ---------------------------------------------------------------------
   // seq_tokens — packed training shards (SequencePack.packedShards): the
@@ -706,7 +706,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
   def shardShuffle(s: SparkSession, dir: String): DataFrame =
     graft.operators.ShardShuffle.assign(
       t(s, dir, "documents"), nShards = 8, seed = 20260815L)
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val shardShuffleSql: String = {
     val key = "CAST('20260815:' || CAST(doc_id AS VARCHAR) AS VARCHAR)"
@@ -716,7 +716,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
        |SELECT doc_id, h % 8 AS shard,
        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
        |    AS BIGINT) AS pos
-       |FROM k ORDER BY doc_id""".stripMargin
+       |FROM k""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -1337,7 +1337,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
           .when(col("n_chars") <= col("c2"), lit(1))
           .when(col("n_chars") <= col("c3"), lit(2))
           .otherwise(lit(3)).as("bin"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val quantileBinsSql: String =
@@ -1347,7 +1347,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
       |SELECT doc_id, n_chars,
       |  CASE WHEN n_chars <= c1 THEN 0 WHEN n_chars <= c2 THEN 1
       |       WHEN n_chars <= c3 THEN 2 ELSE 3 END AS bin
-      |FROM documents, c ORDER BY doc_id""".stripMargin
+      |FROM documents, c""".stripMargin
 
   // ---------------------------------------------------------------------
 }

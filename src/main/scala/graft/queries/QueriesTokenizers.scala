@@ -32,7 +32,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     graft.operators.Vocab.encode(
         docs, graft.operators.Vocab.build(docs, minCount = 5L))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val vocabEncodeSql: String =
@@ -49,7 +49,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
       |  CAST(SUM(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
       |  md5(array_to_string(list(CAST(vid AS VARCHAR) ORDER BY pos), ',')) AS ids_hash
-      |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |FROM e GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // cms_topk — Count-Min sketch estimates vs truth for the head tokens
@@ -367,7 +367,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       .select((col("media_id") + 1000000L).as("media_id"),
         flipped.as("phash"))
     graft.multimodal.Media.phashNearDup(hashes.unionByName(twins), maxDist = 3)
-      .orderBy("media_a", "media_b")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val mediaNearDupSql: String =
@@ -411,7 +411,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       |              if substr(pa, CAST(i AS INT), 1) != substr(pb, CAST(i AS INT), 1)]) AS BIGINT) AS hamming
       |  FROM pr)
       |SELECT media_a, media_b, hamming FROM hm
-      |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin
+      |WHERE hamming <= 3""".stripMargin
 
   // ---------------------------------------------------------------------
   // media_near_dup_incremental — the production cadence of image dedup
@@ -437,7 +437,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       .select((col("media_id") + 1000000L).as("media_id"),
         flipped.as("phash"))
     graft.multimodal.Media.phashNearDupIncremental(twins, histF, maxDist = 3)
-      .orderBy("media_id", "hist_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val mediaNearDupIncrementalSql: String =
@@ -483,7 +483,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       |              if substr(pb, CAST(i AS INT), 1) != substr(ph, CAST(i AS INT), 1)]) AS BIGINT) AS hamming
       |  FROM pr)
       |SELECT media_id, hist_id, hamming FROM hm
-      |WHERE hamming <= 3 ORDER BY media_id, hist_id""".stripMargin
+      |WHERE hamming <= 3""".stripMargin
 
   // ---------------------------------------------------------------------
   // bpe_train / bpe_encode — BPE tokenizer training (Sennrich et al.
@@ -522,7 +522,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       .map(r => graft.operators.Bpe.Merge(
         r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
-    graft.operators.Bpe.encode(docs, merges).orderBy("doc_id")
+    graft.operators.Bpe.encode(docs, merges) // no display sort (r17 precedent)
   }
 
   val bpeEncodeSql: String = graft.operators.Bpe.encodeSql(8)
@@ -549,7 +549,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       graft.functions.VectorExprs.dot(col("embedding"),
         lit(row.map(_.toFloat).toArray)).as(f"r$j%02d")
     }
-    emb.select(col("vec_id") +: outs: _*).orderBy("vec_id")
+    emb.select(col("vec_id") +: outs: _*) // no display sort (r17 precedent)
   }
 
   val rpReduceSql: String = {
@@ -567,7 +567,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
     s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
        |SELECT vec_id,
        |$cols
-       |FROM corpus ORDER BY vec_id""".stripMargin
+       |FROM corpus""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -759,7 +759,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
     graft.operators.Mixture.strideInterleave(
       t(s, dir, "documents"), "lang",
       weights = Map("en" -> 4.0, "zh" -> 2.0), seed = "graft16")
-      .orderBy("pos")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val strideInterleaveSql: String =
     """WITH d AS (SELECT doc_id, lang AS domain,
@@ -773,7 +773,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       |  FROM r)
       |SELECT doc_id, domain, dom_rnk, pass,
       |  CAST(row_number() OVER (ORDER BY pass, domain, dom_rnk) AS BIGINT) AS pos
-      |FROM p ORDER BY pos""".stripMargin
+      |FROM p""".stripMargin
 
   // ---------------------------------------------------------------------
   // domain_reweight — the DoReMi-style domain-weight SOLVER
@@ -944,7 +944,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       .select(col("doc_id"), col("n_words"), col("stop_cnt"),
         reason.as("reject_reason"))
       .withColumn("keep", col("reject_reason") === "ok")
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val qualityGateAuditSql: String =
@@ -959,8 +959,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
        |        WHEN rep.dup_word_frac > 0.4 THEN 'repetitive'
        |        WHEN ts.stop_cnt = 0 THEN 'no_stopwords'
        |        ELSE 'ok' END) = 'ok' AS keep
-       |FROM ts JOIN rep ON rep.doc_id = ts.doc_id
-       |ORDER BY ts.doc_id""".stripMargin
+       |FROM ts JOIN rep ON rep.doc_id = ts.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // fim_transform — fill-in-the-middle preprocessing (Bavarian et al.
@@ -971,7 +970,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
   // ---------------------------------------------------------------------
   def fimTransform(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextOps.fimTransform(t(s, dir, "documents"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val fimTransformSql: String = {
     def hv(h: String): String =
@@ -993,7 +992,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
        |    || '<SUF>' || substr(text, c2 + 1, n - c2)
        |    || '<MID>' || substr(text, c1 + 1, c2 - c1)
        |  ELSE text END AS psm
-       |FROM p ORDER BY doc_id""".stripMargin
+       |FROM p""".stripMargin
   }
 
   // ---------------------------------------------------------------------
