@@ -255,8 +255,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      |  ON p.user_id = c.user_id AND p.ts >= c.ts
-      """.stripMargin
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
   /** Forward as-of: each click matched to the NEXT purchase by the same
     * user (time-to-conversion). Oracle: DuckDB ASOF with the inequality
@@ -284,8 +283,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       |  epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
       |FROM (SELECT * FROM events WHERE event_type = 'click') c
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      |  ON c.user_id = p.user_id AND c.ts <= p.ts
-      """.stripMargin
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin
 
   // ---------------------------------------------------------------------
   // Bucketed range join: all event pairs within 10 minutes of each other,

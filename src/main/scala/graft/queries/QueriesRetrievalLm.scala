@@ -277,8 +277,7 @@ trait QueriesRetrievalLm extends QueriesTables { this: Queries.type =>
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_7d
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-      """.stripMargin
+      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
   // ---------------------------------------------------------------------
   // split_assign — leakage-safe train/val/test split (Splits.hashSplit):
