@@ -11,6 +11,13 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // audit-time session overrides, e.g. SPARK_GRAFT_EXPLAIN_SET=
+    // "spark.graft.cc.maxDriverEdges=0" to print the plan a fast-path
+    // threshold would otherwise hide
+    sys.env.get("SPARK_GRAFT_EXPLAIN_SET").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n===== $n =====")

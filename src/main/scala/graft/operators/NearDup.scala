@@ -525,11 +525,91 @@ object NearDup {
     }
   }
 
+  /** Edge-count ceiling for the driver union-find fast path: pair lists at
+    * or under it are solved locally (one collect, zero iterative shuffles)
+    * instead of through the distributed fixpoint. 2^21 pairs is ~32 MB
+    * collected — the same bounded-driver-table class as broadcast-join
+    * build sides and k-means centroid collects. Near-dup pair graphs are
+    * SPARSE by construction (every upstream generator verifies candidates
+    * at a similarity threshold), so this covers corpora far past the test
+    * fixtures while a 100 TB crawl's pair list still takes the distributed
+    * loop. Override with spark.graft.cc.maxDriverEdges (0 disables). */
+  private val DriverEdgeCap = 1L << 21
+
+  /** Driver union-find over a collected pair list: parent pointers rooted
+    * at each component's MINIMUM id (union attaches the larger root under
+    * the smaller), so labels are bit-identical to the distributed
+    * min-label fixpoint. Returns every vertex that appears in an edge. */
+  private def unionFind(rows: Array[org.apache.spark.sql.Row]): java.util.HashMap[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        val g = parent.get(parent.get(x))
+        parent.put(x, g)
+        x = g
+      }
+      x
+    }
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val comp = new java.util.HashMap[Long, Long](parent.size() * 2)
+    parent.keySet().forEach(v => comp.put(v, find(v)))
+    comp
+  }
+
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
                           maxIters: Int = 20): DataFrame = {
     val spark = ids.sparkSession
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // Small-graph fast path (guide §3.1/§5: a bounded small side belongs on
+    // the driver, not in an iterative shuffle loop): count the pair list
+    // once (from the same persisted blocks the distributed loop would use),
+    // and when it is driver-bounded solve components locally with
+    // min-rooted union-find and attach labels by ONE broadcast join —
+    // replacing diameter(G) rounds of join+aggregate+checkpoint jobs.
+    // Labels are identical by construction (component minimum either way;
+    // both paths label only edge-endpoint vertices and default everything
+    // else to its own id — the connectedComponentsStar contract).
+    val cap = spark.conf.getOption("spark.graft.cc.maxDriverEdges")
+      .map(_.toLong).getOrElse(DriverEdgeCap)
+    // persisted either way: the fast path collects from the same blocks the
+    // count filled, and the distributed loop's symmetrized edge set reads
+    // them instead of re-running the (expensive) pair pipeline
+    val pairsLong = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .persist()
+    if (cap > 0 && pairsLong.count() <= cap) {
+      val comp = unionFind(pairsLong.collect())
+      pairsLong.unpersist(blocking = false)
+      val entries = new Array[org.apache.spark.sql.Row](comp.size())
+      var i = 0
+      val it = comp.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        entries(i) = org.apache.spark.sql.Row(e.getKey.longValue(), e.getValue.longValue())
+        i += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__cc",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val compDf = spark.createDataFrame(
+        java.util.Arrays.asList(entries: _*), schema)
+      return ids.select(col("doc_id"))
+        .join(broadcast(compDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__cc"), col("doc_id")).as("comp"))
+    }
+    val edges = pairsLong.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairsLong.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
     // Convergence detection is FUSED into the materializing pass: the left
     // join already carries (old comp, neighborhood min) per row, so the
@@ -567,6 +647,7 @@ object NearDup {
       it += 1
     }
     edges.unpersist()
+    pairsLong.unpersist(blocking = false)
     // a silent non-converged return would split one true cluster into
     // several and let keep-one-per-component dedup keep duplicates
     if (changed > 0)

@@ -32,7 +32,11 @@ class CheckpointReleaseSpec extends AnyFunSuite with SparkSuite {
       // reliable checkpoint per round
       val ids = (0L until 12L).toDF("doc_id")
       val edges = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-      val cc = NearDup.connectedComponents(ids, edges)
+      // force the distributed fixpoint: the driver union-find fast path
+      // would otherwise solve this tiny graph with no checkpoints at all
+      spark.conf.set("spark.graft.cc.maxDriverEdges", "0")
+      val cc = try NearDup.connectedComponents(ids, edges)
+      finally spark.conf.unset("spark.graft.cc.maxDriverEdges")
       assert(cc.collect().forall(_.getLong(1) == 0L))
       // every intermediate round's files are gone; only the final round
       // (owned by the caller, still live) may keep its checkpoint

@@ -229,30 +229,50 @@ class NearDupSpec extends AnyFunSuite with SparkSuite {
     import org.apache.spark.sql.functions.col
     val spark = corpus.sparkSession
     import spark.implicits._
-    // random graphs: same components as plain min-label propagation
+    // random graphs: same components from the driver union-find fast path,
+    // the distributed min-label fixpoint (forced by disabling the fast
+    // path), and star contraction
     val rnd = new scala.util.Random(7L)
     val n = 120
     val ids = (0L until n.toLong).toDF("doc_id")
     val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
-    val plain = NearDup.connectedComponents(ids, edges)
+    val fast = NearDup.connectedComponents(ids, edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val plain = withDistributedCc(spark) {
+      NearDup.connectedComponents(ids, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
     val star = NearDup.connectedComponentsStar(ids, edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == plain)
     assert(star == plain)
 
-    // a 300-node path: diameter 299 defeats plain propagation's default
-    // round budget, while star contraction converges in O(log^2 n) rounds
+    // a 300-node path: diameter 299 defeats the DISTRIBUTED propagation's
+    // default round budget (the union-find fast path and star contraction
+    // both handle it)
     val pn = 300L
     val pids = (0L until pn).toDF("doc_id")
     val pedges = (0L until pn - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      NearDup.connectedComponents(pids, pedges, maxIters = 20).collect()
+      withDistributedCc(spark) {
+        NearDup.connectedComponents(pids, pedges, maxIters = 20).collect()
+      }
     }
+    val pfast = NearDup.connectedComponents(pids, pedges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pfast.length == pn && pfast.forall(_._2 == 0L))
     val pstar = NearDup.connectedComponentsStar(pids, pedges)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pstar.length == pn)
     assert(pstar.forall(_._2 == 0L)) // one component rooted at the minimum
+  }
+
+  /** Run `body` with the CC driver fast path disabled so the distributed
+    * min-label fixpoint is what executes. */
+  private def withDistributedCc[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    spark.conf.set("spark.graft.cc.maxDriverEdges", "0")
+    try body finally spark.conf.unset("spark.graft.cc.maxDriverEdges")
   }
 
   test("TokenHash: portable polynomial hash matches its spec") {
