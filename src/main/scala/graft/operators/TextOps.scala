@@ -872,7 +872,7 @@ object TextOps {
     * informative size (20⁸ makes 8-gram collisions vanish on synthetic
     * text).
     *
-    * Scale shape: n-grams are md5-hashed BEFORE the join so the exchange
+    * Scale shape: n-grams are Hash64-keyed BEFORE the join so the exchange
     * carries 32-hex keys, never n-word strings; the eval side is distinct
     * n-grams of the (by construction small) eval split and is broadcast —
     * the corpus never shuffles for the join. Gram generation + hashing is
@@ -975,7 +975,7 @@ object TextOps {
   }
 
   /** (doc_id, gh) pairs: the per-document DISTINCT word n-grams keyed by
-    * the first 8 bytes of their md5 as a long, generated in one JVM pass
+    * a 64-bit Hash64 token-window combine, generated in one JVM pass
     * (local HashSet dedup — the shuffle-free equivalent of
     * explode→distinct). Like [[gramPositions]], the key is internal (the
     * contamination output carries doc_id + hit counts only), so an 8-byte
@@ -986,24 +986,24 @@ object TextOps {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val sb = new java.lang.StringBuilder(256)
         it.flatMap { case (id, text) =>
           val ws = text.split(" ", -1)
           if (ws.length < n) Iterator.empty
           else {
+            // same hash-once-per-token + window-combine kernel as
+            // [[gramPositions]] — the two MUST agree because contamination
+            // joins eval grams against corpus grams by this key
+            val th = new Array[Long](ws.length)
+            var t = 0
+            while (t < ws.length) { th(t) = gramTokenHash(ws(t)); t += 1 }
             val seen = new java.util.HashSet[Long]()
             val out = Array.newBuilder[(Long, Long)]
             var i = 0
             while (i <= ws.length - n) {
-              sb.setLength(0)
+              var h = GramSeed
               var j = i
-              while (j < i + n) {
-                if (j > i) sb.append(' ')
-                sb.append(ws(j)); j += 1
-              }
-              val ghl = md5Prefix64(md, sb.toString)
-              if (seen.add(ghl)) out += ((id, ghl))
+              while (j < i + n) { h = graft.operators.NearDup.Hash64.mix(h ^ th(j)); j += 1 }
+              if (seen.add(h)) out += ((id, h))
               i += 1
             }
             out.result().iterator
@@ -1026,8 +1026,8 @@ object TextOps {
     * frequency table is corpus-global, so the counts side is a full
     * aggregate, not a broadcast.
     *
-    * Scale shape: grams are md5-hashed in the same one-JVM-pass flatMap as
-    * [[contamination]], so the only wide exchange carries (32-hex, doc_id)
+    * Scale shape: grams are Hash64-keyed in the same one-JVM-pass flatMap as
+    * [[contamination]], so the only wide exchange carries (8-byte key, doc_id)
     * pairs — document bodies never leave the scan. The frequency test is a
     * COUNT window over the gh partition, NOT a separate aggregate joined
     * back: the self-join form evaluates the gram flatMap twice (Spark does
@@ -1035,55 +1035,64 @@ object TextOps {
     * key distribution (per-partition row count = gram frequency — the same
     * bound the groupBy would have). */
   /** (doc_id, pos, gh): every word-n-gram start position with a 64-bit
-    * digest of its gram (the first 8 bytes of its md5) — the shared
-    * positional enumeration behind [[dupNgramStats]] (which counts
-    * positions) and [[dedupSubstring]] (which cuts them). One JVM pass;
-    * only (id, int, long) triples leave the scan.
+    * key of its gram — the shared positional enumeration behind
+    * [[dupNgramStats]] (which counts positions) and [[dedupSubstring]]
+    * (which cuts them). One JVM pass; only (id, int, long) triples leave
+    * the scan.
     *
     * The gram key is INTERNAL — it appears in no operator output, so the
     * correctness oracles replay the semantics with their own hashes and
     * the engine is free to pick the cheapest sound key. A LONG key keeps
     * the exchanges at 8 bytes/key (the r9 shape shipped 32-char hex
     * strings, and spent most of the scan formatting them), sorts and
-    * hash-joins as primitives, and feeds the bloom filter directly. At a
-    * 64-bit birthday bound, ~10⁹ distinct grams give ~3% chance of ONE
+    * hash-joins as primitives, and feeds the bloom filter directly. The
+    * key itself is the [[NearDup.Hash64]] token-hash window combine
+    * (hash each token once, mix per n-window) — the r19 shape took the
+    * first 8 bytes of md5 over the re-built gram STRING, paying
+    * MessageDigest block processing plus three allocations at every
+    * position for the same 64-bit collision contract. At a 64-bit
+    * birthday bound, ~10⁹ distinct grams give ~3% chance of ONE
     * colliding pair corpus-wide (which would cut one extra n-gram span) —
     * the right trade for a dedup transform; a catalog key would not make
-    * it. Triage note: the DuckDB oracles key on the FULL 32-hex md5, so an
-    * (astronomically rare) 64-bit collision surfaces as a verify hash
-    * mismatch, not a silent agreement — if one ever appears, diff the
-    * engine's cut spans against the oracle's `c2` CTE for the colliding
-    * gram before suspecting the operators. */
-  /** First 8 bytes of md5(s) as a big-endian long — the internal gram key. */
-  private def md5Prefix64(md: java.security.MessageDigest, s: String): Long = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-  }
+    * it. Triage note: the DuckDB oracles key on the FULL gram text (or
+    * its 32-hex md5), so an (astronomically rare) 64-bit collision
+    * surfaces as a verify hash mismatch, not a silent agreement — if one
+    * ever appears, diff the engine's cut spans against the oracle's `c2`
+    * CTE for the colliding gram before suspecting the operators. */
 
   private def gramPositions(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val sb = new java.lang.StringBuilder(256)
         it.flatMap { case (id, text) =>
+          // hash each token once, combine per n-window (the shingleHashSets
+          // kernel): O(chars) token hashing + O(positions·n) mixes, where
+          // the r19 shape re-built and re-hashed the gram STRING at every
+          // position — O(positions·gramLen) char work plus 3 allocations
+          // per position. Tokens cannot contain the split character, so
+          // the (order-sensitive) token-hash combine keys exactly the
+          // token sequences the string form keyed.
           val ws = text.split(" ", -1)
+          val th = new Array[Long](ws.length)
+          var t = 0
+          while (t < ws.length) { th(t) = gramTokenHash(ws(t)); t += 1 }
           Iterator.range(0, math.max(ws.length - n + 1, 0)).map { i =>
-            sb.setLength(0)
+            var h = GramSeed
             var j = i
-            while (j < i + n) {
-              if (j > i) sb.append(' ')
-              sb.append(ws(j)); j += 1
-            }
-            (id, i.toLong, md5Prefix64(md, sb.toString))
+            while (j < i + n) { h = graft.operators.NearDup.Hash64.mix(h ^ th(j)); j += 1 }
+            (id, i.toLong, h)
           }
         }
       }.toDF("doc_id", "pos", "gh")
   }
+
+  /** Seed for the n-gram window combine (distinct from the shingle and
+    * band seeds so gram keys never alias other hash families). */
+  private val GramSeed = 0x6a09e667f3bcc908L
+
+  private def gramTokenHash(s: String): Long =
+    graft.operators.NearDup.Hash64.ofString(s)
 
   /** Persisted dedup STATE for incremental substring dedup: per-gram
     * occurrence counts, saturating at 2 — all the dup test ever needs is
@@ -1344,7 +1353,7 @@ object TextOps {
     * document cleans to the empty string.
     *
     * Scale shape — the [[dupPositions]] two-phase pattern keyed on lines:
-    * the line enumeration ships (doc_id, pos, 8-byte md5-prefix key)
+    * the line enumeration ships (doc_id, pos, 8-byte Hash64 key)
     * triples, never line text; the doc-frequency aggregate reduces
     * per-doc duplicates map-side (groupBy (lh, doc_id) partial fold)
     * before counting documents; the duplicated-line set routes back
@@ -1367,9 +1376,9 @@ object TextOps {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          text.split("\n", -1).iterator.map(l => (id, md5Prefix64(md, l)))
+          text.split("\n", -1).iterator
+            .map(l => (id, graft.operators.NearDup.Hash64.ofString(l)))
         }
       }.toDF("doc_id", "lh")
       .groupBy("lh", "doc_id").agg(count(lit(1)).as("__o"))
@@ -1386,11 +1395,10 @@ object TextOps {
     import org.apache.spark.sql.GraftColumnBridge.{column => ec, expression => ce}
     val lines = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
           val ls = text.split("\n", -1)
           Iterator.range(0, ls.length)
-            .map(i => (id, i.toLong, md5Prefix64(md, ls(i))))
+            .map(i => (id, i.toLong, graft.operators.NearDup.Hash64.ofString(ls(i))))
         }
       }.toDF("doc_id", "pos", "lh")
     // distinct-doc frequency: the (lh, doc_id) fold collapses a document's
