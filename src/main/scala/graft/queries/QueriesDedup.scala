@@ -40,7 +40,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
       .unionAll(hist.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"), edited.as("text")))
     graft.operators.TextOps.dedupExactIncremental(batch, digests)
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val dedupExactIncrementalSql: String =
@@ -53,7 +53,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
       |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_cnt
       |FROM batch
       |WHERE text NOT IN (SELECT text FROM documents)
-      |GROUP BY text ORDER BY doc_id""".stripMargin
+      |GROUP BY text""".stripMargin
 
   /** Dedup APPLIED: the surviving corpus (canonical doc per text) via a
     * left-semi join against the canonical-id frame — the shape a pipeline
@@ -936,7 +936,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
     val (masked, nEmails, nIps) = graft.operators.TextOps.piiMask(pii)
     decon.select(col("doc_id"), md5(masked).as("masked_hash"),
         nEmails.as("n_emails"), nIps.as("n_ips"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val pipelineFullCorpusSql: String =
@@ -1005,7 +1005,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
        |  md5(regexp_replace(em, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')) AS masked_hash,
        |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
        |  CAST(len(regexp_extract_all(em, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips
-       |FROM mm ORDER BY doc_id""".stripMargin
+       |FROM mm""".stripMargin
 
   /** SimHash pairs within Hamming distance 4 (of 62 bits). Banding is
     * pigeonhole-exact and the dual-base token hash is portable, so the
@@ -1295,7 +1295,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
       graft.streaming.EmbStream.bitextIngest(arriving, hist, outDir, ckDir,
         stageLabel = s"bitext_stream_idx_${StageStore.dirTag(dir)}")
     }
-    s.read.parquet(outDir).orderBy("a_id")
+    s.read.parquet(outDir) // no display sort (r17 precedent)
   }
 
   // single-shard arrival ≡ the standing-index mine — same replay

@@ -46,7 +46,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
           expr("shiftleft(CAST(1 AS BIGINT), CAST(capx AS INT))").cast("double"))
           .as("decayed_value"),
         col("n_events"))
-      .orderBy("user_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val timeDecayScoreSql: String =
@@ -61,7 +61,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       |           * CAST((CAST(1 AS BIGINT) << (cap - d)) AS DECIMAL(20,0))) AS DOUBLE)
       |    / CAST((CAST(1 AS BIGINT) << max(cap)) AS DOUBLE) AS decayed_value,
       |  COUNT(*) AS n_events
-      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+      |FROM e GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // rfm_segments — recency/frequency/monetary segmentation: per-user RFM
@@ -100,7 +100,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
           when(col("frequency") > col("fc"), lit(1)).otherwise(lit(0)) * 2 +
           when(col("monetary") > col("mc"), lit(1)).otherwise(lit(0)))
           .cast("long").as("segment"))
-      .orderBy("user_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val rfmSegmentsSql: String =
@@ -117,7 +117,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       |  CAST(CASE WHEN recency <= rc THEN 1 ELSE 0 END * 4 +
       |       CASE WHEN frequency > fc THEN 1 ELSE 0 END * 2 +
       |       CASE WHEN monetary > mc THEN 1 ELSE 0 END AS BIGINT) AS segment
-      |FROM per, c ORDER BY user_id""".stripMargin
+      |FROM per, c""".stripMargin
 
   // ---------------------------------------------------------------------
   // rolling_distinct — trailing-7-day distinct users per day, computed
@@ -323,7 +323,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       .withColumn("z", (col("value") - mean) / sd)
       .filter(abs(col("z")) > 2.5)
       .select(col("event_id"), col("user_id"), col("value"), col("z"))
-      .orderBy("event_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val anomalyZscoreSql: String =
@@ -340,7 +340,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       |             - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS z
       |  FROM e JOIN st ON e.user_id = st.user_id)
       |SELECT event_id, user_id, value, z FROM z
-      |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin
+      |WHERE abs(z) > 2.5""".stripMargin
 
   // ---------------------------------------------------------------------
   // partial_merge_agg — incremental aggregation as data: build per-
@@ -360,7 +360,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       .agg(sum(col("p_sum")).cast("double").as("sum_value"),
         sum(col("p_cnt")).cast("long").as("n_values"),
         count(lit(1)).as("n_days"))
-      .orderBy("user_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val partialMergeAggSql: String =
@@ -373,7 +373,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       |  CAST(SUM(p_sum) AS DOUBLE) AS sum_value,
       |  CAST(SUM(p_cnt) AS BIGINT) AS n_values,
       |  COUNT(*) AS n_days
-      |FROM daily GROUP BY user_id ORDER BY user_id""".stripMargin
+      |FROM daily GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // cohort_retention — the classic cohort matrix: users grouped by first-
@@ -539,7 +539,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
         .start()
       q.awaitTermination()
     }
-    s.table(qname).orderBy("vec_id")
+    s.table(qname) // no display sort (r17 precedent)
   }
 
   val embStreamIndexSql: String = {
@@ -641,7 +641,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       graft.streaming.CorpusStream.nearDupIngest(
         arriving, bandsF, setsF, outDir, ckDir, threshold = 0.75)
     }
-    s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+    s.read.parquet(outDir).select("doc_id") // no display sort (r17 precedent)
   }
 
   val docsStreamNearDupSql: String =
@@ -685,7 +685,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       graft.streaming.CorpusStream.containmentIngest(
         arriving, setsF, outDir, ckDir, threshold = 0.9)
     }
-    s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+    s.read.parquet(outDir).select("doc_id") // no display sort (r17 precedent)
   }
 
   val docsStreamContainmentSql: String =
@@ -711,7 +711,7 @@ trait QueriesEventsStreams extends QueriesTables { this: Queries.type =>
       |)
       |SELECT s.doc_id FROM sh s
       |WHERE s.doc_id >= 2000000 AND s.doc_id NOT IN (SELECT doc_id FROM dropped)
-      |ORDER BY s.doc_id""".stripMargin
+      |""".stripMargin
 
   // ---------------------------------------------------------------------
   // docs_stream_fluency — the STREAMING fluency gate against the DuckDB

@@ -346,7 +346,7 @@ trait QueriesMediaSemantic extends QueriesTables { this: Queries.type =>
       t(s, dir, "documents"), stratum = "lang", textCol = "text",
       thresholds = Map("en" -> "4", "es" -> "8"))
       .select(col("doc_id"), col("lang"))
-      .orderBy("doc_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val sampleBernoulliSql: String =
     """SELECT doc_id, lang FROM documents

