@@ -1067,7 +1067,7 @@ trait QueriesDedup extends QueriesTables { this: Queries.type =>
     * recall vs brute force asserted in SimilaritySpec. */
   def annIvf(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.ivfTopK(
-      tPar(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
+      t(s, dir, "embeddings"), queryIds = 0L until 5L, k = 5)
 
   val annIvfSql: String =
     graft.operators.Similarity.ivfOracleSql(queryIds = 0L until 5L, k = 5)
