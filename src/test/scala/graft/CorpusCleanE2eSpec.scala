@@ -44,8 +44,9 @@ class CorpusCleanE2eSpec extends AnyFunSuite with SparkSuite {
     val got = cli.select(col("doc_id"), md5(masked).as("masked_hash"),
         nEmails.as("n_emails"), nIps.as("n_ips"))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // the query dropped its display sort (r20) — order both sides here
     val want = SparkEntry.queries("pipeline_full_corpus")(spark, sf)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(got.size === want.size)
     assert(got === want)
   }
